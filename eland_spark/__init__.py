@@ -1,0 +1,39 @@
+"""eland_spark — PySpark-native analytics engine with the query and
+data-processing capabilities of elastic/eland.
+
+The user-visible surface mirrors the reference's pandas-style API
+(DataFrame/Series over a lazy remote table); execution compiles to Spark
+DataFrame plans optimized by Catalyst instead of Elasticsearch
+search/aggregation requests. See SURVEY.md for the full mapping.
+"""
+
+from .etl import (
+    csv_to_spark,
+    pandas_to_spark,
+    read_csv,
+    read_json,
+    read_parquet,
+    spark_to_pandas,
+)
+from .frame import DataFrame
+from .groupby import DataFrameGroupBy
+from .schema import Field, Schema
+from .series import Series
+from .session import get_session
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataFrame",
+    "Series",
+    "DataFrameGroupBy",
+    "Field",
+    "Schema",
+    "get_session",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "csv_to_spark",
+    "pandas_to_spark",
+    "spark_to_pandas",
+]

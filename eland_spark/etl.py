@@ -1,0 +1,158 @@
+"""ETL — sources and sinks (reference eland/etl.py).
+
+``pandas_to_spark`` mirrors ``pandas_to_eland`` (eland/etl.py:40-232):
+existence policy fail/replace/append with schema-compat verification
+(eland/field_mappings.py:892-931), pandas index frozen as the engine
+index column. Bulk parallelism is Spark-native (cluster-parallel parquet
+write replaces the reference's 4-thread parallel_bulk).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .frame import DataFrame
+from .schema import pd_to_spark_type
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "pandas_to_spark",
+    "spark_to_pandas",
+    "csv_to_spark",
+]
+
+# widened-compat lattice for append verification
+# (reference eland/field_mappings.py:47-61)
+_COMPATIBLE = {
+    ("long", "bigint"),
+    ("bigint", "long"),
+    ("int", "bigint"),
+    ("bigint", "int"),
+    ("float", "double"),
+    ("double", "float"),
+    ("date", "timestamp"),
+}
+
+
+def read_parquet(
+    spark: SparkSession, path: str, index_col: str | list[str] | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    sdf = spark.read.parquet(path)
+    if columns:
+        keep = list(columns)
+        if index_col:
+            ics = [index_col] if isinstance(index_col, str) else list(index_col)
+            keep = ics + [c for c in keep if c not in ics]
+        sdf = sdf.select(*keep)
+    idx = (
+        (index_col,) if isinstance(index_col, str) else tuple(index_col or ())
+    )
+    return DataFrame(sdf, index_cols=idx)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema: T.StructType | None = None,
+    index_col: str | None = None,
+    infer_schema: bool = True,
+    **options,
+) -> DataFrame:
+    """csv_to_eland analog (reference eland/etl.py:297-561) — the chunked
+    pandas read_csv + repeated bulk appends collapse into one distributed
+    csv scan."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    sdf = reader.csv(path)
+    return DataFrame(sdf, index_cols=(index_col,) if index_col else ())
+
+
+csv_to_spark = read_csv
+
+
+def read_json(
+    spark: SparkSession, path: str, index_col: str | None = None, **options
+) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    sdf = reader.json(path)
+    return DataFrame(sdf, index_cols=(index_col,) if index_col else ())
+
+
+def _verify_compat(existing: T.StructType, incoming: T.StructType) -> None:
+    """Schema-compat check for append mode (reference
+    verify_mapping_compatibility, eland/field_mappings.py:892-931)."""
+    problems = []
+    have = {f.name: f.dataType.simpleString() for f in existing.fields}
+    for f in incoming.fields:
+        if f.name not in have:
+            problems.append(f"{f.name}: missing from existing table")
+            continue
+        a, b = have[f.name], f.dataType.simpleString()
+        if a != b and (a, b) not in _COMPATIBLE:
+            problems.append(f"{f.name}: existing {a} != incoming {b}")
+    if problems:
+        raise ValueError(
+            "DataFrame schema is not compatible with existing table: "
+            + "; ".join(problems)
+        )
+
+
+def pandas_to_spark(
+    pd_df: pd.DataFrame,
+    spark: SparkSession,
+    path: str,
+    if_exists: str = "fail",
+    use_pandas_index_for_id: bool = True,
+    dropna: bool = False,
+    type_overrides: dict[str, T.DataType] | None = None,
+) -> DataFrame:
+    """pandas_to_eland analog (reference eland/etl.py:40-232): infer Spark
+    schema from dtypes (+overrides), honor fail/replace/append, freeze the
+    pandas index as the ``_id`` column, return a fresh lazy frame."""
+    pdf = pd_df.copy()
+    if dropna:
+        pdf = pdf.dropna()
+    index_name = None
+    if use_pandas_index_for_id:
+        index_name = pdf.index.name or "_id"
+        pdf = pdf.reset_index().rename(columns={pdf.index.name or "index": index_name})
+    fields = []
+    for col in pdf.columns:
+        stype = (type_overrides or {}).get(col) or pd_to_spark_type(pdf[col].dtype)
+        fields.append(T.StructField(col, stype, True))
+    schema = T.StructType(fields)
+    sdf = spark.createDataFrame(pdf, schema=schema)
+
+    exists = os.path.exists(path)
+    if exists and if_exists == "fail":
+        raise ValueError(
+            f"Could not create table {path!r} because it already exists. "
+            "Change the if_exists parameter to 'append' or 'replace'."
+        )
+    if exists and if_exists == "append":
+        existing = spark.read.parquet(path).schema
+        _verify_compat(existing, schema)
+        sdf.write.mode("append").parquet(path)
+    else:
+        sdf.write.mode("overwrite").parquet(path)
+    return read_parquet(spark, path, index_col=index_name)
+
+
+def spark_to_pandas(df: DataFrame, show_progress: bool = False) -> pd.DataFrame:
+    """eland_to_pandas analog (reference eland/etl.py:235-294)."""
+    return df.to_pandas(show_progress=show_progress)

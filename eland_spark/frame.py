@@ -1,0 +1,690 @@
+"""DataFrame — lazy pandas-style façade whose plan IS a Spark DataFrame.
+
+Reference architecture (eland): DataFrame -> QueryCompiler (client +
+FieldMappings + task list) -> one ES request + client post-processing
+(eland/dataframe.py, eland/operations.py:79-145). Here the task list is
+replaced by the Catalyst logical plan: every façade op appends to a
+``pyspark.sql.DataFrame`` and a metadata ``Schema``; nothing executes
+until a materializing call (to_pandas/collect/agg/shape).
+
+Row identity: the reference pins every frame to an index field (``_id``,
+eland/index.py:24-77) so head/tail/drop-by-id are deterministic. Spark
+has no implicit row order, so each frame carries explicit index columns
+(a natural key or one frozen at ingest) and all peek paths order by them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import Field, Schema, spark_to_pd_dtype
+from .series import Series
+
+__all__ = ["DataFrame"]
+
+
+class DataFrame:
+    def __init__(
+        self,
+        sdf: SparkDataFrame,
+        schema: Schema | None = None,
+        index_cols: Iterable[str] = (),
+    ):
+        self._sdf = sdf
+        if schema is None:
+            schema = Schema.from_spark(sdf.schema, tuple(index_cols))
+        self._schema = schema
+
+    # ------------------------------------------------------------------
+    # metadata accessors (reference eland/dataframe.py:158-207,1444-1500)
+    # ------------------------------------------------------------------
+    @property
+    def columns(self) -> pd.Index:
+        return pd.Index(self._schema.display_names)
+
+    @property
+    def dtypes(self) -> pd.Series:
+        return pd.Series(
+            {f.display_name: pd.api.types.pandas_dtype(f.pd_dtype) for f in self._schema.fields},
+            index=self._schema.display_names,
+        )
+
+    @property
+    def index_cols(self) -> tuple[str, ...]:
+        return self._schema.index_cols
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        # row count triggers a job, like the reference's _count request
+        # (eland/operations.py:1339-1356)
+        return (self._sdf.count(), len(self._schema.fields))
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def size(self) -> int:
+        r, c = self.shape
+        return r * c
+
+    @property
+    def empty(self) -> bool:
+        return self._sdf.isEmpty()
+
+    def keys(self) -> pd.Index:
+        return self.columns
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    def __repr__(self) -> str:
+        with pd.option_context("display.max_rows", 60):
+            return repr(self._peek())
+
+    def _peek(self, n: int = 60) -> pd.DataFrame:
+        """head+tail halves concatenated (reference repr path,
+        eland/ndframe.py:162-175)."""
+        total = len(self)
+        if total <= n:
+            return self.to_pandas()
+        half = n // 2
+        return pd.concat([self.head(half).to_pandas(), self.tail(half).to_pandas()])
+
+    # ------------------------------------------------------------------
+    # rebuild helpers
+    # ------------------------------------------------------------------
+    def _with(self, sdf: SparkDataFrame | None = None, schema: Schema | None = None) -> "DataFrame":
+        return DataFrame(sdf if sdf is not None else self._sdf, schema or self._schema)
+
+    def _index_order(self, desc: bool = False) -> list[Column]:
+        cols = self._schema.index_cols or tuple(
+            f.column_name for f in self._schema.fields
+        )
+        return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+
+    def _ordered_sdf(self, desc: bool = False) -> SparkDataFrame:
+        return self._sdf.orderBy(*self._index_order(desc))
+
+    def _projected(self, sdf: SparkDataFrame | None = None) -> SparkDataFrame:
+        """Physical projection: index cols + visible columns under display
+        names (column pruning reaches the parquet scan via Catalyst)."""
+        sdf = sdf if sdf is not None else self._sdf
+        cols = [F.col(c) for c in self._schema.index_cols if c not in self._schema.display_names]
+        cols += [
+            F.col(f.column_name).alias(f.display_name) for f in self._schema.fields
+        ]
+        return sdf.select(*cols)
+
+    # ------------------------------------------------------------------
+    # column ops (reference eland/dataframe.py:329-468,1184-1272,2078-2151)
+    # ------------------------------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            f = self._schema.field(key)
+            return Series(self, F.col(f.column_name), key, f.spark_type)
+        if isinstance(key, (list, tuple, pd.Index)):
+            return self._with(schema=self._schema.select(list(key)))
+        if isinstance(key, Series):
+            return self._with(sdf=self._sdf.filter(key.spark_column))
+        raise TypeError(f"unsupported key type: {type(key)}")
+
+    def __getattr__(self, name: str):
+        schema = object.__getattribute__(self, "_schema")
+        if name in schema:
+            return self[name]
+        raise AttributeError(name)
+
+    def __setitem__(self, name: str, value):
+        """Derived column (scripted-field analog,
+        eland/field_mappings.py:679-714)."""
+        if isinstance(value, Series):
+            expr, stype = value.spark_column, value._spark_type
+        else:
+            expr = F.lit(value)
+            stype = None
+        sdf = self._sdf.withColumn(name, expr)
+        stype = stype or sdf.schema[name].dataType
+        self._sdf = sdf
+        self._schema = self._schema.with_field(
+            Field(name, name, stype, is_derived=True)
+        )
+
+    def assign(self, **kwargs) -> "DataFrame":
+        out = self._with()
+        for k, v in kwargs.items():
+            out[k] = v if not isinstance(v, Series) else Series(
+                out, v.spark_column, k, v._spark_type, True
+            )
+        return out
+
+    def drop(
+        self,
+        labels=None,
+        axis: int = 0,
+        columns=None,
+        index=None,
+        errors: str = "raise",
+    ) -> "DataFrame":
+        if labels is not None:
+            if axis in (1, "columns"):
+                columns = labels
+            else:
+                index = labels
+        out = self
+        if columns is not None:
+            cols = [columns] if isinstance(columns, str) else list(columns)
+            if errors == "ignore":
+                cols = [c for c in cols if c in self._schema]
+            out = out._with(schema=out._schema.drop(cols))
+        if index is not None:
+            # drop rows by index value (reference QueryIdsTask,
+            # eland/tasks.py:223-252)
+            ids = [index] if np.isscalar(index) else list(index)
+            key = out._schema.index_cols[0] if out._schema.index_cols else None
+            if key is None:
+                raise ValueError("drop(index=...) requires an index column")
+            out = out._with(sdf=out._sdf.filter(~F.col(key).isin(ids)))
+        return out
+
+    def rename(self, columns: dict[str, str] | None = None, **kw) -> "DataFrame":
+        if columns is None:
+            return self._with()
+        return self._with(schema=self._schema.rename(columns))
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        inc = [include] if isinstance(include, str) else (include or [])
+        exc = [exclude] if isinstance(exclude, str) else (exclude or [])
+
+        def matches(f: Field, spec: str) -> bool:
+            if spec in ("number", "numeric"):
+                return f.is_numeric
+            if spec in ("object", "str", "string"):
+                return f.is_string
+            if spec in ("bool", "boolean"):
+                return f.is_bool
+            if spec.startswith("datetime"):
+                return f.is_timestamp
+            if spec in ("int", "int64", "integer"):
+                return f.pd_dtype.startswith("int")
+            if spec in ("float", "float64"):
+                return f.pd_dtype.startswith("float")
+            return f.pd_dtype == spec
+
+        keep = []
+        for f in self._schema.fields:
+            if inc and not any(matches(f, s) for s in inc):
+                continue
+            if exc and any(matches(f, s) for s in exc):
+                continue
+            keep.append(f.display_name)
+        return self._with(schema=self._schema.select(keep))
+
+    def filter(self, items=None, like=None, regex=None, axis=None) -> "DataFrame":
+        """Column-name (axis=1) or index-value (axis=0) filtering
+        (reference eland/dataframe.py:2078-2151,
+        eland/operations.py:1164-1187)."""
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError("pass exactly one of items, like, regex")
+        if axis in (1, "columns", None) and not (axis in (0, "index")):
+            if items is not None:
+                keep = [c for c in items if c in self._schema]
+            elif like is not None:
+                keep = [c for c in self._schema.display_names if like in c]
+            else:
+                import re
+
+                pat = re.compile(regex)
+                keep = [c for c in self._schema.display_names if pat.search(c)]
+            return self._with(schema=self._schema.select(keep))
+        # axis=0: keep rows whose index value is in items
+        if items is None:
+            raise NotImplementedError(
+                "filter like/regex on index is not supported (matches reference, "
+                "eland/operations.py:1184-1187)"
+            )
+        key = self._schema.index_cols[0]
+        return self._with(sdf=self._sdf.filter(F.col(key).isin(list(items))))
+
+    # ------------------------------------------------------------------
+    # row predicates
+    # ------------------------------------------------------------------
+    def query(self, expr: str) -> "DataFrame":
+        """SQL-expression filter — the ``df.query`` / ``es_query`` escape
+        hatch (reference eland/dataframe.py:1991-2036, 736-791); the
+        string is ANSI SQL evaluated by Catalyst, not pandas-eval."""
+        return self._with(sdf=self._sdf.filter(F.expr(expr)))
+
+    es_query = query
+
+    def es_match(
+        self, text: str, columns: list[str] | None = None, match_phrase: bool = False
+    ) -> Series:
+        """Multi-column text-match analog (reference
+        eland/query_compiler.py:419-488): OR of per-column matches."""
+        cols = columns or [f.display_name for f in self._schema.fields if f.is_string]
+        if not cols:
+            raise ValueError("no text columns to match against")
+        mask = self[cols[0]].es_match(text, match_phrase)
+        for c in cols[1:]:
+            mask = mask | self[c].es_match(text, match_phrase)
+        return mask
+
+    # ------------------------------------------------------------------
+    # sorts / limits / sampling (reference eland/dataframe.py:208-286,
+    # eland/tasks.py:78-220)
+    # ------------------------------------------------------------------
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._with(sdf=self._ordered_sdf().limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        # reverse-sort + limit; ascending re-sort happens in to_pandas
+        # (reference SortIndexAction, eland/actions.py:52-91)
+        return self._with(sdf=self._ordered_sdf(desc=True).limit(n))
+
+    def sample(
+        self, n: int | None = None, frac: float | None = None, random_state: int = 42
+    ) -> "DataFrame":
+        if n is not None and frac is not None:
+            raise ValueError("pass either n or frac, not both")
+        if frac is not None:
+            return self._with(sdf=self._sdf.sample(fraction=frac, seed=random_state))
+        # exact-n sample (reference returns exactly n,
+        # eland/tasks.py:188-220); at 100 TB prefer frac (TABLESAMPLE, no
+        # global sort) — exact-n costs one orderBy(rand) shuffle.
+        return self._with(
+            sdf=self._sdf.orderBy(F.rand(random_state)).limit(int(n or 5))
+        )
+
+    def sort_values(self, by, ascending=True) -> "DataFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = [
+            F.col(self._schema.resolve(b)).asc() if a else F.col(self._schema.resolve(b)).desc()
+            for b, a in zip(by, asc)
+        ]
+        return self._with(sdf=self._sdf.orderBy(*cols))
+
+    def drop_duplicates(self, subset=None, keep: str = "first") -> "DataFrame":
+        from .operators.dedup import drop_duplicates
+
+        return drop_duplicates(self, subset=subset, keep=keep)
+
+    # ------------------------------------------------------------------
+    # aggregations (reference eland/operations.py:148-758)
+    # ------------------------------------------------------------------
+    _AGG_EXPRS = {
+        "count": lambda c: F.count(c),
+        "sum": lambda c: F.sum(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "mean": lambda c: F.avg(c),
+        "std": lambda c: F.stddev_samp(c),
+        "var": lambda c: F.var_samp(c),
+        "nunique": lambda c: F.countDistinct(c),
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+    }
+    _APPROX_EXPRS = {
+        "nunique": lambda c: F.approx_count_distinct(c),
+        "median": lambda c: F.percentile_approx(c, 0.5),
+    }
+
+    def _agg_expr(self, agg: str, field: Field, approx: bool = False) -> Column:
+        col = F.col(field.column_name)
+        if field.is_bool and agg in ("sum", "mean", "std", "var", "median"):
+            col = col.cast("long")
+        table = dict(self._AGG_EXPRS)
+        if approx:
+            table.update(self._APPROX_EXPRS)
+        return table[agg](col)
+
+    def _agg_row(self, pairs: list[tuple[str, Field]], approx: bool = False):
+        """One Spark job computing every (agg, field) pair — mirrors the
+        reference's single multi-agg request (eland/operations.py:308-418)."""
+        exprs = [
+            self._agg_expr(a, f, approx).alias(f"{a}__{f.display_name}")
+            for a, f in pairs
+        ]
+        return self._sdf.agg(*exprs).collect()[0]
+
+    def _restore(self, value, field: Field, agg: str):
+        """Dtype restoration after agg (reference
+        eland/operations.py:698-758): bool min/max back to bool, missing
+        numeric -> NaN, missing datetime -> NaT."""
+        if value is None:
+            return pd.NaT if field.is_timestamp else np.nan
+        if field.is_bool and agg in ("min", "max"):
+            return bool(value)
+        return value
+
+    def _metric_agg(self, agg: str, numeric_only: bool | None = True, approx: bool = False) -> pd.Series:
+        fields = self._schema.numeric_fields(numeric_only, agg)
+        computable = [f for f in fields if f.is_agg_compatible(agg)]
+        row = self._agg_row([(agg, f) for f in computable]) if computable else {}
+        out = {}
+        for f in fields:
+            if f.is_agg_compatible(agg):
+                out[f.display_name] = self._restore(row[f"{agg}__{f.display_name}"], f, agg)
+            else:
+                # numeric_only=False pads incompatible columns
+                # (reference eland/operations.py:600-615)
+                out[f.display_name] = pd.NaT if f.is_timestamp else np.nan
+        s = pd.Series(out, name=agg)
+        if numeric_only is True:
+            s = s.astype("float64")
+        return s
+
+    def count(self) -> pd.Series:
+        """Per-column non-null counts in ONE job (the reference issues one
+        _count request per field, eland/operations.py:148-174 — Spark
+        collapses this into a single Aggregate)."""
+        fields = list(self._schema.fields)
+        row = self._agg_row([("count", f) for f in fields])
+        return pd.Series(
+            {f.display_name: row[f"count__{f.display_name}"] for f in fields},
+            dtype="int64",
+        )
+
+    def sum(self, numeric_only=True):
+        return self._metric_agg("sum", numeric_only)
+
+    def min(self, numeric_only=True):
+        return self._metric_agg("min", numeric_only)
+
+    def max(self, numeric_only=True):
+        return self._metric_agg("max", numeric_only)
+
+    def mean(self, numeric_only=True):
+        return self._metric_agg("mean", numeric_only)
+
+    def std(self, numeric_only=True):
+        return self._metric_agg("std", numeric_only)
+
+    def var(self, numeric_only=True):
+        return self._metric_agg("var", numeric_only)
+
+    def median(self, numeric_only=True, approx=False):
+        return self._metric_agg("median", numeric_only, approx)
+
+    def nunique(self, approx=False) -> pd.Series:
+        return self._metric_agg("nunique", None, approx)
+
+    def mad(self, numeric_only=True) -> pd.Series:
+        fields = [
+            f
+            for f in self._schema.numeric_fields(numeric_only, "mad")
+            if f.is_numeric
+        ]
+        meds = self._agg_row([("median", f) for f in fields]) if fields else {}
+        exprs = [
+            F.percentile(
+                F.abs(F.col(f.column_name) - F.lit(meds[f"median__{f.display_name}"])),
+                F.lit(0.5),
+            ).alias(f.display_name)
+            for f in fields
+            if meds[f"median__{f.display_name}"] is not None
+        ]
+        if not exprs:
+            return pd.Series(dtype="float64")
+        row = self._sdf.agg(*exprs).collect()[0]
+        return pd.Series({f.display_name: row[f.display_name] for f in fields})
+
+    def quantile(self, q=0.5, numeric_only=True, approx=False):
+        qs = [q] if np.isscalar(q) else list(q)
+        fields = [
+            f
+            for f in self._schema.numeric_fields(numeric_only, "quantile")
+            if f.is_numeric
+        ]
+        exprs = []
+        for f in fields:
+            for qq in qs:
+                e = (
+                    F.percentile_approx(F.col(f.column_name), qq)
+                    if approx
+                    else F.percentile(F.col(f.column_name), F.lit(qq))
+                )
+                exprs.append(e.alias(f"{f.display_name}__{qq}"))
+        row = self._sdf.agg(*exprs).collect()[0]
+        if np.isscalar(q):
+            return pd.Series(
+                {f.display_name: row[f"{f.display_name}__{q}"] for f in fields},
+                name=float(q),
+            )
+        return pd.DataFrame(
+            {f.display_name: [row[f"{f.display_name}__{qq}"] for qq in qs] for f in fields},
+            index=[float(qq) for qq in qs],
+        )
+
+    def aggregate(self, funcs, numeric_only=None) -> pd.DataFrame:
+        """Multi-agg matrix: rows = agg funcs, cols = fields — one Spark
+        job (reference piggybacks extended_stats,
+        eland/operations.py:1150-1160; Catalyst computes all exprs in a
+        single Aggregate pass natively)."""
+        funcs = [funcs] if isinstance(funcs, str) else list(funcs)
+        fields = self._schema.numeric_fields(
+            True if numeric_only is True else None, funcs[0]
+        )
+        pairs = [
+            (a, f) for a in funcs for f in fields if f.is_agg_compatible(a)
+        ]
+        row = self._agg_row(pairs)
+        data = {}
+        for f in fields:
+            col = []
+            for a in funcs:
+                if f.is_agg_compatible(a):
+                    col.append(self._restore(row[f"{a}__{f.display_name}"], f, a))
+                else:
+                    col.append(pd.NaT if f.is_timestamp else np.nan)
+            data[f.display_name] = col
+        return pd.DataFrame(data, index=funcs)
+
+    agg = aggregate
+
+    def describe(self) -> pd.DataFrame:
+        """count/mean/std/min/25%/50%/75%/max (reference
+        eland/operations.py:1189-1216) — one job."""
+        fields = [f for f in self._schema.fields if f.is_numeric]
+        stats = ["count", "mean", "std", "min", "max"]
+        pairs = [(a, f) for a in stats for f in fields]
+        exprs = [
+            self._agg_expr(a, f).alias(f"{a}__{f.display_name}") for a, f in pairs
+        ]
+        for f in fields:
+            for qq in (0.25, 0.5, 0.75):
+                exprs.append(
+                    F.percentile(F.col(f.column_name), F.lit(qq)).alias(
+                        f"q{qq}__{f.display_name}"
+                    )
+                )
+        row = self._sdf.agg(*exprs).collect()[0]
+        idx = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        data = {}
+        for f in fields:
+            data[f.display_name] = [
+                row[f"count__{f.display_name}"],
+                row[f"mean__{f.display_name}"],
+                row[f"std__{f.display_name}"],
+                row[f"min__{f.display_name}"],
+                row[f"q0.25__{f.display_name}"],
+                row[f"q0.5__{f.display_name}"],
+                row[f"q0.75__{f.display_name}"],
+                row[f"max__{f.display_name}"],
+            ]
+        return pd.DataFrame(data, index=idx, dtype="float64")
+
+    def mode(self, numeric_only: bool = False, es_size: int = 10) -> pd.DataFrame:
+        """Per-column top-N by frequency; ties all kept, shorter columns
+        padded NaN/NaT (reference eland/operations.py:665-696)."""
+        fields = self._schema.numeric_fields(True if numeric_only else False, "mode")
+        cols = {}
+        for f in fields:
+            s = Series(self, F.col(f.column_name), f.display_name, f.spark_type)
+            vals = list(s.mode()[:es_size])
+            cols[f.display_name] = vals
+        n = max((len(v) for v in cols.values()), default=0)
+        for f in fields:
+            pad = pd.NaT if f.is_timestamp else np.nan
+            cols[f.display_name] += [pad] * (n - len(cols[f.display_name]))
+        return pd.DataFrame(cols)
+
+    def idxmax(self) -> pd.Series:
+        return self._idx_extreme(F.max_by)
+
+    def idxmin(self) -> pd.Series:
+        return self._idx_extreme(F.min_by)
+
+    def _idx_extreme(self, fn) -> pd.Series:
+        """Index value of the row holding each numeric column's extreme —
+        ``max_by/min_by`` replaces the reference's per-field top_hits agg
+        (eland/operations.py:207-254)."""
+        if not self._schema.index_cols:
+            raise ValueError("idxmax/idxmin require an index column")
+        key = self._schema.index_cols[0]
+        fields = [f for f in self._schema.fields if f.is_numeric]
+        exprs = [
+            fn(F.col(key), F.col(f.column_name)).alias(f.display_name) for f in fields
+        ]
+        row = self._sdf.agg(*exprs).collect()[0]
+        return pd.Series({f.display_name: row[f.display_name] for f in fields})
+
+    def hist(self, column: str, bins: int = 10):
+        from .operators.histogram import histogram
+
+        return histogram(self, column, bins)
+
+    # ------------------------------------------------------------------
+    # groupby / joins / set ops
+    # ------------------------------------------------------------------
+    def groupby(self, by, dropna: bool = True):
+        from .groupby import DataFrameGroupBy
+
+        by = [by] if isinstance(by, str) else list(by)
+        missing = [b for b in by if b not in self._schema]
+        if missing:
+            raise KeyError(f"groupby columns not found: {missing}")
+        return DataFrameGroupBy(self, by, dropna=dropna)
+
+    def merge(
+        self,
+        right: "DataFrame",
+        how: str = "inner",
+        on=None,
+        left_on=None,
+        right_on=None,
+        broadcast: bool = False,
+    ) -> "DataFrame":
+        """Relational join — absent in the reference (single-index data
+        model, SURVEY §2.4); native here. ``broadcast=True`` hints the
+        small side for a map-side join (no shuffle at 100 TB)."""
+        lsdf = self._projected()
+        rsdf = right._projected()
+        if broadcast:
+            rsdf = F.broadcast(rsdf)
+        if on is not None:
+            on_cols = [on] if isinstance(on, str) else list(on)
+            joined = lsdf.join(rsdf, on=on_cols, how=how)
+        else:
+            lo = [left_on] if isinstance(left_on, str) else list(left_on)
+            ro = [right_on] if isinstance(right_on, str) else list(right_on)
+            cond = [lsdf[a] == rsdf[b] for a, b in zip(lo, ro)]
+            joined = lsdf.join(rsdf, on=cond, how=how)
+        idx = tuple(c for c in self._schema.index_cols if c in joined.columns)
+        return DataFrame(joined, index_cols=idx)
+
+    def join(self, right: "DataFrame", on=None, how: str = "inner", **kw) -> "DataFrame":
+        return self.merge(right, how=how, on=on, **kw)
+
+    def union(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(
+            self._projected().unionByName(other._projected()),
+            index_cols=self._schema.index_cols,
+        )
+
+    concat = union
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(
+            self._projected().intersect(other._projected()),
+            index_cols=self._schema.index_cols,
+        )
+
+    def except_(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(
+            self._projected().exceptAll(other._projected()),
+            index_cols=self._schema.index_cols,
+        )
+
+    # ------------------------------------------------------------------
+    # materialization / sinks (reference eland/operations.py:1218-1337)
+    # ------------------------------------------------------------------
+    def to_spark(self) -> SparkDataFrame:
+        """The projected Spark plan (escape hatch + driver contract)."""
+        return self._projected()
+
+    def to_pandas(self, show_progress: bool = False, set_index: bool = False) -> pd.DataFrame:
+        sdf = self._projected(self._ordered_sdf())
+        pdf = sdf.toPandas()
+        icols = [c for c in self._schema.index_cols if c in pdf.columns]
+        if icols:
+            # index order restored ascending on the way out (reference
+            # SortIndexAction after tail, eland/actions.py:52-91)
+            pdf = pdf.sort_values(icols, kind="mergesort").reset_index(drop=True)
+            if set_index:
+                pdf = pdf.set_index(icols[0] if len(icols) == 1 else icols)
+        return pdf
+
+    def iterrows(self, batch_size: int = 5000):
+        """Chunk-streamed row iteration (reference PIT scan,
+        eland/dataframe.py:1501-1548) via toLocalIterator — only one
+        partition is resident on the driver at a time."""
+        for row in self._projected(self._ordered_sdf()).toLocalIterator():
+            d = row.asDict()
+            idx = (
+                d.get(self._schema.index_cols[0])
+                if self._schema.index_cols
+                else None
+            )
+            yield idx, pd.Series(d)
+
+    def itertuples(self, name: str = "Eland"):
+        from collections import namedtuple
+
+        cols = list(self._projected().columns)
+        Tup = namedtuple(name, ["Index"] + [c for c in cols if c not in self._schema.index_cols], rename=True)
+        for idx, row in self.iterrows():
+            yield Tup(idx, *[row[c] for c in cols if c not in self._schema.index_cols])
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self._projected().write.mode(mode).option("header", header).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        self._projected().write.mode(mode).json(path)
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
+        w = self._projected().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+    def es_info(self) -> str:
+        """Explain analog (reference eland/operations.py:1500-1518):
+        schema + physical plan."""
+        buf = [f"index_cols: {list(self._schema.index_cols)}", "schema:"]
+        for f in self._schema.fields:
+            buf.append(
+                f"  {f.display_name} <- {f.column_name} "
+                f"({f.spark_type.simpleString()}, pd={f.pd_dtype}, derived={f.is_derived})"
+            )
+        return "\n".join(buf)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._projected().explain(mode)

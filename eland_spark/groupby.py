@@ -1,0 +1,194 @@
+"""GroupBy — composite-aggregation analog.
+
+Reference: eland/groupby.py (DataFrameGroupBy agg methods) compiled to a
+paginated ES composite aggregation (eland/operations.py:822-1053). Here a
+single ``df.groupBy(keys).agg(exprs)`` covers the whole lifecycle —
+Spark's partial/final hash aggregation replaces shard/coordinator merge,
+and the shuffle exchange replaces ``after_key`` pagination.
+
+dropna semantics: ES composite drops null-key buckets unless
+``missing_bucket: true`` (eland/query.py:253-261); Spark groupBy KEEPS
+null keys — the default is inverted, so ``dropna=True`` adds explicit
+``isNotNull`` filters.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .frame import DataFrame
+
+if TYPE_CHECKING:
+    pass
+
+__all__ = ["DataFrameGroupBy"]
+
+
+class DataFrameGroupBy:
+    def __init__(self, frame: DataFrame, by: list[str], dropna: bool = True):
+        self._frame = frame
+        self._by = by
+        self._dropna = dropna
+
+    # ------------------------------------------------------------------
+    def _grouped_sdf(self):
+        sdf = self._frame._sdf
+        schema = self._frame._schema
+        if self._dropna:
+            for b in self._by:
+                sdf = sdf.filter(F.col(schema.resolve(b)).isNotNull())
+        key_cols = [F.col(schema.resolve(b)).alias(b) for b in self._by]
+        return sdf, key_cols
+
+    def _agg_fields(self, numeric_only: bool | None, agg: str):
+        schema = self._frame._schema
+        return [
+            f
+            for f in schema.numeric_fields(numeric_only, agg)
+            if f.display_name not in self._by and f.is_agg_compatible(agg)
+        ]
+
+    def _lazy(self, exprs) -> DataFrame:
+        sdf, keys = self._grouped_sdf()
+        out = sdf.groupBy(*keys).agg(*exprs)
+        return DataFrame(out, index_cols=tuple(self._by))
+
+    def _run(self, funcs: list[str], numeric_only: bool | None, approx: bool = False,
+             multi_cols: bool | None = None) -> pd.DataFrame:
+        """One groupBy job for the full (field x agg) matrix; result is a
+        pandas frame indexed by keys with MultiIndex columns on multi-agg
+        (reference shape, eland/operations.py:995-1003)."""
+        exprs = []
+        per_func_fields = {a: self._agg_fields(numeric_only, a) for a in funcs}
+        for a in funcs:
+            for f in per_func_fields[a]:
+                exprs.append(
+                    self._frame._agg_expr(a, f, approx).alias(f"{a}__{f.display_name}")
+                )
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        if multi_cols is None:
+            multi_cols = len(funcs) > 1
+        if multi_cols:
+            pdf.columns = pd.MultiIndex.from_tuples(
+                [tuple(reversed(c.split("__", 1))) for c in pdf.columns]
+            )
+            # order columns field-major like the reference
+            fields = []
+            for a in funcs:
+                for f in per_func_fields[a]:
+                    if f.display_name not in fields:
+                        fields.append(f.display_name)
+            pdf = pdf[[(fld, a) for fld in fields for a in funcs if (fld, a) in pdf.columns]]
+        else:
+            pdf.columns = [c.split("__", 1)[1] for c in pdf.columns]
+        return pdf
+
+    # -- public agg methods (reference eland/groupby.py:47-699) ---------
+    def agg(self, funcs, numeric_only: bool | None = None) -> pd.DataFrame:
+        funcs = [funcs] if isinstance(funcs, str) else list(funcs)
+        return self._run(funcs, numeric_only)
+
+    aggregate = agg
+
+    def sum(self, numeric_only=True):
+        return self._run(["sum"], numeric_only)
+
+    def min(self, numeric_only=True):
+        return self._run(["min"], numeric_only)
+
+    def max(self, numeric_only=True):
+        return self._run(["max"], numeric_only)
+
+    def mean(self, numeric_only=True):
+        return self._run(["mean"], numeric_only)
+
+    def std(self, numeric_only=True):
+        return self._run(["std"], numeric_only)
+
+    def var(self, numeric_only=True):
+        return self._run(["var"], numeric_only)
+
+    def median(self, numeric_only=True):
+        return self._run(["median"], numeric_only)
+
+    def nunique(self):
+        return self._run(["nunique"], None)
+
+    def count(self):
+        """Per-column non-null counts per group (reference maps count ->
+        value_count per field, eland/operations.py:1102-1103)."""
+        return self._run(["count"], None)
+
+    def size(self) -> pd.Series:
+        sdf, keys = self._grouped_sdf()
+        pdf = sdf.groupBy(*keys).count().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        return pdf["count"]
+
+    def mad(self, numeric_only=True):
+        """Exact per-group MAD via percentile of |x - group_median| —
+        needs two passes (median join back); the reference delegates to
+        ES's approximate MAD agg (eland/groupby.py)."""
+        fields = self._agg_fields(True, "mad")
+        sdf, keys = self._grouped_sdf()
+        schema = self._frame._schema
+        meds = sdf.groupBy(*keys).agg(
+            *[
+                F.percentile(F.col(f.column_name), F.lit(0.5)).alias(f"__med_{f.display_name}")
+                for f in fields
+            ]
+        )
+        joined = sdf.join(meds, on=self._by, how="inner")
+        out = joined.groupBy(*[F.col(b) for b in self._by]).agg(
+            *[
+                F.percentile(
+                    F.abs(F.col(f.column_name) - F.col(f"__med_{f.display_name}")),
+                    F.lit(0.5),
+                ).alias(f.display_name)
+                for f in fields
+            ]
+        )
+        pdf = out.toPandas().set_index(
+            self._by if len(self._by) > 1 else self._by[0]
+        ).sort_index()
+        return pdf
+
+    def quantile(self, q=0.5, numeric_only=True):
+        """List-q output grows an extra index level of quantile values
+        (reference eland/operations.py:955-994)."""
+        import numpy as np
+
+        qs = [q] if np.isscalar(q) else list(q)
+        fields = self._agg_fields(numeric_only, "quantile")
+        exprs = []
+        for f in fields:
+            for qq in qs:
+                exprs.append(
+                    F.percentile(F.col(f.column_name), F.lit(qq)).alias(
+                        f"{f.display_name}__{qq}"
+                    )
+                )
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        if np.isscalar(q):
+            pdf.columns = [c.rsplit("__", 1)[0] for c in pdf.columns]
+            return pdf
+        frames = []
+        for qq in qs:
+            sub = pdf[[f"{f.display_name}__{qq}" for f in fields]].copy()
+            sub.columns = [f.display_name for f in fields]
+            sub[None] = float(qq)
+            frames.append(sub.set_index(None, append=True))
+        return pd.concat(frames).sort_index()
+
+    def mode(self, es_size: int = 10):
+        """Per-group mode via rank-over-count window (the reference raises
+        NotImplementedError, eland/groupby.py:701-702 — native here)."""
+        raise NotImplementedError(
+            "groupby().mode() matches reference NotImplementedError; "
+            "use top_k_per_group from eland_spark.operators.windowed"
+        )

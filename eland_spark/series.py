@@ -1,0 +1,405 @@
+"""Series — a named column expression over a frame's Spark plan.
+
+Reference surface: eland/series.py (comparisons -> BooleanFilter,
+arithmetic -> Painless script fields composing into one expression tree,
+eland/arithmetics.py:89-204). Here both collapse into native Spark
+``Column`` expressions — comparisons yield boolean Series usable as row
+masks (``df[df.a > 10]``), arithmetic yields derived Series whose
+expression Catalyst codegens JVM-side (no UDF, unlike the reference's
+per-document script evaluation).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import Field, spark_to_pd_dtype
+
+if TYPE_CHECKING:
+    from .frame import DataFrame
+
+__all__ = ["Series"]
+
+
+def _lit(value: Any) -> Column:
+    if isinstance(value, pd.Timestamp):
+        return F.lit(value.to_pydatetime())
+    return F.lit(value)
+
+
+class Series:
+    """Lazy 1-D view: (parent frame, column expression, name, spark type).
+
+    Immutable; every op returns a new Series (the reference copies its
+    QueryCompiler per op, eland/series.py + eland/query_compiler.py:373-374).
+    """
+
+    def __init__(
+        self,
+        frame: "DataFrame",
+        expr: Column,
+        name: str,
+        spark_type: T.DataType | None = None,
+        is_derived: bool = False,
+    ):
+        self._frame = frame
+        self._expr = expr
+        self._name = name
+        self._spark_type = spark_type
+        self._is_derived = is_derived
+
+    # ------------------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def spark_column(self) -> Column:
+        return self._expr
+
+    @property
+    def dtype(self):
+        if self._spark_type is None:
+            return "object"
+        return pd.api.types.pandas_dtype(spark_to_pd_dtype(self._spark_type))
+
+    @property
+    def shape(self) -> tuple[int]:
+        return (len(self),)
+
+    def __len__(self) -> int:
+        return self._frame.shape[0]
+
+    def __repr__(self) -> str:
+        return f"<eland_spark.Series name={self._name!r} dtype={self.dtype}>"
+
+    # -- derivation helpers --------------------------------------------
+    def _derived(
+        self, expr: Column, spark_type: T.DataType | None, name: str | None = None
+    ) -> "Series":
+        return Series(
+            self._frame, expr, name or self._name, spark_type, is_derived=True
+        )
+
+    def _bool(self, expr: Column) -> "Series":
+        return self._derived(expr, T.BooleanType())
+
+    def _other(self, other: Any) -> Column:
+        if isinstance(other, Series):
+            if other._frame._sdf is not self._frame._sdf:
+                # reference: check_arithmetics refuses cross-frame ops
+                # (eland/query_compiler.py:716-753)
+                raise ValueError(
+                    "operations only supported between series of the same frame"
+                )
+            return other._expr
+        return _lit(other)
+
+    # -- comparisons (reference eland/series.py:473-595) ----------------
+    def __eq__(self, other):  # type: ignore[override]
+        return self._bool(self._expr == self._other(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._bool(self._expr != self._other(other))
+
+    def __gt__(self, other):
+        return self._bool(self._expr > self._other(other))
+
+    def __ge__(self, other):
+        return self._bool(self._expr >= self._other(other))
+
+    def __lt__(self, other):
+        return self._bool(self._expr < self._other(other))
+
+    def __le__(self, other):
+        return self._bool(self._expr <= self._other(other))
+
+    def isin(self, values) -> "Series":
+        return self._bool(self._expr.isin(list(values)))
+
+    def isna(self) -> "Series":
+        return self._bool(self._expr.isNull())
+
+    def notna(self) -> "Series":
+        return self._bool(self._expr.isNotNull())
+
+    isnull = isna
+    notnull = notna
+
+    # boolean combinators (reference eland/filter.py:27-93)
+    def __and__(self, other):
+        return self._bool(self._expr & self._other(other))
+
+    def __or__(self, other):
+        return self._bool(self._expr | self._other(other))
+
+    def __invert__(self):
+        return self._bool(~self._expr)
+
+    __rand__ = __and__
+    __ror__ = __or__
+
+    # pattern predicates (reference eland/filter.py:136-151)
+    def like(self, pattern: str) -> "Series":
+        return self._bool(self._expr.like(pattern))
+
+    def rlike(self, pattern: str) -> "Series":
+        return self._bool(self._expr.rlike(pattern))
+
+    def startswith(self, prefix: str) -> "Series":
+        return self._bool(self._expr.startswith(prefix))
+
+    # -- arithmetic (reference eland/series.py:827-1430,
+    #    eland/arithmetics.py:132-165: + - * / // % ** and string
+    #    concat / repeat with type gating) -----------------------------
+    def _num_type(self, other: Any) -> T.DataType:
+        if isinstance(self._spark_type, (T.DoubleType, T.FloatType)):
+            return T.DoubleType()
+        if isinstance(other, float):
+            return T.DoubleType()
+        if isinstance(other, Series) and isinstance(
+            other._spark_type, (T.DoubleType, T.FloatType)
+        ):
+            return T.DoubleType()
+        return T.LongType()
+
+    def _check_str_op(self, other, op: str, allowed: str):
+        """String type gate (reference eland/arithmetics.py:175-204):
+        str+str concat and str*int repeat only; everything else TypeError."""
+        is_str = isinstance(self._spark_type, T.StringType)
+        other_str = isinstance(other, str) or (
+            isinstance(other, Series) and isinstance(other._spark_type, T.StringType)
+        )
+        if is_str or other_str:
+            ok = (
+                (allowed == "concat" and is_str and other_str)
+                or (
+                    allowed == "repeat"
+                    and is_str
+                    and isinstance(other, int)
+                )
+            )
+            if not ok:
+                raise TypeError(
+                    f"unsupported operand type(s) for {op}: "
+                    f"{self.dtype!r} and {type(other).__name__!r}"
+                )
+            return True
+        return False
+
+    def __add__(self, other):
+        if self._check_str_op(other, "+", "concat"):
+            return self._derived(
+                F.concat(self._expr, self._other(other)), T.StringType()
+            )
+        return self._derived(self._expr + self._other(other), self._num_type(other))
+
+    def __radd__(self, other):
+        if isinstance(other, str):
+            if not isinstance(self._spark_type, T.StringType):
+                raise TypeError("can only concatenate str to str column")
+            return self._derived(F.concat(_lit(other), self._expr), T.StringType())
+        return self._derived(self._other(other) + self._expr, self._num_type(other))
+
+    def __sub__(self, other):
+        self._check_str_op(other, "-", "none")
+        return self._derived(self._expr - self._other(other), self._num_type(other))
+
+    def __rsub__(self, other):
+        self._check_str_op(other, "-", "none")
+        return self._derived(self._other(other) - self._expr, self._num_type(other))
+
+    def __mul__(self, other):
+        if self._check_str_op(other, "*", "repeat"):
+            return self._derived(
+                F.repeat(self._expr, int(other)), T.StringType()
+            )
+        return self._derived(self._expr * self._other(other), self._num_type(other))
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    def __truediv__(self, other):
+        self._check_str_op(other, "/", "none")
+        return self._derived(self._expr / self._other(other), T.DoubleType())
+
+    def __rtruediv__(self, other):
+        self._check_str_op(other, "/", "none")
+        return self._derived(self._other(other) / self._expr, T.DoubleType())
+
+    def __floordiv__(self, other):
+        self._check_str_op(other, "//", "none")
+        # Math.floor semantics like the reference script (arithmetics.py:141)
+        return self._derived(
+            F.floor(self._expr / self._other(other)).cast("double")
+            if isinstance(self._num_type(other), T.DoubleType)
+            else F.floor(self._expr / self._other(other)),
+            self._num_type(other),
+        )
+
+    def __rfloordiv__(self, other):
+        self._check_str_op(other, "//", "none")
+        return self._derived(
+            F.floor(self._other(other) / self._expr), self._num_type(other)
+        )
+
+    def __mod__(self, other):
+        self._check_str_op(other, "%", "none")
+        return self._derived(self._expr % self._other(other), self._num_type(other))
+
+    def __rmod__(self, other):
+        self._check_str_op(other, "%", "none")
+        return self._derived(self._other(other) % self._expr, self._num_type(other))
+
+    def __pow__(self, other):
+        self._check_str_op(other, "**", "none")
+        return self._derived(F.pow(self._expr, self._other(other)), T.DoubleType())
+
+    def __rpow__(self, other):
+        self._check_str_op(other, "**", "none")
+        return self._derived(F.pow(self._other(other), self._expr), T.DoubleType())
+
+    def abs(self) -> "Series":
+        return self._derived(F.abs(self._expr), self._spark_type)
+
+    def rename(self, name: str) -> "Series":
+        return Series(self._frame, self._expr, name, self._spark_type, self._is_derived)
+
+    # -- full-text match analog (reference es_match,
+    #    eland/query_compiler.py:419-488): tokenized boolean contains;
+    #    BM25 relevance is deliberately out of relational scope ---------
+    def es_match(self, text: str, match_phrase: bool = False) -> "Series":
+        if match_phrase:
+            import re
+
+            pattern = r"\b" + r"\s+".join(re.escape(t) for t in text.split()) + r"\b"
+            return self._bool(F.lower(self._expr).rlike(pattern.lower()))
+        conds = [
+            F.lower(self._expr).rlike(r"\b" + _re_escape(tok.lower()) + r"\b")
+            for tok in text.split()
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return self._bool(out)
+
+    # -- aggregations (driver-side scalars, like the reference's
+    #    single-request metric aggs eland/operations.py:176-418) --------
+    def _agg_scalar(self, expr: Column):
+        row = self._frame._sdf.agg(expr.alias("v")).collect()[0]
+        return row["v"]
+
+    def min(self):
+        return self._agg_scalar(F.min(self._expr))
+
+    def max(self):
+        return self._agg_scalar(F.max(self._expr))
+
+    def sum(self):
+        return self._agg_scalar(F.sum(self._expr))
+
+    def mean(self):
+        return self._agg_scalar(F.avg(self._expr))
+
+    def count(self) -> int:
+        return self._agg_scalar(F.count(self._expr))
+
+    def std(self):
+        return self._agg_scalar(F.stddev_samp(self._expr))
+
+    def var(self):
+        return self._agg_scalar(F.var_samp(self._expr))
+
+    def nunique(self, approx: bool = False) -> int:
+        fn = F.approx_count_distinct if approx else F.countDistinct
+        return self._agg_scalar(fn(self._expr))
+
+    def median(self, approx: bool = False):
+        return self.quantile(0.5, approx=approx)
+
+    def quantile(self, q: float = 0.5, approx: bool = False):
+        if approx:
+            return self._agg_scalar(F.percentile_approx(self._expr, q))
+        return self._agg_scalar(F.percentile(self._expr, F.lit(q)))
+
+    def mad(self, approx: bool = False):
+        """Median absolute deviation (reference maps to the approximate
+        median_absolute_deviation agg, eland/operations.py:1120-1121;
+        exact here by default for oracle matching)."""
+        med = self.quantile(0.5, approx=approx)
+        if med is None:
+            return None
+        dev = F.abs(self._expr - F.lit(float(med)))
+        if approx:
+            return self._agg_scalar(F.percentile_approx(dev, 0.5))
+        return self._agg_scalar(F.percentile(dev, F.lit(0.5)))
+
+    def value_counts(self, es_size: int = 10) -> pd.Series:
+        """Top-k by frequency (reference terms agg,
+        eland/operations.py:420-468)."""
+        rows = (
+            self._frame._sdf.groupBy(self._expr.alias(self._name))
+            .count()
+            .orderBy(F.desc("count"), F.asc(self._name))
+            .limit(es_size)
+            .collect()
+        )
+        return pd.Series(
+            [r["count"] for r in rows],
+            index=[r[self._name] for r in rows],
+            name=self._name,
+        )
+
+    def unique(self):
+        rows = self._frame._sdf.select(self._expr.alias("v")).distinct().collect()
+        import numpy as np
+
+        return np.array([r["v"] for r in rows])
+
+    def mode(self) -> pd.Series:
+        """All values tied at max frequency, sorted (reference tie
+        semantics eland/operations.py:676-696)."""
+        from pyspark.sql import Window
+
+        counted = self._frame._sdf.groupBy(self._expr.alias("v")).count()
+        w = Window.orderBy(F.desc("count"))
+        rows = (
+            counted.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") == 1)
+            .orderBy("v")
+            .collect()
+        )
+        return pd.Series([r["v"] for r in rows], name=self._name)
+
+    def to_pandas(self) -> pd.Series:
+        pdf = self._frame[[self._name]].to_pandas() if not self._is_derived else None
+        if pdf is None:
+            sdf = self._frame._ordered_sdf().select(self._expr.alias(self._name))
+            pdf = sdf.toPandas()
+        return pdf[self._name]
+
+    def head(self, n: int = 5) -> pd.Series:
+        f = self._frame.head(n)
+        if self._is_derived:
+            return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
+        return f[self._name].to_pandas()
+
+    # field record for schema registration
+    def as_field(self) -> Field:
+        return Field(
+            display_name=self._name,
+            column_name=self._name,
+            spark_type=self._spark_type or T.StringType(),
+            is_derived=True,
+        )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)

@@ -1,0 +1,199 @@
+"""Differential tests vs pandas on the same parquet — the reference's
+test methodology (assert_frame_equal(ed.to_pandas(), pd), SURVEY §5)."""
+
+import numpy as np
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+
+def test_columns_dtypes_shape(lineitem, lineitem_pd):
+    assert list(lineitem.columns) == list(lineitem_pd.columns)
+    assert lineitem.shape == lineitem_pd.shape
+    assert lineitem.ndim == 2
+    assert not lineitem.empty
+    dt = lineitem.dtypes
+    assert str(dt["l_quantity"]) == "float64"
+    assert str(dt["l_orderkey"]) == "int64"
+    assert str(dt["l_returnflag"]) == "object"
+
+
+def test_getitem_select(lineitem):
+    sub = lineitem[["l_orderkey", "l_quantity"]]
+    assert list(sub.columns) == ["l_orderkey", "l_quantity"]
+    s = lineitem["l_quantity"]
+    assert s.name == "l_quantity"
+
+
+def test_head_tail_deterministic(lineitem, lineitem_pd):
+    key = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    expected = lineitem_pd.sort_values(key).head(7).reset_index(drop=True)
+    got = lineitem.head(7).to_pandas()
+    pdt.assert_frame_equal(
+        got[expected.columns.tolist()], expected, check_dtype=False
+    )
+    expected_t = lineitem_pd.sort_values(key).tail(7).reset_index(drop=True)
+    got_t = lineitem.tail(7).to_pandas()
+    pdt.assert_frame_equal(
+        got_t[expected_t.columns.tolist()], expected_t, check_dtype=False
+    )
+
+
+def test_filter_chain(lineitem, lineitem_pd):
+    mask_pd = (lineitem_pd.l_quantity > 30) & (lineitem_pd.l_discount <= 0.05)
+    expected = int(mask_pd.sum())
+    got = lineitem[(lineitem.l_quantity > 30) & (lineitem.l_discount <= 0.05)]
+    assert got.shape[0] == expected
+
+
+def test_filter_isin_isna_like(orders, orders_pd):
+    assert (
+        orders[orders.o_orderstatus.isin(["F", "O"])].shape[0]
+        == int(orders_pd.o_orderstatus.isin(["F", "O"]).sum())
+    )
+    assert orders[orders.o_orderpriority.notna()].shape[0] == int(
+        orders_pd.o_orderpriority.notna().sum()
+    )
+    got = orders[orders.o_orderpriority.startswith("1")].shape[0]
+    assert got == int(orders_pd.o_orderpriority.str.startswith("1").sum())
+
+
+def test_query_expr(lineitem, lineitem_pd):
+    got = lineitem.query("l_quantity > 45 and l_returnflag = 'R'").shape[0]
+    expected = int(
+        ((lineitem_pd.l_quantity > 45) & (lineitem_pd.l_returnflag == "R")).sum()
+    )
+    assert got == expected
+
+
+def test_arithmetic(lineitem, lineitem_pd):
+    rev = lineitem.l_extendedprice * (1 - lineitem.l_discount)
+    # build through __setitem__
+    li = lineitem[["l_extendedprice", "l_discount"]]
+    li["revenue"] = lineitem.l_extendedprice * (1 - lineitem.l_discount)
+    got = li["revenue"].sum()
+    expected = (lineitem_pd.l_extendedprice * (1 - lineitem_pd.l_discount)).sum()
+    assert abs(got - expected) / abs(expected) < 1e-9
+    assert abs(rev.sum() - expected) / abs(expected) < 1e-9
+
+
+def test_string_arithmetic(orders):
+    s = orders.o_orderstatus + "_" + orders.o_orderpriority
+    pdf = s.head(3)
+    assert all("_" in v for v in pdf.tolist())
+    with pytest.raises(TypeError):
+        orders.o_orderstatus - 1
+    with pytest.raises(TypeError):
+        orders.o_orderstatus + 5
+    r = orders.o_orderstatus * 3
+    assert all(len(v) == 3 for v in r.head(3).tolist())
+
+
+def test_metric_aggs(lineitem, lineitem_pd):
+    num = lineitem_pd.select_dtypes("number")
+    got = lineitem.mean(numeric_only=True)
+    for c in got.index:
+        if c in num:
+            assert got[c] == pytest.approx(num[c].mean(), rel=1e-9)
+    got_std = lineitem.std(numeric_only=True)
+    for c in got_std.index:
+        if c in num:
+            assert got_std[c] == pytest.approx(num[c].std(), rel=1e-6)
+
+
+def test_count_nunique(orders, orders_pd):
+    got = orders.count()
+    for c in got.index:
+        assert got[c] == orders_pd[c].count()
+    nn = orders.nunique()
+    assert nn["o_orderstatus"] == orders_pd.o_orderstatus.nunique()
+
+
+def test_quantile_median(lineitem, lineitem_pd):
+    q = lineitem.quantile(0.5)
+    assert q["l_quantity"] == pytest.approx(
+        lineitem_pd.l_quantity.quantile(0.5), rel=1e-9
+    )
+    qq = lineitem.quantile([0.25, 0.75])
+    assert qq.loc[0.25, "l_extendedprice"] == pytest.approx(
+        lineitem_pd.l_extendedprice.quantile(0.25), rel=1e-9
+    )
+
+
+def test_idxmax_idxmin(orders, orders_pd):
+    got = orders.idxmax()
+    assert got["o_totalprice"] == orders_pd.set_index("o_orderkey").o_totalprice.idxmax()
+    got_min = orders.idxmin()
+    assert (
+        got_min["o_totalprice"]
+        == orders_pd.set_index("o_orderkey").o_totalprice.idxmin()
+    )
+
+
+def test_value_counts_mode(orders, orders_pd):
+    vc = orders["o_orderstatus"].value_counts(10)
+    exp = orders_pd.o_orderstatus.value_counts()
+    for k in vc.index:
+        assert vc[k] == exp[k]
+    m = orders["o_orderstatus"].mode()
+    assert m.iloc[0] == orders_pd.o_orderstatus.mode().iloc[0]
+
+
+def test_describe(lineitem, lineitem_pd):
+    d = lineitem.describe()
+    exp = lineitem_pd.describe()
+    assert d.loc["count", "l_quantity"] == exp.loc["count", "l_quantity"]
+    assert d.loc["50%", "l_quantity"] == pytest.approx(
+        exp.loc["50%", "l_quantity"], rel=1e-9
+    )
+
+
+def test_hist(lineitem, lineitem_pd):
+    edges, counts = lineitem.hist("l_quantity", bins=10)
+    exp_counts, exp_edges = np.histogram(lineitem_pd.l_quantity, bins=10)
+    np.testing.assert_allclose(edges, exp_edges, rtol=1e-9)
+    np.testing.assert_array_equal(counts, exp_counts)
+
+
+def test_drop_rename_select_dtypes(lineitem, orders):
+    d = lineitem.drop(columns=["l_comment"], errors="ignore")
+    assert "l_comment" not in d.columns
+    r = orders.rename(columns={"o_totalprice": "total"})
+    assert "total" in r.columns and "o_totalprice" not in r.columns
+    assert r["total"].sum() > 0
+    nums = lineitem.select_dtypes(include="number")
+    assert "l_returnflag" not in nums.columns
+    assert "l_quantity" in nums.columns
+
+
+def test_filter_items_axis0(orders, orders_pd):
+    keys = orders_pd.o_orderkey.iloc[:3].tolist()
+    got = orders.filter(items=keys, axis=0)
+    assert got.shape[0] == 3
+
+
+def test_drop_index(orders, orders_pd):
+    keys = orders_pd.o_orderkey.iloc[:5].tolist()
+    got = orders.drop(index=keys)
+    assert got.shape[0] == orders_pd.shape[0] - 5
+
+
+def test_sample(lineitem):
+    s = lineitem.sample(n=25, random_state=7)
+    assert s.shape[0] == 25
+    f = lineitem.sample(frac=0.1, random_state=7)
+    n = f.shape[0]
+    total = lineitem.shape[0]
+    assert 0.05 * total < n < 0.15 * total
+
+
+def test_mad(lineitem, lineitem_pd):
+    got = lineitem.mad()
+    x = lineitem_pd.l_quantity
+    exp = (x - x.median()).abs().median()
+    assert got["l_quantity"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_es_match(documents):
+    m = documents[documents.es_match("the", columns=["text"])]
+    assert m.shape[0] > 0
