@@ -340,6 +340,22 @@ class DataFrame:
         col = F.col(field.column_name)
         if field.is_bool and agg in ("sum", "mean", "std", "var", "median"):
             col = col.cast("long")
+        if field.is_timestamp and agg in ("mean", "median"):
+            # timestamps support mean/percentiles via epoch millis, like
+            # the reference's epoch-millis unpack (eland/operations.py:716-736)
+            millis = F.unix_millis(col.cast("timestamp"))
+            inner = (
+                F.avg(millis)
+                if agg == "mean"
+                else (
+                    F.percentile_approx(millis, 0.5)
+                    if approx
+                    else F.percentile(millis, F.lit(0.5))
+                )
+            )
+            return F.timestamp_millis(inner.cast("long")).cast(
+                field.spark_type.simpleString()
+            )
         table = dict(self._AGG_EXPRS)
         if approx:
             table.update(self._APPROX_EXPRS)
