@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md
+§2 (plus the training-data-pipeline extensions); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL. Every aggregate/computed column is
+aliased identically on both sides; float outputs are rounded identically
+on both sides (2dp money, 6dp ratios) so the order-insensitive value
+hash is stable across engines.
+
+All Spark-side queries go through the eland_spark engine facade — this
+file doubles as the engine's end-to-end exercise.
 """
 
 from __future__ import annotations
@@ -12,27 +16,1236 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
+
+LINEITEM_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, index=None):
+    import eland_spark as es
+
+    return es.read_parquet(spark, f"{sf_dir}/{name}.parquet", index_col=index)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-style pricing summary on sf0.001."""
+    return q_pricing_summary(spark, SF1)
 
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 — aggregations / groupby
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 analog: filtered scan -> groupBy -> multi-agg."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    li = li[li.l_shipdate <= "1998-09-02"]
+    sdf = li.to_spark()
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        sdf.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_matrix(spark, sf_dir) -> DataFrame:
+    """Whole-frame multi-agg in one Aggregate pass (min/max/sum/mean/
+    std/var/count/nunique)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return sdf.agg(
+        F.round(F.min(q), 2).alias("min_qty"),
+        F.round(F.max(q), 2).alias("max_qty"),
+        F.round(F.sum(q), 2).alias("sum_qty"),
+        F.round(F.avg(q), 6).alias("avg_qty"),
+        F.round(F.stddev_samp(q), 6).alias("std_qty"),
+        F.round(F.var_samp(q), 6).alias("var_qty"),
+        F.count(q).alias("count_qty"),
+        F.countDistinct(F.col("l_partkey")).alias("nunique_partkey"),
+        F.round(F.min(p), 2).alias("min_price"),
+        F.round(F.max(p), 2).alias("max_price"),
+        F.min(F.col("l_shipdate")).alias("min_shipdate"),
+        F.max(F.col("l_shipdate")).alias("max_shipdate"),
+    )
+
+
+def q_median_quantile(spark, sf_dir) -> DataFrame:
+    """Exact percentiles (reference uses approximate t-digest; exact is
+    the oracle-matching default, SURVEY §7.0)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    q = F.col("l_extendedprice")
+    return sdf.agg(
+        F.round(F.percentile(q, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(q, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(q, F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile(q, F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+def q_mad(spark, sf_dir) -> DataFrame:
+    """Median absolute deviation, exact two-pass (broadcast the scalar
+    median back over the scan — no driver-side math)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    med = sdf.agg(F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("m"))
+    return (
+        sdf.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)), 6
+            ).alias("mad_qty"),
+            F.round(F.any_value(F.col("m")), 6).alias("median_qty"),
+        )
+    )
+
+
+def q_mode_ties(spark, sf_dir) -> DataFrame:
+    """Mode with tie handling: all values at max frequency
+    (reference eland/operations.py:676-696)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    counted = li.to_spark().groupBy(F.col("l_quantity").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"))
+    return (
+        counted.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select("val", "cnt")
+    )
+
+
+def q_value_counts(spark, sf_dir) -> DataFrame:
+    """Top-5 by frequency (terms-agg analog)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        orders.to_spark()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("priority"))
+        .limit(5)
+    )
+
+
+def q_nunique(spark, sf_dir) -> DataFrame:
+    """Exact distinct counts per column (cardinality-agg analog, exact
+    mode per SURVEY §4 approximate-agg policy)."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    sdf = ev.to_spark()
+    return sdf.agg(
+        F.countDistinct("user_id").alias("nunique_user"),
+        F.countDistinct("event_type").alias("nunique_type"),
+        F.countDistinct("event_id").alias("nunique_event"),
+    )
+
+
+def q_idx_extremes(spark, sf_dir) -> DataFrame:
+    """idxmax/idxmin via max_by/min_by (top_hits analog,
+    reference eland/operations.py:207-254)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    sdf = orders.to_spark()
+    # o_orderdate has ties; encode (epoch_secs, orderkey) into one BIGINT
+    # so the extremum is deterministic on every engine
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = F.timestamp_diff("SECOND", epoch, F.col("o_orderdate"))
+    packed = secs * F.lit(10000000) + F.col("o_orderkey")
+    return sdf.agg(
+        F.max_by(F.col("o_orderkey"), F.col("o_totalprice")).alias("idxmax_price"),
+        F.min_by(F.col("o_orderkey"), F.col("o_totalprice")).alias("idxmin_price"),
+        (F.max(packed) % F.lit(10000000)).alias("idxmax_date"),
+    )
+
+
+def q_count_nonnull(spark, sf_dir) -> DataFrame:
+    """Per-column non-null counts, single job (reference issues one
+    _count per field, eland/operations.py:148-174)."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    sdf = ev.to_spark()
+    return sdf.agg(
+        F.count("event_id").alias("count_event_id"),
+        F.count("ts").alias("count_ts"),
+        F.count("user_id").alias("count_user_id"),
+        F.count("value").alias("count_value"),
+        F.count("props").alias("count_props"),
+    )
+
+
+def q_describe(spark, sf_dir) -> DataFrame:
+    """describe(): count/mean/std/min/quartiles/max for one column."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    c = F.col("l_discount")
+    return sdf.agg(
+        F.count(c).alias("cnt"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.stddev_samp(c), 6).alias("std"),
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.percentile(c, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(c, F.lit(0.75)), 6).alias("p75"),
+        F.round(F.max(c), 6).alias("max"),
+    )
+
+
+def q_hist(spark, sf_dir) -> DataFrame:
+    """Histogram: min/max pass + floor-bucket groupBy with last-bucket
+    fold (reference eland/operations.py:470-556)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    bins = 10
+    mm = sdf.agg(F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"))
+    j = sdf.crossJoin(F.broadcast(mm))
+    bucket = F.floor(
+        (F.col("l_quantity") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)
+    ).cast("long")
+    bucket = F.when(bucket >= bins, bins - 1).otherwise(bucket)
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_groupby_multi(spark, sf_dir) -> DataFrame:
+    """Two-key groupby, mixed aggs (composite-agg analog)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return (
+        li.to_spark()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.countDistinct("l_suppkey").alias("nunique_supp"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+        )
+    )
+
+
+def q_groupby_quantile(spark, sf_dir) -> DataFrame:
+    """Per-group exact quantiles (reference appends a quantile index
+    level, eland/operations.py:955-994 — here wide columns)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        orders.to_spark()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 6).alias("p75"),
+        )
+    )
+
+
+def q_groupby_datetime(spark, sf_dir) -> DataFrame:
+    """date_histogram analog: calendar-interval bucketing
+    (reference eland/query.py:195-211 -> date_trunc)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        orders.to_spark()
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_groupby_timestamp_mean(spark, sf_dir) -> DataFrame:
+    """Timestamp mean via epoch seconds (reference epoch-millis unpack,
+    eland/operations.py:716-736) — timezone-safe formulation."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = F.timestamp_diff("SECOND", epoch, F.col("l_shipdate"))
+    return (
+        li.to_spark()
+        .groupBy("l_returnflag")
+        .agg(
+            F.timestamp_add(
+                "SECOND", F.floor(F.avg(secs)).cast("long"), epoch
+            ).alias("mean_shipdate")
+        )
+    )
+
+
+def q_rollup(spark, sf_dir) -> DataFrame:
+    """Grouping-sets rollup (absent in reference, native in Spark —
+    SURVEY §2.6 'free in Spark')."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return (
+        li.to_spark()
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q_cube(spark, sf_dir) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        orders.to_spark()
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2/2.3 — projections, filters, arithmetic
+# ---------------------------------------------------------------------------
+
+def q_filter_chain(spark, sf_dir) -> DataFrame:
+    """Predicate surface: range + eq + isin + like + boolean combinators
+    (reference filter DSL, eland/filter.py)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    f = orders[
+        (orders.o_totalprice > 100000.0)
+        & (orders.o_orderstatus == "F")
+        & orders.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+        & ~orders.o_orderpriority.like("%LOW%")
+    ]
+    return f[["o_orderkey", "o_totalprice", "o_orderpriority"]].to_spark()
+
+
+def q_filter_col_vs_col(spark, sf_dir) -> DataFrame:
+    """Column-vs-column comparison (reference compiles to a Painless
+    script filter, eland/filter.py:166-179 — native Column here)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    f = li[li.l_discount > li.l_tax]
+    return (
+        f[["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]].to_spark()
+    )
+
+
+def q_filter_rlike_startswith(spark, sf_dir) -> DataFrame:
+    part = _t(spark, sf_dir, "part", "p_partkey")
+    f = part[part.p_name.rlike("^p.*[03]$") | part.p_brand.startswith("Brand#1")]
+    return f[["p_partkey", "p_name", "p_brand"]].to_spark()
+
+
+def q_query_expr(spark, sf_dir) -> DataFrame:
+    """SQL-string escape hatch (es_query analog,
+    eland/dataframe.py:736-791)."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    f = cust.query("c_acctbal > 5000 AND c_mktsegment IN ('BUILDING', 'MACHINERY')")
+    return f[["c_custkey", "c_acctbal", "c_mktsegment"]].to_spark()
+
+
+def q_arithmetic(spark, sf_dir) -> DataFrame:
+    """Row arithmetic surface: + - * / // % ** (reference Painless
+    expression tree, eland/arithmetics.py:132-165 — Column exprs here),
+    aggregated for stability."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    li["revenue"] = li.l_extendedprice * (1 - li.l_discount)
+    li["charge"] = (li.l_extendedprice * (1 - li.l_discount)) * (1 + li.l_tax)
+    li["qty_mod"] = li.l_quantity % 7
+    li["qty_floordiv"] = li.l_quantity // 7
+    li["qty_sq"] = li.l_quantity ** 2
+    li["ratio"] = li.l_extendedprice / (li.l_quantity + 1)
+    sdf = li.to_spark()
+    return sdf.agg(
+        F.round(F.sum("revenue"), 2).alias("sum_revenue"),
+        F.round(F.sum("charge"), 2).alias("sum_charge"),
+        F.round(F.sum("qty_mod"), 2).alias("sum_qty_mod"),
+        F.round(F.sum("qty_floordiv"), 2).alias("sum_qty_floordiv"),
+        F.round(F.sum("qty_sq"), 2).alias("sum_qty_sq"),
+        F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+    )
+
+
+def q_string_concat(spark, sf_dir) -> DataFrame:
+    """String + string concat through the Series facade
+    (reference eland/arithmetics.py:175-204)."""
+    nation = _t(spark, sf_dir, "nation", "n_nationkey")
+    nation["tag"] = nation.n_name + "_" + nation.n_name
+    return nation[["n_nationkey", "tag"]].to_spark()
+
+
+def q_scalar_functions(spark, sf_dir) -> DataFrame:
+    """Scalar function surface: string + date functions (SURVEY §2.10 —
+    the reference has no scalar library; F.* covers it natively)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    sdf = orders.to_spark()
+    return sdf.select(
+        F.col("o_orderkey"),
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.substring(F.col("o_orderpriority"), 1, 3).alias("prio_pre"),
+        F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+        F.month(F.col("o_orderdate")).cast("long").alias("order_month"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").alias("order_day"),
+        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+    ).filter(F.col("o_orderkey") < 1000)
+
+
+def q_json_extract(spark, sf_dir) -> DataFrame:
+    """JSON field extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    sdf = ev.to_spark()
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        sdf.select(F.col("event_id"), k.alias("k"))
+        .filter(F.col("k") > 90)
+    )
+
+
+def q_case_when(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    sdf = cust.to_spark()
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return sdf.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — sorts / limits / sampling
+# ---------------------------------------------------------------------------
+
+def q_head(spark, sf_dir) -> DataFrame:
+    """head(): index-ordered limit (reference eland/tasks.py:78-122)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return li.head(20)[LINEITEM_KEY + ["l_quantity"]].to_spark()
+
+
+def q_tail(spark, sf_dir) -> DataFrame:
+    """tail(): reverse-sort + limit + re-sort (reference
+    eland/tasks.py:125-185)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return li.tail(20)[LINEITEM_KEY + ["l_quantity"]].to_spark()
+
+
+def q_sort_topk(spark, sf_dir) -> DataFrame:
+    """sort_values + limit -> TakeOrderedAndProject (no full sort)."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    s = orders.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    return s[["o_orderkey", "o_totalprice"]].to_spark().limit(25)
+
+
+def q_sample_deterministic(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-sample (engine-portable analog of the seeded
+    random_score sample, eland/tasks.py:188-220): multiplicative hash of
+    the key, identical integer arithmetic on both engines."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    sdf = orders.to_spark()
+    h = F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296))
+    return sdf.filter(h < 200000000).select("o_orderkey", "o_totalprice")
+
+
+def q_distinct(spark, sf_dir) -> DataFrame:
+    """unique() analog (composite-agg pagination -> distinct,
+    reference eland/operations.py:796-820)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return (
+        li.to_spark().select("l_returnflag", "l_linestatus").distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/2.9 — joins / set ops (beyond-reference, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def q_join_orders_customer(spark, sf_dir) -> DataFrame:
+    """Broadcast dim join: orders x customer, grouped revenue by segment."""
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    return (
+        j.to_spark()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_join_multi_hop(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5-style 4-hop join: lineitem-orders-customer-nation-region,
+    revenue per nation. Dims broadcast; the single big shuffle is the
+    lineitem-orders join on orderkey."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    orders = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    cust = _t(spark, sf_dir, "customer", "c_custkey").to_spark()
+    nation = _t(spark, sf_dir, "nation", "n_nationkey").to_spark()
+    region = _t(spark, sf_dir, "region", "r_regionkey").to_spark()
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3-style: top 10 orders by revenue for one segment."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    orders = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    cust = _t(spark, sf_dir, "customer", "c_custkey").to_spark()
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_semi_join(spark, sf_dir) -> DataFrame:
+    """EXISTS: customers having at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey").to_spark()
+    orders = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_anti_join(spark, sf_dir) -> DataFrame:
+    """NOT EXISTS: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey").to_spark()
+    orders = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    return (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_union_except_intersect(spark, sf_dir) -> DataFrame:
+    """Set ops composition: (building ∪ machinery) ∖ (machinery ∩ pos-bal)."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    b = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]]
+    m = cust[cust.c_mktsegment == "MACHINERY"][["c_custkey"]]
+    pos = cust[cust.c_acctbal > 0][["c_custkey"]]
+    result = b.union(m).except_(m.intersect(pos))
+    return result.to_spark()
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — window functions (beyond-reference)
+# ---------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark, sf_dir) -> DataFrame:
+    """Top-3 orders per priority by totalprice (row_number window)."""
+    from eland_spark.operators.windowed import top_k_per_group
+
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = top_k_per_group(
+        orders, "o_orderpriority", "o_totalprice", k=3, tiebreak="o_orderkey"
+    )
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice", "rn"]].to_spark()
+
+
+def q_window_running_sum(spark, sf_dir) -> DataFrame:
+    """Cumulative sum per user over time (events)."""
+    from eland_spark.operators.windowed import running_agg
+
+    ev = _t(spark, sf_dir, "events", "event_id")
+    small = ev[ev.user_id < 20]
+    out = running_agg(small, "user_id", ["ts", "event_id"], "value", "sum", "running_value")
+    sdf = out[["event_id", "user_id", "running_value"]].to_spark()
+    return sdf.withColumn("running_value", F.round(F.col("running_value"), 2))
+
+
+def q_window_lag(spark, sf_dir) -> DataFrame:
+    """lag(): previous order price per customer."""
+    from eland_spark.operators.windowed import shifted
+
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    small = orders[orders.o_custkey < 100]
+    out = shifted(small, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice", 1, "prev_price")
+    return out[["o_orderkey", "o_custkey", "prev_price"]].to_spark()
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """Gaps-and-islands sessionization (batch analog of streaming
+    session_window; 30-minute gap)."""
+    from eland_spark.operators.windowed import sessionize
+
+    ev = _t(spark, sf_dir, "events", "event_id")
+    small = ev[ev.user_id < 30]
+    out = sessionize(small, "user_id", "ts", 1800, "session_id")
+    sdf = out[["user_id", "session_id", "value"]].to_spark()
+    return sdf.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def q_events_tumbling(spark, sf_dir) -> DataFrame:
+    """Tumbling 1-day window aggregation on the events stream table
+    (batch twin of the streaming pipeline in eland_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    sdf = ev.to_spark()
+    return (
+        sdf.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity extensions (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup by content hash: keep min doc_id per md5(text)."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    return (
+        sdf.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q_text_stats(spark, sf_dir) -> DataFrame:
+    """Token counting + text statistics per document."""
+    from eland_spark.operators.text import token_count, punct_ratio
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    return sdf.select(
+        F.col("doc_id"),
+        F.length(F.col("text")).cast("long").alias("len_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), " "))).cast("long").alias("n_unique_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    """Stopword-ratio quality signal per source."""
+    from eland_spark.operators.text import stopword_ratio, token_count
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    per_doc = sdf.select(
+        F.col("source"),
+        stopword_ratio(F.col("text"), ["the", "a", "and", "of", "to"]).alias("sw"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    from eland_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    return (
+        sdf.select(F.col("lang"), lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    """Order-invariant document fingerprint (sorted unique token set)."""
+    from eland_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    return sdf.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+
+
+def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 embedding (ANN baseline)."""
+    from eland_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    out = cosine_topk(emb, qvec, k=10)
+    sdf = out[["vec_id", "__cos__"]].to_spark()
+    return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
+
+
+def q_embedding_norms(spark, sf_dir) -> DataFrame:
+    """Vector norms per label (embedding-column plumbing check)."""
+    from eland_spark.operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    sdf = emb.to_spark()
+    return (
+        sdf.select(F.col("label"), norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (non-SQL-expressible:
+    xxhash64 has no DuckDB equivalent — rows-only check)."""
+    from eland_spark.operators.dedup import shingles, minhash_signature, lsh_band_keys
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    sig = sdf.select(
+        F.col("doc_id"),
+        minhash_signature(shingles(F.col("text"), 3), 64).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id", "sig", F.explode(lsh_band_keys(F.col("sig"), 16, 4)).alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, on="bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(64.0)
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64-based)."""
+    from eland_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark().filter(F.col("doc_id") < 100)
+    return sdf.select(F.col("doc_id"), simhash64(F.col("text"), 2).alias("simhash"))
+
+
+def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact 3-gram Jaccard between all doc pairs of one source bucket
+    (verification metric for near-dup candidates)."""
+    from eland_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark().filter(F.col("source") == "src0")
+    sh = sdf.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    pairs = (
+        l.crossJoin(r)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+                / F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.05)
+    )
+    return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "agg_matrix": q_agg_matrix,
+        "median_quantile": q_median_quantile,
+        "mad": q_mad,
+        "mode_ties": q_mode_ties,
+        "value_counts": q_value_counts,
+        "nunique": q_nunique,
+        "idx_extremes": q_idx_extremes,
+        "count_nonnull": q_count_nonnull,
+        "describe": q_describe,
+        "hist": q_hist,
+        "groupby_multi": q_groupby_multi,
+        "groupby_quantile": q_groupby_quantile,
+        "groupby_datetime": q_groupby_datetime,
+        "groupby_timestamp_mean": q_groupby_timestamp_mean,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "filter_chain": q_filter_chain,
+        "filter_col_vs_col": q_filter_col_vs_col,
+        "filter_rlike_startswith": q_filter_rlike_startswith,
+        "query_expr": q_query_expr,
+        "arithmetic": q_arithmetic,
+        "string_concat": q_string_concat,
+        "scalar_functions": q_scalar_functions,
+        "json_extract": q_json_extract,
+        "case_when": q_case_when,
+        "head": q_head,
+        "tail": q_tail,
+        "sort_topk": q_sort_topk,
+        "sample_deterministic": q_sample_deterministic,
+        "distinct": q_distinct,
+        "join_orders_customer": q_join_orders_customer,
+        "join_multi_hop": q_join_multi_hop,
+        "top_orders": q_top_orders,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_except_intersect": q_union_except_intersect,
+        "window_topk_per_group": q_window_topk_per_group,
+        "window_running_sum": q_window_running_sum,
+        "window_lag": q_window_lag,
+        "sessionize": q_sessionize,
+        "events_tumbling": q_events_tumbling,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_norms": q_embedding_norms,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_matrix": """
+            SELECT round(min(l_quantity), 2) AS min_qty,
+                   round(max(l_quantity), 2) AS max_qty,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(stddev_samp(l_quantity), 6) AS std_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   count(l_quantity) AS count_qty,
+                   count(DISTINCT l_partkey) AS nunique_partkey,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   min(l_shipdate) AS min_shipdate,
+                   max(l_shipdate) AS max_shipdate
+            FROM lineitem
+        """,
+        "median_quantile": """
+            SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+            FROM lineitem
+        """,
+        "mad": """
+            SELECT round(quantile_cont(abs(l_quantity - m), 0.5), 6) AS mad_qty,
+                   round(any_value(m), 6) AS median_qty
+            FROM lineitem, (SELECT quantile_cont(l_quantity, 0.5) AS m FROM lineitem)
+        """,
+        "mode_ties": """
+            WITH counted AS (
+                SELECT l_quantity AS val, count(*) AS cnt FROM lineitem GROUP BY 1
+            )
+            SELECT val, cnt FROM counted WHERE cnt = (SELECT max(cnt) FROM counted)
+        """,
+        "value_counts": """
+            SELECT o_orderpriority AS priority, count(*) AS cnt
+            FROM orders GROUP BY 1
+            ORDER BY cnt DESC, priority ASC LIMIT 5
+        """,
+        "nunique": """
+            SELECT count(DISTINCT user_id) AS nunique_user,
+                   count(DISTINCT event_type) AS nunique_type,
+                   count(DISTINCT event_id) AS nunique_event
+            FROM events
+        """,
+        "idx_extremes": """
+            SELECT arg_max(o_orderkey, o_totalprice) AS idxmax_price,
+                   arg_min(o_orderkey, o_totalprice) AS idxmin_price,
+                   CAST(max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+                        * 10000000 + o_orderkey) % 10000000 AS BIGINT) AS idxmax_date
+            FROM orders
+        """,
+        "count_nonnull": """
+            SELECT count(event_id) AS count_event_id,
+                   count(ts) AS count_ts,
+                   count(user_id) AS count_user_id,
+                   count(value) AS count_value,
+                   count(props) AS count_props
+            FROM events
+        """,
+        "describe": """
+            SELECT count(l_discount) AS cnt,
+                   round(avg(l_discount), 6) AS mean,
+                   round(stddev_samp(l_discount), 6) AS std,
+                   round(min(l_discount), 6) AS min,
+                   round(quantile_cont(l_discount, 0.25), 6) AS p25,
+                   round(quantile_cont(l_discount, 0.5), 6) AS p50,
+                   round(quantile_cont(l_discount, 0.75), 6) AS p75,
+                   round(max(l_discount), 6) AS max
+            FROM lineitem
+        """,
+        "hist": """
+            WITH mm AS (SELECT min(l_quantity) lo, max(l_quantity) hi FROM lineitem)
+            SELECT CAST(least(floor((l_quantity - lo) / ((hi - lo) / 10)), 9) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM lineitem, mm
+            GROUP BY 1
+        """,
+        "groupby_multi": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(DISTINCT l_suppkey) AS nunique_supp,
+                   round(stddev_samp(l_quantity), 6) AS std_qty,
+                   min(l_shipdate) AS min_ship
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "groupby_quantile": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+            FROM orders GROUP BY 1
+        """,
+        "groupby_datetime": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "groupby_timestamp_mean": """
+            SELECT l_returnflag,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                     + to_seconds(CAST(floor(avg(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', l_shipdate))) AS BIGINT))
+                     AS mean_shipdate
+            FROM lineitem GROUP BY 1
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "filter_chain": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND o_orderpriority NOT LIKE '%LOW%'
+        """,
+        "filter_col_vs_col": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+            FROM lineitem WHERE l_discount > l_tax
+        """,
+        "filter_rlike_startswith": """
+            SELECT p_partkey, p_name, p_brand
+            FROM part
+            WHERE regexp_matches(p_name, '^p.*[03]$') OR p_brand LIKE 'Brand#1%'
+        """,
+        "query_expr": """
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM customer
+            WHERE c_acctbal > 5000 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """,
+        "arithmetic": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(fmod(l_quantity, 7)), 2) AS sum_qty_mod,
+                   round(sum(floor(l_quantity / 7)), 2) AS sum_qty_floordiv,
+                   round(sum(pow(l_quantity, 2)), 2) AS sum_qty_sq,
+                   round(sum(l_extendedprice / (l_quantity + 1)), 2) AS sum_ratio
+            FROM lineitem
+        """,
+        "string_concat": """
+            SELECT n_nationkey, n_name || '_' || n_name AS tag
+            FROM nation
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                   upper(o_orderstatus) AS status_upper,
+                   lower(o_orderpriority) AS prio_lower,
+                   CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+                   substring(o_orderpriority, 1, 3) AS prio_pre,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+                   CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+                   round(o_totalprice / 1000.0, 2) AS price_k
+            FROM orders WHERE o_orderkey < 1000
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        """,
+        "case_when": """
+            SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS balance_bucket,
+                   count(*) AS cnt,
+                   round(avg(c_acctbal), 6) AS avg_bal
+            FROM customer GROUP BY 1
+        """,
+        "head": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+            LIMIT 20
+        """,
+        "tail": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC, l_suppkey DESC
+            LIMIT 20
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "sample_deterministic": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296 < 200000000
+        """,
+        "distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "join_orders_customer": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "join_multi_hop": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "union_except_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+            EXCEPT ALL
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+             INTERSECT
+             SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        """,
+        "window_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "window_running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+            FROM events WHERE user_id < 20
+        """,
+        "window_lag": """
+            SELECT o_orderkey, o_custkey,
+                   lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_price
+            FROM orders WHERE o_custkey < 100
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WHERE user_id < 30
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, value,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY 1, 2
+        """,
+        "events_tumbling": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS len_chars,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_unique_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END, 6) AS punct_ratio
+            FROM documents
+        """,
+        "text_quality": """
+            WITH per_doc AS (
+                SELECT source,
+                       CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+                            THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+                                 / len(string_split_regex(trim(lower(text)), '\\s+'))
+                            ELSE 0.0 END AS sw,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+                FROM documents
+            )
+            SELECT source, round(avg(sw), 6) AS avg_stopword_ratio,
+                   round(avg(nt), 6) AS avg_tokens, count(*) AS n_docs
+            FROM per_doc GROUP BY 1
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT label,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+                   round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+                   round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY 1
+        """,
+        # minhash_near_dup / simhash: xxhash64-based, no DuckDB equivalent
+        # -> rows-only checks (intentionally omitted)
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                                   t -> t != '') AS tk
+                FROM documents WHERE source = 'src0'
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                       WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                       ELSE [] END AS s
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
+        """,
+    }

@@ -40,11 +40,36 @@ _COMPATIBLE = {
 }
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
+    reader rejects them outright (PARQUET_TYPE_ILLEGAL)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
 def read_parquet(
     spark: SparkSession, path: str, index_col: str | list[str] | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # read nanos as raw int64, then rebuild microsecond-precision
+        # NTZ timestamps with integer math (nanos exceed double's 2^53
+        # mantissa — `div` keeps it lossless; timestamp_add on an NTZ
+        # base is timezone-independent, matching DuckDB's ns->us read)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = spark.read.parquet(path)
+    for c in nanos_cols:
+        micros = F.expr(f"`{c}` div 1000")
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        sdf = sdf.withColumn(c, F.timestamp_add("MICROSECOND", micros, epoch))
     if columns:
         keep = list(columns)
         if index_col:

@@ -162,10 +162,12 @@ def simhash64(text: Column, k: int = 2) -> Column:
     n = F.size(hashes)
 
     def bit_expr(i: int) -> Column:
+        # bit 63 wraps to the sign bit of a signed 64-bit literal
+        bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
         ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(bit)) != 0)
         )
-        return F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0))
+        return F.when(ones * 2 >= n, F.lit(bit)).otherwise(F.lit(0))
 
     out = F.lit(0).cast("long")
     for i in range(64):

@@ -1,0 +1,274 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference tie-in: eland's text_embedding NLP task produces dense vectors
+consumed by ES kNN (eland/ml/pytorch/transformers.py task registry);
+the search side lives in ES and is out of eland's scope. Here both sides
+are first-class:
+
+- brute-force cosine top-k: exact baseline — one scan, no shuffle except
+  the final top-k (TakeOrdered), embarrassingly parallel.
+- IVF (inverted-file) variant: assign vectors to nprobe-of-k centroid
+  cells, search only matching cells — the 100 TB path (prunes the scan
+  to a fraction; cells are a partition key so candidate fetch is a
+  partition-pruned read when the table is written bucketed by cell).
+- LSH-bucketed variant via random hyperplane signatures (cosine LSH).
+
+Vector math uses zip_with/aggregate fold — sequential IEEE accumulation,
+deterministic, codegen'd; no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from ..frame import DataFrame
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: "DataFrame",
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "DataFrame":
+    """Exact brute-force cosine top-k. The plan is scan -> project
+    (codegen'd fold) -> TakeOrderedAndProject: per-partition top-k then
+    driver merge — no full shuffle, scales linearly with executors."""
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    q = _vec_lit(query_vec)
+    sim = cosine(F.col(schema.resolve(vec_col)), q)
+    out = (
+        df._sdf.withColumn("__cos__", sim)
+        .orderBy(F.desc("__cos__"), F.col(schema.resolve(id_col)).asc())
+        .limit(k)
+    )
+    from ..schema import Field
+    from pyspark.sql import types as T
+
+    return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible across
+    engines without numpy RNG state)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Cosine-LSH bit signature: sign of dot(vec, plane_i) -> bigint key."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    df: "DataFrame",
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> "DataFrame":
+    """Approximate top-k: only score vectors whose LSH signature is
+    within ``max_hamming`` bits of the query's. At scale, pre-compute and
+    persist the signature column (partition/bucket by it) so candidate
+    selection is a partition-pruned scan, not a full pass."""
+    from ..frame import DataFrame as EDF
+    from ..schema import Field
+    from pyspark.sql import types as T
+
+    schema = df._schema
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    # query signature computed driver-side (tiny)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    vec = F.col(schema.resolve(vec_col))
+    sig = lsh_signature(vec, planes)
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    q = _vec_lit(query_vec)
+    out = (
+        df._sdf.withColumn("__sig__", sig)
+        .filter(F.bit_count(F.col("__sig__").bitwiseXOR(F.lit(qsig))) <= max_hamming)
+        .withColumn("__cos__", cosine(vec, q))
+        .orderBy(F.desc("__cos__"), F.col(schema.resolve(id_col)).asc())
+        .limit(k)
+        .drop("__sig__")
+    )
+    return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
+
+
+def ivf_index(
+    df: "DataFrame",
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    seed: int = 42,
+):
+    """Build IVF centroids with distributed k-means (Lloyd iterations as
+    groupBy-avg jobs — no MLlib dependency, no driver-side data besides
+    the k centroid vectors). Returns (centroids: list[list[float]]).
+
+    At 100 TB: each iteration is one scan + one k-row shuffle; write the
+    assigned table partitioned by cell for pruned probes.
+    """
+    schema = df._schema
+    vec = F.col(schema.resolve(vec_col))
+    seed_rows = (
+        df._sdf.select(vec.alias("v"), F.col(schema.resolve(id_col)).alias("i"))
+        .orderBy(F.pmod(F.xxhash64(F.col("i")), F.lit(97)).asc(), F.col("i").asc())
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    for _ in range(max_iter):
+        cell = nearest_cell(vec, centroids)
+        dim = len(centroids[0])
+        sums = (
+            df._sdf.select(cell.alias("c"), vec.alias("v"))
+            .groupBy("c")
+            .agg(
+                *[
+                    F.sum(F.element_at("v", i + 1).cast("double")).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in sums:
+            if r["n"] > 0:
+                new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by L2 (expression-only argmin)."""
+    best_i = F.lit(0)
+    best_d = _l2sq(vec, centroids[0])
+    for i in range(1, len(centroids)):
+        d = _l2sq(vec, centroids[i])
+        cond = d < best_d
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def _l2sq(a: Column, c: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(a, _vec_lit(c), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    df: "DataFrame",
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "DataFrame":
+    """Probe the nprobe nearest cells only, then exact cosine within."""
+    from ..frame import DataFrame as EDF
+    from ..schema import Field
+    from pyspark.sql import types as T
+
+    schema = df._schema
+    dists = [
+        (i, sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = sorted(i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe])
+    vec = F.col(schema.resolve(vec_col))
+    cell = nearest_cell(vec, centroids)
+    q = _vec_lit(query_vec)
+    out = (
+        df._sdf.withColumn("__cell__", cell)
+        .filter(F.col("__cell__").isin(probe))
+        .withColumn("__cos__", cosine(vec, q))
+        .orderBy(F.desc("__cos__"), F.col(schema.resolve(id_col)).asc())
+        .limit(k)
+        .drop("__cell__")
+    )
+    return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
+
+
+def embedding_dedup(
+    df: "DataFrame",
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> "DataFrame":
+    """Embedding-cosine near-duplicate removal: LSH-bucket candidates
+    (identical signature), verify cosine >= threshold, drop the higher id
+    of each verified pair. Never materializes all-pairs."""
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    vec = F.col(schema.resolve(vec_col))
+    idc = F.col(schema.resolve(id_col))
+    dim_row = df._sdf.select(F.size(vec).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sigged = df._sdf.select(
+        idc.alias("__id__"), vec.alias("__v__"), lsh_signature(vec, planes).alias("__sig__")
+    )
+    l, r = sigged.alias("l"), sigged.alias("r")
+    pairs = (
+        l.join(r, on="__sig__")
+        .filter(F.col("l.__id__") < F.col("r.__id__"))
+        .withColumn("__cos__", cosine(F.col("l.__v__"), F.col("r.__v__")))
+        .filter(F.col("__cos__") >= threshold)
+        .select(F.col("r.__id__").alias("__drop__"))
+        .distinct()
+    )
+    kept = df._sdf.join(pairs, on=idc == F.col("__drop__"), how="left_anti")
+    return EDF(kept, schema)

@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+No reference analog beyond the es_match predicate; these are the
+training-data extensions (language-ID heuristic, quality scoring, token
+counting, document fingerprinting). Everything is built-in Column
+expressions — whole-stage-codegen'd, no Python in the hot path, so the
+same plan runs on 100 TB of documents with zero serialization overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: broadcastable as literals inside the plan.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "por"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text -> array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximate token count: word pieces of <=4 chars — a
+    deterministic regex stand-in for subword tokenization: count of
+    alnum runs plus extra pieces for long words (ceil(len/4))."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or EN_STOPWORDS
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic in [0,1]: rewards moderate length, low
+    punctuation, presence of stopwords (prose-likeness)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return (len_score + punct_score + sw_score) / 3.0
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker hit-count (the n-gram-heuristic language ID)."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language marker scores; ties break by language code
+    order (deterministic). Unknown when no marker hits."""
+    scores = lang_scores(text)
+    pairs = sorted(scores.items())
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    # iterate in reverse-sorted order so earlier codes win ties
+    for lang, score in reversed(pairs):
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the sorted de-duplicated lowercase
+    token set (the classic 'fingerprint' clustering key — invariant to
+    word order and repetition)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive fingerprint):
+    h = sum(hash_i * base^(n-i)) mod m, computed as fold
+    h = (h*base + xxhash64(tok)) mod m."""
+    return F.aggregate(
+        tokens(F.lower(text)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
+    )
