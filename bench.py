@@ -1,0 +1,96 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Row-heavy queries are forced through the noop sink (full compute, no
+driver materialization); small agg outputs are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family, weighted toward shuffle/join/
+# text-heavy paths that dominate at scale
+HEADLINE = [
+    "pricing_summary",
+    "agg_matrix",
+    "median_quantile",
+    "groupby_multi",
+    "groupby_datetime",
+    "filter_chain",
+    "arithmetic",
+    "sort_topk",
+    "join_orders_customer",
+    "join_multi_hop",
+    "top_orders",
+    "semi_join",
+    "window_topk_per_group",
+    "events_tumbling",
+    "sessionize",
+    "dedup_exact",
+    "text_stats",
+    "text_quality",
+    "fingerprint",
+    "minhash_near_dup",
+    "ann_bruteforce",
+    "embedding_norms",
+]
+
+# queries whose result set is large -> noop sink instead of collect
+ROW_HEAVY = {"filter_chain", "text_stats", "fingerprint", "window_running_sum"}
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    import eland_spark as es
+
+    spark = es.get_session("eland_spark_bench")
+    queries = entry.queries()
+
+    # warm the JVM + parquet footers outside timing
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if name in ROW_HEAVY:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

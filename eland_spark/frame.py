@@ -459,23 +459,25 @@ class DataFrame:
             for f in self._schema.numeric_fields(numeric_only, "quantile")
             if f.is_numeric
         ]
-        exprs = []
-        for f in fields:
-            for qq in qs:
-                e = (
-                    F.percentile_approx(F.col(f.column_name), qq)
-                    if approx
-                    else F.percentile(F.col(f.column_name), F.lit(qq))
-                )
-                exprs.append(e.alias(f"{f.display_name}__{qq}"))
+        # one array-percentile agg per field: a single value map per
+        # column regardless of how many quantiles are requested
+        qarr = F.array(*[F.lit(float(qq)) for qq in qs])
+        exprs = [
+            (
+                F.percentile_approx(F.col(f.column_name), [float(qq) for qq in qs])
+                if approx
+                else F.percentile(F.col(f.column_name), qarr)
+            ).alias(f.display_name)
+            for f in fields
+        ]
         row = self._sdf.agg(*exprs).collect()[0]
         if np.isscalar(q):
             return pd.Series(
-                {f.display_name: row[f"{f.display_name}__{q}"] for f in fields},
+                {f.display_name: row[f.display_name][0] for f in fields},
                 name=float(q),
             )
         return pd.DataFrame(
-            {f.display_name: [row[f"{f.display_name}__{qq}"] for qq in qs] for f in fields},
+            {f.display_name: list(row[f.display_name]) for f in fields},
             index=[float(qq) for qq in qs],
         )
 
@@ -514,25 +516,24 @@ class DataFrame:
         exprs = [
             self._agg_expr(a, f).alias(f"{a}__{f.display_name}") for a, f in pairs
         ]
+        qarr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
         for f in fields:
-            for qq in (0.25, 0.5, 0.75):
-                exprs.append(
-                    F.percentile(F.col(f.column_name), F.lit(qq)).alias(
-                        f"q{qq}__{f.display_name}"
-                    )
-                )
+            exprs.append(
+                F.percentile(F.col(f.column_name), qarr).alias(f"q__{f.display_name}")
+            )
         row = self._sdf.agg(*exprs).collect()[0]
         idx = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
         data = {}
         for f in fields:
+            quartiles = row[f"q__{f.display_name}"]
             data[f.display_name] = [
                 row[f"count__{f.display_name}"],
                 row[f"mean__{f.display_name}"],
                 row[f"std__{f.display_name}"],
                 row[f"min__{f.display_name}"],
-                row[f"q0.25__{f.display_name}"],
-                row[f"q0.5__{f.display_name}"],
-                row[f"q0.75__{f.display_name}"],
+                quartiles[0],
+                quartiles[1],
+                quartiles[2],
                 row[f"max__{f.display_name}"],
             ]
         return pd.DataFrame(data, index=idx, dtype="float64")

