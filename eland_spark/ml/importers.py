@@ -1,0 +1,215 @@
+"""Model importers: trained sklearn / XGBoost / LightGBM -> tree IR.
+
+Reference transformer registry: eland/ml/transformers/__init__.py:27-42
+with per-library serializers (sklearn.py, xgboost.py:39-284,
+lightgbm.py:30-275). All imports are gated — the importer for a library
+activates only when that library is installed; the IR and the Spark
+scorer have no ML-library dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .tree_ir import Ensemble, Tree, TreeNode
+
+__all__ = ["import_model", "SUPPORTED"]
+
+SUPPORTED = [
+    "sklearn.tree.DecisionTreeClassifier",
+    "sklearn.tree.DecisionTreeRegressor",
+    "sklearn.ensemble.RandomForestClassifier",
+    "sklearn.ensemble.RandomForestRegressor",
+    "sklearn.ensemble.GradientBoostingClassifier",
+    "sklearn.ensemble.GradientBoostingRegressor",
+    "xgboost.XGBClassifier",
+    "xgboost.XGBRegressor",
+    "xgboost.XGBRanker",
+    "lightgbm.LGBMClassifier",
+    "lightgbm.LGBMRegressor",
+]
+
+
+def import_model(model: Any, feature_names: list[str]) -> Ensemble:
+    """Dispatch on the model's module/class name (no imports needed for
+    the dispatch itself — mirrors the reference's registry lookup)."""
+    cls = type(model).__name__
+    mod = type(model).__module__ or ""
+    if mod.startswith("sklearn.tree"):
+        return _from_sklearn_tree(model, feature_names)
+    if mod.startswith("sklearn.ensemble"):
+        return _from_sklearn_ensemble(model, feature_names, cls)
+    if mod.startswith("xgboost"):
+        return _from_xgboost(model, feature_names, cls)
+    if mod.startswith("lightgbm"):
+        return _from_lightgbm(model, feature_names, cls)
+    raise NotImplementedError(
+        f"Model type {mod}.{cls} is not supported; supported: {SUPPORTED}"
+    )
+
+
+# -- sklearn ---------------------------------------------------------------
+
+def _sklearn_tree_nodes(tree, is_classifier: bool) -> list[TreeNode]:
+    """Convert one sklearn tree_ (arrays of children/feature/threshold/
+    value) into IR nodes (reference eland/ml/transformers/sklearn.py)."""
+    nodes = []
+    for i in range(tree.node_count):
+        if tree.children_left[i] == -1:  # sklearn leaf marker
+            value = tree.value[i][0]
+            if is_classifier:
+                total = value.sum()
+                leaf = (value / total).tolist() if total else value.tolist()
+            else:
+                leaf = [float(value[0])]
+            nodes.append(TreeNode(node_idx=i, leaf_value=leaf))
+        else:
+            nodes.append(
+                TreeNode(
+                    node_idx=i,
+                    split_feature=int(tree.feature[i]),
+                    threshold=float(tree.threshold[i]),
+                    left_child=int(tree.children_left[i]),
+                    right_child=int(tree.children_right[i]),
+                )
+            )
+    return nodes
+
+
+def _from_sklearn_tree(model, feature_names) -> Ensemble:
+    is_clf = hasattr(model, "classes_")
+    tree = Tree(feature_names, _sklearn_tree_nodes(model.tree_, is_clf))
+    if is_clf:
+        n = len(model.classes_)
+        return Ensemble(
+            feature_names, [tree],
+            task="binary" if n == 2 else "multiclass",
+            n_classes=n, agg="sum_probs",
+        )
+    return Ensemble(feature_names, [tree], task="regression")
+
+
+def _from_sklearn_ensemble(model, feature_names, cls: str) -> Ensemble:
+    is_clf = cls.endswith("Classifier")
+    if cls.startswith("RandomForest"):
+        trees = [
+            Tree(feature_names, _sklearn_tree_nodes(e.tree_, is_clf))
+            for e in model.estimators_
+        ]
+        n_trees = len(trees)
+        if is_clf:
+            n = len(model.classes_)
+            # RF averages per-tree class probabilities
+            return Ensemble(
+                feature_names, trees,
+                task="binary" if n == 2 else "multiclass",
+                n_classes=n, weights=[1.0 / n_trees] * n_trees, agg="sum_probs",
+            )
+        return Ensemble(
+            feature_names, trees, task="regression",
+            weights=[1.0 / n_trees] * n_trees,
+        )
+    if cls.startswith("GradientBoosting"):
+        lr = model.learning_rate
+        if is_clf and len(model.classes_) > 2:
+            raise NotImplementedError("multiclass GBM import not supported")
+        trees = [
+            Tree(feature_names, _sklearn_tree_nodes(stage.tree_, False))
+            for stage in model.estimators_[:, 0]
+        ]
+        base = float(getattr(model, "init_", None) and getattr(model.init_, "constant_", [[0.0]])[0][0] or 0.0)
+        return Ensemble(
+            feature_names, trees,
+            task="binary" if is_clf else "regression",
+            weights=[lr] * len(trees), base_score=base,
+        )
+    raise NotImplementedError(cls)
+
+
+# -- xgboost ---------------------------------------------------------------
+
+def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
+    """Parse the booster dump (reference eland/ml/transformers/xgboost.py
+    walks the same dump JSON)."""
+    import json
+
+    booster = model.get_booster()
+    dumps = booster.get_dump(dump_format="json", with_stats=False)
+    fmap = {f: i for i, f in enumerate(booster.feature_names or feature_names)}
+
+    def walk(node, nodes, counter):
+        idx = counter[0]
+        counter[0] += 1
+        if "leaf" in node:
+            nodes.append(TreeNode(node_idx=idx, leaf_value=[float(node["leaf"])]))
+            return idx
+        me = TreeNode(
+            node_idx=idx,
+            split_feature=fmap.get(node["split"], 0),
+            threshold=float(node["split_condition"]),
+            default_left=node.get("missing", node["yes"]) == node["yes"],
+        )
+        nodes.append(me)
+        kids = {c["nodeid"]: c for c in node["children"]}
+        me.left_child = walk(kids[node["yes"]], nodes, counter)
+        me.right_child = walk(kids[node["no"]], nodes, counter)
+        return idx
+
+    trees = []
+    for d in dumps:
+        nodes: list[TreeNode] = []
+        walk(json.loads(d), nodes, [0])
+        trees.append(Tree(feature_names, nodes))
+
+    base = float(json.loads(booster.save_config())["learner"]["learner_model_param"].get("base_score", 0.5))
+    import math
+
+    if cls == "XGBClassifier":
+        n = int(getattr(model, "n_classes_", 2))
+        if n > 2:
+            return Ensemble(
+                feature_names, trees, task="multiclass", n_classes=n,
+                base_score=0.0, agg="sum",
+            )
+        margin = math.log(base / (1 - base)) if 0 < base < 1 else 0.0
+        return Ensemble(feature_names, trees, task="binary", base_score=margin)
+    return Ensemble(feature_names, trees, task="regression", base_score=base)
+
+
+# -- lightgbm --------------------------------------------------------------
+
+def _from_lightgbm(model, feature_names, cls: str) -> Ensemble:
+    """Parse dump_model() (reference eland/ml/transformers/lightgbm.py).
+    NOTE: lightgbm default splits are `<=` with default_left flag —
+    identical traversal semantics to the IR."""
+    dump = model.booster_.dump_model()
+
+    def walk(node, nodes, counter):
+        idx = counter[0]
+        counter[0] += 1
+        if "leaf_value" in node and "split_feature" not in node:
+            nodes.append(TreeNode(node_idx=idx, leaf_value=[float(node["leaf_value"])]))
+            return idx
+        me = TreeNode(
+            node_idx=idx,
+            split_feature=int(node["split_feature"]),
+            threshold=float(node["threshold"]),
+            default_left=bool(node.get("default_left", True)),
+        )
+        nodes.append(me)
+        me.left_child = walk(node["left_child"], nodes, counter)
+        me.right_child = walk(node["right_child"], nodes, counter)
+        return idx
+
+    trees = []
+    for tinfo in dump["tree_info"]:
+        nodes: list[TreeNode] = []
+        walk(tinfo["tree_structure"], nodes, [0])
+        trees.append(Tree(feature_names, nodes))
+
+    if cls == "LGBMClassifier":
+        n = int(dump.get("num_class", 1)) or 1
+        if n > 1:
+            return Ensemble(feature_names, trees, task="multiclass", n_classes=n)
+        return Ensemble(feature_names, trees, task="binary")
+    return Ensemble(feature_names, trees, task="regression")

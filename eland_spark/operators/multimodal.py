@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) column operators.
+
+No reference analog (eland's NLP import is text-only); this is the
+training-data-pipeline extension. Design per SURVEY north star: media
+are opaque ``binary`` columns + typed metadata struct; decode/resize/
+feature-extract run as Arrow-batched mapInPandas stages. The decode
+kernels themselves are STUBBED (no image/audio libs in this container,
+deterministic fakes keep the pipeline testable) — the Spark-side
+contract (schema, batching, partitioning) is real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "decode_image_features",
+    "sample_video_frames",
+]
+
+# media column contract: raw bytes + typed metadata (mime drives dispatch)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media blobs derived from the id — exercises
+    binary-column plumbing (size accounting, shuffle of binary payloads)
+    without real codecs."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    return df.withColumn(
+        "media",
+        F.struct(
+            payload.alias("data"),
+            F.lit("image/fake").alias("mime"),
+            (F.pmod(F.col(id_col), F.lit(64)) + 16).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(48)) + 16).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+def _decode_stub(data: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: derives a deterministic pseudo-image from the bytes.
+    A real implementation would be e.g. PIL.Image.open(io.BytesIO(data));
+    raise NotImplementedError for real mime types to make the boundary
+    explicit."""
+    seed = int.from_bytes(hashlib.md5(data or b"").digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "img_features",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Decode + feature-extract: mean/std per RGB channel (6 floats).
+    Arrow-batched mapInPandas; decode kernel is stubbed (see
+    ``_decode_stub``) — swap in a real codec without touching the plan."""
+    fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()), True)
+    ]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size].copy()
+                feats = []
+                for m in chunk[media_col]:
+                    if m is None or m["data"] is None:
+                        feats.append(None)
+                        continue
+                    if m["mime"] != "image/fake":
+                        raise NotImplementedError(
+                            f"real decoder for mime {m['mime']!r} not available "
+                            "in this environment"
+                        )
+                    img = _decode_stub(m["data"], m["width"], m["height"])
+                    feats.append(
+                        np.concatenate(
+                            [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
+                        ).astype("float32").tolist()
+                    )
+                chunk[out_col] = feats
+                yield chunk
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    every_nth: int = 10,
+    out_col: str = "frame_idx",
+) -> DataFrame:
+    """Frame-sampling plan: explode selected frame indices per video.
+    Pure expressions (sequence+explode); the per-frame decode would be a
+    downstream mapInPandas like decode_image_features."""
+    n = F.col(f"{media_col}.n_frames")
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_nth))
+    return df.withColumn(out_col, F.explode(idx))

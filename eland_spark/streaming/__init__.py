@@ -1,0 +1,15 @@
+from .windows import (
+    read_events_stream,
+    session_windowed,
+    sliding_windowed,
+    stream_to_memory,
+    tumbling_windowed,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_windowed",
+    "sliding_windowed",
+    "session_windowed",
+    "stream_to_memory",
+]

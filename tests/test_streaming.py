@@ -1,0 +1,76 @@
+"""Streaming windows vs their batch twins on the events table —
+the streaming result (availableNow, memory sink) must equal the batch
+aggregation over the same files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    from eland_spark.streaming import read_events_stream
+
+    return read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    import eland_spark as es
+
+    return es.read_parquet(spark, f"{sf_dir}/events.parquet").to_spark()
+
+
+def test_tumbling_matches_batch(spark, events_stream, events_batch):
+    from eland_spark.streaming import stream_to_memory, tumbling_windowed
+
+    res = tumbling_windowed(events_stream, duration="1 day", watermark="1 day")
+    stream_to_memory(res, "tumbling_test", "complete", 120)
+    got = spark.sql(
+        "SELECT window_start, n_events, round(total_value, 2) tv FROM tumbling_test"
+    ).toPandas()
+
+    exp = (
+        events_batch.groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("tv"))
+        .toPandas()
+    )
+    got = got.sort_values("window_start").reset_index(drop=True)
+    exp = exp.sort_values("window_start").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (abs(got["tv"].to_numpy() - exp["tv"].to_numpy()) < 1e-6).all()
+
+
+def test_sliding_window_counts(spark, events_stream, events_batch):
+    from eland_spark.streaming import sliding_windowed, stream_to_memory
+
+    res = sliding_windowed(
+        events_stream, duration="2 days", slide="1 day", watermark="1 day"
+    )
+    stream_to_memory(res, "sliding_test", "complete", 120)
+    got = spark.sql("SELECT sum(n_events) s FROM sliding_test").collect()[0]["s"]
+    total = events_batch.count()
+    # each event falls into exactly 2 overlapping windows
+    assert got == 2 * total
+
+
+def test_session_window_matches_batch_sessionize(spark, events_stream, sf_dir):
+    from eland_spark.streaming import session_windowed, stream_to_memory
+    import eland_spark as es
+    from eland_spark.operators.windowed import sessionize
+
+    res = session_windowed(events_stream, gap="30 minutes", watermark="10 days")
+    stream_to_memory(res, "session_test", "complete", 180)
+    got = spark.sql(
+        "SELECT count(*) n, sum(n_events) total FROM session_test"
+    ).collect()[0]
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet", index_col="event_id")
+    batch = sessionize(ev, "user_id", "ts", 1800, "session_id")
+    bsess = (
+        batch.to_spark()
+        .groupBy("user_id", "session_id")
+        .count()
+    )
+    assert got["n"] == bsess.count()
+    assert got["total"] == ev.to_spark().count()
