@@ -84,7 +84,7 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
-def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3):
+def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3, dedup: bool = True):
     """(id, shingle) rows via posexplode + window lead — the codegen'd
     shingling path. Array-lambda shingling (see ``shingles``) is
     interpreted per element and re-evaluates the token-split expression
@@ -93,26 +93,27 @@ def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3):
     one narrow shuffle on the doc id, linear in total tokens.
 
     Docs with fewer than k tokens yield their full token string as a
-    single shingle (matching ``shingles``)."""
+    single shingle (matching ``shingles``): the (k-1)-th lead is null at
+    pos 0 exactly when the doc has < k tokens, and concat_ws skips the
+    null leads, so ``full OR pos==0`` selects full shingles plus that
+    fallback row with no extra per-partition count pass.
+
+    ``dedup=False`` skips the distinct shuffle — correct whenever the
+    consumer is duplicate-insensitive (MinHash min-aggregation)."""
     tok = sdf.select(
         id_alias.alias("__id__"),
         F.posexplode_outer(normalized_tokens(text)).alias("__pos__", "__tok__"),
     )
     w = Window.partitionBy("__id__").orderBy("__pos__")
     parts = [F.col("__tok__")] + [F.lead("__tok__", j).over(w) for j in range(1, k)]
-    n = F.count(F.lit(1)).over(Window.partitionBy("__id__"))
     sh = tok.select(
         "__id__",
         F.col("__pos__"),
-        n.alias("__n__"),
         F.concat_ws(" ", *parts).alias("__sh__"),
         parts[-1].isNotNull().alias("__full__"),
     )
-    return (
-        sh.filter(F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0)))
-        .select("__id__", "__sh__")
-        .distinct()
-    )
+    out = sh.filter(F.col("__full__") | (F.col("__pos__") == 0)).select("__id__", "__sh__")
+    return out.distinct() if dedup else out
 
 
 def minhash_signatures(
@@ -123,7 +124,9 @@ def minhash_signatures(
     inside one HashAggregate (map-side partial combine), one shuffle on
     the doc id."""
     params = minhash_params(num_hashes, seed)
-    rows = shingle_rows(sdf, text, id_alias, k)
+    # dedup=False: min() is duplicate-insensitive, so the distinct
+    # shuffle would be pure waste (the groupBy below is the one shuffle)
+    rows = shingle_rows(sdf, text, id_alias, k, dedup=False)
     hashed = rows.select(
         "__id__", F.pmod(F.xxhash64("__sh__"), F.lit(MINHASH_PRIME)).alias("__h__")
     )
