@@ -786,6 +786,172 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_ann_lsh(spark, sf_dir) -> DataFrame:
+    """Approximate top-k via cosine-LSH candidate pruning (the scale
+    path: signature filter prunes the scored set; at 100 TB the
+    signature is a persisted bucket/partition key)."""
+    from eland_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    out = lsh_topk(emb, qvec, k=10, n_planes=12, max_hamming=2)
+    sdf = out[["vec_id", "__cos__"]].to_spark()
+    return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
+
+
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF top-k: distributed k-means centroids, nprobe cell pruning
+    (rows-only: the iterative Lloyd refinement is not SQL-expressible)."""
+    from eland_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    centroids = ivf_index(emb, n_cells=8, max_iter=3)
+    out = ivf_topk(emb, qvec, centroids, k=10, nprobe=3)
+    sdf = out[["vec_id", "__cos__"]].to_spark()
+    return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
+
+
+def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> str:
+    """DuckDB oracle for q_ann_lsh, with the SAME deterministic
+    hyperplanes emitted as SQL list literals."""
+    from eland_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed=42)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
+            FROM embeddings
+        ), q AS (
+            SELECT embedding AS qv, sig AS qsig FROM s WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
+        FROM s, q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= {max_hamming}
+        ORDER BY list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# §2.13 — ML surface (tree inference, LTR feature logging, embeddings)
+# + multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+def _fixed_ensemble():
+    """Deterministic 2-tree regression ensemble over (l_quantity,
+    l_discount) — the oracle re-expresses the identical trees as nested
+    CASE WHEN, so the broadcast pandas-UDF scorer is hash-checked against
+    DuckDB (reference tree IR: eland/ml/_model_serializer.py:26-178)."""
+    from eland_spark.ml.tree_ir import Ensemble, Tree, TreeNode
+
+    t1 = Tree(feature_names=["l_quantity", "l_discount"], nodes=[
+        TreeNode(0, split_feature=0, threshold=25.0, left_child=1, right_child=2),
+        TreeNode(1, leaf_value=[1.5]),
+        TreeNode(2, split_feature=1, threshold=0.05, left_child=3, right_child=4),
+        TreeNode(3, leaf_value=[2.5]),
+        TreeNode(4, leaf_value=[4.0]),
+    ])
+    t2 = Tree(feature_names=["l_quantity", "l_discount"], nodes=[
+        TreeNode(0, split_feature=1, threshold=0.03, left_child=1, right_child=2),
+        TreeNode(1, leaf_value=[0.5]),
+        TreeNode(2, split_feature=0, threshold=40.0, left_child=3, right_child=4),
+        TreeNode(3, leaf_value=[1.0]),
+        TreeNode(4, leaf_value=[2.0]),
+    ])
+    return Ensemble(
+        feature_names=["l_quantity", "l_discount"],
+        trees=[t1, t2],
+        weights=[0.7, 0.3],
+        base_score=0.1,
+    )
+
+
+def q_ml_tree_score(spark, sf_dir) -> DataFrame:
+    """Tree-ensemble inference (broadcast model + Arrow pandas UDF),
+    aggregated per return flag so the output is small and hashable."""
+    from eland_spark.ml.inference import score_columns
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    scored = score_columns(li.to_spark(), _fixed_ensemble(), out_col="pred")
+    return scored.groupBy("l_returnflag").agg(
+        F.round(F.avg("pred"), 6).alias("avg_pred"),
+        F.round(F.sum("pred"), 2).alias("sum_pred"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_ltr_features(spark, sf_dir) -> DataFrame:
+    """LTR feature logging: judgment-list filter + expression-template
+    features (reference eland/ml/ltr/feature_logger.py:30-163)."""
+    from eland_spark.ml.ltr import FeatureLogger, LTRModelConfig, QueryFeatureExtractor
+
+    config = LTRModelConfig([
+        QueryFeatureExtractor(
+            "term_count", "size(regexp_extract_all(lower(text), {term}, 0))"
+        ),
+        QueryFeatureExtractor("len_chars", "length(text)"),
+        QueryFeatureExtractor(
+            "has_term",
+            "CASE WHEN contains(lower(text), {term}) THEN 1.0 ELSE NULL END",
+            default_score=0.0,
+        ),
+    ])
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    logger = FeatureLogger(docs.to_spark(), "doc_id", config)
+    return logger.extract_features({"term": "the"}, doc_ids=list(range(25)))
+
+
+def q_multimodal_meta(spark, sf_dir) -> DataFrame:
+    """Multimodal column plumbing: binary media struct + mapInPandas
+    decode (stub kernel). Metadata and shape columns are deterministic,
+    so the oracle checks the whole pipeline wiring."""
+    from eland_spark.operators.multimodal import attach_fake_media, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    with_media = attach_fake_media(docs.to_spark().select("doc_id"), "doc_id")
+    decoded = decode_image_features(with_media)
+    return decoded.select(
+        F.col("doc_id"),
+        F.col("media.width").cast("long").alias("width"),
+        F.col("media.height").cast("long").alias("height"),
+        F.length(F.col("media.data")).cast("long").alias("data_len"),
+        F.size(F.col("img_features")).cast("long").alias("n_features"),
+    )
+
+
+def q_embed_topk(spark, sf_dir) -> DataFrame:
+    """Text-embedding operator + cosine top-k (rows-only: the hashed
+    stand-in encoder has no DuckDB equivalent). Reference text_embedding
+    task, eland/ml/pytorch/transformers.py task registry."""
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.ml.embeddings import embed_text
+    from eland_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sub = docs.to_spark().filter(F.col("source") == "src0").select("doc_id", "text")
+    emb = embed_text(sub, "text", "embedding", dim=64)
+    qrow = emb.filter(F.col("doc_id") == emb.agg(F.min("doc_id")).collect()[0][0])
+    qvec = [float(x) for x in qrow.select("embedding").collect()[0][0]]
+    out = cosine_topk(EDF(emb, index_cols=("doc_id",)), qvec, k=5, id_col="doc_id")
+    sdf = out[["doc_id", "__cos__"]].to_spark()
+    return sdf.select("doc_id", F.round(F.col("__cos__"), 6).alias("cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -844,6 +1010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "ml_tree_score": q_ml_tree_score,
+        "ltr_features": q_ltr_features,
+        "multimodal_meta": q_multimodal_meta,
+        "embed_topk": q_embed_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1239,4 +1411,63 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.s, b.s)) * 1.0 /
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
         """,
+        "lang_id": """
+            WITH s AS (
+                SELECT lang,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ('der','die','das','und','nicht','ist','ein'))) AS de,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ('the','and','of','to','in','is','a'))) AS en,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ('el','los','las','es','una','que','por'))) AS es,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ('le','la','les','et','est','une','dans'))) AS fr,
+                       len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3'))) AS zh
+                FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'unknown'
+                        WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+                        WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+                        WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+                        WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+                        ELSE 'zh' END AS pred,
+                   count(*) AS n
+            FROM s GROUP BY 1, 2
+        """,
+        "ml_tree_score": """
+            WITH scored AS (
+                SELECT l_returnflag,
+                       0.7 * (CASE WHEN l_quantity <= 25.0 THEN 1.5
+                              ELSE CASE WHEN l_discount <= 0.05 THEN 2.5 ELSE 4.0 END END)
+                       + 0.3 * (CASE WHEN l_discount <= 0.03 THEN 0.5
+                                ELSE CASE WHEN l_quantity <= 40.0 THEN 1.0 ELSE 2.0 END END)
+                       + 0.1 AS pred
+                FROM lineitem
+            )
+            SELECT l_returnflag, round(avg(pred), 6) AS avg_pred,
+                   round(sum(pred), 2) AS sum_pred, count(*) AS n
+            FROM scored GROUP BY 1
+        """,
+        "ltr_features": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), 'the')) AS DOUBLE) AS term_count,
+                   CAST(length(text) AS DOUBLE) AS len_chars,
+                   CASE WHEN contains(lower(text), 'the') THEN 1.0 ELSE 0.0 END AS has_term
+            FROM documents WHERE doc_id < 25
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   doc_id % 64 + 16 AS width,
+                   doc_id % 48 + 16 AS height,
+                   CAST(64 AS BIGINT) AS data_len,
+                   CAST(6 AS BIGINT) AS n_features
+            FROM documents
+        """,
+        # embed_topk: md5-hashed stand-in encoder, no DuckDB equivalent
+        # -> rows-only check (intentionally omitted)
+        # ann_ivf: iterative Lloyd k-means refinement, not SQL-expressible
+        # -> rows-only check (intentionally omitted)
+        "ann_lsh": _lsh_oracle_sql(),
     }

@@ -99,8 +99,9 @@ def lang_id(text: Column) -> Column:
     pairs = sorted(scores.items())
     best_lang = F.lit("unknown")
     best_score = F.lit(0)
-    # iterate in reverse-sorted order so earlier codes win ties
-    for lang, score in reversed(pairs):
+    # ascending code order + strict '>' means the first (earliest) code
+    # reaching the max keeps it — earlier codes win ties
+    for lang, score in pairs:
         cond = score > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)

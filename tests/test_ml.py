@@ -1,0 +1,105 @@
+"""ML surface: tree IR round-trip, vectorized scorer parity with the
+reference row-traversal, LTR feature logging (reference test model:
+eland tests/ml/test_ml_model_pytest.py — train/import/predict parity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eland_spark.ml.inference import score_columns
+from eland_spark.ml.ltr import FeatureLogger, LTRModelConfig, QueryFeatureExtractor
+from eland_spark.ml.tree_ir import Ensemble, Tree, TreeNode
+
+
+def _tree(fa=0, fb=1):
+    return Tree(
+        feature_names=["f0", "f1"],
+        nodes=[
+            TreeNode(0, split_feature=fa, threshold=0.5, left_child=1, right_child=2),
+            TreeNode(1, leaf_value=[1.0]),
+            TreeNode(2, split_feature=fb, threshold=0.25, left_child=3, right_child=4,
+                     default_left=False),
+            TreeNode(3, leaf_value=[2.0]),
+            TreeNode(4, leaf_value=[5.0]),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def X():
+    rng = np.random.RandomState(7)
+    X = rng.rand(300, 2)
+    X[3, 0] = np.nan  # exercises default_left NaN routing
+    X[11, 1] = np.nan
+    return X
+
+
+def test_ir_roundtrip():
+    ens = Ensemble(["f0", "f1"], [_tree(), _tree(1, 0)], weights=[0.6, 0.4],
+                   base_score=0.5)
+    back = Ensemble.deserialize(ens.serialize())
+    assert back.to_json() == ens.to_json()
+
+
+@pytest.mark.parametrize("task,output", [
+    ("regression", "predict"),
+    ("binary", "predict"),
+    ("binary", "probability"),
+])
+def test_scorer_matches_reference_traversal(spark, X, task, output):
+    ens = Ensemble(["f0", "f1"], [_tree(), _tree(1, 0)], task=task,
+                   weights=[0.6, 0.4], base_score=-0.25)
+    sdf = spark.createDataFrame(pd.DataFrame(X, columns=["f0", "f1"]))
+    got = score_columns(sdf, ens, output=output, out_col="p").toPandas()
+    ref = [ens.predict_row(x, output=output) for x in X]
+    if output == "probability":
+        got_v = np.sort(np.stack(got["p"].to_numpy())[:, 1])
+        ref_v = np.sort(np.stack(ref)[:, 1])
+    else:
+        got_v = np.sort(got["p"].to_numpy().astype("float64"))
+        ref_v = np.sort(np.asarray(ref, dtype="float64"))
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-12)
+
+
+def test_ltr_feature_logging(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["the cat", "a dog", "the the end", ""]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    config = LTRModelConfig([
+        QueryFeatureExtractor("term_count",
+                              "size(regexp_extract_all(lower(text), {term}, 0))"),
+        QueryFeatureExtractor(
+            "has_term",
+            "CASE WHEN contains(lower(text), {term}) THEN 1.0 ELSE NULL END",
+            default_score=0.0,
+        ),
+    ])
+    assert config.feature_names == ["term_count", "has_term"]
+    logger = FeatureLogger(sdf, "doc_id", config)
+    out = (
+        logger.extract_features({"term": "the"}, doc_ids=[0, 2, 3])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 2, 3]
+    assert list(out["term_count"]) == [1.0, 2.0, 0.0]
+    assert list(out["has_term"]) == [1.0, 1.0, 0.0]
+
+    judgments = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 3]}))
+    joined = (
+        logger.extract_features_join({"term": "dog"}, judgments)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(joined["doc_id"]) == [1, 3]
+    assert list(joined["term_count"]) == [1.0, 0.0]
+
+
+def test_ltr_param_escaping(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["it's odd"]}))
+    config = LTRModelConfig([
+        QueryFeatureExtractor(
+            "hit", "CASE WHEN contains(text, {term}) THEN 1.0 ELSE 0.0 END"
+        )
+    ])
+    out = FeatureLogger(sdf, "doc_id", config).extract_features({"term": "it's"})
+    assert out.toPandas()["hit"].iloc[0] == 1.0
