@@ -1,0 +1,73 @@
+"""Plan-shape assertions: the scale contract, pinned.
+
+Mirrors the reference's compiled-artifact unit tests (filter DSL ->
+exact ES JSON, eland tests/operators/test_operators_pytest.py:35-90) —
+here the compiled artifact is the Catalyst physical plan, and the
+asserted facts are the ones that decide 100 TB behavior."""
+
+import pytest
+
+import eland_spark as es
+from eland_spark.plans import (
+    broadcast_join_count,
+    plan_summary,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return es.read_parquet(
+        spark, f"{SF}/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, li):
+    out = li[li.l_quantity > 40.0].to_spark()
+    pf = pushed_filters(out)
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pf), pf
+
+
+def test_column_pruning(spark, li):
+    out = li[["l_quantity", "l_extendedprice"]].to_spark()
+    scans = read_schema_columns(out)
+    assert scans, "no scan found"
+    # scan reads only the projected columns + index (never the full 11)
+    assert all(len(cols) <= 6 for cols in scans), scans
+
+
+def test_small_dim_join_broadcasts(spark):
+    cust = es.read_parquet(spark, f"{SF}/customer.parquet", index_col="c_custkey")
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    joined = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    assert broadcast_join_count(joined.to_spark()) >= 1
+
+
+def test_agg_is_partial_final_single_shuffle(spark, li):
+    out = li.to_spark().groupBy("l_returnflag").sum("l_quantity")
+    # partial agg -> one exchange -> final agg
+    assert shuffle_count(out) == 1
+    text = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_sum" in text, "no map-side partial aggregation"
+
+
+def test_limit_does_not_full_scan_sort(spark, li):
+    out = li.head(5).to_spark()
+    # head compiles to a limit, not a global sort of the full table
+    assert shuffle_count(out) == 0
+
+
+def test_plan_summary_shape(spark, li):
+    s = plan_summary(li[li.l_quantity > 10.0][["l_quantity"]].to_spark())
+    assert set(s) == {
+        "pushed_filters", "read_schema", "shuffles", "broadcast_joins",
+        "codegen_stages",
+    }
+    assert s["codegen_stages"] >= 1
