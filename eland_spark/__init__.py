@@ -14,6 +14,7 @@ from .etl import (
     read_json,
     read_parquet,
     spark_to_pandas,
+    write_bucketed,
 )
 from .frame import DataFrame
 from .groupby import DataFrameGroupBy
@@ -36,4 +37,5 @@ __all__ = [
     "csv_to_spark",
     "pandas_to_spark",
     "spark_to_pandas",
+    "write_bucketed",
 ]

@@ -25,6 +25,7 @@ __all__ = [
     "pandas_to_spark",
     "spark_to_pandas",
     "csv_to_spark",
+    "write_bucketed",
 ]
 
 # widened-compat lattice for append verification
@@ -181,3 +182,34 @@ def pandas_to_spark(
 def spark_to_pandas(df: DataFrame, show_progress: bool = False) -> pd.DataFrame:
     """eland_to_pandas analog (reference eland/etl.py:235-294)."""
     return df.to_pandas(show_progress=show_progress)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> "DataFrame":
+    """Persist as a bucketed (+optionally sorted) parquet table.
+
+    The 100 TB co-location primitive: two tables bucketed on their join
+    keys with the same bucket count join with ZERO shuffle (asserted in
+    tests/test_plans.py), and repeated aggs on the bucket key skip their
+    exchange. This is how a fact table that joins the same dimensions
+    every day amortizes its shuffle once at write time.
+    """
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    spark = sdf.sparkSession
+    writer = sdf.write.format("parquet").mode(mode).bucketBy(n_buckets, *bc)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sc)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    idx = df._schema.index_cols if isinstance(df, DataFrame) else ()
+    return DataFrame(spark.table(table_name), index_cols=tuple(idx))

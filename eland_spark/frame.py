@@ -359,7 +359,13 @@ class DataFrame:
         table = dict(self._AGG_EXPRS)
         if approx:
             table.update(self._APPROX_EXPRS)
-        return table[agg](col)
+        expr = table[agg](col)
+        if agg == "sum" and not field.is_timestamp:
+            # Spark sum over zero non-null rows is NULL; pandas is 0
+            # (min_count=0). coalesce with an int literal keeps the sum's
+            # own type (long stays long, double stays double).
+            expr = F.coalesce(expr, F.lit(0))
+        return expr
 
     def _agg_row(self, pairs: list[tuple[str, Field]], approx: bool = False):
         """One Spark job computing every (agg, field) pair — mirrors the
@@ -373,8 +379,12 @@ class DataFrame:
     def _restore(self, value, field: Field, agg: str):
         """Dtype restoration after agg (reference
         eland/operations.py:698-758): bool min/max back to bool, missing
-        numeric -> NaN, missing datetime -> NaT."""
+        numeric -> NaN, missing datetime -> NaT. Spark's sum over zero
+        non-null rows is NULL, pandas' is 0.0 (min_count=0) — pandas
+        semantics win at this layer."""
         if value is None:
+            if agg == "sum" and not field.is_timestamp:
+                return 0.0
             return pd.NaT if field.is_timestamp else np.nan
         if field.is_bool and agg in ("min", "max"):
             return bool(value)

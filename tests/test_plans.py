@@ -71,3 +71,67 @@ def test_plan_summary_shape(spark, li):
         "codegen_stages",
     }
     assert s["codegen_stages"] >= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Co-located join: both sides bucketed on the join key -> SMJ with
+    zero Exchange (the write-time shuffle amortization story)."""
+    import eland_spark as es
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    li = es.read_parquet(
+        spark, f"{SF}/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    bo = es.write_bucketed(orders, "t_orders_b", "o_orderkey", 8,
+                           sort_cols="o_orderkey", path=str(base / "o"))
+    bl = es.write_bucketed(li, "t_lineitem_b", "l_orderkey", 8,
+                           sort_cols="l_orderkey", path=str(base / "l"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bls, bos = bl.to_spark(), bo.to_spark()
+        joined = bls.join(bos, bls["l_orderkey"] == bos["o_orderkey"])
+        assert shuffle_count(joined) == 0, "bucketed join should not shuffle"
+        # same join on the raw (unbucketed) parquet shuffles both sides
+        lis, oss = li.to_spark(), orders.to_spark()
+        raw = lis.join(oss, lis["l_orderkey"] == oss["o_orderkey"])
+        assert shuffle_count(raw) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew helper must be a pure rewrite: same rows as the plain join."""
+    from eland_spark.operators.skew import salted_join
+    import eland_spark as es
+    from pyspark.sql import functions as F
+
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet").to_spark()
+    cust = es.read_parquet(spark, f"{SF}/customer.parquet").to_spark()
+    left = orders.select(F.col("o_custkey").alias("k"), "o_orderkey")
+    right = cust.select(F.col("c_custkey").alias("k"), "c_name")
+    plain = left.join(right, "k").count()
+    salted = salted_join(left, right, "k", salt=4).count()
+    assert plain == salted
+
+
+def test_two_phase_count_distinct_matches_exact(spark):
+    from eland_spark.operators.skew import two_phase_count_distinct
+    import eland_spark as es
+    from pyspark.sql import functions as F
+
+    li = es.read_parquet(spark, f"{SF}/lineitem.parquet").to_spark()
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_distinct"))
+        .toPandas().set_index("l_returnflag")["n_distinct"].to_dict()
+    )
+    two = (
+        two_phase_count_distinct(li, ["l_returnflag"], "l_partkey")
+        .toPandas().set_index("l_returnflag")["n_distinct"].to_dict()
+    )
+    assert exact == two

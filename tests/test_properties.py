@@ -1,0 +1,118 @@
+"""Property-based differential tests: engine vs pandas on random small
+frames (hypothesis). The reference differential-tests against pandas on
+fixed golden data (SURVEY §5); randomized inputs cover the corners fixed
+fixtures miss — empty frames, all-null columns, single rows, ties,
+extreme floats."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eland_spark.frame import DataFrame as EDF
+
+FINITE = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False, width=64
+)
+VALS = st.one_of(FINITE, st.none())
+
+ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), VALS, FINITE),
+    min_size=0,
+    max_size=40,
+)
+
+COMMON = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "a", "b"])
+    pdf["_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(
+        pdf, schema="k bigint, a double, b double, _id bigint"
+    )
+    return pdf, EDF(sdf, index_cols=("_id",))
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_whole_frame_aggs_match_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    got = edf[["a", "b"]].aggregate(["count", "sum", "min", "max", "mean"])
+    exp = pdf[["a", "b"]].agg(["count", "sum", "min", "max", "mean"])
+    for fn in ["count", "sum", "min", "max", "mean"]:
+        for c in ["a", "b"]:
+            g, e = got.loc[fn, c], exp.loc[fn, c]
+            if isinstance(e, float) and math.isnan(e):
+                # pandas sum of all-NaN is 0.0; mean is NaN — mirror it
+                assert (isinstance(g, float) and math.isnan(g)) or g is None, (fn, c, g)
+            else:
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (fn, c, g, e)
+
+
+@given(rows=ROWS, thresh=FINITE)
+@settings(**COMMON)
+def test_filter_matches_pandas(spark, rows, thresh):
+    pdf, edf = _frame(spark, rows)
+    got = edf[edf.a > thresh].to_pandas()
+    exp = pdf[pdf.a > thresh]
+    assert len(got) == len(exp)
+    assert sorted(got["_id"]) == sorted(exp["_id"])
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_arithmetic_matches_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    got = (
+        edf.assign(s=edf.a + edf.b, d=edf.a - edf.b, p=edf.a * edf.b)
+        .to_pandas().sort_values("_id").reset_index(drop=True)
+    )
+    exp_s = (pdf.a + pdf.b).reset_index(drop=True)
+    exp_d = (pdf.a - pdf.b).reset_index(drop=True)
+    exp_p = (pdf.a * pdf.b).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["s"].astype("float64"), exp_s.astype("float64"), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got["d"].astype("float64"), exp_d.astype("float64"), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got["p"].astype("float64"), exp_p.astype("float64"), rtol=1e-12, equal_nan=True
+    )
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_groupby_sum_count_match_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    if len(pdf) == 0:
+        return
+    got = edf.groupby("k").agg(["sum", "count"])
+    exp = pdf.groupby("k")[["a", "b"]].agg(["sum", "count"])
+    assert sorted(got.index.tolist()) == sorted(exp.index.tolist())
+    for k in exp.index:
+        for c in ["a", "b"]:
+            assert got.loc[k, (c, "count")] == exp.loc[k, (c, "count")]
+            g, e = got.loc[k, (c, "sum")], exp.loc[k, (c, "sum")]
+            if isinstance(e, float) and math.isnan(e):
+                assert isinstance(g, float) and math.isnan(g)
+            else:
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
+
+
+@given(rows=ROWS, n=st.integers(min_value=0, max_value=10))
+@settings(**COMMON)
+def test_head_tail_match_pandas(spark, rows, n):
+    pdf, edf = _frame(spark, rows)
+    got_h = edf.head(n).to_pandas()["_id"].tolist()
+    got_t = edf.tail(n).to_pandas()["_id"].tolist()
+    assert got_h == pdf.head(n)["_id"].tolist()
+    assert got_t == pdf.tail(n)["_id"].tolist()
