@@ -83,7 +83,23 @@ def main() -> None:
     tiny.select(
         F.size(F.filter(F.split("txt", r"\s+"), lambda t: t.isin(["a"])))
     ).count()
+    tiny.agg(
+        F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5)))
+    ).collect()
     tiny.unpersist()
+    # one micro-pass through the minhash operator chain (shingle window,
+    # wide min-agg, band self-join) — warms its generated-code paths
+    from eland_spark.operators.dedup import minhash_candidate_pairs
+    import eland_spark as es_mod
+
+    docs_tiny = es_mod.read_parquet(
+        spark, f"{SF_DIR}/documents.parquet", index_col="doc_id"
+    )
+    docs_tiny = type(docs_tiny)(
+        docs_tiny.to_spark().limit(128), docs_tiny._schema
+    )
+    minhash_candidate_pairs(docs_tiny, "text", "doc_id", k=3, num_hashes=64,
+                            bands=16).count()
 
     timings: dict[str, float] = {}
     total = 0.0

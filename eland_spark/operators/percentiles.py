@@ -1,0 +1,84 @@
+"""Distributed exact order statistics.
+
+Spark's exact ``percentile`` aggregate materializes a value->count
+OpenHashMap per partition and merges them on one reducer — fine for
+low-cardinality columns, pathological for near-unique ones (the map is
+the column). This operator computes exact interpolated percentiles the
+scalable way: range-partition sort + per-partition offsets + a global
+rank filter. Everything heavy stays codegen'd and parallel; only the
+``len(ps) * 2`` boundary rows and the 1-row-per-partition count table
+ever reach the driver.
+
+At 100 TB: one range shuffle of the (single) column + one window over
+already-sorted partitions — no single-reducer merge, no driver-size
+state. Interpolation matches pandas/DuckDB/Spark ``percentile``
+(linear, pos = p*(n-1)).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_percentiles"]
+
+
+def exact_percentiles(
+    sdf: DataFrame, col: str | Column, ps: list[float], partitions: int | None = None
+) -> list[float]:
+    """Exact linear-interpolated percentiles of a numeric column.
+
+    Returns one float per p in ``ps`` (NaN-free: nulls are dropped
+    first; returns [] values as ``float('nan')`` when the column is
+    empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    vals = sdf.select(c.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    n_parts = partitions or sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    vals = vals.repartitionByRange(int(n_parts), F.col("v")).sortWithinPartitions("v")
+    vals = vals.withColumn("__pid__", F.spark_partition_id()).cache()
+    try:
+        # per-partition counts -> driver-side cumulative offsets (tiny)
+        part_counts = (
+            vals.groupBy("__pid__").count().orderBy("__pid__").collect()
+        )
+        if not part_counts:
+            return [float("nan")] * len(ps)
+        n = sum(r["count"] for r in part_counts)
+        offsets: dict[int, int] = {}
+        acc = 0
+        for r in part_counts:
+            offsets[r["__pid__"]] = acc
+            acc += r["count"]
+
+        # global positions needed: floor/ceil of p*(n-1)
+        want: set[int] = set()
+        pos = []
+        for p in ps:
+            x = p * (n - 1)
+            lo, hi = int(x), min(int(x) + 1, n - 1)
+            pos.append((x, lo, hi))
+            want.update((lo, hi))
+
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        w = Window.partitionBy("__pid__").orderBy("v")
+        ranked = vals.withColumn(
+            "__rank__",
+            F.row_number().over(w) - 1 + off_map[F.col("__pid__")],
+        )
+        rows = (
+            ranked.filter(F.col("__rank__").isin(list(want)))
+            .select("__rank__", "v")
+            .collect()
+        )
+        by_rank = {r["__rank__"]: r["v"] for r in rows}
+        out = []
+        for x, lo, hi in pos:
+            vlo, vhi = by_rank[lo], by_rank[hi]
+            out.append(vlo + (x - lo) * (vhi - vlo))
+        return out
+    finally:
+        vals.unpersist()
