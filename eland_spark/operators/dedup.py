@@ -85,34 +85,30 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3, dedup: bool = True):
-    """(id, shingle) rows via posexplode + window lead — the codegen'd
-    shingling path. Array-lambda shingling (see ``shingles``) is
-    interpreted per element and re-evaluates the token-split expression
-    per access (measured ~10x slower); exploding first keeps every
-    downstream op in whole-stage codegen and is the shape that scales:
-    one narrow shuffle on the doc id, linear in total tokens.
+    """(id, shingle) rows: materialize the token array once per doc,
+    build shingles with transform over an index sequence, explode.
+
+    This is a PURE MAP — no window, no shuffle: shingling is
+    embarrassingly parallel and the single shuffle of the
+    minhash/simhash chain is the downstream per-id aggregation. (An
+    earlier window-lead formulation shuffled on the doc id first;
+    measured slower AND one extra exchange. The naive array-lambda
+    version that re-splits the text per access is ~10x slower still —
+    the token array must be materialized as its own column first.)
 
     Docs with fewer than k tokens yield their full token string as a
-    single shingle (matching ``shingles``): the (k-1)-th lead is null at
-    pos 0 exactly when the doc has < k tokens, and concat_ws skips the
-    null leads, so ``full OR pos==0`` selects full shingles plus that
-    fallback row with no extra per-partition count pass.
+    single shingle (matching ``shingles``).
 
     ``dedup=False`` skips the distinct shuffle — correct whenever the
     consumer is duplicate-insensitive (MinHash min-aggregation)."""
-    tok = sdf.select(
-        id_alias.alias("__id__"),
-        F.posexplode_outer(normalized_tokens(text)).alias("__pos__", "__tok__"),
+    toks = sdf.select(id_alias.alias("__id__"), normalized_tokens(text).alias("__toks__"))
+    n = F.size("__toks__")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__toks__", i + 1, k)))
+    arr = F.when(n >= k, sh).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", "__toks__"))).otherwise(F.array())
     )
-    w = Window.partitionBy("__id__").orderBy("__pos__")
-    parts = [F.col("__tok__")] + [F.lead("__tok__", j).over(w) for j in range(1, k)]
-    sh = tok.select(
-        "__id__",
-        F.col("__pos__"),
-        F.concat_ws(" ", *parts).alias("__sh__"),
-        parts[-1].isNotNull().alias("__full__"),
-    )
-    out = sh.filter(F.col("__full__") | (F.col("__pos__") == 0)).select("__id__", "__sh__")
+    out = toks.select("__id__", F.explode(arr).alias("__sh__"))
     return out.distinct() if dedup else out
 
 

@@ -1,0 +1,85 @@
+"""Sinks + ETL round-trips (reference eland/etl.py surface):
+to_csv/to_json/to_parquet, iterrows/itertuples streaming,
+pandas_to_spark fail/replace/append with schema-compat, es_info."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+import eland_spark as es
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return es.read_parquet(spark, f"{SF}/nation.parquet", index_col="n_nationkey")
+
+
+def test_to_csv_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_csv")
+    nation.to_csv(p)
+    back = es.read_csv(spark, p, header=True, index_col="n_nationkey")
+    assert back.shape[0] == nation.shape[0]
+    a = nation.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    b = back.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+    assert list(a["n_name"]) == list(b["n_name"])
+
+
+def test_to_json_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_json")
+    nation.to_json(p)
+    back = es.read_json(spark, p, index_col="n_nationkey")
+    assert back.shape[0] == nation.shape[0]
+
+
+def test_to_parquet_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_pq")
+    nation.to_parquet(p)
+    back = es.read_parquet(spark, p, index_col="n_nationkey")
+    assert back.to_pandas().shape == nation.to_pandas().shape
+
+
+def test_iterrows_and_itertuples_stream_all_rows(nation):
+    n = nation.shape[0]
+    rows = list(nation.iterrows(batch_size=7))
+    assert len(rows) == n
+    tups = list(nation.itertuples())
+    assert len(tups) == n
+    assert hasattr(tups[0], "n_name")
+
+
+def test_pandas_to_spark_fail_replace_append(spark, tmp_path):
+    p = str(tmp_path / "tbl.parquet")
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = es.pandas_to_spark(pdf, spark, p)
+    assert out.shape[0] == 3
+    # fail mode on existing path
+    with pytest.raises(ValueError, match="already exists"):
+        es.pandas_to_spark(pdf, spark, p, if_exists="fail")
+    # append with compatible schema
+    out = es.pandas_to_spark(pdf, spark, p, if_exists="append")
+    assert out.shape[0] == 6
+    # append with incompatible schema -> reference-style error
+    bad = pd.DataFrame({"a": ["not-an-int"], "b": ["w"]})
+    with pytest.raises(ValueError, match="not compatible"):
+        es.pandas_to_spark(bad, spark, p, if_exists="append")
+    # replace
+    out = es.pandas_to_spark(pdf.head(2), spark, p, if_exists="replace")
+    assert out.shape[0] == 2
+
+
+def test_pandas_to_spark_dropna_and_overrides(spark, tmp_path):
+    p = str(tmp_path / "tbl2.parquet")
+    pdf = pd.DataFrame({"a": [1.0, np.nan, 3.0], "b": ["x", "y", None]})
+    out = es.pandas_to_spark(
+        pdf, spark, p, dropna=True,
+        type_overrides={"a": T.DoubleType()},
+    )
+    assert out.shape[0] == 1  # only the fully-non-null row survives
+
+
+def test_es_info_mentions_plan_and_schema(nation):
+    info = nation.es_info()
+    assert "n_name" in info
