@@ -85,12 +85,15 @@ def q_agg_matrix(spark, sf_dir) -> DataFrame:
 
 def q_median_quantile(spark, sf_dir) -> DataFrame:
     """Exact percentiles (reference uses approximate t-digest; exact is
-    the oracle-matching default, SURVEY §7.0)."""
+    the oracle-matching default, SURVEY §7.0). One percentile agg with an
+    array of percentages builds ONE value map instead of four. For
+    columns whose cardinality approaches the row count at cluster scale,
+    operators.percentiles.exact_percentiles is the sort-based
+    alternative without the single-reducer map merge (steady-state
+    faster here too, but its extra jobs lose on a one-shot query)."""
     li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
     sdf = li.to_spark()
     q = F.col("l_extendedprice")
-    # one percentile agg with an array of percentages builds ONE value
-    # map instead of four (4x less agg state at scale)
     ps = F.percentile(
         q, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
     )

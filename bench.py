@@ -86,6 +86,9 @@ def main() -> None:
     tiny.agg(
         F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5)))
     ).collect()
+    from eland_spark.operators.percentiles import exact_percentiles
+
+    exact_percentiles(tiny, "l_quantity", [0.5], partitions=4)
     tiny.unpersist()
     # one micro-pass through the minhash operator chain (shingle window,
     # wide min-agg, band self-join) — warms its generated-code paths
