@@ -106,3 +106,52 @@ def test_stateful_sessionize_matches_session_window(spark, events_stream, sf_dir
     assert got["n"] >= n_batch_sessions - 20  # at most one open per user
     assert got["total"] <= n_events
     assert got["mt"] >= 1
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three real micro-batches (files appearing between
+    processAllAvailable calls): on-time events, a watermark advancer,
+    then a very-late event. Append-mode tumbling agg must emit the first
+    window WITHOUT the late row, and never emit the still-open last
+    window."""
+    import pandas as pd
+
+    from eland_spark.streaming import read_events_stream, tumbling_windowed
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf.to_parquet(str(d / name), index=False)
+
+    write("f1.parquet", [
+        (1, "2024-01-01 00:05:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:20:00", 1, "a", 2.0),
+    ])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    res = tumbling_windowed(stream, duration="1 hour", watermark="1 hour")
+    q = (
+        res.writeStream.format("memory").queryName("late_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: wm -> 1969 (00:20 - 1h clamps)
+        write("f2.parquet", [(3, "2024-01-01 06:00:00", 1, "b", 4.0)])
+        q.processAllAvailable()  # batch 2: wm -> 05:00, 00:00-window emits
+        # late: 00:30 < watermark 05:00 -> must be dropped
+        write("f3.parquet", [(4, "2024-01-01 00:30:00", 1, "a", 8.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT window_start, n_events, total_value FROM late_test ORDER BY window_start"
+    ).toPandas()
+    assert len(got) == 1, got  # only the closed 00:00 window; 06:00 still open
+    assert got.loc[0, "n_events"] == 2  # late 00:30 row dropped
+    assert got.loc[0, "total_value"] == 3.0
