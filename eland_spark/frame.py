@@ -137,6 +137,14 @@ class DataFrame:
         raise TypeError(f"unsupported key type: {type(key)}")
 
     def __getattr__(self, name: str):
+        if name in ("values",):
+            # the property getter's AttributeError would otherwise be
+            # swallowed by this fallback and lose its message
+            raise AttributeError(
+                "This method would materialize the entire distributed table "
+                "in driver memory. If explicitly required, call "
+                "`.to_pandas().values`."
+            )
         schema = object.__getattribute__(self, "_schema")
         if name in schema:
             return self[name]
@@ -715,3 +723,74 @@ class DataFrame:
 
     def explain(self, mode: str = "formatted") -> None:
         self._projected().explain(mode)
+
+    # -- reference-parity accessors & repr helpers ---------------------
+    def get(self, key, default=None):
+        """Dict-style column access (reference eland/dataframe.py:2038)."""
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def info(self, buf=None, show_counts: bool | None = None) -> None:
+        """Concise summary: index, columns, non-null counts, dtypes
+        (reference eland/dataframe.py:808-992). One count job."""
+        import sys
+
+        out = buf or sys.stdout
+        lines = [str(type(self)), f"Index: {list(self._schema.index_cols)}"]
+        ncols = len(self._schema.display_names)
+        lines.append(f"Data columns (total {ncols} columns):")
+        counts = self.count() if show_counts in (None, True) else None
+        lines.append(f" #   {'Column':24s} {'Non-Null Count':16s} Dtype")
+        lines.append(f"---  {'-'*24} {'-'*16} -----")
+        for i, f in enumerate(self._schema.fields):
+            cnt = (
+                f"{counts[f.display_name]} non-null" if counts is not None else ""
+            )
+            lines.append(f" {i:<3d} {f.display_name:24s} {cnt:16s} {f.pd_dtype}")
+        from collections import Counter
+
+        by_dtype = Counter(f.pd_dtype for f in self._schema.fields)
+        lines.append(
+            "dtypes: " + ", ".join(f"{k}({v})" for k, v in sorted(by_dtype.items()))
+        )
+        print("\n".join(lines), file=out)
+
+    def to_string(self, max_rows: int = 60) -> str:
+        """Peek rendering (reference caps at DEFAULT_NUM_ROWS_DISPLAYED
+        = 60, eland/common.py:38 — never a full materialization)."""
+        n = self.shape[0]
+        pdf = self.head(max_rows).to_pandas()
+        s = pdf.to_string()
+        if n > max_rows:
+            s += f"\n\n[{n} rows x {len(pdf.columns)} columns]"
+        return s
+
+    def to_html(self, max_rows: int = 60) -> str:
+        n = self.shape[0]
+        pdf = self.head(max_rows).to_pandas()
+        s = pdf.to_html()
+        if n > max_rows:
+            s += f"\n<p>{n} rows &times; {len(pdf.columns)} columns</p>"
+        return s
+
+    @property
+    def values(self) -> None:
+        """Not implemented, matching the reference's refusal
+        (eland/dataframe.py:2154-2213): this would materialize the whole
+        distributed table on the driver. Call ``.to_pandas().values``
+        explicitly if that is really wanted."""
+        raise AttributeError(
+            "This method would materialize the entire distributed table in "
+            "driver memory. If explicitly required, call `.to_pandas().values`."
+        )
+
+    def to_numpy(self) -> None:
+        """Not implemented (same contract as ``values``;
+        reference eland/dataframe.py:2172-2213)."""
+        raise AttributeError(
+            "This method would materialize the entire distributed table in "
+            "driver memory. If explicitly required, call "
+            "`.to_pandas().to_numpy()`."
+        )

@@ -389,6 +389,92 @@ class Series:
             return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
         return f[self._name].to_pandas()
 
+    def tail(self, n: int = 5) -> pd.Series:
+        f = self._frame.tail(n)
+        if self._is_derived:
+            return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
+        return f[self._name].to_pandas()
+
+    def sample(self, n: int | None = None, frac: float | None = None,
+               random_state: int = 42) -> pd.Series:
+        f = self._frame.sample(n=n, frac=frac, random_state=random_state)
+        if self._is_derived:
+            return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
+        return f[self._name].to_pandas()
+
+    def describe(self) -> pd.Series:
+        """count/mean/std/min/quartiles/max (reference delegates to the
+        frame describe path, eland/ndframe.py:611-644)."""
+        qs = self._frame._sdf.agg(
+            F.count(self._expr).alias("count"),
+            F.avg(self._expr).alias("mean"),
+            F.stddev_samp(self._expr).alias("std"),
+            F.min(self._expr).alias("min"),
+            F.percentile(self._expr, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q"),
+            F.max(self._expr).alias("max"),
+        ).collect()[0]
+        return pd.Series(
+            {
+                "count": float(qs["count"]),
+                "mean": qs["mean"],
+                "std": qs["std"],
+                "min": qs["min"],
+                "25%": qs["q"][0] if qs["q"] else None,
+                "50%": qs["q"][1] if qs["q"] else None,
+                "75%": qs["q"][2] if qs["q"] else None,
+                "max": qs["max"],
+            },
+            name=self._name,
+        )
+
+    def filter(self, items=None, like=None, regex=None, axis=None) -> pd.Series:
+        """Index-value filtering (axis=0 is the only axis a Series has;
+        reference eland/series.py filter delegation)."""
+        if axis in (1, "columns"):
+            raise ValueError("Series.filter has no columns axis")
+        f = self._frame.filter(items=items, like=like, regex=regex, axis=0)
+        return f[self._name].to_pandas()
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def empty(self) -> bool:
+        return len(self) == 0
+
+    @property
+    def es_dtype(self) -> str:
+        """Engine-side type name (reference exposes the raw ES mapping
+        type; here the Spark SQL type)."""
+        return (self._spark_type or T.StringType()).simpleString()
+
+    @property
+    def es_field_name(self) -> str:
+        try:
+            return self._frame._schema.resolve(self._name)
+        except KeyError:
+            return self._name
+
+    def es_info(self) -> str:
+        return self._frame[[self._name]].es_info() if not self._is_derived else (
+            f"derived column {self._name!r}: {self.es_dtype}"
+        )
+
+    def to_string(self, max_rows: int = 60) -> str:
+        return self.head(max_rows).to_string()
+
+    def to_numpy(self) -> None:
+        """Not implemented, matching the reference's refusal: this would
+        materialize the entire distributed column on the driver
+        (eland/dataframe.py:2172-2213). Call ``.to_pandas().to_numpy()``
+        explicitly if that is really wanted."""
+        raise AttributeError(
+            "This method would materialize the entire distributed column in "
+            "driver memory. If explicitly required, call "
+            "`.to_pandas().to_numpy()`."
+        )
+
     # field record for schema registration
     def as_field(self) -> Field:
         return Field(

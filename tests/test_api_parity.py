@@ -1,0 +1,64 @@
+"""Reference API-parity surface: get/info/to_string/to_html, the
+deliberate to_numpy/values refusal (eland/dataframe.py:2154-2213), and
+the Series accessors."""
+
+import io
+
+import pytest
+
+import eland_spark as es
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+
+
+def test_get_with_default(orders):
+    assert orders.get("nope") is None
+    assert orders.get("nope", 7) == 7
+    assert orders.get("o_custkey").name == "o_custkey"
+
+
+def test_info_prints_counts_and_dtypes(orders):
+    buf = io.StringIO()
+    orders.info(buf=buf)
+    text = buf.getvalue()
+    assert "o_custkey" in text and "non-null" in text and "dtypes:" in text
+
+
+def test_to_string_and_html_are_peeks(orders):
+    s = orders.to_string(max_rows=5)
+    assert "o_custkey" in s and "rows x" in s
+    h = orders.to_html(max_rows=5)
+    assert "<table" in h
+
+
+def test_to_numpy_and_values_refuse(orders):
+    with pytest.raises(AttributeError, match="driver memory"):
+        orders.to_numpy()
+    with pytest.raises(AttributeError, match="driver memory"):
+        orders.values
+    with pytest.raises(AttributeError, match="driver memory"):
+        orders["o_totalprice"].to_numpy()
+
+
+def test_series_accessors(orders):
+    s = orders["o_totalprice"]
+    assert s.ndim == 1 and not s.empty
+    assert s.es_dtype == "double"
+    assert s.es_field_name == "o_totalprice"
+    assert len(s.tail(3)) == 3
+    assert len(s.sample(n=5)) == 5
+    d = s.describe()
+    assert d["count"] > 0 and d["min"] <= d["50%"] <= d["max"]
+    assert "o_totalprice" in s.es_info()
+    assert isinstance(s.to_string(), str)
+
+
+def test_series_filter_items(orders):
+    keys = orders.to_pandas()["o_orderkey"].head(3).tolist()
+    got = orders["o_totalprice"].filter(items=keys)
+    assert len(got) == 3
