@@ -725,6 +725,22 @@ class DataFrame:
         self._projected().explain(mode)
 
     # -- reference-parity accessors & repr helpers ---------------------
+    @property
+    def index(self):
+        """Index abstraction over the frame's identity columns
+        (reference eland/index.py:24-92)."""
+        from .index import Index
+
+        return Index(self)
+
+    @property
+    def es_dtypes(self) -> pd.Series:
+        """Engine-side (Spark SQL) type per column — the reference
+        returns raw ES mapping types (eland/ndframe.py:141)."""
+        return pd.Series(
+            {f.display_name: f.spark_type.simpleString() for f in self._schema.fields}
+        )
+
     def get(self, key, default=None):
         """Dict-style column access (reference eland/dataframe.py:2038)."""
         try:

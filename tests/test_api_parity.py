@@ -62,3 +62,14 @@ def test_series_filter_items(orders):
     keys = orders.to_pandas()["o_orderkey"].head(3).tolist()
     got = orders["o_totalprice"].filter(items=keys)
     assert len(got) == 3
+
+
+def test_index_abstraction_and_es_dtypes(orders):
+    idx = orders.index
+    assert idx.es_index_field == "o_orderkey"
+    assert idx.is_source_field
+    assert len(idx) == orders.shape[0]
+    assert "o_orderkey" in idx.es_info()
+    ed = orders.es_dtypes
+    assert ed["o_totalprice"] == "double"
+    assert ed["o_orderkey"] == "bigint"
