@@ -789,6 +789,35 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_embed_dedup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup removal: LSH signature buckets ->
+    verified cosine >= threshold -> drop higher id (rows-only: the
+    signature fold's float accumulation order is engine-specific at the
+    sign boundary). Returns survivor count per label."""
+    from eland_spark.operators.similarity import embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    kept = embedding_dedup(emb, threshold=0.95, n_planes=8)
+    return kept.to_spark().groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+def q_text_advanced(spark, sf_dir) -> DataFrame:
+    """Composite quality score + BPE-ish subword token count (both pure
+    Column expressions; the rolling-hash fingerprint stays rows-only in
+    other queries because xxhash64 has no DuckDB twin)."""
+    from eland_spark.operators.text import bpe_ish_token_count, quality_score
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark()
+    return sdf.select(
+        F.col("doc_id"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def q_ann_lsh(spark, sf_dir) -> DataFrame:
     """Approximate top-k via cosine-LSH candidate pruning (the scale
     path: signature filter prunes the scored set; at 100 TB the
@@ -1019,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "text_advanced": q_text_advanced,
+        "embed_dedup": q_embed_dedup,
     }
 
 
@@ -1472,5 +1503,34 @@ def oracle_sql() -> dict[str, str]:
         # -> rows-only check (intentionally omitted)
         # ann_ivf: iterative Lloyd k-means refinement, not SQL-expressible
         # -> rows-only check (intentionally omitted)
+        # embed_dedup: signature-fold float accumulation is engine-specific
+        # at the sign boundary -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "text_advanced": """
+            WITH f AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0.0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) * 1.0
+                       END AS n_tok,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                            / length(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0 THEN
+                            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                           'that','for','on','with','as','at','by','this','be'))) * 1.0
+                            / len(string_split_regex(trim(lower(text)), '\\s+'))
+                       ELSE 0.0 END AS sw_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   round((least(n_tok / 100.0, 1.0)
+                          + (1.0 - least(punct_ratio * 5.0, 1.0))
+                          + least(sw_ratio * 4.0, 1.0)) / 3.0, 6) AS quality,
+                   CAST(list_sum(list_transform(
+                        string_split_regex(trim(lower(text)), '\\s+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+            FROM f
+        """,
     }
