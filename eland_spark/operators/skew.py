@@ -34,7 +34,16 @@ def salted_join(
     Prefer ``F.broadcast(small)`` when small fits the broadcast
     threshold — salting is for the mid-size side that is too big to
     broadcast but small enough to replicate ``salt`` ways.
+
+    Only inner/left-ish joins are valid: in a right or full join an
+    unmatched small-side row would surface once PER SALT replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti", "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            "the replicated side would appear once per salt bucket"
+        )
     salted_big = big.withColumn(
         "__salt__", (F.rand(seed=42) * salt).cast("int")
     )
@@ -53,5 +62,7 @@ def two_phase_count_distinct(
     hash too — phase 2 counts per key. Two small shuffles instead of
     one skew-prone one; at scale this is the standard rewrite for
     count(DISTINCT) over hot keys."""
-    dedup = df.select(*keys, col).distinct()
+    # countDistinct ignores nulls; drop them before the pair-dedup so
+    # both formulations agree on columns containing nulls
+    dedup = df.filter(F.col(col).isNotNull()).select(*keys, col).distinct()
     return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))

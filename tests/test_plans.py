@@ -135,3 +135,45 @@ def test_two_phase_count_distinct_matches_exact(spark):
         .toPandas().set_index("l_returnflag")["n_distinct"].to_dict()
     )
     assert exact == two
+
+
+def test_salted_join_rejects_right_full(spark):
+    from eland_spark.operators.skew import salted_join
+    import eland_spark as es
+
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet").to_spark()
+    with pytest.raises(ValueError, match="per salt"):
+        salted_join(orders, orders, "o_orderkey", how="full")
+
+
+def test_two_phase_count_distinct_ignores_nulls(spark):
+    from eland_spark.operators.skew import two_phase_count_distinct
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, None, None]})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        two_phase_count_distinct(sdf, ["k"], "v")
+        .toPandas().set_index("k")["n_distinct"].to_dict()
+    )
+    exact = (
+        sdf.groupBy("k").agg(F.countDistinct("v").alias("n"))
+        .toPandas().set_index("k")["n"].to_dict()
+    )
+    assert got == {"a": 1}  # b's only value is null -> no row
+    assert exact == {"a": 1, "b": 0}  # countDistinct keeps the empty group
+
+
+def test_ann_bruteforce_plan_is_take_ordered(spark):
+    """Brute-force top-k must compile to per-partition top-k + driver
+    merge (TakeOrderedAndProject), never a global sort shuffle."""
+    import eland_spark as es
+    from eland_spark.operators.similarity import cosine_topk
+    from eland_spark.plans import explain_str
+
+    emb = es.read_parquet(spark, f"{SF}/embeddings.parquet", index_col="vec_id")
+    qvec = [0.1] * 64
+    out = cosine_topk(emb, qvec, k=10).to_spark()
+    assert "TakeOrderedAndProject" in explain_str(out)
+    assert shuffle_count(out) == 0
