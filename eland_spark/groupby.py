@@ -132,21 +132,26 @@ class DataFrameGroupBy:
     def mad(self, numeric_only=True):
         """Exact per-group MAD via percentile of |x - group_median| —
         needs two passes (median join back); the reference delegates to
-        ES's approximate MAD agg (eland/groupby.py)."""
+        ES's approximate MAD agg (eland/groupby.py). The frame is first
+        normalized to display names so the self-join works after
+        renames (physical column names never appear past this select)."""
         fields = self._agg_fields(True, "mad")
         sdf, keys = self._grouped_sdf()
-        schema = self._frame._schema
-        meds = sdf.groupBy(*keys).agg(
+        norm = sdf.select(
+            *keys,
+            *[F.col(f.column_name).alias(f.display_name) for f in fields],
+        )
+        meds = norm.groupBy(*[F.col(b) for b in self._by]).agg(
             *[
-                F.percentile(F.col(f.column_name), F.lit(0.5)).alias(f"__med_{f.display_name}")
+                F.percentile(F.col(f.display_name), F.lit(0.5)).alias(f"__med_{f.display_name}")
                 for f in fields
             ]
         )
-        joined = sdf.join(meds, on=self._by, how="inner")
+        joined = norm.join(meds, on=self._by, how="inner")
         out = joined.groupBy(*[F.col(b) for b in self._by]).agg(
             *[
                 F.percentile(
-                    F.abs(F.col(f.column_name) - F.col(f"__med_{f.display_name}")),
+                    F.abs(F.col(f.display_name) - F.col(f"__med_{f.display_name}")),
                     F.lit(0.5),
                 ).alias(f.display_name)
                 for f in fields

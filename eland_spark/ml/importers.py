@@ -48,6 +48,20 @@ def import_model(model: Any, feature_names: list[str]) -> Ensemble:
     )
 
 
+def _assign_class_columns(trees: list[Tree], n_classes: int) -> None:
+    """Multiclass boosters emit trees round-robin per class (tree i
+    scores class i % n_classes). Expand each scalar leaf into an
+    n_classes vector with the margin in that tree's class column, so the
+    scorer's per-column accumulation is correct."""
+    for i, t in enumerate(trees):
+        cls_idx = i % n_classes
+        for node in t.nodes:
+            if node.is_leaf and len(node.leaf_value) == 1:
+                vec = [0.0] * n_classes
+                vec[cls_idx] = float(node.leaf_value[0])
+                node.leaf_value = vec
+
+
 # -- sklearn ---------------------------------------------------------------
 
 def _sklearn_tree_nodes(tree, is_classifier: bool) -> list[TreeNode]:
@@ -85,6 +99,8 @@ def _from_sklearn_tree(model, feature_names) -> Ensemble:
             feature_names, [tree],
             task="binary" if n == 2 else "multiclass",
             n_classes=n, agg="sum_probs",
+            classification_labels=[v.item() if hasattr(v, "item") else v
+                                   for v in model.classes_],
         )
     return Ensemble(feature_names, [tree], task="regression")
 
@@ -104,6 +120,8 @@ def _from_sklearn_ensemble(model, feature_names, cls: str) -> Ensemble:
                 feature_names, trees,
                 task="binary" if n == 2 else "multiclass",
                 n_classes=n, weights=[1.0 / n_trees] * n_trees, agg="sum_probs",
+                classification_labels=[v.item() if hasattr(v, "item") else v
+                                       for v in model.classes_],
             )
         return Ensemble(
             feature_names, trees, task="regression",
@@ -117,11 +135,29 @@ def _from_sklearn_ensemble(model, feature_names, cls: str) -> Ensemble:
             Tree(feature_names, _sklearn_tree_nodes(stage.tree_, False))
             for stage in model.estimators_[:, 0]
         ]
-        base = float(getattr(model, "init_", None) and getattr(model.init_, "constant_", [[0.0]])[0][0] or 0.0)
+        import math
+
+        init = getattr(model, "init_", None)
+        if is_clf:
+            # binary GBM raw init = prior log-odds (DummyClassifier has
+            # class_prior_, never constant_)
+            prior = getattr(init, "class_prior_", None)
+            if prior is not None and 0.0 < prior[1] < 1.0:
+                base = float(math.log(prior[1] / (1.0 - prior[1])))
+            else:
+                base = 0.0
+        else:
+            const = getattr(init, "constant_", None)
+            base = float(const[0][0]) if const is not None else 0.0
+        labels = (
+            [v.item() if hasattr(v, "item") else v for v in model.classes_]
+            if is_clf else None
+        )
         return Ensemble(
             feature_names, trees,
             task="binary" if is_clf else "regression",
             weights=[lr] * len(trees), base_score=base,
+            classification_labels=labels,
         )
     raise NotImplementedError(cls)
 
@@ -137,6 +173,17 @@ def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
     dumps = booster.get_dump(dump_format="json", with_stats=False)
     fmap = {f: i for i, f in enumerate(booster.feature_names or feature_names)}
 
+    def resolve_split(name: str) -> int:
+        # boosters trained on bare numpy arrays have no stored names and
+        # dump splits as 'f0', 'f1', ...
+        if name in fmap:
+            return fmap[name]
+        if name.startswith("f") and name[1:].isdigit():
+            return int(name[1:])
+        raise ValueError(
+            f"split feature {name!r} not found in feature_names {list(fmap)}"
+        )
+
     def walk(node, nodes, counter):
         idx = counter[0]
         counter[0] += 1
@@ -145,7 +192,7 @@ def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
             return idx
         me = TreeNode(
             node_idx=idx,
-            split_feature=fmap.get(node["split"], 0),
+            split_feature=resolve_split(node["split"]),
             threshold=float(node["split_condition"]),
             default_left=node.get("missing", node["yes"]) == node["yes"],
         )
@@ -166,13 +213,17 @@ def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
 
     if cls == "XGBClassifier":
         n = int(getattr(model, "n_classes_", 2))
+        labels = [v.item() if hasattr(v, "item") else v
+                  for v in getattr(model, "classes_", range(n))]
         if n > 2:
+            _assign_class_columns(trees, n)
             return Ensemble(
                 feature_names, trees, task="multiclass", n_classes=n,
-                base_score=0.0, agg="sum",
+                base_score=0.0, agg="sum", classification_labels=labels,
             )
         margin = math.log(base / (1 - base)) if 0 < base < 1 else 0.0
-        return Ensemble(feature_names, trees, task="binary", base_score=margin)
+        return Ensemble(feature_names, trees, task="binary", base_score=margin,
+                        classification_labels=labels)
     return Ensemble(feature_names, trees, task="regression", base_score=base)
 
 
@@ -209,7 +260,12 @@ def _from_lightgbm(model, feature_names, cls: str) -> Ensemble:
 
     if cls == "LGBMClassifier":
         n = int(dump.get("num_class", 1)) or 1
+        labels = [v.item() if hasattr(v, "item") else v
+                  for v in getattr(model, "classes_", range(max(n, 2)))]
         if n > 1:
-            return Ensemble(feature_names, trees, task="multiclass", n_classes=n)
-        return Ensemble(feature_names, trees, task="binary")
+            _assign_class_columns(trees, n)
+            return Ensemble(feature_names, trees, task="multiclass", n_classes=n,
+                            classification_labels=labels)
+        return Ensemble(feature_names, trees, task="binary",
+                        classification_labels=labels)
     return Ensemble(feature_names, trees, task="regression")

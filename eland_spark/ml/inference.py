@@ -57,6 +57,11 @@ def flatten_ensemble(ens: Ensemble) -> dict:
         "agg": ens.agg,
         "base_score": ens.base_score,
         "n_out": max(n_out, 1),
+        "labels": (
+            np.asarray(ens.classification_labels)
+            if ens.classification_labels is not None
+            else None
+        ),
     }
 
 
@@ -96,7 +101,11 @@ def _finalize(flat: dict, acc: np.ndarray, output: str) -> np.ndarray:
         probs = e / e.sum(axis=1, keepdims=True)
     if output == "probability":
         return probs
-    return probs.argmax(axis=1)
+    idx = probs.argmax(axis=1)
+    labels = flat.get("labels")
+    if labels is not None:
+        return labels[idx]
+    return idx
 
 
 def predict_column(
@@ -104,12 +113,22 @@ def predict_column(
 ) -> "callable":
     """Returns a pandas-UDF factory: call with the feature Columns in
     ``ens.feature_names`` order."""
+    if ens.task == "regression" and output == "probability":
+        raise ValueError("probability output is undefined for regression models")
     flat = flatten_ensemble(ens)
     bc = spark.sparkContext.broadcast(flat)
-    if ens.task == "regression" or output == "probability":
-        ret = T.DoubleType() if output != "probability" else T.ArrayType(T.DoubleType())
+    if output == "probability":
+        ret = T.ArrayType(T.DoubleType())
+    elif ens.task == "regression":
+        ret = T.DoubleType()
     else:
-        ret = T.LongType()
+        labels = ens.classification_labels
+        if labels is not None and any(isinstance(v, str) for v in labels):
+            ret = T.StringType()
+        elif labels is not None and any(isinstance(v, float) for v in labels):
+            ret = T.DoubleType()
+        else:
+            ret = T.LongType()
 
     if output == "probability":
 

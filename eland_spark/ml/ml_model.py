@@ -76,7 +76,12 @@ class MLModel:
         out = _finalize(self._flat, _eval_flat(self._flat, X), "predict")
         if self.ensemble.task == "regression":
             return out.astype("float64")
-        return out.astype("int64")
+        # _finalize already mapped argmax through classification_labels;
+        # keep the labels' own dtype (reference returns the model's real
+        # class labels, not positional indices)
+        if out.dtype.kind in ("i", "u", "b"):
+            return out.astype("int64")
+        return out
 
     def predict_proba(self, X) -> np.ndarray:
         import pandas as pd

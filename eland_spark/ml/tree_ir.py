@@ -114,6 +114,9 @@ class Ensemble:
     weights: list[float] | None = None
     base_score: float = 0.0
     agg: str = "sum"  # sum (margins) | sum_probs (prob leaves, sklearn RF)
+    # original class labels, argmax maps through these on predict
+    # (reference stores classification_labels for the same reason)
+    classification_labels: list | None = None
 
     # -- serialization (gzip+b64 envelope like the reference's
     #    compressed definition) ----------------------------------------
@@ -126,6 +129,7 @@ class Ensemble:
                 "weights": self.weights,
                 "base_score": self.base_score,
                 "agg": self.agg,
+                "classification_labels": self.classification_labels,
                 "trees": [t.to_dict() for t in self.trees],
             }
         )
@@ -144,6 +148,7 @@ class Ensemble:
             weights=d.get("weights"),
             base_score=d.get("base_score", 0.0),
             agg=d.get("agg", "sum"),
+            classification_labels=d.get("classification_labels"),
         )
 
     @classmethod
@@ -174,4 +179,7 @@ class Ensemble:
                 probs = e / e.sum()
         if output == "probability":
             return probs
-        return int(np.argmax(probs))
+        idx = int(np.argmax(probs))
+        if self.classification_labels is not None:
+            return self.classification_labels[idx]
+        return idx

@@ -197,8 +197,6 @@ def minhash_dedup(
     # one-hop cluster link: drop every row that has ANY smaller
     # near-duplicate (full transitive closure would need iteration; one
     # hop is the dedup contract)
-    from ..frame import DataFrame as EDF
-
     schema = df._schema
     idc = F.col(schema.resolve(id_col))
     to_drop = pairs.select(F.col("id_b").alias("__drop__")).distinct()
@@ -218,18 +216,23 @@ def minhash_candidate_pairs(
     agreement fraction). Returns a Spark DataFrame (id_a, id_b,
     est_jaccard).
 
-    The signature table is persisted before the self-join — without the
-    materialization barrier Catalyst would re-evaluate the
+    The signature table is materialized (localCheckpoint) before the
+    self-join — without the barrier Catalyst would re-evaluate the
     O(|shingles| * num_hashes) signature expression once per CANDIDATE
-    PAIR side instead of once per row (measured 100x slowdown). At scale
-    this stage is a persisted/bucketed intermediate table anyway.
+    PAIR side instead of once per row (measured 100x slowdown).
+    localCheckpoint over persist: checkpoint blocks are GC-cleaned when
+    the frame goes out of scope, while a persisted DataFrame stays
+    pinned in the CacheManager until explicit unpersist — repeated dedup
+    calls in one session would leak storage. At a real 100 TB scale this
+    stage is a persisted/bucketed intermediate table with explicit
+    lifecycle instead.
     """
     rpb = num_hashes // bands
     schema = df._schema
     text = F.col(schema.resolve(text_col))
     idc = F.col(schema.resolve(id_col))
 
-    sig = minhash_signatures(df._sdf, text, idc, k, num_hashes).persist()
+    sig = minhash_signatures(df._sdf, text, idc, k, num_hashes).localCheckpoint(eager=False)
     banded = sig.select(
         "__id__", F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__")
     )

@@ -21,6 +21,10 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> tuple[np.ndarray, n
     """Returns (bin_edges[bins+1], counts[bins]) like np.histogram."""
     col = F.col(df._schema.resolve(column))
     row = df._sdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if row["lo"] is None or row["hi"] is None:
+        # empty / all-null column: match np.histogram([]) — unit-range
+        # edges, zero counts
+        return np.linspace(0.0, 1.0, bins + 1), np.zeros(bins, dtype="int64")
     lo, hi = float(row["lo"]), float(row["hi"])
     if lo == hi:
         edges = np.linspace(lo - 0.5, hi + 0.5, bins + 1)

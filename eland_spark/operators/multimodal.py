@@ -114,7 +114,14 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plan: explode selected frame indices per video.
     Pure expressions (sequence+explode); the per-frame decode would be a
-    downstream mapInPandas like decode_image_features."""
+    downstream mapInPandas like decode_image_features.
+
+    Zero-frame media yield no rows (no phantom frame 0); null n_frames
+    rows are kept with a null frame index (explode_outer)."""
     n = F.col(f"{media_col}.n_frames")
-    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_nth))
-    return df.withColumn(out_col, F.explode(idx))
+    idx = F.when(
+        n >= 1, F.sequence(F.lit(0), n - 1, F.lit(every_nth))
+    ).otherwise(F.when(n.isNull(), F.lit(None)).otherwise(F.array()))
+    return df.withColumn(out_col, F.explode_outer(idx)).filter(
+        n.isNull() | (n >= 1)
+    )

@@ -125,7 +125,6 @@ def lsh_topk(
             qsig |= 1 << i
     vec = F.col(schema.resolve(vec_col))
     sig = lsh_signature(vec, planes)
-    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
     q = _vec_lit(query_vec)
     out = (
         df._sdf.withColumn("__sig__", sig)

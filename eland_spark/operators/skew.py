@@ -61,8 +61,10 @@ def two_phase_count_distinct(
     phase 1 dedups (key, value) pairs — the shuffle spreads by value
     hash too — phase 2 counts per key. Two small shuffles instead of
     one skew-prone one; at scale this is the standard rewrite for
-    count(DISTINCT) over hot keys."""
-    # countDistinct ignores nulls; drop them before the pair-dedup so
-    # both formulations agree on columns containing nulls
-    dedup = df.filter(F.col(col).isNotNull()).select(*keys, col).distinct()
-    return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+    count(DISTINCT) over hot keys.
+
+    count(col) in phase 2 skips the null value rows kept by distinct,
+    so groups whose values are ALL null still appear with count 0 —
+    exactly countDistinct's group set and values."""
+    dedup = df.select(*keys, col).distinct()
+    return dedup.groupBy(*keys).agg(F.count(F.col(col)).alias(out_col))

@@ -80,8 +80,15 @@ def _make_fn(gap_ms: int, ts_col: str, value_col: str, type_col: str):
                 tset.add(str(r[type_col]))
             state.update((start_ms, last_ms, n, total, "\x1f".join(sorted(tset))))
             # close the open session `gap` past the newest event, by the
-            # event-time watermark clock (not wall time)
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+            # event-time watermark clock (not wall time). A legitimately
+            # late event can leave last_ms + gap BEHIND the current
+            # watermark; Spark rejects timeout timestamps <= watermark,
+            # so clamp to watermark + 1ms (fires next micro-batch).
+            timeout = last_ms + gap_ms
+            wm = state.getCurrentWatermarkMs()
+            if timeout <= wm:
+                timeout = wm + 1
+            state.setTimeoutTimestamp(timeout)
 
         if closed:
             yield pd.DataFrame(
@@ -113,8 +120,10 @@ def sessionize_with_state(
     timeout once the watermark passes last_event + gap."""
     from .windows import _with_watermark
 
-    unit = {"minute": 60_000, "minutes": 60_000, "hour": 3_600_000,
-            "hours": 3_600_000, "second": 1_000, "seconds": 1_000}
+    unit = {"second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000}
     qty, u = gap.split()
     gap_ms = int(qty) * unit[u]
 

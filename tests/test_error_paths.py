@@ -58,3 +58,44 @@ def test_empty_result_aggs_are_sane(orders):
     assert (s.dropna() >= 0).all()  # sums coalesce to 0.0, not NaN
     assert empty.to_pandas().shape[0] == 0
     assert empty.head(5).to_pandas().shape[0] == 0
+
+
+def test_groupby_mad_survives_rename(orders):
+    renamed = orders.rename(columns={"o_totalprice": "price"})
+    out = renamed.groupby("o_orderstatus").mad()
+    assert "price" in out.columns
+    # values unchanged by the rename
+    base = orders.groupby("o_orderstatus").mad()
+    assert (out["price"].to_numpy() == base["o_totalprice"].to_numpy()).all()
+
+
+def test_groupby_mad_on_renamed_key(orders):
+    renamed = orders.rename(columns={"o_orderstatus": "status"})
+    out = renamed.groupby("status").mad()
+    assert out.index.name == "status"
+    assert len(out) == 3
+
+
+def test_histogram_empty_column(orders):
+    from eland_spark.operators.histogram import histogram
+
+    empty = orders[orders.o_totalprice < 0]
+    edges, counts = histogram(empty, "o_totalprice", bins=5)
+    assert len(edges) == 6 and counts.sum() == 0
+
+
+def test_video_frame_sampling_edges(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.multimodal import sample_video_frames
+
+    pdf = pd.DataFrame({"id": [1, 2, 3], "n": [25, 0, None]})
+    sdf = spark.createDataFrame(pdf).select(
+        "id", F.struct(F.col("n").cast("int").alias("n_frames")).alias("media")
+    )
+    out = sample_video_frames(sdf, every_nth=10).toPandas()
+    by_id = out.groupby("id")["frame_idx"].apply(list).to_dict()
+    assert by_id[1] == [0, 10, 20]      # real frames
+    assert 2 not in by_id               # zero-frame video: no phantom frame
+    assert by_id[3] == [None] or pd.isna(by_id[3][0])  # null passes through

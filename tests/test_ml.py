@@ -103,3 +103,55 @@ def test_ltr_param_escaping(spark):
     ])
     out = FeatureLogger(sdf, "doc_id", config).extract_features({"term": "it's"})
     assert out.toPandas()["hit"].iloc[0] == 1.0
+
+
+def test_multiclass_margin_trees_assign_class_columns(spark):
+    """Round-robin margin trees (xgb/lgbm multiclass shape): tree i
+    scores class i % n. After import-time column assignment the scorer
+    must softmax per-class sums, not collapse everything into class 0."""
+    from eland_spark.ml.importers import _assign_class_columns
+
+    def margin_tree(leaf_lo, leaf_hi):
+        return Tree(["f0", "f1"], [
+            TreeNode(0, split_feature=0, threshold=0.5, left_child=1, right_child=2),
+            TreeNode(1, leaf_value=[leaf_lo]),
+            TreeNode(2, leaf_value=[leaf_hi]),
+        ])
+
+    # 3 classes x 2 rounds; class 1 dominates for f0>0.5, class 0 for <=0.5
+    trees = [
+        margin_tree(2.0, -1.0), margin_tree(-1.0, 3.0), margin_tree(0.0, 0.0),
+        margin_tree(1.0, -1.0), margin_tree(-1.0, 2.0), margin_tree(0.0, 0.0),
+    ]
+    _assign_class_columns(trees, 3)
+    ens = Ensemble(["f0", "f1"], trees, task="multiclass", n_classes=3,
+                   agg="sum", classification_labels=[10, 20, 30])
+    X = np.array([[0.1, 0.0], [0.9, 0.0]])
+    sdf = spark.createDataFrame(pd.DataFrame(X, columns=["f0", "f1"]))
+    got = score_columns(sdf, ens, out_col="p").toPandas()["p"].tolist()
+    assert sorted(got) == [10, 20]  # class 0 label for low f0, class 1 for high
+    probs = score_columns(sdf, ens, output="probability", out_col="p").toPandas()
+    for p in probs["p"]:
+        assert abs(sum(p) - 1.0) < 1e-9
+    # reference traversal agrees
+    assert ens.predict_row(X[0]) == 10 and ens.predict_row(X[1]) == 20
+
+
+def test_classification_labels_round_trip_and_scoring(spark):
+    ens = Ensemble(["f0", "f1"], [_tree()], task="binary",
+                   classification_labels=["neg", "pos"])
+    back = Ensemble.deserialize(ens.serialize())
+    assert back.classification_labels == ["neg", "pos"]
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"f0": [0.1, 0.9], "f1": [0.9, 0.9]}
+    ))
+    got = score_columns(sdf, back, out_col="p").toPandas()["p"].tolist()
+    assert set(got) <= {"neg", "pos"}
+
+
+def test_regression_probability_rejected(spark):
+    from eland_spark.ml.inference import predict_column
+
+    ens = Ensemble(["f0", "f1"], [_tree()], task="regression")
+    with pytest.raises(ValueError, match="regression"):
+        predict_column(spark, ens, output="probability")

@@ -161,8 +161,8 @@ def test_two_phase_count_distinct_ignores_nulls(spark):
         sdf.groupBy("k").agg(F.countDistinct("v").alias("n"))
         .toPandas().set_index("k")["n"].to_dict()
     )
-    assert got == {"a": 1}  # b's only value is null -> no row
-    assert exact == {"a": 1, "b": 0}  # countDistinct keeps the empty group
+    # must agree EXACTLY, including the all-null group appearing with 0
+    assert got == exact == {"a": 1, "b": 0}
 
 
 def test_ann_bruteforce_plan_is_take_ordered(spark):
