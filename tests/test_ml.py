@@ -155,3 +155,22 @@ def test_regression_probability_rejected(spark):
     ens = Ensemble(["f0", "f1"], [_tree()], task="regression")
     with pytest.raises(ValueError, match="regression"):
         predict_column(spark, ens, output="probability")
+
+
+def test_transformer_model_task_registry(spark):
+    from eland_spark.ml.pytorch import SUPPORTED_TASK_TYPES, TransformerModel
+
+    assert "text_embedding" in SUPPORTED_TASK_TYPES
+    with pytest.raises(ValueError, match="unknown task"):
+        TransformerModel("m", "not_a_task")
+
+    m = TransformerModel("hashed-encoder", "text_embedding", dim=32)
+    sdf = spark.createDataFrame(pd.DataFrame({"text": ["hello world", "spark"]}))
+    out = m.apply(sdf).toPandas()
+    assert len(out["embedding"].iloc[0]) == 32
+    # deterministic
+    out2 = m.apply(sdf).toPandas()
+    assert list(out["embedding"].iloc[0]) == list(out2["embedding"].iloc[0])
+
+    with pytest.raises(ImportError, match="torch"):
+        TransformerModel("m", "ner").apply(sdf)
