@@ -789,6 +789,15 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_vocabulary(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary top-100 (training-data tokenizer-building op):
+    explode -> map-side-combined groupBy, deterministic tie-break."""
+    from eland_spark.operators.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return vocabulary(docs.to_spark(), F.col("text"), min_count=2, top_k=100)
+
+
 def q_embed_dedup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup removal: LSH signature buckets ->
     verified cosine >= threshold -> drop higher id (rows-only: the
@@ -1049,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_advanced": q_text_advanced,
+        "vocabulary": q_vocabulary,
         "embed_dedup": q_embed_dedup,
     }
 
@@ -1506,6 +1516,19 @@ def oracle_sql() -> dict[str, str]:
         # embed_dedup: signature-fold float accumulation is engine-specific
         # at the sign boundary -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "vocabulary": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                    t -> t != '')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS count
+            FROM toks GROUP BY 1
+            HAVING count(*) >= 2
+            ORDER BY count DESC, token ASC
+            LIMIT 100
+        """,
         "text_advanced": """
             WITH f AS (
                 SELECT doc_id, text,

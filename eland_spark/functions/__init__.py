@@ -19,6 +19,7 @@ from ..operators.text import (
     stopword_ratio,
     token_count,
     tokens,
+    vocabulary,
 )
 from ..operators.similarity import cosine, dot, norm
 
@@ -33,6 +34,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "rolling_hash",
+    "vocabulary",
     "normalized_tokens",
     "shingles",
     "ngram_jaccard",

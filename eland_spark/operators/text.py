@@ -116,6 +116,37 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def vocabulary(
+    sdf,
+    text: Column,
+    min_count: int = 1,
+    top_k: int | None = None,
+    normalized: bool = True,
+):
+    """Corpus vocabulary with frequencies: explode tokens -> one
+    hash-partial-aggregated groupBy (map-side combine bounds the shuffle
+    by |vocab| per partition, not by token count — the property that
+    makes this viable on 100 TB of text). Deterministic order: count
+    desc, token asc.
+
+    Returns a Spark DataFrame (token string, count long)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(text) if normalized else tokens(text)
+    out = (
+        sdf.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), F.asc("token"))
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out
+
+
 def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Polynomial rolling hash over tokens (order-sensitive fingerprint):
     h = sum(hash_i * base^(n-i)) mod m, computed as fold
