@@ -197,3 +197,16 @@ def test_mad(lineitem, lineitem_pd):
 def test_es_match(documents):
     m = documents[documents.es_match("the", columns=["text"])]
     assert m.shape[0] > 0
+
+
+def test_plotting_hist_data_and_gated_render(lineitem):
+    import numpy as np
+    import pytest as _pytest
+
+    from eland_spark.plotting import hist_data, hist_plot
+
+    hd = hist_data(lineitem[["l_quantity", "l_extendedprice"]], bins=8)
+    assert "l_quantity__edges" in hd and "l_quantity__weights" in hd
+    assert hd["l_quantity__weights"].sum() == lineitem.shape[0]
+    with _pytest.raises(ImportError, match="matplotlib"):
+        hist_plot(lineitem, "l_quantity")
