@@ -238,6 +238,54 @@ def ivf_topk(
     return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
 
 
+def ivf_write(
+    df: "DataFrame",
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the vector table PARTITIONED BY nearest-centroid cell.
+
+    This is the 100 TB serving shape: a probe then reads only
+    ``nprobe`` partition directories (Spark partition pruning — no data
+    files outside the probed cells are opened, asserted in
+    tests/test_plans.py). Pair with ``ivf_read_topk``.
+    """
+    schema = df._schema
+    vec = F.col(schema.resolve(vec_col))
+    assigned = df._sdf.withColumn("__cell__", nearest_cell(vec, centroids))
+    assigned.write.mode(mode).partitionBy("__cell__").parquet(path)
+
+
+def ivf_read_topk(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Probe an ivf_write table: partition-pruned scan of the nprobe
+    nearest cells, exact cosine within. Returns a Spark DataFrame
+    (id_col, __cos__)."""
+    dists = [
+        (i, sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = sorted(i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe])
+    sdf = spark.read.parquet(path).filter(F.col("__cell__").isin(probe))
+    q = _vec_lit(query_vec)
+    return (
+        sdf.withColumn("__cos__", cosine(F.col(vec_col), q))
+        .orderBy(F.desc("__cos__"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "__cos__")
+    )
+
+
 def embedding_dedup(
     df: "DataFrame",
     threshold: float = 0.98,

@@ -177,3 +177,31 @@ def test_ann_bruteforce_plan_is_take_ordered(spark):
     out = cosine_topk(emb, qvec, k=10).to_spark()
     assert "TakeOrderedAndProject" in explain_str(out)
     assert shuffle_count(out) == 0
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """ivf_write + ivf_read_topk: the probe scan must show partition
+    filters on __cell__ and agree with brute-force top-k when every
+    probed cell is included."""
+    import eland_spark as es
+    from eland_spark.operators.similarity import (
+        cosine_topk, ivf_index, ivf_read_topk, ivf_write,
+    )
+    from eland_spark.plans import explain_str
+
+    emb = es.read_parquet(spark, f"{SF}/embeddings.parquet", index_col="vec_id")
+    centroids = ivf_index(emb, n_cells=4, max_iter=2)
+    p = str(tmp_path / "ivf_table")
+    ivf_write(emb, p, centroids)
+
+    qrow = emb.to_spark().filter("vec_id = 0").select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+
+    probed = ivf_read_topk(spark, p, qvec, centroids, k=5, nprobe=2)
+    text = explain_str(probed)
+    assert "PartitionFilters" in text and "__cell__" in text
+
+    # full probe (nprobe = all cells) must equal exact brute force
+    full = ivf_read_topk(spark, p, qvec, centroids, k=5, nprobe=4).collect()
+    exact = cosine_topk(emb, qvec, k=5).to_spark().select("vec_id").collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
