@@ -789,6 +789,17 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
+    """SimHash hamming-radius near-dup pairs via pigeonhole banding
+    (rows-only: xxhash64-based fingerprints)."""
+    from eland_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return simhash_near_dup_pairs(
+        docs.to_spark(), F.col("text"), F.col("doc_id"), k=2, max_hamming=3
+    )
+
+
 def q_vocabulary(spark, sf_dir) -> DataFrame:
     """Corpus vocabulary top-100 (training-data tokenizer-building op):
     explode -> map-side-combined groupBy, deterministic tie-break."""
@@ -1059,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
+        "simhash_near_dup": q_simhash_near_dup,
         "embed_dedup": q_embed_dedup,
     }
 
@@ -1430,7 +1442,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM embeddings GROUP BY 1
         """,
-        # minhash_near_dup / simhash: xxhash64-based, no DuckDB equivalent
+        # minhash_near_dup / simhash / simhash_near_dup: xxhash64-based,
+        # no DuckDB equivalent
         # -> rows-only checks (intentionally omitted)
         "ngram_jaccard": """
             WITH toks AS (

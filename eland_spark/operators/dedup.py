@@ -286,6 +286,53 @@ def simhash_frame(sdf, text: Column, id_alias: Column, k: int = 2):
     return grouped.select("__id__", out.alias("__simhash__"))
 
 
+def simhash_near_dup_pairs(
+    sdf,
+    text: Column,
+    id_alias: Column,
+    k: int = 2,
+    max_hamming: int = 3,
+):
+    """SimHash near-dup candidate pairs within a hamming radius.
+
+    Pigeonhole banding: split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within the radius MUST agree
+    exactly on at least one band, so candidates come from equality
+    joins on (band_idx, band_bits), never an all-pairs comparison.
+    Verification is one codegen'd bit_count(xor) per candidate.
+    Returns (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fp = simhash_frame(sdf, text, id_alias, k)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftrightunsigned(F.col("__simhash__"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select("__id__", "__simhash__", F.explode(bands).alias("band")).select(
+        "__id__", "__simhash__", F.col("band.b").alias("__b__"), F.col("band.bits").alias("__bits__")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.__simhash__").bitwiseXOR(F.col("r.__simhash__")))
+    return (
+        l.join(r, on=[F.col("l.__b__") == F.col("r.__b__"), F.col("l.__bits__") == F.col("r.__bits__")])
+        .filter(F.col("l.__id__") < F.col("r.__id__"))
+        .select(
+            F.col("l.__id__").alias("id_a"),
+            F.col("r.__id__").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
     """Exact Jaccard similarity of word k-shingle sets of two strings."""
     sa, sb = shingles(a, k), shingles(b, k)
