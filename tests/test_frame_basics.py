@@ -210,3 +210,22 @@ def test_plotting_hist_data_and_gated_render(lineitem):
     assert hd["l_quantity__weights"].sum() == lineitem.shape[0]
     with _pytest.raises(ImportError, match="matplotlib"):
         hist_plot(lineitem, "l_quantity")
+
+
+def test_stacked_head_tail_semantics(orders, orders_pd):
+    """Reference stacked-limit semantics (eland/tasks.py:78-185):
+    head-of-head takes min, tail-of-tail collapses, tail-after-head is
+    the tail of the head window."""
+    pd_sorted = orders_pd.sort_values("o_orderkey").reset_index(drop=True)
+
+    hh = orders.head(10).head(3).to_pandas()
+    assert list(hh["o_orderkey"]) == list(pd_sorted.head(10).head(3)["o_orderkey"])
+
+    tt = orders.tail(5).tail(2).to_pandas()
+    assert list(tt["o_orderkey"]) == list(pd_sorted.tail(5).tail(2)["o_orderkey"])
+
+    ht = orders.head(10).tail(3).to_pandas()
+    assert list(ht["o_orderkey"]) == list(pd_sorted.head(10).tail(3)["o_orderkey"])
+
+    th = orders.tail(10).head(3).to_pandas()
+    assert list(th["o_orderkey"]) == list(pd_sorted.tail(10).head(3)["o_orderkey"])
