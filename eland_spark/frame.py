@@ -698,8 +698,38 @@ class DataFrame:
         for idx, row in self.iterrows():
             yield Tup(idx, *[row[c] for c in cols if c not in self._schema.index_cols])
 
-    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
-        self._projected().write.mode(mode).option("header", header).csv(path)
+    def to_csv(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        header: bool = True,
+        single_file: bool = False,
+        batch_size: int = 5000,
+    ) -> None:
+        """Distributed CSV write; ``single_file=True`` reproduces the
+        reference's contract exactly — chunks streamed to ONE local file,
+        header once, append after the first batch
+        (eland/operations.py:1218-1246) — with only one partition
+        resident on the driver at a time."""
+        if not single_file:
+            self._projected().write.mode(mode).option("header", header).csv(path)
+            return
+        import csv as _csv
+
+        sdf = self._projected(self._ordered_sdf())
+        cols = sdf.columns
+        with open(path, "w", newline="") as fh:
+            w = _csv.writer(fh)
+            if header:
+                w.writerow(cols)
+            batch = []
+            for row in sdf.toLocalIterator():
+                batch.append([row[c] for c in cols])
+                if len(batch) >= batch_size:
+                    w.writerows(batch)
+                    batch = []
+            if batch:
+                w.writerows(batch)
 
     def to_json(self, path: str, mode: str = "overwrite") -> None:
         self._projected().write.mode(mode).json(path)

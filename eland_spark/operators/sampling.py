@@ -1,0 +1,73 @@
+"""Training-data sampling operators.
+
+No reference analog beyond row-level ``sample`` (eland's seeded
+random_score, eland/tasks.py:188-220); these are the dataset-curation
+extensions every large-scale pipeline needs: per-stratum sampling
+(balance sources/languages) and weighted dataset mixing (the "data
+mixture" step of LLM training runs). Both are pure row-filter maps —
+no shuffle, no driver data, deterministic under a seed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_sample", "mix_datasets", "sample_exact_n"]
+
+
+def stratified_sample(
+    sdf: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy``): keep a
+    different fraction of each stratum — e.g. downsample a dominant
+    source to balance a corpus. Strata absent from ``fractions`` are
+    dropped (sampleBy's contract). One scan, no shuffle."""
+    return sdf.sampleBy(strata_col, fractions={k: float(v) for k, v in fractions.items()}, seed=seed)
+
+
+def mix_datasets(
+    parts: list[tuple[DataFrame, float]],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted dataset mixture: subsample each source by its weight
+    (0..1 keep-fraction) and union. The mixture is lazy — each source
+    keeps its own scan + pushdown, and the union is a zero-cost plan
+    node, so mixing N corpora adds no shuffle at any scale.
+
+    Schemas must union by name (missing columns are not invented)."""
+    if not parts:
+        raise ValueError("mix_datasets needs at least one (frame, weight)")
+    sampled = []
+    for i, (sdf, w) in enumerate(parts):
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight {w} not in [0, 1]")
+        # vary the seed per source so identical frames don't correlate
+        sampled.append(sdf.sample(fraction=float(w), seed=seed + i))
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def sample_exact_n(
+    sdf: DataFrame, n: int, seed: int = 42, order_col: str | None = None
+) -> DataFrame:
+    """Exactly-n random sample: rank by a seeded hash and take n.
+    Unlike fraction sampling this is exact; the cost is one TakeOrdered
+    (per-partition top-n + driver merge of n rows — no full sort
+    shuffle). Deterministic given seed (+ a unique order_col for
+    tie-free ordering; defaults to the hash of the whole row)."""
+    key = (
+        F.xxhash64(F.col(order_col), F.lit(seed))
+        if order_col
+        else F.xxhash64(*[F.col(c) for c in sdf.columns], F.lit(seed))
+    )
+    return (
+        sdf.withColumn("__rand__", key)
+        .orderBy("__rand__")
+        .limit(n)
+        .drop("__rand__")
+    )

@@ -1,0 +1,62 @@
+"""Training-data sampling operators + single-file CSV contract."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import eland_spark as es
+from eland_spark.operators.sampling import mix_datasets, sample_exact_n, stratified_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_fractions(spark):
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+    totals = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    out = stratified_sample(docs, "source", {"src0": 1.0, "src1": 0.0})
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got.get("src0") == totals["src0"]   # fraction 1.0 keeps all
+    assert "src1" not in got                    # fraction 0.0 drops all
+    assert set(got) <= {"src0", "src1"}         # unlisted strata dropped
+    # determinism
+    a = stratified_sample(docs, "source", {"src0": 0.5}, seed=7).count()
+    b = stratified_sample(docs, "source", {"src0": 0.5}, seed=7).count()
+    assert a == b
+
+
+def test_mix_datasets_weights_and_schema(spark):
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    mixed = mix_datasets([(a, 1.0), (b, 0.0)])
+    assert mixed.count() == a.count()
+    assert mixed.columns == docs.columns
+    with pytest.raises(ValueError, match="weight"):
+        mix_datasets([(a, 1.5)])
+    with pytest.raises(ValueError, match="at least one"):
+        mix_datasets([])
+
+
+def test_sample_exact_n_deterministic(spark):
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+    s1 = sample_exact_n(docs, 25, seed=3, order_col="doc_id")
+    s2 = sample_exact_n(docs, 25, seed=3, order_col="doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert len(ids1) == 25 and ids1 == ids2
+    ids3 = sorted(
+        r["doc_id"]
+        for r in sample_exact_n(docs, 25, seed=4, order_col="doc_id")
+        .select("doc_id").collect()
+    )
+    assert ids1 != ids3  # different seed, different sample
+
+
+def test_to_csv_single_file(spark, tmp_path):
+    nat = es.read_parquet(spark, f"{SF}/nation.parquet", index_col="n_nationkey")
+    p = str(tmp_path / "nation.csv")
+    nat.to_csv(p, single_file=True)
+    back = pd.read_csv(p)
+    exp = nat.to_pandas()
+    assert back.shape == exp.shape
+    assert list(back["n_name"]) == list(exp["n_name"])  # index order preserved
