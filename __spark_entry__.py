@@ -789,6 +789,16 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Per-stratum sampling plumbing; fractions of 1.0 make the sample
+    deterministic, so the oracle checks stratum selection exactly."""
+    from eland_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    out = stratified_sample(docs.to_spark(), "source", {"src0": 1.0, "src2": 1.0})
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_simhash_near_dup(spark, sf_dir) -> DataFrame:
     """SimHash hamming-radius near-dup pairs via pigeonhole banding
     (rows-only: xxhash64-based fingerprints)."""
@@ -1071,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
         "simhash_near_dup": q_simhash_near_dup,
+        "stratified_sample": q_stratified_sample,
         "embed_dedup": q_embed_dedup,
     }
 
@@ -1529,6 +1540,10 @@ def oracle_sql() -> dict[str, str]:
         # embed_dedup: signature-fold float accumulation is engine-specific
         # at the sign boundary -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "stratified_sample": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE source IN ('src0', 'src2') GROUP BY 1
+        """,
         "vocabulary": """
             WITH toks AS (
                 SELECT unnest(list_filter(
