@@ -789,6 +789,48 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Weighted dataset mixture plumbing; weights of 1.0 make the
+    mixture deterministic (pure unionByName), so the oracle checks the
+    source composition exactly."""
+    from eland_spark.operators.sampling import mix_datasets
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    mixed = mix_datasets([(a, 1.0), (b, 1.0)])
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_sample_exact_n(spark, sf_dir) -> DataFrame:
+    """Exactly-n seeded sample (rows-only: xxhash64 ranking has no
+    DuckDB twin; the weak check still pins the row count)."""
+    from eland_spark.operators.sampling import sample_exact_n
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = sample_exact_n(docs, 50, seed=7, order_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+def q_ann_ivf_partitioned(spark, sf_dir) -> DataFrame:
+    """IVF storage round-trip: write the vector table partitioned by
+    centroid cell, probe ALL cells back through partition-pruned reads
+    — with a full probe the result is exact, so the brute-force oracle
+    hash-checks the entire write/prune/score path."""
+    import tempfile
+
+    from eland_spark.operators.similarity import ivf_index, ivf_read_topk, ivf_write
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    centroids = ivf_index(emb, n_cells=4, max_iter=2)
+    path = tempfile.mkdtemp(prefix="eland_spark_ivf_") + "/t"
+    ivf_write(emb, path, centroids)
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    out = ivf_read_topk(spark, path, qvec, centroids, k=10, nprobe=4)
+    return out.select("vec_id", F.round(F.col("__cos__"), 6).alias("cos_sim"))
+
+
 def q_stratified_sample(spark, sf_dir) -> DataFrame:
     """Per-stratum sampling plumbing; fractions of 1.0 make the sample
     deterministic, so the oracle checks stratum selection exactly."""
@@ -1082,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "simhash_near_dup": q_simhash_near_dup,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "sample_exact_n": q_sample_exact_n,
+        "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "embed_dedup": q_embed_dedup,
     }
 
@@ -1453,6 +1498,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM embeddings GROUP BY 1
         """,
+        "ann_ivf_partitioned": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings, q
+            ORDER BY list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        # sample_exact_n: xxhash64 ranking, no DuckDB twin -> rows-only
         # minhash_near_dup / simhash / simhash_near_dup: xxhash64-based,
         # no DuckDB equivalent
         # -> rows-only checks (intentionally omitted)
@@ -1540,6 +1599,10 @@ def oracle_sql() -> dict[str, str]:
         # embed_dedup: signature-fold float accumulation is engine-specific
         # at the sign boundary -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "mixture_sample": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE source IN ('src0', 'src1') GROUP BY 1
+        """,
         "stratified_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src2') GROUP BY 1

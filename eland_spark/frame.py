@@ -715,12 +715,17 @@ class DataFrame:
             self._projected().write.mode(mode).option("header", header).csv(path)
             return
         import csv as _csv
+        import os as _os
 
+        exists = _os.path.exists(path)
+        if exists and mode in ("error", "errorifexists"):
+            raise FileExistsError(f"{path!r} already exists (mode={mode!r})")
+        appending = exists and mode == "append"
         sdf = self._projected(self._ordered_sdf())
         cols = sdf.columns
-        with open(path, "w", newline="") as fh:
+        with open(path, "a" if appending else "w", newline="") as fh:
             w = _csv.writer(fh)
-            if header:
+            if header and not appending:
                 w.writerow(cols)
             batch = []
             for row in sdf.toLocalIterator():

@@ -135,7 +135,7 @@ class DataFrameGroupBy:
         ES's approximate MAD agg (eland/groupby.py). The frame is first
         normalized to display names so the self-join works after
         renames (physical column names never appear past this select)."""
-        fields = self._agg_fields(True, "mad")
+        fields = self._agg_fields(numeric_only, "mad")
         sdf, keys = self._grouped_sdf()
         norm = sdf.select(
             *keys,

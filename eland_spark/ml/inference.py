@@ -123,7 +123,10 @@ def predict_column(
         ret = T.DoubleType()
     else:
         labels = ens.classification_labels
-        if labels is not None and any(isinstance(v, str) for v in labels):
+        # bool before int: isinstance(True, int) is True
+        if labels is not None and any(isinstance(v, bool) for v in labels):
+            ret = T.BooleanType()
+        elif labels is not None and any(isinstance(v, str) for v in labels):
             ret = T.StringType()
         elif labels is not None and any(isinstance(v, float) for v in labels):
             ret = T.DoubleType()

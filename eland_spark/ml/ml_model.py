@@ -78,8 +78,8 @@ class MLModel:
             return out.astype("float64")
         # _finalize already mapped argmax through classification_labels;
         # keep the labels' own dtype (reference returns the model's real
-        # class labels, not positional indices)
-        if out.dtype.kind in ("i", "u", "b"):
+        # class labels, not positional indices — including bools)
+        if out.dtype.kind in ("i", "u"):
             return out.astype("int64")
         return out
 

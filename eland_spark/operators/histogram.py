@@ -51,13 +51,67 @@ def histogram(df: DataFrame, column: str, bins: int = 10) -> tuple[np.ndarray, n
     return edges, counts
 
 
+def hist_matrix(
+    df: DataFrame, bins: int = 10
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """All-numeric-column histograms in exactly TWO jobs regardless of
+    column count (the reference's two-roundtrip contract,
+    eland/operations.py:470-556): one batched min/max aggregate, then
+    one aggregate producing every column's bin-count array via
+    conditional sums. Returns {column: (edges, counts)}."""
+    fields = [f for f in df._schema.fields if f.is_numeric]
+    if not fields:
+        return {}
+    # job 1: min/max for every column at once
+    mm_exprs = []
+    for f in fields:
+        c = F.col(f.column_name)
+        mm_exprs += [F.min(c).alias(f"lo__{f.display_name}"),
+                     F.max(c).alias(f"hi__{f.display_name}")]
+    mm = df._sdf.agg(*mm_exprs).collect()[0]
+
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    cnt_exprs = []
+    live = []
+    for f in fields:
+        lo, hi = mm[f"lo__{f.display_name}"], mm[f"hi__{f.display_name}"]
+        if lo is None or hi is None:
+            out[f.display_name] = (
+                np.linspace(0.0, 1.0, bins + 1), np.zeros(bins, dtype="int64")
+            )
+            continue
+        lo, hi = float(lo), float(hi)
+        if lo == hi:
+            edges = np.linspace(lo - 0.5, hi + 0.5, bins + 1)
+        else:
+            edges = np.array([lo + i * (hi - lo) / bins for i in range(bins + 1)])
+        interval = edges[1] - edges[0]
+        c = F.col(f.column_name)
+        bucket = F.floor((c - F.lit(float(edges[0]))) / F.lit(float(interval))).cast("long")
+        bucket = F.when(bucket >= bins, bins - 1).otherwise(bucket)
+        cnt_exprs.append(
+            F.array(
+                *[
+                    F.sum(F.when(c.isNotNull() & (bucket == i), 1).otherwise(0))
+                    for i in range(bins)
+                ]
+            ).alias(f"n__{f.display_name}")
+        )
+        live.append((f, edges))
+    if cnt_exprs:
+        # job 2: every column's bin counts in one Aggregate
+        row = df._sdf.agg(*cnt_exprs).collect()[0]
+        for f, edges in live:
+            counts = np.asarray(row[f"n__{f.display_name}"], dtype="int64")
+            out[f.display_name] = (edges, counts)
+    return out
+
+
 def hist_frame(df: DataFrame, bins: int = 10) -> pd.DataFrame:
     """All-numeric-column histogram matrix for plotting (reference
-    eland/plotting/_core.py:21-131)."""
+    eland/plotting/_core.py:21-131). Two jobs total via hist_matrix."""
     out = {}
-    for f in df._schema.fields:
-        if f.is_numeric:
-            edges, counts = histogram(df, f.display_name, bins)
-            out[f"{f.display_name}_edges"] = edges[:-1]
-            out[f"{f.display_name}_counts"] = counts
+    for name, (edges, counts) in hist_matrix(df, bins).items():
+        out[f"{name}_edges"] = edges[:-1]
+        out[f"{name}_counts"] = counts
     return pd.DataFrame(out)

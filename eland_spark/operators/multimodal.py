@@ -117,11 +117,10 @@ def sample_video_frames(
     downstream mapInPandas like decode_image_features.
 
     Zero-frame media yield no rows (no phantom frame 0); null n_frames
-    rows are kept with a null frame index (explode_outer)."""
+    rows are kept with a null frame index (explode_outer of the null
+    sequence that when() falls through to)."""
     n = F.col(f"{media_col}.n_frames")
-    idx = F.when(
-        n >= 1, F.sequence(F.lit(0), n - 1, F.lit(every_nth))
-    ).otherwise(F.when(n.isNull(), F.lit(None)).otherwise(F.array()))
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(every_nth)))
     return df.withColumn(out_col, F.explode_outer(idx)).filter(
         n.isNull() | (n >= 1)
     )

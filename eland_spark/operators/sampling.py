@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["stratified_sample", "mix_datasets", "sample_exact_n"]
 
@@ -60,14 +61,18 @@ def sample_exact_n(
     (per-partition top-n + driver merge of n rows — no full sort
     shuffle). Deterministic given seed (+ a unique order_col for
     tie-free ordering; defaults to the hash of the whole row)."""
-    key = (
-        F.xxhash64(F.col(order_col), F.lit(seed))
-        if order_col
-        else F.xxhash64(*[F.col(c) for c in sdf.columns], F.lit(seed))
-    )
-    return (
-        sdf.withColumn("__rand__", key)
-        .orderBy("__rand__")
-        .limit(n)
-        .drop("__rand__")
-    )
+    if order_col:
+        hash_cols = [F.col(order_col)]
+    else:
+        # MapType columns are unhashable; hash the hashable subset
+        hashable = [
+            f.name for f in sdf.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+        hash_cols = [F.col(c) for c in hashable]
+    key = F.xxhash64(*hash_cols, F.lit(seed))
+    # collision-free temp name even if the frame has a __rand__ column
+    tmp = "__rand__"
+    while tmp in sdf.columns:
+        tmp += "_"
+    return sdf.withColumn(tmp, key).orderBy(tmp).limit(n).drop(tmp)

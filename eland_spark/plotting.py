@@ -11,11 +11,10 @@ import-gated on matplotlib (not installed in this environment), and
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from .frame import DataFrame
-from .operators.histogram import histogram
+from .operators.histogram import hist_matrix, histogram
 
 __all__ = ["hist_data", "hist_plot"]
 
@@ -23,13 +22,11 @@ __all__ = ["hist_data", "hist_plot"]
 def hist_data(df: DataFrame, bins: int = 10) -> pd.DataFrame:
     """Per-numeric-column (edges, weights) frame — the reference's
     ``_hist`` payload (eland/plotting/_core.py:81-131): bin left edges
-    and counts, computed cluster-side."""
+    and counts, computed cluster-side in two jobs total (hist_matrix)."""
     out = {}
-    for f in df._schema.fields:
-        if f.is_numeric:
-            edges, counts = histogram(df, f.display_name, bins)
-            out[f"{f.display_name}__edges"] = edges[:-1]
-            out[f"{f.display_name}__weights"] = counts
+    for name, (edges, counts) in hist_matrix(df, bins).items():
+        out[f"{name}__edges"] = edges[:-1]
+        out[f"{name}__weights"] = counts
     return pd.DataFrame(out)
 
 
