@@ -572,22 +572,30 @@ class DataFrame:
         return pd.DataFrame(cols)
 
     def idxmax(self) -> pd.Series:
-        return self._idx_extreme(F.max_by)
+        return self._idx_extreme(True)
 
     def idxmin(self) -> pd.Series:
-        return self._idx_extreme(F.min_by)
+        return self._idx_extreme(False)
 
-    def _idx_extreme(self, fn) -> pd.Series:
+    def _idx_extreme(self, is_max: bool) -> pd.Series:
         """Index value of the row holding each numeric column's extreme —
-        ``max_by/min_by`` replaces the reference's per-field top_hits agg
-        (eland/operations.py:207-254)."""
+        ``min_by`` over a (value-ordering, id) struct replaces the
+        reference's per-field top_hits agg (eland/operations.py:207-254).
+        Ties break to the LOWEST index (pandas first-occurrence
+        semantics; a bare max_by picks an arbitrary tied row): minimizing
+        the lexicographic struct(-value | value, id) finds the extreme
+        value first, smallest id second. Null values are excluded like
+        pandas skipna."""
         if not self._schema.index_cols:
             raise ValueError("idxmax/idxmin require an index column")
         key = self._schema.index_cols[0]
         fields = [f for f in self._schema.fields if f.is_numeric]
-        exprs = [
-            fn(F.col(key), F.col(f.column_name)).alias(f.display_name) for f in fields
-        ]
+        exprs = []
+        for f in fields:
+            v = F.col(f.column_name).cast("double")
+            ordering = (-v) if is_max else v
+            pair = F.when(v.isNotNull(), F.struct(ordering.alias("o"), F.col(key).alias("i")))
+            exprs.append(F.min_by(F.col(key), pair).alias(f.display_name))
         row = self._sdf.agg(*exprs).collect()[0]
         return pd.Series({f.display_name: row[f.display_name] for f in fields})
 

@@ -116,3 +116,14 @@ def test_head_tail_match_pandas(spark, rows, n):
     got_t = edf.tail(n).to_pandas()["_id"].tolist()
     assert got_h == pdf.head(n)["_id"].tolist()
     assert got_t == pdf.tail(n)["_id"].tolist()
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_idxmax_idxmin_match_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    pdf_i = pdf.set_index("_id")
+    for col in ["a", "b"]:
+        if pdf_i[col].notna().any():
+            assert edf.idxmax()[col] == pdf_i[col].idxmax(), (rows, col)
+            assert edf.idxmin()[col] == pdf_i[col].idxmin(), (rows, col)
