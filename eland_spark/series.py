@@ -363,14 +363,21 @@ class Series:
 
     def mode(self) -> pd.Series:
         """All values tied at max frequency, sorted (reference tie
-        semantics eland/operations.py:676-696)."""
-        from pyspark.sql import Window
+        semantics eland/operations.py:676-696). Nulls are never mode
+        candidates (pandas dropna=True; ES terms aggs skip missing).
 
-        counted = self._frame._sdf.groupBy(self._expr.alias("v")).count()
-        w = Window.orderBy(F.desc("count"))
+        Ties resolve via max-count broadcast filter, not a global rank
+        window — a rank over an unpartitioned window funnels the whole
+        distinct-value table through ONE task, which breaks on
+        high-cardinality columns at scale."""
+        counted = (
+            self._frame._sdf.filter(self._expr.isNotNull())
+            .groupBy(self._expr.alias("v"))
+            .count()
+        )
+        top = counted.agg(F.max("count").alias("m"))
         rows = (
-            counted.withColumn("rk", F.rank().over(w))
-            .filter(F.col("rk") == 1)
+            counted.join(F.broadcast(top), counted["count"] == top["m"])
             .orderBy("v")
             .collect()
         )

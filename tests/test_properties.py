@@ -127,3 +127,21 @@ def test_idxmax_idxmin_match_pandas(spark, rows):
         if pdf_i[col].notna().any():
             assert edf.idxmax()[col] == pdf_i[col].idxmax(), (rows, col)
             assert edf.idxmin()[col] == pdf_i[col].idxmin(), (rows, col)
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_mode_excludes_nulls_like_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    if len(pdf) == 0:
+        return
+    got = edf.mode()
+    if len(got) == 0:
+        assert pdf[["k", "a", "b"]].dropna(how="all").empty or pdf["a"].isna().all()
+        return
+    exp = pdf[list(got.columns)].mode()
+    for c in got.columns:
+        if len(exp) == 0 or pd.isna(exp[c].iloc[0]):
+            assert pd.isna(got[c].iloc[0])
+        else:
+            assert got[c].iloc[0] == exp[c].iloc[0], (rows, c)
