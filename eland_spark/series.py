@@ -224,37 +224,87 @@ class Series:
     def __rmul__(self, other):
         return self.__mul__(other)
 
+    @staticmethod
+    def _ieee_div(num: Column, den: Column) -> Column:
+        """IEEE-754 double division, matching both pandas and the
+        reference's Painless/Java semantics: x/0 -> ±inf, 0/0 -> NaN.
+        Spark's own `/` THROWS under ANSI (default in Spark 4) and
+        returns NULL under legacy — neither is the float contract. The
+        when() guard keeps the raw division off the zero-divisor rows,
+        so no ANSI error can fire."""
+        num, den = num.cast("double"), den.cast("double")
+        # IEEE signed zero: x / -0.0 flips the infinity's sign; the only
+        # comparison that sees the sign bit of a zero is its string form
+        neg_zero = den.cast("string").startswith("-")
+        pos_inf = F.when(neg_zero, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
+        neg_inf = F.when(neg_zero, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
+        return F.when(
+            den == 0,
+            F.when(num > 0, pos_inf)
+            .when(num < 0, neg_inf)
+            .when(num == 0, F.lit(float("nan"))),
+        ).otherwise(F.try_divide(num, den))
+
     def __truediv__(self, other):
         self._check_str_op(other, "/", "none")
-        return self._derived(self._expr / self._other(other), T.DoubleType())
+        return self._derived(self._ieee_div(self._expr, self._other(other)), T.DoubleType())
 
     def __rtruediv__(self, other):
         self._check_str_op(other, "/", "none")
-        return self._derived(self._other(other) / self._expr, T.DoubleType())
+        return self._derived(self._ieee_div(self._other(other), self._expr), T.DoubleType())
+
+    def _floor_div(self, num: Column, den: Column, out_type) -> Column:
+        # Math.floor semantics like the reference script
+        # (arithmetics.py:141). For double outputs the floor must STAY a
+        # double: Spark's floor() returns LongType and silently clamps
+        # anything beyond ±2^63 (e.g. 1.0 // 1e-308 -> 7e307, not
+        # Long.MaxValue). d - pmod(d, 1) is floor for every finite
+        # double (negative fractions round toward -inf via pmod) and
+        # passes NaN/±inf through untouched.
+        d = self._ieee_div(num, den)
+        if isinstance(out_type, T.DoubleType):
+            # Inside ±2^63 use the exact long floor (cast back to
+            # double); outside it every double is already integral (no
+            # fraction bits above 2^53), and NaN/±inf fail the bound
+            # check, so the raw quotient passes through for all three.
+            bound = 9.2233720368547e18  # strictly below 2^63: no ANSI overflow
+            return F.when(
+                (d >= F.lit(-bound)) & (d <= F.lit(bound)),
+                F.floor(d).cast("double"),
+            ).otherwise(d)
+        return F.floor(F.try_divide(num, den))
 
     def __floordiv__(self, other):
         self._check_str_op(other, "//", "none")
-        # Math.floor semantics like the reference script (arithmetics.py:141)
-        return self._derived(
-            F.floor(self._expr / self._other(other)).cast("double")
-            if isinstance(self._num_type(other), T.DoubleType)
-            else F.floor(self._expr / self._other(other)),
-            self._num_type(other),
-        )
+        t = self._num_type(other)
+        return self._derived(self._floor_div(self._expr, self._other(other), t), t)
 
     def __rfloordiv__(self, other):
         self._check_str_op(other, "//", "none")
-        return self._derived(
-            F.floor(self._other(other) / self._expr), self._num_type(other)
-        )
+        t = self._num_type(other)
+        return self._derived(self._floor_div(self._other(other), self._expr, t), t)
+
+    @staticmethod
+    def _ieee_mod(num: Column, den: Column, out_type) -> Column:
+        """Remainder with the DIVIDEND's sign (Java/Painless semantics,
+        reference arithmetics.py — pandas flips to the divisor's sign
+        for negatives; that divergence is the reference's contract).
+        x % 0 -> NaN for doubles (NULL for ints), never an ANSI error."""
+        if isinstance(out_type, T.DoubleType):
+            return F.when(
+                den.cast("double") == 0, F.lit(float("nan"))
+            ).otherwise(F.try_mod(num, den))
+        return F.try_mod(num, den)
 
     def __mod__(self, other):
         self._check_str_op(other, "%", "none")
-        return self._derived(self._expr % self._other(other), self._num_type(other))
+        t = self._num_type(other)
+        return self._derived(self._ieee_mod(self._expr, self._other(other), t), t)
 
     def __rmod__(self, other):
         self._check_str_op(other, "%", "none")
-        return self._derived(self._other(other) % self._expr, self._num_type(other))
+        t = self._num_type(other)
+        return self._derived(self._ieee_mod(self._other(other), self._expr, t), t)
 
     def __pow__(self, other):
         self._check_str_op(other, "**", "none")

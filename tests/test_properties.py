@@ -145,3 +145,50 @@ def test_mode_excludes_nulls_like_pandas(spark, rows):
             assert pd.isna(got[c].iloc[0])
         else:
             assert got[c].iloc[0] == exp[c].iloc[0], (rows, c)
+
+
+ZEROABLE = st.one_of(FINITE, st.just(0.0), st.none())
+DIV_ROWS = st.lists(
+    st.tuples(st.one_of(FINITE, st.none()), ZEROABLE), min_size=1, max_size=25
+)
+
+
+def _div_frame(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["a", "b"]).astype(
+        {"a": "float64", "b": "float64"}
+    )
+    pdf["_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf, schema="a double, b double, _id bigint")
+    return pdf, EDF(sdf, index_cols=("_id",))
+
+
+def _ieee_close(g, e):
+    g = np.asarray(g, dtype="float64")
+    e = np.asarray(e, dtype="float64")
+    return (
+        (np.isnan(g) & np.isnan(e))
+        | (np.isinf(g) & np.isinf(e) & (np.sign(g) == np.sign(e)))
+        | np.isclose(g, e, rtol=1e-9, atol=1e-12)
+    )
+
+
+@given(rows=DIV_ROWS)
+@settings(**COMMON)
+def test_division_ieee_semantics(spark, rows):
+    """ANSI Spark throws on x/0; pandas and the reference's Painless give
+    ±inf / NaN. The engine must produce the IEEE result, never an error
+    (and floordiv must not clamp huge quotients to Long.MaxValue)."""
+    pdf, edf = _div_frame(spark, rows)
+    out = (
+        edf.assign(d=edf.a / edf.b, fd=edf.a // edf.b, m=edf.a % edf.b)
+        .to_pandas().sort_values("_id").reset_index(drop=True)
+    )
+    assert _ieee_close(out["d"], (pdf.a / pdf.b).reset_index(drop=True)).all()
+    assert _ieee_close(out["fd"], (pdf.a // pdf.b).reset_index(drop=True)).all()
+    # mod follows the reference's Java dividend-sign semantics (fmod)
+    with np.errstate(invalid="ignore"):
+        exp_m = np.where(
+            pdf.b.to_numpy() == 0, np.nan,
+            np.fmod(pdf.a.to_numpy(), pdf.b.to_numpy()),
+        )
+    assert _ieee_close(out["m"], exp_m).all()
