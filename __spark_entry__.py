@@ -413,6 +413,34 @@ def q_scalar_functions(spark, sf_dir) -> DataFrame:
     ).filter(F.col("o_orderkey") < 1000)
 
 
+def q_es_date_parse(spark, sf_dir) -> DataFrame:
+    """ES named date-format codec (reference eland/common.py:106-304):
+    format o_orderdate into three ES formats, parse each back with
+    es_date_parse, plus a ||-chain that must fall through to basic_date.
+    All parsing is JVM-side try_to_timestamp / epoch arithmetic."""
+    from eland_spark.functions.dates import es_date_parse
+
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    sdf = orders.to_spark()
+    d = F.col("o_orderdate")
+    basic = F.date_format(d, "yyyyMMdd")
+    ordinal = F.date_format(d, "yyyy-DDD")
+    millis = F.unix_millis(d.cast("timestamp")).cast("string")
+    parsed = sdf.select(
+        es_date_parse(basic, "basic_date").alias("t_basic"),
+        es_date_parse(ordinal, "ordinal_date").alias("t_ordinal"),
+        es_date_parse(millis, "epoch_millis").alias("t_epoch"),
+        # chain: ISO leg can't parse "yyyyMMdd", falls through to basic_date
+        es_date_parse(basic, "strict_date_optional_time||basic_date").alias("t_chain"),
+    )
+    return parsed.groupBy(F.year("t_basic").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t_ordinal").alias("min_ordinal"),
+        F.max("t_epoch").alias("max_epoch"),
+        F.count(F.when(F.col("t_chain") == F.col("t_basic"), 1)).alias("n_chain_ok"),
+    )
+
+
 def q_json_extract(spark, sf_dir) -> DataFrame:
     """JSON field extraction from the events props column."""
     ev = _t(spark, sf_dir, "events", "event_id")
@@ -1086,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arithmetic": q_arithmetic,
         "string_concat": q_string_concat,
         "scalar_functions": q_scalar_functions,
+        "es_date_parse": q_es_date_parse,
         "json_extract": q_json_extract,
         "case_when": q_case_when,
         "head": q_head,
@@ -1307,6 +1336,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
                    round(o_totalprice / 1000.0, 2) AS price_k
             FROM orders WHERE o_orderkey < 1000
+        """,
+        "es_date_parse": """
+            WITH parsed AS (
+                SELECT strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS t_basic,
+                       strptime(strftime(o_orderdate, '%Y-%j'), '%Y-%j') AS t_ordinal,
+                       epoch_ms(epoch_ms(o_orderdate::TIMESTAMP)) AS t_epoch,
+                       strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS t_chain
+                FROM orders
+            )
+            SELECT CAST(EXTRACT(year FROM t_basic) AS BIGINT) AS y,
+                   count(*) AS n,
+                   min(t_ordinal) AS min_ordinal,
+                   max(t_epoch) AS max_epoch,
+                   count(CASE WHEN t_chain = t_basic THEN 1 END) AS n_chain_ok
+            FROM parsed GROUP BY 1
         """,
         "json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
