@@ -1066,6 +1066,41 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_multimodal_pipeline(spark, sf_dir) -> DataFrame:
+    """Resize + audio-feature stages composed after attach (rows-only:
+    stub kernels are deterministic but not SQL-expressible). Exercises
+    mapInPandas schema-preserving resize and the audio mime gate."""
+    from eland_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_features,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    with_media = attach_fake_media(
+        docs.to_spark().select("doc_id").filter(F.col("doc_id") < 200), "doc_id"
+    )
+    resized = resize_images(with_media, 8, 8)
+    audio = extract_audio_features(
+        resized.withColumn(
+            "media",
+            F.struct(
+                F.col("media.data").alias("data"),
+                F.lit("audio/fake").alias("mime"),
+                F.col("media.width").alias("width"),
+                F.col("media.height").alias("height"),
+                F.col("media.n_frames").alias("n_frames"),
+            ),
+        )
+    )
+    return audio.select(
+        "doc_id",
+        F.length("media.data").cast("long").alias("data_len"),
+        F.round(F.element_at("audio_features", 1), 6).alias("rms"),
+        F.round(F.element_at("audio_features", 2), 6).alias("zcr"),
+    )
+
+
 def q_embed_topk(spark, sf_dir) -> DataFrame:
     """Text-embedding operator + cosine top-k (rows-only: the hashed
     stand-in encoder has no DuckDB equivalent). Reference text_embedding
@@ -1146,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_tree_score": q_ml_tree_score,
         "ltr_features": q_ltr_features,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

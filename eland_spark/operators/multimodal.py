@@ -25,6 +25,8 @@ __all__ = [
     "attach_fake_media",
     "decode_image_features",
     "sample_video_frames",
+    "resize_images",
+    "extract_audio_features",
 ]
 
 # media column contract: raw bytes + typed metadata (mime drives dispatch)
@@ -124,3 +126,99 @@ def sample_video_frames(
     return df.withColumn(out_col, F.explode_outer(idx)).filter(
         n.isNull() | (n >= 1)
     )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Resize every image to (width, height), replacing the media struct
+    in place (same MEDIA_SCHEMA out — resize stages compose). The kernel
+    is the stubbed decode + nearest-neighbor index sampling; a real
+    implementation swaps in PIL/cv2 inside the same mapInPandas batch
+    loop. Null media rows pass through untouched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size].copy()
+                out = []
+                for m in chunk[media_col]:
+                    if m is None or m["data"] is None:
+                        out.append(m)
+                        continue
+                    if m["mime"] != "image/fake":
+                        raise NotImplementedError(
+                            f"real resize for mime {m['mime']!r} not available "
+                            "in this environment"
+                        )
+                    img = _decode_stub(m["data"], m["width"], m["height"])
+                    ys = (np.arange(height) * m["height"] // height).astype(int)
+                    xs = (np.arange(width) * m["width"] // width).astype(int)
+                    resized = img[np.ix_(ys, xs)]
+                    out.append(
+                        {
+                            "data": resized.tobytes(),
+                            "mime": m["mime"],
+                            "width": width,
+                            "height": height,
+                            "n_frames": m["n_frames"],
+                        }
+                    )
+                chunk[media_col] = out
+                yield chunk
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _pcm_stub(data: bytes, n: int = 4096) -> np.ndarray:
+    """STUB audio decoder: deterministic fake PCM waveform in [-1, 1)
+    derived from the bytes (real path: soundfile/librosa load)."""
+    seed = int.from_bytes(hashlib.md5(data or b"").digest()[4:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, size=n)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "audio_features",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Audio feature extraction: (rms, zero-crossing rate, peak) per
+    clip as array<float>. Same stub-kernel / real-plumbing contract as
+    decode_image_features; audio mime gate is 'audio/fake'."""
+    fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()), True)
+    ]
+    out_schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size].copy()
+                feats = []
+                for m in chunk[media_col]:
+                    if m is None or m["data"] is None:
+                        feats.append(None)
+                        continue
+                    if not m["mime"].startswith("audio/"):
+                        feats.append(None)  # non-audio rows: null, not error
+                        continue
+                    if m["mime"] != "audio/fake":
+                        raise NotImplementedError(
+                            f"real audio decoder for mime {m['mime']!r} not "
+                            "available in this environment"
+                        )
+                    pcm = _pcm_stub(m["data"])
+                    rms = float(np.sqrt(np.mean(pcm**2)))
+                    zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0))
+                    peak = float(np.max(np.abs(pcm)))
+                    feats.append([rms, zcr, peak])
+                chunk[out_col] = feats
+                yield chunk
+
+    return df.mapInPandas(run, out_schema)
