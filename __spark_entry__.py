@@ -357,6 +357,20 @@ def q_filter_rlike_startswith(spark, sf_dir) -> DataFrame:
     return f[["p_partkey", "p_name", "p_brand"]].to_spark()
 
 
+def q_es_match_fuzzy(spark, sf_dir) -> DataFrame:
+    """es_match with ES fuzziness semantics (reference
+    eland/query_compiler.py:419-488): per-word Levenshtein <= 1 via
+    array exists HOF — JVM-side, no UDF. 'spak' appears nowhere in the
+    corpus; distance-1 matches hit 'spark'."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    hit = docs[docs.es_match("spak", columns=["text"], fuzziness=1)]
+    miss = docs[docs.es_match("spark", columns=["text"], must_not_match=True)]
+    return (
+        hit[["doc_id"]].to_spark().withColumn("kind", F.lit("fuzzy_hit"))
+        .unionAll(miss[["doc_id"]].to_spark().withColumn("kind", F.lit("must_not")))
+    )
+
+
 def q_query_expr(spark, sf_dir) -> DataFrame:
     """SQL-string escape hatch (es_query analog,
     eland/dataframe.py:736-791)."""
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_concat": q_string_concat,
         "scalar_functions": q_scalar_functions,
         "es_date_parse": q_es_date_parse,
+        "es_match_fuzzy": q_es_match_fuzzy,
         "json_extract": q_json_extract,
         "case_when": q_case_when,
         "head": q_head,
@@ -1372,6 +1387,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
                    round(o_totalprice / 1000.0, 2) AS price_k
             FROM orders WHERE o_orderkey < 1000
+        """,
+        "es_match_fuzzy": """
+            SELECT doc_id, 'fuzzy_hit' AS kind FROM documents
+            WHERE len(list_filter(
+                      string_split_regex(lower(text), '[^0-9a-z]+'),
+                      w -> w <> '' AND levenshtein(w, 'spak') <= 1)) > 0
+            UNION ALL
+            SELECT doc_id, 'must_not' AS kind FROM documents
+            WHERE NOT COALESCE(regexp_matches(lower(text), '\\bspark\\b'), FALSE)
         """,
         "es_date_parse": """
             WITH parsed AS (

@@ -273,17 +273,59 @@ class DataFrame:
     es_query = query
 
     def es_match(
-        self, text: str, columns: list[str] | None = None, match_phrase: bool = False
+        self,
+        text: str,
+        columns: list[str] | None = None,
+        match_phrase: bool = False,
+        match_only_text_fields: bool = True,
+        multi_match_type: str | None = None,
+        fuzziness: int | str | None = None,
+        must_not_match: bool = False,
     ) -> Series:
         """Multi-column text-match analog (reference
-        eland/query_compiler.py:419-488): OR of per-column matches."""
+        eland/query_compiler.py:419-488): OR of per-column matches
+        (best_fields semantics; BM25 relevance is deliberately out of
+        relational scope). ``multi_match_type`` accepts 'best_fields'
+        or 'phrase' ('phrase' implies match_phrase per field);
+        ``match_only_text_fields`` mirrors the reference's non-text
+        column rejection."""
         cols = columns or [f.display_name for f in self._schema.fields if f.is_string]
         if not cols:
             raise ValueError("no text columns to match against")
-        mask = self[cols[0]].es_match(text, match_phrase)
-        for c in cols[1:]:
-            mask = mask | self[c].es_match(text, match_phrase)
-        return mask
+        if columns is not None and len(cols) == 1 and multi_match_type is not None:
+            raise ValueError(
+                "multi_match_type parameter only valid when searching "
+                "more than one column"
+            )
+        if multi_match_type not in (None, "best_fields", "phrase"):
+            raise ValueError(f"unsupported multi_match_type {multi_match_type!r}")
+        if multi_match_type == "phrase":
+            match_phrase = True
+        elif match_phrase and multi_match_type is not None:
+            raise ValueError(
+                "match_phrase=True and multi_match_type="
+                f"{multi_match_type!r} are not compatible. "
+                "Must be multi_match_type='phrase'"
+            )
+        if match_only_text_fields:
+            non_text = [c for c in cols if not self._schema.field(c).is_string]
+            if non_text:
+                raise ValueError(
+                    f"Attempting to run es_match() on non-text fields "
+                    f"({', '.join(non_text)}). Consider "
+                    f"match_only_text_fields=False to match anyway."
+                )
+            use = cols
+        else:
+            use = [c for c in cols if self._schema.field(c).is_string]
+            if not use:
+                raise ValueError("no text columns to match against")
+        # must_not(a OR b) must negate the WHOLE disjunction, so build
+        # the positive mask first and negate once
+        mask = self[use[0]].es_match(text, match_phrase, fuzziness=fuzziness)
+        for c in use[1:]:
+            mask = mask | self[c].es_match(text, match_phrase, fuzziness=fuzziness)
+        return ~mask if must_not_match else mask
 
     # ------------------------------------------------------------------
     # sorts / limits / sampling (reference eland/dataframe.py:208-286,

@@ -323,20 +323,65 @@ class Series:
     # -- full-text match analog (reference es_match,
     #    eland/query_compiler.py:419-488): tokenized boolean contains;
     #    BM25 relevance is deliberately out of relational scope ---------
-    def es_match(self, text: str, match_phrase: bool = False) -> "Series":
+    def es_match(
+        self,
+        text: str,
+        match_phrase: bool = False,
+        fuzziness: int | str | None = None,
+        must_not_match: bool = False,
+    ) -> "Series":
+        """Boolean text match. ``fuzziness`` follows ES semantics: an
+        edit-distance int, or "AUTO" (0 for terms <3 chars, 1 for 3-5,
+        2 beyond — the ES default ladder). Fuzzy matching tokenizes the
+        column once and tests per-word Levenshtein distance inside an
+        ``exists`` higher-order function — all JVM expressions, no UDF.
+        """
         if match_phrase:
+            if fuzziness is not None:
+                # same restriction as ES: match_phrase has no fuzziness
+                raise ValueError("match_phrase does not support fuzziness")
             import re
 
             pattern = r"\b" + r"\s+".join(re.escape(t) for t in text.split()) + r"\b"
-            return self._bool(F.lower(self._expr).rlike(pattern.lower()))
-        conds = [
-            F.lower(self._expr).rlike(r"\b" + _re_escape(tok.lower()) + r"\b")
-            for tok in text.split()
-        ]
+            out = F.coalesce(F.lower(self._expr).rlike(pattern.lower()), F.lit(False))
+            return self._bool(~out if must_not_match else out)
+
+        def fuzz(tok: str) -> int:
+            if fuzziness is None:
+                return 0
+            if isinstance(fuzziness, str):
+                if fuzziness.upper() != "AUTO":
+                    raise ValueError(f"unsupported fuzziness {fuzziness!r}")
+                return 0 if len(tok) < 3 else (1 if len(tok) <= 5 else 2)
+            return int(fuzziness)
+
+        words = None
+        conds = []
+        for tok in text.split():
+            k = fuzz(tok)
+            if k == 0:
+                conds.append(
+                    F.lower(self._expr).rlike(r"\b" + _re_escape(tok.lower()) + r"\b")
+                )
+            else:
+                if words is None:
+                    words = F.filter(
+                        F.split(F.lower(self._expr), r"[^0-9a-z]+"),
+                        lambda w: w != "",
+                    )
+                def _within(t: str, dist: int):
+                    # factory closure: pyspark derives HOF arity from the
+                    # lambda signature, so defaults can't ride along
+                    return lambda w: F.levenshtein(w, F.lit(t)) <= F.lit(dist)
+
+                conds.append(F.exists(words, _within(tok.lower(), k)))
         out = conds[0]
         for c in conds[1:]:
             out = out | c
-        return self._bool(out)
+        # null text never matches; under must_not it DOES match (ES
+        # must_not on a missing/null field keeps the doc)
+        out = F.coalesce(out, F.lit(False))
+        return self._bool(~out if must_not_match else out)
 
     # -- aggregations (driver-side scalars, like the reference's
     #    single-request metric aggs eland/operations.py:176-418) --------

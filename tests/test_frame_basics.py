@@ -199,6 +199,63 @@ def test_es_match(documents):
     assert m.shape[0] > 0
 
 
+def test_es_match_must_not_partitions_frame(documents):
+    n = documents.shape[0]
+    hit = documents[documents.es_match("the", columns=["text"])].shape[0]
+    miss = documents[
+        documents.es_match("the", columns=["text"], must_not_match=True)
+    ].shape[0]
+    assert hit + miss == n
+
+
+def test_es_match_fuzziness(documents):
+    # "spak" appears nowhere, but is edit-distance 1 from "spark"
+    exact = documents[documents.es_match("spak", columns=["text"])].shape[0]
+    fuzzy = documents[
+        documents.es_match("spak", columns=["text"], fuzziness=1)
+    ].shape[0]
+    with_spark = documents[documents.es_match("spark", columns=["text"])].shape[0]
+    assert exact == 0
+    assert fuzzy >= with_spark > 0
+    # AUTO ladder: 4-char token gets distance 1 (same result)
+    auto = documents[
+        documents.es_match("spak", columns=["text"], fuzziness="AUTO")
+    ].shape[0]
+    assert auto == fuzzy
+    # short token (<3 chars) degrades to exact under AUTO
+    auto_short = documents[
+        documents.es_match("th", columns=["text"], fuzziness="AUTO")
+    ].shape[0]
+    pdf = documents.to_pandas()
+    exp = int(pdf["text"].str.contains(r"\bth\b", regex=True).sum())
+    assert auto_short == exp
+
+
+def test_es_match_multi_match_type_validation(documents):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more than one column"):
+        documents.es_match("x", columns=["text"], multi_match_type="phrase")
+    with _pytest.raises(ValueError, match="unsupported multi_match_type"):
+        documents.es_match(
+            "x", columns=["text", "lang"], multi_match_type="cross_fields"
+        )
+
+
+def test_es_match_non_text_rejection(documents):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-text fields"):
+        documents.es_match("5", columns=["doc_id"])
+    # lenient mode drops the non-text column instead
+    m = documents[
+        documents.es_match(
+            "the", columns=["doc_id", "text"], match_only_text_fields=False
+        )
+    ]
+    assert m.shape[0] > 0
+
+
 def test_plotting_hist_data_and_gated_render(lineitem):
     import numpy as np
     import pytest as _pytest
