@@ -12,7 +12,10 @@ from .etl import (
     pandas_to_spark,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_table,
+    save_as_table,
     spark_to_pandas,
     write_bucketed,
 )
@@ -32,8 +35,11 @@ __all__ = [
     "Schema",
     "get_session",
     "read_parquet",
+    "read_orc",
     "read_csv",
     "read_json",
+    "read_table",
+    "save_as_table",
     "csv_to_spark",
     "pandas_to_spark",
     "spark_to_pandas",

@@ -119,6 +119,45 @@ def read_json(
     return DataFrame(sdf, index_cols=(index_col,) if index_col else ())
 
 
+def read_orc(
+    spark: SparkSession, path: str, index_col: str | list[str] | None = None, **options
+) -> DataFrame:
+    """ORC source (columnar like parquet; same snapshot-from-immutable-
+    files semantics). Predicate pushdown and column pruning apply as
+    with parquet — pinned in tests/test_etl_sinks.py."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    sdf = reader.orc(path)
+    idx = (index_col,) if isinstance(index_col, str) else tuple(index_col or ())
+    return DataFrame(sdf, index_cols=idx)
+
+
+def read_table(
+    spark: SparkSession, name: str, index_col: str | list[str] | None = None
+) -> DataFrame:
+    """Catalog table source (metastore-managed: bucketed tables written
+    by write_bucketed re-enter the engine through here with their
+    bucket metadata intact)."""
+    idx = (index_col,) if isinstance(index_col, str) else tuple(index_col or ())
+    return DataFrame(spark.table(name), index_cols=idx)
+
+
+def save_as_table(
+    df: DataFrame, name: str, mode: str = "overwrite", partition_by=None
+) -> DataFrame:
+    """Catalog sink: saveAsTable with optional partitioning. Partition
+    columns become directory-level partition pruning at read time — the
+    scale lever for time-partitioned fact tables."""
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    writer = sdf.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.saveAsTable(name)
+    idx = df._schema.index_cols if isinstance(df, DataFrame) else ()
+    return read_table(sdf.sparkSession, name, index_col=list(idx) or None)
+
+
 def _verify_compat(existing: T.StructType, incoming: T.StructType) -> None:
     """Schema-compat check for append mode (reference
     verify_mapping_compatibility, eland/field_mappings.py:892-931)."""

@@ -795,6 +795,12 @@ class DataFrame:
             w = w.partitionBy(partition_by)
         w.parquet(path)
 
+    def to_orc(self, path: str, mode: str = "overwrite", partition_by=None) -> None:
+        w = self._projected().write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.orc(path)
+
     def es_info(self) -> str:
         """Explain analog (reference eland/operations.py:1500-1518):
         schema + physical plan."""

@@ -7,12 +7,24 @@ PIT pagination, eland/operations.py:1558-1664); csv/json mirror
 materialized until an action.
 """
 
-from ..etl import csv_to_spark, pandas_to_spark, read_csv, read_json, read_parquet
+from ..etl import (
+    csv_to_spark,
+    pandas_to_spark,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_table,
+    save_as_table,
+)
 
 __all__ = [
     "read_parquet",
+    "read_orc",
     "read_csv",
     "read_json",
+    "read_table",
+    "save_as_table",
     "csv_to_spark",
     "pandas_to_spark",
 ]

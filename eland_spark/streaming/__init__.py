@@ -3,6 +3,7 @@ from .windows import (
     read_events_stream,
     session_windowed,
     sliding_windowed,
+    stream_dedup,
     stream_to_memory,
     tumbling_windowed,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "sliding_windowed",
     "session_windowed",
     "sessionize_with_state",
+    "stream_dedup",
     "stream_to_memory",
 ]

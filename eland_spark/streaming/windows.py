@@ -23,6 +23,7 @@ __all__ = [
     "tumbling_windowed",
     "sliding_windowed",
     "session_windowed",
+    "stream_dedup",
     "stream_to_memory",
 ]
 
@@ -148,6 +149,25 @@ def session_windowed(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with state bounded by the
+    watermark: duplicates arriving within the watermark horizon of the
+    first sighting are dropped; state for older keys is evicted, so the
+    dedup store never grows beyond the horizon's key cardinality — the
+    property that makes exactly-once event ingestion feasible at
+    100 TB/day (a global dropDuplicates would keep every key forever).
+
+    Batch twin: operators.dedup.drop_duplicates (tested equivalent in
+    tests/test_streaming.py for in-horizon data)."""
+    sdf = _with_watermark(sdf, ts_col, watermark)
+    return sdf.dropDuplicatesWithinWatermark(keys)
 
 
 def stream_to_memory(

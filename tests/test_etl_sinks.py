@@ -41,6 +41,45 @@ def test_to_parquet_roundtrip(spark, nation, tmp_path):
     assert back.to_pandas().shape == nation.to_pandas().shape
 
 
+def test_to_orc_roundtrip_with_pushdown(spark, nation, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    nation.to_orc(p)
+    back = es.read_orc(spark, p, index_col="n_nationkey")
+    assert back.to_pandas().shape == nation.to_pandas().shape
+    # filter reaches the ORC scan (scale contract, same as parquet)
+    plan = (
+        back[back.n_nationkey > 10]
+        .to_spark()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_save_as_table_read_table_partitioned(spark, nation):
+    df = es.save_as_table(nation, "nation_tbl_test", partition_by="n_regionkey")
+    try:
+        assert df.shape[0] == nation.shape[0]
+        back = es.read_table(spark, "nation_tbl_test", index_col="n_nationkey")
+        a = nation.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+        b = back.to_pandas().sort_values("n_nationkey").reset_index(drop=True)
+        assert list(a["n_name"]) == list(b["n_name"])
+        # partition pruning: filtering on the partition column scans a
+        # subset of partitions (PartitionFilters in the file scan)
+        plan = (
+            back[back.n_regionkey == 1]
+            .to_spark()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in plan
+        assert "n_regionkey" in plan.split("PartitionFilters")[1][:160]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_tbl_test")
+
+
 def test_iterrows_and_itertuples_stream_all_rows(nation):
     n = nation.shape[0]
     rows = list(nation.iterrows(batch_size=7))

@@ -155,3 +155,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(got) == 1, got  # only the closed 00:00 window; 06:00 still open
     assert got.loc[0, "n_events"] == 2  # late 00:30 row dropped
     assert got.loc[0, "total_value"] == 3.0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving across micro-batches inside the watermark
+    horizon are dropped; state is watermark-bounded (the 100 TB/day
+    contract — see streaming.windows.stream_dedup)."""
+    import pandas as pd
+
+    from eland_spark.streaming import read_events_stream, stream_dedup
+
+    d = tmp_path / "dedup_events"
+    d.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf.to_parquet(str(d / name), index=False)
+
+    write("f1.parquet", [
+        (1, "2024-01-01 00:05:00", 1, "a", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "a", 2.0),
+    ])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    res = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        res.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event 1 again (in-horizon duplicate) + fresh event 3
+        write("f2.parquet", [
+            (1, "2024-01-01 00:12:00", 1, "a", 99.0),
+            (3, "2024-01-01 00:15:00", 2, "b", 3.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT event_id, value FROM dedup_test ORDER BY event_id"
+    ).toPandas()
+    assert list(got["event_id"]) == [1, 2, 3]
+    # the FIRST sighting of event 1 won (value 1.0, not 99.0)
+    assert got.loc[0, "value"] == 1.0
