@@ -205,3 +205,27 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
     full = ivf_read_topk(spark, p, qvec, centroids, k=5, nprobe=4).collect()
     exact = cosine_topk(emb, qvec, k=5).to_spark().select("vec_id").collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_es_match_fuzzy_stays_jvm_side(spark):
+    """Fuzzy es_match compiles to levenshtein-in-exists HOF — never a
+    Python UDF (no BatchEvalPython/ArrowEvalPython in the plan)."""
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet", index_col="doc_id")
+    out = docs[docs.es_match("spak", columns=["text"], fuzziness="AUTO")].to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_es_date_parse_stays_jvm_side(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.functions.dates import es_date_parse
+
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders.to_spark().select(
+        es_date_parse(F.date_format("o_orderdate", "yyyyMMdd"), "basic_date"),
+        es_date_parse(F.date_format("o_orderdate", "yyyy-DDD"), "week_date"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
