@@ -357,6 +357,30 @@ def q_filter_rlike_startswith(spark, sf_dir) -> DataFrame:
     return f[["p_partkey", "p_name", "p_brand"]].to_spark()
 
 
+def q_es_query_dsl(spark, sf_dir) -> DataFrame:
+    """ES query-DSL escape hatch (reference eland/dataframe.py:736-791):
+    a nested bool dict compiled to one Catalyst predicate
+    (functions/es_dsl.py) — term/terms/range/prefix/wildcard/must_not
+    all pushdown-eligible."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    dsl = {
+        "bool": {
+            "must": [
+                {"range": {"c_acctbal": {"gt": 1000, "lte": 8000}}},
+                {"terms": {"c_mktsegment": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}},
+            ],
+            "must_not": [{"prefix": {"c_name": "Customer#0000001"}}],
+            "should": [
+                {"wildcard": {"c_name": "*1?"}},
+                {"term": {"c_mktsegment": "MACHINERY"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    f = cust.es_query(dsl)
+    return f[["c_custkey", "c_mktsegment", "c_acctbal"]].to_spark()
+
+
 def q_es_match_fuzzy(spark, sf_dir) -> DataFrame:
     """es_match with ES fuzziness semantics (reference
     eland/query_compiler.py:419-488): per-word Levenshtein <= 1 via
@@ -1165,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "es_date_parse": q_es_date_parse,
         "es_match_fuzzy": q_es_match_fuzzy,
+        "es_query_dsl": q_es_query_dsl,
         "json_extract": q_json_extract,
         "case_when": q_case_when,
         "head": q_head,
@@ -1387,6 +1412,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
                    round(o_totalprice / 1000.0, 2) AS price_k
             FROM orders WHERE o_orderkey < 1000
+        """,
+        "es_query_dsl": """
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            WHERE c_acctbal > 1000 AND c_acctbal <= 8000
+              AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+              AND NOT COALESCE(starts_with(c_name, 'Customer#0000001'), FALSE)
+              AND (regexp_matches(c_name, '^.*1.$')
+                   OR c_mktsegment = 'MACHINERY')
         """,
         "es_match_fuzzy": """
             SELECT doc_id, 'fuzzy_hit' AS kind FROM documents

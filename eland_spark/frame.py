@@ -265,12 +265,24 @@ class DataFrame:
     # row predicates
     # ------------------------------------------------------------------
     def query(self, expr: str) -> "DataFrame":
-        """SQL-expression filter — the ``df.query`` / ``es_query`` escape
-        hatch (reference eland/dataframe.py:1991-2036, 736-791); the
-        string is ANSI SQL evaluated by Catalyst, not pandas-eval."""
+        """SQL-expression filter — the ``df.query`` escape hatch
+        (reference eland/dataframe.py:1991-2036); the string is ANSI SQL
+        evaluated by Catalyst, not pandas-eval."""
         return self._with(sdf=self._sdf.filter(F.expr(expr)))
 
-    es_query = query
+    def es_query(self, query) -> "DataFrame":
+        """Raw-query escape hatch (reference eland/dataframe.py:736-791,
+        query_compiler.py:490-491): an ES query-DSL dict compiled to a
+        Catalyst predicate (functions.es_dsl — stays pushdown-eligible),
+        or a SQL string for the relational-native spelling."""
+        if isinstance(query, str):
+            return self.query(query)
+        from .functions.es_dsl import compile_es_dsl
+
+        col = compile_es_dsl(
+            query, self._schema.resolve, tuple(self._schema.index_cols)
+        )
+        return self._with(sdf=self._sdf.filter(col))
 
     def es_match(
         self,

@@ -1,0 +1,200 @@
+"""ES query-DSL -> Catalyst Column compiler.
+
+The reference's ``es_query`` escape hatch ANDs a raw ES query-DSL dict
+into the search body (eland/query_compiler.py:490-491); its own
+predicate layer emits the same DSL shapes (eland/filter.py:23-201:
+term/terms/range/exists/ids/wildcard/prefix/regexp/bool). This module
+compiles that dict language into a single boolean Column so DSL
+escape-hatch queries stay inside Catalyst — pushdown-eligible, never a
+driver-side post-filter.
+
+Null semantics follow ES document-presence logic: a leaf predicate on
+a missing (null) field does NOT match (Spark's NULL-as-false filter
+sink already gives this), and ``must_not`` of it DOES — that one spot
+needs ``~coalesce(pred, false)``. Leaves stay bare so positive
+predicates remain pushdown-eligible.
+
+Relevance-scored leaves (match/match_phrase) keep the engine's boolean
+text-match semantics (see Series.es_match): tokenized word-boundary
+matching, optional fuzziness; BM25 scoring is out of relational scope.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["compile_es_dsl"]
+
+
+def _nn(pred: Column) -> Column:
+    """Identity wrapper kept at every leaf for readability: a NULL leaf
+    predicate already behaves as no-match in a filter sink, and keeping
+    leaves bare (no coalesce) is what lets Catalyst push them into the
+    parquet scan (pinned in tests). Presence semantics for negation are
+    handled at the must_not site instead."""
+    return pred
+
+
+def _one(d: dict) -> tuple[str, Any]:
+    if len(d) != 1:
+        raise ValueError(f"expected a single-key object, got keys {sorted(d)}")
+    return next(iter(d.items()))
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    # ES wildcard: * = any sequence, ? = any single char; anchored both ends
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _match_tokens(col: Column, text: str, fuzziness: int | str | None) -> Column:
+    conds = []
+    for tok in str(text).split():
+        k = 0
+        if fuzziness is not None:
+            if isinstance(fuzziness, str):
+                if fuzziness.upper() != "AUTO":
+                    raise ValueError(f"unsupported fuzziness {fuzziness!r}")
+                k = 0 if len(tok) < 3 else (1 if len(tok) <= 5 else 2)
+            else:
+                k = int(fuzziness)
+        if k == 0:
+            conds.append(
+                F.lower(col).rlike(r"\b" + re.escape(tok.lower()) + r"\b")
+            )
+        else:
+            words = F.filter(
+                F.split(F.lower(col), r"[^0-9a-z]+"), lambda w: w != ""
+            )
+
+            def _within(t: str, dist: int) -> Callable[[Column], Column]:
+                return lambda w: F.levenshtein(w, F.lit(t)) <= F.lit(dist)
+
+            conds.append(F.exists(words, _within(tok.lower(), k)))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def compile_es_dsl(
+    query: dict,
+    resolve: Callable[[str], str] = lambda c: c,
+    index_cols: tuple[str, ...] = (),
+) -> Column:
+    """Compile an ES query-DSL dict to a boolean Column.
+
+    Supported: match_all, term, terms, range (gt/gte/lt/lte), exists,
+    ids, wildcard, prefix, regexp, match, match_phrase, and arbitrarily
+    nested bool {must, filter, should, must_not} (ES semantics: must ==
+    filter for filtering purposes — scoring is out of scope; should
+    with no must is a disjunction; clauses may be a list or a single
+    object, matching what elasticsearch accepts)."""
+    kind, body = _one(query)
+
+    if kind == "match_all":
+        return F.lit(True)
+
+    if kind == "bool":
+        def clauses(key: str) -> list[Column]:
+            raw = body.get(key, [])
+            raw = raw if isinstance(raw, list) else [raw]
+            return [compile_es_dsl(c, resolve, index_cols) for c in raw]
+
+        conjuncts: list[Column] = clauses("must") + clauses("filter")
+        shoulds = clauses("should")
+        if shoulds:
+            d = shoulds[0]
+            for s in shoulds[1:]:
+                d = d | s
+            # ES: should is optional when must/filter present unless
+            # minimum_should_match says otherwise; honor an explicit 1
+            msm = body.get("minimum_should_match", 0 if conjuncts else 1)
+            if msm:
+                conjuncts.append(d)
+        for n in clauses("must_not"):
+            # ES must_not of a predicate on a missing/null field KEEPS
+            # the doc; plain ~NULL would drop it — coalesce exactly here
+            # (leaves stay bare so positive predicates push down)
+            conjuncts.append(~F.coalesce(n, F.lit(False)))
+        if not conjuncts:
+            return F.lit(True)
+        out = conjuncts[0]
+        for c in conjuncts[1:]:
+            out = out & c
+        return out
+
+    if kind == "term":
+        field, spec = _one(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return _nn(F.col(resolve(field)) == F.lit(value))
+
+    if kind == "terms":
+        field, values = _one(body)
+        return _nn(F.col(resolve(field)).isin(list(values)))
+
+    if kind == "range":
+        field, ops = _one(body)
+        c = F.col(resolve(field))
+        op_map = {"gt": c.__gt__, "gte": c.__ge__, "lt": c.__lt__, "lte": c.__le__}
+        preds = []
+        for op, v in ops.items():
+            if op not in op_map:
+                raise ValueError(f"unsupported range op {op!r}")
+            preds.append(op_map[op](F.lit(v)))
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _nn(out)
+
+    if kind == "exists":
+        return F.col(resolve(body["field"])).isNotNull()
+
+    if kind == "ids":
+        if not index_cols:
+            raise ValueError("ids query needs an index column on the frame")
+        return _nn(F.col(index_cols[0]).isin(list(body["values"])))
+
+    if kind == "wildcard":
+        field, spec = _one(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return _nn(F.col(resolve(field)).rlike(_wildcard_to_regex(str(value))))
+
+    if kind == "prefix":
+        field, spec = _one(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return _nn(F.col(resolve(field)).startswith(str(value)))
+
+    if kind == "regexp":
+        field, spec = _one(body)
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # ES regexp is implicitly anchored; Spark rlike is substring-based
+        return _nn(F.col(resolve(field)).rlike(f"^(?:{value})$"))
+
+    if kind in ("match", "match_phrase"):
+        field, spec = _one(body)
+        if isinstance(spec, dict):
+            text = spec["query"]
+            fuzziness = spec.get("fuzziness")
+        else:
+            text, fuzziness = spec, None
+        c = F.col(resolve(field))
+        if kind == "match_phrase":
+            pattern = (
+                r"\b" + r"\s+".join(re.escape(t) for t in str(text).split()) + r"\b"
+            )
+            return _nn(F.lower(c).rlike(pattern.lower()))
+        return _nn(_match_tokens(c, text, fuzziness))
+
+    raise ValueError(f"unsupported ES query kind {kind!r}")

@@ -1,0 +1,130 @@
+"""ES query-DSL escape hatch: compile_es_dsl vs pandas-computed truth
+on real tables (the reference ANDs these dicts into the search body,
+eland/query_compiler.py:490-491; leaf shapes from eland/filter.py)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cust(spark, sf_dir):
+    import eland_spark as es
+
+    return es.read_parquet(spark, f"{sf_dir}/customer.parquet", index_col="c_custkey")
+
+
+@pytest.fixture(scope="module")
+def cust_pd(cust):
+    return cust.to_pandas()
+
+
+def _ids(frame, dsl):
+    return sorted(
+        r["c_custkey"] for r in frame.es_query(dsl)[["c_custkey"]].to_spark().collect()
+    )
+
+
+def test_term_and_terms(cust, cust_pd):
+    got = _ids(cust, {"term": {"c_mktsegment": {"value": "BUILDING"}}})
+    exp = sorted(cust_pd[cust_pd.c_mktsegment == "BUILDING"].c_custkey)
+    assert got == exp
+    got = _ids(cust, {"terms": {"c_mktsegment": ["BUILDING", "MACHINERY"]}})
+    exp = sorted(cust_pd[cust_pd.c_mktsegment.isin(["BUILDING", "MACHINERY"])].c_custkey)
+    assert got == exp
+
+
+def test_range_and_exists(cust, cust_pd):
+    got = _ids(cust, {"range": {"c_acctbal": {"gte": 0, "lt": 1000}}})
+    exp = sorted(cust_pd[(cust_pd.c_acctbal >= 0) & (cust_pd.c_acctbal < 1000)].c_custkey)
+    assert got == exp
+    assert _ids(cust, {"exists": {"field": "c_name"}}) == sorted(
+        cust_pd[cust_pd.c_name.notna()].c_custkey
+    )
+
+
+def test_bool_nesting_and_must_not(cust, cust_pd):
+    dsl = {
+        "bool": {
+            "must": [{"range": {"c_acctbal": {"gt": 5000}}}],
+            "must_not": [{"term": {"c_mktsegment": "BUILDING"}}],
+            "should": [
+                {"term": {"c_mktsegment": "MACHINERY"}},
+                {"term": {"c_mktsegment": "AUTOMOBILE"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    got = _ids(cust, dsl)
+    p = cust_pd
+    exp = sorted(
+        p[
+            (p.c_acctbal > 5000)
+            & (p.c_mktsegment != "BUILDING")
+            & p.c_mktsegment.isin(["MACHINERY", "AUTOMOBILE"])
+        ].c_custkey
+    )
+    assert got == exp
+
+
+def test_should_optional_when_must_present(cust, cust_pd):
+    # ES: should contributes only scoring when must exists (msm=0)
+    dsl = {
+        "bool": {
+            "must": [{"range": {"c_acctbal": {"gt": 9000}}}],
+            "should": [{"term": {"c_mktsegment": "NEVER_MATCHES"}}],
+        }
+    }
+    assert _ids(cust, dsl) == sorted(cust_pd[cust_pd.c_acctbal > 9000].c_custkey)
+
+
+def test_wildcard_prefix_regexp_anchoring(cust, cust_pd):
+    got = _ids(cust, {"wildcard": {"c_name": "Customer#0000001*"}})
+    exp = sorted(cust_pd[cust_pd.c_name.str.startswith("Customer#0000001")].c_custkey)
+    assert got == exp
+    assert _ids(cust, {"prefix": {"c_name": "Customer#000000"}}) == sorted(
+        cust_pd[cust_pd.c_name.str.startswith("Customer#000000")].c_custkey
+    )
+    # regexp is fully anchored (ES semantics): a bare substring matches nothing
+    assert _ids(cust, {"regexp": {"c_name": "ustomer"}}) == []
+    got = _ids(cust, {"regexp": {"c_name": "Customer#[0-9]+"}})
+    assert got == sorted(cust_pd.c_custkey)
+
+
+def test_ids_query_uses_index(cust):
+    assert _ids(cust, {"ids": {"values": [1, 2, 3]}}) == [1, 2, 3]
+
+
+def test_match_all_and_sql_string_path(cust, cust_pd):
+    assert len(_ids(cust, {"match_all": {}})) == len(cust_pd)
+    got = sorted(
+        r["c_custkey"]
+        for r in cust.es_query("c_acctbal > 9000")[["c_custkey"]].to_spark().collect()
+    )
+    assert got == sorted(cust_pd[cust_pd.c_acctbal > 9000].c_custkey)
+
+
+def test_match_on_documents(spark, sf_dir):
+    import eland_spark as es
+
+    docs = es.read_parquet(spark, f"{sf_dir}/documents.parquet", index_col="doc_id")
+    pdf = docs.to_pandas()
+    got = docs.es_query({"match": {"text": "spark"}}).shape[0]
+    exp = int(pdf.text.str.contains(r"\bspark\b").sum())
+    assert got == exp
+    fuzzy = docs.es_query({"match": {"text": {"query": "spak", "fuzziness": 1}}}).shape[0]
+    assert fuzzy >= got > 0
+    phrase = docs.es_query({"match_phrase": {"text": "batch batch"}}).shape[0]
+    exp_ph = int(pdf.text.str.contains(r"\bbatch\s+batch\b").sum())
+    assert phrase == exp_ph
+
+
+def test_unsupported_kind_raises(cust):
+    with pytest.raises(ValueError, match="unsupported ES query kind"):
+        cust.es_query({"more_like_this": {"fields": ["c_name"]}})
+
+
+def test_dsl_filter_pushes_down(cust):
+    from eland_spark.plans import pushed_filters
+
+    out = cust.es_query({"range": {"c_acctbal": {"gt": 5000.0}}}).to_spark()
+    pf = pushed_filters(out)
+    assert any("c_acctbal" in f for f in pf), pf
