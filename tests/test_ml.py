@@ -174,3 +174,63 @@ def test_transformer_model_task_registry(spark):
 
     with pytest.raises(ImportError, match="torch"):
         TransformerModel("m", "ner").apply(sdf)
+
+
+# -- CLI (reference eland/cli/eland_import_hub_model.py:41-357) ----------
+
+
+def test_cli_register_load_list(tmp_path):
+    from eland_spark.cli import list_models, load_model, main
+
+    reg = str(tmp_path / "registry")
+    rc = main([
+        "--hub-model-id", "sentence-transformers/all-MiniLM-L6-v2",
+        "--registry", reg, "--dim", "32",
+    ])
+    assert rc == 0
+    models = list_models(reg)
+    assert len(models) == 1
+    e = models[0]
+    # auto-derived id + auto-detected task (sentence-transformers -> embedding)
+    assert e["model_id"] == "sentence-transformers__all-minilm-l6-v2"
+    assert e["task_type"] == "text_embedding" and e["dim"] == 32
+    m = load_model(e["model_id"], reg)
+    assert m.task_type == "text_embedding" and m.dim == 32
+
+
+def test_cli_duplicate_and_bad_task(tmp_path):
+    from eland_spark.cli import main
+
+    reg = str(tmp_path / "registry")
+    args = ["--hub-model-id", "org/some-ner-model", "--registry", reg]
+    assert main(args) == 0
+    assert main(args) == 2  # duplicate without --clear-previous
+    assert main(args + ["--clear-previous"]) == 0
+    # undetectable task type -> error
+    assert main(["--hub-model-id", "org/mystery", "--registry", reg]) == 2
+
+
+def test_cli_start_smoke(spark, tmp_path):
+    from eland_spark.cli import main
+
+    reg = str(tmp_path / "registry")
+    rc = main([
+        "--hub-model-id", "org/tiny-embedding", "--registry", reg,
+        "--task-type", "text_embedding", "--start",
+    ])
+    assert rc == 0
+
+
+def test_cli_torch_task_registers_but_gates_at_apply(spark, tmp_path):
+    import pytest as _pytest
+
+    from eland_spark.cli import load_model, main
+
+    reg = str(tmp_path / "registry")
+    assert main([
+        "--hub-model-id", "org/bert-ner", "--registry", reg, "--task-type", "ner",
+    ]) == 0
+    m = load_model("org__bert-ner", reg)
+    df = spark.createDataFrame([("x",)], ["text"])
+    with _pytest.raises(ImportError, match="torch"):
+        m.apply(df, "text")
