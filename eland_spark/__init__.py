@@ -18,6 +18,7 @@ from .etl import (
     save_as_table,
     spark_to_pandas,
     write_bucketed,
+    write_sorted,
 )
 from .frame import DataFrame
 from .groupby import DataFrameGroupBy
@@ -44,4 +45,5 @@ __all__ = [
     "pandas_to_spark",
     "spark_to_pandas",
     "write_bucketed",
+    "write_sorted",
 ]

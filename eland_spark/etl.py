@@ -13,6 +13,7 @@ import os
 
 import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .frame import DataFrame
@@ -20,12 +21,16 @@ from .schema import pd_to_spark_type
 
 __all__ = [
     "read_parquet",
+    "read_orc",
     "read_csv",
     "read_json",
+    "read_table",
+    "save_as_table",
     "pandas_to_spark",
     "spark_to_pandas",
     "csv_to_spark",
     "write_bucketed",
+    "write_sorted",
 ]
 
 # widened-compat lattice for append verification
@@ -117,6 +122,35 @@ def read_json(
         reader = reader.option(k, v)
     sdf = reader.json(path)
     return DataFrame(sdf, index_cols=(index_col,) if index_col else ())
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: str | list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> "DataFrame":
+    """Write parquet range-partitioned + sorted on ``sort_cols``.
+
+    The data-layout lever for range predicates at 100 TB: each output
+    file owns a disjoint key range, so parquet footer min/max stats let
+    a filtered scan skip whole files (and row groups within them) —
+    complementing ``write_bucketed`` (equality/join keys) with the
+    range-scan case (time-series, ids). Disjointness is asserted in
+    tests/test_etl_sinks.py straight from the parquet metadata.
+    """
+    sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    parts = n_files or int(
+        sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = sdf.repartitionByRange(parts, *[F.col(c) for c in sc]).sortWithinPartitions(
+        *sc
+    )
+    out.write.mode(mode).parquet(path)
+    idx = df._schema.index_cols if isinstance(df, DataFrame) else ()
+    return read_parquet(sdf.sparkSession, path, index_col=list(idx) or None)
 
 
 def read_orc(

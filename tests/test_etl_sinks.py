@@ -122,3 +122,38 @@ def test_pandas_to_spark_dropna_and_overrides(spark, tmp_path):
 def test_es_info_mentions_plan_and_schema(nation):
     info = nation.es_info()
     assert "n_name" in info
+
+
+def test_write_sorted_files_own_disjoint_ranges(spark, tmp_path):
+    """write_sorted's contract, read straight from parquet footers: each
+    output file's [min, max] on the sort column is disjoint from every
+    other file's — what makes range filters skip whole files at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = es.read_parquet(
+        spark, f"{SF}/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    p = str(tmp_path / "li_sorted")
+    back = es.write_sorted(li, p, "l_orderkey", n_files=8)
+    assert back.shape[0] == li.shape[0]
+
+    ranges = []
+    for f in glob.glob(f"{p}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_orderkey"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {ranges}"
+    # and the range filter is pushed to the scan on read
+    out = back[back.l_orderkey < 100].to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:160]
