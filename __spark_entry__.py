@@ -1104,6 +1104,20 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark, sf_dir) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms):
+    two shuffles (doc-term tf, per-doc rank window), df table broadcast
+    back — corpus-scale text weighting without a Python step."""
+    from eland_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark().filter(F.col("doc_id") < 500)
+    out = tfidf_top_terms(sdf, F.col("text"), F.col("doc_id"), k=3)
+    return out.select(
+        "doc_id", "term", "tf", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def q_multimodal_pipeline(spark, sf_dir) -> DataFrame:
     """Resize + audio-feature stages composed after attach (rows-only:
     stub kernels are deterministic but not SQL-expressible). Exercises
@@ -1222,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "tfidf_topk": q_tfidf_topk,
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1743,6 +1758,30 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src2') GROUP BY 1
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(
+                               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+'),
+                           t -> t <> '')) AS term
+                FROM documents WHERE doc_id < 500
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 500),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, round(score, 6) AS score, rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= 3
         """,
         "vocabulary": """
             WITH toks AS (

@@ -156,3 +156,50 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % mod,
     )
+
+
+def tfidf_top_terms(
+    sdf,
+    text: Column,
+    id_col: Column,
+    k: int = 5,
+    min_df: int = 1,
+):
+    """Per-document top-k TF-IDF terms.
+
+    Plan shape (all codegen'd, two shuffles total): explode tokens ->
+    one groupBy (doc, term) for term frequencies (map-side combined);
+    document frequencies aggregated from that same tf table (never a
+    second pass over raw text); idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style); per-doc top-k via rank window partitioned by doc.
+    The df table is broadcast back (|vocab| rows, small by Zipf) so the
+    join adds no shuffle. Deterministic ties: score desc, term asc.
+
+    Returns a Spark DataFrame (doc_id, term, tf long, score double,
+    rnk int).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import normalized_tokens
+
+    toks = sdf.select(
+        id_col.alias("doc_id"), F.explode(normalized_tokens(text)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # df + join both read it; compute once
+    n_docs = sdf.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rnk")
+    )

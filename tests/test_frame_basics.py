@@ -286,3 +286,32 @@ def test_stacked_head_tail_semantics(orders, orders_pd):
 
     th = orders.tail(10).head(3).to_pandas()
     assert list(th["o_orderkey"]) == list(pd_sorted.tail(10).head(3)["o_orderkey"])
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import tfidf_top_terms
+
+    sdf = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(sdf, F.col("text"), F.col("doc_id"), k=2)
+    rows = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"]) for r in out.collect()}
+
+    def idf(df):  # smoothed, N=3
+        return math.log((3 + 1) / (df + 1)) + 1
+
+    # doc 1: apple tf=2 df=1 -> top; banana tf=1 df=2
+    term, tf, score = rows[(1, 1)]
+    assert term == "apple" and tf == 2
+    assert score == pytest.approx(round(2 * idf(1), 6), abs=1e-6)
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=2 df=2 beats date tf=1 df=1
+    assert rows[(3, 1)][0] == "cherry"
+    assert rows[(3, 2)][0] == "date"
+    # every doc got at most k=2 rows
+    assert len(rows) == 6
