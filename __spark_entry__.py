@@ -1111,8 +1111,7 @@ def q_tfidf_topk(spark, sf_dir) -> DataFrame:
     from eland_spark.operators.text import tfidf_top_terms
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
-    sdf = docs.to_spark().filter(F.col("doc_id") < 500)
-    out = tfidf_top_terms(sdf, F.col("text"), F.col("doc_id"), k=3)
+    out = tfidf_top_terms(docs.to_spark(), F.col("text"), F.col("doc_id"), k=3)
     return out.select(
         "doc_id", "term", "tf", "score", F.col("rnk").cast("long").alias("rnk")
     )
@@ -1767,11 +1766,11 @@ def oracle_sql() -> dict[str, str]:
                                regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                                '\\s+'),
                            t -> t <> '')) AS term
-                FROM documents WHERE doc_id < 500
+                FROM documents
             ),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 500),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
             scored AS (
                 SELECT tf.doc_id, tf.term, tf.tf,
                        tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score

@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality",
     "fingerprint",
     "minhash_near_dup",
+    "tfidf_topk",
+    "es_query_dsl",
     "ann_bruteforce",
     "embedding_norms",
 ]
