@@ -192,3 +192,112 @@ def test_division_ieee_semantics(spark, rows):
             np.fmod(pdf.a.to_numpy(), pdf.b.to_numpy()),
         )
     assert _ieee_close(out["m"], exp_m).all()
+
+
+# -- ES query-DSL compiler vs a pandas evaluator on random trees ---------
+
+_DSL_FIELDS = {"k": "int", "a": "float", "s": "str"}
+
+
+def _leaf_strategy():
+    num = st.one_of(st.integers(-5, 5), st.floats(-5, 5, allow_nan=False))
+    sval = st.sampled_from(["x", "y", "z", "xy"])
+    return st.one_of(
+        st.builds(lambda v: {"term": {"k": v}}, st.integers(-5, 5)),
+        st.builds(lambda v: {"term": {"s": v}}, sval),
+        st.builds(lambda v: {"terms": {"k": v}}, st.lists(st.integers(-5, 5), max_size=3)),
+        st.builds(
+            lambda lo, hi: {"range": {"a": {"gte": lo, "lt": hi}}}, num, num
+        ),
+        st.builds(lambda: {"exists": {"field": "a"}}),
+        st.builds(lambda v: {"prefix": {"s": v}}, sval),
+        st.builds(lambda: {"match_all": {}}),
+    )
+
+
+def _dsl_strategy(depth=2):
+    leaf = _leaf_strategy()
+    if depth == 0:
+        return leaf
+    sub = _dsl_strategy(depth - 1)
+    return st.one_of(
+        leaf,
+        st.builds(
+            lambda m, mn, sh: {
+                "bool": {
+                    "must": m,
+                    "must_not": mn,
+                    "should": sh,
+                    **({"minimum_should_match": 1} if sh else {}),
+                }
+            },
+            st.lists(sub, max_size=2),
+            st.lists(sub, max_size=1),
+            st.lists(sub, max_size=2),
+        ),
+    )
+
+
+def _pd_eval(dsl, pdf):
+    """Reference evaluator: ES presence semantics in pandas."""
+    (kind, body), = dsl.items()
+    if kind == "match_all":
+        return pd.Series(True, index=pdf.index)
+    if kind == "bool":
+        out = pd.Series(True, index=pdf.index)
+        for c in body.get("must", []):
+            out &= _pd_eval(c, pdf)
+        shoulds = body.get("should", [])
+        if shoulds and body.get("minimum_should_match", 0):
+            d = pd.Series(False, index=pdf.index)
+            for c in shoulds:
+                d |= _pd_eval(c, pdf)
+            out &= d
+        for c in body.get("must_not", []):
+            out &= ~_pd_eval(c, pdf)
+        return out
+    if kind == "term":
+        f, v = next(iter(body.items()))
+        return pdf[f] == v
+    if kind == "terms":
+        f, vs = next(iter(body.items()))
+        return pdf[f].isin(vs)
+    if kind == "range":
+        f, ops = next(iter(body.items()))
+        out = pd.Series(True, index=pdf.index)
+        for op, v in ops.items():
+            cmp = {"gt": "gt", "gte": "ge", "lt": "lt", "lte": "le"}[op]
+            out &= getattr(pdf[f], cmp)(v)
+        return out & pdf[f].notna()
+    if kind == "exists":
+        return pdf[body["field"]].notna()
+    if kind == "prefix":
+        f, v = next(iter(body.items()))
+        return pdf[f].fillna("").str.startswith(v)
+    raise AssertionError(kind)
+
+
+DSL_ROWS = st.lists(
+    st.tuples(
+        st.integers(-5, 5),
+        st.one_of(st.floats(-5, 5, allow_nan=False), st.none()),
+        st.one_of(st.sampled_from(["x", "y", "z", "xy", "zz"]), st.none()),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=DSL_ROWS, dsl=_dsl_strategy())
+@settings(**COMMON)
+def test_es_dsl_matches_pandas_evaluator(spark, rows, dsl):
+    from eland_spark.functions.es_dsl import compile_es_dsl
+
+    pdf = pd.DataFrame(rows, columns=["k", "a", "s"])
+    pdf["_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf, schema="k bigint, a double, s string, _id bigint")
+    got = sorted(
+        r["_id"] for r in sdf.filter(compile_es_dsl(dsl)).select("_id").collect()
+    )
+    exp = sorted(pdf.loc[_pd_eval(dsl, pdf).fillna(False).astype(bool), "_id"])
+    assert got == exp, f"dsl={dsl}"
