@@ -1104,6 +1104,28 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_salted_join(spark, sf_dir) -> DataFrame:
+    """Skew-mitigated join (operators/skew.salted_join): hot keys fan
+    out over 16 salt buckets; result must equal the plain join, so the
+    plain-SQL oracle gates correctness of the salting rewrite."""
+    from eland_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    orders = _t(spark, sf_dir, "orders", "o_orderkey").to_spark().select(
+        "o_orderkey", "o_orderstatus"
+    )
+    j = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        orders,
+        on="o_orderkey",
+        salt=16,
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
 def q_tfidf_topk(spark, sf_dir) -> DataFrame:
     """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms):
     two shuffles (doc-term tf, per-doc rank window), df table broadcast
@@ -1236,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pipeline": q_multimodal_pipeline,
         "tfidf_topk": q_tfidf_topk,
+        "salted_join": q_salted_join,
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1757,6 +1780,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src2') GROUP BY 1
+        """,
+        "salted_join": """
+            SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         "tfidf_topk": """
             WITH toks AS (
