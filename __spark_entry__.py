@@ -1126,6 +1126,18 @@ def q_salted_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_two_phase_distinct(spark, sf_dir) -> DataFrame:
+    """Skew-safe exact count(DISTINCT) (operators/skew): dedup shuffle
+    spreads by value hash, then a tiny per-key count — the standard
+    rewrite for distinct-count over hot keys; the plain SQL oracle
+    gates it."""
+    from eland_spark.operators.skew import two_phase_count_distinct
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    out = two_phase_count_distinct(li, ["l_returnflag"], "l_partkey")
+    return out.select("l_returnflag", F.col("n_distinct").alias("n_parts"))
+
+
 def q_tfidf_topk(spark, sf_dir) -> DataFrame:
     """Per-document top-3 TF-IDF terms (operators/text.tfidf_top_terms):
     two shuffles (doc-term tf, per-doc rank window), df table broadcast
@@ -1259,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "tfidf_topk": q_tfidf_topk,
         "salted_join": q_salted_join,
+        "two_phase_distinct": q_two_phase_distinct,
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1780,6 +1793,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src2') GROUP BY 1
+        """,
+        "two_phase_distinct": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY 1
         """,
         "salted_join": """
             SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
