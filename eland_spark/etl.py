@@ -59,19 +59,31 @@ def _nanos_ts_columns(path: str) -> list[str]:
 
 
 def read_parquet(
-    spark: SparkSession, path: str, index_col: str | list[str] | None = None,
+    spark: SparkSession, path: str | list[str],
+    index_col: str | list[str] | None = None,
     columns: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
+    """Parquet source. ``path`` may be a list (or glob) — the analog of
+    the reference's multi-index patterns (eland/field_mappings.py:280-287
+    merges mappings across indices; here ``merge_schema=True`` turns on
+    Spark's parquet schema merging, and columns missing from one file
+    surface as nulls — stricter than the reference's first-wins warning:
+    genuinely conflicting types fail loudly instead)."""
     from pyspark.sql import functions as F
 
-    nanos_cols = _nanos_ts_columns(path)
+    paths = [path] if isinstance(path, str) else list(path)
+    nanos_cols = _nanos_ts_columns(paths[0])
     if nanos_cols:
         # read nanos as raw int64, then rebuild microsecond-precision
         # NTZ timestamps with integer math (nanos exceed double's 2^53
         # mantissa — `div` keeps it lossless; timestamp_add on an NTZ
         # base is timezone-independent, matching DuckDB's ns->us read)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sdf = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    sdf = reader.parquet(*paths)
     for c in nanos_cols:
         micros = F.expr(f"`{c}` div 1000")
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")

@@ -157,3 +157,23 @@ def test_write_sorted_files_own_disjoint_ranges(spark, tmp_path):
     out = back[back.l_orderkey < 100].to_spark()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:160]
+
+
+def test_read_parquet_multi_path_merge_schema(spark, tmp_path):
+    """Multi-index-pattern analog (reference eland/field_mappings.py:280-287):
+    a list of paths reads as one frame; merge_schema surfaces columns
+    missing from one source as nulls."""
+    import pandas as pd
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    pd.DataFrame({"id": [1, 2], "x": [10.0, 20.0]}).to_parquet(p1 + ".parquet")
+    pd.DataFrame({"id": [3, 4], "x": [30.0, 40.0], "y": ["a", "b"]}).to_parquet(
+        p2 + ".parquet"
+    )
+    df = es.read_parquet(
+        spark, [p1 + ".parquet", p2 + ".parquet"], index_col="id", merge_schema=True
+    )
+    pdf = df.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(pdf) == 4 and "y" in pdf.columns
+    assert pdf.loc[0, "y"] is None or pd.isna(pdf.loc[0, "y"])
+    assert pdf.loc[2, "y"] == "a"
