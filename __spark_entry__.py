@@ -1104,6 +1104,17 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_explode_embeddings(spark, sf_dir) -> DataFrame:
+    """Multi-valued column accessor (frame.explode; SURVEY §1.3 — the
+    reference's list-in-cell fields are real ArrayType columns here)."""
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    ex = emb.explode("embedding")
+    return ex.to_spark().groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        F.round(F.sum("embedding"), 2).alias("sum_elems"),
+    )
+
+
 def q_salted_join(spark, sf_dir) -> DataFrame:
     """Skew-mitigated join (operators/skew.salted_join): hot keys fan
     out over 16 salt buckets; result must equal the plain join, so the
@@ -1270,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pipeline": q_multimodal_pipeline,
         "tfidf_topk": q_tfidf_topk,
+        "explode_embeddings": q_explode_embeddings,
         "salted_join": q_salted_join,
         "two_phase_distinct": q_two_phase_distinct,
         "embed_topk": q_embed_topk,
@@ -1793,6 +1805,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src2') GROUP BY 1
+        """,
+        "explode_embeddings": """
+            SELECT label, count(*) AS n_elems, round(sum(x), 2) AS sum_elems
+            FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
+            GROUP BY 1
         """,
         "two_phase_distinct": """
             SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts

@@ -173,6 +173,30 @@ class DataFrame:
             )
         return out
 
+    def explode(self, column: str, keep_empty: bool = True) -> "DataFrame":
+        """Expand an array column to one row per element (pandas
+        ``DataFrame.explode``). The reference surfaces ES multi-valued
+        fields as Python lists inside object cells (SURVEY §1.3,
+        eland/query_compiler.py:153-229); here they are real ArrayType
+        columns, and explode is the relational accessor. ``keep_empty``
+        matches pandas: null/empty arrays keep their row with a null
+        element (explode_outer); False drops them (inner explode)."""
+        from dataclasses import replace
+
+        phys = self._schema.resolve(column)
+        fn = F.explode_outer if keep_empty else F.explode
+        sdf = self._sdf.withColumn(phys, fn(F.col(phys)))
+        elem_type = dict(
+            (f.name, f.dataType) for f in sdf.schema.fields
+        )[phys]
+        fields = tuple(
+            replace(f, spark_type=elem_type) if f.column_name == phys else f
+            for f in self._schema.fields
+        )
+        from .schema import Schema as _Schema
+
+        return self._with(sdf=sdf, schema=_Schema(fields, self._schema.index_cols))
+
     def drop(
         self,
         labels=None,

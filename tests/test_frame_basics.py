@@ -315,3 +315,29 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert rows[(3, 2)][0] == "date"
     # every doc got at most k=2 rows
     assert len(rows) == 6
+
+
+def test_explode_matches_pandas(spark, sf_dir):
+    import eland_spark as es
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    # synthetic small frame with empty + null arrays for the edge cases
+    sdf = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None), (4, [30])],
+        "id bigint, xs array<bigint>",
+    )
+    df = es.DataFrame(sdf, index_cols=("id",))
+    got = df.explode("xs").to_pandas().sort_values("id").reset_index(drop=True)
+    pdf = sdf.toPandas().explode("xs").reset_index(drop=True)
+    assert list(got["id"]) == list(pdf["id"])
+    assert [None if pd.isna(v) else int(v) for v in got["xs"]] == [
+        None if pd.isna(v) else int(v) for v in pdf["xs"]
+    ]
+    # keep_empty=False drops null/empty rows
+    inner = df.explode("xs", keep_empty=False)
+    assert sorted(r["id"] for r in inner.to_spark().collect()) == [1, 1, 4]
+    # dtype updated from array to element type
+    assert str(inner.dtypes["xs"]) == "int64"
+    # real table: exploding the embedding column multiplies rows by dim
+    n, dim = emb.shape[0], len(emb.head(1).to_pandas()["embedding"][0])
+    assert emb.explode("embedding").shape[0] == n * dim
