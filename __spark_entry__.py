@@ -85,24 +85,26 @@ def q_agg_matrix(spark, sf_dir) -> DataFrame:
 
 def q_median_quantile(spark, sf_dir) -> DataFrame:
     """Exact percentiles (reference uses approximate t-digest; exact is
-    the oracle-matching default, SURVEY §7.0). One percentile agg with an
-    array of percentages builds ONE value map instead of four. For
-    columns whose cardinality approaches the row count at cluster scale,
-    operators.percentiles.exact_percentiles is the sort-based
-    alternative without the single-reducer map merge (steady-state
-    faster here too, but its extra jobs lose on a one-shot query)."""
+    the oracle-matching default, SURVEY §7.0) via the sort-based
+    operators.percentiles.exact_percentiles: l_extendedprice is
+    near-unique (583k distinct / 600k rows at sf0.1), so the hash-agg
+    ``percentile`` plan would build the whole column as a value map and
+    merge it on ONE reducer — the sort plan range-partitions instead
+    (no single-reducer state; measured faster at sf0.1 and the only
+    viable shape at 100 TB). Only the 8 boundary rows reach the driver;
+    they re-enter a 1-row DataFrame so the driver contract (return a
+    DataFrame) and the oracle hash both hold."""
     li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
-    sdf = li.to_spark()
-    q = F.col("l_extendedprice")
-    ps = F.percentile(
-        q, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    from eland_spark.operators.percentiles import exact_percentiles
+
+    p25, p50, p75, p90 = exact_percentiles(
+        li.to_spark(), "l_extendedprice", [0.25, 0.5, 0.75, 0.9]
     )
-    return sdf.agg(ps.alias("ps")).select(
-        F.round(F.element_at("ps", 1), 6).alias("p25"),
-        F.round(F.element_at("ps", 2), 6).alias("p50"),
-        F.round(F.element_at("ps", 3), 6).alias("p75"),
-        F.round(F.element_at("ps", 4), 6).alias("p90"),
+    row = spark.createDataFrame(
+        [(float(p25), float(p50), float(p75), float(p90))],
+        "p25 double, p50 double, p75 double, p90 double",
     )
+    return row.select(*[F.round(c, 6).alias(c) for c in ("p25", "p50", "p75", "p90")])
 
 
 def q_mad(spark, sf_dir) -> DataFrame:

@@ -91,6 +91,9 @@ def main() -> None:
     from eland_spark.operators.percentiles import exact_percentiles
 
     exact_percentiles(tiny, "l_quantity", [0.5], partitions=4)
+    # median_quantile re-enters its boundary scalars via createDataFrame;
+    # warm that session-first path too (Py->JVM row conversion setup)
+    spark.createDataFrame([(1.0,)], "x double").collect()
     tiny.unpersist()
     # one micro-pass through the minhash operator chain (shingle window,
     # wide min-agg, band self-join) — warms its generated-code paths

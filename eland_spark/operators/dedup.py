@@ -119,7 +119,13 @@ def minhash_signatures(
     num_hashes affine permutations -> min-aggregate. All primitive ops
     inside one HashAggregate (map-side partial combine), one shuffle on
     the doc id."""
+    from .parallelism import ensure_parallelism
+
     params = minhash_params(num_hashes, seed)
+    # pre-spread small inputs by the doc id: the groupBy below reuses
+    # the exchange (alias-aware partitioning), so this adds parallelism
+    # to the shingle+hash map without adding a shuffle
+    sdf = ensure_parallelism(sdf, id_alias)
     # dedup=False: min() is duplicate-insensitive, so the distinct
     # shuffle would be pure waste (the groupBy below is the one shuffle)
     rows = shingle_rows(sdf, text, id_alias, k, dedup=False)
@@ -269,6 +275,9 @@ def simhash_frame(sdf, text: Column, id_alias: Column, k: int = 2):
     Row-based: explode shingles, hash each once, then one groupBy with 64
     conditional sums (bit set -> +1 else -1); sign of each sum is the
     fingerprint bit. Single shuffle, map-side combinable, codegen'd."""
+    from .parallelism import ensure_parallelism
+
+    sdf = ensure_parallelism(sdf, id_alias)
     rows = shingle_rows(sdf, text, id_alias, k)
     hashed = rows.select("__id__", F.xxhash64("__sh__").alias("__h__"))
     aggs = []
