@@ -715,6 +715,66 @@ def q_events_tumbling(spark, sf_dir) -> DataFrame:
 # dedup / text / similarity extensions (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_events_sliding(spark, sf_dir) -> DataFrame:
+    """Sliding 24h window / 12h slide aggregation (each event lands in
+    two windows). Spark assigns epoch-aligned windows in one pass —
+    the oracle reproduces the assignment with an explicit 2-offset
+    cross join. Batch twin of streaming.windows.sliding."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    sdf = ev.to_spark()
+    return (
+        sdf.groupBy(
+            F.window(F.col("ts"), "24 hours", "12 hours").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_groupby_mode(spark, sf_dir) -> DataFrame:
+    """Per-group modal value, frequency ties to the LOWEST value
+    (deterministic mode agg; the reference raises NotImplementedError,
+    eland/groupby.py:701-702 — one map-side-combined hash aggregation
+    here, same plan as any other agg). Library surface:
+    DataFrameGroupBy.mode."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    return (
+        li.to_spark()
+        .groupBy("l_returnflag")
+        .agg(
+            F.mode(F.col("l_quantity"), True).alias("mode_qty"),
+            F.round(F.mode(F.col("l_discount"), True), 6).alias("mode_disc"),
+        )
+    )
+
+
+def q_groupby_idxmax(spark, sf_dir) -> DataFrame:
+    """Per-group index of the extreme row (pandas GroupBy.idxmax; the
+    reference's idxmax is whole-frame only via top_hits,
+    eland/operations.py:207-254). min_by over a (-value, key) struct:
+    extreme value first, lowest key on ties — single hash agg, no
+    window, no self-join. Library surface: DataFrameGroupBy.idxmax."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    v = F.col("o_totalprice").cast("double")
+    pair = F.when(
+        v.isNotNull(), F.struct((-v).alias("o"), F.col("o_orderkey").alias("i"))
+    )
+    return (
+        o.to_spark()
+        .groupBy("o_orderpriority")
+        .agg(F.min_by(F.col("o_orderkey"), pair).alias("idx_max_price"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per md5(text)."""
     docs = _t(spark, sf_dir, "documents", "doc_id")
@@ -1268,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "groupby_mode": q_groupby_mode,
+        "groupby_idxmax": q_groupby_idxmax,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1640,6 +1703,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200
+                                - k * 43200)::TIMESTAMP AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events, (SELECT unnest([0, 1]) AS k)
+            GROUP BY 1, 2
+        """,
+        "groupby_mode": """
+            WITH cq AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+                        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+                 rq AS (SELECT l_returnflag, v,
+                               rank() OVER (PARTITION BY l_returnflag ORDER BY c DESC) AS rk
+                        FROM cq),
+                 cd AS (SELECT l_returnflag, l_discount AS v, count(*) AS c
+                        FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1, 2),
+                 rd AS (SELECT l_returnflag, v,
+                               rank() OVER (PARTITION BY l_returnflag ORDER BY c DESC) AS rk
+                        FROM cd)
+            SELECT q.l_returnflag, q.mode_qty, d.mode_disc
+            FROM (SELECT l_returnflag, min(v) AS mode_qty FROM rq WHERE rk = 1 GROUP BY 1) q
+            JOIN (SELECT l_returnflag, round(min(v), 6) AS mode_disc FROM rd WHERE rk = 1 GROUP BY 1) d
+            USING (l_returnflag)
+        """,
+        "groupby_idxmax": """
+            SELECT o.o_orderpriority, min(o.o_orderkey) AS idx_max_price
+            FROM orders o
+            JOIN (SELECT o_orderpriority, max(o_totalprice) AS m
+                  FROM orders GROUP BY 1) t
+              ON o.o_orderpriority = t.o_orderpriority AND o.o_totalprice = t.m
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -190,10 +190,47 @@ class DataFrameGroupBy:
             frames.append(sub.set_index(None, append=True))
         return pd.concat(frames).sort_index()
 
-    def mode(self, es_size: int = 10):
-        """Per-group mode via rank-over-count window (the reference raises
-        NotImplementedError, eland/groupby.py:701-702 — native here)."""
-        raise NotImplementedError(
-            "groupby().mode() matches reference NotImplementedError; "
-            "use top_k_per_group from eland_spark.operators.windowed"
-        )
+    def mode(self, numeric_only: bool | None = False) -> pd.DataFrame:
+        """Per-group per-column modal value; frequency ties resolve to
+        the LOWEST value (deterministic). The reference raises
+        NotImplementedError here (eland/groupby.py:701-702) — native in
+        Spark via the deterministic ``mode`` aggregate: ONE hash
+        aggregation over the group keys (map-side combined, no
+        per-column windows, no second shuffle), the same plan shape as
+        every other agg method. Nulls are excluded from the frequency
+        count (pandas dropna semantics; Spark aggs skip nulls)."""
+        exprs = [
+            F.mode(F.col(f.column_name), True).alias(f"mode__{f.display_name}")
+            for f in self._agg_fields(numeric_only, "mode")
+        ]
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        pdf.columns = [c.split("__", 1)[1] for c in pdf.columns]
+        return pdf
+
+    def idxmax(self) -> pd.DataFrame:
+        return self._idx_extreme(True)
+
+    def idxmin(self) -> pd.DataFrame:
+        return self._idx_extreme(False)
+
+    def _idx_extreme(self, is_max: bool) -> pd.DataFrame:
+        """Per-group index value of each numeric column's extreme row
+        (pandas GroupBy.idxmax/idxmin; no reference analog — eland's
+        idxmax is whole-frame only, eland/operations.py:207-254). Same
+        single-agg ``min_by(key, struct(ordering, key))`` trick as the
+        frame-level version: one hash aggregation, ties to the lowest
+        index (pandas first-occurrence), nulls skipped."""
+        if not self._frame._schema.index_cols:
+            raise ValueError("groupby().idxmax/idxmin require an index column")
+        key = self._frame._schema.index_cols[0]
+        exprs = []
+        for f in self._agg_fields(None, "max" if is_max else "min"):
+            if not f.is_numeric:
+                continue
+            v = F.col(f.column_name).cast("double")
+            ordering = (-v) if is_max else v
+            pair = F.when(v.isNotNull(), F.struct(ordering.alias("o"), F.col(key).alias("i")))
+            exprs.append(F.min_by(F.col(key), pair).alias(f.display_name))
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        return pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()

@@ -341,3 +341,31 @@ def test_explode_matches_pandas(spark, sf_dir):
     # real table: exploding the embedding column multiplies rows by dim
     n, dim = emb.shape[0], len(emb.head(1).to_pandas()["embedding"][0])
     assert emb.explode("embedding").shape[0] == n * dim
+
+
+def test_groupby_mode_matches_pandas(orders, orders_pd):
+    got = orders.groupby("o_orderstatus").mode()
+    for col in ("o_totalprice", "o_custkey"):
+        for status, grp in orders_pd.groupby("o_orderstatus"):
+            counts = grp[col].value_counts()
+            top = counts[counts == counts.max()]
+            expected = min(top.index)  # lowest value among frequency ties
+            assert got.loc[status, col] == expected, (col, status)
+
+
+def test_groupby_idxmax_idxmin_match_pandas(orders, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey")
+    for ours, theirs in (("idxmax", "idxmax"), ("idxmin", "idxmin")):
+        got = getattr(orders.groupby("o_orderstatus"), ours)()
+        exp = getattr(pdf.groupby("o_orderstatus")[["o_custkey", "o_totalprice"]], theirs)()
+        for col in ("o_custkey", "o_totalprice"):
+            assert dict(got[col]) == dict(exp[col]), (ours, col)
+
+
+def test_groupby_idxmax_requires_index(spark, sf_dir):
+    import eland_spark as es
+    import pytest
+
+    df = es.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="index"):
+        df.groupby("o_orderstatus").idxmax()
