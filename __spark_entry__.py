@@ -818,6 +818,23 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style within-doc repetition signals (word/bigram repeat
+    fractions, top-word share) — per-row HOFs on the token array, no
+    shuffle, no UDF; the curation filter shape for 100 TB text."""
+    from eland_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    stats = repetition_stats(F.col("text"))
+    return docs.to_spark().select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        F.round(stats["word_rep_frac"], 6).alias("word_rep_frac"),
+        F.round(stats["bigram_rep_frac"], 6).alias("bigram_rep_frac"),
+        F.round(stats["top_word_frac"], 6).alias("top_word_frac"),
+    )
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     """Language-ID heuristic vs the labeled lang column: confusion counts."""
     from eland_spark.operators.text import lang_id
@@ -1334,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1766,6 +1784,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, round(avg(sw), 6) AS avg_stopword_ratio,
                    round(avg(nt), 6) AS avg_tokens, count(*) AS n_docs
             FROM per_doc GROUP BY 1
+        """,
+        "text_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(regexp_replace(text,
+                           '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '') AS l
+                FROM documents
+            ), g AS (
+                SELECT doc_id, l,
+                       [l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)] AS bi
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(l) = 0 THEN 0
+                         ELSE 1.0 - len(list_distinct(l)) * 1.0 / len(l) END, 6) AS word_rep_frac,
+                   round(CASE WHEN len(bi) = 0 THEN 0
+                         ELSE 1.0 - len(list_distinct(bi)) * 1.0 / len(bi) END, 6) AS bigram_rep_frac,
+                   round(CASE WHEN len(l) = 0 THEN 0
+                         ELSE list_max(map_values(list_aggregate(l, 'histogram'))) * 1.0 / len(l) END, 6) AS top_word_frac
+            FROM g
         """,
         "fingerprint": """
             SELECT doc_id,

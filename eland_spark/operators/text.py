@@ -147,6 +147,63 @@ def vocabulary(
     return out
 
 
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style quality
+    filters for training-data curation): fraction of repeated words,
+    fraction of repeated bigrams, and the top word's frequency share.
+    Everything runs on the materialized token array with higher-order
+    functions — per-row, embarrassingly parallel, no shuffle, no UDF:
+
+    - ``word_rep_frac``  = 1 - |distinct words| / |words|
+    - ``bigram_rep_frac`` = 1 - |distinct bigrams| / |bigrams|
+    - ``top_word_frac``  = count of most frequent word / |words|,
+      computed as the max run length of the SORTED token array via one
+      ``aggregate`` fold (no per-doc groupBy, no map build).
+
+    Returns named Column expressions; attach with ``select``/``assign``.
+    High values on any of them mark boilerplate/spam documents.
+    """
+    from .dedup import normalized_tokens
+
+    l = normalized_tokens(text)
+    n = F.size(l)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(l, i + 1), F.element_at(l, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nbi = F.size(bi)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort(l), acc0, _step, lambda a: a["best"])
+    return {
+        "n_words": n.cast("long"),
+        "word_rep_frac": F.when(n == 0, 0.0).otherwise(
+            1.0 - F.size(F.array_distinct(l)) / n
+        ),
+        "bigram_rep_frac": F.when(nbi == 0, 0.0).otherwise(
+            1.0 - F.size(F.array_distinct(bi)) / nbi
+        ),
+        "top_word_frac": F.when(n == 0, 0.0).otherwise(top_cnt / n),
+    }
+
+
 def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Polynomial rolling hash over tokens (order-sensitive fingerprint):
     h = sum(hash_i * base^(n-i)) mod m, computed as fold

@@ -369,3 +369,37 @@ def test_groupby_idxmax_requires_index(spark, sf_dir):
     df = es.read_parquet(spark, f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError, match="index"):
         df.groupby("o_orderstatus").idxmax()
+
+
+def test_repetition_stats_edges(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import repetition_stats
+
+    sdf = spark.createDataFrame(
+        [
+            (1, ""),                      # empty
+            (2, "word"),                  # single word, no bigrams
+            (3, "spam spam spam spam"),   # fully repeated
+            (4, "a b c d"),               # all distinct
+        ],
+        "id int, text string",
+    )
+    s = repetition_stats(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in sdf.select(
+            "id",
+            s["n_words"].alias("n"),
+            s["word_rep_frac"].alias("w"),
+            s["bigram_rep_frac"].alias("b"),
+            s["top_word_frac"].alias("t"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 0 and rows[1]["w"] == 0.0 and rows[1]["t"] == 0.0
+    assert rows[2]["n"] == 1 and rows[2]["b"] == 0.0 and rows[2]["t"] == 1.0
+    import pytest as _pytest
+
+    assert rows[3]["w"] == 0.75 and rows[3]["t"] == 1.0
+    assert rows[3]["b"] == _pytest.approx(2.0 / 3.0)
+    assert rows[4]["w"] == 0.0 and rows[4]["b"] == 0.0 and rows[4]["t"] == 0.25
