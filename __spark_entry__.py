@@ -822,16 +822,16 @@ def q_text_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style within-doc repetition signals (word/bigram repeat
     fractions, top-word share) — per-row HOFs on the token array, no
     shuffle, no UDF; the curation filter shape for 100 TB text."""
-    from eland_spark.operators.text import repetition_stats
+    from eland_spark.operators.text import repetition_frame
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
-    stats = repetition_stats(F.col("text"))
-    return docs.to_spark().select(
-        "doc_id",
-        stats["n_words"].alias("n_words"),
-        F.round(stats["word_rep_frac"], 6).alias("word_rep_frac"),
-        F.round(stats["bigram_rep_frac"], 6).alias("bigram_rep_frac"),
-        F.round(stats["top_word_frac"], 6).alias("top_word_frac"),
+    out = repetition_frame(docs.to_spark(), F.col("text"), F.col("doc_id"))
+    return out.select(
+        F.col("__id__").alias("doc_id"),
+        "n_words",
+        F.round("word_rep_frac", 6).alias("word_rep_frac"),
+        F.round("bigram_rep_frac", 6).alias("bigram_rep_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
     )
 
 

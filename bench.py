@@ -32,10 +32,12 @@ HEADLINE = [
     "semi_join",
     "window_topk_per_group",
     "events_tumbling",
+    "events_sliding",
     "sessionize",
     "dedup_exact",
     "text_stats",
     "text_quality",
+    "text_repetition",
     "fingerprint",
     "minhash_near_dup",
     "tfidf_topk",
@@ -45,7 +47,13 @@ HEADLINE = [
 ]
 
 # queries whose result set is large -> noop sink instead of collect
-ROW_HEAVY = {"filter_chain", "text_stats", "fingerprint", "window_running_sum"}
+ROW_HEAVY = {
+    "filter_chain",
+    "text_stats",
+    "text_repetition",
+    "fingerprint",
+    "window_running_sum",
+}
 
 
 def main() -> None:

@@ -147,12 +147,12 @@ def vocabulary(
     return out
 
 
-def repetition_stats(text: Column) -> dict[str, Column]:
+def repetition_stats(tokens_col: Column) -> dict[str, Column]:
     """Within-document repetition signals (Gopher-style quality
-    filters for training-data curation): fraction of repeated words,
-    fraction of repeated bigrams, and the top word's frequency share.
-    Everything runs on the materialized token array with higher-order
-    functions — per-row, embarrassingly parallel, no shuffle, no UDF:
+    filters for training-data curation) over a MATERIALIZED token-array
+    column: fraction of repeated words, fraction of repeated bigrams,
+    and the top word's frequency share. Per-row higher-order functions
+    — embarrassingly parallel, no shuffle, no UDF:
 
     - ``word_rep_frac``  = 1 - |distinct words| / |words|
     - ``bigram_rep_frac`` = 1 - |distinct bigrams| / |bigrams|
@@ -160,12 +160,17 @@ def repetition_stats(text: Column) -> dict[str, Column]:
       computed as the max run length of the SORTED token array via one
       ``aggregate`` fold (no per-doc groupBy, no map build).
 
+    ``tokens_col`` MUST be an already-projected array column (use
+    ``repetition_frame`` for the two-step select) — passing an inline
+    ``normalized_tokens(text)`` expression would re-split the text on
+    every ``element_at`` access inside the HOF lambdas (HOFs are
+    interpreted, no common-subexpression elimination: measured ~90x
+    slower, same trap as ``shingle_rows``).
+
     Returns named Column expressions; attach with ``select``/``assign``.
     High values on any of them mark boilerplate/spam documents.
     """
-    from .dedup import normalized_tokens
-
-    l = normalized_tokens(text)
+    l = tokens_col
     n = F.size(l)
     bi = F.when(
         n >= 2,
@@ -202,6 +207,19 @@ def repetition_stats(text: Column) -> dict[str, Column]:
         ),
         "top_word_frac": F.when(n == 0, 0.0).otherwise(top_cnt / n),
     }
+
+
+def repetition_frame(sdf, text: Column, id_col: Column):
+    """Per-document repetition signals as a Spark DataFrame
+    (id, n_words, word_rep_frac, bigram_rep_frac, top_word_frac).
+    Two chained projections: the first materializes the token array
+    ONCE per row, the second computes the HOF signals over it — one
+    codegen'd map stage, zero shuffles."""
+    from .dedup import normalized_tokens
+
+    toks = sdf.select(id_col.alias("__id__"), normalized_tokens(text).alias("__toks__"))
+    s = repetition_stats(F.col("__toks__"))
+    return toks.select("__id__", *[v.alias(k) for k, v in s.items()])
 
 
 def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:

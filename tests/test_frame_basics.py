@@ -385,10 +385,13 @@ def test_repetition_stats_edges(spark):
         ],
         "id int, text string",
     )
-    s = repetition_stats(F.col("text"))
+    from eland_spark.operators.dedup import normalized_tokens
+
+    toks = sdf.select("id", normalized_tokens(F.col("text")).alias("l"))
+    s = repetition_stats(F.col("l"))
     rows = {
         r["id"]: r
-        for r in sdf.select(
+        for r in toks.select(
             "id",
             s["n_words"].alias("n"),
             s["word_rep_frac"].alias("w"),

@@ -229,3 +229,46 @@ def test_es_date_parse_stays_jvm_side(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_repetition_stats_shuffle_free_jvm_side(spark):
+    """Repetition signals are a pure per-row map: no exchange, no
+    Python eval — the plan that scales linearly on 100 TB of text."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import repetition_frame
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet", index_col="doc_id")
+    out = repetition_frame(docs.to_spark(), F.col("text"), F.col("doc_id"))
+    assert shuffle_count(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_groupby_mode_single_aggregation(spark):
+    """gb.mode compiles to ONE hash aggregation over the keys (no
+    per-column windows, no second shuffle)."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders.groupby("o_orderstatus")._lazy(
+        [__import__("pyspark.sql.functions", fromlist=["mode"]).mode("o_totalprice", True).alias("m")]
+    ).to_spark()
+    assert shuffle_count(out) == 1
+
+
+def test_groupby_idxmax_single_aggregation(spark):
+    """gb.idxmax is one min_by agg — one shuffle, no window/self-join."""
+    from pyspark.sql import functions as F
+
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    v = F.col("o_totalprice").cast("double")
+    pair = F.when(v.isNotNull(), F.struct((-v).alias("o"), F.col("o_orderkey").alias("i")))
+    out = (
+        orders.to_spark()
+        .groupBy("o_orderstatus")
+        .agg(F.min_by(F.col("o_orderkey"), pair).alias("idx"))
+    )
+    assert shuffle_count(out) == 1
+    text = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_min_by" in text, "no map-side partial aggregation"
