@@ -715,6 +715,39 @@ def q_events_tumbling(spark, sf_dir) -> DataFrame:
 # dedup / text / similarity extensions (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_corr_matrix(spark, sf_dir) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregation pass (each corr
+    is a streaming map-side-combinable agg — single scan at any scale).
+    Library surface: DataFrame.corr."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sdf = li.to_spark()
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    return sdf.agg(
+        *[
+            F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"corr_{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+
+
+def q_pivot_status(spark, sf_dir) -> DataFrame:
+    """Wide pivot: order priority x status -> total price. Explicit
+    pivot values keep it one shuffle with a fixed schema (pandas
+    pivot_table surface; library: DataFrame.pivot_table)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    return (
+        o.to_spark()
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
 def q_events_sliding(spark, sf_dir) -> DataFrame:
     """Sliding 24h window / 12h slide aggregation (each event lands in
     two windows). Spark assigns epoch-aligned windows in one pass —
@@ -1345,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
+        "corr_matrix": q_corr_matrix,
+        "pivot_status": q_pivot_status,
         "events_sliding": q_events_sliding,
         "groupby_mode": q_groupby_mode,
         "groupby_idxmax": q_groupby_idxmax,
@@ -1721,6 +1756,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "corr_matrix": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity__l_extendedprice,
+                   round(corr(l_quantity, l_discount), 6) AS corr_l_quantity__l_discount,
+                   round(corr(l_extendedprice, l_tax), 6) AS corr_l_extendedprice__l_tax,
+                   round(corr(l_discount, l_tax), 6) AS corr_l_discount__l_tax
+            FROM lineitem
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+            FROM orders GROUP BY 1
         """,
         "events_sliding": """
             SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200

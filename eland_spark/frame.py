@@ -634,6 +634,66 @@ class DataFrame:
             ]
         return pd.DataFrame(data, index=idx, dtype="float64")
 
+    def corr(self, numeric_only: bool = True) -> pd.DataFrame:
+        """Pairwise Pearson correlation matrix of numeric columns (no
+        reference analog — pandas DataFrame.corr surface). All p*(p-1)/2
+        coefficients compute in ONE aggregation pass (each F.corr is a
+        map-side-combinable streaming agg; one job, one tiny result row
+        — the 100 TB plan is a single scan)."""
+        fields = [f for f in self._schema.fields if f.is_numeric]
+        names = [f.display_name for f in fields]
+        exprs = []
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1 :]:
+                exprs.append(
+                    F.corr(
+                        F.col(fa.column_name).cast("double"),
+                        F.col(fb.column_name).cast("double"),
+                    ).alias(f"{fa.display_name}__{fb.display_name}")
+                )
+        row = self._sdf.agg(*exprs).collect()[0] if exprs else {}
+        import numpy as np
+
+        mat = pd.DataFrame(np.eye(len(names)), index=names, columns=names)
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                v = row[f"{a}__{b}"]
+                v = float("nan") if v is None else v
+                mat.loc[a, b] = mat.loc[b, a] = v
+        return mat
+
+    def pivot_table(
+        self,
+        index: str,
+        columns: str,
+        values: str,
+        aggfunc: str = "mean",
+    ) -> pd.DataFrame:
+        """Wide pivot (no reference analog — pandas pivot_table surface):
+        ``groupBy(index).pivot(columns).agg(...)``. The pivot values are
+        discovered with an explicit distinct pass and passed to Spark's
+        pivot so the agg stays a SINGLE shuffle with a fixed output
+        schema (open-ended pivot would scan once extra anyway — here the
+        distinct doubles as a cardinality guard)."""
+        schema = self._schema
+        idx_c = schema.resolve(index)
+        col_c = schema.resolve(columns)
+        val_f = schema.field(values)
+        cats = [
+            r[0]
+            for r in self._sdf.select(col_c).distinct().orderBy(col_c).collect()
+        ]
+        if len(cats) > 10000:
+            raise ValueError(f"pivot column {columns!r} has {len(cats)} distinct values")
+        agg = self._agg_expr(aggfunc, val_f)
+        out = (
+            self._sdf.groupBy(F.col(idx_c).alias(index))
+            .pivot(col_c, cats)
+            .agg(agg)
+            .toPandas()
+        )
+        return out.set_index(index).sort_index()
+
     def mode(self, numeric_only: bool = False, es_size: int = 10) -> pd.DataFrame:
         """Per-column top-N by frequency; ties all kept, shorter columns
         padded NaN/NaT (reference eland/operations.py:665-696)."""

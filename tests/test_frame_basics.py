@@ -406,3 +406,34 @@ def test_repetition_stats_edges(spark):
     assert rows[3]["w"] == 0.75 and rows[3]["t"] == 1.0
     assert rows[3]["b"] == _pytest.approx(2.0 / 3.0)
     assert rows[4]["w"] == 0.0 and rows[4]["b"] == 0.0 and rows[4]["t"] == 0.25
+
+
+def test_corr_matches_pandas(orders, orders_pd):
+    import pytest
+
+    got = orders.corr()
+    exp = orders_pd[["o_orderkey", "o_custkey", "o_totalprice"]].corr()
+    for a in exp.columns:
+        for b in exp.columns:
+            assert got.loc[a, b] == pytest.approx(exp.loc[a, b], rel=1e-9), (a, b)
+
+
+def test_pivot_table_matches_pandas(orders, orders_pd):
+    import pytest
+
+    got = orders.pivot_table("o_orderpriority", "o_orderstatus", "o_totalprice", "sum")
+    exp = orders_pd.pivot_table(
+        index="o_orderpriority", columns="o_orderstatus", values="o_totalprice",
+        aggfunc="sum",
+    )
+    assert list(got.index) == list(exp.index)
+    for c in exp.columns:
+        for i in exp.index:
+            assert got.loc[i, c] == pytest.approx(exp.loc[i, c], rel=1e-9)
+    # mean default aggfunc too
+    got_m = orders.pivot_table("o_orderpriority", "o_orderstatus", "o_totalprice")
+    exp_m = orders_pd.pivot_table(
+        index="o_orderpriority", columns="o_orderstatus", values="o_totalprice",
+        aggfunc="mean",
+    )
+    assert got_m.loc["5-LOW", "O"] == pytest.approx(exp_m.loc["5-LOW", "O"], rel=1e-9)
