@@ -715,6 +715,21 @@ def q_events_tumbling(spark, sf_dir) -> DataFrame:
 # dedup / text / similarity extensions (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_global_rank_topk(spark, sf_dir) -> DataFrame:
+    """Global row-number ranking WITHOUT the single-partition window
+    cliff: range-sort + per-partition offsets + monotonic-id bit
+    arithmetic (operators/ranking.py). Top-100 orders by price."""
+    from eland_spark.operators.ranking import with_global_rank
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    ranked = with_global_rank(
+        o.to_spark(), ["o_totalprice", "o_orderkey"], ascending=False, rank_col="rnk"
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"
+    )
+
+
 def q_corr_matrix(spark, sf_dir) -> DataFrame:
     """Pairwise Pearson correlations in ONE aggregation pass (each corr
     is a streaming map-side-combinable agg — single scan at any scale).
@@ -1378,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
+        "global_rank_topk": q_global_rank_topk,
         "corr_matrix": q_corr_matrix,
         "pivot_status": q_pivot_status,
         "events_sliding": q_events_sliding,
@@ -1756,6 +1772,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "global_rank_topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+            FROM orders QUALIFY rnk <= 100
         """,
         "corr_matrix": """
             SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity__l_extendedprice,

@@ -416,6 +416,10 @@ class DataFrame:
         "var": lambda c: F.var_samp(c),
         "nunique": lambda c: F.countDistinct(c),
         "median": lambda c: F.percentile(c, F.lit(0.5)),
+        # standard error of the mean: std/sqrt(n) with non-null n —
+        # the reference raises NotImplementedError for sem
+        # (eland/operations.py:1144-1146); native single-pass agg here
+        "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
     }
     _APPROX_EXPRS = {
         "nunique": lambda c: F.approx_count_distinct(c),
@@ -424,7 +428,7 @@ class DataFrame:
 
     def _agg_expr(self, agg: str, field: Field, approx: bool = False) -> Column:
         col = F.col(field.column_name)
-        if field.is_bool and agg in ("sum", "mean", "std", "var", "median"):
+        if field.is_bool and agg in ("sum", "mean", "std", "var", "median", "sem"):
             col = col.cast("long")
         if field.is_timestamp and agg in ("mean", "median"):
             # timestamps support mean/percentiles via epoch millis, like
@@ -521,6 +525,11 @@ class DataFrame:
 
     def var(self, numeric_only=True):
         return self._metric_agg("var", numeric_only)
+
+    def sem(self, numeric_only=True):
+        """Standard error of the mean (reference NotImplementedError,
+        eland/operations.py:1144-1146 — native one-pass agg here)."""
+        return self._metric_agg("sem", numeric_only)
 
     def median(self, numeric_only=True, approx=False):
         return self._metric_agg("median", numeric_only, approx)
@@ -656,6 +665,39 @@ class DataFrame:
 
         mat = pd.DataFrame(np.eye(len(names)), index=names, columns=names)
         for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                v = row[f"{a}__{b}"]
+                v = float("nan") if v is None else v
+                mat.loc[a, b] = mat.loc[b, a] = v
+        return mat
+
+    def cov(self, numeric_only: bool = True) -> pd.DataFrame:
+        """Pairwise sample covariance matrix (pandas DataFrame.cov);
+        same one-pass plan as ``corr`` with ``covar_samp`` aggs plus
+        the diagonal variances."""
+        fields = [f for f in self._schema.fields if f.is_numeric]
+        names = [f.display_name for f in fields]
+        exprs = [
+            F.var_samp(F.col(f.column_name).cast("double")).alias(f"v__{f.display_name}")
+            for f in fields
+        ]
+        for i, fa in enumerate(fields):
+            for fb in fields[i + 1 :]:
+                exprs.append(
+                    F.covar_samp(
+                        F.col(fa.column_name).cast("double"),
+                        F.col(fb.column_name).cast("double"),
+                    ).alias(f"{fa.display_name}__{fb.display_name}")
+                )
+        row = self._sdf.agg(*exprs).collect()[0]
+        import numpy as np
+
+        mat = pd.DataFrame(
+            np.zeros((len(names), len(names))), index=names, columns=names
+        )
+        for i, a in enumerate(names):
+            v = row[f"v__{a}"]
+            mat.loc[a, a] = float("nan") if v is None else v
             for b in names[i + 1 :]:
                 v = row[f"{a}__{b}"]
                 v = float("nan") if v is None else v

@@ -112,6 +112,11 @@ class DataFrameGroupBy:
     def var(self, numeric_only=True):
         return self._run(["var"], numeric_only)
 
+    def sem(self, numeric_only=True):
+        """Per-group standard error of the mean (reference
+        NotImplementedError, eland/operations.py:1144-1146)."""
+        return self._run(["sem"], numeric_only)
+
     def median(self, numeric_only=True):
         return self._run(["median"], numeric_only)
 

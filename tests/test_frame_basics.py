@@ -437,3 +437,23 @@ def test_pivot_table_matches_pandas(orders, orders_pd):
         aggfunc="mean",
     )
     assert got_m.loc["5-LOW", "O"] == pytest.approx(exp_m.loc["5-LOW", "O"], rel=1e-9)
+
+
+def test_sem_cov_match_pandas(lineitem, lineitem_pd):
+    import pytest
+
+    got = lineitem.sem(numeric_only=True)
+    num = lineitem_pd.select_dtypes("number")
+    for c in got.index:
+        if c in num:
+            assert got[c] == pytest.approx(num[c].sem(), rel=1e-9), c
+    gb = lineitem.groupby("l_returnflag").sem()
+    exp = lineitem_pd.groupby("l_returnflag")[["l_quantity", "l_discount"]].sem()
+    for c in ("l_quantity", "l_discount"):
+        for k in exp.index:
+            assert gb.loc[k, c] == pytest.approx(exp.loc[k, c], rel=1e-9), (c, k)
+    cov = lineitem[["l_quantity", "l_extendedprice", "l_discount"]].cov()
+    exp_cov = num[["l_quantity", "l_extendedprice", "l_discount"]].cov()
+    for a in exp_cov.columns:
+        for b in exp_cov.columns:
+            assert cov.loc[a, b] == pytest.approx(exp_cov.loc[a, b], rel=1e-9)

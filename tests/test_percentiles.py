@@ -31,3 +31,48 @@ def test_empty_and_single_row(spark):
     v = one.collect()[0]["l_quantity"]
     out = exact_percentiles(one, "l_quantity", [0.0, 0.5, 1.0], partitions=4)
     assert out == [v, v, v]
+
+
+def test_global_rank_matches_window(spark):
+    """with_global_rank == row_number() over a global order, without
+    the single-partition window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.ranking import with_global_rank
+
+    sdf = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    ranked = with_global_rank(
+        sdf, ["o_totalprice", "o_orderkey"], ascending=False, rank_col="rnk",
+        partitions=7,
+    )
+    got = {
+        (r["o_orderkey"], r["rnk"])
+        for r in ranked.select("o_orderkey", "rnk").collect()
+    }
+    w = Window.orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+    exp = {
+        (r["o_orderkey"], r["rnk"])
+        for r in sdf.select(
+            "o_orderkey", F.row_number().over(w).alias("rnk")
+        ).collect()
+    }
+    assert got == exp
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    ranked.unpersist()
+
+
+def test_global_rank_ascending_and_small_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.ranking import with_global_rank
+
+    sdf = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], "id long, v double"
+    )
+    ranked = with_global_rank(sdf, ["v", "id"], rank_col="r", partitions=3)
+    rows = ranked.select("id", "v", "r").collect()
+    ordered = sorted(rows, key=lambda x: (x["v"], x["id"]))
+    assert [x["r"] for x in ordered] == list(range(1, 101))
+    ranked.unpersist()
