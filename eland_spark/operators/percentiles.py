@@ -7,19 +7,19 @@ the column). This operator computes exact interpolated percentiles the
 scalable way: range-partition sort + per-partition offsets + a global
 rank filter. Everything heavy stays codegen'd and parallel; only the
 ``len(ps) * 2`` boundary rows and the 1-row-per-partition count table
-ever reach the driver.
+ever reach the driver. Global ranks come from the bit layout of
+``monotonically_increasing_id`` on the sorted frame (pid << 33 | pos)
+— no window node at all.
 
-At 100 TB: one range shuffle of the (single) column + one window over
-already-sorted partitions — no single-reducer merge, no driver-size
-state. Interpolation matches pandas/DuckDB/Spark ``percentile``
+At 100 TB: one range shuffle of the (single) column, then pure maps —
+no single-reducer merge, no driver-size state. Interpolation matches pandas/DuckDB/Spark ``percentile``
 (linear, pos = p*(n-1)).
 """
 
 from __future__ import annotations
 
-from bisect import bisect_right
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_percentiles"]
@@ -37,11 +37,18 @@ def exact_percentiles(
     vals = sdf.select(c.cast("double").alias("v")).filter(F.col("v").isNotNull())
     n_parts = partitions or sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
     vals = vals.repartitionByRange(int(n_parts), F.col("v")).sortWithinPartitions("v")
-    vals = vals.withColumn("__pid__", F.spark_partition_id()).cache()
+    # monotonically_increasing_id on the sorted, cached frame encodes
+    # (partition_id << 33) | row_in_partition — recovering the global
+    # rank with bit arithmetic needs NO window and NO extra exchange
+    # (a pid-window would re-shuffle on pid; this is a pure map)
+    vals = vals.withColumn("__mid__", F.monotonically_increasing_id()).cache()
     try:
         # per-partition counts -> driver-side cumulative offsets (tiny)
         part_counts = (
-            vals.groupBy("__pid__").count().orderBy("__pid__").collect()
+            vals.groupBy(F.shiftright(F.col("__mid__"), 33).alias("__pid__"))
+            .count()
+            .orderBy("__pid__")
+            .collect()
         )
         if not part_counts:
             return [float("nan")] * len(ps)
@@ -64,10 +71,10 @@ def exact_percentiles(
         off_map = F.create_map(
             *[F.lit(v) for kv in offsets.items() for v in kv]
         )
-        w = Window.partitionBy("__pid__").orderBy("v")
         ranked = vals.withColumn(
             "__rank__",
-            F.row_number().over(w) - 1 + off_map[F.col("__pid__")],
+            off_map[F.shiftright(F.col("__mid__"), 33)]
+            + F.col("__mid__").bitwiseAND(F.lit((1 << 33) - 1)),
         )
         rows = (
             ranked.filter(F.col("__rank__").isin(list(want)))
