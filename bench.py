@@ -31,6 +31,7 @@ HEADLINE = [
     "top_orders",
     "semi_join",
     "window_topk_per_group",
+    "global_rank_topk",
     "events_tumbling",
     "events_sliding",
     "sessionize",
