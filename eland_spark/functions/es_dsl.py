@@ -95,16 +95,21 @@ def compile_es_dsl(
 ) -> Column:
     """Compile an ES query-DSL dict to a boolean Column.
 
-    Supported: match_all, term, terms, range (gt/gte/lt/lte), exists,
-    ids, wildcard, prefix, regexp, match, match_phrase, and arbitrarily
-    nested bool {must, filter, should, must_not} (ES semantics: must ==
-    filter for filtering purposes — scoring is out of scope; should
-    with no must is a disjunction; clauses may be a list or a single
-    object, matching what elasticsearch accepts)."""
+    Supported: match_all, match_none, term, terms, range (gt/gte/lt/
+    lte), exists, ids, wildcard, prefix, regexp, fuzzy, match,
+    match_phrase, match_bool_prefix, multi_match (best_fields boolean
+    semantics: any field matches), and arbitrarily nested bool {must,
+    filter, should, must_not} (ES semantics: must == filter for
+    filtering purposes — scoring is out of scope; should with no must
+    is a disjunction; clauses may be a list or a single object,
+    matching what elasticsearch accepts)."""
     kind, body = _one(query)
 
     if kind == "match_all":
         return F.lit(True)
+
+    if kind == "match_none":
+        return F.lit(False)
 
     if kind == "bool":
         def clauses(key: str) -> list[Column]:
@@ -181,6 +186,53 @@ def compile_es_dsl(
         value = spec["value"] if isinstance(spec, dict) else spec
         # ES regexp is implicitly anchored; Spark rlike is substring-based
         return _nn(F.col(resolve(field)).rlike(f"^(?:{value})$"))
+
+    if kind == "fuzzy":
+        # term-level query: no analysis, the WHOLE value within edit
+        # distance (consistent with term/wildcard treating columns as
+        # keyword values); AUTO ladder matches es_match's
+        field, spec = _one(body)
+        value = str(spec["value"] if isinstance(spec, dict) else spec)
+        fz = spec.get("fuzziness", "AUTO") if isinstance(spec, dict) else "AUTO"
+        if isinstance(fz, str):
+            if fz.upper() != "AUTO":
+                raise ValueError(f"unsupported fuzziness {fz!r}")
+            k = 0 if len(value) < 3 else (1 if len(value) <= 5 else 2)
+        else:
+            k = int(fz)
+        c = F.col(resolve(field))
+        return _nn(F.levenshtein(c, F.lit(value)) <= F.lit(k))
+
+    if kind == "match_bool_prefix":
+        # ES builds a bool SHOULD of term queries for all tokens but
+        # the last, plus a prefix query on the last (default OR, like
+        # match) — mirrored exactly
+        field, spec = _one(body)
+        text = str(spec["query"] if isinstance(spec, dict) else spec)
+        toks = text.split()
+        c = F.col(resolve(field))
+        if not toks:
+            return F.lit(False)
+        last = toks[-1].lower()
+        words = F.filter(F.split(F.lower(c), r"[^0-9a-z]+"), lambda w: w != "")
+        out = F.exists(words, lambda w: w.startswith(last))
+        if len(toks) > 1:
+            out = out | _match_tokens(c, " ".join(toks[:-1]), None)
+        return _nn(out)
+
+    if kind == "multi_match":
+        text = body["query"]
+        fields = body.get("fields") or []
+        if not fields:
+            raise ValueError("multi_match requires fields")
+        fuzziness = body.get("fuzziness")
+        preds = [
+            _nn(_match_tokens(F.col(resolve(f)), text, fuzziness)) for f in fields
+        ]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
 
     if kind in ("match", "match_phrase"):
         field, spec = _one(body)

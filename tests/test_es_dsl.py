@@ -128,3 +128,36 @@ def test_dsl_filter_pushes_down(cust):
     out = cust.es_query({"range": {"c_acctbal": {"gt": 5000.0}}}).to_spark()
     pf = pushed_filters(out)
     assert any("c_acctbal" in f for f in pf), pf
+
+
+def test_match_none_and_fuzzy(cust, cust_pd):
+    assert _ids(cust, {"match_none": {}}) == []
+    # fuzzy is term-level: whole value within edit distance
+    status_vals = cust_pd.c_mktsegment.unique()
+    target = str(status_vals[0])
+    typo = target[:-1] + ("X" if target[-1] != "X" else "Y")
+    got = cust.es_query({"fuzzy": {"c_mktsegment": {"value": typo, "fuzziness": 1}}}).shape[0]
+    exp = int((cust_pd.c_mktsegment == target).sum())
+    assert got == exp
+
+
+def test_match_bool_prefix_and_multi_match(spark, sf_dir):
+    import eland_spark as es
+
+    docs = es.read_parquet(spark, f"{sf_dir}/documents.parquet", index_col="doc_id")
+    pdf = docs.to_pandas()
+    # last token is a prefix; earlier tokens are OR'd term matches
+    got = docs.es_query({"match_bool_prefix": {"text": "distributed spar"}}).shape[0]
+    exp = int(
+        (
+            pdf.text.str.lower().str.contains(r"\bdistributed\b")
+            | pdf.text.str.lower().str.contains(r"\bspar[0-9a-z]*")
+        ).sum()
+    )
+    assert got == exp > 0
+    # multi_match ORs the match across fields
+    m = docs.es_query(
+        {"multi_match": {"query": "spark", "fields": ["text", "source"]}}
+    ).shape[0]
+    only_text = docs.es_query({"match": {"text": "spark"}}).shape[0]
+    assert m >= only_text > 0
