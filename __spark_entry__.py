@@ -917,6 +917,20 @@ def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
     return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
 
 
+def q_knn_join(spark, sf_dir) -> DataFrame:
+    """Batched exact k-NN: top-5 neighbors for each of 4 query vectors
+    in one pass — broadcast queries, 3-column rows through the single
+    shuffle, per-query rank (operators/similarity.knn_join)."""
+    from eland_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    queries = emb.to_spark().filter(F.col("vec_id") < 4)
+    out = knn_join(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
 def q_embedding_norms(spark, sf_dir) -> DataFrame:
     """Vector norms per label (embedding-column plumbing check)."""
     from eland_spark.operators.similarity import norm
@@ -1406,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
+        "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
@@ -1881,6 +1896,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
             FROM documents
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS s
+                   FROM embeddings e, q
+                 )
+            SELECT query_id, vec_id, round(s, 6) AS score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY s DESC, vec_id ASC) AS INT) AS rnk
+            FROM scored QUALIFY rnk <= 5
         """,
         "ann_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -74,6 +74,56 @@ def cosine_topk(
     return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
 
 
+def knn_join(
+    df: "DataFrame",
+    queries,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str | None = None,
+    query_id_col: str | None = None,
+):
+    """Batched exact k-NN: top-k corpus neighbors for EVERY query row.
+
+    Plan: broadcast the (small) query frame, cross-join against the
+    corpus scan with the cosine computed by the deterministic zip_with
+    fold, project down to (query_id, id, score) 3-column rows BEFORE
+    the one shuffle, then rank within each query partition. The shuffle
+    volume is |corpus| x |queries| x 3 narrow columns; per-query groups
+    parallelize across executors, so larger query batches IMPROVE
+    balance. For a single ad-hoc vector use ``cosine_topk`` (TakeOrdered,
+    zero shuffle); for billion-row corpora bound the scan with the IVF
+    or LSH variants and apply the same ranking to the candidate set.
+
+    ``queries``: an eland or Spark DataFrame. Returns a Spark DataFrame
+    (query_id, <id_col>, score, rnk).
+    """
+    from pyspark.sql import Window
+
+    schema = df._schema
+    qsdf = queries.to_spark() if hasattr(queries, "to_spark") else queries
+    qvc = query_vec_col or vec_col
+    qic = query_id_col or id_col
+    q = qsdf.select(
+        F.col(qic).alias("__qid__"), F.col(qvc).alias("__qv__")
+    )
+    sim = cosine(F.col(schema.resolve(vec_col)), F.col("__qv__"))
+    scored = (
+        df._sdf.crossJoin(F.broadcast(q))
+        .select(
+            "__qid__",
+            F.col(schema.resolve(id_col)).alias(id_col),
+            sim.alias("score"),
+        )
+    )
+    w = Window.partitionBy("__qid__").orderBy(F.desc("score"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid__").alias("query_id"), id_col, "score", "rnk")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — reproducible across
     engines without numpy RNG state)."""

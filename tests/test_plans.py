@@ -272,3 +272,21 @@ def test_groupby_idxmax_single_aggregation(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "partial_min_by" in text, "no map-side partial aggregation"
+
+
+def test_knn_join_broadcasts_queries_single_shuffle(spark):
+    """knn_join: queries broadcast, 3-column rows through ONE shuffle
+    (the per-query rank window) — never a shuffled cross join."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.similarity import knn_join
+
+    emb = es.read_parquet(spark, f"{SF}/embeddings.parquet", index_col="vec_id")
+    queries = emb.to_spark().filter(F.col("vec_id") < 3)
+    out = knn_join(emb, queries, k=5)
+    assert broadcast_join_count(out) >= 1
+    assert shuffle_count(out) == 1
+    # row-number semantics: exactly k rows per query
+    counts = {r["query_id"]: r["n"] for r in
+              out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts.values()) == {5}
