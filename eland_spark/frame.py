@@ -403,6 +403,26 @@ class DataFrame:
 
         return drop_duplicates(self, subset=subset, keep=keep)
 
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        """Top-n rows by column value(s) (pandas surface; no reference
+        analog). Compiles to TakeOrdered — per-partition top-n then a
+        driver merge of n-row heaps, NO full sort shuffle."""
+        return self._n_extreme(n, columns, asc=False)
+
+    def nsmallest(self, n: int, columns) -> "DataFrame":
+        return self._n_extreme(n, columns, asc=True)
+
+    def _n_extreme(self, n: int, columns, asc: bool) -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        order = [
+            F.col(self._schema.resolve(c)).asc() if asc else F.col(self._schema.resolve(c)).desc()
+            for c in cols
+        ]
+        # index tie-break keeps the result deterministic (pandas
+        # keep='first' on a frame ordered by the index)
+        order += [F.col(c).asc() for c in self._schema.index_cols]
+        return self._with(sdf=self._sdf.orderBy(*order).limit(int(n)))
+
     # ------------------------------------------------------------------
     # aggregations (reference eland/operations.py:148-758)
     # ------------------------------------------------------------------

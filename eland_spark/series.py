@@ -434,19 +434,58 @@ class Series:
             return self._agg_scalar(F.percentile_approx(dev, 0.5))
         return self._agg_scalar(F.percentile(dev, F.lit(0.5)))
 
-    def value_counts(self, es_size: int = 10) -> pd.Series:
+    def value_counts(
+        self, es_size: int = 10, normalize: bool = False, dropna: bool = True
+    ) -> pd.Series:
         """Top-k by frequency (reference terms agg,
-        eland/operations.py:420-468)."""
+        eland/operations.py:420-468); ``dropna`` excludes the null
+        bucket and ``normalize=True`` returns frequency fractions of
+        the non-null total (both pandas semantics)."""
+        sdf = self._frame._sdf
+        if dropna:
+            sdf = sdf.filter(self._expr.isNotNull())
         rows = (
-            self._frame._sdf.groupBy(self._expr.alias(self._name))
+            sdf.groupBy(self._expr.alias(self._name))
             .count()
             .orderBy(F.desc("count"), F.asc(self._name))
             .limit(es_size)
             .collect()
         )
+        counts = [r["count"] for r in rows]
+        if normalize:
+            total = self._frame._sdf.agg(
+                F.count(self._expr).alias("n")
+            ).collect()[0]["n"]
+            counts = [c / total for c in counts]
         return pd.Series(
-            [r["count"] for r in rows],
+            counts,
             index=[r[self._name] for r in rows],
+            name=self._name,
+        )
+
+    def nlargest(self, n: int = 5) -> pd.Series:
+        """Top-n values with their index labels (pandas surface;
+        TakeOrdered — no full sort shuffle)."""
+        return self._n_extreme(n, asc=False)
+
+    def nsmallest(self, n: int = 5) -> pd.Series:
+        return self._n_extreme(n, asc=True)
+
+    def _n_extreme(self, n: int, asc: bool) -> pd.Series:
+        idx = self._frame._schema.index_cols
+        if not idx:
+            raise ValueError("nlargest/nsmallest require an index column")
+        key = idx[0]
+        order = [self._expr.asc() if asc else self._expr.desc(), F.col(key).asc()]
+        rows = (
+            self._frame._sdf.select(F.col(key), self._expr.alias(self._name))
+            .orderBy(*order)
+            .limit(int(n))
+            .collect()
+        )
+        return pd.Series(
+            [r[self._name] for r in rows],
+            index=[r[key] for r in rows],
             name=self._name,
         )
 

@@ -457,3 +457,36 @@ def test_sem_cov_match_pandas(lineitem, lineitem_pd):
     for a in exp_cov.columns:
         for b in exp_cov.columns:
             assert cov.loc[a, b] == pytest.approx(exp_cov.loc[a, b], rel=1e-9)
+
+
+def test_nlargest_nsmallest_match_pandas(orders, orders_pd):
+    got = orders.nlargest(5, "o_totalprice").to_pandas()
+    exp = orders_pd.nlargest(5, "o_totalprice")
+    # frame materialization re-sorts by index (engine determinism
+    # contract) — compare membership, not order
+    assert sorted(got["o_orderkey"]) == sorted(exp["o_orderkey"])
+    got_s = orders["o_totalprice"].nlargest(5)
+    exp_s = orders_pd.set_index("o_orderkey").o_totalprice.nlargest(5)
+    assert list(got_s.index) == list(exp_s.index)
+    assert list(got_s.values) == list(exp_s.values)
+    got_sm = orders["o_totalprice"].nsmallest(3)
+    exp_sm = orders_pd.set_index("o_orderkey").o_totalprice.nsmallest(3)
+    assert list(got_sm.index) == list(exp_sm.index)
+
+
+def test_value_counts_normalize_dropna(orders, orders_pd, spark):
+    vc = orders["o_orderstatus"].value_counts(10, normalize=True)
+    exp = orders_pd.o_orderstatus.value_counts(normalize=True)
+    import pytest
+
+    for k in vc.index:
+        assert vc[k] == pytest.approx(exp[k], rel=1e-12)
+    # null handling: dropna default excludes the null bucket
+    import eland_spark as es
+
+    sdf = spark.createDataFrame([(1, "a"), (2, "a"), (3, None)], "id int, s string")
+    df = es.DataFrame(sdf, index_cols=("id",))
+    v = df["s"].value_counts()
+    assert list(v.index) == ["a"] and v["a"] == 2
+    v_all = df["s"].value_counts(dropna=False)
+    assert len(v_all) == 2
