@@ -1,3 +1,4 @@
+from .joins import stream_enrich, stream_stream_join
 from .stateful import sessionize_with_state
 from .windows import (
     read_events_stream,
@@ -15,5 +16,7 @@ __all__ = [
     "session_windowed",
     "sessionize_with_state",
     "stream_dedup",
+    "stream_enrich",
+    "stream_stream_join",
     "stream_to_memory",
 ]

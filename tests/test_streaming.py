@@ -203,3 +203,64 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert list(got["event_id"]) == [1, 2, 3]
     # the FIRST sighting of event 1 won (value 1.0, not 99.0)
     assert got.loc[0, "value"] == 1.0
+
+
+def test_stream_enrich_matches_batch(spark, events_stream, events_batch, sf_dir):
+    from eland_spark.streaming import stream_enrich, stream_to_memory
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    res = stream_enrich(events_stream, dim, on="user_id").groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    stream_to_memory(res, "enrich_test", "complete", 120)
+    got = {
+        r["c_mktsegment"]: (r["n"], r["tv"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    exp_df = (
+        events_batch.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    exp = {r["c_mktsegment"]: (r["n"], r["tv"]) for r in exp_df.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
+    from eland_spark.streaming import read_events_stream, stream_stream_join
+
+    left_s = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    right_s = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_join(
+        left_s, right_s, on="user_id", within="1 hour", watermark="30 days"
+    ).select(F.col("l.event_id").alias("le"), F.col("r.event_id").alias("re"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) n FROM ssj_test").collect()[0]["n"]
+
+    lb = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("lts")
+    )
+    rb = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ru"), F.col("ts").alias("rts")
+    )
+    exp = lb.join(
+        rb,
+        (F.col("u") == F.col("ru"))
+        & (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 1 hour"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert got == exp > 0
