@@ -44,6 +44,7 @@ HEADLINE = [
     "tfidf_topk",
     "es_query_dsl",
     "ann_bruteforce",
+    "knn_join",
     "embedding_norms",
 ]
 
