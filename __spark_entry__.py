@@ -715,6 +715,16 @@ def q_events_tumbling(spark, sf_dir) -> DataFrame:
 # dedup / text / similarity extensions (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_melt_unpivot(spark, sf_dir) -> DataFrame:
+    """Wide->long unpivot (pandas melt / Spark unpivot): Generate-style
+    per-row expansion, zero shuffles. Library: DataFrame.melt."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    m = o.melt(id_vars="o_orderkey", value_vars=["o_totalprice", "o_custkey"])
+    return m.to_spark().select(
+        "o_orderkey", "variable", F.round("value", 2).alias("value")
+    )
+
+
 def q_global_rank_topk(spark, sf_dir) -> DataFrame:
     """Global row-number ranking WITHOUT the single-partition window
     cliff: range-sort + per-partition offsets + monotonic-id bit
@@ -1407,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
+        "melt_unpivot": q_melt_unpivot,
         "global_rank_topk": q_global_rank_topk,
         "corr_matrix": q_corr_matrix,
         "pivot_status": q_pivot_status,
@@ -1787,6 +1798,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "melt_unpivot": """
+            SELECT o_orderkey, 'o_totalprice' AS variable,
+                   round(o_totalprice, 2) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_custkey' AS variable,
+                   round(o_custkey, 2) AS value FROM orders
         """,
         "global_rank_topk": """
             SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,

@@ -403,6 +403,87 @@ class DataFrame:
 
         return drop_duplicates(self, subset=subset, keep=keep)
 
+    def dropna(self, subset=None, how: str = "any") -> "DataFrame":
+        """Drop rows with nulls (pandas surface; no reference analog —
+        eland only exposes per-op dropna flags). Compiles to a plain
+        filter, so the null checks push down to the scan."""
+        cols = [self._schema.resolve(c) for c in (subset or self._schema.display_names)]
+        return self._with(sdf=self._sdf.dropna(how=how, subset=cols))
+
+    def fillna(self, value) -> "DataFrame":
+        """Fill nulls with a scalar or a {column: value} dict (pandas
+        surface). Pure projection — per-row, shuffle-free."""
+        if isinstance(value, dict):
+            value = {self._schema.resolve(k): v for k, v in value.items()}
+        return self._with(sdf=self._sdf.fillna(value))
+
+    _PD_TO_SPARK_DTYPE = {
+        "int64": "bigint", "int32": "int", "float64": "double",
+        "float32": "float", "bool": "boolean", "object": "string",
+        "string": "string", "datetime64[ns]": "timestamp_ntz",
+    }
+
+    def astype(self, dtype) -> "DataFrame":
+        """Cast columns pandas-style ({col: dtype} or one dtype for
+        all). Casts are codegen'd projections; the schema wrapper is
+        updated so downstream agg-compatibility rules see the new
+        types."""
+        from dataclasses import replace as _replace
+
+        mapping = (
+            {c: dtype for c in self._schema.display_names}
+            if not isinstance(dtype, dict)
+            else dtype
+        )
+        sdf = self._sdf
+        targets = {}
+        for disp, dt in mapping.items():
+            spark_t = self._PD_TO_SPARK_DTYPE.get(str(dt), str(dt))
+            phys = self._schema.resolve(disp)
+            sdf = sdf.withColumn(phys, F.col(phys).cast(spark_t))
+            targets[phys] = spark_t
+        new_types = {f.name: f.dataType for f in sdf.schema.fields}
+        fields = tuple(
+            _replace(f, spark_type=new_types[f.column_name])
+            if f.column_name in targets
+            else f
+            for f in self._schema.fields
+        )
+        from .schema import Schema as _Schema
+
+        return self._with(sdf=sdf, schema=_Schema(fields, self._schema.index_cols))
+
+    def melt(
+        self,
+        id_vars,
+        value_vars=None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "DataFrame":
+        """Wide->long unpivot (pandas melt; inverse of pivot_table).
+        Spark's unpivot is a Generate-style expansion — per-row, no
+        shuffle, output rows = len(value_vars) x input rows."""
+        ids = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        vals = (
+            [value_vars]
+            if isinstance(value_vars, str)
+            else list(
+                value_vars
+                or [
+                    c
+                    for c in self._schema.display_names
+                    if c not in ids and self._schema.field(c).is_numeric
+                ]
+            )
+        )
+        sdf = self._sdf.unpivot(
+            [F.col(self._schema.resolve(c)).alias(c) for c in ids],
+            [F.col(self._schema.resolve(c)).alias(c) for c in vals],
+            var_name,
+            value_name,
+        )
+        return DataFrame(sdf, index_cols=tuple(c for c in self._schema.index_cols if c in ids))
+
     def nlargest(self, n: int, columns) -> "DataFrame":
         """Top-n rows by column value(s) (pandas surface; no reference
         analog). Compiles to TakeOrdered — per-partition top-n then a

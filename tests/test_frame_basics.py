@@ -490,3 +490,37 @@ def test_value_counts_normalize_dropna(orders, orders_pd, spark):
     assert list(v.index) == ["a"] and v["a"] == 2
     v_all = df["s"].value_counts(dropna=False)
     assert len(v_all) == 2
+
+
+def test_dropna_fillna_astype_melt(spark, orders, orders_pd):
+    import eland_spark as es
+
+    sdf = spark.createDataFrame(
+        [(1, None, 2.0), (2, "x", None), (3, "y", 3.5)],
+        "id int, s string, v double",
+    )
+    df = es.DataFrame(sdf, index_cols=("id",))
+    assert df.dropna().shape[0] == 1
+    assert df.dropna(how="all").shape[0] == 3
+    assert df.dropna(subset=["v"]).shape[0] == 2
+    filled = df.fillna({"s": "?", "v": 0.0}).to_pandas()
+    assert filled["s"].tolist() == ["?", "x", "y"]
+    assert filled["v"].tolist() == [2.0, 0.0, 3.5]
+    # astype updates both data and schema wrapper
+    cast = orders.astype({"o_totalprice": "int64"})
+    assert str(cast.dtypes["o_totalprice"]) == "int64"
+    assert cast["o_totalprice"].sum() == int(
+        orders_pd.o_totalprice.astype("int64").sum()
+    )
+    # melt matches pandas long shape
+    m = orders.melt(id_vars="o_orderkey", value_vars=["o_totalprice", "o_custkey"])
+    exp = orders_pd.melt(
+        id_vars="o_orderkey", value_vars=["o_totalprice", "o_custkey"]
+    )
+    assert m.shape[0] == len(exp)
+    got_sum = m.to_spark().groupBy("variable").sum("value").collect()
+    exp_sum = exp.groupby("variable")["value"].sum()
+    import pytest
+
+    for r in got_sum:
+        assert r["sum(value)"] == pytest.approx(exp_sum[r["variable"]], rel=1e-9)
