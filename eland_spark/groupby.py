@@ -89,10 +89,44 @@ class DataFrameGroupBy:
 
     # -- public agg methods (reference eland/groupby.py:47-699) ---------
     def agg(self, funcs, numeric_only: bool | None = None) -> pd.DataFrame:
+        if isinstance(funcs, dict):
+            return self._run_dict(funcs)
         funcs = [funcs] if isinstance(funcs, str) else list(funcs)
         return self._run(funcs, numeric_only)
 
     aggregate = agg
+
+    def _run_dict(self, spec: dict) -> pd.DataFrame:
+        """pandas dict-form agg: {column: func | [funcs]} — still ONE
+        groupBy job for every (column, func) pair. Flat columns when
+        every value is a single func (pandas shape), MultiIndex
+        (column, func) otherwise."""
+        schema = self._frame._schema
+        pairs: list[tuple[str, str]] = []
+        any_list = False
+        for col, fns in spec.items():
+            if col not in schema:
+                raise KeyError(col)
+            if isinstance(fns, (list, tuple)):
+                any_list = True
+                pairs.extend((col, a) for a in fns)
+            else:
+                pairs.append((col, fns))
+        exprs = [
+            self._frame._agg_expr(a, schema.field(col)).alias(f"{a}__{col}")
+            for col, a in pairs
+        ]
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        if any_list:
+            pdf.columns = pd.MultiIndex.from_tuples(
+                [tuple(reversed(c.split("__", 1))) for c in pdf.columns]
+            )
+            pdf = pdf[[(col, a) for col, a in pairs]]
+        else:
+            pdf.columns = [c.split("__", 1)[1] for c in pdf.columns]
+            pdf = pdf[[col for col, _ in pairs]]
+        return pdf
 
     def sum(self, numeric_only=True):
         return self._run(["sum"], numeric_only)

@@ -131,6 +131,24 @@ class Series:
     isnull = isna
     notnull = notna
 
+    def fillna(self, value) -> "Series":
+        """Null-coalesced copy of the column (pandas surface; pure
+        expression, shuffle-free)."""
+        return self._derived(
+            F.coalesce(self._expr, F.lit(value)), self._spark_type
+        )
+
+    def dropna(self) -> "Series":
+        """Series restricted to non-null rows (filters the backing
+        frame — the null check pushes down to the scan)."""
+        filtered = self._frame._with(
+            sdf=self._frame._sdf.filter(self._expr.isNotNull())
+        )
+        return Series(
+            filtered, self._expr, self._name, self._spark_type,
+            is_derived=getattr(self, "_is_derived", False),
+        )
+
     # boolean combinators (reference eland/filter.py:27-93)
     def __and__(self, other):
         return self._bool(self._expr & self._other(other))

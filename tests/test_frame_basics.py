@@ -524,3 +524,37 @@ def test_dropna_fillna_astype_melt(spark, orders, orders_pd):
 
     for r in got_sum:
         assert r["sum(value)"] == pytest.approx(exp_sum[r["variable"]], rel=1e-9)
+
+
+def test_series_fillna_dropna(spark):
+    import eland_spark as es
+
+    sdf = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 5.0)], "id int, v double"
+    )
+    df = es.DataFrame(sdf, index_cols=("id",))
+    assert df["v"].fillna(0.0).sum() == 7.0
+    assert df["v"].dropna().count() == 2
+    assert df["v"].count() == 2  # count already skips nulls
+    assert df["v"].fillna(0.0).count() == 3
+
+
+def test_groupby_agg_dict_matches_pandas(orders, orders_pd):
+    got = orders.groupby("o_orderstatus").agg(
+        {"o_totalprice": ["sum", "mean"], "o_custkey": "nunique"}
+    )
+    exp = orders_pd.groupby("o_orderstatus").agg(
+        {"o_totalprice": ["sum", "mean"], "o_custkey": "nunique"}
+    )
+    for k in exp.index:
+        assert got.loc[k, ("o_totalprice", "sum")] == pytest.approx(
+            exp.loc[k, ("o_totalprice", "sum")], rel=1e-9
+        )
+        assert got.loc[k, ("o_custkey", "nunique")] == exp.loc[k, ("o_custkey", "nunique")]
+    # scalar-only dict -> flat columns, pandas shape
+    flat = orders.groupby("o_orderstatus").agg({"o_totalprice": "sum"})
+    exp_flat = orders_pd.groupby("o_orderstatus").agg({"o_totalprice": "sum"})
+    for k in exp_flat.index:
+        assert flat.loc[k, "o_totalprice"] == pytest.approx(
+            exp_flat.loc[k, "o_totalprice"], rel=1e-9
+        )
