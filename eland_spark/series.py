@@ -643,6 +643,111 @@ class Series:
             is_derived=True,
         )
 
+    # -- pandas-style accessors (net-new: the reference exposes no
+    #    str/dt accessor, SURVEY §2.10 — everything compiles to
+    #    built-in Column expressions, shuffle-free) -------------------
+    @property
+    def str(self) -> "StrAccessor":
+        return StrAccessor(self)
+
+    @property
+    def dt(self) -> "DtAccessor":
+        return DtAccessor(self)
+
+
+class StrAccessor:
+    """Vectorized string methods on a Series, pandas-shaped. Boolean
+    outputs are filter-ready (push down to the scan)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def _d(self, expr: Column, t: T.DataType) -> Series:
+        return self._s._derived(expr, t)
+
+    def lower(self) -> Series:
+        return self._d(F.lower(self._s._expr), T.StringType())
+
+    def upper(self) -> Series:
+        return self._d(F.upper(self._s._expr), T.StringType())
+
+    def len(self) -> Series:
+        return self._d(F.length(self._s._expr).cast("long"), T.LongType())
+
+    def strip(self) -> Series:
+        return self._d(F.trim(self._s._expr), T.StringType())
+
+    def contains(self, pat: str, regex: bool = True) -> Series:
+        e = self._s._expr
+        expr = e.rlike(pat) if regex else e.contains(pat)
+        return self._d(expr, T.BooleanType())
+
+    def startswith(self, prefix: str) -> Series:
+        return self._d(self._s._expr.startswith(prefix), T.BooleanType())
+
+    def endswith(self, suffix: str) -> Series:
+        return self._d(self._s._expr.endswith(suffix), T.BooleanType())
+
+    def replace(self, pat: str, repl: str, regex: bool = True) -> Series:
+        e = self._s._expr
+        expr = (
+            F.regexp_replace(e, pat, repl)
+            if regex
+            else F.replace(e, F.lit(pat), F.lit(repl))
+        )
+        return self._d(expr, T.StringType())
+
+    def slice(self, start: int = 0, stop: int | None = None) -> Series:
+        length = (stop - start) if stop is not None else (1 << 30)
+        return self._d(
+            F.substring(self._s._expr, start + 1, length), T.StringType()
+        )
+
+    def split(self, pat: str = r"\s+") -> Series:
+        return self._d(F.split(self._s._expr, pat), T.ArrayType(T.StringType()))
+
+
+class DtAccessor:
+    """Datetime component accessors (the reference handles dates only
+    at the codec layer, SURVEY §2.10 — these are net-new)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def _d(self, expr: Column) -> Series:
+        return self._s._derived(expr.cast("long"), T.LongType())
+
+    @property
+    def year(self) -> Series:
+        return self._d(F.year(self._s._expr))
+
+    @property
+    def month(self) -> Series:
+        return self._d(F.month(self._s._expr))
+
+    @property
+    def day(self) -> Series:
+        return self._d(F.dayofmonth(self._s._expr))
+
+    @property
+    def hour(self) -> Series:
+        return self._d(F.hour(self._s._expr))
+
+    @property
+    def minute(self) -> Series:
+        return self._d(F.minute(self._s._expr))
+
+    @property
+    def dayofweek(self) -> Series:
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return self._d((F.dayofweek(self._s._expr) + 5) % 7)
+
+    @property
+    def date(self) -> Series:
+        return self._s._derived(
+            F.to_date(self._s._expr), T.DateType()
+        )
+
 
 def _re_escape(s: str) -> str:
     import re

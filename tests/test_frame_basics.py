@@ -558,3 +558,27 @@ def test_groupby_agg_dict_matches_pandas(orders, orders_pd):
         assert flat.loc[k, "o_totalprice"] == pytest.approx(
             exp_flat.loc[k, "o_totalprice"], rel=1e-9
         )
+
+
+def test_str_accessor_matches_pandas(orders, orders_pd):
+    s = orders["o_orderpriority"]
+    p = orders_pd.o_orderpriority
+    assert s.str.lower().head(3).tolist() == p.str.lower().head(3).tolist()
+    assert s.str.len().sum() == int(p.str.len().sum())
+    got = orders[s.str.contains("URGENT")].shape[0]
+    assert got == int(p.str.contains("URGENT").sum())
+    assert orders[s.str.endswith("LOW")].shape[0] == int(p.str.endswith("LOW").sum())
+    r = s.str.replace("-", "_", regex=False).head(2).tolist()
+    assert r == p.str.replace("-", "_", regex=False).head(2).tolist()
+    assert s.str.slice(0, 1).head(3).tolist() == p.str.slice(0, 1).head(3).tolist()
+
+
+def test_dt_accessor_matches_pandas(orders, orders_pd):
+    s = orders["o_orderdate"]
+    p = orders_pd.o_orderdate
+    assert s.dt.year.min() == int(p.dt.year.min())
+    assert s.dt.month.max() == int(p.dt.month.max())
+    assert int(s.dt.dayofweek.head(5).iloc[0]) == int(p.dt.dayofweek.iloc[0])
+    # component filter pushes work into the scan
+    got = orders[s.dt.year == 1995].shape[0]
+    assert got == int((p.dt.year == 1995).sum())
