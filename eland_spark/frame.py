@@ -692,6 +692,27 @@ class DataFrame:
         job (reference piggybacks extended_stats,
         eland/operations.py:1150-1160; Catalyst computes all exprs in a
         single Aggregate pass natively)."""
+        if isinstance(funcs, dict):
+            # pandas dict form: {column: func | [funcs]}; rows = union
+            # of requested funcs, NaN where a func wasn't asked of a
+            # column — still one Aggregate pass
+            spec = {
+                c: ([v] if isinstance(v, str) else list(v))
+                for c, v in funcs.items()
+            }
+            pairs = [
+                (a, self._schema.field(c)) for c, fns in spec.items() for a in fns
+            ]
+            row = self._agg_row(pairs)
+            index = list(dict.fromkeys(a for fns in spec.values() for a in fns))
+            data = {}
+            for c, fns in spec.items():
+                f = self._schema.field(c)
+                data[c] = [
+                    self._restore(row[f"{a}__{c}"], f, a) if a in fns else np.nan
+                    for a in index
+                ]
+            return pd.DataFrame(data, index=index)
         funcs = [funcs] if isinstance(funcs, str) else list(funcs)
         fields = self._schema.numeric_fields(
             True if numeric_only is True else None, funcs[0]

@@ -582,3 +582,13 @@ def test_dt_accessor_matches_pandas(orders, orders_pd):
     # component filter pushes work into the scan
     got = orders[s.dt.year == 1995].shape[0]
     assert got == int((p.dt.year == 1995).sum())
+
+
+def test_frame_agg_dict_matches_pandas(orders, orders_pd):
+    got = orders.agg({"o_totalprice": ["sum", "mean"], "o_custkey": "max"})
+    exp = orders_pd.agg({"o_totalprice": ["sum", "mean"], "o_custkey": "max"})
+    assert got.loc["sum", "o_totalprice"] == pytest.approx(
+        exp.loc["sum", "o_totalprice"], rel=1e-9
+    )
+    assert got.loc["max", "o_custkey"] == exp.loc["max", "o_custkey"]
+    assert pd.isna(got.loc["sum", "o_custkey"]) and pd.isna(exp.loc["sum", "o_custkey"])
