@@ -54,7 +54,14 @@ def test_whole_frame_aggs_match_pandas(spark, rows):
                 # pandas sum of all-NaN is 0.0; mean is NaN — mirror it
                 assert (isinstance(g, float) and math.isnan(g)) or g is None, (fn, c, g)
             else:
-                assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (fn, c, g, e)
+                # sum/mean order differs between Spark partitions and
+                # pandas: when values cancel (|result| << sum|x|), the
+                # achievable agreement is bounded by the CONDITION of
+                # the sum, not the result — scale abs tolerance by it
+                scale = float(pdf[c].abs().sum()) if fn in ("sum", "mean") else 0.0
+                assert g == pytest.approx(e, rel=1e-9, abs=1e-9 + scale * 1e-12), (
+                    fn, c, g, e,
+                )
 
 
 @given(rows=ROWS, thresh=FINITE)
