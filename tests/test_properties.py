@@ -58,7 +58,11 @@ def test_whole_frame_aggs_match_pandas(spark, rows):
                 # pandas: when values cancel (|result| << sum|x|), the
                 # achievable agreement is bounded by the CONDITION of
                 # the sum, not the result — scale abs tolerance by it
-                scale = float(pdf[c].abs().sum()) if fn in ("sum", "mean") else 0.0
+                scale = (
+                    float(pd.to_numeric(pdf[c], errors="coerce").abs().sum())
+                    if fn in ("sum", "mean")
+                    else 0.0
+                )
                 assert g == pytest.approx(e, rel=1e-9, abs=1e-9 + scale * 1e-12), (
                     fn, c, g, e,
                 )
