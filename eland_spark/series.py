@@ -69,8 +69,33 @@ class Series:
         return pd.api.types.pandas_dtype(spark_to_pd_dtype(self._spark_type))
 
     @property
+    def dtypes(self):
+        """pandas alias: for a Series, ``dtypes`` is ``dtype``
+        (reference eland/ndframe.py:113-139 exposes both)."""
+        return self.dtype
+
+    @property
+    def es_dtypes(self) -> pd.Series:
+        """Engine-side (Spark SQL) type, one entry (reference
+        eland/ndframe.py:141-160 returns the ES mapping types)."""
+        simple = (
+            self._spark_type.simpleString() if self._spark_type is not None else "void"
+        )
+        return pd.Series({self._name: simple})
+
+    @property
+    def index(self):
+        """Index abstraction of the parent frame (reference
+        eland/index.py:24-92)."""
+        return self._frame.index
+
+    @property
     def shape(self) -> tuple[int]:
         return (len(self),)
+
+    @property
+    def size(self) -> int:
+        return len(self)
 
     def __len__(self) -> int:
         return self._frame.shape[0]
@@ -332,6 +357,65 @@ class Series:
         self._check_str_op(other, "**", "none")
         return self._derived(F.pow(self._other(other), self._expr), T.DoubleType())
 
+    # -- named arithmetic aliases (reference eland/series.py:827-1430
+    #    exposes add/radd/sub/mul/div/... that delegate to the dunder
+    #    operators; same here — one Column expression either way) -------
+    def add(self, right):
+        return self.__add__(right)
+
+    def radd(self, left):
+        return self.__radd__(left)
+
+    def sub(self, right):
+        return self.__sub__(right)
+
+    subtract = sub
+
+    def rsub(self, left):
+        return self.__rsub__(left)
+
+    rsubtract = rsub
+
+    def mul(self, right):
+        return self.__mul__(right)
+
+    multiply = mul
+
+    def rmul(self, left):
+        return self.__rmul__(left)
+
+    rmultiply = rmul
+
+    def div(self, right):
+        return self.__truediv__(right)
+
+    divide = div
+    truediv = div
+
+    def rdiv(self, left):
+        return self.__rtruediv__(left)
+
+    rdivide = rdiv
+    rtruediv = rdiv
+
+    def floordiv(self, right):
+        return self.__floordiv__(right)
+
+    def rfloordiv(self, left):
+        return self.__rfloordiv__(left)
+
+    def mod(self, right):
+        return self.__mod__(right)
+
+    def rmod(self, left):
+        return self.__rmod__(left)
+
+    def pow(self, right):
+        return self.__pow__(right)
+
+    def rpow(self, left):
+        return self.__rpow__(left)
+
     def abs(self) -> "Series":
         return self._derived(F.abs(self._expr), self._spark_type)
 
@@ -560,6 +644,17 @@ class Series:
         if self._is_derived:
             return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
         return f[self._name].to_pandas()
+
+    def hist(self, bins: int = 10):
+        """Server-side histogram of this column — counts computed in
+        Spark, only ``bins`` rows reach the driver (reference
+        eland/series.py hist -> eland/plotting/_core.py:21-131)."""
+        frame = (
+            self._frame.assign(**{self._name: self})
+            if self._is_derived
+            else self._frame
+        )
+        return frame.hist(self._name, bins)
 
     def describe(self) -> pd.Series:
         """count/mean/std/min/quartiles/max (reference delegates to the

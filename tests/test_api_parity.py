@@ -73,3 +73,30 @@ def test_index_abstraction_and_es_dtypes(orders):
     ed = orders.es_dtypes
     assert ed["o_totalprice"] == "double"
     assert ed["o_orderkey"] == "bigint"
+
+
+def test_series_named_arithmetic_aliases(orders):
+    """Reference eland/series.py:827-1430 named op aliases."""
+    s = orders["o_totalprice"]
+    head = s.head(3)
+    assert (s.add(1).head(3) == head + 1).all()
+    assert (s.radd(1).head(3) == head + 1).all()
+    assert (s.sub(2).head(3) == head - 2).all()
+    assert (s.rsub(0).head(3) == -head).all()
+    assert (s.mul(2).head(3) == s.multiply(2).head(3)).all()
+    assert (s.div(2).head(3) == s.truediv(2).head(3)).all()
+    assert (s.rdiv(1).head(3) == (1 / head)).all()
+    assert (s.floordiv(10).head(3) == head // 10).all()
+    assert (s.mod(7).head(3) - head % 7).abs().max() < 1e-9
+    assert (s.pow(2).head(3) == head**2).all()
+    assert (s.rpow(1).head(3) == 1.0).all()
+
+
+def test_series_property_parity(orders):
+    s = orders["o_totalprice"]
+    assert s.dtypes == s.dtype
+    assert dict(s.es_dtypes) == {"o_totalprice": "double"}
+    assert s.size == len(s)
+    assert s.index is not None
+    edges, counts = (s * 2).rename("tp2").hist(bins=4)
+    assert len(edges) == 5 and len(counts) == 4 and sum(counts) == len(s)
