@@ -397,6 +397,30 @@ def q_es_match_fuzzy(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_query_string(spark, sf_dir) -> DataFrame:
+    """Lucene query_string / simple_query_string subset compiled to one
+    Catalyst predicate (functions/es_dsl.py): AND/OR/NOT + phrases +
+    word wildcards, boolean semantics (scoring out of relational
+    scope, reference es_query escape hatch
+    eland/query_compiler.py:490-491)."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    qs = docs.es_query(
+        {"query_string": {"query": "(spark OR flink) AND NOT batch", "default_field": "text"}}
+    )
+    sqs = docs.es_query(
+        {
+            "simple_query_string": {
+                "query": 'str* + "stream processing"',
+                "fields": ["text"],
+            }
+        }
+    )
+    return (
+        qs[["doc_id"]].to_spark().withColumn("kind", F.lit("query_string"))
+        .unionAll(sqs[["doc_id"]].to_spark().withColumn("kind", F.lit("simple_qs")))
+    )
+
+
 def q_query_expr(spark, sf_dir) -> DataFrame:
     """SQL-string escape hatch (es_query analog,
     eland/dataframe.py:736-791)."""
@@ -1399,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_parse": q_es_date_parse,
         "es_match_fuzzy": q_es_match_fuzzy,
         "es_query_dsl": q_es_query_dsl,
+        "query_string": q_query_string,
         "json_extract": q_json_extract,
         "case_when": q_case_when,
         "head": q_head,
@@ -1642,6 +1667,18 @@ def oracle_sql() -> dict[str, str]:
               AND NOT COALESCE(starts_with(c_name, 'Customer#0000001'), FALSE)
               AND (regexp_matches(c_name, '^.*1.$')
                    OR c_mktsegment = 'MACHINERY')
+        """,
+        "query_string": """
+            SELECT doc_id, 'query_string' AS kind FROM documents
+            WHERE (regexp_matches(lower(text), '\\bspark\\b')
+                   OR regexp_matches(lower(text), '\\bflink\\b'))
+              AND NOT COALESCE(regexp_matches(lower(text), '\\bbatch\\b'), FALSE)
+            UNION ALL
+            SELECT doc_id, 'simple_qs' AS kind FROM documents
+            WHERE len(list_filter(
+                      string_split_regex(lower(text), '[^0-9a-z]+'),
+                      w -> regexp_matches(w, '^str.*$'))) > 0
+              AND regexp_matches(lower(text), '\\bstream\\s+processing\\b')
         """,
         "es_match_fuzzy": """
             SELECT doc_id, 'fuzzy_hit' AS kind FROM documents

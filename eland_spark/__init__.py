@@ -22,6 +22,7 @@ from .etl import (
 )
 from .frame import DataFrame
 from .groupby import DataFrameGroupBy
+from .index import Index
 from .schema import Field, Schema
 from .series import Series
 from .session import get_session
@@ -29,6 +30,7 @@ from .session import get_session
 __version__ = "0.1.0"
 
 __all__ = [
+    "Index",
     "DataFrame",
     "Series",
     "DataFrameGroupBy",

@@ -88,6 +88,186 @@ def _match_tokens(col: Column, text: str, fuzziness: int | str | None) -> Column
     return out
 
 
+def _term_pred(col: Column, tok: str) -> Column:
+    """One analyzed-term predicate: wildcard tokens match any word of
+    the field, plain tokens word-boundary match (es_match semantics)."""
+    if "*" in tok or "?" in tok:
+        pat = _wildcard_to_regex(tok)
+        words = F.filter(F.split(F.lower(col), r"[^0-9a-z]+"), lambda w: w != "")
+        return F.exists(words, lambda w: w.rlike(pat))
+    return F.lower(col).rlike(r"\b" + re.escape(tok) + r"\b")
+
+
+def _phrase_pred(col: Column, text: str) -> Column:
+    pattern = (
+        r"\b" + r"\s+".join(re.escape(t) for t in str(text).lower().split()) + r"\b"
+    )
+    return F.lower(col).rlike(pattern)
+
+
+def _fields_pred(fields, resolve, leaf) -> Column:
+    """OR across fields (best_fields boolean semantics); `name^boost`
+    boost suffixes are accepted and ignored (scoring out of scope)."""
+    preds = [leaf(F.col(resolve(str(f).split("^")[0]))) for f in fields]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _negate(pred: Column) -> Column:
+    # ES presence semantics: NOT of a predicate on a missing field KEEPS
+    # the doc (same rule as bool.must_not above)
+    return ~F.coalesce(pred, F.lit(False))
+
+
+class _TokenStream:
+    def __init__(self, toks: list[str]):
+        self._toks = toks
+        self._i = 0
+
+    def peek(self) -> str | None:
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def advance(self) -> str:
+        t = self._toks[self._i]
+        self._i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        if self.peek() != tok:
+            raise ValueError(f"expected {tok!r} at position {self._i}")
+        self.advance()
+
+
+def _simple_query_string(body: dict, resolve) -> Column:
+    """ES ``simple_query_string`` subset: ``+`` (AND), ``|`` (OR),
+    leading ``-`` (NOT), ``"phrase"``, ``*``/``?`` wildcards, and
+    parentheses; ``default_operator`` joins bare adjacent terms
+    (ES default OR). Scoring is out of scope — pure boolean match."""
+    text = str(body["query"])
+    fields = body.get("fields") or []
+    if not fields:
+        raise ValueError("simple_query_string requires fields")
+    default_and = str(body.get("default_operator", "or")).lower() == "and"
+    toks = re.findall(r'"[^"]*"|[()|+]|[^\s()|+"]+', text)
+    ts = _TokenStream(toks)
+
+    def parse_expr() -> Column:
+        node = parse_unary()
+        while True:
+            t = ts.peek()
+            if t is None or t == ")":
+                return node
+            if t == "|":
+                ts.advance()
+                node = node | parse_unary()
+            elif t == "+":
+                ts.advance()
+                node = node & parse_unary()
+            else:
+                rhs = parse_unary()
+                node = (node & rhs) if default_and else (node | rhs)
+
+    def parse_unary() -> Column:
+        t = ts.peek()
+        if t is None:
+            raise ValueError("unexpected end of simple_query_string")
+        if t == "(":
+            ts.advance()
+            node = parse_expr()
+            ts.expect(")")
+            return node
+        tok = ts.advance()
+        neg = tok.startswith("-") and len(tok) > 1
+        if neg:
+            tok = tok[1:]
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            leaf = lambda c, tx=tok[1:-1]: _phrase_pred(c, tx)  # noqa: E731
+        else:
+            leaf = lambda c, tk=tok.lower(): _term_pred(c, tk)  # noqa: E731
+        pred = _fields_pred(fields, resolve, leaf)
+        return _negate(pred) if neg else pred
+
+    return parse_expr()
+
+
+def _query_string(body, resolve) -> Column:
+    """Lucene ``query_string`` subset: AND/OR/NOT (and &&/||/!),
+    parentheses, ``field:value``, quoted phrases, ``*``/``?``
+    wildcards, ``+``/``-`` term prefixes; precedence OR < AND < NOT,
+    implicit adjacency uses ``default_operator`` (ES default OR).
+    Unsupported Lucene constructs (ranges, ``term~`` fuzziness) raise
+    rather than silently mis-match."""
+    if isinstance(body, str):
+        body = {"query": body}
+    text = str(body["query"])
+    fields = body.get("fields") or (
+        [body["default_field"]] if body.get("default_field") else None
+    )
+    if not fields:
+        raise ValueError("query_string requires fields or default_field")
+    default_and = str(body.get("default_operator", "or")).lower() == "and"
+    toks = re.findall(r'[^\s()!"]*"[^"]*"|\(|\)|&&|\|\||!|[^\s()!"]+', text)
+    ts = _TokenStream(toks)
+
+    def parse_or() -> Column:
+        node = parse_and()
+        while ts.peek() in ("OR", "||"):
+            ts.advance()
+            node = node | parse_and()
+        return node
+
+    def parse_and() -> Column:
+        node = parse_not()
+        while True:
+            t = ts.peek()
+            if t in ("AND", "&&"):
+                ts.advance()
+                node = node & parse_not()
+            elif t is None or t in (")", "OR", "||"):
+                return node
+            else:
+                rhs = parse_not()
+                node = (node & rhs) if default_and else (node | rhs)
+
+    def parse_not() -> Column:
+        if ts.peek() in ("NOT", "!"):
+            ts.advance()
+            return _negate(parse_not())
+        return parse_atom()
+
+    def parse_atom() -> Column:
+        t = ts.peek()
+        if t is None:
+            raise ValueError("unexpected end of query_string")
+        if t == "(":
+            ts.advance()
+            node = parse_or()
+            ts.expect(")")
+            return node
+        tok = ts.advance()
+        if tok.startswith("+"):
+            tok = tok[1:]
+        neg = tok.startswith("-") and len(tok) > 1
+        if neg:
+            tok = tok[1:]
+        fl = list(fields)
+        if ":" in tok and not tok.startswith('"'):
+            fpart, tok = tok.split(":", 1)
+            fl = [fpart]
+        if "~" in tok or (tok and tok[0] in "[{"):
+            raise ValueError(f"unsupported query_string construct: {tok!r}")
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            leaf = lambda c, tx=tok[1:-1]: _phrase_pred(c, tx)  # noqa: E731
+        else:
+            leaf = lambda c, tk=tok.lower(): _term_pred(c, tk)  # noqa: E731
+        pred = _fields_pred(fl, resolve, leaf)
+        return _negate(pred) if neg else pred
+
+    return parse_or()
+
+
 def compile_es_dsl(
     query: dict,
     resolve: Callable[[str], str] = lambda c: c,
@@ -97,12 +277,15 @@ def compile_es_dsl(
 
     Supported: match_all, match_none, term, terms, range (gt/gte/lt/
     lte), exists, ids, wildcard, prefix, regexp, fuzzy, match,
-    match_phrase, match_bool_prefix, multi_match (best_fields boolean
-    semantics: any field matches), and arbitrarily nested bool {must,
-    filter, should, must_not} (ES semantics: must == filter for
-    filtering purposes — scoring is out of scope; should with no must
-    is a disjunction; clauses may be a list or a single object,
-    matching what elasticsearch accepts)."""
+    match_phrase, match_phrase_prefix, match_bool_prefix, multi_match
+    (best_fields boolean semantics: any field matches),
+    simple_query_string and a Lucene-subset query_string (AND/OR/NOT,
+    field:value, phrases, wildcards), constant_score / dis_max /
+    boosting (compiled to their filter semantics — scoring is out of
+    relational scope), and arbitrarily nested bool {must, filter,
+    should, must_not} (ES semantics: must == filter for filtering
+    purposes; should with no must is a disjunction; clauses may be a
+    list or a single object, matching what elasticsearch accepts)."""
     kind, body = _one(query)
 
     if kind == "match_all":
@@ -233,6 +416,42 @@ def compile_es_dsl(
         for p in preds[1:]:
             out = out | p
         return out
+
+    if kind == "constant_score":
+        # scoring is out of relational scope: constant_score == its filter
+        return compile_es_dsl(body["filter"], resolve, index_cols)
+
+    if kind == "dis_max":
+        # max-score disjunction -> boolean OR once scoring is dropped
+        preds = [compile_es_dsl(q, resolve, index_cols) for q in body["queries"]]
+        if not preds:
+            return F.lit(False)
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    if kind == "boosting":
+        # ES boosting DEMOTES negative matches but still returns them;
+        # with scoring out of scope the match set is the positive query
+        return compile_es_dsl(body["positive"], resolve, index_cols)
+
+    if kind == "match_phrase_prefix":
+        field, spec = _one(body)
+        text = str(spec["query"] if isinstance(spec, dict) else spec)
+        toks = text.lower().split()
+        if not toks:
+            return F.lit(False)
+        c = F.col(resolve(field))
+        parts = [re.escape(t) for t in toks]
+        pattern = r"\b" + r"\s+".join(parts[:-1] + [parts[-1] + r"[0-9a-z]*"])
+        return _nn(F.lower(c).rlike(pattern))
+
+    if kind == "simple_query_string":
+        return _simple_query_string(body, resolve)
+
+    if kind == "query_string":
+        return _query_string(body, resolve)
 
     if kind in ("match", "match_phrase"):
         field, spec = _one(body)

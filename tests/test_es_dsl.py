@@ -161,3 +161,115 @@ def test_match_bool_prefix_and_multi_match(spark, sf_dir):
     ).shape[0]
     only_text = docs.es_query({"match": {"text": "spark"}}).shape[0]
     assert m >= only_text > 0
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    import eland_spark as es
+
+    return es.read_parquet(spark, f"{sf_dir}/documents.parquet", index_col="doc_id")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.to_pandas()
+
+
+def _doc_ids(docs, dsl):
+    return sorted(
+        r["doc_id"] for r in docs.es_query(dsl)[["doc_id"]].to_spark().collect()
+    )
+
+
+def test_constant_score_dis_max_boosting(cust, cust_pd):
+    base = {"range": {"c_acctbal": {"gte": 9000}}}
+    exp = sorted(cust_pd[cust_pd.c_acctbal >= 9000].c_custkey)
+    assert _ids(cust, {"constant_score": {"filter": base}}) == exp
+    got = _ids(
+        cust,
+        {"dis_max": {"queries": [base, {"term": {"c_mktsegment": "BUILDING"}}]}},
+    )
+    exp_dm = sorted(
+        cust_pd[(cust_pd.c_acctbal >= 9000) | (cust_pd.c_mktsegment == "BUILDING")].c_custkey
+    )
+    assert got == exp_dm
+    assert (
+        _ids(
+            cust,
+            {"boosting": {"positive": base, "negative": {"term": {"c_mktsegment": "AUTOMOBILE"}}, "negative_boost": 0.2}},
+        )
+        == exp
+    )
+
+
+def test_match_phrase_prefix(docs, docs_pd):
+    got = _doc_ids(docs, {"match_phrase_prefix": {"text": "batch bat"}})
+    exp = sorted(
+        docs_pd[docs_pd.text.str.lower().str.contains(r"\bbatch\s+bat[0-9a-z]*")].doc_id
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_simple_query_string(docs, docs_pd):
+    t = docs_pd.text.str.lower()
+    # default OR
+    got = _doc_ids(docs, {"simple_query_string": {"query": "spark flink", "fields": ["text"]}})
+    exp = sorted(docs_pd[t.str.contains(r"\bspark\b") | t.str.contains(r"\bflink\b")].doc_id)
+    assert got == exp
+    # + = AND, | = OR, -negation, phrase, wildcard, parens
+    got = _doc_ids(
+        docs,
+        {"simple_query_string": {"query": '(spark + batch) | "stream processing"', "fields": ["text"]}},
+    )
+    exp = sorted(
+        docs_pd[
+            (t.str.contains(r"\bspark\b") & t.str.contains(r"\bbatch\b"))
+            | t.str.contains(r"\bstream\s+processing\b")
+        ].doc_id
+    )
+    assert got == exp
+    got = _doc_ids(
+        docs,
+        {"simple_query_string": {"query": "spark -batch", "fields": ["text"], "default_operator": "and"}},
+    )
+    exp = sorted(docs_pd[t.str.contains(r"\bspark\b") & ~t.str.contains(r"\bbatch\b")].doc_id)
+    assert got == exp
+    got = _doc_ids(docs, {"simple_query_string": {"query": "str*", "fields": ["text"]}})
+    exp = sorted(docs_pd[t.str.contains(r"\bstr[0-9a-z]*\b")].doc_id)
+    assert got == exp
+
+
+def test_query_string(docs, docs_pd, cust, cust_pd):
+    t = docs_pd.text.str.lower()
+    got = _doc_ids(docs, {"query_string": {"query": "spark AND NOT batch", "default_field": "text"}})
+    exp = sorted(docs_pd[t.str.contains(r"\bspark\b") & ~t.str.contains(r"\bbatch\b")].doc_id)
+    assert got == exp
+    got = _doc_ids(
+        docs,
+        {"query_string": {"query": '(spark OR flink) AND "stream processing"', "default_field": "text"}},
+    )
+    exp = sorted(
+        docs_pd[
+            (t.str.contains(r"\bspark\b") | t.str.contains(r"\bflink\b"))
+            & t.str.contains(r"\bstream\s+processing\b")
+        ].doc_id
+    )
+    assert got == exp
+    # field:value syntax overrides default_field; && / || / ! forms
+    got = _ids(
+        cust,
+        {"query_string": {"query": "c_mktsegment:BUILDING || c_mktsegment:MACHINERY", "default_field": "c_name"}},
+    )
+    exp_c = sorted(
+        cust_pd[cust_pd.c_mktsegment.str.lower().isin(["building", "machinery"])].c_custkey
+    )
+    assert got == exp_c
+    with pytest.raises(ValueError, match="unsupported query_string construct"):
+        docs.es_query({"query_string": {"query": "spark~2", "default_field": "text"}})
+
+
+def test_query_string_requires_fields(docs):
+    with pytest.raises(ValueError, match="requires fields"):
+        docs.es_query({"query_string": {"query": "spark"}})
+    with pytest.raises(ValueError, match="requires fields"):
+        docs.es_query({"simple_query_string": {"query": "spark"}})
