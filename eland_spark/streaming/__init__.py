@@ -1,4 +1,10 @@
 from .joins import stream_enrich, stream_stream_join
+from .sinks import (
+    foreach_batch_parquet_upsert,
+    foreach_batch_sink,
+    read_upserted,
+    stream_to_parquet,
+)
 from .stateful import sessionize_with_state
 from .windows import (
     read_events_stream,
@@ -19,4 +25,8 @@ __all__ = [
     "stream_enrich",
     "stream_stream_join",
     "stream_to_memory",
+    "stream_to_parquet",
+    "foreach_batch_sink",
+    "foreach_batch_parquet_upsert",
+    "read_upserted",
 ]

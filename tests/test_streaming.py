@@ -264,3 +264,60 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch):
         & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 hour")),
     ).count()
     assert got == exp > 0
+
+
+def test_stream_to_parquet_stateless(spark, events_stream, events_batch, tmp_path):
+    """Checkpointed parquet append of a stateless transform must equal
+    the batch filter over the same files (exactly-once file sink)."""
+    from eland_spark.streaming import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    res = events_stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    stream_to_parquet(res, out, ckpt, timeout_sec=180)
+    got = spark.read.parquet(out)
+    exp = events_batch.filter(F.col("event_type") == "click")
+    assert got.count() == exp.count()
+    g = got.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
+    e = exp.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
+    assert g == e
+
+
+def test_foreach_batch_upsert_matches_batch_twin(spark, sf_dir, events_batch, tmp_path):
+    """Update-mode tumbling agg through the idempotent upsert sink,
+    resolved merge-on-read, must equal the batch aggregation — and a
+    restart from the same checkpoint must be a no-op."""
+    from eland_spark.streaming import (
+        foreach_batch_parquet_upsert,
+        read_events_stream,
+        read_upserted,
+        tumbling_windowed,
+    )
+
+    out, ckpt = str(tmp_path / "upsert"), str(tmp_path / "ckpt2")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    res = tumbling_windowed(stream, duration="1 day", watermark="1 day")
+    foreach_batch_parquet_upsert(res, out, ckpt, timeout_sec=180)
+
+    got = read_upserted(spark, out, ["window_start"]).toPandas()
+    exp = (
+        events_batch.groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    got = got.sort_values("window_start").reset_index(drop=True)
+    exp = exp.sort_values("window_start").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert (
+        abs(got["total_value"].to_numpy() - exp["total_value"].to_numpy()) < 1e-6
+    ).all()
+
+    # restart: same checkpoint, no new input -> resolved result unchanged
+    stream2 = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    res2 = tumbling_windowed(stream2, duration="1 day", watermark="1 day")
+    foreach_batch_parquet_upsert(res2, out, ckpt, timeout_sec=180)
+    again = read_upserted(spark, out, ["window_start"]).toPandas()
+    assert len(again) == len(got)
+    assert abs(again["total_value"].sum() - got["total_value"].sum()) < 1e-6
