@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_near_dup",
     "tfidf_topk",
     "es_query_dsl",
+    "query_string",
     "ann_bruteforce",
     "knn_join",
     "embedding_norms",
