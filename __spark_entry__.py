@@ -236,6 +236,31 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_transform(spark, sf_dir) -> DataFrame:
+    """pandas groupby().transform — group-broadcast sum via
+    Window.partitionBy (one hash shuffle, no join-back; net-new over
+    the reference's window-free surface, SURVEY §2.7)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sub = li[
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+            "l_quantity",
+        ]
+    ]
+    t = sub.groupby("l_returnflag").transform("sum")
+    return t.to_spark().select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity", 2).alias("qty_sum"),
+    )
+
+
 def q_groupby_multi(spark, sf_dir) -> DataFrame:
     """Two-key groupby, mixed aggs (composite-agg analog)."""
     li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
@@ -1408,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe": q_describe,
         "hist": q_hist,
         "groupby_multi": q_groupby_multi,
+        "groupby_transform": q_groupby_transform,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1575,6 +1601,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "groupby_transform": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   round(SUM(l_quantity) OVER (PARTITION BY l_returnflag), 2) AS qty_sum
+            FROM lineitem
         """,
         "groupby_multi": """
             SELECT l_returnflag, l_linestatus,

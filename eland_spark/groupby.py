@@ -168,6 +168,67 @@ class DataFrameGroupBy:
         pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
         return pdf["count"]
 
+    def transform(self, func: str, numeric_only: bool | None = True) -> DataFrame:
+        """Group-broadcast aggregation: every row gets its group's
+        aggregate (pandas ``groupby().transform``; net-new — the
+        reference has no window surface, SURVEY §2.7). Compiled to
+        ``Window.partitionBy(keys)`` with no orderBy: one hash shuffle
+        on the group keys plus a local sort, no global sort and no
+        join-back — the same exchange any keyed agg pays at 100 TB.
+
+        Returns a lazy frame of the parent's index columns plus one
+        transformed column per agg-compatible field. With
+        ``dropna=True`` (the pandas default), rows whose group key is
+        null get a null result instead of forming their own group."""
+        from pyspark.sql import Window
+
+        fn_map = {
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "mean": F.avg,
+            "count": F.count,
+            "std": F.stddev_samp,
+            "var": F.var_samp,
+            "nunique": lambda c: F.size(F.collect_set(c)),
+        }
+        if func not in fn_map:
+            raise ValueError(
+                f"transform func {func!r} not supported; one of {sorted(fn_map)}"
+            )
+        schema = self._frame._schema
+        index_cols = set(self._frame.index_cols)
+        fields = [
+            f
+            for f in self._agg_fields(numeric_only, func)
+            if f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no agg-compatible columns to transform")
+        sdf = self._frame._sdf
+        w = Window.partitionBy(*[F.col(schema.resolve(b)) for b in self._by])
+        keys_ok = None
+        if self._dropna:
+            for b in self._by:
+                c = F.col(schema.resolve(b)).isNotNull()
+                keys_ok = c if keys_ok is None else (keys_ok & c)
+        out_cols = [
+            F.col(schema.resolve(ic)).alias(ic) for ic in self._frame.index_cols
+        ]
+        for f in fields:
+            c = F.col(f.column_name)
+            if func == "nunique":
+                # the window must wrap the aggregate, not the size()
+                expr = F.size(F.collect_set(c).over(w))
+            else:
+                expr = fn_map[func](c).over(w)
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            sdf.select(*out_cols), index_cols=tuple(self._frame.index_cols)
+        )
+
     def mad(self, numeric_only=True):
         """Exact per-group MAD via percentile of |x - group_median| —
         needs two passes (median join back); the reference delegates to

@@ -592,3 +592,58 @@ def test_frame_agg_dict_matches_pandas(orders, orders_pd):
     )
     assert got.loc["max", "o_custkey"] == exp.loc["max", "o_custkey"]
     assert pd.isna(got.loc["sum", "o_custkey"]) and pd.isna(exp.loc["sum", "o_custkey"])
+
+
+def test_groupby_transform_matches_pandas(orders, orders_pd):
+    t = (
+        orders[["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"]]
+        .groupby("o_orderstatus")
+        .transform("mean")
+    )
+    got = (
+        t.to_spark().toPandas().set_index("o_orderkey").sort_index()["o_totalprice"]
+    )
+    exp = (
+        orders_pd.set_index("o_orderkey")
+        .sort_index()
+        .groupby("o_orderstatus")["o_totalprice"]
+        .transform("mean")
+        .sort_index()
+    )
+    assert (abs(got - exp) < 1e-9).all()
+    with pytest.raises(ValueError, match="not supported"):
+        orders.groupby("o_orderstatus").transform("cumsum")
+
+
+def test_groupby_transform_null_keys_dropna(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", None, "b"], "v": [1.0, 3.0, 10.0, 5.0], "i": [1, 2, 3, 4]}
+    )
+    import eland_spark as es
+
+    import tempfile
+
+    df = es.pandas_to_spark(
+        pdf.set_index("i"), spark, tempfile.mkdtemp() + "/t.parquet"
+    )
+    got = (
+        df.groupby("k")
+        .transform("sum")
+        .to_spark()
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    exp = pdf.set_index("i").groupby("k")["v"].transform("sum")
+    assert got.loc[1, "v"] == 4.0 and got.loc[4, "v"] == 5.0
+    assert pd.isna(got.loc[3, "v"]) and pd.isna(exp.loc[3])
+    # dropna=False: null keys form their own group (pandas parity)
+    got2 = (
+        df.groupby("k", dropna=False)
+        .transform("sum")
+        .to_spark()
+        .toPandas()
+        .set_index("i")
+        .sort_index()
+    )
+    assert got2.loc[3, "v"] == 10.0

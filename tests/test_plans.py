@@ -290,3 +290,23 @@ def test_knn_join_broadcasts_queries_single_shuffle(spark):
     counts = {r["query_id"]: r["n"] for r in
               out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(counts.values()) == {5}
+
+
+def test_groupby_transform_single_shuffle_no_join(spark):
+    """transform compiles to exchange+window — one shuffle on the group
+    key, no join-back, no EvalPython."""
+    li = es.read_parquet(
+        spark,
+        f"{SF}/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    out = (
+        li[["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_quantity"]]
+        .groupby("l_returnflag")
+        .transform("sum")
+        .to_spark()
+    )
+    assert shuffle_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "EvalPython" not in plan
