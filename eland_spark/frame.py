@@ -975,6 +975,17 @@ class DataFrame:
         """The projected Spark plan (escape hatch + driver contract)."""
         return self._projected()
 
+    def map_in_pandas(self, fn, schema) -> "DataFrame":
+        """Batch-iterator Python escape hatch: ``fn(iter[pd.DataFrame])
+        -> iter[pd.DataFrame]`` over Arrow batches (``mapInPandas``) —
+        the shape for per-batch model inference / multimodal decode
+        (SURVEY §2.12-2.13). Partitioning is preserved; rows may be
+        added/dropped. Index columns surviving into the output schema
+        stay the frame's index."""
+        out = self._projected().mapInPandas(fn, schema)
+        kept = tuple(c for c in self._schema.index_cols if c in out.columns)
+        return DataFrame(out, index_cols=kept)
+
     def to_pandas(self, show_progress: bool = False, set_index: bool = False) -> pd.DataFrame:
         sdf = self._projected(self._ordered_sdf())
         pdf = sdf.toPandas()

@@ -491,6 +491,14 @@ class Series:
         row = self._frame._sdf.agg(expr.alias("v")).collect()[0]
         return row["v"]
 
+    def _numeric_expr(self) -> Column:
+        """Boolean series aggregate as ints under pandas semantics
+        (the reference casts bool agg results back,
+        eland/operations.py:737-745); Spark's sum/avg reject bool."""
+        if isinstance(self._spark_type, T.BooleanType):
+            return self._expr.cast("int")
+        return self._expr
+
     def min(self):
         return self._agg_scalar(F.min(self._expr))
 
@@ -498,19 +506,19 @@ class Series:
         return self._agg_scalar(F.max(self._expr))
 
     def sum(self):
-        return self._agg_scalar(F.sum(self._expr))
+        return self._agg_scalar(F.sum(self._numeric_expr()))
 
     def mean(self):
-        return self._agg_scalar(F.avg(self._expr))
+        return self._agg_scalar(F.avg(self._numeric_expr()))
 
     def count(self) -> int:
         return self._agg_scalar(F.count(self._expr))
 
     def std(self):
-        return self._agg_scalar(F.stddev_samp(self._expr))
+        return self._agg_scalar(F.stddev_samp(self._numeric_expr()))
 
     def var(self):
-        return self._agg_scalar(F.var_samp(self._expr))
+        return self._agg_scalar(F.var_samp(self._numeric_expr()))
 
     def nunique(self, approx: bool = False) -> int:
         fn = F.approx_count_distinct if approx else F.countDistinct
@@ -644,6 +652,57 @@ class Series:
         if self._is_derived:
             return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
         return f[self._name].to_pandas()
+
+    def map(self, arg) -> "Series":
+        """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM
+        map-literal lookup (``create_map(...)[col]``) — codegen'd, no
+        Python boundary; unmapped keys become null (pandas NaN
+        semantics). For a callable use :meth:`map_pandas` (explicit
+        Arrow batch path)."""
+        if callable(arg):
+            raise TypeError(
+                "Series.map(callable) would run row-at-a-time Python; "
+                "use Series.map_pandas(fn, dtype) for the vectorized "
+                "Arrow path"
+            )
+        items = list(arg.items())
+        if not items:
+            return self._derived(F.lit(None), None)
+        pairs: list[Column] = []
+        for k, v in items:
+            pairs.append(_lit(k))
+            pairs.append(_lit(v))
+        mapped = F.create_map(*pairs)[self._expr]
+        sample = next(iter(arg.values()))
+        out_type: T.DataType | None
+        if isinstance(sample, bool):
+            out_type = T.BooleanType()
+        elif isinstance(sample, int):
+            out_type = T.LongType()
+        elif isinstance(sample, float):
+            out_type = T.DoubleType()
+        elif isinstance(sample, str):
+            out_type = T.StringType()
+        else:
+            out_type = None
+        return self._derived(mapped, out_type)
+
+    def map_pandas(self, fn, dtype: str | T.DataType | None = None) -> "Series":
+        """Explicit Python escape hatch: ``fn(pd.Series) -> pd.Series``
+        applied per Arrow batch (``pandas_udf`` — vectorized transfer,
+        never row-at-a-time; the reference's analog is a Painless
+        script field, eland/tasks.py:347-402). Prefer built-in Column
+        expressions when they can express the logic — they stay inside
+        whole-stage codegen."""
+        out_type = dtype if dtype is not None else (self._spark_type or "double")
+        udf = F.pandas_udf(fn, returnType=out_type)
+        expr = udf(self._expr)
+        resolved = (
+            out_type
+            if isinstance(out_type, T.DataType)
+            else T._parse_datatype_string(out_type)
+        )
+        return self._derived(expr, resolved)
 
     def hist(self, bins: int = 10):
         """Server-side histogram of this column — counts computed in

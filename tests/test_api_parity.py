@@ -100,3 +100,55 @@ def test_series_property_parity(orders):
     assert s.index is not None
     edges, counts = (s * 2).rename("tp2").hist(bins=4)
     assert len(edges) == 5 and len(counts) == 4 and sum(counts) == len(s)
+
+
+def test_series_map_dict_jvm_side(orders):
+    pdf = orders.to_pandas()
+    m = {"O": "open", "F": "done", "P": "partial"}
+    s = orders["o_orderstatus"].map(m)
+    assert (s.head(10).values == pdf.o_orderstatus.map(m).head(10).values).all()
+    # unmapped keys -> null (pandas NaN)
+    n = orders["o_orderstatus"].map({"O": 1})
+    assert n.isna().sum() == int(pdf.o_orderstatus.map({"O": 1}).isna().sum())
+    # compiled JVM-side, no Python eval in the plan
+    f = orders.assign(st=s)
+    plan = f[["st"]].to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    with pytest.raises(TypeError, match="map_pandas"):
+        orders["o_totalprice"].map(lambda x: x)
+
+
+def test_series_map_pandas_arrow_path(orders):
+    pdf = orders.to_pandas()
+    s = orders["o_totalprice"].map_pandas(lambda s: s * 2 + 1, "double")
+    assert (
+        abs(s.head(5).values - (pdf.o_totalprice.head(5) * 2 + 1).values) < 1e-9
+    ).all()
+    # ArrowEvalPython (vectorized), never row-at-a-time BatchEvalPython
+    f = orders.assign(x=s)
+    plan = f[["x"]].to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_map_in_pandas_batches(orders):
+    pdf = orders.to_pandas()
+
+    def fn(it):
+        for b in it:
+            out = b[b.o_totalprice > 100000].copy()
+            out["price_k"] = out.o_totalprice / 1000
+            yield out[["o_orderkey", "price_k"]]
+
+    r = orders.map_in_pandas(fn, "o_orderkey long, price_k double")
+    assert r.shape[0] == int((pdf.o_totalprice > 100000).sum())
+    assert r.index_cols == ("o_orderkey",)
+
+
+def test_bool_series_aggs_pandas_semantics(orders):
+    pdf = orders.to_pandas()
+    b = orders["o_totalprice"] > 100000
+    e = pdf.o_totalprice > 100000
+    assert b.sum() == int(e.sum())
+    assert abs(b.mean() - e.mean()) < 1e-12
+    assert abs(b.std() - e.std()) < 1e-12
+    assert abs(b.var() - e.var()) < 1e-12
