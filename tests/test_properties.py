@@ -312,3 +312,88 @@ def test_es_dsl_matches_pandas_evaluator(spark, rows, dsl):
     )
     exp = sorted(pdf.loc[_pd_eval(dsl, pdf).fillna(False).astype(bool), "_id"])
     assert got == exp, f"dsl={dsl}"
+
+
+# -- query_string parser vs a pandas evaluator on random expression trees
+
+
+_QS_TOKENS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _qs_expr(depth=3):
+    term = st.builds(lambda t: ("term", t), st.sampled_from(_QS_TOKENS))
+    phrase = st.builds(
+        lambda a, b: ("phrase", f"{a} {b}"),
+        st.sampled_from(_QS_TOKENS),
+        st.sampled_from(_QS_TOKENS),
+    )
+    leaf = st.one_of(term, phrase)
+    if depth == 0:
+        return leaf
+    sub = _qs_expr(depth - 1)
+    return st.one_of(
+        leaf,
+        st.builds(lambda x: ("not", x), sub),
+        st.builds(lambda x, y: ("and", x, y), sub, sub),
+        st.builds(lambda x, y: ("or", x, y), sub, sub),
+    )
+
+
+def _qs_render(node, variant: int) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return f'"{node[1]}"'
+    if kind == "not":
+        op = "NOT " if variant % 2 == 0 else "!"
+        return f"{op}({_qs_render(node[1], variant)})"
+    a = f"({_qs_render(node[1], variant)})"
+    b = f"({_qs_render(node[2], variant)})"
+    if kind == "and":
+        return f"{a} {'AND' if variant % 2 == 0 else '&&'} {b}"
+    return f"{a} {'OR' if variant % 2 == 0 else '||'} {b}"
+
+
+def _qs_eval(node, text: pd.Series) -> pd.Series:
+    import re as _re
+
+    kind = node[0]
+    if kind == "term":
+        return text.str.contains(r"\b" + _re.escape(node[1]) + r"\b")
+    if kind == "phrase":
+        pat = r"\b" + r"\s+".join(_re.escape(t) for t in node[1].split()) + r"\b"
+        return text.str.contains(pat)
+    if kind == "not":
+        return ~_qs_eval(node[1], text)
+    if kind == "and":
+        return _qs_eval(node[1], text) & _qs_eval(node[2], text)
+    return _qs_eval(node[1], text) | _qs_eval(node[2], text)
+
+
+_QS_DOCS = st.lists(
+    st.lists(st.sampled_from(_QS_TOKENS + ["omega"]), min_size=0, max_size=6),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(expr=_qs_expr(), docs=_QS_DOCS, variant=st.integers(0, 3))
+@settings(**COMMON)
+def test_query_string_matches_pandas(spark, expr, docs, variant):
+    pdf = pd.DataFrame(
+        {"text": [" ".join(toks) for toks in docs], "_id": range(len(docs))}
+    )
+    sdf = spark.createDataFrame(pdf, schema="text string, _id bigint")
+    df = EDF(sdf, index_cols=("_id",))
+    q = _qs_render(expr, variant)
+    got = set(
+        r["_id"]
+        for r in df.es_query({"query_string": {"query": q, "default_field": "text"}})[
+            ["_id"]
+        ]
+        .to_spark()
+        .collect()
+    )
+    exp = set(pdf[_qs_eval(expr, pdf.text)]._id)
+    assert got == exp, f"query={q!r}"
