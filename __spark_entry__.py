@@ -236,6 +236,25 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cut_buckets(spark, sf_dir) -> DataFrame:
+    """Equal-width binning (Series.cut, pandas-code semantics: right-
+    closed intervals, null out of range) + per-bucket agg — the
+    histogram relative, all one codegen'd CASE projection then one
+    hash agg."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    b = li["l_extendedprice"].cut([0, 20000, 40000, 60000, 120000])
+    f = li.assign(bucket=b)
+    return (
+        f[["bucket", "l_extendedprice"]]
+        .to_spark()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 def q_groupby_transform(spark, sf_dir) -> DataFrame:
     """pandas groupby().transform — group-broadcast sum via
     Window.partitionBy (one hash shuffle, no join-back; net-new over
@@ -1434,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist": q_hist,
         "groupby_multi": q_groupby_multi,
         "groupby_transform": q_groupby_transform,
+        "cut_buckets": q_cut_buckets,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1601,6 +1621,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "cut_buckets": """
+            SELECT CAST(CASE
+                     WHEN l_extendedprice > 0 AND l_extendedprice <= 20000 THEN 0
+                     WHEN l_extendedprice > 20000 AND l_extendedprice <= 40000 THEN 1
+                     WHEN l_extendedprice > 40000 AND l_extendedprice <= 60000 THEN 2
+                     WHEN l_extendedprice > 60000 AND l_extendedprice <= 120000 THEN 3
+                   END AS BIGINT) AS bucket,
+                   count(*) AS cnt,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem GROUP BY 1
         """,
         "groupby_transform": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -653,6 +653,81 @@ class Series:
             return Series(f, self._expr, self._name, self._spark_type, True).to_pandas()
         return f[self._name].to_pandas()
 
+    def cut(self, bins, right: bool = True) -> "Series":
+        """pandas ``pd.cut`` returning bucket codes (``labels=False``):
+        equal-width bins (int) or explicit edges (list). Compiled to a
+        chained CASE expression — one tiny min/max job for int bins,
+        then a codegen'd projection; the histogram relative of
+        operators/histogram.py (reference hist,
+        eland/operations.py:470-556). Out-of-range values get null
+        (pandas NaN)."""
+        if isinstance(bins, int):
+            if bins < 1:
+                raise ValueError("bins must be >= 1")
+            row = self._frame._sdf.agg(
+                F.min(self._expr).alias("mn"), F.max(self._expr).alias("mx")
+            ).collect()[0]
+            if row["mn"] is None:
+                # empty or all-null column: every code is null (pandas)
+                return self._derived(F.lit(None).cast("long"), T.LongType())
+            mn, mx = float(row["mn"]), float(row["mx"])
+            span = (mx - mn) or 1.0
+            edges = [mn + span * i / bins for i in range(bins + 1)]
+            # pandas widens the outermost edge by 0.1% so extremes land
+            # inside the first/last bucket
+            if right:
+                edges[0] -= span * 0.001
+            else:
+                edges[-1] += span * 0.001
+        else:
+            edges = [float(e) for e in bins]
+            if len(edges) < 2 or any(
+                a >= b for a, b in zip(edges, edges[1:])
+            ):
+                raise ValueError("bin edges must be strictly increasing")
+        return self._derived(self._bucketize(edges, right), T.LongType())
+
+    def _bucketize(self, edges: list, right: bool) -> Column:
+        expr = F.lit(None).cast("long")
+        for i in range(len(edges) - 2, -1, -1):
+            lo, hi = F.lit(edges[i]), F.lit(edges[i + 1])
+            if right:
+                cond = (self._expr > lo) & (self._expr <= hi)
+            else:
+                cond = (self._expr >= lo) & (self._expr < hi)
+            expr = F.when(cond, F.lit(i).cast("long")).otherwise(expr)
+        return expr
+
+    def qcut(self, q, approx: bool = False) -> "Series":
+        """pandas ``pd.qcut`` returning bucket codes: quantile-based
+        edges (exact ``percentile`` by default for oracle matching;
+        ``approx=True`` switches to ``percentile_approx`` for the
+        100 TB path), then the same CASE bucketing as :meth:`cut` with
+        the lowest value included (pandas include_lowest)."""
+        qs = (
+            [i / q for i in range(q + 1)]
+            if isinstance(q, int)
+            else [float(x) for x in q]
+        )
+        fn = "percentile_approx" if approx else "percentile"
+        row = self._frame._sdf.agg(
+            getattr(F, fn)(self._expr, F.lit(qs)).alias("e")
+        ).collect()[0]
+        edges = [float(e) for e in row["e"]]
+        # duplicate edges collapse (pandas duplicates='drop')
+        dedup = [edges[0]]
+        for e in edges[1:]:
+            if e > dedup[-1]:
+                dedup.append(e)
+        if len(dedup) < 2:
+            raise ValueError("cannot qcut: all quantile edges identical")
+        expr = self._bucketize(dedup, right=True)
+        # include_lowest: the minimum belongs to bucket 0
+        expr = F.when(self._expr == F.lit(dedup[0]), F.lit(0).cast("long")).otherwise(
+            expr
+        )
+        return self._derived(expr, T.LongType())
+
     def map(self, arg) -> "Series":
         """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM
         map-literal lookup (``create_map(...)[col]``) — codegen'd, no

@@ -647,3 +647,38 @@ def test_groupby_transform_null_keys_dropna(spark):
         .sort_index()
     )
     assert got2.loc[3, "v"] == 10.0
+
+
+def test_cut_qcut_match_pandas(orders, orders_pd):
+    s = orders["o_totalprice"]
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edges = [0, 50000, 100000, 200000, 400000]
+    for kwargs, exp in [
+        (dict(bins=edges), pd.cut(pdf.o_totalprice, bins=edges, labels=False)),
+        (dict(bins=7), pd.cut(pdf.o_totalprice, bins=7, labels=False)),
+        (
+            dict(bins=edges, right=False),
+            pd.cut(pdf.o_totalprice, bins=edges, labels=False, right=False),
+        ),
+    ]:
+        got = (
+            orders.assign(b=s.cut(**kwargs))[["o_orderkey", "b"]]
+            .to_spark()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()["b"]
+        )
+        m = ~exp.isna()
+        assert (got.isna() == exp.isna()).all()
+        assert (got[m].astype(int) == exp[m].astype(int)).all()
+    got = (
+        orders.assign(b=s.qcut(4))[["o_orderkey", "b"]]
+        .to_spark()
+        .toPandas()
+        .set_index("o_orderkey")
+        .sort_index()["b"]
+    )
+    exp = pd.qcut(pdf.o_totalprice, 4, labels=False)
+    assert (got.astype(int) == exp.astype(int)).all()
+    with pytest.raises(ValueError, match="strictly increasing"):
+        s.cut([1, 1, 2])
