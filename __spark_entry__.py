@@ -236,6 +236,14 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_duplicated_flags(spark, sf_dir) -> DataFrame:
+    """Per-row duplicate flags (pandas duplicated; flag twin of the
+    dedup operator family): keep-first marks all but the lowest-index
+    row per o_custkey — one hash shuffle (row_number window)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    return o.duplicated(subset=["o_custkey"], keep="first").to_spark()
+
+
 def q_cut_buckets(spark, sf_dir) -> DataFrame:
     """Equal-width binning (Series.cut, pandas-code semantics: right-
     closed intervals, null out of range) + per-bucket agg — the
@@ -1454,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_multi": q_groupby_multi,
         "groupby_transform": q_groupby_transform,
         "cut_buckets": q_cut_buckets,
+        "duplicated_flags": q_duplicated_flags,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1621,6 +1630,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "duplicated_flags": """
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1
+                     AS duplicated
+            FROM orders
         """,
         "cut_buckets": """
             SELECT CAST(CASE

@@ -398,6 +398,13 @@ class DataFrame:
         ]
         return self._with(sdf=self._sdf.orderBy(*cols))
 
+    def duplicated(self, subset=None, keep: str = "first") -> "DataFrame":
+        """Boolean duplicate flags per row (pandas ``duplicated``):
+        lazy frame of index columns + ``duplicated``."""
+        from .operators.dedup import duplicated
+
+        return duplicated(self, subset=subset, keep=keep)
+
     def drop_duplicates(self, subset=None, keep: str = "first") -> "DataFrame":
         from .operators.dedup import drop_duplicates
 

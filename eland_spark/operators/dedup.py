@@ -45,6 +45,38 @@ def drop_duplicates(df: "DataFrame", subset=None, keep: str = "first"):
     return EDF(ranked.filter(F.col("__rn__") == 1).drop("__rn__"), schema)
 
 
+def duplicated(df: "DataFrame", subset=None, keep: str = "first"):
+    """pandas ``DataFrame.duplicated``: per-row boolean flag frame
+    (index columns + ``duplicated``). keep='first' marks all but the
+    lowest-index row of each group, 'last' all but the highest,
+    keep=False marks every member of any duplicated group. One hash
+    shuffle on the subset columns (row_number / count window) — the
+    flag twin of :func:`drop_duplicates`."""
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    cols = [schema.resolve(c) for c in (subset or schema.display_names)]
+    if not schema.index_cols:
+        raise ValueError("duplicated needs an index for deterministic keep order")
+    if keep is False:
+        w = Window.partitionBy(*[F.col(c) for c in cols])
+        flag = F.count(F.lit(1)).over(w) > 1
+    elif keep in ("first", "last"):
+        order = [
+            F.col(schema.resolve(c)).asc() if keep == "first" else F.col(schema.resolve(c)).desc()
+            for c in schema.index_cols
+        ]
+        w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(*order)
+        flag = F.row_number().over(w) > 1
+    else:
+        raise ValueError("keep must be 'first', 'last', or False")
+    out = df._sdf.select(
+        *[F.col(schema.resolve(ic)).alias(ic) for ic in schema.index_cols],
+        flag.alias("duplicated"),
+    )
+    return EDF(out, index_cols=tuple(schema.index_cols))
+
+
 # ---------------------------------------------------------------------------
 # text shingling / normalization helpers (pure Column expressions)
 # ---------------------------------------------------------------------------

@@ -682,3 +682,19 @@ def test_cut_qcut_match_pandas(orders, orders_pd):
     assert (got.astype(int) == exp.astype(int)).all()
     with pytest.raises(ValueError, match="strictly increasing"):
         s.cut([1, 1, 2])
+
+
+def test_duplicated_matches_pandas(orders, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    for keep in ["first", "last", False]:
+        got = (
+            orders.duplicated(subset=["o_custkey"], keep=keep)
+            .to_spark()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()["duplicated"]
+        )
+        exp = pdf.duplicated(subset=["o_custkey"], keep=keep)
+        assert (got.values == exp.values).all()
+    with pytest.raises(ValueError, match="keep must be"):
+        orders.duplicated(subset=["o_custkey"], keep="bogus")
