@@ -419,6 +419,38 @@ class Series:
     def abs(self) -> "Series":
         return self._derived(F.abs(self._expr), self._spark_type)
 
+    def between(self, left, right, inclusive: str = "both") -> "Series":
+        """Boolean mask ``left <= s <= right`` (pandas ``between``);
+        compiles to a range predicate — pushdown-eligible like any
+        comparison (reference range filter, eland/filter.py:97-118)."""
+        lo, hi = _lit(left), _lit(right)
+        if inclusive == "both":
+            expr = (self._expr >= lo) & (self._expr <= hi)
+        elif inclusive == "neither":
+            expr = (self._expr > lo) & (self._expr < hi)
+        elif inclusive == "left":
+            expr = (self._expr >= lo) & (self._expr < hi)
+        elif inclusive == "right":
+            expr = (self._expr > lo) & (self._expr <= hi)
+        else:
+            raise ValueError("inclusive must be both/neither/left/right")
+        return self._bool(expr)
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        """pandas ``clip``: bound values via greatest/least (codegen'd,
+        null-propagating like pandas)."""
+        if lower is None and upper is None:
+            raise ValueError("clip needs lower and/or upper")
+        expr = self._expr
+        if lower is not None:
+            expr = F.when(expr.isNotNull(), F.greatest(expr, _lit(lower)))
+        if upper is not None:
+            expr = F.when(self._expr.isNotNull(), F.least(expr, _lit(upper)))
+        return self._derived(expr, self._spark_type)
+
+    def round(self, decimals: int = 0) -> "Series":
+        return self._derived(F.round(self._expr, decimals), self._spark_type)
+
     def rename(self, name: str) -> "Series":
         return Series(self._frame, self._expr, name, self._spark_type, self._is_derived)
 

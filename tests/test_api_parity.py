@@ -152,3 +152,35 @@ def test_bool_series_aggs_pandas_semantics(orders):
     assert abs(b.mean() - e.mean()) < 1e-12
     assert abs(b.std() - e.std()) < 1e-12
     assert abs(b.var() - e.var()) < 1e-12
+
+
+def test_series_between_clip_round(orders):
+    pdf = orders.to_pandas().set_index("o_orderkey").sort_index()
+    s = orders["o_totalprice"]
+
+    for inc in ["both", "neither", "left", "right"]:
+        got = orders[s.between(50000, 150000, inclusive=inc)].shape[0]
+        exp = int(pdf.o_totalprice.between(50000, 150000, inclusive=inc).sum())
+        assert got == exp
+    with pytest.raises(ValueError, match="inclusive"):
+        s.between(1, 2, inclusive="bogus")
+
+    got = (
+        orders.assign(c=s.clip(50000, 150000))[["o_orderkey", "c"]]
+        .to_spark()
+        .toPandas()
+        .set_index("o_orderkey")
+        .sort_index()["c"]
+    )
+    exp = pdf.o_totalprice.clip(50000, 150000)
+    assert (abs(got - exp) < 1e-9).all()
+
+    got = (
+        orders.assign(r=s.round(-2))[["o_orderkey", "r"]]
+        .to_spark()
+        .toPandas()
+        .set_index("o_orderkey")
+        .sort_index()["r"]
+    )
+    exp = pdf.o_totalprice.round(-2)
+    assert (abs(got - exp) < 1e-9).all()
