@@ -236,6 +236,21 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_asof_join(spark, sf_dir) -> DataFrame:
+    """As-of join (pandas merge_asof; operators/asof.py): each click
+    enriched with the user's most recent purchase value at-or-before
+    the click. Union + one hash shuffle on user_id + fill-forward
+    window — no range-join candidate explosion. DuckDB oracle uses its
+    native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    clicks = ev[ev["event_type"] == "click"][["event_id", "user_id", "ts"]]
+    purch = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    m = clicks.merge_asof(purch, on="ts", by="user_id")
+    return m.to_spark().select(
+        "event_id", F.round("value", 2).alias("purch_value")
+    )
+
+
 def q_duplicated_flags(spark, sf_dir) -> DataFrame:
     """Per-row duplicate flags (pandas duplicated; flag twin of the
     dedup operator family): keep-first marks all but the lowest-index
@@ -1463,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_transform": q_groupby_transform,
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
+        "asof_join": q_asof_join,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1630,6 +1646,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "asof_join": """
+            SELECT l.event_id, round(r.value, 2) AS purch_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "duplicated_flags": """
             SELECT o_orderkey,

@@ -30,6 +30,7 @@ HEADLINE = [
     "join_multi_hop",
     "top_orders",
     "semi_join",
+    "asof_join",
     "window_topk_per_group",
     "global_rank_topk",
     "events_tumbling",

@@ -398,6 +398,33 @@ class DataFrame:
         ]
         return self._with(sdf=self._sdf.orderBy(*cols))
 
+    def merge_asof(
+        self,
+        right: "DataFrame",
+        on: str,
+        by=None,
+        direction: str = "backward",
+        tolerance=None,
+        suffixes: tuple[str, str] = ("", "_right"),
+        allow_exact_matches: bool = True,
+    ) -> "DataFrame":
+        """pandas ``merge_asof`` (as-of/temporal join): one hash
+        shuffle on ``by`` + local sort, fill-forward window — see
+        operators/asof.py for the scale rationale."""
+        from .operators.asof import merge_asof
+
+        out = merge_asof(
+            self,
+            right,
+            on=on,
+            by=by,
+            direction=direction,
+            tolerance=tolerance,
+            suffixes=suffixes,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return DataFrame(out, index_cols=tuple(self._schema.index_cols))
+
     def duplicated(self, subset=None, keep: str = "first") -> "DataFrame":
         """Boolean duplicate flags per row (pandas ``duplicated``):
         lazy frame of index columns + ``duplicated``."""

@@ -1,0 +1,127 @@
+"""As-of (temporal) join — pandas ``merge_asof`` semantics.
+
+Net-new relative to the reference (eland has no joins at all, SURVEY
+§2.4); this is the classic "enrich each event with the most recent
+state row" operator a training-data pipeline needs.
+
+Spark-first plan: instead of a range join (which explodes into
+O(candidates) per row) the two sides are UNIONED, hash-shuffled once on
+the ``by`` key, locally sorted on the time column, and the right side's
+values are carried to left rows with ``last(col, ignorenulls=True)``
+over an unbounded-preceding running window — the distributed version of
+"sort then fill forward". Cost = one exchange + one local sort,
+identical shape to any keyed window aggregation at 100 TB; no
+single-partition cliff, no cartesian candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+__all__ = ["merge_asof"]
+
+_SIDE = "__asof_side"
+_RTS = "__asof_rts"
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        dtype.startswith("decimal")
+    )
+
+
+def merge_asof(
+    left,
+    right,
+    on: str,
+    by=None,
+    direction: str = "backward",
+    tolerance=None,
+    suffixes: tuple[str, str] = ("", "_right"),
+    allow_exact_matches: bool = True,
+):
+    """pandas ``merge_asof``: for every left row, attach the right row
+    with the greatest ``on`` <= left's (backward) or smallest ``on`` >=
+    left's (forward) within each ``by`` group; unmatched rows keep
+    nulls. ``tolerance`` (seconds for timestamps, same units for
+    numeric ``on``) nulls matches farther away than the bound.
+
+    Accepts engine frames or plain Spark DataFrames; returns a Spark
+    DataFrame of all left columns plus the right value columns
+    (suffixed on collision).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    lsdf = left if isinstance(left, SparkDataFrame) else left.to_spark()
+    rsdf = right if isinstance(right, SparkDataFrame) else right.to_spark()
+    by = [by] if isinstance(by, str) else list(by or [])
+    for c in [on, *by]:
+        if c not in lsdf.columns or c not in rsdf.columns:
+            raise KeyError(f"merge_asof column {c!r} must exist on both sides")
+
+    ltypes = dict(lsdf.dtypes)
+    rtypes = dict(rsdf.dtypes)
+    rvals = [c for c in rsdf.columns if c != on and c not in by]
+    lcols = list(lsdf.columns)
+    rmap = {c: c + suffixes[1] if c in lsdf.columns else c for c in rvals}
+    if len(set(rmap.values())) != len(rmap):
+        raise ValueError("suffixed right columns collide")
+
+    # union with a side tag; each side nulls the other's columns
+    left_part = lsdf.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(rmap[c]) for c in rvals],
+        F.lit(None).cast(ltypes[on]).alias(_RTS),
+        F.lit(1).alias(_SIDE),
+    )
+    right_part = rsdf.select(
+        *[
+            F.col(c) if c in (on, *by) else F.lit(None).cast(ltypes[c]).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(rmap[c]) for c in rvals],
+        F.col(on).alias(_RTS),
+        F.lit(0).alias(_SIDE),
+    )
+    u = left_part.unionByName(right_part)
+
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    # allow_exact: the right row at an equal timestamp must sort BEFORE
+    # the left row (visible to the running window); otherwise after
+    tie = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    w = (
+        Window.partitionBy(*[F.col(b) for b in by])
+        .orderBy(ts_order, tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[F.col(c) for c in lcols],
+        *[F.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c]) for c in rvals],
+        F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+        F.col(_SIDE),
+    )
+    out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+    if tolerance is not None:
+        try:  # pd.Timedelta / datetime.timedelta -> seconds
+            tol = float(tolerance.total_seconds())
+        except AttributeError:
+            tol = float(tolerance)
+        if _is_numeric(ltypes[on]):
+            diff = (
+                F.col(on) - F.col(_RTS)
+                if direction == "backward"
+                else F.col(_RTS) - F.col(on)
+            )
+        else:
+            a, b = (_RTS, on) if direction == "backward" else (on, _RTS)
+            diff = F.expr(f"timestampdiff(SECOND, {a}, {b})")
+        ok = F.col(_RTS).isNotNull() & (diff <= F.lit(tol))
+        out = out.select(
+            *[F.col(c) for c in lcols],
+            *[F.when(ok, F.col(rmap[c])).alias(rmap[c]) for c in rvals],
+            F.col(_RTS),
+        )
+    return out.drop(_RTS)
