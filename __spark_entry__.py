@@ -236,6 +236,21 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_resample_6h(spark, sf_dir) -> DataFrame:
+    """pandas resample('6h') on the events stream table: epoch-floor
+    bucketing (frame.resample) -> one hash aggregation (the
+    date_histogram fixed-interval analog, reference
+    eland/query.py:195-211)."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    g = ev.resample("6h", on="ts")
+    return g._lazy(
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value")), 2).alias("v"),
+        ]
+    ).to_spark()
+
+
 def q_asof_join(spark, sf_dir) -> DataFrame:
     """As-of join (pandas merge_asof; operators/asof.py): each click
     enriched with the user's most recent purchase value at-or-before
@@ -1479,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "asof_join": q_asof_join,
+        "resample_6h": q_resample_6h,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1646,6 +1662,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "resample_6h": """
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000
+                                       AS BIGINT)) AS ts,
+                   count(*) AS n, round(sum(value), 2) AS v
+            FROM events GROUP BY 1
         """,
         "asof_join": """
             SELECT l.event_id, round(r.value, 2) AS purch_value

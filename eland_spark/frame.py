@@ -398,6 +398,53 @@ class DataFrame:
         ]
         return self._with(sdf=self._sdf.orderBy(*cols))
 
+    def resample(self, rule: str, on: str):
+        """pandas time-series ``resample``: bucket ``on`` by ``rule``
+        and return a GroupBy over the bucket (left-edge labels,
+        epoch-aligned — the reference's date_histogram analog,
+        eland/query.py:195-211). Fixed-width rules ('1D', '6h',
+        '15min') compile to epoch-floor arithmetic; calendar rules
+        ('W', 'M', 'MS', 'Q', 'Y') to ``date_trunc``. One hash
+        aggregation either way."""
+        import pandas as _pd
+
+        schema = self._schema
+        col = F.col(schema.resolve(on))
+        calendar = {
+            "W": "week",
+            "M": "month",
+            "MS": "month",
+            "Q": "quarter",
+            "QS": "quarter",
+            "Y": "year",
+            "YS": "year",
+            "A": "year",
+        }
+        if rule in calendar:
+            bucket = F.date_trunc(calendar[rule], col)
+        else:
+            try:
+                secs = int(_pd.Timedelta(rule).total_seconds())
+            except ValueError:
+                raise ValueError(f"unsupported resample rule {rule!r}") from None
+            if secs <= 0:
+                raise ValueError(f"unsupported resample rule {rule!r}")
+            # floor to the epoch-aligned bucket; NTZ-safe (no tz shift
+            # in UTC sessions)
+            epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            off = F.floor(
+                F.expr(
+                    f"timestampdiff(SECOND, to_timestamp('1970-01-01 00:00:00'), "
+                    f"`{schema.resolve(on)}`)"
+                )
+                / secs
+            ) * secs
+            bucket = F.timestamp_add("SECOND", off, epoch)
+        bucketed = self.assign(
+            **{on: Series(self, bucket, on, T.TimestampNTZType(), True)}
+        )
+        return bucketed.groupby(on)
+
     def merge_asof(
         self,
         right: "DataFrame",

@@ -698,3 +698,20 @@ def test_duplicated_matches_pandas(orders, orders_pd):
         assert (got.values == exp.values).all()
     with pytest.raises(ValueError, match="keep must be"):
         orders.duplicated(subset=["o_custkey"], keep="bogus")
+
+
+def test_resample_matches_pandas(spark, sf_dir):
+    import numpy as np
+    import eland_spark as es
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet", index_col="event_id")
+    pdf = ev.to_pandas()
+    got = ev.resample("6h", on="ts").agg(["sum", "count"])
+    exp = pdf.set_index("ts").resample("6h").agg({"value": ["sum", "count"]})
+    exp = exp[exp[("value", "count")] > 0]  # engine emits non-empty buckets only
+    assert len(got) == len(exp)
+    assert np.allclose(
+        sorted(got[("value", "sum")].values), sorted(exp[("value", "sum")].values)
+    )
+    with pytest.raises(ValueError, match="unsupported resample rule"):
+        ev.resample("bogus", on="ts")
