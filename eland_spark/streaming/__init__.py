@@ -1,5 +1,6 @@
 from .joins import stream_enrich, stream_stream_join
 from .sinks import (
+    compact_upserted,
     foreach_batch_parquet_upsert,
     foreach_batch_sink,
     read_upserted,
@@ -29,4 +30,5 @@ __all__ = [
     "foreach_batch_sink",
     "foreach_batch_parquet_upsert",
     "read_upserted",
+    "compact_upserted",
 ]

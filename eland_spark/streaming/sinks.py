@@ -34,6 +34,7 @@ __all__ = [
     "foreach_batch_sink",
     "foreach_batch_parquet_upsert",
     "read_upserted",
+    "compact_upserted",
 ]
 
 
@@ -127,3 +128,28 @@ def read_upserted(
         F.max_by(F.struct(*value_cols), F.col("batch")).alias("_v")
     )
     return resolved.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in value_cols])
+
+
+def compact_upserted(spark: SparkSession, path: str, keys: Sequence[str]) -> int:
+    """Compact a merge-on-read upsert directory: write the resolved
+    frame as one new ``batch=<max+1>`` dir, then drop the older dirs.
+    Crash-safe in either order — the resolved batch has the highest id,
+    so ``read_upserted`` returns identical rows whether the old dirs
+    are gone yet or not. Returns the new batch id. (On a real cluster
+    the delete is a fs/objectstore call; same two-step shape.)"""
+    import glob as _glob
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if len(dirs) <= 1:
+        return -1
+    ids = [int(_re.search(r"batch=(\d+)$", d).group(1)) for d in dirs]
+    new_id = max(ids) + 1
+    read_upserted(spark, path, keys).write.mode("overwrite").parquet(
+        f"{path}/batch={new_id}"
+    )
+    for d in dirs:
+        _shutil.rmtree(d)
+    return new_id

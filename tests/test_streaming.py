@@ -321,3 +321,31 @@ def test_foreach_batch_upsert_matches_batch_twin(spark, sf_dir, events_batch, tm
     again = read_upserted(spark, out, ["window_start"]).toPandas()
     assert len(again) == len(got)
     assert abs(again["total_value"].sum() - got["total_value"].sum()) < 1e-6
+
+
+def test_compact_upserted_preserves_resolution(spark, sf_dir, tmp_path):
+    import glob
+
+    from eland_spark.streaming import (
+        compact_upserted,
+        foreach_batch_parquet_upsert,
+        read_events_stream,
+        read_upserted,
+        tumbling_windowed,
+    )
+
+    out, ckpt = str(tmp_path / "ups"), str(tmp_path / "ck")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    res = tumbling_windowed(stream, duration="6 hours", watermark="1 day")
+    foreach_batch_parquet_upsert(res, out, ckpt, timeout_sec=180)
+    # force a second batch dir so compaction has work
+    read_upserted(spark, out, ["window_start"]).limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=999")
+    before = read_upserted(spark, out, ["window_start"]).toPandas()
+    new_id = compact_upserted(spark, out, ["window_start"])
+    assert new_id == 1000
+    assert len(glob.glob(f"{out}/batch=*")) == 1
+    after = read_upserted(spark, out, ["window_start"]).toPandas()
+    assert len(after) == len(before)
+    assert abs(after.total_value.sum() - before.total_value.sum()) < 1e-9
