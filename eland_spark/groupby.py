@@ -168,6 +168,25 @@ class DataFrameGroupBy:
         pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
         return pdf["count"]
 
+    def apply_pandas(self, fn, schema) -> DataFrame:
+        """Group-level Python escape hatch (pandas ``groupby().apply``):
+        ``fn(pd.DataFrame) -> pd.DataFrame`` per group via
+        ``applyInPandas`` — Arrow transfer, one hash shuffle on the
+        keys, groups processed in parallel across executors. The fn
+        sees the group's rows with display-name columns; its output
+        must match ``schema``. Use the string-agg methods when they can
+        express the logic (they stay JVM-side)."""
+        sdf, keys = self._grouped_sdf()
+        display = [f.display_name for f in self._frame._schema.fields]
+        resolved = [
+            F.col(self._frame._schema.resolve(d)).alias(d) for d in display
+        ]
+        out = sdf.select(*resolved).groupBy(
+            *[F.col(b) for b in self._by]
+        ).applyInPandas(fn, schema)
+        kept = tuple(c for c in self._frame.index_cols if c in out.columns)
+        return DataFrame(out, index_cols=kept or tuple(self._by))
+
     def transform(self, func: str, numeric_only: bool | None = True) -> DataFrame:
         """Group-broadcast aggregation: every row gets its group's
         aggregate (pandas ``groupby().transform``; net-new — the

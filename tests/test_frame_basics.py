@@ -715,3 +715,26 @@ def test_resample_matches_pandas(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="unsupported resample rule"):
         ev.resample("bogus", on="ts")
+
+
+def test_groupby_apply_pandas_matches_pandas(orders, orders_pd):
+    def top2(g):
+        return g.nlargest(2, "o_totalprice")[
+            ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ]
+
+    r = orders.groupby("o_orderstatus").apply_pandas(
+        top2, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    got = r.to_spark().toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    exp = (
+        orders_pd.groupby("o_orderstatus", group_keys=False)
+        .apply(lambda g: g.nlargest(2, "o_totalprice"))[
+            ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert (got.o_orderkey.values == exp.o_orderkey.values).all()
+    plan = r.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
