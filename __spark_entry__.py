@@ -236,6 +236,15 @@ def q_hist(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_series_rank(spark, sf_dir) -> DataFrame:
+    """pandas Series.rank(method='min') over a heavily tied column —
+    global ranks via the windowless range-sort operator plus one
+    value-partitioned window for ties (operators/ranking.py; no
+    single-reducer cliff)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    return o["o_custkey"].rank(method="min").to_spark()
+
+
 def q_resample_6h(spark, sf_dir) -> DataFrame:
     """pandas resample('6h') on the events stream table: epoch-floor
     bucketing (frame.resample) -> one hash aggregation (the
@@ -1495,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_flags": q_duplicated_flags,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,
+        "series_rank": q_series_rank,
         "groupby_quantile": q_groupby_quantile,
         "groupby_datetime": q_groupby_datetime,
         "groupby_timestamp_mean": q_groupby_timestamp_mean,
@@ -1662,6 +1672,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM lineitem, mm
             GROUP BY 1
+        """,
+        "series_rank": """
+            SELECT o_orderkey,
+                   CAST(RANK() OVER (ORDER BY o_custkey) AS DOUBLE) AS "rank"
+            FROM orders
         """,
         "resample_6h": """
             SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000

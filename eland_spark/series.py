@@ -760,6 +760,47 @@ class Series:
         )
         return self._derived(expr, T.LongType())
 
+    def rank(self, method: str = "average", ascending: bool = True):
+        """pandas ``Series.rank`` as a lazy frame (index columns +
+        ``rank``). Global ranks come from the windowless range-sort
+        operator (operators/ranking.py — no empty-PARTITION-BY
+        single-reducer cliff); tie methods ``average``/``min``/``max``
+        add one value-partitioned window (hash shuffle on the value),
+        ``first`` is the raw global row number. Nulls rank null
+        (pandas NaN), excluded from the count."""
+        from pyspark.sql import Window
+
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rank
+
+        if method not in ("average", "min", "max", "first"):
+            raise ValueError("method must be average/min/max/first")
+        frame = self._frame
+        icols = list(frame.index_cols)
+        if not icols:
+            raise ValueError("rank needs an index for deterministic ties")
+        schema = frame._schema
+        key_cols = [F.col(schema.resolve(c)).alias(c) for c in icols]
+        base = frame._sdf.select(*key_cols, self._expr.alias("__val__"))
+        nonnull = base.filter(F.col("__val__").isNotNull())
+        ranked = with_global_rank(
+            nonnull, ["__val__", *icols], ascending=ascending, rank_col="__rn__"
+        )
+        if method == "first":
+            expr = F.col("__rn__").cast("double")
+        else:
+            agg = {"min": F.min, "max": F.max, "average": F.avg}[method]
+            expr = (
+                agg(F.col("__rn__"))
+                .over(Window.partitionBy(F.col("__val__")))
+                .cast("double")
+            )
+        out = ranked.select(*icols, expr.alias("rank"))
+        nulls = base.filter(F.col("__val__").isNull()).select(
+            *icols, F.lit(None).cast("double").alias("rank")
+        )
+        return EDF(out.unionByName(nulls), index_cols=tuple(icols))
+
     def map(self, arg) -> "Series":
         """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM
         map-literal lookup (``create_map(...)[col]``) — codegen'd, no

@@ -738,3 +738,21 @@ def test_groupby_apply_pandas_matches_pandas(orders, orders_pd):
     assert (got.o_orderkey.values == exp.o_orderkey.values).all()
     plan = r.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_series_rank_matches_pandas(orders, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    for col, asc in [("o_custkey", True), ("o_totalprice", False)]:
+        s = orders[col]
+        for method in ["average", "min", "max", "first"]:
+            got = (
+                s.rank(method=method, ascending=asc)
+                .to_spark()
+                .toPandas()
+                .set_index("o_orderkey")
+                .sort_index()["rank"]
+            )
+            exp = pdf[col].rank(method=method, ascending=asc)
+            assert (abs(got - exp) < 1e-9).all(), (col, method)
+    with pytest.raises(ValueError, match="method"):
+        orders["o_custkey"].rank(method="dense")
