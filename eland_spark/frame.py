@@ -907,6 +907,27 @@ class DataFrame:
                 mat.loc[a, b] = mat.loc[b, a] = v
         return mat
 
+    def crosstab(self, index: str, columns: str) -> pd.DataFrame:
+        """Frequency table of two columns (pandas ``pd.crosstab``):
+        count pivot — one shuffle, explicit pivot values resolved
+        first like pivot_table."""
+        schema = self._schema
+        ic, cc = schema.resolve(index), schema.resolve(columns)
+        vals = [
+            r[0]
+            for r in self._sdf.select(cc).distinct().orderBy(cc).collect()
+            if r[0] is not None
+        ]
+        pdf = (
+            self._sdf.groupBy(F.col(ic).alias(index))
+            .pivot(cc, vals)
+            .agg(F.count(F.lit(1)))
+            .toPandas()
+            .set_index(index)
+            .sort_index()
+        )
+        return pdf.fillna(0).astype("int64")
+
     def pivot_table(
         self,
         index: str,

@@ -760,6 +760,14 @@ class Series:
         )
         return self._derived(expr, T.LongType())
 
+    def astype(self, dtype) -> "Series":
+        """Cast to a pandas/numpy/Spark dtype name (schema-aware, same
+        map as DataFrame.astype)."""
+        from .schema import pd_to_spark_type
+
+        target = pd_to_spark_type(dtype)
+        return self._derived(self._expr.cast(target), target)
+
     def rank(self, method: str = "average", ascending: bool = True):
         """pandas ``Series.rank`` as a lazy frame (index columns +
         ``rank``). Global ranks come from the windowless range-sort

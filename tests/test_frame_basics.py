@@ -756,3 +756,15 @@ def test_series_rank_matches_pandas(orders, orders_pd):
             assert (abs(got - exp) < 1e-9).all(), (col, method)
     with pytest.raises(ValueError, match="method"):
         orders["o_custkey"].rank(method="dense")
+
+
+def test_crosstab_and_series_astype(orders, orders_pd):
+    got = orders.crosstab("o_orderstatus", "o_orderpriority")
+    exp = pd.crosstab(orders_pd.o_orderstatus, orders_pd.o_orderpriority)
+    assert (got.values == exp.values).all()
+    assert list(got.columns) == list(exp.columns)
+    s = orders["o_totalprice"].astype("int64")
+    assert s.dtype == "int64"
+    assert (
+        s.head(5).tolist() == orders_pd.o_totalprice.head(5).astype("int64").tolist()
+    )
