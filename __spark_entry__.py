@@ -275,6 +275,18 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_near_dup_components(spark, sf_dir) -> DataFrame:
+    """Near-dup clustering: MinHash LSH candidate pairs -> iterative
+    min-label connected components (operators/dedup.py). The canonical
+    dedup finisher — keep node == component for a representative-per-
+    cluster policy. Iterative (join + min-agg per round), so no SQL
+    oracle (rows-only check per the driver contract)."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    from eland_spark.operators.dedup import near_dup_components
+
+    return near_dup_components(docs, "text", "doc_id", threshold=0.6)
+
+
 def q_duplicated_flags(spark, sf_dir) -> DataFrame:
     """Per-row duplicate flags (pandas duplicated; flag twin of the
     dedup operator family): keep-first marks all but the lowest-index
@@ -1502,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_transform": q_groupby_transform,
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
+        "near_dup_components": q_near_dup_components,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,
         "series_rank": q_series_rank,

@@ -45,6 +45,79 @@ def drop_duplicates(df: "DataFrame", subset=None, keep: str = "first"):
     return EDF(ranked.filter(F.col("__rn__") == 1).drop("__rn__"), schema)
 
 
+def connected_components(
+    pairs, src: str = "id_a", dst: str = "id_b", max_iter: int = 10
+):
+    """Group near-duplicate pairs into clusters: iterative min-label
+    propagation over the pair graph. Returns a Spark DataFrame
+    ``(node, component)`` where ``component`` is the cluster's minimum
+    node id — the canonical representative a dedup pipeline keeps.
+
+    Each iteration is one join + one min-aggregation (both shuffle on
+    the node id, so AQE can reuse the exchange) and converges in
+    O(diameter) rounds — near-dup clusters are shallow (pairs all share
+    shingles), so 3-4 rounds typically suffice; ``max_iter`` bounds the
+    worst case and the loop exits early on a fixed point (one tiny
+    count per round). For graphs with huge components, swap in the
+    large-star/small-star variant — same primitives, fewer rounds.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    # symmetrize once; messages then flow both directions each round
+    sym = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "s"), on="s"
+        ).select(F.col("d").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)  # truncate the growing lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_components(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_iter: int = 10,
+):
+    """End-to-end near-dup clustering: MinHash candidate pairs above
+    ``threshold`` -> connected components. Returns (node, component);
+    keep ``node == component`` rows for a canonical-representative
+    dedup policy."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_hashes, bands)
+    return connected_components(
+        pairs.filter(F.col("est_jaccard") >= threshold), max_iter=max_iter
+    )
+
+
 def duplicated(df: "DataFrame", subset=None, keep: str = "first"):
     """pandas ``DataFrame.duplicated``: per-row boolean flag frame
     (index columns + ``duplicated``). keep='first' marks all but the

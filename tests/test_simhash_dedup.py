@@ -38,3 +38,28 @@ def test_banded_pairs_equal_exhaustive(spark):
     )
     assert banded == exhaustive
     assert len(banded) >= 1  # fixture contains at least one near-dup pair
+
+
+def test_connected_components_synthetic(spark):
+    from eland_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10), (10, 7)],
+        "id_a long, id_b long",
+    )
+    out = connected_components(pairs).toPandas()
+    comp = dict(zip(out.node, out.component))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_near_dup_components_end_to_end(spark, sf_dir):
+    import eland_spark as es
+    from eland_spark.operators.dedup import near_dup_components
+
+    docs = es.read_parquet(spark, f"{sf_dir}/documents.parquet", index_col="doc_id")
+    cc = near_dup_components(docs, "text", "doc_id", threshold=0.6).toPandas()
+    assert len(cc) > 0
+    # canonical representative is always a member of its own cluster
+    assert set(cc.component).issubset(set(cc.node))
+    # transitivity: clustered pairs via a shared middle doc collapse
+    assert cc.component.nunique() < len(cc)
