@@ -265,7 +265,12 @@ def _query_string(body, resolve) -> Column:
         pred = _fields_pred(fl, resolve, leaf)
         return _negate(pred) if neg else pred
 
-    return parse_or()
+    out = parse_or()
+    if ts.peek() is not None:
+        # ES query_string is strict: trailing tokens (e.g. an unmatched
+        # ')') are a parse error, not silently dropped
+        raise ValueError(f"unexpected token {ts.peek()!r} in query_string")
+    return out
 
 
 def compile_es_dsl(

@@ -273,3 +273,10 @@ def test_query_string_requires_fields(docs):
         docs.es_query({"query_string": {"query": "spark"}})
     with pytest.raises(ValueError, match="requires fields"):
         docs.es_query({"simple_query_string": {"query": "spark"}})
+
+
+def test_query_string_strict_syntax(docs):
+    with pytest.raises(ValueError, match="unexpected token"):
+        docs.es_query({"query_string": {"query": "spark ) batch", "default_field": "text"}})
+    with pytest.raises(ValueError, match="expected"):
+        docs.es_query({"query_string": {"query": "(spark OR batch", "default_field": "text"}})
