@@ -275,6 +275,44 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_redact_pii(spark, sf_dir) -> DataFrame:
+    """PII-style redaction (operators/text.redact): chained
+    regexp_replace, codegen'd, zero shuffle. The text is synthesized
+    deterministically from customer rows so both engines exercise real
+    matches with identical inputs."""
+    from eland_spark.operators.text import redact
+
+    c = _t(spark, sf_dir, "customer", "c_custkey").to_spark()
+    txt = F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".7 call 212-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return c.select("c_custkey", redact(txt).alias("redacted"))
+
+
+def q_embed_quantize(spark, sf_dir) -> DataFrame:
+    """int8 embedding quantization (operators/similarity): per-vector
+    scale + code checksum — 4x storage/shuffle reduction for ANN at
+    scale, all HOF Column expressions."""
+    from eland_spark.operators.similarity import quantize_embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("qe.scale").cast("double"), 6).alias("scale_r"),
+        F.aggregate(
+            F.col("qe.q"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("q_sum"),
+    )
+
+
 def q_near_dup_components(spark, sf_dir) -> DataFrame:
     """Near-dup clustering: MinHash LSH candidate pairs -> iterative
     min-label connected components (operators/dedup.py). The canonical
@@ -1515,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
+        "redact_pii": q_redact_pii,
+        "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,
         "series_rank": q_series_rank,
@@ -1704,6 +1744,46 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "redact_pii": """
+            WITH t AS (
+              SELECT c_custkey,
+                     'user' || CAST(c_custkey AS VARCHAR) || '@example.com ip 10.0.'
+                     || CAST(c_custkey % 256 AS VARCHAR) || '.7 call 212-555-'
+                     || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS txt
+              FROM customer
+            )
+            SELECT c_custkey,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(txt,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g'),
+                      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IPV4]', 'g'),
+                    '(?:\\+\\d{1,3}[-. ]*)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b',
+                    '[PHONE]', 'g'),
+                  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                '\\b(?:\\d[ -]*?){13,16}\\b', '[CREDIT_CARD]', 'g') AS redacted
+            FROM t
+        """,
+        "embed_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+              FROM (SELECT vec_id, embedding,
+                           list_aggregate(list_transform(embedding, x -> abs(x)),
+                                          'max') AS m
+                    FROM embeddings)
+            )
+            SELECT vec_id,
+                   round(CAST(CAST(scale AS FLOAT) AS DOUBLE), 6) AS scale_r,
+                   CAST(list_aggregate(
+                          list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)),
+                          'sum') AS BIGINT) AS q_sum
+            FROM s
         """,
         "duplicated_flags": """
             SELECT o_orderkey,

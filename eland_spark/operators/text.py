@@ -222,6 +222,36 @@ def repetition_frame(sdf, text: Column, id_col: Column):
     return toks.select("__id__", *[v.alias(k) for k, v in s.items()])
 
 
+DEFAULT_REDACTIONS: dict[str, str] = {
+    # order matters: longer/structured patterns first
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"(?:\+\d{1,3}[-. ]*)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+    "CREDIT_CARD": r"\b(?:\d[ -]*?){13,16}\b",
+}
+
+
+def redact(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Scrub sensitive spans: each match is replaced with its
+    ``[LABEL]`` tag (curation-pipeline PII pass). A chained
+    ``regexp_replace`` — codegen'd, zero shuffle, scan-speed at any
+    scale. Patterns are label -> regex; defaults cover email/IP/
+    phone/SSN/card shapes (heuristic, not a compliance tool)."""
+    out = text
+    for label, pat in (patterns or DEFAULT_REDACTIONS).items():
+        out = F.regexp_replace(out, pat, f"[{label}]")
+    return out
+
+
+def redaction_counts(text: Column, patterns: dict[str, str] | None = None) -> dict:
+    """Per-label match counts (audit twin of :func:`redact`)."""
+    return {
+        label: F.size(F.regexp_extract_all(text, F.lit(f"({pat})"), 1))
+        for label, pat in (patterns or DEFAULT_REDACTIONS).items()
+    }
+
+
 def rolling_hash(text: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
     """Polynomial rolling hash over tokens (order-sensitive fingerprint):
     h = sum(hash_i * base^(n-i)) mod m, computed as fold

@@ -1,0 +1,67 @@
+"""Text redaction + int8 embedding quantization operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eland_spark.operators.similarity import (
+    cosine,
+    dequantize_embedding,
+    quantize_embedding,
+)
+from eland_spark.operators.text import redact, redaction_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_redact_patterns(spark):
+    rows = [
+        ("a", "mail bob@x.com call 212-555-1234"),
+        ("b", "ip 10.0.0.1 ssn 123-45-6789 card 4111 1111 1111 1111"),
+        ("c", "clean text"),
+    ]
+    sdf = spark.createDataFrame(rows, "id string, text string")
+    out = {
+        r["id"]: r["r"] for r in sdf.select("id", redact(F.col("text")).alias("r")).collect()
+    }
+    assert "[EMAIL]" in out["a"] and "[PHONE]" in out["a"] and "bob@" not in out["a"]
+    assert "[IPV4]" in out["b"] and "[SSN]" in out["b"] and "[CREDIT_CARD]" in out["b"]
+    assert out["c"] == "clean text"
+    counts = sdf.agg(
+        *[
+            F.sum(v).alias(k)
+            for k, v in redaction_counts(F.col("text")).items()
+        ]
+    ).collect()[0]
+    assert counts["EMAIL"] == 1 and counts["SSN"] == 1
+    # custom patterns override the defaults
+    got = sdf.select(
+        redact(F.col("text"), {"NUM": r"\d+"}).alias("r")
+    ).collect()[0]["r"]
+    assert "[NUM]" in got and "[EMAIL]" not in got
+
+
+def test_quantize_roundtrip_bounds(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.select("embedding", quantize_embedding(F.col("embedding")).alias("qe"))
+    rt = q.select(
+        "embedding",
+        dequantize_embedding(F.col("qe")).alias("de"),
+        F.col("qe.scale").alias("scale"),
+    )
+    row = rt.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("de"), lambda a, b: F.abs(a - b)),
+                F.lit(0.0).cast("float"),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            / F.col("scale")
+        ).alias("err"),
+        F.min(cosine(F.col("embedding"), F.col("de"))).alias("min_cos"),
+    ).collect()[0]
+    assert row["err"] <= 0.5 + 1e-6  # per-component error bounded by scale/2
+    assert row["min_cos"] > 0.995  # int8 preserves cosine structure
+    # zero vector -> scale 1.0, all-zero codes
+    z = spark.createDataFrame([([0.0, 0.0],)], "embedding array<float>")
+    r = z.select(quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
+    assert r["scale"] == 1.0 and list(r["q"]) == [0, 0]
