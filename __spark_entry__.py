@@ -275,6 +275,17 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_train_val_split(spark, sf_dir) -> DataFrame:
+    """Deterministic hash split (operators/sampling.split_by_hash):
+    md5-prefix bucketing — engine-agnostic, reproducible, zero
+    shuffle; per-split counts."""
+    from eland_spark.operators.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_redact_pii(spark, sf_dir) -> DataFrame:
     """PII-style redaction (operators/text.redact): chained
     regexp_replace, codegen'd, zero shuffle. The text is synthesized
@@ -1554,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
         "redact_pii": q_redact_pii,
+        "train_val_split": q_train_val_split,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,
@@ -1744,6 +1756,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "train_val_split": """
+            WITH h AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS b
+              FROM documents
+            )
+            SELECT CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM h GROUP BY 1
         """,
         "redact_pii": """
             WITH t AS (

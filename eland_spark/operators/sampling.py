@@ -76,3 +76,45 @@ def sample_exact_n(
     while tmp in sdf.columns:
         tmp += "_"
     return sdf.withColumn(tmp, key).orderBy(tmp).limit(n).drop(tmp)
+
+
+def split_by_hash(
+    sdf,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+):
+    """Deterministic train/val/test assignment: md5(id || salt) prefix
+    mod 10000 against cumulative fraction thresholds. Engine-agnostic
+    (md5 is identical everywhere — unlike xxhash64), reproducible
+    across runs/partitionings, zero shuffle (a pure projection; the
+    split can be pushed into any downstream filter). Change ``salt``
+    to re-deal the split without touching ids."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < int(round(cum * 10000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return sdf.withColumn(split_col, expr)

@@ -60,3 +60,36 @@ def test_to_csv_single_file(spark, tmp_path):
     exp = nat.to_pandas()
     assert back.shape == exp.shape
     assert list(back["n_name"]) == list(exp["n_name"])  # index order preserved
+
+
+def test_split_by_hash_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(docs, "doc_id", fr)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert set(counts) == set(fr)
+    assert abs(counts["train"] / n - 0.8) < 0.06  # binomial noise at small n
+    a = set(
+        r["doc_id"]
+        for r in split_by_hash(docs, "doc_id", fr).filter(F.col("split") == "val").collect()
+    )
+    b = set(
+        r["doc_id"]
+        for r in split_by_hash(docs, "doc_id", fr).filter(F.col("split") == "val").collect()
+    )
+    c = set(
+        r["doc_id"]
+        for r in split_by_hash(docs, "doc_id", fr, salt="v2")
+        .filter(F.col("split") == "val")
+        .collect()
+    )
+    assert a == b and a != c
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(docs, "doc_id", {"train": 0.5})
