@@ -275,6 +275,21 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pack_documents(spark, sf_dir) -> DataFrame:
+    """Token-budget bin packing (operators/packing.py): greedy
+    first-fit within partitions via mapInPandas — zero shuffle,
+    partition-id-globalized bin ids. Stateful sequential logic, so no
+    SQL oracle (rows-only check per the driver contract)."""
+    from eland_spark.operators.packing import pack_documents
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_documents(wt, "doc_id", "n_tokens", 2048)
+
+
 def q_train_val_split(spark, sf_dir) -> DataFrame:
     """Deterministic hash split (operators/sampling.split_by_hash):
     md5-prefix bucketing — engine-agnostic, reproducible, zero
@@ -1566,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
+        "pack_documents": q_pack_documents,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,

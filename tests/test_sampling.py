@@ -93,3 +93,37 @@ def test_split_by_hash_deterministic(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         split_by_hash(docs, "doc_id", {"train": 0.5})
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.packing import pack_documents
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    BUDGET = 2048
+    packed = pack_documents(wt, "doc_id", "n_tokens", BUDGET)
+    stats = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    row = stats.agg(
+        F.max(F.when(F.col("n") > 1, F.col("tot"))).alias("max_multi"),
+        F.count(F.lit(1)).alias("bins"),
+        F.sum("tot").alias("total"),
+    ).collect()[0]
+    # no multi-doc bin exceeds the budget; oversized docs isolate
+    assert row["max_multi"] <= BUDGET
+    # within 2 bins per partition of the global lower bound
+    nparts = wt.rdd.getNumPartitions()
+    assert row["bins"] <= math.ceil(row["total"] / BUDGET) + 2 * nparts
+    assert packed.count() == wt.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        pack_documents(wt, "doc_id", "n_tokens", 0)
