@@ -66,8 +66,12 @@ def merge_asof(
     rvals = [c for c in rsdf.columns if c != on and c not in by]
     lcols = list(lsdf.columns)
     rmap = {c: c + suffixes[1] if c in lsdf.columns else c for c in rvals}
-    if len(set(rmap.values())) != len(rmap):
-        raise ValueError("suffixed right columns collide")
+    out_names = list(rmap.values())
+    if len(set(out_names)) != len(out_names) or set(out_names) & set(lcols):
+        raise ValueError(
+            "suffixed right columns collide with left columns; pass "
+            "different suffixes or drop/rename before the join"
+        )
 
     # union with a side tag; each side nulls the other's columns
     left_part = lsdf.select(

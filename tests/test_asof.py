@@ -4,6 +4,7 @@ join node, no range-join candidate explosion."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 import eland_spark as es
 from eland_spark.plans.inspect import shuffle_count
@@ -96,3 +97,13 @@ def test_errors(sides):
         clicks.merge_asof(purch, on="ts", by="user_id", direction="nearest")
     with pytest.raises(KeyError, match="both sides"):
         clicks.merge_asof(purch, on="nope", by="user_id")
+
+
+def test_suffix_collision_raises(spark, sides):
+    clicks, purch = sides
+    # right 'value' suffixes to 'value_x'; a left col with that name collides
+    left = clicks.to_spark().withColumn("value_x", F.lit(1))
+    from eland_spark.operators.asof import merge_asof
+
+    with pytest.raises(ValueError, match="collide"):
+        merge_asof(left, purch.to_spark(), on="ts", by="user_id", suffixes=("", "_x"))
