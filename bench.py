@@ -45,6 +45,8 @@ HEADLINE = [
     "tfidf_topk",
     "es_query_dsl",
     "query_string",
+    "redact_pii",
+    "train_val_split",
     "ann_bruteforce",
     "knn_join",
     "embedding_norms",
@@ -53,6 +55,7 @@ HEADLINE = [
 # queries whose result set is large -> noop sink instead of collect
 ROW_HEAVY = {
     "filter_chain",
+    "redact_pii",
     "text_stats",
     "text_repetition",
     "fingerprint",
