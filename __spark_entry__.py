@@ -378,6 +378,21 @@ def q_cut_buckets(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_series_key(spark, sf_dir) -> DataFrame:
+    """Grouping by a derived Series key (pandas
+    df.groupby(df.col.dt.year) idiom): the key materializes as a
+    derived column, still one hash aggregation."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    yr = o["o_orderdate"].dt.year.rename("order_year")
+    g = o.groupby(yr)
+    return g._lazy(
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice")), 2).alias("revenue"),
+        ]
+    ).to_spark()
+
+
 def q_groupby_transform(spark, sf_dir) -> DataFrame:
     """pandas groupby().transform — group-broadcast sum via
     Window.partitionBy (one hash shuffle, no join-back; net-new over
@@ -1576,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist": q_hist,
         "groupby_multi": q_groupby_multi,
         "groupby_transform": q_groupby_transform,
+        "groupby_series_key": q_groupby_series_key,
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
@@ -1841,6 +1857,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    round(avg(l_extendedprice), 2) AS avg_price
             FROM lineitem GROUP BY 1
+        """,
+        "groupby_series_key": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
         """,
         "groupby_transform": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -1012,13 +1012,29 @@ class DataFrame:
     # groupby / joins / set ops
     # ------------------------------------------------------------------
     def groupby(self, by, dropna: bool = True):
+        """Group by column names and/or derived Series keys (the
+        pandas ``df.groupby(df.col.dt.year)`` idiom): Series keys are
+        materialized as derived columns under their Series name, so
+        the whole thing stays one hash aggregation."""
         from .groupby import DataFrameGroupBy
 
-        by = [by] if isinstance(by, str) else list(by)
-        missing = [b for b in by if b not in self._schema]
+        by = [by] if isinstance(by, (str, Series)) else list(by)
+        frame = self
+        names: list[str] = []
+        for b in by:
+            if isinstance(b, Series):
+                if b._frame._sdf is not self._sdf:
+                    raise ValueError(
+                        "groupby Series key must derive from this frame"
+                    )
+                frame = frame.assign(**{b.name: b})
+                names.append(b.name)
+            else:
+                names.append(b)
+        missing = [b for b in names if b not in frame._schema]
         if missing:
             raise KeyError(f"groupby columns not found: {missing}")
-        return DataFrameGroupBy(self, by, dropna=dropna)
+        return DataFrameGroupBy(frame, names, dropna=dropna)
 
     def merge(
         self,

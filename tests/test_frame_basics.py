@@ -768,3 +768,28 @@ def test_crosstab_and_series_astype(orders, orders_pd):
     assert (
         s.head(5).tolist() == orders_pd.o_totalprice.head(5).astype("int64").tolist()
     )
+
+
+def test_groupby_series_key_matches_pandas(orders, orders_pd):
+    yr = orders["o_orderdate"].dt.year.rename("order_year")
+    g = orders.groupby(yr).sum(numeric_only=True)
+    exp = orders_pd.groupby(
+        orders_pd.o_orderdate.dt.year.rename("order_year")
+    ).sum(numeric_only=True)
+    assert (
+        g["o_totalprice"].round(2).tolist()
+        == exp["o_totalprice"].round(2).tolist()
+    )
+    g2 = orders.groupby(["o_orderstatus", yr]).count()
+    exp2 = orders_pd.groupby(
+        ["o_orderstatus", orders_pd.o_orderdate.dt.year.rename("order_year")]
+    ).count()
+    assert len(g2) == len(exp2)
+    import eland_spark as es
+
+    with pytest.raises(ValueError, match="derive from this frame"):
+        spark2 = orders.to_spark().sparkSession
+        cust = es.read_parquet(
+            spark2, "/root/testdata/sf0.001/customer.parquet", index_col="c_custkey"
+        )
+        orders.groupby(cust["c_mktsegment"])
