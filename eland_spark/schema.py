@@ -58,7 +58,9 @@ def spark_to_pd_dtype(dt: T.DataType) -> str:
 def pd_to_spark_type(dtype) -> T.DataType:
     """pandas/numpy dtype -> Spark type for ingest
     (reference eland/field_mappings.py:478-515)."""
-    dtype = np.dtype(dtype) if not isinstance(dtype, str) or dtype != "object" else dtype
+    if isinstance(dtype, str) and dtype in ("object", "string", "str"):
+        return T.StringType()
+    dtype = np.dtype(dtype)
     name = getattr(dtype, "name", str(dtype))
     if name.startswith("int") or name.startswith("uint"):
         return T.LongType()

@@ -577,12 +577,23 @@ class Series:
         return self._agg_scalar(F.percentile(dev, F.lit(0.5)))
 
     def value_counts(
-        self, es_size: int = 10, normalize: bool = False, dropna: bool = True
+        self,
+        es_size: int = 10,
+        normalize: bool = False,
+        dropna: bool = True,
+        bins: int | None = None,
     ) -> pd.Series:
         """Top-k by frequency (reference terms agg,
         eland/operations.py:420-468); ``dropna`` excludes the null
         bucket and ``normalize=True`` returns frequency fractions of
-        the non-null total (both pandas semantics)."""
+        the non-null total (both pandas semantics). ``bins=n`` counts
+        equal-width buckets instead of distinct values (pandas
+        bins= — delegates to :meth:`cut`)."""
+        if bins is not None:
+            binned = self.cut(bins).rename(self._name)
+            return binned.value_counts(
+                es_size=bins, normalize=normalize, dropna=dropna
+            )
         sdf = self._frame._sdf
         if dropna:
             sdf = sdf.filter(self._expr.isNotNull())
@@ -704,7 +715,9 @@ class Series:
                 return self._derived(F.lit(None).cast("long"), T.LongType())
             mn, mx = float(row["mn"]), float(row["mx"])
             span = (mx - mn) or 1.0
-            edges = [mn + span * i / bins for i in range(bins + 1)]
+            # endpoints pinned exactly: mn + span*bins/bins can land a
+            # hair below mx in floats, silently dropping the max row
+            edges = [mn] + [mn + span * i / bins for i in range(1, bins)] + [mx]
             # pandas widens the outermost edge by 0.1% so extremes land
             # inside the first/last bucket
             if right:
@@ -1015,6 +1028,70 @@ class StrAccessor:
 
     def split(self, pat: str = r"\s+") -> Series:
         return self._d(F.split(self._s._expr, pat), T.ArrayType(T.StringType()))
+
+    def extract(self, pat: str, group: int = 1) -> Series:
+        """First regex capture group (pandas ``str.extract`` for one
+        group); no match -> null."""
+        e = F.regexp_extract(self._s._expr, pat, group)
+        return self._d(F.when(e != "", e), T.StringType())
+
+    def count(self, pat: str) -> Series:
+        """Non-overlapping regex match count (pandas ``str.count``)."""
+        return self._d(
+            F.size(F.regexp_extract_all(self._s._expr, F.lit(f"({pat})"), 1)).cast(
+                "long"
+            ),
+            T.LongType(),
+        )
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " ") -> Series:
+        e = self._s._expr
+        if side == "left":
+            expr = F.lpad(e, width, fillchar)
+        elif side == "right":
+            expr = F.rpad(e, width, fillchar)
+        elif side == "both":
+            # pandas centers with the extra fill char on the right
+            pad_total = F.lit(width) - F.length(e)
+            left_n = F.floor(pad_total / 2).cast("int")
+            right_n = (pad_total - left_n).cast("int")
+            expr = F.concat(
+                F.repeat(F.lit(fillchar), left_n), e, F.repeat(F.lit(fillchar), right_n)
+            )
+        else:
+            raise ValueError("side must be left/right/both")
+        # pandas never truncates values longer than width
+        return self._d(
+            F.when(F.length(e) >= width, e).otherwise(expr), T.StringType()
+        )
+
+    def zfill(self, width: int) -> Series:
+        return self.pad(width, side="left", fillchar="0")
+
+    def title(self) -> Series:
+        """Python/pandas titlecase: every letter run starts upper —
+        including after digits/punctuation, where ``initcap`` would
+        not. Letter/non-letter segments via regexp_extract_all + a
+        transform HOF; all JVM-side."""
+        parts = F.regexp_extract_all(
+            self._s._expr, F.lit("([A-Za-z]+|[^A-Za-z]+)"), 1
+        )
+        titled = F.transform(
+            parts,
+            lambda p: F.when(
+                p.rlike("^[A-Za-z]"),
+                F.concat(
+                    F.upper(p.substr(F.lit(1), F.lit(1))),
+                    F.lower(p.substr(F.lit(2), F.length(p))),
+                ),
+            ).otherwise(p),
+        )
+        return self._d(
+            F.when(
+                self._s._expr.isNotNull(), F.array_join(titled, "")
+            ),
+            T.StringType(),
+        )
 
 
 class DtAccessor:

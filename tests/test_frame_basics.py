@@ -793,3 +793,44 @@ def test_groupby_series_key_matches_pandas(orders, orders_pd):
             spark2, "/root/testdata/sf0.001/customer.parquet", index_col="c_custkey"
         )
         orders.groupby(cust["c_mktsegment"])
+
+
+def test_str_accessor_extensions(orders, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    s = orders["o_orderpriority"]
+    ps = pdf.o_orderpriority
+
+    def col(series):
+        return (
+            orders.assign(x=series)[["o_orderkey", "x"]]
+            .to_spark()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()["x"]
+        )
+
+    assert (
+        col(s.str.extract(r"(\d+)-")).fillna("§")
+        == ps.str.extract(r"(\d+)-", expand=False).fillna("§")
+    ).all()
+    assert (
+        col(s.str.count(r"[aeiou]")).astype(int) == ps.str.count(r"[aeiou]").astype(int)
+    ).all()
+    for side in ["left", "right", "both"]:
+        assert (
+            col(s.str.pad(12, side=side, fillchar="_"))
+            == ps.str.pad(12, side=side, fillchar="_")
+        ).all()
+    assert (
+        col(orders["o_orderkey"].astype("string").str.zfill(8))
+        == pdf.index.to_series().astype(str).str.zfill(8)
+    ).all()
+    # title capitalizes after non-letters too (initcap would not)
+    assert (col(s.str.title()) == ps.str.title()).all()
+
+
+def test_value_counts_bins(orders, orders_pd):
+    vc = orders["o_totalprice"].value_counts(bins=5)
+    evc = orders_pd.o_totalprice.value_counts(bins=5)
+    assert sorted(vc.values.tolist()) == sorted(evc.values.tolist())
+    assert vc.values.sum() == len(orders_pd)
