@@ -275,6 +275,21 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark, sf_dir) -> DataFrame:
+    """Materialized-HLL distinct counting (operators/sketches.py):
+    per-group DataSketches sketches, rolled up by lossless merge —
+    the 100 TB pattern where rollups never rescan raw data. At this
+    cardinality (100 suppliers) the sparse-mode estimate is exact, so
+    the DuckDB countDistinct oracle hash-matches."""
+    from eland_spark.operators.sketches import hll_rollup_estimate, hll_sketches
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    sk = hll_sketches(li, "l_suppkey", ["l_returnflag", "l_linestatus"])
+    return hll_rollup_estimate(sk, ["l_returnflag"]).select(
+        "l_returnflag", F.col("estimate").cast("bigint").alias("n_supp")
+    )
+
+
 def q_pack_documents(spark, sf_dir) -> DataFrame:
     """Token-budget bin packing (operators/packing.py): greedy
     first-fit within partitions via mapInPandas — zero shuffle,
@@ -1598,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "pack_documents": q_pack_documents,
+        "hll_distinct": q_hll_distinct,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
         "resample_6h": q_resample_6h,
@@ -1788,6 +1804,11 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "hll_distinct": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+            FROM lineitem GROUP BY 1
         """,
         "train_val_split": """
             WITH h AS (
