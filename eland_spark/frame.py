@@ -168,6 +168,10 @@ class DataFrame:
     def assign(self, **kwargs) -> "DataFrame":
         out = self._with()
         for k, v in kwargs.items():
+            if callable(v) and not isinstance(v, Series):
+                # pandas allows lambdas receiving the (intermediate)
+                # frame, so later assigns can use earlier ones
+                v = v(out)
             out[k] = v if not isinstance(v, Series) else Series(
                 out, v.spark_column, k, v._spark_type, True
             )

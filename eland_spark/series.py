@@ -773,6 +773,23 @@ class Series:
         )
         return self._derived(expr, T.LongType())
 
+    def where(self, cond: "Series", other=None) -> "Series":
+        """pandas ``where``: keep values where ``cond`` holds, else
+        ``other`` (default null). One CASE expression."""
+        if not isinstance(cond, Series):
+            raise TypeError("cond must be a boolean Series")
+        repl = other._expr if isinstance(other, Series) else _lit(other)
+        expr = F.when(F.coalesce(cond._expr, F.lit(False)), self._expr).otherwise(
+            repl
+        )
+        return self._derived(expr, self._spark_type)
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        """pandas ``mask``: inverse of :meth:`where`."""
+        if not isinstance(cond, Series):
+            raise TypeError("cond must be a boolean Series")
+        return self.where(cond._bool(~F.coalesce(cond._expr, F.lit(False))), other)
+
     def astype(self, dtype) -> "Series":
         """Cast to a pandas/numpy/Spark dtype name (schema-aware, same
         map as DataFrame.astype)."""

@@ -184,3 +184,39 @@ def test_series_between_clip_round(orders):
     )
     exp = pdf.o_totalprice.round(-2)
     assert (abs(got - exp) < 1e-9).all()
+
+
+def test_series_where_mask(orders):
+    pdf = orders.to_pandas().set_index("o_orderkey").sort_index()
+    s = orders["o_totalprice"]
+    cond = s > 100000
+
+    def col(series):
+        return (
+            orders.assign(x=series)[["o_orderkey", "x"]]
+            .to_spark()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()["x"]
+        )
+
+    e = pdf.o_totalprice
+    ec = e > 100000
+    got = col(s.where(cond))
+    exp = e.where(ec)
+    assert (got.isna() == exp.isna()).all()
+    assert (abs(got.fillna(0) - exp.fillna(0)) < 1e-9).all()
+    got = col(s.mask(cond, 0.0))
+    exp = e.mask(ec, 0.0)
+    assert (abs(got - exp) < 1e-9).all()
+    with pytest.raises(TypeError, match="boolean Series"):
+        s.where(True)
+
+
+def test_assign_callable(orders):
+    f = orders.assign(
+        k=lambda d: d["o_totalprice"] / 1000,
+        k2=lambda d: d["k"] * 2,  # later assign sees earlier one
+    )
+    pdf = f[["o_orderkey", "k", "k2"]].to_spark().toPandas()
+    assert (abs(pdf.k2 - pdf.k * 2) < 1e-9).all()
