@@ -397,3 +397,28 @@ def test_query_string_matches_pandas(spark, expr, docs, variant):
     )
     exp = set(pdf[_qs_eval(expr, pdf.text)]._id)
     assert got == exp, f"query={q!r}"
+
+
+# -- cut/qcut vs pandas on random frames ---------------------------------
+
+
+@given(rows=ROWS, bins=st.integers(2, 6))
+@settings(**COMMON)
+def test_cut_matches_pandas(spark, rows, bins):
+    pdf, edf = _frame(spark, rows)
+    vals = pdf["a"]
+    if vals.dropna().nunique() < 2:
+        return  # degenerate: pandas cut needs a nonzero range
+    got = (
+        edf.assign(b=edf["a"].cut(bins))[["_id", "b"]]
+        .to_spark()
+        .toPandas()
+        .set_index("_id")
+        .sort_index()["b"]
+    )
+    exp = pd.cut(vals, bins=bins, labels=False)
+    exp.index = pdf["_id"]
+    exp = exp.sort_index()
+    assert (got.isna() == exp.isna()).all()
+    m = ~exp.isna()
+    assert (got[m].astype(int) == exp[m].astype(int)).all()
