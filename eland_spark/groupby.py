@@ -88,13 +88,40 @@ class DataFrameGroupBy:
         return pdf
 
     # -- public agg methods (reference eland/groupby.py:47-699) ---------
-    def agg(self, funcs, numeric_only: bool | None = None) -> pd.DataFrame:
+    def agg(
+        self, funcs=None, numeric_only: bool | None = None, **named
+    ) -> pd.DataFrame:
+        if named:
+            if funcs is not None:
+                raise TypeError("pass either positional funcs or named aggs")
+            return self._run_named(named)
         if isinstance(funcs, dict):
             return self._run_dict(funcs)
         funcs = [funcs] if isinstance(funcs, str) else list(funcs)
         return self._run(funcs, numeric_only)
 
     aggregate = agg
+
+    def _run_named(self, named: dict) -> pd.DataFrame:
+        """pandas named aggregation: ``agg(total=('col', 'sum'))`` —
+        one groupBy job, output columns named by the caller."""
+        schema = self._frame._schema
+        exprs = []
+        for out_name, spec in named.items():
+            if not (isinstance(spec, tuple) and len(spec) == 2):
+                raise TypeError(
+                    f"named agg {out_name!r} must be a (column, func) tuple"
+                )
+            col, fn = spec
+            if col not in schema:
+                raise KeyError(col)
+            exprs.append(
+                self._frame._agg_expr(fn, schema.field(col)).alias(out_name)
+            )
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        return pdf.set_index(
+            self._by if len(self._by) > 1 else self._by[0]
+        ).sort_index()
 
     def _run_dict(self, spec: dict) -> pd.DataFrame:
         """pandas dict-form agg: {column: func | [funcs]} — still ONE

@@ -834,3 +834,19 @@ def test_value_counts_bins(orders, orders_pd):
     evc = orders_pd.o_totalprice.value_counts(bins=5)
     assert sorted(vc.values.tolist()) == sorted(evc.values.tolist())
     assert vc.values.sum() == len(orders_pd)
+
+
+def test_groupby_named_agg_matches_pandas(orders, orders_pd):
+    import numpy as np
+
+    got = orders.groupby("o_orderstatus").agg(
+        total=("o_totalprice", "sum"), n=("o_orderkey", "count")
+    )
+    exp = orders_pd.groupby("o_orderstatus").agg(
+        total=("o_totalprice", "sum"), n=("o_orderkey", "count")
+    )
+    assert list(got.columns) == list(exp.columns)
+    assert np.allclose(got.total.values, exp.total.values)
+    assert (got.n.values == exp.n.values).all()
+    with pytest.raises(TypeError, match="either positional"):
+        orders.groupby("o_orderstatus").agg("sum", x=("o_custkey", "max"))
