@@ -1048,12 +1048,19 @@ class DataFrame:
         left_on=None,
         right_on=None,
         broadcast: bool = False,
+        indicator: bool | str = False,
     ) -> "DataFrame":
         """Relational join — absent in the reference (single-index data
         model, SURVEY §2.4); native here. ``broadcast=True`` hints the
-        small side for a map-side join (no shuffle at 100 TB)."""
+        small side for a map-side join (no shuffle at 100 TB).
+        ``indicator`` adds pandas' ``_merge`` column
+        (left_only/right_only/both) from per-side presence flags."""
         lsdf = self._projected()
         rsdf = right._projected()
+        ind_col = "_merge" if indicator is True else indicator
+        if indicator:
+            lsdf = lsdf.withColumn("__l__", F.lit(1))
+            rsdf = rsdf.withColumn("__r__", F.lit(1))
         if broadcast:
             rsdf = F.broadcast(rsdf)
         if on is not None:
@@ -1064,6 +1071,16 @@ class DataFrame:
             ro = [right_on] if isinstance(right_on, str) else list(right_on)
             cond = [lsdf[a] == rsdf[b] for a, b in zip(lo, ro)]
             joined = lsdf.join(rsdf, on=cond, how=how)
+        if indicator:
+            joined = joined.withColumn(
+                ind_col,
+                F.when(
+                    F.col("__l__").isNotNull() & F.col("__r__").isNotNull(),
+                    F.lit("both"),
+                )
+                .when(F.col("__l__").isNotNull(), F.lit("left_only"))
+                .otherwise(F.lit("right_only")),
+            ).drop("__l__", "__r__")
         idx = tuple(c for c in self._schema.index_cols if c in joined.columns)
         return DataFrame(joined, index_cols=idx)
 

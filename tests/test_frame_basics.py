@@ -850,3 +850,36 @@ def test_groupby_named_agg_matches_pandas(orders, orders_pd):
     assert (got.n.values == exp.n.values).all()
     with pytest.raises(TypeError, match="either positional"):
         orders.groupby("o_orderstatus").agg("sum", x=("o_custkey", "max"))
+
+
+def test_merge_indicator_matches_pandas(spark, sf_dir, orders, orders_pd):
+    import eland_spark as es
+
+    c = es.read_parquet(spark, f"{sf_dir}/customer.parquet", index_col="c_custkey")
+    half = c[c["c_custkey"] < 75][["c_custkey", "c_mktsegment"]]
+    m = orders[["o_orderkey", "o_custkey"]].merge(
+        half, how="outer", left_on="o_custkey", right_on="c_custkey", indicator=True
+    )
+    got = (
+        m.to_spark()
+        .groupBy("_merge")
+        .count()
+        .toPandas()
+        .set_index("_merge")["count"]
+        .to_dict()
+    )
+    pc = c.to_pandas()
+    pc = pc[pc.c_custkey < 75][["c_custkey", "c_mktsegment"]]
+    exp = (
+        pd.merge(
+            orders_pd[["o_orderkey", "o_custkey"]],
+            pc,
+            how="outer",
+            left_on="o_custkey",
+            right_on="c_custkey",
+            indicator=True,
+        )
+        ._merge.value_counts()
+        .to_dict()
+    )
+    assert got == {str(k): v for k, v in exp.items() if v}
