@@ -476,6 +476,37 @@ class DataFrame:
         )
         return DataFrame(out, index_cols=tuple(self._schema.index_cols))
 
+    def isna(self) -> "DataFrame":
+        """Boolean null-mask frame (pandas ``isna``): lazy, one
+        projection — index columns plus one boolean per data column."""
+        schema = self._schema
+        icols = [F.col(schema.resolve(c)).alias(c) for c in schema.index_cols]
+        masks = [
+            F.col(f.column_name).isNull().alias(f.display_name)
+            for f in schema.fields
+            if f.display_name not in schema.index_cols
+        ]
+        return DataFrame(
+            self._sdf.select(*icols, *masks),
+            index_cols=tuple(schema.index_cols),
+        )
+
+    def notna(self) -> "DataFrame":
+        schema = self._schema
+        icols = [F.col(schema.resolve(c)).alias(c) for c in schema.index_cols]
+        masks = [
+            F.col(f.column_name).isNotNull().alias(f.display_name)
+            for f in schema.fields
+            if f.display_name not in schema.index_cols
+        ]
+        return DataFrame(
+            self._sdf.select(*icols, *masks),
+            index_cols=tuple(schema.index_cols),
+        )
+
+    isnull = isna
+    notnull = notna
+
     def duplicated(self, subset=None, keep: str = "first") -> "DataFrame":
         """Boolean duplicate flags per row (pandas ``duplicated``):
         lazy frame of index columns + ``duplicated``."""

@@ -1068,10 +1068,10 @@ class StrAccessor:
         elif side == "right":
             expr = F.rpad(e, width, fillchar)
         elif side == "both":
-            # pandas centers with the extra fill char on the right
+            # pandas centers with the extra fill char on the LEFT
             pad_total = F.lit(width) - F.length(e)
-            left_n = F.floor(pad_total / 2).cast("int")
-            right_n = (pad_total - left_n).cast("int")
+            right_n = F.floor(pad_total / 2).cast("int")
+            left_n = (pad_total - right_n).cast("int")
             expr = F.concat(
                 F.repeat(F.lit(fillchar), left_n), e, F.repeat(F.lit(fillchar), right_n)
             )
@@ -1084,6 +1084,31 @@ class StrAccessor:
 
     def zfill(self, width: int) -> Series:
         return self.pad(width, side="left", fillchar="0")
+
+    def ljust(self, width: int, fillchar: str = " ") -> Series:
+        return self.pad(width, side="right", fillchar=fillchar)
+
+    def rjust(self, width: int, fillchar: str = " ") -> Series:
+        return self.pad(width, side="left", fillchar=fillchar)
+
+    def center(self, width: int, fillchar: str = " ") -> Series:
+        return self.pad(width, side="both", fillchar=fillchar)
+
+    def repeat(self, repeats: int) -> Series:
+        return self._d(F.repeat(self._s._expr, repeats), T.StringType())
+
+    def slice_replace(self, start: int, stop: int, repl: str) -> Series:
+        """Replace ``[start, stop)`` with ``repl`` (pandas
+        slice_replace with explicit bounds)."""
+        e = self._s._expr
+        return self._d(
+            F.concat(
+                F.substring(e, 1, start),
+                F.lit(repl),
+                e.substr(F.lit(stop + 1), F.length(e)),
+            ),
+            T.StringType(),
+        )
 
     def title(self) -> Series:
         """Python/pandas titlecase: every letter run starts upper —

@@ -883,3 +883,35 @@ def test_merge_indicator_matches_pandas(spark, sf_dir, orders, orders_pd):
         .to_dict()
     )
     assert got == {str(k): v for k, v in exp.items() if v}
+
+
+def test_str_justify_and_frame_isna(orders, orders_pd, spark, sf_dir):
+    import eland_spark as es
+
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    s = orders["o_orderpriority"]
+    ps = pdf.o_orderpriority
+
+    def col(series):
+        return (
+            orders.assign(x=series)[["o_orderkey", "x"]]
+            .to_spark()
+            .toPandas()
+            .set_index("o_orderkey")
+            .sort_index()["x"]
+        )
+
+    assert (col(s.str.ljust(12, ".")) == ps.str.ljust(12, ".")).all()
+    assert (col(s.str.rjust(12, ".")) == ps.str.rjust(12, ".")).all()
+    # odd total pad: pandas centers with the extra fill on the LEFT
+    assert (col(s.str.center(13, ".")) == ps.str.center(13, ".")).all()
+    assert (col(s.str.repeat(2)) == ps.str.repeat(2)).all()
+    assert (
+        col(s.str.slice_replace(1, 3, "XX")) == ps.str.slice_replace(1, 3, "XX")
+    ).all()
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet", index_col="event_id")
+    g = ev.isna().to_spark().toPandas().set_index("event_id").sort_index()
+    e = ev.to_pandas().set_index("event_id").sort_index().isna()
+    for c in g.columns:
+        assert (g[c].values == e[c].values).all(), c
