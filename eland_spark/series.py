@@ -1068,10 +1068,12 @@ class StrAccessor:
         elif side == "right":
             expr = F.rpad(e, width, fillchar)
         elif side == "both":
-            # pandas centers with the extra fill char on the LEFT
+            # CPython str.center: extra fill goes LEFT only when both
+            # the margin and the target width are odd (marg & width & 1)
             pad_total = F.lit(width) - F.length(e)
-            right_n = F.floor(pad_total / 2).cast("int")
-            left_n = (pad_total - right_n).cast("int")
+            extra_left = (pad_total % 2) * F.lit(width % 2)
+            left_n = (F.floor(pad_total / 2) + extra_left).cast("int")
+            right_n = (pad_total - left_n).cast("int")
             expr = F.concat(
                 F.repeat(F.lit(fillchar), left_n), e, F.repeat(F.lit(fillchar), right_n)
             )
