@@ -19,6 +19,7 @@ from .etl import (
     spark_to_pandas,
     write_bucketed,
     write_sorted,
+    write_zordered,
 )
 from .frame import DataFrame
 from .groupby import DataFrameGroupBy
@@ -47,5 +48,6 @@ __all__ = [
     "pandas_to_spark",
     "spark_to_pandas",
     "write_bucketed",
+    "write_zordered",
     "write_sorted",
 ]

@@ -165,6 +165,66 @@ def write_sorted(
     return read_parquet(sdf.sparkSession, path, index_col=list(idx) or None)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    bits: int = 8,
+) -> "DataFrame":
+    """Write parquet clustered on a Z-order (Morton) curve over
+    ``cols`` — the MULTI-column file-skipping layout: where
+    ``write_sorted`` makes one column's per-file min/max ranges tight,
+    Z-ordering keeps EVERY listed column's per-file range tight, so
+    footer stats prune files for filters on any of them.
+
+    Plan: one tiny driver-side ``approxQuantile`` per column builds
+    2^bits range-bucket boundaries; each value maps to its bucket id
+    via a codegen'd CASE ladder; bucket codes bit-interleave into the
+    Z key (pure shifts/ors); one range shuffle on the key + local sort,
+    then write. Everything after the quantile probe is a single
+    repartitionByRange — the same cost as a plain sorted write.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use write_sorted for 1)")
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    codes = []
+    for c in cols:
+        cuts = sdf.stat.approxQuantile(c, qs, 0.01)
+        # strictly increasing boundary ladder (ties collapse)
+        ladder: list[float] = []
+        for v in cuts:
+            if not ladder or v > ladder[-1]:
+                ladder.append(v)
+        # bucket id = number of boundaries strictly below the value
+        # (array HOF — compact codegen vs a 2^bits-branch CASE ladder)
+        arr = F.array(*[F.lit(float(v)) for v in ladder])
+        code = F.size(F.filter(arr, lambda b: F.col(c).cast("double") > b))
+        codes.append(F.coalesce(code, F.lit(0)).cast("long"))
+    # Morton interleave: bit b of column j lands at position b*k + j
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for b in range(bits):
+        for j, code in enumerate(codes):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+    parts = n_files or int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tmp = "__z__"
+    out = (
+        sdf.withColumn(tmp, z)
+        .repartitionByRange(parts, F.col(tmp))
+        .sortWithinPartitions(tmp)
+        .drop(tmp)
+    )
+    out.write.mode(mode).parquet(path)
+    idx = df._schema.index_cols if isinstance(df, DataFrame) else ()
+    return read_parquet(sdf.sparkSession, path, index_col=list(idx) or None)
+
+
 def read_orc(
     spark: SparkSession, path: str, index_col: str | list[str] | None = None, **options
 ) -> DataFrame:

@@ -177,3 +177,51 @@ def test_read_parquet_multi_path_merge_schema(spark, tmp_path):
     assert len(pdf) == 4 and "y" in pdf.columns
     assert pdf.loc[0, "y"] is None or pd.isna(pdf.loc[0, "y"])
     assert pdf.loc[2, "y"] == "a"
+
+
+def test_write_zordered_tightens_both_columns(spark, tmp_path):
+    """Z-order keeps per-file min/max spans tight on EVERY clustered
+    column (multi-dim file skipping); single-column sort leaves the
+    other column's spans at ~the global range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import eland_spark as es
+
+    li = es.read_parquet(
+        spark,
+        "/root/testdata/sf0.01/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def avg_span_frac(path, col):
+        spans, gmin, gmax = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            spans.append((fmin, fmax))
+            gmin = fmin if gmin is None else min(gmin, fmin)
+            gmax = fmax if gmax is None else max(gmax, fmax)
+        return sum(b - a for a, b in spans) / len(spans) / (gmax - gmin)
+
+    es.write_zordered(li, str(tmp_path / "z"), ["l_partkey", "l_extendedprice"], n_files=16)
+    es.write_sorted(li, str(tmp_path / "s"), "l_partkey", n_files=16)
+
+    for col in ["l_partkey", "l_extendedprice"]:
+        assert avg_span_frac(str(tmp_path / "z"), col) < 0.6, col
+    # the sorted layout is tight on its key but NOT on the other column
+    assert avg_span_frac(str(tmp_path / "s"), "l_partkey") < 0.2
+    assert avg_span_frac(str(tmp_path / "s"), "l_extendedprice") > 0.8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2 columns"):
+        es.write_zordered(li, str(tmp_path / "bad"), ["l_partkey"])
