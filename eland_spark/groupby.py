@@ -18,6 +18,7 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .frame import DataFrame
 
@@ -213,6 +214,35 @@ class DataFrameGroupBy:
         ).applyInPandas(fn, schema)
         kept = tuple(c for c in self._frame.index_cols if c in out.columns)
         return DataFrame(out, index_cols=kept or tuple(self._by))
+
+    def filter(self, fn) -> DataFrame:
+        """pandas ``groupby().filter``: keep the rows of every group
+        for which ``fn(group_pdf) -> bool`` — one keyed shuffle via
+        applyInPandas, groups evaluated in parallel. For conditions
+        expressible as aggregates (``sum(x) > k``), prefer a
+        groupBy+semi-join pipeline (JVM-side); this is the general
+        Python-predicate escape hatch."""
+        schema = self._frame._schema
+        display = [f.display_name for f in schema.fields]
+        resolved = [F.col(schema.resolve(d)).alias(d) for d in display]
+        out_schema = T.StructType(
+            [
+                T.StructField(f.display_name, f.spark_type)
+                for f in schema.fields
+            ]
+        )
+
+        def wrap(pdf):
+            return pdf if fn(pdf) else pdf.iloc[0:0]
+
+        sdf, keys = self._grouped_sdf()
+        out = (
+            sdf.select(*resolved)
+            .groupBy(*[F.col(b) for b in self._by])
+            .applyInPandas(wrap, out_schema)
+        )
+        kept = tuple(c for c in self._frame.index_cols if c in out.columns)
+        return DataFrame(out, index_cols=kept)
 
     def transform(self, func: str, numeric_only: bool | None = True) -> DataFrame:
         """Group-broadcast aggregation: every row gets its group's

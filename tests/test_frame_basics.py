@@ -915,3 +915,13 @@ def test_str_justify_and_frame_isna(orders, orders_pd, spark, sf_dir):
     e = ev.to_pandas().set_index("event_id").sort_index().isna()
     for c in g.columns:
         assert (g[c].values == e[c].values).all(), c
+
+
+def test_groupby_filter_matches_pandas(orders, orders_pd):
+    # threshold sits between the per-status means -> groups split
+    cond = lambda g: g.o_totalprice.mean() > 249500  # noqa: E731
+    f = orders.groupby("o_orderstatus").filter(cond)
+    got = sorted(f.to_spark().toPandas().o_orderkey)
+    exp = sorted(orders_pd.groupby("o_orderstatus").filter(cond).o_orderkey)
+    assert got == exp
+    assert 0 < len(got) < len(orders_pd)
