@@ -422,3 +422,57 @@ def test_cut_matches_pandas(spark, rows, bins):
     assert (got.isna() == exp.isna()).all()
     m = ~exp.isna()
     assert (got[m].astype(int) == exp[m].astype(int)).all()
+
+
+# -- merge_asof vs pandas on random keyed event frames -------------------
+
+
+_ASOF_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 50),  # time (int "on" column)
+        st.floats(-5, 5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(
+    left=_ASOF_ROWS,
+    right=_ASOF_ROWS,
+    direction=st.sampled_from(["backward", "forward"]),
+    exact=st.booleans(),
+)
+@settings(**COMMON)
+def test_merge_asof_matches_pandas(spark, left, right, direction, exact):
+    from eland_spark.operators.asof import merge_asof
+
+    lp = pd.DataFrame(left, columns=["k", "t", "v"]).drop_duplicates(["k", "t"])
+    rp = pd.DataFrame(right, columns=["k", "t", "w"]).drop_duplicates(["k", "t"])
+    lp["_id"] = range(len(lp))
+    ls = spark.createDataFrame(lp, schema="k long, t long, v double, _id long")
+    rs = spark.createDataFrame(rp[["k", "t", "w"]], schema="k long, t long, w double")
+    got = (
+        merge_asof(
+            ls, rs, on="t", by="k", direction=direction, allow_exact_matches=exact
+        )
+        .toPandas()
+        .sort_values("_id")
+        .reset_index(drop=True)["w"]
+    )
+    exp = (
+        pd.merge_asof(
+            lp.sort_values("t"),
+            rp.sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+            allow_exact_matches=exact,
+        )
+        .sort_values("_id")
+        .reset_index(drop=True)["w"]
+    )
+    assert (got.isna() == exp.isna()).all()
+    m = ~exp.isna()
+    assert (abs(got[m] - exp[m]) < 1e-9).all()
