@@ -1342,6 +1342,22 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
 
 
+def q_ann_ivf_quantized(spark, sf_dir) -> DataFrame:
+    """IVF + int8 asymmetric search (operators/similarity): probe
+    cells on 4x-smaller quantized codes, exact rerank of the short
+    candidate list — the billion-vector memory/IO pattern. Approximate
+    by design (rows-only check)."""
+    from eland_spark.operators.similarity import ivf_index, ivf_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qv = [float(x) for x in
+          emb.to_spark().filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    cents = ivf_index(emb, n_cells=8, max_iter=2)
+    return ivf_quantized_topk(emb, qv, cents, k=10, nprobe=3).select(
+        "id", F.round("cos", 6).alias("cos")
+    )
+
+
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF top-k: distributed k-means centroids, nprobe cell pruning
     (rows-only: the iterative Lloyd refinement is not SQL-expressible)."""
@@ -1682,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_quantized": q_ann_ivf_quantized,
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
         "simhash_near_dup": q_simhash_near_dup,

@@ -23,6 +23,8 @@ HEADLINE = [
     "median_quantile",
     "groupby_multi",
     "groupby_datetime",
+    "groupby_transform",
+    "resample_6h",
     "filter_chain",
     "arithmetic",
     "sort_topk",
@@ -33,6 +35,7 @@ HEADLINE = [
     "asof_join",
     "window_topk_per_group",
     "global_rank_topk",
+    "series_rank",
     "events_tumbling",
     "events_sliding",
     "sessionize",
@@ -47,6 +50,8 @@ HEADLINE = [
     "query_string",
     "redact_pii",
     "train_val_split",
+    "cut_buckets",
+    "hll_distinct",
     "ann_bruteforce",
     "knn_join",
     "embedding_norms",
@@ -55,6 +60,8 @@ HEADLINE = [
 # queries whose result set is large -> noop sink instead of collect
 ROW_HEAVY = {
     "filter_chain",
+    "groupby_transform",
+    "series_rank",
     "redact_pii",
     "text_stats",
     "text_repetition",

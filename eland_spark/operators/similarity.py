@@ -310,6 +310,49 @@ def ivf_topk(
     return EDF(out, schema.with_field(Field("__cos__", "__cos__", T.DoubleType(), True)))
 
 
+def ivf_quantized_topk(
+    df: "DataFrame",
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF + int8 asymmetric search: probe the nprobe nearest cells,
+    score candidates on DEQUANTIZED int8 codes (4x smaller scan state
+    than float32 — the memory/IO knob for billion-vector stores), take
+    ``rerank_factor * k`` by approximate cosine, then rerank those few
+    rows exactly on the full-precision vectors. Returns a Spark
+    DataFrame (id, cos) of the exact-reranked top-k."""
+    schema = df._schema
+    vec = F.col(schema.resolve(vec_col))
+    idc = F.col(schema.resolve(id_col))
+    dists = [
+        (i, sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = sorted(i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe])
+    q = _vec_lit(query_vec)
+    cell = nearest_cell(vec, centroids)
+    store = df._sdf.select(
+        idc.alias("id"), vec.alias("v"), cell.alias("cell"), quantize_embedding(vec).alias("qe")
+    ).filter(F.col("cell").isin(probe))
+    approx = store.withColumn(
+        "acos", cosine(dequantize_embedding(F.col("qe")), q)
+    )
+    cand = approx.orderBy(F.desc("acos"), F.col("id").asc()).limit(
+        max(k * rerank_factor, k)
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("v"), q))
+        .orderBy(F.desc("cos"), F.col("id").asc())
+        .limit(k)
+        .select("id", "cos")
+    )
+
+
 def ivf_write(
     df: "DataFrame",
     path: str,

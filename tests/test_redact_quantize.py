@@ -65,3 +65,35 @@ def test_quantize_roundtrip_bounds(spark):
     z = spark.createDataFrame([([0.0, 0.0],)], "embedding array<float>")
     r = z.select(quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
     assert r["scale"] == 1.0 and list(r["q"]) == [0, 0]
+
+
+def test_ivf_quantized_topk_recall(spark):
+    import eland_spark as es
+    from eland_spark.operators.similarity import (
+        _vec_lit,
+        cosine,
+        ivf_index,
+        ivf_quantized_topk,
+    )
+
+    emb = es.read_parquet(spark, f"{SF}/embeddings.parquet", index_col="vec_id")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 3).collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    cents = ivf_index(emb, n_cells=8)
+    got = ivf_quantized_topk(emb, qv, cents, k=10, nprobe=3).collect()
+    got_ids = [r["id"] for r in got]
+    exact = (
+        emb.to_spark()
+        .withColumn("cos", cosine(F.col("embedding"), _vec_lit(qv)))
+        .orderBy(F.desc("cos"), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    exact_ids = [r["vec_id"] for r in exact]
+    assert 3 in got_ids  # self-match survives quantization
+    assert len(set(got_ids) & set(exact_ids)) >= 6  # recall@10 >= 0.6
+    # reranked scores are full-precision
+    em = {r["vec_id"]: r["cos"] for r in exact}
+    for r in got:
+        if r["id"] in em:
+            assert abs(r["cos"] - em[r["id"]]) < 1e-9
