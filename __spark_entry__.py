@@ -305,6 +305,21 @@ def q_pack_documents(spark, sf_dir) -> DataFrame:
     return pack_documents(wt, "doc_id", "n_tokens", 2048)
 
 
+def q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys, operators/sampling.py): quality-proportional
+    document draw — one scan + TakeOrdered, deterministic via hashed
+    uniforms. Random process (rows-only check)."""
+    from eland_spark.operators.sampling import weighted_sample_n
+    from eland_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wdocs = docs.withColumn("wq", quality_score(F.col("text")) + 0.01)
+    return weighted_sample_n(wdocs, "wq", 100).select(
+        "doc_id", F.round("wq", 6).alias("wq")
+    )
+
+
 def q_train_val_split(spark, sf_dir) -> DataFrame:
     """Deterministic hash split (operators/sampling.split_by_hash):
     md5-prefix bucketing — engine-agnostic, reproducible, zero
@@ -1628,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
+        "weighted_sample": q_weighted_sample,
         "pack_documents": q_pack_documents,
         "hll_distinct": q_hll_distinct,
         "embed_quantize": q_embed_quantize,

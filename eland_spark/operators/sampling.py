@@ -118,3 +118,38 @@ def split_by_hash(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return sdf.withColumn(split_col, expr)
+
+
+def weighted_sample_n(
+    sdf,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+):
+    """Weighted sampling WITHOUT replacement (curation: sample
+    documents proportional to a quality weight): Efraimidis-Spirakis
+    exponential keys — each row draws u = hash-uniform(0,1) and keys on
+    ``-ln(u)/w``; the n SMALLEST keys are an exact w-weighted sample.
+    One scan + TakeOrdered (per-partition heaps, no full sort, no
+    shuffle of the data itself); deterministic for a fixed seed via
+    xxhash64-derived uniforms, so the same sample reproduces across
+    runs and engines reading the same rows. Zero-or-negative weights
+    never get sampled."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    # uniform(0,1) from a 64-bit hash of the whole row + seed
+    h = F.abs(F.xxhash64(F.struct(*[F.col(c) for c in sdf.columns]), F.lit(seed)))
+    u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
+    # clamp away 0 so ln() stays finite
+    key = -F.log(F.greatest(u, F.lit(1e-15))) / w
+    tmp = "__wkey__"
+    while tmp in sdf.columns:
+        tmp += "_"
+    return (
+        sdf.filter(w > 0)
+        .withColumn(tmp, key)
+        .orderBy(F.col(tmp).asc())
+        .limit(n)
+        .drop(tmp)
+    )

@@ -127,3 +127,36 @@ def test_pack_documents_invariants(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="positive"):
         pack_documents(wt, "doc_id", "n_tokens", 0)
+
+
+def test_weighted_sample_n(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sampling import weighted_sample_n
+    from eland_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wdocs = docs.withColumn("wq", quality_score(F.col("text")) + 0.01)
+    s1 = sorted(
+        r["doc_id"] for r in weighted_sample_n(wdocs, "wq", 50).select("doc_id").collect()
+    )
+    s2 = sorted(
+        r["doc_id"] for r in weighted_sample_n(wdocs, "wq", 50).select("doc_id").collect()
+    )
+    assert s1 == s2 and len(s1) == 50  # deterministic for a fixed seed
+    s3 = sorted(
+        r["doc_id"]
+        for r in weighted_sample_n(wdocs, "wq", 50, seed=7).select("doc_id").collect()
+    )
+    assert s3 != s1  # re-seeding re-deals
+    big = wdocs.withColumn(
+        "wq", F.when(F.col("doc_id") == 42, 1e6).otherwise(F.col("wq"))
+    )
+    sb = [r["doc_id"] for r in weighted_sample_n(big, "wq", 10).select("doc_id").collect()]
+    assert 42 in sb  # dominant weight always drawn
+    z = wdocs.withColumn("wq", F.lit(0.0))
+    assert weighted_sample_n(z, "wq", 5).count() == 0  # zero weights excluded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        weighted_sample_n(wdocs, "wq", 0)
