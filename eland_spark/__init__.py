@@ -28,9 +28,24 @@ from .schema import Field, Schema
 from .series import Series
 from .session import get_session
 
+
+def sql(spark, query: str, index_col=None):
+    """Run Spark SQL over views registered with ``DataFrame.to_view``
+    and get an engine frame back (lazy, index-aware)."""
+    from .frame import DataFrame as _DF
+
+    sdf = spark.sql(query)
+    idx = (
+        tuple([index_col] if isinstance(index_col, str) else index_col)
+        if index_col
+        else ()
+    )
+    return _DF(sdf, index_cols=tuple(c for c in idx if c in sdf.columns))
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "sql",
     "Index",
     "DataFrame",
     "Series",

@@ -1145,6 +1145,13 @@ class DataFrame:
         """The projected Spark plan (escape hatch + driver contract)."""
         return self._projected()
 
+    def to_view(self, name: str) -> "DataFrame":
+        """Register the frame (display-name columns) as a temp view so
+        plain ``spark.sql`` can query it — the engine composes with
+        Spark SQL instead of replacing it."""
+        self._projected().createOrReplaceTempView(name)
+        return self
+
     def map_in_pandas(self, fn, schema) -> "DataFrame":
         """Batch-iterator Python escape hatch: ``fn(iter[pd.DataFrame])
         -> iter[pd.DataFrame]`` over Arrow batches (``mapInPandas``) —

@@ -422,6 +422,33 @@ def compile_es_dsl(
             out = out | p
         return out
 
+    if kind == "terms_set":
+        # match when >= minimum_should_match of the terms appear in the
+        # field (ES applies this to multi-valued/keyword fields; here a
+        # scalar string column matches a term when it equals it or
+        # contains it as a word)
+        field, spec = _one(body)
+        terms = [str(t) for t in spec["terms"]]
+        msm = spec.get("minimum_should_match")
+        if msm is None:
+            raise ValueError(
+                "terms_set requires minimum_should_match (field/script "
+                "indirection is not supported on a relational store)"
+            )
+        c = F.col(resolve(field))
+        hits = [
+            F.when(
+                (c == F.lit(t))
+                | F.lower(c).rlike(r"\b" + re.escape(t.lower()) + r"\b"),
+                1,
+            ).otherwise(0)
+            for t in terms
+        ]
+        total = hits[0]
+        for h in hits[1:]:
+            total = total + h
+        return _nn(total >= F.lit(int(msm)))
+
     if kind == "constant_score":
         # scoring is out of relational scope: constant_score == its filter
         return compile_es_dsl(body["filter"], resolve, index_cols)

@@ -280,3 +280,37 @@ def test_query_string_strict_syntax(docs):
         docs.es_query({"query_string": {"query": "spark ) batch", "default_field": "text"}})
     with pytest.raises(ValueError, match="expected"):
         docs.es_query({"query_string": {"query": "(spark OR batch", "default_field": "text"}})
+
+
+def test_terms_set(cust, cust_pd, docs, docs_pd):
+    got = _ids(
+        cust,
+        {"terms_set": {"c_mktsegment": {"terms": ["BUILDING", "MACHINERY"], "minimum_should_match": 1}}},
+    )
+    exp = sorted(cust_pd[cust_pd.c_mktsegment.isin(["BUILDING", "MACHINERY"])].c_custkey)
+    assert got == exp
+    t = docs_pd.text.str.lower()
+    got2 = _doc_ids(
+        docs,
+        {"terms_set": {"text": {"terms": ["spark", "flink", "batch"], "minimum_should_match": 2}}},
+    )
+    hits = (
+        t.str.contains(r"\bspark\b").astype(int)
+        + t.str.contains(r"\bflink\b").astype(int)
+        + t.str.contains(r"\bbatch\b").astype(int)
+    )
+    assert got2 == sorted(docs_pd[hits >= 2].doc_id)
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        docs.es_query({"terms_set": {"text": {"terms": ["a"]}}})
+
+
+def test_to_view_sql_bridge(cust, cust_pd):
+    import eland_spark as es
+
+    cust.to_view("cust_dsl_v")
+    spark = cust.to_spark().sparkSession
+    f = es.sql(spark, "SELECT c_mktsegment, count(*) AS n FROM cust_dsl_v GROUP BY 1")
+    assert f.to_pandas().n.sum() == len(cust_pd)
+    g = es.sql(spark, "SELECT * FROM cust_dsl_v WHERE c_acctbal > 9000", index_col="c_custkey")
+    assert g.index_cols == ("c_custkey",)
+    assert g.shape[0] == int((cust_pd.c_acctbal > 9000).sum())
