@@ -260,6 +260,21 @@ def q_resample_6h(spark, sf_dir) -> DataFrame:
     ).to_spark()
 
 
+def q_rolling_window(spark, sf_dir) -> DataFrame:
+    """Per-key trailing 6h rolling aggregates
+    (operators/windowed.rolling_time_agg): RANGE BETWEEN on epoch
+    seconds — one keyed shuffle, window-bounded state, no self-join."""
+    from eland_spark.operators.windowed import rolling_time_agg
+
+    ev = _t(spark, sf_dir, "events", "event_id")
+    r = rolling_time_agg(ev, "user_id", "ts", "value", 6 * 3600, ["sum", "count"])
+    return r.to_spark().select(
+        "event_id",
+        F.round("rolling_sum", 2).alias("roll_sum"),
+        F.col("rolling_count").cast("bigint").alias("roll_n"),
+    )
+
+
 def q_asof_join(spark, sf_dir) -> DataFrame:
     """As-of join (pandas merge_asof; operators/asof.py): each click
     enriched with the user's most recent purchase value at-or-before
@@ -1648,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
+        "rolling_window": q_rolling_window,
         "resample_6h": q_resample_6h,
         "series_rank": q_series_rank,
         "groupby_quantile": q_groupby_quantile,
@@ -1829,6 +1845,15 @@ def oracle_sql() -> dict[str, str]:
                                        AS BIGINT)) AS ts,
                    count(*) AS n, round(sum(value), 2) AS v
             FROM events GROUP BY 1
+        """,
+        "rolling_window": """
+            SELECT event_id,
+                   round(SUM(value) OVER w, 2) AS roll_sum,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 6 HOUR PRECEDING
+                                   AND CURRENT ROW)
         """,
         "asof_join": """
             SELECT l.event_id, round(r.value, 2) AS purch_value

@@ -53,6 +53,58 @@ def top_k_per_group(
     return EDF(out, schema.with_field(Field(rank_col, rank_col, T.IntegerType(), True)))
 
 
+def rolling_time_agg(
+    df: "DataFrame",
+    by: list[str] | str,
+    ts: str,
+    col: str,
+    window_seconds: int,
+    aggs: list[str] = ("sum", "count"),
+    prefix: str = "rolling",
+) -> "DataFrame":
+    """Per-key trailing time-window aggregates (pandas
+    ``rolling('7D', on=ts)`` per group): RANGE BETWEEN over epoch
+    seconds — one hash shuffle on the keys + local sort, state bounded
+    by the window, no self-join. Emits ``<prefix>_<agg>`` columns next
+    to the key/ts/value columns."""
+    from pyspark.sql import types as T
+
+    from ..frame import DataFrame as EDF
+
+    by = [by] if isinstance(by, str) else list(by)
+    schema = df._schema
+    fn_map = {
+        "sum": F.sum,
+        "count": F.count,
+        "mean": F.avg,
+        "min": F.min,
+        "max": F.max,
+    }
+    bad = [a for a in aggs if a not in fn_map]
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {bad}; one of {sorted(fn_map)}")
+    tcol = F.col(schema.resolve(ts))
+    secs = F.expr(
+        f"timestampdiff(SECOND, to_timestamp('1970-01-01 00:00:00'), "
+        f"`{schema.resolve(ts)}`)"
+    )
+    w = (
+        Window.partitionBy(*[F.col(schema.resolve(b)) for b in by])
+        .orderBy(secs.asc())
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    v = F.col(schema.resolve(col))
+    out = df._sdf.select(
+        *[F.col(schema.resolve(b)).alias(b) for b in by],
+        tcol.alias(ts),
+        v.alias(col),
+        *[F.col(schema.resolve(ic)).alias(ic) for ic in schema.index_cols
+          if ic not in by and ic != ts],
+        *[fn_map[a](v).over(w).alias(f"{prefix}_{a}") for a in aggs],
+    )
+    return EDF(out, index_cols=tuple(schema.index_cols))
+
+
 def running_agg(
     df: "DataFrame",
     by: list[str] | str,

@@ -349,3 +349,30 @@ def test_compact_upserted_preserves_resolution(spark, sf_dir, tmp_path):
     after = read_upserted(spark, out, ["window_start"]).toPandas()
     assert len(after) == len(before)
     assert abs(after.total_value.sum() - before.total_value.sum()) < 1e-9
+
+
+def test_rolling_time_agg_matches_pandas(spark, sf_dir):
+    import eland_spark as es
+    from eland_spark.operators.windowed import rolling_time_agg
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet", index_col="event_id")
+    r = rolling_time_agg(ev, "user_id", "ts", "value", 6 * 3600, ["sum", "count"])
+    got = r.to_spark().toPandas().sort_values("event_id").reset_index(drop=True)
+    pdf = ev.to_pandas()
+
+    def ref(g):
+        g = g.sort_values("ts").set_index("ts")
+        out = g.value.rolling("6h", closed="both").agg(["sum", "count"])
+        out["event_id"] = g.event_id.values
+        return out
+
+    exp = (
+        pdf.groupby("user_id", group_keys=False)
+        .apply(ref)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (abs(got.rolling_sum - exp["sum"]) < 1e-9).all()
+    assert (got.rolling_count.astype(int) == exp["count"].astype(int)).all()
+    with pytest.raises(ValueError, match="unsupported rolling aggs"):
+        rolling_time_agg(ev, "user_id", "ts", "value", 60, ["median"])
