@@ -438,6 +438,14 @@ def q_groupby_series_key(spark, sf_dir) -> DataFrame:
     ).to_spark()
 
 
+def q_groupby_head(spark, sf_dir) -> DataFrame:
+    """Per-group first-n rows (pandas groupby().head): row_number
+    window over the keys, one shuffle."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    h = o.groupby("o_orderstatus").head(5)
+    return h[["o_orderkey", "o_orderstatus"]].to_spark()
+
+
 def q_groupby_transform(spark, sf_dir) -> DataFrame:
     """pandas groupby().transform — group-broadcast sum via
     Window.partitionBy (one hash shuffle, no join-back; net-new over
@@ -1653,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_multi": q_groupby_multi,
         "groupby_transform": q_groupby_transform,
         "groupby_series_key": q_groupby_series_key,
+        "groupby_head": q_groupby_head,
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
@@ -1936,6 +1945,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    round(avg(l_extendedprice), 2) AS avg_price
             FROM lineitem GROUP BY 1
+        """,
+        "groupby_head": """
+            SELECT o_orderkey, o_orderstatus FROM (
+              SELECT o_orderkey, o_orderstatus,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 5
         """,
         "groupby_series_key": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,

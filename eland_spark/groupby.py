@@ -215,6 +215,37 @@ class DataFrameGroupBy:
         kept = tuple(c for c in self._frame.index_cols if c in out.columns)
         return DataFrame(out, index_cols=kept or tuple(self._by))
 
+    def head(self, n: int = 5) -> DataFrame:
+        """First ``n`` rows of every group in index order (pandas
+        ``groupby().head``): row_number window over the group keys —
+        one hash shuffle, no per-group driver loop."""
+        return self._nth_slice(lambda rn: rn <= n)
+
+    def nth(self, k: int) -> DataFrame:
+        """The k-th row (0-based, index order) of every group; groups
+        with fewer rows are dropped (pandas nth without dropna
+        nuances)."""
+        return self._nth_slice(lambda rn: rn == k + 1)
+
+    def _nth_slice(self, pred) -> DataFrame:
+        from pyspark.sql import Window
+
+        schema = self._frame._schema
+        if not schema.index_cols:
+            raise ValueError("groupby head/nth needs an index for row order")
+        sdf, keys = self._grouped_sdf()
+        order = [F.col(schema.resolve(c)).asc() for c in schema.index_cols]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        display = [
+            F.col(f.column_name).alias(f.display_name) for f in schema.fields
+        ]
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(pred(F.col("__rn__")))
+            .select(*display)
+        )
+        return DataFrame(out, index_cols=tuple(schema.index_cols))
+
     def filter(self, fn) -> DataFrame:
         """pandas ``groupby().filter``: keep the rows of every group
         for which ``fn(group_pdf) -> bool`` — one keyed shuffle via

@@ -925,3 +925,13 @@ def test_groupby_filter_matches_pandas(orders, orders_pd):
     exp = sorted(orders_pd.groupby("o_orderstatus").filter(cond).o_orderkey)
     assert got == exp
     assert 0 < len(got) < len(orders_pd)
+
+
+def test_groupby_head_nth_match_pandas(orders, orders_pd):
+    pdf = orders_pd.sort_values("o_orderkey")
+    got = sorted(orders.groupby("o_orderstatus").head(3).to_spark().toPandas().o_orderkey)
+    exp = sorted(pdf.groupby("o_orderstatus").head(3).o_orderkey)
+    assert got == exp
+    got = sorted(orders.groupby("o_orderstatus").nth(1).to_spark().toPandas().o_orderkey)
+    exp = sorted(pdf.groupby("o_orderstatus").nth(1).o_orderkey)
+    assert got == exp
