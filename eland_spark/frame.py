@@ -969,13 +969,17 @@ class DataFrame:
         columns: str,
         values: str,
         aggfunc: str = "mean",
+        margins: bool = False,
+        margins_name: str = "All",
     ) -> pd.DataFrame:
         """Wide pivot (no reference analog — pandas pivot_table surface):
         ``groupBy(index).pivot(columns).agg(...)``. The pivot values are
         discovered with an explicit distinct pass and passed to Spark's
         pivot so the agg stays a SINGLE shuffle with a fixed output
         schema (open-ended pivot would scan once extra anyway — here the
-        distinct doubles as a cardinality guard)."""
+        distinct doubles as a cardinality guard). ``margins=True`` adds
+        the pandas All row/column — a second cube-style aggregation pass,
+        still server-side."""
         schema = self._schema
         idx_c = schema.resolve(index)
         col_c = schema.resolve(columns)
@@ -993,7 +997,21 @@ class DataFrame:
             .agg(agg)
             .toPandas()
         )
-        return out.set_index(index).sort_index()
+        out = out.set_index(index).sort_index()
+        if margins:
+            col_tot = {
+                r[col_c]: r["v"]
+                for r in self._sdf.groupBy(col_c).agg(agg.alias("v")).collect()
+            }
+            row_tot = {
+                r[idx_c]: r["v"]
+                for r in self._sdf.groupBy(idx_c).agg(agg.alias("v")).collect()
+            }
+            grand = self._sdf.agg(agg.alias("v")).collect()[0]["v"]
+            out[margins_name] = out.index.map(row_tot)
+            all_row = [col_tot.get(c) for c in out.columns[:-1]] + [grand]
+            out.loc[margins_name] = all_row
+        return out
 
     def mode(self, numeric_only: bool = False, es_size: int = 10) -> pd.DataFrame:
         """Per-column top-N by frequency; ties all kept, shorter columns

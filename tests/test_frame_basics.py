@@ -935,3 +935,22 @@ def test_groupby_head_nth_match_pandas(orders, orders_pd):
     got = sorted(orders.groupby("o_orderstatus").nth(1).to_spark().toPandas().o_orderkey)
     exp = sorted(pdf.groupby("o_orderstatus").nth(1).o_orderkey)
     assert got == exp
+
+
+def test_pivot_table_margins_matches_pandas(orders, orders_pd):
+    import numpy as np
+
+    got = orders.pivot_table(
+        "o_orderstatus", "o_orderpriority", "o_totalprice", "mean", margins=True
+    )
+    exp = pd.pivot_table(
+        orders_pd,
+        index="o_orderstatus",
+        columns="o_orderpriority",
+        values="o_totalprice",
+        aggfunc="mean",
+        margins=True,
+    )
+    assert list(got.columns) == list(exp.columns)
+    assert list(got.index) == list(exp.index)
+    assert np.allclose(got.values.astype(float), exp.values.astype(float))
