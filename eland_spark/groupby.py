@@ -329,6 +329,9 @@ class DataFrameGroupBy:
                 expr = F.size(F.collect_set(c).over(w))
             else:
                 expr = fn_map[func](c).over(w)
+            if func == "sum":
+                # pandas: sum of an all-null group is 0, not null
+                expr = F.coalesce(expr, F.lit(0))
             if keys_ok is not None:
                 expr = F.when(keys_ok, expr)
             out_cols.append(expr.alias(f.display_name))

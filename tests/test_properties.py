@@ -476,3 +476,21 @@ def test_merge_asof_matches_pandas(spark, left, right, direction, exact):
     assert (got.isna() == exp.isna()).all()
     m = ~exp.isna()
     assert (abs(got[m] - exp[m]) < 1e-9).all()
+
+
+@given(rows=ROWS, fn=st.sampled_from(["sum", "mean", "min", "max", "count"]))
+@settings(**COMMON)
+def test_groupby_transform_matches_pandas(spark, rows, fn):
+    pdf, edf = _frame(spark, rows)
+    got = (
+        edf.groupby("k")
+        .transform(fn, numeric_only=True)
+        .to_spark()
+        .toPandas()
+        .set_index("_id")
+        .sort_index()["a"]
+    )
+    exp = pdf.set_index("_id").sort_index().groupby("k")["a"].transform(fn)
+    assert (got.isna() == exp.isna()).all()
+    m = ~exp.isna()
+    assert (abs(got[m].astype(float) - exp[m].astype(float)) < 1e-9).all()
