@@ -576,6 +576,29 @@ class Series:
             return self._agg_scalar(F.percentile_approx(dev, 0.5))
         return self._agg_scalar(F.percentile(dev, F.lit(0.5)))
 
+    def idxmax(self):
+        """Index value of the maximum (reference top_hits size=1,
+        eland/operations.py:207-254 — here one max_by aggregate)."""
+        return self._idx_extreme(True)
+
+    def idxmin(self):
+        return self._idx_extreme(False)
+
+    def _idx_extreme(self, is_max: bool):
+        icols = self._frame._schema.index_cols
+        if not icols:
+            raise ValueError("idxmax/idxmin needs an index column")
+        key = self._frame._schema.resolve(icols[0])
+        v = self._expr.cast("double")
+        ordering = (-v) if is_max else v
+        pair = F.when(
+            v.isNotNull(), F.struct(ordering.alias("o"), F.col(key).alias("i"))
+        )
+        row = self._frame._sdf.agg(
+            F.min_by(F.col(key), pair).alias("i")
+        ).collect()[0]
+        return row["i"]
+
     def value_counts(
         self,
         es_size: int = 10,

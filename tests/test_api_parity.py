@@ -220,3 +220,10 @@ def test_assign_callable(orders):
     )
     pdf = f[["o_orderkey", "k", "k2"]].to_spark().toPandas()
     assert (abs(pdf.k2 - pdf.k * 2) < 1e-9).all()
+
+
+def test_series_idxmax_idxmin(orders):
+    pdf = orders.to_pandas().set_index("o_orderkey")
+    assert orders["o_totalprice"].idxmax() == pdf.o_totalprice.idxmax()
+    assert orders["o_totalprice"].idxmin() == pdf.o_totalprice.idxmin()
+    assert (orders["o_totalprice"] * -1).idxmax() == pdf.o_totalprice.idxmin()
