@@ -11,6 +11,7 @@ per-document script evaluation).
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING, Any
 
 import pandas as pd
@@ -1133,6 +1134,40 @@ class StrAccessor:
                 e.substr(F.lit(stop + 1), F.length(e)),
             ),
             T.StringType(),
+        )
+
+    def get_dummies(self, sep: str = "|", limit: int = 256):
+        """One-hot indicator frame (pandas ``str.get_dummies``): one
+        tiny distinct pass discovers the category vocabulary (guarded
+        by ``limit``), then a single projection emits 0/1 columns —
+        no shuffle of the data. Values are split on ``sep`` first
+        (single-category strings work unchanged)."""
+        from .frame import DataFrame as EDF
+
+        s = self._s
+        frame = s._frame
+        schema = frame._schema
+        parts = F.filter(F.split(s._expr, re.escape(sep)), lambda t: t != "")
+        vals = sorted(
+            r["v"]
+            for r in frame._sdf.select(F.explode(parts).alias("v"))
+            .distinct()
+            .collect()
+            if r["v"] is not None
+        )
+        if len(vals) > limit:
+            raise ValueError(
+                f"get_dummies found {len(vals)} categories (> limit {limit})"
+            )
+        icols = [
+            F.col(schema.resolve(c)).alias(c) for c in schema.index_cols
+        ]
+        dummies = [
+            F.array_contains(parts, v).cast("int").alias(v) for v in vals
+        ]
+        return EDF(
+            frame._sdf.select(*icols, *dummies),
+            index_cols=tuple(schema.index_cols),
         )
 
     def title(self) -> Series:

@@ -227,3 +227,19 @@ def test_series_idxmax_idxmin(orders):
     assert orders["o_totalprice"].idxmax() == pdf.o_totalprice.idxmax()
     assert orders["o_totalprice"].idxmin() == pdf.o_totalprice.idxmin()
     assert (orders["o_totalprice"] * -1).idxmax() == pdf.o_totalprice.idxmin()
+
+
+def test_str_get_dummies(orders):
+    pdf = orders.to_pandas().set_index("o_orderkey").sort_index()
+    got = (
+        orders["o_orderpriority"].str.get_dummies()
+        .to_spark()
+        .toPandas()
+        .set_index("o_orderkey")
+        .sort_index()
+    )
+    exp = pdf.o_orderpriority.str.get_dummies()
+    assert list(got.columns) == list(exp.columns)
+    assert (got.values == exp.values).all()
+    with pytest.raises(ValueError, match="categories"):
+        orders["o_orderkey"].astype("string").str.get_dummies(limit=10)
