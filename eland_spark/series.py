@@ -1018,6 +1018,10 @@ class Series:
     def dt(self) -> "DtAccessor":
         return DtAccessor(self)
 
+    @property
+    def list(self) -> "ListAccessor":
+        return ListAccessor(self)
+
 
 class StrAccessor:
     """Vectorized string methods on a Series, pandas-shaped. Boolean
@@ -1193,6 +1197,65 @@ class StrAccessor:
                 self._s._expr.isNotNull(), F.array_join(titled, "")
             ),
             T.StringType(),
+        )
+
+
+class ListAccessor:
+    """Array-column methods (the reference surfaces ES multi-valued
+    fields as Python lists in object cells, SURVEY §1.3 — here they
+    are real ArrayType columns with JVM-side element ops)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def _elem_type(self) -> T.DataType | None:
+        st = self._s._spark_type
+        return st.elementType if isinstance(st, T.ArrayType) else None
+
+    def len(self) -> Series:
+        return self._s._derived(
+            F.size(self._s._expr).cast("long"), T.LongType()
+        )
+
+    def get(self, i: int) -> Series:
+        """0-based element access, negative from the end; out-of-range
+        -> null (F.get semantics, matching pandas' list accessor)."""
+        e = self._s._expr
+        idx = F.lit(i) if i >= 0 else F.size(e) + F.lit(i)
+        return self._s._derived(F.get(e, idx), self._elem_type())
+
+    def contains(self, value) -> Series:
+        return self._s._bool(F.array_contains(self._s._expr, _lit(value)))
+
+    def sum(self) -> Series:
+        return self._s._derived(
+            F.aggregate(
+                self._s._expr,
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x.cast("double"), F.lit(0.0)),
+            ),
+            T.DoubleType(),
+        )
+
+    def mean(self) -> Series:
+        n = F.size(self._s._expr)
+        return self._s._derived(
+            F.when(n > 0, self.sum()._expr / n), T.DoubleType()
+        )
+
+    def sort(self, ascending: bool = True) -> Series:
+        return self._s._derived(
+            F.sort_array(self._s._expr, asc=ascending), self._s._spark_type
+        )
+
+    def unique(self) -> Series:
+        return self._s._derived(
+            F.array_distinct(self._s._expr), self._s._spark_type
+        )
+
+    def join(self, sep: str) -> Series:
+        return self._s._derived(
+            F.array_join(self._s._expr, sep), T.StringType()
         )
 
 

@@ -243,3 +243,32 @@ def test_str_get_dummies(orders):
     assert (got.values == exp.values).all()
     with pytest.raises(ValueError, match="categories"):
         orders["o_orderkey"].astype("string").str.get_dummies(limit=10)
+
+
+def test_list_accessor(spark):
+    import numpy as np
+
+    import eland_spark as es
+
+    emb = es.read_parquet(
+        spark, "/root/testdata/sf0.001/embeddings.parquet", index_col="vec_id"
+    )
+    pdf = emb.to_pandas().set_index("vec_id").sort_index()
+    s = emb["embedding"]
+
+    def col(series):
+        return (
+            emb.assign(x=series)[["vec_id", "x"]]
+            .to_spark()
+            .toPandas()
+            .set_index("vec_id")
+            .sort_index()["x"]
+        )
+
+    assert (col(s.list.len()).astype(int) == pdf.embedding.map(len)).all()
+    assert (abs(col(s.list.get(0)) - pdf.embedding.map(lambda a: a[0])) < 1e-6).all()
+    assert (abs(col(s.list.get(-1)) - pdf.embedding.map(lambda a: a[-1])) < 1e-6).all()
+    assert col(s.list.get(10**6)).isna().all()
+    exp_sum = pdf.embedding.map(lambda a: float(np.sum(a, dtype=np.float64)))
+    assert (abs(col(s.list.sum()) - exp_sum) < 1e-4).all()
+    assert list(col(s.list.sort()).iloc[0]) == sorted(pdf.embedding.iloc[0])
