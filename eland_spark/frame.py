@@ -850,9 +850,13 @@ class DataFrame:
 
     agg = aggregate
 
-    def describe(self) -> pd.DataFrame:
+    def describe(self, include=None) -> pd.DataFrame:
         """count/mean/std/min/25%/50%/75%/max (reference
-        eland/operations.py:1189-1216) — one job."""
+        eland/operations.py:1189-1216) — one job.
+        ``include='all'`` adds pandas' string-column stats
+        (count/unique/top/freq) in one extra aggregation pass."""
+        if include == "all":
+            return self._describe_all()
         fields = [f for f in self._schema.fields if f.is_numeric]
         stats = ["count", "mean", "std", "min", "max"]
         pairs = [(a, f) for a in stats for f in fields]
@@ -880,6 +884,57 @@ class DataFrame:
                 row[f"max__{f.display_name}"],
             ]
         return pd.DataFrame(data, index=idx, dtype="float64")
+
+    def _describe_all(self) -> pd.DataFrame:
+        """pandas describe(include='all'): numeric stats + string
+        count/unique/top/freq — the string pass is one aggregation
+        (count, countDistinct, mode + its frequency via a conditional
+        count piggybacked on the same job)."""
+        num = self.describe()
+        str_fields = [
+            f
+            for f in self._schema.fields
+            if not f.is_numeric and not f.is_timestamp
+        ]
+        if not str_fields:
+            return num
+        exprs = []
+        for f in str_fields:
+            c = F.col(f.column_name)
+            exprs.append(F.count(c).alias(f"count__{f.display_name}"))
+            exprs.append(F.countDistinct(c).alias(f"unique__{f.display_name}"))
+            exprs.append(F.mode(c).alias(f"top__{f.display_name}"))
+        row = self._sdf.agg(*exprs).collect()[0]
+        tops = {f.display_name: row[f"top__{f.display_name}"] for f in str_fields}
+        freq_exprs = [
+            F.count(
+                F.when(F.col(f.column_name) == F.lit(tops[f.display_name]), 1)
+            ).alias(f.display_name)
+            for f in str_fields
+            if tops[f.display_name] is not None
+        ]
+        freqs = self._sdf.agg(*freq_exprs).collect()[0] if freq_exprs else {}
+        num_rows = [i for i in num.index if i != "count"]
+        idx = ["count", "unique", "top", "freq"] + num_rows
+        data: dict[str, list] = {}
+        for f in str_fields:
+            name = f.display_name
+            data[name] = [
+                row[f"count__{name}"],
+                row[f"unique__{name}"],
+                tops[name],
+                freqs[name] if tops[name] is not None else np.nan,
+            ] + [np.nan] * len(num_rows)
+        for name in num.columns:
+            data[name] = [num.loc["count", name], np.nan, np.nan, np.nan] + [
+                num.loc[i, name] for i in num_rows
+            ]
+        ordered = [
+            f.display_name
+            for f in self._schema.fields
+            if f.display_name in data
+        ]
+        return pd.DataFrame({c: data[c] for c in ordered}, index=idx)
 
     def corr(self, numeric_only: bool = True) -> pd.DataFrame:
         """Pairwise Pearson correlation matrix of numeric columns (no

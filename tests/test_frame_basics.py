@@ -954,3 +954,16 @@ def test_pivot_table_margins_matches_pandas(orders, orders_pd):
     assert list(got.columns) == list(exp.columns)
     assert list(got.index) == list(exp.index)
     assert np.allclose(got.values.astype(float), exp.values.astype(float))
+
+
+def test_describe_include_all(orders, orders_pd):
+    got = orders.describe(include="all")
+    exp = orders_pd.describe(include="all")
+    for c in ["o_orderstatus", "o_orderpriority"]:
+        assert got.loc["count", c] == exp.loc["count", c]
+        assert got.loc["unique", c] == exp.loc["unique", c]
+        assert got.loc["freq", c] == exp.loc["freq", c]
+    assert (
+        abs(got.loc["mean", "o_totalprice"] - exp.loc["mean", "o_totalprice"]) < 1e-6
+    )
+    assert pd.isna(got.loc["unique", "o_totalprice"])
