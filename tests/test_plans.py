@@ -310,3 +310,45 @@ def test_groupby_transform_single_shuffle_no_join(spark):
     assert shuffle_count(out) == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_rolling_time_agg_single_shuffle(spark):
+    """rolling_time_agg: one hash exchange on the keys, RANGE window,
+    no self-join."""
+    from eland_spark.operators.windowed import rolling_time_agg
+
+    ev = es.read_parquet(spark, f"{SF}/events.parquet", index_col="event_id")
+    out = rolling_time_agg(ev, "user_id", "ts", "value", 3600, ["sum"]).to_spark()
+    assert shuffle_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_duplicated_single_shuffle(spark):
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders.duplicated(subset=["o_custkey"]).to_spark()
+    assert shuffle_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_split_by_hash_zero_shuffle(spark):
+    from eland_spark.operators.sampling import split_by_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.5})
+    assert shuffle_count(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_redact_zero_shuffle_codegen(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import redact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select(redact(F.col("text")).alias("r"))
+    assert shuffle_count(out) == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
