@@ -1008,6 +1008,10 @@ class DataFrame:
             for r in self._sdf.select(cc).distinct().orderBy(cc).collect()
             if r[0] is not None
         ]
+        if len(vals) > 10000:
+            raise ValueError(
+                f"crosstab column {columns!r} has {len(vals)} distinct values"
+            )
         pdf = (
             self._sdf.groupBy(F.col(ic).alias(index))
             .pivot(cc, vals)
@@ -1064,7 +1068,10 @@ class DataFrame:
             }
             grand = self._sdf.agg(agg.alias("v")).collect()[0]["v"]
             out[margins_name] = out.index.map(row_tot)
-            all_row = [col_tot.get(c) for c in out.columns[:-1]] + [grand]
+            # Spark's pivot stringifies non-string category values in the
+            # output column names, so key the All-row lookup by the native
+            # `cats` list (same order as the pivot columns), not by name.
+            all_row = [col_tot.get(c) for c in cats] + [grand]
             out.loc[margins_name] = all_row
         return out
 

@@ -24,6 +24,7 @@ __all__ = ["merge_asof"]
 
 _SIDE = "__asof_side"
 _RTS = "__asof_rts"
+_SEQ = "__asof_seq"
 
 
 def _is_numeric(dtype: str) -> bool:
@@ -79,6 +80,7 @@ def merge_asof(
         *[F.lit(None).cast(rtypes[c]).alias(rmap[c]) for c in rvals],
         F.lit(None).cast(ltypes[on]).alias(_RTS),
         F.lit(1).alias(_SIDE),
+        F.lit(None).cast("long").alias(_SEQ),
     )
     right_part = rsdf.select(
         *[
@@ -88,6 +90,7 @@ def merge_asof(
         *[F.col(c).alias(rmap[c]) for c in rvals],
         F.col(on).alias(_RTS),
         F.lit(0).alias(_SIDE),
+        F.monotonically_increasing_id().alias(_SEQ),
     )
     u = left_part.unionByName(right_part)
 
@@ -95,9 +98,14 @@ def merge_asof(
     # allow_exact: the right row at an equal timestamp must sort BEFORE
     # the left row (visible to the running window); otherwise after
     tie = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    # Deterministic pick among right rows sharing the same (by, on):
+    # pandas takes the LAST input right row for backward and the FIRST
+    # for forward, so order ties by the right-side row sequence such
+    # that the wanted row is the last one the running window sees.
+    seq_order = F.col(_SEQ).asc() if direction == "backward" else F.col(_SEQ).desc()
     w = (
         Window.partitionBy(*[F.col(b) for b in by])
-        .orderBy(ts_order, tie)
+        .orderBy(ts_order, tie, seq_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

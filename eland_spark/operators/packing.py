@@ -36,7 +36,9 @@ def pack_documents(
     if budget <= 0:
         raise ValueError("budget must be positive")
 
-    out_schema = f"{id_col} long, {token_col} long, {bin_col} long"
+    # Keep the id column's real type — document ids are often strings.
+    id_type = sdf.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, `{token_col}` long, `{bin_col}` long"
 
     def fn(batches):
         from pyspark import TaskContext

@@ -878,23 +878,45 @@ class Series:
         items = list(arg.items())
         if not items:
             return self._derived(F.lit(None), None)
+        # Infer the result type from ALL non-null values (the first may
+        # be None), promoting mixed int+float to double so the map
+        # literal coerces cleanly at analysis time.
+        kinds = set()
+        for v in arg.values():
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds.add("bool")
+            elif isinstance(v, int):
+                kinds.add("int")
+            elif isinstance(v, float):
+                kinds.add("float")
+            elif isinstance(v, str):
+                kinds.add("str")
+            else:
+                kinds.add("other")
+        out_type: T.DataType | None
+        if kinds == {"bool"}:
+            out_type = T.BooleanType()
+        elif kinds == {"int"}:
+            out_type = T.LongType()
+        elif kinds in ({"float"}, {"int", "float"}):
+            out_type = T.DoubleType()
+        elif kinds == {"str"}:
+            out_type = T.StringType()
+        elif kinds and kinds <= {"bool", "int", "float", "str"}:
+            raise TypeError(
+                f"Series.map dict values mix incompatible types {sorted(kinds)}; "
+                "cast them to one type first"
+            )
+        else:
+            out_type = None
         pairs: list[Column] = []
         for k, v in items:
             pairs.append(_lit(k))
-            pairs.append(_lit(v))
+            vl = _lit(v)
+            pairs.append(vl.cast(out_type) if out_type is not None else vl)
         mapped = F.create_map(*pairs)[self._expr]
-        sample = next(iter(arg.values()))
-        out_type: T.DataType | None
-        if isinstance(sample, bool):
-            out_type = T.BooleanType()
-        elif isinstance(sample, int):
-            out_type = T.LongType()
-        elif isinstance(sample, float):
-            out_type = T.DoubleType()
-        elif isinstance(sample, str):
-            out_type = T.StringType()
-        else:
-            out_type = None
         return self._derived(mapped, out_type)
 
     def map_pandas(self, fn, dtype: str | T.DataType | None = None) -> "Series":
@@ -1162,6 +1184,24 @@ class StrAccessor:
         if len(vals) > limit:
             raise ValueError(
                 f"get_dummies found {len(vals)} categories (> limit {limit})"
+            )
+        # Category strings become output column names verbatim; reject
+        # collisions (Spark resolves names case-insensitively) with the
+        # index columns or with each other before the select would raise
+        # an opaque AnalysisException.
+        lowered = [v.lower() for v in vals]
+        if len(set(lowered)) != len(lowered):
+            dupes = sorted({v for v in lowered if lowered.count(v) > 1})
+            raise ValueError(
+                f"get_dummies categories collide case-insensitively: {dupes}; "
+                "normalize the column first"
+            )
+        idx_lower = {c.lower() for c in schema.index_cols}
+        clash = sorted(v for v in vals if v.lower() in idx_lower)
+        if clash:
+            raise ValueError(
+                f"get_dummies categories {clash} collide with index column "
+                "names; rename the index or prefix the categories"
             )
         icols = [
             F.col(schema.resolve(c)).alias(c) for c in schema.index_cols
