@@ -46,56 +46,91 @@ def drop_duplicates(df: "DataFrame", subset=None, keep: str = "first"):
 
 
 def connected_components(
-    pairs, src: str = "id_a", dst: str = "id_b", max_iter: int = 10
+    pairs, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ):
-    """Group near-duplicate pairs into clusters: iterative min-label
-    propagation over the pair graph. Returns a Spark DataFrame
-    ``(node, component)`` where ``component`` is the cluster's minimum
-    node id — the canonical representative a dedup pipeline keeps.
+    """Group near-duplicate pairs into clusters via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014). Returns a Spark
+    DataFrame ``(node, component)`` where ``component`` is the
+    cluster's minimum node id — the canonical representative a dedup
+    pipeline keeps.
 
-    Each iteration is one join + one min-aggregation (both shuffle on
-    the node id, so AQE can reuse the exchange) and converges in
-    O(diameter) rounds — near-dup clusters are shallow (pairs all share
-    shingles), so 3-4 rounds typically suffice; ``max_iter`` bounds the
-    worst case and the loop exits early on a fixed point (one tiny
-    count per round). For graphs with huge components, swap in the
-    large-star/small-star variant — same primitives, fewer rounds.
+    Each round rewires every node toward the minimum of its
+    neighborhood (large-star: strictly larger neighbors hook to the
+    min; small-star: smaller neighbors collapse onto it), which
+    contracts chain-shaped components geometrically — convergence in
+    O(log n) rounds regardless of graph diameter, unlike min-label
+    propagation's O(diameter). A 10k-node path (diameter 9999)
+    converges in 14 rounds (see ``tests/test_simhash_dedup.py`` chain
+    stress test); the default ``max_iter`` covers ~1M-long chains, and
+    real near-dup clusters (dense, shallow) finish in 2-3. Per round:
+    two groupBy-min + two joins, all hash-shuffled on the node id;
+    ``localCheckpoint`` truncates the growing lineage and a count+hash
+    fingerprint (one tiny job per round) detects the fixed point.
     """
-    edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
     )
-    # symmetrize once; messages then flow both directions each round
-    sym = edges.unionByName(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
-    labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    edges = e0.filter(F.col("u") != F.col("v")).distinct()
+
+    def _fingerprint(e):
+        # xor-fold (not sum) — order-free and immune to ANSI long overflow
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
     for _ in range(max_iter):
-        msgs = sym.join(
-            labels.withColumnRenamed("node", "s"), on="s"
-        ).select(F.col("d").alias("node"), "component")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        # large-star: for each node u, every strictly LARGER neighbor v
+        # re-links to m = min(neighborhood(u) + {u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient every edge (hi, lo); each hi node and all
+        # its smaller neighbors collapse onto the neighborhood min
+        e2 = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            e2.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint(eager=False)  # truncate the growing lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        fp = _fingerprint(edges)
+        if fp == prev:
             break
-    return labels
+        prev = fp
+    # fixed point = forest of stars (node -> component min); roots and
+    # isolated nodes label themselves
+    star = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(
+        star.withColumnRenamed("u", "node"), on="node", how="left"
+    ).select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
 
 
 def near_dup_components(

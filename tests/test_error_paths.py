@@ -99,3 +99,18 @@ def test_video_frame_sampling_edges(spark):
     assert by_id[1] == [0, 10, 20]      # real frames
     assert 2 not in by_id               # zero-frame video: no phantom frame
     assert by_id[3] == [None] or pd.isna(by_id[3][0])  # null passes through
+
+
+def test_crosstab_cardinality_guard(spark):
+    import pytest
+
+    import eland_spark as es
+
+    # sf0.01 l_extendedprice is near-unique (>10k distinct): must refuse
+    # the driver-side pivot instead of OOMing on a million-column frame
+    li = es.read_parquet(
+        spark, "/root/testdata/sf0.01/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        li.crosstab("l_returnflag", "l_extendedprice")

@@ -52,6 +52,19 @@ def test_connected_components_synthetic(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
 
 
+def test_connected_components_deep_chain(spark):
+    """Large-star/small-star contraction: a 10k-node path (diameter
+    9999) must fully collapse within the default max_iter=20 — round
+    count ≪ diameter, which min-label propagation could never do."""
+    from eland_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    pdf = connected_components(pairs).toPandas()
+    assert len(pdf) == n
+    assert (pdf["component"] == 0).all()
+
+
 def test_near_dup_components_end_to_end(spark, sf_dir):
     import eland_spark as es
     from eland_spark.operators.dedup import near_dup_components
