@@ -323,14 +323,15 @@ def q_pack_documents(spark, sf_dir) -> DataFrame:
 def q_weighted_sample(spark, sf_dir) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     exponential keys, operators/sampling.py): quality-proportional
-    document draw — one scan + TakeOrdered, deterministic via hashed
-    uniforms. Random process (rows-only check)."""
+    document draw — one scan + TakeOrdered. md5-derived uniforms on the
+    unique id make the draw engine-portable, so DuckDB reproduces the
+    exact sample (full hash-check)."""
     from eland_spark.operators.sampling import weighted_sample_n
     from eland_spark.operators.text import quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wdocs = docs.withColumn("wq", quality_score(F.col("text")) + 0.01)
-    return weighted_sample_n(wdocs, "wq", 100).select(
+    return weighted_sample_n(wdocs, "wq", 100, id_col="doc_id").select(
         "doc_id", F.round("wq", 6).alias("wq")
     )
 
@@ -1279,12 +1280,13 @@ def q_mixture_sample(spark, sf_dir) -> DataFrame:
 
 
 def q_sample_exact_n(spark, sf_dir) -> DataFrame:
-    """Exactly-n seeded sample (rows-only: xxhash64 ranking has no
-    DuckDB twin; the weak check still pins the row count)."""
+    """Exactly-n seeded sample, portable ranking: md5-derived key on
+    the unique id reproduces the identical sample in DuckDB — full
+    hash-check (one TakeOrdered, no full sort)."""
     from eland_spark.operators.sampling import sample_exact_n
 
     docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
-    out = sample_exact_n(docs, 50, seed=7, order_col="doc_id")
+    out = sample_exact_n(docs, 50, seed=7, order_col="doc_id", portable=True)
     return out.select("doc_id", "source")
 
 
@@ -1339,9 +1341,10 @@ def q_vocabulary(spark, sf_dir) -> DataFrame:
 
 def q_embed_dedup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup removal: LSH signature buckets ->
-    verified cosine >= threshold -> drop higher id (rows-only: the
-    signature fold's float accumulation order is engine-specific at the
-    sign boundary). Returns survivor count per label."""
+    verified cosine >= threshold -> drop higher id. The hyperplanes are
+    a deterministic LCG, so DuckDB recomputes identical signatures
+    (left-to-right double folds on both engines) — full hash-check.
+    Returns survivor count per label."""
     from eland_spark.operators.similarity import embedding_dedup
 
     emb = _t(spark, sf_dir, "embeddings", "vec_id")
@@ -1397,31 +1400,41 @@ def q_ann_ivf_quantized(spark, sf_dir) -> DataFrame:
 
 
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF top-k: distributed k-means centroids, nprobe cell pruning
-    (rows-only: the iterative Lloyd refinement is not SQL-expressible)."""
+    """IVF top-k with nprobe cell pruning, on engine-agnostic seed
+    centroids (the 8 lowest-id vectors, no Lloyd refinement) so the
+    whole assign/probe/score pipeline is reproducible in SQL — full
+    hash-check of the approximate result, not just rows. Lloyd-refined
+    centroids are exercised by ann_ivf_quantized and pytest."""
     from eland_spark.operators.similarity import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings", "vec_id")
     qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
     qvec = [float(x) for x in qrow[0]["embedding"]]
-    centroids = ivf_index(emb, n_cells=8, max_iter=3)
+    centroids = ivf_index(emb, n_cells=8, max_iter=0, seed_strategy="first")
     out = ivf_topk(emb, qvec, centroids, k=10, nprobe=3)
     sdf = out[["vec_id", "__cos__"]].to_spark()
     return sdf.select(F.col("vec_id"), F.round(F.col("__cos__"), 6).alias("cos_sim"))
 
 
-def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> str:
-    """DuckDB oracle for q_ann_lsh, with the SAME deterministic
-    hyperplanes emitted as SQL list literals."""
+def _sig_terms_sql(n_planes: int, dim: int) -> str:
+    """The LSH bit-signature as SQL: same LCG hyperplanes as the Spark
+    side, emitted as list literals (md5-free determinism — both engines
+    fold doubles left-to-right)."""
     from eland_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(dim, n_planes, seed=42)
-    sig_terms = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
         f"[{', '.join(repr(v) for v in p)}]::DOUBLE[]) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> str:
+    """DuckDB oracle for q_ann_lsh, with the SAME deterministic
+    hyperplanes emitted as SQL list literals."""
+    sig_terms = _sig_terms_sql(n_planes, dim)
     return f"""
         WITH s AS (
             SELECT vec_id, embedding, ({sig_terms})::BIGINT AS sig
@@ -1440,6 +1453,68 @@ def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> 
                     * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
                  vec_id ASC
         LIMIT 10
+    """
+
+
+def _ivf_oracle_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """DuckDB oracle for q_ann_ivf: seed centroids = the ``n_cells``
+    lowest-id vectors (mirrors ivf_index(seed_strategy='first',
+    max_iter=0)), argmin cell assignment, nprobe nearest-cell pruning,
+    exact cosine top-k — the identical approximate pipeline in SQL."""
+    return f"""
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ), q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                    c.cell) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ), probe AS (
+            SELECT c.cell FROM cent c, q
+            ORDER BY list_distance(q.qv, c.cv), c.cell LIMIT {nprobe}
+        )
+        SELECT a.vec_id,
+               round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM assigned a, q
+        WHERE a.cell IN (SELECT cell FROM probe)
+        ORDER BY list_dot_product(a.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _embed_dedup_oracle_sql(
+    n_planes: int = 8, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB oracle for q_embed_dedup: identical LCG hyperplane
+    signatures, same-bucket pair join, cosine >= threshold drops the
+    higher id; survivors counted per label."""
+    sig_terms = _sig_terms_sql(n_planes, dim)
+    return f"""
+        WITH s AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   ({sig_terms})::BIGINT AS sig
+            FROM embeddings
+        ), drops AS (
+            SELECT DISTINCT r.vec_id AS did
+            FROM s l JOIN s r ON l.sig = r.sig AND l.vec_id < r.vec_id
+            WHERE list_dot_product(l.v, r.v)
+                  / (sqrt(list_dot_product(l.v, l.v))
+                     * sqrt(list_dot_product(r.v, r.v))) >= {threshold}
+        )
+        SELECT label, count(*) AS n_kept
+        FROM s WHERE vec_id NOT IN (SELECT did FROM drops)
+        GROUP BY 1
     """
 
 
@@ -2473,11 +2548,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # embed_topk: md5-hashed stand-in encoder, no DuckDB equivalent
         # -> rows-only check (intentionally omitted)
-        # ann_ivf: iterative Lloyd k-means refinement, not SQL-expressible
-        # -> rows-only check (intentionally omitted)
-        # embed_dedup: signature-fold float accumulation is engine-specific
-        # at the sign boundary -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "ann_ivf": _ivf_oracle_sql(),
+        "embed_dedup": _embed_dedup_oracle_sql(),
+        "sample_exact_n": """
+            SELECT doc_id, source FROM documents
+            ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || '7'), 1, 15))
+                          AS BIGINT) ASC
+            LIMIT 50
+        """,
+        "weighted_sample": """
+            WITH f AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0.0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) * 1.0
+                       END AS n_tok,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                            / length(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0 THEN
+                            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                           'that','for','on','with','as','at','by','this','be'))) * 1.0
+                            / len(string_split_regex(trim(lower(text)), '\\s+'))
+                       ELSE 0.0 END AS sw_ratio
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       (least(n_tok / 100.0, 1.0)
+                        + (1.0 - least(punct_ratio * 5.0, 1.0))
+                        + least(sw_ratio * 4.0, 1.0)) / 3.0 + 0.01 AS wq
+                FROM f
+            ), k AS (
+                SELECT doc_id, wq,
+                       -ln(greatest(
+                            CAST(('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 13))
+                                 AS BIGINT) / 4503599627370496.0,
+                            1e-15)) / wq AS skey
+                FROM w
+            )
+            SELECT doc_id, round(wq, 6) AS wq FROM k ORDER BY skey LIMIT 100
+        """,
         "mixture_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE source IN ('src0', 'src1') GROUP BY 1

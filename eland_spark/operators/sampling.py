@@ -53,24 +53,47 @@ def mix_datasets(
     return out
 
 
+def _md5_rank_key(col, seed: int):
+    """Engine-agnostic 60-bit ranking key: md5 of ``str(col) || str(seed)``,
+    first 15 hex chars parsed as an integer. md5 is bit-identical across
+    engines (unlike xxhash64), so DuckDB reproduces the exact ordering:
+    ``CAST(('0x' || substr(md5(col::VARCHAR || 'seed'), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def sample_exact_n(
-    sdf: DataFrame, n: int, seed: int = 42, order_col: str | None = None
+    sdf: DataFrame,
+    n: int,
+    seed: int = 42,
+    order_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Exactly-n random sample: rank by a seeded hash and take n.
     Unlike fraction sampling this is exact; the cost is one TakeOrdered
     (per-partition top-n + driver merge of n rows — no full sort
     shuffle). Deterministic given seed (+ a unique order_col for
-    tie-free ordering; defaults to the hash of the whole row)."""
-    if order_col:
-        hash_cols = [F.col(order_col)]
+    tie-free ordering; defaults to the hash of the whole row).
+
+    ``portable=True`` (requires ``order_col``) ranks by an md5-derived
+    key instead of xxhash64 — the same sample reproduces on any engine
+    with md5 (the differential-oracle contract)."""
+    if portable:
+        if not order_col:
+            raise ValueError("portable sampling needs an order_col")
+        key = _md5_rank_key(F.col(order_col), seed)
+    elif order_col:
+        key = F.xxhash64(F.col(order_col), F.lit(seed))
     else:
         # MapType columns are unhashable; hash the hashable subset
         hashable = [
             f.name for f in sdf.schema.fields
             if not isinstance(f.dataType, T.MapType)
         ]
-        hash_cols = [F.col(c) for c in hashable]
-    key = F.xxhash64(*hash_cols, F.lit(seed))
+        key = F.xxhash64(*[F.col(c) for c in hashable], F.lit(seed))
     # collision-free temp name even if the frame has a __rand__ column
     tmp = "__rand__"
     while tmp in sdf.columns:
@@ -125,6 +148,7 @@ def weighted_sample_n(
     weight_col: str,
     n: int,
     seed: int = 42,
+    id_col: str | None = None,
 ):
     """Weighted sampling WITHOUT replacement (curation: sample
     documents proportional to a quality weight): Efraimidis-Spirakis
@@ -132,15 +156,31 @@ def weighted_sample_n(
     ``-ln(u)/w``; the n SMALLEST keys are an exact w-weighted sample.
     One scan + TakeOrdered (per-partition heaps, no full sort, no
     shuffle of the data itself); deterministic for a fixed seed via
-    xxhash64-derived uniforms, so the same sample reproduces across
-    runs and engines reading the same rows. Zero-or-negative weights
-    never get sampled."""
+    hash-derived uniforms, so the same sample reproduces across runs
+    and engines reading the same rows. Zero-or-negative weights never
+    get sampled.
+
+    Pass ``id_col`` (a unique key) to derive the uniforms from md5 of
+    the id instead of xxhash64 of the whole row — portable to any
+    engine with md5 (the differential-oracle contract)."""
     if n <= 0:
         raise ValueError("n must be positive")
     w = F.col(weight_col).cast("double")
-    # uniform(0,1) from a 64-bit hash of the whole row + seed
-    h = F.abs(F.xxhash64(F.struct(*[F.col(c) for c in sdf.columns]), F.lit(seed)))
-    u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
+    if id_col:
+        # 52-bit md5-derived uniform: first 13 hex chars of
+        # md5(str(id) || str(seed)) — always < 2^52, exact in a double
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = h.cast("double") / F.lit(float(2**52))
+    else:
+        # uniform(0,1) from a 64-bit hash of the whole row + seed
+        h = F.abs(F.xxhash64(F.struct(*[F.col(c) for c in sdf.columns]), F.lit(seed)))
+        u = (h % F.lit(2**52)).cast("double") / F.lit(float(2**52))
     # clamp away 0 so ln() stays finite
     key = -F.log(F.greatest(u, F.lit(1e-15))) / w
     tmp = "__wkey__"

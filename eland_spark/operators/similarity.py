@@ -216,19 +216,30 @@ def ivf_index(
     id_col: str = "vec_id",
     max_iter: int = 5,
     seed: int = 42,
+    seed_strategy: str = "hash",
 ):
     """Build IVF centroids with distributed k-means (Lloyd iterations as
     groupBy-avg jobs — no MLlib dependency, no driver-side data besides
     the k centroid vectors). Returns (centroids: list[list[float]]).
+
+    ``seed_strategy='hash'`` (default) pseudo-shuffles the seed pick;
+    ``'first'`` takes the ``n_cells`` lowest ids — engine-agnostic, so
+    with ``max_iter=0`` the whole index is reproducible in plain SQL
+    (the differential-oracle contract).
 
     At 100 TB: each iteration is one scan + one k-row shuffle; write the
     assigned table partitioned by cell for pruned probes.
     """
     schema = df._schema
     vec = F.col(schema.resolve(vec_col))
+    seed_order = (
+        [F.col("i").asc()]
+        if seed_strategy == "first"
+        else [F.pmod(F.xxhash64(F.col("i")), F.lit(97)).asc(), F.col("i").asc()]
+    )
     seed_rows = (
         df._sdf.select(vec.alias("v"), F.col(schema.resolve(id_col)).alias("i"))
-        .orderBy(F.pmod(F.xxhash64(F.col("i")), F.lit(97)).asc(), F.col("i").asc())
+        .orderBy(*seed_order)
         .limit(n_cells)
         .collect()
     )
