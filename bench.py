@@ -4,6 +4,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Row-heavy queries are forced through the noop sink (full compute, no
 driver materialization); small agg outputs are collected.
+
+``--compare PREV.json`` (e.g. BENCH_r01.json) additionally prints a
+per-query delta report to stderr and exits 1 if any query regressed
+more than ``--threshold`` (default 1.3x) — the round-over-round
+regression gate.
 """
 
 from __future__ import annotations
@@ -157,6 +162,50 @@ def main() -> None:
             }
         )
     )
+
+    if "--compare" in sys.argv:
+        prev_path = sys.argv[sys.argv.index("--compare") + 1]
+        thr = (
+            float(sys.argv[sys.argv.index("--threshold") + 1])
+            if "--threshold" in sys.argv
+            else 1.3
+        )
+        sys.exit(_compare(timings, prev_path, thr))
+
+
+def _compare(timings: dict, prev_path: str, threshold: float) -> int:
+    """Per-query regression report vs a previous bench JSON (accepts
+    either the raw one-line output or the driver's BENCH_r{N}.json
+    wrapper with a 'parsed' field). Returns a nonzero exit code when
+    any query slowed past ``threshold``x."""
+    with open(prev_path) as f:
+        prev = json.load(f)
+    if "parsed" in prev:
+        prev = prev["parsed"]
+    base = prev.get("queries", {})
+    regressed = []
+    for name, now in sorted(timings.items()):
+        then = base.get(name)
+        if not then:
+            print(f"  {name}: {now:.3f}s (new)", file=sys.stderr)
+            continue
+        ratio = now / then
+        flag = " <-- REGRESSED" if ratio > threshold else ""
+        print(
+            f"  {name}: {now:.3f}s vs {then:.3f}s ({ratio:.2f}x){flag}",
+            file=sys.stderr,
+        )
+        if ratio > threshold:
+            regressed.append(name)
+    if regressed:
+        print(
+            f"REGRESSION: {len(regressed)} queries past {threshold}x: "
+            f"{', '.join(regressed)}",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"compare OK: no query past {threshold}x of {prev_path}", file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -65,11 +65,14 @@ def read_parquet(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet source. ``path`` may be a list (or glob) — the analog of
-    the reference's multi-index patterns (eland/field_mappings.py:280-287
-    merges mappings across indices; here ``merge_schema=True`` turns on
-    Spark's parquet schema merging, and columns missing from one file
-    surface as nulls — stricter than the reference's first-wins warning:
-    genuinely conflicting types fail loudly instead)."""
+    the reference's multi-index patterns. Conflicting column types
+    across multiple paths resolve like the reference's mapping merge
+    (eland/field_mappings.py:280-327): warn and keep the FIRST path's
+    type, casting later paths to it; columns missing from a path
+    surface as nulls. ``merge_schema=True`` instead uses Spark's
+    parquet schema merging (fails loudly on true conflicts)."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     paths = [path] if isinstance(path, str) else list(path)
@@ -80,10 +83,48 @@ def read_parquet(
         # mantissa — `div` keeps it lossless; timestamp_add on an NTZ
         # base is timezone-independent, matching DuckDB's ns->us read)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    sdf = reader.parquet(*paths)
+    sdf = None
+    if len(paths) > 1 and not merge_schema:
+        # first-wins type resolution across paths (footer reads only)
+        schemas = [spark.read.parquet(p).schema for p in paths]
+        first: dict[str, object] = {}
+        conflicts: dict[str, tuple] = {}
+        for sch in schemas:
+            for f in sch:
+                if f.name not in first:
+                    first[f.name] = f.dataType
+                elif f.dataType != first[f.name]:
+                    conflicts.setdefault(f.name, (first[f.name], f.dataType))
+        if conflicts:
+            detail = ", ".join(
+                f"{c}: keeping {a.simpleString()}, casting {b.simpleString()}"
+                for c, (a, b) in sorted(conflicts.items())
+            )
+            warnings.warn(
+                f"read_parquet: conflicting types across paths ({detail}); "
+                "first path wins (reference field_mappings merge semantics)"
+            )
+            parts = []
+            for p, sch in zip(paths, schemas):
+                part = spark.read.parquet(p)
+                parts.append(
+                    part.select(
+                        *[
+                            F.col(f.name).cast(first[f.name]).alias(f.name)
+                            if f.name in conflicts
+                            else F.col(f.name)
+                            for f in sch
+                        ]
+                    )
+                )
+            sdf = parts[0]
+            for part in parts[1:]:
+                sdf = sdf.unionByName(part, allowMissingColumns=True)
+    if sdf is None:
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        sdf = reader.parquet(*paths)
     for c in nanos_cols:
         micros = F.expr(f"`{c}` div 1000")
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")

@@ -202,8 +202,16 @@ class DataFrameGroupBy:
         ``applyInPandas`` — Arrow transfer, one hash shuffle on the
         keys, groups processed in parallel across executors. The fn
         sees the group's rows with display-name columns; its output
-        must match ``schema``. Use the string-agg methods when they can
-        express the logic (they stay JVM-side)."""
+        must match ``schema``.
+
+        SCALE WARNING: this is a whole-group Python hop — on a skewed
+        key one executor holds the largest group in pandas memory, the
+        slowest shape in the library at 100x data. Prefer the
+        expression-based paths whenever they can express the logic:
+        the named agg methods (``mean``/``sum``/``quantile``/...) for
+        reductions, :meth:`transform` for per-row group-broadcast
+        values, and ``transform`` + a frame filter for aggregate
+        predicates — all JVM-side, no per-group materialization."""
         sdf, keys = self._grouped_sdf()
         display = [f.display_name for f in self._frame._schema.fields]
         resolved = [
@@ -249,10 +257,15 @@ class DataFrameGroupBy:
     def filter(self, fn) -> DataFrame:
         """pandas ``groupby().filter``: keep the rows of every group
         for which ``fn(group_pdf) -> bool`` — one keyed shuffle via
-        applyInPandas, groups evaluated in parallel. For conditions
-        expressible as aggregates (``sum(x) > k``), prefer a
-        groupBy+semi-join pipeline (JVM-side); this is the general
-        Python-predicate escape hatch."""
+        applyInPandas, groups evaluated in parallel.
+
+        SCALE WARNING: whole-group Python; a skewed key serializes its
+        biggest group through one executor's pandas heap. When the
+        predicate compares an aggregate (``sum(x) > k``, ``len(g) >=
+        n``), express it JVM-side instead: ``transform`` the aggregate
+        onto each row and filter the frame on it (same one shuffle, no
+        Python), or groupBy+semi-join. Reserve this for genuinely
+        row-pattern-dependent predicates."""
         schema = self._frame._schema
         display = [f.display_name for f in schema.fields]
         resolved = [F.col(schema.resolve(d)).alias(d) for d in display]

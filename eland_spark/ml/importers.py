@@ -164,14 +164,24 @@ def _from_sklearn_ensemble(model, feature_names, cls: str) -> Ensemble:
 
 # -- xgboost ---------------------------------------------------------------
 
-def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
-    """Parse the booster dump (reference eland/ml/transformers/xgboost.py
-    walks the same dump JSON)."""
+def ensemble_from_xgb_dump(
+    dumps: list,
+    feature_names: list[str],
+    base_score: float = 0.5,
+    model_class: str = "XGBRegressor",
+    n_classes: int = 2,
+    labels: list | None = None,
+    dump_feature_names: list[str] | None = None,
+) -> Ensemble:
+    """Build the IR from a booster's ``get_dump(dump_format='json')``
+    output — no xgboost import needed, so a vendored dump JSON tests
+    the parser lib-free (reference eland/ml/transformers/xgboost.py
+    walks the same structure). ``dumps`` items may be JSON strings or
+    already-parsed dicts."""
     import json
+    import math
 
-    booster = model.get_booster()
-    dumps = booster.get_dump(dump_format="json", with_stats=False)
-    fmap = {f: i for i, f in enumerate(booster.feature_names or feature_names)}
+    fmap = {f: i for i, f in enumerate(dump_feature_names or feature_names)}
 
     def resolve_split(name: str) -> int:
         # boosters trained on bare numpy arrays have no stored names and
@@ -205,26 +215,50 @@ def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
     trees = []
     for d in dumps:
         nodes: list[TreeNode] = []
-        walk(json.loads(d), nodes, [0])
+        walk(json.loads(d) if isinstance(d, str) else d, nodes, [0])
         trees.append(Tree(feature_names, nodes))
 
-    base = float(json.loads(booster.save_config())["learner"]["learner_model_param"].get("base_score", 0.5))
-    import math
-
-    if cls == "XGBClassifier":
-        n = int(getattr(model, "n_classes_", 2))
-        labels = [v.item() if hasattr(v, "item") else v
-                  for v in getattr(model, "classes_", range(n))]
+    if model_class == "XGBClassifier":
+        n = int(n_classes)
+        lab = labels if labels is not None else list(range(n))
         if n > 2:
             _assign_class_columns(trees, n)
             return Ensemble(
                 feature_names, trees, task="multiclass", n_classes=n,
-                base_score=0.0, agg="sum", classification_labels=labels,
+                base_score=0.0, agg="sum", classification_labels=lab,
             )
-        margin = math.log(base / (1 - base)) if 0 < base < 1 else 0.0
+        margin = (
+            math.log(base_score / (1 - base_score)) if 0 < base_score < 1 else 0.0
+        )
         return Ensemble(feature_names, trees, task="binary", base_score=margin,
-                        classification_labels=labels)
-    return Ensemble(feature_names, trees, task="regression", base_score=base)
+                        classification_labels=lab)
+    return Ensemble(feature_names, trees, task="regression", base_score=base_score)
+
+
+def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
+    """Extract the dump from a live model and delegate to the lib-free
+    parser."""
+    import json
+
+    booster = model.get_booster()
+    dumps = booster.get_dump(dump_format="json", with_stats=False)
+    base = float(
+        json.loads(booster.save_config())["learner"]["learner_model_param"].get(
+            "base_score", 0.5
+        )
+    )
+    n = int(getattr(model, "n_classes_", 2))
+    labels = [v.item() if hasattr(v, "item") else v
+              for v in getattr(model, "classes_", range(n))]
+    return ensemble_from_xgb_dump(
+        dumps,
+        feature_names,
+        base_score=base,
+        model_class=cls,
+        n_classes=n,
+        labels=labels if cls == "XGBClassifier" else None,
+        dump_feature_names=booster.feature_names,
+    )
 
 
 # -- lightgbm --------------------------------------------------------------

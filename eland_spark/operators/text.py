@@ -274,11 +274,14 @@ def tfidf_top_terms(
 
     Plan shape (all codegen'd, two shuffles total): explode tokens ->
     one groupBy (doc, term) for term frequencies (map-side combined);
-    document frequencies aggregated from that same tf table (never a
-    second pass over raw text); idf = ln((N+1)/(df+1)) + 1 (smoothed,
-    sklearn-style); per-doc top-k via rank window partitioned by doc.
-    The df table is broadcast back (|vocab| rows, small by Zipf) so the
-    join adds no shuffle. Deterministic ties: score desc, term asc.
+    document frequencies AND the document count both aggregated from
+    that same tf table (never a second pass over raw text, no separate
+    driver-side count job — N rides along as a broadcast single-row
+    cross join, so it counts documents contributing >= 1 token);
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style); per-doc
+    top-k via rank window partitioned by doc. The df table is
+    broadcast back (|vocab| rows, small by Zipf) so the join adds no
+    shuffle. Deterministic ties: score desc, term asc.
 
     Returns a Spark DataFrame (doc_id, term, tf long, score double,
     rnk int).
@@ -291,16 +294,18 @@ def tfidf_top_terms(
         id_col.alias("doc_id"), F.explode(normalized_tokens(text)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.localCheckpoint(eager=False)  # df + join both read it; compute once
-    n_docs = sdf.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    tf = tf.localCheckpoint(eager=False)  # df + join + N all read it; compute once
+    nd = tf.agg(F.countDistinct("doc_id").alias("__n__"))
     dfreq = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id", "term", "tf", (F.col("tf") * idf).alias("score")
+    idf = F.log((F.col("__n__").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", "tf", (F.col("tf") * idf).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -225,3 +225,31 @@ def test_write_zordered_tightens_both_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match=">= 2 columns"):
         es.write_zordered(li, str(tmp_path / "bad"), ["l_partkey"])
+
+
+def test_read_parquet_multi_path_conflict_first_wins(spark, tmp_path):
+    """Reference field_mappings.py:280-327 semantics: conflicting types
+    across index patterns warn and the first mapping wins."""
+    import warnings
+
+    import pandas as pd
+
+    import eland_spark as es
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "v": [10, 20]})
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        pd.DataFrame({"id": [3, 4], "v": [1.5, 2.5], "extra": ["x", "y"]})
+    ).write.parquet(p2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = es.read_parquet(spark, [p1, p2], index_col="id")
+        assert any("first path wins" in str(x.message) for x in w)
+    pdf = df.to_pandas().sort_values("id")
+    assert len(pdf) == 4
+    # v kept the FIRST path's bigint type; later doubles cast into it
+    assert str(df.to_spark().schema["v"].dataType.simpleString()) == "bigint"
+    # column missing from the first path surfaces as nulls there
+    assert pdf["extra"].isna().sum() == 2

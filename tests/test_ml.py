@@ -234,3 +234,71 @@ def test_cli_torch_task_registers_but_gates_at_apply(spark, tmp_path):
     df = spark.createDataFrame([("x",)], ["text"])
     with _pytest.raises(ImportError, match="torch"):
         m.apply(df, "text")
+
+
+def test_xgboost_dump_parser_without_lib(spark):
+    """Vendored dump_model JSON (tests/fixtures/) drives the xgboost
+    parser with the library absent — reference analog trains real
+    models (tests/ml/test_ml_model_pytest.py); here the dump IS the
+    interchange contract, and predictions are hand-traced."""
+    import json
+    import os
+
+    from eland_spark.ml.importers import ensemble_from_xgb_dump
+    from eland_spark.ml.inference import score_columns
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "xgb_dump_regression.json")
+    with open(path) as f:
+        fx = json.load(f)
+    ens = ensemble_from_xgb_dump(
+        fx["trees"], fx["feature_names"],
+        base_score=fx["base_score"], model_class=fx["model_class"],
+    )
+    assert ens.task == "regression" and len(ens.trees) == 2
+
+    rows = pd.DataFrame(
+        {
+            "qty": [10.0, 30.0, 20.0, np.nan, 10.0],
+            "disc": [0.01, 0.10, 0.07, 0.01, np.nan],
+        }
+    )
+    # hand-traced: base 0.5 + tree leaves (yes = feature < threshold;
+    # NaN follows the dump's 'missing' branch)
+    expected = [
+        0.5 + 1.5 + 0.25,   # qty<25, disc<0.05 ; disc<0.08
+        0.5 + 2.0 - 0.75,   # qty>=25           ; disc>=0.08
+        0.5 - 0.5 + 0.25,   # qty<25, disc>=0.05; disc<0.08
+        0.5 + 1.5 + 0.25,   # qty NaN -> missing=yes branch twice
+        0.5 + 1.5 - 0.75,   # disc NaN -> t0 missing=yes, t1 missing=no
+    ]
+    sdf = spark.createDataFrame(rows)
+    got = score_columns(sdf, ens, out_col="p").toPandas()
+    np.testing.assert_allclose(
+        sorted(got["p"].astype(float)), sorted(expected), rtol=1e-12
+    )
+    # IR round-trips through the gzip+b64 serialization unchanged
+    back = Ensemble.deserialize(ens.serialize())
+    assert back.to_json() == ens.to_json()
+
+
+def test_xgboost_dump_parser_binary_margin():
+    """Binary classifier path: base_score becomes a log-odds margin and
+    labels ride through (no xgboost needed)."""
+    from eland_spark.ml.importers import ensemble_from_xgb_dump
+
+    tree = {
+        "nodeid": 0, "depth": 0, "split": "f0", "split_condition": 1.0,
+        "yes": 1, "no": 2, "missing": 1,
+        "children": [{"nodeid": 1, "leaf": 2.0}, {"nodeid": 2, "leaf": -2.0}],
+    }
+    ens = ensemble_from_xgb_dump(
+        [tree], ["f0"], base_score=0.5, model_class="XGBClassifier",
+        n_classes=2, labels=[0, 1],
+    )
+    assert ens.task == "binary"
+    assert ens.base_score == 0.0  # logit(0.5)
+    assert ens.classification_labels == [0, 1]
+    # margin 2.0 -> class 1; margin -2.0 -> class 0
+    assert ens.predict_row([0.5]) == 1
+    assert ens.predict_row([3.0]) == 0
