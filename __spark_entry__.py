@@ -1698,6 +1698,26 @@ def q_multimodal_pipeline(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_nlp_expansion(spark, sf_dir) -> DataFrame:
+    """text_expansion NLP task (SPLADE-shaped sparse token->weight map,
+    ml/pytorch.py no-torch stand-in): per-doc top-5 terms with
+    ln(1+tf) weights through the real mapInPandas task plumbing; the
+    map explodes to rows so DuckDB hash-checks the whole task output.
+    Reference task registry: eland/ml/pytorch/transformers.py:71-131."""
+    from eland_spark.ml.pytorch import TransformerModel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = TransformerModel("standin", "text_expansion", top_k=5).apply(docs, "text")
+    exploded = out.select("doc_id", F.explode("prediction"))
+    return exploded.select(
+        "doc_id",
+        F.col("key").alias("term"),
+        F.round("value", 6).alias("weight"),
+    )
+
+
 def q_embed_topk(spark, sf_dir) -> DataFrame:
     """Text-embedding operator + cosine top-k (rows-only: the hashed
     stand-in encoder has no DuckDB equivalent). Reference text_embedding
@@ -1812,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "two_phase_distinct": q_two_phase_distinct,
         "embed_topk": q_embed_topk,
+        "nlp_expansion": q_nlp_expansion,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_quantized": q_ann_ivf_quantized,
@@ -2530,6 +2551,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(avg(pred), 6) AS avg_pred,
                    round(sum(pred), 2) AS sum_pred, count(*) AS n
             FROM scored GROUP BY 1
+        """,
+        "nlp_expansion": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+            ), r AS (
+                SELECT doc_id, term, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, term) AS rn
+                FROM tf
+            )
+            SELECT doc_id, term, round(ln(1 + c), 6) AS weight
+            FROM r WHERE rn <= 5
         """,
         "ltr_features": """
             SELECT doc_id,

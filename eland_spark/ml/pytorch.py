@@ -7,20 +7,40 @@ On Spark the deployment target is the executors themselves: a model is
 loaded once per partition inside a mapInPandas stage, so "import" means
 registering a loader; no upload protocol exists or is needed.
 
-torch/transformers are not installed in this environment — every task
-that needs them raises ImportError at call time with the dependency
-named. ``text_embedding`` is fully functional via the deterministic
-hashed encoder in ml/embeddings.py (same plumbing a real encoder uses;
-swap the encode function only).
+torch/transformers are not installed in this environment, so every task
+except ``fill_mask`` runs on a deterministic NO-TORCH STAND-IN clearly
+named below — the Spark plumbing (mapInPandas batching, output schemas
+mirroring the reference's inference result fields, model-per-partition
+init point) is the real production shape; only the per-batch scoring
+function is the swap point for a real model:
+
+- ``text_embedding`` / ``pass_through``: hashed bag-of-tokens encoder
+  (ml/embeddings.py).
+- ``zero_shot_classification`` / ``text_classification``: bi-encoder
+  shape — embed text and each candidate label with the same encoder,
+  softmax over cosine scores.
+- ``text_similarity``: cosine of hashed embeddings.
+- ``text_expansion``: SPLADE-shaped sparse token->weight map,
+  weight = ln(1 + tf).
+- ``ner``: rule-based tagger (emails -> MISC, capitalized token runs
+  -> PER-ish MISC spans) with character offsets.
+- ``question_answering``: extractive span = the sentence with maximal
+  token overlap with the question.
+- ``fill_mask``: requires a real masked-LM — ImportError-gated on
+  torch+transformers.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+import re
+from typing import Callable, Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
-from .embeddings import embed_text
+from .embeddings import embed_text, hashed_embedding_batch
 
 __all__ = ["SUPPORTED_TASK_TYPES", "TransformerModel", "task_supported"]
 
@@ -49,9 +69,67 @@ def _require_torch(task_type: str) -> None:
     except ImportError as e:
         raise ImportError(
             f"task {task_type!r} needs torch+transformers, which are not "
-            "installed in this environment; only 'text_embedding' runs "
-            "without them (hashed stand-in encoder)"
+            "installed in this environment; every other task runs on a "
+            "deterministic no-torch stand-in"
         ) from e
+
+
+def _embed_np(texts, dim: int) -> np.ndarray:
+    return np.asarray(hashed_embedding_batch(pd.Series(list(texts)), dim))
+
+
+def _cos_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine; zero vectors score 0."""
+    num = (a * b).sum(axis=1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+
+
+_EMAIL = re.compile(r"[\w.+-]+@[\w-]+\.[\w.]+")
+_CAPRUN = re.compile(r"\b(?:[A-Z][a-z]+)(?:\s+[A-Z][a-z]+)*\b")
+_SENT = re.compile(r"[^.!?]+[.!?]?")
+_TOK = re.compile(r"[a-z0-9]+")
+
+
+def _ner_row(text: str) -> list[dict]:
+    ents = []
+    for m in _EMAIL.finditer(text):
+        ents.append(
+            {"entity": m.group(0), "class_name": "MISC",
+             "start_pos": m.start(), "end_pos": m.end()}
+        )
+    taken = [(e["start_pos"], e["end_pos"]) for e in ents]
+    for m in _CAPRUN.finditer(text):
+        if m.start() == 0 and " " not in m.group(0):
+            continue  # lone sentence-initial capital: ambiguous, skip
+        if any(s <= m.start() < e for s, e in taken):
+            continue
+        ents.append(
+            {"entity": m.group(0), "class_name": "PER",
+             "start_pos": m.start(), "end_pos": m.end()}
+        )
+    return sorted(ents, key=lambda e: e["start_pos"])
+
+
+def _qa_row(question: str, context: str) -> dict:
+    q_toks = set(_TOK.findall(question.lower()))
+    best, best_ov, best_span = None, -1.0, (0, 0)
+    for m in _SENT.finditer(context):
+        toks = set(_TOK.findall(m.group(0).lower()))
+        ov = len(q_toks & toks) / max(len(q_toks), 1)
+        if ov > best_ov:  # strict '>' keeps the EARLIEST best sentence
+            best, best_ov, best_span = m.group(0).strip(), ov, (m.start(), m.end())
+    return {
+        "predicted_value": best or "",
+        "start_pos": best_span[0],
+        "end_pos": best_span[1],
+        "prediction_probability": float(best_ov),
+    }
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
 
 
 class TransformerModel:
@@ -59,11 +137,26 @@ class TransformerModel:
     eland/ml/pytorch/transformers.py:336+).
 
     ``apply(df, text_col)`` appends the task's output column via a
-    mapInPandas stage — the model (when torch is present) is loaded
-    once per partition, Arrow-batched, GPU-friendly.
+    mapInPandas stage — the per-batch scoring function is the swap
+    point for a real model; init happens once per partition,
+    Arrow-batched, GPU-friendly.
+
+    Task parameters: ``labels`` (text_classification default
+    ['negative','positive'] / zero_shot_classification required),
+    ``query`` (text_similarity), ``question`` (question_answering),
+    ``top_k`` (text_expansion).
     """
 
-    def __init__(self, model_id: str, task_type: str, dim: int = 64):
+    def __init__(
+        self,
+        model_id: str,
+        task_type: str,
+        dim: int = 64,
+        labels: list[str] | None = None,
+        query: str | None = None,
+        question: str | None = None,
+        top_k: int = 5,
+    ):
         if not task_supported(task_type):
             raise ValueError(
                 f"unknown task {task_type!r}; supported: {SUPPORTED_TASK_TYPES}"
@@ -71,24 +164,122 @@ class TransformerModel:
         self.model_id = model_id
         self.task_type = task_type
         self.dim = dim
+        self.labels = labels
+        self.query = query
+        self.question = question
+        self.top_k = top_k
+
+    # -- task bodies (per-batch, numpy/pandas — the model swap point) --
+
+    def _classify(self, texts: pd.Series, labels: list[str]) -> pd.Series:
+        emb = _embed_np(texts, self.dim)
+        lab = _embed_np(labels, self.dim)
+        scores = np.stack([_cos_rows(emb, np.tile(v, (len(emb), 1))) for v in lab], 1)
+        probs = _softmax(scores)
+        idx = probs.argmax(axis=1)
+        return pd.Series(
+            [
+                {"predicted_value": labels[i], "prediction_probability": float(p[i])}
+                for i, p in zip(idx, probs)
+            ]
+        )
+
+    def _expand(self, texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = _TOK.findall(str(t or "").lower())
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[: self.top_k]
+            out.append({k: float(np.log1p(v)) for k, v in top})
+        return pd.Series(out)
 
     def apply(
         self, df: DataFrame, text_col: str = "text", out_col: str | None = None
     ) -> DataFrame:
-        if self.task_type == "text_embedding":
-            return embed_text(
-                df, text_col, out_col or "embedding", dim=self.dim
+        t = self.task_type
+        if t == "text_embedding":
+            return embed_text(df, text_col, out_col or "embedding", dim=self.dim)
+        if t == "pass_through":
+            # raw model output = the encoder features themselves
+            return embed_text(df, text_col, out_col or "features", dim=self.dim)
+        if t == "fill_mask":
+            _require_torch(t)
+            raise NotImplementedError(  # pragma: no cover — needs torch
+                "fill_mask loader not wired in this environment"
             )
-        _require_torch(self.task_type)
-        raise NotImplementedError(  # pragma: no cover — needs torch
-            f"task {self.task_type!r} loader not wired in this environment"
-        )
+
+        oc = out_col or "prediction"
+        if t in ("text_classification", "zero_shot_classification"):
+            labels = self.labels or (
+                ["negative", "positive"] if t == "text_classification" else None
+            )
+            if not labels:
+                raise ValueError("zero_shot_classification needs labels=[...]")
+            ret = T.StructType(
+                [
+                    T.StructField("predicted_value", T.StringType()),
+                    T.StructField("prediction_probability", T.DoubleType()),
+                ]
+            )
+            fn = lambda s: self._classify(s, labels)  # noqa: E731
+        elif t == "text_similarity":
+            if not self.query:
+                raise ValueError("text_similarity needs query='...'")
+            qv = _embed_np([self.query], self.dim)
+
+            def fn(s: pd.Series) -> pd.Series:
+                emb = _embed_np(s, self.dim)
+                return pd.Series(_cos_rows(emb, np.tile(qv[0], (len(emb), 1))))
+
+            ret = T.DoubleType()
+        elif t == "text_expansion":
+            ret = T.MapType(T.StringType(), T.DoubleType())
+            fn = self._expand
+        elif t == "ner":
+            ret = T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("entity", T.StringType()),
+                        T.StructField("class_name", T.StringType()),
+                        T.StructField("start_pos", T.IntegerType()),
+                        T.StructField("end_pos", T.IntegerType()),
+                    ]
+                )
+            )
+            fn = lambda s: pd.Series([_ner_row(str(x or "")) for x in s])  # noqa: E731
+        elif t == "question_answering":
+            if not self.question:
+                raise ValueError("question_answering needs question='...'")
+            q = self.question
+            ret = T.StructType(
+                [
+                    T.StructField("predicted_value", T.StringType()),
+                    T.StructField("start_pos", T.IntegerType()),
+                    T.StructField("end_pos", T.IntegerType()),
+                    T.StructField("prediction_probability", T.DoubleType()),
+                ]
+            )
+            fn = lambda s: pd.Series([_qa_row(q, str(x or "")) for x in s])  # noqa: E731
+        else:  # pragma: no cover — registry and branches are exhaustive
+            raise NotImplementedError(t)
+
+        out_schema = T.StructType(df.schema.fields + [T.StructField(oc, ret, True)])
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # model init happens HERE, once per partition (torch swap point)
+            for pdf in batches:
+                chunk = pdf.copy()
+                chunk[oc] = fn(chunk[text_col]).values
+                yield chunk
+
+        return df.mapInPandas(run, out_schema)
 
     def encoder(self) -> Callable:
         """The per-batch encode function (swap point for a real model)."""
-        if self.task_type == "text_embedding":
-            from .embeddings import hashed_embedding_batch
-
+        if self.task_type in ("text_embedding", "pass_through"):
             return hashed_embedding_batch
-        _require_torch(self.task_type)
-        raise NotImplementedError(self.task_type)  # pragma: no cover
+        if self.task_type == "fill_mask":
+            _require_torch(self.task_type)
+        raise NotImplementedError(self.task_type)

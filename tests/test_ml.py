@@ -172,8 +172,9 @@ def test_transformer_model_task_registry(spark):
     out2 = m.apply(sdf).toPandas()
     assert list(out["embedding"].iloc[0]) == list(out2["embedding"].iloc[0])
 
+    # only fill_mask still needs torch; ner et al. run on stand-ins
     with pytest.raises(ImportError, match="torch"):
-        TransformerModel("m", "ner").apply(sdf)
+        TransformerModel("m", "fill_mask").apply(sdf)
 
 
 # -- CLI (reference eland/cli/eland_import_hub_model.py:41-357) ----------
@@ -228,12 +229,70 @@ def test_cli_torch_task_registers_but_gates_at_apply(spark, tmp_path):
 
     reg = str(tmp_path / "registry")
     assert main([
-        "--hub-model-id", "org/bert-ner", "--registry", reg, "--task-type", "ner",
+        "--hub-model-id", "org/bert-fill-mask", "--registry", reg,
+        "--task-type", "fill_mask",
     ]) == 0
-    m = load_model("org__bert-ner", reg)
+    m = load_model("org__bert-fill-mask", reg)
     df = spark.createDataFrame([("x",)], ["text"])
     with _pytest.raises(ImportError, match="torch"):
         m.apply(df, "text")
+
+
+def test_nlp_task_standins_run_without_torch(spark):
+    """Every task except fill_mask runs on the deterministic no-torch
+    stand-ins; output schemas mirror the reference inference results
+    (predicted_value/prediction_probability/entities/spans)."""
+    from eland_spark.ml.pytorch import TransformerModel
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alice Johnson emailed bob@example.com about the offer."),
+            (2, "the cat sat on the mat and the cat slept."),
+        ],
+        ["id", "text"],
+    )
+
+    ner = TransformerModel("m", "ner").apply(df, "text").toPandas().set_index("id")
+    ents = {e["entity"]: e["class_name"] for e in ner.loc[1, "prediction"]}
+    assert ents.get("bob@example.com") == "MISC"
+    assert ents.get("Alice Johnson") == "PER"
+    e0 = ner.loc[1, "prediction"][0]
+    assert ner.loc[1].name == 1 and e0["start_pos"] == 0 and e0["end_pos"] == 13
+
+    zs = (
+        TransformerModel("m", "zero_shot_classification",
+                         labels=["cat story", "stock offer"])
+        .apply(df, "text").toPandas().set_index("id")
+    )
+    assert zs.loc[2, "prediction"]["predicted_value"] == "cat story"
+    assert 0.0 < zs.loc[2, "prediction"]["prediction_probability"] <= 1.0
+
+    qa = (
+        TransformerModel("m", "question_answering", question="who slept?")
+        .apply(df, "text").toPandas().set_index("id")
+    )
+    assert "slept" in qa.loc[2, "prediction"]["predicted_value"]
+
+    sim = (
+        TransformerModel("m", "text_similarity", query="the cat sat")
+        .apply(df, "text").toPandas().set_index("id")
+    )
+    assert sim.loc[2, "prediction"] > sim.loc[1, "prediction"]
+
+    exp = (
+        TransformerModel("m", "text_expansion", top_k=3)
+        .apply(df, "text").toPandas().set_index("id")
+    )
+    weights = dict(exp.loc[2, "prediction"])
+    assert set(weights) == {"the", "cat", "and"} and weights["the"] > weights["and"]
+
+    tc = TransformerModel("m", "text_classification").apply(df, "text").toPandas()
+    assert set(tc["prediction"].iloc[0].asDict() if hasattr(
+        tc["prediction"].iloc[0], "asDict") else tc["prediction"].iloc[0]) == {
+        "predicted_value", "prediction_probability"}
+
+    pt = TransformerModel("m", "pass_through").apply(df, "text").toPandas()
+    assert len(pt["features"].iloc[0]) == 64
 
 
 def test_xgboost_dump_parser_without_lib(spark):
