@@ -1231,6 +1231,24 @@ def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_minhash_near_dup_md5(spark, sf_dir) -> DataFrame:
+    """Portable-hash twin of minhash_near_dup: md5 shingle hashing
+    (operators/dedup.minhash_signatures portable=True) makes the ENTIRE
+    MinHash+LSH pipeline — tokenize, shingle, 64 affine permutations,
+    16-band bucketing, candidate join, jaccard estimate — reproducible
+    in DuckDB, so the flagship near-dup operator is hash-checked
+    end-to-end (xxhash64 stays the fast default in minhash_near_dup)."""
+    from eland_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    pairs = minhash_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=64, bands=16, portable=True
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64-based)."""
     from eland_spark.operators.dedup import simhash_frame
@@ -1453,6 +1471,76 @@ def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> 
                     * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
                  vec_id ASC
         LIMIT 10
+    """
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for q_minhash_near_dup_md5: the identical
+    tokenize -> k-shingle -> md5 hash -> (a*h+b) mod p min-signature ->
+    band-bucket join -> jaccard-estimate pipeline, with the same LCG
+    permutation constants emitted as literals. Band buckets join on
+    band CONTENT (Spark hashes the content to a key — same pair set)."""
+    from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    p = MINHASH_PRIME
+    params = minhash_params(num_hashes, seed=42)
+    rpb = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * hv + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bandrows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS b, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"m{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = bb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM toks
+        ), e AS (
+            SELECT doc_id, unnest(ss) AS s FROM sh
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p} AS hv
+            FROM e
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h GROUP BY doc_id
+        ), bandrows AS (
+            {bandrows}
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bandrows l JOIN bandrows r
+              ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig bb ON bb.doc_id = c.id_b
+        WHERE ({matches}) / {float(num_hashes)} >= {threshold}
     """
 
 
@@ -1821,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_near_dup_md5": q_minhash_near_dup_md5,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ml_tree_score": q_ml_tree_score,
@@ -2586,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         # embed_topk: md5-hashed stand-in encoder, no DuckDB equivalent
         # -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
+        "minhash_near_dup_md5": _minhash_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
         "embed_dedup": _embed_dedup_oracle_sql(),
         "sample_exact_n": """

@@ -288,6 +288,37 @@ class DataFrameGroupBy:
         kept = tuple(c for c in self._frame.index_cols if c in out.columns)
         return DataFrame(out, index_cols=kept)
 
+    def filter_expr(self, expr: str) -> DataFrame:
+        """JVM-side aggregate-predicate group filter — the scale path
+        :meth:`filter`'s docstring points to: ``expr`` is a SQL boolean
+        over aggregates of the group (HAVING semantics, e.g.
+        ``"sum(o_totalprice) > 1e6 AND count(*) >= 5"``). Plan: one
+        keyed aggregation producing the keep-set of group keys, then a
+        semi-join back — the keep-set is tiny relative to the data, so
+        AQE promotes the join to broadcast; zero Python, no per-group
+        materialization, safe on skewed keys where :meth:`filter`
+        would serialize the biggest group through one executor's
+        pandas heap."""
+        schema = self._frame._schema
+        sdf, _ = self._grouped_sdf()
+        # work in display-name space so expr uses user-visible names
+        disp = sdf.select(
+            *[F.col(f.column_name).alias(f.display_name) for f in schema.fields]
+        )
+        keep = (
+            disp.groupBy(*[F.col(b) for b in self._by])
+            .agg(F.expr(expr).alias("__keep__"))
+            .filter(F.col("__keep__"))
+            .drop("__keep__")
+        )
+        left, right = disp.alias("__l__"), keep.alias("__r__")
+        cond = None
+        for b in self._by:
+            c = F.col(f"__l__.{b}").eqNullSafe(F.col(f"__r__.{b}"))
+            cond = c if cond is None else (cond & c)
+        out = left.join(right, on=cond, how="left_semi")
+        return DataFrame(out, index_cols=tuple(self._frame.index_cols))
+
     def transform(self, func: str, numeric_only: bool | None = True) -> DataFrame:
         """Group-broadcast aggregation: every row gets its group's
         aggregate (pandas ``groupby().transform``; net-new — the

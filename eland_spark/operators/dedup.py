@@ -253,12 +253,18 @@ def shingle_rows(sdf, text: Column, id_alias: Column, k: int = 3, dedup: bool = 
 
 
 def minhash_signatures(
-    sdf, text: Column, id_alias: Column, k: int = 3, num_hashes: int = 64, seed: int = 42
+    sdf, text: Column, id_alias: Column, k: int = 3, num_hashes: int = 64,
+    seed: int = 42, portable: bool = False,
 ):
     """(id, sig: array<bigint>) via explode -> hash once per shingle ->
     num_hashes affine permutations -> min-aggregate. All primitive ops
     inside one HashAggregate (map-side partial combine), one shuffle on
-    the doc id."""
+    the doc id.
+
+    ``portable=True`` hashes shingles with md5 (first 15 hex chars)
+    instead of xxhash64 — bit-identical on any engine with md5, so a
+    SQL oracle reproduces the exact signatures; xxhash64 stays the
+    default (faster) when cross-engine parity isn't needed."""
     from .parallelism import ensure_parallelism
 
     params = minhash_params(num_hashes, seed)
@@ -269,8 +275,12 @@ def minhash_signatures(
     # dedup=False: min() is duplicate-insensitive, so the distinct
     # shuffle would be pure waste (the groupBy below is the one shuffle)
     rows = shingle_rows(sdf, text, id_alias, k, dedup=False)
+    if portable:
+        raw = F.conv(F.substring(F.md5("__sh__"), 1, 15), 16, 10).cast("bigint")
+    else:
+        raw = F.xxhash64("__sh__")
     hashed = rows.select(
-        "__id__", F.pmod(F.xxhash64("__sh__"), F.lit(MINHASH_PRIME)).alias("__h__")
+        "__id__", F.pmod(raw, F.lit(MINHASH_PRIME)).alias("__h__")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("__h__") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
@@ -357,6 +367,7 @@ def minhash_candidate_pairs(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ):
     """Candidate near-dup pairs with estimated Jaccard (signature
     agreement fraction). Returns a Spark DataFrame (id_a, id_b,
@@ -378,7 +389,9 @@ def minhash_candidate_pairs(
     text = F.col(schema.resolve(text_col))
     idc = F.col(schema.resolve(id_col))
 
-    sig = minhash_signatures(df._sdf, text, idc, k, num_hashes).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        df._sdf, text, idc, k, num_hashes, portable=portable
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "__id__", F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__")
     )

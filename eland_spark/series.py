@@ -822,21 +822,25 @@ class Series:
         target = pd_to_spark_type(dtype)
         return self._derived(self._expr.cast(target), target)
 
-    def rank(self, method: str = "average", ascending: bool = True):
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False):
         """pandas ``Series.rank`` as a lazy frame (index columns +
         ``rank``). Global ranks come from the windowless range-sort
         operator (operators/ranking.py — no empty-PARTITION-BY
         single-reducer cliff); tie methods ``average``/``min``/``max``
         add one value-partitioned window (hash shuffle on the value),
-        ``first`` is the raw global row number. Nulls rank null
-        (pandas NaN), excluded from the count."""
+        ``dense`` range-ranks the DISTINCT values and hash-joins back
+        (small side, still windowless), ``first`` is the raw global
+        row number. ``pct=True`` divides by the non-null count (dense:
+        the distinct-value count) carried as a broadcast 1-row
+        aggregate. Nulls rank null (pandas NaN), excluded from the
+        count."""
         from pyspark.sql import Window
 
         from .frame import DataFrame as EDF
         from .operators.ranking import with_global_rank
 
-        if method not in ("average", "min", "max", "first"):
-            raise ValueError("method must be average/min/max/first")
+        if method not in ("average", "min", "max", "first", "dense"):
+            raise ValueError("method must be average/min/max/first/dense")
         frame = self._frame
         icols = list(frame.index_cols)
         if not icols:
@@ -850,6 +854,17 @@ class Series:
         )
         if method == "first":
             expr = F.col("__rn__").cast("double")
+        elif method == "dense":
+            # dense = the value's rank among DISTINCT values: rank the
+            # (much smaller) distinct set with the same windowless
+            # range-sort operator, hash-join back on the value — no
+            # global single-partition window anywhere
+            dvals = nonnull.select("__val__").distinct()
+            dranked = with_global_rank(
+                dvals, ["__val__"], ascending=ascending, rank_col="__dr__"
+            )
+            ranked = ranked.join(dranked, on="__val__")
+            expr = F.col("__dr__").cast("double")
         else:
             agg = {"min": F.min, "max": F.max, "average": F.avg}[method]
             expr = (
@@ -857,6 +872,18 @@ class Series:
                 .over(Window.partitionBy(F.col("__val__")))
                 .cast("double")
             )
+        if pct:
+            # pandas pct denominator: non-null count (dense: distinct
+            # non-null count) — a 1-row aggregate broadcast in, never a
+            # global unpartitioned window
+            den_agg = (
+                F.countDistinct("__val__")
+                if method == "dense"
+                else F.count(F.lit(1))
+            )
+            denom = nonnull.agg(den_agg.cast("double").alias("__den__"))
+            ranked = ranked.crossJoin(F.broadcast(denom))
+            expr = expr / F.col("__den__")
         out = ranked.select(*icols, expr.alias("rank"))
         nulls = base.filter(F.col("__val__").isNull()).select(
             *icols, F.lit(None).cast("double").alias("rank")

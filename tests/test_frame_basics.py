@@ -740,22 +740,40 @@ def test_groupby_apply_pandas_matches_pandas(orders, orders_pd):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_groupby_filter_expr_jvm(orders, orders_pd):
+    r = orders.groupby("o_orderstatus").filter_expr(
+        "sum(o_totalprice) > 1000000 AND count(*) >= 5"
+    )
+    got = r.to_spark().toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    exp = (
+        orders_pd.groupby("o_orderstatus")
+        .filter(lambda g: g.o_totalprice.sum() > 1000000 and len(g) >= 5)
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert (got.o_orderkey.values == exp.o_orderkey.values).all()
+    # the whole pipeline stays JVM-side (HAVING-agg + semi-join)
+    plan = r.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+
+
 def test_series_rank_matches_pandas(orders, orders_pd):
     pdf = orders_pd.set_index("o_orderkey").sort_index()
     for col, asc in [("o_custkey", True), ("o_totalprice", False)]:
         s = orders[col]
-        for method in ["average", "min", "max", "first"]:
-            got = (
-                s.rank(method=method, ascending=asc)
-                .to_spark()
-                .toPandas()
-                .set_index("o_orderkey")
-                .sort_index()["rank"]
-            )
-            exp = pdf[col].rank(method=method, ascending=asc)
-            assert (abs(got - exp) < 1e-9).all(), (col, method)
+        for method in ["average", "min", "max", "first", "dense"]:
+            for pct in [False, True]:
+                got = (
+                    s.rank(method=method, ascending=asc, pct=pct)
+                    .to_spark()
+                    .toPandas()
+                    .set_index("o_orderkey")
+                    .sort_index()["rank"]
+                )
+                exp = pdf[col].rank(method=method, ascending=asc, pct=pct)
+                assert (abs(got - exp) < 1e-9).all(), (col, method, pct)
     with pytest.raises(ValueError, match="method"):
-        orders["o_custkey"].rank(method="dense")
+        orders["o_custkey"].rank(method="bogus")
 
 
 def test_crosstab_and_series_astype(orders, orders_pd):
