@@ -1259,6 +1259,33 @@ def q_simhash(spark, sf_dir) -> DataFrame:
     return out.select(F.col("__id__").alias("doc_id"), F.col("__simhash__").alias("simhash"))
 
 
+def q_simhash_md5(spark, sf_dir) -> DataFrame:
+    """Portable-hash twin of q_simhash: md5-derived 64-bit shingle
+    pattern (simhash_frame portable=True) — the fingerprint itself is
+    hash-checked bit-for-bit against the DuckDB oracle."""
+    from eland_spark.operators.dedup import simhash_frame
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sdf = docs.to_spark().filter(F.col("doc_id") < 100)
+    out = simhash_frame(sdf, F.col("text"), F.col("doc_id"), 2, portable=True)
+    return out.select(
+        F.col("__id__").alias("doc_id"), F.col("__simhash__").alias("simhash")
+    )
+
+
+def q_simhash_near_dup_md5(spark, sf_dir) -> DataFrame:
+    """Portable-hash twin of q_simhash_near_dup: pigeonhole banding +
+    hamming verify over md5-portable fingerprints, fully reproduced in
+    SQL (band content equality, bit_count(xor) distance)."""
+    from eland_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return simhash_near_dup_pairs(
+        docs.to_spark(), F.col("text"), F.col("doc_id"), k=2, max_hamming=3,
+        portable=True,
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     """Exact 3-gram Jaccard between all doc pairs of one source bucket
     (verification metric for near-dup candidates)."""
@@ -1542,6 +1569,79 @@ def _minhash_oracle_sql(
         JOIN sig bb ON bb.doc_id = c.id_b
         WHERE ({matches}) / {float(num_hashes)} >= {threshold}
     """
+
+
+def _simhash_tok_cte(k: int, where: str = "") -> str:
+    """Shared token/shingle/hash CTE prefix for the SimHash oracles
+    (identical tokenize -> k-shingle -> md5 64-bit pattern pipeline)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents {where}
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM toks
+        ), e AS (
+            SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, unnest(ss) AS s FROM sh)
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+            FROM e
+        ), v AS (
+            SELECT doc_id,
+                   {",".join(f"sum(CASE WHEN (u >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(64))}
+            FROM h GROUP BY doc_id
+        ), f AS (
+            SELECT doc_id,
+                   ({" + ".join(f"(CASE WHEN b{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(64))}) AS fpu
+            FROM v
+        ), fp AS (
+            SELECT doc_id,
+                   (CASE WHEN fpu >= 9223372036854775808 THEN
+                         fpu - 18446744073709551616 ELSE fpu END)::BIGINT AS s64,
+                   fpu::UBIGINT AS u64
+            FROM f
+        )"""
+
+
+def _simhash_oracle_sql(k: int = 2, id_limit: int = 100) -> str:
+    """DuckDB oracle for q_simhash_md5: the md5-portable fingerprint."""
+    return (
+        _simhash_tok_cte(k, f"WHERE doc_id < {id_limit}")
+        + "\n        SELECT doc_id, s64 AS simhash FROM fp"
+    )
+
+
+def _simhash_pairs_oracle_sql(k: int = 2, max_hamming: int = 3) -> str:
+    """DuckDB oracle for q_simhash_near_dup_md5: pigeonhole banding on
+    the portable fingerprint, hamming verify via bit_count(xor)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bandrows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, (u64 >> {b * width}) & {mask} AS bits, s64 FROM fp"
+        for b in range(n_bands)
+    )
+    return (
+        _simhash_tok_cte(k)
+        + f""", bandrows AS (
+            {bandrows}
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.s64, r.s64)) AS hamming
+        FROM bandrows l JOIN bandrows r
+          ON l.b = r.b AND l.bits = r.bits AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.s64, r.s64)) <= {max_hamming}
+    """
+    )
 
 
 def _ivf_oracle_sql(n_cells: int = 8, nprobe: int = 3, k: int = 10) -> str:
@@ -1911,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
         "ngram_jaccard": q_ngram_jaccard,
         "ml_tree_score": q_ml_tree_score,
         "ltr_features": q_ltr_features,
@@ -1928,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_near_dup_md5": q_simhash_near_dup_md5,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "sample_exact_n": q_sample_exact_n,
@@ -2676,6 +2778,8 @@ def oracle_sql() -> dict[str, str]:
         # -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
         "minhash_near_dup_md5": _minhash_oracle_sql(),
+        "simhash_md5": _simhash_oracle_sql(),
+        "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
         "embed_dedup": _embed_dedup_oracle_sql(),
         "sample_exact_n": """

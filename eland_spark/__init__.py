@@ -10,6 +10,7 @@ search/aggregation requests. See SURVEY.md for the full mapping.
 from .etl import (
     csv_to_spark,
     pandas_to_spark,
+    read_binary,
     read_csv,
     read_json,
     read_orc,
@@ -54,6 +55,7 @@ __all__ = [
     "Schema",
     "get_session",
     "read_parquet",
+    "read_binary",
     "read_orc",
     "read_csv",
     "read_json",

@@ -24,6 +24,7 @@ __all__ = [
     "read_orc",
     "read_csv",
     "read_json",
+    "read_binary",
     "read_table",
     "save_as_table",
     "pandas_to_spark",
@@ -276,6 +277,29 @@ def read_orc(
     for k, v in options.items():
         reader = reader.option(k, v)
     sdf = reader.orc(path)
+    idx = (index_col,) if isinstance(index_col, str) else tuple(index_col or ())
+    return DataFrame(sdf, index_cols=idx)
+
+
+def read_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    index_col: str | list[str] | None = "path",
+) -> DataFrame:
+    """Raw-file source for multimodal ingestion (Spark's built-in
+    ``binaryFile`` format): one row per file with ``path``,
+    ``modificationTime``, ``length``, ``content`` (binary) — the
+    entry point that feeds ``operators/multimodal.py`` decode/resize/
+    feature UDFs. ``glob`` filters file names (``pathGlobFilter``, e.g.
+    ``"*.jpg"``). Column pruning applies: a query that never touches
+    ``content`` reads only file metadata, so listings over petabyte
+    image stores stay cheap; filters on path/length prune before any
+    bytes load."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    sdf = reader.load(path)
     idx = (index_col,) if isinstance(index_col, str) else tuple(index_col or ())
     return DataFrame(sdf, index_cols=idx)
 

@@ -422,17 +422,29 @@ def minhash_candidate_pairs(
     )
 
 
-def simhash_frame(sdf, text: Column, id_alias: Column, k: int = 2):
+def simhash_frame(
+    sdf, text: Column, id_alias: Column, k: int = 2, portable: bool = False
+):
     """(id, simhash: bigint) — 64-bit SimHash over word k-shingles.
 
     Row-based: explode shingles, hash each once, then one groupBy with 64
     conditional sums (bit set -> +1 else -1); sign of each sum is the
-    fingerprint bit. Single shuffle, map-side combinable, codegen'd."""
+    fingerprint bit. Single shuffle, map-side combinable, codegen'd.
+
+    ``portable=True`` builds the 64-bit shingle hash from md5 (two
+    32-bit halves recombined with shift/or — exact bit pattern on any
+    engine with md5) instead of xxhash64, enabling a SQL oracle."""
     from .parallelism import ensure_parallelism
 
     sdf = ensure_parallelism(sdf, id_alias)
     rows = shingle_rows(sdf, text, id_alias, k)
-    hashed = rows.select("__id__", F.xxhash64("__sh__").alias("__h__"))
+    if portable:
+        hi = F.conv(F.substring(F.md5("__sh__"), 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(F.md5("__sh__"), 9, 8), 16, 10).cast("bigint")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h = F.xxhash64("__sh__")
+    hashed = rows.select("__id__", h.alias("__h__"))
     aggs = []
     for i in range(64):
         bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
@@ -454,6 +466,7 @@ def simhash_near_dup_pairs(
     id_alias: Column,
     k: int = 2,
     max_hamming: int = 3,
+    portable: bool = False,
 ):
     """SimHash near-dup candidate pairs within a hamming radius.
 
@@ -465,7 +478,7 @@ def simhash_near_dup_pairs(
     Returns (id_a, id_b, hamming)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    fp = simhash_frame(sdf, text, id_alias, k)
+    fp = simhash_frame(sdf, text, id_alias, k, portable=portable)
     bands = F.array(
         *[
             F.struct(

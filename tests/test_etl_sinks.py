@@ -253,3 +253,26 @@ def test_read_parquet_multi_path_conflict_first_wins(spark, tmp_path):
     assert str(df.to_spark().schema["v"].dataType.simpleString()) == "bigint"
     # column missing from the first path surfaces as nulls there
     assert pdf["extra"].isna().sum() == 2
+
+
+def test_read_binary_source(spark, tmp_path):
+    import eland_spark as es
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02\x03")
+    (d / "b.bin").write_bytes(b"\xff" * 10)
+    (d / "c.txt").write_text("not binary payload")
+    df = es.read_binary(spark, str(d), glob="*.bin")
+    pdf = df.to_spark().toPandas()
+    assert len(pdf) == 2
+    assert sorted(len(c) for c in pdf["content"]) == [4, 10]
+    # metadata-only projection must prune the content column from the scan
+    plan = (
+        df.to_spark()
+        .select("path", "length")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan
