@@ -320,6 +320,27 @@ def q_pack_documents(spark, sf_dir) -> DataFrame:
     return pack_documents(wt, "doc_id", "n_tokens", 2048)
 
 
+def q_pack_documents_seq(spark, sf_dir) -> DataFrame:
+    """Sequential twin of pack_documents: a single doc_id-sorted
+    partition pins the greedy next-fit scan order, so DuckDB replays
+    the exact bin state machine with a recursive CTE — the packing
+    operator's core logic is hash-checked end-to-end (pack_documents
+    stays the zero-shuffle per-partition scale path)."""
+    from eland_spark.operators.packing import pack_documents
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = (
+        docs.select(
+            "doc_id",
+            bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    return pack_documents(wt, "doc_id", "n_tokens", 2048)
+
+
 def q_weighted_sample(spark, sf_dir) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     exponential keys, operators/sampling.py): quality-proportional
@@ -395,6 +416,20 @@ def q_near_dup_components(spark, sf_dir) -> DataFrame:
     from eland_spark.operators.dedup import near_dup_components
 
     return near_dup_components(docs, "text", "doc_id", threshold=0.6)
+
+
+def q_near_dup_components_md5(spark, sf_dir) -> DataFrame:
+    """Portable-hash twin of near_dup_components: md5 shingle hashing
+    makes the WHOLE clustering pipeline — MinHash pairs AND the
+    connected-components labeling — reproducible in DuckDB (pairs via
+    the shared portable CTEs, closure via a recursive CTE), so the
+    dedup finisher is hash-checked end-to-end, not just row-counted
+    (xxhash64 stays the fast default in near_dup_components)."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    from eland_spark.operators.dedup import near_dup_components
+
+    out = near_dup_components(docs, "text", "doc_id", threshold=0.6, portable=True)
+    return out.select(F.col("node").alias("doc_id"), F.col("component"))
 
 
 def q_duplicated_flags(spark, sf_dir) -> DataFrame:
@@ -1501,14 +1536,16 @@ def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> 
     """
 
 
-def _minhash_oracle_sql(
-    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
-) -> str:
-    """DuckDB oracle for q_minhash_near_dup_md5: the identical
-    tokenize -> k-shingle -> md5 hash -> (a*h+b) mod p min-signature ->
-    band-bucket join -> jaccard-estimate pipeline, with the same LCG
+def _minhash_cand_ctes(
+    num_hashes: int = 64, bands: int = 16, k: int = 3
+) -> tuple[str, str]:
+    """Shared WITH-clause interior for the portable-md5 MinHash oracles:
+    the identical tokenize -> k-shingle -> md5 hash -> (a*h+b) mod p
+    min-signature -> band-bucket join pipeline, with the same LCG
     permutation constants emitted as literals. Band buckets join on
-    band CONTENT (Spark hashes the content to a key — same pair set)."""
+    band CONTENT (Spark hashes the content to a key — same pair set).
+    Returns (cte_body ending at cand(id_a, id_b), per-pair
+    signature-match count expression over aliases a/bb)."""
     from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
 
     p = MINHASH_PRIME
@@ -1531,8 +1568,7 @@ def _minhash_oracle_sql(
         f"(CASE WHEN a.m{i} = bb.m{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
-    return f"""
-        WITH toks AS (
+    ctes = f"""toks AS (
             SELECT doc_id,
                    list_filter(string_split_regex(regexp_replace(lower(text),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
@@ -1561,13 +1597,102 @@ def _minhash_oracle_sql(
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM bandrows l JOIN bandrows r
               ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
-        )
+        )"""
+    return ctes, matches
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for q_minhash_near_dup_md5 (pipeline CTEs shared
+    with the components oracle — see _minhash_cand_ctes)."""
+    ctes, matches = _minhash_cand_ctes(num_hashes, bands, k)
+    return f"""
+        WITH {ctes}
         SELECT c.id_a, c.id_b,
                round(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
         FROM cand c
         JOIN sig a ON a.doc_id = c.id_a
         JOIN sig bb ON bb.doc_id = c.id_b
         WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
+    """DuckDB oracle for q_embed_topk: the hashed bag-of-words encoder
+    reproduced in SQL — md5 hex prefix -> UBIGINT bucket, count,
+    double-precision normalize, FLOAT cast (bit-identical to numpy's
+    float32 round) — then the same cosine top-k as ann_bruteforce."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents WHERE source = 'src0'
+        ), vecs AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+                        % {dim} AS BIGINT) AS b,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM toks GROUP BY 1, 2
+        ), ids AS (
+            SELECT DISTINCT doc_id FROM documents WHERE source = 'src0'
+        ), dense AS (
+            SELECT ids.doc_id, g.i, COALESCE(v.c, 0.0) AS c
+            FROM ids
+            CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+            LEFT JOIN vecs v ON v.doc_id = ids.doc_id AND v.b = g.i
+        ), nrm AS (
+            SELECT doc_id, sqrt(sum(c * c)) AS n FROM dense GROUP BY 1
+        ), emb AS (
+            SELECT d.doc_id,
+                   list(CAST(CASE WHEN n > 0 THEN c / n ELSE c END AS FLOAT)
+                        ORDER BY i) AS e
+            FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id, n
+        ), q AS (
+            SELECT e AS qe FROM emb
+            WHERE doc_id = (SELECT min(doc_id) FROM emb)
+        )
+        SELECT doc_id,
+               round(list_dot_product(e::DOUBLE[], qe::DOUBLE[])
+                     / (sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))
+                        * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))), 6)
+                   AS cos_sim
+        FROM emb, q
+        ORDER BY list_dot_product(e::DOUBLE[], qe::DOUBLE[])
+                 / (sqrt(list_dot_product(e::DOUBLE[], e::DOUBLE[]))
+                    * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))) DESC,
+                 doc_id ASC
+        LIMIT {k}
+    """
+
+
+def _near_dup_components_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.6
+) -> str:
+    """DuckDB oracle for q_near_dup_components_md5: the portable MinHash
+    pair pipeline closed into connected components with a recursive CTE
+    (label of a node = min reachable node id — algorithm-independent, so
+    it checks Spark's large-star/small-star contraction exactly)."""
+    ctes, matches = _minhash_cand_ctes(num_hashes, bands, k)
+    return f"""
+        WITH RECURSIVE {ctes}, p AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.id_a
+            JOIN sig bb ON bb.doc_id = c.id_b
+            WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION
+            SELECT id_b AS a, id_a AS b FROM p
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS component
+        FROM reach GROUP BY node
     """
 
 
@@ -1907,9 +2032,12 @@ def q_nlp_expansion(spark, sf_dir) -> DataFrame:
 
 
 def q_embed_topk(spark, sf_dir) -> DataFrame:
-    """Text-embedding operator + cosine top-k (rows-only: the hashed
-    stand-in encoder has no DuckDB equivalent). Reference text_embedding
-    task, eland/ml/pytorch/transformers.py task registry."""
+    """Text-embedding operator + cosine top-k, hash-checked end-to-end:
+    the stand-in encoder is md5 bag-of-words (ml/embeddings.py), so
+    DuckDB reproduces the embeddings BIT-FOR-BIT (hex-prefix UBIGINT
+    buckets, double-normalize, FLOAT cast) and the full embed->ANN
+    pipeline gets a SQL oracle. Reference text_embedding task,
+    eland/ml/pytorch/transformers.py task registry."""
     from eland_spark.frame import DataFrame as EDF
     from eland_spark.ml.embeddings import embed_text
     from eland_spark.operators.similarity import cosine_topk
@@ -1948,10 +2076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
+        "near_dup_components_md5": q_near_dup_components_md5,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
         "pack_documents": q_pack_documents,
+        "pack_documents_seq": q_pack_documents_seq,
         "hll_distinct": q_hll_distinct,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
@@ -2778,6 +2908,8 @@ def oracle_sql() -> dict[str, str]:
         # -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
         "minhash_near_dup_md5": _minhash_oracle_sql(),
+        "near_dup_components_md5": _near_dup_components_oracle_sql(),
+        "embed_topk": _embed_topk_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
@@ -2879,6 +3011,31 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
             ORDER BY count DESC, token ASC
             LIMIT 100
+        """,
+        "pack_documents_seq": """
+            WITH RECURSIVE wt AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(
+                            string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), d AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM wt
+            ), p(rn, doc_id, n_tokens, bin_id, fill) AS (
+                SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN p.fill + d.n_tokens > 2048
+                            THEN p.bin_id + 1 ELSE p.bin_id END,
+                       CASE WHEN p.fill + d.n_tokens > 2048
+                            THEN d.n_tokens ELSE p.fill + d.n_tokens END
+                FROM p JOIN d ON d.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tokens, bin_id FROM p
         """,
         "text_advanced": """
             WITH f AS (

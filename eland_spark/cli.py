@@ -6,9 +6,9 @@ protocol: "deploying" a model means registering a loader that
 executors resolve at run time (model-per-partition mapInPandas, see
 ml/pytorch.py). The CLI therefore writes a model-registry entry — a
 JSON document with the hub id, task type and encoder config — that
-``TransformerModel.from_registry`` resolves later. Torch-requiring
-tasks register fine (the dependency check happens at apply time, same
-as the ImportError gates in ml/pytorch.py).
+``TransformerModel.from_registry`` resolves later. Every task type
+applies on the deterministic no-torch stand-ins (ml/pytorch.py); a
+real model swaps in at the per-batch scorer.
 
 Usage:
     python -m eland_spark.cli --hub-model-id sentence-transformers/all-MiniLM-L6-v2 \

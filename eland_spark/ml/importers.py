@@ -263,11 +263,17 @@ def _from_xgboost(model, feature_names, cls: str) -> Ensemble:
 
 # -- lightgbm --------------------------------------------------------------
 
-def _from_lightgbm(model, feature_names, cls: str) -> Ensemble:
-    """Parse dump_model() (reference eland/ml/transformers/lightgbm.py).
-    NOTE: lightgbm default splits are `<=` with default_left flag —
-    identical traversal semantics to the IR."""
-    dump = model.booster_.dump_model()
+def ensemble_from_lgbm_dump(
+    dump: dict,
+    feature_names: list[str],
+    model_class: str = "LGBMRegressor",
+    labels: list | None = None,
+) -> Ensemble:
+    """Build the IR from a Booster's ``dump_model()`` dict — no lightgbm
+    import needed, so a vendored dump JSON tests the parser lib-free
+    (reference eland/ml/transformers/lightgbm.py walks the same
+    structure). NOTE: lightgbm default splits are `<=` with a
+    default_left flag — identical traversal semantics to the IR."""
 
     def walk(node, nodes, counter):
         idx = counter[0]
@@ -292,14 +298,28 @@ def _from_lightgbm(model, feature_names, cls: str) -> Ensemble:
         walk(tinfo["tree_structure"], nodes, [0])
         trees.append(Tree(feature_names, nodes))
 
-    if cls == "LGBMClassifier":
+    if model_class == "LGBMClassifier":
         n = int(dump.get("num_class", 1)) or 1
-        labels = [v.item() if hasattr(v, "item") else v
-                  for v in getattr(model, "classes_", range(max(n, 2)))]
+        lab = labels if labels is not None else list(range(max(n, 2)))
         if n > 1:
             _assign_class_columns(trees, n)
             return Ensemble(feature_names, trees, task="multiclass", n_classes=n,
-                            classification_labels=labels)
+                            classification_labels=lab)
         return Ensemble(feature_names, trees, task="binary",
-                        classification_labels=labels)
+                        classification_labels=lab)
     return Ensemble(feature_names, trees, task="regression")
+
+
+def _from_lightgbm(model, feature_names, cls: str) -> Ensemble:
+    """Extract dump_model() from a live model and delegate to the
+    lib-free parser."""
+    dump = model.booster_.dump_model()
+    n = int(dump.get("num_class", 1)) or 1
+    labels = [v.item() if hasattr(v, "item") else v
+              for v in getattr(model, "classes_", range(max(n, 2)))]
+    return ensemble_from_lgbm_dump(
+        dump,
+        feature_names,
+        model_class=cls,
+        labels=labels if cls == "LGBMClassifier" else None,
+    )

@@ -8,11 +8,11 @@ loaded once per partition inside a mapInPandas stage, so "import" means
 registering a loader; no upload protocol exists or is needed.
 
 torch/transformers are not installed in this environment, so every task
-except ``fill_mask`` runs on a deterministic NO-TORCH STAND-IN clearly
-named below — the Spark plumbing (mapInPandas batching, output schemas
-mirroring the reference's inference result fields, model-per-partition
-init point) is the real production shape; only the per-batch scoring
-function is the swap point for a real model:
+runs on a deterministic NO-TORCH STAND-IN clearly named below — the
+Spark plumbing (mapInPandas batching, output schemas mirroring the
+reference's inference result fields, model-per-partition init point) is
+the real production shape; only the per-batch scoring function is the
+swap point for a real model:
 
 - ``text_embedding`` / ``pass_through``: hashed bag-of-tokens encoder
   (ml/embeddings.py).
@@ -26,8 +26,9 @@ function is the swap point for a real model:
   -> PER-ish MISC spans) with character offsets.
 - ``question_answering``: extractive span = the sentence with maximal
   token overlap with the question.
-- ``fill_mask``: requires a real masked-LM — ImportError-gated on
-  torch+transformers.
+- ``fill_mask``: candidate tokens from the context's own vocabulary,
+  scored by cosine(embed(text with ``[MASK]`` filled), embed(context))
+  and softmaxed — a masked-LM-shaped ranker over the same bi-encoder.
 """
 
 from __future__ import annotations
@@ -60,18 +61,6 @@ SUPPORTED_TASK_TYPES = [
 
 def task_supported(task_type: str) -> bool:
     return task_type in SUPPORTED_TASK_TYPES
-
-
-def _require_torch(task_type: str) -> None:
-    try:
-        import torch  # noqa: F401
-        import transformers  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            f"task {task_type!r} needs torch+transformers, which are not "
-            "installed in this environment; every other task runs on a "
-            "deterministic no-torch stand-in"
-        ) from e
 
 
 def _embed_np(texts, dim: int) -> np.ndarray:
@@ -184,6 +173,35 @@ class TransformerModel:
             ]
         )
 
+    def _fill_mask(self, text: str) -> dict:
+        """Masked-token prediction without torch: candidates are the
+        context's own vocabulary, each scored by the hashed bi-encoder
+        — cosine(embed(text with ``[MASK]`` -> candidate), embed(bare
+        context)) — then softmaxed; ties break lexicographically. A
+        real masked-LM plugs into the same per-batch swap point."""
+        empty = {"predicted_value": None, "prediction_probability": 0.0,
+                 "top_classes": []}
+        if "[MASK]" not in text:
+            return empty
+        ctx = text.replace("[MASK]", " ")
+        cands = sorted(set(_TOK.findall(ctx.lower())))
+        if not cands:
+            return empty
+        emb = _embed_np([ctx] + [text.replace("[MASK]", c) for c in cands],
+                        self.dim)
+        scores = _cos_rows(np.tile(emb[0], (len(cands), 1)), emb[1:])
+        probs = _softmax(scores[None, :])[0]
+        order = sorted(range(len(cands)), key=lambda i: (-probs[i], cands[i]))
+        top = [
+            {"class_name": cands[i], "class_probability": float(probs[i])}
+            for i in order[: self.top_k]
+        ]
+        return {
+            "predicted_value": top[0]["class_name"],
+            "prediction_probability": top[0]["class_probability"],
+            "top_classes": top,
+        }
+
     def _expand(self, texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
@@ -204,12 +222,6 @@ class TransformerModel:
         if t == "pass_through":
             # raw model output = the encoder features themselves
             return embed_text(df, text_col, out_col or "features", dim=self.dim)
-        if t == "fill_mask":
-            _require_torch(t)
-            raise NotImplementedError(  # pragma: no cover — needs torch
-                "fill_mask loader not wired in this environment"
-            )
-
         oc = out_col or "prediction"
         if t in ("text_classification", "zero_shot_classification"):
             labels = self.labels or (
@@ -234,6 +246,29 @@ class TransformerModel:
                 return pd.Series(_cos_rows(emb, np.tile(qv[0], (len(emb), 1))))
 
             ret = T.DoubleType()
+        elif t == "fill_mask":
+            ret = T.StructType(
+                [
+                    T.StructField("predicted_value", T.StringType()),
+                    T.StructField("prediction_probability", T.DoubleType()),
+                    T.StructField(
+                        "top_classes",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("class_name", T.StringType()),
+                                    T.StructField(
+                                        "class_probability", T.DoubleType()
+                                    ),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            )
+            fn = lambda s: pd.Series(  # noqa: E731
+                [self._fill_mask(str(x or "")) for x in s]
+            )
         elif t == "text_expansion":
             ret = T.MapType(T.StringType(), T.DoubleType())
             fn = self._expand
@@ -280,6 +315,4 @@ class TransformerModel:
         """The per-batch encode function (swap point for a real model)."""
         if self.task_type in ("text_embedding", "pass_through"):
             return hashed_embedding_batch
-        if self.task_type == "fill_mask":
-            _require_torch(self.task_type)
         raise NotImplementedError(self.task_type)

@@ -142,12 +142,18 @@ def near_dup_components(
     num_hashes: int = 64,
     bands: int = 16,
     max_iter: int = 10,
+    portable: bool = False,
 ):
     """End-to-end near-dup clustering: MinHash candidate pairs above
     ``threshold`` -> connected components. Returns (node, component);
     keep ``node == component`` rows for a canonical-representative
-    dedup policy."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, k, num_hashes, bands)
+    dedup policy. ``portable=True`` switches the shingle hash to md5
+    (see :func:`minhash_signatures`) so the whole pipeline — pairs AND
+    the component labeling — is reproducible in plain SQL (the driver
+    oracle closes the pair set with a recursive CTE)."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, k, num_hashes, bands, portable=portable
+    )
     return connected_components(
         pairs.filter(F.col("est_jaccard") >= threshold), max_iter=max_iter
     )

@@ -172,9 +172,24 @@ def test_transformer_model_task_registry(spark):
     out2 = m.apply(sdf).toPandas()
     assert list(out["embedding"].iloc[0]) == list(out2["embedding"].iloc[0])
 
-    # only fill_mask still needs torch; ner et al. run on stand-ins
-    with pytest.raises(ImportError, match="torch"):
-        TransformerModel("m", "fill_mask").apply(sdf)
+    # fill_mask runs on the bi-encoder stand-in: context-vocab ranking
+    fm = (
+        TransformerModel("m", "fill_mask", top_k=3)
+        .apply(spark.createDataFrame(
+            pd.DataFrame({"text": ["the cat sat on the [MASK] today", "no mask here"]})
+        ))
+        .toPandas()
+    )
+    p0 = fm["prediction"].iloc[0]
+    assert p0["predicted_value"] in {"the", "cat", "sat", "on", "today"}
+    assert 0.0 < p0["prediction_probability"] <= 1.0
+    assert len(p0["top_classes"]) == 3
+    probs = [c["class_probability"] for c in p0["top_classes"]]
+    assert probs == sorted(probs, reverse=True)
+    assert p0["top_classes"][0]["class_name"] == p0["predicted_value"]
+    # no [MASK] in the text -> null prediction, empty candidate list
+    p1 = fm["prediction"].iloc[1]
+    assert p1["predicted_value"] is None and len(p1["top_classes"]) == 0
 
 
 # -- CLI (reference eland/cli/eland_import_hub_model.py:41-357) ----------
@@ -222,9 +237,7 @@ def test_cli_start_smoke(spark, tmp_path):
     assert rc == 0
 
 
-def test_cli_torch_task_registers_but_gates_at_apply(spark, tmp_path):
-    import pytest as _pytest
-
+def test_cli_fill_mask_registers_and_applies(spark, tmp_path):
     from eland_spark.cli import load_model, main
 
     reg = str(tmp_path / "registry")
@@ -233,13 +246,13 @@ def test_cli_torch_task_registers_but_gates_at_apply(spark, tmp_path):
         "--task-type", "fill_mask",
     ]) == 0
     m = load_model("org__bert-fill-mask", reg)
-    df = spark.createDataFrame([("x",)], ["text"])
-    with _pytest.raises(ImportError, match="torch"):
-        m.apply(df, "text")
+    df = spark.createDataFrame([("fill the [MASK] please",)], ["text"])
+    out = m.apply(df, "text").toPandas()
+    assert out["prediction"].iloc[0]["predicted_value"] is not None
 
 
 def test_nlp_task_standins_run_without_torch(spark):
-    """Every task except fill_mask runs on the deterministic no-torch
+    """Every reference task type runs on the deterministic no-torch
     stand-ins; output schemas mirror the reference inference results
     (predicted_value/prediction_probability/entities/spans)."""
     from eland_spark.ml.pytorch import TransformerModel
@@ -339,6 +352,78 @@ def test_xgboost_dump_parser_without_lib(spark):
     # IR round-trips through the gzip+b64 serialization unchanged
     back = Ensemble.deserialize(ens.serialize())
     assert back.to_json() == ens.to_json()
+
+
+def test_lightgbm_dump_parser_without_lib(spark):
+    """Vendored dump_model() JSON (tests/fixtures/) drives the lightgbm
+    parser with the library absent — same contract as the xgboost dump
+    test; predictions are hand-traced through the `<=`/default_left
+    traversal."""
+    import json
+    import os
+
+    from eland_spark.ml.importers import ensemble_from_lgbm_dump
+    from eland_spark.ml.inference import score_columns
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "lgbm_dump_regression.json")
+    with open(path) as f:
+        fx = json.load(f)
+    ens = ensemble_from_lgbm_dump(
+        fx["dump"], fx["feature_names"], model_class=fx["model_class"]
+    )
+    assert ens.task == "regression" and len(ens.trees) == 2
+
+    rows = pd.DataFrame(
+        {
+            "qty": [10.0, 30.0, 20.0, np.nan, 10.0],
+            "disc": [0.01, 0.10, 0.07, 0.01, np.nan],
+        }
+    )
+    # hand-traced: left iff feature <= threshold; NaN follows default_left
+    expected = [
+        1.5 + 0.25,    # qty<=25, disc<=0.05 ; disc<=0.08
+        2.0 - 0.75,    # qty>25             ; disc>0.08
+        -0.5 + 0.25,   # qty<=25, disc>0.05 ; disc<=0.08
+        1.5 + 0.25,    # qty NaN -> root default_left=True
+        -0.5 + 0.25,   # disc NaN -> inner default_left=False, t1 default True
+    ]
+    sdf = spark.createDataFrame(rows)
+    got = score_columns(sdf, ens, out_col="p").toPandas()
+    np.testing.assert_allclose(
+        sorted(got["p"].astype(float)), sorted(expected), rtol=1e-12
+    )
+    back = Ensemble.deserialize(ens.serialize())
+    assert back.to_json() == ens.to_json()
+
+
+def test_lightgbm_dump_parser_binary_labels():
+    """Binary classifier path through the lib-free lightgbm parser:
+    labels ride through and the sign of the summed margin picks the
+    class."""
+    from eland_spark.ml.importers import ensemble_from_lgbm_dump
+
+    dump = {
+        "num_class": 1,
+        "tree_info": [
+            {
+                "tree_index": 0,
+                "tree_structure": {
+                    "split_feature": 0, "threshold": 1.0,
+                    "decision_type": "<=", "default_left": True,
+                    "left_child": {"leaf_index": 0, "leaf_value": 2.0},
+                    "right_child": {"leaf_index": 1, "leaf_value": -2.0},
+                },
+            }
+        ],
+    }
+    ens = ensemble_from_lgbm_dump(
+        dump, ["f0"], model_class="LGBMClassifier", labels=["no", "yes"]
+    )
+    assert ens.task == "binary"
+    assert ens.classification_labels == ["no", "yes"]
+    assert ens.predict_row([0.5]) == "yes"   # margin 2.0 -> positive class
+    assert ens.predict_row([3.0]) == "no"    # margin -2.0
 
 
 def test_xgboost_dump_parser_binary_margin():
