@@ -1618,38 +1618,49 @@ def _minhash_oracle_sql(
     """
 
 
-def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
-    """DuckDB oracle for q_embed_topk: the hashed bag-of-words encoder
-    reproduced in SQL — md5 hex prefix -> UBIGINT bucket, count,
-    double-precision normalize, FLOAT cast (bit-identical to numpy's
-    float32 round) — then the same cosine top-k as ann_bruteforce."""
-    return f"""
-        WITH toks AS (
-            SELECT doc_id,
+def _md5_emb_ctes(prefix: str, src: str, idc: str, dim: int = 64) -> str:
+    """CTE chain reproducing the hashed bag-of-words encoder
+    (ml/embeddings.hashed_embedding_batch) in SQL for each
+    (``idc``, text) row of CTE ``src``: md5 hex prefix -> UBIGINT
+    bucket, count, double-precision normalize, FLOAT cast
+    (bit-identical to numpy's float32 round). Final CTE is
+    ``{prefix}emb({idc}, e)``."""
+    return f"""{prefix}toks AS (
+            SELECT {idc},
                    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                       t -> t <> '')) AS tok
-            FROM documents WHERE source = 'src0'
-        ), vecs AS (
-            SELECT doc_id,
+            FROM {src}
+        ), {prefix}vecs AS (
+            SELECT {idc},
                    CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
                         % {dim} AS BIGINT) AS b,
                    CAST(count(*) AS DOUBLE) AS c
-            FROM toks GROUP BY 1, 2
-        ), ids AS (
-            SELECT DISTINCT doc_id FROM documents WHERE source = 'src0'
-        ), dense AS (
-            SELECT ids.doc_id, g.i, COALESCE(v.c, 0.0) AS c
-            FROM ids
+            FROM {prefix}toks GROUP BY 1, 2
+        ), {prefix}dense AS (
+            SELECT s.{idc}, g.i, COALESCE(v.c, 0.0) AS c
+            FROM (SELECT DISTINCT {idc} FROM {src}) s
             CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
-            LEFT JOIN vecs v ON v.doc_id = ids.doc_id AND v.b = g.i
-        ), nrm AS (
-            SELECT doc_id, sqrt(sum(c * c)) AS n FROM dense GROUP BY 1
-        ), emb AS (
-            SELECT d.doc_id,
+            LEFT JOIN {prefix}vecs v ON v.{idc} = s.{idc} AND v.b = g.i
+        ), {prefix}nrm AS (
+            SELECT {idc}, sqrt(sum(c * c)) AS n FROM {prefix}dense GROUP BY 1
+        ), {prefix}emb AS (
+            SELECT d.{idc},
                    list(CAST(CASE WHEN n > 0 THEN c / n ELSE c END AS FLOAT)
                         ORDER BY i) AS e
-            FROM dense d JOIN nrm USING (doc_id) GROUP BY d.doc_id, n
-        ), q AS (
+            FROM {prefix}dense d JOIN {prefix}nrm USING ({idc})
+            GROUP BY d.{idc}, n
+        )"""
+
+
+def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
+    """DuckDB oracle for q_embed_topk: SQL-reproduced encoder
+    (_md5_emb_ctes) + the same cosine top-k as ann_bruteforce."""
+    emb = _md5_emb_ctes(
+        "", "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        "doc_id", dim,
+    )
+    return f"""
+        WITH {emb}, q AS (
             SELECT e AS qe FROM emb
             WHERE doc_id = (SELECT min(doc_id) FROM emb)
         )
@@ -1664,6 +1675,42 @@ def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
                     * sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))) DESC,
                  doc_id ASC
         LIMIT {k}
+    """
+
+
+_NLP_LABELS = ["shipping update", "cooking recipe"]
+
+
+def _nlp_classify_oracle_sql(dim: int = 64) -> str:
+    """DuckDB oracle for q_nlp_classify: docs AND candidate labels both
+    embedded with the SQL-reproduced encoder, argmax over cosine (the
+    softmax in the task is monotone, so the predicted label is the
+    cosine argmax; ties break to the first label like np.argmax)."""
+    labs = ", ".join(
+        f"({i}, '{label}')" for i, label in enumerate(_NLP_LABELS)
+    )
+    demb = _md5_emb_ctes("d_", "(SELECT doc_id, text FROM documents)", "doc_id", dim)
+    lemb = _md5_emb_ctes("l_", "labs", "lab_id", dim)
+    return f"""
+        WITH labs AS (
+            SELECT * FROM (VALUES {labs}) AS t(lab_id, text)
+        ), {demb}, {lemb}, scored AS (
+            SELECT d.doc_id, l.lab_id,
+                   COALESCE(
+                       list_dot_product(d.e::DOUBLE[], l.e::DOUBLE[])
+                       / (sqrt(list_dot_product(d.e::DOUBLE[], d.e::DOUBLE[]))
+                          * sqrt(list_dot_product(l.e::DOUBLE[], l.e::DOUBLE[]))),
+                       0.0) AS cos
+            FROM d_emb d CROSS JOIN l_emb l
+        ), ranked AS (
+            SELECT doc_id, lab_id,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cos DESC, lab_id ASC) AS rn
+            FROM scored
+        )
+        SELECT r.doc_id, t.text AS label
+        FROM ranked r JOIN labs t ON t.lab_id = r.lab_id
+        WHERE r.rn = 1
     """
 
 
@@ -2031,6 +2078,26 @@ def q_nlp_expansion(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_nlp_classify(spark, sf_dir) -> DataFrame:
+    """zero_shot_classification NLP task (ml/pytorch.py no-torch
+    bi-encoder stand-in) with a FULL SQL oracle: both the documents and
+    the candidate labels go through the md5 bag-of-words encoder, and
+    the predicted label is the cosine argmax (softmax is monotone) —
+    DuckDB replays the whole decision. Reference task registry:
+    eland/ml/pytorch/transformers.py:71-131."""
+    from eland_spark.ml.pytorch import TransformerModel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = TransformerModel(
+        "standin", "zero_shot_classification", labels=list(_NLP_LABELS)
+    ).apply(docs, "text")
+    return out.select(
+        "doc_id", F.col("prediction.predicted_value").alias("label")
+    )
+
+
 def q_embed_topk(spark, sf_dir) -> DataFrame:
     """Text-embedding operator + cosine top-k, hash-checked end-to-end:
     the stand-in encoder is md5 bag-of-words (ml/embeddings.py), so
@@ -2153,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_phase_distinct": q_two_phase_distinct,
         "embed_topk": q_embed_topk,
         "nlp_expansion": q_nlp_expansion,
+        "nlp_classify": q_nlp_classify,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_quantized": q_ann_ivf_quantized,
@@ -2910,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_md5": _minhash_oracle_sql(),
         "near_dup_components_md5": _near_dup_components_oracle_sql(),
         "embed_topk": _embed_topk_oracle_sql(),
+        "nlp_classify": _nlp_classify_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
