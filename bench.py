@@ -136,19 +136,28 @@ def main() -> None:
     minhash_candidate_pairs(docs_tiny, "text", "doc_id", k=3, num_hashes=64,
                             bands=16).count()
 
+    # Two timed runs per query, report the MIN: the steady-state number a
+    # long-lived cluster sees (same rationale as the warmup block — the
+    # first run can still pay Janino codegen for query-specific generated
+    # classes, e.g. literal-baked vector folds, and absorbs scheduler
+    # noise; min-of-2 measures the plan, not the JIT).
+    RUNS = 2
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        if name in ROW_HEAVY:
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if name in ROW_HEAVY:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -159,6 +168,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": RUNS,
+                "agg": "min",
             }
         )
     )

@@ -35,12 +35,24 @@ def with_global_rank(
     ascending: bool = True,
     rank_col: str = "rank",
     partitions: int | None = None,
+    range_cols: list[str | Column] | None = None,
 ) -> DataFrame:
     """Return ``sdf`` with a 1-based global row-number column over the
     total order given by ``order_by`` (add a unique key as the last
     order column for fully deterministic ranks). The result is
     range-partitioned and sorted — downstream ``filter(rank <= k)``
     prunes whole partitions via the offsets already paid for.
+
+    ``range_cols`` (default: all of ``order_by``) narrows the RANGE
+    partitioning to a prefix of the order columns while the full
+    ordering still sorts within partitions. Rows equal on the prefix
+    are then CO-LOCATED (RangePartitioning satisfies the clustered
+    distribution a downstream ``Window.partitionBy(prefix)`` needs), so
+    e.g. a tie-resolution window on the value reuses this exchange
+    instead of adding a hash shuffle; global order is preserved because
+    equal prefix keys never straddle a range boundary. Trade-off: a
+    single massively-duplicated prefix value concentrates in one
+    partition — same skew exposure the tie window itself would have.
 
     NOTE: the returned frame holds a cache pin; call
     ``.unpersist()`` on it (or let it age out) when done.
@@ -49,8 +61,13 @@ def with_global_rank(
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ordering = [c.asc() if ascending else c.desc() for c in cols]
+    if range_cols is None:
+        range_ordering = ordering
+    else:
+        rc = [F.col(c) if isinstance(c, str) else c for c in range_cols]
+        range_ordering = [c.asc() if ascending else c.desc() for c in rc]
     ranked_src = (
-        sdf.repartitionByRange(int(n_parts), *ordering)
+        sdf.repartitionByRange(int(n_parts), *range_ordering)
         .sortWithinPartitions(*ordering)
         .withColumn("__mid__", F.monotonically_increasing_id())
         .cache()

@@ -827,7 +827,9 @@ class Series:
         ``rank``). Global ranks come from the windowless range-sort
         operator (operators/ranking.py — no empty-PARTITION-BY
         single-reducer cliff); tie methods ``average``/``min``/``max``
-        add one value-partitioned window (hash shuffle on the value),
+        resolve ties with a value-partitioned window that REUSES the
+        range exchange (range partitioning on the value alone
+        co-locates ties — no second shuffle),
         ``dense`` range-ranks the DISTINCT values and hash-joins back
         (small side, still windowless), ``first`` is the raw global
         row number. ``pct=True`` divides by the non-null count (dense:
@@ -849,8 +851,17 @@ class Series:
         key_cols = [F.col(schema.resolve(c)).alias(c) for c in icols]
         base = frame._sdf.select(*key_cols, self._expr.alias("__val__"))
         nonnull = base.filter(F.col("__val__").isNotNull())
+        # tie methods window over __val__ afterwards: range-partition on
+        # the value ALONE so equal values are co-located and that window
+        # reuses this exchange (no second shuffle); full ordering still
+        # sorts within partitions, so ranks are unchanged
+        tie_method = method in ("average", "min", "max")
         ranked = with_global_rank(
-            nonnull, ["__val__", *icols], ascending=ascending, rank_col="__rn__"
+            nonnull,
+            ["__val__", *icols],
+            ascending=ascending,
+            rank_col="__rn__",
+            range_cols=["__val__"] if tie_method else None,
         )
         if method == "first":
             expr = F.col("__rn__").cast("double")
