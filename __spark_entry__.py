@@ -418,6 +418,19 @@ def q_near_dup_components(spark, sf_dir) -> DataFrame:
     return near_dup_components(docs, "text", "doc_id", threshold=0.6)
 
 
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_flags):
+    flag training documents sharing any word 5-shingle with the 'src2'
+    eval slice — broadcast semi-join on raw shingle strings, corpus
+    scanned once, never shuffled by shingle; string shingles keep the
+    whole gate reproducible in SQL (full hash-check)."""
+    from eland_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    bench = docs.to_spark().filter(F.col("source") == "src2").select("text")
+    return contamination_flags(docs, bench, "text", "doc_id", k=5)
+
+
 def q_near_dup_components_md5(spark, sf_dir) -> DataFrame:
     """Portable-hash twin of near_dup_components: md5 shingle hashing
     makes the WHOLE clustering pipeline — MinHash pairs AND the
@@ -1678,6 +1691,40 @@ def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
     """
 
 
+def _decontaminate_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for q_decontaminate: identical tokenize ->
+    k-shingle pipeline on both the corpus and the src2 benchmark slice,
+    then an IN-join on raw shingle strings."""
+
+    def _sh(src_where: str) -> str:
+        return f"""(
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+                FROM documents {src_where}
+            )
+        )"""
+
+    return f"""
+        WITH ce AS (
+            SELECT doc_id, unnest(ss) AS s FROM {_sh("")}
+        ), be AS (
+            SELECT DISTINCT unnest(ss) AS s FROM {_sh("WHERE source = 'src2'")}
+        ), hits AS (
+            SELECT DISTINCT ce.doc_id FROM ce JOIN be USING (s)
+        )
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
 _NLP_LABELS = ["shipping update", "cooking recipe"]
 
 
@@ -2144,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
         "near_dup_components_md5": q_near_dup_components_md5,
+        "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -2979,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components_md5": _near_dup_components_oracle_sql(),
         "embed_topk": _embed_topk_oracle_sql(),
         "nlp_classify": _nlp_classify_oracle_sql(),
+        "decontaminate": _decontaminate_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

@@ -191,6 +191,56 @@ def duplicated(df: "DataFrame", subset=None, keep: str = "first"):
     return EDF(out, index_cols=tuple(schema.index_cols))
 
 
+def contamination_flags(
+    df: "DataFrame",
+    benchmark,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+):
+    """Benchmark decontamination — the eval-leakage gate of a training
+    corpus: flag every document sharing at least one word ``k``-shingle
+    with a benchmark/eval corpus. Returns a Spark DataFrame
+    (``id_col``, ``contaminated`` boolean).
+
+    Plan: the benchmark's DISTINCT shingles (eval sets are tiny next to
+    a training corpus) broadcast into a left-semi join against the
+    corpus's exploded shingles, the hit ids are distinct-ed (one hash
+    shuffle on the id), then left-joined back onto the id universe for
+    the boolean flag. The corpus is scanned ONCE and never shuffled by
+    shingle; at 100 TB swap the raw shingle strings for ``xxhash64``
+    values to shrink the broadcast — string equality is kept here so
+    the whole operator is reproducible in plain SQL (driver oracle).
+    """
+    schema = df._schema
+    text = F.col(schema.resolve(text_col))
+    idc = F.col(schema.resolve(id_col))
+    bsdf = benchmark.to_spark() if hasattr(benchmark, "to_spark") else benchmark
+    btext = F.col(bench_text_col or text_col)
+
+    corpus_sh = df._sdf.select(
+        idc.alias("__id__"), F.explode(shingles(text, k)).alias("__s__")
+    )
+    bench_sh = bsdf.select(
+        F.explode(shingles(btext, k)).alias("__s__")
+    ).distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "__s__", "left_semi")
+        .select("__id__")
+        .distinct()
+        .withColumn("__cont__", F.lit(True))
+    )
+    return (
+        df._sdf.select(idc.alias("__id__"))
+        .join(hits, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("__cont__"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text shingling / normalization helpers (pure Column expressions)
 # ---------------------------------------------------------------------------

@@ -76,3 +76,31 @@ def test_near_dup_components_end_to_end(spark, sf_dir):
     assert set(cc.component).issubset(set(cc.node))
     # transitivity: clustered pairs via a shared middle doc collapse
     assert cc.component.nunique() < len(cc)
+
+
+def test_contamination_flags_semantics(spark):
+    """Decontamination gate: a doc is flagged iff it shares a full word
+    k-shingle with the benchmark; partial (k-1) overlap stays clean."""
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.operators.dedup import contamination_flags
+
+    corpus = EDF(
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),     # contains bench shingle
+                (2, "a totally different sentence"),  # clean
+                (3, "quick brown cat sleeps today"),  # only 2-word overlap
+                (4, ""),                              # empty -> clean
+            ],
+            ["doc_id", "text"],
+        ),
+        index_cols=("doc_id",),
+    )
+    bench = spark.createDataFrame(
+        [("lazy dogs and the quick brown fox of lore",)], ["text"]
+    )
+    out = contamination_flags(corpus, bench, "text", "doc_id", k=3).toPandas()
+    flags = dict(zip(out.doc_id, out.contaminated))
+    assert flags == {1: True, 2: False, 3: False, 4: False}
+    # every corpus doc gets exactly one row
+    assert len(out) == 4
