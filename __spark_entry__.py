@@ -418,6 +418,23 @@ def q_near_dup_components(spark, sf_dir) -> DataFrame:
     return near_dup_components(docs, "text", "doc_id", threshold=0.6)
 
 
+def q_perplexity(spark, sf_dir) -> DataFrame:
+    """Unigram-LM log-perplexity filter (operators/text.unigram_logppl):
+    top-100 corpus unigram table broadcast as a map literal, scoring is
+    a zero-shuffle ordered fold per doc (OOV floored) — the classic
+    perplexity-filter stage of corpus curation. Fully SQL-expressible
+    (DuckDB rebuilds the LM map and replays the fold)."""
+    from eland_spark.operators.text import unigram_logppl
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = unigram_logppl(docs, F.col("text"), F.col("doc_id"), top_v=100)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("logppl", 6).alias("logppl"),
+    )
+
+
 def q_decontaminate(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination (operators/dedup.contamination_flags):
     flag training documents sharing any word 5-shingle with the 'src2'
@@ -1691,6 +1708,39 @@ def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
     """
 
 
+def _perplexity_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
+    """DuckDB oracle for q_perplexity: rebuild the top-``top_v`` unigram
+    table (same count-desc/token-asc cut), pack it into a MAP, and
+    replay the per-doc ln-fold with the identical OOV floor."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(l) AS token FROM toks)
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_v}
+        ), lm AS (
+            SELECT map(list(token ORDER BY token),
+                       list(CAST(cnt AS DOUBLE) ORDER BY token)) AS m
+            FROM vocab
+        ), tot AS (
+            SELECT CAST(sum(len(l)) AS DOUBLE) AS total FROM toks
+        )
+        SELECT t.doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CASE WHEN len(l) > 0 THEN
+                   round(-list_sum(list_transform(l,
+                       tk -> ln(COALESCE(map_extract(m, tk)[1],
+                                         {floor_count}) / total)))
+                         / len(l), 6)
+               END AS logppl
+        FROM toks t, lm, tot
+    """
+
+
 def _decontaminate_oracle_sql(k: int = 5) -> str:
     """DuckDB oracle for q_decontaminate: identical tokenize ->
     k-shingle pipeline on both the corpus and the src2 benchmark slice,
@@ -2192,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
+        "perplexity": q_perplexity,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3028,6 +3079,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _embed_topk_oracle_sql(),
         "nlp_classify": _nlp_classify_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "perplexity": _perplexity_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

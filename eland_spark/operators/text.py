@@ -147,6 +147,67 @@ def vocabulary(
     return out
 
 
+def unigram_logppl(
+    sdf,
+    text: Column,
+    id_col: Column,
+    top_v: int = 1000,
+    floor_count: float = 0.5,
+):
+    """Unigram-LM log-perplexity per document — the classic
+    perplexity-filter stage of a corpus-curation pipeline (score against
+    a language model, drop the tails). The LM here is the corpus's own
+    top-``top_v`` unigram table; a real pipeline swaps in counts from a
+    reference corpus unchanged.
+
+    score(doc) = -(1/n) * sum_t ln(count(t) / total), with unseen/OOV
+    tokens floored at ``floor_count`` occurrences; empty docs score
+    null.
+
+    Plan: one explode+groupBy pass builds the count table (map-side
+    combined, bounded by |vocab|), the top-``top_v`` rows collect to the
+    driver (bounded, like a pivot's explicit values) and ship as a
+    broadcast map literal; scoring is then a PURE MAP STAGE — an
+    ordered fold over each doc's token array, zero shuffle, no join.
+    That is the 100 TB shape: the LM is a small broadcast table, the
+    corpus streams through codegen once.
+
+    Returns a Spark DataFrame (id, n_tokens, logppl).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import normalized_tokens
+
+    vocab_rows = vocabulary(sdf.select(text.alias("__t__")),
+                            F.col("__t__"), top_k=top_v).collect()
+    total = sdf.select(
+        F.sum(F.size(normalized_tokens(text))).alias("n")
+    ).collect()[0]["n"] or 0
+    lm = F.create_map(
+        *[
+            F.lit(v)
+            for r in vocab_rows
+            for v in (r["token"], float(r["count"]))
+        ]
+    )
+    toks = normalized_tokens(text)
+    logp = lambda t: F.log(  # noqa: E731
+        F.coalesce(lm[t], F.lit(float(floor_count))) / F.lit(float(total))
+    )
+    n = F.size(toks)
+    score = F.when(
+        n > 0,
+        -F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + logp(t)
+        ) / n,
+    )
+    return sdf.select(
+        id_col.alias("id"),
+        n.cast("long").alias("n_tokens"),
+        score.alias("logppl"),
+    )
+
+
 def repetition_stats(tokens_col: Column) -> dict[str, Column]:
     """Within-document repetition signals (Gopher-style quality
     filters for training-data curation) over a MATERIALIZED token-array

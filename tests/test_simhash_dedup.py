@@ -104,3 +104,32 @@ def test_contamination_flags_semantics(spark):
     assert flags == {1: True, 2: False, 3: False, 4: False}
     # every corpus doc gets exactly one row
     assert len(out) == 4
+
+
+def test_unigram_logppl_semantics(spark):
+    """Perplexity filter: repeated common tokens score LOWER (more
+    probable) than rare ones; OOV tokens hit the floor; empty doc is
+    null."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import unigram_logppl
+
+    sdf = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = unigram_logppl(
+        sdf, F.col("text"), F.col("doc_id"), top_v=1, floor_count=0.5
+    ).toPandas().set_index("id")
+    # LM = {common: 4}, total tokens = 5; 'rare' is OOV -> floor 0.5
+    assert math.isclose(out.loc[1, "logppl"], -math.log(4 / 5))
+    assert math.isclose(out.loc[2, "logppl"], -math.log(0.5 / 5))
+    assert out.loc[1, "logppl"] < out.loc[2, "logppl"]
+    assert out.loc[3, "n_tokens"] == 0 and pd.isna(out.loc[3, "logppl"])
