@@ -435,6 +435,22 @@ def q_perplexity(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_boilerplate(spark, sf_dir) -> DataFrame:
+    """Boilerplate-segment scrub (operators/text.remove_boilerplate):
+    segments appearing in >= 395 distinct documents are dropped, order
+    preserved — explode once, count boilerplate (map-combined),
+    broadcast-mark, one id shuffle to rebuild. The synthetic corpus has
+    no sentence delimiters, so the query scrubs at token granularity
+    (the threshold splits its ~380-415 doc-frequency band); real web
+    corpora use delim='\\n' with a low min_docs unchanged. Fully
+    SQL-expressible (DuckDB replays the same count/mark/rebuild)."""
+    from eland_spark.operators.text import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = remove_boilerplate(docs, F.col("text"), F.col("doc_id"), " ", 395)
+    return out.select(F.col("id").alias("doc_id"), "clean_text", "n_removed")
+
+
 def q_decontaminate(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination (operators/dedup.contamination_flags):
     flag training documents sharing any word 5-shingle with the 'src2'
@@ -1708,6 +1724,35 @@ def _embed_topk_oracle_sql(dim: int = 64, k: int = 5) -> str:
     """
 
 
+def _boilerplate_oracle_sql(delim: str = ". ", min_docs: int = 5) -> str:
+    """DuckDB oracle for q_boilerplate: identical split -> distinct-doc
+    count -> mark -> ordered string_agg rebuild."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, '{delim}') AS l FROM documents
+        ), seg AS (
+            SELECT doc_id, l,
+                   unnest(generate_series(1, len(l))) AS i
+            FROM base
+        ), seg2 AS (
+            SELECT doc_id, i, l[i] AS s, trim(l[i]) AS nrm FROM seg
+        ), boiler AS (
+            SELECT nrm
+            FROM (SELECT DISTINCT doc_id, nrm FROM seg2 WHERE nrm <> '')
+            GROUP BY nrm HAVING count(*) >= {min_docs}
+        ), marked AS (
+            SELECT s2.doc_id, s2.i, s2.s, (b.nrm IS NOT NULL) AS is_b
+            FROM seg2 s2 LEFT JOIN boiler b ON b.nrm = s2.nrm
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT is_b THEN s END,
+                                   '{delim}' ORDER BY i), '') AS clean_text,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM marked GROUP BY doc_id
+    """
+
+
 def _perplexity_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
     """DuckDB oracle for q_perplexity: rebuild the top-``top_v`` unigram
     table (same count-desc/token-asc cut), pack it into a MAP, and
@@ -2243,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
         "perplexity": q_perplexity,
+        "boilerplate": q_boilerplate,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3080,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "nlp_classify": _nlp_classify_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "perplexity": _perplexity_oracle_sql(),
+        "boilerplate": _boilerplate_oracle_sql(" ", 395),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

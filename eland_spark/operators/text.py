@@ -208,6 +208,64 @@ def unigram_logppl(
     )
 
 
+def remove_boilerplate(
+    sdf,
+    text: Column,
+    id_col: Column,
+    delim: str = ". ",
+    min_docs: int = 5,
+):
+    """Corpus-frequent segment scrub — the boilerplate-removal stage of
+    web-corpus curation (cookie banners, nav text, license footers):
+    drop every ``delim``-separated segment whose trimmed form appears
+    in at least ``min_docs`` DISTINCT documents, preserving the order
+    of what remains.
+
+    Plan: posexplode segments once; the boilerplate set is a
+    distinct(doc, segment) -> groupBy(segment) count (map-side
+    combined, bounded by |distinct segments|); a join marks segments
+    (AQE broadcasts the small boilerplate side) and ONE hash shuffle on
+    the doc id rebuilds documents via an order-preserving
+    collect_list/array_sort fold. Null-text rows produce no output row
+    (split(null) explodes to nothing) — filter or fillna first.
+
+    Returns a Spark DataFrame (id, clean_text, n_removed).
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    segs = sdf.select(
+        id_col.alias("__id__"),
+        F.posexplode(F.split(text, _re.escape(delim))).alias("__pos__", "__seg__"),
+    ).withColumn("__norm__", F.trim(F.col("__seg__")))
+    boiler = (
+        segs.filter(F.col("__norm__") != "")
+        .select("__id__", "__norm__")
+        .distinct()
+        .groupBy("__norm__")
+        .agg(F.count(F.lit(1)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__norm__", F.lit(True).alias("__b__"))
+    )
+    marked = segs.join(boiler, "__norm__", "left")
+    kept_struct = F.when(
+        F.col("__b__").isNull(), F.struct("__pos__", "__seg__")
+    )
+    return marked.groupBy("__id__").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__seg__"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__b__"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    ).withColumnRenamed("__id__", "id")
+
+
 def repetition_stats(tokens_col: Column) -> dict[str, Column]:
     """Within-document repetition signals (Gopher-style quality
     filters for training-data curation) over a MATERIALIZED token-array

@@ -829,7 +829,10 @@ class Series:
         single-reducer cliff); tie methods ``average``/``min``/``max``
         resolve ties with a value-partitioned window that REUSES the
         range exchange (range partitioning on the value alone
-        co-locates ties — no second shuffle),
+        co-locates ties — no second shuffle for integer/string values;
+        float values keep one hash exchange because Spark wraps float
+        window keys in NaN/-0.0 normalization that range partitioning
+        on the raw column cannot satisfy),
         ``dense`` range-ranks the DISTINCT values and hash-joins back
         (small side, still windowless), ``first`` is the raw global
         row number. ``pct=True`` divides by the non-null count (dense:

@@ -352,3 +352,50 @@ def test_redact_zero_shuffle_codegen(spark):
     assert shuffle_count(out) == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_decontaminate_corpus_never_shuffled_by_shingle(spark):
+    """contamination_flags: the benchmark side broadcasts into the
+    semi-join — the only hash exchanges are on the doc id (hit-dedup +
+    flag join-back), never on the exploded shingles."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.dedup import contamination_flags
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet", index_col="doc_id")
+    bench = docs.to_spark().filter(F.col("source") == "src2").select("text")
+    out = contamination_flags(docs, bench, "text", "doc_id", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # exactly ONE exchange keyed by the shingle column — the (tiny)
+    # benchmark-side distinct; the corpus side never repartitions by it
+    sh_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "__s__" in line
+    ]
+    assert len(sh_exchanges) == 1, plan
+
+
+def test_perplexity_scoring_is_shuffle_free(spark):
+    """unigram_logppl: the LM is a broadcast map literal, so the
+    scoring stage is a pure map — zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import unigram_logppl
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet", index_col="doc_id")
+    out = unigram_logppl(docs.to_spark(), F.col("text"), F.col("doc_id"), top_v=50)
+    assert shuffle_count(out) == 0, plan_summary(out)
+
+
+def test_rank_tie_window_reuses_range_exchange(spark):
+    """Series.rank(average) on an integer value: the tie window's
+    clustered distribution is satisfied by the range partitioning on
+    the value — no extra hash exchange. (Float values keep the extra
+    exchange: Spark wraps float window keys in NaN/-0.0 normalization,
+    which range partitioning on the raw column cannot satisfy.)"""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders["o_custkey"].rank(method="average").to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan

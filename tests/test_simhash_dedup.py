@@ -133,3 +133,32 @@ def test_unigram_logppl_semantics(spark):
     assert math.isclose(out.loc[2, "logppl"], -math.log(0.5 / 5))
     assert out.loc[1, "logppl"] < out.loc[2, "logppl"]
     assert out.loc[3, "n_tokens"] == 0 and pd.isna(out.loc[3, "logppl"])
+
+
+def test_remove_boilerplate_semantics(spark):
+    """Boilerplate scrub: a segment repeated across >= min_docs docs is
+    dropped everywhere (order preserved); unique segments survive."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import remove_boilerplate
+
+    sdf = spark.createDataFrame(
+        [
+            (1, "unique one. subscribe now. more text"),
+            (2, "subscribe now. second doc"),
+            (3, "third doc. subscribe now"),
+            (4, "clean doc entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = (
+        remove_boilerplate(sdf, F.col("text"), F.col("doc_id"), ". ", 3)
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc[1, "clean_text"] == "unique one. more text"
+    assert out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "clean_text"] == "second doc"
+    assert out.loc[3, "clean_text"] == "third doc"
+    assert out.loc[4, "clean_text"] == "clean doc entirely"
+    assert out.loc[4, "n_removed"] == 0
