@@ -494,3 +494,80 @@ def test_groupby_transform_matches_pandas(spark, rows, fn):
     assert (got.isna() == exp.isna()).all()
     m = ~exp.isna()
     assert (abs(got[m].astype(float) - exp[m].astype(float)) < 1e-9).all()
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=3000), min_size=0, max_size=60),
+    budget=st.integers(min_value=1, max_value=2048),
+)
+@settings(**COMMON)
+def test_pack_documents_matches_sequential_greedy(spark, toks, budget):
+    """pack_documents on one sorted partition == the pure-Python
+    next-fit state machine (same machine the DuckDB oracle replays)."""
+    from eland_spark.operators.packing import pack_documents
+
+    pdf = pd.DataFrame({"doc_id": range(len(toks)), "n_tokens": toks})
+    sdf = spark.createDataFrame(
+        pdf, schema="doc_id bigint, n_tokens bigint"
+    ).repartition(1).sortWithinPartitions("doc_id")
+    got = (
+        pack_documents(sdf, "doc_id", "n_tokens", budget)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # python reference: next-fit
+    bins, used, b, opened = [], 0, 0, False
+    for t in toks:
+        if not opened:
+            opened = True
+        elif used + t > budget:
+            b += 1
+            used = 0
+        used += t
+        bins.append(b)
+    assert list(got["bin_id"]) == bins
+    # invariant: every bin fits the budget unless it holds one oversize doc
+    for bid, grp in got.groupby("bin_id"):
+        assert grp["n_tokens"].sum() <= budget or len(grp) == 1
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8).map(" ".join),
+        min_size=0,
+        max_size=10,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8).map(" ".join),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@settings(**COMMON)
+def test_contamination_flags_match_python_sets(spark, corpus, bench):
+    """contamination_flags == python set-intersection of k-shingles."""
+    from eland_spark.operators.dedup import contamination_flags
+
+    k = 3
+
+    def sh(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) >= k:
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)} if toks else set()
+
+    bench_sh = set().union(*[sh(t) for t in bench]) if bench else set()
+    expected = {i: bool(sh(t) & bench_sh) for i, t in enumerate(corpus)}
+
+    cdf = EDF(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(corpus)), "text": corpus}),
+            schema="doc_id bigint, text string",
+        ),
+        index_cols=("doc_id",),
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"text": bench}), schema="text string"
+    )
+    got = contamination_flags(cdf, bdf, "text", "doc_id", k=k).toPandas()
+    assert dict(zip(got.doc_id, got.contaminated)) == expected
