@@ -60,10 +60,16 @@ HEADLINE = [
     "ann_bruteforce",
     "knn_join",
     "embedding_norms",
+    "decontaminate",
+    "perplexity",
+    "boilerplate",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
 ROW_HEAVY = {
+    "decontaminate",
+    "perplexity",
+    "boilerplate",
     "filter_chain",
     "groupby_transform",
     "series_rank",
