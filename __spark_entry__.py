@@ -464,6 +464,34 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
     return contamination_flags(docs, bench, "text", "doc_id", k=5)
 
 
+def q_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end curation chain — the integrated shape a training-data
+    pipeline actually runs: exact dedup (keep-first) -> benchmark
+    decontamination vs the src2 eval slice -> quality-score gate ->
+    per-source survivor stats. Every stage is an existing operator; the
+    composed plan stays one DAG (no materialization between stages) and
+    the DuckDB oracle replays the whole chain stage-for-stage."""
+    from eland_spark.operators.dedup import contamination_flags, drop_duplicates
+    from eland_spark.operators.text import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    corpus = docs[docs["source"] != "src2"]
+    ded = drop_duplicates(corpus, subset=["text"])
+    bench = docs.to_spark().filter(F.col("source") == "src2").select("text")
+    flags = contamination_flags(ded, bench, "text", "doc_id", k=5)
+    clean = ded.to_spark().join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    scored = clean.withColumn("q", quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.55
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_q"),
+    )
+
+
 def q_near_dup_components_md5(spark, sf_dir) -> DataFrame:
     """Portable-hash twin of near_dup_components: md5 shingle hashing
     makes the WHOLE clustering pipeline — MinHash pairs AND the
@@ -1786,13 +1814,11 @@ def _perplexity_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
     """
 
 
-def _decontaminate_oracle_sql(k: int = 5) -> str:
-    """DuckDB oracle for q_decontaminate: identical tokenize ->
-    k-shingle pipeline on both the corpus and the src2 benchmark slice,
-    then an IN-join on raw shingle strings."""
-
-    def _sh(src_where: str) -> str:
-        return f"""(
+def _shingle_cte(rel: str, k: int) -> str:
+    """Subquery producing (doc_id, ss: list of word k-shingles) from a
+    relation/CTE ``rel`` exposing (doc_id, text) — the SQL twin of
+    operators/dedup.shingles (incl. the short-text fallback)."""
+    return f"""(
             SELECT doc_id,
                    CASE WHEN len(l) >= {k} THEN
                             [array_to_string(l[i:i+{k - 1}], ' ')
@@ -1803,20 +1829,84 @@ def _decontaminate_oracle_sql(k: int = 5) -> str:
                 SELECT doc_id,
                        list_filter(string_split_regex(regexp_replace(lower(text),
                            '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
-                FROM documents {src_where}
+                FROM {rel}
             )
         )"""
 
+
+def _decontaminate_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for q_decontaminate: identical tokenize ->
+    k-shingle pipeline on both the corpus and the src2 benchmark slice,
+    then an IN-join on raw shingle strings."""
     return f"""
         WITH ce AS (
-            SELECT doc_id, unnest(ss) AS s FROM {_sh("")}
+            SELECT doc_id, unnest(ss) AS s FROM {_shingle_cte("documents", k)}
         ), be AS (
-            SELECT DISTINCT unnest(ss) AS s FROM {_sh("WHERE source = 'src2'")}
+            SELECT DISTINCT unnest(ss) AS s
+            FROM {_shingle_cte("(SELECT doc_id, text FROM documents WHERE source = 'src2')", k)}
         ), hits AS (
             SELECT DISTINCT ce.doc_id FROM ce JOIN be USING (s)
         )
         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
+_QUALITY_FIELDS_SQL = """
+                   CASE WHEN length(trim(text)) = 0 THEN 0.0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) * 1.0
+                   END AS n_tok,
+                   CASE WHEN length(text) > 0 THEN
+                        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                        / length(text)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0 THEN
+                        len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                       'that','for','on','with','as','at','by','this','be'))) * 1.0
+                        / len(string_split_regex(trim(lower(text)), '\\s+'))
+                   ELSE 0.0 END AS sw_ratio"""
+
+_QUALITY_SCORE_SQL = """(least(n_tok / 100.0, 1.0)
+                          + (1.0 - least(punct_ratio * 5.0, 1.0))
+                          + least(sw_ratio * 4.0, 1.0)) / 3.0"""
+
+
+def _curation_pipeline_oracle_sql(k: int = 5, min_q: float = 0.55) -> str:
+    """DuckDB oracle for q_curation_pipeline: the composed exact-dedup
+    -> decontaminate -> quality-filter chain, each stage the SQL twin
+    of the operator it mirrors."""
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, source, text FROM documents WHERE source <> 'src2'
+        ), ded AS (
+            SELECT doc_id, source, text
+            FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep
+                  FROM corpus)
+            WHERE doc_id = keep
+        ), ce AS (
+            SELECT doc_id, unnest(ss) AS s
+            FROM {_shingle_cte("ded", k)}
+        ), be AS (
+            SELECT DISTINCT unnest(ss) AS s
+            FROM {_shingle_cte("(SELECT doc_id, text FROM documents WHERE source = 'src2')", k)}
+        ), hits AS (
+            SELECT DISTINCT ce.doc_id FROM ce JOIN be USING (s)
+        ), clean AS (
+            SELECT d.* FROM ded d LEFT JOIN hits h ON h.doc_id = d.doc_id
+            WHERE h.doc_id IS NULL
+        ), f AS (
+            SELECT doc_id, source,{_QUALITY_FIELDS_SQL}
+            FROM clean
+        ), scored AS (
+            SELECT source, CAST(n_tok AS BIGINT) AS nt,
+                   {_QUALITY_SCORE_SQL} AS qv
+            FROM f
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               round(avg(qv), 6) AS avg_q
+        FROM scored WHERE qv >= {min_q} GROUP BY source
     """
 
 
@@ -2289,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "perplexity": q_perplexity,
         "boilerplate": q_boilerplate,
+        "curation_pipeline": q_curation_pipeline,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3127,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "perplexity": _perplexity_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(" ", 395),
+        "curation_pipeline": _curation_pipeline_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

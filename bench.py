@@ -63,6 +63,7 @@ HEADLINE = [
     "decontaminate",
     "perplexity",
     "boilerplate",
+    "curation_pipeline",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
