@@ -1553,6 +1553,24 @@ def q_ann_ivf_quantized(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_ivf_quantized_seeded(spark, sf_dir) -> DataFrame:
+    """Portable twin of ann_ivf_quantized: engine-agnostic seed
+    centroids (8 lowest-id vectors, no Lloyd refinement) make the WHOLE
+    int8 asymmetric-search path — cell assign, nprobe pruning, double
+    quantize/dequantize, approximate top-40, exact rerank — pure
+    deterministic arithmetic, so DuckDB hash-checks it end-to-end
+    (Lloyd-refined centroids stay in ann_ivf_quantized, rows-only)."""
+    from eland_spark.operators.similarity import ivf_index, ivf_quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qv = [float(x) for x in
+          emb.to_spark().filter(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    cents = ivf_index(emb, n_cells=8, max_iter=0, seed_strategy="first")
+    return ivf_quantized_topk(emb, qv, cents, k=10, nprobe=3).select(
+        "id", F.round("cos", 6).alias("cos")
+    )
+
+
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF top-k with nprobe cell pruning, on engine-agnostic seed
     centroids (the 8 lowest-id vectors, no Lloyd refinement) so the
@@ -1943,6 +1961,79 @@ def _nlp_classify_oracle_sql(dim: int = 64) -> str:
         SELECT r.doc_id, t.text AS label
         FROM ranked r JOIN labs t ON t.lab_id = r.lab_id
         WHERE r.rn = 1
+    """
+
+
+def _ann_ivf_quantized_oracle_sql(
+    n_cells: int = 8, nprobe: int = 3, k: int = 10, rerank_factor: int = 4
+) -> str:
+    """DuckDB oracle for q_ann_ivf_quantized_seeded: seed centroids =
+    the n_cells lowest-id vectors; cell assign + probe ranking by L2
+    (ties to the lowest cell id, matching nearest_cell's strict-less
+    scan); int8 quantize with the double scale, dequantize as exact
+    float32 products; approximate top-(k*rerank) then exact rerank."""
+    l2 = (
+        "list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    cos = (
+        "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) "
+        "/ (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) "
+        "* sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding AS ce
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ), q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 1
+        ), probe AS (
+            SELECT cid FROM cents, q
+            ORDER BY {l2.format(a="ce", b="qv")} ASC, cid ASC
+            LIMIT {nprobe}
+        ), assigned AS (
+            SELECT vec_id, embedding, cid AS cell
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {l2.format(a="e.embedding", b="c.ce")} ASC,
+                                    c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ), store AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN m > 0 THEN CAST(m AS DOUBLE) / 127.0
+                        ELSE 1.0 END AS scale_d
+            FROM (
+                SELECT a.vec_id, a.embedding,
+                       list_aggregate(list_transform(a.embedding,
+                                                     x -> abs(x)), 'max') AS m
+                FROM assigned a
+                WHERE a.cell IN (SELECT cid FROM probe)
+            )
+        ), deq AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding,
+                       x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale_d)
+                                           AS TINYINT) AS DOUBLE)
+                                 * CAST(CAST(scale_d AS FLOAT) AS DOUBLE)
+                                 AS FLOAT)) AS dv
+            FROM store
+        ), approx AS (
+            SELECT d.vec_id, d.embedding,
+                   {cos.format(a="d.dv", b="qv")} AS acos
+            FROM deq d, q
+            ORDER BY acos DESC, d.vec_id ASC
+            LIMIT {max(k * rerank_factor, k)}
+        )
+        SELECT a.vec_id AS id,
+               round({cos.format(a="a.embedding", b="qv")}, 6) AS cos
+        FROM approx a, q
+        ORDER BY {cos.format(a="a.embedding", b="qv")} DESC, a.vec_id ASC
+        LIMIT {k}
     """
 
 
@@ -2460,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_quantized": q_ann_ivf_quantized,
+        "ann_ivf_quantized_seeded": q_ann_ivf_quantized_seeded,
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3219,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _perplexity_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(" ", 395),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
+        "ann_ivf_quantized_seeded": _ann_ivf_quantized_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
