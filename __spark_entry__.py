@@ -1964,6 +1964,48 @@ def _nlp_classify_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def _multimodal_md5_oracle_sql(n: int = 4096) -> str:
+    """DuckDB oracle for q_multimodal_pipeline_md5: sha256-hex blob ->
+    md5-seeded 64-bit LCG waveform (HUGEINT multiply-mod, bit-identical
+    to the numpy uint64 arithmetic) -> rms/zcr/peak with the same
+    float32 storage rounding the Arrow schema applies."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(sha256(CAST(doc_id AS VARCHAR)) AS BLOB) AS data
+            FROM documents WHERE doc_id < 200
+        ), s AS (
+            SELECT doc_id, octet_length(data) AS dl,
+                   CAST(('0x' || substr(md5(lower(hex(data))), 1, 16))
+                        AS UBIGINT) AS seed
+            FROM d
+        ), pcm AS (
+            SELECT doc_id, dl,
+                   list_transform(generate_series(0, {n - 1}),
+                       i -> CAST(CAST(((CAST(seed AS HUGEINT) + i)
+                                       * 6364136223846793005
+                                       + 1442695040888963407)
+                                      % 18446744073709551616 AS UBIGINT)
+                                 >> 11 AS DOUBLE)
+                            / 9007199254740992.0 * 2.0 - 1.0) AS p
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(dl AS BIGINT) AS data_len,
+               round(CAST(CAST(sqrt(list_sum(list_transform(p, x -> x * x))
+                                    / {n}) AS FLOAT) AS DOUBLE), 6) AS rms,
+               round(CAST(CAST(list_sum(list_transform(
+                         generate_series(1, {n - 1}),
+                         i -> CASE WHEN sign(p[i]) <> sign(p[i + 1])
+                                   THEN 1.0 ELSE 0.0 END)) / {n - 1}
+                     AS FLOAT) AS DOUBLE), 6) AS zcr,
+               round(CAST(CAST(list_aggregate(list_transform(p, x -> abs(x)),
+                                              'max') AS FLOAT) AS DOUBLE), 6)
+                   AS peak
+        FROM pcm
+    """
+
+
 def _ann_ivf_quantized_oracle_sql(
     n_cells: int = 8, nprobe: int = 3, k: int = 10, rerank_factor: int = 4
 ) -> str:
@@ -2381,6 +2423,45 @@ def q_multimodal_pipeline(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_multimodal_pipeline_md5(spark, sf_dir) -> DataFrame:
+    """Portable twin of multimodal_pipeline: the fake-PCM kernel
+    switches to a 64-bit LCG (multimodal._pcm_stub_portable), so the
+    ENTIRE binary-media chain — sha256 blob attach, mime gate,
+    mapInPandas batch plumbing, rms/zcr/peak extraction — is replayed
+    bit-for-bit by the DuckDB oracle (HUGEINT multiply-mod LCG). The
+    RNG-based stub stays the default in multimodal_pipeline
+    (rows-only)."""
+    from eland_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    with_media = attach_fake_media(
+        docs.to_spark().select("doc_id").filter(F.col("doc_id") < 200), "doc_id"
+    )
+    audio = extract_audio_features(
+        with_media.withColumn(
+            "media",
+            F.struct(
+                F.col("media.data").alias("data"),
+                F.lit("audio/fake").alias("mime"),
+                F.col("media.width").alias("width"),
+                F.col("media.height").alias("height"),
+                F.col("media.n_frames").alias("n_frames"),
+            ),
+        ),
+        portable=True,
+    )
+    return audio.select(
+        "doc_id",
+        F.length("media.data").cast("long").alias("data_len"),
+        F.round(F.element_at("audio_features", 1).cast("double"), 6).alias("rms"),
+        F.round(F.element_at("audio_features", 2).cast("double"), 6).alias("zcr"),
+        F.round(F.element_at("audio_features", 3).cast("double"), 6).alias("peak"),
+    )
+
+
 def q_nlp_expansion(spark, sf_dir) -> DataFrame:
     """text_expansion NLP task (SPLADE-shaped sparse token->weight map,
     ml/pytorch.py no-torch stand-in): per-doc top-5 terms with
@@ -2541,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "multimodal_pipeline_md5": q_multimodal_pipeline_md5,
         "tfidf_topk": q_tfidf_topk,
         "explode_embeddings": q_explode_embeddings,
         "salted_join": q_salted_join,
@@ -3312,6 +3394,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _boilerplate_oracle_sql(" ", 395),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
         "ann_ivf_quantized_seeded": _ann_ivf_quantized_oracle_sql(),
+        "multimodal_pipeline_md5": _multimodal_md5_oracle_sql(),
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

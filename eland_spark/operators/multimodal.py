@@ -182,15 +182,36 @@ def _pcm_stub(data: bytes, n: int = 4096) -> np.ndarray:
     return rng.uniform(-1.0, 1.0, size=n)
 
 
+def _pcm_stub_portable(data: bytes, n: int = 4096) -> np.ndarray:
+    """Engine-portable twin of :func:`_pcm_stub`: the waveform is a
+    64-bit LCG over (md5-derived seed + sample index) in plain modular
+    arithmetic — no numpy RNG state — so a SQL engine reproduces it
+    bit-for-bit (HUGEINT multiply-mod in the driver oracle). Same
+    honest-fake contract; a real decoder swaps in at the same point."""
+    seed = int.from_bytes(
+        hashlib.md5((data or b"").hex().encode()).digest()[:8], "big"
+    )
+    i = np.arange(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        state = (np.uint64(seed) + i) * np.uint64(
+            6364136223846793005
+        ) + np.uint64(1442695040888963407)
+    u = (state >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return u * 2.0 - 1.0
+
+
 def extract_audio_features(
     df: DataFrame,
     media_col: str = "media",
     out_col: str = "audio_features",
     batch_size: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """Audio feature extraction: (rms, zero-crossing rate, peak) per
     clip as array<float>. Same stub-kernel / real-plumbing contract as
-    decode_image_features; audio mime gate is 'audio/fake'."""
+    decode_image_features; audio mime gate is 'audio/fake'.
+    ``portable=True`` swaps the fake-PCM kernel for the LCG variant the
+    driver's SQL oracle reproduces bit-for-bit."""
     fields = df.schema.fields + [
         T.StructField(out_col, T.ArrayType(T.FloatType()), True)
     ]
@@ -213,7 +234,11 @@ def extract_audio_features(
                             f"real audio decoder for mime {m['mime']!r} not "
                             "available in this environment"
                         )
-                    pcm = _pcm_stub(m["data"])
+                    pcm = (
+                        _pcm_stub_portable(m["data"])
+                        if portable
+                        else _pcm_stub(m["data"])
+                    )
                     rms = float(np.sqrt(np.mean(pcm**2)))
                     zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0))
                     peak = float(np.max(np.abs(pcm)))
