@@ -206,25 +206,42 @@ def contamination_flags(
 
     Plan: the benchmark's DISTINCT shingles (eval sets are tiny next to
     a training corpus) broadcast into a left-semi join against the
-    corpus's exploded shingles, the hit ids are distinct-ed (one hash
-    shuffle on the id), then left-joined back onto the id universe for
-    the boolean flag. The corpus is scanned ONCE and never shuffled by
-    shingle; at 100 TB swap the raw shingle strings for ``xxhash64``
-    values to shrink the broadcast — string equality is kept here so
-    the whole operator is reproducible in plain SQL (driver oracle).
+    corpus's exploded shingles (``shingle_rows`` — tokens materialized
+    once, pure map), the hit ids are distinct-ed (one hash shuffle on
+    the id), then left-joined back onto the id universe for the boolean
+    flag. The corpus is never shuffled by shingle; small-file inputs
+    get ONE pre-explode repartition keyed by the id
+    (``ensure_parallelism`` — a no-op at real scale) whose exchange the
+    hit-dedup then reuses. At 100 TB swap the raw shingle strings for
+    ``xxhash64`` values to shrink the broadcast — string equality is
+    kept here so the whole operator is reproducible in plain SQL
+    (driver oracle).
     """
+    from .parallelism import ensure_parallelism
+
     schema = df._schema
     text = F.col(schema.resolve(text_col))
     idc = F.col(schema.resolve(id_col))
     bsdf = benchmark.to_spark() if hasattr(benchmark, "to_spark") else benchmark
     btext = F.col(bench_text_col or text_col)
 
-    corpus_sh = df._sdf.select(
-        idc.alias("__id__"), F.explode(shingles(text, k)).alias("__s__")
+    corpus_src = ensure_parallelism(
+        df._sdf.select(idc.alias("__cid__"), text.alias("__t__")), "__cid__"
     )
-    bench_sh = bsdf.select(
-        F.explode(shingles(btext, k)).alias("__s__")
-    ).distinct()
+    corpus_sh = shingle_rows(
+        corpus_src, F.col("__t__"), F.col("__cid__"), k, dedup=False
+    ).select(F.col("__id__"), F.col("__sh__").alias("__s__"))
+    bench_sh = (
+        shingle_rows(
+            ensure_parallelism(bsdf.select(btext.alias("__t__"))),
+            F.col("__t__"),
+            F.lit(0),
+            k,
+            dedup=False,
+        )
+        .select(F.col("__sh__").alias("__s__"))
+        .distinct()
+    )
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "__s__", "left_semi")
         .select("__id__")
