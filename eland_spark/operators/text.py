@@ -183,16 +183,23 @@ def unigram_logppl(
     total = sdf.select(
         F.sum(F.size(normalized_tokens(text))).alias("n")
     ).collect()[0]["n"] or 0
-    lm = F.create_map(
-        *[
-            F.lit(v)
-            for r in vocab_rows
-            for v in (r["token"], float(r["count"]))
-        ]
-    )
+    if vocab_rows:
+        lm = F.create_map(
+            *[
+                F.lit(v)
+                for r in vocab_rows
+                for v in (r["token"], float(r["count"]))
+            ]
+        )
+        lookup = lm.__getitem__
+    else:
+        # empty corpus: no LM table — every token floors (the score is
+        # only reachable for docs with tokens, which implies total>0)
+        lookup = lambda t: F.lit(None).cast("double")  # noqa: E731
     toks = normalized_tokens(text)
     logp = lambda t: F.log(  # noqa: E731
-        F.coalesce(lm[t], F.lit(float(floor_count))) / F.lit(float(total))
+        F.coalesce(lookup(t), F.lit(float(floor_count)))
+        / F.lit(float(max(total, 1)))
     )
     n = F.size(toks)
     score = F.when(

@@ -162,3 +162,17 @@ def test_remove_boilerplate_semantics(spark):
     assert out.loc[3, "clean_text"] == "third doc"
     assert out.loc[4, "clean_text"] == "clean doc entirely"
     assert out.loc[4, "n_removed"] == 0
+
+
+def test_unigram_logppl_empty_corpus(spark):
+    """Empty corpus: no LM table — must not crash building the map
+    literal; every doc scores null (no tokens anywhere)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import unigram_logppl
+
+    sdf = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    out = unigram_logppl(sdf, F.col("text"), F.col("doc_id")).toPandas()
+    assert (out["n_tokens"] == 0).all()
+    assert out["logppl"].isna().all()
