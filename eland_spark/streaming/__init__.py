@@ -1,3 +1,4 @@
+from .curation import stream_contamination_flags, stream_quality_filter
 from .joins import stream_enrich, stream_stream_join
 from .sinks import (
     compact_upserted,
@@ -23,6 +24,8 @@ __all__ = [
     "session_windowed",
     "sessionize_with_state",
     "stream_dedup",
+    "stream_contamination_flags",
+    "stream_quality_filter",
     "stream_enrich",
     "stream_stream_join",
     "stream_to_memory",

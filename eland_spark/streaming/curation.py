@@ -1,0 +1,74 @@
+"""Streaming corpus-curation operators.
+
+Stateless per-row twins of the batch curation gates in ``operators/``:
+each document is judged from its own text plus a SMALL broadcast-side
+artifact (a benchmark shingle set, a quality formula), so the stream
+needs no aggregation state, no watermark, and works in plain append
+mode — the shape that keeps a 100 TB/day ingest pipeline's state store
+empty. Corpus-global decisions (near-dup clustering, corpus-frequency
+boilerplate) stay batch jobs by nature; run them on the landed data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles
+from ..operators.text import quality_score
+
+__all__ = ["stream_contamination_flags", "stream_quality_filter"]
+
+
+def stream_contamination_flags(
+    stream_sdf: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    out_col: str = "contaminated",
+    k: int = 8,
+    max_shingles: int = 100_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.contamination_flags``: flag
+    rows sharing any word ``k``-shingle with a (batch) benchmark
+    corpus. The benchmark's distinct shingles are collected ONCE at
+    plan time (eval sets are small; ``max_shingles`` guards the driver
+    like pivot's explicit-values cap) and shipped as an array literal,
+    so the per-row check ``arrays_overlap(shingles(text), bench)`` is a
+    pure stateless map — append-mode safe, zero state store.
+
+    ``benchmark`` must be a BATCH DataFrame (the reference corpus);
+    ``stream_sdf`` may be a streaming or batch frame — the same plan
+    serves both, which is how the batch-twin test pins equality.
+    """
+    btext = F.col(bench_text_col or text_col)
+    bench_rows = (
+        benchmark.select(F.explode(shingles(btext, k)).alias("s"))
+        .distinct()
+        .limit(max_shingles + 1)
+        .collect()
+    )
+    if len(bench_rows) > max_shingles:
+        raise ValueError(
+            f"benchmark has more than {max_shingles} distinct shingles; "
+            "raise max_shingles or pre-hash the benchmark"
+        )
+    bench_lit = F.array(*[F.lit(r["s"]) for r in bench_rows]) if bench_rows else None
+    if bench_lit is None:
+        flag = F.lit(False)
+    else:
+        flag = F.arrays_overlap(shingles(F.col(text_col), k), bench_lit)
+    return stream_sdf.withColumn(out_col, F.coalesce(flag, F.lit(False)))
+
+
+def stream_quality_filter(
+    stream_sdf: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    out_col: str = "quality",
+) -> DataFrame:
+    """Streaming quality gate: append the composite quality score
+    (operators/text.quality_score — pure Column expressions) and keep
+    rows at or above ``min_quality``. Stateless; append-mode safe."""
+    scored = stream_sdf.withColumn(out_col, quality_score(F.col(text_col)))
+    return scored.filter(F.col(out_col) >= min_quality)

@@ -376,3 +376,61 @@ def test_rolling_time_agg_matches_pandas(spark, sf_dir):
     assert (got.rolling_count.astype(int) == exp["count"].astype(int)).all()
     with pytest.raises(ValueError, match="unsupported rolling aggs"):
         rolling_time_agg(ev, "user_id", "ts", "value", 60, ["median"])
+
+
+def test_stream_contamination_matches_batch(spark, sf_dir):
+    """Stateless streaming decontamination == the batch operator on the
+    same files (append mode, no state)."""
+    import eland_spark as es
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.dedup import contamination_flags
+    from eland_spark.streaming import (
+        read_events_stream,
+        stream_contamination_flags,
+        stream_to_memory,
+    )
+
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("source") == "src2")
+        .select("text")
+    )
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    flagged = stream_contamination_flags(sdocs, bench, k=5).select(
+        "doc_id", "contaminated"
+    )
+    stream_to_memory(flagged, "stream_decon_test", "append", 120)
+    got = spark.sql("SELECT * FROM stream_decon_test").toPandas()
+
+    docs = es.read_parquet(spark, f"{sf_dir}/documents.parquet", index_col="doc_id")
+    exp = contamination_flags(docs, bench, "text", "doc_id", k=5).toPandas()
+    assert dict(zip(got.doc_id, got.contaminated)) == dict(
+        zip(exp.doc_id, exp.contaminated)
+    )
+    assert got.contaminated.sum() > 0  # non-degenerate
+
+
+def test_stream_quality_filter_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import quality_score
+    from eland_spark.streaming import (
+        read_events_stream,
+        stream_quality_filter,
+        stream_to_memory,
+    )
+
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    kept = stream_quality_filter(sdocs, min_quality=0.55).select("doc_id")
+    stream_to_memory(kept, "stream_quality_test", "append", 120)
+    got = set(spark.sql("SELECT doc_id FROM stream_quality_test").toPandas().doc_id)
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = set(
+        batch.withColumn("q", quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.55)
+        .toPandas()
+        .doc_id
+    )
+    assert got == exp and 0 < len(got) < batch.count()
