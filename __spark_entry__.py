@@ -464,6 +464,34 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
     return contamination_flags(docs, bench, "text", "doc_id", k=5)
 
 
+def q_series_shift(spark, sf_dir) -> DataFrame:
+    """pandas Series.shift over the global index order — windowless:
+    rank positions (range-sort + offsets) then a self-equi-join on
+    position-1 (operators/ranking.with_global_shift); no
+    empty-PARTITION-BY window anywhere."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].shift(1).to_spark()
+    return out.select("o_orderkey", F.round("shift", 2).alias("shift"))
+
+
+def q_series_diff(spark, sf_dir) -> DataFrame:
+    """pandas Series.diff over the global index order (same windowless
+    plan as shift)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].diff(1).to_spark()
+    return out.select("o_orderkey", F.round("diff", 2).alias("diff"))
+
+
+def q_series_cumsum(spark, sf_dir) -> DataFrame:
+    """pandas Series.cumsum over the global index order — windowless at
+    scale: position buckets + one balanced hash exchange + driver
+    prefix-sum of bucket totals (with_global_cumsum). Integer column so
+    the running sum is exact on both engines."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_custkey"].cumsum().to_spark()
+    return out.select("o_orderkey", F.col("cumsum").cast("bigint").alias("cumsum"))
+
+
 def q_curation_pipeline(spark, sf_dir) -> DataFrame:
     """End-to-end curation chain — the integrated shape a training-data
     pipeline actually runs: exact dedup (keep-first) -> benchmark
@@ -2552,6 +2580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "boilerplate": q_boilerplate,
         "curation_pipeline": q_curation_pipeline,
+        "series_shift": q_series_shift,
+        "series_diff": q_series_diff,
+        "series_cumsum": q_series_cumsum,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3395,6 +3426,25 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_oracle_sql(),
         "ann_ivf_quantized_seeded": _ann_ivf_quantized_oracle_sql(),
         "multimodal_pipeline_md5": _multimodal_md5_oracle_sql(),
+        "series_shift": """
+            SELECT o_orderkey,
+                   round(lag(o_totalprice, 1) OVER (ORDER BY o_orderkey), 2)
+                       AS shift
+            FROM orders
+        """,
+        "series_diff": """
+            SELECT o_orderkey,
+                   round(o_totalprice
+                         - lag(o_totalprice, 1) OVER (ORDER BY o_orderkey), 2)
+                       AS diff
+            FROM orders
+        """,
+        "series_cumsum": """
+            SELECT o_orderkey,
+                   CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsum
+            FROM orders
+        """,
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),

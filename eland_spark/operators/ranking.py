@@ -21,10 +21,12 @@ consistent with the counted layout).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank"]
+__all__ = ["with_global_rank", "with_global_shift", "with_global_cumsum"]
 
 _POS_MASK = (1 << 33) - 1
 
@@ -83,10 +85,91 @@ def with_global_rank(
     for r in counts:
         offsets[r["__pid__"]] = acc
         acc += r["count"]
-    off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
-    rank = (
-        off_map[F.shiftright(F.col("__mid__"), 33)]
-        + F.col("__mid__").bitwiseAND(F.lit(_POS_MASK))
-        + 1
-    )
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        rank = (
+            off_map[F.shiftright(F.col("__mid__"), 33)]
+            + F.col("__mid__").bitwiseAND(F.lit(_POS_MASK))
+            + 1
+        )
+    else:  # empty frame: no offsets to look up (no rows to rank)
+        rank = F.col("__mid__").bitwiseAND(F.lit(_POS_MASK)) + 1
     return ranked_src.withColumn(rank_col, rank.cast("long")).drop("__mid__")
+
+
+def with_global_shift(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    periods: int = 1,
+    out_col: str = "shifted",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Value of the row ``periods`` positions earlier (later for
+    negative) in the GLOBAL order — pandas ``shift`` without the
+    empty-PARTITION-BY single-reducer window: global positions come
+    from :func:`with_global_rank`, and the shifted value is a
+    self-equi-join on ``position - periods`` (one hash shuffle on the
+    dense position key — perfectly balanced, no cliff). Rows with no
+    source position get null, matching pandas."""
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=partitions
+    )
+    src = ranked.select(
+        (F.col("__g__") + F.lit(periods)).alias("__g__"),
+        F.col(value_col).alias(out_col),
+    )
+    return ranked.join(src, "__g__", "left").drop("__g__")
+
+
+def with_global_cumsum(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running sum over the GLOBAL order, windowless at scale: global
+    positions from :func:`with_global_rank`, positions bucketed into
+    ~``partitions`` fixed-size ranges, ONE balanced hash exchange on
+    the bucket id for the within-bucket running sum, and the
+    per-bucket totals (a ``partitions``-row collect, same size class
+    as the rank offsets) prefix-summed on the driver and added back as
+    a map literal. Null values stay null and are skipped by the run
+    (pandas cumsum skipna semantics)."""
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=n_parts
+    )
+    n = ranked.count()  # cached by with_global_rank — a metadata-cheap job
+    bucket_size = max(1, math.ceil(n / n_parts))
+    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(F.col(value_col)).over(w)
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"))
+        .agg(F.sum(F.col(value_col)).alias("__t__"))
+        .orderBy("__b__")
+        .collect()
+    )
+    acc = 0  # int offsets stay integral; float columns promote naturally
+    offsets: dict[int, object] = {}
+    for r in totals:
+        offsets[r["__b__"]] = acc
+        acc += r["__t__"] or 0
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        run = F.coalesce(off_map[bucket], F.lit(0)) + within
+    else:  # empty frame / all-null column
+        run = within
+    out = F.when(F.col(value_col).isNotNull(), run)
+    return ranked.withColumn(out_col, out).drop("__g__")

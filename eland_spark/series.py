@@ -904,6 +904,80 @@ class Series:
         )
         return EDF(out.unionByName(nulls), index_cols=tuple(icols))
 
+    def _ordered_frame(self):
+        """(base sdf with index cols + __val__, index col names) for the
+        global-order ops (shift/diff/cumsum) — ordered by the index like
+        pandas."""
+        frame = self._frame
+        icols = list(frame.index_cols)
+        if not icols:
+            raise ValueError("shift/diff/cumsum need an index for a total order")
+        schema = frame._schema
+        key_cols = [F.col(schema.resolve(c)).alias(c) for c in icols]
+        return frame._sdf.select(*key_cols, self._expr.alias("__val__")), icols
+
+    def shift(self, periods: int = 1):
+        """pandas ``Series.shift`` over the global index order, as a
+        lazy frame (index columns + ``shift``). Scalable shape: global
+        positions from the windowless range-sort rank operator, then a
+        self-equi-join on ``position - periods``
+        (operators/ranking.with_global_shift) — one balanced hash
+        shuffle on the dense position key, no empty-PARTITION-BY
+        window."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_shift
+
+        base, icols = self._ordered_frame()
+        out = with_global_shift(base, icols, "__val__", periods, out_col="shift")
+        return EDF(out.select(*icols, "shift"), index_cols=tuple(icols))
+
+    def diff(self, periods: int = 1):
+        """pandas ``Series.diff``: value minus the value ``periods``
+        rows earlier in the global index order (same windowless plan as
+        :meth:`shift`)."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_shift
+
+        base, icols = self._ordered_frame()
+        out = with_global_shift(base, icols, "__val__", periods, out_col="__prev__")
+        return EDF(
+            out.select(
+                *icols, (F.col("__val__") - F.col("__prev__")).alias("diff")
+            ),
+            index_cols=tuple(icols),
+        )
+
+    def pct_change(self, periods: int = 1):
+        """pandas ``Series.pct_change``: fractional change vs the value
+        ``periods`` rows earlier (same windowless plan as
+        :meth:`shift`); division by zero yields null like pandas inf ->
+        the caller decides."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_shift
+
+        base, icols = self._ordered_frame()
+        out = with_global_shift(base, icols, "__val__", periods, out_col="__prev__")
+        return EDF(
+            out.select(
+                *icols,
+                (F.col("__val__") / F.col("__prev__") - 1).alias("pct_change"),
+            ),
+            index_cols=tuple(icols),
+        )
+
+    def cumsum(self):
+        """pandas ``Series.cumsum`` over the global index order (skipna
+        semantics: null rows stay null, the run continues). Windowless
+        at scale: position buckets + one balanced hash exchange + a
+        driver prefix-sum of per-bucket totals
+        (operators/ranking.with_global_cumsum)."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_cumsum
+
+        base, icols = self._ordered_frame()
+        out = with_global_cumsum(base, icols, "__val__", out_col="cumsum")
+        return EDF(out.select(*icols, "cumsum"), index_cols=tuple(icols))
+
     def map(self, arg) -> "Series":
         """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM
         map-literal lookup (``create_map(...)[col]``) — codegen'd, no

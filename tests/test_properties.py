@@ -571,3 +571,26 @@ def test_contamination_flags_match_python_sets(spark, corpus, bench):
     )
     got = contamination_flags(cdf, bdf, "text", "doc_id", k=k).toPandas()
     assert dict(zip(got.doc_id, got.contaminated)) == expected
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_shift_diff_cumsum_match_pandas(spark, rows):
+    """Global-order shift/diff/cumsum == pandas on the index order,
+    including null values, empty frames, and single rows."""
+    pdf, edf = _frame(spark, rows)
+    s = edf["a"]
+    p = pdf.set_index("_id")["a"].astype("float64")
+
+    got_shift = s.shift(1).to_pandas()["shift"]
+    got_diff = s.diff(1).to_pandas()["diff"]
+    got_cum = s.cumsum().to_pandas()["cumsum"]
+    for got, exp in [
+        (got_shift, p.shift(1)),
+        (got_diff, p.diff(1)),
+        (got_cum, p.cumsum()),
+    ]:
+        got = got.sort_index().to_numpy(dtype="float64")
+        exp = exp.sort_index().to_numpy(dtype="float64")
+        assert len(got) == len(exp)
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
