@@ -492,6 +492,15 @@ def q_series_cumsum(spark, sf_dir) -> DataFrame:
     return out.select("o_orderkey", F.col("cumsum").cast("bigint").alias("cumsum"))
 
 
+def q_series_cummax(spark, sf_dir) -> DataFrame:
+    """pandas Series.cummax over the global index order — the bucket
+    plan of cumsum with a prefix-max combine; max is order-insensitive
+    so the doubles compare exactly (no rounding needed)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].cummax().to_spark()
+    return out.select("o_orderkey", "cummax")
+
+
 def q_curation_pipeline(spark, sf_dir) -> DataFrame:
     """End-to-end curation chain — the integrated shape a training-data
     pipeline actually runs: exact dedup (keep-first) -> benchmark
@@ -2583,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_shift": q_series_shift,
         "series_diff": q_series_diff,
         "series_cumsum": q_series_cumsum,
+        "series_cummax": q_series_cummax,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3443,6 +3453,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsum
+            FROM orders
+        """,
+        "series_cummax": """
+            SELECT o_orderkey,
+                   max(o_totalprice) OVER (ORDER BY o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS cummax
             FROM orders
         """,
         "simhash_md5": _simhash_oracle_sql(),

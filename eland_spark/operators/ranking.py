@@ -26,7 +26,12 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "with_global_shift", "with_global_cumsum"]
+__all__ = [
+    "with_global_rank",
+    "with_global_shift",
+    "with_global_cumagg",
+    "with_global_cumsum",
+]
 
 _POS_MASK = (1 << 33) - 1
 
@@ -124,21 +129,25 @@ def with_global_shift(
     return ranked.join(src, "__g__", "left").drop("__g__")
 
 
-def with_global_cumsum(
+def with_global_cumagg(
     sdf: DataFrame,
     order_by: list[str | Column],
     value_col: str,
-    out_col: str = "cumsum",
+    agg: str = "sum",
+    out_col: str = "cumagg",
     partitions: int | None = None,
 ) -> DataFrame:
-    """Running sum over the GLOBAL order, windowless at scale: global
-    positions from :func:`with_global_rank`, positions bucketed into
-    ~``partitions`` fixed-size ranges, ONE balanced hash exchange on
-    the bucket id for the within-bucket running sum, and the
-    per-bucket totals (a ``partitions``-row collect, same size class
-    as the rank offsets) prefix-summed on the driver and added back as
-    a map literal. Null values stay null and are skipped by the run
-    (pandas cumsum skipna semantics)."""
+    """Running ``sum``/``max``/``min`` over the GLOBAL order,
+    windowless at scale: global positions from
+    :func:`with_global_rank`, positions bucketed into ~``partitions``
+    fixed-size ranges, ONE balanced hash exchange on the bucket id for
+    the within-bucket running agg, and the per-bucket totals (a
+    ``partitions``-row collect, same size class as the rank offsets)
+    prefix-combined on the driver and merged back via a map literal.
+    Null values stay null and are skipped by the run (pandas
+    cumsum/cummax skipna semantics)."""
+    if agg not in ("sum", "max", "min"):
+        raise ValueError("agg must be sum/max/min")
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = with_global_rank(
@@ -152,24 +161,56 @@ def with_global_cumsum(
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = F.sum(F.col(value_col)).over(w)
+    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
+    within = agg_fn(F.col(value_col)).over(w)
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
-        .agg(F.sum(F.col(value_col)).alias("__t__"))
+        .agg(agg_fn(F.col(value_col)).alias("__t__"))
         .orderBy("__b__")
         .collect()
     )
-    acc = 0  # int offsets stay integral; float columns promote naturally
+    # exclusive prefix combine of bucket totals on the driver: for sum
+    # the first bucket's offset is the identity 0; for max/min there is
+    # no identity — buckets with no preceding total are simply absent
+    # from the map (null lookup, skipped by greatest/least)
     offsets: dict[int, object] = {}
+    acc: object = 0 if agg == "sum" else None
     for r in totals:
-        offsets[r["__b__"]] = acc
-        acc += r["__t__"] or 0
+        if acc is not None:
+            offsets[r["__b__"]] = acc
+        t = r["__t__"]
+        if t is None:
+            continue
+        if agg == "sum":
+            acc = acc + t
+        elif acc is None:
+            acc = t
+        else:
+            acc = max(acc, t) if agg == "max" else min(acc, t)
     if offsets:
         off_map = F.create_map(
             *[F.lit(v) for kv in offsets.items() for v in kv]
         )
-        run = F.coalesce(off_map[bucket], F.lit(0)) + within
-    else:  # empty frame / all-null column
+        if agg == "sum":
+            run = F.coalesce(off_map[bucket], F.lit(0)) + within
+        elif agg == "max":
+            run = F.greatest(off_map[bucket], within)
+        else:
+            run = F.least(off_map[bucket], within)
+    else:  # empty frame / all-null column / single bucket
         run = within
     out = F.when(F.col(value_col).isNotNull(), run)
     return ranked.withColumn(out_col, out).drop("__g__")
+
+
+def with_global_cumsum(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running sum over the global order — see :func:`with_global_cumagg`."""
+    return with_global_cumagg(
+        sdf, order_by, value_col, "sum", out_col, partitions
+    )

@@ -965,18 +965,32 @@ class Series:
             index_cols=tuple(icols),
         )
 
+    def _cumagg(self, agg: str):
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_cumagg
+
+        base, icols = self._ordered_frame()
+        name = f"cum{agg}"
+        out = with_global_cumagg(base, icols, "__val__", agg, out_col=name)
+        return EDF(out.select(*icols, name), index_cols=tuple(icols))
+
     def cumsum(self):
         """pandas ``Series.cumsum`` over the global index order (skipna
         semantics: null rows stay null, the run continues). Windowless
         at scale: position buckets + one balanced hash exchange + a
         driver prefix-sum of per-bucket totals
-        (operators/ranking.with_global_cumsum)."""
-        from .frame import DataFrame as EDF
-        from .operators.ranking import with_global_cumsum
+        (operators/ranking.with_global_cumagg)."""
+        return self._cumagg("sum")
 
-        base, icols = self._ordered_frame()
-        out = with_global_cumsum(base, icols, "__val__", out_col="cumsum")
-        return EDF(out.select(*icols, "cumsum"), index_cols=tuple(icols))
+    def cummax(self):
+        """pandas ``Series.cummax`` — same windowless bucket plan as
+        :meth:`cumsum` with a prefix-max combine."""
+        return self._cumagg("max")
+
+    def cummin(self):
+        """pandas ``Series.cummin`` — same windowless bucket plan as
+        :meth:`cumsum` with a prefix-min combine."""
+        return self._cumagg("min")
 
     def map(self, arg) -> "Series":
         """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM

@@ -585,10 +585,14 @@ def test_shift_diff_cumsum_match_pandas(spark, rows):
     got_shift = s.shift(1).to_pandas()["shift"]
     got_diff = s.diff(1).to_pandas()["diff"]
     got_cum = s.cumsum().to_pandas()["cumsum"]
+    got_cmx = s.cummax().to_pandas()["cummax"]
+    got_cmn = s.cummin().to_pandas()["cummin"]
     for got, exp in [
         (got_shift, p.shift(1)),
         (got_diff, p.diff(1)),
         (got_cum, p.cumsum()),
+        (got_cmx, p.cummax()),
+        (got_cmn, p.cummin()),
     ]:
         got = got.sort_index().to_numpy(dtype="float64")
         exp = exp.sort_index().to_numpy(dtype="float64")
