@@ -492,6 +492,29 @@ def q_series_cumsum(spark, sf_dir) -> DataFrame:
     return out.select("o_orderkey", F.col("cumsum").cast("bigint").alias("cumsum"))
 
 
+def q_groupby_cumsum(spark, sf_dir) -> DataFrame:
+    """pandas groupby().cumsum(): per-group running sum in index order
+    — one keyed window (hash shuffle on the keys + local sort),
+    sequential within each group. Integer column keeps the run exact on
+    both engines."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o.groupby("o_orderpriority").cumsum().to_spark()
+    return out.select(
+        "o_orderkey", F.col("o_custkey").cast("bigint").alias("cum_custkey")
+    )
+
+
+def q_groupby_shift(spark, sf_dir) -> DataFrame:
+    """pandas groupby().shift(): previous row's value within the group
+    (index order) — lag over one keyed window; values pass through
+    untouched so doubles compare exactly."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o.groupby("o_orderpriority").shift(1).to_spark()
+    return out.select(
+        "o_orderkey", F.col("o_totalprice").alias("prev_totalprice")
+    )
+
+
 def q_series_cummax(spark, sf_dir) -> DataFrame:
     """pandas Series.cummax over the global index order — the bucket
     plan of cumsum with a prefix-max combine; max is order-insensitive
@@ -2593,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_diff": q_series_diff,
         "series_cumsum": q_series_cumsum,
         "series_cummax": q_series_cummax,
+        "groupby_cumsum": q_groupby_cumsum,
+        "groupby_shift": q_groupby_shift,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3459,6 +3484,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    max(o_totalprice) OVER (ORDER BY o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS cummax
+            FROM orders
+        """,
+        "groupby_cumsum": """
+            SELECT o_orderkey,
+                   CAST(sum(o_custkey) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_custkey
+            FROM orders
+        """,
+        "groupby_shift": """
+            SELECT o_orderkey,
+                   lag(o_totalprice, 1) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_orderkey) AS prev_totalprice
             FROM orders
         """,
         "simhash_md5": _simhash_oracle_sql(),

@@ -383,6 +383,107 @@ class DataFrameGroupBy:
             sdf.select(*out_cols), index_cols=tuple(self._frame.index_cols)
         )
 
+    def _ordered_window(self):
+        """Per-group window ordered by the parent's index — the scalable
+        shape for group-local order ops (partitionBy keys: one balanced
+        hash shuffle, never an empty-PARTITION-BY global window)."""
+        from pyspark.sql import Window
+
+        schema = self._frame._schema
+        icols = list(self._frame.index_cols)
+        if not icols:
+            raise ValueError("group cumsum/shift need an index for ordering")
+        w = Window.partitionBy(
+            *[F.col(schema.resolve(b)) for b in self._by]
+        ).orderBy(*[F.col(schema.resolve(c)).asc() for c in icols])
+        return w, schema, icols
+
+    def _null_keys_guard(self, schema):
+        keys_ok = None
+        if self._dropna:
+            for b in self._by:
+                c = F.col(schema.resolve(b)).isNotNull()
+                keys_ok = c if keys_ok is None else (keys_ok & c)
+        return keys_ok
+
+    def _group_cumagg(self, agg: str, numeric_only):
+        from pyspark.sql import Window
+
+        w, schema, icols = self._ordered_window()
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
+        index_cols = set(icols)
+        fields = [
+            f
+            for f in self._agg_fields(numeric_only, f"cum{agg}")
+            if f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no agg-compatible columns")
+        keys_ok = self._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name)
+            # skipna: null rows stay null, the run continues
+            expr = F.when(c.isNotNull(), fn(c).over(wf))
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def cumsum(self, numeric_only=True):
+        """pandas ``groupby().cumsum``: per-group running sum in index
+        order — ONE keyed window (hash shuffle on the group keys + local
+        sort), sequential within each group so results are exact."""
+        return self._group_cumagg("sum", numeric_only)
+
+    def cummax(self, numeric_only=True):
+        """pandas ``groupby().cummax`` — same keyed-window plan."""
+        return self._group_cumagg("max", numeric_only)
+
+    def cummin(self, numeric_only=True):
+        """pandas ``groupby().cummin`` — same keyed-window plan."""
+        return self._group_cumagg("min", numeric_only)
+
+    def shift(self, periods: int = 1, numeric_only=False):
+        """pandas ``groupby().shift``: each row gets the value
+        ``periods`` positions earlier within its group (index order);
+        negative periods look forward. One keyed window — lag/lead never
+        crosses group boundaries, so no global order is needed."""
+        w, schema, icols = self._ordered_window()
+        index_cols = set(icols)
+        # pandas shifts EVERY non-key column (strings included) — lag
+        # is type-agnostic, so bypass the agg-compat filter
+        pool = (
+            schema.numeric_fields(True, "shift")
+            if numeric_only
+            else list(schema.fields)
+        )
+        fields = [
+            f
+            for f in pool
+            if f.display_name not in index_cols and f.display_name not in self._by
+        ]
+        if not fields:
+            raise ValueError("no columns to shift")
+        keys_ok = self._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name)
+            expr = (
+                F.lag(c, periods).over(w)
+                if periods >= 0
+                else F.lead(c, -periods).over(w)
+            )
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
     def mad(self, numeric_only=True):
         """Exact per-group MAD via percentile of |x - group_median| —
         needs two passes (median join back); the reference delegates to

@@ -176,3 +176,31 @@ def test_unigram_logppl_empty_corpus(spark):
     out = unigram_logppl(sdf, F.col("text"), F.col("doc_id")).toPandas()
     assert (out["n_tokens"] == 0).all()
     assert out["logppl"].isna().all()
+
+
+def test_groupby_shift_and_cumsum_match_pandas(spark):
+    """Per-group shift (strings included) and cumsum vs pandas."""
+    import pandas as pd
+
+    from eland_spark.frame import DataFrame as EDF
+
+    pdf = pd.DataFrame(
+        {
+            "_id": range(6),
+            "k": ["a", "b", "a", "b", "a", "b"],
+            "v": [1, 10, 2, 20, 3, 30],
+            "s": ["x", "y", "z", "w", "u", "t"],
+        }
+    )
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id long, k string, v long, s string"),
+        index_cols=("_id",),
+    )
+    got = edf.groupby("k").shift(1).to_pandas().set_index("_id").sort_index()
+    exp = pdf.set_index("_id").groupby("k")[["v", "s"]].shift(1)
+    assert list(got["s"].fillna("-")) == list(exp["s"].fillna("-"))
+    assert got["v"].fillna(-1).tolist() == exp["v"].fillna(-1).tolist()
+
+    gotc = edf.groupby("k").cumsum().to_pandas().set_index("_id").sort_index()
+    expc = pdf.set_index("_id").groupby("k")[["v"]].cumsum()
+    assert gotc["v"].tolist() == expc["v"].tolist()
