@@ -515,6 +515,13 @@ def q_groupby_shift(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_cumcount(spark, sf_dir) -> DataFrame:
+    """pandas groupby().cumcount(): 0-based within-group position in
+    index order — row_number over one keyed window."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    return o.groupby("o_orderpriority").cumcount().to_spark()
+
+
 def q_series_cummax(spark, sf_dir) -> DataFrame:
     """pandas Series.cummax over the global index order — the bucket
     plan of cumsum with a prefix-max combine; max is order-insensitive
@@ -2618,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_cummax": q_series_cummax,
         "groupby_cumsum": q_groupby_cumsum,
         "groupby_shift": q_groupby_shift,
+        "groupby_cumcount": q_groupby_cumcount,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3497,6 +3505,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    lag(o_totalprice, 1) OVER (PARTITION BY o_orderpriority
                         ORDER BY o_orderkey) AS prev_totalprice
+            FROM orders
+        """,
+        "groupby_cumcount": """
+            SELECT o_orderkey,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount
             FROM orders
         """,
         "simhash_md5": _simhash_oracle_sql(),

@@ -484,6 +484,24 @@ class DataFrameGroupBy:
             self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
         )
 
+    def cumcount(self):
+        """pandas ``groupby().cumcount``: 0-based position of each row
+        within its group (index order) — row_number over the keyed
+        window; null-key rows get null under dropna like the other
+        group ops."""
+        w, schema, icols = self._ordered_window()
+        keys_ok = self._null_keys_guard(schema)
+        expr = (F.row_number().over(w) - 1).cast("long")
+        if keys_ok is not None:
+            expr = F.when(keys_ok, expr)
+        return DataFrame(
+            self._frame._sdf.select(
+                *[F.col(schema.resolve(ic)).alias(ic) for ic in icols],
+                expr.alias("cumcount"),
+            ),
+            index_cols=tuple(icols),
+        )
+
     def mad(self, numeric_only=True):
         """Exact per-group MAD via percentile of |x - group_median| —
         needs two passes (median join back); the reference delegates to
