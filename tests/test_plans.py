@@ -399,3 +399,37 @@ def test_rank_tie_window_reuses_range_exchange(spark):
     out = orders["o_custkey"].rank(method="average").to_spark()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_series_shift_has_no_window_node(spark):
+    """Series.shift is join-based: positions from the range-sort rank
+    operator, value via self-equi-join — NO Window node and no
+    single-partition exchange anywhere in the plan."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders["o_totalprice"].shift(1).to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_series_cumsum_never_single_partition(spark):
+    """Series.cumsum windows over position BUCKETS (balanced hash
+    exchange), never an empty-PARTITION-BY single-partition window."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders["o_custkey"].cumsum().to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_groupby_cum_ops_single_keyed_window(spark):
+    """groupby cumsum/shift: one keyed window — hash exchange on the
+    group keys, no single-partition exchange."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    for out in [
+        orders.groupby("o_orderpriority").cumsum().to_spark(),
+        orders.groupby("o_orderpriority").shift(1).to_spark(),
+        orders.groupby("o_orderpriority").cumcount().to_spark(),
+    ]:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert shuffle_count(out) == 1, plan_summary(out)
