@@ -515,6 +515,27 @@ def q_groupby_shift(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rolling_global_sum(spark, sf_dir) -> DataFrame:
+    """pandas Series.rolling(5).sum() over the global index order —
+    windowless at scale: position buckets sized >= the window with the
+    last window-1 rows replicated into the next bucket, one balanced
+    hash exchange (with_global_rolling). Integer column keeps the frame
+    sums exact on both engines; min_periods=window nulls the head."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_custkey"].rolling(5).sum().to_spark()
+    return out.select(
+        "o_orderkey", F.col("rolling_sum").cast("bigint").alias("rolling_sum")
+    )
+
+
+def q_rolling_global_min(spark, sf_dir) -> DataFrame:
+    """pandas Series.rolling(7).min() — same bucket-overlap plan; min
+    is order-insensitive so doubles compare exactly."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].rolling(7).min().to_spark()
+    return out.select("o_orderkey", F.col("rolling_min"))
+
+
 def q_groupby_cumcount(spark, sf_dir) -> DataFrame:
     """pandas groupby().cumcount(): 0-based within-group position in
     index order — row_number over one keyed window."""
@@ -2626,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_cumsum": q_groupby_cumsum,
         "groupby_shift": q_groupby_shift,
         "groupby_cumcount": q_groupby_cumcount,
+        "rolling_global_sum": q_rolling_global_sum,
+        "rolling_global_min": q_rolling_global_min,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
@@ -3512,6 +3535,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY o_orderpriority
                         ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount
             FROM orders
+        """,
+        "rolling_global_sum": """
+            SELECT o_orderkey,
+                   CASE WHEN count(o_custkey) OVER w >= 5
+                        THEN CAST(sum(o_custkey) OVER w AS BIGINT) END
+                       AS rolling_sum
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_global_min": """
+            SELECT o_orderkey,
+                   CASE WHEN count(o_totalprice) OVER w >= 7
+                        THEN min(o_totalprice) OVER w END AS rolling_min
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),

@@ -31,6 +31,7 @@ __all__ = [
     "with_global_shift",
     "with_global_cumagg",
     "with_global_cumsum",
+    "with_global_rolling",
 ]
 
 _POS_MASK = (1 << 33) - 1
@@ -201,6 +202,72 @@ def with_global_cumagg(
         run = within
     out = F.when(F.col(value_col).isNotNull(), run)
     return ranked.withColumn(out_col, out).drop("__g__")
+
+
+def with_global_rolling(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    window: int,
+    aggs: list[str],
+    min_periods: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Row-based rolling aggregates over the GLOBAL order (pandas
+    ``rolling(window)``), windowless at scale: positions from
+    :func:`with_global_rank` are bucketed (bucket size >= ``window`` so
+    a frame spans at most two buckets), the last ``window-1`` rows of
+    each bucket are REPLICATED into the next bucket as padding, and one
+    balanced hash exchange on the bucket id computes the bounded frame
+    locally; padding rows are dropped afterwards. min_periods follows
+    pandas: the result is null until ``min_periods`` non-null
+    observations are inside the frame.
+
+    Returns the frame plus one ``rolling_<agg>`` column per agg in
+    ``aggs`` (sum/mean/min/max/count)."""
+    fn_map = {
+        "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+        "count": F.count,
+    }
+    bad = [a for a in aggs if a not in fn_map]
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {bad}; one of {sorted(fn_map)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    mp = window if min_periods is None else min_periods
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=n_parts
+    )
+    n = ranked.count()
+    bucket_size = max(window, math.ceil(n / n_parts) or 1)
+    g0 = F.col("__g__") - 1
+    home = ranked.withColumn(
+        "__b__", (g0 / F.lit(bucket_size)).cast("long")
+    ).withColumn("__pad__", F.lit(False))
+    pad = (
+        ranked.filter(
+            F.pmod(g0, F.lit(bucket_size)) >= F.lit(bucket_size - (window - 1))
+        ).withColumn("__b__", (g0 / F.lit(bucket_size)).cast("long") + 1)
+        .withColumn("__pad__", F.lit(True))
+        if window > 1
+        else None
+    )
+    un = home.unionByName(pad) if pad is not None else home
+    w = (
+        Window.partitionBy("__b__")
+        .orderBy("__g__")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    cnt = F.count(F.col(value_col)).over(w)
+    out = un
+    for a in aggs:
+        expr = fn_map[a](F.col(value_col)).over(w)
+        out = out.withColumn(
+            f"rolling_{a}", F.when(cnt >= F.lit(mp), expr)
+        )
+    return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 
 def with_global_cumsum(

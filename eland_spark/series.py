@@ -965,6 +965,16 @@ class Series:
             index_cols=tuple(icols),
         )
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``Series.rolling(window)`` over the global index
+        order: returns a lazy rolling proxy with
+        ``sum/mean/min/max/count``. Windowless at scale — position
+        buckets sized >= ``window`` with the last ``window-1`` rows
+        replicated into the next bucket, one balanced hash exchange
+        (operators/ranking.with_global_rolling); no single-partition
+        window. ``min_periods`` defaults to ``window`` like pandas."""
+        return _Rolling(self, window, min_periods)
+
     def _cumagg(self, agg: str):
         from .frame import DataFrame as EDF
         from .operators.ranking import with_global_cumagg
@@ -1474,3 +1484,41 @@ def _re_escape(s: str) -> str:
     import re
 
     return re.escape(s)
+
+
+class _Rolling:
+    """Lazy rolling proxy returned by :meth:`Series.rolling` — each agg
+    method compiles to one with_global_rolling plan and returns a lazy
+    frame (index columns + ``rolling_<agg>``)."""
+
+    def __init__(self, series: "Series", window: int, min_periods: int | None):
+        self._series = series
+        self._window = window
+        self._min_periods = min_periods
+
+    def _run(self, agg: str):
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rolling
+
+        base, icols = self._series._ordered_frame()
+        out = with_global_rolling(
+            base, icols, "__val__", self._window, [agg], self._min_periods
+        )
+        return EDF(
+            out.select(*icols, f"rolling_{agg}"), index_cols=tuple(icols)
+        )
+
+    def sum(self):
+        return self._run("sum")
+
+    def mean(self):
+        return self._run("mean")
+
+    def min(self):
+        return self._run("min")
+
+    def max(self):
+        return self._run("max")
+
+    def count(self):
+        return self._run("count")

@@ -433,3 +433,12 @@ def test_groupby_cum_ops_single_keyed_window(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan
         assert shuffle_count(out) == 1, plan_summary(out)
+
+
+def test_rolling_never_single_partition(spark):
+    """Series.rolling windows over overlap-padded buckets — balanced
+    hash exchange, no single-partition window."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    out = orders["o_custkey"].rolling(5).sum().to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

@@ -598,3 +598,26 @@ def test_shift_diff_cumsum_match_pandas(spark, rows):
         exp = exp.sort_index().to_numpy(dtype="float64")
         assert len(got) == len(exp)
         assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+@given(
+    rows=ROWS,
+    window=st.integers(min_value=1, max_value=6),
+)
+@settings(**COMMON)
+def test_rolling_matches_pandas(spark, rows, window):
+    """Global row-based rolling sum/min == pandas incl. null values and
+    the min_periods head nulls (bucket overlap-replication must splice
+    frames across bucket boundaries exactly)."""
+    pdf, edf = _frame(spark, rows)
+    s = edf["a"]
+    p = pdf.set_index("_id")["a"].astype("float64")
+    got_sum = s.rolling(window).sum().to_pandas()["rolling_sum"].sort_index()
+    got_min = s.rolling(window).min().to_pandas()["rolling_min"].sort_index()
+    exp_sum = p.rolling(window).sum().sort_index()
+    exp_min = p.rolling(window).min().sort_index()
+    for got, exp in [(got_sum, exp_sum), (got_min, exp_min)]:
+        assert np.allclose(
+            got.to_numpy(dtype="float64"), exp.to_numpy(dtype="float64"),
+            rtol=1e-9, atol=1e-9, equal_nan=True,
+        )
