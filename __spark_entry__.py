@@ -290,6 +290,21 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_asof_join_nearest(spark, sf_dir) -> DataFrame:
+    """merge_asof direction='nearest' (operators/asof.py): each click
+    takes the user's CLOSEST purchase in absolute time, ties backward
+    like pandas — both running fills computed over the SAME single hash
+    exchange (two local sorts, no join node, no second shuffle); picks
+    compare at full microsecond precision."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    clicks = ev[ev["event_type"] == "click"][["event_id", "user_id", "ts"]]
+    purch = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    m = clicks.merge_asof(purch, on="ts", by="user_id", direction="nearest")
+    return m.to_spark().select(
+        "event_id", F.round("value", 2).alias("purch_value")
+    )
+
+
 def q_hll_distinct(spark, sf_dir) -> DataFrame:
     """Materialized-HLL distinct counting (operators/sketches.py):
     per-group DataSketches sketches, rolled up by lossless merge —
@@ -2657,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "embed_quantize": q_embed_quantize,
         "asof_join": q_asof_join,
+        "asof_join_nearest": q_asof_join_nearest,
         "rolling_window": q_rolling_window,
         "resample_6h": q_resample_6h,
         "series_rank": q_series_rank,
@@ -2863,6 +2879,26 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_nearest": """
+            WITH c AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), cand AS (
+                SELECT c.event_id, p.value,
+                       row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+                                    (p.ts <= c.ts) DESC
+                       ) AS rn
+                FROM c JOIN p USING (user_id)
+            )
+            SELECT c.event_id, round(cd.value, 2) AS purch_value
+            FROM c LEFT JOIN (SELECT event_id, value FROM cand WHERE rn = 1) cd
+              USING (event_id)
         """,
         "hll_distinct": """
             SELECT l_returnflag,

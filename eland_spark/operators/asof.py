@@ -44,17 +44,20 @@ def merge_asof(
     allow_exact_matches: bool = True,
 ):
     """pandas ``merge_asof``: for every left row, attach the right row
-    with the greatest ``on`` <= left's (backward) or smallest ``on`` >=
-    left's (forward) within each ``by`` group; unmatched rows keep
+    with the greatest ``on`` <= left's (backward), smallest ``on`` >=
+    left's (forward), or smallest absolute distance (nearest — ties go
+    backward like pandas) within each ``by`` group; unmatched rows keep
     nulls. ``tolerance`` (seconds for timestamps, same units for
     numeric ``on``) nulls matches farther away than the bound.
+    ``nearest`` runs both running fills over the SAME single exchange
+    (two local sorts, no extra shuffle) and picks per row.
 
     Accepts engine frames or plain Spark DataFrames; returns a Spark
     DataFrame of all left columns plus the right value columns
     (suffixed on collision).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     lsdf = left if isinstance(left, SparkDataFrame) else left.to_spark()
     rsdf = right if isinstance(right, SparkDataFrame) else right.to_spark()
     by = [by] if isinstance(by, str) else list(by or [])
@@ -94,26 +97,88 @@ def merge_asof(
     )
     u = left_part.unionByName(right_part)
 
-    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     # allow_exact: the right row at an equal timestamp must sort BEFORE
     # the left row (visible to the running window); otherwise after
     tie = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
-    # Deterministic pick among right rows sharing the same (by, on):
-    # pandas takes the LAST input right row for backward and the FIRST
-    # for forward, so order ties by the right-side row sequence such
-    # that the wanted row is the last one the running window sees.
-    seq_order = F.col(_SEQ).asc() if direction == "backward" else F.col(_SEQ).desc()
-    w = (
-        Window.partitionBy(*[F.col(b) for b in by])
-        .orderBy(ts_order, tie, seq_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        *[F.col(c) for c in lcols],
-        *[F.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c]) for c in rvals],
-        F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
-        F.col(_SIDE),
-    )
+
+    def _running_window(d: str):
+        """Unbounded-preceding running window for one direction.
+        Deterministic pick among right rows sharing the same (by, on):
+        pandas takes the LAST input right row for backward and the
+        FIRST for forward, so ties order by the right-side row sequence
+        such that the wanted row is the last one the window sees.
+        Forward scans time DESCENDING, so its 'preceding' rows are the
+        later timestamps."""
+        ts_order = F.col(on).asc() if d == "backward" else F.col(on).desc()
+        seq_order = F.col(_SEQ).asc() if d == "backward" else F.col(_SEQ).desc()
+        return (
+            Window.partitionBy(*[F.col(b) for b in by])
+            .orderBy(ts_order, tie, seq_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    if direction in ("backward", "forward"):
+        w = _running_window(direction)
+        filled = u.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c])
+                for c in rvals
+            ],
+            F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+            F.col(_SIDE),
+        )
+    else:
+        # nearest = both running fills over the SAME single exchange
+        # (two Window nodes re-sort locally, no second shuffle), then a
+        # per-row pick by absolute distance — ties go BACKWARD like
+        # pandas; a missing side loses automatically.
+        wb, wf = _running_window("backward"), _running_window("forward")
+        bcols = {c: f"__b_{i}" for i, c in enumerate(rvals)}
+        fcols = {c: f"__f_{i}" for i, c in enumerate(rvals)}
+        both = u.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.last(rmap[c], ignorenulls=True).over(wb).alias(bcols[c])
+                for c in rvals
+            ],
+            F.last(_RTS, ignorenulls=True).over(wb).alias("__b_rts"),
+            *[
+                F.last(rmap[c], ignorenulls=True).over(wf).alias(fcols[c])
+                for c in rvals
+            ],
+            F.last(_RTS, ignorenulls=True).over(wf).alias("__f_rts"),
+            F.col(_SIDE),
+        )
+        if _is_numeric(ltypes[on]):
+            db = F.col(on) - F.col("__b_rts")
+            df_ = F.col("__f_rts") - F.col(on)
+        else:
+            # full microsecond precision — whole-second truncation would
+            # mis-pick when both sides are within the same second; the
+            # timestamp cast lifts NTZ into the (UTC) session zone,
+            # which cancels in the difference
+            def _us(c):
+                return F.unix_micros(F.col(c).cast("timestamp"))
+
+            db = _us(on) - _us("__b_rts")
+            df_ = _us("__f_rts") - _us(on)
+        pick_b = F.col("__f_rts").isNull() | (
+            F.col("__b_rts").isNotNull() & (db <= df_)
+        )
+        filled = both.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.when(pick_b, F.col(bcols[c]))
+                .otherwise(F.col(fcols[c]))
+                .alias(rmap[c])
+                for c in rvals
+            ],
+            F.when(pick_b, F.col("__b_rts"))
+            .otherwise(F.col("__f_rts"))
+            .alias(_RTS),
+            F.col(_SIDE),
+        )
     out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
 
     if tolerance is not None:
@@ -122,10 +187,21 @@ def merge_asof(
         except AttributeError:
             tol = float(tolerance)
         if _is_numeric(ltypes[on]):
+            if direction == "nearest":
+                diff = F.abs(F.col(on) - F.col(_RTS))
+            else:
+                diff = (
+                    F.col(on) - F.col(_RTS)
+                    if direction == "backward"
+                    else F.col(_RTS) - F.col(on)
+                )
+        elif direction == "nearest":
             diff = (
-                F.col(on) - F.col(_RTS)
-                if direction == "backward"
-                else F.col(_RTS) - F.col(on)
+                F.abs(
+                    F.unix_micros(F.col(on).cast("timestamp"))
+                    - F.unix_micros(F.col(_RTS).cast("timestamp"))
+                )
+                / F.lit(1_000_000.0)
             )
         else:
             a, b = (_RTS, on) if direction == "backward" else (on, _RTS)

@@ -91,10 +91,39 @@ def test_plan_one_shuffle_no_join(sides):
     assert "Join" not in plan
 
 
+def test_nearest_matches_pandas(sides, pd_sides):
+    clicks, purch = sides
+    pl, pr = pd_sides
+    a = _got(clicks.merge_asof(purch, on="ts", by="user_id", direction="nearest"))
+    _same(a, _exp(pl, pr, direction="nearest"))
+
+
+def test_nearest_tolerance_matches_pandas(sides, pd_sides):
+    clicks, purch = sides
+    pl, pr = pd_sides
+    tol = pd.Timedelta(seconds=1800)
+    a = _got(
+        clicks.merge_asof(
+            purch, on="ts", by="user_id", direction="nearest", tolerance=tol
+        )
+    )
+    _same(a, _exp(pl, pr, direction="nearest", tolerance=tol))
+
+
+def test_nearest_one_shuffle(sides):
+    clicks, purch = sides
+    out = clicks.merge_asof(
+        purch, on="ts", by="user_id", direction="nearest"
+    ).to_spark()
+    assert shuffle_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_errors(sides):
     clicks, purch = sides
     with pytest.raises(ValueError, match="direction"):
-        clicks.merge_asof(purch, on="ts", by="user_id", direction="nearest")
+        clicks.merge_asof(purch, on="ts", by="user_id", direction="sideways")
     with pytest.raises(KeyError, match="both sides"):
         clicks.merge_asof(purch, on="nope", by="user_id")
 
