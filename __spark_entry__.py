@@ -530,6 +530,16 @@ def q_groupby_shift(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_expanding_mean(spark, sf_dir) -> DataFrame:
+    """pandas Series.expanding().mean() over the global index order —
+    the cumulative bucket plan (sum and observation count in one pass);
+    integer running sum / count keeps the division exact on both
+    engines."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_custkey"].expanding(1).mean().to_spark()
+    return out.select("o_orderkey", F.col("expanding_mean"))
+
+
 def q_rolling_global_sum(spark, sf_dir) -> DataFrame:
     """pandas Series.rolling(5).sum() over the global index order —
     windowless at scale: position buckets sized >= the window with the
@@ -2663,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_shift": q_groupby_shift,
         "groupby_cumcount": q_groupby_cumcount,
         "rolling_global_sum": q_rolling_global_sum,
+        "expanding_mean": q_expanding_mean,
         "rolling_global_min": q_rolling_global_min,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
@@ -3571,6 +3582,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY o_orderpriority
                         ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount
             FROM orders
+        """,
+        "expanding_mean": """
+            SELECT o_orderkey,
+                   CAST(sum(o_custkey) OVER w AS DOUBLE)
+                       / count(o_custkey) OVER w AS expanding_mean
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
         """,
         "rolling_global_sum": """
             SELECT o_orderkey,

@@ -31,6 +31,7 @@ __all__ = [
     "with_global_shift",
     "with_global_cumagg",
     "with_global_cumsum",
+    "with_global_expanding",
     "with_global_rolling",
 ]
 
@@ -130,25 +131,25 @@ def with_global_shift(
     return ranked.join(src, "__g__", "left").drop("__g__")
 
 
-def with_global_cumagg(
+def _global_cumaggs(
     sdf: DataFrame,
     order_by: list[str | Column],
     value_col: str,
-    agg: str = "sum",
-    out_col: str = "cumagg",
+    aggs: list[str],
     partitions: int | None = None,
 ) -> DataFrame:
-    """Running ``sum``/``max``/``min`` over the GLOBAL order,
-    windowless at scale: global positions from
-    :func:`with_global_rank`, positions bucketed into ~``partitions``
-    fixed-size ranges, ONE balanced hash exchange on the bucket id for
-    the within-bucket running agg, and the per-bucket totals (a
-    ``partitions``-row collect, same size class as the rank offsets)
-    prefix-combined on the driver and merged back via a map literal.
-    Null values stay null and are skipped by the run (pandas
-    cumsum/cummax skipna semantics)."""
-    if agg not in ("sum", "max", "min"):
-        raise ValueError("agg must be sum/max/min")
+    """Multi-agg core of the windowless global running aggregation:
+    positions from :func:`with_global_rank` bucketed into
+    ~``partitions`` fixed-size ranges, ONE balanced hash exchange on
+    the bucket id for the within-bucket runs, per-bucket totals
+    prefix-combined on the driver and merged back via map literals.
+    ``aggs`` may contain sum/max/min/count (count = running NON-NULL
+    observation count). Emits one ``__cum_<agg>__`` column per agg;
+    the running value is defined at EVERY row (null rows carry the run
+    forward) — callers apply their own null policy."""
+    bad = [a for a in aggs if a not in ("sum", "max", "min", "count")]
+    if bad:
+        raise ValueError(f"agg must be sum/max/min/count; got {bad}")
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = with_global_rank(
@@ -162,46 +163,112 @@ def with_global_cumagg(
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}[agg]
-    within = agg_fn(F.col(value_col)).over(w)
+    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count}
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
-        .agg(agg_fn(F.col(value_col)).alias("__t__"))
+        .agg(*[fns[a](F.col(value_col)).alias(f"__t_{a}__") for a in aggs])
         .orderBy("__b__")
         .collect()
     )
-    # exclusive prefix combine of bucket totals on the driver: for sum
-    # the first bucket's offset is the identity 0; for max/min there is
-    # no identity — buckets with no preceding total are simply absent
-    # from the map (null lookup, skipped by greatest/least)
-    offsets: dict[int, object] = {}
-    acc: object = 0 if agg == "sum" else None
-    for r in totals:
-        if acc is not None:
-            offsets[r["__b__"]] = acc
-        t = r["__t__"]
-        if t is None:
-            continue
-        if agg == "sum":
-            acc = acc + t
-        elif acc is None:
-            acc = t
+    out = ranked
+    for a in aggs:
+        within = fns[a](F.col(value_col)).over(w)
+        # exclusive prefix combine of bucket totals on the driver: sum/
+        # count have identity 0; max/min have none — buckets without a
+        # preceding total are absent from the map (null lookup, skipped
+        # by greatest/least)
+        offsets: dict[int, object] = {}
+        acc: object = 0 if a in ("sum", "count") else None
+        for r in totals:
+            if acc is not None:
+                offsets[r["__b__"]] = acc
+            t = r[f"__t_{a}__"]
+            if t is None:
+                continue
+            if a in ("sum", "count"):
+                acc = acc + t
+            elif acc is None:
+                acc = t
+            else:
+                acc = max(acc, t) if a == "max" else min(acc, t)
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )
+            if a in ("sum", "count"):
+                # within is NULL when the bucket prefix holds no
+                # observations — the carry must still flow through
+                run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
+                    within, F.lit(0)
+                )
+            elif a == "max":
+                run = F.greatest(off_map[bucket], within)
+            else:
+                run = F.least(off_map[bucket], within)
+        else:  # empty frame / all-null column / single bucket
+            run = within
+        out = out.withColumn(f"__cum_{a}__", run)
+    return out  # __g__ retained — callers drop it
+
+
+def with_global_cumagg(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    agg: str = "sum",
+    out_col: str = "cumagg",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running ``sum``/``max``/``min`` over the GLOBAL order,
+    windowless at scale (see :func:`_global_cumaggs` for the plan).
+    Null values stay null and are skipped by the run (pandas
+    cumsum/cummax skipna semantics)."""
+    if agg not in ("sum", "max", "min"):
+        raise ValueError("agg must be sum/max/min")
+    out = _global_cumaggs(sdf, order_by, value_col, [agg], partitions)
+    expr = F.when(F.col(value_col).isNotNull(), F.col(f"__cum_{agg}__"))
+    return out.withColumn(out_col, expr).drop(f"__cum_{agg}__", "__g__")
+
+
+def with_global_expanding(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    aggs: list[str],
+    min_periods: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """pandas ``expanding()`` aggregates over the GLOBAL order — the
+    cumulative bucket plan of :func:`_global_cumaggs` with expanding
+    null semantics: every row (null values included) carries the
+    running value, masked null until ``min_periods`` NON-NULL
+    observations have been seen. ``aggs`` from sum/mean/min/max/count;
+    mean = running sum / running count. Adds one ``expanding_<agg>``
+    column per agg."""
+    base_aggs = {"count"}
+    for a in aggs:
+        if a not in ("sum", "mean", "min", "max", "count"):
+            raise ValueError(f"unsupported expanding agg {a!r}")
+        base_aggs.update({"sum"} if a == "mean" else {a} if a != "count" else set())
+    out = _global_cumaggs(
+        sdf, order_by, value_col, sorted(base_aggs), partitions
+    )
+    seen = F.col("__cum_count__")
+    ok = seen >= F.lit(min_periods)
+    # pandas quirk: count's min_periods gates on the number of window
+    # ROWS (the global position), not non-null observations
+    ok_count = F.col("__g__") >= F.lit(min_periods)
+    for a in aggs:
+        if a == "count":
+            expr = F.when(ok_count, seen.cast("double"))
+        elif a == "mean":
+            expr = F.when(ok, F.col("__cum_sum__") / seen)
         else:
-            acc = max(acc, t) if agg == "max" else min(acc, t)
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        )
-        if agg == "sum":
-            run = F.coalesce(off_map[bucket], F.lit(0)) + within
-        elif agg == "max":
-            run = F.greatest(off_map[bucket], within)
-        else:
-            run = F.least(off_map[bucket], within)
-    else:  # empty frame / all-null column / single bucket
-        run = within
-    out = F.when(F.col(value_col).isNotNull(), run)
-    return ranked.withColumn(out_col, out).drop("__g__")
+            expr = F.when(ok, F.col(f"__cum_{a}__"))
+        out = out.withColumn(f"expanding_{a}", expr)
+    return out.drop(
+        "__g__", *[c for c in out.columns if c.startswith("__cum_")]
+    )
 
 
 def with_global_rolling(

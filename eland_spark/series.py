@@ -965,6 +965,14 @@ class Series:
             index_cols=tuple(icols),
         )
 
+    def expanding(self, min_periods: int = 1):
+        """pandas ``Series.expanding()`` over the global index order:
+        lazy proxy with ``sum/mean/min/max/count`` — each compiles to
+        the windowless cumulative-agg bucket plan
+        (operators/ranking.with_global_cumagg); results are null until
+        ``min_periods`` non-null observations have been seen."""
+        return _Expanding(self, min_periods)
+
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``Series.rolling(window)`` over the global index
         order: returns a lazy rolling proxy with
@@ -1506,6 +1514,43 @@ class _Rolling:
         )
         return EDF(
             out.select(*icols, f"rolling_{agg}"), index_cols=tuple(icols)
+        )
+
+    def sum(self):
+        return self._run("sum")
+
+    def mean(self):
+        return self._run("mean")
+
+    def min(self):
+        return self._run("min")
+
+    def max(self):
+        return self._run("max")
+
+    def count(self):
+        return self._run("count")
+
+
+class _Expanding:
+    """Lazy expanding proxy returned by :meth:`Series.expanding` — each
+    agg compiles to one with_global_expanding plan (cumulative bucket
+    combine) and returns a lazy frame (index + ``expanding_<agg>``)."""
+
+    def __init__(self, series: "Series", min_periods: int):
+        self._series = series
+        self._min_periods = min_periods
+
+    def _run(self, agg: str):
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_expanding
+
+        base, icols = self._series._ordered_frame()
+        out = with_global_expanding(
+            base, icols, "__val__", [agg], self._min_periods
+        )
+        return EDF(
+            out.select(*icols, f"expanding_{agg}"), index_cols=tuple(icols)
         )
 
     def sum(self):

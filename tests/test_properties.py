@@ -621,3 +621,28 @@ def test_rolling_matches_pandas(spark, rows, window):
             got.to_numpy(dtype="float64"), exp.to_numpy(dtype="float64"),
             rtol=1e-9, atol=1e-9, equal_nan=True,
         )
+
+
+@given(rows=ROWS, mp=st.integers(min_value=1, max_value=4))
+@settings(**COMMON)
+def test_expanding_matches_pandas(spark, rows, mp):
+    """Global expanding sum/mean/count == pandas incl. null carrying
+    (null-value rows still get the running value) and min_periods."""
+    pdf, edf = _frame(spark, rows)
+    s = edf["a"]
+    p = pdf.set_index("_id")["a"].astype("float64")
+    for agg in ["sum", "mean", "count"]:
+        got = (
+            getattr(s.expanding(mp), agg)()
+            .to_pandas()[f"expanding_{agg}"]
+            .sort_index()
+            .to_numpy(dtype="float64")
+        )
+        exp = (
+            getattr(p.expanding(mp), agg)()
+            .sort_index()
+            .to_numpy(dtype="float64")
+        )
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True), (
+            agg, rows, mp,
+        )
