@@ -530,6 +530,18 @@ def q_groupby_shift(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_rolling(spark, sf_dir) -> DataFrame:
+    """pandas groupby().rolling(4).sum(): per-group bounded-frame
+    window in index order — one keyed hash shuffle, group locality
+    makes it trivially scalable. Integer column keeps the frame sums
+    exact; min_periods=window nulls each group's head."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o.groupby("o_orderpriority").rolling(4).sum().to_spark()
+    return out.select(
+        "o_orderkey", F.col("o_custkey").cast("bigint").alias("roll_custkey")
+    )
+
+
 def q_expanding_mean(spark, sf_dir) -> DataFrame:
     """pandas Series.expanding().mean() over the global index order —
     the cumulative bucket plan (sum and observation count in one pass);
@@ -2674,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_cumcount": q_groupby_cumcount,
         "rolling_global_sum": q_rolling_global_sum,
         "expanding_mean": q_expanding_mean,
+        "groupby_rolling": q_groupby_rolling,
         "rolling_global_min": q_rolling_global_min,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
@@ -3582,6 +3595,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY o_orderpriority
                         ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount
             FROM orders
+        """,
+        "groupby_rolling": """
+            SELECT o_orderkey,
+                   CASE WHEN count(o_custkey) OVER w >= 4
+                        THEN CAST(sum(o_custkey) OVER w AS BIGINT) END
+                       AS roll_custkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "expanding_mean": """
             SELECT o_orderkey,

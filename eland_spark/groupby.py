@@ -484,6 +484,19 @@ class DataFrameGroupBy:
             self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
         )
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``groupby().rolling(window)``: per-group row-based
+        rolling aggregates in index order — a single keyed window with
+        a bounded frame (hash shuffle on the group keys), nothing else;
+        group locality makes this trivially scalable. Returns a lazy
+        proxy with ``sum/mean/min/max/count``."""
+        return _GroupRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``groupby().expanding()``: per-group expanding
+        aggregates in index order over the same keyed window."""
+        return _GroupRolling(self, None, min_periods)
+
     def cumcount(self):
         """pandas ``groupby().cumcount``: 0-based position of each row
         within its group (index order) — row_number over the keyed
@@ -607,3 +620,77 @@ class DataFrameGroupBy:
             exprs.append(F.min_by(F.col(key), pair).alias(f.display_name))
         pdf = self._lazy(exprs).to_spark().toPandas()
         return pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+
+
+class _GroupRolling:
+    """Lazy per-group rolling/expanding proxy (``window=None`` means
+    expanding). Each agg compiles to ONE keyed window — hash shuffle on
+    the group keys, bounded (rolling) or unbounded-preceding
+    (expanding) frame — and returns a lazy frame of the parent's index
+    columns plus one column per agg-compatible field. min_periods
+    follows pandas (non-null observations in the frame)."""
+
+    def __init__(self, gb: "DataFrameGroupBy", window: int | None,
+                 min_periods: int | None):
+        if window is not None and window < 1:
+            raise ValueError("window must be >= 1")
+        self._gb = gb
+        self._window = window
+        self._mp = (
+            min_periods
+            if min_periods is not None
+            else (window if window is not None else 1)
+        )
+
+    def _run(self, agg: str):
+        from pyspark.sql import Window
+
+        fn_map = {
+            "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+            "count": F.count,
+        }
+        if agg not in fn_map:
+            raise ValueError(f"unsupported agg {agg!r}; one of {sorted(fn_map)}")
+        gb = self._gb
+        w, schema, icols = gb._ordered_window()
+        lo = (
+            Window.unboundedPreceding
+            if self._window is None
+            else -(self._window - 1)
+        )
+        wf = w.rowsBetween(lo, Window.currentRow)
+        index_cols = set(icols)
+        fields = [
+            f
+            for f in gb._agg_fields(True, agg)
+            if f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no agg-compatible columns")
+        keys_ok = gb._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name)
+            cnt = F.count(c).over(wf)
+            expr = F.when(cnt >= F.lit(self._mp), fn_map[agg](c).over(wf))
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            gb._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def sum(self):
+        return self._run("sum")
+
+    def mean(self):
+        return self._run("mean")
+
+    def min(self):
+        return self._run("min")
+
+    def max(self):
+        return self._run("max")
+
+    def count(self):
+        return self._run("count")

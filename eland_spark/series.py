@@ -701,6 +701,13 @@ class Series:
             pdf = sdf.toPandas()
         return pdf[self._name]
 
+    def to_list(self) -> list:
+        """pandas ``Series.tolist`` — collects the column to the driver
+        (same boundary as ``to_pandas``)."""
+        return self.to_pandas().tolist()
+
+    tolist = to_list
+
     def head(self, n: int = 5) -> pd.Series:
         f = self._frame.head(n)
         if self._is_derived:

@@ -204,3 +204,48 @@ def test_groupby_shift_and_cumsum_match_pandas(spark):
     gotc = edf.groupby("k").cumsum().to_pandas().set_index("_id").sort_index()
     expc = pdf.set_index("_id").groupby("k")[["v"]].cumsum()
     assert gotc["v"].tolist() == expc["v"].tolist()
+
+
+def test_groupby_rolling_expanding_match_pandas(spark):
+    """Per-group rolling/expanding vs pandas (min_periods, null values,
+    group boundaries never leak)."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.frame import DataFrame as EDF
+
+    pdf = pd.DataFrame(
+        {
+            "_id": range(8),
+            "k": ["a", "b", "a", "b", "a", "b", "a", "b"],
+            "v": [1.0, 10.0, None, 20.0, 3.0, None, 4.0, 40.0],
+        }
+    )
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id long, k string, v double"),
+        index_cols=("_id",),
+    )
+    got_r = (
+        edf.groupby("k").rolling(2).sum().to_pandas().set_index("_id").sort_index()
+    )
+    exp_r = (
+        pdf.set_index("_id").groupby("k")["v"].rolling(2).sum()
+        .reset_index(0, drop=True).sort_index()
+    )
+    assert np.allclose(
+        got_r["v"].to_numpy(dtype="float64"),
+        exp_r.to_numpy(dtype="float64"),
+        equal_nan=True,
+    )
+    got_e = (
+        edf.groupby("k").expanding().mean().to_pandas().set_index("_id").sort_index()
+    )
+    exp_e = (
+        pdf.set_index("_id").groupby("k")["v"].expanding(1).mean()
+        .reset_index(0, drop=True).sort_index()
+    )
+    assert np.allclose(
+        got_e["v"].to_numpy(dtype="float64"),
+        exp_e.to_numpy(dtype="float64"),
+        equal_nan=True,
+    )
