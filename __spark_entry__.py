@@ -530,6 +530,17 @@ def q_groupby_shift(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_rank(spark, sf_dir) -> DataFrame:
+    """pandas groupby().rank(method='average'): within-group value
+    ranks — ONE hash shuffle on the keys; the per-(key, value) tie
+    windows are satisfied by the same exchange (subset clustering)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o.groupby("o_orderpriority").rank(method="average").to_spark()
+    return out.select(
+        "o_orderkey", F.col("o_totalprice").alias("rank_totalprice")
+    )
+
+
 def q_groupby_rolling(spark, sf_dir) -> DataFrame:
     """pandas groupby().rolling(4).sum(): per-group bounded-frame
     window in index order — one keyed hash shuffle, group locality
@@ -2687,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_global_sum": q_rolling_global_sum,
         "expanding_mean": q_expanding_mean,
         "groupby_rolling": q_groupby_rolling,
+        "groupby_rank": q_groupby_rank,
         "rolling_global_min": q_rolling_global_min,
         "redact_pii": q_redact_pii,
         "train_val_split": q_train_val_split,
@@ -3595,6 +3607,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY o_orderpriority
                         ORDER BY o_orderkey) - 1 AS BIGINT) AS cumcount
             FROM orders
+        """,
+        "groupby_rank": """
+            SELECT o_orderkey,
+                   (CAST(rank() OVER w AS DOUBLE) + rank() OVER w
+                    + count(*) OVER (PARTITION BY o_orderpriority,
+                                     o_totalprice) - 1) / 2
+                       AS rank_totalprice
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         """,
         "groupby_rolling": """
             SELECT o_orderkey,

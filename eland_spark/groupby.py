@@ -497,6 +497,80 @@ class DataFrameGroupBy:
         aggregates in index order over the same keyed window."""
         return _GroupRolling(self, None, min_periods)
 
+    def rank(
+        self,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+        numeric_only: bool = True,
+    ):
+        """pandas ``groupby().rank``: within-group rank of each value
+        with average/min/max/first/dense tie methods; nulls rank null;
+        ``pct`` divides by the group's non-null count. ONE hash shuffle
+        on the group keys — the per-(key, value) tie windows are
+        satisfied by the same exchange (hash clustering on the keys
+        co-locates every finer partitioning), so no extra exchange.
+        Returns a lazy frame of index columns + one ranked column per
+        numeric field."""
+        from pyspark.sql import Window
+
+        if method not in ("average", "min", "max", "first", "dense"):
+            raise ValueError("method must be average/min/max/first/dense")
+        schema = self._frame._schema
+        icols = list(self._frame.index_cols)
+        if not icols:
+            raise ValueError("rank needs an index for deterministic ties")
+        keys = [F.col(schema.resolve(b)) for b in self._by]
+        index_cols = set(icols)
+        fields = [
+            f
+            for f in self._agg_fields(numeric_only, "rank")
+            if f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no rankable columns")
+        keys_ok = self._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name)
+            order = c.asc() if ascending else c.desc()
+            # null values must not consume rank positions: windows that
+            # order by the value put nulls first/last — instead rank
+            # over the NON-NULL sub-partition by keying nulls apart
+            null_key = c.isNull()
+            wv = Window.partitionBy(*keys, null_key).orderBy(order)
+            if method == "first":
+                idx_order = [
+                    F.col(schema.resolve(ic)).asc() for ic in icols
+                ]
+                expr = F.row_number().over(
+                    Window.partitionBy(*keys, null_key).orderBy(order, *idx_order)
+                ).cast("double")
+            elif method == "dense":
+                expr = F.dense_rank().over(wv).cast("double")
+            elif method == "min":
+                expr = F.rank().over(wv).cast("double")
+            else:
+                mn = F.rank().over(wv).cast("double")
+                mx = mn + F.count(F.lit(1)).over(
+                    Window.partitionBy(*keys, null_key, c)
+                ) - 1
+                expr = mx.cast("double") if method == "max" else (mn + mx) / 2
+            if pct:
+                den = F.count(c).over(Window.partitionBy(*keys))
+                if method == "dense":
+                    den = F.size(
+                        F.collect_set(c).over(Window.partitionBy(*keys))
+                    )
+                expr = expr / den
+            expr = F.when(c.isNotNull(), expr)
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
     def cumcount(self):
         """pandas ``groupby().cumcount``: 0-based position of each row
         within its group (index order) — row_number over the keyed

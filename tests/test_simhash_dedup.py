@@ -249,3 +249,37 @@ def test_groupby_rolling_expanding_match_pandas(spark):
         exp_e.to_numpy(dtype="float64"),
         equal_nan=True,
     )
+
+
+def test_groupby_rank_matches_pandas(spark):
+    """Per-group rank vs pandas across all tie methods, with nulls and
+    pct."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.frame import DataFrame as EDF
+
+    pdf = pd.DataFrame(
+        {
+            "_id": range(9),
+            "k": ["a", "a", "a", "a", "b", "b", "b", "b", "b"],
+            "v": [2.0, 1.0, 2.0, None, 5.0, 5.0, 5.0, 1.0, None],
+        }
+    )
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id long, k string, v double"),
+        index_cols=("_id",),
+    )
+    for method in ["average", "min", "max", "first", "dense"]:
+        for pct in [False, True]:
+            got = (
+                edf.groupby("k").rank(method=method, pct=pct)
+                .to_pandas().set_index("_id").sort_index()["v"]
+                .to_numpy(dtype="float64")
+            )
+            exp = (
+                pdf.set_index("_id").groupby("k")["v"]
+                .rank(method=method, pct=pct).sort_index()
+                .to_numpy(dtype="float64")
+            )
+            assert np.allclose(got, exp, equal_nan=True), (method, pct, got, exp)
