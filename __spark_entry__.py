@@ -450,6 +450,58 @@ def q_perplexity(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet-style quality tiers (operators/text.perplexity_buckets):
+    unigram-LM perplexity scored against a broadcast map-literal LM
+    (zero-shuffle fold), then ntile(3) per language over the ROUNDED
+    score — head/middle/tail buckets whose boundaries are bit-stable
+    across engines. The only shuffle is the per-language tile exchange.
+    Fully SQL-expressible (DuckDB replays the LM fold + NTILE)."""
+    from eland_spark.operators.text import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = perplexity_buckets(
+        docs, F.col("text"), F.col("doc_id"), F.col("lang"), n_buckets=3, top_v=100
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.round("logppl", 6).alias("logppl"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "tier",
+    )
+
+
+def q_cap_per_domain(spark, sf_dir) -> DataFrame:
+    """Per-source document cap (operators/sampling.cap_per_key): at most
+    10 docs per source in doc_id order — the "no single domain dominates
+    the corpus" curation rule. One hash shuffle on the key; row_number +
+    filter, never a per-key array; AQE splits skewed keys. Fully
+    SQL-expressible (ROW_NUMBER twin)."""
+    from eland_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = cap_per_key(docs, "source", 10, "doc_id")
+    return out.select("doc_id", "source")
+
+
+def q_token_budget_sample(spark, sf_dir) -> DataFrame:
+    """Budgeted mixture sampling (operators/sampling.sample_to_token_
+    budget): per-source random-but-deterministic subset whose cumulative
+    n_chars stays <= 3000 — the "N tokens per source" step of assembling
+    a training mixture. md5-keyed order (engine-portable), one hash
+    shuffle + streaming prefix sum. Fully SQL-expressible (SUM OVER twin
+    on the identical md5 key)."""
+    from eland_spark.operators.sampling import sample_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = sample_to_token_budget(
+        docs, "n_chars", 3000, id_col="doc_id", group_col="source", seed=42
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_boilerplate(spark, sf_dir) -> DataFrame:
     """Boilerplate-segment scrub (operators/text.remove_boilerplate):
     segments appearing in >= 395 distinct documents are dropped, order
@@ -1968,6 +2020,71 @@ def _perplexity_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
     """
 
 
+def _ppl_buckets_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
+    """DuckDB oracle for q_ppl_buckets: the q_perplexity LM fold with
+    the language column carried through, then NTILE(3) per language over
+    (rounded logppl, doc_id) — the identical bit-stable tile order."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(l) AS token FROM toks)
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_v}
+        ), lm AS (
+            SELECT map(list(token ORDER BY token),
+                       list(CAST(cnt AS DOUBLE) ORDER BY token)) AS m
+            FROM vocab
+        ), tot AS (
+            SELECT CAST(sum(len(l)) AS DOUBLE) AS total FROM toks
+        ), scored AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(len(l) AS BIGINT) AS n_tokens,
+                   round(-list_sum(list_transform(l,
+                       tk -> ln(COALESCE(map_extract(m, tk)[1],
+                                         {floor_count}) / total)))
+                         / len(l), 6) AS logppl
+            FROM toks t, lm, tot
+            WHERE len(l) > 0
+        ), tiled AS (
+            SELECT doc_id, lang, n_tokens, logppl,
+                   CAST(NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY logppl ASC, doc_id ASC) AS BIGINT) AS bucket
+            FROM scored
+        )
+        SELECT doc_id, lang, n_tokens, logppl, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS tier
+        FROM tiled
+    """
+
+
+_CAP_PER_DOMAIN_ORACLE = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+"""
+
+
+_TOKEN_BUDGET_ORACLE = """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               SUM(GREATEST(CAST(n_chars AS DOUBLE), 0.0)) OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(doc_id::VARCHAR || '42'),
+                                  1, 15)) AS BIGINT) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    ) WHERE cum <= 3000.0
+"""
+
+
 def _shingle_cte(rel: str, k: int) -> str:
     """Subquery producing (doc_id, ss: list of word k-shingles) from a
     relation/CTE ``rel`` exposing (doc_id, text) — the SQL twin of
@@ -2686,6 +2803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
         "perplexity": q_perplexity,
+        "ppl_buckets": q_ppl_buckets,
+        "cap_per_domain": q_cap_per_domain,
+        "token_budget_sample": q_token_budget_sample,
         "boilerplate": q_boilerplate,
         "curation_pipeline": q_curation_pipeline,
         "series_shift": q_series_shift,
@@ -3560,6 +3680,9 @@ def oracle_sql() -> dict[str, str]:
         "nlp_classify": _nlp_classify_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "perplexity": _perplexity_oracle_sql(),
+        "ppl_buckets": _ppl_buckets_oracle_sql(),
+        "cap_per_domain": _CAP_PER_DOMAIN_ORACLE,
+        "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "boilerplate": _boilerplate_oracle_sql(" ", 395),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
         "ann_ivf_quantized_seeded": _ann_ivf_quantized_oracle_sql(),

@@ -64,12 +64,18 @@ HEADLINE = [
     "perplexity",
     "boilerplate",
     "curation_pipeline",
+    "ppl_buckets",
+    "cap_per_domain",
+    "token_budget_sample",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
 ROW_HEAVY = {
     "decontaminate",
     "perplexity",
+    "ppl_buckets",
+    "cap_per_domain",
+    "token_budget_sample",
     "boilerplate",
     "filter_chain",
     "groupby_transform",

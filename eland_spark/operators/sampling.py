@@ -193,3 +193,96 @@ def weighted_sample_n(
         .limit(n)
         .drop(tmp)
     )
+
+
+def cap_per_key(
+    sdf: DataFrame,
+    key_col: str,
+    n: int,
+    order_col: str,
+    descending: bool = False,
+):
+    """Per-key row cap — the "at most N documents per domain/source"
+    rule every web-scale curation pipeline applies so no single site
+    dominates the corpus. Keeps the first ``n`` rows of each key in
+    ``order_col`` order (descending=True keeps the last — e.g. cap by
+    newest-first). Deterministic: ties are impossible when order_col is
+    unique; otherwise the (order_col) sort is stable only up to ties,
+    so pass a unique column.
+
+    One shuffle (hash partition by key + in-partition sort); row_number
+    + filter never materializes more than the partition being ranked,
+    and AQE splits skewed keys. At 100 TB this beats any groupBy/
+    collect_list shape — no per-key array is ever built.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key_col).orderBy(oc)
+    tmp = "__rn__"
+    while tmp in sdf.columns:
+        tmp += "_"
+    return (
+        sdf.withColumn(tmp, F.row_number().over(w))
+        .filter(F.col(tmp) <= int(n))
+        .drop(tmp)
+    )
+
+
+def sample_to_token_budget(
+    sdf: DataFrame,
+    cost_col: str,
+    budget: int,
+    id_col: str,
+    group_col: str | None = None,
+    seed: int = 42,
+):
+    """Budgeted mixture sampling: keep a random-but-deterministic subset
+    of each group whose CUMULATIVE cost (tokens, chars, bytes) stays
+    within ``budget`` — the "give me ~1B tokens per source" step of
+    assembling a training mixture, where per-row sampling fractions
+    can't hit an exact token target.
+
+    Rows are ordered by an md5-derived key of (id, seed) — an unbiased
+    deterministic shuffle that reproduces bit-identically on any engine
+    with md5 (the differential-oracle contract) — then a running sum
+    over that order admits rows while the inclusive prefix total is
+    <= budget. Changing ``seed`` re-deals the sample.
+
+    One hash shuffle (partition by group + in-partition sort) when
+    ``group_col`` is given — the window is a streaming prefix sum, no
+    per-group state beyond the accumulator, no driver data, and AQE
+    splits skewed groups. WITHOUT a group the global prefix sum uses
+    the windowless bucket plan of ``ranking.with_global_cumsum``
+    (range-bucketed positions + driver-combined bucket offsets) — no
+    single-partition window at any scale. Rows with non-positive cost
+    pass through free (they never consume budget).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key = _md5_rank_key(F.col(id_col), seed)
+    cost = F.greatest(F.col(cost_col).cast("double"), F.lit(0.0))
+    tmp = "__cum__"
+    while tmp in sdf.columns:
+        tmp += "_"
+    if group_col is None:
+        from .ranking import with_global_cumsum
+
+        kcol, ccol = tmp + "k", tmp + "c"
+        staged = sdf.withColumn(kcol, key).withColumn(ccol, cost)
+        out = with_global_cumsum(staged, [kcol, id_col], ccol, out_col=tmp)
+        return out.filter(F.col(tmp) <= float(budget)).drop(kcol, ccol, tmp)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sdf.withColumn(tmp, F.sum(cost).over(w))
+        .filter(F.col(tmp) <= float(budget))
+        .drop(tmp)
+    )

@@ -153,6 +153,7 @@ def unigram_logppl(
     id_col: Column,
     top_v: int = 1000,
     floor_count: float = 0.5,
+    extra_cols: list[Column] | None = None,
 ):
     """Unigram-LM log-perplexity per document — the classic
     perplexity-filter stage of a corpus-curation pipeline (score against
@@ -172,7 +173,9 @@ def unigram_logppl(
     That is the 100 TB shape: the LM is a small broadcast table, the
     corpus streams through codegen once.
 
-    Returns a Spark DataFrame (id, n_tokens, logppl).
+    Returns a Spark DataFrame (id, n_tokens, logppl[, *extra_cols])
+    — ``extra_cols`` are zero-cost passthrough projections (e.g. the
+    language column for downstream per-language bucketing).
     """
     from pyspark.sql import functions as F
 
@@ -212,6 +215,7 @@ def unigram_logppl(
         id_col.alias("id"),
         n.cast("long").alias("n_tokens"),
         score.alias("logppl"),
+        *(extra_cols or []),
     )
 
 
@@ -438,4 +442,63 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+def perplexity_buckets(
+    sdf,
+    text: Column,
+    id_col: Column,
+    lang_col: Column,
+    n_buckets: int = 3,
+    top_v: int = 1000,
+):
+    """CCNet-style quality bucketing: score each document with the
+    unigram-LM log-perplexity, then split EACH LANGUAGE into
+    ``n_buckets`` equal-size tiers (ntile) by ascending perplexity —
+    bucket 1 is the "head" (most fluent), the last bucket the "tail"
+    (candidates for dropping or downweighting). CCNet keeps head+middle
+    for LM pretraining; the bucket column makes that a trivial filter.
+
+    Empty documents (no tokens → null score) are excluded — they carry
+    no signal and their tier would be arbitrary.
+
+    The tier order key is the score ROUNDED to 6 decimals (+ id
+    tiebreak): rounding makes the ordering — hence the tile boundaries —
+    bit-stable across engines whose float folds differ in the last ulp
+    (the differential-oracle contract).
+
+    Plan: the LM is a broadcast map literal (see unigram_logppl), so
+    scoring is a pure map stage; the only shuffle is the per-language
+    ntile exchange, which partitions by language — at 100 TB ntile
+    within a language is a range computation over that language's
+    partition set, and skewed corpora (one dominant language) are
+    exactly the case where per-language partitioning beats a global
+    sort.
+
+    Returns a Spark DataFrame (id, lang, n_tokens, logppl, bucket,
+    tier) where tier is 'head' / 'middle' / 'tail' (middle collapses
+    for n_buckets < 3).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logppl(
+        sdf, text, id_col, top_v=top_v, extra_cols=[lang_col.alias("lang")]
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.col("logppl"), 6).asc(), F.col("id").asc()
+    )
+    bucket = F.ntile(int(n_buckets)).over(w)
+    tier = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == int(n_buckets), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return scored.select(
+        "id",
+        "lang",
+        "n_tokens",
+        "logppl",
+        bucket.alias("bucket"),
+        tier.alias("tier"),
     )

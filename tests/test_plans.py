@@ -442,3 +442,56 @@ def test_rolling_never_single_partition(spark):
     out = orders["o_custkey"].rolling(5).sum().to_spark()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cap_per_key_single_hash_exchange(spark):
+    """cap_per_key: one hash exchange on the key, never a
+    single-partition exchange — the per-domain cap must scale."""
+    from eland_spark.operators.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = cap_per_key(docs, "source", 10, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(out) == 1, plan_summary(out)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_budget_grouped_single_hash_exchange(spark):
+    """sample_to_token_budget (grouped): one hash exchange on the
+    group; the prefix sum is a streaming window, no single partition."""
+    from eland_spark.operators.sampling import sample_to_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sample_to_token_budget(
+        docs, "n_chars", 3000, id_col="doc_id", group_col="source"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(out) == 1, plan_summary(out)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_budget_global_no_single_partition(spark):
+    """sample_to_token_budget (global): the windowless bucket plan —
+    range + one balanced hash exchange, NO single-partition window."""
+    from eland_spark.operators.sampling import sample_to_token_budget
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sample_to_token_budget(docs, "n_chars", 3000, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ppl_buckets_only_language_exchange(spark):
+    """perplexity_buckets: scoring is a broadcast-LM map stage; the
+    ONLY exchange is the per-language ntile hash partition."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = perplexity_buckets(
+        docs, F.col("text"), F.col("doc_id"), F.col("lang"), top_v=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(out) == 1, plan_summary(out)
+    assert "Exchange SinglePartition" not in plan, plan
