@@ -217,6 +217,7 @@ def ivf_index(
     max_iter: int = 5,
     seed: int = 42,
     seed_strategy: str = "hash",
+    wide_agg_max_dim: int = 256,
 ):
     """Build IVF centroids with distributed k-means (Lloyd iterations as
     groupBy-avg jobs — no MLlib dependency, no driver-side data besides
@@ -247,23 +248,51 @@ def ivf_index(
     for _ in range(max_iter):
         cell = nearest_cell(vec, centroids)
         dim = len(centroids[0])
-        sums = (
-            df._sdf.select(cell.alias("c"), vec.alias("v"))
-            .groupBy("c")
-            .agg(
-                *[
-                    F.sum(F.element_at("v", i + 1).cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
+        if dim <= wide_agg_max_dim:
+            # wide agg: one sum column per dimension — narrowest shuffle
+            # (k rows x dim cols), codegen-friendly at embedding dims
+            # up to a few hundred
+            sums = (
+                df._sdf.select(cell.alias("c"), vec.alias("v"))
+                .groupBy("c")
+                .agg(
+                    *[
+                        F.sum(F.element_at("v", i + 1).cast("double")).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = list(centroids)
-        for r in sums:
-            if r["n"] > 0:
-                new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
-        centroids = new
+            new = list(centroids)
+            for r in sums:
+                if r["n"] > 0:
+                    new[r["c"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            centroids = new
+        else:
+            # high-dim path: posexplode to (cell, dim_idx) keys so the
+            # aggregate is k*dim NARROW rows instead of a k-row agg with
+            # thousands of generated sum columns (which blows past the
+            # JVM's 64KB codegen method limit and falls back to the
+            # interpreted evaluator). Map-side combine bounds the
+            # shuffle at partitions * k * dim rows regardless of corpus
+            # size; the driver only ever sees k*dim (sum, count) cells.
+            sums = (
+                df._sdf.select(
+                    cell.alias("c"), F.posexplode(vec).alias("i", "x")
+                )
+                .groupBy("c", "i")
+                .agg(
+                    F.sum(F.col("x").cast("double")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            new = [list(c) for c in centroids]
+            for r in sums:
+                if r["n"] > 0:
+                    new[r["c"]][r["i"]] = r["s"] / r["n"]
+            centroids = [list(c) for c in new]
     return centroids
 
 

@@ -97,3 +97,18 @@ def test_ivf_quantized_topk_recall(spark):
     for r in got:
         if r["id"] in em:
             assert abs(r["cos"] - em[r["id"]]) < 1e-9
+
+
+def test_ivf_index_highdim_path_matches_wide_agg(spark, sf_dir):
+    """The posexplode (high-dim) Lloyd path must produce the exact
+    same centroids as the wide-agg path — only the aggregation layout
+    differs (sum columns vs (cell, dim_idx) rows)."""
+    import eland_spark as es
+    from eland_spark.operators.similarity import ivf_index
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    wide = ivf_index(emb, n_cells=4, max_iter=2, wide_agg_max_dim=256)
+    tall = ivf_index(emb, n_cells=4, max_iter=2, wide_agg_max_dim=1)
+    assert len(wide) == len(tall)
+    for cw, ct in zip(wide, tall):
+        assert cw == pytest.approx(ct, rel=1e-12)
