@@ -450,6 +450,67 @@ def q_perplexity(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_elementwise_frame(spark, sf_dir) -> DataFrame:
+    """Frame-wide elementwise surface (DataFrame.clip / eval / where —
+    pure projections, zero shuffle before the final aggregate; pandas
+    parity batch 2). clip bounds every numeric column, eval assigns a
+    Catalyst-SQL column, where nulls masked rows frame-wide. Fully
+    SQL-expressible."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    sub = li[["l_quantity", "l_discount", "l_tax"]]
+    shaped = sub.clip(0.01, 30.0).eval("disc_tax = l_discount + l_tax")
+    masked = shaped.where(shaped["l_quantity"] > 5.0, other=0.0)
+    sdf = masked.to_spark()
+    return sdf.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_q"),
+        F.round(F.sum("l_discount"), 4).alias("sum_d"),
+        F.round(F.sum("l_tax"), 4).alias("sum_t"),
+        F.round(F.sum("disc_tax"), 4).alias("sum_dt"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_concat_frames(spark, sf_dir) -> DataFrame:
+    """Module-level ``concat`` (pandas pd.concat analog): row-stack two
+    differently-shaped slices with union-by-name null fill — a zero-cost
+    plan node (each side keeps its own scan + pushdown). Fully
+    SQL-expressible (UNION ALL with explicit null padding)."""
+    import eland_spark as es
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    a = docs[docs["source"] == "src1"]
+    b = docs[docs["source"] == "src2"][["doc_id", "text", "lang"]]
+    out = es.concat([a, b])
+    sdf = out.to_spark()
+    return (
+        sdf.groupBy(F.coalesce(F.col("source"), F.lit("none")).alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("long").alias("chars"),
+        )
+        .orderBy("src")
+    )
+
+
+def q_series_stats(spark, sf_dir) -> DataFrame:
+    """Series statistics surface (corr / cov / sem / autocorr — pandas
+    parity batch 2). corr/cov/sem are single scalar aggregates; autocorr
+    correlates against the windowless global-shift lag (no
+    single-partition window). Fully SQL-expressible (corr/covar_samp +
+    a LAG window twin)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    tp = o["o_totalprice"]
+    vals = (
+        round(tp.corr(o["o_custkey"]), 6),
+        round(tp.cov(o["o_custkey"]), 6),
+        round(tp.sem(), 6),
+        round(tp.autocorr(2), 6),
+    )
+    return spark.createDataFrame(
+        [vals], "corr_tp_ck double, cov_tp_ck double, sem_tp double, autocorr_tp double"
+    )
+
+
 def q_ppl_buckets(spark, sf_dir) -> DataFrame:
     """CCNet-style quality tiers (operators/text.perplexity_buckets):
     unigram-LM perplexity scored against a broadcast map-literal LM
@@ -2063,6 +2124,57 @@ def _ppl_buckets_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
     """
 
 
+_ELEMENTWISE_FRAME_ORACLE = """
+    WITH shaped AS (
+        SELECT least(greatest(l_quantity, 0.01), 30.0) AS q,
+               least(greatest(l_discount, 0.01), 30.0) AS d,
+               least(greatest(l_tax, 0.01), 30.0) AS t
+        FROM lineitem
+    ), ev AS (
+        SELECT q, d, t, d + t AS dt FROM shaped
+    ), m AS (
+        SELECT CASE WHEN q > 5.0 THEN q ELSE 0.0 END AS q,
+               CASE WHEN q > 5.0 THEN d ELSE 0.0 END AS d,
+               CASE WHEN q > 5.0 THEN t ELSE 0.0 END AS t,
+               CASE WHEN q > 5.0 THEN dt ELSE 0.0 END AS dt
+        FROM ev
+    )
+    SELECT round(sum(q), 2) AS sum_q,
+           round(sum(d), 4) AS sum_d,
+           round(sum(t), 4) AS sum_t,
+           round(sum(dt), 4) AS sum_dt,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM m
+"""
+
+
+_CONCAT_FRAMES_ORACLE = """
+    WITH unioned AS (
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents WHERE source = 'src1'
+        UNION ALL
+        SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+        FROM documents WHERE source = 'src2'
+    )
+    SELECT COALESCE(source, 'none') AS src,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS chars
+    FROM unioned GROUP BY 1 ORDER BY 1
+"""
+
+
+_SERIES_STATS_ORACLE = """
+    SELECT round(corr(o_totalprice, o_custkey), 6) AS corr_tp_ck,
+           round(covar_samp(o_totalprice, o_custkey), 6) AS cov_tp_ck,
+           round(stddev_samp(o_totalprice) / sqrt(count(o_totalprice)), 6) AS sem_tp,
+           (SELECT round(corr(v, pv), 6) FROM (
+                SELECT o_totalprice AS v,
+                       lag(o_totalprice, 2) OVER (ORDER BY o_orderkey) AS pv
+                FROM orders)) AS autocorr_tp
+    FROM orders
+"""
+
+
 _CAP_PER_DOMAIN_ORACLE = """
     SELECT doc_id, source FROM (
         SELECT doc_id, source,
@@ -2804,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "perplexity": q_perplexity,
         "ppl_buckets": q_ppl_buckets,
+        "elementwise_frame": q_elementwise_frame,
+        "concat_frames": q_concat_frames,
+        "series_stats": q_series_stats,
         "cap_per_domain": q_cap_per_domain,
         "token_budget_sample": q_token_budget_sample,
         "boilerplate": q_boilerplate,
@@ -3681,6 +3796,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "perplexity": _perplexity_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
+        "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,
+        "concat_frames": _CONCAT_FRAMES_ORACLE,
+        "series_stats": _SERIES_STATS_ORACLE,
         "cap_per_domain": _CAP_PER_DOMAIN_ORACLE,
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "boilerplate": _boilerplate_oracle_sql(" ", 395),

@@ -22,7 +22,7 @@ from .etl import (
     write_sorted,
     write_zordered,
 )
-from .frame import DataFrame
+from .frame import DataFrame, concat
 from .groupby import DataFrameGroupBy
 from .index import Index
 from .schema import Field, Schema
@@ -46,6 +46,7 @@ def sql(spark, query: str, index_col=None):
 __version__ = "0.1.0"
 
 __all__ = [
+    "concat",
     "sql",
     "Index",
     "DataFrame",

@@ -263,6 +263,161 @@ class DataFrame:
             keep.append(f.display_name)
         return self._with(schema=self._schema.select(keep))
 
+    # ------------------------------------------------------------------
+    # elementwise frame transforms (pandas surface; pure projections —
+    # zero shuffle, codegen'd, pushdown-transparent)
+    # ------------------------------------------------------------------
+    def _map_fields(self, make_expr, predicate) -> "DataFrame":
+        """Rewrite every field matching ``predicate`` with
+        ``make_expr(col, field)`` via one withColumns projection."""
+        updates = {
+            f.column_name: make_expr(F.col(f.column_name), f)
+            for f in self._schema.fields
+            if predicate(f)
+        }
+        if not updates:
+            return self._with()
+        return self._with(sdf=self._sdf.withColumns(updates))
+
+    def abs(self) -> "DataFrame":
+        """pandas ``DataFrame.abs``: every column must be numeric/bool
+        (pandas raises on object frames too)."""
+        bad = [
+            f.display_name
+            for f in self._schema.fields
+            if not (f.is_numeric or f.is_bool)
+        ]
+        if bad:
+            raise TypeError(f"abs() requires numeric columns; non-numeric: {bad}")
+        return self._map_fields(lambda c, f: F.abs(c), lambda f: f.is_numeric)
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        """pandas ``DataFrame.round``: floating columns rounded to
+        ``decimals``; integer/other columns untouched."""
+        return self._map_fields(
+            lambda c, f: F.round(c, decimals),
+            lambda f: f.pd_dtype.startswith("float"),
+        )
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        """pandas ``DataFrame.clip`` over the numeric columns
+        (null-propagating like the Series form)."""
+        if lower is None and upper is None:
+            raise ValueError("clip needs lower and/or upper")
+
+        def _clip(c, f):
+            expr = c
+            if lower is not None:
+                expr = F.when(c.isNotNull(), F.greatest(expr, F.lit(lower)))
+            if upper is not None:
+                expr = F.when(c.isNotNull(), F.least(expr, F.lit(upper)))
+            return expr
+
+        return self._map_fields(_clip, lambda f: f.is_numeric)
+
+    def where(self, cond: "Series", other=None) -> "DataFrame":
+        """pandas ``DataFrame.where`` with a boolean Series row mask:
+        rows failing the condition get ``other`` (default null) in
+        EVERY data column — the frame keeps its full row set, unlike
+        ``df[cond]``. A pure projection."""
+        if not isinstance(cond, Series):
+            raise TypeError("where() expects a boolean Series mask")
+        mask = cond.spark_column
+        repl = F.lit(other)
+        return self._map_fields(
+            lambda c, f: F.when(mask, c).otherwise(repl.cast(f.spark_type)),
+            lambda f: f.display_name not in self._schema.index_cols,
+        )
+
+    def mask(self, cond: "Series", other=None) -> "DataFrame":
+        """pandas ``DataFrame.mask``: inverse of :meth:`where`."""
+        if not isinstance(cond, Series):
+            raise TypeError("mask() expects a boolean Series mask")
+        inv = Series(
+            cond._frame, ~cond.spark_column, cond._name, cond._spark_type, True
+        )
+        return self.where(inv, other=other)
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        """pandas ``DataFrame.replace`` (scalar / list / dict forms):
+        each CASE chain is applied only to columns whose type family
+        (numeric / string / boolean) matches the replacement keys —
+        mirroring how pandas leaves non-matching dtypes untouched."""
+
+        def _family(v) -> str | None:
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, (int, float)):
+                return "num"
+            if isinstance(v, str):
+                return "str"
+            return None
+
+        def _field_family(f: Field) -> str | None:
+            if f.is_bool:
+                return "bool"
+            if f.is_numeric:
+                return "num"
+            if f.is_string:
+                return "str"
+            return None
+
+        if isinstance(to_replace, dict):
+            if value is not None:
+                raise ValueError("value must be None when to_replace is a dict")
+            items = [(k, v) for k, v in to_replace.items() if k is not None]
+        else:
+            targets = (
+                list(to_replace)
+                if isinstance(to_replace, (list, tuple, set))
+                else [to_replace]
+            )
+            items = [(t, value) for t in targets]
+        if not items:
+            return self._with()
+        fams = {_family(k) for k, _ in items}
+
+        def _rewrite(c, f):
+            expr = None
+            for k, v in items:
+                if _family(k) != _field_family(f):
+                    continue
+                cond = c == F.lit(k)
+                expr = (
+                    F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+                )
+            return expr.otherwise(c) if expr is not None else c
+
+        return self._map_fields(_rewrite, lambda f: _field_family(f) in fams)
+
+    def eval(self, expr: str) -> "DataFrame":
+        """pandas ``DataFrame.eval`` for assignment expressions:
+        ``"name = <sql expr>"`` lines (one per assignment) compiled by
+        Catalyst — like :meth:`query`, the right-hand side is ANSI SQL,
+        not pandas-eval. Without an ``=`` the expression is returned as
+        a derived Series."""
+        lines = [ln.strip() for ln in expr.splitlines() if ln.strip()]
+        out = self._with()
+        for ln in lines:
+            lhs, eq, rhs = ln.partition("=")
+            # an assignment iff the LHS is a bare identifier and the '='
+            # is not part of a ==/>=/<=/!= comparison
+            is_assign = (
+                eq
+                and lhs.strip().isidentifier()
+                and not rhs.startswith("=")
+                and not lhs.rstrip().endswith(("<", ">", "!"))
+            )
+            if is_assign:
+                name = lhs.strip()
+                col = F.expr(rhs.strip())
+                out[name] = Series(out, col, name, None, True)
+            else:
+                if len(lines) > 1:
+                    raise ValueError("multi-line eval must be all assignments")
+                return Series(self, F.expr(ln), "eval", None, True)
+        return out
+
     def filter(self, items=None, like=None, regex=None, axis=None) -> "DataFrame":
         """Column-name (axis=1) or index-value (axis=0) filtering
         (reference eland/dataframe.py:2078-2151,
@@ -401,6 +556,52 @@ class DataFrame:
             for b, a in zip(by, asc)
         ]
         return self._with(sdf=self._sdf.orderBy(*cols))
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        """Rows ordered by the index columns (pandas parity; one range
+        exchange, same plan as ``sort_values`` on the index)."""
+        return self._with(sdf=self._ordered_sdf(desc=not ascending))
+
+    def set_index(self, keys, drop: bool = True) -> "DataFrame":
+        """Re-key the frame's row identity to existing column(s) —
+        metadata-only, no job. The index columns carry ordering/identity
+        for head/tail/iterrows/shift-family ops; with ``drop=True``
+        (pandas default) they leave the data columns but stay physical
+        (``to_pandas(set_index=True)`` surfaces them as the pandas
+        index). Reference analog: es_index_field selection at read time
+        (eland/index.py:24-60)."""
+        from dataclasses import replace as _replace
+
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        missing = [k for k in keys if k not in self._schema]
+        if missing:
+            raise KeyError(f"set_index keys not found: {missing}")
+        phys = tuple(self._schema.resolve(k) for k in keys)
+        schema = _replace(self._schema, index_cols=phys)
+        if drop:
+            schema = schema.drop(keys)
+        return self._with(schema=schema)
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        """Demote the index columns back to (or out of, with
+        ``drop=True``) the data columns — metadata-only, no global
+        renumbering job (a frame without index columns orders by all
+        columns; pandas' RangeIndex has no cheap distributed analog and
+        is deliberately not synthesized)."""
+        from dataclasses import replace as _replace
+
+        from .schema import Field as _Field
+
+        schema = self._schema
+        if not drop:
+            phys_types = dict(
+                (f.name, f.dataType) for f in self._sdf.schema.fields
+            )
+            for ic in schema.index_cols:
+                if not any(f.column_name == ic for f in schema.fields):
+                    new_f = _Field(ic, ic, phys_types[ic])
+                    schema = _replace(schema, fields=(new_f,) + schema.fields)
+        return self._with(schema=_replace(schema, index_cols=()))
 
     def resample(self, rule: str, on: str):
         """pandas time-series ``resample``: bucket ``on`` by ``rule``
@@ -637,6 +838,8 @@ class DataFrame:
         # the reference raises NotImplementedError for sem
         # (eland/operations.py:1144-1146); native single-pass agg here
         "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+        # any_value over a deduplicated group (pivot's no-agg reshape)
+        "first": lambda c: F.first(c, ignorenulls=False),
     }
     _APPROX_EXPRS = {
         "nunique": lambda c: F.approx_count_distinct(c),
@@ -1021,6 +1224,25 @@ class DataFrame:
             .sort_index()
         )
         return pdf.fillna(0).astype("int64")
+
+    def pivot(self, index: str, columns: str, values: str) -> pd.DataFrame:
+        """pandas ``DataFrame.pivot``: reshape without aggregation.
+        Like pandas it RAISES when any (index, columns) pair occurs more
+        than once — checked with one extra server-side aggregate (max
+        group count) before delegating to the single-shuffle
+        ``pivot_table(aggfunc='first')`` plan."""
+        schema = self._schema
+        dup = (
+            self._sdf.groupBy(schema.resolve(index), schema.resolve(columns))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        if dup is not None and dup > 1:
+            raise ValueError(
+                "Index contains duplicate entries, cannot reshape"
+            )
+        return self.pivot_table(index, columns, values, aggfunc="first")
 
     def pivot_table(
         self,
@@ -1429,3 +1651,31 @@ class DataFrame:
             "driver memory. If explicitly required, call "
             "`.to_pandas().to_numpy()`."
         )
+
+
+def concat(frames: list["DataFrame"], axis: int = 0) -> "DataFrame":
+    """pandas ``pd.concat`` for row-wise stacking (``axis=0``): frames
+    union BY COLUMN NAME, columns missing from a frame fill with null
+    (pandas outer-join semantics). The union is a zero-cost plan node —
+    each source keeps its own scan and pushdown, so concatenating N
+    corpora adds no shuffle at any scale. The result keeps the first
+    frame's index columns when every frame shares them (ordering/
+    identity survive), else no index.
+
+    ``axis=1`` (column-wise) would be an index join — use ``merge``
+    explicitly so the join key and strategy are visible.
+    """
+    if axis != 0:
+        raise NotImplementedError("concat(axis=1) — use merge/join instead")
+    if not frames:
+        raise ValueError("concat needs at least one frame")
+    first = frames[0]
+    shared_index = all(
+        f._schema.index_cols == first._schema.index_cols for f in frames
+    )
+    index_cols = first._schema.index_cols if shared_index else ()
+    projected = [f._projected(f._sdf) for f in frames]
+    out = projected[0]
+    for p in projected[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return DataFrame(out, index_cols=tuple(index_cols))

@@ -553,6 +553,57 @@ class Series:
     def var(self):
         return self._agg_scalar(F.var_samp(self._numeric_expr()))
 
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean: sample std / sqrt(count), in ONE
+        aggregate pass (pandas parity; the frame-level ``sem`` computes
+        the same per column)."""
+        row = self._frame._sdf.agg(
+            F.stddev_samp(self._numeric_expr()).alias("s"),
+            F.count(self._numeric_expr()).alias("n"),
+        ).collect()[0]
+        if row["s"] is None or row["n"] - ddof <= 0:
+            return None
+        import math
+
+        # stddev_samp is ddof=1; rescale for other ddof
+        var1 = row["s"] ** 2 * (row["n"] - 1)
+        return math.sqrt(var1 / (row["n"] - ddof)) / math.sqrt(row["n"])
+
+    def corr(self, other: "Series", method: str = "pearson"):
+        """Pearson correlation with another column of the SAME frame —
+        one scalar aggregate (F.corr), null pairs skipped like pandas."""
+        if method != "pearson":
+            raise NotImplementedError("only pearson correlation is supported")
+        return self._agg_scalar(
+            F.corr(self._numeric_expr(), self._other(other).cast("double"))
+        )
+
+    def cov(self, other: "Series", ddof: int = 1):
+        """Sample covariance with another column of the same frame
+        (``ddof=0`` for the population estimator)."""
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        if ddof not in (0, 1):
+            raise ValueError("ddof must be 0 or 1")
+        return self._agg_scalar(
+            fn(self._numeric_expr(), self._other(other).cast("double"))
+        )
+
+    def autocorr(self, lag: int = 1):
+        """Lag-``lag`` autocorrelation over the global index order
+        (pandas parity). The lagged twin comes from the windowless
+        shift plan (operators/ranking.with_global_shift — balanced
+        hash join on the dense position key, no single-partition
+        window); the correlation itself is one scalar aggregate."""
+        from .operators.ranking import with_global_shift
+
+        base, icols = self._ordered_frame()
+        out = with_global_shift(base, icols, "__val__", lag, out_col="__prev__")
+        return out.agg(
+            F.corr(
+                F.col("__val__").cast("double"), F.col("__prev__").cast("double")
+            ).alias("v")
+        ).collect()[0]["v"]
+
     def nunique(self, approx: bool = False) -> int:
         fn = F.approx_count_distinct if approx else F.countDistinct
         return self._agg_scalar(fn(self._expr))
@@ -1089,6 +1140,97 @@ class Series:
             else T._parse_datatype_string(out_type)
         )
         return self._derived(expr, resolved)
+
+    def apply(self, fn, dtype: str | T.DataType | None = None) -> "Series":
+        """pandas ``Series.apply``: the callable receives SCALARS and is
+        evaluated per Arrow batch through ``pd.Series.apply`` inside a
+        pandas_udf — vectorized transfer, Python per element within the
+        batch. This is the explicit escape hatch; prefer Column
+        expressions or :meth:`map_pandas` (whole-batch callable) when
+        the logic allows."""
+        return self.map_pandas(lambda s: s.apply(fn), dtype=dtype)
+
+    def replace(self, to_replace, value=None) -> "Series":
+        """pandas ``Series.replace`` for scalar / list / dict forms,
+        compiled to a CASE chain (codegen'd, shuffle-free). Dict values
+        must share one type with each other; unmatched rows keep their
+        original value (pandas semantics). Regex forms are
+        ``str.replace``'s job."""
+        if isinstance(to_replace, dict):
+            if value is not None:
+                raise ValueError("value must be None when to_replace is a dict")
+            items = [(k, v) for k, v in to_replace.items() if k is not None]
+            if not items:
+                return self
+            expr = None
+            for k, v in items:
+                cond = self._expr == _lit(k)
+                expr = (
+                    F.when(cond, _lit(v))
+                    if expr is None
+                    else expr.when(cond, _lit(v))
+                )
+            same_kind = all(
+                (isinstance(v, bool) == isinstance(k, bool))
+                and (
+                    isinstance(v, type(k))
+                    or (isinstance(k, (int, float)) and isinstance(v, (int, float)))
+                )
+                for k, v in items
+                if v is not None
+            )
+            out_type = self._spark_type if same_kind else None
+            return self._derived(expr.otherwise(self._expr), out_type)
+        targets = (
+            list(to_replace)
+            if isinstance(to_replace, (list, tuple, set))
+            else [to_replace]
+        )
+        cond = self._expr.isin(targets)
+        return self._derived(
+            F.when(cond, _lit(value)).otherwise(self._expr), self._spark_type
+        )
+
+    def duplicated(self, keep: str = "first") -> "Series":
+        """pandas ``Series.duplicated``: boolean flag per row, keyed on
+        this column's values (one hash shuffle — the Series face of
+        operators/dedup.duplicated)."""
+        from .operators.dedup import duplicated as _dup
+
+        frame = (
+            self._frame.assign(**{self._name: self})
+            if self._is_derived
+            else self._frame
+        )
+        return _dup(frame, subset=[self._name], keep=keep)["duplicated"]
+
+    def drop_duplicates(self, keep: str = "first") -> "Series":
+        """pandas ``Series.drop_duplicates``: this column restricted to
+        one representative row per distinct value (deterministic
+        keep-first/last by index — operators/dedup.drop_duplicates)."""
+        from .operators.dedup import drop_duplicates as _dd
+
+        frame = (
+            self._frame.assign(**{self._name: self})
+            if self._is_derived
+            else self._frame
+        )
+        return _dd(frame, subset=[self._name], keep=keep)[self._name]
+
+    def sort_values(self, ascending: bool = True) -> "Series":
+        """Series backed by the frame ordered on this column's values
+        (one range exchange; ties broken by nothing — add the index to
+        ``frame.sort_values`` for a total order)."""
+        ordered = self._frame._sdf.orderBy(
+            self._expr.asc() if ascending else self._expr.desc()
+        )
+        return Series(
+            self._frame._with(sdf=ordered),
+            self._expr,
+            self._name,
+            self._spark_type,
+            self._is_derived,
+        )
 
     def hist(self, bins: int = 10):
         """Server-side histogram of this column — counts computed in

@@ -1,0 +1,187 @@
+"""Differential tests (vs real pandas) for the second pandas-parity
+batch: Series sem/corr/cov/autocorr/replace/duplicated/drop_duplicates/
+sort_values/apply and DataFrame abs/round/clip/where/mask/replace/
+eval/set_index/reset_index/sort_index/pivot, plus module-level concat.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import eland_spark as es
+
+
+@pytest.fixture(scope="module")
+def num(spark, orders_pd):
+    # a small numeric frame with a unique index
+    pdf = orders_pd[["o_orderkey", "o_custkey", "o_totalprice"]].copy()
+    pdf["o_shippriority"] = (pdf["o_orderkey"] % 3).astype("int64")
+    sdf = spark.createDataFrame(pdf)
+    return es.DataFrame(sdf, index_cols=("o_orderkey",)), pdf
+
+
+# ------------------------------------------------------------- Series stats
+
+
+def test_series_sem_corr_cov(num):
+    edf, pdf = num
+    assert edf["o_totalprice"].sem() == pytest.approx(pdf["o_totalprice"].sem())
+    assert edf["o_totalprice"].corr(edf["o_custkey"]) == pytest.approx(
+        pdf["o_totalprice"].corr(pdf["o_custkey"])
+    )
+    assert edf["o_totalprice"].cov(edf["o_custkey"]) == pytest.approx(
+        pdf["o_totalprice"].cov(pdf["o_custkey"])
+    )
+
+
+def test_series_autocorr(num):
+    edf, pdf = num
+    got = edf["o_totalprice"].autocorr(2)
+    exp = (
+        pdf.sort_values("o_orderkey")["o_totalprice"].reset_index(drop=True).autocorr(2)
+    )
+    assert got == pytest.approx(exp)
+
+
+def test_series_replace_dict_and_scalar(num):
+    edf, pdf = num
+    got = (
+        edf["o_shippriority"].replace({0: 9}).to_pandas().sort_values().to_numpy()
+    )
+    exp = pdf["o_shippriority"].replace({0: 9}).sort_values().to_numpy()
+    assert (got == exp).all()
+    got2 = edf["o_shippriority"].replace(0, 7).to_pandas()
+    assert set(got2.unique()) == set(pdf["o_shippriority"].replace(0, 7).unique())
+
+
+def test_series_duplicated_drop_duplicates(num):
+    edf, pdf = num
+    got = (
+        edf["o_custkey"].duplicated().to_pandas().to_numpy()
+    )
+    exp = (
+        pdf.sort_values("o_orderkey")["o_custkey"]
+        .duplicated()
+        .to_numpy()
+    )
+    # both orderings are by index
+    assert got.sum() == exp.sum()
+    dd = edf["o_custkey"].drop_duplicates().to_pandas()
+    assert sorted(dd) == sorted(pdf["o_custkey"].drop_duplicates())
+
+
+def test_series_sort_values_and_apply(num):
+    edf, pdf = num
+    got = edf["o_totalprice"].sort_values(ascending=False).to_pandas()
+    # to_pandas restores index order; use head-through-frame instead
+    s = edf["o_totalprice"].sort_values(ascending=False)
+    top = s._frame._sdf.select(s.spark_column).limit(3).toPandas().iloc[:, 0]
+    exp = pdf["o_totalprice"].nlargest(3).to_numpy()
+    assert np.allclose(top.to_numpy(), exp)
+    ap = edf["o_totalprice"].apply(lambda v: v * 2, dtype="double").to_pandas()
+    assert np.allclose(
+        sorted(ap), sorted(pdf["o_totalprice"] * 2)
+    )
+
+
+# ---------------------------------------------------------------- frame ops
+
+
+def test_frame_abs_round_clip(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "a": [-1.54, 2.46, -3.0, 0.5], "b": [10, -20, 30, -40]}
+    )
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    assert np.allclose(
+        edf.abs().to_pandas()[["a", "b"]], pdf.set_index("k").abs().reset_index()[["a", "b"]]
+    )
+    assert np.allclose(
+        edf.round(1).to_pandas()[["a", "b"]], pdf.round(1)[["a", "b"]]
+    )
+    assert np.allclose(
+        edf.clip(-2, 10).to_pandas()[["a", "b"]], pdf.clip(-2, 10)[["a", "b"]]
+    )
+
+
+def test_frame_abs_raises_on_strings(documents):
+    with pytest.raises(TypeError):
+        documents.abs()
+
+
+def test_frame_where_mask(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10.0, 20.0, 30.0, 40.0]})
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    cond = edf["a"] > 15
+    got = edf.where(cond).to_pandas()
+    exp = pdf.set_index("k").where(pdf.set_index("k")["a"] > 15).reset_index()
+    assert np.allclose(got["a"].to_numpy(), exp["a"].to_numpy(), equal_nan=True)
+    gotm = edf.mask(cond, other=-1.0).to_pandas()
+    expm = pdf.set_index("k").mask(pdf.set_index("k")["a"] > 15, other=-1.0).reset_index()
+    assert np.allclose(gotm["a"].to_numpy(), expm["a"].to_numpy())
+
+
+def test_frame_replace_typed_families(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3], "n": [1, 2, 3], "s": ["x", "y", "x"]}
+    )
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    got = edf.replace({2: 99}).to_pandas()
+    assert sorted(got["n"]) == [1, 3, 99]
+    assert sorted(got["s"]) == ["x", "x", "y"]  # string col untouched
+    got2 = edf.replace("x", "z").to_pandas()
+    assert sorted(got2["s"]) == ["y", "z", "z"]
+    assert sorted(got2["n"]) == [1, 2, 3]
+
+
+def test_frame_eval(num):
+    edf, pdf = num
+    out = edf.eval("ratio = o_totalprice / (o_custkey + 1)").to_pandas()
+    exp = pdf.eval("ratio = o_totalprice / (o_custkey + 1)")
+    assert np.allclose(sorted(out["ratio"]), sorted(exp["ratio"]))
+    ser = edf.eval("o_totalprice * 2")
+    assert np.allclose(
+        sorted(ser.to_pandas()), sorted(pdf["o_totalprice"] * 2)
+    )
+
+
+def test_set_reset_sort_index(num):
+    edf, pdf = num
+    re_keyed = edf.set_index("o_custkey", drop=True)
+    assert re_keyed.index_cols == ("o_custkey",)
+    assert "o_custkey" not in list(re_keyed.columns)
+    back = re_keyed.reset_index()
+    assert back.index_cols == ()
+    assert "o_custkey" in list(back.columns)
+    # sort_index returns rows in index order
+    si = edf.sort_index().to_pandas()
+    assert (si["o_orderkey"].to_numpy() == np.sort(pdf["o_orderkey"].to_numpy())).all()
+
+
+def test_pivot_raises_on_duplicates_and_reshapes(spark):
+    pdf = pd.DataFrame(
+        {"i": ["a", "a", "b"], "c": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}
+    )
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=())
+    got = edf.pivot("i", "c", "v")
+    exp = pdf.pivot(index="i", columns="c", values="v")
+    assert np.allclose(
+        got.to_numpy().astype(float), exp.to_numpy().astype(float), equal_nan=True
+    )
+    dup = pd.concat([pdf, pdf.iloc[[0]]])
+    edup = es.DataFrame(spark.createDataFrame(dup), index_cols=())
+    with pytest.raises(ValueError):
+        edup.pivot("i", "c", "v")
+
+
+def test_concat_union_by_name(spark):
+    p1 = pd.DataFrame({"k": [1, 2], "a": [1.0, 2.0]})
+    p2 = pd.DataFrame({"k": [3, 4], "a": [3.0, 4.0], "b": ["x", "y"]})
+    e1 = es.DataFrame(spark.createDataFrame(p1), index_cols=("k",))
+    e2 = es.DataFrame(spark.createDataFrame(p2), index_cols=("k",))
+    out = es.concat([e1, e2]).to_pandas()
+    assert len(out) == 4
+    assert set(out.columns) >= {"k", "a", "b"}
+    # missing column null-filled for the first frame's rows
+    assert out.loc[out["k"] <= 2, "b"].isna().all()
+    with pytest.raises(NotImplementedError):
+        es.concat([e1, e2], axis=1)
