@@ -450,6 +450,25 @@ def q_perplexity(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_first_last(spark, sf_dir) -> DataFrame:
+    """Per-group first/last row values in index order — ONE
+    min_by/max_by hash aggregation on the index key, no window, no
+    per-group state (library surface: DataFrameGroupBy.first/last/tail).
+    Fully SQL-expressible (DuckDB arg_min/arg_max)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    ikey = F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min_by("o_totalprice", ikey), 2).alias("first_price"),
+            F.round(F.max_by("o_totalprice", ikey), 2).alias("last_price"),
+            F.min_by("o_orderstatus", ikey).alias("first_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_elementwise_frame(spark, sf_dir) -> DataFrame:
     """Frame-wide elementwise surface (DataFrame.clip / eval / where —
     pure projections, zero shuffle before the final aggregate; pandas
@@ -2124,6 +2143,16 @@ def _ppl_buckets_oracle_sql(top_v: int = 100, floor_count: float = 0.5) -> str:
     """
 
 
+_GROUPBY_FIRST_LAST_ORACLE = """
+    SELECT o_orderpriority,
+           round(arg_min(o_totalprice, o_orderkey), 2) AS first_price,
+           round(arg_max(o_totalprice, o_orderkey), 2) AS last_price,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 _ELEMENTWISE_FRAME_ORACLE = """
     WITH shaped AS (
         SELECT least(greatest(l_quantity, 0.01), 30.0) AS q,
@@ -2917,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "ppl_buckets": q_ppl_buckets,
         "elementwise_frame": q_elementwise_frame,
+        "groupby_first_last": q_groupby_first_last,
         "concat_frames": q_concat_frames,
         "series_stats": q_series_stats,
         "cap_per_domain": q_cap_per_domain,
@@ -3797,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _perplexity_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,
+        "groupby_first_last": _GROUPBY_FIRST_LAST_ORACLE,
         "concat_frames": _CONCAT_FRAMES_ORACLE,
         "series_stats": _SERIES_STATS_ORACLE,
         "cap_per_domain": _CAP_PER_DOMAIN_ORACLE,

@@ -235,14 +235,54 @@ class DataFrameGroupBy:
         nuances)."""
         return self._nth_slice(lambda rn: rn == k + 1)
 
-    def _nth_slice(self, pred) -> DataFrame:
+    def tail(self, n: int = 5) -> DataFrame:
+        """Last ``n`` rows of every group in index order (pandas
+        ``groupby().tail``): same one-shuffle row_number plan as
+        ``head``, ranked descending."""
+        return self._nth_slice(lambda rn: rn <= n, desc=True)
+
+    def first(self) -> pd.DataFrame:
+        """pandas ``groupby().first``: every column's value from the
+        group's first row by index order — ONE min_by aggregate per
+        column keyed on the index struct (single hash shuffle, no
+        window, no per-group state)."""
+        return self._edge_row(is_first=True)
+
+    def last(self) -> pd.DataFrame:
+        """pandas ``groupby().last``: the index-order twin of
+        :meth:`first` via max_by."""
+        return self._edge_row(is_first=False)
+
+    def _edge_row(self, is_first: bool) -> pd.DataFrame:
+        schema = self._frame._schema
+        if not schema.index_cols:
+            raise ValueError("groupby first/last needs an index for row order")
+        sdf, keys = self._grouped_sdf()
+        ikey = F.struct(
+            *[F.col(schema.resolve(c)) for c in schema.index_cols]
+        )
+        fn = F.min_by if is_first else F.max_by
+        by_set = set(self._by)
+        aggs = [
+            fn(F.col(f.column_name), ikey).alias(f.display_name)
+            for f in schema.fields
+            if f.display_name not in by_set
+        ]
+        pdf = sdf.groupBy(*keys).agg(*aggs).toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        return pdf
+
+    def _nth_slice(self, pred, desc: bool = False) -> DataFrame:
         from pyspark.sql import Window
 
         schema = self._frame._schema
         if not schema.index_cols:
             raise ValueError("groupby head/nth needs an index for row order")
         sdf, keys = self._grouped_sdf()
-        order = [F.col(schema.resolve(c)).asc() for c in schema.index_cols]
+        order = [
+            F.col(schema.resolve(c)).desc() if desc else F.col(schema.resolve(c)).asc()
+            for c in schema.index_cols
+        ]
         w = Window.partitionBy(*keys).orderBy(*order)
         display = [
             F.col(f.column_name).alias(f.display_name) for f in schema.fields

@@ -185,3 +185,19 @@ def test_concat_union_by_name(spark):
     assert out.loc[out["k"] <= 2, "b"].isna().all()
     with pytest.raises(NotImplementedError):
         es.concat([e1, e2], axis=1)
+
+
+def test_groupby_first_last_tail(num):
+    edf, pdf = num
+    pg = pdf.sort_values("o_orderkey").groupby("o_shippriority")
+    got_f = edf.groupby("o_shippriority").first()
+    exp_f = pg.first()
+    for c in ["o_custkey", "o_totalprice"]:
+        assert np.allclose(got_f[c].to_numpy(), exp_f[c].to_numpy())
+    got_l = edf.groupby("o_shippriority").last()
+    exp_l = pg.last()
+    for c in ["o_custkey", "o_totalprice"]:
+        assert np.allclose(got_l[c].to_numpy(), exp_l[c].to_numpy())
+    got_t = edf.groupby("o_shippriority").tail(2).to_pandas()
+    exp_t = pg.tail(2)
+    assert sorted(got_t["o_orderkey"]) == sorted(exp_t["o_orderkey"])
