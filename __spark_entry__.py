@@ -2917,6 +2917,52 @@ def q_embed_topk(spark, sf_dir) -> DataFrame:
     return sdf.select("doc_id", F.round(F.col("__cos__"), 6).alias("cos_sim"))
 
 
+def q_skew_kurt(spark, sf_dir) -> DataFrame:
+    """Per-group sample-adjusted skewness/kurtosis + log-product, using
+    the PRODUCTION agg lambdas (frame._AGG_EXPRS — the same expressions
+    GroupBy.skew/kurt/prod compile to). DuckDB's skewness/kurtosis are
+    the identical sample-corrected G1/G2; the product is compared in
+    log10 space so fp association order can't shift the rounded hash."""
+    from eland_spark.frame import DataFrame as EDF
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    q = F.col("l_quantity")
+    return (
+        li.to_spark()
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(EDF._AGG_EXPRS["skew"](q), 6).alias("skew_qty"),
+            F.round(EDF._AGG_EXPRS["kurt"](q), 6).alias("kurt_qty"),
+            F.round(EDF._AGG_EXPRS["skew"](F.col("l_discount")), 6).alias("skew_disc"),
+            F.round(
+                F.log10(EDF._AGG_EXPRS["prod"](1 + F.col("l_discount"))), 4
+            ).alias("log_prod_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_any_all(spark, sf_dir) -> DataFrame:
+    """Per-group truthiness OR/AND via the production any/all lambdas
+    (bool_or/bool_and over ``c != 0``, null-skipping, empty-group
+    identities)."""
+    from eland_spark.frame import DataFrame as EDF
+
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    hi = (F.col("o_totalprice") > 400000).cast("int")
+    lo = (F.col("o_totalprice") > 1000).cast("int")
+    return (
+        orders.to_spark()
+        .groupBy("o_orderpriority")
+        .agg(
+            EDF._AGG_EXPRS["any"](hi).alias("any_hi"),
+            EDF._AGG_EXPRS["all"](lo).alias("all_lo"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2925,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "agg_matrix": q_agg_matrix,
+        "skew_kurt": q_skew_kurt,
+        "any_all": q_any_all,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -3090,6 +3138,25 @@ def oracle_sql() -> dict[str, str]:
                    min(l_shipdate) AS min_shipdate,
                    max(l_shipdate) AS max_shipdate
             FROM lineitem
+        """,
+        "skew_kurt": """
+            SELECT l_returnflag,
+                   round(skewness(l_quantity), 6) AS skew_qty,
+                   round(kurtosis(l_quantity), 6) AS kurt_qty,
+                   round(skewness(l_discount), 6) AS skew_disc,
+                   round(log10(product(1 + l_discount)), 4) AS log_prod_disc
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "any_all": """
+            SELECT o_orderpriority,
+                   bool_or(o_totalprice > 400000) AS any_hi,
+                   bool_and(o_totalprice > 1000) AS all_lo,
+                   count(*) AS n
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "median_quantile": """
             SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

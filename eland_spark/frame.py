@@ -840,6 +840,23 @@ class DataFrame:
         "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
         # any_value over a deduplicated group (pivot's no-agg reshape)
         "first": lambda c: F.first(c, ignorenulls=False),
+        # sample-adjusted Fisher-Pearson skew (pandas G1 == DuckDB/Excel
+        # SKEW): Spark's skewness() is the population g1, rescaled by
+        # sqrt(n(n-1))/(n-2); n<3 divides by zero -> NULL, like pandas NaN
+        "skew": lambda c: F.skewness(c)
+        * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
+        / (F.count(c) - 2),
+        # sample-adjusted excess kurtosis (pandas G2 == DuckDB kurtosis):
+        # Spark's kurtosis() is population g2; G2 = (n-1)((n+1)g2+6)/((n-2)(n-3))
+        "kurt": lambda c: (F.kurtosis(c) * (F.count(c) + 1) + 6)
+        * (F.count(c) - 1).cast("double")
+        / ((F.count(c) - 2) * (F.count(c) - 3)),
+        # empty product is 1 (pandas min_count=0 identity)
+        "prod": lambda c: F.coalesce(F.product(c), F.lit(1.0)),
+        # pandas any/all: nulls skipped (bool_or/bool_and ignore NULLs);
+        # empty -> any=False / all=True identities via coalesce
+        "any": lambda c: F.coalesce(F.bool_or(c != 0), F.lit(False)),
+        "all": lambda c: F.coalesce(F.bool_and(c != 0), F.lit(True)),
     }
     _APPROX_EXPRS = {
         "nunique": lambda c: F.approx_count_distinct(c),
@@ -848,7 +865,10 @@ class DataFrame:
 
     def _agg_expr(self, agg: str, field: Field, approx: bool = False) -> Column:
         col = F.col(field.column_name)
-        if field.is_bool and agg in ("sum", "mean", "std", "var", "median", "sem"):
+        if field.is_bool and agg in (
+            "sum", "mean", "std", "var", "median", "sem",
+            "skew", "kurt", "prod", "any", "all",
+        ):
             col = col.cast("long")
         if field.is_timestamp and agg in ("mean", "median"):
             # timestamps support mean/percentiles via epoch millis, like
@@ -913,6 +933,8 @@ class DataFrame:
                 # (reference eland/operations.py:600-615)
                 out[f.display_name] = pd.NaT if f.is_timestamp else np.nan
         s = pd.Series(out, name=agg)
+        if agg in ("any", "all"):
+            return s.astype("bool")
         if numeric_only is True:
             s = s.astype("float64")
         return s
@@ -950,6 +972,33 @@ class DataFrame:
         """Standard error of the mean (reference NotImplementedError,
         eland/operations.py:1144-1146 — native one-pass agg here)."""
         return self._metric_agg("sem", numeric_only)
+
+    def skew(self, numeric_only=True):
+        """Sample-adjusted Fisher-Pearson skewness per column (pandas G1;
+        no reference analog — ES has no skewness agg). One hash-agg pass;
+        Spark's population skewness() rescaled JVM-side."""
+        return self._metric_agg("skew", numeric_only)
+
+    def kurt(self, numeric_only=True):
+        """Sample-adjusted excess kurtosis per column (pandas G2)."""
+        return self._metric_agg("kurt", numeric_only)
+
+    kurtosis = kurt
+
+    def prod(self, numeric_only=True):
+        """Per-column product (pandas parity; empty product is 1)."""
+        return self._metric_agg("prod", numeric_only)
+
+    product = prod
+
+    def any(self, numeric_only=True):
+        """Per-column truthiness OR, nulls skipped (pandas parity) —
+        bool_or over ``col != 0``, one agg pass."""
+        return self._metric_agg("any", numeric_only)
+
+    def all(self, numeric_only=True):
+        """Per-column truthiness AND, nulls skipped (pandas parity)."""
+        return self._metric_agg("all", numeric_only)
 
     def median(self, numeric_only=True, approx=False):
         return self._metric_agg("median", numeric_only, approx)

@@ -182,6 +182,31 @@ class DataFrameGroupBy:
     def median(self, numeric_only=True):
         return self._run(["median"], numeric_only)
 
+    def skew(self, numeric_only=True):
+        """Per-group sample-adjusted skewness (pandas G1) — one keyed
+        hash aggregation, partial/final combine like every other agg."""
+        return self._run(["skew"], numeric_only)
+
+    def kurt(self, numeric_only=True):
+        """Per-group sample-adjusted excess kurtosis (pandas G2)."""
+        return self._run(["kurt"], numeric_only)
+
+    kurtosis = kurt
+
+    def prod(self, numeric_only=True):
+        """Per-group product (empty-group identity 1, pandas parity)."""
+        return self._run(["prod"], numeric_only)
+
+    product = prod
+
+    def any(self, numeric_only=True):
+        """Per-group truthiness OR (bool_or over ``col != 0``)."""
+        return self._run(["any"], numeric_only)
+
+    def all(self, numeric_only=True):
+        """Per-group truthiness AND (bool_and over ``col != 0``)."""
+        return self._run(["all"], numeric_only)
+
     def nunique(self):
         return self._run(["nunique"], None)
 

@@ -569,6 +569,41 @@ class Series:
         var1 = row["s"] ** 2 * (row["n"] - 1)
         return math.sqrt(var1 / (row["n"] - ddof)) / math.sqrt(row["n"])
 
+    def skew(self):
+        """Sample-adjusted Fisher-Pearson skewness (pandas G1) — shares
+        the frame-level agg expression (one scalar aggregate)."""
+        return self._agg_scalar(
+            self._frame._AGG_EXPRS["skew"](self._numeric_expr())
+        )
+
+    def kurt(self):
+        """Sample-adjusted excess kurtosis (pandas G2)."""
+        return self._agg_scalar(
+            self._frame._AGG_EXPRS["kurt"](self._numeric_expr())
+        )
+
+    kurtosis = kurt
+
+    def prod(self):
+        """Product of values (pandas parity; empty product is 1)."""
+        return self._agg_scalar(
+            self._frame._AGG_EXPRS["prod"](self._numeric_expr())
+        )
+
+    product = prod
+
+    def any(self) -> bool:
+        """True if any non-null value is truthy (pandas skipna parity)."""
+        return bool(
+            self._agg_scalar(self._frame._AGG_EXPRS["any"](self._numeric_expr()))
+        )
+
+    def all(self) -> bool:
+        """True if every non-null value is truthy (pandas skipna parity)."""
+        return bool(
+            self._agg_scalar(self._frame._AGG_EXPRS["all"](self._numeric_expr()))
+        )
+
     def corr(self, other: "Series", method: str = "pearson"):
         """Pearson correlation with another column of the SAME frame —
         one scalar aggregate (F.corr), null pairs skipped like pandas."""

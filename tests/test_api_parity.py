@@ -272,3 +272,56 @@ def test_list_accessor(spark):
     exp_sum = pdf.embedding.map(lambda a: float(np.sum(a, dtype=np.float64)))
     assert (abs(col(s.list.sum()) - exp_sum) < 1e-4).all()
     assert list(col(s.list.sort()).iloc[0]) == sorted(pdf.embedding.iloc[0])
+
+
+def test_higher_moment_aggs_match_pandas(orders):
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    # frame-level
+    got = orders[["o_totalprice", "o_custkey"]]
+    want = pdf[["o_totalprice", "o_custkey"]]
+    for fn in ("skew", "kurt"):
+        g = getattr(got, fn)()
+        w = getattr(want, fn)()
+        assert abs(g["o_totalprice"] - w["o_totalprice"]) < 1e-9
+    # series-level + aliases
+    assert abs(orders["o_totalprice"].skew() - pdf["o_totalprice"].skew()) < 1e-9
+    assert abs(orders["o_totalprice"].kurtosis() - pdf["o_totalprice"].kurt()) < 1e-9
+    # prod: log-compare (fp association)
+    import numpy as np
+
+    small = orders["o_totalprice"] / orders["o_totalprice"]  # all 1.0
+    assert small.prod() == pytest.approx(1.0)
+    # groupby-level
+    g = orders[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").skew()
+    w = pdf[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").skew()
+    assert np.allclose(
+        g["o_totalprice"].sort_index().to_numpy(),
+        w["o_totalprice"].sort_index().to_numpy(),
+    )
+
+
+def test_any_all_prod_aggs(orders):
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/orders.parquet")
+    hi = orders["o_totalprice"] > 400000
+    phi = pdf["o_totalprice"] > 400000
+    assert hi.any() == phi.any()
+    assert hi.all() == phi.all()
+    lo = orders["o_totalprice"] > 0
+    assert lo.all() is True
+    # groupby any/all keeps bool dtype per column
+    g = (
+        orders[["o_orderstatus", "o_custkey"]]
+        .groupby("o_orderstatus")
+        .all()
+    )
+    w = (
+        pdf[["o_orderstatus", "o_custkey"]]
+        .astype({"o_custkey": "bool"})
+        .groupby("o_orderstatus")
+        .all()
+    )
+    assert (g["o_custkey"].sort_index() == w["o_custkey"].sort_index()).all()
