@@ -2963,6 +2963,86 @@ def q_any_all(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_diff(spark, sf_dir) -> DataFrame:
+    """pandas groupby().diff() through the LIBRARY surface: per-group
+    value minus the previous row's (index order) — one keyed window
+    (hash shuffle on the group keys), lag never crosses groups."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").diff()
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 2).alias("d_price")
+    )
+
+
+def q_groupby_pct_change(spark, sf_dir) -> DataFrame:
+    """pandas groupby().pct_change() via the library: same one-window
+    plan as diff, IEEE division (prev==0 -> inf, not an ANSI error)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = (
+        o[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").pct_change()
+    )
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 6).alias("pct_price")
+    )
+
+
+def q_groupby_ngroup(spark, sf_dir) -> DataFrame:
+    """pandas groupby().ngroup(): group labels in sorted-key order.
+    Scale shape: the DISTINCT keys (small) go through the windowless
+    global-rank operator, then a key join labels the full data — the
+    big side never crosses a single-partition window."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").ngroup()
+    return out.to_spark().select("o_orderkey", "ngroup")
+
+
+def q_groupby_ffill(spark, sf_dir) -> DataFrame:
+    """pandas groupby().ffill(): forward-fill nulls within each group in
+    index order — last(ignorenulls) over the keyed window's preceding
+    frame; fills never leak across groups. DuckDB twin: last_value
+    IGNORE NULLS."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    withgap = o.assign(
+        gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 150000)
+    )
+    out = withgap[["o_orderstatus", "gap"]].groupby("o_orderstatus").ffill()
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("gap"), 2).alias("gap_filled")
+    )
+
+
+def q_groupby_ohlc(spark, sf_dir) -> DataFrame:
+    """pandas groupby().ohlc(): open/high/low/close per group in index
+    order — ONE min_by/max_by + min/max aggregate pass (library surface
+    GroupBy.ohlc; the per-group result re-enters a DataFrame for the
+    driver contract)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    pdf = o[["o_orderpriority", "o_totalprice"]].groupby("o_orderpriority").ohlc()
+    rows = [
+        (str(k), round(float(r[0]), 2), round(float(r[1]), 2),
+         round(float(r[2]), 2), round(float(r[3]), 2))
+        for k, r in zip(pdf.index, pdf.to_numpy())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, open double, high double, low double, close double",
+    )
+
+
+def q_groupby_value_counts(spark, sf_dir) -> DataFrame:
+    """pandas groupby().value_counts(): counts per (group key, value
+    combo) — one hash shuffle with partial aggregation (library surface
+    GroupBy.value_counts; small result re-enters a DataFrame)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    s = o[["o_orderstatus", "o_orderpriority"]].groupby("o_orderstatus").value_counts()
+    rows = [
+        (str(k[0]), str(k[1]), int(v)) for k, v in s.items()
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, o_orderpriority string, n long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2973,6 +3053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_matrix": q_agg_matrix,
         "skew_kurt": q_skew_kurt,
         "any_all": q_any_all,
+        "groupby_diff": q_groupby_diff,
+        "groupby_pct_change": q_groupby_pct_change,
+        "groupby_ngroup": q_groupby_ngroup,
+        "groupby_ffill": q_groupby_ffill,
+        "groupby_ohlc": q_groupby_ohlc,
+        "groupby_value_counts": q_groupby_value_counts,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -3148,6 +3234,46 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "groupby_diff": """
+            SELECT o_orderkey,
+                   round(o_totalprice - lag(o_totalprice) OVER (
+                       PARTITION BY o_orderstatus ORDER BY o_orderkey), 2) AS d_price
+            FROM orders
+        """,
+        "groupby_pct_change": """
+            SELECT o_orderkey,
+                   round(o_totalprice / lag(o_totalprice) OVER (
+                       PARTITION BY o_orderstatus ORDER BY o_orderkey) - 1, 6) AS pct_price
+            FROM orders
+        """,
+        "groupby_ngroup": """
+            SELECT o_orderkey,
+                   dense_rank() OVER (ORDER BY o_orderstatus) - 1 AS ngroup
+            FROM orders
+        """,
+        "groupby_ffill": """
+            SELECT o_orderkey,
+                   round(last_value(CASE WHEN o_totalprice > 150000
+                                         THEN o_totalprice END IGNORE NULLS)
+                         OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         2) AS gap_filled
+            FROM orders
+        """,
+        "groupby_ohlc": """
+            SELECT o_orderpriority,
+                   round(arg_min(o_totalprice, o_orderkey), 2) AS open,
+                   round(max(o_totalprice), 2) AS high,
+                   round(min(o_totalprice), 2) AS low,
+                   round(arg_max(o_totalprice, o_orderkey), 2) AS close
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "groupby_value_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
         """,
         "any_all": """
             SELECT o_orderpriority,

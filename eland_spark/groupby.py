@@ -284,7 +284,7 @@ class DataFrameGroupBy:
             raise ValueError("groupby first/last needs an index for row order")
         sdf, keys = self._grouped_sdf()
         ikey = F.struct(
-            *[F.col(schema.resolve(c)) for c in schema.index_cols]
+            *[F.col(schema.resolve_any(c)) for c in schema.index_cols]
         )
         fn = F.min_by if is_first else F.max_by
         by_set = set(self._by)
@@ -305,7 +305,7 @@ class DataFrameGroupBy:
             raise ValueError("groupby head/nth needs an index for row order")
         sdf, keys = self._grouped_sdf()
         order = [
-            F.col(schema.resolve(c)).desc() if desc else F.col(schema.resolve(c)).asc()
+            F.col(schema.resolve_any(c)).desc() if desc else F.col(schema.resolve_any(c)).asc()
             for c in schema.index_cols
         ]
         w = Window.partitionBy(*keys).orderBy(*order)
@@ -460,7 +460,7 @@ class DataFrameGroupBy:
             raise ValueError("group cumsum/shift need an index for ordering")
         w = Window.partitionBy(
             *[F.col(schema.resolve(b)) for b in self._by]
-        ).orderBy(*[F.col(schema.resolve(c)).asc() for c in icols])
+        ).orderBy(*[F.col(schema.resolve_any(c)).asc() for c in icols])
         return w, schema, icols
 
     def _null_keys_guard(self, schema):
@@ -486,7 +486,7 @@ class DataFrameGroupBy:
         if not fields:
             raise ValueError("no agg-compatible columns")
         keys_ok = self._null_keys_guard(schema)
-        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
         for f in fields:
             c = F.col(f.column_name)
             # skipna: null rows stay null, the run continues
@@ -534,7 +534,7 @@ class DataFrameGroupBy:
         if not fields:
             raise ValueError("no columns to shift")
         keys_ok = self._null_keys_guard(schema)
-        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
         for f in fields:
             c = F.col(f.column_name)
             expr = (
@@ -548,6 +548,198 @@ class DataFrameGroupBy:
         return DataFrame(
             self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
         )
+
+    def diff(self, periods: int = 1, numeric_only=True):
+        """pandas ``groupby().diff``: value minus the value ``periods``
+        rows earlier within the group (index order) — one keyed window
+        (hash shuffle on the group keys), lag never crosses groups."""
+        return self._lag_combine(
+            periods, numeric_only, lambda c, prev: c - prev, "diff"
+        )
+
+    def pct_change(self, periods: int = 1, numeric_only=True):
+        """pandas ``groupby().pct_change``: fractional change vs the
+        row ``periods`` earlier in the group — same one-window plan as
+        :meth:`diff`."""
+        from .series import Series
+
+        return self._lag_combine(
+            periods,
+            numeric_only,
+            # pandas: prev==0 -> ±inf / NaN (IEEE), not an ANSI error
+            lambda c, prev: Series._ieee_div(c, prev) - 1,
+            "pct_change",
+        )
+
+    def _lag_combine(self, periods: int, numeric_only, combine, opname: str):
+        w, schema, icols = self._ordered_window()
+        index_cols = set(icols)
+        fields = [
+            f
+            for f in self._agg_fields(numeric_only, opname)
+            if f.display_name not in index_cols and f.is_numeric
+        ]
+        if not fields:
+            raise ValueError(f"no numeric columns for {opname}")
+        keys_ok = self._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name)
+            prev = (
+                F.lag(c, periods).over(w)
+                if periods >= 0
+                else F.lead(c, -periods).over(w)
+            )
+            expr = combine(c, prev)
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def ffill(self):
+        """pandas ``groupby().ffill``: forward-fill nulls within each
+        group in index order — ``last(ignorenulls)`` over the keyed
+        window's unbounded-preceding frame. One hash shuffle; fills
+        never leak across group boundaries."""
+        return self._directional_fill(forward=True)
+
+    def bfill(self):
+        """pandas ``groupby().bfill``: backward-fill twin of
+        :meth:`ffill` (``first(ignorenulls)`` over the following
+        frame)."""
+        return self._directional_fill(forward=False)
+
+    def _directional_fill(self, forward: bool):
+        from pyspark.sql import Window
+
+        w, schema, icols = self._ordered_window()
+        frame = (
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if forward
+            else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        index_cols = set(icols)
+        by_set = set(self._by)
+        keys_ok = self._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
+        for f in self._frame._schema.fields:
+            if f.display_name in index_cols:
+                continue
+            c = F.col(f.column_name)
+            if f.display_name in by_set:
+                out_cols.append(c.alias(f.display_name))
+                continue
+            expr = (
+                F.last(c, ignorenulls=True).over(frame)
+                if forward
+                else F.first(c, ignorenulls=True).over(frame)
+            )
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr).otherwise(c)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            self._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def ngroup(self) -> DataFrame:
+        """pandas ``groupby().ngroup``: each row labelled with its
+        group's number in sorted-key order. Scale shape: rank the
+        DISTINCT keys (a small frame) with the windowless global-rank
+        operator, then join the labels back — the full data never goes
+        through a single-partition window."""
+        from .operators.ranking import with_global_rank
+
+        schema = self._frame._schema
+        sdf, keys = self._grouped_sdf()
+        icols = list(self._frame.index_cols)
+        key_names = list(self._by)
+        distinct = sdf.select(*keys).distinct()
+        ranked = with_global_rank(
+            distinct, key_names, rank_col="__ng__"
+        ).withColumn("__ng__", (F.col("__ng__") - 1).cast("long"))
+        out = (
+            sdf.select(
+                *[F.col(schema.resolve_any(ic)).alias(ic) for ic in icols],
+                *[F.col(schema.resolve(b)).alias(b) for b in key_names],
+            )
+            .join(ranked, on=key_names, how="left")
+            .select(*icols, F.col("__ng__").alias("ngroup"))
+        )
+        return DataFrame(out, index_cols=tuple(icols))
+
+    def ohlc(self) -> pd.DataFrame:
+        """pandas ``groupby().ohlc``: open/high/low/close per numeric
+        column in index order — ONE aggregate pass (min_by/max_by on the
+        index struct for open/close, plain min/max for low/high); no
+        window, no second shuffle."""
+        schema = self._frame._schema
+        if not schema.index_cols:
+            raise ValueError("groupby ohlc needs an index for row order")
+        sdf, keys = self._grouped_sdf()
+        ikey = F.struct(*[F.col(schema.resolve_any(c)) for c in schema.index_cols])
+        fields = self._agg_fields(True, "ohlc")
+        fields = [f for f in fields if f.is_numeric]
+        if not fields:
+            raise ValueError("no numeric columns for ohlc")
+        aggs = []
+        for f in fields:
+            c = F.col(f.column_name)
+            aggs += [
+                F.min_by(c, ikey).alias(f"{f.display_name}__open"),
+                F.max(c).alias(f"{f.display_name}__high"),
+                F.min(c).alias(f"{f.display_name}__low"),
+                F.max_by(c, ikey).alias(f"{f.display_name}__close"),
+            ]
+        pdf = sdf.groupBy(*keys).agg(*aggs).toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        pdf.columns = pd.MultiIndex.from_tuples(
+            [tuple(c.rsplit("__", 1)) for c in pdf.columns]
+        )
+        return pdf
+
+    def value_counts(
+        self, sort: bool = True, ascending: bool = False, dropna: bool = True
+    ) -> pd.Series:
+        """pandas ``groupby().value_counts``: row counts per (group key,
+        value-combination) — one groupBy over keys+values (single hash
+        shuffle with partial aggregation), counts ordered desc within
+        each group like pandas."""
+        schema = self._frame._schema
+        by_set = set(self._by)
+        vals = [
+            f.display_name
+            for f in schema.fields
+            if f.display_name not in by_set
+            and f.display_name not in schema.index_cols
+        ]
+        if not vals:
+            raise ValueError("no value columns for value_counts")
+        sdf, keys = self._grouped_sdf()
+        cols = keys + [F.col(schema.resolve(v)).alias(v) for v in vals]
+        grouped = sdf.select(*cols)
+        if dropna:
+            for v in vals:
+                grouped = grouped.filter(F.col(v).isNotNull())
+        pdf = grouped.groupBy(*self._by, *vals).count().toPandas()
+        names = self._by + vals
+        pdf = pdf.set_index(names)
+        s = pdf["count"]
+        if sort:
+            # pandas: sort by count within each group, then by key
+            s = (
+                s.reset_index()
+                .sort_values(
+                    self._by + ["count"],
+                    ascending=[True] * len(self._by) + [ascending],
+                    kind="mergesort",
+                )
+                .set_index(names)["count"]
+            )
+        else:
+            s = s.sort_index()
+        return s
 
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``groupby().rolling(window)``: per-group row-based
@@ -595,7 +787,7 @@ class DataFrameGroupBy:
         if not fields:
             raise ValueError("no rankable columns")
         keys_ok = self._null_keys_guard(schema)
-        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
         for f in fields:
             c = F.col(f.column_name)
             order = c.asc() if ascending else c.desc()
@@ -648,7 +840,7 @@ class DataFrameGroupBy:
             expr = F.when(keys_ok, expr)
         return DataFrame(
             self._frame._sdf.select(
-                *[F.col(schema.resolve(ic)).alias(ic) for ic in icols],
+                *[F.col(schema.resolve_any(ic)).alias(ic) for ic in icols],
                 expr.alias("cumcount"),
             ),
             index_cols=tuple(icols),
@@ -807,7 +999,7 @@ class _GroupRolling:
         if not fields:
             raise ValueError("no agg-compatible columns")
         keys_ok = gb._null_keys_guard(schema)
-        out_cols = [F.col(schema.resolve(ic)).alias(ic) for ic in icols]
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
         for f in fields:
             c = F.col(f.column_name)
             cnt = F.count(c).over(wf)

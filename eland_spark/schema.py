@@ -153,6 +153,18 @@ class Schema:
         """Display name -> physical column name."""
         return self.field(display_name).column_name
 
+    def resolve_any(self, name: str) -> str:
+        """Like :meth:`resolve`, but index columns stay addressable even
+        after a projection dropped them from the visible fields —
+        ``select`` is metadata-only, so the physical index column is
+        still present in the underlying plan."""
+        try:
+            return self.resolve(name)
+        except KeyError:
+            if name in self.index_cols:
+                return name
+            raise
+
     # -- transforms (all metadata-only) ----------------------------------
     def select(self, names: list[str]) -> "Schema":
         missing = [n for n in names if n not in self]

@@ -201,3 +201,70 @@ def test_groupby_first_last_tail(num):
     got_t = edf.groupby("o_shippriority").tail(2).to_pandas()
     exp_t = pg.tail(2)
     assert sorted(got_t["o_orderkey"]) == sorted(exp_t["o_orderkey"])
+
+
+# ----------------------------------------------- GroupBy order ops batch 3
+
+
+def test_groupby_diff_pct_change(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )[["o_orderstatus", "o_totalprice", "o_custkey"]]
+    psub = pdf[["o_orderstatus", "o_totalprice", "o_custkey"]]
+    g = edf.groupby("o_orderstatus").diff().to_pandas().sort_index()
+    w = psub.groupby("o_orderstatus").diff().sort_index()
+    assert np.allclose(
+        g["o_totalprice"].to_numpy(), w["o_totalprice"].to_numpy(), equal_nan=True
+    )
+    g2 = edf.groupby("o_orderstatus").pct_change().to_pandas().sort_index()
+    w2 = psub.groupby("o_orderstatus").pct_change().sort_index()
+    assert np.allclose(
+        g2["o_totalprice"].to_numpy(), w2["o_totalprice"].to_numpy(), equal_nan=True
+    )
+
+
+def test_groupby_ngroup_matches_pandas(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    g = edf.groupby("o_orderstatus").ngroup().to_pandas().sort_index()
+    w = pdf.groupby("o_orderstatus").ngroup().sort_index()
+    assert (g["ngroup"].to_numpy() == w.to_numpy()).all()
+
+
+def test_groupby_ffill_bfill(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    d2 = edf.assign(gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 1e5))
+    p2 = pdf.assign(gap=pdf["o_totalprice"].where(pdf["o_totalprice"] > 1e5))
+    for mth in ("ffill", "bfill"):
+        g = getattr(d2[["o_orderstatus", "gap"]].groupby("o_orderstatus"), mth)()
+        w = getattr(p2[["o_orderstatus", "gap"]].groupby("o_orderstatus"), mth)()
+        assert np.allclose(
+            g.to_pandas().sort_index()["gap"].to_numpy(),
+            w.sort_index()["gap"].to_numpy(),
+            equal_nan=True,
+        )
+
+
+def test_groupby_ohlc_value_counts(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    g = edf[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").ohlc()
+    w = pdf.groupby("o_orderstatus")[["o_totalprice"]].ohlc()
+    assert np.allclose(g.to_numpy(), w.to_numpy())
+    assert list(g.columns) == list(w.columns)
+    vc = edf[["o_orderstatus", "o_orderpriority"]].groupby("o_orderstatus").value_counts()
+    wv = (
+        pdf[["o_orderstatus", "o_orderpriority"]]
+        .groupby("o_orderstatus")[["o_orderpriority"]]
+        .value_counts()
+    )
+    assert (vc.to_numpy() == wv.to_numpy()).all()
+    assert vc.index.equals(wv.index)
