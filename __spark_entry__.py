@@ -3043,6 +3043,37 @@ def q_groupby_value_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_groupby_ewm(spark, sf_dir) -> DataFrame:
+    """pandas groupby().ewm(alpha=.5).mean() via the library: the
+    infinite recursion truncated at the kernel width where weights drop
+    below double precision (54 lags for alpha=0.5 — exact), compiled to
+    ONE bounded-lookback keyed window, all JVM-side higher-order folds
+    (operators/windowed.ewm_mean_grouped). The DuckDB twin replays the
+    IDENTICAL truncated kernel as a bounded position self-join, so both
+    engines compute the same finite sum."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = (
+        o[["o_orderstatus", "o_totalprice"]]
+        .groupby("o_orderstatus")
+        .ewm(alpha=0.5)
+        .mean()
+    )
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice_ewm"), 4).alias("ewm_price")
+    )
+
+
+def q_series_ewm(spark, sf_dir) -> DataFrame:
+    """Global Series.ewm(span=20).mean() — bucket-overlap plan (no
+    single-partition window); kernel width 369 for span=20. Same
+    bounded self-join oracle, unpartitioned."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].ewm(span=20).mean()
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("ewm"), 4).alias("ewm_price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3059,6 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_ffill": q_groupby_ffill,
         "groupby_ohlc": q_groupby_ohlc,
         "groupby_value_counts": q_groupby_value_counts,
+        "groupby_ewm": q_groupby_ewm,
+        "series_ewm": q_series_ewm,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -3260,6 +3293,33 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                          2) AS gap_filled
             FROM orders
+        """,
+        "groupby_ewm": """
+            WITH p AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT a.o_orderkey,
+                   round(sum(b.o_totalprice * power(0.5, a.rn - b.rn))
+                         / sum(power(0.5, a.rn - b.rn)), 4) AS ewm_price
+            FROM p a JOIN p b
+              ON b.o_orderstatus = a.o_orderstatus
+             AND b.rn BETWEEN a.rn - 54 AND a.rn
+            GROUP BY a.o_orderkey
+        """,
+        "series_ewm": """
+            WITH p AS (
+                SELECT o_orderkey, o_totalprice,
+                       row_number() OVER (ORDER BY o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT a.o_orderkey,
+                   round(sum(b.o_totalprice * power(1.0 - 2.0/21.0, a.rn - b.rn))
+                         / sum(power(1.0 - 2.0/21.0, a.rn - b.rn)), 4) AS ewm_price
+            FROM p a JOIN p b ON b.rn BETWEEN a.rn - 369 AND a.rn
+            GROUP BY a.o_orderkey
         """,
         "groupby_ohlc": """
             SELECT o_orderpriority,

@@ -741,6 +741,22 @@ class DataFrameGroupBy:
             s = s.sort_index()
         return s
 
+    def ewm(
+        self,
+        alpha: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        com: float | None = None,
+        min_periods: int = 0,
+    ):
+        """pandas ``groupby().ewm(...)``: lazy proxy with ``.mean()``.
+        The infinite recursion is truncated at the kernel width where
+        weights drop below double precision (exact), so it compiles to
+        ONE bounded-lookback keyed window — all JVM-side; a slower
+        decay than the kernel cap falls back to pandas' C kernel per
+        group via Arrow (operators/windowed.ewm_mean_grouped)."""
+        return _GroupEwm(self, alpha, span, halflife, com, min_periods)
+
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``groupby().rolling(window)``: per-group row-based
         rolling aggregates in index order — a single keyed window with
@@ -1025,3 +1041,24 @@ class _GroupRolling:
 
     def count(self):
         return self._run("count")
+
+
+class _GroupEwm:
+    """Lazy ``groupby().ewm(...)`` proxy — see DataFrameGroupBy.ewm."""
+
+    def __init__(self, gb: DataFrameGroupBy, alpha, span, halflife, com, min_periods):
+        self._gb = gb
+        self._kw = dict(
+            alpha=alpha, span=span, halflife=halflife, com=com,
+            min_periods=min_periods,
+        )
+
+    def mean(self, numeric_only=True) -> DataFrame:
+        from .operators.windowed import ewm_mean_grouped
+
+        gb = self._gb
+        cols = [f.display_name for f in gb._agg_fields(numeric_only, "ewm")
+                if f.is_numeric]
+        if not cols:
+            raise ValueError("no numeric columns for ewm")
+        return ewm_mean_grouped(gb._frame, gb._by, cols, **self._kw)

@@ -271,6 +271,48 @@ def with_global_expanding(
     )
 
 
+def _bucketed_frame(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    window: int,
+    partitions: int | None = None,
+):
+    """Shared scaffolding for bounded-lookback global window ops
+    (rolling, ewm): global positions from :func:`with_global_rank` are
+    bucketed (bucket >= ``window`` so a frame spans at most two
+    buckets), the last ``window-1`` rows of each bucket are REPLICATED
+    into the next bucket as padding, and ONE balanced hash exchange on
+    the bucket id computes the bounded frame locally. Returns the
+    padded union (filter ``~__pad__`` and drop ``__b__/__pad__/__g__``
+    when done) and the bounded per-bucket window spec."""
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=n_parts
+    )
+    n = ranked.count()
+    bucket_size = max(window, math.ceil(n / n_parts) or 1)
+    g0 = F.col("__g__") - 1
+    home = ranked.withColumn(
+        "__b__", (g0 / F.lit(bucket_size)).cast("long")
+    ).withColumn("__pad__", F.lit(False))
+    pad = (
+        ranked.filter(
+            F.pmod(g0, F.lit(bucket_size)) >= F.lit(bucket_size - (window - 1))
+        ).withColumn("__b__", (g0 / F.lit(bucket_size)).cast("long") + 1)
+        .withColumn("__pad__", F.lit(True))
+        if window > 1
+        else None
+    )
+    un = home.unionByName(pad) if pad is not None else home
+    w = (
+        Window.partitionBy("__b__")
+        .orderBy("__g__")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return un, w
+
+
 def with_global_rolling(
     sdf: DataFrame,
     order_by: list[str | Column],
@@ -302,31 +344,7 @@ def with_global_rolling(
     if window < 1:
         raise ValueError("window must be >= 1")
     mp = window if min_periods is None else min_periods
-    spark = sdf.sparkSession
-    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=n_parts
-    )
-    n = ranked.count()
-    bucket_size = max(window, math.ceil(n / n_parts) or 1)
-    g0 = F.col("__g__") - 1
-    home = ranked.withColumn(
-        "__b__", (g0 / F.lit(bucket_size)).cast("long")
-    ).withColumn("__pad__", F.lit(False))
-    pad = (
-        ranked.filter(
-            F.pmod(g0, F.lit(bucket_size)) >= F.lit(bucket_size - (window - 1))
-        ).withColumn("__b__", (g0 / F.lit(bucket_size)).cast("long") + 1)
-        .withColumn("__pad__", F.lit(True))
-        if window > 1
-        else None
-    )
-    un = home.unionByName(pad) if pad is not None else home
-    w = (
-        Window.partitionBy("__b__")
-        .orderBy("__g__")
-        .rowsBetween(-(window - 1), Window.currentRow)
-    )
+    un, w = _bucketed_frame(sdf, order_by, window, partitions)
     cnt = F.count(F.col(value_col)).over(w)
     out = un
     for a in aggs:

@@ -184,3 +184,209 @@ def sessionize(
         .drop("__new__")
     )
     return EDF(out, schema.with_field(Field(session_col, session_col, T.LongType(), True)))
+
+
+# ---------------------------------------------------------------------------
+# exponentially weighted mean (pandas ewm.mean, adjust=True, ignore_na=False)
+# ---------------------------------------------------------------------------
+
+def resolve_ewm_alpha(
+    alpha: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    com: float | None = None,
+) -> float:
+    """pandas decay parameterization -> smoothing factor alpha."""
+    import math as _m
+
+    given = [p is not None for p in (alpha, span, halflife, com)]
+    if sum(given) != 1:
+        raise ValueError("pass exactly one of alpha/span/halflife/com")
+    if alpha is not None:
+        a = float(alpha)
+    elif span is not None:
+        if span < 1:
+            raise ValueError("span must be >= 1")
+        a = 2.0 / (span + 1.0)
+    elif halflife is not None:
+        a = 1.0 - _m.exp(-_m.log(2.0) / float(halflife))
+    else:
+        a = 1.0 / (1.0 + float(com))
+    if not 0 < a <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    return a
+
+
+def ewm_kernel_width(alpha: float, tol: float = 1e-16) -> int:
+    """Number of lags after which the weight ``(1-alpha)^W`` drops below
+    ``tol`` — beyond that, terms are invisible in a double, so the
+    truncated kernel is EXACT to machine precision. This is what makes
+    ewm distributed-friendly: the sequential recursion becomes a
+    bounded-lookback window op."""
+    import math as _m
+
+    d = 1.0 - alpha
+    if d <= 0:
+        return 0
+    return int(_m.ceil(_m.log(tol) / _m.log(d)))
+
+
+def _ewm_mean_expr(col: Column, d: float, w, min_periods: int) -> Column:
+    """Weighted-mean expression over a bounded ordered window frame:
+    collect the frame's values + a null mask as aligned arrays (nulls
+    keep their slot so weights advance over gaps — pandas
+    ignore_na=False), then one JVM-side higher-order fold:
+    ``sum(v_i * m_i * d^(n-i)) / sum(m_i * d^(n-i))``. No Python, no
+    UDF; array length is the (bounded) kernel width."""
+    vals = F.collect_list(F.coalesce(col.cast("double"), F.lit(0.0))).over(w)
+    mask = F.collect_list(
+        F.when(col.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    ).over(w)
+    n = F.size(vals)
+    wts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(d), (n - i).cast("double")),
+    )
+    vm = F.zip_with(vals, mask, lambda v, m: v * m)
+    num = F.aggregate(
+        F.zip_with(vm, wts, lambda v, x: v * x), F.lit(0.0), lambda a, x: a + x
+    )
+    den = F.aggregate(
+        F.zip_with(mask, wts, lambda m, x: m * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cnt = F.aggregate(mask, F.lit(0.0), lambda a, x: a + x)
+    return F.when((den != 0) & (cnt >= F.lit(float(min_periods))), num / den)
+
+
+def ewm_mean_grouped(
+    df: "DataFrame",
+    by: list[str] | str,
+    col: str,
+    *,
+    alpha: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    com: float | None = None,
+    min_periods: int = 0,
+    tol: float = 1e-16,
+    max_kernel: int = 1024,
+    out_col: str | None = None,
+) -> "DataFrame":
+    """Per-group exponentially weighted mean in index order (pandas
+    ``groupby().ewm().mean()``, adjust=True, ignore_na=False).
+
+    Scale shape: the infinite recursion is truncated at the kernel
+    width where weights fall below ``tol`` (exact to double precision),
+    turning it into a bounded-lookback keyed window — ONE hash shuffle
+    on the group keys, everything JVM-side. If the decay is so slow the
+    kernel exceeds ``max_kernel`` rows, falls back to an Arrow
+    applyInPandas pass (pandas' own C kernel per group) — same result,
+    Python boundary crossed once per group.
+
+    No reference analog (ES has no ewm agg); pandas surface only.
+    """
+    from ..frame import DataFrame as EDF
+    from ..schema import Field
+    from pyspark.sql import types as T
+
+    a = resolve_ewm_alpha(alpha, span, halflife, com)
+    d = 1.0 - a
+    by = [by] if isinstance(by, str) else list(by)
+    cols = [col] if isinstance(col, str) else list(col)
+    schema = df._schema
+    icols = list(df.index_cols)
+    if not icols:
+        raise ValueError("ewm needs an index for row order")
+    names = (
+        [out_col] if (out_col and len(cols) == 1) else [f"{c}_ewm" for c in cols]
+    )
+    W = ewm_kernel_width(a, tol)
+    if W <= max_kernel:
+        w = Window.partitionBy(
+            *[F.col(schema.resolve(b)) for b in by]
+        ).orderBy(*[F.col(schema.resolve_any(c)).asc() for c in icols]).rowsBetween(
+            -W, Window.currentRow
+        )
+        out = df._sdf
+        sch = schema
+        for c, name in zip(cols, names):
+            out = out.withColumn(
+                name, _ewm_mean_expr(F.col(schema.resolve(c)), d, w, min_periods)
+            )
+            sch = sch.with_field(Field(name, name, T.DoubleType(), True))
+        return EDF(out, sch)
+
+    # slow-decay fallback: exact pandas kernel per group via Arrow
+    import pandas as pd
+
+    phys_by = [schema.resolve(b) for b in by]
+    phys_idx = [schema.resolve_any(c) for c in icols]
+    phys_cols = [schema.resolve(c) for c in cols]
+    keep = list(dict.fromkeys(phys_by + phys_idx + phys_cols))
+    sub = df._sdf.select(*keep)
+    out_schema = ", ".join(
+        [f"`{c}` {df._sdf.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"`{n}` double" for n in names]
+    )
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(phys_idx, kind="mergesort")
+        for pc, n in zip(phys_cols, names):
+            pdf[n] = pdf[pc].ewm(alpha=a, min_periods=min_periods).mean()
+        return pdf
+
+    res = sub.groupBy(*phys_by).applyInPandas(_fn, out_schema)
+    from ..schema import Schema
+
+    flds = tuple(
+        f for f in schema.fields if f.column_name in set(keep)
+    ) + tuple(Field(n, n, T.DoubleType(), True) for n in names)
+    return EDF(res, Schema(flds, tuple(icols)))
+
+
+def ewm_mean_global(
+    df: "DataFrame",
+    col: str,
+    *,
+    alpha: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    com: float | None = None,
+    min_periods: int = 0,
+    tol: float = 1e-16,
+    max_kernel: int = 8192,
+    out_col: str | None = None,
+) -> "DataFrame":
+    """Exponentially weighted mean over the GLOBAL index order (pandas
+    ``Series.ewm().mean()``) without a single-partition window: the
+    truncated kernel (see :func:`ewm_mean_grouped`) bounds the lookback,
+    so the bucket-overlap scaffolding behind global rolling applies —
+    positions bucketed, ``W`` boundary rows replicated forward, one
+    balanced hash exchange. Kernels wider than ``max_kernel`` raise
+    (use a faster decay, or group the data)."""
+    from ..frame import DataFrame as EDF
+    from ..schema import Field, Schema
+    from .ranking import _bucketed_frame
+    from pyspark.sql import types as T
+
+    a = resolve_ewm_alpha(alpha, span, halflife, com)
+    d = 1.0 - a
+    W = ewm_kernel_width(a, tol)
+    if W > max_kernel:
+        raise ValueError(
+            f"ewm kernel width {W} exceeds max_kernel={max_kernel}; "
+            "use a faster decay (larger alpha) or a grouped ewm"
+        )
+    schema = df._schema
+    icols = list(df.index_cols)
+    if not icols:
+        raise ValueError("ewm needs an index for row order")
+    name = out_col or f"{col}_ewm"
+    phys_idx = [schema.resolve_any(c) for c in icols]
+    un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
+    out = (
+        un.withColumn(name, _ewm_mean_expr(F.col(schema.resolve(col)), d, w, min_periods))
+        .filter(~F.col("__pad__"))
+        .drop("__b__", "__pad__", "__g__")
+    )
+    return EDF(out, schema.with_field(Field(name, name, T.DoubleType(), True)))

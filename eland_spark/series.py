@@ -1076,6 +1076,23 @@ class Series:
         window. ``min_periods`` defaults to ``window`` like pandas."""
         return _Rolling(self, window, min_periods)
 
+    def ewm(
+        self,
+        alpha: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        com: float | None = None,
+        min_periods: int = 0,
+    ):
+        """pandas ``Series.ewm(...)`` over the global index order: lazy
+        proxy with ``.mean()``. Scale shape: the recursion truncates at
+        the kernel width where weights fall below double precision
+        (exact), so the global sequential dependency becomes a bounded
+        lookback — computed with the same bucket-overlap plan as
+        rolling (operators/windowed.ewm_mean_global), one balanced hash
+        exchange, no single-partition window."""
+        return _Ewm(self, alpha, span, halflife, com, min_periods)
+
     def _cumagg(self, agg: str):
         from .frame import DataFrame as EDF
         from .operators.ranking import with_global_cumagg
@@ -1751,3 +1768,23 @@ class _Expanding:
 
     def count(self):
         return self._run("count")
+
+
+class _Ewm:
+    """Lazy ``Series.ewm(...)`` proxy — see Series.ewm."""
+
+    def __init__(self, series: Series, alpha, span, halflife, com, min_periods):
+        self._s = series
+        self._kw = dict(
+            alpha=alpha, span=span, halflife=halflife, com=com,
+            min_periods=min_periods,
+        )
+
+    def mean(self):
+        from .frame import DataFrame as EDF
+        from .operators.windowed import ewm_mean_global
+
+        base, icols = self._s._ordered_frame()
+        edf = EDF(base, index_cols=tuple(icols))
+        out = ewm_mean_global(edf, "__val__", out_col="ewm", **self._kw)
+        return out[["ewm"]]

@@ -268,3 +268,62 @@ def test_groupby_ohlc_value_counts(spark, orders_pd):
     )
     assert (vc.to_numpy() == wv.to_numpy()).all()
     assert vc.index.equals(wv.index)
+
+
+def test_ewm_mean_matches_pandas(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    # grouped, JVM expression path (alpha=0.5 -> kernel 54)
+    g = (
+        edf[["o_orderstatus", "o_totalprice"]]
+        .groupby("o_orderstatus")
+        .ewm(alpha=0.5)
+        .mean()
+        .to_pandas()
+        .sort_index()
+    )
+    w = (
+        pdf.groupby("o_orderstatus")["o_totalprice"]
+        .ewm(alpha=0.5)
+        .mean()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    assert np.allclose(g["o_totalprice_ewm"].to_numpy(), w.to_numpy())
+    # grouped, Arrow fallback path (alpha tiny -> kernel > cap)
+    g2 = (
+        edf[["o_orderstatus", "o_totalprice"]]
+        .groupby("o_orderstatus")
+        .ewm(alpha=0.001)
+        .mean()
+        .to_pandas()
+        .sort_index()
+    )
+    w2 = (
+        pdf.groupby("o_orderstatus")["o_totalprice"]
+        .ewm(alpha=0.001)
+        .mean()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    assert np.allclose(g2["o_totalprice_ewm"].to_numpy(), w2.to_numpy())
+    # global Series ewm via the bucket-overlap plan
+    s = edf["o_totalprice"].ewm(span=20).mean().to_pandas().sort_index()
+    ps = pdf["o_totalprice"].ewm(span=20).mean().sort_index()
+    assert np.allclose(s["ewm"].to_numpy(), ps.to_numpy())
+
+
+def test_ewm_param_resolution_and_errors(spark):
+    from eland_spark.operators.windowed import resolve_ewm_alpha, ewm_kernel_width
+
+    assert resolve_ewm_alpha(span=19) == pytest.approx(0.1)
+    assert resolve_ewm_alpha(com=9) == pytest.approx(0.1)
+    assert resolve_ewm_alpha(halflife=1) == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_ewm_alpha(alpha=0.5, span=10)
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_ewm_alpha()
+    # alpha=1 degenerates to identity: kernel width 0
+    assert ewm_kernel_width(1.0) == 0

@@ -495,3 +495,23 @@ def test_ppl_buckets_only_language_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert shuffle_count(out) == 1, plan_summary(out)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ewm_plans_scale_safe(spark):
+    """Grouped ewm: ONE keyed window (hash exchange on the group keys),
+    no single-partition exchange. Global ewm: bucket-overlap plan —
+    windows partition on bucket ids, never an empty PARTITION BY."""
+    orders = es.read_parquet(spark, f"{SF}/orders.parquet", index_col="o_orderkey")
+    g = (
+        orders[["o_orderstatus", "o_totalprice"]]
+        .groupby("o_orderstatus")
+        .ewm(alpha=0.5)
+        .mean()
+        .to_spark()
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    s = orders["o_totalprice"].ewm(alpha=0.5).mean().to_spark()
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
