@@ -3074,6 +3074,26 @@ def q_series_ewm(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster embeddings, drop
+    within-cluster cosine>=t duplicates keeping the lowest id), on
+    engine-agnostic seed centroids (8 lowest-id vectors, no Lloyd) so
+    the ENTIRE assign->pair->drop pipeline replays in SQL. Survivor
+    counts per label are the hash-checked result."""
+    from eland_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    kept = semantic_dedup(
+        emb, threshold=0.9, n_cells=8, max_iter=0, seed_strategy="first"
+    )
+    return (
+        kept.to_spark()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("vec_id").alias("min_id"))
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3092,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_value_counts": q_groupby_value_counts,
         "groupby_ewm": q_groupby_ewm,
         "series_ewm": q_series_ewm,
+        "semantic_dedup": q_semantic_dedup,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4178,6 +4199,31 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "semantic_dedup": """
+            WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding::DOUBLE[] AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ), assigned AS (
+                SELECT vec_id, label, v, cell FROM (
+                    SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                                        c.cell) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), drops AS (
+                SELECT DISTINCT r.vec_id AS did
+                FROM assigned l JOIN assigned r
+                  ON l.cell = r.cell AND l.vec_id < r.vec_id
+                WHERE list_dot_product(l.v, r.v)
+                      / (sqrt(list_dot_product(l.v, l.v))
+                         * sqrt(list_dot_product(r.v, r.v))) >= 0.9
+            )
+            SELECT label, count(*) AS n_kept, min(vec_id) AS min_id
+            FROM assigned WHERE vec_id NOT IN (SELECT did FROM drops)
+            GROUP BY label ORDER BY label
+        """,
         "embed_dedup": _embed_dedup_oracle_sql(),
         "sample_exact_n": """
             SELECT doc_id, source FROM documents

@@ -474,3 +474,54 @@ def embedding_dedup(
     )
     kept = df._sdf.join(pairs, on=idc == F.col("__drop__"), how="left_anti")
     return EDF(kept, schema)
+
+
+def semantic_dedup(
+    df: "DataFrame",
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    max_iter: int = 2,
+    seed: int = 42,
+    seed_strategy: str = "hash",
+) -> "DataFrame":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then drop
+    near-duplicates WITHIN each cluster (cosine >= ``threshold``),
+    keeping the lowest id of every duplicate pair. Complements
+    :func:`embedding_dedup` (LSH buckets): clustering catches
+    lower-similarity semantic duplicates that land in different LSH
+    buckets, at the cost of the k-means passes.
+
+    Scale shape: candidate pairs are bounded per cluster — the
+    self-join key is the cell id, never all-pairs across the corpus.
+    Size ``n_cells`` ~ corpus_size / target_cluster_size so the
+    within-cluster quadratic term stays bounded; the k-means passes are
+    one scan + one k-row shuffle each (see :func:`ivf_index`). With
+    ``seed_strategy='first'`` and ``max_iter=0`` the whole pipeline is
+    engine-agnostic (plain-SQL oracle contract).
+    """
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    vec = F.col(schema.resolve(vec_col))
+    idc = F.col(schema.resolve(id_col))
+    centroids = ivf_index(
+        df, n_cells, vec_col, id_col, max_iter, seed, seed_strategy
+    )
+    assigned = df._sdf.select(
+        idc.alias("__id__"), vec.alias("__v__"),
+        nearest_cell(vec, centroids).alias("__cell__"),
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    drops = (
+        l.join(r, on="__cell__")
+        .filter(F.col("l.__id__") < F.col("r.__id__"))
+        .withColumn("__cos__", cosine(F.col("l.__v__"), F.col("r.__v__")))
+        .filter(F.col("__cos__") >= threshold)
+        .select(F.col("r.__id__").alias("__drop__"))
+        .distinct()
+    )
+    kept = df._sdf.join(drops, on=idc == F.col("__drop__"), how="left_anti")
+    return EDF(kept, schema)
