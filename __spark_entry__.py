@@ -3094,6 +3094,46 @@ def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_url_curation(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + per-domain dedup stats (web-corpus
+    curation): deterministic URLs derived from documents (case/port/
+    trailing-slash/tracking-param variants baked in), canonicalized via
+    operators/urls.canonical_url (regex chain, zero shuffle), exact
+    URL-dedup keep-first, then registrable-domain counts. The oracle
+    builds the identical URLs and replays the same canonicalization in
+    SQL."""
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.operators.urls import dedup_by_url, with_url_columns
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("www."), F.col("source"),
+        F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    host = F.when(d % 7 == 0, F.upper(host)).otherwise(host)
+    url = F.concat(
+        F.lit("https://"), host,
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"), (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 50).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), (d % 50).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    base = EDF(
+        docs.to_spark().select("doc_id", url.alias("url")), index_cols=("doc_id",)
+    )
+    kept = dedup_by_url(base, "url")
+    out = with_url_columns(kept, "url")
+    return (
+        out.to_spark()
+        .groupBy("url_domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.min("doc_id").alias("min_doc"))
+        .orderBy("url_domain")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3113,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_ewm": q_groupby_ewm,
         "series_ewm": q_series_ewm,
         "semantic_dedup": q_semantic_dedup,
+        "url_curation": q_url_curation,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4199,6 +4240,74 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "url_curation": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://' ||
+                       (CASE WHEN doc_id % 7 = 0
+                             THEN upper('www.' || source ||
+                                  (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END))
+                             ELSE 'www.' || source ||
+                                  (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+                        END) ||
+                       (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+                       '/doc/' || (doc_id % 50)::VARCHAR ||
+                       (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+                       (CASE WHEN doc_id % 4 = 0
+                             THEN '?utm_source=feed&id=' || (doc_id % 50)::VARCHAR
+                             WHEN doc_id % 4 = 1
+                             THEN '?id=' || (doc_id % 50)::VARCHAR
+                             ELSE '' END) AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\\d+)', 1) AS port,
+                       regexp_replace(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u
+            ), canon AS (
+                SELECT doc_id, host,
+                       scheme || '://' || host ||
+                       (CASE WHEN port <> '' AND port <> '80' AND port <> '443'
+                             THEN ':' || port ELSE '' END) ||
+                       path ||
+                       (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS curl
+                FROM (
+                    SELECT *,
+                           array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               p -> p <> '' AND NOT regexp_matches(p,
+                                   '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref)=')
+                           )), '&') AS cq
+                    FROM parts
+                )
+            ), kept AS (
+                SELECT min(doc_id) AS doc_id, any_value(host) AS host
+                FROM canon GROUP BY curl
+            ), dom AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                            WHEN len(string_split(host, '.')) >= 3
+                                 AND string_split(host, '.')[-2] IN
+                                     ('co','com','ac','gov','net','org','edu')
+                                 AND length(string_split(host, '.')[-1]) <= 3
+                                 AND length(string_split(host, '.')[-2]) <= 3
+                            THEN string_split(host, '.')[-3] || '.' ||
+                                 string_split(host, '.')[-2] || '.' ||
+                                 string_split(host, '.')[-1]
+                            ELSE string_split(host, '.')[-2] || '.' ||
+                                 string_split(host, '.')[-1]
+                       END AS url_domain
+                FROM kept
+            )
+            SELECT url_domain, count(*) AS n_urls, min(doc_id) AS min_doc
+            FROM dom GROUP BY url_domain ORDER BY url_domain
+        """,
         "semantic_dedup": """
             WITH cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
