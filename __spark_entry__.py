@@ -3134,6 +3134,34 @@ def q_url_curation(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_str_methods(spark, sf_dir) -> DataFrame:
+    """String-accessor batch 2 through the LIBRARY surface
+    (Series.str.capitalize/swapcase/find/rfind/fullmatch/removeprefix/
+    get/count/istitle) — all single-pass JVM string expressions, zero
+    shuffle before the output projection; DuckDB replays each with its
+    own built-ins."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    s = docs["source"]
+    t = docs["text"]
+    out = docs.assign(
+        cap=s.str.capitalize(),
+        swapped=s.str.swapcase(),
+        f_rc=s.str.find("rc"),
+        rf_c=s.str.rfind("c"),
+        is_src=s.str.fullmatch("src[0-9]+"),
+        bare=s.str.removeprefix("src"),
+        last_ch=s.str.get(-1),
+        n_a=t.str.count("a"),
+        titled=t.str.slice(0, 12).str.istitle(),
+    )
+    return out[
+        ["cap", "swapped", "f_rc", "rf_c", "is_src", "bare", "last_ch", "n_a", "titled"]
+    ].to_spark().select(
+        "doc_id", "cap", "swapped", "f_rc", "rf_c", "is_src", "bare", "last_ch",
+        "n_a", "titled",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3154,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_ewm": q_series_ewm,
         "semantic_dedup": q_semantic_dedup,
         "url_curation": q_url_curation,
+        "str_methods": q_str_methods,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4240,6 +4269,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "str_methods": """
+            SELECT doc_id,
+                   upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS cap,
+                   translate(source,
+                       'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+                   CAST(strpos(source, 'rc') - 1 AS BIGINT) AS f_rc,
+                   CAST(CASE WHEN strpos(reverse(source), 'c') = 0 THEN -1
+                             ELSE length(source) - strpos(reverse(source), 'c')
+                        END AS BIGINT) AS rf_c,
+                   regexp_full_match(source, 'src[0-9]+') AS is_src,
+                   CASE WHEN starts_with(source, 'src') THEN substr(source, 4)
+                        ELSE source END AS bare,
+                   CASE WHEN length(source) >= 1
+                        THEN substr(source, length(source), 1) END AS last_ch,
+                   CAST(len(regexp_extract_all(text, 'a')) AS BIGINT) AS n_a,
+                   (regexp_matches(substr(text, 1, 12), '[A-Za-z]')
+                    AND NOT regexp_matches(substr(text, 1, 12), '[A-Za-z][A-Z]')
+                    AND NOT regexp_matches(substr(text, 1, 12),
+                                           '(^|[^A-Za-z])[a-z]')) AS titled
+            FROM documents
+        """,
         "url_curation": """
             WITH u AS (
                 SELECT doc_id,

@@ -1562,6 +1562,155 @@ class StrAccessor:
             index_cols=tuple(schema.index_cols),
         )
 
+    def findall(self, pat: str) -> Series:
+        """All non-overlapping regex matches as an array (pandas
+        ``str.findall``) — one JVM regexp_extract_all, no Python."""
+        return self._d(
+            F.regexp_extract_all(self._s._expr, F.lit(f"({pat})"), 1),
+            T.ArrayType(T.StringType()),
+        )
+
+    def capitalize(self) -> Series:
+        """First character upper, rest lower (CPython semantics)."""
+        e = self._s._expr
+        return self._d(
+            F.concat(
+                F.upper(e.substr(F.lit(1), F.lit(1))),
+                F.lower(e.substr(F.lit(2), F.length(e))),
+            ),
+            T.StringType(),
+        )
+
+    _LOWER = "abcdefghijklmnopqrstuvwxyz"
+    _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+    def swapcase(self) -> Series:
+        """ASCII case swap via ONE ``translate`` call (1:1 char map —
+        the cheapest possible JVM path)."""
+        return self._d(
+            F.translate(
+                self._s._expr, self._LOWER + self._UPPER, self._UPPER + self._LOWER
+            ),
+            T.StringType(),
+        )
+
+    def casefold(self) -> Series:
+        """Caseless-match normalization (ASCII: same as lower)."""
+        return self.lower()
+
+    def removeprefix(self, prefix: str) -> Series:
+        e = self._s._expr
+        return self._d(
+            F.when(
+                e.startswith(prefix), e.substr(F.lit(len(prefix) + 1), F.length(e))
+            ).otherwise(e),
+            T.StringType(),
+        )
+
+    def removesuffix(self, suffix: str) -> Series:
+        e = self._s._expr
+        n = len(suffix)
+        return self._d(
+            F.when(
+                e.endswith(suffix), F.substring(e, 1, F.length(e) - n)
+            ).otherwise(e),
+            T.StringType(),
+        )
+
+    def lstrip(self, chars: str | None = None) -> Series:
+        e = self._s._expr
+        if chars is None:
+            return self._d(F.ltrim(e), T.StringType())
+        cls = re.escape(chars)
+        return self._d(
+            F.regexp_replace(e, f"^[{cls}]+", ""), T.StringType()
+        )
+
+    def rstrip(self, chars: str | None = None) -> Series:
+        e = self._s._expr
+        if chars is None:
+            return self._d(F.rtrim(e), T.StringType())
+        cls = re.escape(chars)
+        return self._d(
+            F.regexp_replace(e, f"[{cls}]+$", ""), T.StringType()
+        )
+
+    def match(self, pat: str) -> Series:
+        """True when the string STARTS with a regex match (pandas
+        ``str.match``)."""
+        return self._d(self._s._expr.rlike(f"^(?:{pat})"), T.BooleanType())
+
+    def fullmatch(self, pat: str) -> Series:
+        """True when the ENTIRE string matches (pandas
+        ``str.fullmatch``)."""
+        return self._d(self._s._expr.rlike(f"^(?:{pat})$"), T.BooleanType())
+
+    def find(self, sub: str) -> Series:
+        """0-based position of the first occurrence, -1 when absent."""
+        return self._d(
+            (F.instr(self._s._expr, sub) - 1).cast("long"), T.LongType()
+        )
+
+    def rfind(self, sub: str) -> Series:
+        """0-based position of the LAST occurrence, -1 when absent —
+        locate on the reversed pair, pure arithmetic, no loop."""
+        e = self._s._expr
+        pos = F.locate(sub[::-1], F.reverse(e))
+        return self._d(
+            F.when(pos == 0, F.lit(-1))
+            .otherwise(F.length(e) - pos - F.lit(len(sub) - 1))
+            .cast("long"),
+            T.LongType(),
+        )
+
+    def get(self, i: int) -> Series:
+        """Character at position ``i`` (negative from the end); out of
+        range -> null like pandas."""
+        e = self._s._expr
+        if i >= 0:
+            c = F.substring(e, i + 1, 1)
+        else:
+            c = F.when(F.length(e) >= -i, e.substr(F.length(e) + i + 1, F.lit(1)))
+        return self._d(F.when(c != "", c), T.StringType())
+
+    def _char_class(self, pat: str) -> Series:
+        return self._d(self._s._expr.rlike(pat), T.BooleanType())
+
+    def isalpha(self) -> Series:
+        return self._char_class("^[A-Za-z]+$")
+
+    def isdigit(self) -> Series:
+        return self._char_class("^[0-9]+$")
+
+    isnumeric = isdigit
+
+    def isalnum(self) -> Series:
+        return self._char_class("^[A-Za-z0-9]+$")
+
+    def isspace(self) -> Series:
+        return self._char_class(r"^\s+$")
+
+    def islower(self) -> Series:
+        """At least one cased char and no uppercase (CPython rule)."""
+        e = self._s._expr
+        return self._d(e.rlike("[a-z]") & ~e.rlike("[A-Z]"), T.BooleanType())
+
+    def isupper(self) -> Series:
+        e = self._s._expr
+        return self._d(e.rlike("[A-Z]") & ~e.rlike("[a-z]"), T.BooleanType())
+
+    def istitle(self) -> Series:
+        """CPython rule as three run-boundary conditions: at least one
+        letter, uppercase never follows a letter, lowercase never
+        starts a letter run."""
+        e = self._s._expr
+        return self._d(
+            e.rlike("[A-Za-z]")
+            & ~e.rlike("[A-Za-z][A-Z]")
+            & ~e.rlike("(?:^|[^A-Za-z])[a-z]"),
+            T.BooleanType(),
+        )
+
     def title(self) -> Series:
         """Python/pandas titlecase: every letter run starts upper —
         including after digits/punctuation, where ``initcap`` would

@@ -325,3 +325,52 @@ def test_any_all_prod_aggs(orders):
         .all()
     )
     assert (g["o_custkey"].sort_index() == w["o_custkey"].sort_index()).all()
+
+
+def test_str_accessor_batch2_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    vals = [
+        "Hello World", "  padded  ", "abc123", "123", "UPPER", "lower",
+        "Mixed Case Str", "no", "", "a-b-a-b", "Title Case", "xyzzy abc abc",
+    ]
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, s string")
+    edf = es.DataFrame(sdf, index_cols=("i",))
+    ps = pd.Series(vals)
+    s = edf["s"]
+
+    def col(series):
+        return edf.assign(x=series)[["x"]].to_pandas().sort_index()["x"].tolist()
+
+    def norm(xs):
+        return [
+            None if (x is None or (isinstance(x, float) and np.isnan(x)))
+            else (list(x) if isinstance(x, (list, np.ndarray)) else x)
+            for x in xs
+        ]
+
+    checks = [
+        (col(s.str.findall("ab")), ps.str.findall("ab").map(list).tolist()),
+        (col(s.str.capitalize()), ps.str.capitalize().tolist()),
+        (col(s.str.swapcase()), ps.str.swapcase().tolist()),
+        (col(s.str.removeprefix("ab")), ps.str.removeprefix("ab").tolist()),
+        (col(s.str.removesuffix("ab")), ps.str.removesuffix("ab").tolist()),
+        (col(s.str.lstrip()), ps.str.lstrip().tolist()),
+        (col(s.str.rstrip("b")), ps.str.rstrip("b").tolist()),
+        (col(s.str.match("[A-Z]")), ps.str.match("[A-Z]").tolist()),
+        (col(s.str.fullmatch("[a-z]+")), ps.str.fullmatch("[a-z]+").map(bool).tolist()),
+        (col(s.str.find("ab")), ps.str.find("ab").tolist()),
+        (col(s.str.rfind("ab")), ps.str.rfind("ab").tolist()),
+        (col(s.str.get(1)), ps.str.get(1).tolist()),
+        (col(s.str.get(-1)), ps.str.get(-1).tolist()),
+        (col(s.str.isalpha()), ps.str.isalpha().tolist()),
+        (col(s.str.isdigit()), ps.str.isdigit().tolist()),
+        (col(s.str.isalnum()), ps.str.isalnum().tolist()),
+        (col(s.str.isspace()), ps.str.isspace().tolist()),
+        (col(s.str.islower()), ps.str.islower().tolist()),
+        (col(s.str.isupper()), ps.str.isupper().tolist()),
+        (col(s.str.istitle()), ps.str.istitle().tolist()),
+    ]
+    for i, (got, want) in enumerate(checks):
+        assert norm(got) == norm(want), (i, got, want)
