@@ -3162,6 +3162,40 @@ def q_str_methods(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_frame_order_ops(spark, sf_dir) -> DataFrame:
+    """Frame-wide global-order ops through the library surface:
+    DataFrame.diff + cumsum over the index order. Scale shape: diff =
+    one rank pass + one position self-join carrying every column;
+    cumsum = the windowless bucket plan, all columns in one exchange.
+    DuckDB twin: lag + running-sum windows."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    num = o[["o_totalprice", "o_custkey"]]
+    d = num.diff().to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 2).alias("d_price")
+    )
+    c = num.cumsum().to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("cum_price"),
+        F.col("o_custkey").cast("long").alias("cum_cust"),
+    )
+    return d.join(c, "o_orderkey")
+
+
+def q_frame_ffill(spark, sf_dir) -> DataFrame:
+    """DataFrame.ffill over the GLOBAL index order — last-non-null as a
+    running semigroup through the bucket plan (one balanced exchange,
+    driver prefix-carry); no single-partition window. DuckDB twin:
+    last_value IGNORE NULLS over the global order."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    withgap = o.assign(
+        gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 300000)
+    )
+    out = withgap[["gap"]].ffill()
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("gap"), 2).alias("gap_filled")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3183,6 +3217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "url_curation": q_url_curation,
         "str_methods": q_str_methods,
+        "frame_order_ops": q_frame_order_ops,
+        "frame_ffill": q_frame_ffill,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4269,6 +4305,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "frame_order_ops": """
+            SELECT o_orderkey,
+                   round(o_totalprice - lag(o_totalprice)
+                         OVER (ORDER BY o_orderkey), 2) AS d_price,
+                   round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS cum_price,
+                   sum(o_custkey) OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cust
+            FROM orders
+        """,
+        "frame_ffill": """
+            SELECT o_orderkey,
+                   round(last_value(CASE WHEN o_totalprice > 300000
+                                         THEN o_totalprice END IGNORE NULLS)
+                         OVER (ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         2) AS gap_filled
+            FROM orders
+        """,
         "str_methods": """
             SELECT doc_id,
                    upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS cap,

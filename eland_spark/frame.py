@@ -801,6 +801,121 @@ class DataFrame:
         )
         return DataFrame(sdf, index_cols=tuple(c for c in self._schema.index_cols if c in ids))
 
+    # ------------------------------------------------------------------
+    # frame-wide global-order ops (pandas surface; windowless plans)
+    # ------------------------------------------------------------------
+    def _order_base(self, numeric_only: bool):
+        """(sdf with index + target cols aliased to display names,
+        index names, value names) for the frame-wide order ops."""
+        icols = list(self.index_cols)
+        if not icols:
+            raise ValueError("frame order ops need an index for a total order")
+        schema = self._schema
+        if numeric_only:
+            vals = [
+                f.display_name
+                for f in schema.fields
+                if f.is_numeric and f.display_name not in icols
+            ]
+        else:
+            vals = [
+                f.display_name for f in schema.fields if f.display_name not in icols
+            ]
+        if not vals:
+            raise ValueError("no applicable columns")
+        sel = [F.col(schema.resolve_any(c)).alias(c) for c in icols] + [
+            F.col(schema.resolve(c)).alias(c) for c in vals
+        ]
+        return self._sdf.select(*sel), icols, vals
+
+    def shift(self, periods: int = 1) -> "DataFrame":
+        """pandas ``DataFrame.shift`` over the global index order: ONE
+        rank pass + ONE position self-join carries every column
+        (operators/ranking.with_global_shift_multi) — balanced hash
+        shuffle on the dense position key, no single-partition
+        window."""
+        from .operators.ranking import with_global_shift_multi
+
+        base, icols, vals = self._order_base(numeric_only=False)
+        out = with_global_shift_multi(base, icols, vals, periods)
+        sel = [F.col(c) for c in icols] + [
+            F.col(f"{c}__prev__").alias(c) for c in vals
+        ]
+        return DataFrame(out.select(*sel), index_cols=tuple(icols))
+
+    def diff(self, periods: int = 1) -> "DataFrame":
+        """pandas ``DataFrame.diff`` (numeric columns) — same
+        one-join multi-column plan as :meth:`shift`."""
+        from .operators.ranking import with_global_shift_multi
+
+        base, icols, vals = self._order_base(numeric_only=True)
+        out = with_global_shift_multi(base, icols, vals, periods)
+        sel = [F.col(c) for c in icols] + [
+            (F.col(c) - F.col(f"{c}__prev__")).alias(c) for c in vals
+        ]
+        return DataFrame(out.select(*sel), index_cols=tuple(icols))
+
+    def pct_change(self, periods: int = 1) -> "DataFrame":
+        """pandas ``DataFrame.pct_change`` (numeric columns) — IEEE
+        division (prev 0 -> ±inf, not an ANSI error)."""
+        from .operators.ranking import with_global_shift_multi
+        from .series import Series
+
+        base, icols, vals = self._order_base(numeric_only=True)
+        out = with_global_shift_multi(base, icols, vals, periods)
+        sel = [F.col(c) for c in icols] + [
+            (Series._ieee_div(F.col(c), F.col(f"{c}__prev__")) - 1).alias(c)
+            for c in vals
+        ]
+        return DataFrame(out.select(*sel), index_cols=tuple(icols))
+
+    def _frame_cumagg(self, agg: str) -> "DataFrame":
+        from .operators.ranking import with_global_cumagg_multi
+
+        base, icols, vals = self._order_base(numeric_only=True)
+        pairs = [(c, agg, f"__o_{c}__") for c in vals]
+        out = with_global_cumagg_multi(base, icols, pairs)
+        sel = [F.col(c) for c in icols] + [
+            F.col(f"__o_{c}__").alias(c) for c in vals
+        ]
+        return DataFrame(out.select(*sel), index_cols=tuple(icols))
+
+    def cumsum(self) -> "DataFrame":
+        """pandas ``DataFrame.cumsum`` (numeric columns, skipna):
+        every column through ONE windowless bucket plan — one balanced
+        exchange + a driver prefix-combine of per-bucket totals
+        (operators/ranking.with_global_cumagg_multi)."""
+        return self._frame_cumagg("sum")
+
+    def cummax(self) -> "DataFrame":
+        """pandas ``DataFrame.cummax`` — same multi-column bucket plan."""
+        return self._frame_cumagg("max")
+
+    def cummin(self) -> "DataFrame":
+        """pandas ``DataFrame.cummin`` — same multi-column bucket plan."""
+        return self._frame_cumagg("min")
+
+    def ffill(self) -> "DataFrame":
+        """pandas ``DataFrame.ffill`` over the global index order:
+        last-non-null is a running semigroup, so the cumulative bucket
+        plan applies — one balanced exchange fills EVERY column
+        (operators/ranking.with_global_fill); no single-partition
+        window."""
+        return self._frame_fill(forward=True)
+
+    def bfill(self) -> "DataFrame":
+        """pandas ``DataFrame.bfill`` — the reversed-order twin."""
+        return self._frame_fill(forward=False)
+
+    def _frame_fill(self, forward: bool) -> "DataFrame":
+        from .operators.ranking import with_global_fill
+
+        base, icols, vals = self._order_base(numeric_only=False)
+        out = with_global_fill(base, icols, vals, forward=forward)
+        return DataFrame(
+            out.select(*icols, *vals), index_cols=tuple(icols)
+        )
+
     def nlargest(self, n: int, columns) -> "DataFrame":
         """Top-n rows by column value(s) (pandas surface; no reference
         analog). Compiles to TakeOrdered — per-partition top-n then a

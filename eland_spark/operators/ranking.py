@@ -366,3 +366,162 @@ def with_global_cumsum(
     return with_global_cumagg(
         sdf, order_by, value_col, "sum", out_col, partitions
     )
+
+
+def with_global_shift_multi(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_cols: list[str],
+    periods: int = 1,
+    suffix: str = "__prev__",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column :func:`with_global_shift`: ONE rank pass and ONE
+    position self-join carry every value column (frame-level
+    shift/diff/pct_change pay the shuffle once, not per column).
+    Shifted twins land in ``<col><suffix>``."""
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=partitions
+    )
+    src = ranked.select(
+        (F.col("__g__") + F.lit(periods)).alias("__g__"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return ranked.join(src, "__g__", "left").drop("__g__")
+
+
+def _bucket_prefix_plan(sdf, order_by, partitions):
+    """(ranked frame, bucket expr, within-bucket running window) shared
+    by the multi-column cumulative ops."""
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=n_parts
+    )
+    n = ranked.count()
+    bucket_size = max(1, math.ceil(n / n_parts))
+    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
+    return ranked, bucket
+
+
+def with_global_cumagg_multi(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    pairs: list[tuple[str, str, str]],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running sum/max/min over the GLOBAL order for MANY columns at
+    once — the bucket plan of :func:`with_global_cumagg` (one balanced
+    exchange, driver prefix-combine of per-bucket totals) paid a single
+    time; ``pairs`` is ``[(value_col, agg, out_col), ...]``. Null
+    values stay null, the run continues (pandas skipna)."""
+    fns = {"sum": F.sum, "max": F.max, "min": F.min}
+    for _, a, _o in pairs:
+        if a not in fns:
+            raise ValueError("agg must be sum/max/min")
+    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"))
+        .agg(
+            *[
+                fns[a](F.col(c)).alias(f"__t_{i}__")
+                for i, (c, a, _o) in enumerate(pairs)
+            ]
+        )
+        .orderBy("__b__")
+        .collect()
+    )
+    out = ranked
+    for i, (c, a, name) in enumerate(pairs):
+        within = fns[a](F.col(c)).over(w)
+        offsets: dict[int, object] = {}
+        acc: object = 0 if a == "sum" else None
+        for r in totals:
+            if acc is not None:
+                offsets[r["__b__"]] = acc
+            t = r[f"__t_{i}__"]
+            if t is None:
+                continue
+            if a == "sum":
+                acc = acc + t
+            elif acc is None:
+                acc = t
+            else:
+                acc = max(acc, t) if a == "max" else min(acc, t)
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )
+            if a == "sum":
+                run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
+                    within, F.lit(0)
+                )
+            elif a == "max":
+                run = F.greatest(off_map[bucket], within)
+            else:
+                run = F.least(off_map[bucket], within)
+        else:
+            run = within
+        out = out.withColumn(name, F.when(F.col(c).isNotNull(), run))
+    return out.drop("__g__")
+
+
+def with_global_fill(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_cols: list[str],
+    forward: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global-order ffill/bfill without a single-partition window: the
+    last (first) non-null is a running semigroup, so the same bucket
+    plan applies — within-bucket last(ignorenulls) over the running
+    frame, per-bucket last-non-null totals prefix-carried on the
+    driver, combined with coalesce. Fills every column in
+    ``value_cols`` in ONE exchange; overwrites them in place."""
+    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    order = F.col("__g__").asc() if forward else F.col("__g__").desc()
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"))
+        .agg(
+            *[
+                (F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__g__")))
+                 if forward
+                 else F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__g__"))))
+                .alias(f"__t_{i}__")
+                for i, c in enumerate(value_cols)
+            ]
+        )
+        .orderBy("__b__", ascending=forward)
+        .collect()
+    )
+    out = ranked
+    for i, c in enumerate(value_cols):
+        within = F.last(F.col(c), ignorenulls=True).over(w)
+        carries: dict[int, object] = {}
+        acc: object = None
+        for r in totals:
+            if acc is not None:
+                carries[r["__b__"]] = acc
+            t = r[f"__t_{i}__"]
+            if t is not None:
+                acc = t
+        if carries:
+            carry_map = F.create_map(
+                *[F.lit(v) for kv in carries.items() for v in kv]
+            )
+            run = F.coalesce(within, carry_map[bucket])
+        else:
+            run = within
+        out = out.withColumn(c, run)
+    return out.drop("__g__")

@@ -1076,6 +1076,46 @@ class Series:
         window. ``min_periods`` defaults to ``window`` like pandas."""
         return _Rolling(self, window, min_periods)
 
+    @property
+    def is_unique(self) -> bool:
+        """True when no value occurs twice (nulls count as equal, like
+        pandas) — one distinct-vs-count aggregate pair."""
+        row = self._frame._sdf.agg(
+            F.count_distinct(self._expr).alias("d"),
+            F.count(self._expr).alias("n"),
+            F.sum(self._expr.isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        return bool(
+            row["d"] == row["n"] and (row["nulls"] or 0) <= 1
+        )
+
+    def _is_monotonic(self, increasing: bool) -> bool:
+        """Global-order monotonicity via the windowless shift plan: one
+        balanced position join, then a single bool_and aggregate."""
+        from .operators.ranking import with_global_shift
+
+        base, icols = self._ordered_frame()
+        out = with_global_shift(base, icols, "__val__", 1, out_col="__prev__")
+        cur, prev = F.col("__val__"), F.col("__prev__")
+        ok = (cur >= prev) if increasing else (cur <= prev)
+        row = out.agg(
+            F.coalesce(
+                F.bool_and(F.when(prev.isNotNull() & cur.isNotNull(), ok)),
+                F.lit(True),
+            ).alias("m"),
+            F.sum(cur.isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        # pandas: any NaN makes the series non-monotonic
+        return bool(row["m"] and not (row["nulls"] or 0))
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._is_monotonic(True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._is_monotonic(False)
+
     def ewm(
         self,
         alpha: float | None = None,

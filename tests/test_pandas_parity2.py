@@ -327,3 +327,64 @@ def test_ewm_param_resolution_and_errors(spark):
         resolve_ewm_alpha()
     # alpha=1 degenerates to identity: kernel width 0
     assert ewm_kernel_width(1.0) == 0
+
+
+# ------------------------------------------ frame-wide global-order ops
+
+
+def test_frame_order_ops_match_pandas(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    num = edf[["o_custkey", "o_totalprice"]]
+    pnum = pdf[["o_custkey", "o_totalprice"]]
+    for m in ("shift", "diff", "pct_change", "cumsum", "cummax", "cummin"):
+        g = getattr(num, m)().to_pandas().sort_index()
+        w = getattr(pnum, m)().sort_index()
+        for c in ("o_custkey", "o_totalprice"):
+            assert np.allclose(
+                g[c].astype(float).to_numpy(),
+                w[c].astype(float).to_numpy(),
+                equal_nan=True,
+            ), (m, c)
+
+
+def test_frame_fill_matches_pandas(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    d2 = edf.assign(gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 2e5))[
+        ["gap", "o_custkey"]
+    ]
+    p2 = pdf.assign(gap=pdf["o_totalprice"].where(pdf["o_totalprice"] > 2e5))[
+        ["gap", "o_custkey"]
+    ]
+    for m in ("ffill", "bfill"):
+        g = getattr(d2, m)().to_pandas().sort_index()
+        w = getattr(p2, m)().sort_index()
+        assert np.allclose(
+            g["gap"].to_numpy(), w["gap"].to_numpy(), equal_nan=True
+        ), m
+
+
+def test_series_uniqueness_monotonic_props(spark, orders_pd):
+    from pyspark.sql import functions as F
+
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    assert edf["o_custkey"].is_unique == pdf["o_custkey"].is_unique
+    assert (
+        edf["o_custkey"].is_monotonic_increasing
+        == pdf["o_custkey"].is_monotonic_increasing
+    )
+    mono = es.DataFrame(
+        spark.range(10).select(F.col("id").alias("i"), (F.col("id") * 2).alias("v")),
+        index_cols=("i",),
+    )
+    assert mono["v"].is_monotonic_increasing is True
+    assert mono["v"].is_monotonic_decreasing is False
+    assert mono["v"].is_unique is True
