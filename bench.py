@@ -67,6 +67,11 @@ HEADLINE = [
     "ppl_buckets",
     "cap_per_domain",
     "token_budget_sample",
+    "skew_kurt",
+    "groupby_ewm",
+    "semantic_dedup",
+    "url_curation",
+    "frame_order_ops",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -85,6 +90,8 @@ ROW_HEAVY = {
     "text_repetition",
     "fingerprint",
     "window_running_sum",
+    "groupby_ewm",
+    "frame_order_ops",
 }
 
 
