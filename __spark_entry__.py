@@ -3196,6 +3196,70 @@ def q_frame_ffill(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark, sf_dir) -> DataFrame:
+    """Temperature-based mixture sampling (UniMax-style corpus
+    rebalancing): per-source keep-rates from n_i^alpha proportions,
+    applied with the engine-agnostic md5 threshold — counts -> rates ->
+    filter all replayed in SQL. One count agg + a zero-shuffle
+    filter."""
+    from eland_spark.operators.sampling import sample_by_temperature
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    out = sample_by_temperature(
+        docs.to_spark(), "source", "doc_id", target_rows=600, alpha=0.5
+    )
+    return out.select("doc_id", "source")
+
+
+def q_frame_compare(spark, sf_dir) -> DataFrame:
+    """DataFrame.compare through the library: one index-equi-join,
+    null-safe cell equality, differing rows with self/other pairs."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    a = o[["o_totalprice", "o_orderstatus"]]
+    b = o.assign(
+        o_totalprice=lambda d: d["o_totalprice"].where(
+            d["o_totalprice"] < 400000, d["o_totalprice"] * 2
+        )
+    )[["o_totalprice", "o_orderstatus"]]
+    out = a.compare(b)
+    return out.to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice_self"), 2).alias("price_self"),
+        F.round(F.col("o_totalprice_other"), 2).alias("price_other"),
+    )
+
+
+def q_combine_first(spark, sf_dir) -> DataFrame:
+    """DataFrame.combine_first: one full-outer index join + per-column
+    coalesce (pandas null-patching)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    holes = o.assign(
+        gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 200000)
+    )[["gap"]]
+    fallback = o.assign(gap=lambda d: d["o_totalprice"] * 0)[["gap"]]
+    out = holes.combine_first(fallback)
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("gap"), 2).alias("gap_patched")
+    )
+
+
+def q_groupby_describe(spark, sf_dir) -> DataFrame:
+    """groupby().describe(): the 8-stat matrix in ONE aggregate pass
+    (library surface; the small per-group result re-enters a DataFrame
+    for the driver contract)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    pdf = o[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").describe()
+    rows = [
+        (str(k),) + tuple(round(float(x), 4) for x in r)
+        for k, r in zip(pdf.index, pdf.to_numpy())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n double, mean double, std double, min double, "
+        "p25 double, p50 double, p75 double, max double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3219,6 +3283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_methods": q_str_methods,
         "frame_order_ops": q_frame_order_ops,
         "frame_ffill": q_frame_ffill,
+        "temperature_mixture": q_temperature_mixture,
+        "frame_compare": q_frame_compare,
+        "combine_first": q_combine_first,
+        "groupby_describe": q_groupby_describe,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4305,6 +4373,54 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "temperature_mixture": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), w AS (
+                SELECT source, n,
+                       power(n, 0.5) / sum(power(n, 0.5)) OVER () AS p
+                FROM c
+            ), r AS (
+                SELECT source, least(1.0, 600 * p / n) AS rate FROM w
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '42'), 1, 15))
+                       AS BIGINT)
+                  < r.rate * 1152921504606846976.0
+        """,
+        "frame_compare": """
+            WITH b AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_totalprice < 400000 THEN o_totalprice
+                            ELSE o_totalprice * 2 END AS price_b
+                FROM orders
+            )
+            SELECT a.o_orderkey,
+                   round(a.o_totalprice, 2) AS price_self,
+                   round(b.price_b, 2) AS price_other
+            FROM orders a JOIN b USING (o_orderkey)
+            WHERE a.o_totalprice IS DISTINCT FROM b.price_b
+        """,
+        "combine_first": """
+            SELECT o_orderkey,
+                   round(coalesce(
+                       CASE WHEN o_totalprice > 200000 THEN o_totalprice END,
+                       o_totalprice * 0), 2) AS gap_patched
+            FROM orders
+        """,
+        "groupby_describe": """
+            SELECT o_orderstatus,
+                   round(count(o_totalprice)::DOUBLE, 4) AS n,
+                   round(avg(o_totalprice), 4) AS mean,
+                   round(stddev_samp(o_totalprice), 4) AS std,
+                   round(min(o_totalprice), 4) AS min,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                   round(max(o_totalprice), 4) AS max
+            FROM orders GROUP BY o_orderstatus
+        """,
         "frame_order_ops": """
             SELECT o_orderkey,
                    round(o_totalprice - lag(o_totalprice)

@@ -801,6 +801,73 @@ class DataFrame:
         )
         return DataFrame(sdf, index_cols=tuple(c for c in self._schema.index_cols if c in ids))
 
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """pandas ``DataFrame.compare``: rows where any shared column
+        differs, emitting ``<col>_self`` / ``<col>_other`` pairs (flat
+        columns instead of pandas' MultiIndex — Spark has no column
+        MultiIndex). One index-equi-join; null==null counts as equal
+        (pandas semantics via null-safe equality)."""
+        icols = list(self.index_cols)
+        if not icols or tuple(icols) != tuple(other.index_cols):
+            raise ValueError("compare needs both frames indexed identically")
+        shared = [
+            c for c in self._schema.display_names
+            if c in other._schema and c not in icols
+        ]
+        if not shared:
+            raise ValueError("no shared columns to compare")
+        lsel = [F.col(self._schema.resolve_any(c)).alias(c) for c in icols] + [
+            F.col(self._schema.resolve(c)).alias(f"{c}_self") for c in shared
+        ]
+        rsel = [F.col(other._schema.resolve_any(c)).alias(c) for c in icols] + [
+            F.col(other._schema.resolve(c)).alias(f"{c}_other") for c in shared
+        ]
+        j = self._sdf.select(*lsel).join(other._sdf.select(*rsel), on=icols)
+        any_diff = None
+        for c in shared:
+            d = ~F.col(f"{c}_self").eqNullSafe(F.col(f"{c}_other"))
+            any_diff = d if any_diff is None else (any_diff | d)
+        out_cols = [F.col(c) for c in icols]
+        for c in shared:
+            eq = F.col(f"{c}_self").eqNullSafe(F.col(f"{c}_other"))
+            # pandas masks equal cells with NaN in both columns
+            out_cols.append(F.when(~eq, F.col(f"{c}_self")).alias(f"{c}_self"))
+            out_cols.append(F.when(~eq, F.col(f"{c}_other")).alias(f"{c}_other"))
+        return DataFrame(
+            j.filter(any_diff).select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """pandas ``DataFrame.combine_first``: patch nulls (and missing
+        rows) in ``self`` with ``other`` — ONE full-outer index join +
+        per-column coalesce; the union of rows and columns like
+        pandas."""
+        icols = list(self.index_cols)
+        if not icols or tuple(icols) != tuple(other.index_cols):
+            raise ValueError("combine_first needs both frames indexed identically")
+        mine = [c for c in self._schema.display_names if c not in icols]
+        theirs = [c for c in other._schema.display_names if c not in icols]
+        all_cols = list(dict.fromkeys(mine + theirs))
+        lsel = [F.col(self._schema.resolve_any(c)).alias(c) for c in icols] + [
+            F.col(self._schema.resolve(c)).alias(f"__l_{c}") for c in mine
+        ]
+        rsel = [F.col(other._schema.resolve_any(c)).alias(c) for c in icols] + [
+            F.col(other._schema.resolve(c)).alias(f"__r_{c}") for c in theirs
+        ]
+        j = self._sdf.select(*lsel).join(
+            other._sdf.select(*rsel), on=icols, how="full_outer"
+        )
+        out_cols = [F.col(c) for c in icols]
+        for c in all_cols:
+            if c in mine and c in theirs:
+                e = F.coalesce(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
+            elif c in mine:
+                e = F.col(f"__l_{c}")
+            else:
+                e = F.col(f"__r_{c}")
+            out_cols.append(e.alias(c))
+        return DataFrame(j.select(*out_cols), index_cols=tuple(icols))
+
     # ------------------------------------------------------------------
     # frame-wide global-order ops (pandas surface; windowless plans)
     # ------------------------------------------------------------------

@@ -207,6 +207,39 @@ class DataFrameGroupBy:
         """Per-group truthiness AND (bool_and over ``col != 0``)."""
         return self._run(["all"], numeric_only)
 
+    def describe(self, numeric_only=True) -> pd.DataFrame:
+        """pandas ``groupby().describe()``: the 8-stat summary per
+        group, still ONE groupBy job (the full stat x column matrix in
+        a single aggregate pass; quantiles exact like frame
+        describe)."""
+        schema = self._frame._schema
+        fields = self._agg_fields(numeric_only, "describe")
+        fields = [f for f in fields if f.is_numeric]
+        if not fields:
+            raise ValueError("no numeric columns to describe")
+        exprs = []
+        for f in fields:
+            c = F.col(f.column_name)
+            ps = F.percentile(
+                c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            )
+            exprs += [
+                F.count(c).cast("double").alias(f"{f.display_name}__count"),
+                F.avg(c).alias(f"{f.display_name}__mean"),
+                F.stddev_samp(c).alias(f"{f.display_name}__std"),
+                F.min(c).cast("double").alias(f"{f.display_name}__min"),
+                F.element_at(ps, 1).alias(f"{f.display_name}__25%"),
+                F.element_at(ps, 2).alias(f"{f.display_name}__50%"),
+                F.element_at(ps, 3).alias(f"{f.display_name}__75%"),
+                F.max(c).cast("double").alias(f"{f.display_name}__max"),
+            ]
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        pdf.columns = pd.MultiIndex.from_tuples(
+            [tuple(c.split("__", 1)) for c in pdf.columns]
+        )
+        return pdf
+
     def nunique(self):
         return self._run(["nunique"], None)
 

@@ -286,3 +286,55 @@ def sample_to_token_budget(
         .filter(F.col(tmp) <= float(budget))
         .drop(tmp)
     )
+
+
+def temperature_weights(
+    sizes: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-scaled mixture proportions from corpus sizes:
+    ``p_i = n_i^alpha / sum_j n_j^alpha`` (alpha=1 reproduces natural
+    proportions, alpha->0 approaches uniform — the standard
+    multilingual/multi-corpus rebalancing rule)."""
+    if not sizes:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    powed = {k: float(n) ** alpha for k, n in sizes.items() if n > 0}
+    z = sum(powed.values())
+    return {k: v / z for k, v in powed.items()}
+
+
+def sample_by_temperature(
+    sdf: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based mixture sampling over ONE frame with a source
+    column: per-source keep-rates are derived from the temperature
+    proportions (``rate_i = min(1, target * p_i / n_i)``) and applied
+    with the deterministic md5 threshold — the SAME engine-agnostic
+    key as :func:`sample_exact_n`, so the whole op (counts -> rates ->
+    keep) replays in plain SQL.
+
+    Scale shape: one count aggregation (k rows to the driver), then a
+    zero-shuffle filter; no per-source scans, no union."""
+    counts = {
+        r["s"]: r["n"]
+        for r in sdf.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    props = temperature_weights(counts, alpha)
+    rates = {
+        k: min(1.0, target_rows * p / counts[k]) for k, p in props.items()
+    }
+    if not rates:
+        return sdf.filter(F.lit(False))
+    rate_map = F.create_map(*[F.lit(v) for kv in rates.items() for v in kv])
+    # md5 key is uniform on [0, 16^15); compare against rate * 16^15
+    key = _md5_rank_key(F.col(id_col), seed).cast("double")
+    bound = rate_map[F.col(source_col)] * F.lit(float(16 ** 15))
+    return sdf.filter(key < bound)

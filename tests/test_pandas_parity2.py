@@ -388,3 +388,77 @@ def test_series_uniqueness_monotonic_props(spark, orders_pd):
     assert mono["v"].is_monotonic_increasing is True
     assert mono["v"].is_monotonic_decreasing is False
     assert mono["v"].is_unique is True
+
+
+def test_frame_compare_combine_first(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    a = edf[["o_totalprice", "o_orderstatus"]]
+    b = edf.assign(
+        o_totalprice=lambda d: d["o_totalprice"].where(
+            d["o_totalprice"] < 4e5, d["o_totalprice"] * 2
+        )
+    )[["o_totalprice", "o_orderstatus"]]
+    g = a.compare(b).to_pandas().sort_index()
+    pa = pdf[["o_totalprice", "o_orderstatus"]]
+    pb = pdf.assign(
+        o_totalprice=pdf["o_totalprice"].where(
+            pdf["o_totalprice"] < 4e5, pdf["o_totalprice"] * 2
+        )
+    )[["o_totalprice", "o_orderstatus"]]
+    w = pa.compare(pb)
+    assert len(g) == len(w)
+    assert np.allclose(
+        g["o_totalprice_self"].to_numpy(),
+        w[("o_totalprice", "self")].to_numpy(),
+        equal_nan=True,
+    )
+    # equal columns are all-null in the diff rows (pandas masking)
+    assert g["o_orderstatus_self"].isna().all()
+
+    holes = edf.assign(gap=lambda d: d["o_totalprice"].where(d["o_totalprice"] > 2e5))[
+        ["gap"]
+    ]
+    fallback = edf.assign(gap=lambda d: d["o_totalprice"] * 0)[["gap"]]
+    g2 = holes.combine_first(fallback).to_pandas().sort_index()
+    pholes = pdf.assign(gap=pdf["o_totalprice"].where(pdf["o_totalprice"] > 2e5))[
+        ["gap"]
+    ]
+    pfb = pdf.assign(gap=pdf["o_totalprice"] * 0)[["gap"]]
+    w2 = pholes.combine_first(pfb).sort_index()
+    assert np.allclose(g2["gap"].to_numpy(), w2["gap"].to_numpy(), equal_nan=True)
+
+
+def test_groupby_describe_matches_pandas(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    g = edf[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").describe()
+    w = pdf[["o_orderstatus", "o_totalprice"]].groupby("o_orderstatus").describe()
+    assert list(g.columns) == list(w.columns)
+    assert np.allclose(g.to_numpy(), w.to_numpy())
+
+
+def test_temperature_sampling_semantics(spark):
+    from eland_spark.operators.sampling import (
+        sample_by_temperature, temperature_weights,
+    )
+
+    # alpha=1 reproduces natural proportions; alpha=0 is uniform
+    w1 = temperature_weights({"a": 100, "b": 900}, alpha=1.0)
+    assert w1["b"] == pytest.approx(0.9)
+    w0 = temperature_weights({"a": 100, "b": 900}, alpha=0.0)
+    assert w0["a"] == pytest.approx(0.5)
+    # deterministic filter; capped rates never oversample a source
+    sdf = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out1 = sample_by_temperature(sdf, "source", "doc_id", 200, alpha=0.5)
+    out2 = sample_by_temperature(sdf, "source", "doc_id", 200, alpha=0.5)
+    assert out1.count() == out2.count()
+    small_kept = out1.filter("source = 'small'").count()
+    assert small_kept <= 100
