@@ -3260,6 +3260,29 @@ def q_groupby_describe(spark, sf_dir) -> DataFrame:
     )
 
 
+_QC_WEIGHTS = {
+    "spark": 0.9, "query": 0.7, "window": 0.5, "join": 0.4, "merge": 0.3,
+    "slow": -0.8, "dup": -1.0, "batch": -0.2,
+}
+
+
+def q_quality_classifier(spark, sf_dir) -> DataFrame:
+    """fastText-style linear quality classifier gate (CCNet-style
+    pretraining-data filter): mean of per-token weights through a
+    sigmoid, vocabulary broadcast as a map literal — zero Python, zero
+    shuffle; the gate is a scan predicate. DuckDB replays the identical
+    model as an unnest + weight-table join."""
+    from eland_spark.operators.text import classifier_quality_gate
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    out = classifier_quality_gate(
+        docs.to_spark(), F.col("text"), _QC_WEIGHTS, bias=-0.1, threshold=0.5
+    )
+    return out.select(
+        "doc_id", F.round(F.col("quality_prob"), 6).alias("quality_prob")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3287,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_compare": q_frame_compare,
         "combine_first": q_combine_first,
         "groupby_describe": q_groupby_describe,
+        "quality_classifier": q_quality_classifier,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4373,6 +4397,32 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "quality_classifier": """
+            WITH w(tok, wt) AS (VALUES
+                ('spark', 0.9), ('query', 0.7), ('window', 0.5), ('join', 0.4),
+                ('merge', 0.3), ('slow', -0.8), ('dup', -1.0), ('batch', -0.2)
+            ), t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), u AS (
+                SELECT doc_id, unnest(toks) AS tok FROM t
+            ), m AS (
+                SELECT u.doc_id, sum(coalesce(w.wt, 0.0)) AS total
+                FROM u LEFT JOIN w ON u.tok = w.tok
+                GROUP BY u.doc_id
+            ), s AS (
+                SELECT t.doc_id,
+                       1.0 / (1.0 + exp(-(
+                           (CASE WHEN len(t.toks) > 0
+                                 THEN coalesce(m.total, 0.0) / len(t.toks)
+                                 ELSE 0.0 END) - 0.1))) AS p
+                FROM t LEFT JOIN m USING (doc_id)
+            )
+            SELECT doc_id, round(p, 6) AS quality_prob
+            FROM s WHERE p >= 0.5
+        """,
         "temperature_mixture": """
             WITH c AS (
                 SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -502,3 +502,59 @@ def perplexity_buckets(
         bucket.alias("bucket"),
         tier.alias("tier"),
     )
+
+
+def linear_classifier_score(
+    text: Column,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    normalize: bool = True,
+) -> Column:
+    """fastText-style linear text classifier score, all JVM-side: mean
+    of per-token weights (OOV tokens weigh 0) plus a bias, through a
+    sigmoid. ``weights`` is the trained vocabulary->weight table,
+    broadcast as a map literal (fastText averages bag-of-words vectors
+    through a linear layer — with a 1-d output this IS that model).
+
+    The standard pretraining-data quality gate (CCNet/fastText-style
+    classifiers): train offline, score at corpus scale with zero
+    Python, zero shuffle. ``normalize=False`` sums instead of
+    averaging."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    wmap = F.create_map(
+        *[F.lit(v) for kv in sorted(weights.items()) for v in kv]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0)),
+    )
+    n = F.size(toks)
+    raw = (
+        F.when(n > 0, total / n).otherwise(F.lit(0.0))
+        if normalize
+        else total
+    )
+    z = raw + F.lit(float(bias))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_quality_gate(
+    sdf,
+    text: Column,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    score_col: str = "quality_prob",
+):
+    """Filter a corpus by classifier probability >= threshold, keeping
+    the score column for tiering. Zero shuffle — the gate is a scan
+    predicate; at 100 TB this is the cheapest possible quality pass."""
+    scored = sdf.withColumn(
+        score_col, linear_classifier_score(text, weights, bias)
+    )
+    return scored.filter(F.col(score_col) >= threshold)

@@ -148,3 +148,41 @@ def test_ppl_buckets_excludes_empty_docs(spark):
         sdf, F.col("text"), F.col("doc_id"), F.col("lang"), n_buckets=2
     ).toPandas()
     assert set(out["id"]) == {1}
+
+
+def test_linear_classifier_score_semantics(spark):
+    from pyspark.sql import functions as F
+    from eland_spark.operators.text import (
+        classifier_quality_gate, linear_classifier_score,
+    )
+
+    sdf = spark.createDataFrame(
+        [
+            (0, "good good good"),
+            (1, "bad bad"),
+            (2, "good bad"),
+            (3, ""),
+            (4, "unknown words only"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {"good": 2.0, "bad": -2.0}
+    import math
+
+    rows = {
+        r["doc_id"]: r["p"]
+        for r in sdf.select(
+            "doc_id", linear_classifier_score(F.col("text"), w).alias("p")
+        ).collect()
+    }
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))
+    assert rows[0] == pytest.approx(sig(2.0))
+    assert rows[1] == pytest.approx(sig(-2.0))
+    assert rows[2] == pytest.approx(sig(0.0))
+    assert rows[3] == pytest.approx(sig(0.0))  # empty text -> bias only
+    assert rows[4] == pytest.approx(sig(0.0))  # OOV weighs 0
+    kept = classifier_quality_gate(sdf, F.col("text"), w, threshold=0.6)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0]
+    # zero shuffle: the gate is a scan predicate
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
