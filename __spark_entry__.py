@@ -3283,6 +3283,28 @@ def q_quality_classifier(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dt_components(spark, sf_dir) -> DataFrame:
+    """Datetime accessor batch 2 via the library (Series.dt.second/
+    quarter/dayofyear/week/days_in_month/is_month_end/strftime/floor)
+    — all JVM date functions, zero shuffle; DuckDB twins use its own
+    extract/strftime/date_trunc."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    s = ev["ts"]
+    out = ev.assign(
+        sec=s.dt.second,
+        qtr=s.dt.quarter,
+        doy=s.dt.dayofyear,
+        wk=s.dt.week,
+        dim=s.dt.days_in_month,
+        m_end=s.dt.is_month_end,
+        fmt=s.dt.strftime("%Y-%m-%d %H:%M"),
+        fl_d=s.dt.floor("D"),
+    )
+    return out[["sec", "qtr", "doy", "wk", "dim", "m_end", "fmt", "fl_d"]].to_spark().select(
+        "event_id", "sec", "qtr", "doy", "wk", "dim", "m_end", "fmt", "fl_d"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3311,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_first": q_combine_first,
         "groupby_describe": q_groupby_describe,
         "quality_classifier": q_quality_classifier,
+        "dt_components": q_dt_components,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4397,6 +4420,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "dt_components": """
+            SELECT event_id,
+                   CAST(extract(second FROM ts) AS BIGINT) AS sec,
+                   CAST(extract(quarter FROM ts) AS BIGINT) AS qtr,
+                   CAST(dayofyear(ts) AS BIGINT) AS doy,
+                   CAST(weekofyear(ts) AS BIGINT) AS wk,
+                   CAST(extract(day FROM last_day(ts)) AS BIGINT) AS dim,
+                   (CAST(ts AS DATE) = CAST(last_day(ts) AS DATE)) AS m_end,
+                   strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+                   date_trunc('day', ts) AS fl_d
+            FROM events
+        """,
         "quality_classifier": """
             WITH w(tok, wt) AS (VALUES
                 ('spark', 0.9), ('query', 0.7), ('window', 0.5), ('join', 0.4),

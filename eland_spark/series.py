@@ -1877,6 +1877,89 @@ class DtAccessor:
             F.to_date(self._s._expr), T.DateType()
         )
 
+    @property
+    def second(self) -> Series:
+        return self._d(F.second(self._s._expr))
+
+    @property
+    def quarter(self) -> Series:
+        return self._d(F.quarter(self._s._expr))
+
+    @property
+    def dayofyear(self) -> Series:
+        return self._d(F.dayofyear(self._s._expr))
+
+    @property
+    def week(self) -> Series:
+        """ISO week number (pandas ``isocalendar().week`` /
+        deprecated ``dt.week``)."""
+        return self._d(F.weekofyear(self._s._expr))
+
+    @property
+    def days_in_month(self) -> Series:
+        return self._d(F.dayofmonth(F.last_day(self._s._expr)))
+
+    daysinmonth = days_in_month
+
+    @property
+    def is_month_start(self) -> Series:
+        return self._s._derived(
+            F.dayofmonth(self._s._expr) == 1, T.BooleanType()
+        )
+
+    @property
+    def is_month_end(self) -> Series:
+        e = self._s._expr
+        return self._s._derived(
+            F.to_date(e) == F.last_day(e), T.BooleanType()
+        )
+
+    @property
+    def is_quarter_start(self) -> Series:
+        e = self._s._expr
+        return self._s._derived(
+            (F.dayofmonth(e) == 1) & (F.month(e) % 3 == 1), T.BooleanType()
+        )
+
+    @property
+    def is_year_start(self) -> Series:
+        e = self._s._expr
+        return self._s._derived(
+            (F.dayofmonth(e) == 1) & (F.month(e) == 1), T.BooleanType()
+        )
+
+    def strftime(self, fmt: str) -> Series:
+        """Format timestamps with a CPython strftime pattern — the
+        common directives are translated to Spark's JDK pattern
+        JVM-side (no Python per row)."""
+        jdk = (
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+            .replace("%j", "DDD").replace("%y", "yy")
+        )
+        if "%" in jdk:
+            raise ValueError(f"unsupported strftime directive in {fmt!r}")
+        return self._s._derived(
+            F.date_format(self._s._expr, jdk), T.StringType()
+        )
+
+    def floor(self, freq: str) -> Series:
+        """Truncate to a fixed frequency ('D', 'H'/'h', 'T'/'min',
+        'S') — epoch arithmetic, exact for fixed-width units."""
+        secs = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60,
+                "S": 1, "s": 1}
+        if freq not in secs:
+            raise ValueError(f"unsupported floor freq {freq!r}")
+        n = secs[freq]
+        e = self._s._expr
+        floored = (F.unix_seconds(e.cast("timestamp")) / n).cast("long") * n
+        return self._s._derived(
+            F.timestamp_seconds(floored).cast(
+                self._s._spark_type.simpleString()
+            ),
+            self._s._spark_type,
+        )
+
 
 def _re_escape(s: str) -> str:
     import re

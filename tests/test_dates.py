@@ -129,3 +129,46 @@ def test_strict_names_cover_lenient_names(spark):
 def test_week_date_time_carries_time_and_fraction(spark):
     got = _spark_parse(spark, "2014-W20-4T12:01:30.500", "week_date_time")
     assert got == pd.Timestamp("2014-05-15 12:01:30.500")
+
+
+def test_dt_accessor_batch2_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    ev = es.read_parquet(
+        spark, "/root/testdata/sf0.001/events.parquet", index_col="event_id"
+    )
+    pev = (
+        pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        .set_index("event_id")
+        .sort_index()
+    )
+    s, p = ev["ts"], pev["ts"]
+
+    def col(series):
+        return ev.assign(x=series)[["x"]].to_pandas().sort_index()["x"]
+
+    pairs = [
+        (col(s.dt.second), p.dt.second),
+        (col(s.dt.quarter), p.dt.quarter),
+        (col(s.dt.dayofyear), p.dt.dayofyear),
+        (col(s.dt.week), p.dt.isocalendar().week),
+        (col(s.dt.days_in_month), p.dt.days_in_month),
+        (col(s.dt.is_month_start), p.dt.is_month_start),
+        (col(s.dt.is_month_end), p.dt.is_month_end),
+        (col(s.dt.is_quarter_start), p.dt.is_quarter_start),
+        (col(s.dt.is_year_start), p.dt.is_year_start),
+        (col(s.dt.strftime("%Y-%m-%d %H:%M")), p.dt.strftime("%Y-%m-%d %H:%M")),
+        (col(s.dt.floor("D")), p.dt.floor("D")),
+        (col(s.dt.floor("min")), p.dt.floor("min")),
+    ]
+    for i, (got, want) in enumerate(pairs):
+        assert (got.to_numpy() == want.to_numpy()).all(), i
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported strftime"):
+        s.dt.strftime("%B")
+    with _pt.raises(ValueError, match="unsupported floor"):
+        s.dt.floor("W")
