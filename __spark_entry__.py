@@ -3305,6 +3305,38 @@ def q_dt_components(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_range_join(spark, sf_dir) -> DataFrame:
+    """Bucketized range (interval) join: points to overlapping price
+    bands WITHOUT a nested-loop/cartesian join — value axis quantized
+    by the max band span, intervals replicated into each overlapped
+    bucket (<= 2 here), equi-join on bucket id + BETWEEN post-filter
+    (operators/range_join.py; the Databricks RANGE_JOIN bin technique).
+    The oracle is the naive BETWEEN join — same semantics, quadratic
+    plan DuckDB can afford at sf0.01."""
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.operators.range_join import range_join
+
+    orders = _t(spark, sf_dir, "orders", "o_orderkey")
+    bands = EDF(
+        spark.range(20).select(
+            F.col("id").alias("tier"),
+            (F.col("id") * 25000.0).alias("lo"),
+            (F.col("id") * 25000.0 + 30000.0).alias("hi"),
+        ),
+        index_cols=("tier",),
+    )
+    joined = range_join(orders[["o_totalprice"]], bands, "o_totalprice", "lo", "hi")
+    return (
+        joined.to_spark()
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("tier")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3334,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_describe": q_groupby_describe,
         "quality_classifier": q_quality_classifier,
         "dt_components": q_dt_components,
+        "range_join": q_range_join,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4420,6 +4453,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "range_join": """
+            WITH bands AS (
+                SELECT i AS tier, i * 25000.0 AS lo, i * 25000.0 + 30000.0 AS hi
+                FROM range(20) t(i)
+            )
+            SELECT b.tier, count(*) AS n, round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o JOIN bands b
+              ON o.o_totalprice BETWEEN b.lo AND b.hi
+            GROUP BY b.tier ORDER BY b.tier
+        """,
         "dt_components": """
             SELECT event_id,
                    CAST(extract(second FROM ts) AS BIGINT) AS sec,
