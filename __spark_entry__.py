@@ -3337,6 +3337,29 @@ def q_range_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rowwise_arith(spark, sf_dir) -> DataFrame:
+    """axis=1 aggregates (row-local array folds, zero shuffle) +
+    frame-scalar arithmetic through the library surface."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    num = o[["o_custkey", "o_totalprice"]]
+    rows = num.assign(
+        row_sum=num.sum(axis=1),
+        row_mean=num.mean(axis=1),
+        row_max=num.max(axis=1),
+    )[["row_sum", "row_mean", "row_max"]].to_spark()
+    shifted = (num + 10).to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_custkey"), 2).alias("cust_p10"),
+        F.round(F.col("o_totalprice"), 2).alias("price_p10"),
+    )
+    return shifted.join(rows, "o_orderkey").select(
+        "o_orderkey", "cust_p10", "price_p10",
+        F.round(F.col("row_sum"), 2).alias("row_sum"),
+        F.round(F.col("row_mean"), 4).alias("row_mean"),
+        F.round(F.col("row_max"), 2).alias("row_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3367,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dt_components": q_dt_components,
         "range_join": q_range_join,
+        "rowwise_arith": q_rowwise_arith,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4453,6 +4477,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "rowwise_arith": """
+            SELECT o_orderkey,
+                   round(o_custkey + 10.0, 2) AS cust_p10,
+                   round(o_totalprice + 10.0, 2) AS price_p10,
+                   round(o_custkey + o_totalprice, 2) AS row_sum,
+                   round((o_custkey + o_totalprice) / 2.0, 4) AS row_mean,
+                   round(greatest(o_custkey::DOUBLE, o_totalprice), 2) AS row_max
+            FROM orders
+        """,
         "range_join": """
             WITH bands AS (
                 SELECT i AS tier, i * 25000.0 AS lo, i * 25000.0 + 30000.0 AS hi

@@ -801,6 +801,73 @@ class DataFrame:
         )
         return DataFrame(sdf, index_cols=tuple(c for c in self._schema.index_cols if c in ids))
 
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``pipe``: apply ``func(self, *args, **kwargs)`` —
+        method-chaining sugar, no plan change of its own."""
+        return func(self, *args, **kwargs)
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """pandas ``insert``: add a column in place at position
+        ``loc`` (metadata-only reorder; the plan gains one
+        projection)."""
+        if column in self._schema:
+            raise ValueError(f"column {column!r} already exists")
+        self[column] = value
+        names = self._schema.display_names
+        names.remove(column)
+        names.insert(loc, column)
+        self._schema = self._schema.select(names)
+
+    def pop(self, column: str):
+        """pandas ``pop``: drop ``column`` from the frame in place and
+        return it as a Series (bound to the pre-drop plan)."""
+        from .series import Series
+
+        f = self._schema.field(column)
+        out = Series(self._with(), F.col(f.column_name), column, f.spark_type)
+        self._schema = self._schema.drop([column])
+        return out
+
+    def _scalar_arith(self, other, op) -> "DataFrame":
+        if not isinstance(other, (int, float)):
+            raise TypeError(
+                "frame-level arithmetic supports scalars; use Series "
+                "expressions (df[col] + ...) for column-wise math"
+            )
+        from .series import Series
+
+        out = self._with()
+        for f in self._schema.fields:
+            if f.is_numeric:
+                expr = op(
+                    F.col(f.column_name).cast("double"), F.lit(float(other))
+                )
+                out[f.display_name] = Series(
+                    out, expr, f.display_name, T.DoubleType(), True
+                )
+        return out
+
+    def add(self, other) -> "DataFrame":
+        """pandas ``DataFrame.add(scalar)``: elementwise over the
+        numeric columns — pure projection, zero shuffle."""
+        return self._scalar_arith(other, lambda c, o: c + o)
+
+    def sub(self, other) -> "DataFrame":
+        return self._scalar_arith(other, lambda c, o: c - o)
+
+    def mul(self, other) -> "DataFrame":
+        return self._scalar_arith(other, lambda c, o: c * o)
+
+    def div(self, other) -> "DataFrame":
+        from .series import Series
+
+        return self._scalar_arith(other, lambda c, o: Series._ieee_div(c, o))
+
+    __add__ = add
+    __sub__ = sub
+    __mul__ = mul
+    __truediv__ = div
+
     def compare(self, other: "DataFrame") -> "DataFrame":
         """pandas ``DataFrame.compare``: rows where any shared column
         differs, emitting ``<col>_self`` / ``<col>_other`` pairs (flat
@@ -1132,16 +1199,50 @@ class DataFrame:
             dtype="int64",
         )
 
-    def sum(self, numeric_only=True):
+    def _rowwise(self, agg: str):
+        """axis=1 aggregates: one row-local expression over the numeric
+        columns (array fold — no shuffle, no Python), returned as a
+        derived Series named ``<agg>`` (pandas skipna=True)."""
+        from .series import Series
+
+        fields = [f for f in self._schema.fields if f.is_numeric]
+        if not fields:
+            raise ValueError("no numeric columns for axis=1 aggregation")
+        cols = [F.col(f.column_name).cast("double") for f in fields]
+        arr = F.array_compact(F.array(*cols))  # drop nulls: skipna
+        n = F.size(arr)
+        if agg == "sum":
+            expr = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+        elif agg == "min":
+            expr = F.when(n > 0, F.array_min(arr))
+        elif agg == "max":
+            expr = F.when(n > 0, F.array_max(arr))
+        elif agg == "mean":
+            expr = F.when(
+                n > 0, F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+            )
+        else:  # pragma: no cover
+            raise ValueError(agg)
+        return Series(self, expr, agg, T.DoubleType(), True)
+
+    def sum(self, numeric_only=True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._rowwise("sum")
         return self._metric_agg("sum", numeric_only)
 
-    def min(self, numeric_only=True):
+    def min(self, numeric_only=True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._rowwise("min")
         return self._metric_agg("min", numeric_only)
 
-    def max(self, numeric_only=True):
+    def max(self, numeric_only=True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._rowwise("max")
         return self._metric_agg("max", numeric_only)
 
-    def mean(self, numeric_only=True):
+    def mean(self, numeric_only=True, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._rowwise("mean")
         return self._metric_agg("mean", numeric_only)
 
     def std(self, numeric_only=True):

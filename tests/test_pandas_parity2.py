@@ -462,3 +462,44 @@ def test_temperature_sampling_semantics(spark):
     assert out1.count() == out2.count()
     small_kept = out1.filter("source = 'small'").count()
     assert small_kept <= 100
+
+
+def test_rowwise_axis1_and_scalar_arith(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    num = edf[["o_custkey", "o_totalprice"]]
+    pnum = pdf[["o_custkey", "o_totalprice"]]
+    for m in ("sum", "min", "max", "mean"):
+        g = (
+            num.assign(x=getattr(num, m)(axis=1))[["x"]]
+            .to_pandas()
+            .sort_index()["x"]
+        )
+        w = getattr(pnum, m)(axis=1)
+        assert np.allclose(g.to_numpy(), w.to_numpy()), m
+    g = (num + 10).to_pandas().sort_index()
+    assert np.allclose(
+        g[["o_custkey", "o_totalprice"]].to_numpy(), (pnum + 10).to_numpy()
+    )
+    g2 = (num / 3).to_pandas().sort_index()
+    assert np.allclose(
+        g2[["o_custkey", "o_totalprice"]].to_numpy(), (pnum / 3).to_numpy()
+    )
+
+
+def test_pipe_insert_pop(spark):
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    r = edf.pipe(lambda d, k: d[[k]], "o_totalprice")
+    assert list(r.columns) == ["o_totalprice"]
+    m = edf[["o_custkey", "o_totalprice"]]
+    m.insert(1, "half", m["o_totalprice"] / 2)
+    assert list(m.columns) == ["o_custkey", "half", "o_totalprice"]
+    with pytest.raises(ValueError, match="already exists"):
+        m.insert(0, "half", 1)
+    popped = m.pop("half")
+    assert list(m.columns) == ["o_custkey", "o_totalprice"]
+    assert popped.name == "half"
