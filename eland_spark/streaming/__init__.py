@@ -1,4 +1,9 @@
-from .curation import stream_contamination_flags, stream_quality_filter
+from .curation import (
+    stream_classifier_gate,
+    stream_contamination_flags,
+    stream_quality_filter,
+    stream_url_dedup,
+)
 from .joins import stream_enrich, stream_stream_join
 from .sinks import (
     compact_upserted,
@@ -26,6 +31,8 @@ __all__ = [
     "stream_dedup",
     "stream_contamination_flags",
     "stream_quality_filter",
+    "stream_classifier_gate",
+    "stream_url_dedup",
     "stream_enrich",
     "stream_stream_join",
     "stream_to_memory",

@@ -72,3 +72,47 @@ def stream_quality_filter(
     rows at or above ``min_quality``. Stateless; append-mode safe."""
     scored = stream_sdf.withColumn(out_col, quality_score(F.col(text_col)))
     return scored.filter(F.col(out_col) >= min_quality)
+
+
+def stream_classifier_gate(
+    stream_sdf: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Streaming twin of ``operators/text.classifier_quality_gate``:
+    the fastText-style linear classifier (trained vocab broadcast as a
+    map literal) as a stateless scan predicate — append-mode safe,
+    zero state store. The same plan serves batch frames, which is how
+    the twin test pins equality."""
+    from ..operators.text import linear_classifier_score
+
+    scored = stream_sdf.withColumn(
+        out_col, linear_classifier_score(F.col(text_col), weights, bias)
+    )
+    return scored.filter(F.col(out_col) >= threshold)
+
+
+def stream_url_dedup(
+    stream_sdf: DataFrame,
+    url_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    canon_col: str = "url_canonical",
+) -> DataFrame:
+    """Streaming exact-URL dedup: canonicalize
+    (operators/urls.canonical_url — tracking params, default ports,
+    case, trailing slash) then ``dropDuplicatesWithinWatermark`` on the
+    canonical key. State is bounded by the watermark horizon — the
+    at-ingest half of URL dedup; run the batch ``dedup_by_url`` over
+    landed data for the corpus-global pass."""
+    from ..operators.urls import canonical_url
+
+    canon = stream_sdf.withColumn(canon_col, canonical_url(F.col(url_col)))
+    if canon.isStreaming:
+        return canon.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [canon_col]
+        )
+    return canon.dropDuplicates([canon_col])

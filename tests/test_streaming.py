@@ -434,3 +434,66 @@ def test_stream_quality_filter_matches_batch(spark, sf_dir):
         .doc_id
     )
     assert got == exp and 0 < len(got) < batch.count()
+
+
+def test_stream_classifier_gate_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import classifier_quality_gate
+    from eland_spark.streaming import read_events_stream, stream_to_memory
+    from eland_spark.streaming.curation import stream_classifier_gate
+
+    w = {"spark": 0.9, "slow": -0.9, "dup": -1.0}
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    kept = stream_classifier_gate(sdocs, w, threshold=0.52).select("doc_id")
+    stream_to_memory(kept, "stream_clf_test", "append", 120)
+    got = set(spark.sql("SELECT doc_id FROM stream_clf_test").toPandas().doc_id)
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = set(
+        classifier_quality_gate(batch, F.col("text"), w, threshold=0.52)
+        .toPandas()
+        .doc_id
+    )
+    assert got == exp and 0 < len(got) < batch.count()
+
+
+def test_stream_url_dedup_bounded_state(spark, sf_dir, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.streaming import stream_to_memory
+    from eland_spark.streaming.curation import stream_url_dedup
+
+    # derive url variants that canonicalize to the same key
+    pdf = pd.DataFrame(
+        {
+            "ev_id": range(8),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(8), "min"),
+            "url": [
+                "https://a.com/x", "https://A.com/x/", "https://a.com/x?utm_source=z",
+                "http://b.com/y", "http://b.com/y#frag",
+                "https://c.com/1", "https://c.com/2", "https://c.com/3",
+            ],
+        }
+    )
+    p = str(tmp_path / "urls.parquet")
+    src = spark.createDataFrame(pdf)
+    src.coalesce(1).write.parquet(p)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    kept = stream_url_dedup(stream, "url", "ts").select("url_canonical")
+    stream_to_memory(kept, "stream_url_test", "append", 120)
+    got = sorted(
+        spark.sql("SELECT url_canonical FROM stream_url_test").toPandas().url_canonical
+    )
+    assert got == [
+        "http://b.com/y",
+        "https://a.com/x",
+        "https://c.com/1",
+        "https://c.com/2",
+        "https://c.com/3",
+    ]
