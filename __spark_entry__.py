@@ -3360,6 +3360,29 @@ def q_rowwise_arith(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark, sf_dir) -> DataFrame:
+    """KMV (K-minimum values) distinct sketch, engine-portable: per
+    group keep the 256 smallest md5-prefix hashes; estimate
+    (K-1)/h_K; MERGE sketches for the global rollup without rescanning
+    raw data (lossless vs a from-scratch sketch). Unlike HLL's opaque
+    DataSketches binaries, every step replays in SQL — the whole
+    build/merge/estimate pipeline is hash-checked."""
+    from eland_spark.operators.sketches import (
+        kmv_estimate, kmv_rollup_estimate, kmv_sketches,
+    )
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    sk = kmv_sketches(li, "l_partkey", ["l_returnflag"], k=256)
+    per = sk.select(
+        F.col("l_returnflag").alias("grp"),
+        kmv_estimate(F.col("kmv"), 256).alias("estimate"),
+    )
+    glob = kmv_rollup_estimate(sk, [], k=256).select(
+        F.lit("ALL").alias("grp"), F.col("estimate")
+    )
+    return per.unionByName(glob).orderBy("grp")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3391,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dt_components": q_dt_components,
         "range_join": q_range_join,
         "rowwise_arith": q_rowwise_arith,
+        "kmv_distinct": q_kmv_distinct,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4477,6 +4501,44 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "kmv_distinct": """
+            WITH d AS (
+                SELECT DISTINCT l_returnflag,
+                       CAST(('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))
+                            AS BIGINT)::DOUBLE AS hv
+                FROM lineitem
+            ), r AS (
+                SELECT l_returnflag, hv,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY hv) AS rn
+                FROM d
+            ), sk AS (
+                SELECT l_returnflag, max(hv) AS hk, count(*) AS n
+                FROM r WHERE rn <= 256 GROUP BY l_returnflag
+            ), per AS (
+                SELECT l_returnflag AS grp,
+                       CASE WHEN n < 256 THEN n
+                            ELSE CAST(round((n - 1)
+                                 / (hk / 1152921504606846976.0)) AS BIGINT)
+                       END AS estimate
+                FROM sk
+            ), gd AS (
+                SELECT DISTINCT hv FROM r WHERE rn <= 256
+            ), gr AS (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM gd
+            ), gsk AS (
+                SELECT max(hv) AS hk, count(*) AS n FROM gr WHERE rn <= 256
+            )
+            SELECT grp, estimate FROM per
+            UNION ALL
+            SELECT 'ALL' AS grp,
+                   CASE WHEN n < 256 THEN n
+                        ELSE CAST(round((n - 1)
+                             / (hk / 1152921504606846976.0)) AS BIGINT)
+                   END AS estimate
+            FROM gsk
+            ORDER BY grp
+        """,
         "rowwise_arith": """
             SELECT o_orderkey,
                    round(o_custkey + 10.0, 2) AS cust_p10,

@@ -17,7 +17,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_sketches", "hll_rollup_estimate"]
+__all__ = [
+    "hll_sketches",
+    "hll_rollup_estimate",
+    "kmv_sketches",
+    "kmv_estimate",
+    "kmv_rollup_estimate",
+]
 
 
 def hll_sketches(
@@ -55,3 +61,83 @@ def hll_rollup_estimate(
     return out.select(
         *by, F.hll_sketch_estimate(F.col("merged")).alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum values) sketch — engine-portable distinct counting
+# ---------------------------------------------------------------------------
+#
+# Beyond HLL (JVM DataSketches binaries, opaque to other engines), the
+# KMV sketch (Bar-Yossef et al. 2002) is the simplest mergeable
+# distinct-count summary: hash every value to (0,1), keep the K
+# smallest hashes. The estimate is (K-1)/h_K (h_K = the largest kept
+# hash); merging sketches = keep the K smallest of the union — still
+# exactly "the K smallest hashes of the union of inputs", so rollups
+# are lossless relative to a from-scratch build. Built here on the
+# md5-prefix hash, which any SQL engine reproduces bit-for-bit — the
+# whole sketch (build, merge, estimate) has a DuckDB oracle, unlike
+# HLL. Error ~ 1/sqrt(K-2): K=256 -> ~6%, K=1024 -> ~3%.
+
+_KMV_SPACE = float(16 ** 15)  # md5 60-bit prefix universe
+
+
+def _kmv_hash(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    )
+
+
+def kmv_sketches(
+    sdf: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """One KMV sketch per group: ``kmv`` = sorted array of the K
+    smallest distinct md5-prefix hashes of ``value_col``. One hash
+    aggregation (collect_set capped via slice after sort — the shuffled
+    state is the per-group distinct hash set; for very high-cardinality
+    groups build per-partition sketches first and merge with
+    :func:`kmv_rollup_estimate`)."""
+    by = list(by)
+    h = _kmv_hash(F.col(value_col))
+    arr = F.slice(F.array_sort(F.collect_set(h)), 1, k)
+    return sdf.groupBy(*by).agg(arr.alias("kmv"))
+
+
+def kmv_estimate(kmv_col, k: int | None = None) -> "F.Column":
+    """Distinct-count estimate from a KMV array:
+    ``(K-1) / (h_K / space)``. Pass ``k`` to get the EXACT count when
+    the sketch holds fewer than K hashes (it IS the distinct set
+    then)."""
+    n = F.size(kmv_col)
+    h_k = F.element_at(kmv_col, -1) / F.lit(_KMV_SPACE)
+    est = F.round((n - 1) / h_k).cast("long")
+    if k is not None:
+        return F.when(n < k, n.cast("long")).otherwise(est)
+    return est
+
+
+def kmv_rollup_estimate(
+    sketches: DataFrame,
+    by: Sequence[str],
+    k: int = 256,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """Merge KMV sketches to a coarser grouping: flatten the arrays,
+    keep the K smallest distinct hashes of the union — identical to a
+    from-scratch sketch of the union, so rollups never rescan raw
+    data. Returns ``estimate`` per group (global when ``by`` empty)."""
+    by = list(by)
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(kmv_col))))
+        ),
+        1,
+        k,
+    )
+    if by:
+        out = sketches.groupBy(*by).agg(merged.alias("m"))
+    else:
+        out = sketches.agg(merged.alias("m"))
+    return out.select(*by, kmv_estimate(F.col("m"), k).alias("estimate"))

@@ -27,3 +27,35 @@ def test_sketch_estimates_and_rollup(spark):
     # sketches are small binary payloads
     row = sk.select(F.length("sketch").alias("b")).agg(F.max("b")).collect()[0]
     assert row[0] < 50_000
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sketches import (
+        kmv_estimate, kmv_rollup_estimate, kmv_sketches,
+    )
+
+    # 4500 % 3 == 0, so each group holds exactly 1500 distinct values
+    sdf = spark.range(9000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 4500).alias("v")
+    )
+    sk = kmv_sketches(sdf, "v", ["g"], k=256)
+    per = {
+        r["g"]: r["e"]
+        for r in sk.select("g", kmv_estimate(F.col("kmv"), 256).alias("e")).collect()
+    }
+    for g, est in per.items():
+        assert abs(est - 1500) / 1500 < 0.2, (g, est)
+    glob = kmv_rollup_estimate(sk, [], k=256).collect()[0]["estimate"]
+    assert abs(glob - 4500) / 4500 < 0.2, glob
+    # below-K cardinality is EXACT
+    small = spark.range(100).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    sk2 = kmv_sketches(small, "v", ["g"], k=256)
+    exact = sk2.select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
+    assert exact == 100
+    # merge is lossless vs from-scratch: same sketch of the union
+    from_scratch = kmv_sketches(
+        sdf.select(F.lit(0).alias("g"), "v"), "v", ["g"], k=256
+    ).select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
+    assert glob == from_scratch
