@@ -5,6 +5,7 @@ from .curation import (
     stream_url_dedup,
 )
 from .joins import stream_enrich, stream_stream_join
+from .rollup import batch_rollup, compact_rollup, continuous_aggregate, read_rollup
 from .sinks import (
     compact_upserted,
     foreach_batch_parquet_upsert,
@@ -33,6 +34,10 @@ __all__ = [
     "stream_quality_filter",
     "stream_classifier_gate",
     "stream_url_dedup",
+    "continuous_aggregate",
+    "batch_rollup",
+    "read_rollup",
+    "compact_rollup",
     "stream_enrich",
     "stream_stream_join",
     "stream_to_memory",

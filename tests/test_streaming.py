@@ -497,3 +497,70 @@ def test_stream_url_dedup_bounded_state(spark, sf_dir, tmp_path):
         "https://c.com/2",
         "https://c.com/3",
     ]
+
+
+def test_continuous_aggregate_matches_batch(spark, sf_dir, tmp_path):
+    """Hypertable rollup: streamed per-batch partials, merged at read,
+    must equal a from-scratch batch aggregation — at the stored bucket
+    AND at a coarser re-bucket; distinct is exact below the sketch K;
+    compaction preserves every answer."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.streaming import read_events_stream
+    from eland_spark.streaming.rollup import (
+        compact_rollup, continuous_aggregate, read_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+    )
+    q = continuous_aggregate(
+        stream, path, ck, "ts", "6 hours", ["event_type"], "value",
+        distinct_col="user_id", k=4096,
+    )
+    q.awaitTermination(120)
+
+    def check():
+        got = (
+            read_rollup(spark, path, ["event_type"], k=4096)
+            .orderBy("bucket", "event_type")
+            .toPandas()
+        )
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        exp = (
+            raw.groupBy(
+                F.window("ts", "6 hours").start.alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count("value").alias("n"),
+                F.sum("value").alias("total"),
+                F.countDistinct("user_id").alias("nd"),
+            )
+            .orderBy("bucket", "event_type")
+            .toPandas()
+        )
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert abs(got["total"].to_numpy() - exp["total"].to_numpy()).max() < 1e-6
+        # k=4096 >> per-bucket user cardinality -> sketch is exact
+        assert (got["approx_distinct"].to_numpy() == exp["nd"].to_numpy()).all()
+        # coarser re-bucket without touching raw data
+        day = (
+            read_rollup(spark, path, ["event_type"], bucket="1 day", k=4096)
+            .orderBy("bucket", "event_type")
+            .toPandas()
+        )
+        exp_day = (
+            raw.groupBy(F.window("ts", "1 day").start.alias("bucket"), "event_type")
+            .agg(F.count("value").alias("n"), F.countDistinct("user_id").alias("nd"))
+            .orderBy("bucket", "event_type")
+            .toPandas()
+        )
+        assert (day["n"].to_numpy() == exp_day["n"].to_numpy()).all()
+        assert (day["approx_distinct"].to_numpy() == exp_day["nd"].to_numpy()).all()
+
+    check()
+    n_rows = compact_rollup(spark, path, ["event_type"], k=4096)
+    assert n_rows > 0
+    check()  # identical answers after compaction
