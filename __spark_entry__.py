@@ -3383,6 +3383,56 @@ def q_kmv_distinct(spark, sf_dir) -> DataFrame:
     return per.unionByName(glob).orderBy("grp")
 
 
+def q_rollup_hypertable(spark, sf_dir) -> DataFrame:
+    """Continuous-aggregate round trip, hash-checked: backfill
+    (bucket, event_type) partials to a scratch rollup table, then
+    finalize at a COARSER bucket (6h partials -> 1 day) — sums merge
+    losslessly and the KMV distinct stays exact below K, so the result
+    equals a from-scratch SQL aggregation of the raw events."""
+    import tempfile
+
+    from eland_spark.streaming import batch_rollup, read_rollup
+
+    raw = _t(spark, sf_dir, "events", "event_id").to_spark()
+    d = tempfile.mkdtemp(prefix="rollup_q_")
+    batch_rollup(
+        raw, f"{d}/r", "ts", "6 hours", ["event_type"], "value",
+        distinct_col="user_id", k=65536,
+    )
+    out = read_rollup(spark, f"{d}/r", ["event_type"], bucket="1 day", k=65536)
+    return out.select(
+        F.col("bucket"),
+        F.col("event_type"),
+        F.col("n"),
+        F.round(F.col("total"), 4).alias("total"),
+        F.round(F.col("vmin"), 4).alias("vmin"),
+        F.round(F.col("vmax"), 4).alias("vmax"),
+        F.col("approx_distinct").alias("nd"),
+    ).orderBy("bucket", "event_type")
+
+
+def q_groupby_sample(spark, sf_dir) -> DataFrame:
+    """groupby().sample via the library: frac mode is a zero-shuffle
+    deterministic md5 threshold; n mode ranks per group on the same
+    engine-agnostic key (one keyed window). Both replay in SQL."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    frac = o.groupby("o_orderstatus").sample(frac=0.2).to_spark().select(
+        "o_orderkey", F.lit("frac").alias("mode")
+    )
+    topn = o.groupby("o_orderstatus").sample(n=5).to_spark().select(
+        "o_orderkey", F.lit("n").alias("mode")
+    )
+    return frac.unionByName(topn)
+
+
+def q_str_cat(spark, sf_dir) -> DataFrame:
+    """Series.str.cat elementwise concat (null-propagating) via the
+    library."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    s = o["o_orderstatus"].str.cat([o["o_orderpriority"]], sep="-")
+    return o.assign(tag=s)[["tag"]].to_spark().select("o_orderkey", "tag")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3415,6 +3465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rowwise_arith": q_rowwise_arith,
         "kmv_distinct": q_kmv_distinct,
+        "rollup_hypertable": q_rollup_hypertable,
+        "groupby_sample": q_groupby_sample,
+        "str_cat": q_str_cat,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4501,6 +4554,40 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5": _simhash_oracle_sql(),
         "simhash_near_dup_md5": _simhash_pairs_oracle_sql(),
         "ann_ivf": _ivf_oracle_sql(),
+        "groupby_sample": """
+            WITH k AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(('0x' || substr(md5(o_orderkey::VARCHAR || '42'), 1, 15))
+                            AS BIGINT) AS hk
+                FROM orders
+            ), frac AS (
+                SELECT o_orderkey, 'frac' AS mode FROM k
+                WHERE hk < 0.2 * 1152921504606846976.0
+            ), r AS (
+                SELECT o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY hk, o_orderkey::VARCHAR) AS rn
+                FROM k
+            ), topn AS (
+                SELECT o_orderkey, 'n' AS mode FROM r WHERE rn <= 5
+            )
+            SELECT * FROM frac UNION ALL SELECT * FROM topn
+        """,
+        "str_cat": """
+            SELECT o_orderkey, o_orderstatus || '-' || o_orderpriority AS tag
+            FROM orders
+        """,
+        "rollup_hypertable": """
+            SELECT date_trunc('day', ts) AS bucket,
+                   event_type,
+                   count(value) AS n,
+                   round(sum(value), 4) AS total,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax,
+                   count(DISTINCT user_id) AS nd
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "kmv_distinct": """
             WITH d AS (
                 SELECT DISTINCT l_returnflag,

@@ -774,6 +774,44 @@ class DataFrameGroupBy:
             s = s.sort_index()
         return s
 
+    def sample(
+        self, n: int | None = None, frac: float | None = None, seed: int = 42
+    ) -> DataFrame:
+        """pandas ``groupby().sample``: per-group sample. ``frac`` is a
+        zero-shuffle deterministic md5-threshold filter (engine-
+        agnostic, like operators/sampling); ``n`` ranks rows per group
+        by the md5 key and keeps the first n — one keyed window
+        shuffle. Exactly one of n/frac."""
+        from .operators.sampling import _md5_rank_key
+
+        if (n is None) == (frac is None):
+            raise ValueError("pass exactly one of n or frac")
+        schema = self._frame._schema
+        icols = list(self._frame.index_cols)
+        if not icols:
+            raise ValueError("groupby sample needs an index for determinism")
+        idkey = F.concat_ws(
+            "|", *[F.col(schema.resolve_any(c)).cast("string") for c in icols]
+        )
+        key = _md5_rank_key(idkey, seed)
+        sdf, keys = self._grouped_sdf()
+        if frac is not None:
+            if not 0 <= frac <= 1:
+                raise ValueError("frac must be in [0, 1]")
+            out = sdf.filter(key < F.lit(float(frac) * float(16**15)))
+            return DataFrame(out, index_cols=tuple(icols))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            *[F.col(schema.resolve(b)) for b in self._by]
+        ).orderBy(key.asc(), idkey.asc())
+        out = (
+            sdf.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= int(n))
+            .drop("__rn__")
+        )
+        return DataFrame(out, index_cols=tuple(icols))
+
     def ewm(
         self,
         alpha: float | None = None,

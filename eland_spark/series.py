@@ -1602,6 +1602,32 @@ class StrAccessor:
             index_cols=tuple(schema.index_cols),
         )
 
+    def cat(self, others=None, sep: str = "", na_rep: str | None = None) -> Series:
+        """pandas ``str.cat`` with another Series/list of Series:
+        elementwise concatenation with ``sep``; null propagates unless
+        ``na_rep`` fills it (pandas semantics). One projection."""
+        if others is None:
+            raise NotImplementedError(
+                "str.cat() without others reduces to the driver; use "
+                "to_pandas().str.cat() on a bounded result instead"
+            )
+        cols = [self._s._expr]
+        items = others if isinstance(others, (list, tuple)) else [others]
+        for o in items:
+            cols.append(o._expr if isinstance(o, Series) else F.lit(str(o)))
+        if na_rep is not None:
+            cols = [F.coalesce(c, F.lit(na_rep)) for c in cols]
+            expr = F.concat_ws(sep, *cols)
+        else:
+            # concat propagates null (pandas default NaN result)
+            parts: list[Column] = []
+            for i, c in enumerate(cols):
+                if i:
+                    parts.append(F.lit(sep))
+                parts.append(c)
+            expr = F.concat(*parts)
+        return self._d(expr, T.StringType())
+
     def findall(self, pat: str) -> Series:
         """All non-overlapping regex matches as an array (pandas
         ``str.findall``) — one JVM regexp_extract_all, no Python."""

@@ -503,3 +503,27 @@ def test_pipe_insert_pop(spark):
     popped = m.pop("half")
     assert list(m.columns) == ["o_custkey", "o_totalprice"]
     assert popped.name == "half"
+
+
+def test_groupby_sample_and_str_cat(spark, orders_pd):
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    # frac: deterministic, roughly proportional
+    a = edf.groupby("o_orderstatus").sample(frac=0.3).to_spark().count()
+    b = edf.groupby("o_orderstatus").sample(frac=0.3).to_spark().count()
+    assert a == b and abs(a / len(pdf) - 0.3) < 0.05
+    # n: exactly n per (big-enough) group
+    cnts = (
+        edf.groupby("o_orderstatus").sample(n=7)
+        .to_spark().groupBy("o_orderstatus").count().toPandas()
+    )
+    assert sorted(cnts["count"]) == [7, 7, 7]
+    with pytest.raises(ValueError, match="exactly one"):
+        edf.groupby("o_orderstatus").sample()
+    # str.cat elementwise, null propagation + na_rep
+    s = edf["o_orderstatus"].str.cat([edf["o_orderpriority"]], sep="-")
+    got = edf.assign(x=s)[["x"]].to_pandas().sort_index()["x"]
+    want = pdf["o_orderstatus"].str.cat(pdf["o_orderpriority"], sep="-").sort_index()
+    assert (got.to_numpy() == want.to_numpy()).all()
