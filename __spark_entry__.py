@@ -3433,6 +3433,25 @@ def q_str_cat(spark, sf_dir) -> DataFrame:
     return o.assign(tag=s)[["tag"]].to_spark().select("o_orderkey", "tag")
 
 
+def q_groupby_corr(spark, sf_dir) -> DataFrame:
+    """groupby().corr(): the per-group pairwise Pearson matrix in one
+    hash aggregation (library surface; result re-enters a DataFrame as
+    (group, col_a, col_b, corr) rows for the driver contract)."""
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
+    pdf = (
+        li[["l_returnflag", "l_quantity", "l_discount", "l_tax"]]
+        .groupby("l_returnflag")
+        .corr()
+    )
+    rows = []
+    for (g, a), row in pdf.iterrows():
+        for b, v in row.items():
+            rows.append((str(g), str(a), str(b), round(float(v), 6)))
+    return spark.createDataFrame(
+        rows, "grp string, col_a string, col_b string, corr double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3468,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hypertable": q_rollup_hypertable,
         "groupby_sample": q_groupby_sample,
         "str_cat": q_str_cat,
+        "groupby_corr": q_groupby_corr,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4572,6 +4592,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, 'n' AS mode FROM r WHERE rn <= 5
             )
             SELECT * FROM frac UNION ALL SELECT * FROM topn
+        """,
+        "groupby_corr": """
+            WITH cols(c) AS (VALUES ('l_quantity'), ('l_discount'), ('l_tax'))
+            SELECT l_returnflag AS grp, a.c AS col_a, b.c AS col_b,
+                   round(corr(
+                       CASE a.c WHEN 'l_quantity' THEN l_quantity
+                                WHEN 'l_discount' THEN l_discount
+                                ELSE l_tax END,
+                       CASE b.c WHEN 'l_quantity' THEN l_quantity
+                                WHEN 'l_discount' THEN l_discount
+                                ELSE l_tax END), 6) AS corr
+            FROM lineitem CROSS JOIN cols a CROSS JOIN cols b
+            GROUP BY 1, 2, 3
         """,
         "str_cat": """
             SELECT o_orderkey, o_orderstatus || '-' || o_orderpriority AS tag

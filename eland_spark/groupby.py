@@ -774,6 +774,48 @@ class DataFrameGroupBy:
             s = s.sort_index()
         return s
 
+    def corr(self, numeric_only=True) -> pd.DataFrame:
+        """pandas ``groupby().corr()``: per-group pairwise Pearson
+        matrix — every (group, i, j) cell in ONE hash aggregation
+        (F.corr per pair; n^2/2 agg expressions, fine for the tens of
+        numeric columns a frame realistically has). Result indexed
+        (group, column) x column like pandas."""
+        return self._pairwise(F.corr, numeric_only)
+
+    def cov(self, numeric_only=True) -> pd.DataFrame:
+        """pandas ``groupby().cov()``: per-group sample covariance
+        matrix, same one-pass shape."""
+        return self._pairwise(F.covar_samp, numeric_only)
+
+    def _pairwise(self, fn, numeric_only) -> pd.DataFrame:
+        fields = [f for f in self._agg_fields(numeric_only, "corr") if f.is_numeric]
+        if len(fields) < 2:
+            raise ValueError("need at least two numeric columns")
+        names = [f.display_name for f in fields]
+        exprs = []
+        for i, a in enumerate(fields):
+            for b in fields[i:]:
+                exprs.append(
+                    fn(
+                        F.col(a.column_name).cast("double"),
+                        F.col(b.column_name).cast("double"),
+                    ).alias(f"{a.display_name}__{b.display_name}")
+                )
+        pdf = self._lazy(exprs).to_spark().toPandas()
+        pdf = pdf.set_index(self._by if len(self._by) > 1 else self._by[0]).sort_index()
+        frames = {}
+        for g, row in pdf.iterrows():
+            m = pd.DataFrame(index=names, columns=names, dtype="float64")
+            for i, a in enumerate(names):
+                for b in names[i:]:
+                    v = row[f"{a}__{b}"]
+                    m.loc[a, b] = v
+                    m.loc[b, a] = v
+            frames[g] = m
+        out = pd.concat(frames, names=[*self._by, None])
+        out.columns.name = None
+        return out
+
     def sample(
         self, n: int | None = None, frac: float | None = None, seed: int = 42
     ) -> DataFrame:

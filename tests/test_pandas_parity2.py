@@ -527,3 +527,19 @@ def test_groupby_sample_and_str_cat(spark, orders_pd):
     got = edf.assign(x=s)[["x"]].to_pandas().sort_index()["x"]
     want = pdf["o_orderstatus"].str.cat(pdf["o_orderpriority"], sep="-").sort_index()
     assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_groupby_corr_cov_match_pandas(spark):
+    pdf = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/lineitem.parquet",
+        index_col=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    cols = ["l_returnflag", "l_quantity", "l_discount", "l_tax"]
+    g = edf[cols].groupby("l_returnflag").corr()
+    w = pdf[cols].groupby("l_returnflag").corr()
+    assert g.index.equals(w.index) and list(g.columns) == list(w.columns)
+    assert np.allclose(g.to_numpy(), w.to_numpy())
+    g2 = edf[cols].groupby("l_returnflag").cov()
+    w2 = pdf[cols].groupby("l_returnflag").cov()
+    assert np.allclose(g2.to_numpy(), w2.to_numpy())
