@@ -1091,15 +1091,26 @@ class DataFrame:
         "first": lambda c: F.first(c, ignorenulls=False),
         # sample-adjusted Fisher-Pearson skew (pandas G1 == DuckDB/Excel
         # SKEW): Spark's skewness() is the population g1, rescaled by
-        # sqrt(n(n-1))/(n-2); n<3 divides by zero -> NULL, like pandas NaN
-        "skew": lambda c: F.skewness(c)
-        * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
-        / (F.count(c) - 2),
+        # sqrt(n(n-1))/(n-2). Guards mirror pandas nanskew: n<3 -> NaN
+        # (the when() keeps the ANSI division off the n-2==0 groups),
+        # zero variance -> 0.0 (Spark's own skewness is NaN there)
+        "skew": lambda c: F.when(F.count(c) < 3, F.lit(None).cast("double"))
+        .when(F.var_samp(c) == 0, F.lit(0.0))
+        .otherwise(
+            F.skewness(c)
+            * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
+            / (F.count(c) - 2)
+        ),
         # sample-adjusted excess kurtosis (pandas G2 == DuckDB kurtosis):
-        # Spark's kurtosis() is population g2; G2 = (n-1)((n+1)g2+6)/((n-2)(n-3))
-        "kurt": lambda c: (F.kurtosis(c) * (F.count(c) + 1) + 6)
-        * (F.count(c) - 1).cast("double")
-        / ((F.count(c) - 2) * (F.count(c) - 3)),
+        # Spark's kurtosis() is population g2; G2 = (n-1)((n+1)g2+6)/((n-2)(n-3));
+        # same nankurt guards (n<4 -> NaN, zero variance -> 0.0)
+        "kurt": lambda c: F.when(F.count(c) < 4, F.lit(None).cast("double"))
+        .when(F.var_samp(c) == 0, F.lit(0.0))
+        .otherwise(
+            (F.kurtosis(c) * (F.count(c) + 1) + 6)
+            * (F.count(c) - 1).cast("double")
+            / ((F.count(c) - 2) * (F.count(c) - 3))
+        ),
         # empty product is 1 (pandas min_count=0 identity)
         "prod": lambda c: F.coalesce(F.product(c), F.lit(1.0)),
         # pandas any/all: nulls skipped (bool_or/bool_and ignore NULLs);

@@ -646,3 +646,59 @@ def test_expanding_matches_pandas(spark, rows, mp):
         assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True), (
             agg, rows, mp,
         )
+
+
+@given(rows=ROWS, alpha=st.sampled_from([0.2, 0.5, 0.9]))
+@settings(**COMMON)
+def test_grouped_ewm_matches_pandas(spark, rows, alpha):
+    """Truncated-kernel ewm == pandas' recursive kernel (adjust=True,
+    ignore_na=False) on random frames incl. nulls and empty groups."""
+    pdf, edf = _frame(spark, rows)
+    if len(pdf) == 0:
+        return
+    got = (
+        edf[["k", "a"]].groupby("k").ewm(alpha=alpha).mean()
+        .to_pandas().sort_index()["a_ewm"]
+    )
+    exp = (
+        pdf.set_index("_id").sort_index()
+        .groupby("k")["a"].ewm(alpha=alpha).mean()
+        .reset_index(level=0, drop=True).sort_index()
+    )
+    assert np.allclose(
+        got.to_numpy(), exp.to_numpy(), equal_nan=True, rtol=1e-9, atol=1e-9
+    )
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_skew_kurt_match_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    for fn in ("skew", "kurt"):
+        got = getattr(edf["a"], fn)()
+        exp = getattr(pdf["a"], fn)()
+        if exp is None or (isinstance(exp, float) and math.isnan(exp)):
+            # pandas NaN (n too small)
+            assert got is None or math.isnan(got)
+        elif math.isinf(exp):
+            assert got is None or math.isinf(got) or abs(got) > 1e12
+        else:
+            assert got is not None and abs(got - exp) < 1e-6 * max(1, abs(exp))
+
+
+@given(rows=ROWS)
+@settings(**COMMON)
+def test_frame_ffill_bfill_match_pandas(spark, rows):
+    pdf, edf = _frame(spark, rows)
+    if len(pdf) == 0:
+        return
+    base = pdf.set_index("_id").sort_index()
+    for m in ("ffill", "bfill"):
+        got = getattr(edf[["a", "b"]], m)().to_pandas().sort_index()
+        exp = getattr(base[["a", "b"]], m)().sort_index()
+        for c in ("a", "b"):
+            assert np.allclose(
+                got[c].astype("float64").to_numpy(),
+                exp[c].astype("float64").to_numpy(),
+                equal_nan=True,
+            ), (m, c)
