@@ -3452,6 +3452,34 @@ def q_groupby_corr(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sample_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Mergeable bottom-k row-sample sketch (min-K md5 row keys =
+    uniform sample that merges losslessly): per-group p50 from the
+    sample, plus the GLOBAL p50 from the merged per-group sketches —
+    t-digest-style rollup quantiles, but every step SQL-replayable."""
+    from eland_spark.operators.sketches import (
+        quantile_from_sample, sample_rollup, sample_sketches,
+    )
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    li = li.withColumn(
+        "rid",
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ),
+    )
+    sk = sample_sketches(li, "l_extendedprice", "rid", ["l_returnflag"], k=512)
+    per = sk.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(quantile_from_sample(F.col("sample"), 0.5), 2).alias("p50"),
+    )
+    glob = sample_rollup(sk, [], k=512).select(
+        F.lit("ALL").alias("grp"),
+        F.round(quantile_from_sample(F.col("sample"), 0.5), 2).alias("p50"),
+    )
+    return per.unionByName(glob).orderBy("grp")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3488,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_sample": q_groupby_sample,
         "str_cat": q_str_cat,
         "groupby_corr": q_groupby_corr,
+        "sample_quantile_sketch": q_sample_quantile_sketch,
         "median_quantile": q_median_quantile,
         "mad": q_mad,
         "mode_ties": q_mode_ties,
@@ -4592,6 +4621,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, 'n' AS mode FROM r WHERE rn <= 5
             )
             SELECT * FROM frac UNION ALL SELECT * FROM topn
+        """,
+        "sample_quantile_sketch": """
+            WITH keyed AS (
+                SELECT l_returnflag, l_extendedprice,
+                       CAST(('0x' || substr(md5(
+                           l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR
+                           || '|' || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR
+                       ), 1, 15)) AS BIGINT) AS hk
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY hk) AS rn
+                FROM keyed
+            ), kept AS (
+                SELECT l_returnflag, l_extendedprice, hk FROM r WHERE rn <= 512
+            ), pv AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS vr,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM kept
+            ), per AS (
+                SELECT l_returnflag AS grp, round(l_extendedprice, 2) AS p50
+                FROM pv WHERE vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+            ), gk AS (
+                SELECT l_extendedprice,
+                       row_number() OVER (ORDER BY hk) AS rn
+                FROM kept
+            ), gv AS (
+                SELECT l_extendedprice,
+                       row_number() OVER (ORDER BY l_extendedprice) AS vr,
+                       count(*) OVER () AS n
+                FROM gk WHERE rn <= 512
+            ), gall AS (
+                SELECT 'ALL' AS grp, round(l_extendedprice, 2) AS p50
+                FROM gv WHERE vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+            )
+            SELECT * FROM per UNION ALL SELECT * FROM gall ORDER BY grp
         """,
         "groupby_corr": """
             WITH cols(c) AS (VALUES ('l_quantity'), ('l_discount'), ('l_tax'))

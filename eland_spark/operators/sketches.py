@@ -23,6 +23,9 @@ __all__ = [
     "kmv_sketches",
     "kmv_estimate",
     "kmv_rollup_estimate",
+    "sample_sketches",
+    "sample_rollup",
+    "quantile_from_sample",
 ]
 
 
@@ -141,3 +144,62 @@ def kmv_rollup_estimate(
     else:
         out = sketches.agg(merged.alias("m"))
     return out.select(*by, kmv_estimate(F.col("m"), k).alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k row sample sketch — mergeable quantiles / uniform samples
+# ---------------------------------------------------------------------------
+#
+# The same min-K idea applied to ROWS instead of distinct values: keep
+# the K rows whose md5 row-key hashes smallest. That is a uniform
+# random sample of the rows — and it MERGES: the K smallest keys of a
+# union of sketches are exactly the sketch of the union, so per-group
+# samples roll up to any coarser grouping losslessly (vs a from-scratch
+# sample with the same keys). Quantiles from the sample carry the
+# usual O(1/sqrt(K)) sampling error; the md5 key makes every step
+# SQL-replayable (t-digest/KLL have no such oracle).
+
+def sample_sketches(
+    sdf: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: Sequence[str],
+    k: int = 512,
+) -> DataFrame:
+    """One bottom-k row sample per group: ``sample`` = array of
+    (h, v) structs, the K smallest md5 row-keys with their values.
+    Null values are skipped (pandas quantile semantics)."""
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    pair = F.when(
+        v.isNotNull(), F.struct(_kmv_hash(F.col(id_col)).alias("h"), v.alias("v"))
+    )
+    arr = F.slice(F.array_sort(F.collect_list(pair)), 1, k)
+    return sdf.groupBy(*by).agg(arr.alias("sample"))
+
+
+def sample_rollup(
+    sketches: DataFrame,
+    by: Sequence[str],
+    k: int = 512,
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Merge bottom-k samples to a coarser grouping (min-K of the
+    union — identical to sampling the union directly)."""
+    by = list(by)
+    merged = F.slice(
+        F.array_sort(F.flatten(F.collect_list(F.col(sample_col)))), 1, k
+    )
+    if by:
+        return sketches.groupBy(*by).agg(merged.alias(sample_col))
+    return sketches.agg(merged.alias(sample_col))
+
+
+def quantile_from_sample(sample_col, q: float) -> "F.Column":
+    """Nearest-rank quantile of the sketched values: sort the sampled
+    values, take element ceil(q*n). Exact when the group had <= K rows
+    (the sample IS the group)."""
+    vals = F.array_sort(F.transform(sample_col, lambda s: s["v"]))
+    n = F.size(vals)
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n).cast("int"))
+    return F.when(n > 0, F.element_at(vals, idx))

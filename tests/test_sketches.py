@@ -59,3 +59,37 @@ def test_kmv_sketch_accuracy_and_merge(spark):
         sdf.select(F.lit(0).alias("g"), "v"), "v", ["g"], k=256
     ).select(kmv_estimate(F.col("kmv"), 256).alias("e")).collect()[0]["e"]
     assert glob == from_scratch
+
+
+def test_sample_sketch_quantiles_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sketches import (
+        quantile_from_sample, sample_rollup, sample_sketches,
+    )
+
+    sdf = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    sk = sample_sketches(sdf, "v", "rid", ["g"], k=512)
+    per = sk.select("g", quantile_from_sample(F.col("sample"), 0.5).alias("p50"))
+    for r in per.collect():
+        assert abs(r["p50"] - 500) < 80, r  # ~1/sqrt(512) sampling error
+    # merged == from-scratch sample of the union (same keys)
+    merged = sample_rollup(sk, [], k=512).select(
+        quantile_from_sample(F.col("sample"), 0.5).alias("p50")
+    ).collect()[0]["p50"]
+    scratch = sample_sketches(
+        sdf.select(F.lit(0).alias("g"), "rid", "v"), "v", "rid", ["g"], k=512
+    ).select(quantile_from_sample(F.col("sample"), 0.5).alias("p50")).collect()[0]["p50"]
+    assert merged == scratch
+    # below-K group: the quantile is EXACT
+    small = spark.range(101).select(
+        F.lit(0).alias("g"), F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sk2 = sample_sketches(small, "v", "rid", ["g"], k=512)
+    got = sk2.select(quantile_from_sample(F.col("sample"), 0.5).alias("p")).collect()[0]["p"]
+    assert got == 50.0  # nearest-rank p50 of 0..100
