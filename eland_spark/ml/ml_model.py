@@ -55,9 +55,72 @@ class MLModel:
         return out
 
     @classmethod
+    def import_ltr_model(
+        cls,
+        spark: SparkSession,
+        model_id: str,
+        model: Any,
+        ltr_model_config,
+        registry_dir: str | None = None,
+        overwrite: bool = False,
+    ) -> "MLModel":
+        """Register a regressor as a learning-to-rank rescorer
+        (reference eland/ml/ml_model.py:392-550): the LTR config's
+        feature extractors NAME the model's features, so scoring can
+        chain FeatureLogger.extract_features -> transform. Only
+        regression IRs rank; classifiers are rejected like the
+        reference's objective whitelist."""
+        out = cls.import_model(
+            spark,
+            model_id,
+            model,
+            list(ltr_model_config.feature_names),
+            registry_dir=registry_dir,
+            overwrite=overwrite,
+        )
+        if out.ensemble.task != "regression":
+            raise ValueError(
+                "LTR rescoring needs a regression model (rank:* / reg:* "
+                "objectives); got a classifier"
+            )
+        out.ltr_config = ltr_model_config
+        return out
+
+    @classmethod
     def load(cls, spark: SparkSession, model_id: str, registry_dir: str) -> "MLModel":
         with open(os.path.join(registry_dir, f"{model_id}.ir.b64")) as f:
             return cls(spark, model_id, Ensemble.deserialize(f.read()))
+
+    @staticmethod
+    def exists_model(model_id: str, registry_dir: str) -> bool:
+        """Registry membership probe (reference
+        eland/ml/ml_model.py:565-585 checks the ES model store)."""
+        return os.path.exists(os.path.join(registry_dir, f"{model_id}.ir.b64"))
+
+    @staticmethod
+    def delete_model(model_id: str, registry_dir: str) -> None:
+        """Remove a registered model; missing ids are a no-op like the
+        reference's ignore(404) (eland/ml/ml_model.py:552-563)."""
+        path = os.path.join(registry_dir, f"{model_id}.ir.b64")
+        if os.path.exists(path):
+            os.remove(path)
+
+    # -- metadata (reference eland/ml/ml_model.py:215-248) ---------------
+    @property
+    def model_type(self) -> str:
+        return (
+            "tree_ensemble_regressor"
+            if self.ensemble.task == "regression"
+            else "tree_ensemble_classifier"
+        )
+
+    @property
+    def feature_names(self) -> list[str]:
+        return list(self.ensemble.feature_names)
+
+    @property
+    def results_field(self) -> str:
+        return "prediction"
 
     # -- inference -------------------------------------------------------
     def predict(self, X) -> np.ndarray:

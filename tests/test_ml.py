@@ -446,3 +446,43 @@ def test_xgboost_dump_parser_binary_margin():
     # margin 2.0 -> class 1; margin -2.0 -> class 0
     assert ens.predict_row([0.5]) == 1
     assert ens.predict_row([3.0]) == 0
+
+
+def test_mlmodel_registry_metadata_and_ltr(spark, tmp_path):
+    """Registry lifecycle (exists/delete no-op parity), metadata
+    properties, and import_ltr_model's regression-only gate
+    (reference eland/ml/ml_model.py:215-585)."""
+    import numpy as np
+
+    from eland_spark.ml.ltr import LTRModelConfig, QueryFeatureExtractor
+    from eland_spark.ml.ml_model import MLModel
+    from eland_spark.ml.tree_ir import Ensemble, Tree, TreeNode
+
+    reg = str(tmp_path / "registry")
+    leafs = [TreeNode(0, leaf_value=[1.5])]
+    ens = Ensemble(feature_names=["f_a"], trees=[Tree(["f_a"], leafs)])
+    m = MLModel.import_model(spark, "m1", ens, ["f_a"], registry_dir=reg)
+    assert MLModel.exists_model("m1", reg)
+    assert m.model_type == "tree_ensemble_regressor"
+    assert m.feature_names == ["f_a"]
+    assert m.results_field == "prediction"
+    assert m.predict(np.array([[0.0]]))[0] == 1.5
+    MLModel.delete_model("m1", reg)
+    assert not MLModel.exists_model("m1", reg)
+    MLModel.delete_model("m1", reg)  # missing id: no-op
+
+    cfg = LTRModelConfig(
+        feature_extractors=[
+            QueryFeatureExtractor("f_a", "length(text)"),
+        ]
+    )
+    ltr = MLModel.import_ltr_model(spark, "ltr1", ens, cfg, registry_dir=reg)
+    assert ltr.ltr_config is cfg and MLModel.exists_model("ltr1", reg)
+    clf = Ensemble(
+        feature_names=["f_a"],
+        trees=[Tree(["f_a"], [TreeNode(0, leaf_value=[0.1, 0.9])])],
+        task="multiclass",
+        classification_labels=["no", "yes"],
+    )
+    with pytest.raises(ValueError, match="regression"):
+        MLModel.import_ltr_model(spark, "ltr2", clf, cfg, registry_dir=reg)
