@@ -3084,7 +3084,7 @@ def q_semantic_dedup(spark, sf_dir) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings", "vec_id")
     kept = semantic_dedup(
-        emb, threshold=0.9, n_cells=8, max_iter=0, seed_strategy="first"
+        emb, threshold=0.9, n_cells=48, max_iter=0, seed_strategy="first"
     )
     return (
         kept.to_spark()
@@ -4946,7 +4946,7 @@ def oracle_sql() -> dict[str, str]:
             WITH cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        embedding::DOUBLE[] AS cv
-                FROM embeddings ORDER BY vec_id LIMIT 8
+                FROM embeddings ORDER BY vec_id LIMIT 48
             ), assigned AS (
                 SELECT vec_id, label, v, cell FROM (
                     SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, c.cell,
