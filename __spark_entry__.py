@@ -3480,6 +3480,130 @@ def q_sample_quantile_sketch(spark, sf_dir) -> DataFrame:
     return per.unionByName(glob).orderBy("grp")
 
 
+def q_chunk_chars(spark, sf_dir) -> DataFrame:
+    """Fixed-size overlapping character chunking (the RAG/pre-token
+    split): sequence + posexplode + substring — zero-shuffle map-only
+    projection (operators/chunking.py)."""
+    from eland_spark.operators.chunking import chunk_text
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return chunk_text(docs.to_spark(), size=200, overlap=50)
+
+
+def q_chunk_tokens(spark, sf_dir) -> DataFrame:
+    """Word-window chunking sized for a token budget, with per-chunk
+    whitespace token counts — the 'split for model context' pre-pass."""
+    from eland_spark.operators.chunking import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return chunk_token_windows(docs.to_spark(), max_tokens=40, overlap=8)
+
+
+def q_embedding_covariance(spark, sf_dir) -> DataFrame:
+    """Distributed covariance of the embedding column: one mapInPandas
+    scan reduces each Arrow batch to d(d+1)/2+d+1 moment scalars (numpy
+    X^T X per batch), so the shuffle is O(d^2) regardless of corpus
+    size. DuckDB replays it with covar_samp over the unnested pairs."""
+    from eland_spark.operators.decomposition import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    out = covariance_matrix(emb.to_spark())
+    return out.select(
+        "i", "j", F.round(F.col("cov"), 6).alias("cov")
+    )
+
+
+_RP_DIM, _RP_K, _RP_SEED = 64, 4, 7
+
+
+def q_random_projection(spark, sf_dir) -> DataFrame:
+    """Johnson-Lindenstrauss random projection onto LCG-deterministic
+    rows — the oblivious dimensionality reduction before ANN. Pure
+    Column folds; DuckDB recomputes the identical literals."""
+    from eland_spark.operators.decomposition import (
+        project, random_projection_matrix,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    mat = random_projection_matrix(_RP_DIM, k=_RP_K, seed=_RP_SEED)
+    out = project(emb.to_spark(), mat, out_col="proj")
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("comp_id", "p")
+    ).select("vec_id", "comp_id", F.round("p", 5).alias("p"))
+
+
+def _rp_oracle_sql() -> str:
+    from eland_spark.operators.decomposition import random_projection_matrix
+
+    mat = random_projection_matrix(_RP_DIM, k=_RP_K, seed=_RP_SEED)
+    parts = []
+    for j, row in enumerate(mat):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        parts.append(
+            f"SELECT vec_id, {j} AS comp_id, "
+            f"round(list_dot_product(embedding::DOUBLE[], {lit}), 5) AS p "
+            f"FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_embedding_pca(spark, sf_dir) -> DataFrame:
+    """PCA over the embedding column (distributed moments -> driver
+    eigh of the d x d covariance -> zero-shuffle projection). The
+    eigendecomposition is genuinely non-SQL-expressible, so this entry
+    is rows-only by contract; covariance (the data-sized stage) is
+    hash-checked by embedding_covariance, and tests pin eigenvalues /
+    projections against numpy."""
+    from eland_spark.operators.decomposition import pca, project
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id").to_spark()
+    mean, comps, _ = pca(emb, k=2)
+    out = project(emb, comps, mean=mean, out_col="proj")
+    return out.select(
+        "vec_id",
+        F.round(F.col("proj")[0], 4).alias("p1"),
+        F.round(F.col("proj")[1], 4).alias("p2"),
+    )
+
+
+def q_standardized(spark, sf_dir) -> DataFrame:
+    """Column z-scoring (StandardScaler semantics): one agg pass for
+    the stats, then a zero-shuffle literal projection."""
+    from eland_spark.operators.scaling import standard_scale
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    out = standard_scale(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity_z", 4).alias("qty_z"),
+        F.round("l_extendedprice_z", 4).alias("price_z"),
+    )
+
+
+def q_winsorized(spark, sf_dir) -> DataFrame:
+    """Winsorization at exact [0.05, 0.95] quantiles (linear
+    interpolation — the distributed range-sort percentile operator,
+    same numbers as DuckDB quantile_cont), then clip + summary. The
+    clip bounds land strictly between data points, so the clipped
+    counts are engine-stable integers."""
+    from eland_spark.operators.scaling import winsorize
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    out = winsorize(li, ["l_extendedprice"], 0.05, 0.95)
+    return out.agg(
+        F.sum(
+            (F.col("l_extendedprice") < F.col("l_extendedprice_w")).cast("long")
+        ).alias("n_below"),
+        F.sum(
+            (F.col("l_extendedprice") > F.col("l_extendedprice_w")).cast("long")
+        ).alias("n_above"),
+        F.round(F.avg("l_extendedprice_w"), 4).alias("avg_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3649,6 +3773,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_n": q_sample_exact_n,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "embed_dedup": q_embed_dedup,
+        "chunk_chars": q_chunk_chars,
+        "chunk_tokens": q_chunk_tokens,
+        "embedding_covariance": q_embedding_covariance,
+        "random_projection": q_random_projection,
+        "embedding_pca": q_embedding_pca,
+        "standardized": q_standardized,
+        "winsorized": q_winsorized,
     }
 
 
@@ -5117,5 +5248,60 @@ def oracle_sql() -> dict[str, str]:
                         string_split_regex(trim(lower(text)), '\\s+'),
                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
             FROM f
+        """,
+        "chunk_chars": """
+            SELECT doc_id,
+                   CAST(s // 150 AS BIGINT) AS chunk_id,
+                   substr(text, CAST(s AS INT) + 1, 200) AS chunk,
+                   CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS BIGINT) AS chunk_len
+            FROM documents, UNNEST(range(0, length(text), 150)) AS u(s)
+            WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        "chunk_tokens": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS parts
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), c AS (
+                SELECT doc_id,
+                       CAST(s // 32 AS BIGINT) AS chunk_id,
+                       array_to_string(parts[CAST(s AS INT) + 1 : CAST(s AS INT) + 40], ' ') AS chunk,
+                       CAST(len(parts[CAST(s AS INT) + 1 : CAST(s AS INT) + 40]) AS BIGINT) AS n_tokens
+                FROM w, UNNEST(range(0, len(parts), 32)) AS u(s)
+            )
+            SELECT doc_id, chunk_id, chunk,
+                   CAST(length(chunk) AS BIGINT) AS chunk_len, n_tokens
+            FROM c
+        """,
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round(covar_samp(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        """,
+        "random_projection": _rp_oracle_sql(),
+        "standardized": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   round((l_quantity - avg(l_quantity) OVER ())
+                         / stddev_samp(l_quantity) OVER (), 4) AS qty_z,
+                   round((l_extendedprice - avg(l_extendedprice) OVER ())
+                         / stddev_samp(l_extendedprice) OVER (), 4) AS price_z
+            FROM lineitem
+        """,
+        "winsorized": """
+            WITH b AS (
+                SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem
+            )
+            SELECT count(*) FILTER (WHERE l_extendedprice < lo) AS n_below,
+                   count(*) FILTER (WHERE l_extendedprice > hi) AS n_above,
+                   round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS avg_w
+            FROM lineitem, b
         """,
     }

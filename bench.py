@@ -72,6 +72,9 @@ HEADLINE = [
     "semantic_dedup",
     "url_curation",
     "frame_order_ops",
+    "chunk_tokens",
+    "embedding_covariance",
+    "standardized",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -92,6 +95,8 @@ ROW_HEAVY = {
     "window_running_sum",
     "groupby_ewm",
     "frame_order_ops",
+    "chunk_tokens",
+    "standardized",
 }
 
 

@@ -1,0 +1,113 @@
+"""Column scaling / outlier clipping for feature pipelines.
+
+No reference analog (eland stops at aggregation); these are the
+numeric-feature normalization passes of a training pipeline
+(StandardScaler / MinMaxScaler / RobustScaler / winsorization
+semantics, computed Spark-side).
+
+Scale shape: every scaler is "one aggregate pass for the statistics
+(boundary-row output collected to the driver, like every frame agg)
+followed by a zero-shuffle literal projection" — the projection plan
+carries the fitted constants, so the transform is map-only and
+codegen'd regardless of table size. Quantile-based scalers use the
+exact distributed percentile operator by default with an ``approx=``
+switch for the cheap path (same policy as frame.quantile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+
+def standard_scale(
+    sdf: SparkDataFrame, cols: list[str], ddof: int = 1, suffix: str = "_z"
+) -> SparkDataFrame:
+    """z-score each column: (x - mean) / std. Constant columns (std 0
+    or null) scale to 0.0 like sklearn. Adds ``col + suffix``."""
+    std = F.stddev_samp if ddof else F.stddev_pop
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"__m_{c}"), std(c).alias(f"__s_{c}")]
+    stats = sdf.agg(*aggs).collect()[0]
+    out = sdf
+    for c in cols:
+        m, s = stats[f"__m_{c}"], stats[f"__s_{c}"]
+        if s is None or s == 0.0:
+            expr = F.when(F.col(c).isNotNull(), F.lit(0.0))
+        else:
+            expr = (F.col(c) - F.lit(float(m))) / F.lit(float(s))
+        out = out.withColumn(c + suffix, expr.cast("double"))
+    return out
+
+
+def minmax_scale(
+    sdf: SparkDataFrame, cols: list[str], suffix: str = "_mm"
+) -> SparkDataFrame:
+    """Scale each column to [0, 1]: (x - min) / (max - min); constant
+    columns map to 0.0 (sklearn convention)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = sdf.agg(*aggs).collect()[0]
+    out = sdf
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None or hi == lo:
+            expr = F.when(F.col(c).isNotNull(), F.lit(0.0))
+        else:
+            expr = (F.col(c) - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        out = out.withColumn(c + suffix, expr.cast("double"))
+    return out
+
+
+def _quantiles(
+    sdf: SparkDataFrame, col: str, qs: list[float], approx: bool
+) -> list[float]:
+    if approx:
+        return [float(v) for v in sdf.stat.approxQuantile(col, qs, 1e-4)]
+    from .percentiles import exact_percentiles
+
+    return [float(v) for v in exact_percentiles(sdf, col, qs)]
+
+
+def winsorize(
+    sdf: SparkDataFrame,
+    cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    approx: bool = False,
+    suffix: str = "_w",
+) -> SparkDataFrame:
+    """Clip each column at its [lower, upper] quantiles (linear
+    interpolation, matching pandas/DuckDB quantile_cont). The classic
+    heavy-tail guard before scaling; exact quantiles by default via the
+    range-sort percentile operator (no single-reducer value map)."""
+    out = sdf
+    for c in cols:
+        lo, hi = _quantiles(sdf, c, [lower, upper], approx)
+        out = out.withColumn(
+            c + suffix,
+            F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi)),
+        )
+    return out
+
+
+def robust_scale(
+    sdf: SparkDataFrame,
+    cols: list[str],
+    approx: bool = False,
+    suffix: str = "_r",
+) -> SparkDataFrame:
+    """(x - median) / IQR — outlier-insensitive z-score (sklearn
+    RobustScaler). Zero-IQR columns scale to 0.0."""
+    out = sdf
+    for c in cols:
+        q1, med, q3 = _quantiles(sdf, c, [0.25, 0.5, 0.75], approx)
+        iqr = q3 - q1
+        if iqr == 0:
+            expr = F.when(F.col(c).isNotNull(), F.lit(0.0))
+        else:
+            expr = (F.col(c) - F.lit(med)) / F.lit(iqr)
+        out = out.withColumn(c + suffix, expr.cast("double"))
+    return out
