@@ -3604,6 +3604,112 @@ def q_winsorized(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_cross_near_dup(spark, sf_dir) -> DataFrame:
+    """Cross-corpus NEAR-dup decontamination (fuzzy eval-leakage gate):
+    corpus = sources != src0, reference = src0; banded MinHash join
+    with the reference side broadcast, md5-portable hash family so
+    DuckDB replays the identical signatures."""
+    from eland_spark.operators.dedup import cross_near_dup_flags
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    corpus = docs[docs.source != "src0"]
+    ref = docs[docs.source == "src0"].to_spark()
+    out = cross_near_dup_flags(
+        corpus, ref, "text", "doc_id", threshold=0.5, portable=True
+    )
+    return out.select(
+        "doc_id",
+        "n_near_matches",
+        F.round("max_est_jaccard", 6).alias("max_est_jaccard"),
+        "contaminated",
+    )
+
+
+def _cross_near_dup_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for q_cross_near_dup: the portable-md5 MinHash
+    pipeline (same LCG constants as _minhash_cand_ctes) run over the
+    corpus (source <> 'src0') and reference (source = 'src0') halves,
+    banded buckets joined across the two, per-pair signature agreement
+    thresholded, then aggregated to per-corpus-doc flags."""
+    from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    p = MINHASH_PRIME
+    params = minhash_params(num_hashes, seed=42)
+    rpb = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * hv + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def side(sfx: str, where: str) -> str:
+        bandrows = "\n            UNION ALL ".join(
+            "SELECT doc_id, {b} AS b, {key} AS key FROM sig{sfx}".format(
+                b=b,
+                sfx=sfx,
+                key=" || ',' || ".join(
+                    f"m{i}" for i in range(b * rpb, (b + 1) * rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""toks{sfx} AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents WHERE {where}
+        ), sh{sfx} AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM toks{sfx}
+        ), e{sfx} AS (
+            SELECT doc_id, unnest(ss) AS s FROM sh{sfx}
+        ), h{sfx} AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p} AS hv
+            FROM e{sfx}
+        ), sig{sfx} AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h{sfx} GROUP BY doc_id
+        ), bandrows{sfx} AS (
+            {bandrows}
+        )"""
+
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = bb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH {side('_c', "source <> 'src0'")}, {side('_r', "source = 'src0'")},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_c, r.doc_id AS id_r
+            FROM bandrows_c l JOIN bandrows_r r
+              ON l.b = r.b AND l.key = r.key
+        ), matched AS (
+            SELECT c.id_c,
+                   count(*) AS n_near_matches,
+                   max(({matches}) / {float(num_hashes)}) AS max_est
+            FROM cand c
+            JOIN sig_c a ON a.doc_id = c.id_c
+            JOIN sig_r bb ON bb.doc_id = c.id_r
+            WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+            GROUP BY c.id_c
+        )
+        SELECT d.doc_id,
+               COALESCE(m.n_near_matches, 0) AS n_near_matches,
+               round(COALESCE(m.max_est, 0.0), 6) AS max_est_jaccard,
+               m.n_near_matches IS NOT NULL AS contaminated
+        FROM documents d LEFT JOIN matched m ON m.id_c = d.doc_id
+        WHERE d.source <> 'src0'
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3780,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "standardized": q_standardized,
         "winsorized": q_winsorized,
+        "cross_near_dup": q_cross_near_dup,
     }
 
 
@@ -5304,4 +5411,5 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(least(greatest(l_extendedprice, lo), hi)), 4) AS avg_w
             FROM lineitem, b
         """,
+        "cross_near_dup": _cross_near_dup_oracle_sql(),
     }

@@ -258,6 +258,105 @@ def contamination_flags(
     )
 
 
+def cross_near_dup_flags(
+    df: "DataFrame",
+    reference,
+    text_col: str,
+    id_col: str,
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    portable: bool = False,
+):
+    """Cross-corpus NEAR-duplicate decontamination: flag every corpus
+    document whose MinHash-estimated Jaccard against ANY reference
+    (benchmark/eval) document reaches ``threshold``. The fuzzy
+    complement of ``contamination_flags`` (which needs an exact shared
+    shingle): paraphrased or lightly-edited eval leakage still trips
+    the banded signature match.
+
+    Returns a Spark DataFrame (``id_col``, n_near_matches,
+    max_est_jaccard, contaminated) covering every corpus id.
+
+    Scale shape: both corpora are signed independently (one shuffle on
+    their own ids — the corpus is never shuffled by shingle); the
+    banded reference table (eval sets are tiny next to a training
+    corpus) is BROADCAST into the bucket join, so the corpus side
+    streams map-only through candidate generation; candidate pairs
+    carry only ids, signatures re-attach from the checkpointed sig
+    tables, and the final flag is one hash aggregation on the corpus
+    id. ``portable=True`` switches both corpora to the md5 hash family
+    so a SQL oracle replays the exact signatures.
+    """
+    rpb = num_hashes // bands
+    schema = df._schema
+    text = F.col(schema.resolve(text_col))
+    idc = F.col(schema.resolve(id_col))
+    rsdf = reference.to_spark() if hasattr(reference, "to_spark") else reference
+    rtext = F.col(ref_text_col or text_col)
+    ridc = F.col(ref_id_col or id_col)
+
+    sig_c = minhash_signatures(
+        df._sdf, text, idc, k, num_hashes, portable=portable
+    ).localCheckpoint(eager=False)
+    sig_r = minhash_signatures(
+        rsdf, rtext, ridc, k, num_hashes, portable=portable
+    ).localCheckpoint(eager=False)
+
+    band_c = sig_c.select(
+        F.col("__id__").alias("id_c"),
+        F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__"),
+    )
+    band_r = sig_r.select(
+        F.col("__id__").alias("id_r"),
+        F.explode(lsh_band_keys(F.col("__sig__"), bands, rpb)).alias("__bucket__"),
+    )
+    pairs = (
+        band_c.join(F.broadcast(band_r), "__bucket__")
+        .select("id_c", "id_r")
+        .distinct()
+    )
+    sa = sig_c.select(F.col("__id__").alias("id_c"), F.col("__sig__").alias("__sig_c__"))
+    sb = sig_r.select(F.col("__id__").alias("id_r"), F.col("__sig__").alias("__sig_r__"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sig_c__"), F.col("__sig_r__"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    matched = (
+        pairs.join(sa, "id_c")
+        .join(F.broadcast(sb), "id_r")
+        .select("id_c", "id_r", est.alias("__est__"))
+        .filter(F.col("__est__") >= threshold)
+        .groupBy("id_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_near_matches"),
+            F.max("__est__").alias("max_est_jaccard"),
+        )
+    )
+    return (
+        df._sdf.select(idc.alias("id_c"))
+        .join(matched, "id_c", "left")
+        .select(
+            F.col("id_c").alias(id_col),
+            F.coalesce(F.col("n_near_matches"), F.lit(0)).cast("long").alias(
+                "n_near_matches"
+            ),
+            F.coalesce(F.col("max_est_jaccard"), F.lit(0.0)).alias(
+                "max_est_jaccard"
+            ),
+            (F.col("n_near_matches").isNotNull()).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text shingling / normalization helpers (pure Column expressions)
 # ---------------------------------------------------------------------------
