@@ -99,16 +99,27 @@ def test_ivf_quantized_topk_recall(spark):
             assert abs(r["cos"] - em[r["id"]]) < 1e-9
 
 
-def test_ivf_index_highdim_path_matches_wide_agg(spark, sf_dir):
-    """The posexplode (high-dim) Lloyd path must produce the exact
-    same centroids as the wide-agg path — only the aggregation layout
-    differs (sum columns vs (cell, dim_idx) rows)."""
+def test_ivf_index_lloyd_matches_local_numpy(spark, sf_dir):
+    """The Arrow-partial-reduce Lloyd path must reproduce a local
+    single-process numpy Lloyd run (same seeds, same subtract-square
+    assignment, same mean update) to float tolerance."""
+    import numpy as np
+
     import eland_spark as es
     from eland_spark.operators.similarity import ivf_index
 
     emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
-    wide = ivf_index(emb, n_cells=4, max_iter=2, wide_agg_max_dim=256)
-    tall = ivf_index(emb, n_cells=4, max_iter=2, wide_agg_max_dim=1)
-    assert len(wide) == len(tall)
-    for cw, ct in zip(wide, tall):
-        assert cw == pytest.approx(ct, rel=1e-12)
+    got = ivf_index(emb, n_cells=4, max_iter=2, seed_strategy="first")
+
+    rows = (
+        emb.to_spark().select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    X = np.stack([r.embedding for r in rows]).astype(np.float64)
+    C = X[:4].copy()
+    for _ in range(2):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        cells = d.argmin(axis=1)
+        for c in range(4):
+            if (cells == c).any():
+                C[c] = X[cells == c].mean(axis=0)
+    assert np.allclose(np.asarray(got), C, atol=1e-9)
