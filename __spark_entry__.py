@@ -3710,6 +3710,29 @@ def _cross_near_dup_oracle_sql(
     """
 
 
+def q_freq_tokens(spark, sf_dir) -> DataFrame:
+    """Misra-Gries heavy-hitter sketches: per-language token sketches
+    (capped counter summaries per Arrow batch -> bounded shuffle no
+    matter the vocabulary size) plus a lossless global rollup. The
+    fixture vocabulary fits the k=64 counters, so the sketch is EXACT
+    and a plain GROUP BY replays it (the same exact-below-capacity
+    oracle contract as the KMV sketch)."""
+    from eland_spark.operators.sketches import mg_items, mg_rollup, mg_sketches
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    sk = mg_sketches(toks, "tok", ["lang"], k=64)
+    per = mg_items(sk, ["lang"]).select(
+        F.col("lang").alias("grp"), "item", "cnt"
+    )
+    glob = mg_items(mg_rollup(sk, [], k=64), []).select(
+        F.lit("ALL").alias("grp"), "item", "cnt"
+    )
+    return per.unionByName(glob)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3887,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized": q_standardized,
         "winsorized": q_winsorized,
         "cross_near_dup": q_cross_near_dup,
+        "freq_tokens": q_freq_tokens,
     }
 
 
@@ -5412,4 +5436,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, b
         """,
         "cross_near_dup": _cross_near_dup_oracle_sql(),
+        "freq_tokens": """
+            WITH t AS (
+                SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), f AS (SELECT lang, tok FROM t WHERE length(tok) > 0)
+            SELECT lang AS grp, tok AS item, count(*) AS cnt
+            FROM f GROUP BY lang, tok
+            UNION ALL
+            SELECT 'ALL' AS grp, tok AS item, count(*) AS cnt
+            FROM f GROUP BY tok
+        """,
     }

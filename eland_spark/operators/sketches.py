@@ -26,6 +26,10 @@ __all__ = [
     "sample_sketches",
     "sample_rollup",
     "quantile_from_sample",
+    "mg_partials",
+    "mg_sketches",
+    "mg_rollup",
+    "mg_items",
 ]
 
 
@@ -203,3 +207,139 @@ def quantile_from_sample(sample_col, q: float) -> "F.Column":
     n = F.size(vals)
     idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n).cast("int"))
     return F.when(n > 0, F.element_at(vals, idx))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent-items (heavy hitters) sketches
+# ---------------------------------------------------------------------------
+
+def mg_partials(
+    sdf: DataFrame, value_col: str, by: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries as (by..., item, cnt) rows,
+    at most ``k`` items per (partition-batch, group).
+
+    Each Arrow batch counts its items per group and MG-compresses to k
+    counters (subtract the (k+1)-th largest from all, drop non-positive)
+    — so the shuffle carries <= batches * groups * k tiny rows no matter
+    how many DISTINCT items the raw data holds. That bound is the whole
+    point vs a plain groupBy(item): a 100 TB corpus with billions of
+    distinct tokens still shuffles only the capped summaries.
+    """
+    by = list(by)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.name in by
+    )
+    out_schema = (fields + ", " if fields else "") + "item string, cnt long"
+
+    def emit(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            g = (
+                pdf.groupby(by, dropna=False)[value_col].value_counts()
+                if by
+                else pdf[value_col].value_counts()
+            )
+            out = g.rename("cnt").reset_index()
+            out = out.rename(columns={value_col: "item"})
+            if by:
+                # MG-compress each group's counter set to k entries
+                def compress(grp):
+                    if len(grp) <= k:
+                        return grp
+                    grp = grp.sort_values("cnt", ascending=False)
+                    delta = grp["cnt"].iloc[k]
+                    kept = grp.iloc[:k].copy()
+                    kept["cnt"] = kept["cnt"] - delta
+                    return kept[kept["cnt"] > 0]
+
+                out = (
+                    out.groupby(by, dropna=False, group_keys=False)
+                    .apply(compress)
+                    .reset_index(drop=True)
+                )
+            elif len(out) > k:
+                out = out.sort_values("cnt", ascending=False)
+                delta = out["cnt"].iloc[k]
+                out = out.iloc[:k].copy()
+                out["cnt"] = out["cnt"] - delta
+                out = out[out["cnt"] > 0]
+            out["item"] = out["item"].astype(str)
+            yield out[by + ["item", "cnt"]]
+
+    return sdf.select(*by, value_col).mapInPandas(emit, schema=out_schema)
+
+
+def _mg_compress(rows: DataFrame, by: Sequence[str], k: int) -> DataFrame:
+    """Merge (by..., item, cnt) partial rows and MG-compress per group:
+    sum per item, subtract the (k+1)-th largest sum, keep positive.
+    Both shuffles are bounded by the partial-row count, not the data."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    merged = rows.groupBy(*by, "item").agg(F.sum("cnt").alias("cnt"))
+    w = (
+        Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    )
+    ordered = w.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    ranked = merged.withColumn("__rn__", F.row_number().over(ordered))
+    delta = F.max(
+        F.when(F.col("__rn__") == k + 1, F.col("cnt")).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        ranked.withColumn("__cnt__", F.col("cnt") - delta)
+        .filter((F.col("__rn__") <= k) & (F.col("__cnt__") > 0))
+        .select(*by, "item", F.col("__cnt__").alias("cnt"))
+    )
+
+
+def mg_sketches(
+    sdf: DataFrame, value_col: str, by: Sequence[str], k: int = 64
+) -> DataFrame:
+    """One Misra-Gries sketch per group: ``mg`` = map<item, count lower
+    bound> with <= k entries. EXACT counts whenever the group has <= k
+    distinct items (no compression ever subtracts); otherwise each
+    stored count undercounts by at most n_group / (k+1) per merge
+    level, and any item with true frequency > n/(k+1) is guaranteed
+    present (the classic heavy-hitter contract)."""
+    by = list(by)
+    rows = _mg_compress(mg_partials(sdf, value_col, by, k), by, k)
+    pair = F.struct(F.col("item"), F.col("cnt"))
+    agg = F.map_from_entries(F.array_sort(F.collect_list(pair))).alias("mg")
+    if by:
+        return rows.groupBy(*by).agg(agg)
+    return rows.agg(agg)
+
+
+def mg_rollup(
+    sketches: DataFrame,
+    by: Sequence[str],
+    k: int = 64,
+    mg_col: str = "mg",
+) -> DataFrame:
+    """Merge MG sketches to a coarser grouping (global when ``by``
+    empty): explode the maps, sum per item, re-compress — identical
+    guarantees as sketching the union, no raw-data rescan."""
+    by = list(by)
+    rows = sketches.select(
+        *by, F.explode(F.col(mg_col)).alias("item", "cnt")
+    )
+    merged = _mg_compress(rows, by, k)
+    pair = F.struct(F.col("item"), F.col("cnt"))
+    agg = F.map_from_entries(F.array_sort(F.collect_list(pair))).alias(mg_col)
+    if by:
+        return merged.groupBy(*by).agg(agg)
+    return merged.agg(agg)
+
+
+def mg_items(sketches: DataFrame, by: Sequence[str], mg_col: str = "mg") -> DataFrame:
+    """Explode sketches to (by..., item, cnt) rows — the queryable
+    heavy-hitter table."""
+    return sketches.select(
+        *list(by), F.explode(F.col(mg_col)).alias("item", "cnt")
+    )
