@@ -3733,6 +3733,54 @@ def q_freq_tokens(spark, sf_dir) -> DataFrame:
     return per.unionByName(glob)
 
 
+def q_geo_query(spark, sf_dir) -> DataFrame:
+    """ES geo queries (geo_distance haversine + geo_bounding_box)
+    compiled to pushdown-eligible Column predicates. The geo_point
+    struct is derived deterministically from c_custkey (integer
+    arithmetic — bit-identical in any engine); the oracle replays the
+    identical haversine."""
+    cust = _t(spark, sf_dir, "customer", "c_custkey")
+    sdf = cust.to_spark().withColumn(
+        "point",
+        F.struct(
+            ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        ),
+    )
+    from eland_spark.frame import DataFrame as EDF
+
+    f = EDF(sdf, index_cols=("c_custkey",)).es_query(
+        {
+            "bool": {
+                "must": [
+                    {
+                        "geo_distance": {
+                            "distance": "5000km",
+                            "point": {"lat": 10.0, "lon": 20.0},
+                        }
+                    }
+                ],
+                "must_not": [
+                    {
+                        "geo_bounding_box": {
+                            "point": {
+                                "top_left": {"lat": 45.0, "lon": -10.0},
+                                "bottom_right": {"lat": -45.0, "lon": 60.0},
+                            }
+                        }
+                    }
+                ],
+            }
+        }
+    )
+    out = f.to_spark()
+    return out.select(
+        "c_custkey",
+        F.round(F.col("point.lat"), 2).alias("lat"),
+        F.round(F.col("point.lon"), 2).alias("lon"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3911,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized": q_winsorized,
         "cross_near_dup": q_cross_near_dup,
         "freq_tokens": q_freq_tokens,
+        "geo_query": q_geo_query,
     }
 
 
@@ -5446,5 +5495,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ALL' AS grp, tok AS item, count(*) AS cnt
             FROM f GROUP BY tok
+        """,
+        "geo_query": """
+            WITH p AS (
+                SELECT c_custkey,
+                       (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+                       (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+                FROM customer
+            )
+            SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
+            FROM p
+            WHERE 2.0 * 6371008.7714 * asin(sqrt(
+                      sin(radians(10.0 - lat) / 2) ^ 2
+                      + cos(radians(lat)) * cos(radians(10.0))
+                        * sin(radians(20.0 - lon) / 2) ^ 2
+                  )) <= 5000000.0
+              AND NOT (lat <= 45.0 AND lat >= -45.0
+                       AND lon >= -10.0 AND lon <= 60.0)
         """,
     }

@@ -500,4 +500,66 @@ def compile_es_dsl(
             return _nn(F.lower(c).rlike(pattern.lower()))
         return _nn(_match_tokens(c, text, fuzziness))
 
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "1500km", "<field>": {"lat": .., "lon": ..}}}
+        # The geo_point field is a struct<lat double, lon double> column
+        # (the engine's geo representation; ES stores an opaque point).
+        # Haversine on the ES mean earth radius — a pure arithmetic
+        # Column, pushdown-eligible like every other leaf.
+        spec = dict(body)
+        dist_m = _parse_distance(spec.pop("distance"))
+        field, origin = _one(spec)
+        c = F.col(resolve(field))
+        d = _haversine_m(
+            c.getField("lat"), c.getField("lon"),
+            F.lit(float(origin["lat"])), F.lit(float(origin["lon"])),
+        )
+        return _nn(d <= F.lit(dist_m))
+
+    if kind == "geo_bounding_box":
+        # {"geo_bounding_box": {"<field>": {"top_left": {...}, "bottom_right": {...}}}}
+        # (no dateline wrap: left <= right assumed, like a plain range)
+        field, spec = _one(body)
+        tl, br = spec["top_left"], spec["bottom_right"]
+        c = F.col(resolve(field))
+        lat, lon = c.getField("lat"), c.getField("lon")
+        return _nn(
+            (lat <= F.lit(float(tl["lat"])))
+            & (lat >= F.lit(float(br["lat"])))
+            & (lon >= F.lit(float(tl["lon"])))
+            & (lon <= F.lit(float(br["lon"])))
+        )
+
     raise ValueError(f"unsupported ES query kind {kind!r}")
+
+
+_EARTH_RADIUS_M = 6371008.7714  # ES GeoUtils.EARTH_MEAN_RADIUS
+
+
+_DIST_UNITS_M = {
+    "mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+    "in": 0.0254, "ft": 0.3048, "yd": 0.9144, "mi": 1609.344,
+    "nmi": 1852.0, "nm": 1852.0,
+}
+
+
+def _parse_distance(s) -> float:
+    """ES distance string ('1500km', '2.5mi', bare meters) -> meters."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    m = re.fullmatch(r"\s*([0-9.]+)\s*([a-zA-Z]*)\s*", str(s))
+    if not m:
+        raise ValueError(f"unparsable distance {s!r}")
+    val, unit = float(m.group(1)), (m.group(2) or "m").lower()
+    if unit not in _DIST_UNITS_M:
+        raise ValueError(f"unsupported distance unit {unit!r}")
+    return val * _DIST_UNITS_M[unit]
+
+
+def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine, double precision)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2
+    dl = F.radians(lon2 - lon1) / 2
+    a = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))

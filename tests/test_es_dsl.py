@@ -314,3 +314,44 @@ def test_to_view_sql_bridge(cust, cust_pd):
     g = es.sql(spark, "SELECT * FROM cust_dsl_v WHERE c_acctbal > 9000", index_col="c_custkey")
     assert g.index_cols == ("c_custkey",)
     assert g.shape[0] == int((cust_pd.c_acctbal > 9000).sum())
+
+
+def test_geo_distance_and_bbox(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.functions.es_dsl import _parse_distance
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "lat": [0.0, 0.5, 40.0],
+            "lon": [0.0, 0.5, 100.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "point", F.struct(F.col("lat"), F.col("lon"))
+    )
+    f = EDF(sdf, index_cols=("id",))
+    near = f.es_query(
+        {"geo_distance": {"distance": "100km", "point": {"lat": 0.0, "lon": 0.0}}}
+    )
+    assert sorted(r.id for r in near.to_spark().collect()) == [1, 2]
+    box = f.es_query(
+        {
+            "geo_bounding_box": {
+                "point": {
+                    "top_left": {"lat": 1.0, "lon": -1.0},
+                    "bottom_right": {"lat": -1.0, "lon": 1.0},
+                }
+            }
+        }
+    )
+    assert sorted(r.id for r in box.to_spark().collect()) == [1, 2]
+    # distance unit parsing
+    assert _parse_distance("1km") == 1000.0
+    assert _parse_distance("2.5mi") == 2.5 * 1609.344
+    assert _parse_distance(500) == 500.0
+    with pytest.raises(ValueError, match="unit"):
+        _parse_distance("3parsecs")
