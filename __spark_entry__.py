@@ -3781,6 +3781,34 @@ def q_geo_query(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark, sf_dir) -> DataFrame:
+    """Interval-interval overlap join (the interval twin of range_join):
+    both sides bucketized by the max span, equi-join on the bucket id,
+    responsibility rule keeps each pair exactly once — no nested-loop
+    join (operators/range_join.interval_overlap_join). Click windows
+    vs view windows, 30 minutes each."""
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.operators.range_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+
+    def side(t):
+        return EDF(
+            ev.where(F.col("event_type") == t).select(
+                "event_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+            ),
+            index_cols=("event_id",),
+        )
+
+    out = interval_overlap_join(side("click"), side("view"), "s", "e", "s", "e")
+    return out.to_spark().select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("view_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3960,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_near_dup": q_cross_near_dup,
         "freq_tokens": q_freq_tokens,
         "geo_query": q_geo_query,
+        "interval_overlap": q_interval_overlap,
     }
 
 
@@ -5512,5 +5541,16 @@ def oracle_sql() -> dict[str, str]:
                   )) <= 5000000.0
               AND NOT (lat <= 45.0 AND lat >= -45.0
                        AND lon >= -10.0 AND lon <= 60.0)
+        """,
+        "interval_overlap": """
+            WITH c AS (
+                SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'click'
+            ), v AS (
+                SELECT event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.event_id AS click_id, v.event_id AS view_id
+            FROM c JOIN v ON c.s <= v.e AND v.s <= c.e
         """,
     }
