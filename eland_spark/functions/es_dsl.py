@@ -500,6 +500,49 @@ def compile_es_dsl(
             return _nn(F.lower(c).rlike(pattern.lower()))
         return _nn(_match_tokens(c, text, fuzziness))
 
+    if kind == "more_like_this":
+        # {"more_like_this": {"fields": [...], "like": "text...",
+        #   "max_query_terms": 25, "minimum_should_match": "30%",
+        #   "min_word_length": 0}}
+        # ES selects the like-text's most significant terms (TF-IDF
+        # inside ES) and matches docs sharing enough of them; without
+        # server-side corpus stats the relational analog takes the
+        # like-text's distinct terms (first-seen order, length-filtered,
+        # capped) and counts word-boundary hits across the fields.
+        fields = list(body.get("fields") or [])
+        if not fields:
+            raise ValueError("more_like_this requires fields")
+        like = body.get("like")
+        texts = like if isinstance(like, list) else [like]
+        min_len = int(body.get("min_word_length", 0) or 0)
+        cap = int(body.get("max_query_terms", 25))
+        seen: list[str] = []
+        for t in texts:
+            for w in re.findall(r"[0-9a-zA-Z_]+", str(t).lower()):
+                if len(w) >= min_len and w not in seen:
+                    seen.append(w)
+        terms = seen[:cap]
+        if not terms:
+            return F.lit(False)
+        msm_raw = body.get("minimum_should_match", "30%")
+        if isinstance(msm_raw, str) and msm_raw.endswith("%"):
+            msm = int(len(terms) * float(msm_raw[:-1]) / 100.0)  # ES rounds down
+            msm = max(1, msm)
+        else:
+            msm = int(msm_raw)
+        cols = [F.lower(F.col(resolve(f))) for f in fields]
+        hits = []
+        for t in terms:
+            pat = r"\b" + re.escape(t) + r"\b"
+            h = cols[0].rlike(pat)
+            for c in cols[1:]:
+                h = h | c.rlike(pat)
+            hits.append(F.when(h, 1).otherwise(0))
+        total = hits[0]
+        for h in hits[1:]:
+            total = total + h
+        return _nn(total >= F.lit(msm))
+
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "1500km", "<field>": {"lat": .., "lon": ..}}}
         # The geo_point field is a struct<lat double, lon double> column

@@ -271,20 +271,32 @@ def ewm_mean_grouped(
     tol: float = 1e-16,
     max_kernel: int = 1024,
     out_col: str | None = None,
+    engine: str = "auto",
 ) -> "DataFrame":
     """Per-group exponentially weighted mean in index order (pandas
     ``groupby().ewm().mean()``, adjust=True, ignore_na=False).
 
-    Scale shape: the infinite recursion is truncated at the kernel
-    width where weights fall below ``tol`` (exact to double precision),
-    turning it into a bounded-lookback keyed window — ONE hash shuffle
-    on the group keys, everything JVM-side. If the decay is so slow the
-    kernel exceeds ``max_kernel`` rows, falls back to an Arrow
-    applyInPandas pass (pandas' own C kernel per group) — same result,
-    Python boundary crossed once per group.
+    Both engines pay the SAME one hash shuffle on the group keys and
+    both are sequential within a group (the recursion is), so the
+    choice is pure per-row cost:
 
+    - ``'arrow'``: applyInPandas with pandas' C ewm kernel per group —
+      O(1) per row, one Python boundary per group. The default for any
+      real kernel width (alpha=0.5/W=54 on 150k rows: 0.3s vs 11s for
+      the window engine — collect_list re-materializes the W-row frame
+      per row and the HOF folds are interpreted, so the window engine
+      is O(W) per row at interpreter speed).
+    - ``'window'``: bounded-lookback keyed window of JVM higher-order
+      folds over the ``tol``-truncated kernel — zero Python; wins only
+      for very fast decays (tiny W) or huge numbers of tiny groups
+      (where per-group pandas overhead dominates). ``'auto'`` picks it
+      when W <= 8.
+
+    Decays so slow the kernel exceeds ``max_kernel`` always use arrow.
     No reference analog (ES has no ewm agg); pandas surface only.
     """
+    if engine not in ("auto", "window", "arrow"):
+        raise ValueError(f"engine must be auto|window|arrow, got {engine!r}")
     from ..frame import DataFrame as EDF
     from ..schema import Field
     from pyspark.sql import types as T
@@ -301,7 +313,8 @@ def ewm_mean_grouped(
         [out_col] if (out_col and len(cols) == 1) else [f"{c}_ewm" for c in cols]
     )
     W = ewm_kernel_width(a, tol)
-    if W <= max_kernel:
+    use_window = engine == "window" or (engine == "auto" and W <= 8)
+    if use_window and W <= max_kernel:
         w = Window.partitionBy(
             *[F.col(schema.resolve(b)) for b in by]
         ).orderBy(*[F.col(schema.resolve_any(c)).asc() for c in icols]).rowsBetween(
