@@ -3809,6 +3809,45 @@ def q_interval_overlap(spark, sf_dir) -> DataFrame:
     )
 
 
+_MLT_LIKE = "spark shuffle partition broadcast join window aggregate"
+_MLT_MSM = "40%"
+
+
+def q_more_like_this(spark, sf_dir) -> DataFrame:
+    """ES more_like_this analog: the like-text's distinct terms matched
+    word-boundary across fields, doc kept when >= minimum_should_match
+    terms hit (percentage rounds down like ES). Pure Column predicate."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    hit = docs.es_query(
+        {
+            "more_like_this": {
+                "fields": ["text"],
+                "like": _MLT_LIKE,
+                "minimum_should_match": _MLT_MSM,
+            }
+        }
+    )
+    return hit[["doc_id", "lang"]].to_spark()
+
+
+def _mlt_oracle_sql() -> str:
+    import re as _re
+
+    terms = []
+    for w in _re.findall(r"[0-9a-zA-Z_]+", _MLT_LIKE.lower()):
+        if w not in terms:
+            terms.append(w)
+    msm = max(1, int(len(terms) * 40 / 100.0))
+    hits = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{t}\\b') THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ({hits}) >= {msm}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3989,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_tokens": q_freq_tokens,
         "geo_query": q_geo_query,
         "interval_overlap": q_interval_overlap,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -5553,4 +5593,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.event_id AS click_id, v.event_id AS view_id
             FROM c JOIN v ON c.s <= v.e AND v.s <= c.e
         """,
+        "more_like_this": _mlt_oracle_sql(),
     }

@@ -355,3 +355,45 @@ def test_geo_distance_and_bbox(spark):
     assert _parse_distance(500) == 500.0
     with pytest.raises(ValueError, match="unit"):
         _parse_distance("3parsecs")
+
+
+def test_more_like_this(spark):
+    import pandas as pd
+
+    from eland_spark.frame import DataFrame as EDF
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "text": [
+                "spark shuffle join window",
+                "spark only here",
+                "nothing relevant at all",
+            ],
+        }
+    )
+    f = EDF(spark.createDataFrame(pdf), index_cols=("id",))
+    # like-text has 4 distinct terms; 50% -> need 2 hits
+    got = f.es_query(
+        {
+            "more_like_this": {
+                "fields": ["text"],
+                "like": "spark shuffle broadcast aggregate",
+                "minimum_should_match": "50%",
+            }
+        }
+    )
+    assert sorted(r.id for r in got.to_spark().collect()) == [1]
+    # integer msm and max_query_terms cap
+    got2 = f.es_query(
+        {
+            "more_like_this": {
+                "fields": ["text"],
+                "like": "spark shuffle",
+                "minimum_should_match": 1,
+            }
+        }
+    )
+    assert sorted(r.id for r in got2.to_spark().collect()) == [1, 2]
+    with pytest.raises(ValueError, match="fields"):
+        f.es_query({"more_like_this": {"like": "x"}})
