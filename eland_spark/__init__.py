@@ -43,10 +43,21 @@ def sql(spark, query: str, index_col=None):
     )
     return _DF(sdf, index_cols=tuple(c for c in idx if c in sdf.columns))
 
+# migration aliases — the reference's module-level entry points
+# (eland/__init__.py: pandas_to_eland / eland_to_pandas / csv_to_eland)
+# keep their names so reference call sites only swap the client arg
+# for (spark, path)
+pandas_to_eland = pandas_to_spark
+eland_to_pandas = spark_to_pandas
+csv_to_eland = csv_to_spark
+
 __version__ = "0.1.0"
 
 __all__ = [
     "concat",
+    "pandas_to_eland",
+    "eland_to_pandas",
+    "csv_to_eland",
     "sql",
     "Index",
     "DataFrame",

@@ -89,6 +89,12 @@ class DataFrameGroupBy:
         return pdf
 
     # -- public agg methods (reference eland/groupby.py:47-699) ---------
+    def aggregate(
+        self, funcs=None, numeric_only: bool | None = None, **named
+    ) -> pd.DataFrame:
+        """Alias of :meth:`agg` (reference eland/groupby.py aggregate)."""
+        return self.agg(funcs, numeric_only=numeric_only, **named)
+
     def agg(
         self, funcs=None, numeric_only: bool | None = None, **named
     ) -> pd.DataFrame:
