@@ -75,6 +75,9 @@ HEADLINE = [
     "chunk_tokens",
     "embedding_covariance",
     "standardized",
+    "cross_near_dup",
+    "freq_tokens",
+    "interval_overlap",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -97,6 +100,7 @@ ROW_HEAVY = {
     "frame_order_ops",
     "chunk_tokens",
     "standardized",
+    "interval_overlap",
 }
 
 

@@ -564,3 +564,26 @@ def test_continuous_aggregate_matches_batch(spark, sf_dir, tmp_path):
     n_rows = compact_rollup(spark, path, ["event_type"], k=4096)
     assert n_rows > 0
     check()  # identical answers after compaction
+
+
+def test_stream_chunking_matches_batch(spark, sf_dir):
+    """chunk_text is a stateless projection, so it runs unchanged on a
+    stream (append mode, zero state store) — the at-ingest half of the
+    chunk -> pack pipeline."""
+    from eland_spark.operators.chunking import chunk_text
+    from eland_spark.streaming import read_events_stream, stream_to_memory
+
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    chunks = chunk_text(sdocs, size=200, overlap=50)
+    stream_to_memory(chunks, "stream_chunks_test", "append", 120)
+    got = spark.sql(
+        "SELECT doc_id, chunk_id, chunk FROM stream_chunks_test"
+    ).toPandas()
+
+    batch = chunk_text(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), size=200, overlap=50
+    ).toPandas()
+    key = ["doc_id", "chunk_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch[["doc_id", "chunk_id", "chunk"]].sort_values(key).reset_index(drop=True)
+    assert got.equals(batch) and len(got) > 0
