@@ -3809,6 +3809,57 @@ def q_interval_overlap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Quality-keep near-dup dedup: cluster near-duplicates, keep the
+    LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
+    DuckDB replays pairs, the recursive-CTE closure, AND the arg_max
+    keep policy end-to-end."""
+    from eland_spark.operators.dedup import near_dup_keep_best
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    kept = near_dup_keep_best(
+        docs, "text", "doc_id", "n_chars", threshold=0.6, portable=True
+    )
+    return kept.to_spark().select("doc_id", "lang", "n_chars")
+
+
+def _dedup_keep_best_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.6
+) -> str:
+    ctes, matches = _minhash_cand_ctes(num_hashes, bands, k)
+    return f"""
+        WITH RECURSIVE {ctes}, p AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.id_a
+            JOIN sig bb ON bb.doc_id = c.id_b
+            WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION
+            SELECT id_b AS a, id_a AS b FROM p
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ), comps AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        ), lab AS (
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+        ), win AS (
+            SELECT comp,
+                   -- (score, -id) lexicographic order packed into one
+                   -- BIGINT (ids << 1e9 in the fixtures)
+                   arg_max(doc_id, n_chars * 1000000000 - doc_id) AS keep_id
+            FROM lab GROUP BY comp
+        )
+        SELECT l.doc_id, l.lang, l.n_chars
+        FROM lab l JOIN win w ON l.doc_id = w.keep_id
+    """
+
+
 _MLT_LIKE = "spark shuffle partition broadcast join window aggregate"
 _MLT_MSM = "40%"
 
@@ -4029,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_query": q_geo_query,
         "interval_overlap": q_interval_overlap,
         "more_like_this": q_more_like_this,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -5594,4 +5646,5 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN v ON c.s <= v.e AND v.s <= c.e
         """,
         "more_like_this": _mlt_oracle_sql(),
+        "dedup_keep_best": _dedup_keep_best_oracle_sql(),
     }

@@ -159,6 +159,64 @@ def near_dup_components(
     )
 
 
+def near_dup_keep_best(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_iter: int = 10,
+    portable: bool = False,
+):
+    """Near-dup dedup with a QUALITY-KEEP policy: cluster near-dups
+    (MinHash pairs -> connected components) and keep, per cluster, the
+    row with the highest ``score_col`` (ties -> lowest id; numeric id
+    required for the deterministic tie-break). Unpaired rows keep
+    themselves. The practical finisher for training corpora — "of the
+    near-identical copies, keep the longest / cleanest one", not just
+    the lowest id.
+
+    Plan: component labels exist only for PAIRED nodes (small next to
+    the corpus), left-joined back; the winner per cluster is one
+    max_by hash aggregation on the cluster label, then a semi-join of
+    the winner ids — two bounded shuffles beyond the clustering
+    itself, no windows over the corpus.
+    """
+    from ..frame import DataFrame as EDF
+
+    schema = df._schema
+    idc = F.col(schema.resolve(id_col))
+    if not schema.field(id_col).is_numeric:
+        raise ValueError("near_dup_keep_best needs a numeric id column")
+    comp = near_dup_components(
+        df, text_col, id_col, threshold, k, num_hashes, bands, max_iter,
+        portable=portable,
+    )
+    labeled = (
+        df._sdf.withColumn("__node__", idc)
+        .join(
+            comp.withColumnRenamed("node", "__node__"), "__node__", "left"
+        )
+        .withColumn(
+            "__comp__", F.coalesce(F.col("component"), F.col("__node__"))
+        )
+    )
+    sc = F.col(schema.resolve(score_col)).cast("double")
+    winners = labeled.groupBy("__comp__").agg(
+        F.max_by(
+            F.col("__node__"),
+            F.struct(sc.alias("s"), (-F.col("__node__")).alias("nid")),
+        ).alias("__node__")
+    ).select("__node__")
+    kept = labeled.join(winners, "__node__", "left_semi").drop(
+        "__node__", "component", "__comp__"
+    )
+    return EDF(kept, schema)
+
+
 def duplicated(df: "DataFrame", subset=None, keep: str = "first"):
     """pandas ``DataFrame.duplicated``: per-row boolean flag frame
     (index columns + ``duplicated``). keep='first' marks all but the

@@ -83,3 +83,26 @@ def test_reference_side_is_broadcast(spark, corpus, reference):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_near_dup_keep_best_policy(spark):
+    from eland_spark.operators.dedup import near_dup_keep_best
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [REF_TEXT, PARA_TEXT, OTHER_TEXT, REF_TEXT + " extra tail"],
+            "score": [10.0, 50.0, 1.0, 50.0],
+        }
+    )
+    f = EDF(spark.createDataFrame(pdf), index_cols=("doc_id",))
+    kept = near_dup_keep_best(f, "text", "doc_id", "score", threshold=0.5)
+    ids = sorted(r.doc_id for r in kept.to_spark().collect())
+    # docs 1/2/4 cluster; best score ties 2 vs 4 -> lowest id 2 wins;
+    # doc 3 is unpaired and survives
+    assert ids == [2, 3]
+
+    pdf2 = pdf.assign(doc_id=pdf.doc_id.astype(str))
+    f2 = EDF(spark.createDataFrame(pdf2), index_cols=("doc_id",))
+    with pytest.raises(ValueError, match="numeric id"):
+        near_dup_keep_best(f2, "text", "doc_id", "score")
