@@ -1549,15 +1549,16 @@ class DataFrame:
         first like pivot_table."""
         schema = self._schema
         ic, cc = schema.resolve(index), schema.resolve(columns)
-        vals = [
-            r[0]
-            for r in self._sdf.select(cc).distinct().orderBy(cc).collect()
-            if r[0] is not None
-        ]
-        if len(vals) > 10000:
+        # limit BEFORE collect: the guard must not itself pull an
+        # unbounded distinct set onto the driver
+        rows = (
+            self._sdf.select(cc).distinct().orderBy(cc).limit(10001).collect()
+        )
+        if len(rows) > 10000:
             raise ValueError(
-                f"crosstab column {columns!r} has {len(vals)} distinct values"
+                f"crosstab column {columns!r} has > 10000 distinct values"
             )
+        vals = [r[0] for r in rows if r[0] is not None]
         pdf = (
             self._sdf.groupBy(F.col(ic).alias(index))
             .pivot(cc, vals)
@@ -1608,12 +1609,12 @@ class DataFrame:
         idx_c = schema.resolve(index)
         col_c = schema.resolve(columns)
         val_f = schema.field(values)
-        cats = [
-            r[0]
-            for r in self._sdf.select(col_c).distinct().orderBy(col_c).collect()
-        ]
-        if len(cats) > 10000:
-            raise ValueError(f"pivot column {columns!r} has {len(cats)} distinct values")
+        rows = (
+            self._sdf.select(col_c).distinct().orderBy(col_c).limit(10001).collect()
+        )
+        if len(rows) > 10000:
+            raise ValueError(f"pivot column {columns!r} has > 10000 distinct values")
+        cats = [r[0] for r in rows]
         agg = self._agg_expr(aggfunc, val_f)
         out = (
             self._sdf.groupBy(F.col(idx_c).alias(index))

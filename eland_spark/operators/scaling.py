@@ -83,9 +83,16 @@ def winsorize(
     interpolation, matching pandas/DuckDB quantile_cont). The classic
     heavy-tail guard before scaling; exact quantiles by default via the
     range-sort percentile operator (no single-reducer value map)."""
+    if approx:
+        # one pass for every column (Greenwald-Khanna handles multi-col)
+        bounds = dict(
+            zip(cols, sdf.stat.approxQuantile(cols, [lower, upper], 1e-4))
+        )
+    else:
+        bounds = {c: _quantiles(sdf, c, [lower, upper], False) for c in cols}
     out = sdf
     for c in cols:
-        lo, hi = _quantiles(sdf, c, [lower, upper], approx)
+        lo, hi = (float(v) for v in bounds[c])
         out = out.withColumn(
             c + suffix,
             F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi)),
