@@ -513,6 +513,8 @@ def compile_es_dsl(
         if not fields:
             raise ValueError("more_like_this requires fields")
         like = body.get("like")
+        if not like:
+            raise ValueError("more_like_this requires like text")
         texts = like if isinstance(like, list) else [like]
         min_len = int(body.get("min_word_length", 0) or 0)
         cap = int(body.get("max_query_terms", 25))

@@ -119,6 +119,9 @@ def test_match_on_documents(spark, sf_dir):
 
 def test_unsupported_kind_raises(cust):
     with pytest.raises(ValueError, match="unsupported ES query kind"):
+        cust.es_query({"span_near": {"clauses": []}})
+    # more_like_this is supported but validates its inputs
+    with pytest.raises(ValueError, match="like text"):
         cust.es_query({"more_like_this": {"fields": ["c_name"]}})
 
 
