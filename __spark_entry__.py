@@ -3809,6 +3809,20 @@ def q_interval_overlap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_temperature_oversample(spark, sf_dir) -> DataFrame:
+    """Temperature mixture WITH oversampling: small sources repeat
+    (floor(rate) copies + md5-fractional extra, 0-based copy column) —
+    the low-resource epoch-repetition rule, zero-shuffle explode."""
+    from eland_spark.operators.sampling import sample_by_temperature
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = sample_by_temperature(
+        docs, "source", "doc_id", target_rows=800, alpha=0.3,
+        allow_oversample=True,
+    )
+    return out.select("doc_id", "source", "copy")
+
+
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-keep near-dup dedup: cluster near-duplicates, keep the
     LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
@@ -4081,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "more_like_this": q_more_like_this,
         "dedup_keep_best": q_dedup_keep_best,
+        "temperature_oversample": q_temperature_oversample,
     }
 
 
@@ -5647,4 +5662,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "more_like_this": _mlt_oracle_sql(),
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
+        "temperature_oversample": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), w AS (
+                SELECT source, n,
+                       power(n, 0.3) / sum(power(n, 0.3)) OVER () AS p
+                FROM c
+            ), r AS (
+                SELECT source, n, 800 * p / n AS rate FROM w
+            ), k AS (
+                SELECT d.doc_id, d.source, r.rate,
+                       CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '42'), 1, 15))
+                            AS BIGINT) AS key
+                FROM documents d JOIN r USING (source)
+            ), nrep AS (
+                SELECT doc_id, source,
+                       CAST(floor(rate) AS INT)
+                       + CASE WHEN key < (rate - floor(rate)) * 1152921504606846976.0
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM k
+            )
+            SELECT doc_id, source, CAST(u.copy AS INT) AS copy
+            FROM nrep, UNNEST(range(0, n_copies)) AS u(copy)
+            WHERE n_copies > 0
+        """,
     }

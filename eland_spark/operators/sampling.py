@@ -311,16 +311,25 @@ def sample_by_temperature(
     target_rows: int,
     alpha: float = 0.5,
     seed: int = 42,
+    allow_oversample: bool = False,
 ) -> DataFrame:
     """Temperature-based mixture sampling over ONE frame with a source
     column: per-source keep-rates are derived from the temperature
-    proportions (``rate_i = min(1, target * p_i / n_i)``) and applied
-    with the deterministic md5 threshold — the SAME engine-agnostic
-    key as :func:`sample_exact_n`, so the whole op (counts -> rates ->
-    keep) replays in plain SQL.
+    proportions (``rate_i = target * p_i / n_i``) and applied with the
+    deterministic md5 threshold — the SAME engine-agnostic key as
+    :func:`sample_exact_n`, so the whole op (counts -> rates -> keep)
+    replays in plain SQL.
+
+    ``allow_oversample=False`` (default) caps rates at 1 (pure
+    subsampling). ``allow_oversample=True`` lets upweighted small
+    sources REPEAT (the standard low-resource epoch-repetition rule):
+    each row yields ``floor(rate)`` copies plus one more when its md5
+    key falls under the fractional remainder; the output gains a
+    0-based ``copy`` column so (id, copy) stays a key. Replication is
+    a zero-shuffle explode — no per-source scans, no union.
 
     Scale shape: one count aggregation (k rows to the driver), then a
-    zero-shuffle filter; no per-source scans, no union."""
+    zero-shuffle filter/explode."""
     counts = {
         r["s"]: r["n"]
         for r in sdf.groupBy(F.col(source_col).alias("s"))
@@ -328,13 +337,26 @@ def sample_by_temperature(
         .collect()
     }
     props = temperature_weights(counts, alpha)
-    rates = {
-        k: min(1.0, target_rows * p / counts[k]) for k, p in props.items()
-    }
+    rates = {k: target_rows * p / counts[k] for k, p in props.items()}
+    if not allow_oversample:
+        rates = {k: min(1.0, r) for k, r in rates.items()}
     if not rates:
         return sdf.filter(F.lit(False))
     rate_map = F.create_map(*[F.lit(v) for kv in rates.items() for v in kv])
     # md5 key is uniform on [0, 16^15); compare against rate * 16^15
     key = _md5_rank_key(F.col(id_col), seed).cast("double")
-    bound = rate_map[F.col(source_col)] * F.lit(float(16 ** 15))
-    return sdf.filter(key < bound)
+    r = rate_map[F.col(source_col)]
+    space = F.lit(float(16 ** 15))
+    if not allow_oversample:
+        return sdf.filter(key < r * space)
+    base = F.floor(r).cast("int")
+    extra = (key < (r - F.floor(r)) * space).cast("int")
+    return (
+        sdf.withColumn("__n__", base + extra)
+        .filter(F.col("__n__") > 0)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("__n__") - 1)).alias("copy"),
+        )
+        .drop("__n__")
+    )

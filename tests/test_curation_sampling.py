@@ -186,3 +186,34 @@ def test_linear_classifier_score_semantics(spark):
     # zero shuffle: the gate is a scan predicate
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_temperature_oversample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sampling import (
+        sample_by_temperature, temperature_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    target = 3 * n
+    out = sample_by_temperature(
+        docs, "source", "doc_id", target_rows=target, alpha=0.3,
+        allow_oversample=True,
+    ).cache()
+    try:
+        total = out.count()
+        # expected total = sum over sources of n_i * rate_i = target
+        assert abs(total - target) / target < 0.15
+        # (id, copy) is a key
+        assert out.select("doc_id", "copy").distinct().count() == total
+        # every source is oversampled at 3x natural target: copies > 0 exist
+        assert out.agg(F.max("copy")).collect()[0][0] >= 1
+        # without the flag, rates cap at 1 -> no copy column, <= n rows
+        capped = sample_by_temperature(
+            docs, "source", "doc_id", target_rows=target, alpha=0.3
+        )
+        assert "copy" not in capped.columns and capped.count() <= n
+    finally:
+        out.unpersist()
