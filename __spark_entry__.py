@@ -3823,6 +3823,21 @@ def q_temperature_oversample(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "source", "copy")
 
 
+def q_dedup_within_doc(spark, sf_dir) -> DataFrame:
+    """Intra-document repetition removal (order-preserving first
+    occurrence per segment; word-level here so the fixtures exercise
+    it) — pure Column fold, zero shuffle."""
+    from eland_spark.operators.text import remove_repeated_segments
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = remove_repeated_segments(F.col("text"), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        out.alias("dedup_text"),
+        F.length(out).cast("long").alias("n_chars_dedup"),
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-keep near-dup dedup: cluster near-duplicates, keep the
     LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
@@ -4096,6 +4111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "dedup_keep_best": q_dedup_keep_best,
         "temperature_oversample": q_temperature_oversample,
+        "dedup_within_doc": q_dedup_within_doc,
     }
 
 
@@ -5686,5 +5702,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(u.copy AS INT) AS copy
             FROM nrep, UNNEST(range(0, n_copies)) AS u(copy)
             WHERE n_copies > 0
+        """,
+        "dedup_within_doc": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS w,
+                       generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+                FROM documents
+            ), f AS (
+                SELECT doc_id, w, min(i) AS fi
+                FROM t WHERE length(trim(w)) > 0
+                GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   string_agg(w, ' ' ORDER BY fi) AS dedup_text,
+                   CAST(length(string_agg(w, ' ' ORDER BY fi)) AS BIGINT)
+                       AS n_chars_dedup
+            FROM f GROUP BY doc_id
         """,
     }

@@ -558,3 +558,30 @@ def classifier_quality_gate(
         score_col, linear_classifier_score(text, weights, bias)
     )
     return scored.filter(F.col(score_col) >= threshold)
+
+
+def remove_repeated_segments(
+    text: Column, sep: str = r"\n\n+", joiner: str = "\n\n",
+    drop_empty: bool = True,
+) -> Column:
+    """Intra-document dedup: split on ``sep``, keep the FIRST
+    occurrence of each exact segment (order preserved), rejoin with
+    ``joiner`` — the within-doc half of repetition cleaning (the
+    corpus-frequency half is :func:`remove_boilerplate`).
+
+    Pure Column fold, zero shuffle. The contains-check is O(k^2) per
+    doc over the SEGMENT count (paragraphs/lines — tens, not tokens),
+    so the quadratic term is bounded by document structure, not size.
+    """
+    parts = F.split(text, sep)
+    empty = F.array().cast("array<string>")
+    keep = F.aggregate(
+        parts,
+        empty,
+        lambda acc, x: F.when(
+            F.array_contains(acc, x)
+            | (F.lit(drop_empty) & (F.length(F.trim(x)) == 0)),
+            acc,
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.array_join(keep, joiner)

@@ -217,3 +217,27 @@ def test_winsorize_matches_pandas(spark):
     exp = pdf["a"].clip(lo, hi)
     got = winsorize(sdf, ["a"], 0.05, 0.95).toPandas()["a_w"]
     assert np.allclose(np.sort(got), np.sort(exp))
+
+
+def test_remove_repeated_segments(spark):
+    from eland_spark.operators.text import remove_repeated_segments
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "text": ["a b\n\nc d\n\na b\n\ne", "solo"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = {
+        r.id: r.t
+        for r in sdf.select(
+            "id", remove_repeated_segments(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert out == {1: "a b\n\nc d\n\ne", 2: "solo"}
+    # word-level mode: order-preserving first occurrence of each word
+    out2 = sdf.select(
+        remove_repeated_segments(F.col("text"), r"\s+", " ").alias("t")
+    ).collect()
+    assert out2[0].t == "a b c d e"
