@@ -356,6 +356,32 @@ def q_pack_documents_seq(spark, sf_dir) -> DataFrame:
     return pack_documents(wt, "doc_id", "n_tokens", 2048)
 
 
+def q_pack_assemble(spark, sf_dir) -> DataFrame:
+    """Packed-sequence materialization: the deterministic single-
+    partition packing (see pack_documents_seq) joined back to texts
+    and concatenated per bin in id order with an EOS separator — the
+    final assemble step before tokenization. The oracle replays the
+    bin state machine then string_agg's per bin."""
+    from eland_spark.operators.packing import assemble_packed_text, pack_documents
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = (
+        docs.select(
+            "doc_id",
+            bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    packed = pack_documents(wt, "doc_id", "n_tokens", 2048)
+    out = assemble_packed_text(docs, packed, "doc_id", "text")
+    return out.select(
+        F.col("bin_id"), F.col("n_docs"), F.col("text"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     exponential keys, operators/sampling.py): quality-proportional
@@ -4112,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "temperature_oversample": q_temperature_oversample,
         "dedup_within_doc": q_dedup_within_doc,
+        "pack_assemble": q_pack_assemble,
     }
 
 
@@ -5719,5 +5746,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(string_agg(w, ' ' ORDER BY fi)) AS BIGINT)
                        AS n_chars_dedup
             FROM f GROUP BY doc_id
+        """,
+        "pack_assemble": """
+            WITH RECURSIVE wt AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(
+                            string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), d AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM wt
+            ), p(rn, doc_id, n_tokens, bin_id, fill) AS (
+                SELECT rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN p.fill + d.n_tokens > 2048
+                            THEN p.bin_id + 1 ELSE p.bin_id END,
+                       CASE WHEN p.fill + d.n_tokens > 2048
+                            THEN d.n_tokens ELSE p.fill + d.n_tokens END
+                FROM p JOIN d ON d.rn = p.rn + 1
+            ), a AS (
+                SELECT p.bin_id,
+                       count(*) AS n_docs,
+                       string_agg(doc.text, '<|eos|>' ORDER BY p.doc_id) AS text
+                FROM p JOIN documents doc ON doc.doc_id = p.doc_id
+                GROUP BY p.bin_id
+            )
+            SELECT bin_id, n_docs, text,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM a
         """,
     }

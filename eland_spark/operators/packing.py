@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "assemble_packed_text"]
 
 
 def pack_documents(
@@ -64,3 +64,40 @@ def pack_documents(
             yield out
 
     return sdf.select(id_col, token_col).mapInPandas(fn, out_schema)
+
+
+def assemble_packed_text(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    bin_col: str = "bin_id",
+    eos: str = "<|eos|>",
+) -> DataFrame:
+    """Materialize training sequences from a packing assignment: join
+    texts onto (id, bin) and concatenate each bin's documents in id
+    order with ``eos`` between them. Returns (bin, n_docs, text).
+
+    One join on the id + one hash aggregation on the bin id; the
+    in-bin ordered concat is a sort_array over (id, text) structs —
+    bins are budget-bounded, so the per-group array is model-context
+    sized by construction, never corpus-sized.
+    """
+    from pyspark.sql import functions as F
+
+    joined = packed.join(
+        docs.select(id_col, text_col), id_col
+    )
+    pair = F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+    return (
+        joined.groupBy(bin_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(pair)), lambda s: s["t"]
+                ),
+                eos,
+            ).alias("text"),
+        )
+    )
