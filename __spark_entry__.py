@@ -3609,6 +3609,35 @@ def q_standardized(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_scaled_robust(spark, sf_dir) -> DataFrame:
+    """RobustScaler + MinMaxScaler semantics (exact quantiles via the
+    range-sort percentile operator; min/max one agg pass) — literal
+    projections, zero shuffle after the stats."""
+    from eland_spark.operators.scaling import minmax_scale, robust_scale
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    out = minmax_scale(robust_scale(li, ["l_quantity"]), ["l_extendedprice"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_quantity_r", 4).alias("qty_r"),
+        F.round("l_extendedprice_mm", 4).alias("price_mm"),
+    )
+
+
+def q_chunk_paragraphs(spark, sf_dir) -> DataFrame:
+    """Separator-split chunking (chunk_by_separator): parts keep their
+    ORIGINAL ordinal (gaps where empty parts were dropped), zero
+    shuffle. Fixtures have no blank-line separators, so the split key
+    is a literal token — the operator semantics are what's pinned."""
+    from eland_spark.operators.chunking import chunk_by_separator
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return chunk_by_separator(docs.to_spark(), sep=" the ")
+
+
 def q_winsorized(spark, sf_dir) -> DataFrame:
     """Winsorization at exact [0.05, 0.95] quantiles (linear
     interpolation — the distributed range-sort percentile operator,
@@ -4139,6 +4168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_oversample": q_temperature_oversample,
         "dedup_within_doc": q_dedup_within_doc,
         "pack_assemble": q_pack_assemble,
+        "scaled_robust": q_scaled_robust,
+        "chunk_paragraphs": q_chunk_paragraphs,
     }
 
 
@@ -5684,11 +5715,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon
             FROM p
-            WHERE 2.0 * 6371008.7714 * asin(sqrt(
+            WHERE 2.0 * 6371008.7714 * asin(sqrt(least(
                       sin(radians(10.0 - lat) / 2) ^ 2
                       + cos(radians(lat)) * cos(radians(10.0))
-                        * sin(radians(20.0 - lon) / 2) ^ 2
-                  )) <= 5000000.0
+                        * sin(radians(20.0 - lon) / 2) ^ 2, 1.0
+                  ))) <= 5000000.0
               AND NOT (lat <= 45.0 AND lat >= -45.0
                        AND lon >= -10.0 AND lon <= 60.0)
         """,
@@ -5779,5 +5810,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin_id, n_docs, text,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM a
+        """,
+        "scaled_robust": """
+            WITH s AS (
+                SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                       quantile_cont(l_quantity, 0.5) AS med,
+                       quantile_cont(l_quantity, 0.75) AS q3,
+                       min(l_extendedprice) AS lo,
+                       max(l_extendedprice) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   round((l_quantity - med) / (q3 - q1), 4) AS qty_r,
+                   round((l_extendedprice - lo) / (hi - lo), 4) AS price_mm
+            FROM lineitem, s
+        """,
+        "chunk_paragraphs": """
+            WITH p AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, ' the ')) AS part,
+                       generate_subscripts(string_split_regex(text, ' the '), 1) - 1
+                           AS part_id
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, CAST(part_id AS BIGINT) AS part_id, part
+            FROM p WHERE length(trim(part)) > 0
         """,
     }

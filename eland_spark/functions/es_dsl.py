@@ -607,4 +607,6 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     dp = F.radians(lat2 - lat1) / 2
     dl = F.radians(lon2 - lon1) / 2
     a = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
-    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # clamp: float overshoot past 1.0 near antipodal points would turn
+    # asin into NaN and silently drop the row from any filter
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

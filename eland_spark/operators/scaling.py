@@ -107,10 +107,18 @@ def robust_scale(
     suffix: str = "_r",
 ) -> SparkDataFrame:
     """(x - median) / IQR — outlier-insensitive z-score (sklearn
-    RobustScaler). Zero-IQR columns scale to 0.0."""
+    RobustScaler). Zero-IQR columns scale to 0.0. Approx mode fits all
+    columns in ONE Greenwald-Khanna pass; the exact path runs one
+    range-sort percentile job per column (exactness over job count)."""
+    if approx:
+        stats = dict(
+            zip(cols, sdf.stat.approxQuantile(cols, [0.25, 0.5, 0.75], 1e-4))
+        )
+    else:
+        stats = {c: _quantiles(sdf, c, [0.25, 0.5, 0.75], False) for c in cols}
     out = sdf
     for c in cols:
-        q1, med, q3 = _quantiles(sdf, c, [0.25, 0.5, 0.75], approx)
+        q1, med, q3 = (float(v) for v in stats[c])
         iqr = q3 - q1
         if iqr == 0:
             expr = F.when(F.col(c).isNotNull(), F.lit(0.0))

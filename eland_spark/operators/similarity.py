@@ -217,7 +217,6 @@ def ivf_index(
     max_iter: int = 5,
     seed: int = 42,
     seed_strategy: str = "hash",
-    wide_agg_max_dim: int = 256,
 ):
     """Build IVF centroids with distributed k-means (Lloyd iterations as
     groupBy-avg jobs — no MLlib dependency, no driver-side data besides
@@ -588,11 +587,13 @@ def semantic_dedup(
         src, idc, vec, centroids, id_type=id_type, normalize=True
     )
 
-    # within-cell pairwise cosines as ONE gram matmul per cell (the
-    # SemDeDup reference shape — clusters are sized ~target_cluster, so
-    # the n_i x n_i block is small by construction); emits only the
-    # dropped ids. One hash shuffle on the cell id, no candidate-pair
-    # fan-out through the exchange.
+    # within-cell pairwise cosines as blocked gram matmuls per cell
+    # (the SemDeDup reference shape); emits only the dropped ids. One
+    # hash shuffle on the cell id, no candidate-pair fan-out through
+    # the exchange. The block loop bounds worker memory at
+    # O(block * n_cell) even when a skewed cell is far larger than the
+    # ~corpus/n_cells target (compute stays O(n_cell^2) — that is the
+    # operator's contract; size n_cells to bound it).
     thr = float(threshold)
 
     def _drop_ids(pdf):
@@ -603,9 +604,18 @@ def semantic_dedup(
             return pd.DataFrame({"__drop__": pdf["__id__"][:0]})
         pdf = pdf.sort_values("__id__")
         U = np.stack(pdf["__v__"].to_numpy())
-        G = U @ U.T
-        iu, ju = np.triu_indices(len(U), k=1)
-        hit = np.unique(ju[G[iu, ju] >= thr])
+        n = len(U)
+        dropped = np.zeros(n, dtype=bool)
+        B = 1024  # B x B gram tiles -> O(B^2) memory, any cell size
+        for s in range(0, n - 1, B):
+            e = min(s + B, n)
+            for t in range(s, n, B):
+                t2 = min(t + B, n)
+                G = U[s:e] @ U[t:t2].T
+                ri, ci = np.nonzero(G >= thr)
+                i, j = ri + s, ci + t
+                dropped[np.unique(j[j > i])] = True
+        hit = np.flatnonzero(dropped)
         return pd.DataFrame({"__drop__": pdf["__id__"].to_numpy()[hit]})
 
     drops = assigned.groupBy("__cell__").applyInPandas(
