@@ -3638,6 +3638,27 @@ def q_chunk_paragraphs(spark, sf_dir) -> DataFrame:
     return chunk_by_separator(docs.to_spark(), sep=" the ")
 
 
+def q_corpus_profile(spark, sf_dir) -> DataFrame:
+    """Dataset-card style corpus profile: per-source doc counts, token
+    totals, mean quality, length extremes, and language cardinality —
+    ONE hash aggregation over the documents scan (everything partial-
+    aggregable, so the shuffle carries k rows per source)."""
+    from eland_spark.operators.text import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def q_winsorized(spark, sf_dir) -> DataFrame:
     """Winsorization at exact [0.05, 0.95] quantiles (linear
     interpolation — the distributed range-sort percentile operator,
@@ -4170,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assemble": q_pack_assemble,
         "scaled_robust": q_scaled_robust,
         "chunk_paragraphs": q_chunk_paragraphs,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -5824,6 +5846,35 @@ def oracle_sql() -> dict[str, str]:
                    round((l_quantity - med) / (q3 - q1), 4) AS qty_r,
                    round((l_extendedprice - lo) / (hi - lo), 4) AS price_mm
             FROM lineitem, s
+        """,
+        "corpus_profile": """
+            WITH f AS (
+                SELECT source, lang, n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tok,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                            / length(text)
+                       ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0 THEN
+                            len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                           'that','for','on','with','as','at','by','this','be'))) * 1.0
+                            / len(string_split_regex(trim(lower(text)), '\\s+'))
+                       ELSE 0.0 END AS sw_ratio
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   round(avg((least(n_tok / 100.0, 1.0)
+                          + (1.0 - least(punct_ratio * 5.0, 1.0))
+                          + least(sw_ratio * 4.0, 1.0)) / 3.0), 6) AS avg_quality,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM f GROUP BY source
         """,
         "chunk_paragraphs": """
             WITH p AS (
