@@ -3638,6 +3638,94 @@ def q_chunk_paragraphs(spark, sf_dir) -> DataFrame:
     return chunk_by_separator(docs.to_spark(), sep=" the ")
 
 
+_CLF_K, _CLF_LR, _CLF_ITERS = 1024, 4.0, 2
+
+
+def q_train_classifier(spark, sf_dir) -> DataFrame:
+    """IN-ENGINE classifier training: full-batch logistic regression on
+    md5-hashed token features (label: lang == 'en'), every iteration
+    two joins + two hash aggregations — then score the corpus with the
+    trained weights. The oracle replays BOTH training iterations as
+    chained CTEs (gradient sums are order-insensitive to double
+    precision), so the whole learn->score loop is hash-checked."""
+    from eland_spark.operators.classifier import (
+        score_hashed_classifier, train_linear_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    labeled = docs.withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w, b0 = train_linear_classifier(
+        labeled, "text", "y", "doc_id",
+        n_buckets=_CLF_K, iters=_CLF_ITERS, lr=_CLF_LR, portable=True,
+    )
+    p = score_hashed_classifier(F.col("text"), w, b0, portable=True)
+    return docs.select(
+        "doc_id", "lang", F.round(p, 6).alias("p_en")
+    )
+
+
+def _train_classifier_oracle_sql() -> str:
+    k, lr = _CLF_K, _CLF_LR
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '')) AS t
+            FROM documents
+        ), tb AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {k} AS INT) AS bucket
+            FROM tok
+        ), nd AS (
+            SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id
+        ), feats AS (
+            SELECT tb.doc_id, tb.bucket, count(*) * 1.0 / any_value(nd.n) AS x
+            FROM tb JOIN nd ON nd.doc_id = tb.doc_id
+            GROUP BY tb.doc_id, tb.bucket
+        ), lab AS (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), nn AS (SELECT count(*) AS n FROM documents),
+        r1 AS (
+            SELECT doc_id, 0.5 - y AS r FROM lab
+        ), w1 AS (
+            SELECT f.bucket, -{lr} * sum(r1.r * f.x) / nn.n AS w
+            FROM feats f JOIN r1 ON r1.doc_id = f.doc_id, nn
+            GROUP BY f.bucket, nn.n
+        ), b1 AS (
+            SELECT -{lr} * sum(r) / nn.n AS b FROM r1, nn GROUP BY nn.n
+        ), s1 AS (
+            SELECT f.doc_id, sum(w1.w * f.x) AS s
+            FROM feats f JOIN w1 ON w1.bucket = f.bucket
+            GROUP BY f.doc_id
+        ), r2 AS (
+            SELECT lab.doc_id,
+                   1.0 / (1.0 + exp(-(COALESCE(s1.s, 0.0) + b1.b))) - lab.y AS r
+            FROM lab LEFT JOIN s1 ON s1.doc_id = lab.doc_id, b1
+        ), w2 AS (
+            SELECT f.bucket,
+                   any_value(COALESCE(w1.w, 0.0))
+                   - {lr} * sum(r2.r * f.x) / any_value(nn.n) AS w
+            FROM feats f
+            LEFT JOIN w1 ON w1.bucket = f.bucket
+            JOIN r2 ON r2.doc_id = f.doc_id, nn
+            GROUP BY f.bucket
+        ), b2 AS (
+            SELECT b1.b - {lr} * sum(r2.r) / any_value(nn.n) AS b
+            FROM r2, b1, nn GROUP BY b1.b
+        ), sf AS (
+            SELECT f.doc_id, sum(w2.w * f.x) AS s
+            FROM feats f JOIN w2 ON w2.bucket = f.bucket
+            GROUP BY f.doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               round(1.0 / (1.0 + exp(-(COALESCE(sf.s, 0.0) + b2.b))), 6) AS p_en
+        FROM documents d LEFT JOIN sf ON sf.doc_id = d.doc_id, b2
+    """
+
+
 def q_corpus_profile(spark, sf_dir) -> DataFrame:
     """Dataset-card style corpus profile: per-source doc counts, token
     totals, mean quality, length extremes, and language cardinality —
@@ -4192,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_robust": q_scaled_robust,
         "chunk_paragraphs": q_chunk_paragraphs,
         "corpus_profile": q_corpus_profile,
+        "train_classifier": q_train_classifier,
     }
 
 
@@ -5847,6 +5936,7 @@ def oracle_sql() -> dict[str, str]:
                    round((l_extendedprice - lo) / (hi - lo), 4) AS price_mm
             FROM lineitem, s
         """,
+        "train_classifier": _train_classifier_oracle_sql(),
         "corpus_profile": """
             WITH f AS (
                 SELECT source, lang, n_chars,

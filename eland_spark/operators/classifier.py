@@ -1,0 +1,167 @@
+"""In-engine linear text-classifier TRAINING (fastText-style).
+
+`text.linear_classifier_score` scores documents with a broadcast
+weight table; this module trains those weights inside the engine:
+logistic regression on hashed bag-of-token features, full-batch
+gradient descent where every iteration is two joins + two hash
+aggregations — pure DataFrame ops, no MLlib, no driver-side data
+besides the (n_buckets+1)-vector of weights.
+
+Scale shape: the token->bucket feature table is materialized ONCE
+(one explode + one (doc, bucket) aggregation, localCheckpoint) and
+re-scanned per iteration; each iteration shuffles on the doc id and
+the bucket id only. At 100 TB this is the standard distributed
+full-batch LR: iters * (2 scans of the cached features + 2 bounded
+shuffles), weights live on the driver (model-sized, not data-sized).
+
+``portable=True`` hashes buckets with md5 so a SQL oracle can replay
+the ENTIRE training run (each iteration's gradient is expressible as
+a chained CTE over the same feature rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_features",
+    "train_linear_classifier",
+    "score_hashed_classifier",
+]
+
+
+def _bucket(tok, n_buckets: int, portable: bool):
+    if portable:
+        raw = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+    else:
+        raw = F.xxhash64(tok)
+    return F.pmod(raw, F.lit(n_buckets)).cast("int")
+
+
+def hashed_features(
+    sdf: SparkDataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1 << 12,
+    portable: bool = False,
+) -> SparkDataFrame:
+    """(id, bucket, x) sparse feature rows: x = count of the doc's
+    tokens landing in the bucket / the doc's token count (mean-pooled
+    bag of hashed tokens — the fastText input layer). One explode +
+    one (doc, bucket) hash aggregation; empty docs yield no rows."""
+    from .dedup import normalized_tokens
+
+    toks = sdf.select(
+        F.col(id_col).alias("__id__"),
+        normalized_tokens(F.col(text_col)).alias("__toks__"),
+    ).where(F.size("__toks__") > 0)
+    rows = toks.select(
+        "__id__",
+        F.size("__toks__").alias("__n__"),
+        F.explode("__toks__").alias("__t__"),
+    )
+    return (
+        rows.groupBy(
+            "__id__", _bucket(F.col("__t__"), n_buckets, portable).alias("bucket")
+        )
+        .agg((F.count(F.lit(1)) / F.first("__n__")).alias("x"))
+        .select(F.col("__id__").alias("id"), "bucket", "x")
+    )
+
+
+def train_linear_classifier(
+    sdf: SparkDataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 1 << 12,
+    iters: int = 5,
+    lr: float = 2.0,
+    portable: bool = False,
+):
+    """Full-batch logistic regression on hashed token features.
+
+    ``label_col`` must be 0/1 (cast applied). Returns
+    (weights: list[float] length n_buckets, intercept: float) for
+    :func:`score_hashed_classifier`. Deterministic given the data
+    (aggregation sums are order-insensitive to double precision).
+    """
+    feats = hashed_features(
+        sdf, text_col, id_col, n_buckets, portable
+    ).localCheckpoint(eager=False)
+    labels = sdf.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)
+    n = labels.count()
+    w = [0.0] * n_buckets
+    b0 = 0.0
+    spark = sdf.sparkSession
+    for _ in range(iters):
+        nz = [(i, float(wi)) for i, wi in enumerate(w) if wi != 0.0]
+        if nz:
+            # weights as a broadcast table (model-sized), not a map
+            # literal — thousands of nonzero buckets stay off the plan
+            wdf = spark.createDataFrame(nz, "bucket int, w double")
+            scores = (
+                feats.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("id")
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")
+                    ).alias("s")
+                )
+            )
+        else:
+            scores = feats.select("id").distinct().withColumn("s", F.lit(0.0))
+        resid = (
+            labels.join(scores, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(b0))))
+                    - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .collect()
+        )
+        g0 = resid.agg(F.sum("r").alias("g")).collect()[0]["g"] or 0.0
+        for row in grad_rows:
+            w[row["bucket"]] -= lr * row["g"] / n
+        b0 -= lr * g0 / n
+    return w, b0
+
+
+def score_hashed_classifier(
+    text,
+    weights: list[float],
+    intercept: float = 0.0,
+    portable: bool = False,
+):
+    """Column expression: sigmoid(intercept + mean-pooled hashed-bucket
+    weights of the text's tokens) — the inference twin of
+    :func:`train_linear_classifier`, a zero-shuffle scan predicate
+    like text.linear_classifier_score (weights ship as ONE array
+    literal; at 2^12 buckets that is a ~32 KB broadcast)."""
+    from .dedup import normalized_tokens
+
+    n_buckets = len(weights)
+    toks = normalized_tokens(text)
+    warr = F.lit([float(x) for x in weights])
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(warr, _bucket(t, n_buckets, portable) + 1),
+    )
+    mean = F.when(F.size(toks) > 0, s / F.size(toks)).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-(mean + F.lit(float(intercept)))))
