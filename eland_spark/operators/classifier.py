@@ -89,23 +89,30 @@ def train_linear_classifier(
     :func:`score_hashed_classifier`. Deterministic given the data
     (aggregation sums are order-insensitive to double precision).
     """
-    feats = hashed_features(
-        sdf, text_col, id_col, n_buckets, portable
-    ).localCheckpoint(eager=False)
     labels = sdf.select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("double").alias("y"),
     ).localCheckpoint(eager=False)
+    # intercept = synthetic bucket -1 with x=1 on EVERY row: its weight
+    # is the bias and its gradient is sum(residual) — one aggregation
+    # job per iteration covers weights and intercept together
+    feats = (
+        hashed_features(sdf, text_col, id_col, n_buckets, portable)
+        .unionByName(
+            labels.select("id", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"))
+        )
+        .localCheckpoint(eager=False)
+    )
     n = labels.count()
-    w = [0.0] * n_buckets
-    b0 = 0.0
+    w: dict[int, float] = {}
     spark = sdf.sparkSession
     for _ in range(iters):
-        nz = [(i, float(wi)) for i, wi in enumerate(w) if wi != 0.0]
-        if nz:
+        if w:
             # weights as a broadcast table (model-sized), not a map
             # literal — thousands of nonzero buckets stay off the plan
-            wdf = spark.createDataFrame(nz, "bucket int, w double")
+            wdf = spark.createDataFrame(
+                [(b, float(v)) for b, v in w.items()], "bucket int, w double"
+            )
             scores = (
                 feats.join(F.broadcast(wdf), "bucket", "left")
                 .groupBy("id")
@@ -116,17 +123,14 @@ def train_linear_classifier(
                 )
             )
         else:
-            scores = feats.select("id").distinct().withColumn("s", F.lit(0.0))
-        resid = (
-            labels.join(scores, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(b0))))
-                    - F.col("y")
-                ).alias("r"),
-            )
+            scores = labels.select("id").withColumn("s", F.lit(0.0))
+        resid = labels.join(scores, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce(F.col("s"), F.lit(0.0))))
+                - F.col("y")
+            ).alias("r"),
         )
         grad_rows = (
             feats.join(resid, "id")
@@ -134,11 +138,13 @@ def train_linear_classifier(
             .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
             .collect()
         )
-        g0 = resid.agg(F.sum("r").alias("g")).collect()[0]["g"] or 0.0
         for row in grad_rows:
-            w[row["bucket"]] -= lr * row["g"] / n
-        b0 -= lr * g0 / n
-    return w, b0
+            w[row["bucket"]] = w.get(row["bucket"], 0.0) - lr * row["g"] / n
+    dense = [0.0] * n_buckets
+    for b, v in w.items():
+        if b >= 0:
+            dense[b] = v
+    return dense, w.get(-1, 0.0)
 
 
 def score_hashed_classifier(
