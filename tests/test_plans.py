@@ -515,3 +515,48 @@ def test_ewm_plans_scale_safe(spark):
     s = orders["o_totalprice"].ewm(alpha=0.5).mean().to_spark()
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_round2_operator_plan_shapes(spark):
+    """Scale pins for the round's new operators: scaling is a
+    zero-shuffle literal projection, corpus profiling is one hash
+    aggregation (plus the countDistinct expand pair), the classifier
+    feature build shuffles once on (doc, bucket), and temperature
+    oversampling stays a zero-shuffle filter+explode."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.classifier import hashed_features
+    from eland_spark.operators.sampling import sample_by_temperature
+    from eland_spark.operators.scaling import standard_scale
+
+    li = es.read_parquet(spark, f"{SF}/lineitem.parquet").to_spark()
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+
+    z = standard_scale(li, ["l_quantity"])
+    assert shuffle_count(z) == 0, plan_summary(z)
+
+    feats = hashed_features(docs, "text", "doc_id", n_buckets=256)
+    assert shuffle_count(feats) == 1, plan_summary(feats)
+
+    over = sample_by_temperature(
+        docs, "source", "doc_id", target_rows=900, alpha=0.3,
+        allow_oversample=True,
+    )
+    assert shuffle_count(over) == 0, plan_summary(over)
+    plan = over._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan, plan  # the explode, not a join
+
+
+def test_covariance_shuffle_is_moment_sized(spark):
+    """The covariance plan's exchanges carry O(d^2) moment rows, never
+    vectors: the only wide data pass is the mapInPandas scan."""
+    from eland_spark.operators.decomposition import covariance_matrix
+
+    emb = es.read_parquet(spark, f"{SF}/embeddings.parquet").to_spark()
+    cov = covariance_matrix(emb)
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    # embeddings never cross an exchange: no exchange node carries the
+    # embedding column (moment rows are (kind, i, j, v))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.splitlines()[0]
+        assert "embedding" not in head, head
