@@ -37,6 +37,8 @@ def _partials(
     value_col: str,
     distinct_col: str | None,
     k: int,
+    item_col: str | None = None,
+    topk: int = 16,
 ) -> DataFrame:
     from ..operators.sketches import _kmv_hash
 
@@ -55,10 +57,28 @@ def _partials(
                 k,
             ).alias("p_kmv")
         )
-    return sdf.groupBy(
+    out = sdf.groupBy(
         F.window(F.col(ts_col), bucket).start.alias("bucket"),
         *[F.col(c) for c in keys],
     ).agg(*aggs)
+    if item_col is not None:
+        # per-batch Misra-Gries top-k map per (bucket, keys): mergeable
+        # heavy hitters ride the same append-only partial rows
+        from ..operators.sketches import _mg_compress
+
+        rows = sdf.groupBy(
+            F.window(F.col(ts_col), bucket).start.alias("bucket"),
+            *[F.col(c) for c in keys],
+            F.col(item_col).cast("string").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        by = ["bucket", *keys]
+        comp = _mg_compress(rows, by, topk)
+        pair = F.struct(F.col("item"), F.col("cnt"))
+        mg = comp.groupBy(*by).agg(
+            F.map_from_entries(F.array_sort(F.collect_list(pair))).alias("p_mg")
+        )
+        out = out.join(mg, by, "left")
+    return out
 
 
 def continuous_aggregate(
@@ -71,6 +91,8 @@ def continuous_aggregate(
     value_col: str,
     distinct_col: str | None = None,
     k: int = 256,
+    item_col: str | None = None,
+    topk: int = 16,
 ):
     """Maintain the rollup from a stream: per micro-batch, aggregate to
     (bucket, keys) partials and APPEND them (exactly-once via the
@@ -81,7 +103,8 @@ def continuous_aggregate(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         part = _partials(
-            batch_df, ts_col, bucket, keys, value_col, distinct_col, k
+            batch_df, ts_col, bucket, keys, value_col, distinct_col, k,
+            item_col, topk,
         )
         part.write.mode("append").parquet(path)
 
@@ -102,13 +125,16 @@ def batch_rollup(
     value_col: str,
     distinct_col: str | None = None,
     k: int = 256,
+    item_col: str | None = None,
+    topk: int = 16,
 ) -> None:
     """Seed (or extend) the same rollup table from a BATCH frame — the
     backfill half of a continuous aggregate; identical partial schema,
     so streamed and backfilled partials merge transparently."""
-    _partials(sdf, ts_col, bucket, list(keys), value_col, distinct_col, k).write.mode(
-        "append"
-    ).parquet(path)
+    _partials(
+        sdf, ts_col, bucket, list(keys), value_col, distinct_col, k,
+        item_col, topk,
+    ).write.mode("append").parquet(path)
 
 
 def read_rollup(
@@ -117,12 +143,15 @@ def read_rollup(
     keys: Sequence[str] = (),
     bucket: str | None = None,
     k: int = 256,
+    topk: int = 16,
 ) -> DataFrame:
     """Finalize the rollup: merge partials per (bucket, keys). Pass a
     coarser ``bucket`` (e.g. '1 day' over stored hours) to re-bucket —
     the merge is the same, raw data is never touched. Emits
-    n/total/vmin/vmax/avg (+ approx_distinct when sketches were
-    stored)."""
+    n/total/vmin/vmax/avg (+ approx_distinct when KMV sketches were
+    stored, + a top_items heavy-hitter map when item tracking was on —
+    MG-merged across partials AND bucket widths, same guarantees as
+    sketches.mg_rollup)."""
     from ..operators.sketches import _KMV_SPACE
 
     part = spark.read.parquet(path)
@@ -148,6 +177,21 @@ def read_rollup(
             ).alias("m")
         )
     out = part.groupBy(b, *keys).agg(*aggs)
+    has_mg = "p_mg" in part.columns
+    if has_mg:
+        from ..operators.sketches import _mg_compress
+
+        rows = part.select(
+            b, *keys, F.explode(F.col("p_mg")).alias("item", "cnt")
+        )
+        comp = _mg_compress(rows, ["bucket", *keys], topk)
+        pair = F.struct(F.col("item"), F.col("cnt"))
+        mg = comp.groupBy("bucket", *keys).agg(
+            F.map_from_entries(F.array_sort(F.collect_list(pair))).alias(
+                "top_items"
+            )
+        )
+        out = out.join(mg, ["bucket", *keys], "left")
     cols = [
         "bucket",
         *keys,
@@ -165,6 +209,8 @@ def read_rollup(
             )
         )
         cols.append(est.alias("approx_distinct"))
+    if has_mg:
+        cols.append(F.col("top_items"))
     return out.select(*cols)
 
 
@@ -191,10 +237,27 @@ def compact_rollup(
                 k,
             ).alias("p_kmv")
         )
+    if "p_mg" in part.columns:
+        from ..operators.sketches import _mg_compress
+
+        rows = part.select(
+            "bucket", *keys, F.explode(F.col("p_mg")).alias("item", "cnt")
+        )
+        comp = _mg_compress(rows, ["bucket", *keys], 1 << 20)
+        pair = F.struct(F.col("item"), F.col("cnt"))
+        mg = comp.groupBy("bucket", *keys).agg(
+            F.map_from_entries(F.array_sort(F.collect_list(pair))).alias("p_mg")
+        )
+        merged_mg = mg
+    else:
+        merged_mg = None
     # localCheckpoint CUTS the lineage before the overwrite truncates
     # the source files (a cache could still be evicted and recompute
     # from the truncated path — checkpointing cannot)
-    merged = part.groupBy("bucket", *keys).agg(*aggs).localCheckpoint()
+    merged = part.groupBy("bucket", *keys).agg(*aggs)
+    if merged_mg is not None:
+        merged = merged.join(merged_mg, ["bucket", *keys], "left")
+    merged = merged.localCheckpoint()
     n = merged.count()
     merged.write.mode("overwrite").parquet(path)
     return n

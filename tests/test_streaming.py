@@ -587,3 +587,52 @@ def test_stream_chunking_matches_batch(spark, sf_dir):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch[["doc_id", "chunk_id", "chunk"]].sort_values(key).reset_index(drop=True)
     assert got.equals(batch) and len(got) > 0
+
+
+def test_rollup_topk_items_exact_regime(spark, sf_dir, tmp_path):
+    """Heavy-hitter maps ride the rollup partials: with <= topk distinct
+    items the MG merge is exact, so top_items equals a from-scratch
+    count at the stored AND a coarser bucket, before and after
+    compaction."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.streaming.rollup import (
+        batch_rollup,
+        compact_rollup,
+        read_rollup,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "roll")
+    # two appends (simulating two micro-batches / backfill chunks)
+    h1 = ev.where(F.dayofmonth("ts") <= 15)
+    h2 = ev.where(F.dayofmonth("ts") > 15)
+    for half in (h1, h2):
+        batch_rollup(
+            half, path, "ts", "1 day", [], "value",
+            item_col="event_type", topk=16,
+        )
+
+    def exact(bucket):
+        return {
+            (r.bucket, r.event_type): r.cnt
+            for r in ev.groupBy(
+                F.window("ts", bucket).start.alias("bucket"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def got(bucket=None):
+        out = read_rollup(spark, path, [], bucket=bucket, topk=16)
+        flat = {}
+        for r in out.select("bucket", "top_items").collect():
+            for item, cnt in (r.top_items or {}).items():
+                flat[(r.bucket, item)] = cnt
+        return flat
+
+    assert got() == exact("1 day")
+    assert got("30 days") == exact("30 days")
+    n = compact_rollup(spark, path)
+    assert n > 0
+    assert got() == exact("1 day")
