@@ -3726,6 +3726,27 @@ def _train_classifier_oracle_sql() -> str:
     """
 
 
+def q_rollup_topk(spark, sf_dir) -> DataFrame:
+    """Heavy hitters through the hypertable rollup: 6h partials carry
+    Misra-Gries event-type maps, read back at 1-DAY buckets — the MG
+    merge is exact below topk distinct items, so a plain per-day
+    GROUP BY replays it."""
+    import tempfile
+
+    from eland_spark.streaming import batch_rollup, read_rollup
+
+    raw = _t(spark, sf_dir, "events", "event_id").to_spark()
+    d = tempfile.mkdtemp(prefix="rollup_tk_")
+    batch_rollup(
+        raw, f"{d}/r", "ts", "6 hours", [], "value",
+        item_col="event_type", topk=16,
+    )
+    out = read_rollup(spark, f"{d}/r", [], bucket="1 day", topk=16)
+    return out.select(
+        "bucket", F.explode("top_items").alias("item", "cnt")
+    )
+
+
 def q_corpus_profile(spark, sf_dir) -> DataFrame:
     """Dataset-card style corpus profile: per-source doc counts, token
     totals, mean quality, length extremes, and language cardinality —
@@ -4281,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_paragraphs": q_chunk_paragraphs,
         "corpus_profile": q_corpus_profile,
         "train_classifier": q_train_classifier,
+        "rollup_topk": q_rollup_topk,
     }
 
 
@@ -5937,6 +5959,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, s
         """,
         "train_classifier": _train_classifier_oracle_sql(),
+        "rollup_topk": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+                   event_type AS item,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
+        """,
         "corpus_profile": """
             WITH f AS (
                 SELECT source, lang, n_chars,
