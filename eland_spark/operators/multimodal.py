@@ -68,6 +68,110 @@ def _decode_stub(data: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode via stdlib only (zlib + struct): 8-bit gray/
+    RGB/RGBA, all five scanline filters — returns (h, w, 3) uint8.
+    No PIL needed; this de-stubs the most common training-image mime
+    in dependency-free environments."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, idat, meta = 8, b"", None
+    while pos < len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            meta = (w, h, depth, color, interlace)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f0 = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f0 == 0:
+            pass
+        elif f0 == 2:  # Up
+            line += prev
+        elif f0 in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            line32 = line.astype(np.int32)
+            p32 = prev.astype(np.int32)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = p32[x]
+                c = p32[x - ch] if x >= ch else 0
+                if f0 == 1:
+                    pred = a
+                elif f0 == 3:
+                    pred = (a + b) // 2
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (line32[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {f0}")
+        out[y] = line
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def _decode_wav(data: bytes) -> np.ndarray:
+    """Real WAV decode via the stdlib wave module: 16-bit PCM ->
+    float32 mono waveform in [-1, 1]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as f:
+        nch, sw, nframes = f.getnchannels(), f.getsampwidth(), f.getnframes()
+        if sw != 2:
+            raise NotImplementedError(f"WAV sample width {sw} unsupported")
+        pcm = np.frombuffer(f.readframes(nframes), dtype="<i2").astype(np.float32)
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm / 32768.0
+
+
+def _decode_image(m) -> np.ndarray:
+    """Mime-dispatched image decode: real stdlib PNG codec, the
+    deterministic stub for 'image/fake', NotImplementedError otherwise
+    (jpeg etc. need PIL, absent here — the boundary stays explicit)."""
+    if m["mime"] == "image/png":
+        return _decode_png(m["data"])
+    if m["mime"] == "image/fake":
+        return _decode_stub(m["data"], m["width"], m["height"])
+    raise NotImplementedError(
+        f"real decoder for mime {m['mime']!r} not available "
+        "in this environment"
+    )
+
+
 def decode_image_features(
     df: DataFrame,
     media_col: str = "media",
@@ -91,12 +195,7 @@ def decode_image_features(
                     if m is None or m["data"] is None:
                         feats.append(None)
                         continue
-                    if m["mime"] != "image/fake":
-                        raise NotImplementedError(
-                            f"real decoder for mime {m['mime']!r} not available "
-                            "in this environment"
-                        )
-                    img = _decode_stub(m["data"], m["width"], m["height"])
+                    img = _decode_image(m)
                     feats.append(
                         np.concatenate(
                             [img.mean(axis=(0, 1)), img.std(axis=(0, 1))]
@@ -150,14 +249,10 @@ def resize_images(
                     if m is None or m["data"] is None:
                         out.append(m)
                         continue
-                    if m["mime"] != "image/fake":
-                        raise NotImplementedError(
-                            f"real resize for mime {m['mime']!r} not available "
-                            "in this environment"
-                        )
-                    img = _decode_stub(m["data"], m["width"], m["height"])
-                    ys = (np.arange(height) * m["height"] // height).astype(int)
-                    xs = (np.arange(width) * m["width"] // width).astype(int)
+                    img = _decode_image(m)
+                    ih, iw = img.shape[0], img.shape[1]
+                    ys = (np.arange(height) * ih // height).astype(int)
+                    xs = (np.arange(width) * iw // width).astype(int)
                     resized = img[np.ix_(ys, xs)]
                     out.append(
                         {
@@ -229,16 +324,19 @@ def extract_audio_features(
                     if not m["mime"].startswith("audio/"):
                         feats.append(None)  # non-audio rows: null, not error
                         continue
-                    if m["mime"] != "audio/fake":
+                    if m["mime"] in ("audio/wav", "audio/x-wav"):
+                        pcm = _decode_wav(m["data"])
+                    elif m["mime"] == "audio/fake":
+                        pcm = (
+                            _pcm_stub_portable(m["data"])
+                            if portable
+                            else _pcm_stub(m["data"])
+                        )
+                    else:
                         raise NotImplementedError(
                             f"real audio decoder for mime {m['mime']!r} not "
                             "available in this environment"
                         )
-                    pcm = (
-                        _pcm_stub_portable(m["data"])
-                        if portable
-                        else _pcm_stub(m["data"])
-                    )
                     rms = float(np.sqrt(np.mean(pcm**2)))
                     zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0))
                     peak = float(np.max(np.abs(pcm)))
