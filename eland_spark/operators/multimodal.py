@@ -164,6 +164,10 @@ def _decode_image(m) -> np.ndarray:
     (jpeg etc. need PIL, absent here — the boundary stays explicit)."""
     if m["mime"] == "image/png":
         return _decode_png(m["data"])
+    if m["mime"] == "image/raw-rgb8":
+        return np.frombuffer(m["data"], dtype=np.uint8).reshape(
+            m["height"], m["width"], 3
+        )
     if m["mime"] == "image/fake":
         return _decode_stub(m["data"], m["width"], m["height"])
     raise NotImplementedError(
@@ -257,7 +261,11 @@ def resize_images(
                     out.append(
                         {
                             "data": resized.tobytes(),
-                            "mime": m["mime"],
+                            # decoded output is raw interleaved RGB —
+                            # advertise that, so a downstream decode
+                            # composes instead of re-parsing a codec
+                            # container that is no longer there
+                            "mime": "image/raw-rgb8",
                             "width": width,
                             "height": height,
                             "n_frames": m["n_frames"],

@@ -219,3 +219,36 @@ def test_stdlib_wav_decode(spark):
     exp = wave16.astype(np.float64) / 32768.0
     assert abs(rms - np.sqrt(np.mean(exp**2))) < 1e-3
     assert abs(peak - np.abs(exp).max()) < 1e-3
+
+
+def test_resize_then_decode_composes(spark):
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.multimodal import (
+        decode_image_features, resize_images,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(10, 8, 3), dtype="uint8")
+    png = _make_png(img)
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1]})).withColumn(
+        "media",
+        F.struct(
+            F.lit(bytearray(png)).alias("data"),
+            F.lit("image/png").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(10).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ),
+    )
+    small = resize_images(sdf, 4, 5)
+    row = small.collect()[0]["media"]
+    assert row["mime"] == "image/raw-rgb8"
+    assert (row["width"], row["height"]) == (4, 5)
+    # decode composes on the resized raw struct
+    feats = np.array(decode_image_features(small).collect()[0]["img_features"])
+    ys = (np.arange(5) * 10 // 5).astype(int)
+    xs = (np.arange(4) * 8 // 4).astype(int)
+    exp = img[np.ix_(ys, xs)]
+    assert np.allclose(feats[:3], exp.mean(axis=(0, 1)), atol=1e-3)
