@@ -3,10 +3,12 @@
 No reference analog (eland's NLP import is text-only); this is the
 training-data-pipeline extension. Design per SURVEY north star: media
 are opaque ``binary`` columns + typed metadata struct; decode/resize/
-feature-extract run as Arrow-batched mapInPandas stages. The decode
-kernels themselves are STUBBED (no image/audio libs in this container,
-deterministic fakes keep the pipeline testable) — the Spark-side
-contract (schema, batching, partitioning) is real.
+feature-extract run as Arrow-batched mapInPandas stages. PNG and
+16-bit WAV decode for REAL via stdlib codecs (zlib/wave — see
+_decode_png/_decode_wav); mimes needing external libs (jpeg, mp3)
+keep deterministic stub kernels with an explicit NotImplementedError
+boundary, and the Spark-side contract (schema, batching,
+partitioning) is real either way.
 """
 
 from __future__ import annotations
