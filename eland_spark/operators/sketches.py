@@ -283,9 +283,31 @@ def _mg_compress(rows: DataFrame, by: Sequence[str], k: int) -> DataFrame:
 
     by = list(by)
     merged = rows.groupBy(*by, "item").agg(F.sum("cnt").alias("cnt"))
-    w = (
-        Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
-    )
+    if not by:
+        # global compress without a window: the merged rows are bounded
+        # by the incoming partial count, so one array aggregation takes
+        # the top k+1 and subtracts the boundary — no WindowExec, no
+        # single-partition window node
+        entry = F.struct(
+            (-F.col("cnt")).alias("nc"),
+            F.col("item").alias("item"),
+            F.col("cnt").alias("cnt"),
+        )
+        top = merged.agg(
+            F.slice(F.array_sort(F.collect_list(entry)), 1, k + 1).alias("a")
+        )
+        delta = F.when(
+            F.size("a") > k, F.element_at("a", k + 1)["cnt"]
+        ).otherwise(F.lit(0))
+        return (
+            top.select(delta.alias("__d__"), F.explode(F.slice("a", 1, k)).alias("e"))
+            .select(
+                F.col("e.item").alias("item"),
+                (F.col("e.cnt") - F.col("__d__")).alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+    w = Window.partitionBy(*by)
     ordered = w.orderBy(F.col("cnt").desc(), F.col("item").asc())
     ranked = merged.withColumn("__rn__", F.row_number().over(ordered))
     delta = F.max(
