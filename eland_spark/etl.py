@@ -31,6 +31,7 @@ __all__ = [
     "spark_to_pandas",
     "csv_to_spark",
     "write_bucketed",
+    "write_sized",
     "write_sorted",
 ]
 
@@ -423,3 +424,58 @@ def write_bucketed(
     writer.saveAsTable(table_name)
     idx = df._schema.index_cols if isinstance(df, DataFrame) else ()
     return DataFrame(spark.table(table_name), index_cols=tuple(idx))
+
+
+def write_sized(
+    df,
+    path: str,
+    target_file_mb: int = 256,
+    sample_rows: int = 2000,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with files sized ~``target_file_mb`` — the
+    small-files/giant-files layout lever.
+
+    A stream of micro-batches (or a naive high-parallelism write)
+    leaves thousands of KB-sized files that crush scan planning at
+    100 TB; one executor writing multi-GB files serializes the job.
+    This measures the ENCODED bytes/row by writing a ``sample_rows``
+    sample to a scratch parquet (compression included — schema-based
+    guesses are off by 10x on text), then repartitions to
+    ``ceil(total_bytes / target)`` files. Returns the file count.
+
+    The repartition is a round-robin exchange — combine with
+    write_sorted/write_bucketed when a key layout matters more than
+    file size.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    n = sdf.count()
+    if n == 0:
+        sdf.write.mode(mode).parquet(path)
+        return 1
+    frac = min(1.0, sample_rows / n)
+    scratch = tempfile.mkdtemp(prefix="sized_probe_")
+    try:
+        probe = sdf.sample(fraction=frac, seed=7).limit(sample_rows)
+        probe.write.mode("overwrite").parquet(scratch)
+        import os
+
+        probe_rows = (
+            sdf.sparkSession.read.parquet(scratch).count()
+        )
+        probe_bytes = sum(
+            os.path.getsize(os.path.join(scratch, f))
+            for f in os.listdir(scratch)
+            if f.endswith(".parquet")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    bytes_per_row = probe_bytes / max(probe_rows, 1)
+    total = bytes_per_row * n
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    sdf.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -276,3 +276,27 @@ def test_read_binary_source(spark, tmp_path):
         .toString()
     )
     assert "content" not in plan
+
+
+def test_write_sized_targets_file_size(spark, tmp_path):
+    from eland_spark.etl import write_sized
+
+    sdf = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    out = str(tmp_path / "sized")
+    # tiny target so the 60k-row table must split into several files
+    n_files = write_sized(sdf, out, target_file_mb=1)
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n_files and n_files > 1
+    sizes = [os.path.getsize(os.path.join(out, f)) for f in files]
+    # every file within a loose band of the 1 MB target (parquet
+    # overhead + sampling error allowed)
+    assert max(sizes) < 3 * 1024 * 1024
+    back = spark.read.parquet(out)
+    assert back.count() == sdf.count()
+
+    # empty frame degrades to a single write
+    empty = sdf.where("l_orderkey < 0")
+    n0 = write_sized(empty, str(tmp_path / "empty"), target_file_mb=1)
+    assert n0 == 1
