@@ -3747,6 +3747,67 @@ def q_rollup_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN (FAISS-style ADC): m=8 subspace
+    codebooks (seeded from the 16 lowest-id vectors — SQL-replayable),
+    vectors encoded to 8 small codes, query scored via an m x k lookup
+    table literal (one array lookup per subspace per row), top-50 ADC
+    candidates exact-reranked to cosine top-10. The oracle replays
+    codebooks, codes, LUT distances, candidate cut, and rerank."""
+    from eland_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    books = pq_train(emb, m=8, k=16, max_iter=0, seed_strategy="first")
+    qrow = (
+        emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    )
+    q = [float(x) for x in qrow[0]["embedding"]]
+    out = pq_topk(emb, q, books, k=10, rerank=50)
+    return out.select("vec_id", F.round(F.col("cos"), 5).alias("cos"))
+
+
+_ANN_PQ_ORACLE = """
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cb AS (
+        SELECT vec_id AS c, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 16
+    ), subs AS (
+        SELECT unnest(generate_series(0, 7)) AS j
+    ), dists AS (
+        SELECT e.vec_id, s.j, cb.c,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (e.embedding[s.j*8 + i]::DOUBLE - cb.v[s.j*8 + i]) ^ 2))
+                    AS DOUBLE) AS d
+        FROM embeddings e, subs s, cb
+    ), codes AS (
+        SELECT vec_id, j,
+               CAST(min([d, CAST(c AS DOUBLE)])[2] AS INT) AS code
+        FROM dists GROUP BY vec_id, j
+    ), lut AS (
+        SELECT s.j, cb.c,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    i -> (q.qv[s.j*8 + i] - cb.v[s.j*8 + i]) ^ 2))
+                    AS DOUBLE) AS d
+        FROM q, subs s, cb
+    ), adist AS (
+        SELECT codes.vec_id, sum(lut.d) AS adist
+        FROM codes JOIN lut ON lut.j = codes.j AND lut.c = codes.code
+        GROUP BY codes.vec_id
+    ), cand AS (
+        SELECT vec_id FROM adist ORDER BY adist ASC, vec_id ASC LIMIT 50
+    ), rer AS (
+        SELECT c.vec_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+        FROM cand c JOIN embeddings e USING (vec_id), q
+    )
+    SELECT vec_id, round(cos_raw, 5) AS cos
+    FROM rer ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_corpus_profile(spark, sf_dir) -> DataFrame:
     """Dataset-card style corpus profile: per-source doc counts, token
     totals, mean quality, length extremes, and language cardinality —
@@ -4303,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "train_classifier": q_train_classifier,
         "rollup_topk": q_rollup_topk,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -5959,6 +6021,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, s
         """,
         "train_classifier": _train_classifier_oracle_sql(),
+        "ann_pq": _ANN_PQ_ORACLE,
         "rollup_topk": """
             SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
                    event_type AS item,

@@ -623,3 +623,184 @@ def semantic_dedup(
     )
     kept = df._sdf.join(drops, on=idc == F.col("__drop__"), how="left_anti")
     return EDF(kept, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebooks, ADC search
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: "DataFrame",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    train_rows: int = 65536,
+    seed_strategy: str = "first",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split vectors into ``m`` subspaces, k-means
+    each to ``k`` centroids. Returns codebooks[m][k][d/m].
+
+    Training runs driver-side numpy over a bounded sample (the FAISS
+    convention — codebooks are model-sized and converge on ~1e5 rows;
+    ``train_rows`` caps the collect, ordered by id for determinism).
+    ``seed_strategy='first'`` + ``max_iter=0`` makes the codebook the
+    first k rows' subvectors — fully SQL-replayable (the oracle
+    contract, same convention as ivf_index).
+    """
+    import numpy as np
+
+    schema = df._schema
+    rows = (
+        df._sdf.select(
+            F.col(schema.resolve(id_col)).alias("i"),
+            F.col(schema.resolve(vec_col)).alias("v"),
+        )
+        .orderBy("i")
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.stack([r["v"] for r in rows]).astype(np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        if seed_strategy == "first":
+            C = S[:k].copy()
+        else:
+            idx = np.argsort(
+                [hash((j, i)) % (1 << 31) for i in range(n)]
+            )[:k]
+            C = S[idx].copy()
+        for _ in range(max_iter):
+            dists = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            cells = dists.argmin(axis=1)
+            for c in range(k):
+                mask = cells == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    sdf,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+):
+    """Encode vectors to ``m`` small codes (array<int>): per subspace,
+    index of the nearest codebook centroid. One Arrow-vectorized
+    map-only pass (numpy argmin per subspace tile) — at m=8, k=16 the
+    code is 8 small ints per vector, a 32x storage/shuffle cut at
+    dim 64 float32. Ties break to the lowest index (matches SQL
+    argmin replay)."""
+    import numpy as np
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    out_schema = f"__id__ long, {out_col} array<int>"
+
+    def emit(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__vec__"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__id__": pdf["__id__"].to_numpy(), out_col: list(codes)}
+            )
+
+    return sdf.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).alias("__vec__")
+    ).mapInPandas(emit, schema=out_schema).withColumnRenamed("__id__", id_col)
+
+
+def pq_adc_distances(
+    code_col, query_vec: list[float], codebooks: list[list[list[float]]]
+):
+    """Asymmetric-distance Column: per subspace, the exact
+    ||q_sub - centroid||^2 is precomputed into a lookup table literal
+    (m x k doubles, ~1 KB), so scoring a row is m array lookups — the
+    FAISS ADC trick as a Catalyst expression, whole scan, zero Python."""
+    m = len(codebooks)
+    lut = []
+    sub = len(codebooks[0][0])
+    for j in range(m):
+        q = query_vec[j * sub : (j + 1) * sub]
+        lut.append(
+            [
+                float(sum((qq - cc) ** 2 for qq, cc in zip(q, c)))
+                for c in codebooks[j]
+            ]
+        )
+    lut_lit = F.lit(lut)
+    return F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            code_col,
+            lambda j, c: F.element_at(F.element_at(lut_lit, j), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    df: "DataFrame",
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate top-k by ADC distance over PQ codes, optionally
+    exact-reranked: take ``rerank`` ADC candidates (TakeOrdered — no
+    full sort), then re-score those few rows with exact cosine.
+    Returns (id, adist [, cos]) ordered ascending by the final metric
+    with id tie-breaks — deterministic across engines."""
+    schema = df._schema
+    sdf = df._sdf
+    coded = pq_encode(
+        sdf.select(
+            F.col(schema.resolve(id_col)).alias(id_col),
+            F.col(schema.resolve(vec_col)).alias(vec_col),
+        ),
+        codebooks,
+        vec_col,
+        id_col,
+    )
+    adist = pq_adc_distances(F.col("pq_code"), query_vec, codebooks)
+    scored = coded.select(id_col, adist.alias("adist"))
+    take = max(k, rerank)
+    top = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(take)
+    if not rerank:
+        return top
+    qlit = _vec_lit([float(x) for x in query_vec])
+    vecs = sdf.select(
+        F.col(schema.resolve(id_col)).alias(id_col),
+        F.col(schema.resolve(vec_col)).alias("__v__"),
+    )
+    return (
+        top.join(F.broadcast(vecs), id_col)
+        .select(
+            id_col,
+            F.col("adist"),
+            cosine(F.col("__v__"), qlit).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

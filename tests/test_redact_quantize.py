@@ -123,3 +123,45 @@ def test_ivf_index_lloyd_matches_local_numpy(spark, sf_dir):
             if (cells == c).any():
                 C[c] = X[cells == c].mean(axis=0)
     assert np.allclose(np.asarray(got), C, atol=1e-9)
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    import eland_spark as es
+    from eland_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    books = pq_train(emb, m=8, k=16, max_iter=3, seed_strategy="first")
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    # deterministic training
+    books2 = pq_train(emb, m=8, k=16, max_iter=3, seed_strategy="first")
+    assert books == books2
+
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    q = [float(x) for x in qrow[0]["embedding"]]
+    approx = {r.vec_id for r in pq_topk(emb, q, books, k=10, rerank=50).collect()}
+    exact = {
+        r.vec_id
+        for r in cosine_topk(emb, q, k=10).to_spark().select("vec_id").collect()
+    }
+    assert len(approx & exact) >= 6  # recall@10 with 50-candidate rerank
+    assert 0 in approx  # the query vector itself always survives
+
+    codes = pq_encode(emb.to_spark(), books)
+    row = codes.first()
+    assert len(row["pq_code"]) == 8
+    mx = codes.select(F.array_max("pq_code").alias("m")).agg(F.max("m")).collect()
+    assert mx[0][0] <= 15
+
+
+def test_pq_errors(spark, sf_dir):
+    import eland_spark as es
+    from eland_spark.operators.similarity import pq_train
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
