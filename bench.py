@@ -78,6 +78,7 @@ HEADLINE = [
     "cross_near_dup",
     "freq_tokens",
     "interval_overlap",
+    "ann_pq",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

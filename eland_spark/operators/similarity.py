@@ -804,3 +804,51 @@ def pq_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: "DataFrame",
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ: the two scale levers composed — coarse centroids prune
+    the scan to ``nprobe`` cells, PQ/ADC scores only the surviving
+    rows (m array lookups each), exact cosine reranks the short list.
+    At 100 TB with the table written cell-partitioned (ivf_write) the
+    candidate fetch is a partition-pruned read and the scored bytes
+    are the m-byte codes, not the vectors — the FAISS IVFADC layout
+    as a Catalyst plan."""
+    import numpy as np
+
+    schema = df._schema
+    sdf = df._sdf
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(x) for x in order[:nprobe]]
+
+    cand = sdf.select(
+        F.col(schema.resolve(id_col)).alias(id_col),
+        F.col(schema.resolve(vec_col)).alias(vec_col),
+    ).where(nearest_cell(F.col(vec_col), centroids).isin(probes))
+    coded = pq_encode(cand, codebooks, vec_col, id_col)
+    adist = pq_adc_distances(F.col("pq_code"), list(query_vec), codebooks)
+    take = max(k, rerank)
+    top = (
+        coded.select(id_col, adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(take)
+    )
+    qlit = _vec_lit([float(x) for x in query_vec])
+    return (
+        top.join(F.broadcast(cand), id_col)
+        .select(id_col, "adist", cosine(F.col(vec_col), qlit).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -165,3 +165,23 @@ def test_pq_errors(spark, sf_dir):
     emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7)
+
+
+def test_ivf_pq_topk_recall(spark, sf_dir):
+    import eland_spark as es
+    from eland_spark.operators.similarity import (
+        cosine_topk, ivf_index, ivf_pq_topk, pq_train,
+    )
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    cents = ivf_index(emb, n_cells=8, max_iter=2, seed_strategy="first")
+    books = pq_train(emb, m=8, k=16, max_iter=3, seed_strategy="first")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 3).collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    got = {r.vec_id for r in ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=4).collect()}
+    exact = {
+        r.vec_id
+        for r in cosine_topk(emb, qv, k=10).to_spark().select("vec_id").collect()
+    }
+    assert 3 in got
+    assert len(got & exact) >= 5  # pruning + PQ, still recalls half+
