@@ -51,6 +51,18 @@ class QueryFeatureExtractor:
             col = F.coalesce(col, F.lit(float(self.default_score)))
         return col.alias(self.feature_name)
 
+    def to_dict(self) -> dict[str, object]:
+        """Serializable config entry (reference FeatureExtractor.to_dict,
+        eland/ml/ltr/ltr_model_config.py:43-51): ``{type: {fields}}``
+        with None-valued fields dropped."""
+        body: dict[str, object] = {
+            "feature_name": self.feature_name,
+            "expr_template": self.expr_template,
+        }
+        if self.default_score is not None:
+            body["default_score"] = self.default_score
+        return {"query_extractor": body}
+
 
 @dataclass
 class LTRModelConfig:
@@ -63,6 +75,31 @@ class LTRModelConfig:
     @property
     def feature_names(self) -> list[str]:
         return [e.feature_name for e in self.feature_extractors]
+
+    @property
+    def query_feature_extractors(self) -> list[QueryFeatureExtractor]:
+        """All query-typed extractors (reference
+        ltr_model_config.py:144-152; here every extractor is one)."""
+        return [
+            e for e in self.feature_extractors
+            if isinstance(e, QueryFeatureExtractor)
+        ]
+
+    def feature_index(self, feature_name: str) -> int:
+        """Position of ``feature_name`` in the model's input vector
+        (reference ltr_model_config.py:154-157)."""
+        return self.feature_names.index(feature_name)
+
+    def to_dict(self) -> dict[str, object]:
+        """Registry-serializable config (reference
+        ltr_model_config.py:122-132)."""
+        return {
+            "learning_to_rank": {
+                "feature_extractors": [
+                    e.to_dict() for e in self.feature_extractors
+                ]
+            }
+        }
 
 
 class FeatureLogger:

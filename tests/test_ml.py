@@ -94,6 +94,24 @@ def test_ltr_feature_logging(spark):
     assert list(joined["term_count"]) == [1.0, 0.0]
 
 
+def test_ltr_config_serialization():
+    """to_dict/feature_index/query_feature_extractors parity
+    (reference ltr_model_config.py:43-51,122-157)."""
+    ex1 = QueryFeatureExtractor("bm25ish", "length(text)")
+    ex2 = QueryFeatureExtractor("gate", "1.0", default_score=0.5)
+    cfg = LTRModelConfig([ex1, ex2])
+    assert cfg.feature_index("gate") == 1
+    assert cfg.query_feature_extractors == [ex1, ex2]
+    d = cfg.to_dict()
+    entries = d["learning_to_rank"]["feature_extractors"]
+    assert entries[0] == {
+        "query_extractor": {"feature_name": "bm25ish",
+                            "expr_template": "length(text)"}
+    }
+    # None default_score dropped; set one serialized
+    assert entries[1]["query_extractor"]["default_score"] == 0.5
+
+
 def test_ltr_param_escaping(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["it's odd"]}))
     config = LTRModelConfig([
