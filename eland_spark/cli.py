@@ -54,9 +54,12 @@ def default_registry() -> str:
 
 
 def _derive_model_id(hub_model_id: str) -> str:
-    # same shape as the reference's auto-derived es_model_id: path
-    # separators flattened, lowercase, ES's 64-char id cap
-    return hub_model_id.replace("/", "__").lower()[:64]
+    # the reference's exact normalization (transformers.py:813-827):
+    # whitespace/path separators -> __, lowercase, LAST 64 chars (keeps
+    # the model name when the id is a long path), leading __ stripped
+    from .ml.nlp_config import elasticsearch_model_id
+
+    return elasticsearch_model_id(hub_model_id)
 
 
 def _detect_task(hub_model_id: str) -> str | None:
@@ -103,6 +106,11 @@ def register_model(
         "task_type": task_type,
         "dim": dim,
         "registered_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # the trained-model config document the reference PUTs to the
+        # trained-models API — persisted so a deployment is auditable
+        "config": TransformerModel(
+            hub_model_id, task_type, dim=dim
+        ).model_config().to_dict(),
     }
     with open(path, "w") as f:
         json.dump(entry, f, indent=2)

@@ -316,3 +316,54 @@ class TransformerModel:
         if self.task_type in ("text_embedding", "pass_through"):
             return hashed_embedding_batch
         raise NotImplementedError(self.task_type)
+
+    def elasticsearch_model_id(self) -> str:
+        """Deployment-safe id for this model (reference
+        transformers.py:798-799)."""
+        from .nlp_config import elasticsearch_model_id
+
+        return elasticsearch_model_id(self.model_id)
+
+    def model_config(self) -> "NlpTrainedModelConfig":
+        """Build the trained-model config document for this deployment
+        (reference TransformerModel._create_config,
+        transformers.py:517-595): task-keyed inference options wrapping
+        a tokenization config, with the reference's well-known defaults
+        — SQuAD windows for question_answering (max_seq 386, span 128,
+        truncate none), truncate='second' for text_similarity, and the
+        embedding size advertised for text_embedding.  Metadata records
+        the encoder family instead of TorchScript memory sizes."""
+        from .nlp_config import (
+            NlpBertTokenizationConfig,
+            NlpTrainedModelConfig,
+            PrefixStrings,
+            TASK_TYPE_TO_INFERENCE_CONFIG,
+            TrainedModelInput,
+        )
+
+        tok = NlpBertTokenizationConfig(do_lower_case=True)
+        kw = {"tokenization": tok}
+        if self.task_type == "question_answering":
+            tok.max_sequence_length, tok.span, tok.truncate = 386, 128, "none"
+            if self.question:
+                kw["question"] = self.question
+        elif self.task_type == "text_similarity":
+            tok.truncate = "second"
+            if self.query:
+                kw["text"] = self.query
+        elif self.task_type == "text_embedding":
+            kw["embedding_size"] = self.dim
+        elif self.task_type in ("text_classification", "zero_shot_classification"):
+            if self.labels:
+                kw["classification_labels"] = list(self.labels)
+            elif self.task_type == "text_classification":
+                kw["classification_labels"] = ["negative", "positive"]
+        return NlpTrainedModelConfig(
+            description=(
+                f"Model {self.model_id} for task type '{self.task_type}'"
+            ),
+            inference_config=TASK_TYPE_TO_INFERENCE_CONFIG[self.task_type](**kw),
+            input=TrainedModelInput(field_names=["text_field"]),
+            metadata={"encoder": "hashed-bow", "dim": self.dim},
+            prefix_strings=None,
+        )
