@@ -624,6 +624,29 @@ def q_boilerplate(spark, sf_dir) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "clean_text", "n_removed")
 
 
+def q_dup_spans(spark, sf_dir) -> DataFrame:
+    """Exact substring-duplication profile (operators/dedup.
+    duplicate_span_stats, Lee et al. 2021 shape): per-doc fraction of
+    token positions covered by an 8-token window occurring in >= 2
+    distinct documents. One window aggregation + AQE-broadcast mark
+    join + one per-doc coverage aggregation; portable mode keys
+    windows by the raw joined string so DuckDB replays the pipeline
+    exactly."""
+    from eland_spark.operators.dedup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = duplicate_span_stats(
+        docs, F.col("text"), F.col("doc_id"), k=8, min_docs=2, portable=True
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "dup_windows",
+        "covered_tokens",
+        "dup_fraction",
+    )
+
+
 def q_decontaminate(spark, sf_dir) -> DataFrame:
     """Benchmark decontamination (operators/dedup.contamination_flags):
     flag training documents sharing any word 5-shingle with the 'src2'
@@ -4229,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
         "perplexity": q_perplexity,
         "ppl_buckets": q_ppl_buckets,
         "elementwise_frame": q_elementwise_frame,
@@ -5955,6 +5979,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(u.copy AS INT) AS copy
             FROM nrep, UNNEST(range(0, n_copies)) AS u(copy)
             WHERE n_copies > 0
+        """,
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, COALESCE(len(t), 0) AS n_tokens, t FROM toks
+            ), wins AS (
+                SELECT doc_id, CAST(s AS INT) AS strt,
+                       array_to_string(t[CAST(s AS INT) + 1 : CAST(s AS INT) + 8], ' ') AS w
+                FROM base, UNNEST(range(0, n_tokens - 7)) AS u(s)
+            ), dup AS (
+                SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+            ), flagged AS (
+                SELECT wins.doc_id, wins.strt FROM wins JOIN dup USING (w)
+            ), cov AS (
+                SELECT doc_id, count(DISTINCT p) AS covered_tokens
+                FROM flagged, UNNEST(range(strt, strt + 8)) AS c(p)
+                GROUP BY doc_id
+            ), nd AS (
+                SELECT doc_id, count(*) AS dup_windows FROM flagged GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(nd.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+                   round(CASE WHEN b.n_tokens > 0
+                              THEN COALESCE(cov.covered_tokens, 0) / b.n_tokens
+                              ELSE 0.0 END, 6) AS dup_fraction
+            FROM base b
+            LEFT JOIN nd USING (doc_id)
+            LEFT JOIN cov USING (doc_id)
         """,
         "dedup_within_doc": """
             WITH t AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "freq_tokens",
     "interval_overlap",
     "ann_pq",
+    "dup_spans",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

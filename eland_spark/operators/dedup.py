@@ -744,3 +744,106 @@ def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def duplicate_span_stats(
+    sdf,
+    text: Column,
+    id_col: Column,
+    k: int = 8,
+    min_docs: int = 2,
+    portable: bool = False,
+):
+    """Exact substring-duplication profile per document.
+
+    The corpus-level exact-substring dedup signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when it lies inside any k-token
+    window whose exact token sequence occurs in at least ``min_docs``
+    DISTINCT documents. Per document this returns how much of the text
+    is corpus-repeated — the curation gate drops or downweights
+    documents with a high ``dup_fraction`` (license footers, mirrored
+    articles, templated pages). Unlike ``remove_boilerplate`` (whole
+    delimiter-separated segments) this operates on every overlapping
+    token window, so it catches duplication that crosses sentence
+    boundaries or hides inside otherwise-unique text.
+
+    Plan shape (suffix arrays don't distribute; positional window
+    counting does): one map-only pass materializes tokens and explodes
+    (doc, start, window-key) rows; the duplicated-window set is ONE
+    hash aggregation on the window key (map-side combined, two-phase
+    for the distinct-doc count); a join marks duplicated starts (the
+    dup set is corpus-boilerplate-sized, so AQE broadcasts it); covered
+    positions expand via sequence+explode and ONE aggregation per doc
+    counts them. Window keys are xxhash64 of the space-joined window by
+    default — 8 shuffle bytes per window regardless of k; ``portable=
+    True`` keys by the raw joined string so any SQL engine replays the
+    pipeline byte-for-byte (the oracle mode; same results absent hash
+    collisions).
+
+    Docs shorter than ``k`` tokens have no windows: dup_fraction 0.
+
+    Returns (id, n_tokens long, dup_windows long, covered_tokens long,
+    dup_fraction double rounded to 6).
+    """
+    win_key = (lambda c: c) if portable else F.xxhash64
+
+    docs = sdf.select(
+        id_col.alias("__id__"), normalized_tokens(text).alias("__t__")
+    ).withColumn(
+        # size(null) is -1; null text must read as an empty doc
+        "__n__", F.greatest(F.size("__t__"), F.lit(0))
+    )
+
+    starts = F.when(
+        F.col("__n__") >= k, F.sequence(F.lit(0), F.col("__n__") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        "__id__",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: win_key(
+                    F.concat_ws(" ", F.slice(F.col("__t__"), s + 1, k))
+                ),
+            )
+        ).alias("__s__", "__w__"),
+    )
+
+    dup = (
+        wins.groupBy("__w__")
+        .agg(F.countDistinct("__id__").alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__w__", F.lit(True).alias("__dup__"))
+    )
+
+    flagged = wins.join(dup, "__w__")  # inner: only duplicated starts survive
+    covered = flagged.select(
+        "__id__",
+        F.explode(F.sequence(F.col("__s__"), F.col("__s__") + k - 1)).alias("__p__"),
+    )
+    per_doc = covered.groupBy("__id__").agg(
+        F.countDistinct("__p__").alias("covered_tokens")
+    )
+    n_dup = flagged.groupBy("__id__").agg(F.count(F.lit(1)).alias("dup_windows"))
+
+    base = docs.select("__id__", F.col("__n__").cast("long").alias("n_tokens"))
+    return (
+        base.join(n_dup, "__id__", "left")
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias("id"),
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""duplicate_span_stats — exact substring-duplication profile
+(operators/dedup.py; Lee et al. 2021 semantics)."""
+
+import re
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from eland_spark.operators.dedup import duplicate_span_stats
+
+
+def _py_ref(texts: dict, k: int, min_docs: int) -> dict:
+    toks = {
+        i: [x for x in re.sub(r"[^a-z0-9\s]", " ", (t or "").lower()).split() if x]
+        for i, t in texts.items()
+    }
+    windocs = defaultdict(set)
+    for i, tt in toks.items():
+        for s in range(len(tt) - k + 1):
+            windocs[" ".join(tt[s : s + k])].add(i)
+    out = {}
+    for i, tt in toks.items():
+        dups = [
+            s
+            for s in range(len(tt) - k + 1)
+            if len(windocs[" ".join(tt[s : s + k])]) >= min_docs
+        ]
+        cov = set()
+        for s in dups:
+            cov.update(range(s, s + k))
+        frac = round(len(cov) / len(tt), 6) if tt else 0.0
+        out[i] = (len(tt), len(dups), len(cov), frac)
+    return out
+
+
+FIXTURE = {
+    1: "the quick brown fox jumps over the lazy dog again and again",
+    2: "the quick brown fox jumps over the lazy dog but differently here",
+    3: "completely unrelated text with no overlap at all in this row",
+    4: "short doc",  # fewer than k tokens: zero windows
+    5: None,  # null text: empty doc
+    6: "the quick brown fox jumps over the lazy dog again and again",  # dup of 1
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in FIXTURE.items()], "id long, text string"
+    )
+
+
+def _collect(df):
+    return {
+        r["id"]: (
+            r["n_tokens"],
+            r["dup_windows"],
+            r["covered_tokens"],
+            r["dup_fraction"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_matches_python_reference(spark, docs):
+    got = _collect(
+        duplicate_span_stats(docs, F.col("text"), F.col("id"), k=5, min_docs=2)
+    )
+    exp = _py_ref(FIXTURE, k=5, min_docs=2)
+    assert got == exp
+    # the two identical docs are fully covered; the unrelated one isn't
+    assert got[1][3] == 1.0 and got[6][3] == 1.0
+    assert got[3][3] < 1.0
+    # short + null docs: zeros, not errors
+    assert got[4] == (2, 0, 0, 0.0)
+    assert got[5] == (0, 0, 0, 0.0)
+
+
+def test_portable_mode_matches_hashed(spark, docs):
+    fast = _collect(
+        duplicate_span_stats(docs, F.col("text"), F.col("id"), k=5, min_docs=2)
+    )
+    portable = _collect(
+        duplicate_span_stats(
+            docs, F.col("text"), F.col("id"), k=5, min_docs=2, portable=True
+        )
+    )
+    assert fast == portable
+
+
+def test_min_docs_threshold(spark, docs):
+    # only windows shared by >= 3 docs count; the pairwise overlap of
+    # docs 1/2/6 ('the quick brown fox jumps' prefix) appears in 3 docs
+    got = _collect(
+        duplicate_span_stats(docs, F.col("text"), F.col("id"), k=5, min_docs=3)
+    )
+    exp = _py_ref(FIXTURE, k=5, min_docs=3)
+    assert got == exp
+    assert got[2][1] > 0  # shares the 3-doc prefix windows
+    assert got[3] == (11, 0, 0, 0.0)
+
+
+def test_plan_has_single_window_aggregation(spark, docs):
+    # scale contract: no crossJoin, no Window; the dup set join is
+    # broadcast-eligible (AQE) and coverage is plain hash aggregation
+    plan = duplicate_span_stats(
+        docs, F.col("text"), F.col("id"), k=5, min_docs=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" not in plan
