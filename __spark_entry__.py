@@ -3409,6 +3409,27 @@ def q_rowwise_arith(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bloom_membership(spark, sf_dir) -> DataFrame:
+    """Bloom-filter membership sketch (operators/sketches.bloom_*):
+    per-source filters over doc ids (sparse word/bits rows, md5 double
+    hashing, 63-bit words), probed with every present id plus an
+    absent twin (+10^9). No false negatives by construction; the
+    absent side exercises the fpp path. One build aggregation + one
+    probe join + one AND-fold aggregation; fully SQL-replayable
+    (DuckDB rebuilds filters and probes with identical bit math)."""
+    from eland_spark.operators.sketches import bloom_contains, bloom_sketches
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    sk = bloom_sketches(docs, "doc_id", ["source"], m_bits=8192, n_hashes=4)
+    probes = docs.select("source", F.col("doc_id")).unionByName(
+        docs.select("source", (F.col("doc_id") + 1000000000).alias("doc_id"))
+    )
+    out = bloom_contains(sk, probes, "doc_id", ["source"], m_bits=8192, n_hashes=4)
+    return out.select(
+        "source", F.col("item").alias("probe_id"), "contained"
+    ).orderBy("source", "probe_id")
+
+
 def q_kmv_distinct(spark, sf_dir) -> DataFrame:
     """KMV (K-minimum values) distinct sketch, engine-portable: per
     group keep the 256 smallest md5-prefix hashes; estimate
@@ -4229,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rowwise_arith": q_rowwise_arith,
         "kmv_distinct": q_kmv_distinct,
+        "bloom_membership": q_bloom_membership,
         "rollup_hypertable": q_rollup_hypertable,
         "groupby_sample": q_groupby_sample,
         "str_cat": q_str_cat,
@@ -5427,6 +5449,47 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS nd
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bloom_membership": """
+            WITH h AS (
+                SELECT source, doc_id,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                            AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR), 17, 15))
+                            AS BIGINT) AS h2
+                FROM documents
+            ), pos AS (
+                SELECT source, (h1 + i * h2) % 8192 AS p
+                FROM h, UNNEST(range(1, 5)) AS u(i)
+            ), sk AS (
+                SELECT source, CAST(p // 63 AS INT) AS word,
+                       bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+                FROM pos GROUP BY source, CAST(p // 63 AS INT)
+            ), probes AS (
+                SELECT source, doc_id AS probe_id FROM documents
+                UNION ALL
+                SELECT source, doc_id + 1000000000 FROM documents
+            ), ph AS (
+                SELECT source, probe_id,
+                       CAST(('0x' || substr(md5(probe_id::VARCHAR), 1, 15))
+                            AS BIGINT) AS h1,
+                       CAST(('0x' || substr(md5(probe_id::VARCHAR), 17, 15))
+                            AS BIGINT) AS h2
+                FROM probes
+            ), need AS (
+                SELECT source, probe_id, CAST(p // 63 AS INT) AS word,
+                       bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS need
+                FROM (SELECT source, probe_id, (h1 + i * h2) % 8192 AS p
+                      FROM ph, UNNEST(range(1, 5)) AS u(i))
+                GROUP BY source, probe_id, CAST(p // 63 AS INT)
+            )
+            SELECT n.source, n.probe_id,
+                   bool_and(s.bits IS NOT NULL
+                            AND (s.bits & n.need) = n.need) AS contained
+            FROM need n
+            LEFT JOIN sk s ON s.source = n.source AND s.word = n.word
+            GROUP BY n.source, n.probe_id
+            ORDER BY n.source, n.probe_id
         """,
         "kmv_distinct": """
             WITH d AS (

@@ -80,6 +80,7 @@ HEADLINE = [
     "interval_overlap",
     "ann_pq",
     "dup_spans",
+    "bloom_membership",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

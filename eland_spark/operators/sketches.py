@@ -30,6 +30,10 @@ __all__ = [
     "mg_sketches",
     "mg_rollup",
     "mg_items",
+    "bloom_sketches",
+    "bloom_rollup",
+    "bloom_contains",
+    "bloom_fill_ratio",
 ]
 
 
@@ -365,3 +369,146 @@ def mg_items(sketches: DataFrame, by: Sequence[str], mg_col: str = "mg") -> Data
     return sketches.select(
         *list(by), F.explode(F.col(mg_col)).alias("item", "cnt")
     )
+
+
+# --- Bloom filter (membership) -------------------------------------------
+#
+# The membership member of the sketch family (HLL/KMV: distinct counts,
+# MG: heavy hitters, bottom-k: quantiles). A Bloom filter answers "was
+# this key EVER in the group" with no false negatives and a tunable
+# false-positive rate — the 100-TB tool for incremental cross-snapshot
+# dedup: sketch yesterday's corpus once (m/8 bytes per group instead of
+# the key set), then gate today's increment with a broadcast membership
+# probe instead of a full-corpus anti-join. Sketches store SPARSE
+# (group, word, bits) rows — only words with set bits exist — and merge
+# losslessly by bitwise OR, so rollups never rescan raw data (same
+# contract as the KMV/MG families).
+#
+# Hashing: Kirsch-Mitzenmacher double hashing pos_i = (h1 + i*h2) mod m
+# with h1/h2 = disjoint 60-bit md5 prefixes — exact integer arithmetic
+# in longs, and any SQL engine replays it (DuckDB oracle idiom:
+# CAST('0x'||substr(md5(x),...) AS BIGINT)). Words hold 63 bits (bit =
+# 1 << (pos % 63)): the sign bit is never set, so bit_or/bit-and
+# semantics are engine-portable without two's-complement edge cases.
+
+_BLOOM_WORD = 63
+
+
+def _bloom_h12(col) -> tuple["F.Column", "F.Column"]:
+    s = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(s, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(s, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _bloom_positions(col, m_bits: int, n_hashes: int) -> "F.Column":
+    h1, h2 = _bloom_h12(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_hashes)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    )
+
+
+def bloom_sketches(
+    sdf: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build one Bloom filter per group as sparse (by..., word int,
+    bits long) rows. ONE hash aggregation: explode each value's
+    ``n_hashes`` bit positions (map-only), bit_or the per-word masks
+    (map-side combined — shuffle bounded by groups x words, not rows).
+
+    Sizing: fpp ~ (1 - e^(-k*n/m))^k; m_bits = 10 bits/key with k=4
+    gives ~1.2% fpp. Pick m_bits for the LARGEST group."""
+    by = list(by)
+    pos = F.explode(
+        _bloom_positions(F.col(value_col), m_bits, n_hashes)
+    ).alias("__pos__")
+    rows = sdf.select(*by, pos).select(
+        *by,
+        (F.col("__pos__") / _BLOOM_WORD).cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast(__pos__ % {_BLOOM_WORD} as int))"
+        ).alias("__bit__"),
+    )
+    agg = F.bit_or("__bit__").alias("bits")
+    if by:
+        return rows.groupBy(*by, "word").agg(agg)
+    return rows.groupBy("word").agg(agg)
+
+
+def bloom_rollup(
+    sketches: DataFrame, by: Sequence[str] = ()
+) -> DataFrame:
+    """Merge sketches to a coarser grouping by bitwise OR per word —
+    identical to a from-scratch sketch of the union (OR is the Bloom
+    merge), so incremental snapshots fold without rescanning."""
+    by = list(by)
+    agg = F.bit_or("bits").alias("bits")
+    return sketches.groupBy(*by, "word").agg(agg)
+
+
+def bloom_contains(
+    sketches: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership test: for each probe row (carrying the ``by`` columns
+    when grouped), ``contained`` is true iff ALL ``n_hashes`` bits are
+    set in that group's filter — no false negatives, fpp-bounded false
+    positives. Plan: the probe side reduces to (by, item, word,
+    needed-mask) rows (tiny — aggregate before the join), left-joins
+    the sketch on (by, word) (AQE broadcasts whichever side is small),
+    and ONE aggregation ANDs the per-word checks back to one row per
+    probe."""
+    by = list(by)
+    need = (
+        probes.select(
+            *by,
+            F.col(value_col).alias("item"),
+            F.explode(
+                _bloom_positions(F.col(value_col), m_bits, n_hashes)
+            ).alias("__pos__"),
+        )
+        .select(
+            *by,
+            "item",
+            (F.col("__pos__") / _BLOOM_WORD).cast("int").alias("word"),
+            F.expr(
+            f"shiftleft(cast(1 as bigint), cast(__pos__ % {_BLOOM_WORD} as int))"
+        ).alias("__bit__"),
+        )
+        .groupBy(*by, "item", "word")
+        .agg(F.bit_or("__bit__").alias("__need__"))
+    )
+    joined = need.join(sketches, [*by, "word"], "left")
+    ok = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("__need__")) == F.col("__need__"))
+    )
+    return (
+        joined.groupBy(*by, "item")
+        .agg(F.min(ok.cast("int")).alias("__all__"))
+        .select(*by, "item", (F.col("__all__") == 1).alias("contained"))
+    )
+
+
+def bloom_fill_ratio(
+    sketches: DataFrame, by: Sequence[str] = (), m_bits: int = 4096
+) -> DataFrame:
+    """Per-group fill ratio (set bits / m) — the observable that prices
+    the false-positive rate: fpp ~ fill_ratio ** n_hashes. A group
+    past ~0.5 fill needs a bigger ``m_bits``."""
+    by = list(by)
+    agg = (F.sum(F.bit_count("bits")) / F.lit(float(m_bits))).alias(
+        "fill_ratio"
+    )
+    if by:
+        return sketches.groupBy(*by).agg(agg)
+    return sketches.agg(agg)

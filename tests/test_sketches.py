@@ -93,3 +93,79 @@ def test_sample_sketch_quantiles_and_merge(spark):
     sk2 = sample_sketches(small, "v", "rid", ["g"], k=512)
     got = sk2.select(quantile_from_sample(F.col("sample"), 0.5).alias("p")).collect()[0]["p"]
     assert got == 50.0  # nearest-rank p50 of 0..100
+
+
+def test_bloom_no_false_negatives_and_rollup(spark):
+    from eland_spark.operators.sketches import (
+        bloom_contains,
+        bloom_fill_ratio,
+        bloom_rollup,
+        bloom_sketches,
+    )
+
+    rows = [(f"g{i % 3}", f"key_{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk = bloom_sketches(df, "k", ["g"], m_bits=4096, n_hashes=4).cache()
+
+    # every inserted key must test positive in its own group
+    res = bloom_contains(sk, df, "k", ["g"], m_bits=4096, n_hashes=4)
+    assert res.filter(~F.col("contained")).count() == 0
+
+    # absent keys: fpp must stay near the design bound (~fill^k)
+    absent = spark.createDataFrame(
+        [(f"g{i % 3}", f"nope_{i}") for i in range(300)], "g string, k string"
+    )
+    fp = (
+        bloom_contains(sk, absent, "k", ["g"], m_bits=4096, n_hashes=4)
+        .filter(F.col("contained"))
+        .count()
+    )
+    assert fp <= 5  # 100 keys/group in 4096 bits, k=4 -> fpp << 1%
+
+    # fill ratio is the fpp observable
+    fills = {r["g"]: r["fill_ratio"] for r in bloom_fill_ratio(sk, ["g"], 4096).collect()}
+    assert all(0 < v < 0.15 for v in fills.values())
+
+    # rollup by OR == from-scratch sketch of the union (lossless merge)
+    merged = {
+        (r["word"], r["bits"]) for r in bloom_rollup(sk, []).collect()
+    }
+    scratch = {
+        (r["word"], r["bits"])
+        for r in bloom_sketches(df, "k", [], m_bits=4096, n_hashes=4).collect()
+    }
+    assert merged == scratch
+
+
+def test_bloom_membership_is_group_scoped(spark):
+    from eland_spark.operators.sketches import bloom_contains, bloom_sketches
+
+    df = spark.createDataFrame(
+        [("a", "only_in_a"), ("b", "only_in_b")], "g string, k string"
+    )
+    sk = bloom_sketches(df, "k", ["g"], m_bits=4096, n_hashes=4)
+    cross = spark.createDataFrame(
+        [("a", "only_in_b"), ("b", "only_in_a"), ("a", "only_in_a")],
+        "g string, k string",
+    )
+    got = {
+        (r["g"], r["item"]): r["contained"]
+        for r in bloom_contains(sk, cross, "k", ["g"], m_bits=4096, n_hashes=4).collect()
+    }
+    assert got[("a", "only_in_a")] is True
+    assert got[("a", "only_in_b")] is False
+    assert got[("b", "only_in_a")] is False
+
+
+def test_bloom_plan_single_aggregation(spark):
+    from eland_spark.operators.sketches import bloom_sketches
+
+    df = spark.createDataFrame([("a", "x")], "g string, k string")
+    plan = (
+        bloom_sketches(df, "k", ["g"], m_bits=1024, n_hashes=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash aggregation pair (partial + final), no window/cartesian
+    assert "CartesianProduct" not in plan and "Window" not in plan
