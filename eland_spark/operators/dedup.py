@@ -820,17 +820,21 @@ def duplicate_span_stats(
     flagged = wins.join(dup, "__w__")  # inner: only duplicated starts survive
     covered = flagged.select(
         "__id__",
+        "__s__",
         F.explode(F.sequence(F.col("__s__"), F.col("__s__") + k - 1)).alias("__p__"),
     )
+    # starts are unique per doc, so countDistinct(start) over the
+    # exploded positions == the window count: ONE per-doc aggregation
+    # yields both outputs (one exchange + one join fewer than
+    # aggregating windows and positions separately)
     per_doc = covered.groupBy("__id__").agg(
-        F.countDistinct("__p__").alias("covered_tokens")
+        F.countDistinct("__s__").alias("dup_windows"),
+        F.countDistinct("__p__").alias("covered_tokens"),
     )
-    n_dup = flagged.groupBy("__id__").agg(F.count(F.lit(1)).alias("dup_windows"))
 
     base = docs.select("__id__", F.col("__n__").cast("long").alias("n_tokens"))
     return (
-        base.join(n_dup, "__id__", "left")
-        .join(per_doc, "__id__", "left")
+        base.join(per_doc, "__id__", "left")
         .select(
             F.col("__id__").alias("id"),
             "n_tokens",

@@ -560,3 +560,29 @@ def test_covariance_shuffle_is_moment_sized(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.splitlines()[0]
         assert "embedding" not in head, head
+
+
+def test_dup_spans_and_bloom_plan_shapes(spark):
+    """Round-2 additions: the substring-duplication profile has no
+    Window/cartesian and its dup-set mark join broadcasts under AQE;
+    the bloom build is one hash aggregation over the exploded
+    positions; the bloom probe is one join plus one AND-fold
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.dedup import duplicate_span_stats
+    from eland_spark.operators.sketches import bloom_contains, bloom_sketches
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+
+    spans = duplicate_span_stats(docs, F.col("text"), F.col("doc_id"), k=8)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" not in plan, plan
+
+    sk = bloom_sketches(docs, "doc_id", ["source"], m_bits=8192, n_hashes=4)
+    assert shuffle_count(sk) == 1, plan_summary(sk)
+
+    probes = docs.select("source", "doc_id")
+    res = bloom_contains(sk, probes, "doc_id", ["source"], m_bits=8192, n_hashes=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" not in plan, plan
