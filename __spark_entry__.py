@@ -624,6 +624,27 @@ def q_boilerplate(spark, sf_dir) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "clean_text", "n_removed")
 
 
+def q_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Incremental corpus diff (operators/dedup.snapshot_diff): two
+    deterministic snapshot views of the documents table (old drops
+    doc_id%10==0; new drops doc_id%7==0 and rewrites text for
+    doc_id%5==0) diffed by key in ONE full outer join — the
+    added/removed/changed ledger that lets downstream stages re-run on
+    the delta only."""
+    from eland_spark.operators.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    out = snapshot_diff(old, new, "doc_id", compare=["text"])
+    return out.orderBy("doc_id")
+
+
 def q_dup_spans(spark, sf_dir) -> DataFrame:
     """Exact substring-duplication profile (operators/dedup.
     duplicate_span_stats, Lee et al. 2021 shape): per-doc fraction of
@@ -4275,6 +4296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
+        "snapshot_diff": q_snapshot_diff,
         "perplexity": q_perplexity,
         "ppl_buckets": q_ppl_buckets,
         "elementwise_frame": q_elementwise_frame,
@@ -6042,6 +6064,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(u.copy AS INT) AS copy
             FROM nrep, UNNEST(range(0, n_copies)) AS u(copy)
             WHERE n_copies > 0
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+            ), j AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       (o.doc_id IS NOT NULL) AS in_old,
+                       (n.doc_id IS NOT NULL) AS in_new,
+                       (o.text IS NOT DISTINCT FROM n.text) AS same
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN same THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE NOT (in_old AND in_new AND same)
+            ORDER BY doc_id
         """,
         "dup_spans": """
             WITH toks AS (

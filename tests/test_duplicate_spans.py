@@ -108,3 +108,48 @@ def test_plan_has_single_window_aggregation(spark, docs):
         docs, F.col("text"), F.col("id"), k=5, min_docs=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+# --- snapshot_diff (same incremental-corpus family) -----------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from eland_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "now-set"), (5, "new")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "id", compare=["text"]).collect()
+    }
+    # id 2 unchanged -> excluded by default; null->value counts as change
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    full = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, "id", compare=["text"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged" and len(full) == 5
+
+
+def test_snapshot_diff_default_compare_and_plan(spark):
+    from eland_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "id long, t string, n long")
+    new = spark.createDataFrame([(1, "a", 11)], "id long, t string, n long")
+    # default compare = all shared non-key columns -> n differs
+    assert snapshot_diff(old, new, "id").collect()[0]["status"] == "changed"
+    plan = (
+        snapshot_diff(old, new, "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "Window" not in plan
