@@ -840,10 +840,13 @@ def duplicate_span_stats(
     Returns (id, n_tokens long, dup_windows long, covered_tokens long,
     dup_fraction double rounded to 6).
     """
+    from .parallelism import ensure_parallelism
+
     win_key = (lambda c: c) if portable else F.xxhash64
 
-    docs = sdf.select(
-        id_col.alias("__id__"), normalized_tokens(text).alias("__t__")
+    docs = ensure_parallelism(sdf.select(id_col.alias("__id__"), text.alias("__x__")), "__id__")
+    docs = docs.select(
+        "__id__", normalized_tokens(F.col("__x__")).alias("__t__")
     ).withColumn(
         # size(null) is -1; null text must read as an empty doc
         "__n__", F.greatest(F.size("__t__"), F.lit(0))
@@ -864,12 +867,22 @@ def duplicate_span_stats(
         ).alias("__s__", "__w__"),
     )
 
-    dup = (
-        wins.groupBy("__w__")
-        .agg(F.countDistinct("__id__").alias("__nd__"))
-        .filter(F.col("__nd__") >= min_docs)
-        .select("__w__", F.lit(True).alias("__dup__"))
-    )
+    if min_docs == 2:
+        # min(id) != max(id) <=> >= 2 distinct docs; skips the
+        # two-phase distinct expand (one exchange instead of two)
+        dup = (
+            wins.groupBy("__w__")
+            .agg(F.min("__id__").alias("__lo__"), F.max("__id__").alias("__hi__"))
+            .filter(F.col("__lo__") != F.col("__hi__"))
+            .select("__w__", F.lit(True).alias("__dup__"))
+        )
+    else:
+        dup = (
+            wins.groupBy("__w__")
+            .agg(F.countDistinct("__id__").alias("__nd__"))
+            .filter(F.col("__nd__") >= min_docs)
+            .select("__w__", F.lit(True).alias("__dup__"))
+        )
 
     flagged = wins.join(dup, "__w__")  # inner: only duplicated starts survive
     covered = flagged.select(
