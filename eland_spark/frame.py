@@ -1909,6 +1909,16 @@ class DataFrame:
     def explain(self, mode: str = "formatted") -> None:
         self._projected().explain(mode)
 
+    def lint(self) -> "list[dict]":
+        """Static scale-hazard scan of this frame's physical plan
+        (plans.lint_plan): flags cartesian products, single-partition
+        exchanges, row-at-a-time Python UDFs, un-pushed filters.
+        Empty list = clean bill; run it on any pipeline before
+        pointing it at the full corpus."""
+        from .plans import lint_plan
+
+        return lint_plan(self._projected())
+
     # -- reference-parity accessors & repr helpers ---------------------
     @property
     def index(self):

@@ -12,6 +12,7 @@ from .inspect import (
     broadcast_join_count,
     codegen_stage_count,
     explain_str,
+    lint_plan,
     plan_summary,
     pushed_filters,
     read_schema_columns,
@@ -26,4 +27,5 @@ __all__ = [
     "shuffle_count",
     "broadcast_join_count",
     "codegen_stage_count",
+    "lint_plan",
 ]

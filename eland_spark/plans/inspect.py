@@ -78,3 +78,89 @@ def plan_summary(df: DataFrame) -> dict:
         "broadcast_joins": broadcast_join_count(df),
         "codegen_stages": codegen_stage_count(df),
     }
+
+
+# (rule, severity, plan-text regex, what it means at scale)
+_LINT_RULES = [
+    (
+        "cartesian-product",
+        "error",
+        r"CartesianProduct",
+        "all-pairs join: cost is |left| x |right|; add an equi-join key, "
+        "broadcast the small side, or block/bucket the candidates",
+    ),
+    (
+        "nested-loop-join",
+        "warn",
+        r"BroadcastNestedLoopJoin",
+        "non-equi join re-scans the broadcast side per row; fine for a "
+        "bounded small side, quadratic otherwise — consider a range/band "
+        "bucketing rewrite",
+    ),
+    (
+        "single-partition-exchange",
+        "error",
+        r"Exchange SinglePartition|Arguments: SinglePartition",
+        "everything funnels through ONE task (global window/sort without "
+        "PARTITION BY?); use the range-sort + offset pattern "
+        "(operators/ranking.py) or a keyed window",
+    ),
+    (
+        "python-row-udf",
+        "error",
+        r"BatchEvalPython",
+        "row-at-a-time Python UDF: ~10-100x slower than Arrow; use "
+        "pandas_udf / mapInPandas or a builtin expression",
+    ),
+    (
+        "python-arrow-udf",
+        "info",
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+        "Arrow-batched Python stage: vectorized, but still leaves "
+        "whole-stage codegen — keep it off the hot path if a builtin "
+        "expression exists",
+    ),
+    (
+        "unkeyed-repartition",
+        "info",
+        r"RoundRobinPartitioning",
+        "round-robin repartition spreads data but co-locates nothing; "
+        "repartition by the downstream grouping key to let the next "
+        "aggregation reuse the exchange",
+    ),
+]
+
+
+def lint_plan(df: DataFrame) -> list[dict]:
+    """Static scale-hazard scan of the physical plan.
+
+    Returns one finding per matched rule: ``{"rule", "severity",
+    "count", "advice"}``, severities ``error`` (will not survive a
+    100x scale-up), ``warn`` (survives only under documented bounds),
+    ``info`` (worth knowing). An empty list is the clean bill. The
+    un-pushed-filter case is reported separately: a scan with
+    ``PushedFilters: []`` beneath a Filter node means rows are decoded
+    before being dropped.
+    """
+    text = explain_str(df)
+    findings = []
+    for rule, sev, pat, advice in _LINT_RULES:
+        n = len(re.findall(pat, text))
+        if n:
+            findings.append(
+                {"rule": rule, "severity": sev, "count": n, "advice": advice}
+            )
+    if re.search(r"PushedFilters: \[\]", text) and re.search(
+        r"\(\d+\) Filter", text
+    ):
+        findings.append(
+            {
+                "rule": "filter-not-pushed",
+                "severity": "warn",
+                "count": len(re.findall(r"PushedFilters: \[\]", text)),
+                "advice": "a Filter sits above a scan that pushed nothing: "
+                "the predicate may be over a derived column — filter on "
+                "stored columns first so parquet row groups are skipped",
+            }
+        )
+    return findings

@@ -586,3 +586,56 @@ def test_dup_spans_and_bloom_plan_shapes(spark):
     res = bloom_contains(sk, probes, "doc_id", ["source"], m_bits=8192, n_hashes=4)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" not in plan, plan
+
+
+def test_lint_plan_flags_hazards_and_clears_clean_plans(spark):
+    """The static scale-hazard linter: cartesian products,
+    single-partition exchanges and row-at-a-time Python UDFs are
+    errors; a pushdown-clean aggregation plan is a clean bill."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from eland_spark.plans import lint_plan
+
+    li = es.read_parquet(spark, f"{SF}/lineitem.parquet").to_spark()
+    ord_ = es.read_parquet(spark, f"{SF}/orders.parquet").to_spark()
+
+    # clean: pushed filter + single-shuffle agg -> no error findings
+    clean = (
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+    )
+    assert not [f for f in lint_plan(clean) if f["severity"] == "error"]
+
+    # all-pairs join -> flagged (CartesianProduct when neither side
+    # broadcasts; BroadcastNestedLoopJoin when one does, as here)
+    cart = li.crossJoin(ord_)
+    rules = {f["rule"] for f in lint_plan(cart)}
+    assert rules & {"cartesian-product", "nested-loop-join"}
+
+    # global window without PARTITION BY -> single-partition exchange
+    from pyspark.sql import Window
+
+    w = Window.orderBy("l_orderkey")
+    cliff = li.withColumn("rn", F.row_number().over(w))
+    rules = {f["rule"] for f in lint_plan(cliff) if f["severity"] == "error"}
+    assert "single-partition-exchange" in rules
+
+    # row-at-a-time python UDF -> error
+    bad_udf = F.udf(lambda x: x + 1, LongType())
+    slow = li.select(bad_udf(F.col("l_orderkey")))
+    rules = {f["rule"] for f in lint_plan(slow) if f["severity"] == "error"}
+    assert "python-row-udf" in rules
+
+    # arrow-batched python -> info only
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ok_udf(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    vec = li.select(ok_udf(F.col("l_orderkey")))
+    sevs = {f["severity"] for f in lint_plan(vec)}
+    assert "error" not in sevs
