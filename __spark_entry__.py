@@ -125,18 +125,18 @@ def q_mad(spark, sf_dir) -> DataFrame:
 
 
 def q_mode_ties(spark, sf_dir) -> DataFrame:
-    """Mode with tie handling: all values at max frequency
-    (reference eland/operations.py:676-696)."""
+    """Mode with tie handling: all values at max frequency (reference
+    eland/operations.py:676-696). Ties resolve via a broadcast
+    max-count join — the same plan Series.mode uses — NOT a global rank
+    window, which would funnel the whole distinct-value table through
+    one task on a high-cardinality column."""
     li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY)
     counted = li.to_spark().groupBy(F.col("l_quantity").alias("val")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cnt"))
+    top = counted.agg(F.max("cnt").alias("m"))
     return (
-        counted.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
+        counted.join(F.broadcast(top), counted["cnt"] == top["m"])
         .select("val", "cnt")
     )
 

@@ -97,14 +97,10 @@ _LINT_RULES = [
         "bounded small side, quadratic otherwise — consider a range/band "
         "bucketing rewrite",
     ),
-    (
-        "single-partition-exchange",
-        "error",
-        r"Exchange SinglePartition|Arguments: SinglePartition",
-        "everything funnels through ONE task (global window/sort without "
-        "PARTITION BY?); use the range-sort + offset pattern "
-        "(operators/ranking.py) or a keyed window",
-    ),
+    # single-partition exchanges are handled separately in lint_plan:
+    # one fed by a partial aggregate moves O(partitions) pre-aggregated
+    # rows (the normal global-agg final step); one fed by anything else
+    # moves the DATA through one task (the global-window/sort cliff)
     (
         "python-row-udf",
         "error",
@@ -131,6 +127,45 @@ _LINT_RULES = [
 ]
 
 
+def _raw_single_partition_count(text: str) -> int:
+    """SinglePartition exchanges whose INPUT is not a partial
+    aggregate. A global aggregation's final step legitimately sends
+    O(partitions) partial-agg rows through one task; anything else
+    (global window, global sort) sends the data itself — the cliff.
+
+    Works off the formatted explain: the tree section gives each
+    Exchange's child node id; the detail section says whether that
+    exchange is SinglePartition and whether the child's aggregate
+    functions are partial_*."""
+    # child of each Exchange from the tree ASCII: the next tree line
+    # one level deeper starts with the child node
+    tree_children: dict[str, str] = {}
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"[+*]- Exchange \((\d+)\)", line)
+        if m is None:
+            m = re.match(r"^\s*Exchange \((\d+)\)", line)
+        if m and i + 1 < len(lines):
+            cm = re.search(r"(\w[\w ]*?) \((\d+)\)\s*$", lines[i + 1])
+            if cm:
+                tree_children[m.group(1)] = cm.group(2)
+    n = 0
+    for ex_id, child_id in tree_children.items():
+        detail = re.search(
+            rf"\({ex_id}\) Exchange\s*\n(?:.*\n)*?Arguments: ([^\n]*)", text
+        )
+        if not detail or "SinglePartition" not in detail.group(1):
+            continue
+        child = re.search(
+            rf"\({child_id}\) \w*(?:Hash|Sort|Object)?Aggregate[^\n]*\n(?:(?!\n\().*\n)*",
+            text,
+        )
+        if child and "partial_" in child.group(0):
+            continue  # partial-agg rows, not raw data
+        n += 1
+    return n
+
+
 def lint_plan(df: DataFrame) -> list[dict]:
     """Static scale-hazard scan of the physical plan.
 
@@ -150,6 +185,18 @@ def lint_plan(df: DataFrame) -> list[dict]:
             findings.append(
                 {"rule": rule, "severity": sev, "count": n, "advice": advice}
             )
+    n_cliff = _raw_single_partition_count(text)
+    if n_cliff:
+        findings.append(
+            {
+                "rule": "single-partition-exchange",
+                "severity": "error",
+                "count": n_cliff,
+                "advice": "raw rows funnel through ONE task (global "
+                "window/sort without PARTITION BY?); use the range-sort + "
+                "offset pattern (operators/ranking.py) or a keyed window",
+            }
+        )
     if re.search(r"PushedFilters: \[\]", text) and re.search(
         r"\(\d+\) Filter", text
     ):

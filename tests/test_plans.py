@@ -639,3 +639,36 @@ def test_lint_plan_flags_hazards_and_clears_clean_plans(spark):
     vec = li.select(ok_udf(F.col("l_orderkey")))
     sevs = {f["severity"] for f in lint_plan(vec)}
     assert "error" not in sevs
+
+
+def test_no_query_plan_has_error_hazards(spark):
+    """Meta-gate: every queries() entry must lint clean of
+    error-severity scale hazards (cartesian products, single-partition
+    exchanges, row-at-a-time Python UDFs). Warn-level findings
+    (broadcast nested-loop) are allowed only for the documented
+    broadcast-bounded operators."""
+    import importlib.util
+
+    from eland_spark.plans import lint_plan
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # single-partition BY DESIGN: the *_seq packing twins replay the
+    # sequential next-fit state machine on one sorted partition so the
+    # DuckDB recursive-CTE oracle can check it exactly; the scale path
+    # is pack_documents (per-partition parallel, zero shuffle)
+    intentionally_sequential = {"pack_documents_seq", "pack_assemble"}
+
+    offenders = {}
+    for name, fn in sorted(m.queries().items()):
+        if name in intentionally_sequential:
+            continue
+        df = fn(spark, SF)
+        errs = [f for f in lint_plan(df) if f["severity"] == "error"]
+        if errs:
+            offenders[name] = [f["rule"] for f in errs]
+    assert not offenders, offenders
