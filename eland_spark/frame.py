@@ -36,11 +36,17 @@ class DataFrame:
         sdf: SparkDataFrame,
         schema: Schema | None = None,
         index_cols: Iterable[str] = (),
+        order: "tuple[tuple[str, bool, bool], ...] | None" = None,
     ):
         self._sdf = sdf
         if schema is None:
             schema = Schema.from_spark(sdf.schema, tuple(index_cols))
         self._schema = schema
+        # explicit user ordering from sort_values: tuples of
+        # (resolved column, ascending, nulls_last). head/tail row
+        # MEMBERSHIP follows it; materialization still presents rows in
+        # index order (the reference's SortIndexAction contract)
+        self._order = order
 
     # ------------------------------------------------------------------
     # metadata accessors (reference eland/dataframe.py:158-207,1444-1500)
@@ -101,8 +107,17 @@ class DataFrame:
     # ------------------------------------------------------------------
     # rebuild helpers
     # ------------------------------------------------------------------
-    def _with(self, sdf: SparkDataFrame | None = None, schema: Schema | None = None) -> "DataFrame":
-        return DataFrame(sdf if sdf is not None else self._sdf, schema or self._schema)
+    def _with(
+        self,
+        sdf: SparkDataFrame | None = None,
+        schema: Schema | None = None,
+        order: "tuple | None | str" = "__keep__",
+    ) -> "DataFrame":
+        return DataFrame(
+            sdf if sdf is not None else self._sdf,
+            schema or self._schema,
+            order=self._order if order == "__keep__" else order,
+        )
 
     def _index_order(self, desc: bool = False) -> list[Column]:
         cols = self._schema.index_cols or tuple(
@@ -111,6 +126,17 @@ class DataFrame:
         return [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
 
     def _ordered_sdf(self, desc: bool = False) -> SparkDataFrame:
+        if self._order:
+            cols = []
+            for name, asc, nulls_last in self._order:
+                a, nl = (asc, nulls_last) if not desc else (not asc, not nulls_last)
+                cols.append(
+                    (F.col(name).asc_nulls_last() if nl else F.col(name).asc_nulls_first())
+                    if a
+                    else (F.col(name).desc_nulls_last() if nl else F.col(name).desc_nulls_first())
+                )
+            cols += self._index_order(desc)  # deterministic tiebreak
+            return self._sdf.orderBy(*cols)
         return self._sdf.orderBy(*self._index_order(desc))
 
     def _projected(self, sdf: SparkDataFrame | None = None) -> SparkDataFrame:
@@ -548,19 +574,36 @@ class DataFrame:
             sdf=self._sdf.orderBy(F.rand(random_state)).limit(int(n or 5))
         )
 
-    def sort_values(self, by, ascending=True) -> "DataFrame":
+    def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":
+        """pandas ``na_position='last'`` is the default — and matches
+        ES sort's ``missing: _last``. Spark's bare ``.asc()`` puts
+        nulls FIRST, so the null placement must be explicit."""
+        if na_position not in ("first", "last"):
+            raise ValueError(f"invalid na_position: {na_position!r}")
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        last = na_position == "last"
+        spec = tuple((self._schema.resolve(b), bool(a), last) for b, a in zip(by, asc))
         cols = [
-            F.col(self._schema.resolve(b)).asc() if a else F.col(self._schema.resolve(b)).desc()
-            for b, a in zip(by, asc)
+            (
+                (F.col(c).asc_nulls_last() if nl else F.col(c).asc_nulls_first())
+                if a
+                else (F.col(c).desc_nulls_last() if nl else F.col(c).desc_nulls_first())
+            )
+            for c, a, nl in spec
         ]
-        return self._with(sdf=self._sdf.orderBy(*cols))
+        # the orderBy covers to_spark() consumers; the order spec makes
+        # head/tail row membership follow the sort (pandas semantics)
+        return self._with(sdf=self._sdf.orderBy(*cols), order=spec)
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         """Rows ordered by the index columns (pandas parity; one range
-        exchange, same plan as ``sort_values`` on the index)."""
-        return self._with(sdf=self._ordered_sdf(desc=not ascending))
+        exchange, same plan as ``sort_values`` on the index). Clears
+        any explicit sort_values ordering."""
+        return self._with(
+            sdf=self._sdf.orderBy(*self._index_order(desc=not ascending)),
+            order=None,
+        )
 
     def set_index(self, keys, drop: bool = True) -> "DataFrame":
         """Re-key the frame's row identity to existing column(s) —
@@ -1062,7 +1105,12 @@ class DataFrame:
     def _n_extreme(self, n: int, columns, asc: bool) -> "DataFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
         order = [
-            F.col(self._schema.resolve(c)).asc() if asc else F.col(self._schema.resolve(c)).desc()
+            # pandas ranks NaN rows last in BOTH directions (they only
+            # fill up n when non-null rows run out); Spark's bare asc()
+            # would rank nulls first in nsmallest
+            F.col(self._schema.resolve(c)).asc_nulls_last()
+            if asc
+            else F.col(self._schema.resolve(c)).desc_nulls_last()
             for c in cols
         ]
         # index tie-break keeps the result deterministic (pandas
@@ -1094,8 +1142,14 @@ class DataFrame:
         # sqrt(n(n-1))/(n-2). Guards mirror pandas nanskew: n<3 -> NaN
         # (the when() keeps the ANSI division off the n-2==0 groups),
         # zero variance -> 0.0 (Spark's own skewness is NaN there)
+        # pandas' floating-point guard is ABSOLUTE on the central
+        # moment m2 = var*(n-1), not on the variance: nanskew/_nankurt
+        # run _zero_out_fperr (|m2| < 1e-14 -> 0) before dividing, so
+        # near-constant data reads as zero skew/kurt even when the
+        # exact statistic is large (e.g. [0, 0, 2e-16] -> skew 0.0,
+        # not sqrt(3)). Found by the hypothesis differential.
         "skew": lambda c: F.when(F.count(c) < 3, F.lit(None).cast("double"))
-        .when(F.var_samp(c) == 0, F.lit(0.0))
+        .when(F.var_samp(c) * (F.count(c) - 1) < 1e-14, F.lit(0.0))
         .otherwise(
             F.skewness(c)
             * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
@@ -1103,9 +1157,16 @@ class DataFrame:
         ),
         # sample-adjusted excess kurtosis (pandas G2 == DuckDB kurtosis):
         # Spark's kurtosis() is population g2; G2 = (n-1)((n+1)g2+6)/((n-2)(n-3));
-        # same nankurt guards (n<4 -> NaN, zero variance -> 0.0)
+        # same nankurt guards (n<4 -> NaN; pandas' denominator
+        # (n-2)(n-3)m2^2 zeroed below 1e-14 -> 0.0)
         "kurt": lambda c: F.when(F.count(c) < 4, F.lit(None).cast("double"))
-        .when(F.var_samp(c) == 0, F.lit(0.0))
+        .when(
+            (F.count(c) - 2)
+            * (F.count(c) - 3)
+            * F.pow(F.var_samp(c) * (F.count(c) - 1), F.lit(2.0))
+            < 1e-14,
+            F.lit(0.0),
+        )
         .otherwise(
             (F.kurtosis(c) * (F.count(c) + 1) + 6)
             * (F.count(c) - 1).cast("double")
@@ -1813,7 +1874,24 @@ class DataFrame:
         sdf = self._projected(self._ordered_sdf())
         pdf = sdf.toPandas()
         icols = [c for c in self._schema.index_cols if c in pdf.columns]
-        if icols:
+        by_name = {f.column_name: f.display_name for f in self._schema.fields}
+        user = [
+            (by_name.get(c, c), a, nl)
+            for c, a, nl in (self._order or ())
+            if by_name.get(c, c) in pdf.columns
+        ]
+        if user and len(user) == len(self._order):
+            # explicit sort_values ordering: present it (pandas
+            # semantics), stable with nulls where the sort put them
+            pdf = pdf.sort_values(
+                [c for c, _, _ in user],
+                ascending=[a for _, a, _ in user],
+                na_position="last" if user[0][2] else "first",
+                kind="mergesort",
+            ).reset_index(drop=True)
+            if set_index and icols:
+                pdf = pdf.set_index(icols[0] if len(icols) == 1 else icols)
+        elif icols:
             # index order restored ascending on the way out (reference
             # SortIndexAction after tail, eland/actions.py:52-91)
             pdf = pdf.sort_values(icols, kind="mergesort").reset_index(drop=True)

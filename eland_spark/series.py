@@ -127,11 +127,22 @@ class Series:
         return _lit(other)
 
     # -- comparisons (reference eland/series.py:473-595) ----------------
+    # Comparisons stay BARE Spark predicates so Catalyst pushes them
+    # into the parquet scan (a coalesce wrapper kills PushedFilters —
+    # measured). Spark's null result behaves as False in a filter,
+    # which is already pandas' answer; the one composition where
+    # three-valued logic diverges is inversion, handled in __invert__.
     def __eq__(self, other):  # type: ignore[override]
         return self._bool(self._expr == self._other(other))
 
     def __ne__(self, other):  # type: ignore[override]
-        return self._bool(self._expr != self._other(other))
+        # null-KEEPING, matching both pandas (NaN != x -> True) and the
+        # reference's must_not-term compile (ES: docs missing the field
+        # match a must_not; eland/series.py:541-552). A bare Spark !=
+        # yields null for null inputs and silently drops those rows in
+        # a filter — found by the composed-pipeline fuzzer.
+        o = self._other(other)
+        return self._bool(self._expr.isNull() | o.isNull() | (self._expr != o))
 
     def __gt__(self, other):
         return self._bool(self._expr > self._other(other))
@@ -183,7 +194,11 @@ class Series:
         return self._bool(self._expr | self._other(other))
 
     def __invert__(self):
-        return self._bool(~self._expr)
+        # pandas two-valued inversion: a null comparison result reads
+        # False BEFORE inverting, so ~(NaN > 3) keeps the row (Spark's
+        # ~null would stay null and drop it). Matches the reference,
+        # whose NotFilter compiles to must_not — null-keeping in ES.
+        return self._bool(~F.coalesce(self._expr, F.lit(False)))
 
     __rand__ = __and__
     __ror__ = __or__
@@ -739,7 +754,11 @@ class Series:
         if not idx:
             raise ValueError("nlargest/nsmallest require an index column")
         key = idx[0]
-        order = [self._expr.asc() if asc else self._expr.desc(), F.col(key).asc()]
+        # pandas ranks NaN last in both directions (fill-up only)
+        order = [
+            self._expr.asc_nulls_last() if asc else self._expr.desc_nulls_last(),
+            F.col(key).asc(),
+        ]
         rows = (
             self._frame._sdf.select(F.col(key), self._expr.alias(self._name))
             .orderBy(*order)
@@ -1314,10 +1333,16 @@ class Series:
         (one range exchange; ties broken by nothing — add the index to
         ``frame.sort_values`` for a total order)."""
         ordered = self._frame._sdf.orderBy(
-            self._expr.asc() if ascending else self._expr.desc()
+            # pandas na_position='last' default
+            self._expr.asc_nulls_last() if ascending else self._expr.desc_nulls_last()
+        )
+        order = (
+            None
+            if self._is_derived
+            else ((self._frame._schema.resolve(self._name), ascending, True),)
         )
         return Series(
-            self._frame._with(sdf=ordered),
+            self._frame._with(sdf=ordered, order=order),
             self._expr,
             self._name,
             self._spark_type,

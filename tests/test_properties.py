@@ -702,3 +702,86 @@ def test_frame_ffill_bfill_match_pandas(spark, rows):
                 exp[c].astype("float64").to_numpy(),
                 equal_nan=True,
             ), (m, c)
+
+
+# --- composite pipeline fuzzing ------------------------------------------
+#
+# Random CHAINS of filter -> assign -> groupby-agg / sort+head, the
+# shapes real users compose, differentialed against pandas end-to-end.
+# Single-op properties above can all pass while a chain breaks (e.g.
+# derived-column filters interacting with index projection), so the
+# chain is its own property.
+
+_PIPE_FILTER = st.tuples(
+    st.just("filter"),
+    st.sampled_from(["a", "b"]),
+    st.sampled_from([">", "<=", "!="]),
+    FINITE,
+)
+_PIPE_ASSIGN = st.tuples(
+    st.just("assign"), st.sampled_from(["add", "mul", "absa"])
+)
+_PIPE_STEPS = st.lists(
+    st.one_of(_PIPE_FILTER, _PIPE_ASSIGN), min_size=0, max_size=3
+)
+_PIPE_TERMINAL = st.one_of(
+    st.tuples(st.just("groupby"), st.sampled_from(["sum", "mean", "min", "max"])),
+    st.tuples(st.just("sort_head"), st.sampled_from(["a", "b"]),
+              st.integers(min_value=0, max_value=8)),
+)
+
+
+@given(rows=ROWS, steps=_PIPE_STEPS, terminal=_PIPE_TERMINAL)
+@settings(**COMMON)
+def test_composed_pipeline_matches_pandas(spark, rows, steps, terminal):
+    pdf, edf = _frame(spark, rows)
+    pdf = pdf.set_index("_id").astype({"a": "float64", "b": "float64"})
+
+    for s in steps:
+        if s[0] == "filter":
+            _, col, op, t = s
+            if op == ">":
+                edf, pdf = edf[edf[col] > t], pdf[pdf[col] > t]
+            elif op == "<=":
+                edf, pdf = edf[edf[col] <= t], pdf[pdf[col] <= t]
+            else:
+                edf, pdf = edf[edf[col] != t], pdf[pdf[col] != t]
+        else:
+            kind = s[1]
+            if kind == "add":
+                edf = edf.assign(c=edf["a"] + edf["b"])
+                pdf = pdf.assign(c=pdf["a"] + pdf["b"])
+            elif kind == "mul":
+                edf = edf.assign(c=edf["a"] * edf["b"])
+                pdf = pdf.assign(c=pdf["a"] * pdf["b"])
+            else:
+                edf = edf.assign(c=edf["a"].abs())
+                pdf = pdf.assign(c=pdf["a"].abs())
+
+    if terminal[0] == "groupby":
+        func = terminal[1]
+        cols = [c for c in ("a", "b", "c") if c in pdf.columns]
+        got = getattr(edf.groupby("k"), func)(numeric_only=True)[cols]
+        exp = getattr(pdf.groupby("k"), func)(numeric_only=True)[cols]
+        assert list(got.index) == list(exp.index)
+        for c in cols:
+            for g, e in zip(got[c].tolist(), exp[c].tolist()):
+                if e is None or (isinstance(e, float) and math.isnan(e)):
+                    assert g is None or (isinstance(g, float) and math.isnan(g))
+                else:
+                    assert g == pytest.approx(e, rel=1e-9, abs=1e-6), (c, got, exp)
+    else:
+        _, col, n = terminal
+        got = edf.sort_values(col).head(n).to_pandas()
+        exp = pdf.sort_values(col, kind="stable").head(n)
+        assert len(got) == len(exp)
+        # row membership must agree (incl. pandas' nulls-last
+        # placement); ordering among exact ties may differ, so compare
+        # sorted value multisets with NaN counted separately
+        g, e = got[col].tolist(), exp[col].tolist()
+        g_nan = sum(1 for x in g if isinstance(x, float) and math.isnan(x))
+        e_nan = sum(1 for x in e if isinstance(x, float) and math.isnan(x))
+        assert g_nan == e_nan
+        assert sorted(x for x in g if not math.isnan(x)) == pytest.approx(
+            sorted(x for x in e if not math.isnan(x))
+        )
