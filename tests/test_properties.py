@@ -785,3 +785,44 @@ def test_composed_pipeline_matches_pandas(spark, rows, steps, terminal):
         assert sorted(x for x in g if not math.isnan(x)) == pytest.approx(
             sorted(x for x in e if not math.isnan(x))
         )
+
+
+_PIPE_INVERT = st.tuples(
+    st.just("invert_filter"),
+    st.sampled_from(["a", "b"]),
+    FINITE,
+)
+
+
+@given(rows=ROWS, col=st.sampled_from(["a", "b"]), t=FINITE,
+       func=st.sampled_from(["median", "std", "var", "nunique", "count"]))
+@settings(**COMMON)
+def test_inverted_filter_then_groupby_matches_pandas(spark, rows, col, t, func):
+    """~(col > t) filters (null-keeping, pandas semantics) feeding the
+    rest of the groupby agg matrix."""
+    pdf, edf = _frame(spark, rows)
+    pdf = pdf.set_index("_id").astype({"a": "float64", "b": "float64"})
+
+    edf2 = edf[~(edf[col] > t)]
+    pdf2 = pdf[~(pdf[col] > t)]
+    kw = {} if func in ("nunique", "count") else {"numeric_only": True}
+    got = getattr(edf2.groupby("k"), func)(**kw)["a"]
+    exp = getattr(pdf2.groupby("k"), func)(**kw)["a"]
+    assert list(got.index) == list(exp.index)
+    for g, e in zip(got.tolist(), exp.tolist()):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None or (isinstance(g, float) and math.isnan(g))
+        else:
+            assert g == pytest.approx(e, rel=1e-9, abs=1e-6)
+
+
+@given(rows=ROWS, n=st.integers(min_value=0, max_value=6),
+       col=st.sampled_from(["a", "b"]), largest=st.booleans())
+@settings(**COMMON)
+def test_nlargest_nsmallest_membership_matches_pandas(spark, rows, n, col, largest):
+    pdf, edf = _frame(spark, rows)
+    pdf = pdf.set_index("_id").astype({"a": "float64", "b": "float64"})
+    fn = "nlargest" if largest else "nsmallest"
+    got = getattr(edf, fn)(n, col).to_pandas()
+    exp = getattr(pdf, fn)(n, col)
+    assert sorted(got["_id"].tolist()) == sorted(exp.index.tolist())
