@@ -1792,22 +1792,43 @@ class DataFrame:
         model, SURVEY §2.4); native here. ``broadcast=True`` hints the
         small side for a map-side join (no shuffle at 100 TB).
         ``indicator`` adds pandas' ``_merge`` column
-        (left_only/right_only/both) from per-side presence flags."""
+        (left_only/right_only/both) from per-side presence flags.
+
+        Key matching is NULL-SAFE, like pandas: NaN keys join to NaN
+        keys (pandas merges NaN with NaN; a bare Spark join silently
+        drops every null-keyed match). EqualNullSafe is still an
+        equi-join predicate to Catalyst, so the plan stays a
+        hash/sort-merge join — pandas semantics at zero scale cost."""
         lsdf = self._projected()
         rsdf = right._projected()
         ind_col = "_merge" if indicator is True else indicator
         if indicator:
             lsdf = lsdf.withColumn("__l__", F.lit(1))
             rsdf = rsdf.withColumn("__r__", F.lit(1))
-        if broadcast:
-            rsdf = F.broadcast(rsdf)
         if on is not None:
             on_cols = [on] if isinstance(on, str) else list(on)
-            joined = lsdf.join(rsdf, on=on_cols, how=how)
+            # rename right's key columns so the null-safe condition is
+            # unambiguous, then fold back to ONE key column (left value,
+            # right's for right-only rows) like Spark's name-join and
+            # pandas both do
+            tmpmap = {c: f"__r_{c}__" for c in on_cols}
+            for c, t in tmpmap.items():
+                rsdf = rsdf.withColumnRenamed(c, t)
+            if broadcast:
+                rsdf = F.broadcast(rsdf)
+            cond = [lsdf[c].eqNullSafe(rsdf[t]) for c, t in tmpmap.items()]
+            joined = lsdf.join(rsdf, on=cond, how=how)
+            if how not in ("semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+                for c, t in tmpmap.items():
+                    joined = joined.withColumn(
+                        c, F.coalesce(F.col(c), F.col(t))
+                    ).drop(t)
         else:
+            if broadcast:
+                rsdf = F.broadcast(rsdf)
             lo = [left_on] if isinstance(left_on, str) else list(left_on)
             ro = [right_on] if isinstance(right_on, str) else list(right_on)
-            cond = [lsdf[a] == rsdf[b] for a, b in zip(lo, ro)]
+            cond = [lsdf[a].eqNullSafe(rsdf[b]) for a, b in zip(lo, ro)]
             joined = lsdf.join(rsdf, on=cond, how=how)
         if indicator:
             joined = joined.withColumn(

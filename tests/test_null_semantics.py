@@ -125,3 +125,46 @@ def test_invert_comparison_keeps_null_rows(frame):
     # pandas: (NaN > 3) is False, inverted True -> null rows kept
     assert sorted(got["_id"].tolist()) == sorted(exp.index.tolist())
     assert 1 in got["_id"].tolist() and 4 in got["_id"].tolist()
+
+
+def test_merge_matches_nan_keys_like_pandas(spark):
+    left = pd.DataFrame({"k": [1.0, None], "x": [1, 2]})
+    right = pd.DataFrame({"k": [None, 1.0], "y": [10, 20]})
+    el = EDF(spark.createDataFrame(left, schema="k double, x bigint"))
+    er = EDF(spark.createDataFrame(right, schema="k double, y bigint"))
+    got = el.merge(er, on="k").to_pandas().sort_values("x")
+    exp = left.merge(right, on="k").sort_values("x")
+    assert len(got) == len(exp) == 2
+    assert got["y"].tolist() == exp["y"].tolist() == [20, 10]
+    # null-safe key still plans as an equi join, not a nested loop
+    plan = (
+        el.merge(er, on="k")
+        .to_spark()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_merge_left_on_right_on_null_safe(spark):
+    left = pd.DataFrame({"lk": [None, 2.0], "x": [1, 2]})
+    right = pd.DataFrame({"rk": [None, 3.0], "y": [10, 20]})
+    el = EDF(spark.createDataFrame(left, schema="lk double, x bigint"))
+    er = EDF(spark.createDataFrame(right, schema="rk double, y bigint"))
+    got = el.merge(er, left_on="lk", right_on="rk").to_pandas()
+    exp = left.merge(right, left_on="lk", right_on="rk")
+    assert len(got) == len(exp) == 1
+    assert got["y"].tolist() == [10]
+
+
+def test_merge_semi_anti_still_work(spark):
+    left = pd.DataFrame({"k": [1.0, 2.0, None], "x": [1, 2, 3]})
+    right = pd.DataFrame({"k": [2.0, None], "y": [10, 20]})
+    el = EDF(spark.createDataFrame(left, schema="k double, x bigint"))
+    er = EDF(spark.createDataFrame(right, schema="k double, y bigint"))
+    semi = el.merge(er, on="k", how="left_semi").to_pandas()
+    # null-safe: the NaN-keyed left row matches the NaN right row
+    assert sorted(semi["x"].tolist()) == [2, 3]
+    anti = el.merge(er, on="k", how="left_anti").to_pandas()
+    assert anti["x"].tolist() == [1]
