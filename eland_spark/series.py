@@ -1492,6 +1492,9 @@ class StrAccessor:
         return self._d(self._s._expr.endswith(suffix), T.BooleanType())
 
     def replace(self, pat: str, repl: str, regex: bool = True) -> Series:
+        """Known divergence: an EMPTY ``pat`` is a no-op here (Spark
+        semantics), while Python/pandas insert ``repl`` between every
+        character. No real workload replaces the empty string."""
         e = self._s._expr
         expr = (
             F.regexp_replace(e, pat, repl)

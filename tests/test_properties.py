@@ -826,3 +826,56 @@ def test_nlargest_nsmallest_membership_matches_pandas(spark, rows, n, col, large
     got = getattr(edf, fn)(n, col).to_pandas()
     exp = getattr(pdf, fn)(n, col)
     assert sorted(got["_id"].tolist()) == sorted(exp.index.tolist())
+
+
+# --- string accessor differential ----------------------------------------
+
+_STR_CHARS = st.text(
+    alphabet=" aB3._*[(|\\$^+?'-", min_size=0, max_size=12
+)
+_STR_ROWS = st.lists(st.one_of(_STR_CHARS, st.none()), min_size=0, max_size=20)
+
+
+def _str_frame(spark, rows):
+    pdf = pd.DataFrame({"s": pd.Series(rows, dtype="object")})
+    pdf["_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf, schema="s string, _id bigint")
+    return pdf.set_index("_id"), EDF(sdf, index_cols=("_id",))
+
+
+@given(rows=_STR_ROWS, lit=_STR_CHARS)
+@settings(**COMMON)
+def test_str_accessor_matches_pandas(spark, rows, lit):
+    """upper/lower/len/strip/startswith and LITERAL contains/replace on
+    regex-special characters — the escaping path is where a naive
+    regexp-based port breaks."""
+    pdf, edf = _str_frame(spark, rows)
+    ps = pdf["s"]
+
+    def eq(got, exp):
+        got = got.to_pandas().tolist() if hasattr(got, "to_pandas") else got
+        exp = exp.tolist()
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            if e is None or (isinstance(e, float) and pd.isna(e)):
+                assert g is None or pd.isna(g)
+            else:
+                assert g == e, (g, e)
+
+    eq(edf["s"].str.upper(), ps.str.upper())
+    eq(edf["s"].str.lower(), ps.str.lower())
+    eq(edf["s"].str.len(), ps.str.len())
+    eq(edf["s"].str.strip(), ps.str.strip())
+    if lit:  # pandas startswith('') is True; engine parity on non-empty
+        eq(edf["s"].str.startswith(lit), ps.str.startswith(lit))
+    eq(
+        edf["s"].str.contains(lit, regex=False),
+        ps.str.contains(lit, regex=False),
+    )
+    if lit:  # empty-pattern replace: documented divergence (Spark no-op
+        # vs Python insert-everywhere)
+        eq(
+            edf["s"].str.replace(lit, "#", regex=False),
+            ps.str.replace(lit, "#", regex=False),
+        )
+    eq(edf["s"].str.slice(1, 3), ps.str.slice(1, 3))
