@@ -879,3 +879,35 @@ def test_str_accessor_matches_pandas(spark, rows, lit):
             ps.str.replace(lit, "#", regex=False),
         )
     eq(edf["s"].str.slice(1, 3), ps.str.slice(1, 3))
+
+
+# --- datetime accessor differential --------------------------------------
+
+_EPOCH_S = st.integers(min_value=-100_000_000, max_value=2_000_000_000)
+_TS_ROWS = st.lists(st.one_of(_EPOCH_S, st.none()), min_size=1, max_size=15)
+
+
+@given(rows=_TS_ROWS)
+@settings(**COMMON)
+def test_dt_accessor_matches_pandas(spark, rows):
+    """year/month/day/hour/dayofweek/quarter/dayofyear/isocalendar-week
+    over random epochs incl. pre-1970 — off-by-one weekday and ISO-week
+    edges are where engine ports usually break."""
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(pd.Series(rows, dtype="object"), unit="s")}
+    )
+    pdf["_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf, schema="ts timestamp_ntz, _id bigint")
+    edf = EDF(sdf, index_cols=("_id",))
+
+    for attr in ("year", "month", "hour", "dayofweek", "quarter", "dayofyear", "week"):
+        got = getattr(edf["ts"].dt, attr).to_pandas().tolist()
+        if attr == "week":
+            exp = pdf["ts"].dt.isocalendar().week.tolist()
+        else:
+            exp = getattr(pdf["ts"].dt, attr).tolist()
+        for g, e in zip(got, exp):
+            if e is None or (isinstance(e, float) and pd.isna(e)) or pd.isna(e):
+                assert g is None or pd.isna(g), (attr, g, e)
+            else:
+                assert g == e, (attr, g, e, rows)
