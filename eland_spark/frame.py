@@ -1102,6 +1102,150 @@ class DataFrame:
     def nsmallest(self, n: int, columns) -> "DataFrame":
         return self._n_extreme(n, columns, asc=True)
 
+    # -- pandas conveniences (net-new; the reference has none of these) --
+
+    def value_counts(
+        self,
+        subset=None,
+        normalize: bool = False,
+        sort: bool = True,
+        ascending: bool = False,
+        dropna: bool = True,
+    ) -> pd.Series:
+        """pandas ``DataFrame.value_counts``: unique-ROW frequencies
+        over ``subset`` (default all columns). One hash aggregation;
+        only the distinct combinations reach the driver."""
+        cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
+        exprs = [F.col(self._schema.resolve(c)).alias(c) for c in cols]
+        g = self._sdf.groupBy(*exprs)
+        counted = g.agg(F.count(F.lit(1)).alias("__n__"))
+        if dropna:
+            for c in cols:
+                counted = counted.filter(F.col(c).isNotNull())
+        rows = counted.collect()
+        # pandas always returns a MultiIndex (even for one column) with
+        # NaN — not None — for missing keys
+        idx = pd.MultiIndex.from_tuples(
+            [
+                tuple(np.nan if r[c] is None else r[c] for c in cols)
+                for r in rows
+            ],
+            names=cols,
+        )
+        out = pd.Series([r["__n__"] for r in rows], index=idx, name="count")
+        if normalize:
+            out = (out / out.sum()).rename("proportion")
+        if sort:
+            out = out.sort_values(ascending=ascending, kind="mergesort")
+        else:
+            out = out.sort_index()
+        return out
+
+    def isin(self, values) -> "DataFrame":
+        """Boolean membership mask per cell (pandas ``isin``): lazy
+        projection. ``values`` is a list (all columns) or a dict of
+        column -> list."""
+        schema = self._schema
+        icols = [F.col(schema.resolve(c)).alias(c) for c in schema.index_cols]
+        masks = []
+        for f in schema.fields:
+            if f.display_name in schema.index_cols:
+                continue
+            vals = (
+                values.get(f.display_name, [])
+                if isinstance(values, dict)
+                else list(values)
+            )
+            # pandas checks per-element VALUE equality: a string in the
+            # list can never match a numeric column (and ANSI Spark
+            # would throw on the cast) — keep only type-compatible
+            # candidates per column
+            if f.is_numeric:
+                vals = [
+                    v for v in vals
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                ]
+            elif f.spark_type.simpleString() == "string":
+                vals = [v for v in vals if isinstance(v, str)]
+            expr = (
+                F.col(f.column_name).isin(vals)
+                if vals
+                else F.lit(False)
+            )
+            masks.append(F.coalesce(expr, F.lit(False)).alias(f.display_name))
+        return DataFrame(
+            self._sdf.select(*icols, *masks), index_cols=tuple(schema.index_cols)
+        )
+
+    def equals(self, other: "DataFrame") -> bool:
+        """Exact equality of contents (pandas ``equals``): same columns
+        and dtypes, identical row multiset. Two symmetric exceptAll
+        checks — no driver-side materialization of the data."""
+        if list(self.columns) != list(other.columns):
+            return False
+        if [str(d) for d in self.dtypes] != [str(d) for d in other.dtypes]:
+            return False
+        a, b = self._projected(), other._projected()
+        if a.count() != b.count():
+            return False
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def take(self, indices) -> "DataFrame":
+        """Rows at POSITIONAL indices in index order (pandas ``take``).
+        Positions resolve via the distributed global-rank operator (one
+        range exchange, no single-partition cliff); negatives count
+        from the end."""
+        from .operators.ranking import with_global_rank
+
+        indices = list(indices)
+        if any(i < 0 for i in indices):
+            total = self._sdf.count()
+            indices = [i if i >= 0 else total + i for i in indices]
+        icols = list(self._schema.index_cols)
+        ranked = with_global_rank(self._projected(), icols, rank_col="__pos__")
+        keep = ranked.filter(F.col("__pos__").isin([i + 1 for i in indices])).drop(
+            "__pos__"
+        )
+        return DataFrame(keep, index_cols=tuple(icols))
+
+    def items(self):
+        """Iterate (column name, Series) pairs (pandas ``items``)."""
+        for name in self.columns:
+            yield name, self[name]
+
+    def to_dict(self, orient: str = "dict"):
+        return self.to_pandas(set_index=True).to_dict(orient=orient)
+
+    def to_records(self, index: bool = True):
+        return self.to_pandas(set_index=True).to_records(index=index)
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        # data columns only — pandas leaves the index name alone
+        return self.rename(
+            columns={
+                c: f"{prefix}{c}"
+                for c in self.columns
+                if c not in self._schema.index_cols
+            }
+        )
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(
+            columns={
+                c: f"{c}{suffix}"
+                for c in self.columns
+                if c not in self._schema.index_cols
+            }
+        )
+
+    def squeeze(self, axis=None):
+        """Single-column frame -> Series (pandas ``squeeze``); wider
+        frames return self unchanged."""
+        cols = list(self.columns)
+        if len(cols) == 1:
+            return self[cols[0]]
+        return self
+
     def _n_extreme(self, n: int, columns, asc: bool) -> "DataFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
         order = [

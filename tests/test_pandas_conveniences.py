@@ -1,0 +1,80 @@
+"""Net-new pandas convenience surface on the frame (value_counts, isin,
+equals, take, items, to_dict/records, add_prefix/suffix, squeeze)."""
+
+import pandas as pd
+import pytest
+
+from eland_spark.frame import DataFrame as EDF
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    pdf = pd.DataFrame(
+        {
+            "x": ["a", "a", "b", None, "b"],
+            "y": [1, 1, 2, 2, None],
+            "_id": [0, 1, 2, 3, 4],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, schema="x string, y double, _id bigint")
+    return pdf.set_index("_id"), EDF(sdf, index_cols=("_id",))
+
+
+def test_value_counts_matches_pandas(frame):
+    pdf, edf = frame
+    got = edf.value_counts(subset=["x", "y"])
+    exp = pdf.value_counts(subset=["x", "y"])
+    assert got.to_dict() == exp.to_dict()
+    # normalize + keep-na
+    got = edf.value_counts(subset=["x"], normalize=True, dropna=False)
+    exp = pdf.value_counts(subset=["x"], normalize=True, dropna=False)
+    assert {k: pytest.approx(v) for k, v in got.to_dict().items()} == exp.to_dict()
+
+
+def test_isin_matches_pandas(frame):
+    pdf, edf = frame
+    got = edf.isin(["a", 2.0]).to_pandas().set_index("_id")
+    exp = pdf.isin(["a", 2.0])
+    assert got["x"].tolist() == exp["x"].tolist()
+    assert got["y"].tolist() == exp["y"].tolist()
+    got = edf.isin({"x": ["b"]}).to_pandas().set_index("_id")
+    exp = pdf.isin({"x": ["b"]})
+    assert got["x"].tolist() == exp["x"].tolist()
+    assert got["y"].tolist() == exp["y"].tolist()
+
+
+def test_equals(frame, spark):
+    pdf, edf = frame
+    same = EDF(
+        spark.createDataFrame(
+            pdf.reset_index()[["x", "y", "_id"]], schema="x string, y double, _id bigint"
+        ),
+        index_cols=("_id",),
+    )
+    assert edf.equals(same)
+    assert not edf.equals(edf[edf["y"] > 1.0])
+    assert not edf.equals(edf[["x"]])
+
+
+def test_take_positional(frame):
+    pdf, edf = frame
+    got = edf.take([0, 2, -1]).to_pandas()["_id"].tolist()
+    exp = pdf.take([0, 2, -1]).index.tolist()
+    assert got == exp == [0, 2, 4]
+
+
+def test_items_to_dict_records_prefix_squeeze(frame):
+    pdf, edf = frame
+    names = [n for n, _ in edf.items()]
+    assert sorted(names) == sorted(pdf.reset_index().columns)
+    gd, ed = edf.to_dict()["y"], pdf.to_dict()["y"]
+    assert gd.keys() == ed.keys()
+    assert all(
+        (pd.isna(gd[k]) and pd.isna(ed[k])) or gd[k] == ed[k] for k in ed
+    )
+    assert list(edf.to_records(index=True)[0]) == list(pdf.to_records(index=True)[0])
+    # data columns renamed, the index column untouched
+    assert list(edf.add_prefix("p_").columns) == ["p_x", "p_y", "_id"]
+    assert list(edf.add_suffix("_s").columns) == ["x_s", "y_s", "_id"]
+    s = edf[["y"]].squeeze()
+    assert s.name == "y" and edf.squeeze() is edf
