@@ -911,3 +911,35 @@ def test_dt_accessor_matches_pandas(spark, rows):
                 assert g is None or pd.isna(g), (attr, g, e)
             else:
                 assert g == e, (attr, g, e, rows)
+
+
+# --- merge differential ---------------------------------------------------
+
+_KEYS = st.one_of(st.integers(0, 3).map(float), st.none())
+_MERGE_SIDE = st.lists(_KEYS, min_size=0, max_size=8)
+
+
+@given(lk=_MERGE_SIDE, rk=_MERGE_SIDE,
+       how=st.sampled_from(["inner", "left", "right", "outer"]))
+@settings(**COMMON)
+def test_merge_matches_pandas(spark, lk, rk, how):
+    """Random duplicate/null key multisets through every join type —
+    pandas NaN-key matching, duplicate fan-out, and outer fill must all
+    agree (row multisets; ordering is engine-defined)."""
+    lpdf = pd.DataFrame({"k": pd.Series(lk, dtype="float64"),
+                         "x": range(len(lk))})
+    rpdf = pd.DataFrame({"k": pd.Series(rk, dtype="float64"),
+                         "y": range(len(rk))})
+    el = EDF(spark.createDataFrame(lpdf, schema="k double, x bigint"))
+    er = EDF(spark.createDataFrame(rpdf, schema="k double, y bigint"))
+
+    got = el.merge(er, on="k", how=how).to_pandas()
+    exp = lpdf.merge(rpdf, on="k", how=how)
+
+    def multiset(df):
+        return sorted(
+            tuple(-1.0 if pd.isna(v) else v for v in row)
+            for row in df[["k", "x", "y"]].astype("float64").itertuples(index=False)
+        )
+
+    assert multiset(got) == multiset(exp)
