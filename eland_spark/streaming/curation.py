@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..operators.dedup import shingles
 from ..operators.text import quality_score
 
-__all__ = ["stream_contamination_flags", "stream_quality_filter"]
+__all__ = [
+    "stream_contamination_flags",
+    "stream_quality_filter",
+    "stream_bloom_update",
+    "read_bloom",
+]
 
 
 def stream_contamination_flags(
@@ -116,3 +121,52 @@ def stream_url_dedup(
             [canon_col]
         )
     return canon.dropDuplicates([canon_col])
+
+
+def stream_bloom_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    by=(),
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+    timeout_sec: int = 120,
+):
+    """Maintain per-group Bloom membership sketches over a stream —
+    the incremental half of the cross-snapshot dedup gate
+    (operators/sketches.bloom_*): each micro-batch reduces to its own
+    sparse sketch rows under ``<path>/batch=<id>/`` (idempotent in
+    batch_id, the foreachBatch retry contract), and merge happens AT
+    READ TIME because Bloom's merge is bitwise OR — no read-modify-
+    write race, no state store, append-mode safe. Compaction =
+    rewrite :func:`read_bloom`'s output and drop old dirs."""
+    from ..operators.sketches import bloom_sketches
+
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = bloom_sketches(batch_df, value_col, by, m_bits, n_hashes)
+        sk.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_bloom(spark, path: str, by=()) -> DataFrame:
+    """Merge-on-read over a :func:`stream_bloom_update` directory:
+    bit_or per (group, word) across every batch sketch — identical to
+    a from-scratch sketch of everything ingested (OR is the Bloom
+    merge), ready for ``operators/sketches.bloom_contains``."""
+    import glob as _glob
+    import os as _os
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return df.groupBy(*list(by), "word").agg(F.bit_or("bits").alias("bits"))

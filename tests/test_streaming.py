@@ -636,3 +636,44 @@ def test_rollup_topk_items_exact_regime(spark, sf_dir, tmp_path):
     n = compact_rollup(spark, path)
     assert n > 0
     assert got() == exact("1 day")
+
+
+def test_stream_bloom_update_matches_from_scratch(spark, tmp_path):
+    """Two micro-batches folded into per-batch Bloom sketches must
+    OR-merge to exactly the from-scratch sketch of the union, and the
+    merged filter must contain every ingested key (no false
+    negatives through the streaming path)."""
+    import pandas as pd
+
+    from eland_spark.operators.sketches import bloom_contains, bloom_sketches
+    from eland_spark.streaming.curation import read_bloom, stream_bloom_update
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["a", "b"], "k": ["k1", "k2"]})
+    b2 = pd.DataFrame({"g": ["a", "b"], "k": ["k3", "k4"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "bloom"
+    q = stream_bloom_update(
+        stream, str(out), str(tmp_path / "ckpt"), "k", by=["g"],
+        m_bits=1024, n_hashes=3,
+    )
+    q.awaitTermination(120)
+
+    merged = read_bloom(spark, str(out), by=["g"])
+    all_rows = spark.createDataFrame(pd.concat([b1, b2]))
+    scratch = bloom_sketches(all_rows, "k", ["g"], m_bits=1024, n_hashes=3)
+    assert {
+        (r["g"], r["word"], r["bits"]) for r in merged.collect()
+    } == {(r["g"], r["word"], r["bits"]) for r in scratch.collect()}
+
+    probes = all_rows.select("g", "k")
+    res = bloom_contains(merged, probes, "k", ["g"], m_bits=1024, n_hashes=3)
+    assert res.filter(~F.col("contained")).count() == 0
