@@ -51,9 +51,15 @@ pandas_to_eland = pandas_to_spark
 eland_to_pandas = spark_to_pandas
 csv_to_eland = csv_to_spark
 
+from .common import NDFrame, SortOrder, _register_ndframe_subclasses  # noqa: E402
+
+_register_ndframe_subclasses()
+
 __version__ = "0.1.0"
 
 __all__ = [
+    "NDFrame",
+    "SortOrder",
     "concat",
     "pandas_to_eland",
     "eland_to_pandas",

@@ -374,3 +374,24 @@ def test_str_accessor_batch2_matches_pandas(spark):
     ]
     for i, (got, want) in enumerate(checks):
         assert norm(got) == norm(want), (i, got, want)
+
+
+def test_ndframe_and_sortorder_exports(spark):
+    """Reference __all__ parity: NDFrame isinstance contract
+    (eland/ndframe.py:57) and the SortOrder enum
+    (eland/common.py:80-104)."""
+    import eland_spark as es
+
+    df = es.read_parquet(
+        spark, "/root/testdata/sf0.001/region.parquet", index_col="r_regionkey"
+    )
+    assert isinstance(df, es.NDFrame)
+    assert isinstance(df["r_name"], es.NDFrame)
+    assert not isinstance("x", es.NDFrame)
+    assert es.SortOrder.from_string("asc") is es.SortOrder.ASC
+    assert es.SortOrder.reverse(es.SortOrder.ASC) is es.SortOrder.DESC
+    assert es.SortOrder.to_string(es.SortOrder.DESC) == "desc"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        es.SortOrder.from_string("sideways")
