@@ -1512,6 +1512,63 @@ class StrAccessor:
     def split(self, pat: str = r"\s+") -> Series:
         return self._d(F.split(self._s._expr, pat), T.ArrayType(T.StringType()))
 
+    def rsplit(self, pat: str = r"\s+", n: int = -1) -> Series:
+        """pandas ``str.rsplit``: like split, but with ``n >= 0`` the
+        LAST ``n`` separators split and the head stays joined. Pure
+        array expressions: full split, then the head slice re-joins."""
+        parts = F.split(self._s._expr, pat)
+        if n < 0:
+            return self._d(parts, T.ArrayType(T.StringType()))
+        sz = F.size(parts)
+        head_n = F.greatest(sz - n, F.lit(1))
+        # pandas re-joins the head with the LITERAL separator; regex
+        # patterns lose the original matched text, so (like pandas'
+        # own rsplit, which takes no regex) treat pat as literal here
+        head = F.array_join(F.slice(parts, 1, head_n), pat)
+        tail = F.when(sz > head_n, F.slice(parts, head_n + 1, n)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return self._d(
+            F.when(
+                self._s._expr.isNotNull(), F.concat(F.array(head), tail)
+            ),
+            T.ArrayType(T.StringType()),
+        )
+
+    def partition(self, sep: str = " ") -> Series:
+        """pandas ``str.partition`` (expand=False): 3-element array
+        [head, sep, tail] split at the FIRST occurrence; no occurrence
+        -> [whole, '', '']."""
+        e = self._s._expr
+        pos = F.locate(sep, e)
+        found = F.array(
+            F.substring(e, 1, pos - 1),
+            F.lit(sep),
+            F.substring(e, pos + len(sep), F.lit(1 << 30)),
+        )
+        return self._d(
+            F.when(e.isNull(), F.lit(None).cast("array<string>"))
+            .when(pos > 0, found)
+            .otherwise(F.array(e, F.lit(""), F.lit(""))),
+            T.ArrayType(T.StringType()),
+        )
+
+    def rpartition(self, sep: str = " ") -> Series:
+        """pandas ``str.rpartition``: split at the LAST occurrence; no
+        occurrence -> ['', '', whole]."""
+        e = self._s._expr
+        # after the last sep = substring_index(.., -1); head is the rest
+        tail = F.substring_index(e, sep, -1)
+        head = F.substring(
+            e, 1, F.length(e) - F.length(tail) - len(sep)
+        )
+        return self._d(
+            F.when(e.isNull(), F.lit(None).cast("array<string>"))
+            .when(F.locate(sep, e) > 0, F.array(head, F.lit(sep), tail))
+            .otherwise(F.array(F.lit(""), F.lit(""), e)),
+            T.ArrayType(T.StringType()),
+        )
+
     def extract(self, pat: str, group: int = 1) -> Series:
         """First regex capture group (pandas ``str.extract`` for one
         group); no match -> null."""

@@ -78,3 +78,31 @@ def test_items_to_dict_records_prefix_squeeze(frame):
     assert list(edf.add_suffix("_s").columns) == ["x_s", "y_s", "_id"]
     s = edf[["y"]].squeeze()
     assert s.name == "y" and edf.squeeze() is edf
+
+
+def test_str_partition_rpartition_rsplit(spark):
+    """str.partition/rpartition (3-element arrays, first/last
+    occurrence, null propagation) and rsplit (last-n separators) vs
+    Python string semantics."""
+    vals = ["a-b-c", "abc", "", "x-y", "-lead", "trail-", "a--b", None]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    from eland_spark.frame import DataFrame as _EDF
+
+    edf = _EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    ps = pdf.set_index("_id")["s"]
+
+    for name in ("partition", "rpartition"):
+        got = getattr(edf["s"].str, name)("-").to_pandas().tolist()
+        exp = [None if v is None else list(getattr(v, name)("-")) for v in ps]
+        assert [None if g is None else list(g) for g in got] == exp, name
+
+    for n in (-1, 0, 1, 2):
+        got = edf["s"].str.rsplit("-", n=n).to_pandas().tolist()
+        exp = [
+            None if v is None else (v.rsplit("-", n) if n >= 0 else v.split("-"))
+            for v in ps
+        ]
+        assert [None if g is None else list(g) for g in got] == exp, n
