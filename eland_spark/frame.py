@@ -95,6 +95,24 @@ class DataFrame:
         with pd.option_context("display.max_rows", 60):
             return repr(self._peek())
 
+    def _repr_html_(self):
+        """Notebook HTML rendering (reference eland/dataframe.py:521-
+        556): the head+tail peek formatted by pandas; honors the
+        notebook_repr_html option."""
+        if not pd.get_option("display.notebook_repr_html"):
+            return None
+        with pd.option_context("display.max_rows", 60):
+            return self._peek()._repr_html_()
+
+    def __dir__(self):
+        """Column names join the attribute list so notebook tab
+        completion offers ``df.<col>`` (reference tests/dataframe/
+        test_dir_pytest.py contract)."""
+        return sorted(
+            set(super().__dir__())
+            | {c for c in self._schema.display_names if c.isidentifier()}
+        )
+
     def _peek(self, n: int = 60) -> pd.DataFrame:
         """head+tail halves concatenated (reference repr path,
         eland/ndframe.py:162-175)."""

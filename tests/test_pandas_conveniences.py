@@ -106,3 +106,15 @@ def test_str_partition_rpartition_rsplit(spark):
             for v in ps
         ]
         assert [None if g is None else list(g) for g in got] == exp, n
+
+
+def test_dir_and_repr_html(frame):
+    pdf, edf = frame
+    d = dir(edf)
+    assert "x" in d and "y" in d and "to_pandas" in d
+    html = edf._repr_html_()
+    assert html is not None and "<table" in html and ">x<" in html.replace(
+        "th>", ">"
+    ).replace("td>", ">") or "x" in html
+    with pd.option_context("display.notebook_repr_html", False):
+        assert edf._repr_html_() is None

@@ -25,8 +25,13 @@ ROWS = st.lists(
     max_size=40,
 )
 
+# FUZZ_EXAMPLES raises the per-test example budget for deep campaigns
+# (e.g. FUZZ_EXAMPLES=100 python -m pytest tests/test_properties.py)
+# without slowing the default suite
+import os as _os
+
 COMMON = dict(
-    max_examples=12,
+    max_examples=int(_os.environ.get("FUZZ_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
