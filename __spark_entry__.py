@@ -645,6 +645,99 @@ def q_snapshot_diff(spark, sf_dir) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+_WP_BASE = [c for c in "abcdefghijklmnoprstuvwy0123456789"]  # no q/x/z
+_WP_VOCAB = (
+    ["the", "or", "key", "scan", "sort", "[UNK]"]
+    + _WP_BASE
+    + ["##er", "##le"]
+    + ["##" + c for c in _WP_BASE]
+)
+
+
+def q_wordpiece(spark, sf_dir) -> DataFrame:
+    """REAL WordPiece tokenization (operators/text.wordpiece_tokenize):
+    greedy longest-match against a fixed vocabulary, continuation ##
+    pieces, whole-word [UNK] on failure — HF WordpieceTokenizer
+    semantics, Arrow-batched zero-shuffle map. The vocabulary covers
+    every letter except q/x/z, so most words segment and words with
+    those letters exercise the [UNK] path. DuckDB replays the greedy
+    scan as a recursive CTE over (word, position) states."""
+    from eland_spark.operators.text import wordpiece_tokenize
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = wordpiece_tokenize(docs, F.col("text"), F.col("doc_id"), _WP_VOCAB)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("token_str"),
+    ).orderBy("doc_id")
+
+
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB replay of greedy WordPiece: a recursive CTE advances a
+    (word, position) cursor, a correlated scalar subquery picks the
+    longest matching vocab piece at each position, and failure
+    collapses the word to [UNK] — exactly the operator's loop."""
+    vals = []
+    for v in _WP_VOCAB:
+        if v == "[UNK]":
+            continue
+        cont = v.startswith("##")
+        raw = v[2:] if cont else v
+        vals.append(f"('{raw}', {str(cont).lower()})")
+    vocab_values = ", ".join(vals)
+    return f"""
+        WITH RECURSIVE vocab(raw, cont) AS (
+            SELECT * FROM (VALUES {vocab_values}) t(raw, cont)
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS t
+            FROM documents
+        ), words AS (
+            SELECT doc_id, CAST(u.i AS INT) AS wi,
+                   t[CAST(u.i AS INT)] AS w
+            FROM toks, UNNEST(range(1, COALESCE(len(t), 0) + 1)) AS u(i)
+        ), step AS (
+            SELECT doc_id, wi, w, 0 AS pos, '' AS toks, false AS failed
+            FROM words
+            UNION ALL
+            SELECT doc_id, wi, w,
+                   CASE WHEN m IS NULL THEN len(w) ELSE pos + len(m) END,
+                   CASE WHEN m IS NULL THEN toks ELSE
+                        CASE WHEN toks = '' THEN '' ELSE toks || ' ' END ||
+                        CASE WHEN pos = 0 THEN m ELSE '##' || m END END,
+                   m IS NULL
+            FROM (
+                SELECT s.*,
+                       (SELECT v.raw FROM vocab v
+                        WHERE v.cont = (s.pos > 0)
+                          AND substr(s.w, s.pos + 1, len(v.raw)) = v.raw
+                        ORDER BY len(v.raw) DESC, v.raw
+                        LIMIT 1) AS m
+                FROM step s
+                WHERE s.pos < len(s.w) AND NOT s.failed
+            )
+        ), fin AS (
+            SELECT doc_id, wi,
+                   CASE WHEN failed THEN '[UNK]' ELSE toks END AS wt
+            FROM step
+            WHERE failed OR pos >= len(w)
+        ), per_doc AS (
+            SELECT doc_id, string_agg(wt, ' ' ORDER BY wi) AS token_str
+            FROM fin GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN COALESCE(p.token_str, '') = '' THEN 0
+                    ELSE len(string_split(p.token_str, ' ')) END AS BIGINT)
+                   AS n_tokens,
+               COALESCE(p.token_str, '') AS token_str
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def q_dup_spans(spark, sf_dir) -> DataFrame:
     """Exact substring-duplication profile (operators/dedup.
     duplicate_span_stats, Lee et al. 2021 shape): per-doc fraction of
@@ -4296,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
+        "wordpiece": q_wordpiece,
         "snapshot_diff": q_snapshot_diff,
         "perplexity": q_perplexity,
         "ppl_buckets": q_ppl_buckets,
@@ -6089,6 +6183,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (in_old AND in_new AND same)
             ORDER BY doc_id
         """,
+        "wordpiece": _wordpiece_oracle_sql(),
         "dup_spans": """
             WITH toks AS (
                 SELECT doc_id,

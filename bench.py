@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_pq",
     "dup_spans",
     "bloom_membership",
+    "wordpiece",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -585,3 +585,93 @@ def remove_repeated_segments(
         ).otherwise(F.concat(acc, F.array(x))),
     )
     return F.array_join(keep, joiner)
+
+
+def wordpiece_tokenize(
+    sdf,
+    text: Column,
+    id_col: Column,
+    vocab: "list[str]",
+    unk: str = "[UNK]",
+    max_word_chars: int = 64,
+):
+    """REAL WordPiece tokenization (BERT tokenizer semantics): each
+    whitespace/alnum word is split by greedy LONGEST-MATCH against
+    ``vocab`` — continuation pieces carry the ``##`` prefix, and a word
+    with no valid segmentation becomes a single ``unk`` token, exactly
+    like HF's WordpieceTokenizer. This is the vocab-faithful upgrade of
+    ``bpe_ish_token_count``: pass a model's real vocabulary and the
+    token counts/budgets downstream (packing, chunking, mixtures) match
+    the model's own tokenizer.
+
+    Plan: Arrow-batched mapInPandas (the greedy per-word loop is
+    imperative by nature); the vocabulary ships once per executor via a
+    closure-captured frozenset (broadcast semantics), so the stage is a
+    pure map — no shuffle beyond the small-input fan-out exchange
+    (``ensure_parallelism``, a no-op at real scale). Words longer than
+    ``max_word_chars`` map to ``unk`` without scanning (HF's
+    max_input_chars_per_word guard).
+
+    Returns (id, tokens array<string>, n_tokens long). Engine-portable:
+    greedy longest-match is deterministic, so a SQL engine replays it
+    with a recursive CTE over (word, position) states — see the
+    ``wordpiece`` driver query's DuckDB oracle.
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import normalized_tokens
+
+    heads = frozenset(v for v in vocab if not v.startswith("##"))
+    conts = frozenset(v[2:] for v in vocab if v.startswith("##"))
+    max_piece = max((len(v) for v in heads | conts), default=1)
+
+    def _word(word: str) -> "list[str]":
+        if len(word) > max_word_chars:
+            return [unk]
+        out, pos, n = [], 0, len(word)
+        while pos < n:
+            table = heads if pos == 0 else conts
+            end = min(n, pos + max_piece)
+            while end > pos and word[pos:end] not in table:
+                end -= 1
+            if end == pos:
+                return [unk]
+            out.append(word[pos:end] if pos == 0 else "##" + word[pos:end])
+            pos = end
+        return out
+
+    from .parallelism import ensure_parallelism
+
+    # spread single-file inputs before the Python stage (no-op at real
+    # scale); keyed by id so any downstream per-doc agg reuses it
+    words_df = ensure_parallelism(
+        sdf.select(id_col.alias("id"), normalized_tokens(text).alias("__w__")),
+        "id",
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                # Arrow delivers the array column as numpy ndarray (or
+                # None for null text) — no bool() on it
+                [t for w in (ws if ws is not None else []) for t in _word(w)]
+                for ws in pdf["__w__"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            words_df.schema["id"],
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    return words_df.mapInPandas(run, schema)

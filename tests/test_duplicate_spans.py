@@ -153,3 +153,47 @@ def test_snapshot_diff_default_compare_and_plan(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+# --- wordpiece_tokenize (vocab-faithful tokenization) ---------------------
+
+
+def test_wordpiece_bert_semantics(spark):
+    from eland_spark.operators.text import wordpiece_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "unaffable things"), (2, "xyzzy"), (3, None), (4, ""), (5, "un")],
+        "id long, text string",
+    )
+    vocab = ["un", "##aff", "##able", "thing", "##s", "[UNK]"]
+    got = {
+        r["id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in wordpiece_tokenize(df, F.col("text"), F.col("id"), vocab).collect()
+    }
+    # the canonical HF WordpieceTokenizer example
+    assert got[1] == (["un", "##aff", "##able", "thing", "##s"], 5)
+    assert got[2] == (["[UNK]"], 1)  # whole-word failure
+    assert got[3] == ([], 0) and got[4] == ([], 0)
+    assert got[5] == (["un"], 1)
+
+
+def test_wordpiece_longest_match_and_guards(spark):
+    from eland_spark.operators.text import wordpiece_tokenize
+
+    df = spark.createDataFrame([(1, "abc " + "a" * 100)], "id long, text string")
+    # both 'a' and 'ab' are heads: greedy takes 'ab', then ##c
+    vocab = ["a", "ab", "##b", "##c", "[UNK]"]
+    got = wordpiece_tokenize(
+        df, F.col("text"), F.col("id"), vocab, max_word_chars=50
+    ).collect()[0]
+    toks = list(got["tokens"])
+    assert toks[:2] == ["ab", "##c"]
+    assert toks[2] == "[UNK]"  # 100-char word over the guard
+
+    plan = (
+        wordpiece_tokenize(df, F.col("text"), F.col("id"), vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure zero-shuffle map
