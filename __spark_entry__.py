@@ -4242,6 +4242,37 @@ def q_dedup_within_doc(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-level segment dedup (CCNet/MassiveText/Dolma line-dedup):
+    keep the FIRST occurrence of every distinct segment corpus-wide,
+    reassemble docs in order. Winner-per-key is a map-side-combinable
+    min(struct) agg + skew-splittable join — never a Window over the
+    (boilerplate-skewed) segment key. Fixtures have no blank-line
+    separators, so the split key is a literal token (the
+    chunk_paragraphs convention)."""
+    from eland_spark.operators.dedup import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = segment_dedup(docs, "text", "doc_id", sep=" the ", joiner=" the ")
+    return out.select(
+        F.col("id").alias("doc_id"), "dedup_text", "n_segments", "n_kept"
+    )
+
+
+def q_gopher_quality(spark, sf_dir) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1) in one per-row
+    Column pass — word-count/word-length/symbol/bullet/ellipsis/
+    alpha/stopword signals, per-rule booleans, conjunction pass flag.
+    min_stopword_hits lowered to 1 so the synthetic vocabulary (which
+    contains only 'the'/'a' from the stopword set) yields a pass/fail
+    mix."""
+    from eland_spark.operators.text import gopher_quality_frame
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = gopher_quality_frame(docs, "text", "doc_id", min_stopword_hits=1)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-keep near-dup dedup: cluster near-duplicates, keep the
     LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
@@ -4520,6 +4551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "temperature_oversample": q_temperature_oversample,
         "dedup_within_doc": q_dedup_within_doc,
+        "segment_dedup": q_segment_dedup,
+        "gopher_quality": q_gopher_quality,
         "pack_assemble": q_pack_assemble,
         "scaled_robust": q_scaled_robust,
         "chunk_paragraphs": q_chunk_paragraphs,
@@ -6217,6 +6250,85 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN nd USING (doc_id)
             LEFT JOIN cov USING (doc_id)
+        """,
+        "segment_dedup": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' the ') AS l FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       unnest([{'pos': i, 'seg': l[i]}
+                               for i in generate_series(1, len(l))]) AS s
+                FROM t
+            ), parts AS (
+                SELECT doc_id, s.pos AS pos, s.seg AS seg
+                FROM u WHERE trim(s.seg) <> ''
+            ), marked AS (
+                SELECT doc_id, pos, seg,
+                       row_number() OVER (PARTITION BY lower(trim(seg))
+                                          ORDER BY doc_id, pos) = 1 AS keep
+                FROM parts
+            ), agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(seg, ' the ' ORDER BY pos)
+                                FILTER (WHERE keep), '') AS dedup_text,
+                       count(*) AS n_segments,
+                       count(*) FILTER (WHERE keep) AS n_kept
+                FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.dedup_text, '') AS dedup_text,
+                   CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "gopher_quality": """
+            WITH sig AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) <> '') AS lines,
+                       len(text) - len(replace(text, '#', '')) AS n_hash,
+                       (len(text) - len(replace(text, '...', ''))) / 3.0 AS n_ell
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       round(CASE WHEN len(toks) > 0
+                             THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                             ELSE 0 END, 6) AS mean_word_len,
+                       round(CASE WHEN len(toks) > 0
+                             THEN (n_hash + n_ell) / len(toks)
+                             ELSE 0 END, 6) AS symbol_word_ratio,
+                       round(CASE WHEN len(lines) > 0
+                             THEN len(list_filter(lines, l -> ltrim(l) LIKE '- %'
+                                  OR ltrim(l) LIKE '* %' OR ltrim(l) LIKE '•%')) * 1.0 / len(lines)
+                             ELSE 0 END, 6) AS bullet_line_frac,
+                       round(CASE WHEN len(lines) > 0
+                             THEN len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+                                  OR rtrim(l) LIKE '%…')) * 1.0 / len(lines)
+                             ELSE 0 END, 6) AS ellipsis_line_frac,
+                       round(CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(toks)
+                             ELSE 0 END, 6) AS alpha_word_frac,
+                       CAST(len(list_intersect(
+                           list_distinct(list_transform(toks, x -> lower(x))),
+                           ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+                FROM sig
+            )
+            SELECT *,
+                   n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mean_word_len,
+                   symbol_word_ratio <= 0.1 AS rule_symbol_ratio,
+                   bullet_line_frac < 0.9 AS rule_bullet_lines,
+                   ellipsis_line_frac < 0.3 AS rule_ellipsis_lines,
+                   alpha_word_frac >= 0.8 AS rule_alpha_words,
+                   stopword_hits >= 1 AS rule_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_word_ratio <= 0.1 AND bullet_line_frac < 0.9
+                   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
+                   AND stopword_hits >= 1 AS gopher_pass
+            FROM m
         """,
         "dedup_within_doc": """
             WITH t AS (

@@ -82,6 +82,8 @@ HEADLINE = [
     "dup_spans",
     "bloom_membership",
     "wordpiece",
+    "segment_dedup",
+    "gopher_quality",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -105,6 +107,8 @@ ROW_HEAVY = {
     "chunk_tokens",
     "standardized",
     "interval_overlap",
+    "segment_dedup",
+    "gopher_quality",
 }
 
 

@@ -918,3 +918,85 @@ def duplicate_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def segment_dedup(
+    sdf,
+    text: "str | Column" = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\n",
+    joiner: str = "\n\n",
+    normalize: bool = True,
+):
+    """Corpus-level segment (paragraph/line) deduplication: keep the
+    FIRST occurrence of every distinct segment corpus-wide, drop every
+    later copy, and reassemble each document's surviving segments in
+    original order (the CCNet / MassiveText / Dolma line-dedup step;
+    no reference analog — eland has no dedup surface).
+
+    "First" means the lexicographically smallest ``(id, position)``
+    pair, so the result is deterministic under any partitioning.
+
+    Scale shape: duplicate segments are exactly where key skew lives
+    (boilerplate lines repeat millions of times at 100 TB), so the
+    winner per segment key is computed with a map-side-combinable
+    ``groupBy(key).agg(min(struct(id, pos)))`` — every hot key
+    collapses to ONE row before the exchange — and joined back on the
+    key (AQE skew-join splits any remaining hot partition). A
+    ``Window.partitionBy(key)`` would instead funnel every copy of a
+    hot segment through a single partition. Reassembly is one further
+    hash aggregation on the doc id; docs whose text is null or whose
+    segments were all dropped survive via the final left join with an
+    empty result.
+
+    Returns ``(id, dedup_text, n_segments, n_kept)`` — one row per
+    input document.
+    """
+    tcol = F.col(text) if isinstance(text, str) else text
+    idc = F.col(id_col)
+
+    parts = sdf.select(
+        idc.alias("__id__"),
+        F.posexplode(F.split(tcol, sep)).alias("__pos__", "__seg__"),
+    ).where(F.trim(F.col("__seg__")) != "")
+    key = F.trim(F.col("__seg__"))
+    if normalize:
+        key = F.lower(key)
+    parts = parts.withColumn("__key__", F.md5(key))
+
+    winners = parts.groupBy("__key__").agg(
+        F.min(F.struct(F.col("__id__"), F.col("__pos__"))).alias("__win__")
+    )
+    joined = parts.join(winners, "__key__")
+    keep = (F.col("__id__") == F.col("__win__.__id__")) & (
+        F.col("__pos__") == F.col("__win__.__pos__")
+    )
+    agg = joined.groupBy("__id__").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col("__pos__").alias("pos"),
+                                F.col("__seg__").alias("seg"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            joiner,
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+    base = sdf.select(idc.alias("__id__"))
+    return base.join(agg, "__id__", "left").select(
+        F.col("__id__").alias("id"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -675,3 +675,120 @@ def wordpiece_tokenize(
         ]
     )
     return words_df.mapInPandas(run, schema)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_frame(
+    sdf,
+    text: "str | Column" = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    ... Gopher", Appendix A1.1) as one per-row Column expression pass —
+    the canonical pre-training quality filter, zero shuffle, zero UDF,
+    fully pushdown-compatible downstream.
+
+    Signals per document, each with its published default threshold:
+    word count in [50, 100k]; mean word length in [3, 10]; symbol
+    ('#' or '...') to word ratio <= 0.1; < 90% of lines starting with
+    a bullet; < 30% of lines ending with an ellipsis; >= 80% of words
+    containing an alphabetic character; >= 2 distinct stopwords from
+    {the, be, to, of, and, that, have, with}. ``gopher_pass`` is the
+    conjunction. Thresholds are keyword-overridable; counting uses
+    non-overlapping occurrences (string replace semantics) so any SQL
+    engine replays it bit-identically.
+
+    Returns ``(id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    stopword_hits, rule_* booleans, gopher_pass)``.
+    """
+    tcol = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(tcol), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = F.when(n_words > 0, total_len.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_hash = F.length(tcol) - F.length(F.replace(tcol, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(tcol) - F.length(F.replace(tcol, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(tcol, r"\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("- ")
+            | F.ltrim(ln).startswith("* ")
+            | F.ltrim(ln).startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    )
+    bullet_frac = F.when(
+        n_lines > 0, bullet_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+
+    out = sdf.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        sw_hits.alias("stopword_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "rule_bullet_lines": F.col("bullet_line_frac") < max_bullet_line_frac,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac") < max_ellipsis_line_frac,
+        "rule_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "rule_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    passed = None
+    for name in rules:
+        passed = F.col(name) if passed is None else passed & F.col(name)
+    return out.withColumn("gopher_pass", passed)

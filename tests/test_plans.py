@@ -672,3 +672,26 @@ def test_no_query_plan_has_error_hazards(spark):
         if errs:
             offenders[name] = [f["rule"] for f in errs]
     assert not offenders, offenders
+
+
+def test_segment_dedup_and_gopher_plan_shapes(spark):
+    """segment_dedup: winner-per-key is a map-side-combinable hash agg
+    + join, NOT a window over the (boilerplate-skewed) segment key —
+    no Window node keyed by the segment hash; bounded exchanges.
+    gopher_quality: one per-row Column pass, zero shuffle."""
+    from eland_spark.operators.dedup import segment_dedup
+    from eland_spark.operators.text import gopher_quality_frame
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+
+    out = segment_dedup(docs, "text", "doc_id", sep=" the ", joiner=" the ")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # explode->winner agg->join->reassembly->doc join: a handful of
+    # hash exchanges, none single-partition
+    assert 2 <= shuffle_count(out) <= 5, plan_summary(out)
+    assert "SinglePartition" not in plan, plan
+
+    g = gopher_quality_frame(docs, "text", "doc_id")
+    assert shuffle_count(g) == 0, plan_summary(g)
