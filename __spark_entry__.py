@@ -4273,6 +4273,24 @@ def q_gopher_quality(spark, sf_dir) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_c4_rules(spark, sf_dir) -> DataFrame:
+    """C4 cleanup (Raffel et al. 2020 §2.2): line-level filter + page
+    rebuild + page-level verdict in one zero-shuffle Column pass.
+    Fixtures have no newlines or terminal punctuation, so the line
+    separator is the literal-token convention, the terminal-punct gate
+    is off, and the bad-word list is a corpus word — rule machinery
+    and mixed outcomes are what's pinned."""
+    from eland_spark.operators.text import c4_clean_frame
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = c4_clean_frame(
+        docs, "text", "doc_id", line_sep=" the ", joiner=" the ",
+        require_terminal_punct=False, min_words_per_line=5,
+        min_kept_lines=2, bad_words=["slow"],
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-keep near-dup dedup: cluster near-duplicates, keep the
     LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
@@ -4553,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_within_doc": q_dedup_within_doc,
         "segment_dedup": q_segment_dedup,
         "gopher_quality": q_gopher_quality,
+        "c4_rules": q_c4_rules,
         "pack_assemble": q_pack_assemble,
         "scaled_robust": q_scaled_robust,
         "chunk_paragraphs": q_chunk_paragraphs,
@@ -6329,6 +6348,46 @@ def oracle_sql() -> dict[str, str]:
                    AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
                    AND stopword_hits >= 1 AS gopher_pass
             FROM m
+        """,
+        "c4_rules": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' the '),
+                                   l -> trim(l) <> '') AS lines
+                FROM documents
+            ), k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines, l ->
+                           len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                           w -> w <> '')) >= 5
+                           AND NOT contains(lower(trim(l)), 'javascript')
+                       ) AS kept
+                FROM t
+            ), c AS (
+                SELECT doc_id,
+                       coalesce(array_to_string(
+                           list_transform(kept, l -> trim(l)), ' the '), '') AS clean_text,
+                       CAST(coalesce(len(lines), 0) AS BIGINT) AS n_lines,
+                       CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept_lines
+                FROM k
+            )
+            SELECT doc_id, clean_text, n_lines, n_kept_lines,
+                   (contains(lower(clean_text), 'lorem ipsum')
+                    OR contains(lower(clean_text), '{')) AS page_blocked,
+                   len(list_intersect(
+                       list_distinct(list_filter(
+                           string_split_regex(lower(clean_text), '\\s+'),
+                           w -> w <> '')),
+                       ['slow'])) > 0 AS has_bad_word,
+                   (n_kept_lines >= 2
+                    AND NOT (contains(lower(clean_text), 'lorem ipsum')
+                             OR contains(lower(clean_text), '{'))
+                    AND NOT len(list_intersect(
+                        list_distinct(list_filter(
+                            string_split_regex(lower(clean_text), '\\s+'),
+                            w -> w <> '')),
+                        ['slow'])) > 0) AS c4_keep
+            FROM c
         """,
         "dedup_within_doc": """
             WITH t AS (

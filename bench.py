@@ -84,6 +84,7 @@ HEADLINE = [
     "wordpiece",
     "segment_dedup",
     "gopher_quality",
+    "c4_rules",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -109,6 +110,7 @@ ROW_HEAVY = {
     "interval_overlap",
     "segment_dedup",
     "gopher_quality",
+    "c4_rules",
 }
 
 

@@ -792,3 +792,90 @@ def gopher_quality_frame(
     for name in rules:
         passed = F.col(name) if passed is None else passed & F.col(name)
     return out.withColumn("gopher_pass", passed)
+
+
+def c4_clean_frame(
+    sdf,
+    text: "str | Column" = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+    joiner: str = "\n",
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    drop_line_tokens: "list[str] | None" = None,
+    min_kept_lines: int = 3,
+    page_blocklist: "list[str] | None" = None,
+    bad_words: "list[str] | None" = None,
+):
+    """C4 cleanup (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning...", §2.2) as one per-row Column pass — the
+    line-level half of the canonical curation stack (Gopher rules are
+    the doc-level half; see ``gopher_quality_frame``).
+
+    Line rules (each line must pass ALL): ends in a terminal
+    punctuation mark (``. ! ? "``); has >= ``min_words_per_line``
+    words (paper: 5); contains none of ``drop_line_tokens`` (paper:
+    the word "javascript", case-insensitive). Page rules on the
+    REBUILT page: >= ``min_kept_lines`` retained lines (the paper's
+    ">= 3 sentences" gate); none of ``page_blocklist`` substrings
+    (paper: "lorem ipsum", "{"); none of ``bad_words`` as a token.
+
+    Everything is array/HOF Column expressions — zero shuffle, zero
+    UDF, replayable in any SQL engine. Returns ``(id, clean_text,
+    n_lines, n_kept_lines, page_blocked, has_bad_word, c4_keep)``:
+    ``clean_text`` is the retained lines re-joined in order;
+    ``c4_keep`` is the page-level verdict.
+    """
+    tcol = F.col(text) if isinstance(text, str) else text
+    drop_toks = [t.lower() for t in (
+        drop_line_tokens if drop_line_tokens is not None else ["javascript"]
+    )]
+    blocklist = [b.lower() for b in (
+        page_blocklist if page_blocklist is not None else ["lorem ipsum", "{"]
+    )]
+    bad = [w.lower() for w in (bad_words or [])]
+
+    lines = F.filter(F.split(tcol, line_sep), lambda ln: F.trim(ln) != "")
+
+    def line_ok(ln):
+        t = F.trim(ln)
+        ok = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & (
+                t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+            )
+        low = F.lower(t)
+        for tok in drop_toks:
+            ok = ok & ~low.contains(tok)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(F.transform(kept, F.trim), joiner)
+    low_clean = F.lower(clean)
+    blocked = F.lit(False)
+    for b in blocklist:
+        blocked = blocked | low_clean.contains(b)
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(clean), r"\s+"), lambda w: w != "")
+    )
+    has_bad = (
+        F.arrays_overlap(toks, F.array(*[F.lit(w) for w in bad]))
+        if bad
+        else F.lit(False)
+    )
+
+    n_lines = F.coalesce(F.size(lines), F.lit(0)).cast("long")
+    n_kept = F.coalesce(F.size(kept), F.lit(0)).cast("long")
+    return sdf.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(clean, F.lit("")).alias("clean_text"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.coalesce(blocked, F.lit(False)).alias("page_blocked"),
+        F.coalesce(has_bad, F.lit(False)).alias("has_bad_word"),
+        (
+            (n_kept >= min_kept_lines)
+            & ~F.coalesce(blocked, F.lit(False))
+            & ~F.coalesce(has_bad, F.lit(False))
+        ).alias("c4_keep"),
+    )

@@ -98,3 +98,63 @@ def test_gopher_null_and_empty(spark):
     assert got[2]["n_words"] == 0 and got[2]["gopher_pass"] is False
     # null text row survives with null signals rather than erroring
     assert out.count() == 2
+
+
+def test_c4_rules_published_defaults(spark):
+    from eland_spark.operators.text import c4_clean_frame
+
+    sdf = spark.createDataFrame(
+        [
+            # keeps 3 long terminal-punct lines, drops the short and
+            # the javascript line -> passes
+            (1, "This is a good long sentence here.\nshort one\n"
+                "Another fine long sentence with words!\n"
+                "And a third good sentence right here.\n"
+                "javascript must be enabled to proceed now."),
+            # lorem ipsum page -> blocked
+            (2, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "Second proper sentence with many words here.\n"
+                "Third proper sentence with many words here.\n"
+                "Fourth proper sentence with many words here."),
+            # curly brace page -> blocked
+            (3, "A first proper sentence with many words {here}.\n"
+                "Second proper sentence with many words here.\n"
+                "Third proper sentence with many words here."),
+            # only 2 surviving lines -> too few
+            (4, "One good long sentence right over here.\n"
+                "Two good long sentences right over here."),
+            (5, None),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in c4_clean_frame(sdf, "text", "id").collect()}
+    assert out[1]["c4_keep"] is True and out[1]["n_kept_lines"] == 3
+    assert "javascript" not in out[1]["clean_text"]
+    assert "short one" not in out[1]["clean_text"]
+    assert out[2]["page_blocked"] is True and out[2]["c4_keep"] is False
+    assert out[3]["page_blocked"] is True
+    assert out[4]["n_kept_lines"] == 2 and out[4]["c4_keep"] is False
+    assert out[5] == {
+        "id": 5, "clean_text": "", "n_lines": 0, "n_kept_lines": 0,
+        "page_blocked": False, "has_bad_word": False, "c4_keep": False,
+    }
+
+
+def test_c4_bad_words_and_zero_shuffle(spark):
+    from eland_spark.operators.text import c4_clean_frame
+    from eland_spark.plans import shuffle_count
+
+    sdf = spark.createDataFrame(
+        [(1, "A perfectly wholesome long sentence right here.\n"
+             "Another wholesome long sentence right there.\n"
+             "A third wholesome long sentence appears now."),
+         (2, "A perfectly naughty long sentence right here.\n"
+             "Another wholesome long sentence right there.\n"
+             "A third wholesome long sentence appears now.")],
+        "id long, text string",
+    )
+    out = c4_clean_frame(sdf, "text", "id", bad_words=["naughty"])
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    assert got[1]["c4_keep"] is True and got[2]["has_bad_word"] is True
+    assert got[2]["c4_keep"] is False
+    assert shuffle_count(out) == 0
