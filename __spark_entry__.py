@@ -4291,6 +4291,81 @@ def q_c4_rules(spark, sf_dir) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
+_DSIR_BUCKETS, _DSIR_ALPHA, _DSIR_N, _DSIR_SEED = 4096, 1.0, 60, 7
+
+
+def q_dsir_select(spark, sf_dir) -> DataFrame:
+    """DSIR (Xie et al. 2023): hashed unigram+bigram bucket models for
+    target (src0) vs raw (everything else), per-doc importance
+    log-weight, Gumbel top-k resample without replacement. md5-portable
+    buckets + hash-derived Gumbel draw, so the oracle replays features,
+    both models, scores, and the draw bit-for-bit."""
+    from eland_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    sel = dsir_select(
+        target, raw, "text", "doc_id", _DSIR_N,
+        n_buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA, seed=_DSIR_SEED,
+        portable=True,
+    )
+    return sel.select(
+        F.col("id").alias("doc_id"),
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    b, alpha, n, seed = _DSIR_BUCKETS, _DSIR_ALPHA, _DSIR_N, _DSIR_SEED
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, source,
+                   unnest(list_concat(l,
+                       [l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)])) AS g
+            FROM tok
+        ), feat AS (
+            SELECT doc_id, source,
+                   CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {b} AS INT) AS bucket,
+                   count(*) AS cnt
+            FROM grams GROUP BY doc_id, source, bucket
+        ), tc AS (
+            SELECT bucket, sum(cnt) AS tcnt FROM feat WHERE source = 'src0' GROUP BY bucket
+        ), rc AS (
+            SELECT bucket, sum(cnt) AS rcnt FROM feat WHERE source <> 'src0' GROUP BY bucket
+        ), j AS (
+            SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                   coalesce(tcnt, 0) AS tcnt, coalesce(rcnt, 0) AS rcnt
+            FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+        ), tot AS (
+            SELECT sum(tcnt) AS ttot, sum(rcnt) AS rtot FROM j
+        ), lr AS (
+            SELECT bucket,
+                   ln((tcnt + {alpha}) / (ttot + {alpha} * {float(b)}))
+                   - ln((rcnt + {alpha}) / (rtot + {alpha} * {float(b)})) AS logratio
+            FROM j, tot
+        ), sc AS (
+            SELECT f.doc_id AS id, sum(f.cnt * lr.logratio) AS log_weight
+            FROM feat f JOIN lr ON lr.bucket = f.bucket
+            WHERE f.source <> 'src0'
+            GROUP BY f.doc_id
+        ), keyed AS (
+            SELECT id, log_weight,
+                   log_weight + (-ln(-ln(greatest(
+                       CAST(CAST(('0x' || substr(md5(id || '{seed}'), 1, 13)) AS BIGINT) AS DOUBLE)
+                       / 4503599627370496.0, 1e-15)))) AS k
+            FROM sc
+        )
+        SELECT id AS doc_id, round(log_weight, 6) AS log_weight
+        FROM keyed ORDER BY k DESC, id ASC LIMIT {n}
+    """
+
+
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-keep near-dup dedup: cluster near-duplicates, keep the
     LONGEST doc per cluster (ties -> lowest id) — md5-portable mode so
@@ -4572,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "gopher_quality": q_gopher_quality,
         "c4_rules": q_c4_rules,
+        "dsir_select": q_dsir_select,
         "pack_assemble": q_pack_assemble,
         "scaled_robust": q_scaled_robust,
         "chunk_paragraphs": q_chunk_paragraphs,
@@ -6186,6 +6262,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "more_like_this": _mlt_oracle_sql(),
         "dedup_keep_best": _dedup_keep_best_oracle_sql(),
+        "dsir_select": _dsir_oracle_sql(),
         "temperature_oversample": """
             WITH c AS (
                 SELECT source, count(*) AS n FROM documents GROUP BY source

@@ -85,6 +85,7 @@ HEADLINE = [
     "segment_dedup",
     "gopher_quality",
     "c4_rules",
+    "dsir_select",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
