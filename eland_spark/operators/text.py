@@ -680,10 +680,9 @@ def wordpiece_tokenize(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_frame(
+def add_gopher_columns(
     sdf,
     text: "str | Column" = "text",
-    id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -709,9 +708,10 @@ def gopher_quality_frame(
     non-overlapping occurrences (string replace semantics) so any SQL
     engine replays it bit-identically.
 
-    Returns ``(id, n_words, mean_word_len, symbol_word_ratio,
-    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-    stopword_hits, rule_* booleans, gopher_pass)``.
+    APPENDS the signal/rule/pass columns to the input frame (existing
+    columns kept) — stateless and append-mode safe, so the same
+    builder serves batch frames and streams; use
+    :func:`gopher_quality_frame` for the per-doc projection.
     """
     tcol = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(F.trim(tcol), r"\s+"), lambda t: t != "")
@@ -765,15 +765,16 @@ def gopher_quality_frame(
         )
     ).cast("long")
 
-    out = sdf.select(
-        F.col(id_col).alias("id"),
-        n_words.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        sw_hits.alias("stopword_hits"),
+    out = sdf.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(mean_wl, 6),
+            "symbol_word_ratio": F.round(symbol_ratio, 6),
+            "bullet_line_frac": F.round(bullet_frac, 6),
+            "ellipsis_line_frac": F.round(ellipsis_frac, 6),
+            "alpha_word_frac": F.round(alpha_frac, 6),
+            "stopword_hits": sw_hits,
+        }
     )
     rules = {
         "rule_word_count": (F.col("n_words") >= min_words)
@@ -794,10 +795,32 @@ def gopher_quality_frame(
     return out.withColumn("gopher_pass", passed)
 
 
-def c4_clean_frame(
+GOPHER_COLUMNS = [
+    "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+    "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+    "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+    "rule_stopwords", "gopher_pass",
+]
+
+
+def gopher_quality_frame(
     sdf,
     text: "str | Column" = "text",
     id_col: str = "doc_id",
+    **thresholds,
+):
+    """Per-document Gopher signal/rule projection: ``(id, <signals>,
+    <rule_*>, gopher_pass)``. See :func:`add_gopher_columns` (the
+    batch/stream-shared builder — streaming gates use it directly to
+    keep the full row)."""
+    out = add_gopher_columns(sdf, text, **thresholds)
+    return out.select(F.col(id_col).alias("id"), *GOPHER_COLUMNS)
+
+
+def add_c4_columns(
+    sdf,
+    text: "str | Column" = "text",
     line_sep: str = r"\n",
     joiner: str = "\n",
     min_words_per_line: int = 5,
@@ -821,10 +844,11 @@ def c4_clean_frame(
     (paper: "lorem ipsum", "{"); none of ``bad_words`` as a token.
 
     Everything is array/HOF Column expressions — zero shuffle, zero
-    UDF, replayable in any SQL engine. Returns ``(id, clean_text,
-    n_lines, n_kept_lines, page_blocked, has_bad_word, c4_keep)``:
-    ``clean_text`` is the retained lines re-joined in order;
-    ``c4_keep`` is the page-level verdict.
+    UDF, replayable in any SQL engine. APPENDS ``clean_text, n_lines,
+    n_kept_lines, page_blocked, has_bad_word, c4_keep`` to the input
+    frame (existing columns kept) — stateless and append-mode safe, so
+    the same builder serves batch frames and streams; use
+    :func:`c4_clean_frame` for the per-doc projection.
     """
     tcol = F.col(text) if isinstance(text, str) else text
     drop_toks = [t.lower() for t in (
@@ -866,16 +890,36 @@ def c4_clean_frame(
 
     n_lines = F.coalesce(F.size(lines), F.lit(0)).cast("long")
     n_kept = F.coalesce(F.size(kept), F.lit(0)).cast("long")
-    return sdf.select(
-        F.col(id_col).alias("id"),
-        F.coalesce(clean, F.lit("")).alias("clean_text"),
-        n_lines.alias("n_lines"),
-        n_kept.alias("n_kept_lines"),
-        F.coalesce(blocked, F.lit(False)).alias("page_blocked"),
-        F.coalesce(has_bad, F.lit(False)).alias("has_bad_word"),
-        (
-            (n_kept >= min_kept_lines)
-            & ~F.coalesce(blocked, F.lit(False))
-            & ~F.coalesce(has_bad, F.lit(False))
-        ).alias("c4_keep"),
+    return sdf.withColumns(
+        {
+            "clean_text": F.coalesce(clean, F.lit("")),
+            "n_lines": n_lines,
+            "n_kept_lines": n_kept,
+            "page_blocked": F.coalesce(blocked, F.lit(False)),
+            "has_bad_word": F.coalesce(has_bad, F.lit(False)),
+            "c4_keep": (
+                (n_kept >= min_kept_lines)
+                & ~F.coalesce(blocked, F.lit(False))
+                & ~F.coalesce(has_bad, F.lit(False))
+            ),
+        }
     )
+
+
+C4_COLUMNS = [
+    "clean_text", "n_lines", "n_kept_lines",
+    "page_blocked", "has_bad_word", "c4_keep",
+]
+
+
+def c4_clean_frame(
+    sdf,
+    text: "str | Column" = "text",
+    id_col: str = "doc_id",
+    **options,
+):
+    """Per-document C4 projection: ``(id, clean_text, n_lines,
+    n_kept_lines, page_blocked, has_bad_word, c4_keep)``. See
+    :func:`add_c4_columns` (the batch/stream-shared builder)."""
+    out = add_c4_columns(sdf, text, **options)
+    return out.select(F.col(id_col).alias("id"), *C4_COLUMNS)

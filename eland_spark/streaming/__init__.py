@@ -1,5 +1,7 @@
 from .curation import (
+    stream_c4_clean,
     stream_classifier_gate,
+    stream_gopher_gate,
     stream_contamination_flags,
     stream_quality_filter,
     stream_url_dedup,
@@ -33,6 +35,8 @@ __all__ = [
     "stream_contamination_flags",
     "stream_quality_filter",
     "stream_classifier_gate",
+    "stream_gopher_gate",
+    "stream_c4_clean",
     "stream_url_dedup",
     "continuous_aggregate",
     "batch_rollup",

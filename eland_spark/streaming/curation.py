@@ -20,6 +20,8 @@ from ..operators.text import quality_score
 __all__ = [
     "stream_contamination_flags",
     "stream_quality_filter",
+    "stream_gopher_gate",
+    "stream_c4_clean",
     "stream_bloom_update",
     "read_bloom",
 ]
@@ -98,6 +100,38 @@ def stream_classifier_gate(
         out_col, linear_classifier_score(F.col(text_col), weights, bias)
     )
     return scored.filter(F.col(out_col) >= threshold)
+
+
+def stream_gopher_gate(
+    stream_sdf: DataFrame,
+    text_col: str = "text",
+    keep_only: bool = True,
+    **thresholds,
+) -> DataFrame:
+    """Streaming Gopher quality gate: append the A1.1 signal/rule/pass
+    columns (operators/text.add_gopher_columns — pure Column
+    expressions) and, with ``keep_only``, retain passing rows.
+    Stateless; append-mode safe; identical plan serves batch frames
+    (the twin-test contract)."""
+    from ..operators.text import add_gopher_columns
+
+    out = add_gopher_columns(stream_sdf, text_col, **thresholds)
+    return out.filter(F.col("gopher_pass")) if keep_only else out
+
+
+def stream_c4_clean(
+    stream_sdf: DataFrame,
+    text_col: str = "text",
+    keep_only: bool = True,
+    **options,
+) -> DataFrame:
+    """Streaming C4 cleanup: append ``clean_text`` + page-rule columns
+    (operators/text.add_c4_columns) and, with ``keep_only``, retain
+    pages passing the C4 verdict. Stateless; append-mode safe."""
+    from ..operators.text import add_c4_columns
+
+    out = add_c4_columns(stream_sdf, text_col, **options)
+    return out.filter(F.col("c4_keep")) if keep_only else out
 
 
 def stream_url_dedup(

@@ -677,3 +677,55 @@ def test_stream_bloom_update_matches_from_scratch(spark, tmp_path):
     probes = all_rows.select("g", "k")
     res = bloom_contains(merged, probes, "k", ["g"], m_bits=1024, n_hashes=3)
     assert res.filter(~F.col("contained")).count() == 0
+
+
+def test_stream_gopher_gate_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.text import add_gopher_columns
+    from eland_spark.streaming import read_events_stream, stream_to_memory
+    from eland_spark.streaming.curation import stream_gopher_gate
+
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    kept = stream_gopher_gate(sdocs, min_stopword_hits=1).select("doc_id")
+    stream_to_memory(kept, "stream_gopher_test", "append", 120)
+    got = set(spark.sql("SELECT doc_id FROM stream_gopher_test").toPandas().doc_id)
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = set(
+        add_gopher_columns(batch, "text", min_stopword_hits=1)
+        .filter(F.col("gopher_pass"))
+        .toPandas()
+        .doc_id
+    )
+    assert got == exp and 0 < len(got) < batch.count()
+
+
+def test_stream_c4_clean_matches_batch(spark, sf_dir):
+    from eland_spark.streaming import read_events_stream, stream_to_memory
+    from eland_spark.streaming.curation import stream_c4_clean
+
+    sdocs = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    kept = stream_c4_clean(
+        sdocs, line_sep=" the ", joiner=" the ",
+        require_terminal_punct=False, min_words_per_line=5,
+        min_kept_lines=2, bad_words=["slow"],
+    ).select("doc_id", "clean_text")
+    stream_to_memory(kept, "stream_c4_test", "append", 120)
+    got = spark.sql("SELECT doc_id, clean_text FROM stream_c4_test").toPandas()
+
+    from eland_spark.operators.text import c4_clean_frame
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exp = (
+        c4_clean_frame(batch, "text", "doc_id", line_sep=" the ",
+                       joiner=" the ", require_terminal_punct=False,
+                       min_words_per_line=5, min_kept_lines=2,
+                       bad_words=["slow"])
+        .filter("c4_keep")
+        .toPandas()
+    )
+    assert dict(zip(got.doc_id, got.clean_text)) == dict(
+        zip(exp.id, exp.clean_text)
+    )
+    assert 0 < len(got) < batch.count()
