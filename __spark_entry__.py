@@ -802,6 +802,39 @@ def q_series_cumsum(spark, sf_dir) -> DataFrame:
     return out.select("o_orderkey", F.col("cumsum").cast("bigint").alias("cumsum"))
 
 
+def q_series_cumprod(spark, sf_dir) -> DataFrame:
+    """pandas Series.cumprod — the cumsum bucket plan with a TRUE
+    running product (F.product within buckets + driver
+    prefix-multiply). Values in {-1, 0, 1} so the run is exact in any
+    engine and exercises the sign/zero paths; +0.0 squashes the IEEE
+    -0.0 both engines produce after a negative-times-zero run."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    s = o["o_orderkey"] % 3 - 1
+    out = s.cumprod().to_spark()
+    return out.select(
+        "o_orderkey", (F.col("cumprod") + F.lit(0.0)).alias("cumprod")
+    )
+
+
+def q_events_time_window(spark, sf_dir) -> DataFrame:
+    """pandas truncate + between_time on a timestamp index: index-range
+    filter then time-of-day filter (both pure Column predicates, zero
+    shuffle) -> per-type counts. The between_time window crosses
+    midnight to exercise the wrap path."""
+    ev = _t(spark, sf_dir, "events", "ts")
+    win = ev.truncate(
+        before="2024-01-05 00:00:00", after="2024-01-25 23:59:59"
+    ).between_time("22:00", "03:30")
+    return (
+        win.to_spark()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_user"),
+        )
+    )
+
+
 def q_groupby_cumsum(spark, sf_dir) -> DataFrame:
     """pandas groupby().cumsum(): per-group running sum in index order
     — one keyed window (hash shuffle on the keys + local sort),
@@ -4528,6 +4561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_shift": q_series_shift,
         "series_diff": q_series_diff,
         "series_cumsum": q_series_cumsum,
+        "series_cumprod": q_series_cumprod,
+        "events_time_window": q_events_time_window,
         "series_cummax": q_series_cummax,
         "groupby_cumsum": q_groupby_cumsum,
         "groupby_shift": q_groupby_shift,
@@ -5538,6 +5573,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsum
             FROM orders
+        """,
+        "series_cumprod": """
+            SELECT o_orderkey,
+                   product(CAST(o_orderkey % 3 - 1 AS DOUBLE)) OVER (
+                        ORDER BY o_orderkey
+                        ROWS UNBOUNDED PRECEDING) + 0.0 AS cumprod
+            FROM orders
+        """,
+        "events_time_window": """
+            WITH f AS (
+                SELECT * FROM events
+                WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                  AND ts <= TIMESTAMP '2024-01-25 23:59:59'
+                  AND ((epoch_us(ts) - epoch_us(date_trunc('day', ts)))
+                           >= CAST(22 AS BIGINT) * 3600 * 1000000
+                       OR (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
+                           <= CAST(3 * 60 + 30 AS BIGINT) * 60 * 1000000)
+            )
+            SELECT event_type, count(*) AS n, sum(user_id) AS sum_user
+            FROM f GROUP BY event_type
         """,
         "series_cummax": """
             SELECT o_orderkey,

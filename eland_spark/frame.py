@@ -592,6 +592,81 @@ class DataFrame:
             sdf=self._sdf.orderBy(F.rand(random_state)).limit(int(n or 5))
         )
 
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        """pandas ``DataFrame.truncate``: keep rows whose INDEX value
+        lies in ``[before, after]`` (either bound optional). A pure
+        index-range filter — pushdown-eligible, zero shuffle; on a
+        sorted/partitioned layout this is partition pruning."""
+        icols = self._schema.index_cols
+        if not icols:
+            raise ValueError("truncate needs an index column")
+        if before is not None and after is not None:
+            try:
+                bad = before > after
+            except TypeError:
+                bad = False
+            if bad:
+                raise ValueError(f"Truncate: {after!r} must be after {before!r}")
+        key = F.col(self._schema.resolve(icols[0]))
+        sdf = self._sdf
+        if before is not None:
+            sdf = sdf.filter(key >= F.lit(before))
+        if after is not None:
+            sdf = sdf.filter(key <= F.lit(after))
+        return self._with(sdf=sdf)
+
+    def _time_of_day_micros(self):
+        import pyspark.sql.types as T
+
+        icols = self._schema.index_cols
+        if not icols:
+            raise TypeError("Index must be DatetimeIndex")
+        key = self._schema.resolve(icols[0])
+        dt = self._sdf.schema[key].dataType
+        if not isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            raise TypeError("Index must be DatetimeIndex")
+        col = F.col(key)
+        # field-based (hour/minute + fractional-second reformat) so the
+        # SAME expression serves TIMESTAMP and TIMESTAMP_NTZ — parquet
+        # loads NTZ, and unix_micros rejects it
+        whole_minutes = (F.hour(col) * 60 + F.minute(col)).cast("bigint")
+        frac_micros = (
+            F.date_format(col, "ss.SSSSSS").cast("decimal(9,6)") * 1_000_000
+        ).cast("bigint")
+        return whole_minutes * F.lit(60_000_000).cast("bigint") + frac_micros
+
+    @staticmethod
+    def _parse_time(t):
+        import datetime as _dt
+
+        tt = t if isinstance(t, _dt.time) else _dt.time.fromisoformat(t)
+        return ((tt.hour * 60 + tt.minute) * 60 + tt.second) * 1_000_000 + tt.microsecond
+
+    def at_time(self, time) -> "DataFrame":
+        """pandas ``DataFrame.at_time``: rows whose timestamp index has
+        exactly this time of day (microsecond-exact; one Column
+        comparison, zero shuffle)."""
+        tod = self._time_of_day_micros()
+        return self._with(sdf=self._sdf.filter(tod == F.lit(self._parse_time(time))))
+
+    def between_time(
+        self, start_time, end_time, inclusive: str = "both"
+    ) -> "DataFrame":
+        """pandas ``DataFrame.between_time``: time-of-day range filter
+        on the timestamp index; ``start > end`` wraps past midnight
+        (keep outside the interval), matching pandas. Zero shuffle."""
+        if inclusive not in ("both", "neither", "left", "right"):
+            raise ValueError(
+                "inclusive must be 'both', 'neither', 'left' or 'right'"
+            )
+        tod = self._time_of_day_micros()
+        s = self._parse_time(start_time)
+        e = self._parse_time(end_time)
+        left = (tod >= s) if inclusive in ("both", "left") else (tod > s)
+        right = (tod <= e) if inclusive in ("both", "right") else (tod < e)
+        cond = (left & right) if s <= e else (left | right)
+        return self._with(sdf=self._sdf.filter(cond))
+
     def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":
         """pandas ``na_position='last'`` is the default — and matches
         ES sort's ``missing: _last``. Spark's bare ``.asc()`` puts
@@ -1089,6 +1164,13 @@ class DataFrame:
     def cummin(self) -> "DataFrame":
         """pandas ``DataFrame.cummin`` — same multi-column bucket plan."""
         return self._frame_cumagg("min")
+
+    def cumprod(self) -> "DataFrame":
+        """pandas ``DataFrame.cumprod`` (numeric, skipna) — the same
+        multi-column bucket plan with a TRUE running product
+        (``F.product`` within buckets, driver prefix-multiply across
+        them): zeros and signs exact, no log/exp detour."""
+        return self._frame_cumagg("prod")
 
     def ffill(self) -> "DataFrame":
         """pandas ``DataFrame.ffill`` over the global index order:

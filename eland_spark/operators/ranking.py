@@ -143,13 +143,15 @@ def _global_cumaggs(
     ~``partitions`` fixed-size ranges, ONE balanced hash exchange on
     the bucket id for the within-bucket runs, per-bucket totals
     prefix-combined on the driver and merged back via map literals.
-    ``aggs`` may contain sum/max/min/count (count = running NON-NULL
-    observation count). Emits one ``__cum_<agg>__`` column per agg;
+    ``aggs`` may contain sum/max/min/count/prod (count = running
+    NON-NULL observation count; prod = true running product —
+    F.product within buckets, driver prefix-multiply across them, so
+    zeros and signs are exact, no log/exp detour). Emits one ``__cum_<agg>__`` column per agg;
     the running value is defined at EVERY row (null rows carry the run
     forward) — callers apply their own null policy."""
-    bad = [a for a in aggs if a not in ("sum", "max", "min", "count")]
+    bad = [a for a in aggs if a not in ("sum", "max", "min", "count", "prod")]
     if bad:
-        raise ValueError(f"agg must be sum/max/min/count; got {bad}")
+        raise ValueError(f"agg must be sum/max/min/count/prod; got {bad}")
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = with_global_rank(
@@ -163,7 +165,8 @@ def _global_cumaggs(
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count}
+    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
+           "prod": F.product}
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
         .agg(*[fns[a](F.col(value_col)).alias(f"__t_{a}__") for a in aggs])
@@ -178,7 +181,9 @@ def _global_cumaggs(
         # preceding total are absent from the map (null lookup, skipped
         # by greatest/least)
         offsets: dict[int, object] = {}
-        acc: object = 0 if a in ("sum", "count") else None
+        acc: object = (
+            0 if a in ("sum", "count") else 1.0 if a == "prod" else None
+        )
         for r in totals:
             if acc is not None:
                 offsets[r["__b__"]] = acc
@@ -187,6 +192,8 @@ def _global_cumaggs(
                 continue
             if a in ("sum", "count"):
                 acc = acc + t
+            elif a == "prod":
+                acc = acc * t
             elif acc is None:
                 acc = t
             else:
@@ -200,6 +207,10 @@ def _global_cumaggs(
                 # observations — the carry must still flow through
                 run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
                     within, F.lit(0)
+                )
+            elif a == "prod":
+                run = F.coalesce(off_map[bucket], F.lit(1.0)) * F.coalesce(
+                    within, F.lit(1.0)
                 )
             elif a == "max":
                 run = F.greatest(off_map[bucket], within)
@@ -219,12 +230,12 @@ def with_global_cumagg(
     out_col: str = "cumagg",
     partitions: int | None = None,
 ) -> DataFrame:
-    """Running ``sum``/``max``/``min`` over the GLOBAL order,
+    """Running ``sum``/``max``/``min``/``prod`` over the GLOBAL order,
     windowless at scale (see :func:`_global_cumaggs` for the plan).
     Null values stay null and are skipped by the run (pandas
     cumsum/cummax skipna semantics)."""
-    if agg not in ("sum", "max", "min"):
-        raise ValueError("agg must be sum/max/min")
+    if agg not in ("sum", "max", "min", "prod"):
+        raise ValueError("agg must be sum/max/min/prod")
     out = _global_cumaggs(sdf, order_by, value_col, [agg], partitions)
     expr = F.when(F.col(value_col).isNotNull(), F.col(f"__cum_{agg}__"))
     return out.withColumn(out_col, expr).drop(f"__cum_{agg}__", "__g__")
@@ -410,15 +421,15 @@ def with_global_cumagg_multi(
     pairs: list[tuple[str, str, str]],
     partitions: int | None = None,
 ) -> DataFrame:
-    """Running sum/max/min over the GLOBAL order for MANY columns at
+    """Running sum/max/min/prod over the GLOBAL order for MANY columns at
     once — the bucket plan of :func:`with_global_cumagg` (one balanced
     exchange, driver prefix-combine of per-bucket totals) paid a single
     time; ``pairs`` is ``[(value_col, agg, out_col), ...]``. Null
     values stay null, the run continues (pandas skipna)."""
-    fns = {"sum": F.sum, "max": F.max, "min": F.min}
+    fns = {"sum": F.sum, "max": F.max, "min": F.min, "prod": F.product}
     for _, a, _o in pairs:
         if a not in fns:
-            raise ValueError("agg must be sum/max/min")
+            raise ValueError("agg must be sum/max/min/prod")
     ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
     w = (
         Window.partitionBy(bucket)
@@ -440,7 +451,7 @@ def with_global_cumagg_multi(
     for i, (c, a, name) in enumerate(pairs):
         within = fns[a](F.col(c)).over(w)
         offsets: dict[int, object] = {}
-        acc: object = 0 if a == "sum" else None
+        acc: object = 0 if a == "sum" else 1.0 if a == "prod" else None
         for r in totals:
             if acc is not None:
                 offsets[r["__b__"]] = acc
@@ -449,6 +460,8 @@ def with_global_cumagg_multi(
                 continue
             if a == "sum":
                 acc = acc + t
+            elif a == "prod":
+                acc = acc * t
             elif acc is None:
                 acc = t
             else:
@@ -460,6 +473,10 @@ def with_global_cumagg_multi(
             if a == "sum":
                 run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
                     within, F.lit(0)
+                )
+            elif a == "prod":
+                run = F.coalesce(off_map[bucket], F.lit(1.0)) * F.coalesce(
+                    within, F.lit(1.0)
                 )
             elif a == "max":
                 run = F.greatest(off_map[bucket], within)

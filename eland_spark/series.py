@@ -686,6 +686,25 @@ class Series:
     def idxmin(self):
         return self._idx_extreme(False)
 
+    def first_valid_index(self):
+        """pandas ``Series.first_valid_index``: the smallest index
+        value whose entry is non-null (one min aggregate; None when
+        the series has no valid entries)."""
+        return self._valid_index(first=True)
+
+    def last_valid_index(self):
+        """pandas ``Series.last_valid_index`` — the max twin."""
+        return self._valid_index(first=False)
+
+    def _valid_index(self, first: bool):
+        icols = self._frame._schema.index_cols
+        if not icols:
+            raise ValueError("first/last_valid_index needs an index column")
+        key = self._frame._schema.resolve(icols[0])
+        masked = F.when(self._expr.isNotNull(), F.col(key))
+        agg = F.min(masked) if first else F.max(masked)
+        return self._frame._sdf.agg(agg.alias("i")).collect()[0]["i"]
+
     def _idx_extreme(self, is_max: bool):
         icols = self._frame._schema.index_cols
         if not icols:
@@ -1178,6 +1197,13 @@ class Series:
         """pandas ``Series.cummin`` — same windowless bucket plan as
         :meth:`cumsum` with a prefix-min combine."""
         return self._cumagg("min")
+
+    def cumprod(self):
+        """pandas ``Series.cumprod`` (skipna) — the cumsum bucket plan
+        with a TRUE running product (``F.product`` within buckets,
+        driver prefix-multiply across them): zeros and signs exact, no
+        log/exp detour."""
+        return self._cumagg("prod")
 
     def map(self, arg) -> "Series":
         """pandas ``Series.map`` with a dict/Mapping: compiled to a JVM

@@ -118,3 +118,94 @@ def test_dir_and_repr_html(frame):
     ).replace("td>", ">") or "x" in html
     with pd.option_context("display.notebook_repr_html", False):
         assert edf._repr_html_() is None
+
+
+@pytest.fixture(scope="module")
+def ts_frame(spark):
+    import numpy as np
+
+    rng = pd.date_range("2024-03-01 00:00:00", periods=200, freq="37min")
+    pdf = pd.DataFrame(
+        {
+            "ts": rng,
+            "v": np.arange(200, dtype="float64"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf, schema="ts timestamp_ntz, v double")
+    return pdf.set_index("ts"), EDF(sdf, index_cols=("ts",))
+
+
+def test_truncate_matches_pandas(ts_frame):
+    pdf, edf = ts_frame
+    before, after = "2024-03-02 06:00:00", "2024-03-04 12:00:00"
+    got = edf.truncate(before=before, after=after).to_pandas(set_index=True).sort_index()
+    exp = pdf.truncate(before=before, after=after)
+    assert list(got.index) == list(exp.index)
+    assert list(got.v) == list(exp.v)
+    # one-sided + validation
+    assert len(edf.truncate(after=before).to_pandas()) == len(pdf.truncate(after=before))
+    with pytest.raises(ValueError):
+        edf.truncate(before=after, after=before)
+
+
+def test_at_time_matches_pandas(ts_frame):
+    pdf, edf = ts_frame
+    got = edf.at_time("12:20").to_pandas(set_index=True).sort_index()
+    exp = pdf.at_time("12:20")
+    assert list(got.index) == list(exp.index) and len(got) > 0
+
+
+def test_between_time_matches_pandas(ts_frame):
+    pdf, edf = ts_frame
+    for s, e in [("09:00", "17:00"), ("22:00", "03:00")]:  # incl. midnight wrap
+        for inc in ("both", "neither", "left", "right"):
+            got = edf.between_time(s, e, inclusive=inc).to_pandas(set_index=True).sort_index()
+            exp = pdf.between_time(s, e, inclusive=inc)
+            assert list(got.index) == list(exp.index), (s, e, inc)
+    with pytest.raises(ValueError):
+        edf.between_time("09:00", "10:00", inclusive="bogus")
+
+
+def test_time_filters_need_datetime_index(frame):
+    _, edf = frame
+    with pytest.raises(TypeError):
+        edf.at_time("09:00")
+
+
+def test_first_last_valid_index_match_pandas(frame):
+    pdf, edf = frame
+    assert edf["y"].first_valid_index() == pdf["y"].first_valid_index()
+    assert edf["y"].last_valid_index() == pdf["y"].last_valid_index()
+    assert edf["x"].first_valid_index() == pdf["x"].first_valid_index()
+    # all-null series -> None
+    nul = pd.DataFrame({"z": [None, None], "_id": [0, 1]})
+    sn = EDF(
+        edf._sdf.sparkSession.createDataFrame(nul, schema="z double, _id bigint"),
+        index_cols=("_id",),
+    )
+    assert sn["z"].first_valid_index() is None
+
+
+def test_cumprod_matches_pandas(spark):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "i": range(12),
+            "x": [1.5, -2.0, 0.5, None, 3.0, 0.0, -1.0, 2.0, None, 4.0, -0.5, 1.0],
+            "y": [2.0, 1.0, None, -1.0, 0.5, 2.0, 1.0, 0.0, 3.0, 1.0, 1.0, -2.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf, schema="i bigint, x double, y double")
+    edf = EDF(sdf, index_cols=("i",))
+    got = edf["x"].cumprod().to_pandas(set_index=True).sort_index()
+    exp = pdf.set_index("i")["x"].cumprod()
+    import numpy.testing as npt
+
+    npt.assert_allclose(
+        got["cumprod"].values, exp.values, rtol=1e-12, equal_nan=True,
+    )
+    fr = edf[["x", "y"]].cumprod().to_pandas(set_index=True).sort_index()
+    pexp = pdf.set_index("i")[["x", "y"]].cumprod()
+    npt.assert_allclose(fr["x"].values, pexp["x"].values, rtol=1e-12, equal_nan=True)
+    npt.assert_allclose(fr["y"].values, pexp["y"].values, rtol=1e-12, equal_nan=True)
