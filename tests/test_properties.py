@@ -592,12 +592,14 @@ def test_shift_diff_cumsum_match_pandas(spark, rows):
     got_cum = s.cumsum().to_pandas()["cumsum"]
     got_cmx = s.cummax().to_pandas()["cummax"]
     got_cmn = s.cummin().to_pandas()["cummin"]
+    got_cpr = s.cumprod().to_pandas()["cumprod"]
     for got, exp in [
         (got_shift, p.shift(1)),
         (got_diff, p.diff(1)),
         (got_cum, p.cumsum()),
         (got_cmx, p.cummax()),
         (got_cmn, p.cummin()),
+        (got_cpr, p.cumprod()),
     ]:
         got = got.sort_index().to_numpy(dtype="float64")
         exp = exp.sort_index().to_numpy(dtype="float64")
