@@ -816,6 +816,23 @@ def q_series_cumprod(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_interpolate_gaps(spark, sf_dir) -> DataFrame:
+    """pandas Series.interpolate(method='linear') over the global index
+    order — windowless at scale: the ffill/bfill bucket plan
+    (operators/ranking.with_global_interpolate — one balanced hash
+    exchange on the bucket id, per-bucket boundary (position, value)
+    structs prefix/suffix-carried on the driver). Deterministic holes
+    where o_orderkey % 7 <= 1; interior gaps take the straight line on
+    ROW position, trailing nulls carry the last valid value, leading
+    nulls stay null (pandas limit_direction='forward')."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    gap = o["o_totalprice"].where(o["o_orderkey"] % 7 > 1)
+    out = gap.interpolate().to_spark()
+    return out.select(
+        "o_orderkey", F.round("interpolate", 4).alias("interp")
+    )
+
+
 def q_events_time_window(spark, sf_dir) -> DataFrame:
     """pandas truncate + between_time on a timestamp index: index-range
     filter then time-of-day filter (both pure Column predicates, zero
@@ -4561,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_shift": q_series_shift,
         "series_diff": q_series_diff,
         "series_cumsum": q_series_cumsum,
+        "interpolate_gaps": q_interpolate_gaps,
         "series_cumprod": q_series_cumprod,
         "events_time_window": q_events_time_window,
         "series_cummax": q_series_cummax,
@@ -5573,6 +5591,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsum
             FROM orders
+        """,
+        "interpolate_gaps": """
+            WITH base AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 > 1
+                            THEN CAST(o_totalprice AS DOUBLE) END AS v,
+                       row_number() OVER (ORDER BY o_orderkey) AS rn
+                FROM orders
+            ), marked AS (
+                SELECT o_orderkey, v, rn,
+                       last_value(CASE WHEN v IS NOT NULL THEN
+                               struct_pack(p := rn, vv := v) END IGNORE NULLS)
+                           OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS prev,
+                       first_value(CASE WHEN v IS NOT NULL THEN
+                               struct_pack(p := rn, vv := v) END IGNORE NULLS)
+                           OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS nxt
+                FROM base
+            )
+            SELECT o_orderkey,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN prev IS NULL THEN NULL
+                              WHEN nxt IS NULL THEN prev.vv
+                              ELSE prev.vv + (nxt.vv - prev.vv)
+                                   * CAST(rn - prev.p AS DOUBLE)
+                                   / CAST(nxt.p - prev.p AS DOUBLE)
+                         END, 4) AS interp
+            FROM marked
         """,
         "series_cumprod": """
             SELECT o_orderkey,

@@ -1184,6 +1184,28 @@ class DataFrame:
         """pandas ``DataFrame.bfill`` — the reversed-order twin."""
         return self._frame_fill(forward=False)
 
+    def interpolate(
+        self, method: str = "linear", limit: int | None = None
+    ) -> "DataFrame":
+        """pandas ``DataFrame.interpolate(method='linear')`` over the
+        global index order: every NUMERIC column linearly interpolated
+        on row position in ONE balanced exchange (the ffill bucket
+        plan, operators/ranking.with_global_interpolate); forward
+        limit_direction — interior gaps get the straight line, trailing
+        nulls carry the last valid, leading nulls stay null. Non-numeric
+        columns are excluded (pandas raises on object dtype)."""
+        if method != "linear":
+            raise NotImplementedError(
+                "interpolate: only method='linear' is supported"
+            )
+        from .operators.ranking import with_global_interpolate
+
+        base, icols, vals = self._order_base(numeric_only=True)
+        out = with_global_interpolate(base, icols, vals, limit=limit)
+        return DataFrame(
+            out.select(*icols, *vals), index_cols=tuple(icols)
+        )
+
     def _frame_fill(self, forward: bool) -> "DataFrame":
         from .operators.ranking import with_global_fill
 

@@ -542,3 +542,112 @@ def with_global_fill(
             run = within
         out = out.withColumn(c, run)
     return out.drop("__g__")
+
+
+def with_global_interpolate(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_cols: list[str],
+    limit: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """pandas ``interpolate(method='linear')`` over the GLOBAL order
+    without a single-partition window. Linear on ROW position (pandas
+    default index spacing), default ``limit_direction='forward'``
+    semantics: interior gaps get the straight line between the
+    surrounding valid values, trailing nulls carry the last valid value
+    forward, leading nulls stay null; ``limit`` caps how many
+    consecutive nulls after a valid value are filled.
+
+    Scale shape — the running "last/first non-null (position, value)"
+    is a semigroup, so the :func:`with_global_fill` bucket plan
+    applies: ONE balanced hash exchange on the bucket id (two in-bucket
+    sorted windows, asc + desc, reuse it), per-bucket boundary structs
+    prefix/suffix-carried on the driver (one tiny row per bucket), and
+    the interpolation itself is pure Column arithmetic. All
+    ``value_cols`` fill in the same exchange and are overwritten in
+    place as doubles."""
+    if limit is not None and (not isinstance(limit, int) or limit < 1):
+        raise ValueError("limit must be a positive integer")
+    # NaN == missing (pandas parity; float NaN survives parquet as NaN,
+    # not NULL) — normalize every value column to a null-holed double
+    # before anything else looks at it.
+    null_d = F.lit(None).cast("double")
+    for c in value_cols:
+        sdf = sdf.withColumn(c, F.nanvl(F.col(c).cast("double"), null_d))
+    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    wf = (
+        Window.partitionBy(bucket)
+        .orderBy(F.col("__g__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy(bucket)
+        .orderBy(F.col("__g__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _pack(c: str) -> Column:
+        return F.when(
+            F.col(c).isNotNull(),
+            F.struct(
+                F.col("__g__").alias("p"), F.col(c).cast("double").alias("v")
+            ),
+        )
+
+    aggs = []
+    for i, c in enumerate(value_cols):
+        nn = F.when(F.col(c).isNotNull(), F.col("__g__"))
+        aggs.append(F.max_by(_pack(c), nn).alias(f"__f_{i}__"))
+        aggs.append(F.min_by(_pack(c), nn).alias(f"__b_{i}__"))
+    totals = (
+        ranked.groupBy(bucket.alias("__b__")).agg(*aggs).orderBy("__b__").collect()
+    )
+
+    def _lit_struct(t) -> Column:
+        return F.struct(
+            F.lit(int(t["p"])).cast("long").alias("p"),
+            F.lit(float(t["v"])).alias("v"),
+        )
+
+    def _carry_map(rows, field: str):
+        carries, acc = {}, None
+        for r in rows:
+            if acc is not None:
+                carries[r["__b__"]] = acc
+            t = r[field]
+            if t is not None:
+                acc = t
+        if not carries:
+            return None
+        return F.create_map(
+            *[x for b, t in carries.items() for x in (F.lit(b), _lit_struct(t))]
+        )
+
+    out = ranked
+    g = F.col("__g__")
+    for i, c in enumerate(value_cols):
+        s = _pack(c)
+        prev = F.last(s, ignorenulls=True).over(wf)
+        nxt = F.last(s, ignorenulls=True).over(wb)
+        fmap = _carry_map(totals, f"__f_{i}__")
+        bmap = _carry_map(list(reversed(totals)), f"__b_{i}__")
+        if fmap is not None:
+            prev = F.coalesce(prev, fmap[bucket])
+        if bmap is not None:
+            nxt = F.coalesce(nxt, bmap[bucket])
+        line = F.when(nxt.isNull(), prev["v"]).otherwise(
+            prev["v"]
+            + (nxt["v"] - prev["v"])
+            * (g - prev["p"]).cast("double")
+            / (nxt["p"] - prev["p"]).cast("double")
+        )
+        if limit is not None:
+            line = F.when((g - prev["p"]) <= F.lit(limit), line)
+        filled = (
+            F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+            .when(prev.isNull(), F.lit(None).cast("double"))
+            .otherwise(line)
+        )
+        out = out.withColumn(c, filled)
+    return out.drop("__g__")

@@ -1096,6 +1096,33 @@ class Series:
             index_cols=tuple(icols),
         )
 
+    def interpolate(self, method: str = "linear", limit: int | None = None):
+        """pandas ``Series.interpolate(method='linear')`` over the
+        global index order, as a lazy frame (index columns +
+        ``interpolate``). Linear on row position with the pandas
+        default ``limit_direction='forward'``: interior gaps get the
+        straight line between surrounding valid values, trailing nulls
+        carry the last valid forward, leading nulls stay null;
+        ``limit`` caps consecutive fills. Windowless at scale — the
+        ffill/bfill bucket plan of operators/ranking
+        (with_global_interpolate): one balanced hash exchange, driver
+        prefix/suffix carries of per-bucket boundary (position, value)
+        structs. Only ``method='linear'`` is supported (the pandas
+        spline/polynomial family needs scipy)."""
+        if method != "linear":
+            raise NotImplementedError(
+                "interpolate: only method='linear' is supported"
+            )
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_interpolate
+
+        base, icols = self._ordered_frame()
+        out = with_global_interpolate(base, icols, ["__val__"], limit=limit)
+        return EDF(
+            out.select(*icols, F.col("__val__").alias("interpolate")),
+            index_cols=tuple(icols),
+        )
+
     def expanding(self, min_periods: int = 1):
         """pandas ``Series.expanding()`` over the global index order:
         lazy proxy with ``sum/mean/min/max/count`` — each compiles to

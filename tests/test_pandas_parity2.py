@@ -543,3 +543,39 @@ def test_groupby_corr_cov_match_pandas(spark):
     g2 = edf[cols].groupby("l_returnflag").cov()
     w2 = pdf[cols].groupby("l_returnflag").cov()
     assert np.allclose(g2.to_numpy(), w2.to_numpy())
+
+
+def test_interpolate_matches_pandas(spark, orders_pd):
+    """Series/DataFrame.interpolate(linear): interior gaps on row
+    position, trailing ffill, leading nulls kept, ``limit`` caps runs —
+    all vs pandas on a real column with deterministic holes."""
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    gap_e = edf["o_totalprice"].where(edf["o_orderkey"] % 7 > 1)
+    gap_p = pdf["o_totalprice"].where(pdf.index.to_series() % 7 > 1)
+    for lim in (None, 1, 3):
+        got = gap_e.interpolate(limit=lim).to_pandas().sort_index()["interpolate"]
+        exp = gap_p.interpolate(limit=lim)
+        assert np.allclose(
+            got.to_numpy(float), exp.to_numpy(float), equal_nan=True
+        ), lim
+    # frame-level: every numeric column in one pass (incl. an all-null
+    # and an untouched column)
+    d2 = edf.assign(gap=lambda d: d["o_totalprice"].where(d["o_orderkey"] % 5 > 0))[
+        ["gap", "o_custkey"]
+    ]
+    p2 = pdf.assign(gap=pdf["o_totalprice"].where(pdf.index.to_series() % 5 > 0))[
+        ["gap", "o_custkey"]
+    ].astype({"gap": "float64", "o_custkey": "float64"})
+    got = d2.interpolate().to_pandas().sort_index()
+    exp = p2.interpolate()
+    for c in ("gap", "o_custkey"):
+        assert np.allclose(
+            got[c].to_numpy(float), exp[c].to_numpy(float), equal_nan=True
+        ), c
+    with pytest.raises(NotImplementedError):
+        edf["o_totalprice"].interpolate(method="spline")
+    with pytest.raises(ValueError):
+        edf["o_totalprice"].interpolate(limit=0)
