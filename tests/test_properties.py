@@ -950,3 +950,20 @@ def test_merge_matches_pandas(spark, lk, rk, how):
         )
 
     assert multiset(got) == multiset(exp)
+
+
+@given(rows=ROWS, limit=st.sampled_from([None, 1, 2]))
+@settings(**COMMON)
+def test_interpolate_matches_pandas_fuzz(spark, rows, limit):
+    """Linear interpolation over the global order == pandas for any
+    null layout (leading/trailing/interior runs, all-null, empty) and
+    any limit."""
+    pdf, edf = _frame(spark, rows)
+    got = (
+        edf["a"].interpolate(limit=limit).to_pandas().sort_index()["interpolate"]
+    )
+    exp = pdf.set_index("_id")["a"].astype("float64").interpolate(limit=limit)
+    got = got.sort_index().to_numpy(dtype="float64")
+    exp = exp.sort_index().to_numpy(dtype="float64")
+    assert len(got) == len(exp)
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
