@@ -72,6 +72,7 @@ HEADLINE = [
     "semantic_dedup",
     "url_curation",
     "frame_order_ops",
+    "interpolate_gaps",
     "chunk_tokens",
     "embedding_covariance",
     "standardized",
@@ -106,6 +107,7 @@ ROW_HEAVY = {
     "window_running_sum",
     "groupby_ewm",
     "frame_order_ops",
+    "interpolate_gaps",
     "chunk_tokens",
     "standardized",
     "interval_overlap",
