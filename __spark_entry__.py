@@ -816,6 +816,18 @@ def q_series_cumprod(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_stack_long(spark, sf_dir) -> DataFrame:
+    """pandas DataFrame.stack as a lazy long frame: numeric columns
+    melt into (index, level_1, value) rows via Spark's unpivot — a
+    Generate-style per-row expansion, ZERO shuffle (frame.stack ->
+    melt)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_totalprice", "o_custkey"]].stack().to_spark()
+    return out.select(
+        "o_orderkey", "level_1", F.round("value", 2).alias("value")
+    )
+
+
 def q_interpolate_gaps(spark, sf_dir) -> DataFrame:
     """pandas Series.interpolate(method='linear') over the global index
     order — windowless at scale: the ffill/bfill bucket plan
@@ -4579,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_diff": q_series_diff,
         "series_cumsum": q_series_cumsum,
         "interpolate_gaps": q_interpolate_gaps,
+        "stack_long": q_stack_long,
         "series_cumprod": q_series_cumprod,
         "events_time_window": q_events_time_window,
         "series_cummax": q_series_cummax,
@@ -5590,6 +5603,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumsum
+            FROM orders
+        """,
+        "stack_long": """
+            SELECT o_orderkey, 'o_totalprice' AS level_1,
+                   round(CAST(o_totalprice AS DOUBLE), 2) AS value
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'o_custkey' AS level_1,
+                   round(CAST(o_custkey AS DOUBLE), 2) AS value
             FROM orders
         """,
         "interpolate_gaps": """

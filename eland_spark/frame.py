@@ -937,6 +937,63 @@ class DataFrame:
         )
         return DataFrame(sdf, index_cols=tuple(c for c in self._schema.index_cols if c in ids))
 
+    def stack(self, dropna: bool = True) -> "DataFrame":
+        """pandas ``DataFrame.stack`` for flat columns, as a LAZY long
+        frame: every numeric value column melts into rows keyed by
+        (index..., ``level_1``) with the values in ``value`` — the
+        names pandas gives the stacked level and column in
+        ``.stack().reset_index()`` form. Same Generate-style expansion
+        as :meth:`melt` (per-row, zero shuffle); ``dropna=True`` drops
+        null/NaN cells like pandas. Numeric columns only (Spark's
+        unpivot needs one common value type; pandas would fall back to
+        object)."""
+        icols = list(self.index_cols)
+        if not icols:
+            raise ValueError("stack needs an index")
+        out = self.reset_index().melt(
+            id_vars=icols, var_name="level_1", value_name="value"
+        )
+        sdf = out._sdf
+        if dropna:
+            sdf = sdf.filter(
+                F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+            )
+        return DataFrame(sdf, index_cols=tuple(icols + ["level_1"]))
+
+    def unstack(self, fill_value=None) -> pd.DataFrame:
+        """pandas ``DataFrame.unstack``: move the LAST index level to
+        columns. Wide pandas result (driver-sized by definition, like
+        :meth:`pivot_table`): one duplicate-pair check + one
+        single-shuffle pivot per value column; multiple value columns
+        produce the pandas (column, level-value) MultiIndex."""
+        icols = list(self.index_cols)
+        if len(icols) != 2:
+            raise ValueError(
+                "unstack needs exactly 2 index cols (outer, inner)"
+            )
+        outer, inner = icols
+        schema = self._schema
+        vals = [c for c in schema.display_names if c not in icols]
+        dup = (
+            self._sdf.groupBy(*[schema.resolve(c) for c in icols])
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        if dup is not None and dup > 1:
+            raise ValueError("Index contains duplicate entries, cannot reshape")
+        base = self.reset_index()
+        pieces = [
+            base.pivot_table(index=outer, columns=inner, values=c, aggfunc="first")
+            for c in vals
+        ]
+        out = pieces[0] if len(vals) == 1 else pd.concat(
+            pieces, axis=1, keys=vals
+        )
+        if fill_value is not None:
+            out = out.fillna(fill_value)
+        return out
+
     def pipe(self, func, *args, **kwargs):
         """pandas ``pipe``: apply ``func(self, *args, **kwargs)`` —
         method-chaining sugar, no plan change of its own."""

@@ -579,3 +579,47 @@ def test_interpolate_matches_pandas(spark, orders_pd):
         edf["o_totalprice"].interpolate(method="spline")
     with pytest.raises(ValueError):
         edf["o_totalprice"].interpolate(limit=0)
+
+
+def test_stack_unstack_match_pandas(spark, orders_pd, lineitem_pd):
+    """stack = lazy zero-shuffle melt keyed by (index, level_1);
+    unstack = inverse pivot of the last index level (wide pandas
+    result), both vs pandas."""
+    from pyspark.sql import functions as F
+
+    pdf = orders_pd.set_index("o_orderkey").sort_index()
+    edf = es.read_parquet(
+        spark, "/root/testdata/sf0.001/orders.parquet", index_col="o_orderkey"
+    )
+    got = edf[["o_totalprice", "o_custkey"]].stack().to_pandas().sort_index()
+    exp = (
+        pdf[["o_totalprice", "o_custkey"]]
+        .astype("float64")
+        .stack()
+        .rename("value")
+        .reset_index()
+        .set_index(["o_orderkey", "level_1"])
+        .sort_index()
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["value"].to_numpy(float), exp["value"].to_numpy(float))
+
+    sdf = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sq"))
+    )
+    e2 = es.DataFrame(sdf, index_cols=("l_returnflag", "l_linestatus"))
+    got2 = e2.unstack().sort_index()
+    exp2 = (
+        lineitem_pd.groupby(["l_returnflag", "l_linestatus"])["l_quantity"]
+        .sum()
+        .round(2)
+        .unstack()
+        .sort_index()
+    )
+    got2, exp2 = got2[sorted(got2.columns)], exp2[sorted(exp2.columns)]
+    assert got2.shape == exp2.shape
+    assert np.allclose(got2.to_numpy(float), exp2.to_numpy(float), equal_nan=True)
+    with pytest.raises(ValueError):
+        edf.unstack()  # single-level index
