@@ -1471,8 +1471,21 @@ class DataFrame:
         # near-constant data reads as zero skew/kurt even when the
         # exact statistic is large (e.g. [0, 0, 2e-16] -> skew 0.0,
         # not sqrt(3)). Found by the hypothesis differential.
+        # ... and the SAME absolute guard zeroes m3 = skewness*m2^1.5/
+        # sqrt(n): near-symmetric tiny data (m3 < 1e-14 but m2 >= 1e-14,
+        # e.g. [0, 0, 1e-5]) reads as skew 0.0 in pandas even though the
+        # exact G1 is sqrt(3). Found by the FUZZ_EXAMPLES=60 campaign.
         "skew": lambda c: F.when(F.count(c) < 3, F.lit(None).cast("double"))
         .when(F.var_samp(c) * (F.count(c) - 1) < 1e-14, F.lit(0.0))
+        .when(
+            F.abs(
+                F.skewness(c)
+                * F.pow(F.var_samp(c) * (F.count(c) - 1), F.lit(1.5))
+                / F.sqrt(F.count(c).cast("double"))
+            )
+            < 1e-14,
+            F.lit(0.0),
+        )
         .otherwise(
             F.skewness(c)
             * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
