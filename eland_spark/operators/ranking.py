@@ -561,9 +561,9 @@ def with_global_interpolate(
 
     Scale shape — the running "last/first non-null (position, value)"
     is a semigroup, so the :func:`with_global_fill` bucket plan
-    applies: ONE balanced hash exchange on the bucket id (forward and
-    backward scans share its single asc sort — the backward pass is a
-    current-row -> unbounded-following frame), per-bucket boundary structs
+    applies: ONE balanced hash exchange on the bucket id (the backward
+    scan re-sorts the bucket desc and runs the same linear
+    unbounded-preceding frame), per-bucket boundary structs
     prefix/suffix-carried on the driver (one tiny row per bucket), and
     the interpolation itself is pure Column arithmetic. All
     ``value_cols`` fill in the same exchange and are overwritten in
@@ -577,10 +577,13 @@ def with_global_interpolate(
     for c in value_cols:
         sdf = sdf.withColumn(c, F.nanvl(F.col(c).cast("double"), null_d))
     ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
-    # both windows share ONE partitioning AND sort order (asc) — the
-    # backward scan is the same ordering with a current-row ->
-    # unbounded-following frame, so Spark plans a single exchange +
-    # single sort for the pair
+    # the backward scan is a DESC ordering with the same RUNNING
+    # (unbounded-preceding -> current) frame, NOT an asc window with an
+    # unbounded-FOLLOWING frame: Spark evaluates following-unbounded
+    # frames by rescanning the partition remainder per row — O(rows^2)
+    # per bucket (measured 25 s vs 1 s at sf0.1). Both windows share
+    # the one hash exchange on the bucket id; the desc pass only adds
+    # an in-bucket re-sort.
     wf = (
         Window.partitionBy(bucket)
         .orderBy(F.col("__g__").asc())
@@ -588,8 +591,8 @@ def with_global_interpolate(
     )
     wb = (
         Window.partitionBy(bucket)
-        .orderBy(F.col("__g__").asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__g__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
     def _pack(c: str) -> Column:
@@ -634,7 +637,7 @@ def with_global_interpolate(
     for i, c in enumerate(value_cols):
         s = _pack(c)
         prev = F.last(s, ignorenulls=True).over(wf)
-        nxt = F.first(s, ignorenulls=True).over(wb)
+        nxt = F.last(s, ignorenulls=True).over(wb)
         fmap = _carry_map(totals, f"__f_{i}__")
         bmap = _carry_map(list(reversed(totals)), f"__b_{i}__")
         if fmap is not None:
