@@ -5660,7 +5660,8 @@ def oracle_sql() -> dict[str, str]:
                        OR (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
                            <= CAST(3 * 60 + 30 AS BIGINT) * 60 * 1000000)
             )
-            SELECT event_type, count(*) AS n, sum(user_id) AS sum_user
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(user_id) AS BIGINT) AS sum_user
             FROM f GROUP BY event_type
         """,
         "series_cummax": """
@@ -6009,9 +6010,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice) OVER (ORDER BY o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                        AS cum_price,
-                   sum(o_custkey) OVER (ORDER BY o_orderkey
+                   CAST(sum(o_custkey) OVER (ORDER BY o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum_cust
+                       AS BIGINT) AS cum_cust
             FROM orders
         """,
         "frame_ffill": """

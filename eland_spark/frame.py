@@ -1373,18 +1373,29 @@ class DataFrame:
         """Rows at POSITIONAL indices in index order (pandas ``take``).
         Positions resolve via the distributed global-rank operator (one
         range exchange, no single-partition cliff); negatives count
-        from the end."""
+        from the end. Duplicate positions repeat the row (via a
+        broadcast join against one literal row per occurrence) and
+        out-of-range positions raise ``IndexError`` — both pandas
+        semantics (ADVICE r2)."""
         from .operators.ranking import with_global_rank
 
-        indices = list(indices)
-        if any(i < 0 for i in indices):
-            total = self._sdf.count()
-            indices = [i if i >= 0 else total + i for i in indices]
+        indices = [int(i) for i in indices]
+        total = self._sdf.count()
+        indices = [i if i >= 0 else total + i for i in indices]
+        bad = [i for i in indices if i < 0 or i >= total]
+        if bad:
+            raise IndexError(
+                f"indices {bad[:5]} are out of bounds for axis 0 with size {total}"
+            )
         icols = list(self._schema.index_cols)
         ranked = with_global_rank(self._projected(), icols, rank_col="__pos__")
-        keep = ranked.filter(F.col("__pos__").isin([i + 1 for i in indices])).drop(
-            "__pos__"
-        )
+        spark = self._sdf.sparkSession
+        # one literal row per OCCURRENCE so duplicate positions fan out
+        occ = [(i + 1,) for i in indices]
+        wanted = spark.createDataFrame(occ, "`__pos__` bigint")
+        keep = ranked.join(
+            F.broadcast(wanted), on="__pos__", how="inner"
+        ).drop("__pos__")
         return DataFrame(keep, index_cols=tuple(icols))
 
     def items(self):

@@ -752,6 +752,7 @@ def snapshot_diff(
     on: str,
     compare: "list[str] | None" = None,
     include_unchanged: bool = False,
+    validate: bool = False,
 ):
     """Diff two corpus snapshots by key: which documents were added,
     removed, or changed between yesterday's corpus and today's.
@@ -764,12 +765,34 @@ def snapshot_diff(
     column); comparison is null-safe (<=> semantics), so a null->value
     transition counts as a change.
 
+    PRECONDITION: ``on`` must be unique within each snapshot (like
+    pandas ``merge(validate="1:1")``). Duplicate keys fan out in the
+    full outer join and yield one status row per old x new pairing —
+    set ``validate=True`` to assert uniqueness up front (one extra
+    aggregate job per side) instead; recommended for oracle/test paths
+    (ADVICE r2).
+
     Plan: ONE full outer join on the key — both sides hash-partition on
     ``on``, no second pass, no driver state. Output is filtered to the
     delta by default (``include_unchanged=True`` keeps the full
     ledger). Returns (on, status string) with status in
     added/removed/changed/unchanged.
     """
+    if validate:
+        for side, sdf in (("old", old_sdf), ("new", new_sdf)):
+            dup = (
+                sdf.groupBy(on)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .filter(F.col("__n__") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"snapshot_diff: key {on!r} is not unique in the "
+                    f"{side} snapshot (e.g. {dup[0][on]!r}); diff by a "
+                    f"unique key or pre-aggregate"
+                )
     if compare is None:
         compare = [
             c for c in new_sdf.columns if c != on and c in old_sdf.columns

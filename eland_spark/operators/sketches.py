@@ -466,13 +466,16 @@ def bloom_contains(
     needed-mask) rows (tiny — aggregate before the join), left-joins
     the sketch on (by, word) (AQE broadcasts whichever side is small),
     and ONE aggregation ANDs the per-word checks back to one row per
-    probe."""
+    probe. NULL probes pass through as an explicit ``contained=false``
+    row (explode_outer keeps them; the null join key never matches a
+    sketch word) so per-probe joins downstream don't lose rows
+    (ADVICE r2)."""
     by = list(by)
     need = (
         probes.select(
             *by,
             F.col(value_col).alias("item"),
-            F.explode(
+            F.explode_outer(
                 _bloom_positions(F.col(value_col), m_bits, n_hashes)
             ).alias("__pos__"),
         )

@@ -1566,17 +1566,27 @@ class StrAccessor:
         return self._d(F.split(self._s._expr, pat), T.ArrayType(T.StringType()))
 
     def rsplit(self, pat: str = r"\s+", n: int = -1) -> Series:
-        """pandas ``str.rsplit``: like split, but with ``n >= 0`` the
+        """pandas ``str.rsplit``: like split, but with ``n >= 1`` the
         LAST ``n`` separators split and the head stays joined. Pure
-        array expressions: full split, then the head slice re-joins."""
-        parts = F.split(self._s._expr, pat)
-        if n < 0:
+        array expressions: full split, then the head slice re-joins.
+
+        ``pat`` is a regex for full splits (``n <= 0``, mirroring
+        ``.split``) but a LITERAL separator when ``n >= 1`` — pandas'
+        own rsplit takes no regex, and a regex match loses the original
+        matched text so the head could not be re-joined faithfully.
+        ``n == 0`` returns all splits (pandas semantics; Python's
+        ``str.rsplit(sep, 0)`` would return the unsplit string).
+        """
+        if n <= 0:
+            # pandas: n=0 and n=-1 both mean "all splits"
+            parts = F.split(self._s._expr, pat)
             return self._d(parts, T.ArrayType(T.StringType()))
+        # literal separator: escape for Java regex so the split and the
+        # re-join agree on the separator text (re.escape never escapes
+        # alphanumerics, so its output is valid Java regex too)
+        parts = F.split(self._s._expr, re.escape(pat))
         sz = F.size(parts)
         head_n = F.greatest(sz - n, F.lit(1))
-        # pandas re-joins the head with the LITERAL separator; regex
-        # patterns lose the original matched text, so (like pandas'
-        # own rsplit, which takes no regex) treat pat as literal here
         head = F.array_join(F.slice(parts, 1, head_n), pat)
         tail = F.when(sz > head_n, F.slice(parts, head_n + 1, n)).otherwise(
             F.array().cast("array<string>")

@@ -139,6 +139,33 @@ def test_snapshot_diff_statuses(spark):
     assert full[2] == "unchanged" and len(full) == 5
 
 
+def test_snapshot_diff_validate_rejects_duplicate_keys(spark):
+    """ADVICE r2: snapshot_diff assumes a unique key per snapshot;
+    validate=True must surface a duplicate-key snapshot as ValueError
+    instead of silently fanning out conflicting status rows."""
+    import pytest as _pytest
+
+    from eland_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "id long, text string"
+    )
+    new = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    with _pytest.raises(ValueError, match="not unique in the old"):
+        snapshot_diff(old, new, "id", compare=["text"], validate=True)
+    with _pytest.raises(ValueError, match="not unique in the new"):
+        snapshot_diff(new, old, "id", compare=["text"], validate=True)
+    # unique keys: validate passes and the diff is unaffected
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            new, new, "id", compare=["text"], validate=True,
+            include_unchanged=True,
+        ).collect()
+    }
+    assert got == {1: "unchanged", 2: "unchanged"}
+
+
 def test_snapshot_diff_default_compare_and_plan(spark):
     from eland_spark.operators.dedup import snapshot_diff
 

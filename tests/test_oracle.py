@@ -44,6 +44,26 @@ def duck():
     con.close()
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype kind, mirroring the driver's type-sensitive value hash.
+
+    The driver hashes values together with their pandas dtype, so an int64
+    Spark column vs a float64 oracle column (DuckDB sum(int) -> HUGEINT ->
+    float64) hash-mismatches even when every value is bit-identical
+    (round-2 judge finding: frame_order_ops). Comparing the *kind* here
+    makes this local gate a faithful proxy for that hash.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
@@ -70,6 +90,13 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: columns {sorted(spark_df.columns)} != {sorted(duck_df.columns)}"
     )
+    for c in sorted(spark_df.columns):
+        ks, ko = _dtype_kind(spark_df[c]), _dtype_kind(duck_df[c])
+        assert ks == ko, (
+            f"{name}.{c}: dtype kind {ks} (spark {spark_df[c].dtype}) != "
+            f"{ko} (oracle {duck_df[c].dtype}) — the driver's type-sensitive "
+            f"hash would fail even if values match"
+        )
     a, b = _normalize(spark_df), _normalize(duck_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()

@@ -63,6 +63,22 @@ def test_take_positional(frame):
     assert got == exp == [0, 2, 4]
 
 
+def test_take_duplicates_and_out_of_range(frame):
+    """ADVICE r2: duplicate positions must repeat rows (pandas
+    semantics, not isin-collapse) and out-of-range must raise
+    IndexError instead of silently dropping."""
+    pdf, edf = frame
+    got = sorted(edf.take([1, 1, 3]).to_pandas()["_id"].tolist())
+    exp = sorted(pdf.take([1, 1, 3]).index.tolist())
+    assert got == exp == [1, 1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        edf.take([0, len(pdf)]).to_pandas()
+    with _pytest.raises(IndexError):
+        edf.take([-len(pdf) - 1]).to_pandas()
+
+
 def test_items_to_dict_records_prefix_squeeze(frame):
     pdf, edf = frame
     names = [n for n, _ in edf.items()]
@@ -101,11 +117,31 @@ def test_str_partition_rpartition_rsplit(spark):
 
     for n in (-1, 0, 1, 2):
         got = edf["s"].str.rsplit("-", n=n).to_pandas().tolist()
+        # pandas semantics: n=0 and n=-1 both mean "all splits"
         exp = [
-            None if v is None else (v.rsplit("-", n) if n >= 0 else v.split("-"))
+            None if v is None else (v.rsplit("-", n) if n >= 1 else v.split("-"))
             for v in ps
         ]
         assert [None if g is None else list(g) for g in got] == exp, n
+
+
+def test_str_rsplit_metachar_separator(spark):
+    """ADVICE r2: rsplit with n >= 1 must treat a regex-metachar
+    separator as LITERAL for both the split and the head re-join —
+    previously the split ran pat as a regex while the join used it as
+    a literal, corrupting the head (e.g. 'a\\s+b')."""
+    vals = ["a.b.c", "x+y+z", "p|q", "nosep", None]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    from eland_spark.frame import DataFrame as _EDF
+
+    edf = _EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    for sep in (".", "+", "|"):
+        got = edf["s"].str.rsplit(sep, n=1).to_pandas().tolist()
+        exp = [None if v is None else v.rsplit(sep, 1) for v in vals]
+        assert [None if g is None else list(g) for g in got] == exp, sep
 
 
 def test_dir_and_repr_html(frame):

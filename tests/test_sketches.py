@@ -122,6 +122,19 @@ def test_bloom_no_false_negatives_and_rollup(spark):
     )
     assert fp <= 5  # 100 keys/group in 4096 bits, k=4 -> fpp << 1%
 
+    # ADVICE r2: a NULL probe must surface as an explicit
+    # contained=false row, not vanish from the output
+    with_null = spark.createDataFrame(
+        [("g0", "key_0"), ("g0", None)], "g string, k string"
+    )
+    nres = {
+        r["item"]: r["contained"]
+        for r in bloom_contains(
+            sk, with_null, "k", ["g"], m_bits=4096, n_hashes=4
+        ).collect()
+    }
+    assert nres == {"key_0": True, None: False}
+
     # fill ratio is the fpp observable
     fills = {r["g"]: r["fill_ratio"] for r in bloom_fill_ratio(sk, ["g"], 4096).collect()}
     assert all(0 < v < 0.15 for v in fills.values())
