@@ -449,14 +449,21 @@ def q_embed_quantize(spark, sf_dir) -> DataFrame:
 
 def q_near_dup_components(spark, sf_dir) -> DataFrame:
     """Near-dup clustering: MinHash LSH candidate pairs -> iterative
-    min-label connected components (operators/dedup.py). The canonical
-    dedup finisher — keep node == component for a representative-per-
-    cluster policy. Iterative (join + min-agg per round), so no SQL
-    oracle (rows-only check per the driver contract)."""
+    min-label connected components (operators/dedup.py, large-star/
+    small-star contraction). The canonical dedup finisher — keep
+    node == component for a representative-per-cluster policy.
+
+    Oracle-checked despite the iterative algorithm AND the xxhash64
+    fast path: the component labeling (min reachable id) is a pure
+    function of the pair set, and the thresholded pair set is
+    hash-independent (see q_minhash_near_dup; pinned by
+    tests/test_hash_portability.py) — so the recursive-CTE closure
+    over the md5-portable pipeline is an exact oracle."""
     docs = _t(spark, sf_dir, "documents", "doc_id")
     from eland_spark.operators.dedup import near_dup_components
 
-    return near_dup_components(docs, "text", "doc_id", threshold=0.6)
+    out = near_dup_components(docs, "text", "doc_id", threshold=0.6)
+    return out.select(F.col("node").alias("doc_id"), F.col("component"))
 
 
 def q_perplexity(spark, sf_dir) -> DataFrame:
@@ -1822,15 +1829,22 @@ def q_embedding_norms(spark, sf_dir) -> DataFrame:
 
 
 def q_minhash_near_dup(spark, sf_dir) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (non-SQL-expressible:
-    xxhash64 has no DuckDB equivalent — rows-only check)."""
+    """MinHash+LSH near-dup PAIR SET on the fast xxhash64 path.
+
+    The est_jaccard estimates are hash-dependent (different permutation
+    families), but the detected (id_a, id_b) pair set is not: true
+    near-dups sit far above the 0.5 estimate threshold and true
+    non-dups far below it, so the thresholded pair set agrees with the
+    md5-portable path (pinned by tests/test_hash_portability.py). That
+    makes the id projection oracle-checkable against the portable
+    DuckDB pipeline even though xxhash64 itself has no DuckDB
+    equivalent; the md5 twin (q_minhash_near_dup_md5) still value-checks
+    est_jaccard end-to-end."""
     from eland_spark.operators.dedup import minhash_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
     pairs = minhash_candidate_pairs(docs, "text", "doc_id", k=3, num_hashes=64, bands=16)
-    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
-    )
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
 
 
 def q_minhash_near_dup_md5(spark, sf_dir) -> DataFrame:
@@ -5570,6 +5584,15 @@ def oracle_sql() -> dict[str, str]:
         # -> rows-only check (intentionally omitted)
         "ann_lsh": _lsh_oracle_sql(),
         "minhash_near_dup_md5": _minhash_oracle_sql(),
+        # fast xxhash64 path: the thresholded PAIR SET is
+        # hash-independent (tests/test_hash_portability.py), so the
+        # portable pipeline's id projection is an exact oracle
+        "minhash_near_dup": (
+            f"SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) t"
+        ),
+        # same argument one stage later: components are a pure function
+        # of the (hash-independent) pair set
+        "near_dup_components": _near_dup_components_oracle_sql(),
         "near_dup_components_md5": _near_dup_components_oracle_sql(),
         "embed_topk": _embed_topk_oracle_sql(),
         "nlp_classify": _nlp_classify_oracle_sql(),

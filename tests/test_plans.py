@@ -674,6 +674,45 @@ def test_no_query_plan_has_error_hazards(spark):
     assert not offenders, offenders
 
 
+def test_heavy_headline_query_plan_pins(spark):
+    """Exact exchange/broadcast pins for the most expensive headline
+    queries (VERDICT r2 #6) — a plan regression (lost broadcast, extra
+    shuffle, cartesian fallback) fails here before it shows up as a
+    bench timing regression. Counts audited in the r2 plan review:
+    dsir_select's 8 exchanges are each model-sized or the single
+    (doc,bucket) feature agg; cross_near_dup broadcasts the reference
+    side so the corpus never shuffles by shingle."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    queries = m.queries()
+
+    pins = {
+        # name: (max shuffles, min broadcast joins)
+        "dsir_select": (8, 2),
+        "cross_near_dup": (3, 3),
+        "dup_spans": (6, 2),
+        "freq_tokens": (6, 0),
+    }
+    for name, (max_shuffles, min_bcast) in pins.items():
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: {shuffle_count(df)} shuffles > pinned "
+            f"{max_shuffles}\n{plan_summary(df)}"
+        )
+        assert broadcast_join_count(df) >= min_bcast, (
+            f"{name}: broadcast joins "
+            f"{broadcast_join_count(df)} < pinned {min_bcast}\n"
+            f"{plan_summary(df)}"
+        )
+
+
 def test_segment_dedup_and_gopher_plan_shapes(spark):
     """segment_dedup: winner-per-key is a map-side-combinable hash agg
     + join, NOT a window over the (boilerplate-skewed) segment key —
