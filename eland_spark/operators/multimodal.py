@@ -3,12 +3,13 @@
 No reference analog (eland's NLP import is text-only); this is the
 training-data-pipeline extension. Design per SURVEY north star: media
 are opaque ``binary`` columns + typed metadata struct; decode/resize/
-feature-extract run as Arrow-batched mapInPandas stages. PNG and
-16-bit WAV decode for REAL via stdlib codecs (zlib/wave — see
-_decode_png/_decode_wav); mimes needing external libs (jpeg, mp3)
-keep deterministic stub kernels with an explicit NotImplementedError
-boundary, and the Spark-side contract (schema, batching,
-partitioning) is real either way.
+feature-extract run as Arrow-batched mapInPandas stages. PNG,
+baseline JPEG and 16-bit WAV decode for REAL via stdlib+numpy codecs
+(zlib/wave/operators.jpeg — see _decode_png/_decode_wav/_decode_image);
+mimes needing external libs (progressive jpeg, mp3) keep deterministic
+stub kernels with an explicit NotImplementedError boundary, and the
+Spark-side contract (schema, batching, partitioning) is real either
+way.
 """
 
 from __future__ import annotations
@@ -161,11 +162,15 @@ def _decode_wav(data: bytes) -> np.ndarray:
 
 
 def _decode_image(m) -> np.ndarray:
-    """Mime-dispatched image decode: real stdlib PNG codec, the
-    deterministic stub for 'image/fake', NotImplementedError otherwise
-    (jpeg etc. need PIL, absent here — the boundary stays explicit)."""
+    """Mime-dispatched image decode: real stdlib PNG and baseline JPEG
+    codecs, the deterministic stub for 'image/fake',
+    NotImplementedError otherwise (the boundary stays explicit)."""
     if m["mime"] == "image/png":
         return _decode_png(m["data"])
+    if m["mime"] == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(m["data"])
     if m["mime"] == "image/raw-rgb8":
         return np.frombuffer(m["data"], dtype=np.uint8).reshape(
             m["height"], m["width"], 3
