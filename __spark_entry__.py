@@ -2000,6 +2000,128 @@ def q_vocabulary(spark, sf_dir) -> DataFrame:
     return vocabulary(docs.to_spark(), F.col("text"), min_count=2, top_k=100)
 
 
+_BPE_PARAMS = {"n_merges": 8, "min_count": 2, "max_words": 200}
+_BPE_SEG_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("o", "n")]
+
+
+def q_bpe_train(spark, sf_dir) -> DataFrame:
+    """BPE tokenizer TRAINING in-engine (operators/bpe.learn_bpe,
+    Sennrich et al. 2016): one corpus pass builds the word-frequency
+    table, then every merge iteration is a tiny pair-count aggregation
+    over that vocabulary-sized table — per-iteration cost independent
+    of corpus size, driver state one pair per merge. The engine-portable
+    left-to-right merge scan (separator-doubled string replace) lets
+    the DuckDB oracle replay ALL iterations as chained CTEs."""
+    from eland_spark.operators.bpe import learn_bpe
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    merges = learn_bpe(docs, F.col("text"), **_BPE_PARAMS)
+    rows = [
+        (i + 1, left, right, left + right)
+        for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, left_sym string, right_sym string, merged string"
+    )
+
+
+def q_bpe_segment(spark, sf_dir) -> DataFrame:
+    """BPE ENCODE with a fixed merge table (operators/bpe.bpe_segment):
+    replay merges in rank order per word — one codegen'd column
+    expression, zero shuffle. Fixed literal merges keep the oracle a
+    pure chained-replace replay."""
+    from eland_spark.operators.bpe import bpe_segment
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    sub = bpe_segment(F.col("text"), _BPE_SEG_MERGES)
+    return docs.select(
+        "doc_id",
+        F.size(sub).cast("bigint").alias("n_sub"),
+        F.concat_ws("|", F.slice(sub, 1, 5)).alias("head"),
+    )
+
+
+def _bpe_oracle_sql(
+    n_merges: int = 8, min_count: int = 2, max_words: int = 200
+) -> str:
+    """DuckDB oracle for q_bpe_train: the full training loop as chained
+    CTEs — word frequencies (same tokenization as the vocabulary
+    oracle), then per iteration a pair-count CTE, an argmax CTE, and a
+    merge-application CTE using the identical separator-doubled
+    replace, so every merge decision is replayed bit-for-bit."""
+    ctes = [
+        f"""wf AS (
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                    t -> t != '')) AS token
+                FROM documents
+            ) GROUP BY token HAVING count(*) >= {min_count}
+            ORDER BY cnt DESC, token ASC LIMIT {max_words}
+        )""",
+        """w0 AS (
+            SELECT array_to_string(string_split(token, ''), ' ') AS syms, cnt
+            FROM wf
+        )""",
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+            SELECT pair, sum(cnt) AS n FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, len(l) - 1),
+                    j -> l[j] || ' ' || l[j + 1])) AS pair, cnt
+                FROM (SELECT string_split(syms, ' ') AS l, cnt FROM w{i})
+            ) GROUP BY pair
+        )""")
+        ctes.append(f"""m{i} AS (
+            SELECT pair FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+        )""")
+        ctes.append(f"""w{i + 1} AS (
+            SELECT trim(regexp_replace(
+                replace(' ' || replace(w.syms, ' ', '  ') || ' ',
+                        ' ' || split_part(m.pair, ' ', 1) || '  '
+                            || split_part(m.pair, ' ', 2) || ' ',
+                        ' ' || replace(m.pair, ' ', '') || ' '),
+                ' +', ' ', 'g')) AS syms, w.cnt
+            FROM w{i} w, m{i} m
+        )""")
+    finals = [
+        f"""SELECT CAST({i + 1} AS BIGINT) AS rank,
+               split_part(pair, ' ', 1) AS left_sym,
+               split_part(pair, ' ', 2) AS right_sym,
+               replace(pair, ' ', '') AS merged
+            FROM m{i}"""
+        for i in range(n_merges)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_segment_oracle_sql(merges) -> str:
+    """DuckDB oracle for q_bpe_segment: per-word chained separator-
+    doubled replaces (one per merge, in rank order), then flatten."""
+    expr = "array_to_string(string_split(w, ''), ' ')"
+    for left, right in merges:
+        expr = (
+            "trim(regexp_replace(replace("
+            f"' ' || replace({expr}, ' ', '  ') || ' ', "
+            f"' {left}  {right} ', ' {left}{right} '), ' +', ' ', 'g'))"
+        )
+    return f"""
+        WITH segged AS (
+            SELECT doc_id, flatten(list_transform(
+                list_filter(
+                    string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                    t -> t != ''),
+                w -> string_split({expr}, ' '))) AS allsubs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(allsubs) AS BIGINT) AS n_sub,
+               array_to_string(allsubs[1:5], '|') AS head
+        FROM segged
+    """
+
+
 def q_embed_dedup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup removal: LSH signature buckets ->
     verified cosine >= threshold -> drop higher id. The hyperplanes are
@@ -4702,6 +4824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized_seeded": q_ann_ivf_quantized_seeded,
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
+        "bpe_train": q_bpe_train,
+        "bpe_segment": q_bpe_segment,
         "simhash_near_dup": q_simhash_near_dup,
         "simhash_near_dup_md5": q_simhash_near_dup_md5,
         "stratified_sample": q_stratified_sample,
@@ -6248,6 +6372,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rnk <= 3
         """,
+        "bpe_train": _bpe_oracle_sql(**_BPE_PARAMS),
+        "bpe_segment": _bpe_segment_oracle_sql(_BPE_SEG_MERGES),
         "vocabulary": """
             WITH toks AS (
                 SELECT unnest(list_filter(

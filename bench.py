@@ -83,6 +83,7 @@ HEADLINE = [
     "dup_spans",
     "bloom_membership",
     "wordpiece",
+    "bpe_train",
     "segment_dedup",
     "gopher_quality",
     "c4_rules",
