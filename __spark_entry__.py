@@ -2004,6 +2004,29 @@ _BPE_PARAMS = {"n_merges": 8, "min_count": 2, "max_words": 200}
 _BPE_SEG_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("o", "n")]
 
 
+def q_shard_by_budget(spark, sf_dir) -> DataFrame:
+    """Token-budget shard assignment (operators/packing.shard_by_budget):
+    budget slicing of the global running token total via the windowless
+    bucket cumsum — the write-side layout op for training shards.
+    Returns the per-shard summary (count + token sum) so the oracle
+    checks every boundary decision."""
+    from eland_spark.operators.packing import shard_by_budget
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sh = shard_by_budget(wt, ["doc_id"], "n_tokens", budget=4096)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q_bpe_train(spark, sf_dir) -> DataFrame:
     """BPE tokenizer TRAINING in-engine (operators/bpe.learn_bpe,
     Sennrich et al. 2016): one corpus pass builds the word-frequency
@@ -4824,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized_seeded": q_ann_ivf_quantized_seeded,
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
+        "shard_by_budget": q_shard_by_budget,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "simhash_near_dup": q_simhash_near_dup,
@@ -6371,6 +6395,28 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "shard_by_budget": """
+            WITH wt AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(
+                            string_split_regex(trim(lower(text)), '\\s+'),
+                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum
+                FROM wt
+            )
+            SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY 1
         """,
         "bpe_train": _bpe_oracle_sql(**_BPE_PARAMS),
         "bpe_segment": _bpe_segment_oracle_sql(_BPE_SEG_MERGES),

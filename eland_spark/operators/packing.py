@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pack_documents", "assemble_packed_text"]
+__all__ = ["pack_documents", "assemble_packed_text", "shard_by_budget"]
 
 
 def pack_documents(
@@ -64,6 +64,45 @@ def pack_documents(
             yield out
 
     return sdf.select(id_col, token_col).mapInPandas(fn, out_schema)
+
+
+def shard_by_budget(
+    sdf: DataFrame,
+    order_by,
+    weight_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign contiguous token-budget SHARDS over a global order — the
+    output-file side of the packing family: write N training shards of
+    ~``budget`` tokens each (``df.write.partitionBy(shard_col)`` after
+    this), preserving corpus order within and across shards.
+
+    Semantics: ``shard = floor(exclusive_prefix_sum(weight) / budget)``
+    — budget slicing of the running total, not a per-shard greedy
+    reset, so a shard can exceed the budget by at most one document's
+    weight and the assignment is a pure function of the order (exactly
+    reproducible in SQL, no sequential state). Distinct from
+    ``pack_documents`` (many small bins <= budget for sequence
+    assembly); shards are few and large, for file layout.
+
+    Plan: the windowless bucket cumsum (operators/ranking — one
+    balanced range exchange + driver prefix carry of bucket sums, no
+    single-partition window), then one projection. Scales like every
+    other global-order op here.
+    """
+    from pyspark.sql import functions as F
+
+    from .ranking import with_global_cumsum
+
+    cum = with_global_cumsum(sdf, list(order_by), weight_col, out_col="__cum__")
+    # integer DIV: exact at any cumsum magnitude (float floor would
+    # misplace shard boundaries past 2^53 total tokens)
+    shard = F.expr(
+        f"CAST((CAST(__cum__ AS BIGINT) - CAST({weight_col} AS BIGINT)) "
+        f"DIV {int(budget)} AS BIGINT)"
+    )
+    return cum.withColumn(shard_col, shard).drop("__cum__")
 
 
 def assemble_packed_text(

@@ -160,3 +160,38 @@ def test_weighted_sample_n(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="positive"):
         weighted_sample_n(wdocs, "wq", 0)
+
+
+def test_shard_by_budget_semantics_and_plan(spark, sf_dir):
+    """Budget slicing of the running token total: shard ids are
+    non-decreasing in corpus order, every shard's exclusive prefix
+    starts inside its slice, totals are preserved, and (scale pin) the
+    plan has no single-partition window."""
+    from eland_spark.operators.packing import shard_by_budget
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(500)], "doc_id long, w long"
+    )
+    out = shard_by_budget(docs, ["doc_id"], "w", budget=1000)
+    rows = sorted(
+        ((r["doc_id"], r["w"], r["shard"]) for r in out.collect())
+    )
+    # sequential reference: shard = exclusive-prefix DIV budget
+    cum = 0
+    for doc_id, w, shard in rows:
+        assert shard == cum // 1000, (doc_id, cum, shard)
+        cum += w
+    shards = [s for _, _, s in rows]
+    assert shards == sorted(shards)  # contiguous, order-preserving
+    assert sum(w for _, w, _ in rows) == cum
+    # every shard except possibly the last holds >= budget - max(w) + 1
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for _, w, s in rows:
+        tot[s] += w
+    for s in list(tot)[:-1]:
+        assert tot[s] >= 1000 - 99, (s, tot[s])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
