@@ -191,6 +191,57 @@ def stream_bloom_update(
     )
 
 
+def stream_kmv_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    by=(),
+    k: int = 256,
+    timeout_sec: int = 120,
+):
+    """Maintain per-group KMV distinct-count sketches over a stream —
+    continuous cardinality monitoring (distinct URLs/domains/doc ids
+    seen so far) without a state store. Same merge-on-read contract as
+    :func:`stream_bloom_update`: each micro-batch writes its own
+    sketch rows under ``<path>/batch=<id>/`` (idempotent in batch_id),
+    and because the K smallest hashes of a union ARE the union of
+    sketches re-trimmed to K, merging at read time
+    (:func:`read_kmv`) is lossless — identical to a from-scratch
+    sketch of everything ingested."""
+    from ..operators.sketches import kmv_sketches
+
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketches(batch_df, value_col, by, k)
+        sk.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_kmv(spark, path: str, by=(), k: int = 256) -> DataFrame:
+    """Merge-on-read over a :func:`stream_kmv_update` directory:
+    distinct-union the per-batch hash arrays, keep the K smallest, and
+    estimate — one aggregation over sketch rows (never raw data).
+    Returns ``estimate`` per group."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.sketches import kmv_rollup_estimate
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return kmv_rollup_estimate(df, by=list(by), k=k)
+
+
 def read_bloom(spark, path: str, by=()) -> DataFrame:
     """Merge-on-read over a :func:`stream_bloom_update` directory:
     bit_or per (group, word) across every batch sketch — identical to

@@ -729,3 +729,48 @@ def test_stream_c4_clean_matches_batch(spark, sf_dir):
         zip(exp.id, exp.clean_text)
     )
     assert 0 < len(got) < batch.count()
+
+
+def test_stream_kmv_update_matches_from_scratch(spark, tmp_path):
+    """Per-batch KMV sketches must merge-on-read to exactly the
+    from-scratch estimate of the union (K smallest of a union == union
+    of sketches re-trimmed to K), including exact counts below K."""
+    import pandas as pd
+
+    from eland_spark.operators.sketches import kmv_estimate, kmv_sketches
+    from eland_spark.streaming.curation import read_kmv, stream_kmv_update
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["a"] * 40 + ["b"] * 10,
+                       "k": [f"x{i}" for i in range(40)] + [f"y{i}" for i in range(10)]})
+    b2 = pd.DataFrame({"g": ["a"] * 40 + ["b"] * 10,
+                       "k": [f"x{i}" for i in range(20, 60)] + [f"z{i}" for i in range(10)]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "kmv"
+    q = stream_kmv_update(
+        stream, str(out), str(tmp_path / "ckpt"), "k", by=["g"], k=32
+    )
+    q.awaitTermination(120)
+
+    merged = {
+        r["g"]: r["estimate"]
+        for r in read_kmv(spark, str(out), by=["g"], k=32).collect()
+    }
+    all_rows = spark.createDataFrame(pd.concat([b1, b2]))
+    scratch = {
+        r["g"]: r["est"]
+        for r in kmv_sketches(all_rows, "k", ["g"], k=32)
+        .select("g", kmv_estimate(F.col("kmv"), 32).alias("est"))
+        .collect()
+    }
+    assert merged == scratch
+    # group b stayed below K -> the sketch IS the distinct set: exact 20
+    assert merged["b"] == 20
