@@ -1455,6 +1455,19 @@ class DataFrame:
     # ------------------------------------------------------------------
     # aggregations (reference eland/operations.py:148-758)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _moment_flush(c: Column) -> Column:
+        """Flush |x| < 1e-30 to 0.0 for the builtin skewness/kurtosis
+        argument: under ANSI, their final division throws when the
+        central moment power UNDERFLOWS (possible only for
+        subnormal-magnitude data, since unflushed doubles >= 1e-30
+        can't produce m2 below ~1e-92/n). Groups the flush could affect
+        all fall under pandas' absolute m2 < 1e-14 -> 0.0 guard, so
+        results are unchanged; for everything else the perturbation is
+        bounded by n * 1e-30 * scale, orders below float noise. Nulls
+        and NaNs pass through untouched."""
+        return F.when(F.abs(c) < 1e-30, F.lit(0.0)).otherwise(c)
+
     _AGG_EXPRS = {
         "count": lambda c: F.count(c),
         "sum": lambda c: F.sum(c),
@@ -1486,11 +1499,20 @@ class DataFrame:
         # sqrt(n): near-symmetric tiny data (m3 < 1e-14 but m2 >= 1e-14,
         # e.g. [0, 0, 1e-5]) reads as skew 0.0 in pandas even though the
         # exact G1 is sqrt(3). Found by the FUZZ_EXAMPLES=60 campaign.
+        # The builtin's argument goes through _moment_flush: aggregate
+        # branches evaluate UNconditionally (the CASE only selects the
+        # result), and under ANSI Spark's skewness/kurtosis throw
+        # DIVIDE_BY_ZERO when m2^1.5 / m2^2 UNDERFLOWS (0 < m2 < ~6e-216
+        # — subnormal-magnitude data; exact m2 == 0 is special-cased to
+        # NULL). Flushing |x| < 1e-30 to 0 lifts any nonzero m2 above
+        # the underflow zone while every affected group already takes
+        # the m2 < 1e-14 -> 0.0 guard branch, so no reachable result
+        # changes. Found by the FUZZ_EXAMPLES=150 campaign (r3).
         "skew": lambda c: F.when(F.count(c) < 3, F.lit(None).cast("double"))
         .when(F.var_samp(c) * (F.count(c) - 1) < 1e-14, F.lit(0.0))
         .when(
             F.abs(
-                F.skewness(c)
+                F.skewness(DataFrame._moment_flush(c))
                 * F.pow(F.var_samp(c) * (F.count(c) - 1), F.lit(1.5))
                 / F.sqrt(F.count(c).cast("double"))
             )
@@ -1498,7 +1520,7 @@ class DataFrame:
             F.lit(0.0),
         )
         .otherwise(
-            F.skewness(c)
+            F.skewness(DataFrame._moment_flush(c))
             * F.sqrt(F.count(c).cast("double") * (F.count(c) - 1))
             / (F.count(c) - 2)
         ),
@@ -1515,7 +1537,7 @@ class DataFrame:
             F.lit(0.0),
         )
         .otherwise(
-            (F.kurtosis(c) * (F.count(c) + 1) + 6)
+            (F.kurtosis(DataFrame._moment_flush(c)) * (F.count(c) + 1) + 6)
             * (F.count(c) - 1).cast("double")
             / ((F.count(c) - 2) * (F.count(c) - 3))
         ),

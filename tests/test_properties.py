@@ -9,7 +9,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from eland_spark.frame import DataFrame as EDF
@@ -678,6 +678,11 @@ def test_grouped_ewm_matches_pandas(spark, rows, alpha):
 
 
 @given(rows=ROWS)
+# r3 find: subnormal-magnitude data underflows m2^1.5 inside Spark's
+# builtin skewness, which THROWS under ANSI even though the CASE guard
+# discards that branch's result (aggregates evaluate unconditionally);
+# fixed by _moment_flush on the builtin's argument
+@example(rows=[(0, 0.0, 0.0), (0, 1.9e-150, 0.0)])
 @settings(**COMMON)
 def test_skew_kurt_match_pandas(spark, rows):
     pdf, edf = _frame(spark, rows)
