@@ -242,6 +242,55 @@ def read_kmv(spark, path: str, by=(), k: int = 256) -> DataFrame:
     return kmv_rollup_estimate(df, by=list(by), k=k)
 
 
+def stream_sample_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    id_col: str,
+    by=(),
+    k: int = 512,
+    timeout_sec: int = 120,
+):
+    """Maintain per-group bottom-k row samples over a stream —
+    continuous quantile monitoring (e.g. quality-score p50/p95 of
+    everything ingested so far) with the same merge-on-read contract
+    as the Bloom/KMV paths: per-batch sketch dirs idempotent in
+    batch_id; the K smallest row-keys of a union are the union of
+    sketches re-trimmed to K, so the merged sample is identical to
+    sketching all ingested rows at once."""
+    from ..operators.sketches import sample_sketches
+
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = sample_sketches(batch_df, value_col, id_col, by, k)
+        sk.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_sample(spark, path: str, by=(), k: int = 512) -> DataFrame:
+    """Merge-on-read over a :func:`stream_sample_update` directory:
+    one rollup aggregation over sketch rows; feed the result to
+    ``operators.sketches.quantile_from_sample``."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.sketches import sample_rollup
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return sample_rollup(df, by=list(by), k=k)
+
+
 def read_bloom(spark, path: str, by=()) -> DataFrame:
     """Merge-on-read over a :func:`stream_bloom_update` directory:
     bit_or per (group, word) across every batch sketch — identical to

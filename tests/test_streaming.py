@@ -774,3 +774,50 @@ def test_stream_kmv_update_matches_from_scratch(spark, tmp_path):
     assert merged == scratch
     # group b stayed below K -> the sketch IS the distinct set: exact 20
     assert merged["b"] == 20
+
+
+def test_stream_sample_update_matches_from_scratch(spark, tmp_path):
+    """Bottom-k row samples streamed per batch must merge-on-read to
+    the from-scratch sample of all rows (min-K of union), so streamed
+    quantiles equal batch quantiles — exactly, when groups fit in K."""
+    import pandas as pd
+
+    from eland_spark.operators.sketches import (
+        quantile_from_sample,
+        sample_sketches,
+    )
+    from eland_spark.streaming.curation import read_sample, stream_sample_update
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["a"] * 30, "rid": range(30),
+                       "v": [float(i) for i in range(30)]})
+    b2 = pd.DataFrame({"g": ["a"] * 30, "rid": range(30, 60),
+                       "v": [float(i) for i in range(30, 60)]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, rid long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "sample"
+    q = stream_sample_update(
+        stream, str(out), str(tmp_path / "ckpt"), "v", "rid", by=["g"], k=128
+    )
+    q.awaitTermination(120)
+
+    merged = read_sample(spark, str(out), by=["g"], k=128)
+    got = merged.select(
+        "g", quantile_from_sample(F.col("sample"), 0.5).alias("p50")
+    ).collect()[0]
+    all_rows = spark.createDataFrame(pd.concat([b1, b2]))
+    scratch = (
+        sample_sketches(all_rows, "v", "rid", ["g"], k=128)
+        .select("g", quantile_from_sample(F.col("sample"), 0.5).alias("p50"))
+        .collect()[0]
+    )
+    assert got["p50"] == scratch["p50"]
+    # 60 rows < K=128 -> the sample IS the data: exact nearest-rank p50
+    assert got["p50"] == 29.0
