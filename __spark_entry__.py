@@ -2027,6 +2027,74 @@ def q_shard_by_budget(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_zorder_cluster(spark, sf_dir) -> DataFrame:
+    """Morton z-value clustering key (operators/zorder): min/max-bucket
+    (l_partkey, l_suppkey) to 6 bits each and interleave — the sort key
+    behind multi-column file skipping. Pure shift/OR codegen; the
+    per-z-cell summary checks every bucket and interleave decision."""
+    from eland_spark.operators.zorder import _bucket, zvalue
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.agg(
+        F.min(F.col("l_partkey").cast("double")).alias("lo_p"),
+        F.max(F.col("l_partkey").cast("double")).alias("hi_p"),
+        F.min(F.col("l_suppkey").cast("double")).alias("lo_s"),
+        F.max(F.col("l_suppkey").cast("double")).alias("hi_s"),
+    ).collect()[0]
+    z = zvalue(
+        [
+            _bucket(F.col("l_partkey"), b["lo_p"], b["hi_p"], 6),
+            _bucket(F.col("l_suppkey"), b["lo_s"], b["hi_s"], 6),
+        ],
+        6,
+    )
+    return (
+        li.withColumn("zval", z)
+        .groupBy("zval")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
+def _zorder_oracle_sql(bits: int = 6) -> str:
+    """DuckDB oracle for q_zorder_cluster: identical linear bucketing
+    (scalar-subquery bounds) and bit interleave (disjoint positions, so
+    + replaces |)."""
+    top = (1 << bits) - 1
+
+    def bucket(col, lo, hi):
+        return (
+            f"CAST(least({top}.0, greatest(0.0, round((CAST({col} AS DOUBLE)"
+            f" - {lo}) / ({hi} - {lo}) * {top}.0))) AS BIGINT)"
+        )
+
+    bp = bucket("l_partkey", "(SELECT min(CAST(l_partkey AS DOUBLE)) FROM lineitem)",
+                "(SELECT max(CAST(l_partkey AS DOUBLE)) FROM lineitem)")
+    bs = bucket("l_suppkey", "(SELECT min(CAST(l_suppkey AS DOUBLE)) FROM lineitem)",
+                "(SELECT max(CAST(l_suppkey AS DOUBLE)) FROM lineitem)")
+    terms = []
+    for i, bexpr in enumerate(("bp", "bs")):
+        for j in range(bits):
+            terms.append(f"((({bexpr} >> {j}) & 1) << {j * 2 + i})")
+    return f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST({" + ".join(terms)} AS BIGINT) AS zval
+            FROM (SELECT l_partkey, l_suppkey, {bp} AS bp, {bs} AS bs
+                  FROM lineitem)
+        )
+        SELECT zval, count(*) AS n,
+               min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+               min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        FROM z GROUP BY 1
+    """
+
+
 def q_bpe_train(spark, sf_dir) -> DataFrame:
     """BPE tokenizer TRAINING in-engine (operators/bpe.learn_bpe,
     Sennrich et al. 2016): one corpus pass builds the word-frequency
@@ -4848,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_advanced": q_text_advanced,
         "vocabulary": q_vocabulary,
         "shard_by_budget": q_shard_by_budget,
+        "zorder_cluster": q_zorder_cluster,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "simhash_near_dup": q_simhash_near_dup,
@@ -6418,6 +6487,7 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS last_doc
             FROM c GROUP BY 1
         """,
+        "zorder_cluster": _zorder_oracle_sql(6),
         "bpe_train": _bpe_oracle_sql(**_BPE_PARAMS),
         "bpe_segment": _bpe_segment_oracle_sql(_BPE_SEG_MERGES),
         "vocabulary": """
