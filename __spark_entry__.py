@@ -2027,6 +2027,65 @@ def q_shard_by_budget(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_allocate_budget(spark, sf_dir) -> DataFrame:
+    """Water-filling token-budget allocation across sources
+    (operators/sampling.allocate_budget): weights = sqrt(doc count),
+    caps = available tokens, budget = half the corpus — capped sources
+    redistribute surplus. Closed-form lambda via the windowless prefix
+    plan; the oracle replays the threshold scan with SQL windows."""
+    from eland_spark.operators.sampling import allocate_budget
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dom = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long"))
+        .cast("double")
+        .alias("cap"),
+    )
+    total = 0.5 * dom.agg(F.sum("cap")).collect()[0][0]
+    out = allocate_budget(dom, "domain", "w", "cap", total)
+    return out.select(
+        "domain",
+        F.round("w", 6).alias("w"),
+        F.round("cap", 2).alias("cap"),
+        F.round("alloc", 4).alias("alloc"),
+    )
+
+
+_ALLOCATE_BUDGET_ORACLE = """
+    WITH dom AS (
+        SELECT source AS domain,
+               sqrt(CAST(count(*) AS DOUBLE)) AS w,
+               CAST(sum(CAST(list_sum(list_transform(
+                    string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT))
+                    AS DOUBLE) AS cap
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT 0.5 * sum(cap) AS total, sum(w) AS wtot FROM dom
+    ), c AS (
+        SELECT d.*, t.total, t.wtot,
+               cap / w AS r,
+               sum(cap) OVER (ORDER BY cap / w, domain
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cap,
+               sum(w) OVER (ORDER BY cap / w, domain
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        FROM dom d, t
+    ), lamt AS (
+        SELECT (total - (cum_cap - cap)) / (wtot - (cum_w - w)) AS lam
+        FROM c
+        WHERE (total - (cum_cap - cap)) / (wtot - (cum_w - w)) <= r
+        ORDER BY r, domain LIMIT 1
+    )
+    SELECT domain, round(w, 6) AS w, round(cap, 2) AS cap,
+           round(CASE WHEN (SELECT lam FROM lamt) IS NULL THEN cap
+                      ELSE greatest(0.0, least(cap, (SELECT lam FROM lamt) * w))
+                 END, 4) AS alloc
+    FROM c
+"""
+
+
 def q_zorder_cluster(spark, sf_dir) -> DataFrame:
     """Morton z-value clustering key (operators/zorder): min/max-bucket
     (l_partkey, l_suppkey) to 6 bits each and interleave — the sort key
@@ -4917,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "shard_by_budget": q_shard_by_budget,
         "zorder_cluster": q_zorder_cluster,
+        "allocate_budget": q_allocate_budget,
         "bpe_train": q_bpe_train,
         "bpe_segment": q_bpe_segment,
         "simhash_near_dup": q_simhash_near_dup,
@@ -6488,6 +6548,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1
         """,
         "zorder_cluster": _zorder_oracle_sql(6),
+        "allocate_budget": _ALLOCATE_BUDGET_ORACLE,
         "bpe_train": _bpe_oracle_sql(**_BPE_PARAMS),
         "bpe_segment": _bpe_segment_oracle_sql(_BPE_SEG_MERGES),
         "vocabulary": """

@@ -360,3 +360,78 @@ def sample_by_temperature(
         )
         .drop("__n__")
     )
+
+
+def allocate_budget(
+    domains: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    cap_col: str,
+    total: float,
+) -> DataFrame:
+    """Water-filling budget allocation: split a total token budget
+    across domains proportionally to ``weight_col``, never exceeding
+    each domain's availability ``cap_col`` — surplus from capped
+    domains redistributes to the rest (the allocation rule behind
+    "give me a 1T-token mix at these weights from what each source
+    actually has").
+
+    alloc_i = min(cap_i, lambda * w_i) with lambda chosen so the total
+    is min(total, sum(cap)). Closed form, no iteration: sort by the
+    fill ratio r_i = cap_i / w_i; lambda is (total - caps already
+    exhausted) / (weight not yet capped) at the first domain that does
+    NOT cap out. Every step is declarative: the prefix sums ride the
+    windowless bucket-cumsum plan (one balanced exchange — the domain
+    table is small, but no single-partition window on principle), the
+    threshold is one min_by aggregate, and the final projection joins
+    it back as a broadcast literal. Exactly replayable in SQL.
+
+    Zero-weight domains get 0. Returns (domain, weight, cap, alloc)
+    with fractional double allocations; integer rounding policy is the
+    caller's.
+    """
+    from .ranking import with_global_cumagg_multi
+
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    base = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.col(cap_col).cast("double").alias("cap"),
+    )
+    zero_w = base.filter(~(F.col("w") > 0)).select(
+        "domain", "w", "cap", F.lit(0.0).alias("alloc")
+    )
+    pos = base.filter(F.col("w") > 0).withColumn("r", F.col("cap") / F.col("w"))
+    cum = with_global_cumagg_multi(
+        pos,
+        ["r", "domain"],
+        [("cap", "sum", "cum_cap"), ("w", "sum", "cum_w")],
+    )
+    tot = pos.agg(F.sum("w").alias("W"), F.sum("cap").alias("C")).collect()[0]
+    w_total = float(tot["W"] or 0.0)
+    if w_total == 0.0:
+        return zero_w
+    lam_i = (F.lit(float(total)) - (F.col("cum_cap") - F.col("cap"))) / (
+        F.lit(w_total) - (F.col("cum_w") - F.col("w"))
+    )
+    flagged = cum.withColumn("lam", lam_i).filter(F.col("lam") <= F.col("r"))
+    lam_row = flagged.agg(
+        F.min_by("lam", F.struct("r", "domain")).alias("lam")
+    )
+    out = (
+        cum.crossJoin(F.broadcast(lam_row))
+        .select(
+            "domain",
+            "w",
+            "cap",
+            F.when(F.col("lam").isNull(), F.col("cap"))
+            .otherwise(
+                F.greatest(
+                    F.lit(0.0), F.least(F.col("cap"), F.col("lam") * F.col("w"))
+                )
+            )
+            .alias("alloc"),
+        )
+    )
+    return out.unionByName(zero_w)

@@ -195,3 +195,53 @@ def test_shard_by_budget_semantics_and_plan(spark, sf_dir):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_allocate_budget_matches_iterative_waterfill(spark):
+    """Closed-form window allocation vs the textbook iterative
+    water-filling loop, across regimes (no caps hit / some / all) and
+    random instances."""
+    import random
+
+    from eland_spark.operators.sampling import allocate_budget
+
+    def ref(rows, total):
+        alloc = {d: 0.0 for d, _, _ in rows}
+        rem = [(d, w, c) for d, w, c in rows if w > 0]
+        rem_total = total
+        while rem:
+            lam = rem_total / sum(w for _, w, _ in rem)
+            capped = [x for x in rem if x[2] < lam * x[1]]
+            if not capped:
+                for d, w, _ in rem:
+                    alloc[d] = lam * w
+                break
+            for d, _, c in capped:
+                alloc[d] = c
+                rem_total -= c
+            rem = [x for x in rem if x not in capped]
+        return alloc
+
+    rng = random.Random(11)
+    for trial in range(4):
+        rows = [
+            (f"d{i}", round(rng.uniform(0, 3), 3), round(rng.uniform(0, 500), 2))
+            for i in range(8)
+        ]
+        rows.append(("zero", 0.0, 100.0))
+        caps = sum(c for _, _, c in rows)
+        for total in (0.0, caps * 0.3, caps * 0.9, caps * 2):
+            df = spark.createDataFrame(rows, "d string, w double, c double")
+            got = {
+                r["domain"]: round(r["alloc"], 6)
+                for r in allocate_budget(df, "d", "w", "c", total).collect()
+            }
+            exp = {d: round(v, 6) for d, v in ref(rows, total).items()}
+            assert got == exp, (trial, total, got, exp)
+            assert got["zero"] == 0.0
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0, 1.0)], "d string, w double, c double")
+    with _pytest.raises(ValueError, match=">= 0"):
+        allocate_budget(df, "d", "w", "c", -1.0)
