@@ -1562,8 +1562,15 @@ class StrAccessor:
             F.substring(self._s._expr, start + 1, length), T.StringType()
         )
 
-    def split(self, pat: str = r"\s+") -> Series:
-        return self._d(F.split(self._s._expr, pat), T.ArrayType(T.StringType()))
+    def split(self, pat: str = r"\s+", n: int = -1) -> Series:
+        """pandas ``str.split``: ``n >= 1`` limits to n splits, the
+        remainder staying joined WITH its original separators (Spark's
+        native ``limit`` has exactly those semantics); ``n <= 0`` means
+        all splits (pandas: 0 and -1 both return all)."""
+        limit = n + 1 if n >= 1 else -1
+        return self._d(
+            F.split(self._s._expr, pat, limit), T.ArrayType(T.StringType())
+        )
 
     def rsplit(self, pat: str = r"\s+", n: int = -1) -> Series:
         """pandas ``str.rsplit``: like split, but with ``n >= 1`` the

@@ -245,3 +245,23 @@ def test_cumprod_matches_pandas(spark):
     pexp = pdf.set_index("i")[["x", "y"]].cumprod()
     npt.assert_allclose(fr["x"].values, pexp["x"].values, rtol=1e-12, equal_nan=True)
     npt.assert_allclose(fr["y"].values, pexp["y"].values, rtol=1e-12, equal_nan=True)
+
+
+def test_str_split_n_limit(spark):
+    """split(n): at most n splits, remainder keeps its original
+    separator text (pandas semantics; n=0 -> all splits)."""
+    vals = ["a-b-c-d", "x", "", "lead-", None, "a--b-c"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    from eland_spark.frame import DataFrame as _EDF
+
+    edf = _EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    for n in (-1, 0, 1, 2, 10):
+        got = edf["s"].str.split("-", n=n).to_pandas().tolist()
+        exp = [
+            None if v is None else (v.split("-", n) if n >= 1 else v.split("-"))
+            for v in vals
+        ]
+        assert [None if g is None else list(g) for g in got] == exp, n
