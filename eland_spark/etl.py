@@ -248,13 +248,11 @@ def write_zordered(
         arr = F.array(*[F.lit(float(v)) for v in ladder])
         code = F.size(F.filter(arr, lambda b: F.col(c).cast("double") > b))
         codes.append(F.coalesce(code, F.lit(0)).cast("long"))
-    # Morton interleave: bit b of column j lands at position b*k + j
-    z = F.lit(0).cast("long")
-    k = len(cols)
-    for b in range(bits):
-        for j, code in enumerate(codes):
-            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+    # Morton interleave: shared core with operators/zorder (which also
+    # offers the linear min/max bucketing variant with a SQL oracle)
+    from .operators.zorder import zvalue
+
+    z = zvalue(codes, bits)
     parts = n_files or int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     tmp = "__z__"
     out = (

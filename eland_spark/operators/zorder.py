@@ -16,6 +16,14 @@ it bit-for-bit for the oracle.
 
 No reference analog (ES owns physical layout; this is the Spark-native
 table-layout counterpart). Public algorithm (Morton 1966).
+
+Two bucketing strategies share the ``zvalue`` interleave core:
+``etl.write_zordered`` buckets by approximate QUANTILES (skew-robust —
+equal-population cells regardless of value distribution, the right
+default for writing), while :func:`zorder_layout` here buckets
+LINEARLY by min/max — a pure function of the bounds, which is what
+makes the ``zorder_cluster`` driver query exactly SQL-oracle-checkable
+(approxQuantile has no portable replay).
 """
 
 from __future__ import annotations
