@@ -972,3 +972,36 @@ def test_interpolate_matches_pandas_fuzz(spark, rows, limit):
     exp = exp.sort_index().to_numpy(dtype="float64")
     assert len(got) == len(exp)
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+@given(rows=ROWS)
+# the r3 skew-underflow find, transplanted to groups: one subnormal
+# group among normal ones must not fail the whole aggregation
+@example(rows=[(0, 0.0, 0.0), (0, 1.9e-150, 0.0), (1, 1.0, 0.0),
+               (1, 2.0, 0.0), (1, 9.0, 0.0)])
+@settings(**COMMON)
+def test_groupby_skew_kurt_match_pandas(spark, rows):
+    """Per-group skew/kurt vs pandas groupby — the grouped path shares
+    the whole-frame expression but hits different degenerate shapes
+    (constant groups, n<3 groups, subnormal groups) side by side."""
+    pdf, edf = _frame(spark, rows)
+    if len(pdf) == 0:
+        return
+    for fn in ("skew", "kurt"):
+        got = getattr(edf.groupby("k"), fn)()
+        # this pandas has no DataFrameGroupBy.kurt — per-group Series agg
+        exp = pdf.groupby("k")[["a", "b"]].agg(lambda s: getattr(s, fn)())
+        assert sorted(got.index.tolist()) == sorted(exp.index.tolist())
+        for k in exp.index:
+            for c in ("a", "b"):
+                g, e = got.loc[k, c], exp.loc[k, c]
+                if e is None or (isinstance(e, float) and math.isnan(e)):
+                    assert g is None or (isinstance(g, float) and math.isnan(g)), (
+                        fn, k, c, g,
+                    )
+                elif math.isinf(e):
+                    assert g is None or math.isinf(g) or abs(g) > 1e12
+                else:
+                    assert g is not None and abs(g - e) < 1e-6 * max(1, abs(e)), (
+                        fn, k, c, g, e,
+                    )
