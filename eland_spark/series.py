@@ -1678,7 +1678,18 @@ class StrAccessor:
         )
 
     def zfill(self, width: int) -> Series:
-        return self.pad(width, side="left", fillchar="0")
+        # CPython str.zfill: a leading '+'/'-' stays in front of the
+        # inserted zeros ('-5'.zfill(4) == '-005'), unlike plain lpad.
+        e = self._s._expr
+        first = F.substring(e, 1, 1)
+        has_sign = first.isin("+", "-")
+        sign = F.when(has_sign, first).otherwise(F.lit(""))
+        body = F.when(has_sign, F.substring(e, 2, 2147483647)).otherwise(e)
+        pad_n = (F.lit(width) - F.length(e)).cast("int")
+        padded = F.concat(sign, F.repeat(F.lit("0"), pad_n), body)
+        return self._d(
+            F.when(F.length(e) >= width, e).otherwise(padded), T.StringType()
+        )
 
     def ljust(self, width: int, fillchar: str = " ") -> Series:
         return self.pad(width, side="right", fillchar=fillchar)

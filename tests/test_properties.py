@@ -1005,3 +1005,53 @@ def test_groupby_skew_kurt_match_pandas(spark, rows):
                     assert g is not None and abs(g - e) < 1e-6 * max(1, abs(e)), (
                         fn, k, c, g, e,
                     )
+
+
+@given(rows=_STR_ROWS, lit=_STR_CHARS, w=st.integers(0, 15), i=st.integers(-5, 5))
+@settings(**COMMON)
+def test_str_accessor_extended_matches_pandas(spark, rows, lit, w, i):
+    """Second str sweep: padding family (zfill sign handling), find/
+    rfind, removeprefix/suffix, case flips, get, repeat, and the
+    n-limited split/rsplit pair — across regex-metachar content."""
+    pdf, edf = _str_frame(spark, rows)
+    ps = pdf["s"]
+
+    def eq(got, exp, tag):
+        got = got.to_pandas().tolist()
+        exp = exp.tolist()
+        assert len(got) == len(exp), tag
+        for g, e in zip(got, exp):
+            seq = (list, tuple, np.ndarray)
+            if e is None or (not isinstance(e, seq) and pd.isna(e)):
+                assert g is None or (not isinstance(g, seq) and pd.isna(g)), (
+                    tag, g, e,
+                )
+            else:
+                ge = list(g) if isinstance(g, seq) else g
+                ee = list(e) if isinstance(e, seq) else e
+                assert ge == ee, (tag, ge, ee)
+
+    eq(edf["s"].str.zfill(w), ps.str.zfill(w), "zfill")
+    eq(edf["s"].str.ljust(w, "."), ps.str.ljust(w, "."), "ljust")
+    eq(edf["s"].str.rjust(w, "."), ps.str.rjust(w, "."), "rjust")
+    eq(edf["s"].str.center(w, "."), ps.str.center(w, "."), "center")
+    if lit:
+        eq(edf["s"].str.find(lit), ps.str.find(lit), "find")
+        eq(edf["s"].str.rfind(lit), ps.str.rfind(lit), "rfind")
+    eq(edf["s"].str.removeprefix(lit), ps.str.removeprefix(lit), "rmpre")
+    eq(edf["s"].str.removesuffix(lit), ps.str.removesuffix(lit), "rmsuf")
+    eq(edf["s"].str.capitalize(), ps.str.capitalize(), "capitalize")
+    eq(edf["s"].str.swapcase(), ps.str.swapcase(), "swapcase")
+    eq(edf["s"].str.repeat(2), ps.str.repeat(2), "repeat")
+    eq(edf["s"].str.get(i), ps.str.get(i), "get")
+    for n in (1, 2):
+        eq(
+            edf["s"].str.split("-", n=n),
+            ps.map(lambda v: None if v is None else v.split("-", n)),
+            f"split{n}",
+        )
+        eq(
+            edf["s"].str.rsplit("-", n=n),
+            ps.map(lambda v: None if v is None else v.rsplit("-", n)),
+            f"rsplit{n}",
+        )
