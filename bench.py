@@ -88,6 +88,9 @@ HEADLINE = [
     "gopher_quality",
     "c4_rules",
     "dsir_select",
+    "zorder_cluster",
+    "shard_by_budget",
+    "allocate_budget",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
