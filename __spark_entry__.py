@@ -1903,24 +1903,31 @@ def q_simhash_near_dup_md5(spark, sf_dir) -> DataFrame:
 
 
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    """Exact 3-gram Jaccard between all doc pairs of one source bucket
-    (verification metric for near-dup candidates)."""
-    from eland_spark.operators.dedup import shingles
+    """Exact 3-gram Jaccard VERIFICATION of MinHash+LSH candidate pairs
+    — the scale-safe near-dup composition: the banded equi-join
+    (operators/dedup.py minhash_candidate_pairs) generates candidates,
+    ngram_jaccard (dedup.py) verifies them exactly. No crossJoin
+    anywhere: the plan stays free of CartesianProduct /
+    BroadcastNestedLoopJoin even with autoBroadcastJoinThreshold=-1
+    (pinned in tests/test_plans.py), so it survives a 100x scale-up
+    where an all-pairs self-join would not. md5-portable hashing makes
+    the candidate set reproducible in the DuckDB oracle."""
+    from eland_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
-    sdf = docs.to_spark().filter(F.col("source") == "src0")
-    sh = sdf.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
-    l, r = sh.alias("l"), sh.alias("r")
+    cands = minhash_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=64, bands=16, portable=True
+    ).select("id_a", "id_b")
+    txt = docs.to_spark().select("doc_id", "text")
+    ta = txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta__"))
+    tb = txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb__"))
     pairs = (
-        l.crossJoin(r)
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
         .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            (
-                F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
-                / F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-            ).alias("jac"),
+            "id_a",
+            "id_b",
+            ngram_jaccard(F.col("__ta__"), F.col("__tb__"), 3).alias("jac"),
         )
         .filter(F.col("jac") >= 0.05)
     )
@@ -2408,15 +2415,18 @@ def _lsh_oracle_sql(n_planes: int = 12, dim: int = 64, max_hamming: int = 2) -> 
 
 
 def _minhash_cand_ctes(
-    num_hashes: int = 64, bands: int = 16, k: int = 3
+    num_hashes: int = 64, bands: int = 16, k: int = 3,
+    src: str = "documents",
 ) -> tuple[str, str]:
     """Shared WITH-clause interior for the portable-md5 MinHash oracles:
     the identical tokenize -> k-shingle -> md5 hash -> (a*h+b) mod p
     min-signature -> band-bucket join pipeline, with the same LCG
     permutation constants emitted as literals. Band buckets join on
     band CONTENT (Spark hashes the content to a key — same pair set).
-    Returns (cte_body ending at cand(id_a, id_b), per-pair
-    signature-match count expression over aliases a/bb)."""
+    ``src`` is the FROM clause of the corpus (a table name or a
+    parenthesized subquery exposing doc_id + text). Returns (cte_body
+    ending at cand(id_a, id_b), per-pair signature-match count
+    expression over aliases a/bb)."""
     from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
 
     p = MINHASH_PRIME
@@ -2443,7 +2453,7 @@ def _minhash_cand_ctes(
             SELECT doc_id,
                    list_filter(string_split_regex(regexp_replace(lower(text),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
-            FROM documents
+            FROM {src}
         ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(l) >= {k} THEN
@@ -2486,6 +2496,34 @@ def _minhash_oracle_sql(
         JOIN sig a ON a.doc_id = c.id_a
         JOIN sig bb ON bb.doc_id = c.id_b
         WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _ngram_jaccard_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.05
+) -> str:
+    """DuckDB oracle for q_ngram_jaccard: the portable-md5 MinHash
+    candidate pipeline (shared CTEs) with exact shingle-set Jaccard
+    verification replacing the signature estimate. NOTE
+    (hash-portability caveat, see ADVICE r3): the candidate SET depends
+    on the md5 permutation family; both engines run the identical md5
+    pipeline here so the match is exact by construction, not
+    margin-dependent."""
+    ctes, _ = _minhash_cand_ctes(num_hashes, bands, k)
+    # the shared sh CTE keeps duplicate shingles (MinHash min-agg is
+    # duplicate-insensitive); exact Jaccard is set-based, so distinct here
+    jac = (
+        "len(list_intersect(list_distinct(a.ss), list_distinct(b2.ss))) * 1.0 / "
+        "(len(list_distinct(a.ss)) + len(list_distinct(b2.ss)) "
+        "- len(list_intersect(list_distinct(a.ss), list_distinct(b2.ss))))"
+    )
+    return f"""
+        WITH {ctes}
+        SELECT c.id_a, c.id_b, round({jac}, 6) AS jac
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b2 ON b2.doc_id = c.id_b
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -5764,29 +5802,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_near_dup / simhash / simhash_near_dup: xxhash64-based,
         # no DuckDB equivalent
         # -> rows-only checks (intentionally omitted)
-        "ngram_jaccard": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
-                                   t -> t != '') AS tk
-                FROM documents WHERE source = 'src0'
-            ), sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(tk) >= 3 THEN
-                           list_distinct(list_transform(range(1, len(tk) - 1),
-                                         i -> array_to_string(tk[i:i+2], ' ')))
-                       WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
-                       ELSE [] END AS s
-                FROM toks
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s)) * 1.0 /
-                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.s, b.s)) * 1.0 /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
-        """,
+        "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "lang_id": """
             WITH s AS (
                 SELECT lang,

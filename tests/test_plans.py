@@ -713,6 +713,73 @@ def test_heavy_headline_query_plan_pins(spark):
         )
 
 
+def test_ngram_jaccard_never_cartesian(spark):
+    """q_ngram_jaccard (VERDICT r3 #1) is the minhash-banded candidate
+    join + exact-jaccard verification — NOT an all-pairs self-join. At
+    sf0.1 a crossJoin would hide behind AQE's broadcast nested-loop; at
+    100x the build side stops broadcasting and it becomes a
+    CartesianProduct. Pin: no BNLJ/Cartesian even with broadcasts
+    disabled entirely (the 100 TB shape)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = m.queries()["ngram_jaccard"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_round3_bench_query_plan_pins(spark):
+    """Exchange/broadcast pins for the four r3 bench headliners
+    (VERDICT r3 #6), audited like the r2 batch at test above:
+    bpe_train's per-iteration merge loop is driver-side over a
+    model-sized pair table (0 exchanges in the returned vocab frame);
+    zorder_cluster is one range exchange for the z-key sort;
+    shard_by_budget is the prefix-sum bucket plan (driver carries only
+    per-bucket totals); allocate_budget joins domain-sized stats —
+    8 exchanges, every one over a domain-cardinality table, plus a
+    broadcast of the allocation literal."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    queries = m.queries()
+
+    pins = {
+        # name: (max shuffles, min broadcast joins)
+        "bpe_train": (0, 0),
+        "zorder_cluster": (1, 0),
+        "shard_by_budget": (4, 0),
+        "allocate_budget": (8, 1),
+    }
+    for name, (max_shuffles, min_bcast) in pins.items():
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: {shuffle_count(df)} shuffles > pinned "
+            f"{max_shuffles}\n{plan_summary(df)}"
+        )
+        assert broadcast_join_count(df) >= min_bcast, (
+            f"{name}: broadcast joins "
+            f"{broadcast_join_count(df)} < pinned {min_bcast}\n"
+            f"{plan_summary(df)}"
+        )
+
+
 def test_segment_dedup_and_gopher_plan_shapes(spark):
     """segment_dedup: winner-per-key is a map-side-combinable hash agg
     + join, NOT a window over the (boilerplate-skewed) segment key —
