@@ -1556,17 +1556,38 @@ class StrAccessor:
         )
         return self._d(expr, T.StringType())
 
-    def slice(self, start: int = 0, stop: int | None = None) -> Series:
-        length = (stop - start) if stop is not None else (1 << 30)
+    def _slice_bound(self, bound: int | None, default: Column) -> Column:
+        """Resolve one Python-slice endpoint against the per-row string
+        length (0-based char offset, clamped to [0, len])."""
+        n = F.length(self._s._expr)
+        if bound is None:
+            return default
+        if bound < 0:
+            return F.greatest(n + F.lit(bound), F.lit(0))
+        return F.least(F.lit(bound), n)
+
+    def slice(self, start: int | None = 0, stop: int | None = None) -> Series:
+        """Python/pandas slice semantics ``s[start:stop]`` including
+        negative endpoints: both bounds resolve against the per-row
+        length (``slice(-3)`` is the last 3 chars, ``slice(0, -1)``
+        drops the last char), empty when resolved start >= stop."""
+        e = self._s._expr
+        i = self._slice_bound(start, F.lit(0))
+        j = self._slice_bound(stop, F.length(e))
         return self._d(
-            F.substring(self._s._expr, start + 1, length), T.StringType()
+            e.substr(i + F.lit(1), F.greatest(j - i, F.lit(0))), T.StringType()
         )
 
     def split(self, pat: str = r"\s+", n: int = -1) -> Series:
         """pandas ``str.split``: ``n >= 1`` limits to n splits, the
         remainder staying joined WITH its original separators (Spark's
         native ``limit`` has exactly those semantics); ``n <= 0`` means
-        all splits (pandas: 0 and -1 both return all)."""
+        all splits (pandas: 0 and -1 both return all). A single-char
+        ``pat`` is treated as a LITERAL separator (pandas' regex=None
+        rule: ``split('.')`` splits on dots, not on every char);
+        longer patterns stay regexes."""
+        if len(pat) == 1:
+            pat = re.escape(pat)
         limit = n + 1 if n >= 1 else -1
         return self._d(
             F.split(self._s._expr, pat, limit), T.ArrayType(T.StringType())
@@ -1585,8 +1606,11 @@ class StrAccessor:
         ``str.rsplit(sep, 0)`` would return the unsplit string).
         """
         if n <= 0:
-            # pandas: n=0 and n=-1 both mean "all splits"
-            parts = F.split(self._s._expr, pat)
+            # pandas: n=0 and n=-1 both mean "all splits"; same
+            # single-char-literal rule as .split
+            parts = F.split(
+                self._s._expr, re.escape(pat) if len(pat) == 1 else pat
+            )
             return self._d(parts, T.ArrayType(T.StringType()))
         # literal separator: escape for Java regex so the split and the
         # re-join agree on the separator text (re.escape never escapes
@@ -1703,15 +1727,24 @@ class StrAccessor:
     def repeat(self, repeats: int) -> Series:
         return self._d(F.repeat(self._s._expr, repeats), T.StringType())
 
-    def slice_replace(self, start: int, stop: int, repl: str) -> Series:
-        """Replace ``[start, stop)`` with ``repl`` (pandas
-        slice_replace with explicit bounds)."""
+    def slice_replace(
+        self, start: int | None = None, stop: int | None = None,
+        repl: str | None = None,
+    ) -> Series:
+        """Replace ``s[start:stop]`` with ``repl`` — pandas semantics
+        including negative/None bounds: both endpoints resolve against
+        the per-row length, and when the resolved slice is EMPTY
+        (start >= stop) pandas inserts at ``start`` instead of deleting
+        backwards (``stop`` is clamped up to ``start``)."""
         e = self._s._expr
+        n = F.length(e)
+        i = self._slice_bound(start, F.lit(0))
+        j = F.greatest(self._slice_bound(stop, n), i)
         return self._d(
             F.concat(
-                F.substring(e, 1, start),
-                F.lit(repl),
-                e.substr(F.lit(stop + 1), F.length(e)),
+                e.substr(F.lit(1), i),
+                F.lit(repl if repl is not None else ""),
+                e.substr(j + F.lit(1), F.greatest(n - j, F.lit(0))),
             ),
             T.StringType(),
         )

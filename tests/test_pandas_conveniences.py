@@ -265,3 +265,41 @@ def test_str_split_n_limit(spark):
             for v in vals
         ]
         assert [None if g is None else list(g) for g in got] == exp, n
+
+
+def test_str_split_single_char_metachar_is_literal(spark):
+    """pandas regex=None rule: a 1-char pat is a LITERAL separator even
+    when it's a regex metacharacter — split('.') splits on dots, not on
+    every character (ADVICE r3); multi-char pats stay regexes; rsplit
+    agrees on the same separators."""
+    vals = ["a.b.c", "a|b|c", "x", "", None, "..", "a.b|c"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    from eland_spark.frame import DataFrame as _EDF
+
+    edf = _EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    for pat in (".", "|", "$", "*"):
+        for n in (-1, 1, 2):
+            got = edf["s"].str.split(pat, n=n).to_pandas().tolist()
+            exp = [
+                None if v is None
+                else (v.split(pat, n) if n >= 1 else v.split(pat))
+                for v in vals
+            ]
+            assert [None if g is None else list(g) for g in got] == exp, (pat, n)
+        # rsplit full-split path takes the same literal rule
+        got = edf["s"].str.rsplit(pat).to_pandas().tolist()
+        exp = [None if v is None else v.split(pat) for v in vals]
+        assert [None if g is None else list(g) for g in got] == exp, pat
+        # rsplit n>=1 (already-literal path) agrees with pandas
+        got = edf["s"].str.rsplit(pat, n=1).to_pandas().tolist()
+        exp = [None if v is None else v.rsplit(pat, 1) for v in vals]
+        assert [None if g is None else list(g) for g in got] == exp, pat
+    # multi-char pat stays a regex
+    got = edf["s"].str.split(r"[.|]").to_pandas().tolist()
+    import re as _re
+
+    exp = [None if v is None else _re.split(r"[.|]", v) for v in vals]
+    assert [None if g is None else list(g) for g in got] == exp

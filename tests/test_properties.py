@@ -893,6 +893,39 @@ def test_str_accessor_matches_pandas(spark, rows, lit):
     eq(edf["s"].str.slice(1, 3), ps.str.slice(1, 3))
 
 
+_SLICE_BOUND = st.one_of(st.none(), st.integers(min_value=-6, max_value=6))
+
+
+@given(rows=_STR_ROWS, start=_SLICE_BOUND, stop=_SLICE_BOUND, repl=_STR_CHARS)
+@settings(**COMMON)
+def test_str_slice_bounds_match_pandas(spark, rows, start, stop, repl):
+    """slice/slice_replace/get over negative, None, and positive bounds
+    — the VERDICT r3 #2 bug class: Spark's substring counts negative
+    positions from the end WITHOUT the +1 shift, so naive arithmetic
+    returns the wrong window (slice(-3) gave the last 2 chars) and a
+    negative stop computed a bogus length."""
+    pdf, edf = _str_frame(spark, rows)
+    ps = pdf["s"]
+
+    def eq(got, exp):
+        got = got.to_pandas().tolist()
+        exp = exp.tolist()
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            if e is None or (isinstance(e, float) and pd.isna(e)):
+                assert g is None or pd.isna(g), (g, e)
+            else:
+                assert g == e, (g, e, start, stop)
+
+    eq(edf["s"].str.slice(start, stop), ps.str.slice(start, stop))
+    eq(
+        edf["s"].str.slice_replace(start, stop, repl),
+        ps.str.slice_replace(start, stop, repl),
+    )
+    if start is not None:
+        eq(edf["s"].str.get(start), ps.str.get(start))
+
+
 # --- datetime accessor differential --------------------------------------
 
 _EPOCH_S = st.integers(min_value=-100_000_000, max_value=2_000_000_000)
