@@ -303,3 +303,100 @@ def test_str_split_single_char_metachar_is_literal(spark):
 
     exp = [None if v is None else _re.split(r"[.|]", v) for v in vals]
     assert [None if g is None else list(g) for g in got] == exp
+
+
+def test_concat_axis1_matches_pandas(spark):
+    """concat(axis=1) outer/inner index alignment vs pandas, including
+    mismatched indexes (outer fills null, inner intersects) and NaN
+    columns from the alignment."""
+    from eland_spark.frame import concat
+
+    lp = pd.DataFrame({"_id": [1, 2, 3, 5], "a": [10.0, 20, 30, 50]})
+    rp = pd.DataFrame({"_id": [2, 3, 4], "b": ["x", "y", "z"]})
+    el = EDF(spark.createDataFrame(lp, schema="_id bigint, a double"),
+             index_cols=("_id",))
+    er = EDF(spark.createDataFrame(rp, schema="_id bigint, b string"),
+             index_cols=("_id",))
+
+    for join in ("outer", "inner"):
+        got = (
+            concat([el, er], axis=1, join=join)
+            .to_pandas(set_index=True)
+            .sort_index()
+        )
+        exp = pd.concat(
+            [lp.set_index("_id"), rp.set_index("_id")], axis=1, join=join
+        ).sort_index()
+        assert got.index.tolist() == exp.index.tolist(), join
+        for c in ("a", "b"):
+            for g, e in zip(got[c].tolist(), exp[c].tolist()):
+                if e is None or (isinstance(e, float) and pd.isna(e)):
+                    assert g is None or pd.isna(g), (join, c, g, e)
+                else:
+                    assert g == e, (join, c, g, e)
+
+
+def test_concat_axis1_collision_suffix_and_errors(spark):
+    """Colliding column names take a positional _{i} suffix (documented
+    divergence: pandas keeps duplicate labels); frames without an index
+    raise; 3-frame fold works."""
+    from eland_spark.frame import concat
+
+    lp = pd.DataFrame({"_id": [1, 2], "v": [1.0, 2.0]})
+    rp = pd.DataFrame({"_id": [1, 2], "v": [3.0, 4.0]})
+    el = EDF(spark.createDataFrame(lp, schema="_id bigint, v double"),
+             index_cols=("_id",))
+    er = EDF(spark.createDataFrame(rp, schema="_id bigint, v double"),
+             index_cols=("_id",))
+    out = concat([el, er, er], axis=1)
+    assert [c for c in out.columns if c != "_id"] == ["v", "v_1", "v_2"]
+    got = out.to_pandas(set_index=True).sort_index()
+    assert got["v"].tolist() == [1.0, 2.0]
+    assert got["v_1"].tolist() == [3.0, 4.0]
+    assert got["v_2"].tolist() == [3.0, 4.0]
+
+    noidx = EDF(spark.createDataFrame(lp, schema="_id bigint, v double"))
+    with pytest.raises(ValueError, match="index"):
+        concat([noidx, er], axis=1)
+    with pytest.raises(ValueError, match="join"):
+        concat([el, er], axis=1, join="left")
+
+
+def test_frame_apply_axis1_matches_pandas(spark):
+    """DataFrame.apply(axis=1): row Series in, scalar out, Arrow-batched."""
+    pdf = pd.DataFrame(
+        {"_id": [0, 1, 2, 3], "x": [1.0, 2.0, None, 4.0], "y": [10.0, 20.0, 30.0, 40.0]}
+    )
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id bigint, x double, y double"),
+        index_cols=("_id",),
+    )
+    fn = lambda row: row["y"] - (0.0 if pd.isna(row["x"]) else row["x"])
+    got = edf.apply(fn, axis=1).to_pandas().tolist()
+    exp = pdf.set_index("_id").apply(fn, axis=1).tolist()
+    assert got == exp
+
+    with pytest.raises(NotImplementedError):
+        edf.apply(sum, axis=0)
+
+
+def test_applymap_matches_pandas(spark):
+    """applymap / map: elementwise over every column, per-column
+    pandas_udf, type-preserving by default."""
+    pdf = pd.DataFrame({"_id": [0, 1, 2], "x": [1.0, None, 3.0], "y": [4.0, 5.0, 6.0]})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id bigint, x double, y double"),
+        index_cols=("_id",),
+    )
+    fn = lambda v: v if pd.isna(v) else v * 2 + 1
+    got = edf[["x", "y"]].applymap(fn).to_pandas(set_index=True).sort_index()
+    exp = pdf.set_index("_id")[["x", "y"]].applymap(fn)
+    for c in ("x", "y"):
+        for g, e in zip(got[c].tolist(), exp[c].tolist()):
+            if pd.isna(e):
+                assert g is None or pd.isna(g)
+            else:
+                assert g == e
+    # pandas 2.1 spelling
+    got2 = edf[["x"]].map(fn).to_pandas(set_index=True).sort_index()
+    assert got2["x"].dropna().tolist() == exp["x"].dropna().tolist()
