@@ -356,6 +356,54 @@ def q_pack_documents_seq(spark, sf_dir) -> DataFrame:
     return pack_documents(wt, "doc_id", "n_tokens", 2048)
 
 
+def q_pack_invariants(spark, sf_dir) -> DataFrame:
+    """Oracle-gated INVARIANTS of the partition-parallel fast packing
+    path (VERDICT r3 #4 — pack_documents itself is rows-only because
+    bin ASSIGNMENT is partition-dependent, but its contract is not):
+    every input doc packed exactly once, and no multi-doc bin exceeds
+    the budget. The SQL oracle pins (n_docs, n_distinct, 0): any doc
+    lost/duplicated or budget busted by the zero-shuffle state machine
+    hash-mismatches here."""
+    from eland_spark.operators.packing import pack_documents
+    from eland_spark.operators.text import bpe_ish_token_count
+
+    budget = 2048
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wt = docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_documents(wt, "doc_id", "n_tokens", budget)
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("docs")
+    )
+    a = bins.agg(
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.sum(
+            F.when((F.col("docs") >= 2) & (F.col("toks") > budget), 1).otherwise(0)
+        ).cast("long").alias("over_budget_multi"),
+    )
+    b = packed.agg(F.countDistinct("doc_id").cast("long").alias("n_distinct"))
+    # 1-row x 1-row broadcast join (bounded by construction)
+    return a.join(F.broadcast(b)).select("n_docs", "n_distinct", "over_budget_multi")
+
+
+def q_pca_invariants(spark, sf_dir) -> DataFrame:
+    """Oracle-gated INVARIANT of the PCA eigensolve (VERDICT r3 #4 —
+    embedding_pca itself is rows-only: eigenvectors are not
+    SQL-expressible, but the spectrum's trace identity is): the sum of
+    ALL eigenvalues of the sample covariance equals the total sample
+    variance, which SQL computes as sum over dimensions of
+    var_samp(x_i). A moment-stage or eigh bug breaks the identity."""
+    from eland_spark.operators.decomposition import pca
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id").to_spark()
+    d = len(emb.select("embedding").first()["embedding"])
+    _, _, evals = pca(emb, col="embedding", k=d)
+    return spark.createDataFrame(
+        [(int(d), round(float(sum(evals)), 6))], "dim int, total_var double"
+    )
+
+
 def q_pack_assemble(spark, sf_dir) -> DataFrame:
     """Packed-sequence materialization: the deterministic single-
     partition packing (see pack_documents_seq) joined back to texts
@@ -4965,6 +5013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_first_last": q_groupby_first_last,
         "concat_frames": q_concat_frames,
         "concat_frames_axis1": q_concat_frames_axis1,
+        "pack_invariants": q_pack_invariants,
+        "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
         "series_stats": q_series_stats,
@@ -5860,9 +5910,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # sample_exact_n: xxhash64 ranking, no DuckDB twin -> rows-only
-        # minhash_near_dup / simhash / simhash_near_dup: xxhash64-based,
-        # no DuckDB equivalent
-        # -> rows-only checks (intentionally omitted)
+        # simhash / simhash_near_dup: xxhash64-based, no DuckDB
+        # equivalent -> rows-only (intentionally omitted). Unlike
+        # minhash_near_dup, the simhash PAIR SET is NOT
+        # hash-independent — measured r4: hamming<=3 pair sets diverge
+        # between the xxhash64 and md5 families (11 vs 16 pairs at
+        # sf0.001, 11 vs 10 at sf0.01) because a 3-bit radius on 64
+        # bits has no margin, so promoting it to the portable oracle
+        # would be unsound. Same for ann_ivf_quantized: Lloyd
+        # nprobe=3 recall < 100% at sf0.01 (vec 386 sits in an
+        # unprobed cell), so a brute-force oracle would be wrong, not
+        # just fragile. The md5/seeded twins remain the value-checked
+        # paths; pack_invariants / pca_invariants gate the remaining
+        # rows-only operators' contracts.
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "lang_id": """
             WITH s AS (
@@ -5956,6 +6016,24 @@ def oracle_sql() -> dict[str, str]:
         "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,
         "groupby_first_last": _GROUPBY_FIRST_LAST_ORACLE,
         "concat_frames": _CONCAT_FRAMES_ORACLE,
+        "pack_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(0 AS BIGINT) AS over_budget_multi
+            FROM documents
+        """,
+        "pca_invariants": """
+            WITH e AS (
+                SELECT unnest(range(1, len(embedding) + 1)) AS i,
+                       unnest(embedding::DOUBLE[]) AS x
+                FROM embeddings
+            ), pv AS (
+                SELECT i, var_samp(x) AS v FROM e GROUP BY i
+            )
+            SELECT (SELECT CAST(max(len(embedding)) AS INT) FROM embeddings) AS dim,
+                   round(sum(v), 6) AS total_var
+            FROM pv
+        """,
         "concat_frames_axis1": """
             SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS okey,
                    a.o_custkey AS o_custkey,
