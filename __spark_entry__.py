@@ -2592,7 +2592,16 @@ def _minhash_oracle_sql(
     num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
 ) -> str:
     """DuckDB oracle for q_minhash_near_dup_md5 (pipeline CTEs shared
-    with the components oracle — see _minhash_cand_ctes)."""
+    with the components oracle — see _minhash_cand_ctes).
+
+    CAVEAT (ADVICE r3): reusing this oracle for the FAST xxhash64
+    entries (minhash_near_dup, near_dup_components) relies on a
+    dataset-dependent margin — no pair's est_jaccard straddles the 0.5
+    threshold under either hash family — not a theorem.
+    tests/test_hash_portability.py is the canary; if the testdata
+    fixtures ever change, re-verify the margin there BEFORE trusting an
+    oracle failure on those entries (it could be a known hash
+    divergence, not a bug)."""
     ctes, matches = _minhash_cand_ctes(num_hashes, bands, k)
     return f"""
         WITH {ctes}

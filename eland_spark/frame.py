@@ -1370,19 +1370,25 @@ class DataFrame:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     def take(self, indices) -> "DataFrame":
-        """Rows at POSITIONAL indices in index order (pandas ``take``).
-        Positions resolve via the distributed global-rank operator (one
-        range exchange, no single-partition cliff); negatives count
-        from the end. Duplicate positions repeat the row (via a
-        broadcast join against one literal row per occurrence) and
-        out-of-range positions raise ``IndexError`` — both pandas
-        semantics (ADVICE r2)."""
+        """Rows at POSITIONAL indices (pandas ``take``). Positions
+        resolve via the distributed global-rank operator (one range
+        exchange, no single-partition cliff); negatives count from the
+        end. Duplicate positions repeat the row (via a broadcast join
+        against one literal row per occurrence) and out-of-range
+        positions raise ``IndexError`` — pandas semantics for
+        DUPLICATES and BOUNDS (ADVICE r2/r3). Known divergence: rows
+        come back in INDEX order, not in the order of ``indices``
+        (``take([3, 1])`` yields row 1 before row 3 on materialization)
+        — a distributed result has no inherent row order to preserve.
+        The bounds check costs one eager count() job (cheap on a raw
+        parquet scan — footer row counts); pandas raises eagerly here
+        and so do we."""
         from .operators.ranking import with_global_rank
 
-        indices = [int(i) for i in indices]
+        original = [int(i) for i in indices]
         total = self._sdf.count()
-        indices = [i if i >= 0 else total + i for i in indices]
-        bad = [i for i in indices if i < 0 or i >= total]
+        indices = [i if i >= 0 else total + i for i in original]
+        bad = [o for o, i in zip(original, indices) if i < 0 or i >= total]
         if bad:
             raise IndexError(
                 f"indices {bad[:5]} are out of bounds for axis 0 with size {total}"

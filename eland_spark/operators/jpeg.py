@@ -85,8 +85,12 @@ class _BitReader:
 
     def _next_byte(self) -> int:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -131,6 +135,8 @@ class _BitReader:
         self.n = 0
         d = self.data
         for _ in range(4):
+            if self.pos + 1 >= len(d):
+                break
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
@@ -165,13 +171,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip runs of 0xFF so the byte AFTER the run is the marker id
+        # (real web-crawl JPEGs pad with fill; ADVICE r3)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG stream (EOF inside marker)")
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment header")
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise ValueError("truncated JPEG marker segment body")
         body = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
@@ -199,6 +216,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _Huffman(bits, vals)
                 i += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for c in range(nc):

@@ -92,14 +92,30 @@ def shard_by_budget(
     other global-order op here.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from .ranking import with_global_cumsum
 
+    # the documented floor(exclusive_prefix_sum / budget) semantics
+    # hold only for integral weights — a fractional weight would be
+    # silently truncated by the BIGINT casts below (ADVICE r3); make
+    # the caller cast explicitly so the rounding policy is theirs
+    wtype = sdf.schema[weight_col].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"shard_by_budget weight column {weight_col!r} must be an "
+            f"integral type, got {wtype.simpleString()} — cast it first "
+            "(e.g. F.round(w).cast('long')) so fractional token counts "
+            "aren't silently truncated"
+        )
+    wq = "`" + weight_col.replace("`", "``") + "`"
     cum = with_global_cumsum(sdf, list(order_by), weight_col, out_col="__cum__")
     # integer DIV: exact at any cumsum magnitude (float floor would
     # misplace shard boundaries past 2^53 total tokens)
     shard = F.expr(
-        f"CAST((CAST(__cum__ AS BIGINT) - CAST({weight_col} AS BIGINT)) "
+        f"CAST((CAST(__cum__ AS BIGINT) - CAST({wq} AS BIGINT)) "
         f"DIV {int(budget)} AS BIGINT)"
     )
     return cum.withColumn(shard_col, shard).drop("__cum__")

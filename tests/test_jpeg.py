@@ -108,3 +108,53 @@ def test_jpeg_mime_through_spark_plumbing(spark):
     feats = np.array(row["img_features"])
     assert np.allclose(feats[:3], img.mean(axis=(0, 1)), atol=3.0)
     assert np.allclose(feats[3:], img.std(axis=(0, 1)), atol=3.0)
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker — real
+    web-crawl JPEGs pad with them (ADVICE r3). Inject fill runs before
+    every header marker and require an identical decode."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg_baseline(img)
+    base = decode_jpeg(blob)
+
+    # re-emit the stream with 1-3 fill bytes before each marker that
+    # follows a segment boundary (skip SOI itself and entropy data)
+    out = bytearray(blob[:2])
+    pos = 2
+    import struct as _s
+
+    while pos < len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        out += b"\xff" * (1 + (marker % 3))  # fill run, then the real marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim (entropy data)
+            out += blob[pos:]
+            break
+        ln = _s.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        out += blob[pos : pos + 2 + ln]
+        pos += 2 + ln
+    padded = decode_jpeg(bytes(out))
+    assert np.array_equal(base, padded)
+
+
+def test_truncated_streams_raise_valueerror():
+    """Corrupt/truncated input must raise ValueError, never IndexError
+    (ADVICE r3): cut the stream inside the header, inside a segment
+    body, and inside the entropy data."""
+    import numpy as np
+    import pytest as _pytest
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    blob = encode_jpeg_baseline(img)
+    sos = blob.find(b"\xff\xda")
+    for cut in (3, 6, sos + 3, len(blob) - 3):
+        trunc = blob[:cut]
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(trunc)
+    # fill bytes at EOF (marker never arrives)
+    with _pytest.raises(ValueError):
+        decode_jpeg(blob[:2] + b"\xff\xff\xff")

@@ -197,6 +197,28 @@ def test_shard_by_budget_semantics_and_plan(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_shard_by_budget_quoting_and_weight_type(spark):
+    """ADVICE r3: a weight column name needing backticks must work
+    (it was interpolated unquoted into F.expr), and a fractional
+    weight column must raise instead of silently truncating."""
+    import pytest as _pytest
+
+    from eland_spark.operators.packing import shard_by_budget
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(20)], "doc_id long, `token count` long"
+    )
+    out = shard_by_budget(docs, ["doc_id"], "token count", budget=500)
+    rows = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+    assert [s for _, s in rows] == [i * 100 // 500 for i in range(20)]
+
+    fdocs = spark.createDataFrame(
+        [(i, 1.5) for i in range(5)], "doc_id long, w double"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        shard_by_budget(fdocs, ["doc_id"], "w", budget=10)
+
+
 def test_allocate_budget_matches_iterative_waterfill(spark):
     """Closed-form window allocation vs the textbook iterative
     water-filling loop, across regimes (no caps hit / some / all) and
