@@ -650,6 +650,17 @@ def q_applymap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_str_extractall(spark, sf_dir) -> DataFrame:
+    """``str.extractall`` (pandas parity): every non-overlapping regex
+    match becomes a row keyed by (doc_id, match) — one zero-shuffle
+    posexplode over regexp_extract_all arrays, no Python. The DuckDB
+    oracle zips unnest(regexp_extract_all) with its ordinal."""
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    sub = docs[docs["doc_id"] < 200]
+    out = sub["text"].str.extractall(r"\b(t[a-z]+)\b")
+    return out.to_spark().select("doc_id", "match", F.col("0").alias("w"))
+
+
 def q_series_stats(spark, sf_dir) -> DataFrame:
     """Series statistics surface (corr / cov / sem / autocorr — pandas
     parity batch 2). corr/cov/sem are single scalar aggregates; autocorr
@@ -5023,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_frames": q_concat_frames,
         "concat_frames_axis1": q_concat_frames_axis1,
         "pack_invariants": q_pack_invariants,
+        "str_extractall": q_str_extractall,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6025,6 +6037,17 @@ def oracle_sql() -> dict[str, str]:
         "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,
         "groupby_first_last": _GROUPBY_FIRST_LAST_ORACLE,
         "concat_frames": _CONCAT_FRAMES_ORACLE,
+        "str_extractall": """
+            WITH m AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\\b(t[a-z]+)\\b', 1) AS gs
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS match, g AS w
+            FROM (SELECT doc_id, unnest(gs) AS g,
+                         unnest(range(1, len(gs) + 1)) AS i
+                  FROM m)
+        """,
         "pack_invariants": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,

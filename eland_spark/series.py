@@ -1566,17 +1566,59 @@ class StrAccessor:
             return F.greatest(n + F.lit(bound), F.lit(0))
         return F.least(F.lit(bound), n)
 
-    def slice(self, start: int | None = 0, stop: int | None = None) -> Series:
-        """Python/pandas slice semantics ``s[start:stop]`` including
-        negative endpoints: both bounds resolve against the per-row
-        length (``slice(-3)`` is the last 3 chars, ``slice(0, -1)``
-        drops the last char), empty when resolved start >= stop."""
+    def slice(
+        self, start: int | None = None, stop: int | None = None,
+        step: int | None = None,
+    ) -> Series:
+        # start default must be None, not 0: equivalent for forward
+        # slices, but slice(step=-1) starts at the END (pandas parity;
+        # caught by the verify drive)
+        """Python/pandas slice semantics ``s[start:stop:step]`` including
+        negative endpoints: bounds resolve against the per-row length
+        (``slice(-3)`` is the last 3 chars, ``slice(0, -1)`` drops the
+        last char), empty when the resolved range is. ``step`` follows
+        CPython ``slice.indices``: a stepped slice gathers the selected
+        positions with one sequence+transform fold (no Python); step 1
+        stays a single substring."""
         e = self._s._expr
-        i = self._slice_bound(start, F.lit(0))
-        j = self._slice_bound(stop, F.length(e))
-        return self._d(
-            e.substr(i + F.lit(1), F.greatest(j - i, F.lit(0))), T.StringType()
-        )
+        if step in (None, 1):
+            i = self._slice_bound(start, F.lit(0))
+            j = self._slice_bound(stop, F.length(e))
+            return self._d(
+                e.substr(i + F.lit(1), F.greatest(j - i, F.lit(0))),
+                T.StringType(),
+            )
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
+        n = F.length(e)
+
+        def _clamp(bound, lo, hi):
+            return F.greatest(lo, F.least(hi, bound))
+
+        if step > 0:
+            i = self._slice_bound(start, F.lit(0))
+            j = self._slice_bound(stop, n)
+            # inclusive sequence end: last selected position < j
+            seq = F.when(
+                j - 1 >= i, F.sequence(i, j - 1, F.lit(step))
+            ).otherwise(F.array().cast("array<int>"))
+        else:
+            # CPython slice.indices for step < 0: bounds clamp to
+            # [-1, n-1]; defaults start=n-1, stop=-1 (exclusive)
+            def _res(bound, default):
+                if bound is None:
+                    return default
+                b = F.lit(bound) + n if bound < 0 else F.lit(bound)
+                return _clamp(b, F.lit(-1), n - 1)
+
+            i = _res(start, n - 1)
+            j = _res(stop, F.lit(-1))
+            seq = F.when(
+                i >= j + 1, F.sequence(i, j + 1, F.lit(step))
+            ).otherwise(F.array().cast("array<int>"))
+        picked = F.transform(seq, lambda p: e.substr(p + 1, F.lit(1)))
+        out = F.when(e.isNotNull(), F.array_join(picked, ""))
+        return self._d(out, T.StringType())
 
     def split(self, pat: str = r"\s+", n: int = -1) -> Series:
         """pandas ``str.split``: ``n >= 1`` limits to n splits, the
@@ -1663,11 +1705,95 @@ class StrAccessor:
             T.ArrayType(T.StringType()),
         )
 
-    def extract(self, pat: str, group: int = 1) -> Series:
-        """First regex capture group (pandas ``str.extract`` for one
-        group); no match -> null."""
-        e = F.regexp_extract(self._s._expr, pat, group)
-        return self._d(F.when(e != "", e), T.StringType())
+    def _group_names(self, pat: str) -> list[str]:
+        """Column labels for ``pat``'s capture groups: the group name
+        where named, else the 0-based position as a string (pandas uses
+        integer labels there; a Spark schema needs strings)."""
+        compiled = re.compile(pat)
+        by_pos = {v: k for k, v in compiled.groupindex.items()}
+        return [
+            by_pos.get(i + 1, str(i)) for i in range(compiled.groups)
+        ]
+
+    @staticmethod
+    def _java_pat(pat: str) -> str:
+        """Python named-group syntax ``(?P<name>...)`` -> Java's
+        ``(?<name>...)`` (pandas accepts the Python spelling; the JVM
+        regex engine rejects it)."""
+        return re.sub(r"\(\?P<", "(?<", pat)
+
+    def extract(self, pat: str, group: int | None = None, expand: bool = True):
+        """pandas ``str.extract``: capture groups of the FIRST match.
+        With one group and ``expand=False`` returns a Series; otherwise
+        a DataFrame with one column per group (named groups keep their
+        names, unnamed ones get their 0-based position as a string —
+        pandas uses integer labels there). ``group=`` is the legacy
+        single-group fast path (1-based, returns a Series). Known
+        divergence: a participating group that matched the EMPTY string
+        reads as null (Spark's regexp_extract cannot distinguish it
+        from a non-participating group, which pandas reports as NaN)."""
+        e = self._s._expr
+        jpat = self._java_pat(pat)
+        if group is not None:
+            g = F.regexp_extract(e, jpat, group)
+            return self._d(F.when(g != "", g), T.StringType())
+        names = self._group_names(pat)
+        if not names:
+            raise ValueError("pattern contains no capture groups")
+        if len(names) == 1 and not expand:
+            g = F.regexp_extract(e, jpat, 1)
+            return self._d(F.when(g != "", g), T.StringType())
+        from .frame import DataFrame as EDF
+
+        parent = self._s._frame
+        idx = [F.col(c) for c in parent._schema.index_cols]
+        cols = []
+        for i, name in enumerate(names):
+            g = F.regexp_extract(e, jpat, i + 1)
+            cols.append(F.when(g != "", g).alias(name))
+        return EDF(
+            parent._sdf.select(*idx, *cols),
+            index_cols=parent._schema.index_cols,
+        )
+
+    def extractall(self, pat: str):
+        """pandas ``str.extractall``: capture groups of EVERY
+        non-overlapping match, one output row per match keyed by
+        (index..., match) where ``match`` is the 0-based match number
+        within the row. Rows without matches drop out (pandas
+        semantics). One zero-shuffle posexplode over zipped
+        regexp_extract_all arrays — no Python in the loop. Same
+        empty-capture divergence as :meth:`extract`."""
+        names = self._group_names(pat)
+        if not names:
+            raise ValueError("pattern contains no capture groups")
+        from .frame import DataFrame as EDF
+
+        e = self._s._expr
+        parent = self._s._frame
+        idx = [F.col(c) for c in parent._schema.index_cols]
+        jpat = self._java_pat(pat)
+        zipped = F.arrays_zip(
+            *[
+                F.regexp_extract_all(e, F.lit(jpat), i + 1).alias(f"g{i}")
+                for i in range(len(names))
+            ]
+        )
+        exploded = parent._sdf.select(
+            *idx, F.posexplode(zipped).alias("match", "__g__")
+        )
+        cols = []
+        for i, name in enumerate(names):
+            g = F.col("__g__").getField(f"g{i}")
+            cols.append(F.when(g != "", g).alias(name))
+        out = exploded.select(
+            *[F.col(c) for c in parent._schema.index_cols],
+            F.col("match").cast("long").alias("match"),
+            *cols,
+        )
+        return EDF(
+            out, index_cols=tuple(parent._schema.index_cols) + ("match",)
+        )
 
     def count(self, pat: str) -> Series:
         """Non-overlapping regex match count (pandas ``str.count``)."""

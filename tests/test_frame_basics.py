@@ -828,7 +828,7 @@ def test_str_accessor_extensions(orders, orders_pd):
         )
 
     assert (
-        col(s.str.extract(r"(\d+)-")).fillna("§")
+        col(s.str.extract(r"(\d+)-", expand=False)).fillna("§")
         == ps.str.extract(r"(\d+)-", expand=False).fillna("§")
     ).all()
     assert (

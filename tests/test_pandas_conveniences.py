@@ -400,3 +400,67 @@ def test_applymap_matches_pandas(spark):
     # pandas 2.1 spelling
     got2 = edf[["x"]].map(fn).to_pandas(set_index=True).sort_index()
     assert got2["x"].dropna().tolist() == exp["x"].dropna().tolist()
+
+
+def test_str_extract_expand_and_named_groups(spark):
+    """str.extract pandas semantics: expand=True -> one column per
+    group (named groups keep names, unnamed get positional labels),
+    expand=False single group -> Series; no match -> null."""
+    vals = ["a12-x", "b-7", "zzz", None, "q99-abc33-t"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    ps = pdf.set_index("_id")["s"]
+
+    got = (
+        edf["s"].str.extract(r"(?P<num>\d+)-(?P<tail>[a-z]+)")
+        .to_pandas(set_index=True).sort_index()
+    )
+    exp = ps.str.extract(r"(?P<num>\d+)-(?P<tail>[a-z]+)")
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        for g, e in zip(got[c].tolist(), exp[c].tolist()):
+            if pd.isna(e):
+                assert g is None or pd.isna(g), (c, g, e)
+            else:
+                assert g == e, (c, g, e)
+
+    got_s = edf["s"].str.extract(r"(\d+)", expand=False).to_pandas().tolist()
+    exp_s = ps.str.extract(r"(\d+)", expand=False).tolist()
+    for g, e in zip(got_s, exp_s):
+        assert (g == e) or (pd.isna(e) and (g is None or pd.isna(g)))
+
+    with pytest.raises(ValueError, match="capture"):
+        edf["s"].str.extract(r"\d+")
+
+
+def test_str_extractall_matches_pandas(spark):
+    """str.extractall: every non-overlapping match becomes a row keyed
+    by (index, match); no-match rows drop out."""
+    vals = ["a1 b22 c333", "x9", "none here", None, "7 8"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    ps = pdf.set_index("_id")["s"]
+
+    got = (
+        edf["s"].str.extractall(r"(?P<d>\d+)")
+        .to_pandas(set_index=True).sort_index()
+    )
+    exp = ps.str.extractall(r"(?P<d>\d+)").sort_index()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got["d"].tolist() == exp["d"].tolist()
+
+    # two groups
+    got2 = (
+        edf["s"].str.extractall(r"([a-z])(\d+)")
+        .to_pandas(set_index=True).sort_index()
+    )
+    exp2 = ps.str.extractall(r"([a-z])(\d+)").sort_index()
+    assert got2.index.tolist() == exp2.index.tolist()
+    assert got2["0"].tolist() == exp2[0].tolist()
+    assert got2["1"].tolist() == exp2[1].tolist()

@@ -183,8 +183,13 @@ def test_concat_union_by_name(spark):
     assert set(out.columns) >= {"k", "a", "b"}
     # missing column null-filled for the first frame's rows
     assert out.loc[out["k"] <= 2, "b"].isna().all()
-    with pytest.raises(NotImplementedError):
-        es.concat([e1, e2], axis=1)
+    # axis=1 (implemented r4): outer index alignment, colliding "a"
+    # suffixed positionally
+    wide = es.concat([e1, e2], axis=1).to_pandas().set_index("k").sort_index()
+    assert set(wide.columns) == {"a", "a_1", "b"}
+    assert len(wide) == 4  # disjoint indexes -> union
+    assert wide.loc[[1, 2], "a"].notna().all() and wide.loc[[1, 2], "a_1"].isna().all()
+    assert wide.loc[[3, 4], "a_1"].notna().all() and wide.loc[[3, 4], "a"].isna().all()
 
 
 def test_groupby_first_last_tail(num):

@@ -896,14 +896,21 @@ def test_str_accessor_matches_pandas(spark, rows, lit):
 _SLICE_BOUND = st.one_of(st.none(), st.integers(min_value=-6, max_value=6))
 
 
-@given(rows=_STR_ROWS, start=_SLICE_BOUND, stop=_SLICE_BOUND, repl=_STR_CHARS)
+_SLICE_STEP = st.one_of(
+    st.none(), st.integers(min_value=-3, max_value=3).filter(lambda v: v != 0)
+)
+
+
+@given(rows=_STR_ROWS, start=_SLICE_BOUND, stop=_SLICE_BOUND,
+       step=_SLICE_STEP, repl=_STR_CHARS)
 @settings(**COMMON)
-def test_str_slice_bounds_match_pandas(spark, rows, start, stop, repl):
+def test_str_slice_bounds_match_pandas(spark, rows, start, stop, step, repl):
     """slice/slice_replace/get over negative, None, and positive bounds
-    — the VERDICT r3 #2 bug class: Spark's substring counts negative
-    positions from the end WITHOUT the +1 shift, so naive arithmetic
-    returns the wrong window (slice(-3) gave the last 2 chars) and a
-    negative stop computed a bogus length."""
+    plus stepped slices — the VERDICT r3 #2 bug class: Spark's
+    substring counts negative positions from the end WITHOUT the +1
+    shift, so naive arithmetic returns the wrong window (slice(-3) gave
+    the last 2 chars) and a negative stop computed a bogus length.
+    Steps follow CPython slice.indices (incl. negative steps)."""
     pdf, edf = _str_frame(spark, rows)
     ps = pdf["s"]
 
@@ -915,9 +922,13 @@ def test_str_slice_bounds_match_pandas(spark, rows, start, stop, repl):
             if e is None or (isinstance(e, float) and pd.isna(e)):
                 assert g is None or pd.isna(g), (g, e)
             else:
-                assert g == e, (g, e, start, stop)
+                assert g == e, (g, e, start, stop, step)
 
     eq(edf["s"].str.slice(start, stop), ps.str.slice(start, stop))
+    eq(
+        edf["s"].str.slice(start, stop, step),
+        ps.str.slice(start, stop, step),
+    )
     eq(
         edf["s"].str.slice_replace(start, stop, repl),
         ps.str.slice_replace(start, stop, repl),
