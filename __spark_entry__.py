@@ -650,6 +650,26 @@ def q_applymap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark, sf_dir) -> DataFrame:
+    """Dense-calendar gap fill (operators/timeseries.time_bucket_gapfill
+    — TimescaleDB time_bucket_gapfill / pandas resample().asfreq()
+    analog): hourly avg per event_type with EVERY bucket between each
+    series' first and last observation emitted, empty buckets filled
+    by LOCF. One raw-data aggregation, bucket-cardinality everything
+    after; the LOCF window is keyed by the series and runs the
+    unbounded-PRECEDING frame only. Oracle: generate_series calendar +
+    last_value IGNORE NULLS."""
+    from eland_spark.operators.timeseries import time_bucket_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_bucket_gapfill(
+        ev, "ts", "value", 3600, by=["event_type"], agg="avg", fill="locf"
+    )
+    return out.select(
+        "event_type", "bucket", F.round("value", 6).alias("value")
+    )
+
+
 def q_str_extractall(spark, sf_dir) -> DataFrame:
     """``str.extractall`` (pandas parity): every non-overlapping regex
     match becomes a row keyed by (doc_id, match) — one zero-shuffle
@@ -5035,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_frames_axis1": q_concat_frames_axis1,
         "pack_invariants": q_pack_invariants,
         "str_extractall": q_str_extractall,
+        "gapfill_locf": q_gapfill_locf,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6037,6 +6058,29 @@ def oracle_sql() -> dict[str, str]:
         "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,
         "groupby_first_last": _GROUPBY_FIRST_LAST_ORACLE,
         "concat_frames": _CONCAT_FRAMES_ORACLE,
+        "gapfill_locf": """
+            WITH b AS (
+                SELECT event_type,
+                       make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                           * 1000000 AS BIGINT)) AS bucket,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM b GROUP BY 1
+            ), cal AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM span
+            )
+            SELECT c.event_type, c.bucket,
+                   round(last_value(b.v IGNORE NULLS) OVER (
+                       PARTITION BY c.event_type ORDER BY c.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS value
+            FROM cal c
+            LEFT JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+        """,
         "str_extractall": """
             WITH m AS (
                 SELECT doc_id,

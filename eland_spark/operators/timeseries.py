@@ -1,0 +1,108 @@
+"""Dense-calendar time-series operators: bucket + gap-fill.
+
+The reference exposes only date_histogram-style DOWNSAMPLING
+(eland/query.py:195-211 — buckets that exist in the data); real
+time-series work also needs the buckets that DON'T (dashboards,
+training-window alignment, rate computations). This is TimescaleDB's
+``time_bucket_gapfill`` / pandas ``resample().asfreq()`` re-expressed
+Spark-first:
+
+- one hash aggregation to the bucket grain (map-side combinable),
+- per-series bucket SPANS from the same aggregation (min/max — no
+  second scan of the raw data),
+- the dense calendar generated WITHIN the engine by
+  ``explode(sequence(min, max, interval))`` — the calendar is
+  O(span/step) rows per series, never materialized on the driver,
+- one left join of calendar onto aggregates (hash join on the
+  (series, bucket) key),
+- optional LOCF fill as a keyed running window (one exchange shared
+  with the join's partitioning; frame is unbounded-preceding only —
+  never the O(n^2) unbounded-following shape).
+
+At 100 TB the raw scan dominates and happens exactly once; everything
+after the first aggregation is bucket-cardinality data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, step_seconds: int) -> Column:
+    """Epoch-aligned fixed-width bucket (left edge) of a timestamp —
+    timestampdiff arithmetic, NTZ-safe (no tz shift in UTC sessions;
+    same shape as frame.resample's fixed-width path)."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    off = (
+        F.floor(F.timestamp_diff("SECOND", epoch, ts) / step_seconds)
+        * step_seconds
+    )
+    return F.timestamp_add("SECOND", off.cast("long"), epoch)
+
+
+def time_bucket_gapfill(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    by: list[str] | None = None,
+    agg: str = "avg",
+    fill: str = "null",
+) -> DataFrame:
+    """Aggregate ``value_col`` to ``step_seconds`` buckets and emit a
+    DENSE calendar per ``by``-series (every bucket between that
+    series' first and last observation), filling the empty buckets.
+
+    ``agg``: avg | sum | min | max | count.
+    ``fill``: ``'null'`` (empty buckets keep null), ``'zero'``, or
+    ``'locf'`` (last observation carried forward; leading gaps stay
+    null). Returns (by..., bucket, <value_col>).
+    """
+    if fill not in ("null", "zero", "locf"):
+        raise ValueError("fill must be 'null', 'zero', or 'locf'")
+    aggs = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unsupported agg {agg!r}")
+    by = list(by or [])
+    bucket = time_bucket(F.col(ts_col), step_seconds).alias("bucket")
+
+    dense = (
+        sdf.select(*by, bucket, F.col(value_col))
+        .groupBy(*by, "bucket")
+        .agg(aggs[agg](F.col(value_col)).alias("__v__"))
+    )
+    # per-series span from the BUCKET table (bucket-cardinality, not
+    # raw-data cardinality); the calendar explodes engine-side
+    spans = dense.groupBy(*by).agg(
+        F.min("bucket").alias("__lo__"), F.max("bucket").alias("__hi__")
+    )
+    cal = spans.select(
+        *by,
+        F.explode(
+            F.sequence(
+                F.col("__lo__"),
+                F.col("__hi__"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECOND"),
+            )
+        ).alias("bucket"),
+    )
+    joined = cal.join(dense, [*by, "bucket"], "left")
+    if fill == "zero":
+        out_v = F.coalesce(F.col("__v__"), F.lit(0.0))
+    elif fill == "locf":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out_v = F.last("__v__", ignorenulls=True).over(w)
+    else:
+        out_v = F.col("__v__")
+    return joined.select(*by, "bucket", out_v.alias(value_col))

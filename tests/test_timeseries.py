@@ -1,0 +1,90 @@
+"""time_bucket_gapfill differentials (vs pandas resample/reindex/ffill)
+and plan-shape pins. Reference parity note: the reference only has
+date_histogram-style downsampling (eland/query.py:195-211); the dense
+calendar + fill is net-new (TimescaleDB time_bucket_gapfill
+semantics)."""
+
+import pandas as pd
+import pytest
+
+from eland_spark.operators.timeseries import time_bucket_gapfill
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def _pandas_gapfill(pdf, step, fill):
+    out = {}
+    for key, g in pdf.groupby("event_type"):
+        s = (
+            g.set_index("ts")["value"]
+            .resample(f"{step}s", origin="epoch")
+            .mean()
+        )
+        # pandas resample already emits the dense range min..max
+        if fill == "zero":
+            s = s.fillna(0.0)
+        elif fill == "locf":
+            s = s.ffill()
+        out[key] = s
+    return out
+
+
+@pytest.mark.parametrize("fill", ["null", "zero", "locf"])
+def test_gapfill_matches_pandas_resample(spark, events, fill):
+    pdf = events.select("ts", "event_type", "value").toPandas()
+    exp = _pandas_gapfill(pdf, 3600, fill)
+
+    got = time_bucket_gapfill(
+        events, "ts", "value", 3600, by=["event_type"], agg="avg", fill=fill
+    ).toPandas()
+    for key, g in got.groupby("event_type"):
+        e = exp[key]
+        g = g.set_index("bucket")["value"].sort_index()
+        assert list(g.index) == list(e.index), key
+        for gv, ev in zip(g.tolist(), e.tolist()):
+            if pd.isna(ev):
+                assert gv is None or pd.isna(gv), (key, gv, ev)
+            else:
+                assert abs(gv - ev) < 1e-9, (key, gv, ev)
+
+
+def test_gapfill_aggs_and_validation(spark, events):
+    out = time_bucket_gapfill(
+        events, "ts", "value", 7200, by=["event_type"], agg="count", fill="zero"
+    ).toPandas()
+    # count+zero: every bucket populated, totals preserved
+    assert out["value"].notna().all()
+    assert int(out["value"].sum()) == events.count()
+
+    with pytest.raises(ValueError, match="fill"):
+        time_bucket_gapfill(events, "ts", "value", 3600, fill="interp")
+    with pytest.raises(ValueError, match="agg"):
+        time_bucket_gapfill(events, "ts", "value", 3600, agg="median")
+
+
+def test_gapfill_plan_shape(spark, events):
+    """Scale pins: the raw table is scanned once; the LOCF window is
+    keyed by the series (no SinglePartition window) and runs the
+    unbounded-PRECEDING frame; no cartesian."""
+    out = time_bucket_gapfill(
+        events, "ts", "value", 3600, by=["event_type"], agg="avg", fill="locf"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan
+    assert "unboundedpreceding" in plan.lower() and "following" not in plan.lower()
+    from eland_spark.plans import shuffle_count
+
+    assert shuffle_count(out) <= 4, plan
+
+
+def test_gapfill_global_series(spark, events):
+    """No by-columns: one global dense calendar."""
+    out = time_bucket_gapfill(events, "ts", "value", 3600, fill="locf").toPandas()
+    buckets = out["bucket"].sort_values().tolist()
+    deltas = {(b - a).total_seconds() for a, b in zip(buckets, buckets[1:])}
+    assert deltas == {3600.0}
+    assert out["value"].notna().all()
