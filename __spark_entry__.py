@@ -4076,6 +4076,93 @@ def q_bloom_membership(spark, sf_dir) -> DataFrame:
     ).orderBy("source", "probe_id")
 
 
+_CMS_PROBES = ["sort", "order", "hash", "the", "stream", "zzqx_absent"]
+
+
+def q_cms_freq(spark, sf_dir) -> DataFrame:
+    """Count-min sketch (operators/sketches.cms_*): per-source token
+    frequency sketches (sparse depth x width counters, md5-affine
+    hashing — the same engine-portable family as MinHash), point-probed
+    for a fixed token list incl. an absent one. Estimates are
+    one-sided (>= truth); the DuckDB oracle replays the identical
+    sketch so values hash-check exactly. One build aggregation
+    (shuffle bounded by groups x depth x width, not rows) + one probe
+    join + one min-fold."""
+    from eland_spark.operators.sketches import cms_estimate, cms_sketches
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = cms_sketches(toks, "tok", ["source"], depth=4, width=256)
+    probes = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("tok"),
+        )
+    )
+    out = cms_estimate(sk, probes, "tok", by=["source"], depth=4, width=256)
+    return out.select(
+        "source", "item", F.col("est").cast("long").alias("est")
+    ).orderBy("source", "item")
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    """DuckDB oracle for q_cms_freq: the identical md5 -> affine ->
+    mod-width coordinates (same LCG constants, seed 1729), counters
+    rebuilt with plain GROUP BY, probes min-folded."""
+    from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    p = MINHASH_PRIME
+    params = minhash_params(depth, seed=1729)
+    rows_sql = "\n            UNION ALL ".join(
+        f"SELECT source, {r} AS row, CAST((({a} * hv + {b}) % {p}) % {width} AS INT)"
+        f" AS bucket FROM h"
+        for r, (a, b) in enumerate(params)
+    )
+    prow_sql = "\n            UNION ALL ".join(
+        f"SELECT source, tok, {r} AS row, CAST((({a} * hv + {b}) % {p}) % {width}"
+        f" AS INT) AS bucket FROM ph"
+        for r, (a, b) in enumerate(params)
+    )
+    vals = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {p} AS hv
+            FROM toks
+        ), coords AS (
+            SELECT source, row, bucket, count(*) AS cnt FROM (
+            {rows_sql}
+            ) GROUP BY 1, 2, 3
+        ), probes AS (
+            SELECT DISTINCT source, v.tok
+            FROM documents, (VALUES {vals}) v(tok)
+        ), ph AS (
+            SELECT source, tok,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {p} AS hv
+            FROM probes
+        ), pcoords AS (
+            {prow_sql}
+        )
+        SELECT pc.source, pc.tok AS item,
+               CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+        FROM pcoords pc
+        LEFT JOIN coords c
+          ON c.source = pc.source AND c.row = pc.row AND c.bucket = pc.bucket
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 def q_kmv_distinct(spark, sf_dir) -> DataFrame:
     """KMV (K-minimum values) distinct sketch, engine-portable: per
     group keep the 256 smallest md5-prefix hashes; estimate
@@ -5021,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowwise_arith": q_rowwise_arith,
         "kmv_distinct": q_kmv_distinct,
         "bloom_membership": q_bloom_membership,
+        "cms_freq": q_cms_freq,
         "rollup_hypertable": q_rollup_hypertable,
         "groupby_sample": q_groupby_sample,
         "str_cat": q_str_cat,
@@ -6377,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "cms_freq": _cms_oracle_sql(),
         "bloom_membership": """
             WITH h AS (
                 SELECT source, doc_id,

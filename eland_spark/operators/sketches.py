@@ -34,6 +34,9 @@ __all__ = [
     "bloom_rollup",
     "bloom_contains",
     "bloom_fill_ratio",
+    "cms_sketches",
+    "cms_rollup",
+    "cms_estimate",
 ]
 
 
@@ -515,3 +518,115 @@ def bloom_fill_ratio(
     if by:
         return sketches.groupBy(*by).agg(agg)
     return sketches.agg(agg)
+
+
+# --- Count-min sketch (frequency estimates) --------------------------------
+#
+# The frequency member of the sketch family: "how often did key x
+# occur" with a one-sided error (estimate >= truth, overshoot bounded
+# by e*N/width with probability 1 - e^-depth) from counters whose size
+# is depth x width — independent of both the number of rows AND the
+# number of distinct keys. Complements Misra-Gries: MG returns the
+# top-k list, CMS answers point queries for ARBITRARY keys (including
+# ones that never made anyone's top-k), and both merge losslessly —
+# per-shard/day sketches roll up by plain counter addition, never
+# rescanning raw data.
+#
+# Hashing: the same md5 -> (a*h + b) mod p affine family as MinHash
+# (dedup.minhash_params LCG constants, p = 2^31 - 1, h pre-reduced mod
+# p so a*h + b stays < 2^62) — exact long arithmetic, so a SQL engine
+# replays the sketch bit-for-bit (the oracle idiom used across this
+# repo). Sketches store SPARSE (by..., row, bucket, cnt) rows — only
+# touched counters exist.
+
+def _cms_buckets(col, depth: int, width: int) -> "F.Column":
+    """array<struct<row:int, bucket:int>> — one counter per sketch row."""
+    from .dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(depth, seed=1729)
+    h = F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(MINHASH_PRIME),
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_PRIME)),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+            for r, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def cms_sketches(
+    sdf: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build one count-min sketch per group as sparse (by..., row int,
+    bucket int, cnt long) rows. ONE hash aggregation: explode each
+    value's ``depth`` counter coordinates (map-only), count per
+    coordinate (map-side combined — shuffle bounded by
+    groups x depth x width, not rows).
+
+    Sizing: overshoot <= e * N / width with prob 1 - e^-depth; width
+    256 / depth 4 bounds error to ~1% of the stream at ~98% conf."""
+    by = list(by)
+    coord = F.explode(_cms_buckets(F.col(value_col), depth, width)).alias(
+        "__c__"
+    )
+    rows = sdf.select(*by, coord).select(
+        *by, F.col("__c__.row").alias("row"), F.col("__c__.bucket").alias("bucket")
+    )
+    return rows.groupBy(*by, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_rollup(sketches: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge sketches to a coarser grouping by counter ADDITION —
+    identical to a from-scratch sketch of the union, so per-shard/day
+    sketches fold without rescanning (same contract as the other
+    sketch families)."""
+    by = list(by)
+    return sketches.groupBy(*by, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query frequency estimates: for each probe row, the MIN
+    over its ``depth`` counters (missing counter -> 0). Returns
+    (by..., item, est). Plan: the probe side expands to depth
+    coordinates (map-only), left-joins the sketch on (by, row, bucket)
+    — AQE broadcasts whichever side is small — and ONE aggregation
+    takes the min back to one row per probe."""
+    by = list(by)
+    need = probes.select(
+        *by,
+        F.col(value_col).alias("item"),
+        F.explode(_cms_buckets(F.col(value_col), depth, width)).alias("__c__"),
+    ).select(
+        *by, "item", F.col("__c__.row").alias("row"),
+        F.col("__c__.bucket").alias("bucket"),
+    )
+    joined = need.join(sketches, [*by, "row", "bucket"], "left")
+    return (
+        joined.groupBy(*by, "item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -182,3 +182,78 @@ def test_bloom_plan_single_aggregation(spark):
     )
     # one hash aggregation pair (partial + final), no window/cartesian
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_cms_one_sided_error_and_rollup(spark):
+    """Count-min invariants: estimate >= true count for EVERY key
+    (one-sided error, never an undercount), overshoot bounded by the
+    depth/width contract on this data, and rollup-by-addition equals
+    a from-scratch sketch of the union."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sketches import (
+        cms_estimate, cms_rollup, cms_sketches,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    sk = cms_sketches(toks, "tok", by=["source"], depth=4, width=256)
+    truth = {
+        (r["source"], r["tok"]): r["n"]
+        for r in toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probes = toks.select("source", "tok").distinct()
+    est = {
+        (r["source"], r["item"]): r["est"]
+        for r in cms_estimate(
+            sk, probes, "tok", by=["source"], depth=4, width=256
+        ).collect()
+    }
+    n_total = sum(truth.values())
+    assert est.keys() == truth.keys()
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)  # never undercounts
+        # e*N/width bound (loose check: 3x the expected overshoot)
+        assert est[k] - t <= max(10, 3 * 2.72 * n_total / 256), (k, est[k], t)
+
+    # absent key estimates are bounded too (may be > 0 by collision)
+    absent = spark.createDataFrame(
+        [("src0", "zzqx_never_seen")], "source string, tok string"
+    )
+    a = cms_estimate(sk, absent, "tok", by=["source"], depth=4, width=256)
+    assert a.collect()[0]["est"] >= 0
+
+    # lossless merge: rollup to global == from-scratch global sketch
+    glob = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_rollup(sk, by=[]).collect()
+    }
+    scratch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketches(toks, "tok", by=[], depth=4, width=256).collect()
+    }
+    assert glob == scratch
+
+
+def test_cms_plan_single_build_aggregation(spark):
+    """Scale pin: the sketch build is ONE hash aggregation over the
+    exploded coordinates (map-side combinable — shuffle bounded by
+    groups x depth x width); no window, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.sketches import cms_sketches
+    from eland_spark.plans import shuffle_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = cms_sketches(toks, "tok", by=["source"], depth=4, width=256)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert shuffle_count(sk) == 1, plan
