@@ -24,6 +24,8 @@ __all__ = [
     "stream_c4_clean",
     "stream_bloom_update",
     "read_bloom",
+    "stream_cms_update",
+    "read_cms",
 ]
 
 
@@ -304,3 +306,54 @@ def read_bloom(spark, path: str, by=()) -> DataFrame:
         raise FileNotFoundError(f"no batch=* directories under {path}")
     df = spark.read.option("basePath", path).parquet(*dirs)
     return df.groupBy(*list(by), "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def stream_cms_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    by=(),
+    depth: int = 4,
+    width: int = 256,
+    timeout_sec: int = 120,
+):
+    """Maintain per-group count-min frequency sketches over a stream —
+    continuous "how often has key x occurred so far" monitoring with
+    the same merge-on-read contract as the Bloom/KMV/bottom-k paths:
+    each micro-batch writes its own sparse counter rows under
+    ``<path>/batch=<id>/`` (idempotent in batch_id), and because CMS
+    merges by plain counter ADDITION, summing at read time
+    (:func:`read_cms`) is lossless — identical to a from-scratch
+    sketch of everything ingested."""
+    from ..operators.sketches import cms_sketches
+
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_sketches(batch_df, value_col, by, depth, width)
+        sk.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_cms(spark, path: str, by=()) -> DataFrame:
+    """Merge-on-read over a :func:`stream_cms_update` directory: sum
+    counters per (group, row, bucket) across every batch sketch —
+    identical to a from-scratch sketch of everything ingested, ready
+    for ``operators/sketches.cms_estimate``."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.sketches import cms_rollup
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return cms_rollup(df, by=list(by))

@@ -821,3 +821,50 @@ def test_stream_sample_update_matches_from_scratch(spark, tmp_path):
     assert got["p50"] == scratch["p50"]
     # 60 rows < K=128 -> the sample IS the data: exact nearest-rank p50
     assert got["p50"] == 29.0
+
+
+def test_stream_cms_update_matches_from_scratch(spark, tmp_path):
+    """Two micro-batches folded into per-batch count-min sketches must
+    SUM-merge to exactly the from-scratch sketch of the union, and the
+    merged estimates must never undercount any ingested key."""
+    import pandas as pd
+
+    from eland_spark.operators.sketches import cms_estimate, cms_sketches
+    from eland_spark.streaming.curation import read_cms, stream_cms_update
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["a", "a", "b"], "k": ["k1", "k1", "k2"]})
+    b2 = pd.DataFrame({"g": ["a", "b", "b"], "k": ["k1", "k2", "k3"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "cms"
+    q = stream_cms_update(
+        stream, str(out), str(tmp_path / "ckpt"), "k", by=["g"],
+        depth=3, width=64,
+    )
+    q.awaitTermination(120)
+
+    merged = read_cms(spark, str(out), by=["g"])
+    all_rows = spark.createDataFrame(pd.concat([b1, b2]))
+    scratch = cms_sketches(all_rows, "k", ["g"], depth=3, width=64)
+    assert {
+        (r["g"], r["row"], r["bucket"], r["cnt"]) for r in merged.collect()
+    } == {
+        (r["g"], r["row"], r["bucket"], r["cnt"]) for r in scratch.collect()
+    }
+
+    truth = {("a", "k1"): 3, ("b", "k2"): 2, ("b", "k3"): 1}
+    probes = all_rows.select("g", "k").distinct()
+    est = {
+        (r["g"], r["item"]): r["est"]
+        for r in cms_estimate(merged, probes, "k", by=["g"], depth=3, width=64).collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
