@@ -670,6 +670,23 @@ def q_gapfill_locf(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_gapfill_interp(spark, sf_dir) -> DataFrame:
+    """Linear-interpolation gap fill (TimescaleDB ``interpolate()``
+    analog): interior empty buckets take the straight line between the
+    surrounding observations. The backward neighbor scan is a DESC
+    running window — no unbounded-FOLLOWING frame (O(n^2) per
+    partition in Spark), pinned in tests/test_timeseries.py."""
+    from eland_spark.operators.timeseries import time_bucket_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_bucket_gapfill(
+        ev, "ts", "value", 3600, by=["event_type"], agg="avg", fill="interp"
+    )
+    return out.select(
+        "event_type", "bucket", F.round("value", 6).alias("value")
+    )
+
+
 def q_str_extractall(spark, sf_dir) -> DataFrame:
     """``str.extractall`` (pandas parity): every non-overlapping regex
     match becomes a row keyed by (doc_id, match) — one zero-shuffle
@@ -5144,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_invariants": q_pack_invariants,
         "str_extractall": q_str_extractall,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6168,6 +6186,46 @@ def oracle_sql() -> dict[str, str]:
                        AS value
             FROM cal c
             LEFT JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+        """,
+        "gapfill_interp": """
+            WITH b AS (
+                SELECT event_type,
+                       make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                           * 1000000 AS BIGINT)) AS bucket,
+                       avg(value) AS v
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM b GROUP BY 1
+            ), cal AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM span
+            ), j AS (
+                SELECT c.event_type, c.bucket, b.v,
+                       last_value(b.v IGNORE NULLS) OVER w_f AS pv,
+                       last_value(CASE WHEN b.v IS NOT NULL THEN c.bucket END
+                                  IGNORE NULLS) OVER w_f AS pb,
+                       first_value(b.v IGNORE NULLS) OVER w_b AS nv,
+                       first_value(CASE WHEN b.v IS NOT NULL THEN c.bucket END
+                                   IGNORE NULLS) OVER w_b AS nb
+                FROM cal c
+                LEFT JOIN b ON b.event_type = c.event_type
+                           AND b.bucket = c.bucket
+                WINDOW w_f AS (PARTITION BY c.event_type ORDER BY c.bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       w_b AS (PARTITION BY c.event_type ORDER BY c.bucket
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, bucket,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                   AND epoch(nb) > epoch(pb)
+                              THEN pv + (nv - pv)
+                                   * (epoch(bucket) - epoch(pb))
+                                   / (epoch(nb) - epoch(pb))
+                              ELSE COALESCE(pv, nv) END, 6) AS value
+            FROM j
         """,
         "str_extractall": """
             WITH m AS (

@@ -55,12 +55,23 @@ def time_bucket_gapfill(
     series' first and last observation), filling the empty buckets.
 
     ``agg``: avg | sum | min | max | count.
-    ``fill``: ``'null'`` (empty buckets keep null), ``'zero'``, or
+    ``fill``: ``'null'`` (empty buckets keep null), ``'zero'``,
     ``'locf'`` (last observation carried forward; leading gaps stay
-    null). Returns (by..., bucket, <value_col>).
+    null), or ``'interp'`` (linear interpolation between the
+    surrounding observations — TimescaleDB ``interpolate()``; interior
+    gaps only, and since the calendar spans each series' first..last
+    observation there are no edge gaps). Returns
+    (by..., bucket, <value_col>).
+
+    The interp fill needs both neighbors: the FORWARD scan is a keyed
+    running unbounded-PRECEDING window, and the BACKWARD scan is a
+    DESC ordering with the same running frame — never an
+    unbounded-FOLLOWING frame, which Spark evaluates by rescanning the
+    partition remainder per row (O(n^2); measured 16x on interpolate).
+    Both windows share the series-key partitioning (one exchange).
     """
-    if fill not in ("null", "zero", "locf"):
-        raise ValueError("fill must be 'null', 'zero', or 'locf'")
+    if fill not in ("null", "zero", "locf", "interp"):
+        raise ValueError("fill must be 'null', 'zero', 'locf', or 'interp'")
     aggs = {
         "avg": F.avg,
         "sum": F.sum,
@@ -103,6 +114,30 @@ def time_bucket_gapfill(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         out_v = F.last("__v__", ignorenulls=True).over(w)
+    elif fill == "interp":
+        fwd = (
+            Window.partitionBy(*by)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bwd = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        obs_b = F.when(F.col("__v__").isNotNull(), F.col("bucket"))
+        pv = F.last("__v__", ignorenulls=True).over(fwd)
+        pb = F.last(obs_b, ignorenulls=True).over(fwd)
+        nv = F.last("__v__", ignorenulls=True).over(bwd)
+        nb = F.last(obs_b, ignorenulls=True).over(bwd)
+        span = F.timestamp_diff("SECOND", pb, nb).cast("double")
+        frac = F.timestamp_diff("SECOND", pb, F.col("bucket")) / span
+        out_v = F.when(F.col("__v__").isNotNull(), F.col("__v__")).otherwise(
+            F.when(
+                pv.isNotNull() & nv.isNotNull() & (span > 0),
+                pv + (nv - pv) * frac,
+            ).otherwise(F.coalesce(pv, nv))
+        )
     else:
         out_v = F.col("__v__")
     return joined.select(*by, "bucket", out_v.alias(value_col))

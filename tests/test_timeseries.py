@@ -60,7 +60,7 @@ def test_gapfill_aggs_and_validation(spark, events):
     assert int(out["value"].sum()) == events.count()
 
     with pytest.raises(ValueError, match="fill"):
-        time_bucket_gapfill(events, "ts", "value", 3600, fill="interp")
+        time_bucket_gapfill(events, "ts", "value", 3600, fill="spline")
     with pytest.raises(ValueError, match="agg"):
         time_bucket_gapfill(events, "ts", "value", 3600, agg="median")
 
@@ -88,3 +88,38 @@ def test_gapfill_global_series(spark, events):
     deltas = {(b - a).total_seconds() for a, b in zip(buckets, buckets[1:])}
     assert deltas == {3600.0}
     assert out["value"].notna().all()
+
+
+def test_gapfill_interp_matches_pandas(spark, events):
+    """fill='interp': linear interpolation between the surrounding
+    observations, vs pandas resample().interpolate('linear')."""
+    pdf = events.select("ts", "event_type", "value").toPandas()
+    got = time_bucket_gapfill(
+        events, "ts", "value", 3600, by=["event_type"], agg="avg",
+        fill="interp",
+    ).toPandas()
+    for key, g in got.groupby("event_type"):
+        e = (
+            pdf[pdf["event_type"] == key]
+            .set_index("ts")["value"]
+            .resample("3600s", origin="epoch")
+            .mean()
+            .interpolate("linear")
+        )
+        g = g.set_index("bucket")["value"].sort_index()
+        assert list(g.index) == list(e.index), key
+        for gv, ev in zip(g.tolist(), e.tolist()):
+            assert abs(gv - ev) < 1e-9, (key, gv, ev)
+
+
+def test_gapfill_interp_plan_no_following_frame(spark, events):
+    """Scale pin: the backward scan is a DESC running frame — the plan
+    must contain NO unboundedfollowing frame (O(n^2)-per-partition in
+    Spark) and no single-partition window."""
+    out = time_bucket_gapfill(
+        events, "ts", "value", 3600, by=["event_type"], agg="avg",
+        fill="interp",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
