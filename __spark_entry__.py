@@ -650,6 +650,32 @@ def q_applymap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_es_knn(spark, sf_dir) -> DataFrame:
+    """ES 8 ``knn`` retrieval through es_query (the reference forwards
+    these to the server; here they compile to a pre-filtered exact
+    cosine top-k — scan + TakeOrderedAndProject, the DSL filter pushed
+    to the scan). Oracle: the same filter + cosine ORDER BY LIMIT in
+    DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.to_spark().filter(F.col("vec_id") == 2).collect()[0][
+            "embedding"
+        ]
+    ]
+    out = emb.es_query(
+        {
+            "knn": {
+                "field": "embedding",
+                "query_vector": qvec,
+                "k": 10,
+                "filter": {"range": {"vec_id": {"gte": 5}}},
+            }
+        }
+    )
+    return out.to_spark().select("vec_id", "label")
+
+
 def q_gapfill_locf(spark, sf_dir) -> DataFrame:
     """Dense-calendar gap fill (operators/timeseries.time_bucket_gapfill
     — TimescaleDB time_bucket_gapfill / pandas resample().asfreq()
@@ -5162,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_extractall": q_str_extractall,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
+        "es_knn": q_es_knn,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6186,6 +6213,19 @@ def oracle_sql() -> dict[str, str]:
                        AS value
             FROM cal c
             LEFT JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+        """,
+        "es_knn": """
+            WITH q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 2
+            )
+            SELECT vec_id, label
+            FROM embeddings, q
+            WHERE vec_id >= 5
+            ORDER BY list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
+                     vec_id ASC
+            LIMIT 10
         """,
         "gapfill_interp": """
             WITH b AS (

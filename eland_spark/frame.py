@@ -501,15 +501,52 @@ class DataFrame:
         """Raw-query escape hatch (reference eland/dataframe.py:736-791,
         query_compiler.py:490-491): an ES query-DSL dict compiled to a
         Catalyst predicate (functions.es_dsl — stays pushdown-eligible),
-        or a SQL string for the relational-native spelling."""
+        or a SQL string for the relational-native spelling.
+
+        ES 8 ``knn`` retrieval sections (``{"knn": {"field",
+        "query_vector", "k", "num_candidates"?, "filter"?}}`` — the
+        search-API form the reference forwards to the server) are
+        RETRIEVALS, not predicates: they compile to a pre-filtered
+        brute-force cosine top-k (scan + TakeOrderedAndProject — no
+        full shuffle; the optional ``filter`` clause compiles through
+        the DSL compiler and pushes down to the scan). Swap in the
+        IVF/LSH operators explicitly for billion-vector corpora."""
         if isinstance(query, str):
             return self.query(query)
+        if isinstance(query, dict) and set(query) == {"knn"}:
+            return self._es_knn(query["knn"])
         from .functions.es_dsl import compile_es_dsl
 
         col = compile_es_dsl(
             query, self._schema.resolve, tuple(self._schema.index_cols)
         )
         return self._with(sdf=self._sdf.filter(col))
+
+    def _es_knn(self, body: dict) -> "DataFrame":
+        """Compile one ES knn section: optional DSL pre-filter, then
+        exact cosine top-k ordered by (similarity desc, index asc) for
+        a deterministic tie-break."""
+        from .functions.es_dsl import compile_es_dsl
+        from .operators.similarity import _vec_lit, cosine
+
+        field = self._schema.resolve(body["field"])
+        qvec = [float(x) for x in body["query_vector"]]
+        k = int(body.get("k", 10))
+        sdf = self._sdf
+        flt = body.get("filter")
+        if flt is not None:
+            clauses = flt if isinstance(flt, list) else [flt]
+            for c in clauses:
+                sdf = sdf.filter(
+                    compile_es_dsl(
+                        c, self._schema.resolve, tuple(self._schema.index_cols)
+                    )
+                )
+        sim = cosine(F.col(field), _vec_lit(qvec))
+        order = [sim.desc()] + [
+            F.col(c).asc() for c in self._schema.index_cols
+        ]
+        return self._with(sdf=sdf.orderBy(*order).limit(k))
 
     def es_match(
         self,

@@ -400,3 +400,58 @@ def test_more_like_this(spark):
     assert sorted(r.id for r in got2.to_spark().collect()) == [1, 2]
     with pytest.raises(ValueError, match="fields"):
         f.es_query({"more_like_this": {"like": "x"}})
+
+
+def test_es_knn_retrieval(spark):
+    """ES 8 knn sections through es_query: exact cosine top-k with the
+    DSL filter applied first. Plan pins: TakeOrderedAndProject (no full
+    sort/shuffle) and the range filter pushed to the parquet scan."""
+    import eland_spark as es
+    from pyspark.sql import functions as F
+
+    emb = es.read_parquet(
+        spark, "/root/testdata/sf0.001/embeddings.parquet", index_col="vec_id"
+    )
+    qvec = [
+        float(x)
+        for x in emb.to_spark().filter(F.col("vec_id") == 0).collect()[0][
+            "embedding"
+        ]
+    ]
+    out = emb.es_query(
+        {"knn": {"field": "embedding", "query_vector": qvec, "k": 5,
+                 "filter": {"range": {"vec_id": {"gte": 1}}}}}
+    )
+    rows = out.to_pandas()
+    assert len(rows) == 5
+    assert (rows["vec_id"] >= 1).all()
+
+    # brute-force reference: the same top-5 by cosine
+    import numpy as np
+
+    all_rows = emb.to_spark().filter("vec_id >= 1").select("vec_id", "embedding").collect()
+    q = np.array(qvec)
+    sims = sorted(
+        (
+            (
+                -float(
+                    np.dot(r["embedding"], q)
+                    / (np.linalg.norm(r["embedding"]) * np.linalg.norm(q))
+                ),
+                r["vec_id"],
+            )
+            for r in all_rows
+        )
+    )[:5]
+    assert sorted(rows["vec_id"].tolist()) == sorted(v for _, v in sims)
+
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    from eland_spark.plans import pushed_filters
+
+    pf = " ".join(pushed_filters(out.to_spark()))
+    assert "vec_id" in pf, pf
+
+    # knn without filter; k default
+    out2 = emb.es_query({"knn": {"field": "embedding", "query_vector": qvec}})
+    assert len(out2.to_pandas()) == 10
