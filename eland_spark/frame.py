@@ -2659,21 +2659,25 @@ def _concat_axis1(frames: list["DataFrame"], join: str = "outer") -> "DataFrame"
     out = first._projected()
     for i, f in enumerate(frames[1:], 1):
         p = f._projected()
-        # positional index rename onto the first frame's index names,
-        # then suffix colliding data columns
-        rmap = dict(zip(f._schema.index_cols, idx))
+        # suffix colliding DATA columns first, then rename the index
+        # cols onto the first frame's index names — in that order, so
+        # an index rename can never land on a still-unrenamed data
+        # column of the same name (duplicate-column ambiguity)
+        data_renames: dict[str, str] = {}
         for c in p.columns:
             if c in f._schema.index_cols:
                 continue
-            tgt = rmap.get(c, c)
+            tgt = c
             if tgt in seen:
                 tgt = f"{c}_{i}"
                 while tgt in seen:
                     tgt += "_"
             if tgt != c:
-                rmap[c] = tgt
+                data_renames[c] = tgt
             seen.add(tgt)
-        for old, new in rmap.items():
+        for old, new in data_renames.items():
+            p = p.withColumnRenamed(old, new)
+        for old, new in zip(f._schema.index_cols, idx):
             if old != new:
                 p = p.withColumnRenamed(old, new)
         l, r = out.alias("__l"), p.alias("__r")

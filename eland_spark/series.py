@@ -1533,9 +1533,11 @@ class StrAccessor:
     def strip(self) -> Series:
         return self._d(F.trim(self._s._expr), T.StringType())
 
-    def contains(self, pat: str, regex: bool = True) -> Series:
+    def contains(self, pat: str, regex: bool = True, flags: int = 0) -> Series:
         e = self._s._expr
-        expr = e.rlike(pat) if regex else e.contains(pat)
+        expr = (
+            e.rlike(self._java_pat(pat, flags)) if regex else e.contains(pat)
+        )
         return self._d(expr, T.BooleanType())
 
     def startswith(self, prefix: str) -> Series:
@@ -1716,13 +1718,21 @@ class StrAccessor:
         ]
 
     @staticmethod
-    def _java_pat(pat: str) -> str:
+    def _java_pat(pat: str, flags: int = 0) -> str:
         """Python named-group syntax ``(?P<name>...)`` -> Java's
         ``(?<name>...)`` (pandas accepts the Python spelling; the JVM
-        regex engine rejects it)."""
-        return re.sub(r"\(\?P<", "(?<", pat)
+        regex engine rejects it); ``re`` module flags -> the inline
+        ``(?imsx)`` prefix both engines understand."""
+        out = re.sub(r"\(\?P<", "(?<", pat)
+        inline = ""
+        for flag, ch in ((re.IGNORECASE, "i"), (re.MULTILINE, "m"),
+                         (re.DOTALL, "s"), (re.VERBOSE, "x")):
+            if flags & flag:
+                inline += ch
+        return f"(?{inline}){out}" if inline else out
 
-    def extract(self, pat: str, group: int | None = None, expand: bool = True):
+    def extract(self, pat: str, group: int | None = None, expand: bool = True,
+                flags: int = 0):
         """pandas ``str.extract``: capture groups of the FIRST match.
         With one group and ``expand=False`` returns a Series; otherwise
         a DataFrame with one column per group (named groups keep their
@@ -1733,7 +1743,7 @@ class StrAccessor:
         reads as null (Spark's regexp_extract cannot distinguish it
         from a non-participating group, which pandas reports as NaN)."""
         e = self._s._expr
-        jpat = self._java_pat(pat)
+        jpat = self._java_pat(pat, flags)
         if group is not None:
             g = F.regexp_extract(e, jpat, group)
             return self._d(F.when(g != "", g), T.StringType())
@@ -1756,7 +1766,7 @@ class StrAccessor:
             index_cols=parent._schema.index_cols,
         )
 
-    def extractall(self, pat: str):
+    def extractall(self, pat: str, flags: int = 0):
         """pandas ``str.extractall``: capture groups of EVERY
         non-overlapping match, one output row per match keyed by
         (index..., match) where ``match`` is the 0-based match number
@@ -1772,7 +1782,7 @@ class StrAccessor:
         e = self._s._expr
         parent = self._s._frame
         idx = [F.col(c) for c in parent._schema.index_cols]
-        jpat = self._java_pat(pat)
+        jpat = self._java_pat(pat, flags)
         zipped = F.arrays_zip(
             *[
                 F.regexp_extract_all(e, F.lit(jpat), i + 1).alias(f"g{i}")
@@ -1795,10 +1805,11 @@ class StrAccessor:
             out, index_cols=tuple(parent._schema.index_cols) + ("match",)
         )
 
-    def count(self, pat: str) -> Series:
+    def count(self, pat: str, flags: int = 0) -> Series:
         """Non-overlapping regex match count (pandas ``str.count``)."""
+        jp = self._java_pat(pat, flags)
         return self._d(
-            F.size(F.regexp_extract_all(self._s._expr, F.lit(f"({pat})"), 1)).cast(
+            F.size(F.regexp_extract_all(self._s._expr, F.lit(f"({jp})"), 1)).cast(
                 "long"
             ),
             T.LongType(),
@@ -2026,15 +2037,17 @@ class StrAccessor:
             F.regexp_replace(e, f"[{cls}]+$", ""), T.StringType()
         )
 
-    def match(self, pat: str) -> Series:
+    def match(self, pat: str, flags: int = 0) -> Series:
         """True when the string STARTS with a regex match (pandas
         ``str.match``)."""
-        return self._d(self._s._expr.rlike(f"^(?:{pat})"), T.BooleanType())
+        jp = self._java_pat(pat, flags)
+        return self._d(self._s._expr.rlike(f"^(?:{jp})"), T.BooleanType())
 
-    def fullmatch(self, pat: str) -> Series:
+    def fullmatch(self, pat: str, flags: int = 0) -> Series:
         """True when the ENTIRE string matches (pandas
         ``str.fullmatch``)."""
-        return self._d(self._s._expr.rlike(f"^(?:{pat})$"), T.BooleanType())
+        jp = self._java_pat(pat, flags)
+        return self._d(self._s._expr.rlike(f"^(?:{jp})$"), T.BooleanType())
 
     def find(self, sub: str) -> Series:
         """0-based position of the first occurrence, -1 when absent."""

@@ -464,3 +464,67 @@ def test_str_extractall_matches_pandas(spark):
     assert got2.index.tolist() == exp2.index.tolist()
     assert got2["0"].tolist() == exp2[0].tolist()
     assert got2["1"].tolist() == exp2[1].tolist()
+
+
+def test_concat_axis1_mismatched_index_names(spark):
+    """Frames align POSITIONALLY on index values even when the index
+    column NAMES differ, and a data column named like the target index
+    gets suffixed before the index rename lands (no duplicate-column
+    ambiguity)."""
+    from eland_spark.frame import concat
+
+    lp = pd.DataFrame({"_id": [1, 2], "v": [1.0, 2.0]})
+    rp = pd.DataFrame({"key": [2, 3], "_id": [90, 91], "w": [5.0, 6.0]})
+    el = EDF(spark.createDataFrame(lp, schema="_id bigint, v double"),
+             index_cols=("_id",))
+    er = EDF(
+        spark.createDataFrame(rp, schema="key bigint, _id bigint, w double"),
+        index_cols=("key",),
+    )
+    out = concat([el, er], axis=1).to_pandas().set_index("_id").sort_index()
+    # er's index 'key' aligned onto '_id'; er's DATA column '_id'
+    # suffixed to _id_1
+    assert set(out.columns) == {"v", "_id_1", "w"}
+    assert out.index.tolist() == [1, 2, 3]
+    assert out.loc[2, "w"] == 5.0 and out.loc[2, "v"] == 2.0
+    assert out.loc[3, "_id_1"] == 91.0
+    assert pd.isna(out.loc[1, "w"])
+
+
+def test_str_regex_flags_match_pandas(spark):
+    """re-module flags thread through contains/match/fullmatch/count/
+    extract/extractall as the inline (?imsx) prefix both regex engines
+    understand."""
+    import re as _re
+
+    vals = ["Alpha", "ALPHA beta", "gamma", None, "al\npha"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(len(vals))})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    ps = pdf.set_index("_id")["s"]
+
+    def eq(got, exp):
+        for g, e in zip(got.to_pandas().tolist(), exp.tolist()):
+            if e is None or (isinstance(e, float) and pd.isna(e)):
+                assert g is None or pd.isna(g), (g, e)
+            else:
+                assert g == e, (g, e)
+
+    eq(edf["s"].str.contains("alpha", flags=_re.I),
+       ps.str.contains("alpha", flags=_re.I))
+    eq(edf["s"].str.match("alpha", flags=_re.I),
+       ps.str.match("alpha", flags=_re.I))
+    eq(edf["s"].str.fullmatch("alpha", flags=_re.I),
+       ps.str.fullmatch("alpha", flags=_re.I))
+    eq(edf["s"].str.count("a", flags=_re.I), ps.str.count("a", flags=_re.I))
+    eq(edf["s"].str.extract(r"(al.ha)", expand=False, flags=_re.I | _re.S),
+       ps.str.extract(r"(al.ha)", expand=False, flags=_re.I | _re.S))
+    got = (
+        edf["s"].str.extractall(r"(a)", flags=_re.I)
+        .to_pandas(set_index=True).sort_index()
+    )
+    exp = ps.str.extractall(r"(a)", flags=_re.I).sort_index()
+    assert got.index.tolist() == exp.index.tolist()
+    assert got["0"].tolist() == exp[0].tolist()

@@ -498,7 +498,13 @@ def test_groupby_transform_matches_pandas(spark, rows, fn):
     exp = pdf.set_index("_id").sort_index().groupby("k")["a"].transform(fn)
     assert (got.isna() == exp.isna()).all()
     m = ~exp.isna()
-    assert (abs(got[m].astype(float) - exp[m].astype(float)) < 1e-9).all()
+    g, e = got[m].astype(float), exp[m].astype(float)
+    # mixed abs+rel tolerance: partial aggregation associates float
+    # sums differently from pandas' sequential/pairwise sum, so at
+    # magnitude M the achievable agreement is O(M * ulp), not an
+    # absolute 1e-9 (fuzz-found: sum of [8388609, 8388609, -1.9, -1]
+    # differs by 1.9e-9 between associations — both answers correct)
+    assert (abs(g - e) < 1e-9 + 1e-12 * abs(e)).all()
 
 
 @given(
