@@ -91,6 +91,12 @@ HEADLINE = [
     "zorder_cluster",
     "shard_by_budget",
     "allocate_budget",
+    # (ngram_jaccard is deliberately NOT a headline: its md5-portable
+    # hashing is the oracle-parity path — ~6x the xxhash64 fast path
+    # that minhash_near_dup already times here)
+    "gapfill_locf",
+    "cms_freq",
+    "es_knn",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

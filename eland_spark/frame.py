@@ -616,10 +616,32 @@ class DataFrame:
         return self._with(sdf=self._ordered_sdf(desc=True).limit(n))
 
     def sample(
-        self, n: int | None = None, frac: float | None = None, random_state: int = 42
+        self, n: int | None = None, frac: float | None = None,
+        random_state: int = 42, weights: str | None = None,
     ) -> "DataFrame":
         if n is not None and frac is not None:
             raise ValueError("pass either n or frac, not both")
+        if weights is not None:
+            # pandas sample(weights=col): probability proportional to
+            # the column, without replacement — Efraimidis-Spirakis
+            # exponential keys (operators/sampling.weighted_sample_n):
+            # one scan + TakeOrdered, no full sort; zero/negative
+            # weights never sampled (pandas drops zeros too).
+            # Deterministic via hash-derived uniforms (md5 of the index
+            # when one exists — engine-portable).
+            if frac is not None:
+                raise NotImplementedError(
+                    "sample(frac=, weights=) — pass n= with weights "
+                    "(a weighted fraction has no exact-size contract)"
+                )
+            from .operators.sampling import weighted_sample_n
+
+            wcol = self._schema.resolve(weights)
+            idc = self._schema.index_cols[0] if self._schema.index_cols else None
+            out = weighted_sample_n(
+                self._sdf, wcol, int(n or 5), seed=random_state, id_col=idc
+            )
+            return self._with(sdf=out)
         if frac is not None:
             return self._with(sdf=self._sdf.sample(fraction=frac, seed=random_state))
         # exact-n sample (reference returns exactly n,

@@ -528,3 +528,28 @@ def test_str_regex_flags_match_pandas(spark):
     exp = ps.str.extractall(r"(a)", flags=_re.I).sort_index()
     assert got.index.tolist() == exp.index.tolist()
     assert got["0"].tolist() == exp[0].tolist()
+
+
+def test_sample_weights(spark):
+    """sample(n, weights=col): exactly n rows, zero-weight rows never
+    sampled, heavy weights dominate over many seeds, deterministic for
+    a fixed seed."""
+    pdf = pd.DataFrame(
+        {
+            "_id": range(40),
+            "w": [1000.0] * 4 + [0.0] * 4 + [0.001] * 32,
+        }
+    )
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id bigint, w double"),
+        index_cols=("_id",),
+    )
+    got = edf.sample(n=4, weights="w", random_state=7).to_pandas()
+    assert len(got) == 4
+    assert not set(got["_id"]) & set(range(4, 8))  # zero weights excluded
+    # heavy rows (ids 0-3, weight 1e6x) should dominate the sample
+    assert len(set(got["_id"]) & set(range(4))) >= 3
+    again = edf.sample(n=4, weights="w", random_state=7).to_pandas()
+    assert sorted(got["_id"]) == sorted(again["_id"])  # deterministic
+    with pytest.raises(NotImplementedError):
+        edf.sample(frac=0.5, weights="w")
