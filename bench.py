@@ -237,14 +237,27 @@ def main() -> None:
             if "--threshold" in sys.argv
             else 1.3
         )
-        sys.exit(_compare(timings, prev_path, thr))
+        min_delta = (
+            float(sys.argv[sys.argv.index("--min-delta") + 1])
+            if "--min-delta" in sys.argv
+            else 0.2
+        )
+        sys.exit(_compare(timings, prev_path, thr, min_delta))
 
 
-def _compare(timings: dict, prev_path: str, threshold: float) -> int:
+def _compare(
+    timings: dict, prev_path: str, threshold: float, min_delta: float = 0.2
+) -> int:
     """Per-query regression report vs a previous bench JSON (accepts
     either the raw one-line output or the driver's BENCH_r{N}.json
     wrapper with a 'parsed' field). Returns a nonzero exit code when
-    any query slowed past ``threshold``x."""
+    any query slowed past ``threshold``x AND by more than
+    ``min_delta`` seconds — the absolute floor exists because
+    sub-0.5s queries swing +-0.15s between back-to-back quiet runs
+    (three r4 runs: window_topk_per_group 0.398/0.526/0.542s with an
+    identical plan), so a pure ratio gate flags a different small
+    query every run while a real regression on a heavy query clears
+    both bars."""
     with open(prev_path) as f:
         prev = json.load(f)
     if "parsed" in prev:
@@ -257,12 +270,13 @@ def _compare(timings: dict, prev_path: str, threshold: float) -> int:
             print(f"  {name}: {now:.3f}s (new)", file=sys.stderr)
             continue
         ratio = now / then
-        flag = " <-- REGRESSED" if ratio > threshold else ""
+        is_reg = ratio > threshold and (now - then) > min_delta
+        flag = " <-- REGRESSED" if is_reg else ""
         print(
             f"  {name}: {now:.3f}s vs {then:.3f}s ({ratio:.2f}x){flag}",
             file=sys.stderr,
         )
-        if ratio > threshold:
+        if is_reg:
             regressed.append(name)
     if regressed:
         print(
