@@ -650,6 +650,25 @@ def q_applymap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_json_normalize(spark, sf_dir) -> DataFrame:
+    """Flatten the events JSON ``props`` column into typed columns
+    (frame.json_normalize — pd.json_normalize's flat-record case):
+    schema-inferred from a bounded driver-side sample, then ONE
+    distributed from_json pass, zero shuffle, no Python. Aggregated per
+    event_type so the oracle checks the parsed values end-to-end."""
+    ev = _t(spark, sf_dir, "events", "event_id")
+    out = ev.json_normalize("props")
+    return (
+        out.to_spark()
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("k").cast("long").alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_es_knn(spark, sf_dir) -> DataFrame:
     """ES 8 ``knn`` retrieval through es_query (the reference forwards
     these to the server; here they compile to a pre-filtered exact
@@ -5189,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
         "es_knn": q_es_knn,
+        "json_normalize": q_json_normalize,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6213,6 +6233,13 @@ def oracle_sql() -> dict[str, str]:
                        AS value
             FROM cal c
             LEFT JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+        """,
+        "json_normalize": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "es_knn": """
             WITH q AS (

@@ -245,6 +245,79 @@ class DataFrame:
 
         return self._with(sdf=sdf, schema=_Schema(fields, self._schema.index_cols))
 
+    def json_normalize(
+        self,
+        column: str,
+        prefix: str | None = None,
+        schema: str | None = None,
+        sample_rows: int = 1000,
+        drop: bool = True,
+    ) -> "DataFrame":
+        """Flatten a JSON-string column into typed top-level columns
+        (``pd.json_normalize`` for the common flat-record case): parse
+        with ``from_json`` — ONE jsonified pass, zero shuffle — and
+        expand the struct's fields as ``{prefix}{field}`` columns.
+
+        The struct schema comes from ``schema`` (a DDL string like
+        ``'k BIGINT, tag STRING'``) when given; otherwise it is
+        INFERRED by reading a driver-side sample of ``sample_rows``
+        non-null values through ``spark.read.json`` — the sample is
+        bounded and happens once at build time, the parse itself is
+        distributed. At 100 TB pass ``schema`` explicitly (inference
+        reads a sample but a sparse late field could be missed).
+        Unparseable rows yield nulls (from_json PERMISSIVE default).
+        ``drop=True`` removes the raw JSON column."""
+        from .schema import Field as _Field
+        from .schema import Schema as _Schema
+
+        phys = self._schema.resolve(column)
+        if schema is not None:
+            st = T._parse_datatype_string(schema)
+        else:
+            sample = (
+                self._sdf.select(F.col(phys).alias("j"))
+                .filter(F.col(phys).isNotNull())
+                .limit(int(sample_rows))
+            )
+            spark = self._sdf.sparkSession
+            st = spark.read.json(
+                sample.rdd.map(lambda r: r["j"])
+            ).schema
+            st = T.StructType(
+                [f for f in st.fields if not f.name.startswith("_corrupt")]
+            )
+        if not isinstance(st, T.StructType) or not st.fields:
+            raise ValueError(
+                f"could not derive a struct schema for {column!r} — pass "
+                "schema='field TYPE, ...'"
+            )
+        pfx = prefix if prefix is not None else ""
+        tmp = "__jn__"
+        while tmp in self._sdf.columns:
+            tmp += "_"
+        sdf = self._sdf.withColumn(tmp, F.from_json(F.col(phys), st))
+        new_cols, new_fields = [], []
+        taken = set(self._sdf.columns) | set(self._schema.display_names)
+        for f in st.fields:
+            name = f"{pfx}{f.name}"
+            while name in taken:
+                name += "_"
+            taken.add(name)
+            new_cols.append((name, f))
+        for name, f in new_cols:
+            sdf = sdf.withColumn(name, F.col(f"{tmp}.{f.name}"))
+        sdf = sdf.drop(tmp)
+        fields = list(self._schema.fields)
+        if drop:
+            sdf = sdf.drop(phys)
+            fields = [f for f in fields if f.column_name != phys]
+        fields += [
+            _Field(name, name, f.dataType) for name, f in new_cols
+        ]
+        return self._with(
+            sdf=sdf, schema=_Schema(tuple(fields), self._schema.index_cols)
+        )
+
     def drop(
         self,
         labels=None,

@@ -553,3 +553,33 @@ def test_sample_weights(spark):
     assert sorted(got["_id"]) == sorted(again["_id"])  # deterministic
     with pytest.raises(NotImplementedError):
         edf.sample(frac=0.5, weights="w")
+
+
+def test_json_normalize(spark):
+    """json_normalize: inferred and explicit schemas, prefix, name
+    collisions, unparseable rows -> nulls, raw column kept/dropped."""
+    vals = ['{"a": 1, "b": "x"}', '{"a": 2}', "not json", None,
+            '{"a": 4, "b": "y", "extra": 9.5}']
+    pdf = pd.DataFrame({"_id": range(5), "j": vals, "a": [10] * 5})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="_id bigint, j string, a bigint"),
+        index_cols=("_id",),
+    )
+    out = edf.json_normalize("j")
+    # existing column 'a' collides -> parsed field suffixed
+    assert "a" in out.columns and "a_" in out.columns
+    got = out.to_pandas(set_index=True).sort_index()
+    assert got["a"].tolist() == [10] * 5
+    assert got["a_"].dropna().tolist() == [1, 2, 4]
+    assert got["b"].dropna().tolist() == ["x", "y"]
+    assert got["extra"].dropna().tolist() == [9.5]
+    assert "j" not in out.columns  # drop=True default
+
+    out2 = edf.json_normalize("j", prefix="p_", schema="a BIGINT, b STRING",
+                              drop=False)
+    assert {"p_a", "p_b", "j"} <= set(out2.columns)
+    g2 = out2.to_pandas(set_index=True).sort_index()
+    assert g2["p_a"].dropna().tolist() == [1, 2, 4]
+
+    with pytest.raises(ValueError, match="struct"):
+        edf.json_normalize("j", schema="BIGINT")
