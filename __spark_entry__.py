@@ -650,6 +650,36 @@ def q_applymap(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_merge_ordered(spark, sf_dir) -> DataFrame:
+    """Module-level ``merge_ordered`` (pandas parity): per-priority
+    daily order counts outer-merged with the market-wide daily average
+    price on the date key, forward-filled per priority — one broadcast
+    of the tiny group list, one null-safe outer equi-join, keyed
+    running-window fills (no global sort). Oracle replays the join +
+    last_value IGNORE NULLS fills."""
+    import eland_spark as es
+    from eland_spark.frame import DataFrame as EDF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = (
+        o.filter(F.col("o_orderdate") < F.lit("1992-03-01").cast("date"))
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    right = (
+        o.filter(F.col("o_orderdate") < F.lit("1992-03-01").cast("date"))
+        .groupBy("o_orderdate")
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+    out = es.merge_ordered(
+        EDF(left), EDF(right), on="o_orderdate",
+        left_by="o_orderpriority", fill_method="ffill",
+    )
+    return out.to_spark().select(
+        "o_orderpriority", "o_orderdate", "n_orders", "avg_price"
+    )
+
+
 def q_json_normalize(spark, sf_dir) -> DataFrame:
     """Flatten the events JSON ``props`` column into typed columns
     (frame.json_normalize — pd.json_normalize's flat-record case):
@@ -5209,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp": q_gapfill_interp,
         "es_knn": q_es_knn,
         "json_normalize": q_json_normalize,
+        "merge_ordered": q_merge_ordered,
         "pca_invariants": q_pca_invariants,
         "frame_apply": q_frame_apply,
         "applymap": q_applymap,
@@ -6233,6 +6264,35 @@ def oracle_sql() -> dict[str, str]:
                        AS value
             FROM cal c
             LEFT JOIN b ON b.event_type = c.event_type AND b.bucket = c.bucket
+        """,
+        "merge_ordered": """
+            WITH l AS (
+                SELECT o_orderpriority, o_orderdate,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders WHERE o_orderdate < DATE '1992-03-01'
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT o_orderdate, round(avg(o_totalprice), 4) AS avg_price
+                FROM orders WHERE o_orderdate < DATE '1992-03-01'
+                GROUP BY 1
+            ), rg AS (
+                SELECT g.o_orderpriority, r.o_orderdate, r.avg_price
+                FROM (SELECT DISTINCT o_orderpriority FROM l) g, r
+            ), j AS (
+                SELECT COALESCE(l.o_orderpriority, rg.o_orderpriority)
+                           AS o_orderpriority,
+                       COALESCE(l.o_orderdate, rg.o_orderdate) AS o_orderdate,
+                       l.n_orders, rg.avg_price
+                FROM l FULL OUTER JOIN rg
+                  ON l.o_orderpriority = rg.o_orderpriority
+                 AND l.o_orderdate = rg.o_orderdate
+            )
+            SELECT o_orderpriority, o_orderdate,
+                   last_value(n_orders IGNORE NULLS) OVER w AS n_orders,
+                   last_value(avg_price IGNORE NULLS) OVER w AS avg_price
+            FROM j
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "json_normalize": """
             SELECT event_type,

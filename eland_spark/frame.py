@@ -2789,3 +2789,68 @@ def _concat_axis1(frames: list["DataFrame"], join: str = "outer") -> "DataFrame"
         keep += [F.col(f"__r.{c}") for c in p.columns if c not in idx]
         out = l.join(r, cond, how).select(*keep)
     return DataFrame(out, index_cols=tuple(idx))
+
+
+def merge_ordered(
+    left: "DataFrame",
+    right: "DataFrame",
+    on: str,
+    left_by: "str | list[str] | None" = None,
+    fill_method: str | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+) -> "DataFrame":
+    """pandas ``merge_ordered``: an ordered OUTER merge on a sortable
+    key with optional group-wise forward fill — the time-series
+    spelling of merge ("align these two observation streams, then
+    carry values forward").
+
+    ``left_by``: group columns taken from the LEFT frame; pandas
+    merges ``right`` into EACH left group, so right rows replicate per
+    group — implemented as one broadcast join of the (tiny) distinct
+    group list onto right, then a single null-safe outer equi-join on
+    (groups..., on). ``fill_method='ffill'`` forward-fills every data
+    column per group in key order: keyed running unbounded-PRECEDING
+    windows sharing one exchange — never a global sort or a
+    single-partition window. Result index: (groups..., on).
+    """
+    if fill_method not in (None, "ffill"):
+        raise ValueError("fill_method must be None or 'ffill'")
+    by = (
+        [left_by] if isinstance(left_by, str) else list(left_by or [])
+    )
+    lsdf = left._projected()
+    rsdf = right._projected()
+    # disambiguate non-key collisions like pandas (suffixes)
+    shared = (set(lsdf.columns) & set(rsdf.columns)) - {on} - set(by)
+    for c in shared:
+        lsdf = lsdf.withColumnRenamed(c, f"{c}{suffixes[0]}")
+        rsdf = rsdf.withColumnRenamed(c, f"{c}{suffixes[1]}")
+    if by:
+        groups = lsdf.select(*by).distinct()
+        rsdf = rsdf.join(F.broadcast(groups))
+    keys = [*by, on]
+    cond = None
+    l, r = lsdf.alias("__l"), rsdf.alias("__r")
+    for k in keys:
+        c = F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+        cond = c if cond is None else (cond & c)
+    folded = [
+        F.coalesce(F.col(f"__l.{k}"), F.col(f"__r.{k}")).alias(k)
+        for k in keys
+    ]
+    lcols = [F.col(f"__l.{c}") for c in lsdf.columns if c not in keys]
+    rcols = [F.col(f"__r.{c}") for c in rsdf.columns if c not in keys]
+    out = l.join(r, cond, "full").select(*folded, *lcols, *rcols)
+    if fill_method == "ffill":
+        from pyspark.sql import Window as _W
+
+        w = (
+            _W.partitionBy(*by)
+            .orderBy(on)
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        )
+        for c in out.columns:
+            if c in keys:
+                continue
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return DataFrame(out, index_cols=tuple(keys))

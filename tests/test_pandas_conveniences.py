@@ -583,3 +583,34 @@ def test_json_normalize(spark):
 
     with pytest.raises(ValueError, match="struct"):
         edf.json_normalize("j", schema="BIGINT")
+
+
+def test_merge_ordered_matches_pandas(spark):
+    """merge_ordered vs pandas: per-group replication of the right
+    frame, ordered outer alignment, group-wise ffill, suffixing of
+    colliding columns."""
+    import eland_spark as es
+
+    lp = pd.DataFrame(
+        {"g": ["a", "a", "b", "b"], "t": [1, 3, 1, 4],
+         "v": [10.0, 30.0, 100.0, 400.0]}
+    )
+    rp = pd.DataFrame({"t": [2, 3], "v": [0.2, 0.3]})
+    el = EDF(spark.createDataFrame(lp))
+    er = EDF(spark.createDataFrame(rp))
+
+    got = (
+        es.merge_ordered(el, er, on="t", left_by="g", fill_method="ffill")
+        .to_pandas(set_index=True).sort_index()
+    )
+    exp = (
+        pd.merge_ordered(lp, rp, on="t", left_by="g", fill_method="ffill")
+        .set_index(["g", "t"]).sort_index()
+    )
+    assert list(got.columns) == list(exp.columns) == ["v_x", "v_y"]
+    for c in exp.columns:
+        for g, e in zip(got[c].tolist(), exp[c].tolist()):
+            assert (g == e) or (pd.isna(e) and (g is None or pd.isna(g))), (c, g, e)
+
+    with pytest.raises(ValueError, match="fill_method"):
+        es.merge_ordered(el, er, on="t", fill_method="bfill")
