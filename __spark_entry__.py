@@ -6351,7 +6351,7 @@ def oracle_sql() -> dict[str, str]:
                               THEN pv + (nv - pv)
                                    * (epoch(bucket) - epoch(pb))
                                    / (epoch(nb) - epoch(pb))
-                              ELSE COALESCE(pv, nv) END, 6) AS value
+                              ELSE pv END, 6) AS value
             FROM j
         """,
         "str_extractall": """

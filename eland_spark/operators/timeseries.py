@@ -58,10 +58,11 @@ def time_bucket_gapfill(
     ``fill``: ``'null'`` (empty buckets keep null), ``'zero'``,
     ``'locf'`` (last observation carried forward; leading gaps stay
     null), or ``'interp'`` (linear interpolation between the
-    surrounding observations — TimescaleDB ``interpolate()``; interior
-    gaps only, and since the calendar spans each series' first..last
-    observation there are no edge gaps). Returns
-    (by..., bucket, <value_col>).
+    surrounding VALUES, pandas ``interpolate(limit_direction=
+    'forward')`` semantics: interior gaps lerp, gaps after the last
+    value hold it, gaps before the first stay null — edge gaps exist
+    when a span-edge bucket holds only null-valued observations).
+    Returns (by..., bucket, <value_col>).
 
     The interp fill needs both neighbors: the FORWARD scan is a keyed
     running unbounded-PRECEDING window, and the BACKWARD scan is a
@@ -132,11 +133,14 @@ def time_bucket_gapfill(
         nb = F.last(obs_b, ignorenulls=True).over(bwd)
         span = F.timestamp_diff("SECOND", pb, nb).cast("double")
         frac = F.timestamp_diff("SECOND", pb, F.col("bucket")) / span
+        # pandas interpolate (limit_direction='forward') semantics:
+        # interior gaps lerp, gaps AFTER the last observation hold the
+        # last value, gaps BEFORE the first stay null (no back-fill)
         out_v = F.when(F.col("__v__").isNotNull(), F.col("__v__")).otherwise(
             F.when(
                 pv.isNotNull() & nv.isNotNull() & (span > 0),
                 pv + (nv - pv) * frac,
-            ).otherwise(F.coalesce(pv, nv))
+            ).otherwise(pv)
         )
     else:
         out_v = F.col("__v__")

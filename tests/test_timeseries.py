@@ -123,3 +123,51 @@ def test_gapfill_interp_plan_no_following_frame(spark, events):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "unboundedfollowing" not in plan.lower(), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_gapfill_fuzz_vs_pandas(spark):
+    """Randomized gapfill differential: random (group, epoch, value)
+    observations incl. null values and single-observation series, all
+    three fills, vs pandas resample(origin='epoch')."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(77)
+    for trial in range(8):
+        n = rng.randint(1, 60)
+        rows = [
+            (
+                rng.choice(["g1", "g2", "g3"]),
+                rng.randint(0, 3600 * 50),
+                None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3),
+            )
+            for _ in range(n)
+        ]
+        pdf = pd.DataFrame(rows, columns=["g", "epoch", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s")
+        sdf = spark.createDataFrame(
+            pdf[["g", "ts", "v"]], schema="g string, ts timestamp_ntz, v double"
+        )
+        for fill in ("null", "locf", "interp"):
+            got = time_bucket_gapfill(
+                sdf, "ts", "v", 3600, by=["g"], agg="avg", fill=fill
+            ).toPandas()
+            for key, gg in got.groupby("g"):
+                sub = pdf[pdf["g"] == key]
+                e = sub.set_index("ts")["v"].resample("3600s", origin="epoch").mean()
+                # pandas resample spans min..max OBSERVATION buckets
+                if fill == "locf":
+                    e = e.ffill()
+                elif fill == "interp":
+                    e = e.interpolate("linear")
+                    # pandas interpolate also extrapolates nothing but
+                    # ffills trailing gaps after the last obs; gapfill
+                    # falls back to the single surviving neighbor too
+                gser = gg.set_index("bucket")["v"].sort_index()
+                assert list(gser.index) == list(e.index), (trial, fill, key)
+                for gv, ev in zip(gser.tolist(), e.tolist()):
+                    if pd.isna(ev):
+                        assert gv is None or pd.isna(gv), (trial, fill, key, gv, ev)
+                    else:
+                        assert abs(gv - ev) < 1e-9, (trial, fill, key, gv, ev)
