@@ -1815,6 +1815,37 @@ class StrAccessor:
             T.LongType(),
         )
 
+    def translate(self, table: dict) -> Series:
+        """pandas ``str.translate`` for the 1:1/deletion subset a
+        ``str.maketrans`` table usually is: single-char-to-single-char
+        mappings and ``None`` deletions compile to ONE JVM
+        ``translate`` call (codegen, zero shuffle). Multi-char
+        replacement strings raise — that shape needs a replace chain."""
+        src, dst = [], []
+        dels = []
+        for k, v in table.items():
+            ch = chr(k) if isinstance(k, int) else str(k)
+            if len(ch) != 1:
+                raise ValueError(f"translate keys must be single chars: {ch!r}")
+            if v is None:
+                dels.append(ch)
+                continue
+            sv = chr(v) if isinstance(v, int) else str(v)
+            if len(sv) != 1:
+                raise ValueError(
+                    "translate supports 1:1 mappings and deletions only; "
+                    f"got {ch!r} -> {sv!r} (use str.replace for multi-char)"
+                )
+            src.append(ch)
+            dst.append(sv)
+        # deletions go LAST: Spark translate drops chars with no
+        # replacement position
+        matching = "".join(src) + "".join(dels)
+        replace = "".join(dst)
+        return self._d(
+            F.translate(self._s._expr, matching, replace), T.StringType()
+        )
+
     def pad(self, width: int, side: str = "left", fillchar: str = " ") -> Series:
         e = self._s._expr
         if side == "left":

@@ -614,3 +614,20 @@ def test_merge_ordered_matches_pandas(spark):
 
     with pytest.raises(ValueError, match="fill_method"):
         es.merge_ordered(el, er, on="t", fill_method="bfill")
+
+
+def test_str_translate_matches_python(spark):
+    """str.translate: 1:1 maps + deletions via one JVM translate."""
+    vals = ["abcabc", "xyz", "", None, "aXbXc"]
+    pdf = pd.DataFrame({"s": pd.Series(vals, dtype="object"), "_id": range(5)})
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="s string, _id bigint"),
+        index_cols=("_id",),
+    )
+    table = str.maketrans({"a": "1", "b": None, "X": "_"})
+    got = edf["s"].str.translate(table).to_pandas().tolist()
+    exp = [None if v is None else v.translate(table) for v in vals]
+    assert got == exp
+
+    with pytest.raises(ValueError, match="1:1"):
+        edf["s"].str.translate(str.maketrans({"a": "long"}))
