@@ -5168,6 +5168,130 @@ def _mlt_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# data-quality verification / profiling (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def q_quality_suite(spark, sf_dir) -> DataFrame:
+    """Deequ-style constraint suite (Schelter et al., VLDB 2018) on
+    lineitem: completeness/min/max/mean/size/compliance/containment in
+    ONE full-scan aggregation, plus a keyed uniqueness aggregation and
+    a broadcast referential-integrity join against orders. Thresholds
+    chosen for a pass/fail mix on the synthetic data (max(l_discount)
+    is 0.1 > 0.08; qty<=30 holds for only ~60% of rows; the
+    (l_orderkey, l_linenumber) pair is intentionally non-unique)."""
+    from eland_spark.operators.quality import Check, verify
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    orders = _t(spark, sf_dir, "orders").to_spark()
+    check = (
+        Check("lineitem integrity")
+        .is_complete("l_orderkey")
+        .has_min("l_quantity", 1.0)
+        .has_max("l_discount", 0.08)
+        .has_mean("l_discount", between=(0.04, 0.06))
+        .has_size(between=(1000, 1e12))
+        .is_contained_in("l_returnflag", ["A", "N", "R"])
+        .satisfies("l_extendedprice > 0", "positive_price")
+        .satisfies("l_quantity <= 30", "qty_le_30", min_ratio=0.95)
+        .is_unique("l_orderkey", "l_linenumber")
+        .is_referenced_in("l_orderkey", orders, "o_orderkey")
+    )
+    return verify(li, check)
+
+
+def _quality_suite_oracle_sql() -> str:
+    def row(label, metric, passed):
+        lit = label.replace("'", "''")
+        return (f"SELECT '{lit}' AS \"constraint\", "
+                f"round({metric}, 6) AS metric, ({passed}) AS passed "
+                f"FROM lineitem")
+
+    m_comp = "avg(CASE WHEN l_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+    m_min = "min(CAST(l_quantity AS DOUBLE))"
+    m_max = "max(CAST(l_discount AS DOUBLE))"
+    m_mean = "avg(l_discount)"
+    m_size = "CAST(count(*) AS DOUBLE)"
+    m_cont = ("avg(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'), "
+              "FALSE) THEN 1.0 ELSE 0.0 END)")
+    m_pos = ("avg(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) "
+             "THEN 1.0 ELSE 0.0 END)")
+    m_qty = ("avg(CASE WHEN COALESCE(l_quantity <= 30, FALSE) "
+             "THEN 1.0 ELSE 0.0 END)")
+    scalar = " UNION ALL ".join([
+        row("completeness(l_orderkey)", m_comp, f"{m_comp} >= 1.0"),
+        row("min(l_quantity)", m_min, f"{m_min} >= 1.0"),
+        row("max(l_discount)", m_max, f"{m_max} <= 0.08"),
+        row("mean(l_discount)", m_mean,
+            f"{m_mean} >= 0.04 AND {m_mean} <= 0.06"),
+        row("size()", m_size, f"{m_size} >= 1000 AND {m_size} <= 1e12"),
+        row("compliance(l_returnflag IN ('A', 'N', 'R'))", m_cont,
+            f"{m_cont} >= 1.0"),
+        row("compliance(positive_price)", m_pos, f"{m_pos} >= 1.0"),
+        row("compliance(qty_le_30)", m_qty, f"{m_qty} >= 0.95"),
+    ])
+    return f"""
+        WITH keyed AS (
+            SELECT count(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber
+        ), uniq AS (
+            SELECT CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / sum(n) AS u
+            FROM keyed
+        ), refd AS (
+            SELECT avg(CASE WHEN d.__dk__ IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                   AS c
+            FROM (SELECT l_orderkey FROM lineitem
+                  WHERE l_orderkey IS NOT NULL) f
+            LEFT JOIN (SELECT DISTINCT o_orderkey AS __dk__ FROM orders
+                       WHERE o_orderkey IS NOT NULL) d
+              ON f.l_orderkey = d.__dk__
+        )
+        {scalar}
+        UNION ALL
+        SELECT 'uniqueness(l_orderkey, l_linenumber)' AS "constraint",
+               round(u, 6) AS metric, (u >= 1.0) AS passed FROM uniq
+        UNION ALL
+        SELECT 'referenced(l_orderkey -> o_orderkey)' AS "constraint",
+               round(c, 6) AS metric, (c >= 1.0) AS passed FROM refd
+    """
+
+
+def q_profile_table(spark, sf_dir) -> DataFrame:
+    """Single-pass column profiler over lineitem (exact distinct so the
+    oracle replays it; approx_count_distinct is the 100 TB variant):
+    one aggregation row carrying completeness/distinct/min/max/mean/
+    avg_len for every profiled column, exploded to one row per column."""
+    from eland_spark.operators.quality import profile
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    return profile(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+
+
+def _profile_table_oracle_sql() -> str:
+    def col_sql(c, dtype, mean, avg_len):
+        return f"""
+        SELECT '{c}' AS "column", '{dtype}' AS dtype,
+               round(avg(CASE WHEN {c} IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+                   AS completeness,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value,
+               {mean} AS mean, {avg_len} AS avg_len
+        FROM lineitem"""
+
+    null_d = "CAST(NULL AS DOUBLE)"
+    return " UNION ALL ".join([
+        col_sql("l_orderkey", "bigint", "round(avg(l_orderkey), 6)", null_d),
+        col_sql("l_quantity", "double", "round(avg(l_quantity), 6)", null_d),
+        col_sql("l_returnflag", "string", null_d,
+                "round(avg(length(l_returnflag)), 6)"),
+        col_sql("l_shipdate", "timestamp_ntz", null_d, null_d),
+    ])
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5387,6 +5511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_classifier": q_train_classifier,
         "rollup_topk": q_rollup_topk,
         "ann_pq": q_ann_pq,
+        "quality_suite": q_quality_suite,
+        "profile_table": q_profile_table,
     }
 
 
@@ -7562,4 +7688,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(part_id AS BIGINT) AS part_id, part
             FROM p WHERE length(trim(part)) > 0
         """,
+        "quality_suite": _quality_suite_oracle_sql(),
+        "profile_table": _profile_table_oracle_sql(),
     }

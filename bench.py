@@ -192,12 +192,16 @@ def main() -> None:
     # thread pool, parquet footer cache) on an untimed pass
     queries[HEADLINE[0]](spark, SF_DIR).collect()
 
-    # Two timed runs per query, report the MIN: the steady-state number a
+    # Three timed runs per query, report the MIN: the steady-state number a
     # long-lived cluster sees (same rationale as the warmup block — the
     # first run can still pay Janino codegen for query-specific generated
     # classes, e.g. literal-baked vector folds, and absorbs scheduler
-    # noise; min-of-2 measures the plan, not the JIT).
-    RUNS = 2
+    # noise; min-of-N measures the plan, not the JIT). Three rather than
+    # two because this VM shows bursty hypervisor steal: back-to-back
+    # full passes at r4 varied 61→83→80 s with disjoint >1.3× "regression"
+    # sets (even a bare semi_join hit 3×), so a 2-run min still lets one
+    # noisy pair through; a third sample makes the min materially stabler.
+    RUNS = 3
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
