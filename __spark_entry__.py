@@ -5292,6 +5292,105 @@ def _profile_table_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# graph centrality (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS, _PR_DAMP = 3, 0.85
+
+
+def _part_supplier_edges(spark, sf_dir):
+    """Undirected part<->supplier bipartite graph from lineitem:
+    namespaced node ids, both edge directions."""
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    fwd = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """PageRank (Page et al. 1999), fixed 3-round power iteration over
+    the part<->supplier graph — the host-centrality prior a web-crawl
+    curation pipeline attaches next to its text-quality gates. The
+    graph is undirected so every node has out-edges and the dangling
+    term is identically zero; the oracle replays the same 3 unrolled
+    rounds."""
+    from eland_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _part_supplier_edges(spark, sf_dir),
+        iterations=_PR_ITERS, damping=_PR_DAMP,
+    )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle_sql() -> str:
+    d, k = _PR_DAMP, _PR_ITERS
+    parts = [f"""
+        WITH e AS (
+            SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem
+            UNION
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), odeg AS (
+            SELECT src AS node, count(*) AS od FROM e GROUP BY src
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), r0 AS (
+            SELECT nodes.node, odeg.od, 1.0 / nn.n AS rank
+            FROM nodes JOIN odeg USING (node), nn
+        )"""]
+    prev = "r0"
+    for i in range(1, k + 1):
+        parts.append(f""", c{i} AS (
+            SELECT e.dst AS node, sum({prev}.rank / {prev}.od) AS inc
+            FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst
+        ), r{i} AS (
+            SELECT nodes.node, odeg.od,
+                   (1 - {d}) / nn.n + {d} * COALESCE(c{i}.inc, 0) AS rank
+            FROM nodes JOIN odeg USING (node)
+            LEFT JOIN c{i} USING (node), nn
+        )""")
+        prev = f"r{i}"
+    parts.append(f"\nSELECT node, round(rank, 9) AS rank FROM {prev}")
+    return "".join(parts)
+
+
+def q_graph_degrees(spark, sf_dir) -> DataFrame:
+    """Per-node in/out degree of the directed part->supplier edge set
+    (distinct edges) — one explode + one hash aggregation."""
+    from eland_spark.operators.graph import degrees
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    e = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    return degrees(e)
+
+
+def _graph_degrees_oracle_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem
+        ), b AS (
+            SELECT src AS node, 1 AS is_out FROM e
+            UNION ALL
+            SELECT dst AS node, 0 AS is_out FROM e
+        )
+        SELECT node, CAST(sum(is_out) AS BIGINT) AS out_degree,
+               CAST(sum(1 - is_out) AS BIGINT) AS in_degree
+        FROM b GROUP BY node
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5513,6 +5612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "quality_suite": q_quality_suite,
         "profile_table": q_profile_table,
+        "pagerank": q_pagerank,
+        "graph_degrees": q_graph_degrees,
     }
 
 
@@ -7690,4 +7791,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_suite": _quality_suite_oracle_sql(),
         "profile_table": _profile_table_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
+        "graph_degrees": _graph_degrees_oracle_sql(),
     }
