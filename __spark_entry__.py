@@ -2163,6 +2163,57 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
 
 
+def q_editdist_near_dup(spark, sf_dir) -> DataFrame:
+    """Edit-distance VERIFICATION of MinHash+LSH candidates — the
+    character-level twin of q_ngram_jaccard for near-dup families
+    where token shingles are too coarse (whitespace-mangled or
+    template-edited docs). Same scale-safe shape: banded equi-join
+    candidates, pairwise Levenshtein only on those pairs. All-integer
+    arithmetic, so the md5-portable candidate set + DuckDB's
+    levenshtein() replay it exactly."""
+    from eland_spark.operators.dedup import edit_similarity, minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    cands = minhash_candidate_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=64, bands=16, portable=True
+    ).select("id_a", "id_b")
+    txt = docs.to_spark().select("doc_id", "text")
+    ta = txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta__"))
+    tb = txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb__"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            edit_similarity(F.col("__ta__"), F.col("__tb__")).alias("__s__"),
+        )
+        .filter(F.col("__s__") >= 0.2)  # exact integer arithmetic; the
+        # oracle applies the same unrounded gate, so no margin anywhere
+        .select("id_a", "id_b", F.round("__s__", 6).alias("edit_sim"))
+    )
+
+
+def _editdist_near_dup_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.2
+) -> str:
+    """Portable-md5 MinHash candidates (shared CTEs) + exact
+    levenshtein verification. Candidates are identical by construction
+    (both engines run the same md5 pipeline), and the similarity is
+    integer arithmetic — no margin dependence anywhere."""
+    ctes, _ = _minhash_cand_ctes(num_hashes, bands, k)
+    sim = ("CASE WHEN greatest(length(a.text), length(b2.text)) > 0 "
+           "THEN 1.0 - levenshtein(a.text, b2.text) * 1.0 / "
+           "greatest(length(a.text), length(b2.text)) ELSE 1.0 END")
+    return f"""
+        WITH {ctes}
+        SELECT c.id_a, c.id_b, round({sim}, 6) AS edit_sim
+        FROM cand c
+        JOIN documents a ON a.doc_id = c.id_a
+        JOIN documents b2 ON b2.doc_id = c.id_b
+        WHERE {sim} >= {threshold}
+    """
+
+
 def q_mixture_sample(spark, sf_dir) -> DataFrame:
     """Weighted dataset mixture plumbing; weights of 1.0 make the
     mixture deterministic (pure unionByName), so the oracle checks the
@@ -5614,6 +5665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "pagerank": q_pagerank,
         "graph_degrees": q_graph_degrees,
+        "editdist_near_dup": q_editdist_near_dup,
     }
 
 
@@ -7793,4 +7845,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _profile_table_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "graph_degrees": _graph_degrees_oracle_sql(),
+        "editdist_near_dup": _editdist_near_dup_oracle_sql(),
     }

@@ -746,6 +746,20 @@ def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def edit_similarity(a: Column, b: Column) -> Column:
+    """Normalized edit similarity ``1 - levenshtein(a, b) / max(len)``
+    — 1.0 for identical strings, 0.0 for fully dissimilar, and (by
+    convention) 1.0 when both are empty. Integer arithmetic end to
+    end, so any engine with a classic Levenshtein reproduces it
+    exactly. Like ``ngram_jaccard``, this is a pairwise VERIFIER:
+    O(|a|*|b|) per pair, so feed it LSH candidates
+    (``minhash_candidate_pairs``), never a corpus cross join."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(
+        mx > 0, F.lit(1.0) - F.levenshtein(a, b) / mx
+    ).otherwise(F.lit(1.0))
+
+
 def snapshot_diff(
     old_sdf,
     new_sdf,

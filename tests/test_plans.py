@@ -731,10 +731,13 @@ def test_ngram_jaccard_never_cartesian(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = m.queries()["ngram_jaccard"](spark, SF)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, plan
-        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # editdist_near_dup shares the candidate-then-verify shape and
+        # the same pin (its verifier is pairwise Levenshtein instead)
+        for name in ("ngram_jaccard", "editdist_near_dup"):
+            df = m.queries()[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

@@ -283,3 +283,32 @@ def test_groupby_rank_matches_pandas(spark):
                 .to_numpy(dtype="float64")
             )
             assert np.allclose(got, exp, equal_nan=True), (method, pct, got, exp)
+
+
+def test_edit_similarity_semantics(spark):
+    """edit_similarity: 1 - lev/max(len), empty-empty -> 1.0, checked
+    against python-computed Levenshtein on hand cases."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.dedup import edit_similarity
+
+    cases = [
+        ("kitten", "sitting", 3),   # classic
+        ("abc", "abc", 0),
+        ("", "", None),             # convention: 1.0
+        ("", "abcd", 4),
+        ("ab", "ba", 2),
+    ]
+    pdf = pd.DataFrame(
+        [(a, b) for a, b, _ in cases], columns=["a", "b"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select("a", "b", edit_similarity(F.col("a"), F.col("b")).alias("s"))
+        .collect()
+    )
+    by_pair = {(r["a"], r["b"]): r["s"] for r in got}
+    for a, b, lev in cases:
+        want = 1.0 if lev is None else 1.0 - lev / max(len(a), len(b))
+        assert by_pair[(a, b)] == want, (a, b)
