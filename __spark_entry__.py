@@ -5442,6 +5442,82 @@ def _graph_degrees_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# rolling anomaly detection (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def q_rolling_zscore(spark, sf_dir) -> DataFrame:
+    """Per-user rolling z-score over events.value: each point scored
+    against its 20 trailing predecessors (self excluded), flagged at
+    |z| >= 2.5. (event_id tiebreaks equal timestamps so the frame —
+    and the score — is a pure function of the data.) One hash exchange
+    on user_id, O(window) state per row."""
+    from eland_spark.operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    out = rolling_zscore(
+        ev.select("event_id", "ts", "user_id", "value"),
+        "value", ["ts", "event_id"], by="user_id",
+        window=20, min_periods=5, threshold=2.5,
+    )
+    return out.where(F.col("is_anomaly")).select("event_id", "user_id", "zscore")
+
+
+def _rolling_zscore_oracle_sql() -> str:
+    return """
+        WITH scored AS (
+            SELECT event_id, user_id,
+                   round(CASE WHEN count(value) OVER w >= 5
+                              AND stddev_samp(value) OVER w > 0
+                         THEN (value - avg(value) OVER w)
+                              / stddev_samp(value) OVER w END, 6) AS zscore
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, zscore FROM scored
+        WHERE abs(zscore) >= 2.5
+    """
+
+
+def q_wide_to_long(spark, sf_dir) -> DataFrame:
+    """pandas wide_to_long parity: pivot per-supplier quantity sums to
+    wide qty_A/qty_N/qty_R columns, then unpivot back with the stub
+    machinery (string suffixes, null for absent combos). The expansion
+    is a per-row explode — zero shuffle beyond the pivot's own agg."""
+    import eland_spark as es
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    wide = (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    wide = wide.select(
+        "l_suppkey", *[F.col(f).alias(f"qty_{f}") for f in ["A", "N", "R"]]
+    )
+    out = es.wide_to_long(
+        es.DataFrame(wide), "qty", i="l_suppkey", j="flag",
+        sep="_", suffix="[ANR]",
+    )
+    return out.to_spark().select("l_suppkey", "flag", "qty")
+
+
+def _wide_to_long_oracle_sql() -> str:
+    return """
+        WITH s AS (SELECT DISTINCT l_suppkey FROM lineitem),
+        f AS (SELECT unnest(['A', 'N', 'R']) AS flag),
+        agg AS (
+            SELECT l_suppkey, l_returnflag AS flag,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s.l_suppkey, f.flag, agg.qty
+        FROM s CROSS JOIN f
+        LEFT JOIN agg USING (l_suppkey, flag)
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5666,6 +5742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "graph_degrees": q_graph_degrees,
         "editdist_near_dup": q_editdist_near_dup,
+        "rolling_zscore": q_rolling_zscore,
+        "wide_to_long": q_wide_to_long,
     }
 
 
@@ -7846,4 +7924,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "graph_degrees": _graph_degrees_oracle_sql(),
         "editdist_near_dup": _editdist_near_dup_oracle_sql(),
+        "rolling_zscore": _rolling_zscore_oracle_sql(),
+        "wide_to_long": _wide_to_long_oracle_sql(),
     }

@@ -22,7 +22,7 @@ from .etl import (
     write_sorted,
     write_zordered,
 )
-from .frame import DataFrame, concat, merge_ordered
+from .frame import DataFrame, concat, merge_ordered, wide_to_long
 from .groupby import DataFrameGroupBy
 from .index import Index
 from .schema import Field, Schema
@@ -61,6 +61,7 @@ __all__ = [
     "NDFrame",
     "SortOrder",
     "concat",
+    "wide_to_long",
     "merge_ordered",
     "pandas_to_eland",
     "eland_to_pandas",

@@ -2854,3 +2854,81 @@ def merge_ordered(
                 continue
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return DataFrame(out, index_cols=tuple(keys))
+
+
+def wide_to_long(
+    df: "DataFrame",
+    stubnames,
+    i,
+    j: str,
+    sep: str = "",
+    suffix: str = r"\d+",
+) -> "DataFrame":
+    """pandas ``pd.wide_to_long``: unpivot repeated-measure columns
+    ``{stub}{sep}{suffix}`` into long format keyed by (``i``, ``j``).
+
+    Pandas-parity points (pinned in tests/test_pandas_conveniences.py):
+    the ``j`` column converts to int when EVERY captured suffix parses
+    as an integer (else stays string); stub/suffix combinations with no
+    matching column fill with null; non-stub columns ride along
+    unchanged. The stub x suffix grid is known at PLAN time from the
+    column names, so the expansion is a per-row ``explode`` of
+    #suffixes structs — Generate-style, zero shuffle at any scale
+    (same shape as :meth:`DataFrame.melt`).
+    """
+    import re as _re
+
+    stubs = [stubnames] if isinstance(stubnames, str) else list(stubnames)
+    ids = [i] if isinstance(i, str) else list(i)
+    if not stubs or not ids:
+        raise ValueError("wide_to_long needs stubnames and i")
+    pats = {
+        s: _re.compile("^" + _re.escape(s) + _re.escape(sep) + f"({suffix})$")
+        for s in stubs
+    }
+    names = df._schema.display_names
+    for c in ids:
+        if c not in names:
+            raise KeyError(c)
+    grid: dict[str, dict[str, str]] = {}
+    consumed: set[str] = set()
+    for c in names:
+        if c in ids:
+            continue
+        for s in stubs:
+            m = pats[s].match(c)
+            if m:
+                grid.setdefault(m.group(1), {})[s] = c
+                consumed.add(c)
+                break
+    if not grid:
+        raise ValueError(
+            f"no columns match stubnames {stubs!r} with sep={sep!r} "
+            f"suffix={suffix!r}"
+        )
+    try:
+        order = sorted(grid, key=int)
+        j_lit = lambda k: F.lit(int(k))  # noqa: E731
+    except ValueError:
+        order = sorted(grid)
+        j_lit = lambda k: F.lit(k)  # noqa: E731
+
+    res = df._schema.resolve
+    passthrough = [c for c in names if c not in consumed and c not in ids]
+    structs = []
+    for k in order:
+        fields = [j_lit(k).alias(j)]
+        for s in stubs:
+            src = grid[k].get(s)
+            fields.append(
+                (F.col(res(src)) if src else F.lit(None)).alias(s)
+            )
+        structs.append(F.struct(*fields))
+    keep = [F.col(res(c)).alias(c) for c in ids + passthrough]
+    sdf = df._sdf.select(*keep, F.explode(F.array(*structs)).alias("__w2l__"))
+    sdf = sdf.select(
+        *[F.col(c) for c in ids + passthrough],
+        F.col(f"__w2l__.{j}").alias(j),
+        *[F.col(f"__w2l__.{s}").alias(s) for s in stubs],
+    )
+    return DataFrame(sdf, index_cols=tuple(ids + [j]))

@@ -145,3 +145,55 @@ def time_bucket_gapfill(
     else:
         out_v = F.col("__v__")
     return joined.select(*by, "bucket", out_v.alias(value_col))
+
+
+def rolling_zscore(
+    sdf: DataFrame,
+    value_col: str,
+    order_cols: "list[str]",
+    by: "str | None" = None,
+    window: int = 20,
+    min_periods: int = 2,
+    threshold: float = 3.0,
+    round_to: "int | None" = 6,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: score each point against the
+    trailing ``window`` points that PRECEDE it (the point itself is
+    excluded, so a spike can't dilute its own baseline — the standard
+    streaming-monitoring convention).
+
+    ``z = (x - mean(prev)) / stddev_samp(prev)``; a point is flagged
+    when ``|z| >= threshold`` and the trailing frame has at least
+    ``min_periods`` points with positive spread. ``order_cols`` must be
+    a TOTAL order within each ``by`` group (pass a tiebreaker id along
+    with the timestamp) or frame contents — and therefore scores — are
+    nondeterministic.
+
+    ``round_to`` rounds z BEFORE the threshold test so an external
+    engine replaying the same rounding reaches the identical flag.
+
+    Scale: one hash exchange on ``by`` (none if already partitioned),
+    then a single sequential pass per partition — the rolling frame is
+    O(window) state, never a self-join.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
+        -int(window), -1
+    )
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(
+            *[F.col(c) for c in order_cols]
+        ).rowsBetween(-int(window), -1)
+    x = F.col(value_col)
+    mean = F.avg(x).over(w)
+    sd = F.stddev_samp(x).over(w)
+    n = F.count(x).over(w)
+    z = F.when(
+        (n >= int(min_periods)) & (sd > 0), (x - mean) / sd
+    )
+    if round_to is not None:
+        z = F.round(z, int(round_to))
+    return sdf.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) >= F.lit(float(threshold)),
+                   F.lit(False)),
+    )

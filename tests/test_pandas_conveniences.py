@@ -631,3 +631,104 @@ def test_str_translate_matches_python(spark):
 
     with pytest.raises(ValueError, match="1:1"):
         edf["s"].str.translate(str.maketrans({"a": "long"}))
+
+
+class TestWideToLong:
+    def _frame(self, spark, pdf):
+        import eland_spark as es
+
+        return es.DataFrame(spark.createDataFrame(pdf))
+
+    def _cmp(self, got_df, pdf, stubs, i, j, **kw):
+        import pandas as pd
+
+        want = (
+            pd.wide_to_long(pdf, stubs, i=i, j=j, **kw)
+            .reset_index()
+        )
+        got = got_df.to_pandas().reset_index()
+        cols = sorted(want.columns)
+        key = [i] if isinstance(i, str) else list(i)
+        got = got[cols].sort_values(key + [j]).reset_index(drop=True)
+        want = want[cols].sort_values(key + [j]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_numeric_suffix_int_j(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "famid": [1, 1, 2], "birth": [1, 2, 1],
+            "ht1": [2.8, 2.9, 2.2], "ht2": [3.4, 3.8, 2.9],
+            "extra": ["x", "y", "z"],
+        })
+        out = es.wide_to_long(self._frame(spark, pdf), "ht",
+                              i=["famid", "birth"], j="age")
+        assert out.index_cols == ("famid", "birth", "age")
+        # j converted to int because every suffix parses
+        assert dict(out.to_spark().dtypes)["age"] in ("int", "bigint")
+        self._cmp(out, pdf, "ht", ["famid", "birth"], "age")
+
+    def test_string_suffix_and_missing_combo(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "id": [1, 2], "Aone": [1, 2], "Atwo": [3, 4],
+            "Bone": [5.0, 6.0],
+        })
+        out = es.wide_to_long(self._frame(spark, pdf), ["A", "B"],
+                              i="id", j="k", suffix="(one|two)")
+        assert dict(out.to_spark().dtypes)["k"] == "string"
+        self._cmp(out, pdf, ["A", "B"], "id", "k", suffix="(one|two)")
+
+    def test_sep(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"id": [1], "x_1": [10], "x_2": [20]})
+        out = es.wide_to_long(self._frame(spark, pdf), "x",
+                              i="id", j="t", sep="_")
+        self._cmp(out, pdf, "x", "id", "t", sep="_")
+
+    def test_no_match_raises(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"id": [1], "zzz": [1]})
+        with pytest.raises(ValueError):
+            es.wide_to_long(self._frame(spark, pdf), "x", i="id", j="t")
+
+    def test_zero_shuffle_plan(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"id": [1], "a1": [1], "a2": [2]})
+        out = es.wide_to_long(self._frame(spark, pdf), "a", i="id", j="t")
+        plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_pad_family_negative_and_zero_width(spark):
+    """pandas: width <= len(s) (including negative) is a no-op for the
+    whole pad family — pinned here after the r3 negative-index audit."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    pdf = pd.DataFrame({"k": [0, 1, 2], "t": ["abc", "a", ""]})
+    df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["t"]
+    for name, ours, want in [
+        ("pad-2", df["t"].str.pad(-2), ps.str.pad(-2)),
+        ("zfill-1", df["t"].str.zfill(-1), ps.str.zfill(-1)),
+        ("ljust0", df["t"].str.ljust(0), ps.str.ljust(0)),
+        ("rjust-9", df["t"].str.rjust(-9), ps.str.rjust(-9)),
+        ("center0", df["t"].str.center(0), ps.str.center(0)),
+    ]:
+        assert ours.to_pandas().sort_index().tolist() == want.tolist(), name

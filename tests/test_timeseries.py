@@ -171,3 +171,58 @@ def test_gapfill_fuzz_vs_pandas(spark):
                         assert gv is None or pd.isna(gv), (trial, fill, key, gv, ev)
                     else:
                         assert abs(gv - ev) < 1e-9, (trial, fill, key, gv, ev)
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    """rolling_zscore vs pandas: trailing frame of 20 excluding the
+    current row == x.shift(1).rolling(20, min_periods).mean()/std()."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.timeseries import rolling_zscore
+
+    rng = np.random.RandomState(7)
+    n = 300
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "grp": rng.randint(0, 3, n),
+        "val": rng.randn(n).round(3),
+    })
+    # inject spikes and a null
+    pdf.loc[50, "val"] = 40.0
+    pdf.loc[123, "val"] = -35.0
+    pdf.loc[60, "val"] = None
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        rolling_zscore(sdf, "val", ["id"], by="grp",
+                       window=20, min_periods=5, threshold=3.0)
+        .orderBy("id")
+        .toPandas()
+    )
+
+    def ref(g):
+        prev = g["val"].shift(1)
+        mean = prev.rolling(20, min_periods=5).mean()
+        std = prev.rolling(20, min_periods=5).std()
+        cnt = prev.rolling(20, min_periods=1).count()
+        z = (g["val"] - mean) / std
+        z = z.where((cnt >= 5) & (std > 0)).round(6)
+        return z
+
+    want = (
+        pdf.sort_values("id")
+        .groupby("grp", group_keys=False)
+        .apply(ref, include_groups=False)
+        .sort_index()
+    )
+    got_z = got.sort_values("id")["zscore"].reset_index(drop=True)
+    want_z = want.reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got_z, want_z, check_names=False, rtol=1e-6, atol=1e-9
+    )
+    flagged = set(got.loc[got["is_anomaly"], "id"])
+    assert 50 in flagged and 123 in flagged
+    # null value rows are never flagged
+    assert 60 not in flagged
