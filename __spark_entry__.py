@@ -5518,6 +5518,94 @@ def _wide_to_long_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# event-sequence analytics (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS, _FUNNEL_WITHIN = ["view", "click", "purchase"], 86400
+
+
+def q_funnel(spark, sf_dir) -> DataFrame:
+    """Greedy ordered funnel view->click->purchase within 24h: ONE
+    shuffle groups each user's step events, a codegen'd F.aggregate
+    fold walks the time-sorted list (micro-exact epoch arithmetic), and
+    one constraint-sized aggregation emits per-step reach + conversion.
+    The fold equals the sequential min-chain the oracle replays with
+    chained CTEs — ties at one timestamp resolve in step order on both
+    engines."""
+    from eland_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return funnel(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN)
+
+
+def _funnel_oracle_sql() -> str:
+    steps, w_us = _FUNNEL_STEPS, _FUNNEL_WITHIN * 1_000_000
+    ctes = [f"""s1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = '{steps[0]}' GROUP BY 1
+    )"""]
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""s{i} AS (
+        SELECT e.user_id, min(e.ts) AS ts{i}
+        FROM events e JOIN s{i-1} USING (user_id)
+        WHERE e.event_type = '{steps[i-1]}' AND e.ts >= s{i-1}.ts{i-1}
+        GROUP BY 1
+    )""")
+    rows = []
+    for i in range(1, len(steps) + 1):
+        if i == 1:  # ts1 - ts1 = 0 <= w always; a self-join would
+            reach = "(SELECT count(*) FROM s1)"  # duplicate the alias
+        else:
+            reach = (f"(SELECT count(*) FROM s{i} JOIN s1 USING (user_id) "
+                     f"WHERE epoch_us(s{i}.ts{i}) - epoch_us(s1.ts1) <= {w_us})")
+        rows.append(
+            f"SELECT {i} AS step_index, '{steps[i-1]}' AS step, "
+            f"{reach} AS n_users, "
+            f"round(CASE WHEN base.b > 0 THEN {reach} * 1.0 / base.b "
+            f"ELSE 0.0 END, 6) AS conversion FROM base"
+        )
+    body = " UNION ALL ".join(rows)
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", base AS (SELECT count(*) AS b FROM s1)\n" + body
+    )
+
+
+_COHORT_PERIOD = 7 * 24 * 3600
+
+
+def q_cohort_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention triangle over events: two hash
+    aggregations (per-user first period, then per-(cohort, offset)
+    distinct actives), exact long epoch arithmetic so period boundaries
+    replay bit-identically."""
+    from eland_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return cohort_retention(ev, period_seconds=_COHORT_PERIOD)
+
+
+def _cohort_retention_oracle_sql() -> str:
+    su = _COHORT_PERIOD * 1_000_000
+    return f"""
+        WITH ev AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(ts) % {su}) / {su} AS p
+            FROM events WHERE ts IS NOT NULL
+        ), first AS (
+            SELECT user_id, min(p) AS c FROM ev GROUP BY 1
+        ), cells AS (
+            SELECT DISTINCT ev.user_id, first.c, ev.p - first.c AS d
+            FROM ev JOIN first USING (user_id)
+        )
+        SELECT make_timestamp(CAST(c AS BIGINT) * {su}) AS cohort_start,
+               CAST(d AS BIGINT) AS period_number,
+               count(*) AS n_active
+        FROM cells GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5744,6 +5832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_near_dup": q_editdist_near_dup,
         "rolling_zscore": q_rolling_zscore,
         "wide_to_long": q_wide_to_long,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -7926,4 +8016,6 @@ def oracle_sql() -> dict[str, str]:
         "editdist_near_dup": _editdist_near_dup_oracle_sql(),
         "rolling_zscore": _rolling_zscore_oracle_sql(),
         "wide_to_long": _wide_to_long_oracle_sql(),
+        "funnel": _funnel_oracle_sql(),
+        "cohort_retention": _cohort_retention_oracle_sql(),
     }
