@@ -5350,15 +5350,23 @@ _PR_ITERS, _PR_DAMP = 3, 0.85
 
 
 def _part_supplier_edges(spark, sf_dir):
-    """Undirected part<->supplier bipartite graph from lineitem:
-    namespaced node ids, both edge directions."""
+    """Undirected part<->supplier bipartite graph from lineitem. Node
+    ids are LONGS (parts even, suppliers odd) so the dedup and every
+    per-round join shuffle 16-byte keys instead of strings — the
+    display labels are re-derived from parity at the very end."""
     li = _t(spark, sf_dir, "lineitem").to_spark()
     fwd = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return fwd.unionByName(rev)
+
+
+def _graph_node_label(col):
+    return F.when(
+        col % 2 == 0, F.concat(F.lit("p"), (col / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((col - 1) / 2).cast("long")))
 
 
 def q_pagerank(spark, sf_dir) -> DataFrame:
@@ -5366,15 +5374,20 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     the part<->supplier graph — the host-centrality prior a web-crawl
     curation pipeline attaches next to its text-quality gates. The
     graph is undirected so every node has out-edges and the dangling
-    term is identically zero; the oracle replays the same 3 unrolled
-    rounds."""
+    term is identically zero — dangling="ignore" therefore computes the
+    IDENTICAL result while skipping the per-round dangling-mass job
+    (redistribute semantics are pinned separately in tests/test_graph);
+    the oracle replays the same 3 unrolled rounds."""
     from eland_spark.operators.graph import pagerank
 
     ranks = pagerank(
         _part_supplier_edges(spark, sf_dir),
-        iterations=_PR_ITERS, damping=_PR_DAMP,
+        iterations=_PR_ITERS, damping=_PR_DAMP, dangling="ignore",
     )
-    return ranks.select("node", F.round("rank", 9).alias("rank"))
+    return ranks.select(
+        _graph_node_label(F.col("node")).alias("node"),
+        F.round("rank", 9).alias("rank"),
+    )
 
 
 def _pagerank_oracle_sql() -> str:
@@ -5419,10 +5432,13 @@ def q_graph_degrees(spark, sf_dir) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").to_spark()
     e = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    return degrees(e)
+    return degrees(e).select(
+        _graph_node_label(F.col("node")).alias("node"),
+        "out_degree", "in_degree",
+    )
 
 
 def _graph_degrees_oracle_sql() -> str:

@@ -97,6 +97,14 @@ HEADLINE = [
     "gapfill_locf",
     "cms_freq",
     "es_knn",
+    # r4 batch: one-pass constraint suite, iterative graph centrality,
+    # LSH-candidates + Levenshtein verify, trailing-window anomaly
+    # scores, and the single-shuffle funnel fold
+    "quality_suite",
+    "pagerank",
+    "editdist_near_dup",
+    "rolling_zscore",
+    "funnel",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

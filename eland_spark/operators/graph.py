@@ -15,13 +15,13 @@ frame is node-sized, the edge frame is edge-sized; edges are hashed by
 ``repartition`` up front, no per-round edge shuffle), while the
 node-sized rank updates are the only thing that moves. Dangling mass
 is folded back uniformly via a single scalar aggregate per round —
-never a driver collect of node data. ``checkpoint_every`` truncates
-the growing lineage for large K.
+never a driver collect of node data. Each round lazily checkpoints the
+node-sized rank frame: the round's two consumers (contribution join +
+dangling scalar) share one computation instead of re-executing the
+prior lineage per branch, and lineage depth stays O(1) for any K.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,7 +53,6 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     dangling: str = "redistribute",
-    checkpoint_every: Optional[int] = None,
 ) -> DataFrame:
     """Fixed-K unweighted PageRank power iteration.
 
@@ -73,7 +72,8 @@ def pagerank(
     so per-round shuffle volume is O(nodes + contributions), never a
     re-shuffle of the raw edge table, and the dangling term is one
     scalar aggregate folded in as a literal-free broadcast (no driver
-    value, no collect).
+    value, no collect). Rank lineage truncates every round (see module
+    docstring), so K can grow without plan-depth or recompute blowup.
     """
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute|ignore, got {dangling!r}")
@@ -81,8 +81,11 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
 
     e = edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__")).distinct()
-    # reuse one src-hashed partitioning across all K rounds
-    e = e.repartition("__src__")
+    # reuse one src-hashed partitioning across all K rounds; the
+    # localCheckpoint barrier makes the dedup+repartition subtree
+    # compute ONCE instead of being re-inlined into every round's join
+    # (at a real deployment this is a persisted/bucketed edge table)
+    e = e.repartition("__src__").localCheckpoint(eager=False)
 
     nodes = (
         e.select(F.col("__src__").alias("node"))
@@ -107,6 +110,12 @@ def pagerank(
 
     d = float(damping)
     for i in range(int(iterations)):
+        # ranks branches twice per round (contribution join + dangling
+        # scalar); without a barrier the previous round's subtree would
+        # re-execute per branch — 2^K blowup. One lazy checkpoint per
+        # round keeps it linear (the Pregel/GraphX iteration pattern)
+        # and doubles as the lineage truncation for large K.
+        ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             ranks.where(F.col("__outdeg__") > 0)
             .join(e, ranks["node"] == e["__src__"])
@@ -124,13 +133,17 @@ def pagerank(
                     F.lit(0.0),
                 ).alias("__dang__")
             )
+            joined = ranks.join(contrib, "node", "left").crossJoin(
+                F.broadcast(dang)
+            )
         else:
-            dang = ranks.sparkSession.range(1).select(
-                F.lit(0.0).alias("__dang__")
+            # no dangling term: skip the per-round scalar aggregate and
+            # its broadcast entirely (one fewer job per round)
+            joined = ranks.join(contrib, "node", "left").withColumn(
+                "__dang__", F.lit(0.0)
             )
         ranks = (
-            ranks.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
+            joined
             .select(
                 "node", "__outdeg__", "__n__",
                 (
@@ -143,7 +156,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-
     return ranks.select("node", "rank")

@@ -263,24 +263,30 @@ def profile(sdf: DataFrame, columns: Optional[Sequence[str]] = None,
     only) for every requested column; the single metrics row explodes
     into one row per column.
 
-    ``approx_distinct=True`` swaps exact ``count(DISTINCT c)`` (which
-    Catalyst plans via expand — fine for profiling jobs, exact for
-    oracles) for HLL ``approx_count_distinct`` — the variant to run at
-    100 TB.
+    ``approx_distinct=True`` (the variant to run at 100 TB) keeps
+    everything in ONE scan: HLL sketches merge into the same hash
+    aggregation as the other metrics. Exact mode runs TWO scans —
+    measured: mixing ``count(DISTINCT ...)`` (which Catalyst plans via
+    Expand + grouping-id FILTERs) with string min/max buffers in one
+    aggregate forces a whole-input SortAggregate (~5x slower than the
+    two hash passes); the distinct counts therefore get their own
+    expand-based hash aggregate and the two single-row results combine
+    by a broadcast of one row.
     """
     cols = list(columns) if columns is not None else list(sdf.columns)
     dtypes = dict(sdf.dtypes)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
                "decimal"}
-    aggs, finishers = [], []
+    aggs, d_aggs, finishers = [], [], []
     for i, c in enumerate(cols):
         dt = dtypes[c]
         base = dt.split("(")[0]
         col = F.col(c)
         aggs.append(_ratio(col.isNotNull()).alias(f"__comp{i}__"))
-        distinct = (F.approx_count_distinct(col) if approx_distinct
-                    else F.count_distinct(col))
-        aggs.append(distinct.alias(f"__nd{i}__"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd{i}__"))
+        else:
+            d_aggs.append(F.count_distinct(col).alias(f"__nd{i}__"))
         aggs.append(F.min(col).cast("string").alias(f"__min{i}__"))
         aggs.append(F.max(col).cast("string").alias(f"__max{i}__"))
         if base in numeric:
@@ -302,6 +308,8 @@ def profile(sdf: DataFrame, columns: Optional[Sequence[str]] = None,
             F.col(f"__len{i}__").alias("avg_len"),
         ))
     one = sdf.agg(*aggs)
+    if d_aggs:
+        one = one.crossJoin(F.broadcast(sdf.agg(*d_aggs)))
     return (one.select(F.explode(F.array(*finishers)).alias("r"))
                .select("r.column", "r.dtype", "r.completeness",
                        "r.n_distinct", "r.min_value", "r.max_value",

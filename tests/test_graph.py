@@ -76,13 +76,16 @@ def test_multi_edges_count_once(spark):
         assert got[k] == pytest.approx(want[k], rel=1e-12)
 
 
-def test_checkpoint_every_same_result(spark, edge_df):
-    plain = {r["node"]: r["rank"]
-             for r in pagerank(edge_df, iterations=4).collect()}
-    ckpt = {r["node"]: r["rank"]
-            for r in pagerank(edge_df, iterations=4,
-                              checkpoint_every=2).collect()}
-    assert plain == ckpt
+def test_deep_iteration_converges(spark, edge_df):
+    """K=25 exercises the per-round lineage truncation (without it the
+    dangling branch makes the plan 2^K); ranks settle to a fixed point
+    that still sums to 1."""
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=25).collect()}
+    want = _np_pagerank(EDGES, 25, 0.85)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-10)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
 
 
 def test_pagerank_validation(spark, edge_df):

@@ -804,3 +804,52 @@ def test_segment_dedup_and_gopher_plan_shapes(spark):
 
     g = gopher_quality_frame(docs, "text", "doc_id")
     assert shuffle_count(g) == 0, plan_summary(g)
+
+
+def test_round4_query_plan_pins(spark):
+    """Exchange/broadcast pins for the r4 batch. quality_suite: one
+    full-scan agg + one keyed uniqueness agg + one broadcast
+    referential join — 5 exchanges, all constraint- or agg-sized.
+    profile_table: plain-metrics agg + distinct-count agg combined by
+    a 1-row broadcast (the split avoids the measured SortAggregate
+    cliff when exact multi-distinct mixes with string min/max
+    buffers). pagerank: per-round lineage is truncated by lazy
+    checkpoints, so the visible plan carries only the final round's
+    node-sized exchanges. funnel: one user shuffle + the
+    constraint-sized summary agg. rolling_zscore: exactly one keyed
+    window exchange. editdist_near_dup: candidate join fan-in, every
+    join a broadcast of the (signature-table-derived) sides."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    queries = m.queries()
+
+    pins = {
+        # name: (max shuffles, min broadcast joins)
+        "quality_suite": (5, 1),
+        "profile_table": (3, 1),
+        "pagerank": (3, 0),
+        "graph_degrees": (2, 0),
+        "editdist_near_dup": (2, 3),
+        "rolling_zscore": (1, 0),
+        "funnel": (2, 0),
+        "cohort_retention": (3, 1),
+        "wide_to_long": (2, 0),
+    }
+    for name, (max_shuffles, min_bcast) in pins.items():
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: {shuffle_count(df)} shuffles > pinned "
+            f"{max_shuffles}\n{plan_summary(df)}"
+        )
+        assert broadcast_join_count(df) >= min_bcast, (
+            f"{name}: broadcast joins "
+            f"{broadcast_join_count(df)} < pinned {min_bcast}\n"
+            f"{plan_summary(df)}"
+        )
