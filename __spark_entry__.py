@@ -5621,6 +5621,28 @@ def _cohort_retention_oracle_sql() -> str:
     """
 
 
+def q_get_dummies(spark, sf_dir) -> DataFrame:
+    """Frame-level one-hot encoding (pandas pd.get_dummies): value set
+    resolved at plan time under the bounded-distinct guard, encoding a
+    pure zero-shuffle projection."""
+    import eland_spark as es
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    df = es.DataFrame(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+    return df.get_dummies(columns=["l_returnflag"]).to_spark()
+
+
+def _get_dummies_oracle_sql() -> str:
+    mk = ", ".join(
+        f"CAST(CASE WHEN l_returnflag = '{v}' THEN 1 ELSE 0 END AS INTEGER)"
+        f" AS l_returnflag_{v}"
+        for v in ["A", "N", "R"]
+    )
+    return f"SELECT l_orderkey, l_linenumber, {mk} FROM lineitem"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5850,6 +5872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_to_long": q_wide_to_long,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "get_dummies": q_get_dummies,
     }
 
 
@@ -8034,4 +8057,5 @@ def oracle_sql() -> dict[str, str]:
         "wide_to_long": _wide_to_long_oracle_sql(),
         "funnel": _funnel_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
+        "get_dummies": _get_dummies_oracle_sql(),
     }

@@ -22,7 +22,7 @@ from .etl import (
     write_sorted,
     write_zordered,
 )
-from .frame import DataFrame, concat, merge_ordered, wide_to_long
+from .frame import DataFrame, concat, get_dummies, merge_ordered, wide_to_long
 from .groupby import DataFrameGroupBy
 from .index import Index
 from .schema import Field, Schema
@@ -62,6 +62,7 @@ __all__ = [
     "SortOrder",
     "concat",
     "wide_to_long",
+    "get_dummies",
     "merge_ordered",
     "pandas_to_eland",
     "eland_to_pandas",

@@ -1038,6 +1038,80 @@ class DataFrame:
 
         return self._with(sdf=sdf, schema=_Schema(fields, self._schema.index_cols))
 
+    def get_dummies(
+        self,
+        columns=None,
+        prefix=None,
+        prefix_sep: str = "_",
+        drop_first: bool = False,
+        dummy_na: bool = False,
+    ) -> "DataFrame":
+        """pandas ``pd.get_dummies`` over named (default: all string)
+        columns: one 0/1 indicator column per distinct value, encoded
+        columns dropped, everything else unchanged. The value sets are
+        resolved at plan time with the same bounded-distinct guard as
+        :meth:`crosstab` (10k values per column); the encoding itself
+        is a pure per-row projection — zero shuffle at any scale.
+
+        ``dummy_na=True`` adds a ``{col}{sep}nan`` indicator; with the
+        default False, null rows are all-zeros (pandas parity).
+        ``prefix`` may be a string (applied to every column) or a dict
+        per column; default uses the column's own name."""
+        schema = self._schema
+        if columns is None:
+            cols = [
+                f.display_name for f in schema.fields
+                if isinstance(f.spark_type, T.StringType)
+                and f.display_name not in schema.index_cols
+            ]
+        else:
+            cols = [columns] if isinstance(columns, str) else list(columns)
+            for c in cols:
+                schema.resolve(c)  # raise KeyError early
+        if not cols:
+            raise ValueError("get_dummies found no columns to encode")
+
+        def _prefix(c):
+            if prefix is None:
+                return c
+            if isinstance(prefix, dict):
+                return prefix.get(c, c)
+            return prefix
+
+        new_cols = []
+        for c in cols:
+            rc = F.col(schema.resolve(c))
+            rows = (
+                self._sdf.select(rc.alias("__v__"))
+                .distinct().orderBy("__v__").limit(10001).collect()
+            )
+            if len(rows) > 10000:
+                raise ValueError(
+                    f"get_dummies column {c!r} has > 10000 distinct values"
+                )
+            vals = [r[0] for r in rows if r[0] is not None]
+            if drop_first:
+                vals = vals[1:]
+            p = _prefix(c)
+            for v in vals:
+                new_cols.append(
+                    F.when(rc == F.lit(v), 1).otherwise(0)
+                    .cast("int").alias(f"{p}{prefix_sep}{v}")
+                )
+            if dummy_na:
+                new_cols.append(
+                    rc.isNull().cast("int").alias(f"{p}{prefix_sep}nan")
+                )
+        keep = [
+            F.col(schema.resolve(c)).alias(c)
+            for c in schema.display_names if c not in cols
+        ]
+        sdf = self._sdf.select(*keep, *new_cols)
+        return DataFrame(
+            sdf,
+            index_cols=tuple(c for c in schema.index_cols if c not in cols),
+        )
+
     def melt(
         self,
         id_vars,
@@ -2122,10 +2196,24 @@ class DataFrame:
                 mat.loc[a, b] = mat.loc[b, a] = v
         return mat
 
-    def crosstab(self, index: str, columns: str) -> pd.DataFrame:
+    def crosstab(
+        self,
+        index: str,
+        columns: str,
+        margins: bool = False,
+        margins_name: str = "All",
+        normalize=False,
+    ) -> pd.DataFrame:
         """Frequency table of two columns (pandas ``pd.crosstab``):
         count pivot — one shuffle, explicit pivot values resolved
-        first like pivot_table."""
+        first like pivot_table. ``margins``/``normalize`` follow
+        pandas exactly (pinned differentially): margins under
+        ``normalize='index'`` add only the All ROW, under
+        ``'columns'`` only the All COLUMN, under ``True``/``'all'``
+        both; the arithmetic runs driver-side on the already-collected
+        contingency matrix (k x k, never row data)."""
+        if normalize not in (False, True, "all", "index", "columns"):
+            raise ValueError(f"invalid normalize {normalize!r}")
         schema = self._schema
         ic, cc = schema.resolve(index), schema.resolve(columns)
         # limit BEFORE collect: the guard must not itself pull an
@@ -2146,7 +2234,32 @@ class DataFrame:
             .set_index(index)
             .sort_index()
         )
-        return pdf.fillna(0).astype("int64")
+        counts = pdf.fillna(0).astype("int64")
+        if normalize is False and not margins:
+            return counts
+        total = counts.to_numpy().sum()
+        if normalize is False:
+            out = counts.copy()
+            out[margins_name] = out.sum(axis=1)
+            out.loc[margins_name] = out.sum(axis=0)
+            return out
+        if normalize in (True, "all"):
+            out = counts / total
+            if margins:
+                out[margins_name] = out.sum(axis=1)
+                out.loc[margins_name] = out.sum(axis=0)
+                # the corner is the grand total of normalized cells
+                out.loc[margins_name, margins_name] = out.iloc[:-1, :-1].to_numpy().sum()
+            return out
+        if normalize == "index":
+            out = counts.div(counts.sum(axis=1), axis=0)
+            if margins:  # only the All ROW (pandas drops the column)
+                out.loc[margins_name] = counts.sum(axis=0) / total
+            return out
+        out = counts.div(counts.sum(axis=0), axis=1)
+        if margins:  # only the All COLUMN
+            out[margins_name] = counts.sum(axis=1) / total
+        return out
 
     def pivot(self, index: str, columns: str, values: str) -> pd.DataFrame:
         """pandas ``DataFrame.pivot``: reshape without aggregation.
@@ -2932,3 +3045,9 @@ def wide_to_long(
         *[F.col(f"__w2l__.{s}").alias(s) for s in stubs],
     )
     return DataFrame(sdf, index_cols=tuple(ids + [j]))
+
+
+def get_dummies(df: "DataFrame", columns=None, **kw) -> "DataFrame":
+    """Module-level pandas-style ``pd.get_dummies`` — delegates to
+    :meth:`DataFrame.get_dummies`."""
+    return df.get_dummies(columns=columns, **kw)

@@ -732,3 +732,107 @@ def test_pad_family_negative_and_zero_width(spark):
         ("center0", df["t"].str.center(0), ps.str.center(0)),
     ]:
         assert ours.to_pandas().sort_index().tolist() == want.tolist(), name
+
+
+class TestGetDummiesFrame:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "k": [0, 1, 2, 3],
+            "cat": ["a", "b", "a", None],
+            "n": [1.5, 2.5, 3.5, 4.5],
+        })
+        df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        got = (es.get_dummies(df, columns=["cat"]).to_pandas()
+               .set_index("k").sort_index())
+        want = pd.get_dummies(pdf.set_index("k"), columns=["cat"]).sort_index()
+        assert sorted(got.columns) == sorted(want.columns)
+        for c in want.columns:
+            assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+    def test_default_encodes_all_string_columns(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"k": [0, 1], "a": ["x", "y"], "n": [1, 2]})
+        df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        got = df.get_dummies()
+        # index column k rides along un-encoded (repo convention: the
+        # index is part of columns)
+        assert sorted(got.columns) == ["a_x", "a_y", "k", "n"]
+
+    def test_drop_first_and_dummy_na_and_prefix(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"k": [0, 1, 2], "c": ["a", "b", None]})
+        df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        got = (df.get_dummies(columns=["c"], drop_first=True, dummy_na=True,
+                              prefix="z", prefix_sep="|")
+               .to_pandas().set_index("k").sort_index())
+        want = pd.get_dummies(pdf.set_index("k"), columns=["c"],
+                              drop_first=True, dummy_na=True,
+                              prefix="z", prefix_sep="|").sort_index()
+        # pandas names the NA column 'z|nan'
+        assert sorted(got.columns) == sorted(want.columns)
+        for c in want.columns:
+            assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+    def test_zero_shuffle_encoding(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"k": [0, 1], "c": ["a", "b"]})
+        df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        out = df.get_dummies(columns=["c"]).to_spark()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_missing_column_raises(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"k": [0], "c": ["a"]})
+        df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        with pytest.raises(KeyError):
+            df.get_dummies(columns=["zzz"])
+
+
+class TestCrosstabMarginsNormalize:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", "q"],
+        })
+        return es.DataFrame(spark.createDataFrame(pdf)), pdf
+
+    @pytest.mark.parametrize("normalize", [False, True, "all", "index", "columns"])
+    @pytest.mark.parametrize("margins", [False, True])
+    def test_matches_pandas(self, frames, normalize, margins):
+        import pandas as pd
+
+        df, pdf = frames
+        got = df.crosstab("a", "b", margins=margins, normalize=normalize)
+        want = pd.crosstab(pdf.a, pdf.b, margins=margins, normalize=normalize)
+        got.index.name, got.columns.name = want.index.name, want.columns.name
+        pd.testing.assert_frame_equal(
+            got.astype(float), want.astype(float),
+            check_names=False, check_dtype=False,
+        )
+
+    def test_invalid_normalize(self, frames):
+        df, _ = frames
+        with pytest.raises(ValueError):
+            df.crosstab("a", "b", normalize="rows")
