@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["sessionize_with_state", "SESSION_STATS_SCHEMA"]
+__all__ = ["sessionize_with_state", "SESSION_STATS_SCHEMA",
+           "anomaly_scores_with_state", "ANOMALY_SCHEMA"]
 
 # emitted once per CLOSED session
 SESSION_STATS_SCHEMA = T.StructType(
@@ -134,4 +135,103 @@ def sessionize_with_state(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming rolling z-score (twin of operators/timeseries.rolling_zscore)
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+# trailing window of raw values (NaN marks a null row: it occupies a
+# window slot but contributes nothing — the batch twin's frame is
+# row-based while its aggregates skip nulls)
+_ANOMALY_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _make_anomaly_fn(window: int, min_periods: int, threshold: float,
+                     ts_col: str, id_col: str, value_col: str):
+    import math
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        vals = list(state.get[0]) if state.exists else []
+        out_id, out_v, out_z, out_flag = [], [], [], []
+        for _, r in rows.iterrows():
+            prev = [v for v in vals if not math.isnan(v)]
+            x = r[value_col]
+            z = None
+            if (
+                not pd.isna(x)
+                and len(prev) >= min_periods
+            ):
+                n = len(prev)
+                mean = sum(prev) / n
+                var = sum((v - mean) ** 2 for v in prev) / (n - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    z = round((float(x) - mean) / sd, 6)
+            out_id.append(int(r[id_col]))
+            out_v.append(None if pd.isna(x) else float(x))
+            out_z.append(z)
+            out_flag.append(bool(z is not None and abs(z) >= threshold))
+            vals.append(float("nan") if pd.isna(x) else float(x))
+            if len(vals) > window:
+                vals = vals[-window:]
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_id),
+                "event_id": out_id,
+                "value": out_v,
+                "zscore": out_z,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    return fn
+
+
+def anomaly_scores_with_state(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.rolling_zscore``: each
+    event is scored against the trailing ``window`` values of its key
+    (self excluded, NaN rows occupy slots but contribute nothing —
+    identical frame semantics to the batch operator), then appended to
+    the state. State is O(window) doubles per key in the state store,
+    no timeout (a key's baseline survives quiet periods).
+
+    Equivalence to the batch twin holds when each key's events arrive
+    in event-time order across micro-batches (the per-key-partitioned
+    ingest layout); within a micro-batch, rows are sorted by
+    (ts, id) exactly like the batch ordering. Pinned against the batch
+    operator in tests/test_streaming.py."""
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        _make_anomaly_fn(int(window), int(min_periods), float(threshold),
+                         ts_col, id_col, value_col),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

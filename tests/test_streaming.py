@@ -868,3 +868,40 @@ def test_stream_cms_update_matches_from_scratch(spark, tmp_path):
     }
     for k, t in truth.items():
         assert est[k] >= t, (k, est[k], t)
+
+
+def test_stream_anomaly_matches_batch_rolling_zscore(spark, events_stream, sf_dir):
+    """Streaming rolling z-score must equal the batch operator per
+    event: same trailing-frame semantics (self excluded, null rows
+    occupy slots), same rounding, same flags. The parquet source feeds
+    one key-ordered pass so the cross-batch ordering caveat does not
+    bite."""
+    import eland_spark as es
+    from eland_spark.operators.timeseries import rolling_zscore
+    from eland_spark.streaming import stream_to_memory
+    from eland_spark.streaming.stateful import anomaly_scores_with_state
+
+    res = anomaly_scores_with_state(
+        events_stream, window=20, min_periods=5, threshold=2.5,
+    )
+    stream_to_memory(res, "stream_anomaly_test", "append", 180)
+    got = {
+        r["event_id"]: (r["zscore"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM stream_anomaly_test").collect()
+    }
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet").to_spark()
+    batch = rolling_zscore(
+        ev.select("event_id", "ts", "user_id", "value"),
+        "value", ["ts", "event_id"], by="user_id",
+        window=20, min_periods=5, threshold=2.5,
+    )
+    want = {
+        r["event_id"]: (r["zscore"], r["is_anomaly"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    mism = [k for k in want if got[k] != want[k]]
+    assert not mism, (len(mism), mism[:5],
+                      [(got[k], want[k]) for k in mism[:3]])
+    assert any(f for _, f in want.values())  # fixture has real anomalies
