@@ -5587,6 +5587,43 @@ def _funnel_oracle_sql() -> str:
     )
 
 
+def q_funnel_chains(spark, sf_dir) -> DataFrame:
+    """Per-user funnel step completions (long format of q_funnel):
+    same single user-shuffle fold, exploded to one row per completed
+    step with its chain timestamp. Batch twin of the streaming
+    funnel_with_state operator (pinned equal in tests/test_streaming)."""
+    from eland_spark.operators.funnel import funnel_chains
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return funnel_chains(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN)
+
+
+def _funnel_chains_oracle_sql() -> str:
+    steps, w_us = _FUNNEL_STEPS, _FUNNEL_WITHIN * 1_000_000
+    ctes = [f"""s1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = '{steps[0]}' GROUP BY 1
+    )"""]
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""s{i} AS (
+        SELECT e.user_id, min(e.ts) AS ts{i}
+        FROM events e JOIN s{i-1} USING (user_id)
+        WHERE e.event_type = '{steps[i-1]}' AND e.ts >= s{i-1}.ts{i-1}
+        GROUP BY 1
+    )""")
+    rows = []
+    for i in range(1, len(steps) + 1):
+        gate = ("" if i == 1 else
+                f" AND epoch_us(s{i}.ts{i}) - epoch_us(s1.ts1) <= {w_us}")
+        join = ("" if i == 1 else
+                f" JOIN s1 USING (user_id)")
+        rows.append(
+            f"SELECT user_id, {i} AS step_index, '{steps[i-1]}' AS step, "
+            f"s{i}.ts{i} AS step_ts FROM s{i}{join} WHERE TRUE{gate}"
+        )
+    return "WITH " + ", ".join(ctes) + "\n" + " UNION ALL ".join(rows)
+
+
 _COHORT_PERIOD = 7 * 24 * 3600
 
 
@@ -5641,6 +5678,81 @@ def _get_dummies_oracle_sql() -> str:
         for v in ["A", "N", "R"]
     )
     return f"SELECT l_orderkey, l_linenumber, {mk} FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# time-weighted avg / counter rate (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+_TWA_BUCKET = 6 * 3600
+
+
+def q_time_weighted_avg(spark, sf_dir) -> DataFrame:
+    """LOCF time-weighted average of events.value per (user, 6h
+    bucket) — TimescaleDB time_weight shape: one keyed window for the
+    successor gap + one hash aggregation, exact micro arithmetic."""
+    from eland_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    out = time_weighted_avg(ev, "value", "ts", by="user_id",
+                            bucket_seconds=_TWA_BUCKET)
+    return out.select("user_id", "bucket", F.round("twa", 6).alias("twa"))
+
+
+def _twa_oracle_sql() -> str:
+    b = _TWA_BUCKET * 1_000_000
+    return f"""
+        WITH base AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(ts) % {b} AS b,
+                   epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), wgt AS (
+            SELECT user_id, b, v,
+                   COALESCE(CAST(lead(t) OVER (PARTITION BY user_id, b
+                        ORDER BY t, v) - t AS DOUBLE), 0.0) AS w
+            FROM base
+        )
+        SELECT user_id, make_timestamp(b) AS bucket,
+               round(CASE WHEN sum(w) > 0 THEN sum(v * w) / sum(w)
+                          ELSE avg(v) END, 6) AS twa
+        FROM wgt GROUP BY 1, 2
+    """
+
+
+def q_counter_rate(spark, sf_dir) -> DataFrame:
+    """Reset-aware counter increase + per-second rate per (user, 6h
+    bucket) — the PromQL increase/rate convention; the lag chain
+    crosses bucket boundaries, resets contribute the restarted value."""
+    from eland_spark.operators.timeseries import counter_rate
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return counter_rate(ev, "value", "ts", by="user_id",
+                        bucket_seconds=_TWA_BUCKET)
+
+
+def _counter_rate_oracle_sql() -> str:
+    b = _TWA_BUCKET * 1_000_000
+    return f"""
+        WITH base AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(ts) % {b} AS bk,
+                   epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), d AS (
+            SELECT user_id, bk,
+                   CASE WHEN lag(v) OVER w IS NULL THEN NULL
+                        WHEN v < lag(v) OVER w THEN v
+                        ELSE v - lag(v) OVER w END AS delta
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, v)
+        )
+        SELECT user_id, make_timestamp(bk) AS bucket,
+               round(COALESCE(sum(delta), 0.0), 6) AS increase,
+               round(round(COALESCE(sum(delta), 0.0), 6)
+                     / {_TWA_BUCKET}.0, 6) AS rate_per_sec
+        FROM d GROUP BY 1, 2
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -5873,6 +5985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "get_dummies": q_get_dummies,
+        "funnel_chains": q_funnel_chains,
+        "time_weighted_avg": q_time_weighted_avg,
+        "counter_rate": q_counter_rate,
     }
 
 
@@ -8058,4 +8173,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
         "get_dummies": _get_dummies_oracle_sql(),
+        "funnel_chains": _funnel_chains_oracle_sql(),
+        "time_weighted_avg": _twa_oracle_sql(),
+        "counter_rate": _counter_rate_oracle_sql(),
     }

@@ -13,7 +13,9 @@ list is equivalent to the sequential min-chain
 ``t_i = min(ts of step_i events with ts >= t_{i-1})``, which is what a
 SQL engine replays with k chained CTEs — ties between different steps
 at the same timestamp are resolved in step order so both formulations
-agree exactly.
+agree exactly. ``funnel_chains`` exposes the per-user step timestamps
+the summary is built from (and is the batch twin of the streaming
+``funnel_with_state``).
 
 ``cohort_retention`` buckets each user into the cohort of their first
 event and counts distinct active users per (cohort, periods-since) —
@@ -29,28 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "funnel_chains", "cohort_retention"]
 
 
-def funnel(
+def _fold_chains(
     events: DataFrame,
     steps: "list[str]",
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    within_seconds: "int | None" = None,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    within_seconds: "int | None",
 ) -> DataFrame:
-    """Greedy ordered-funnel summary.
-
-    Returns one row per step: ``(step_index, step, n_users,
-    conversion)`` where ``n_users`` counts users whose chain reached
-    the step (and, with ``within_seconds``, whose step time falls
-    within that window of their step-1 time) and ``conversion`` is
-    ``n_users / step-1 users`` rounded to 6.
-
-    Repeated step names are allowed (``["view", "view"]`` means two
-    views); each list element consumes a distinct event.
-    """
+    """Per-user greedy chain fold -> ``(__u__, __c__)`` where ``__c__``
+    is a k-array of epoch-micro step timestamps (non-null prefix)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     k = len(steps)
@@ -63,7 +56,7 @@ def funnel(
     ).where(F.col("__t__").isin(list(set(steps))) & F.col("__ts__").isNotNull())
 
     # (ts, step-rank) sort key: ties at one timestamp resolve in step
-    # order so the greedy fold equals the sequential min-chain exactly
+    # order so the greedy fold equals the sequential min-chain exactly.
     # NTZ rejects a direct long cast; the session pins UTC so the
     # ntz->ltz cast is stable (frame.py:1715 uses the same path).
     # Micros, not millis: an external engine replaying the min-chain at
@@ -93,11 +86,13 @@ def funnel(
         ).otherwise(acc)
 
     chains = per_user.select(
-        F.aggregate(F.col("__evs__"), init, step_fold).alias("__c__")
+        "__u__",
+        F.aggregate(F.col("__evs__"), init, step_fold).alias("__c__"),
     )
     if within_seconds is not None:
         w = int(within_seconds) * 1_000_000
         chains = chains.select(
+            "__u__",
             F.transform(
                 F.col("__c__"),
                 lambda t, i: F.when(
@@ -105,8 +100,67 @@ def funnel(
                     & ((t - F.element_at(F.col("__c__"), 1)) <= F.lit(w)),
                     t,
                 ),
-            ).alias("__c__")
+            ).alias("__c__"),
         )
+    return chains
+
+
+def funnel_chains(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: "int | None" = None,
+) -> DataFrame:
+    """Per-user step completions: one row per (user, completed step)
+    with the step's chain timestamp — ``(user_id, step_index, step,
+    step_ts)``. The long-format twin of :func:`funnel` (same single
+    user shuffle + fold), and the batch reference for the streaming
+    ``funnel_with_state`` operator."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    chains = _fold_chains(events, steps, user_col, type_col, ts_col,
+                          within_seconds)
+    return (
+        chains.select(
+            F.col("__u__").alias(user_col),
+            F.posexplode(F.col("__c__")).alias("__i__", "__tus__"),
+        )
+        .where(F.col("__tus__").isNotNull())
+        .select(
+            user_col,
+            (F.col("__i__") + 1).alias("step_index"),
+            F.element_at(steps_lit, (F.col("__i__") + 1).cast("int"))
+            .alias("step"),
+            F.timestamp_micros(F.col("__tus__"))
+            .cast("timestamp_ntz")
+            .alias("step_ts"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: "int | None" = None,
+) -> DataFrame:
+    """Greedy ordered-funnel summary.
+
+    Returns one row per step: ``(step_index, step, n_users,
+    conversion)`` where ``n_users`` counts users whose chain reached
+    the step (and, with ``within_seconds``, whose step time falls
+    within that window of their step-1 time) and ``conversion`` is
+    ``n_users / step-1 users`` rounded to 6.
+
+    Repeated step names are allowed (``["view", "view"]`` means two
+    views); each list element consumes a distinct event.
+    """
+    k = len(steps)
+    chains = _fold_chains(events, steps, user_col, type_col, ts_col,
+                          within_seconds).select("__c__")
 
     # ONE tiny aggregation carries every step's reach count (count of
     # non-null chain slots), so the base count shares the row and the

@@ -197,3 +197,115 @@ def rolling_zscore(
         F.coalesce(F.abs(F.col("zscore")) >= F.lit(float(threshold)),
                    F.lit(False)),
     )
+
+
+def time_weighted_avg(
+    sdf: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: "str | None" = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) with LOCF weighting
+    (the TimescaleDB ``time_weight('LOCF')`` shape): each observation
+    holds its value until the next one, so its weight is the gap to
+    the successor INSIDE the bucket; the bucket's last point closes
+    the integral (weight 0). A single-point bucket degenerates to the
+    plain value — ``sum(v*w)/sum(w)`` falls back to ``avg(v)`` when
+    the observed span is zero. Buckets are independent (no carry-in
+    from the previous bucket); feed ``time_bucket_gapfill`` first if
+    you need boundary-crossing LOCF.
+
+    One keyed window (ordered by ts inside the (series, bucket)
+    partition) + one hash aggregation — exactly one exchange.
+    Timestamps are exact long micros end to end.
+    """
+    step_us = int(bucket_seconds) * 1_000_000
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp_ntz").cast("timestamp"))
+    keys = ([F.col(by).alias("__k__")] if by is not None else [])
+    base = sdf.select(
+        *keys,
+        (ep - (ep % step_us)).alias("__b__"),
+        ep.alias("__t__"),
+        F.col(value_col).cast("double").alias("__v__"),
+    ).where(F.col("__t__").isNotNull() & F.col("__v__").isNotNull())
+    part = (["__k__"] if by is not None else []) + ["__b__"]
+    w = Window.partitionBy(*part).orderBy("__t__", "__v__")
+    nxt = F.lead("__t__").over(w)
+    weighted = base.select(
+        *part, "__v__",
+        F.coalesce((nxt - F.col("__t__")).cast("double"), F.lit(0.0))
+        .alias("__w__"),
+    )
+    agg = weighted.groupBy(*part).agg(
+        F.sum(F.col("__v__") * F.col("__w__")).alias("__num__"),
+        F.sum("__w__").alias("__den__"),
+        F.avg("__v__").alias("__plain__"),
+    )
+    out_keys = ([F.col("__k__").alias(by)] if by is not None else [])
+    return agg.select(
+        *out_keys,
+        F.timestamp_micros(F.col("__b__")).cast("timestamp_ntz")
+        .alias("bucket"),
+        F.when(F.col("__den__") > 0, F.col("__num__") / F.col("__den__"))
+        .otherwise(F.col("__plain__"))
+        .alias("twa"),
+    )
+
+
+def counter_rate(
+    sdf: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: "str | None" = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Monotonic-counter increase + per-second rate per (series,
+    bucket), reset-aware (the PromQL/TimescaleDB ``increase``/``rate``
+    convention): per series ordered by time, each point contributes
+    ``v - lag(v)``, except across a reset (``v < lag(v)``) where it
+    contributes ``v`` (the counter restarted from zero). The first
+    point of a SERIES contributes nothing (no predecessor), but bucket
+    boundaries do not break the chain — the lag crosses them, so a
+    bucket's increase measures growth since the last observation even
+    when that observation landed in the previous bucket.
+
+    One keyed window + one hash aggregation — exactly one exchange.
+    """
+    step_us = int(bucket_seconds) * 1_000_000
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp_ntz").cast("timestamp"))
+    keys = ([F.col(by).alias("__k__")] if by is not None else [])
+    base = sdf.select(
+        *keys,
+        (ep - (ep % step_us)).alias("__b__"),
+        ep.alias("__t__"),
+        F.col(value_col).cast("double").alias("__v__"),
+    ).where(F.col("__t__").isNotNull() & F.col("__v__").isNotNull())
+    part = ["__k__"] if by is not None else []
+    w = (Window.partitionBy(*part).orderBy("__t__", "__v__")
+         if part else Window.orderBy("__t__", "__v__"))
+    prev = F.lag("__v__").over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).when(
+        F.col("__v__") < prev, F.col("__v__")
+    ).otherwise(F.col("__v__") - prev)
+    gkeys = (["__k__"] if by is not None else []) + ["__b__"]
+    # internal name: Spark 4 resolves lateral column aliases, so a
+    # select computing rate from a column NAMED like its own rounded
+    # sibling would silently read the rounded value
+    agg = base.select(*gkeys, delta.alias("__d__")).groupBy(*gkeys).agg(
+        F.coalesce(F.sum("__d__"), F.lit(0.0)).alias("__inc__")
+    )
+    out_keys = ([F.col("__k__").alias(by)] if by is not None else [])
+    # rate derives from the ROUNDED increase: engines sum in different
+    # orders, so two ulp-different sums near a decimal boundary can
+    # round apart after the division; dividing the identical rounded
+    # double cannot (an exact .5 tail is unrepresentable in binary)
+    inc_r = F.round("__inc__", 6)
+    return agg.select(
+        *out_keys,
+        F.timestamp_micros(F.col("__b__")).cast("timestamp_ntz")
+        .alias("bucket"),
+        inc_r.alias("increase"),
+        F.round(inc_r / F.lit(float(bucket_seconds)), 6)
+        .alias("rate_per_sec"),
+    )

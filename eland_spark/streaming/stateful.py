@@ -19,7 +19,8 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["sessionize_with_state", "SESSION_STATS_SCHEMA",
-           "anomaly_scores_with_state", "ANOMALY_SCHEMA"]
+           "anomaly_scores_with_state", "ANOMALY_SCHEMA",
+           "funnel_with_state", "FUNNEL_SCHEMA"]
 
 # emitted once per CLOSED session
 SESSION_STATS_SCHEMA = T.StructType(
@@ -232,6 +233,99 @@ def anomaly_scores_with_state(
                          ts_col, id_col, value_col),
         outputStructType=ANOMALY_SCHEMA,
         stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming ordered funnel (twin of operators/funnel.funnel_chains)
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_index", T.IntegerType()),
+        T.StructField("step", T.StringType()),
+        T.StructField("step_ts", T.TimestampType()),
+    ]
+)
+
+# matched-prefix of epoch-micro step timestamps (variable length <= k;
+# a fixed-size nullable array does not round-trip the state store)
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("hits", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_funnel_fn(steps, ts_col: str, type_col: str,
+                    within_us: "int | None"):
+    k = len(steps)
+    rank = {}
+    for i, s in enumerate(steps):
+        rank.setdefault(s, i + 1)  # first occurrence, like array_position
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[type_col].isin(rank) & rows[ts_col].notna()]
+        hits = list(state.get[0]) if state.exists else []
+        out = []
+        if len(hits) < k and len(rows):
+            rows = rows.assign(__r__=rows[type_col].map(rank))
+            rows = rows.sort_values([ts_col, "__r__"])
+            for _, r in rows.iterrows():
+                if len(hits) >= k:
+                    break
+                if r[type_col] != steps[len(hits)]:
+                    continue
+                tus = int(r[ts_col].value // 1_000)
+                hits.append(tus)
+                # the batch twin matches greedily FIRST and applies the
+                # window post-hoc: an out-of-window event still consumes
+                # its step, it just is not reported as a completion
+                if within_us is None or tus - hits[0] <= within_us:
+                    out.append((len(hits), steps[len(hits) - 1], tus))
+            state.update((hits,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "step_index": [o[0] for o in out],
+                "step": [o[1] for o in out],
+                "step_ts": [pd.Timestamp(o[2], unit="us") for o in out],
+            }
+        )
+
+    return fn
+
+
+def funnel_with_state(
+    sdf: DataFrame,
+    steps: "list[str]",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: "int | None" = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_chains``: emits one
+    append-mode row the moment a user completes their next funnel step.
+    State is the matched prefix — at most k longs per user, no timeout
+    (a funnel stays open indefinitely; compose a watermark upstream to
+    bound it).
+
+    Same greedy-chain semantics as the batch fold: within a micro-batch
+    rows process in (ts, step-rank) order; equivalence to the batch
+    twin holds when each key's events arrive in event-time order across
+    micro-batches (the per-key-partitioned ingest layout). The
+    ``within_seconds`` window gates completions against the step-1
+    time, exactly like the batch operator."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = None if within_seconds is None else int(within_seconds) * 1_000_000
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        _make_funnel_fn(list(steps), ts_col, type_col, w),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

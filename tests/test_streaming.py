@@ -905,3 +905,30 @@ def test_stream_anomaly_matches_batch_rolling_zscore(spark, events_stream, sf_di
     assert not mism, (len(mism), mism[:5],
                       [(got[k], want[k]) for k in mism[:3]])
     assert any(f for _, f in want.values())  # fixture has real anomalies
+
+
+def test_stream_funnel_matches_batch_chains(spark, events_stream, sf_dir):
+    """Streaming funnel completions must equal the batch funnel_chains
+    rows exactly (same greedy chain, same post-hoc window gate)."""
+    import eland_spark as es
+    from eland_spark.operators.funnel import funnel_chains
+    from eland_spark.streaming import stream_to_memory
+    from eland_spark.streaming.stateful import funnel_with_state
+
+    steps = ["view", "click", "purchase"]
+    res = funnel_with_state(
+        events_stream, steps, within_seconds=86400,
+    )
+    stream_to_memory(res, "stream_funnel_test", "append", 180)
+    got = {
+        (r["user_id"], r["step_index"], r["step"], r["step_ts"])
+        for r in spark.sql("SELECT * FROM stream_funnel_test").collect()
+    }
+
+    ev = es.read_parquet(spark, f"{sf_dir}/events.parquet").to_spark()
+    want = {
+        (r["user_id"], r["step_index"], r["step"], r["step_ts"])
+        for r in funnel_chains(ev, steps, within_seconds=86400).collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -226,3 +226,59 @@ def test_rolling_zscore_matches_pandas(spark):
     assert 50 in flagged and 123 in flagged
     # null value rows are never flagged
     assert 60 not in flagged
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """LOCF weighting: v=10 holds for 30min, v=20 for 30min -> TWA 15
+    regardless of the closing point's value; single-point bucket
+    degenerates to the value."""
+    import pandas as pd
+
+    from eland_spark.operators.timeseries import time_weighted_avg
+
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:30",
+            "2024-01-01 01:00",  # closes the integral (weight 0)... but
+            # lands in the NEXT 1h bucket, so in-bucket the closer is 00:30
+            "2024-01-01 00:15",
+        ]),
+        "v": [10.0, 20.0, 99.0, 7.0],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = {(r["k"], str(r["bucket"])): r["twa"]
+           for r in time_weighted_avg(sdf, "v", "ts", by="k",
+                                      bucket_seconds=3600).collect()}
+    # bucket [00:00, 01:00): points 10@00:00 (weight 30min), 20@00:30
+    # (weight 0, no successor in bucket) -> sum(vw)/sum(w) = 10
+    assert got[("a", "2024-01-01 00:00:00")] == 10.0
+    # the 01:00 point sits alone in its bucket -> plain value
+    assert got[("a", "2024-01-01 01:00:00")] == 99.0
+    assert got[("b", "2024-01-01 00:00:00")] == 7.0
+
+
+def test_counter_rate_resets_and_bucket_crossing(spark):
+    """Reset contributes the restarted value; the lag chain crosses
+    bucket boundaries; a series' first point contributes nothing."""
+    import pandas as pd
+
+    from eland_spark.operators.timeseries import counter_rate
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 4,
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:30",
+            "2024-01-01 01:10", "2024-01-01 01:40",
+        ]),
+        "v": [100.0, 150.0, 10.0, 40.0],  # 10.0 is a reset
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = {str(r["bucket"]): (r["increase"], r["rate_per_sec"])
+           for r in counter_rate(sdf, "v", "ts", by="k",
+                                 bucket_seconds=3600).collect()}
+    # bucket 0: first point no delta, 150-100=50
+    assert got["2024-01-01 00:00:00"][0] == 50.0
+    # bucket 1: reset -> contributes v=10; then 40-10=30 -> 40
+    assert got["2024-01-01 01:00:00"][0] == 40.0
+    assert got["2024-01-01 01:00:00"][1] == round(40.0 / 3600, 6)
