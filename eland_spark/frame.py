@@ -221,28 +221,44 @@ class DataFrame:
             )
         return out
 
-    def explode(self, column: str, keep_empty: bool = True) -> "DataFrame":
-        """Expand an array column to one row per element (pandas
-        ``DataFrame.explode``). The reference surfaces ES multi-valued
-        fields as Python lists inside object cells (SURVEY §1.3,
-        eland/query_compiler.py:153-229); here they are real ArrayType
-        columns, and explode is the relational accessor. ``keep_empty``
-        matches pandas: null/empty arrays keep their row with a null
-        element (explode_outer); False drops them (inner explode)."""
+    def explode(self, column, keep_empty: bool = True) -> "DataFrame":
+        """Expand one or more array columns to one row per element
+        (pandas ``DataFrame.explode``). The reference surfaces ES
+        multi-valued fields as Python lists inside object cells (SURVEY
+        §1.3, eland/query_compiler.py:153-229); here they are real
+        ArrayType columns, and explode is the relational accessor.
+        ``keep_empty`` matches pandas: null/empty arrays keep their row
+        with a null element (explode_outer); False drops them (inner
+        explode).
+
+        A LIST of columns explodes them zipped element-wise (pandas
+        1.3 multi-column explode) via ``arrays_zip`` — still one
+        Generate node, zero shuffle. Divergence from pandas, because a
+        lazy plan cannot raise per-row: rows whose lists have
+        MISMATCHED lengths null-pad the shorter ones (pandas raises
+        ValueError); run a length-equality check upstream if you need
+        the strict contract."""
         from dataclasses import replace
 
-        phys = self._schema.resolve(column)
-        fn = F.explode_outer if keep_empty else F.explode
-        sdf = self._sdf.withColumn(phys, fn(F.col(phys)))
-        elem_type = dict(
-            (f.name, f.dataType) for f in sdf.schema.fields
-        )[phys]
-        fields = tuple(
-            replace(f, spark_type=elem_type) if f.column_name == phys else f
-            for f in self._schema.fields
-        )
         from .schema import Schema as _Schema
 
+        cols = [column] if isinstance(column, str) else list(column)
+        phys = [self._schema.resolve(c) for c in cols]
+        fn = F.explode_outer if keep_empty else F.explode
+        if len(phys) == 1:
+            sdf = self._sdf.withColumn(phys[0], fn(F.col(phys[0])))
+        else:
+            zipped = fn(F.arrays_zip(*[F.col(p).alias(p) for p in phys]))
+            sdf = self._sdf.withColumn("__zip__", zipped)
+            for p in phys:
+                sdf = sdf.withColumn(p, F.col(f"__zip__.{p}"))
+            sdf = sdf.drop("__zip__")
+        elem_types = dict((f.name, f.dataType) for f in sdf.schema.fields)
+        fields = tuple(
+            replace(f, spark_type=elem_types[f.column_name])
+            if f.column_name in phys else f
+            for f in self._schema.fields
+        )
         return self._with(sdf=sdf, schema=_Schema(fields, self._schema.index_cols))
 
     def json_normalize(

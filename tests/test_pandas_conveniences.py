@@ -836,3 +836,39 @@ class TestCrosstabMarginsNormalize:
         df, _ = frames
         with pytest.raises(ValueError):
             df.crosstab("a", "b", normalize="rows")
+
+
+def test_explode_multi_column_zips(spark):
+    """Multi-column explode zips element-wise like pandas 1.3+;
+    single-column path unchanged; mismatched lengths null-pad
+    (documented divergence: pandas raises)."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    pdf = pd.DataFrame({
+        "k": [0, 1, 2],
+        "a": [[1, 2], [3], None],
+        "b": [["x", "y"], ["z"], None],
+    })
+    df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    got = (df.explode(["a", "b"]).to_pandas()
+           .sort_values(["k", "a"], na_position="last")
+           .reset_index(drop=True))
+    want = (pdf.explode(["a", "b"]).reset_index(drop=True)
+            .sort_values(["k", "a"], na_position="last")
+            .reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist()
+    assert [x if pd.notna(x) else None for x in got["a"]] == \
+           [x if pd.notna(x) else None for x in want["a"]]
+    assert [x if pd.notna(x) else None for x in got["b"]] == \
+           [x if pd.notna(x) else None for x in want["b"]]
+    # mismatched lengths: null-pad (divergence; pandas raises)
+    pdf2 = pd.DataFrame({"k": [0], "a": [[1, 2]], "b": [["x"]]})
+    df2 = es.DataFrame(spark.createDataFrame(pdf2), index_cols=("k",))
+    rows = (df2.explode(["a", "b"]).to_pandas()
+            .sort_values("a").reset_index(drop=True))
+    assert rows["a"].tolist() == [1, 2]
+    assert rows["b"][0] == "x" and pd.isna(rows["b"][1])
+    # keep_empty=False drops the all-null row
+    assert len(df.explode(["a", "b"], keep_empty=False).to_pandas()) == 3
