@@ -2098,6 +2098,56 @@ class StrAccessor:
             T.LongType(),
         )
 
+    def index(self, sub: str) -> Series:
+        """Like :meth:`find`. Divergence from pandas, documented: a
+        lazy plan cannot raise per-row, so a missing substring yields
+        -1 instead of ValueError."""
+        return self.find(sub)
+
+    def rindex(self, sub: str) -> Series:
+        """Like :meth:`rfind`; same -1-instead-of-raise divergence as
+        :meth:`index`."""
+        return self.rfind(sub)
+
+    def encode(self, encoding: str = "utf-8") -> Series:
+        """String -> binary in the given charset (pandas
+        ``str.encode``); JVM-side ``encode``, zero Python."""
+        return self._d(
+            F.encode(self._s._expr, encoding), T.BinaryType()
+        )
+
+    def decode(self, encoding: str = "utf-8") -> Series:
+        """Binary -> string in the given charset (pandas
+        ``str.decode``); JVM-side ``decode``, zero Python."""
+        return self._d(
+            F.decode(self._s._expr, encoding), T.StringType()
+        )
+
+    def normalize(self, form: str) -> Series:
+        """Unicode normalization (pandas ``str.normalize``). No Spark
+        builtin exists, so this is the one str method on the Arrow
+        escape hatch: a vectorized pandas_udf (batch transfer, never
+        row-at-a-time)."""
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"invalid normalization form {form!r}")
+
+        @F.pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            return s.str.normalize(form)
+
+        return self._d(_norm(self._s._expr), T.StringType())
+
+    def wrap(self, width: int, **kwargs) -> Series:
+        """textwrap-based line wrapping (pandas ``str.wrap``). Same
+        Arrow escape hatch as :meth:`normalize` — textwrap's
+        greedy/hyphen rules are not expressible as a regex."""
+
+        @F.pandas_udf("string")
+        def _wrap(s: pd.Series) -> pd.Series:
+            return s.str.wrap(width, **kwargs)
+
+        return self._d(_wrap(self._s._expr), T.StringType())
+
     def get(self, i: int) -> Series:
         """Character at position ``i`` (negative from the end); out of
         range -> null like pandas."""
@@ -2111,16 +2161,26 @@ class StrAccessor:
     def _char_class(self, pat: str) -> Series:
         return self._d(self._s._expr.rlike(pat), T.BooleanType())
 
+    # Unicode classes, like pandas/CPython (Java regex \p{..} maps:
+    # isdecimal == Nd exactly, isnumeric == N exactly; isdigit adds the
+    # super/subscript digits CPython's digit property includes — the
+    # remaining No-with-digit tail (circled digits etc.) diverges)
     def isalpha(self) -> Series:
-        return self._char_class("^[A-Za-z]+$")
+        return self._char_class(r"^\p{L}+$")
+
+    def isdecimal(self) -> Series:
+        return self._char_class(r"^\p{Nd}+$")
 
     def isdigit(self) -> Series:
-        return self._char_class("^[0-9]+$")
+        return self._char_class(
+            "^[\\p{Nd}²³¹⁰⁴-⁹₀-₉]+$"
+        )
 
-    isnumeric = isdigit
+    def isnumeric(self) -> Series:
+        return self._char_class(r"^\p{N}+$")
 
     def isalnum(self) -> Series:
-        return self._char_class("^[A-Za-z0-9]+$")
+        return self._char_class(r"^[\p{L}\p{N}]+$")
 
     def isspace(self) -> Series:
         return self._char_class(r"^\s+$")

@@ -872,3 +872,46 @@ def test_explode_multi_column_zips(spark):
     assert rows["b"][0] == "x" and pd.isna(rows["b"][1])
     # keep_empty=False drops the all-null row
     assert len(df.explode(["a", "b"], keep_empty=False).to_pandas()) == 3
+
+
+def test_str_unicode_classes_and_new_methods(spark):
+    """isdecimal/isdigit/isnumeric/isalpha/isalnum on unicode input,
+    encode/decode round-trip, index/rindex, wrap, normalize — all vs
+    pandas."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    vals = ["abc", "ABC1", "١٢٣", "²", "Ⅻ", "3.14", "", "héllo", "a b"]
+    pdf = pd.DataFrame({"k": range(len(vals)), "t": vals})
+    df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["t"]
+
+    def got(series):
+        return series.to_pandas().sort_index().tolist()
+
+    for name in ["isdecimal", "isdigit", "isnumeric", "isalpha", "isalnum"]:
+        ours = got(getattr(df["t"].str, name)())
+        want = getattr(ps.str, name)().tolist()
+        assert ours == want, (name, ours, want)
+
+    # find/index agree where present; -1 instead of raise when absent
+    assert got(df["t"].str.index("b")) == [ps.str.find("b")[k] for k in ps.index]
+    assert got(df["t"].str.rindex("b")) == [ps.str.rfind("b")[k] for k in ps.index]
+
+    # encode -> binary -> decode round-trips
+    enc = df["t"].str.encode("utf-8")
+    assert got(enc) == [v.encode() for v in vals]
+    back = enc.str.decode("utf-8")
+    assert got(back) == vals
+
+    # wrap + normalize (Arrow escape hatch)
+    assert got(df["t"].str.wrap(3)) == ps.str.wrap(3).tolist()
+    comp = ["école", "abc"]  # e + combining acute
+    pdf2 = pd.DataFrame({"k": [0, 1], "t": comp})
+    df2 = es.DataFrame(spark.createDataFrame(pdf2), index_cols=("k",))
+    ps2 = pdf2.set_index("k")["t"]
+    assert (df2["t"].str.normalize("NFC").to_pandas().sort_index().tolist()
+            == ps2.str.normalize("NFC").tolist())
+    with pytest.raises(ValueError):
+        df2["t"].str.normalize("XXX")
