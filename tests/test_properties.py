@@ -1105,3 +1105,110 @@ def test_str_accessor_extended_matches_pandas(spark, rows, lit, w, i):
             ps.map(lambda v: None if v is None else v.rsplit("-", n)),
             f"rsplit{n}",
         )
+
+
+# --- funnel / rolling z-score fuzzers (r4) ---------------------------------
+
+_EVENT_LOGS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.sampled_from(["s1", "s2", "s3", "zz"]),      # type (zz = noise)
+        st.integers(min_value=0, max_value=50),          # seconds offset
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _py_greedy_chain(events, steps, within=None):
+    """Reference greedy funnel: time-sorted (step-rank tiebreak) fold."""
+    rank = {}
+    for i, s in enumerate(steps):
+        rank.setdefault(s, i + 1)
+    out = {}
+    by_user = {}
+    for u, t, sec in events:
+        if t in rank:
+            by_user.setdefault(u, []).append((sec, rank[t], t))
+    for u, evs in by_user.items():
+        evs.sort()
+        hits = []
+        for sec, _, t in evs:
+            if len(hits) < len(steps) and t == steps[len(hits)]:
+                hits.append(sec)
+        if within is not None:
+            hits = [h for h in hits if h - hits[0] <= within]
+        out[u] = hits
+    return out
+
+
+@given(events=_EVENT_LOGS, within=st.one_of(st.none(), st.integers(0, 30)))
+@settings(**COMMON)
+def test_funnel_chains_match_python_reference(spark, events, within):
+    from eland_spark.operators.funnel import funnel_chains
+
+    steps = ["s1", "s2", "s3"]
+    pdf = pd.DataFrame(events, columns=["user_id", "event_type", "sec"])
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["sec"], unit="s")
+    sdf = spark.createDataFrame(
+        pdf[["user_id", "event_type", "ts"]],
+        schema="user_id bigint, event_type string, ts timestamp_ntz",
+    )
+    got = {}
+    for r in funnel_chains(sdf, steps, within_seconds=within).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["step_index"], int(r["step_ts"].timestamp()) % 86400 % 3600)
+        )
+    want = _py_greedy_chain(events, steps, within)
+    want = {
+        u: [(i + 1, h % 3600) for i, h in enumerate(hits)]
+        for u, hits in want.items() if hits
+    }
+    got = {u: sorted(v) for u, v in got.items()}
+    assert got == {u: sorted(v) for u, v in want.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.one_of(FINITE, st.none())),
+        min_size=0, max_size=50,
+    ),
+    window=st.integers(1, 8),
+    min_periods=st.integers(1, 5),
+)
+@settings(**COMMON)
+def test_rolling_zscore_matches_pandas_fuzz(spark, rows, window, min_periods):
+    from eland_spark.operators.timeseries import rolling_zscore
+
+    min_periods = min(min_periods, window)  # pandas raises otherwise
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    pdf["i"] = range(len(pdf))
+    sdf = spark.createDataFrame(
+        pdf[["g", "v", "i"]], schema="g bigint, v double, i bigint"
+    )
+    got = (
+        rolling_zscore(sdf, "v", ["i"], by="g",
+                       window=window, min_periods=min_periods, threshold=2.0)
+        .toPandas().sort_values("i")["zscore"].reset_index(drop=True)
+    )
+
+    def ref(g):
+        prev = g["v"].shift(1)
+        mean = prev.rolling(window, min_periods=min_periods).mean()
+        std = prev.rolling(window, min_periods=min_periods).std()
+        cnt = prev.rolling(window, min_periods=1).count()
+        z = (g["v"] - mean) / std
+        return z.where((cnt >= min_periods) & (std > 0)).round(6)
+
+    if len(pdf) == 0:
+        assert len(got) == 0
+        return
+    pdf["v"] = pdf["v"].astype("float64")
+    parts = [
+        ref(g.sort_values("i"))
+        for _, g in pdf.groupby("g", sort=False)
+    ]
+    want = pd.concat(parts).sort_index().reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got, want, check_names=False, rtol=1e-5, atol=1e-8
+    )
