@@ -5425,6 +5425,74 @@ def _pagerank_oracle_sql() -> str:
     return "".join(parts)
 
 
+def q_pagerank_personalized(spark, sf_dir) -> DataFrame:
+    """Weighted + personalized PageRank: edge weights are the
+    (part, supplier) co-occurrence counts from lineitem, teleport mass
+    restarts at the supplier nodes — 'which parts matter to this
+    supplier cohort', the graph-similarity workhorse. Same 3 unrolled
+    rounds replayed in the oracle with the weight and restart terms."""
+    from eland_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    fwd = li.groupBy(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = li.select((F.col("l_suppkey") * 2 + 1).alias("node")).distinct()
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP,
+        dangling="ignore", weight="w", personalized=seeds,
+    )
+    return ranks.select(
+        _graph_node_label(F.col("node")).alias("node"),
+        F.round("rank", 9).alias("rank"),
+    )
+
+
+def _pagerank_personalized_oracle_sql() -> str:
+    d, k = _PR_DAMP, _PR_ITERS
+    parts = [f"""
+        WITH e0 AS (
+            SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), e AS (
+            SELECT src, dst, w FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM e0
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), odeg AS (
+            SELECT src AS node, sum(w) AS od FROM e GROUP BY src
+        ), ns AS (
+            SELECT CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS n
+            FROM lineitem
+        ), pvec AS (
+            SELECT nodes.node, odeg.od,
+                   CASE WHEN nodes.node LIKE 's%' THEN 1.0 / ns.n
+                        ELSE 0.0 END AS p
+            FROM nodes JOIN odeg USING (node), ns
+        ), r0 AS (
+            SELECT node, od, p, p AS rank FROM pvec
+        )"""]
+    prev = "r0"
+    for i in range(1, k + 1):
+        parts.append(f""", c{i} AS (
+            SELECT e.dst AS node, sum({prev}.rank * e.w / {prev}.od) AS inc
+            FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst
+        ), r{i} AS (
+            SELECT pvec.node, pvec.od, pvec.p,
+                   (1 - {d}) * pvec.p + {d} * COALESCE(c{i}.inc, 0) AS rank
+            FROM pvec LEFT JOIN c{i} USING (node)
+        )""")
+        prev = f"r{i}"
+    parts.append(f"\nSELECT node, round(rank, 9) AS rank FROM {prev}")
+    return "".join(parts)
+
+
 def q_graph_degrees(spark, sf_dir) -> DataFrame:
     """Per-node in/out degree of the directed part->supplier edge set
     (distinct edges) — one explode + one hash aggregation."""
@@ -5988,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_chains": q_funnel_chains,
         "time_weighted_avg": q_time_weighted_avg,
         "counter_rate": q_counter_rate,
+        "pagerank_personalized": q_pagerank_personalized,
     }
 
 
@@ -8176,4 +8245,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_chains": _funnel_chains_oracle_sql(),
         "time_weighted_avg": _twa_oracle_sql(),
         "counter_rate": _counter_rate_oracle_sql(),
+        "pagerank_personalized": _pagerank_personalized_oracle_sql(),
     }

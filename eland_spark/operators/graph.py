@@ -4,7 +4,10 @@ No reference analog (eland has no graph layer); PageRank (Page et al.
 1999, "The PageRank citation ranking") is the canonical web-crawl
 quality prior — CommonCrawl-derived corpora routinely carry a
 host-graph centrality signal next to the text-quality gates in
-``operators/text.py``. Connected components (the other graph primitive
+``operators/text.py``. Weighted edges and personalization (the
+restart-vector variant of the same paper, popularized for
+graph-similarity by Jeh & Widom 2003's scaled expansion) are the two
+standard extensions. Connected components (the other graph primitive
 a dedup pipeline needs) already lives in ``operators/dedup.py``
 (large-star/small-star contraction).
 
@@ -14,7 +17,7 @@ frame is node-sized, the edge frame is edge-sized; edges are hashed by
 ``src`` once and the partitioning is reused every round (one
 ``repartition`` up front, no per-round edge shuffle), while the
 node-sized rank updates are the only thing that moves. Dangling mass
-is folded back uniformly via a single scalar aggregate per round —
+is folded back via a single scalar aggregate per round —
 never a driver collect of node data. Each round lazily checkpoints the
 node-sized rank frame: the round's two consumers (contribution join +
 dangling scalar) share one computation instead of re-executing the
@@ -22,6 +25,8 @@ prior lineage per branch, and lineage depth stays O(1) for any K.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,34 +58,52 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     dangling: str = "redistribute",
+    weight: Optional[str] = None,
+    personalized: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Fixed-K unweighted PageRank power iteration.
+    """Fixed-K PageRank power iteration, optionally weighted and/or
+    personalized.
 
-    ``rank_v = (1-d)/N + d * (sum_{u->v} rank_u / outdeg_u + D/N)``
-    where ``D`` is the total rank mass sitting on dangling nodes
-    (out-degree 0) — redistributed uniformly per the original
+    ``rank_v = (1-d)*p_v + d * (sum_{u->v} rank_u * w_uv / wout_u
+    + D * p_v)`` where ``p`` is the teleport vector (uniform ``1/N``,
+    or ``1/|S|`` over the seed set with ``personalized``), ``w`` the
+    edge weight (1 for every deduplicated edge when ``weight`` is
+    None; duplicate (src, dst) rows SUM their weights otherwise, and
+    non-positive/null weights are dropped), and ``D`` the rank mass on
+    dangling nodes — redistributed along ``p`` per the original
     formulation, or dropped with ``dangling="ignore"`` (the textbook
-    simplification; documents which one an oracle must replay).
+    simplification; documents which one an oracle must replay). Ranks
+    initialize at ``p`` (for the uniform case that is the classic
+    ``1/N``), so a fixed K is exactly reproducible.
 
-    Returns ``(node, rank)`` with ranks summing to ~1. Multi-edges
-    count once (edges are distinct-ed); self-loops participate like
-    any edge.
+    Returns ``(node, rank)``; with ``dangling="redistribute"`` ranks
+    sum to ~1. ``personalized`` is a one-column frame of seed node ids
+    (broadcast — seed sets are small by construction); seeds absent
+    from the graph still receive teleport mass.
 
-    Plan shape: edges are deduplicated and hash-partitioned by ``src``
-    once up front; each round joins the node-sized rank frame against
-    that fixed partitioning and reduces contributions by ``dst`` —
-    so per-round shuffle volume is O(nodes + contributions), never a
-    re-shuffle of the raw edge table, and the dangling term is one
-    scalar aggregate folded in as a literal-free broadcast (no driver
-    value, no collect). Rank lineage truncates every round (see module
-    docstring), so K can grow without plan-depth or recompute blowup.
+    Plan shape: see the module docstring — one up-front edge
+    dedup/weight-sum hash-partitioned by ``src`` and reused every
+    round; per-round shuffle volume is O(nodes + contributions); rank
+    lineage truncates every round so K can grow without plan-depth or
+    recompute blowup.
     """
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute|ignore, got {dangling!r}")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
-    e = edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__")).distinct()
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+            .distinct()
+            .withColumn("__w__", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.where(F.col(weight).isNotNull() & (F.col(weight) > 0))
+            .groupBy(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+            .agg(F.sum(F.col(weight).cast("double")).alias("__w__"))
+        )
     # reuse one src-hashed partitioning across all K rounds; the
     # localCheckpoint barrier makes the dedup+repartition subtree
     # compute ONCE instead of being re-inlined into every round's join
@@ -93,20 +116,39 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy(F.col("__src__").alias("node")).agg(
-        F.count(F.lit(1)).alias("__outdeg__")
+        F.sum("__w__").alias("__outdeg__")
     )
+    if personalized is not None:
+        seed_col = personalized.columns[0]
+        seeds = (
+            personalized.select(F.col(seed_col).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+        )
+        # seeds outside the edge set still get teleport mass
+        nodes = nodes.unionByName(seeds).distinct()
     # node-sized; computed once, reused every round
     base = nodes.join(outdeg, "node", "left").select(
-        "node", F.coalesce(F.col("__outdeg__"), F.lit(0)).alias("__outdeg__")
+        "node", F.coalesce(F.col("__outdeg__"), F.lit(0.0)).alias("__outdeg__")
     )
-    n_nodes = base.select(
-        F.count(F.lit(1)).cast("double").alias("__n__")
-    )
+    if personalized is None:
+        n_nodes = base.select(F.count(F.lit(1)).cast("double").alias("__n__"))
+        base = base.crossJoin(F.broadcast(n_nodes)).select(
+            "node", "__outdeg__", (F.lit(1.0) / F.col("__n__")).alias("__p__")
+        )
+    else:
+        n_seeds = seeds.select(F.count(F.lit(1)).cast("double").alias("__ns__"))
+        flagged = base.join(
+            F.broadcast(seeds.withColumn("__seed__", F.lit(1))), "node", "left"
+        )
+        base = flagged.crossJoin(F.broadcast(n_seeds)).select(
+            "node", "__outdeg__",
+            F.when(F.col("__seed__") == 1, F.lit(1.0) / F.col("__ns__"))
+            .otherwise(F.lit(0.0)).alias("__p__"),
+        )
 
-    ranks = base.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "__outdeg__", (F.lit(1.0) / F.col("__n__")).alias("rank"),
-        "__n__",
-    )
+    ranks = base.select("node", "__outdeg__", "__p__",
+                        F.col("__p__").alias("rank"))
 
     d = float(damping)
     for i in range(int(iterations)):
@@ -121,7 +163,8 @@ def pagerank(
             .join(e, ranks["node"] == e["__src__"])
             .select(
                 F.col("__dst__").alias("node"),
-                (F.col("rank") / F.col("__outdeg__")).alias("__c__"),
+                (F.col("rank") * F.col("__w__") / F.col("__outdeg__"))
+                .alias("__c__"),
             )
             .groupBy("node")
             .agg(F.sum("__c__").alias("__in__"))
@@ -145,13 +188,13 @@ def pagerank(
         ranks = (
             joined
             .select(
-                "node", "__outdeg__", "__n__",
+                "node", "__outdeg__", "__p__",
                 (
-                    (F.lit(1.0) - F.lit(d)) / F.col("__n__")
+                    (F.lit(1.0) - F.lit(d)) * F.col("__p__")
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("__in__"), F.lit(0.0))
-                        + F.col("__dang__") / F.col("__n__")
+                        + F.col("__dang__") * F.col("__p__")
                     )
                 ).alias("rank"),
             )

@@ -99,3 +99,97 @@ def test_degrees(spark, edge_df):
     got = {r["node"]: (r["out_degree"], r["in_degree"])
            for r in degrees(edge_df).collect()}
     assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 3), "d": (1, 0)}
+
+
+def _np_pagerank_ext(edge_list, iterations, damping, weights=None,
+                     seeds=None):
+    """Weighted/personalized dense reference."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list}
+                   | (set(seeds) if seeds else set()))
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = {}
+    for idx, (u, v) in enumerate(edge_list):
+        w[(u, v)] = w.get((u, v), 0.0) + (
+            weights[idx] if weights is not None else 0.0
+        )
+    if weights is None:
+        w = {e: 1.0 for e in set(edge_list)}
+    out = np.zeros(n)
+    for (u, _), wt in w.items():
+        out[ix[u]] += wt
+    if seeds:
+        p = np.zeros(n)
+        for s in seeds:
+            p[ix[s]] = 1.0 / len(seeds)
+    else:
+        p = np.full(n, 1.0 / n)
+    r = p.copy()
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        for (u, v), wt in w.items():
+            nxt[ix[v]] += r[ix[u]] * wt / out[ix[u]]
+        dang = r[out == 0].sum()
+        r = (1 - damping) * p + damping * (nxt + dang * p)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    wts = [1.0, 3.0, 2.0, 1.0, 1.0]  # duplicate (a,b) rows sum to 2.0
+    pdf = pd.DataFrame(
+        [(u, v, w) for (u, v), w in zip(edges, wts)],
+        columns=["src", "dst", "w"],
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=4, weight="w").collect()}
+    want = _np_pagerank_ext(edges, 4, 0.85, weights=wts)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_weighted_drops_nonpositive(spark):
+    pdf = pd.DataFrame(
+        [("a", "b", 1.0), ("a", "c", 0.0), ("b", "a", None)],
+        columns=["src", "dst", "w"],
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=2, weight="w").collect()}
+    # only the (a, b) edge survives; c stays in the graph as a dst
+    want = _np_pagerank_ext([("a", "b")], 2, 0.85, weights=[1.0],
+                            seeds=None)
+    # c participates only via its dst appearance in the raw edge set —
+    # it is dropped with its zero-weight edge, like a never-linked page
+    assert set(got) == {"a", "b"}
+    want = _np_pagerank_ext([("a", "b")], 2, 0.85, weights=[1.0])
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_personalized_pagerank_matches_numpy(spark, edge_df):
+    seeds = ["a", "d"]
+    sdf = spark.createDataFrame(pd.DataFrame({"node": seeds}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=5,
+                             personalized=sdf).collect()}
+    want = _np_pagerank_ext(EDGES, 5, 0.85, seeds=seeds)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    # teleport mass concentrates on/near the seeds
+    assert got["a"] > got["b"]
+
+
+def test_personalized_seed_outside_graph(spark, edge_df):
+    sdf = spark.createDataFrame(pd.DataFrame({"node": ["zzz"]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=3,
+                             personalized=sdf).collect()}
+    # the orphan seed holds all teleport mass and leaks nothing back
+    want = _np_pagerank_ext(EDGES, 3, 0.85, seeds=["zzz"])
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
