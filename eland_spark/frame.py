@@ -2151,6 +2151,143 @@ class DataFrame:
         ]
         return pd.DataFrame({c: data[c] for c in ordered}, index=idx)
 
+    def corrwith(self, other: "DataFrame", numeric_only: bool = True) -> pd.Series:
+        """Pearson correlation of each shared numeric column between
+        two index-aligned frames (pandas ``DataFrame.corrwith``,
+        axis=0). One null-safe index equi-join + ONE aggregation pass
+        (every F.corr is a map-side-combinable streaming agg) — a
+        single scan of each side at any scale; the result is
+        column-count sized."""
+        if self._schema.index_cols != other._schema.index_cols or not self._schema.index_cols:
+            raise ValueError(
+                "corrwith needs both frames indexed on the same columns"
+            )
+        mine = {f.display_name: f for f in self._schema.fields if f.is_numeric}
+        theirs = {f.display_name: f for f in other._schema.fields if f.is_numeric}
+        idx = list(self._schema.index_cols)
+        shared = [c for c in mine if c in theirs and c not in idx]
+        if not shared:
+            return pd.Series(dtype="float64")
+        l = self._sdf.select(
+            *[F.col(self._schema.resolve(c)).alias(f"__i{j}__")
+              for j, c in enumerate(idx)],
+            *[F.col(mine[c].column_name).cast("double").alias(f"__l_{c}__")
+              for c in shared],
+        )
+        r = other._sdf.select(
+            *[F.col(other._schema.resolve(c)).alias(f"__i{j}__")
+              for j, c in enumerate(idx)],
+            *[F.col(theirs[c].column_name).cast("double").alias(f"__r_{c}__")
+              for c in shared],
+        )
+        cond = [l[f"__i{j}__"].eqNullSafe(r[f"__i{j}__"]) for j in range(len(idx))]
+        joined = l.join(r, cond, "inner")
+        row = joined.agg(
+            *[F.corr(F.col(f"__l_{c}__"), F.col(f"__r_{c}__")).alias(c)
+              for c in shared]
+        ).collect()[0]
+        return pd.Series(
+            {c: (float("nan") if row[c] is None else row[c]) for c in shared}
+        )
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        """Frames are immutable lazy plans; copy returns a new façade
+        over the same plan (pandas-API convenience)."""
+        return self._with(sdf=self._sdf)
+
+    def _scalar_compare(self, other, op: str) -> "DataFrame":
+        import numbers
+
+        if other is None:
+            raise TypeError(f"cannot compare with None via {op}")
+        is_num = isinstance(other, numbers.Number) and not isinstance(other, bool)
+        cols = []
+        for f in self._schema.fields:
+            if f.display_name in self._schema.index_cols:
+                cols.append(F.col(f.column_name).alias(f.display_name))
+                continue
+            comparable = f.is_numeric if is_num else (
+                isinstance(f.spark_type, T.StringType)
+                if isinstance(other, str) else True
+            )
+            c = F.col(f.column_name)
+            if op in ("eq", "ne"):
+                if not comparable:
+                    base = F.lit(op == "ne")
+                else:
+                    cmp = c == F.lit(other)
+                    # pandas: NaN eq anything -> False, NaN ne -> True
+                    base = F.coalesce(
+                        cmp if op == "eq" else ~cmp, F.lit(op == "ne")
+                    )
+            else:
+                if not comparable:
+                    raise TypeError(
+                        f"{op} not supported between {f.display_name!r} "
+                        f"({f.spark_type}) and {type(other).__name__}"
+                    )
+                cmp = {
+                    "lt": c < F.lit(other), "le": c <= F.lit(other),
+                    "gt": c > F.lit(other), "ge": c >= F.lit(other),
+                }[op]
+                base = F.coalesce(cmp, F.lit(False))
+            cols.append(base.alias(f.display_name))
+        sdf = self._sdf.select(*cols)
+        return DataFrame(sdf, index_cols=self._schema.index_cols)
+
+    def eq(self, other) -> "DataFrame":
+        """Elementwise ``== scalar`` over every column (pandas
+        ``DataFrame.eq``): nulls compare False, incomparable dtypes
+        are all-False — a zero-shuffle projection."""
+        return self._scalar_compare(other, "eq")
+
+    def ne(self, other) -> "DataFrame":
+        """Elementwise ``!= scalar``; nulls compare True (pandas)."""
+        return self._scalar_compare(other, "ne")
+
+    def lt(self, other) -> "DataFrame":
+        return self._scalar_compare(other, "lt")
+
+    def le(self, other) -> "DataFrame":
+        return self._scalar_compare(other, "le")
+
+    def gt(self, other) -> "DataFrame":
+        return self._scalar_compare(other, "gt")
+
+    def ge(self, other) -> "DataFrame":
+        return self._scalar_compare(other, "ge")
+
+    def first_valid_index(self):
+        """Index of the first row (in index order) with ANY non-null
+        value column — two scalar aggregates, no sort (min over the
+        index struct)."""
+        return self._valid_index_edge(F.min)
+
+    def last_valid_index(self):
+        return self._valid_index_edge(F.max)
+
+    def _valid_index_edge(self, agg_fn):
+        idx = list(self._schema.index_cols)
+        if not idx:
+            raise ValueError("first/last_valid_index needs an index")
+        vals = [
+            F.col(f.column_name)
+            for f in self._schema.fields
+            if f.display_name not in idx
+        ]
+        if not vals:
+            return None
+        cond = None
+        for v in vals:
+            cond = v.isNotNull() if cond is None else (cond | v.isNotNull())
+        filtered = self._sdf.where(cond)
+        key = F.struct(*[F.col(self._schema.resolve(c)) for c in idx])
+        row = filtered.agg(agg_fn(key).alias("k")).collect()[0]["k"]
+        if row is None:
+            return None
+        vals_out = tuple(row)
+        return vals_out[0] if len(vals_out) == 1 else vals_out
+
     def corr(self, numeric_only: bool = True) -> pd.DataFrame:
         """Pairwise Pearson correlation matrix of numeric columns (no
         reference analog — pandas DataFrame.corr surface). All p*(p-1)/2

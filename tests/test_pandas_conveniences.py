@@ -915,3 +915,93 @@ def test_str_unicode_classes_and_new_methods(spark):
             == ps2.str.normalize("NFC").tolist())
     with pytest.raises(ValueError):
         df2["t"].str.normalize("XXX")
+
+
+class TestComparisonAndValidityHelpers:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "k": [0, 1, 2, 3],
+            "a": [1.0, np.nan, 3.0, 5.0],
+            "s": ["x", "y", None, "5"],
+        })
+        return es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",)), pdf
+
+    def test_eq_ne_null_semantics(self, df):
+        edf, pdf = df
+        got = edf.eq(3.0).to_pandas().set_index("k").sort_index()
+        want = pdf.set_index("k").eq(3.0)
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["s"].tolist() == want["s"].tolist()  # all False
+        got = edf.ne(3.0).to_pandas().set_index("k").sort_index()
+        want = pdf.set_index("k").ne(3.0)
+        assert got["a"].tolist() == want["a"].tolist()  # NaN ne -> True
+        assert got["s"].tolist() == want["s"].tolist()
+
+    def test_ordered_compare(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({"k": [0, 1, 2], "a": [1.0, None, 9.0]})
+        edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        got = edf.lt(5).to_pandas().set_index("k").sort_index()["a"].tolist()
+        assert got == pdf.set_index("k").lt(5)["a"].tolist()
+        got = edf.ge(1.0).to_pandas().set_index("k").sort_index()["a"].tolist()
+        assert got == pdf.set_index("k").ge(1.0)["a"].tolist()
+
+    def test_ordered_compare_type_error(self, df):
+        edf, _ = df
+        with pytest.raises(TypeError):
+            edf.lt(5)  # string column present
+
+    def test_first_last_valid_index(self, spark):
+        import pandas as pd
+
+        import eland_spark as es
+
+        pdf = pd.DataFrame({
+            "k": [10, 20, 30, 40],
+            "a": [None, 1.0, 2.0, None],
+            "b": [None, None, "x", None],
+        })
+        edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+        assert edf.first_valid_index() == 20
+        assert edf.last_valid_index() == 30
+        empty = es.DataFrame(
+            spark.createDataFrame(pd.DataFrame({"k": [1], "a": [None]}),
+                                  schema="k bigint, a double"),
+            index_cols=("k",),
+        )
+        assert empty.first_valid_index() is None
+
+    def test_copy_is_same_plan(self, df):
+        edf, _ = df
+        c = edf.copy()
+        assert c is not edf
+        assert c.to_pandas().equals(edf.to_pandas())
+
+    def test_corrwith(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        import eland_spark as es
+
+        rng = np.random.RandomState(3)
+        pdf1 = pd.DataFrame({"k": range(50), "a": rng.randn(50),
+                             "b": rng.randn(50)})
+        pdf2 = pd.DataFrame({"k": range(50), "a": rng.randn(50),
+                             "b": pdf1["b"] * 2 + 1})
+        d1 = es.DataFrame(spark.createDataFrame(pdf1), index_cols=("k",))
+        d2 = es.DataFrame(spark.createDataFrame(pdf2), index_cols=("k",))
+        got = d1.corrwith(d2).sort_index()
+        want = pdf1.set_index("k").corrwith(pdf2.set_index("k")).sort_index()
+        pd.testing.assert_series_equal(got, want, rtol=1e-9,
+                                       check_names=False)
+        with pytest.raises(ValueError):
+            es.DataFrame(spark.createDataFrame(pdf1)).corrwith(d2)
