@@ -2151,6 +2151,15 @@ class DataFrame:
         ]
         return pd.DataFrame({c: data[c] for c in ordered}, index=idx)
 
+    def rolling(self, window: int, min_periods: "int | None" = None):
+        """pandas ``DataFrame.rolling(window)`` over the global index
+        order: lazy proxy with ``sum/mean/min/max/count/agg`` applying
+        to every numeric column in ONE pass — the same windowless
+        bucket-overlap plan as ``Series.rolling``
+        (operators/ranking.with_global_rolling_multi), one balanced
+        exchange for the whole column set, never one per column."""
+        return _FrameRolling(self, window, min_periods)
+
     def corrwith(self, other: "DataFrame", numeric_only: bool = True) -> pd.Series:
         """Pearson correlation of each shared numeric column between
         two index-aligned frames (pandas ``DataFrame.corrwith``,
@@ -3204,3 +3213,68 @@ def get_dummies(df: "DataFrame", columns=None, **kw) -> "DataFrame":
     """Module-level pandas-style ``pd.get_dummies`` — delegates to
     :meth:`DataFrame.get_dummies`."""
     return df.get_dummies(columns=columns, **kw)
+
+
+class _FrameRolling:
+    """Lazy frame-level rolling proxy (see DataFrame.rolling)."""
+
+    _AGGS = ("sum", "mean", "min", "max", "count")
+
+    def __init__(self, frame: "DataFrame", window: int,
+                 min_periods: "int | None"):
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        if not frame.index_cols:
+            raise ValueError("rolling needs an index for a total order")
+        self._frame = frame
+        self._window = int(window)
+        self._min_periods = min_periods
+
+    def agg(self, func) -> "DataFrame":
+        from .operators.ranking import with_global_rolling_multi
+
+        aggs = [func] if isinstance(func, str) else list(func)
+        for a in aggs:
+            if a not in self._AGGS:
+                raise ValueError(
+                    f"unsupported rolling agg {a!r}; one of {self._AGGS}"
+                )
+        frame = self._frame
+        schema = frame._schema
+        icols = list(frame.index_cols)
+        vals = [
+            f.display_name for f in schema.fields
+            if f.is_numeric and f.display_name not in icols
+        ]
+        if not vals:
+            raise ValueError("rolling found no numeric columns")
+        base = frame._sdf.select(
+            *[F.col(schema.resolve(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
+        )
+        out = with_global_rolling_multi(
+            base, icols, vals, self._window, aggs,
+            min_periods=self._min_periods,
+        )
+        single = len(aggs) == 1
+        keep = [F.col(c) for c in icols]
+        for c in vals:
+            for a in aggs:
+                name = c if single else f"{c}_{a}"
+                keep.append(F.col(f"{c}__rolling_{a}").alias(name))
+        return DataFrame(out.select(*keep), index_cols=tuple(icols))
+
+    def sum(self):
+        return self.agg("sum")
+
+    def mean(self):
+        return self.agg("mean")
+
+    def min(self):
+        return self.agg("min")
+
+    def max(self):
+        return self.agg("max")
+
+    def count(self):
+        return self.agg("count")

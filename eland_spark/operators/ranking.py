@@ -33,6 +33,7 @@ __all__ = [
     "with_global_cumsum",
     "with_global_expanding",
     "with_global_rolling",
+    "with_global_rolling_multi",
 ]
 
 _POS_MASK = (1 << 33) - 1
@@ -659,3 +660,40 @@ def with_global_interpolate(
         )
         out = out.withColumn(c, filled)
     return out.drop("__g__")
+
+
+def with_global_rolling_multi(
+    sdf: DataFrame,
+    order_by: "list[str | Column]",
+    value_cols: "list[str]",
+    window: int,
+    aggs: "list[str]",
+    min_periods: "int | None" = None,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Row-based rolling aggregates over the GLOBAL order for MANY
+    columns at once — the bucket-overlap plan of
+    :func:`with_global_rolling` (one balanced exchange) paid a single
+    time for the whole column set. Adds ``{col}__rolling_{agg}`` per
+    (column, agg); min_periods counts each column's OWN non-null
+    observations (pandas semantics)."""
+    fn_map = {
+        "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+        "count": F.count,
+    }
+    bad = [a for a in aggs if a not in fn_map]
+    if bad:
+        raise ValueError(f"unsupported rolling aggs {bad}; one of {sorted(fn_map)}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    mp = window if min_periods is None else min_periods
+    un, w = _bucketed_frame(sdf, order_by, window, partitions)
+    out = un
+    for c in value_cols:
+        cnt = F.count(F.col(c)).over(w)
+        for a in aggs:
+            expr = fn_map[a](F.col(c)).over(w)
+            out = out.withColumn(
+                f"{c}__rolling_{a}", F.when(cnt >= F.lit(mp), expr)
+            )
+    return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")

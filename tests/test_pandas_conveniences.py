@@ -1005,3 +1005,39 @@ class TestComparisonAndValidityHelpers:
                                        check_names=False)
         with pytest.raises(ValueError):
             es.DataFrame(spark.createDataFrame(pdf1)).corrwith(d2)
+
+
+def test_frame_rolling_matches_pandas(spark):
+    """Frame-level rolling applies to every numeric column in one
+    bucket-overlap pass; matches pandas per column incl. min_periods
+    and nulls."""
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "k": range(40),
+        "a": rng.randn(40).round(3),
+        "b": rng.randn(40).round(3),
+        "s": ["x"] * 40,
+    })
+    pdf.loc[5, "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+
+    got = edf.rolling(7, min_periods=3).mean().to_pandas().set_index("k").sort_index()
+    want = pdf.set_index("k")[["a", "b"]].rolling(7, min_periods=3).mean()
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, rtol=1e-9)
+
+    multi = (edf.rolling(4).agg(["sum", "count"])
+             .to_pandas().set_index("k").sort_index())
+    want_sum = pdf.set_index("k")[["a", "b"]].rolling(4).sum()
+    pd.testing.assert_series_equal(
+        multi["a_sum"], want_sum["a"], check_names=False, rtol=1e-9
+    )
+
+    with pytest.raises(ValueError):
+        edf.rolling(0)
+    with pytest.raises(ValueError):
+        edf.rolling(3).agg("median")
