@@ -5823,6 +5823,47 @@ def _counter_rate_oracle_sql() -> str:
     """
 
 
+def q_frame_rolling(spark, sf_dir) -> DataFrame:
+    """Frame-level rolling over the global index order: mean+count of
+    two measures in ONE bucket-overlap pass (no single-partition
+    window); oracle replays with a plain ROWS window."""
+    import eland_spark as es
+
+    od = _t(spark, sf_dir, "orders").to_spark()
+    df = es.DataFrame(
+        od.select("o_orderkey", "o_totalprice",
+                  F.col("o_custkey").cast("double").alias("o_custkey")),
+        index_cols=("o_orderkey",),  # unique -> total order is exact
+    )
+    out = df.rolling(10, min_periods=5).agg(["mean", "count"])
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderkey",
+        F.round("o_totalprice_mean", 6).alias("price_mean"),
+        F.col("o_totalprice_count").alias("price_n"),
+        F.round("o_custkey_mean", 6).alias("cust_mean"),
+    )
+
+
+def _frame_rolling_oracle_sql() -> str:
+    return """
+        WITH w AS (
+            SELECT o_orderkey,
+                   avg(CAST(o_totalprice AS DOUBLE)) OVER win AS pm,
+                   count(o_totalprice) OVER win AS pn,
+                   avg(CAST(o_custkey AS DOUBLE)) OVER win AS cm
+            FROM orders
+            WINDOW win AS (ORDER BY o_orderkey
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT o_orderkey,
+               round(CASE WHEN pn >= 5 THEN pm END, 6) AS price_mean,
+               CASE WHEN pn >= 5 THEN pn END AS price_n,
+               round(CASE WHEN pn >= 5 THEN cm END, 6) AS cust_mean
+        FROM w
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6057,6 +6098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "counter_rate": q_counter_rate,
         "pagerank_personalized": q_pagerank_personalized,
+        "frame_rolling": q_frame_rolling,
     }
 
 
@@ -8246,4 +8288,5 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": _twa_oracle_sql(),
         "counter_rate": _counter_rate_oracle_sql(),
         "pagerank_personalized": _pagerank_personalized_oracle_sql(),
+        "frame_rolling": _frame_rolling_oracle_sql(),
     }

@@ -2204,6 +2204,46 @@ class DataFrame:
         over the same plan (pandas-API convenience)."""
         return self._with(sdf=self._sdf)
 
+    def update(self, other: "DataFrame", overwrite: bool = True) -> "DataFrame":
+        """pandas ``DataFrame.update``, immutably: align ``other`` on
+        the (shared) index, and for every shared non-index column take
+        other's NON-NULL values (``overwrite=True``) or only fill
+        self's nulls (``overwrite=False``). Always a LEFT alignment —
+        every self row survives, other-only rows are ignored. One
+        null-safe index equi-join, no other shuffle; pandas raises on
+        duplicate other-side keys, here they fan out (documented
+        divergence of the lazy plan) — dedup upstream if unsure."""
+        if self._schema.index_cols != other._schema.index_cols or not self._schema.index_cols:
+            raise ValueError("update needs both frames indexed on the same columns")
+        idx = list(self._schema.index_cols)
+        mine = {f.display_name: f for f in self._schema.fields}
+        theirs = {f.display_name: f for f in other._schema.fields}
+        shared = [c for c in mine if c in theirs and c not in idx]
+        if not shared:
+            return self.copy()
+        r = other._sdf.select(
+            *[F.col(other._schema.resolve(c)).alias(f"__ui{j}__")
+              for j, c in enumerate(idx)],
+            *[F.col(theirs[c].column_name).alias(f"__u_{c}__") for c in shared],
+        )
+        l = self._sdf
+        cond = None
+        for j, c in enumerate(idx):
+            e = F.col(self._schema.resolve(c)).eqNullSafe(F.col(f"__ui{j}__"))
+            cond = e if cond is None else (cond & e)
+        joined = l.join(r, cond, "left")
+        cols = []
+        for f in self._schema.fields:
+            c = f.display_name
+            if c in shared:
+                ours, new = F.col(f.column_name), F.col(f"__u_{c}__")
+                merged = (F.coalesce(new, ours) if overwrite
+                          else F.coalesce(ours, new))
+                cols.append(merged.cast(f.spark_type).alias(f.column_name))
+            else:
+                cols.append(F.col(f.column_name))
+        return self._with(sdf=joined.select(*cols))
+
     def _scalar_compare(self, other, op: str) -> "DataFrame":
         import numbers
 

@@ -1041,3 +1041,42 @@ def test_frame_rolling_matches_pandas(spark):
         edf.rolling(0)
     with pytest.raises(ValueError):
         edf.rolling(3).agg("median")
+
+
+def test_update_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    base = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "a": [1.0, 2.0, np.nan, 4.0],
+        "b": ["w", "x", "y", "z"],
+        "only_mine": [10, 20, 30, 40],
+    })
+    other = pd.DataFrame({
+        "k": [2, 3, 9],
+        "a": [99.0, np.nan, 7.0],
+        "b": [None, "NEW", "n/a"],
+    })
+    d1 = es.DataFrame(spark.createDataFrame(base), index_cols=("k",))
+    d2 = es.DataFrame(spark.createDataFrame(other), index_cols=("k",))
+
+    got = (d1.update(d2).to_pandas().set_index("k").sort_index())
+    want = base.set_index("k").copy()
+    want.update(other.set_index("k"))
+    for c in ["a", "b", "only_mine"]:
+        assert [x if pd.notna(x) else None for x in got[c]] == \
+               [x if pd.notna(x) else None for x in want[c]], c
+
+    got_nf = (d1.update(d2, overwrite=False)
+              .to_pandas().set_index("k").sort_index())
+    want_nf = base.set_index("k").copy()
+    want_nf.update(other.set_index("k"), overwrite=False)
+    for c in ["a", "b"]:
+        assert [x if pd.notna(x) else None for x in got_nf[c]] == \
+               [x if pd.notna(x) else None for x in want_nf[c]], c
+
+    with pytest.raises(ValueError):
+        es.DataFrame(spark.createDataFrame(base)).update(d2)
