@@ -5865,6 +5865,68 @@ def _frame_rolling_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# distribution drift (operators/drift.py)
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = [0.0, 10000.0, 25000.0, 50000.0, 75000.0, 100000.0]
+
+
+def q_drift_psi(spark, sf_dir) -> DataFrame:
+    """PSI/KL drift table between the F and O lineitem populations over
+    l_extendedprice with explicit bin edges — each snapshot reduces to
+    bin counts in one hash agg, everything after is bin-sized."""
+    from eland_spark.operators.drift import drift_bins
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return drift_bins(ref, cur, "l_extendedprice", edges=_PSI_EDGES)
+
+
+def _drift_psi_oracle_sql() -> str:
+    e = _PSI_EDGES
+    case = "CASE WHEN l_extendedprice < {lo} THEN -1 {mids} ELSE {top} END".format(
+        lo=e[0],
+        mids=" ".join(
+            f"WHEN l_extendedprice < {e[i + 1]} THEN {i}"
+            for i in range(len(e) - 1)
+        ),
+        top=len(e) - 1,
+    )
+    return f"""
+        WITH rc AS (
+            SELECT {case} AS bin, count(*) AS rn FROM lineitem
+            WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), cc AS (
+            SELECT {case} AS bin, count(*) AS cn FROM lineitem
+            WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(rc.bin, cc.bin) AS bin, rn, cn
+            FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+        ), t AS (
+            SELECT CAST(COALESCE(sum(rn), 0) AS DOUBLE) AS rt,
+                   CAST(COALESCE(sum(cn), 0) AS DOUBLE) AS ct
+            FROM j
+        )
+        SELECT bin,
+               round(COALESCE(rn, 0) / t.rt, 6) AS ref_frac,
+               round(COALESCE(cn, 0) / t.ct, 6) AS cur_frac,
+               round((greatest(COALESCE(rn, 0) / t.rt, 1e-4)
+                      - greatest(COALESCE(cn, 0) / t.ct, 1e-4))
+                     * ln(greatest(COALESCE(rn, 0) / t.rt, 1e-4)
+                          / greatest(COALESCE(cn, 0) / t.ct, 1e-4)), 6)
+                   AS psi_term,
+               round(greatest(COALESCE(rn, 0) / t.rt, 1e-4)
+                     * ln(greatest(COALESCE(rn, 0) / t.rt, 1e-4)
+                          / greatest(COALESCE(cn, 0) / t.ct, 1e-4)), 6)
+                   AS kl_term
+        FROM j, t
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6099,6 +6161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "pagerank_personalized": q_pagerank_personalized,
         "frame_rolling": q_frame_rolling,
+        "drift_psi": q_drift_psi,
     }
 
 
@@ -8289,4 +8352,5 @@ def oracle_sql() -> dict[str, str]:
         "counter_rate": _counter_rate_oracle_sql(),
         "pagerank_personalized": _pagerank_personalized_oracle_sql(),
         "frame_rolling": _frame_rolling_oracle_sql(),
+        "drift_psi": _drift_psi_oracle_sql(),
     }
