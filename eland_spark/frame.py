@@ -3258,7 +3258,7 @@ def get_dummies(df: "DataFrame", columns=None, **kw) -> "DataFrame":
 class _FrameRolling:
     """Lazy frame-level rolling proxy (see DataFrame.rolling)."""
 
-    _AGGS = ("sum", "mean", "min", "max", "count")
+    _AGGS = ("sum", "mean", "min", "max", "count", "std", "var")
 
     def __init__(self, frame: "DataFrame", window: int,
                  min_periods: "int | None"):
@@ -3318,3 +3318,9 @@ class _FrameRolling:
 
     def count(self):
         return self.agg("count")
+
+    def std(self):
+        return self.agg("std")
+
+    def var(self):
+        return self.agg("var")

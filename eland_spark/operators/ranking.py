@@ -150,9 +150,10 @@ def _global_cumaggs(
     zeros and signs are exact, no log/exp detour). Emits one ``__cum_<agg>__`` column per agg;
     the running value is defined at EVERY row (null rows carry the run
     forward) — callers apply their own null policy."""
-    bad = [a for a in aggs if a not in ("sum", "max", "min", "count", "prod")]
+    bad = [a for a in aggs
+           if a not in ("sum", "max", "min", "count", "prod", "sumsq")]
     if bad:
-        raise ValueError(f"agg must be sum/max/min/count/prod; got {bad}")
+        raise ValueError(f"agg must be sum/max/min/count/prod/sumsq; got {bad}")
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = with_global_rank(
@@ -167,7 +168,10 @@ def _global_cumaggs(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
-           "prod": F.product}
+           "prod": F.product,
+           # running sum of squares: the second moment the expanding
+           # std/var path needs; combines exactly like a sum
+           "sumsq": lambda c: F.sum(c * c)}
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
         .agg(*[fns[a](F.col(value_col)).alias(f"__t_{a}__") for a in aggs])
@@ -183,7 +187,8 @@ def _global_cumaggs(
         # by greatest/least)
         offsets: dict[int, object] = {}
         acc: object = (
-            0 if a in ("sum", "count") else 1.0 if a == "prod" else None
+            0 if a in ("sum", "count", "sumsq") else
+            1.0 if a == "prod" else None
         )
         for r in totals:
             if acc is not None:
@@ -191,7 +196,7 @@ def _global_cumaggs(
             t = r[f"__t_{a}__"]
             if t is None:
                 continue
-            if a in ("sum", "count"):
+            if a in ("sum", "count", "sumsq"):
                 acc = acc + t
             elif a == "prod":
                 acc = acc * t
@@ -203,7 +208,7 @@ def _global_cumaggs(
             off_map = F.create_map(
                 *[F.lit(v) for kv in offsets.items() for v in kv]
             )
-            if a in ("sum", "count"):
+            if a in ("sum", "count", "sumsq"):
                 # within is NULL when the bucket prefix holds no
                 # observations — the carry must still flow through
                 run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
@@ -254,14 +259,22 @@ def with_global_expanding(
     cumulative bucket plan of :func:`_global_cumaggs` with expanding
     null semantics: every row (null values included) carries the
     running value, masked null until ``min_periods`` NON-NULL
-    observations have been seen. ``aggs`` from sum/mean/min/max/count;
-    mean = running sum / running count. Adds one ``expanding_<agg>``
-    column per agg."""
+    observations have been seen. ``aggs`` from
+    sum/mean/min/max/count/std/var; mean = running sum / running
+    count; std/var derive from the running (sum, sum-of-squares,
+    count) moments — sample (n-1) semantics, negative rounding dust
+    clamped at zero, null until two observations like pandas. Adds one
+    ``expanding_<agg>`` column per agg."""
     base_aggs = {"count"}
     for a in aggs:
-        if a not in ("sum", "mean", "min", "max", "count"):
+        if a not in ("sum", "mean", "min", "max", "count", "std", "var"):
             raise ValueError(f"unsupported expanding agg {a!r}")
-        base_aggs.update({"sum"} if a == "mean" else {a} if a != "count" else set())
+        if a == "mean":
+            base_aggs.add("sum")
+        elif a in ("std", "var"):
+            base_aggs.update({"sum", "sumsq"})
+        elif a != "count":
+            base_aggs.add(a)
     out = _global_cumaggs(
         sdf, order_by, value_col, sorted(base_aggs), partitions
     )
@@ -275,6 +288,15 @@ def with_global_expanding(
             expr = F.when(ok_count, seen.cast("double"))
         elif a == "mean":
             expr = F.when(ok, F.col("__cum_sum__") / seen)
+        elif a in ("std", "var"):
+            m2 = F.greatest(
+                F.col("__cum_sumsq__")
+                - F.col("__cum_sum__") * F.col("__cum_sum__") / seen,
+                F.lit(0.0),
+            )
+            v = m2 / (seen - 1)
+            v = F.sqrt(v) if a == "std" else v
+            expr = F.when(ok & (seen >= 2), v)
         else:
             expr = F.when(ok, F.col(f"__cum_{a}__"))
         out = out.withColumn(f"expanding_{a}", expr)
@@ -348,7 +370,7 @@ def with_global_rolling(
     ``aggs`` (sum/mean/min/max/count)."""
     fn_map = {
         "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
-        "count": F.count,
+        "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
     }
     bad = [a for a in aggs if a not in fn_map]
     if bad:
@@ -679,7 +701,7 @@ def with_global_rolling_multi(
     observations (pandas semantics)."""
     fn_map = {
         "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
-        "count": F.count,
+        "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
     }
     bad = [a for a in aggs if a not in fn_map]
     if bad:

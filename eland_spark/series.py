@@ -2459,6 +2459,12 @@ class _Rolling:
     def count(self):
         return self._run("count")
 
+    def std(self):
+        return self._run("std")
+
+    def var(self):
+        return self._run("var")
+
 
 class _Expanding:
     """Lazy expanding proxy returned by :meth:`Series.expanding` — each
@@ -2492,6 +2498,12 @@ class _Expanding:
 
     def max(self):
         return self._run("max")
+
+    def std(self):
+        return self._run("std")
+
+    def var(self):
+        return self._run("var")
 
     def count(self):
         return self._run("count")

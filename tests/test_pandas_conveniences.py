@@ -1080,3 +1080,48 @@ def test_update_matches_pandas(spark):
 
     with pytest.raises(ValueError):
         es.DataFrame(spark.createDataFrame(base)).update(d2)
+
+
+def test_rolling_std_var_match_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"k": range(60), "a": rng.randn(60).round(3)})
+    pdf.loc[[7, 8], "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["a"]
+
+    got = (edf["a"].rolling(9, min_periods=4).std()
+           .to_pandas(set_index=True).sort_index()["rolling_std"])
+    want = ps.rolling(9, min_periods=4).std()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
+
+    gotf = (edf.rolling(5).var().to_pandas().set_index("k").sort_index()["a"])
+    wantf = ps.rolling(5).var()
+    pd.testing.assert_series_equal(gotf, wantf, check_names=False, rtol=1e-9)
+
+
+def test_expanding_std_var_match_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(17)
+    pdf = pd.DataFrame({"k": range(70), "a": rng.randn(70).round(3)})
+    pdf.loc[[0, 9], "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["a"]
+
+    got = (edf["a"].expanding(min_periods=3).std()
+           .to_pandas(set_index=True).sort_index()["expanding_std"])
+    want = ps.expanding(min_periods=3).std()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-8)
+
+    got = (edf["a"].expanding().var()
+           .to_pandas(set_index=True).sort_index()["expanding_var"])
+    want = ps.expanding().var()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-8)
