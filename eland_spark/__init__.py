@@ -15,6 +15,7 @@ from .etl import (
     read_json,
     read_orc,
     read_parquet,
+    overwrite_partitions,
     read_table,
     save_as_table,
     spark_to_pandas,
@@ -61,6 +62,7 @@ __all__ = [
     "NDFrame",
     "SortOrder",
     "concat",
+    "overwrite_partitions",
     "wide_to_long",
     "get_dummies",
     "merge_ordered",

@@ -477,3 +477,28 @@ def write_sized(
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     sdf.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def overwrite_partitions(
+    df: "DataFrame", path: str, partition_by: "str | list[str]"
+) -> None:
+    """Dynamic partition overwrite to a path-based parquet dataset: only
+    the partitions PRESENT in ``df`` are replaced; every other existing
+    partition directory survives untouched. This is the incremental
+    nightly-refresh sink (recompute yesterday's date partition, leave
+    the rest of the year alone) — without dynamic mode, Spark's
+    overwrite would truncate the whole dataset.
+
+    Scoped config: partitionOverwriteMode flips to ``dynamic`` for this
+    one write and is restored afterwards, so the session default stays
+    whatever the caller runs with."""
+    sdf = df.to_spark() if isinstance(df, DataFrame) else df
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    spark = sdf.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        sdf.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set(key, old)

@@ -300,3 +300,29 @@ def test_write_sized_targets_file_size(spark, tmp_path):
     empty = sdf.where("l_orderkey < 0")
     n0 = write_sized(empty, str(tmp_path / "empty"), target_file_mb=1)
     assert n0 == 1
+
+
+def test_overwrite_partitions_leaves_others_untouched(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present
+    in the incoming frame; sibling partitions survive, and the session
+    overwrite mode is restored."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    path = str(tmp_path / "parts")
+    full = spark.createDataFrame(pd.DataFrame({
+        "d": ["a", "a", "b", "c"], "v": [1, 2, 3, 4],
+    }))
+    full.write.mode("overwrite").partitionBy("d").parquet(path)
+
+    patch = es.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"d": ["b"], "v": [99]})
+    ))
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    es.overwrite_partitions(patch, path, "d")
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    assert before == after
+
+    got = {(r["d"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 99), ("c", 4)}
