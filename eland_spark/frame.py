@@ -2620,18 +2620,53 @@ class DataFrame:
         right_on=None,
         broadcast: bool = False,
         indicator: bool | str = False,
+        validate: str | None = None,
     ) -> "DataFrame":
         """Relational join — absent in the reference (single-index data
         model, SURVEY §2.4); native here. ``broadcast=True`` hints the
         small side for a map-side join (no shuffle at 100 TB).
         ``indicator`` adds pandas' ``_merge`` column
         (left_only/right_only/both) from per-side presence flags.
+        ``validate`` ('1:1'/'1:m'/'m:1'/'m:m') asserts key uniqueness
+        on the constrained side(s) before joining, like pandas — one
+        eager count-vs-distinct aggregate per checked side (a fan-out
+        caught up front costs two scalar jobs; undetected it corrupts
+        every downstream row count).
 
         Key matching is NULL-SAFE, like pandas: NaN keys join to NaN
         keys (pandas merges NaN with NaN; a bare Spark join silently
         drops every null-keyed match). EqualNullSafe is still an
         equi-join predicate to Catalyst, so the plan stays a
         hash/sort-merge join — pandas semantics at zero scale cost."""
+        if validate is not None:
+            norm = {"one_to_one": "1:1", "one_to_many": "1:m",
+                    "many_to_one": "m:1", "many_to_many": "m:m"}
+            v = norm.get(validate, validate)
+            if v not in ("1:1", "1:m", "m:1", "m:m"):
+                raise ValueError(f"invalid validate {validate!r}")
+            lk = ([on] if isinstance(on, str) else list(on)) if on is not None \
+                else ([left_on] if isinstance(left_on, str) else list(left_on))
+            rk = ([on] if isinstance(on, str) else list(on)) if on is not None \
+                else ([right_on] if isinstance(right_on, str) else list(right_on))
+
+            def _unique(frame, keys, side):
+                sdf = frame._projected()
+                # null keys form their own group, so duplicate-null rows
+                # count as duplicates exactly like pandas
+                top = (
+                    sdf.groupBy(*[F.col(k) for k in keys])
+                    .count().agg(F.max("count")).collect()[0][0]
+                )
+                if top is not None and top > 1:
+                    raise ValueError(
+                        f"Merge keys are not unique in the {side} "
+                        f"dataset; validate={v!r} failed"
+                    )
+
+            if v in ("1:1", "1:m"):
+                _unique(self, lk, "left")
+            if v in ("1:1", "m:1"):
+                _unique(right, rk, "right")
         lsdf = self._projected()
         rsdf = right._projected()
         ind_col = "_merge" if indicator is True else indicator

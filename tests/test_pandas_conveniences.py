@@ -1125,3 +1125,36 @@ def test_expanding_std_var_match_pandas(spark):
            .to_pandas(set_index=True).sort_index()["expanding_var"])
     want = ps.expanding().var()
     pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-8)
+
+
+def test_merge_validate(spark):
+    import pandas as pd
+
+    import eland_spark as es
+
+    left = es.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 2], "a": [10, 20, 21]})
+    ))
+    right = es.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "b": ["x", "y"]})
+    ))
+    # m:1 passes (right unique), 1:1 and 1:m fail (left has dup key 2)
+    assert left.merge(right, on="k", validate="m:1").to_pandas().shape[0] == 3
+    for v in ("1:1", "1:m", "one_to_one"):
+        with pytest.raises(ValueError, match="not unique in the left"):
+            left.merge(right, on="k", validate=v)
+    with pytest.raises(ValueError, match="invalid validate"):
+        left.merge(right, on="k", validate="zzz")
+    # duplicate NULL keys count as duplicates (pandas)
+    nulls = es.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"k": [None, None], "b": ["x", "y"]}),
+        schema="k bigint, b string",
+    ))
+    with pytest.raises(ValueError, match="right"):
+        left.merge(nulls, on="k", validate="m:1")
+    # left_on/right_on spelling
+    r2 = es.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"rk": [1, 2], "b": ["x", "y"]})
+    ))
+    out = left.merge(r2, left_on="k", right_on="rk", validate="m:1")
+    assert out.to_pandas().shape[0] == 3
