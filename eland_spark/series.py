@@ -2398,6 +2398,102 @@ class DtAccessor:
             F.date_format(self._s._expr, jdk), T.StringType()
         )
 
+    @property
+    def weekday(self) -> Series:
+        return self.dayofweek
+
+    @property
+    def day_of_week(self) -> Series:
+        return self.dayofweek
+
+    @property
+    def day_of_year(self) -> Series:
+        return self.dayofyear
+
+    @property
+    def microsecond(self) -> Series:
+        e = self._s._expr
+        return self._d(
+            (F.unix_micros(e.cast("timestamp")) % 1_000_000).cast("int")
+        )
+
+    @property
+    def is_leap_year(self) -> Series:
+        y = F.year(self._s._expr)
+        return self._s._derived(
+            ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0),
+            T.BooleanType(),
+        )
+
+    @property
+    def is_quarter_end(self) -> Series:
+        e = self._s._expr
+        return self._s._derived(
+            (F.to_date(e) == F.last_day(e)) & (F.month(e) % 3 == 0),
+            T.BooleanType(),
+        )
+
+    @property
+    def is_year_end(self) -> Series:
+        e = self._s._expr
+        return self._s._derived(
+            (F.month(e) == 12) & (F.dayofmonth(e) == 31), T.BooleanType()
+        )
+
+    def day_name(self) -> Series:
+        """English weekday name (pandas default locale)."""
+        return self._s._derived(
+            F.date_format(self._s._expr, "EEEE"), T.StringType()
+        )
+
+    def month_name(self) -> Series:
+        return self._s._derived(
+            F.date_format(self._s._expr, "MMMM"), T.StringType()
+        )
+
+    def ceil(self, freq: str) -> Series:
+        """Round UP to a fixed frequency — exact epoch arithmetic;
+        values already on the boundary stay put (pandas)."""
+        secs = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60,
+                "S": 1, "s": 1}
+        if freq not in secs:
+            raise ValueError(f"unsupported ceil freq {freq!r}")
+        n = secs[freq]
+        e = self._s._expr
+        us = F.unix_micros(e.cast("timestamp"))
+        n_us = n * 1_000_000
+        ceiled = us + ((n_us - us % n_us) % n_us)
+        return self._s._derived(
+            F.timestamp_micros(ceiled).cast(
+                self._s._spark_type.simpleString()
+            ),
+            self._s._spark_type,
+        )
+
+    def round(self, freq: str) -> Series:
+        """Round to the NEAREST fixed frequency, ties to even like
+        pandas (which inherits numpy's banker's rounding on the
+        half-period boundary)."""
+        secs = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60,
+                "S": 1, "s": 1}
+        if freq not in secs:
+            raise ValueError(f"unsupported round freq {freq!r}")
+        n_us = secs[freq] * 1_000_000
+        e = self._s._expr
+        us = F.unix_micros(e.cast("timestamp"))
+        q = F.floor(us / n_us).cast("long")
+        rem = us - q * n_us
+        half = n_us // 2
+        # ties (rem == half) go to the EVEN multiple
+        up = (rem > half) | ((rem == half) & (q % 2 != 0))
+        rounded = (q + F.when(up, 1).otherwise(0)) * n_us
+        return self._s._derived(
+            F.timestamp_micros(rounded).cast(
+                self._s._spark_type.simpleString()
+            ),
+            self._s._spark_type,
+        )
+
     def floor(self, freq: str) -> Series:
         """Truncate to a fixed frequency ('D', 'H'/'h', 'T'/'min',
         'S') — epoch arithmetic, exact for fixed-width units."""

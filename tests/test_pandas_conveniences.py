@@ -1158,3 +1158,44 @@ def test_merge_validate(spark):
     ))
     out = left.merge(r2, left_on="k", right_on="rk", validate="m:1")
     assert out.to_pandas().shape[0] == 3
+
+
+def test_dt_accessor_extensions_match_pandas(spark):
+    """day/month names, leap year, quarter/year end, microsecond,
+    weekday aliases, ceil/round (ties-to-even) vs pandas on a grid that
+    crosses year/quarter/leap boundaries and half-period ties."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = list(pd.date_range("2023-12-30 22:15:30", periods=10,
+                             freq="11h37min"))
+    rng += [pd.Timestamp("2024-02-29 12:00:00"),   # leap + exact half-day
+            pd.Timestamp("2024-03-31 23:59:59"),   # quarter end
+            pd.Timestamp("2024-01-01 00:00:00")]   # already on boundary
+    pdf = pd.DataFrame({"k": range(len(rng)), "ts": rng})
+    df = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["ts"]
+
+    def got_m(name):
+        return getattr(df["ts"].dt, name)().to_pandas().sort_index().tolist()
+
+    def got_p(name):
+        return getattr(df["ts"].dt, name).to_pandas().sort_index().tolist()
+
+    assert got_m("day_name") == ps.dt.day_name().tolist()
+    assert got_m("month_name") == ps.dt.month_name().tolist()
+    assert got_p("weekday") == ps.dt.weekday.tolist()
+    assert got_p("day_of_week") == ps.dt.day_of_week.tolist()
+    assert got_p("day_of_year") == ps.dt.day_of_year.tolist()
+    assert got_p("microsecond") == ps.dt.microsecond.tolist()
+    assert got_p("is_leap_year") == ps.dt.is_leap_year.tolist()
+    assert got_p("is_quarter_end") == ps.dt.is_quarter_end.tolist()
+    assert got_p("is_year_end") == ps.dt.is_year_end.tolist()
+    for ours, theirs in [("D", "D"), ("H", "h"), ("min", "min"), ("S", "s")]:
+        assert (df["ts"].dt.ceil(ours).to_pandas().sort_index().tolist()
+                == ps.dt.ceil(theirs).tolist()), ("ceil", ours)
+        assert (df["ts"].dt.round(ours).to_pandas().sort_index().tolist()
+                == ps.dt.round(theirs).tolist()), ("round", ours)
+    with pytest.raises(ValueError):
+        df["ts"].dt.ceil("W")
