@@ -1168,9 +1168,22 @@ def test_funnel_chains_match_python_reference(spark, events, within):
     assert got == {u: sorted(v) for u, v in want.items()}
 
 
+_ZS_VALS = st.one_of(
+    # bounded magnitude: pandas' rolling mean/std update incrementally
+    # (add/remove running sums), so a huge value LEAVING the window
+    # poisons its sums via catastrophic cancellation (~1e-5 rel at 3e5
+    # magnitude, found by this fuzzer at FUZZ_EXAMPLES=80) — our
+    # per-frame window aggregation doesn't drift, so unbounded draws
+    # would fail on pandas' error, not ours
+    st.floats(min_value=-1e4, max_value=1e4,
+              allow_nan=False, allow_infinity=False, width=64),
+    st.none(),
+)
+
+
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 2), st.one_of(FINITE, st.none())),
+        st.tuples(st.integers(0, 2), _ZS_VALS),
         min_size=0, max_size=50,
     ),
     window=st.integers(1, 8),
