@@ -5927,6 +5927,91 @@ def _drift_psi_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# classifier evaluation (operators/evaluation.py)
+# ---------------------------------------------------------------------------
+
+def q_eval_auc(spark, sf_dir) -> DataFrame:
+    """Exact tie-corrected ROC AUC (Mann-Whitney rank-sum) of doc
+    length predicting English — the holdout check before a classifier
+    gate filters a corpus. Scores reduce to a distinct-score frame,
+    the cumulative position runs the windowless bucket prefix-sum, and
+    the rank-sum is one scalar agg; heavy ties exercised (n_chars
+    collide constantly)."""
+    from eland_spark.operators.evaluation import auc
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    scored = docs.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc(scored, "score", "label")
+
+
+def _eval_auc_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CAST(n_chars AS DOUBLE) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), ps AS (
+            SELECT s, count(*) AS n, sum(y) AS np FROM base GROUP BY s
+        ), c AS (
+            SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cum FROM ps
+        ), a AS (
+            SELECT sum(np * ((cum - n) + (n + 1) / 2.0)) AS rpos,
+                   CAST(sum(np) AS DOUBLE) AS p,
+                   CAST(sum(n - np) AS DOUBLE) AS nn
+            FROM c
+        )
+        SELECT round(CASE WHEN p > 0 AND nn > 0
+                          THEN (rpos - p * (p + 1) / 2.0) / (p * nn) END, 6)
+                   AS auc,
+               CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+        FROM a
+    """
+
+
+def q_eval_confusion(spark, sf_dir) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at a fixed threshold in
+    ONE full-scan aggregation (mergeable partials)."""
+    from eland_spark.operators.evaluation import confusion_at
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    scored = docs.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return confusion_at(scored, "score", "label", threshold=120.0)
+
+
+def _eval_confusion_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CASE WHEN CAST(n_chars AS DOUBLE) >= 120.0
+                        THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), a AS (
+            SELECT sum(pred * y) AS tp, sum(pred * (1 - y)) AS fp,
+                   sum((1 - pred) * (1 - y)) AS tn,
+                   sum((1 - pred) * y) AS fn
+            FROM base
+        )
+        SELECT tp, fp, tn, fn,
+               round(CASE WHEN tp + fp > 0
+                          THEN tp * 1.0 / (tp + fp) END, 6) AS precision,
+               round(CASE WHEN tp + fn > 0
+                          THEN tp * 1.0 / (tp + fn) END, 6) AS recall,
+               round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                          AND tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn) > 0
+                          THEN 2 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                               / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn))
+                          END, 6) AS f1
+        FROM a
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6162,6 +6247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "frame_rolling": q_frame_rolling,
         "drift_psi": q_drift_psi,
+        "eval_auc": q_eval_auc,
+        "eval_confusion": q_eval_confusion,
     }
 
 
@@ -8353,4 +8440,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _pagerank_personalized_oracle_sql(),
         "frame_rolling": _frame_rolling_oracle_sql(),
         "drift_psi": _drift_psi_oracle_sql(),
+        "eval_auc": _eval_auc_oracle_sql(),
+        "eval_confusion": _eval_confusion_oracle_sql(),
     }
