@@ -833,12 +833,26 @@ def test_round4_query_plan_pins(spark):
         "quality_suite": (5, 1),
         "profile_table": (3, 1),
         "pagerank": (3, 0),
+        "pagerank_personalized": (3, 1),
         "graph_degrees": (2, 0),
         "editdist_near_dup": (2, 3),
         "rolling_zscore": (1, 0),
         "funnel": (2, 0),
+        "funnel_chains": (1, 0),
         "cohort_retention": (3, 1),
         "wide_to_long": (2, 0),
+        # single keyed window exchange each
+        "time_weighted_avg": (1, 0),
+        "counter_rate": (1, 0),
+        # pure zero-shuffle projection
+        "get_dummies": (0, 0),
+        # every exchange bin-/score-cardinality: two count aggs, the
+        # null-safe bin join, the totals scalar + its broadcast
+        "drift_psi": (9, 1),
+        # distinct-score agg + the bucket prefix-sum plan + scalar agg
+        "eval_auc": (6, 0),
+        "eval_confusion": (1, 0),
+        "frame_rolling": (3, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
