@@ -5992,9 +5992,10 @@ def _eval_confusion_oracle_sql() -> str:
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
             FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
         ), a AS (
-            SELECT sum(pred * y) AS tp, sum(pred * (1 - y)) AS fp,
-                   sum((1 - pred) * (1 - y)) AS tn,
-                   sum((1 - pred) * y) AS fn
+            SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+                   CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+                   CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn,
+                   CAST(sum((1 - pred) * y) AS BIGINT) AS fn
             FROM base
         )
         SELECT tp, fp, tn, fn,
