@@ -105,6 +105,11 @@ HEADLINE = [
     "editdist_near_dup",
     "rolling_zscore",
     "funnel",
+    # bin-count drift and the rank-sum AUC — the two genuinely new
+    # plan shapes of the later r4 batch (the keyed-window timeseries
+    # ops share rolling_zscore's already-benched shape)
+    "drift_psi",
+    "eval_auc",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
