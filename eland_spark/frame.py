@@ -233,7 +233,13 @@ class DataFrame:
 
         A LIST of columns explodes them zipped element-wise (pandas
         1.3 multi-column explode) via ``arrays_zip`` — still one
-        Generate node, zero shuffle. Divergence from pandas, because a
+        Generate node, zero shuffle. A NULL array among non-null
+        siblings is treated as pandas treats a None cell: one scalar
+        null element (the null array is coalesced to ``array(null)``
+        before zipping, so the siblings' elements survive; with
+        ``keep_empty=False`` it coalesces to ``array()`` instead, so
+        all-null rows still drop while non-null siblings explode with
+        null padding). Divergence from pandas, because a
         lazy plan cannot raise per-row: rows whose lists have
         MISMATCHED lengths null-pad the shorter ones (pandas raises
         ValueError); run a length-equality check upstream if you need
@@ -248,7 +254,17 @@ class DataFrame:
         if len(phys) == 1:
             sdf = self._sdf.withColumn(phys[0], fn(F.col(phys[0])))
         else:
-            zipped = fn(F.arrays_zip(*[F.col(p).alias(p) for p in phys]))
+            sdf_types = {f.name: f.dataType for f in self._sdf.schema.fields}
+            arrs = []
+            for p in phys:
+                elem = sdf_types[p].elementType
+                fallback = (
+                    F.array(F.lit(None).cast(elem))
+                    if keep_empty
+                    else F.array().cast(T.ArrayType(elem))
+                )
+                arrs.append(F.coalesce(F.col(p), fallback).alias(p))
+            zipped = fn(F.arrays_zip(*arrs))
             sdf = self._sdf.withColumn("__zip__", zipped)
             for p in phys:
                 sdf = sdf.withColumn(p, F.col(f"__zip__.{p}"))
@@ -2153,7 +2169,7 @@ class DataFrame:
 
     def rolling(self, window: int, min_periods: "int | None" = None):
         """pandas ``DataFrame.rolling(window)`` over the global index
-        order: lazy proxy with ``sum/mean/min/max/count/agg`` applying
+        order: lazy proxy with ``sum/mean/min/max/count/std/var/agg`` applying
         to every numeric column in ONE pass — the same windowless
         bucket-overlap plan as ``Series.rolling``
         (operators/ranking.with_global_rolling_multi), one balanced

@@ -138,6 +138,7 @@ def _global_cumaggs(
     value_col: str,
     aggs: list[str],
     partitions: int | None = None,
+    center: float = 0.0,
 ) -> DataFrame:
     """Multi-agg core of the windowless global running aggregation:
     positions from :func:`with_global_rank` bucketed into
@@ -147,13 +148,20 @@ def _global_cumaggs(
     ``aggs`` may contain sum/max/min/count/prod (count = running
     NON-NULL observation count; prod = true running product —
     F.product within buckets, driver prefix-multiply across them, so
-    zeros and signs are exact, no log/exp detour). Emits one ``__cum_<agg>__`` column per agg;
+    zeros and signs are exact, no log/exp detour) plus the moment pair
+    sumsq/sumsh used by expanding std/var: both are computed on the
+    DOUBLE-cast, ``center``-shifted value (``(x - center)`` and its
+    square) so integer inputs cannot overflow the square and a
+    large-magnitude mean does not cancel catastrophically in the
+    ``sumsq - sumsh^2/n`` moment difference (variance is shift
+    invariant, so callers pass the column's global mean as ``center``).
+    Emits one ``__cum_<agg>__`` column per agg;
     the running value is defined at EVERY row (null rows carry the run
     forward) — callers apply their own null policy."""
-    bad = [a for a in aggs
-           if a not in ("sum", "max", "min", "count", "prod", "sumsq")]
+    allowed = ("sum", "max", "min", "count", "prod", "sumsq", "sumsh")
+    bad = [a for a in aggs if a not in allowed]
     if bad:
-        raise ValueError(f"agg must be sum/max/min/count/prod/sumsq; got {bad}")
+        raise ValueError(f"agg must be one of {allowed}; got {bad}")
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = with_global_rank(
@@ -169,25 +177,31 @@ def _global_cumaggs(
     )
     fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
            "prod": F.product,
-           # running sum of squares: the second moment the expanding
-           # std/var path needs; combines exactly like a sum
-           "sumsq": lambda c: F.sum(c * c)}
+           # running second/first moments for expanding std/var; both
+           # combine exactly like sums. Inputs are double-cast and
+           # mean-shifted (see ``center`` above) — never the raw
+           # integer column, whose square can overflow 64-bit.
+           "sumsq": lambda c: F.sum(c * c),
+           "sumsh": F.sum}
+    raw = F.col(value_col)
+    shifted = raw.cast("double") - F.lit(float(center))
+    ins = {a: (shifted if a in ("sumsq", "sumsh") else raw) for a in aggs}
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
-        .agg(*[fns[a](F.col(value_col)).alias(f"__t_{a}__") for a in aggs])
+        .agg(*[fns[a](ins[a]).alias(f"__t_{a}__") for a in aggs])
         .orderBy("__b__")
         .collect()
     )
     out = ranked
     for a in aggs:
-        within = fns[a](F.col(value_col)).over(w)
+        within = fns[a](ins[a]).over(w)
         # exclusive prefix combine of bucket totals on the driver: sum/
         # count have identity 0; max/min have none — buckets without a
         # preceding total are absent from the map (null lookup, skipped
         # by greatest/least)
         offsets: dict[int, object] = {}
         acc: object = (
-            0 if a in ("sum", "count", "sumsq") else
+            0 if a in ("sum", "count", "sumsq", "sumsh") else
             1.0 if a == "prod" else None
         )
         for r in totals:
@@ -196,7 +210,7 @@ def _global_cumaggs(
             t = r[f"__t_{a}__"]
             if t is None:
                 continue
-            if a in ("sum", "count", "sumsq"):
+            if a in ("sum", "count", "sumsq", "sumsh"):
                 acc = acc + t
             elif a == "prod":
                 acc = acc * t
@@ -208,7 +222,7 @@ def _global_cumaggs(
             off_map = F.create_map(
                 *[F.lit(v) for kv in offsets.items() for v in kv]
             )
-            if a in ("sum", "count", "sumsq"):
+            if a in ("sum", "count", "sumsq", "sumsh"):
                 # within is NULL when the bucket prefix holds no
                 # observations — the carry must still flow through
                 run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
@@ -261,8 +275,14 @@ def with_global_expanding(
     running value, masked null until ``min_periods`` NON-NULL
     observations have been seen. ``aggs`` from
     sum/mean/min/max/count/std/var; mean = running sum / running
-    count; std/var derive from the running (sum, sum-of-squares,
-    count) moments — sample (n-1) semantics, negative rounding dust
+    count; std/var derive from the running (shifted-sum,
+    shifted-sum-of-squares, count) moments, where the shift is the
+    column's GLOBAL mean (one extra scalar agg, computed only when
+    std/var is requested): variance is shift invariant, and centering
+    near the mean keeps the ``m2 = sumsq - sumsh^2/n`` difference
+    numerically stable for large-magnitude data and overflow-free for
+    integer inputs (both moments are double-cast before squaring) —
+    sample (n-1) semantics, negative rounding dust
     clamped at zero, null until two observations like pandas. Adds one
     ``expanding_<agg>`` column per agg."""
     base_aggs = {"count"}
@@ -272,11 +292,18 @@ def with_global_expanding(
         if a == "mean":
             base_aggs.add("sum")
         elif a in ("std", "var"):
-            base_aggs.update({"sum", "sumsq"})
+            base_aggs.update({"sumsh", "sumsq"})
         elif a != "count":
             base_aggs.add(a)
+    center = 0.0
+    if "sumsq" in base_aggs:
+        mu = sdf.agg(
+            F.avg(F.col(value_col).cast("double"))
+        ).first()[0]
+        center = float(mu) if mu is not None else 0.0
     out = _global_cumaggs(
-        sdf, order_by, value_col, sorted(base_aggs), partitions
+        sdf, order_by, value_col, sorted(base_aggs), partitions,
+        center=center,
     )
     seen = F.col("__cum_count__")
     ok = seen >= F.lit(min_periods)
@@ -291,7 +318,7 @@ def with_global_expanding(
         elif a in ("std", "var"):
             m2 = F.greatest(
                 F.col("__cum_sumsq__")
-                - F.col("__cum_sum__") * F.col("__cum_sum__") / seen,
+                - F.col("__cum_sumsh__") * F.col("__cum_sumsh__") / seen,
                 F.lit(0.0),
             )
             v = m2 / (seen - 1)
@@ -367,7 +394,9 @@ def with_global_rolling(
     observations are inside the frame.
 
     Returns the frame plus one ``rolling_<agg>`` column per agg in
-    ``aggs`` (sum/mean/min/max/count)."""
+    ``aggs`` (sum/mean/min/max/count/std/var — std/var are sample
+    (n-1) semantics via Spark's stddev_samp/var_samp, whose internal
+    merge is already numerically stable)."""
     fn_map = {
         "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
         "count": F.count, "std": F.stddev_samp, "var": F.var_samp,

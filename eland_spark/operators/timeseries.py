@@ -174,16 +174,31 @@ def rolling_zscore(
 
     Scale: one hash exchange on ``by`` (none if already partitioned),
     then a single sequential pass per partition — the rolling frame is
-    O(window) state, never a self-join.
+    O(window) state, never a self-join. With ``by=None`` the global
+    order is served by the bucketed global-window plan (positions from
+    with_global_rank, buckets padded with the trailing ``window`` rows
+    of the previous bucket — the same shape as with_global_rolling),
+    so there is NO single-partition window at any scale.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols]).rowsBetween(
-        -int(window), -1
-    )
+    x = F.col(value_col)
     if by is not None:
         w = Window.partitionBy(by).orderBy(
             *[F.col(c) for c in order_cols]
         ).rowsBetween(-int(window), -1)
-    x = F.col(value_col)
+        base, pad_filter, drop_cols = sdf, None, []
+    else:
+        from .ranking import _bucketed_frame
+
+        # frame spans window+1 rows (current + window lookback), so
+        # pad window rows across bucket boundaries
+        base, _ = _bucketed_frame(sdf, list(order_cols), int(window) + 1)
+        w = (
+            Window.partitionBy("__b__")
+            .orderBy("__g__")
+            .rowsBetween(-int(window), -1)
+        )
+        pad_filter = ~F.col("__pad__")
+        drop_cols = ["__b__", "__pad__", "__g__"]
     mean = F.avg(x).over(w)
     sd = F.stddev_samp(x).over(w)
     n = F.count(x).over(w)
@@ -192,11 +207,14 @@ def rolling_zscore(
     )
     if round_to is not None:
         z = F.round(z, int(round_to))
-    return sdf.withColumn("zscore", z).withColumn(
+    out = base.withColumn("zscore", z).withColumn(
         "is_anomaly",
         F.coalesce(F.abs(F.col("zscore")) >= F.lit(float(threshold)),
                    F.lit(False)),
     )
+    if pad_filter is not None:
+        out = out.filter(pad_filter).drop(*drop_cols)
+    return out
 
 
 def time_weighted_avg(
@@ -277,18 +295,32 @@ def counter_rate(
     keys = ([F.col(by).alias("__k__")] if by is not None else [])
     base = sdf.select(
         *keys,
-        (ep - (ep % step_us)).alias("__b__"),
+        (ep - (ep % step_us)).alias("__bk__"),
         ep.alias("__t__"),
         F.col(value_col).cast("double").alias("__v__"),
     ).where(F.col("__t__").isNotNull() & F.col("__v__").isNotNull())
-    part = ["__k__"] if by is not None else []
-    w = (Window.partitionBy(*part).orderBy("__t__", "__v__")
-         if part else Window.orderBy("__t__", "__v__"))
-    prev = F.lag("__v__").over(w)
+    if by is not None:
+        w = Window.partitionBy("__k__").orderBy("__t__", "__v__")
+        prev = F.lag("__v__").over(w)
+    else:
+        # global series: bucketed global-window plan (positions from
+        # with_global_rank, 1 padding row carried across bucket
+        # boundaries) instead of the single-partition global Window
+        # the lint gate forbids
+        from .ranking import _bucketed_frame
+
+        base, _ = _bucketed_frame(base, ["__t__", "__v__"], 2)
+        wl = Window.partitionBy("__b__").orderBy("__g__")
+        base = (
+            base.withColumn("__p__", F.lag("__v__").over(wl))
+            .filter(~F.col("__pad__"))
+            .drop("__b__", "__pad__", "__g__")
+        )
+        prev = F.col("__p__")
     delta = F.when(prev.isNull(), F.lit(None)).when(
         F.col("__v__") < prev, F.col("__v__")
     ).otherwise(F.col("__v__") - prev)
-    gkeys = (["__k__"] if by is not None else []) + ["__b__"]
+    gkeys = (["__k__"] if by is not None else []) + ["__bk__"]
     # internal name: Spark 4 resolves lateral column aliases, so a
     # select computing rate from a column NAMED like its own rounded
     # sibling would silently read the rounded value
@@ -303,7 +335,7 @@ def counter_rate(
     inc_r = F.round("__inc__", 6)
     return agg.select(
         *out_keys,
-        F.timestamp_micros(F.col("__b__")).cast("timestamp_ntz")
+        F.timestamp_micros(F.col("__bk__")).cast("timestamp_ntz")
         .alias("bucket"),
         inc_r.alias("increase"),
         F.round(inc_r / F.lit(float(bucket_seconds)), 6)

@@ -1125,7 +1125,7 @@ class Series:
 
     def expanding(self, min_periods: int = 1):
         """pandas ``Series.expanding()`` over the global index order:
-        lazy proxy with ``sum/mean/min/max/count`` — each compiles to
+        lazy proxy with ``sum/mean/min/max/count/std/var`` — each compiles to
         the windowless cumulative-agg bucket plan
         (operators/ranking.with_global_cumagg); results are null until
         ``min_periods`` non-null observations have been seen."""
@@ -1134,7 +1134,7 @@ class Series:
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``Series.rolling(window)`` over the global index
         order: returns a lazy rolling proxy with
-        ``sum/mean/min/max/count``. Windowless at scale — position
+        ``sum/mean/min/max/count/std/var``. Windowless at scale — position
         buckets sized >= ``window`` with the last ``window-1`` rows
         replicated into the next bucket, one balanced hash exchange
         (operators/ranking.with_global_rolling); no single-partition

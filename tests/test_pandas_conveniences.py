@@ -874,6 +874,40 @@ def test_explode_multi_column_zips(spark):
     assert len(df.explode(["a", "b"], keep_empty=False).to_pandas()) == 3
 
 
+def test_explode_multi_column_one_null_array(spark):
+    """ADVICE r4 (frame.py explode): a NULL array among non-null
+    siblings must not collapse the row — pandas treats a None cell as
+    one scalar-null element, so the siblings' elements survive."""
+    import pandas as pd
+
+    import eland_spark as es
+
+    pdf = pd.DataFrame({
+        "k": [0, 1, 2],
+        "a": [[1, 2], None, None],
+        "b": [[10, 20], [7], None],
+    })
+    df = es.DataFrame(spark.createDataFrame(
+        pdf, schema="k long, a array<long>, b array<long>"
+    ), index_cols=("k",))
+    got = (df.explode(["a", "b"]).to_pandas()
+           .sort_values(["k", "b"], na_position="last")
+           .reset_index(drop=True))
+    # pandas: (1,10),(2,20),(None,7),(None,None)
+    want = (pdf.explode(["a", "b"])
+            .sort_values(["k", "b"], na_position="last")
+            .reset_index(drop=True))
+    assert got["k"].tolist() == want["k"].tolist() == [0, 0, 1, 2]
+    for c in ("a", "b"):
+        assert [None if pd.isna(x) else int(x) for x in got[c]] == \
+               [None if pd.isna(x) else int(x) for x in want[c]], c
+    # keep_empty=False: all-null row drops, null-among-siblings stays
+    inner = (df.explode(["a", "b"], keep_empty=False).to_pandas()
+             .sort_values(["k", "b"], na_position="last"))
+    assert inner["k"].tolist() == [0, 0, 1]
+    assert [None if pd.isna(x) else int(x) for x in inner["a"]] == [1, 2, None]
+
+
 def test_str_unicode_classes_and_new_methods(spark):
     """isdecimal/isdigit/isnumeric/isalpha/isalnum on unicode input,
     encode/decode round-trip, index/rindex, wrap, normalize — all vs
@@ -1125,6 +1159,52 @@ def test_expanding_std_var_match_pandas(spark):
            .to_pandas(set_index=True).sort_index()["expanding_var"])
     want = ps.expanding().var()
     pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-8)
+
+
+def test_expanding_std_var_large_magnitude_no_overflow(spark):
+    """ADVICE r4 (ranking.py sumsq): integer values whose square
+    overflows 64-bit, and doubles whose mean dwarfs the variance, must
+    still match pandas — the moments are double-cast and mean-shifted,
+    never raw ``sum(c*c)``."""
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(23)
+    # squares ~ 9e18 each: summing a handful of raw int64 squares
+    # overflows (ANSI error / silent wrap); deltas keep a real variance
+    base = 3_000_000_000
+    ints = base + rng.randint(-500, 500, size=40)
+    pdf = pd.DataFrame({"k": range(40), "a": ints.astype("int64")})
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["a"]
+
+    got = (edf["a"].expanding().std()
+           .to_pandas(set_index=True).sort_index()["expanding_std"])
+    want = ps.expanding().std()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-6)
+
+    # large-mean doubles: naive sumsq - sum^2/n cancels to ~0 here.
+    # pandas' own rolling Welford drifts ~5e-5 relative on this data,
+    # so the oracle is the EXACT prefix variance (Fraction arithmetic
+    # on the stored doubles) — the mean-shifted plan matches it to
+    # machine precision.
+    from fractions import Fraction
+
+    dbl = 1e12 + rng.randn(40).round(3)
+    pdf2 = pd.DataFrame({"k": range(40), "a": dbl})
+    edf2 = es.DataFrame(spark.createDataFrame(pdf2), index_cols=("k",))
+
+    got = (edf2["a"].expanding(min_periods=2).var()
+           .to_pandas(set_index=True).sort_index()["expanding_var"])
+    fr = [Fraction(x) for x in dbl]
+    exact = [np.nan]
+    for n in range(2, 41):
+        m = sum(fr[:n]) / n
+        exact.append(float(sum((x - m) ** 2 for x in fr[:n]) / (n - 1)))
+    want = pd.Series(exact, index=got.index, dtype="float64")
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
 
 
 def test_merge_validate(spark):

@@ -282,3 +282,61 @@ def test_counter_rate_resets_and_bucket_crossing(spark):
     # bucket 1: reset -> contributes v=10; then 40-10=30 -> 40
     assert got["2024-01-01 01:00:00"][0] == 40.0
     assert got["2024-01-01 01:00:00"][1] == round(40.0 / 3600, 6)
+
+
+def test_rolling_zscore_global_no_single_partition_window(spark):
+    """ADVICE r4: by=None must use the bucketed global-window plan —
+    no SinglePartition exchange — and still match the keyed path's
+    math (single constant key == global series)."""
+    import pandas as pd
+
+    from eland_spark.operators.timeseries import rolling_zscore
+
+    rng_vals = [float(v) for v in range(1, 61)]
+    rng_vals[40] = 500.0  # spike
+    pdf = pd.DataFrame({"i": range(60), "v": rng_vals, "g": ["x"] * 60})
+    sdf = spark.createDataFrame(pdf)
+
+    glob = rolling_zscore(sdf, "v", ["i"], by=None, window=10,
+                          min_periods=3).select("i", "zscore", "is_anomaly")
+    keyed = rolling_zscore(sdf, "v", ["i"], by="g", window=10,
+                           min_periods=3).select("i", "zscore", "is_anomaly")
+    g = {r["i"]: (r["zscore"], r["is_anomaly"]) for r in glob.collect()}
+    k = {r["i"]: (r["zscore"], r["is_anomaly"]) for r in keyed.collect()}
+    assert g == k
+    assert g[40][1] is True
+
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_counter_rate_global_no_single_partition_window(spark):
+    """counter_rate(by=None): bucketed global lag, no SinglePartition
+    exchange, identical output to a single-key run."""
+    import pandas as pd
+
+    from eland_spark.operators.timeseries import counter_rate
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:30",
+            "2024-01-01 01:10", "2024-01-01 01:40",
+            "2024-01-01 02:05",
+        ]),
+        "v": [100.0, 150.0, 10.0, 40.0, 90.0],
+        "k": ["a"] * 5,
+    })
+    sdf = spark.createDataFrame(pdf)
+    glob = counter_rate(sdf, "v", "ts", by=None, bucket_seconds=3600)
+    got = {str(r["bucket"]): (r["increase"], r["rate_per_sec"])
+           for r in glob.collect()}
+    keyed = {str(r["bucket"]): (r["increase"], r["rate_per_sec"])
+             for r in counter_rate(sdf, "v", "ts", by="k",
+                                   bucket_seconds=3600).collect()}
+    assert got == keyed
+    assert got["2024-01-01 00:00:00"][0] == 50.0
+    assert got["2024-01-01 01:00:00"][0] == 40.0
+    assert got["2024-01-01 02:00:00"][0] == 50.0
+
+    plan = glob._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
