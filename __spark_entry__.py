@@ -5622,6 +5622,22 @@ def q_funnel(spark, sf_dir) -> DataFrame:
     return funnel(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN)
 
 
+def q_funnel_skew_safe(spark, sf_dir) -> DataFrame:
+    """Same funnel as q_funnel via the bounded-state k-chained-min-agg
+    plan (operators/funnel.py _chained_min_chains): step 1 is a
+    per-user min agg, each later step one user-keyed hash join + min
+    agg over 'step-i events at-or-after the previous chain time' —
+    O(1) agg-buffer state per user, immune to bot-grade hot users.
+    Shares q_funnel's oracle because the greedy fold over a
+    (ts, step-rank)-sorted list IS the sequential min-chain for
+    distinct step types."""
+    from eland_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return funnel(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN,
+                  skew_safe=True)
+
+
 def _funnel_oracle_sql() -> str:
     steps, w_us = _FUNNEL_STEPS, _FUNNEL_WITHIN * 1_000_000
     ctes = [f"""s1 AS (
@@ -6240,6 +6256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "wide_to_long": q_wide_to_long,
         "funnel": q_funnel,
+        "funnel_skew_safe": q_funnel_skew_safe,
         "cohort_retention": q_cohort_retention,
         "get_dummies": q_get_dummies,
         "funnel_chains": q_funnel_chains,
@@ -8433,6 +8450,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": _rolling_zscore_oracle_sql(),
         "wide_to_long": _wide_to_long_oracle_sql(),
         "funnel": _funnel_oracle_sql(),
+        "funnel_skew_safe": _funnel_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
         "get_dummies": _get_dummies_oracle_sql(),
         "funnel_chains": _funnel_chains_oracle_sql(),

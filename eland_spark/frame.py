@@ -1531,7 +1531,11 @@ class DataFrame:
     ) -> pd.Series:
         """pandas ``DataFrame.value_counts``: unique-ROW frequencies
         over ``subset`` (default all columns). One hash aggregation;
-        only the distinct combinations reach the driver."""
+        only the distinct combinations reach the driver — and, like
+        ``get_dummies``/``pivot``/``crosstab``, at most 10,000 of them
+        (the materialized pandas return makes the distinct-row set a
+        driver allocation, so a high-cardinality subset raises instead
+        of OOMing the driver; pre-aggregate or filter first)."""
         cols = [subset] if isinstance(subset, str) else list(subset or self.columns)
         exprs = [F.col(self._schema.resolve(c)).alias(c) for c in cols]
         g = self._sdf.groupBy(*exprs)
@@ -1539,7 +1543,14 @@ class DataFrame:
         if dropna:
             for c in cols:
                 counted = counted.filter(F.col(c).isNotNull())
-        rows = counted.collect()
+        rows = counted.limit(10001).collect()
+        if len(rows) > 10000:
+            raise ValueError(
+                f"value_counts subset {cols!r} has > 10000 distinct rows; "
+                "the pandas-Series return would materialize them all on "
+                "the driver — aggregate engine-side instead "
+                "(groupby(...).size() or a curation sketch)"
+            )
         # pandas always returns a MultiIndex (even for one column) with
         # NaN — not None — for missing keys
         idx = pd.MultiIndex.from_tuples(

@@ -23,7 +23,15 @@ two hash aggregations, everything partial-aggregable.
 
 Scale: both operators shuffle on ``user_id`` once (funnel's per-user
 state is the user's own event list — bounded by per-user activity,
-never corpus-sized); the fold state is k timestamps.
+never corpus-sized); the fold state is k timestamps. For logs with
+BOT-GRADE hot users (a single user with millions of step-typed events
+would materialize a multi-MB array in one aggregation buffer),
+``skew_safe=True`` selects the k-chained-min-agg plan instead: step 1
+is a per-user min agg, and each later step is one hash join (user key)
+plus one min agg over "step-i events at-or-after the chain's previous
+timestamp" — O(1) state per user per round, k aggregations and k-1
+user-keyed joins total, identical chains (the greedy fold over a
+time-sorted list IS the sequential min-chain; see ``_fold_chains``).
 """
 
 from __future__ import annotations
@@ -89,20 +97,87 @@ def _fold_chains(
         "__u__",
         F.aggregate(F.col("__evs__"), init, step_fold).alias("__c__"),
     )
-    if within_seconds is not None:
-        w = int(within_seconds) * 1_000_000
-        chains = chains.select(
-            "__u__",
-            F.transform(
-                F.col("__c__"),
-                lambda t, i: F.when(
-                    t.isNotNull()
-                    & ((t - F.element_at(F.col("__c__"), 1)) <= F.lit(w)),
-                    t,
-                ),
-            ).alias("__c__"),
+    return _within_gate(chains, within_seconds)
+
+
+def _within_gate(chains: DataFrame, within_seconds: "int | None") -> DataFrame:
+    """Null out chain slots more than ``within_seconds`` after slot 1
+    (shared by both chain builders; ts monotone along the chain, so
+    nulled slots stay a suffix)."""
+    if within_seconds is None:
+        return chains
+    w = int(within_seconds) * 1_000_000
+    return chains.select(
+        "__u__",
+        F.transform(
+            F.col("__c__"),
+            lambda t, i: F.when(
+                t.isNotNull()
+                & ((t - F.element_at(F.col("__c__"), 1)) <= F.lit(w)),
+                t,
+            ),
+        ).alias("__c__"),
+    )
+
+
+def _chained_min_chains(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    within_seconds: "int | None",
+) -> DataFrame:
+    """Skew-safe chain builder: the sequential min-chain computed as k
+    hash aggregations + k-1 user-keyed joins — per-user state is O(1)
+    per round (one running min), never the user's event list, so a
+    bot-grade hot user costs nothing beyond its share of scan rows.
+
+    Exactly equal to the fold for DISTINCT step types: the fold scans
+    (ts, step-rank)-sorted events, so after matching step i-1 at
+    ``t``, a step-i event qualifies iff its ts >= t (equal-ts events
+    sort by step rank, and rank_i > rank_{i-1} whenever steps are
+    distinct). Repeated step names need multiset consumption that a
+    min-agg cannot express — those route to the fold."""
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            "skew_safe funnel requires distinct step types "
+            "(repeated steps consume one event each — use the fold path)"
         )
-    return chains
+    k = len(steps)
+    ev = events.select(
+        F.col(user_col).alias("__u__"),
+        F.col(type_col).alias("__t__"),
+        F.unix_micros(
+            F.col(ts_col).cast("timestamp_ntz").cast("timestamp")
+        ).alias("__tsus__"),
+    ).where(
+        F.col("__t__").isin(list(set(steps))) & F.col("__tsus__").isNotNull()
+    )
+    chains = (
+        ev.where(F.col("__t__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__tsus__").alias("__c0__"))
+    )
+    for i in range(1, k):
+        # chains is consumed twice per round (the step-i candidate
+        # filter and the left join back); a lazy localCheckpoint
+        # truncates the lineage so each round's user-sized table is
+        # computed once — without it the events scan count doubles per
+        # round (the same 2^K recompute blowup operators/graph.py's
+        # pagerank rounds hit, fixed the same way)
+        chains = chains.localCheckpoint(eager=False)
+        nxt = (
+            ev.where(F.col("__t__") == steps[i])
+            .join(chains.select("__u__", f"__c{i-1}__"), "__u__")
+            .where(F.col("__tsus__") >= F.col(f"__c{i-1}__"))
+            .groupBy("__u__")
+            .agg(F.min("__tsus__").alias(f"__c{i}__"))
+        )
+        chains = chains.join(nxt, "__u__", "left")
+    arr = F.array(*[F.col(f"__c{i}__") for i in range(k)])
+    return _within_gate(chains.select("__u__", arr.alias("__c__")),
+                        within_seconds)
 
 
 def funnel_chains(
@@ -112,15 +187,19 @@ def funnel_chains(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: "int | None" = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-user step completions: one row per (user, completed step)
     with the step's chain timestamp — ``(user_id, step_index, step,
     step_ts)``. The long-format twin of :func:`funnel` (same single
     user shuffle + fold), and the batch reference for the streaming
-    ``funnel_with_state`` operator."""
+    ``funnel_with_state`` operator. ``skew_safe=True`` swaps the fold
+    for the bounded-state k-chained-min-agg plan (identical chains;
+    distinct step types required — see :func:`_chained_min_chains`)."""
     steps_lit = F.array(*[F.lit(s) for s in steps])
-    chains = _fold_chains(events, steps, user_col, type_col, ts_col,
-                          within_seconds)
+    builder = _chained_min_chains if skew_safe else _fold_chains
+    chains = builder(events, steps, user_col, type_col, ts_col,
+                     within_seconds)
     return (
         chains.select(
             F.col("__u__").alias(user_col),
@@ -146,6 +225,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: "int | None" = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Greedy ordered-funnel summary.
 
@@ -157,10 +237,14 @@ def funnel(
 
     Repeated step names are allowed (``["view", "view"]`` means two
     views); each list element consumes a distinct event.
+    ``skew_safe=True`` swaps the per-user fold for the bounded-state
+    k-chained-min-agg plan — identical results for distinct step
+    types, O(1) agg-buffer state per user even under bot-grade skew.
     """
     k = len(steps)
-    chains = _fold_chains(events, steps, user_col, type_col, ts_col,
-                          within_seconds).select("__c__")
+    builder = _chained_min_chains if skew_safe else _fold_chains
+    chains = builder(events, steps, user_col, type_col, ts_col,
+                     within_seconds).select("__c__")
 
     # ONE tiny aggregation carries every step's reach count (count of
     # non-null chain slots), so the base count shares the row and the

@@ -31,6 +31,18 @@ def test_value_counts_matches_pandas(frame):
     assert {k: pytest.approx(v) for k, v in got.to_dict().items()} == exp.to_dict()
 
 
+def test_value_counts_high_cardinality_guard(spark):
+    """VERDICT r4: value_counts on a high-cardinality subset raises
+    instead of collecting the unbounded distinct-row set (same 10,000
+    cap as get_dummies/pivot/crosstab)."""
+    from eland_spark.frame import DataFrame as EDF
+
+    sdf = spark.range(20_000).selectExpr("id AS _id", "id AS v")
+    edf = EDF(sdf, index_cols=("_id",))
+    with pytest.raises(ValueError, match="10000 distinct rows"):
+        edf.value_counts(subset=["v"])
+
+
 def test_isin_matches_pandas(frame):
     pdf, edf = frame
     got = edf.isin(["a", 2.0]).to_pandas().set_index("_id")

@@ -839,6 +839,11 @@ def test_round4_query_plan_pins(spark):
         "rolling_zscore": (1, 0),
         "funnel": (2, 0),
         "funnel_chains": (1, 0),
+        # k-chained-min-agg: per-round lazy checkpoints truncate the
+        # chain lineage (one events scan per step, computed once), so
+        # the visible plan is the final round's user-keyed join + agg
+        # plus the summary agg — all O(1) state per user
+        "funnel_skew_safe": (3, 0),
         "cohort_retention": (3, 1),
         "wide_to_long": (2, 0),
         # single keyed window exchange each

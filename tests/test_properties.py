@@ -1142,9 +1142,10 @@ def _py_greedy_chain(events, steps, within=None):
     return out
 
 
+@pytest.mark.parametrize("skew_safe", [False, True])
 @given(events=_EVENT_LOGS, within=st.one_of(st.none(), st.integers(0, 30)))
 @settings(**COMMON)
-def test_funnel_chains_match_python_reference(spark, events, within):
+def test_funnel_chains_match_python_reference(spark, skew_safe, events, within):
     from eland_spark.operators.funnel import funnel_chains
 
     steps = ["s1", "s2", "s3"]
@@ -1155,7 +1156,9 @@ def test_funnel_chains_match_python_reference(spark, events, within):
         schema="user_id bigint, event_type string, ts timestamp_ntz",
     )
     got = {}
-    for r in funnel_chains(sdf, steps, within_seconds=within).collect():
+    out = funnel_chains(sdf, steps, within_seconds=within,
+                        skew_safe=skew_safe)
+    for r in out.collect():
         got.setdefault(r["user_id"], []).append(
             (r["step_index"], int(r["step_ts"].timestamp()) % 86400 % 3600)
         )

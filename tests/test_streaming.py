@@ -934,6 +934,63 @@ def test_stream_funnel_matches_batch_chains(spark, events_stream, sf_dir):
     assert len(want) > 0
 
 
+def test_stream_funnel_within_boundary_matches_batch(spark, tmp_path):
+    """VERDICT r4 #6: a step landing EXACTLY at first_ts + within must
+    count in both engines (gate is inclusive, <=), and one microsecond
+    past it must not — pinned stream == batch at the boundary."""
+    import pandas as pd
+
+    import eland_spark as es
+    from eland_spark.operators.funnel import funnel_chains
+    from eland_spark.streaming import stream_to_memory
+    from eland_spark.streaming.stateful import funnel_with_state
+    from eland_spark.streaming.windows import read_events_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    within = 3600
+    pdf = pd.DataFrame(
+        [
+            # user 1: purchase at exactly t0 + within (inclusive edge)
+            (1, "view", t0), (1, "click", t0 + pd.Timedelta(seconds=5)),
+            (1, "purchase", t0 + pd.Timedelta(seconds=within)),
+            # user 2: purchase one MICROSECOND past the edge
+            (2, "view", t0), (2, "click", t0 + pd.Timedelta(seconds=5)),
+            (2, "purchase",
+             t0 + pd.Timedelta(seconds=within, microseconds=1)),
+        ],
+        columns=["user_id", "event_type", "ts"],
+    )
+    path = str(tmp_path / "boundary_events")
+    spark.createDataFrame(
+        pdf, schema="user_id bigint, event_type string, ts timestamp_ntz"
+    ).coalesce(1).write.parquet(path)
+
+    steps = ["view", "click", "purchase"]
+    stream = read_events_stream(spark, path)
+    res = funnel_with_state(stream, steps, within_seconds=within)
+    stream_to_memory(res, "stream_funnel_boundary", "append", 120)
+    got = {
+        (r["user_id"], r["step_index"], r["step_ts"])
+        for r in spark.sql("SELECT * FROM stream_funnel_boundary").collect()
+    }
+    ev = spark.read.parquet(path)
+    want = {
+        (r["user_id"], r["step_index"], r["step_ts"])
+        for r in funnel_chains(ev, steps, within_seconds=within).collect()
+    }
+    assert got == want
+    # the inclusive edge completes; the microsecond past it does not
+    assert (1, 3, (t0 + pd.Timedelta(seconds=within)).to_pydatetime()) in want
+    assert not any(u == 2 and i == 3 for u, i, _ in want)
+    # skew_safe batch variant agrees at the boundary too
+    safe = {
+        (r["user_id"], r["step_index"], r["step_ts"])
+        for r in funnel_chains(ev, steps, within_seconds=within,
+                               skew_safe=True).collect()
+    }
+    assert safe == want
+
+
 def test_stream_drift_update_matches_from_scratch(spark, sf_dir, tmp_path):
     """Merged streaming bin counts must equal a from-scratch batch
     binning of the same rows (counts add losslessly), and the PSI of
