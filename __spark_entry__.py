@@ -5622,6 +5622,95 @@ def q_funnel(spark, sf_dir) -> DataFrame:
     return funnel(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN)
 
 
+_REINDEX_LABELS = [1, 2, 3, 5, 6, 33, 4000, 999_999_983]
+
+
+def q_reindex(spark, sf_dir) -> DataFrame:
+    """DataFrame.reindex(index=labels): one null-safe left join of the
+    broadcastable label table onto orders; missing labels produce null
+    rows (pandas NaN rows). Duplicate-source guard is a bounded eager
+    existence check (frame.py reindex)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_totalprice", "o_orderstatus"]].reindex(
+        index=_REINDEX_LABELS
+    )
+    return out.to_spark().select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def _reindex_oracle_sql() -> str:
+    vals = ", ".join(f"({v})" for v in _REINDEX_LABELS)
+    return f"""
+    WITH lbl(k) AS (VALUES {vals})
+    SELECT CAST(l.k AS BIGINT) AS o_orderkey,
+           o.o_totalprice AS o_totalprice,
+           o.o_orderstatus AS o_orderstatus
+    FROM lbl l LEFT JOIN orders o ON o.o_orderkey = l.k
+    """
+
+
+def q_reindex_ffill(spark, sf_dir) -> DataFrame:
+    """reindex(method='ffill'): missing labels take the nearest
+    PRECEDING existing label's row — the as-of join plan
+    (operators/asof.py: one union + keyed running row-fill, the row
+    carried as a struct so a matched row's own nulls survive). Oracle:
+    DuckDB native ASOF LEFT JOIN."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_totalprice", "o_orderstatus"]].reindex(
+        index=_REINDEX_LABELS, method="ffill"
+    )
+    return out.to_spark().select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def _reindex_ffill_oracle_sql() -> str:
+    vals = ", ".join(f"({v})" for v in _REINDEX_LABELS)
+    return f"""
+    WITH lbl(k) AS (VALUES {vals})
+    SELECT CAST(l.k AS BIGINT) AS o_orderkey,
+           o.o_totalprice AS o_totalprice,
+           o.o_orderstatus AS o_orderstatus
+    FROM lbl l ASOF LEFT JOIN orders o ON l.k >= o.o_orderkey
+    """
+
+
+def q_align_outer(spark, sf_dir) -> DataFrame:
+    """DataFrame.align(join='outer'): engine-side key union (never a
+    driver collect) + one left join per side; columns conform to the
+    sorted union with null fills. Returns the LEFT aligned frame (the
+    right is the same plan mirrored)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    left = o[o["o_orderkey"] < 1000][["o_totalprice", "o_custkey"]]
+    right = o[(o["o_orderkey"] >= 500) & (o["o_orderkey"] < 1500)][
+        ["o_totalprice", "o_orderpriority"]
+    ]
+    al, _ = left.align(right, join="outer")
+    return al.to_spark().select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+def _align_outer_oracle_sql() -> str:
+    return """
+    WITH l AS (SELECT o_orderkey, o_totalprice, o_custkey
+               FROM orders WHERE o_orderkey < 1000),
+         r AS (SELECT o_orderkey FROM orders
+               WHERE o_orderkey >= 500 AND o_orderkey < 1500),
+         keys AS (SELECT o_orderkey FROM l
+                  UNION SELECT o_orderkey FROM r)
+    SELECT keys.o_orderkey,
+           CAST(l.o_custkey AS DOUBLE) AS o_custkey,
+           CAST(NULL AS DOUBLE) AS o_orderpriority,
+           l.o_totalprice AS o_totalprice
+    FROM keys LEFT JOIN l USING (o_orderkey)
+    """
+
+
 def q_funnel_skew_safe(spark, sf_dir) -> DataFrame:
     """Same funnel as q_funnel via the bounded-state k-chained-min-agg
     plan (operators/funnel.py _chained_min_chains): step 1 is a
@@ -6257,6 +6346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_to_long": q_wide_to_long,
         "funnel": q_funnel,
         "funnel_skew_safe": q_funnel_skew_safe,
+        "reindex": q_reindex,
+        "reindex_ffill": q_reindex_ffill,
+        "align_outer": q_align_outer,
         "cohort_retention": q_cohort_retention,
         "get_dummies": q_get_dummies,
         "funnel_chains": q_funnel_chains,
@@ -8451,6 +8543,9 @@ def oracle_sql() -> dict[str, str]:
         "wide_to_long": _wide_to_long_oracle_sql(),
         "funnel": _funnel_oracle_sql(),
         "funnel_skew_safe": _funnel_oracle_sql(),
+        "reindex": _reindex_oracle_sql(),
+        "reindex_ffill": _reindex_ffill_oracle_sql(),
+        "align_outer": _align_outer_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
         "get_dummies": _get_dummies_oracle_sql(),
         "funnel_chains": _funnel_chains_oracle_sql(),

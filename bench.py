@@ -110,6 +110,11 @@ HEADLINE = [
     # ops share rolling_zscore's already-benched shape)
     "drift_psi",
     "eval_auc",
+    # r5 batch: the bounded-state chained-min funnel (k aggs + joins vs
+    # the fold's one shuffle) and the label-join/as-of reindex pair
+    # (align shares reindex's key-join shape)
+    "funnel_skew_safe",
+    "reindex_ffill",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

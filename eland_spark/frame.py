@@ -1366,6 +1366,248 @@ class DataFrame:
             out_cols.append(e.alias(c))
         return DataFrame(j.select(*out_cols), index_cols=tuple(icols))
 
+    def reindex(
+        self,
+        index=None,
+        columns=None,
+        method: "str | None" = None,
+        fill_value=None,
+    ) -> "DataFrame":
+        """pandas ``DataFrame.reindex``: conform to new row labels
+        and/or columns.
+
+        ``index`` is a list-like of target labels (single-column index
+        only): one NULL-SAFE left join of the (small, broadcastable)
+        label table onto the frame — labels present keep their row,
+        missing labels produce a null row (or ``fill_value``).
+        ``method='ffill'/'pad'`` (and ``'bfill'/'backfill'``) fills
+        missing labels from the nearest preceding (following) EXISTING
+        label — the as-of join (operators/asof.py), so the plan is the
+        usual one-exchange keyed running fill, never a per-label scan.
+        Divergence from pandas: pandas requires a monotonic index for
+        ``method`` and raises otherwise; the as-of formulation is
+        order-free and simply computes the value-ordered fill (equal
+        results whenever pandas accepts). ``fill_value`` applies to
+        newly-introduced cells only (existing nulls survive), and is
+        ignored when ``method`` fills.
+
+        Like pandas, raises on duplicate source labels (one eager
+        bounded existence check — same pattern as ``merge(validate=)``).
+        """
+        if method not in (None, "ffill", "pad", "bfill", "backfill"):
+            raise ValueError(
+                f"method must be None/ffill/pad/bfill/backfill, got {method!r}"
+            )
+        out = self
+        if index is not None:
+            out = out._reindex_rows(list(index), method, fill_value)
+        if columns is not None:
+            out = out._reindex_columns(list(columns), fill_value)
+        return out
+
+    def _reindex_rows(self, labels: list, method, fill_value) -> "DataFrame":
+        icols = list(self.index_cols)
+        if len(icols) != 1:
+            raise ValueError(
+                "reindex(index=...) needs exactly one index column"
+            )
+        ic = icols[0]
+        vals = [c for c in self._schema.display_names if c != ic]
+        proj = self._sdf.select(
+            F.col(self._schema.resolve_any(ic)).alias(ic),
+            *[F.col(self._schema.resolve(c)).alias(c) for c in vals],
+        )
+        # pandas: "cannot reindex from a duplicate axis"
+        dup = (
+            proj.groupBy(ic).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("cannot reindex from a duplicate axis")
+        spark = self._sdf.sparkSession
+        itype = proj.schema[ic].dataType
+        tgt = spark.createDataFrame(
+            [(v,) for v in labels], T.StructType([T.StructField(ic, itype)])
+        )
+        if method is not None:
+            # fill the matched source KEY through the windowless
+            # global-fill bucket plan (operators/ranking — no
+            # single-partition window, unlike an unkeyed as-of join),
+            # then one join back fetches the matched row VERBATIM (a
+            # matched row's own nulls survive — row semantics, like
+            # pandas; never a per-column last-non-null)
+            from .operators.ranking import with_global_fill
+
+            fwd = method in ("ffill", "pad")
+            # tie order at an equal label: the source row must be
+            # visible to the fill scan (exact matches take their own
+            # row) — before the target for ffill's ascending scan,
+            # after it for bfill's descending scan
+            src_tie = 0 if fwd else 2
+            u = tgt.select(
+                F.col(ic), F.lit(None).cast(itype).alias("__m__"),
+                F.lit(1).alias("__t__"),
+            ).unionByName(
+                proj.select(
+                    F.col(ic), F.col(ic).alias("__m__"),
+                    F.lit(src_tie).alias("__t__"),
+                )
+            )
+            filled = with_global_fill(
+                u, [ic, "__t__"], ["__m__"], forward=fwd
+            )
+            matched = filled.filter(F.col("__t__") == 1).select(
+                F.col(ic).alias("__lbl__"), "__m__"
+            )
+            # plain equality: a null __m__ (no preceding source row)
+            # must stay unmatched, not null-safe-match a null label
+            joined = matched.join(
+                proj, F.col("__m__") == F.col(ic), "left"
+            )
+            return DataFrame(
+                joined.select(
+                    F.col("__lbl__").alias(ic),
+                    *[F.col(c) for c in vals],
+                ),
+                index_cols=(ic,),
+            )
+        lbl = tgt.select(F.col(ic).alias("__lbl__"))
+        hit = proj.withColumn("__hit__", F.lit(1))
+        joined = lbl.join(
+            hit, F.col("__lbl__").eqNullSafe(F.col(ic)), "left"
+        )
+        vtypes = {f.name: f.dataType for f in proj.schema.fields}
+        sel = [F.col("__lbl__").alias(ic)]
+        for c in vals:
+            e = F.col(c)
+            if fill_value is not None:
+                # only newly-introduced cells (missing labels) fill;
+                # nulls already in the frame survive, like pandas. The
+                # fill is CAST to each column's type (divergence:
+                # pandas drops a numeric fill into object columns
+                # untouched; a lazy plan needs one type per column)
+                e = F.when(
+                    F.col("__hit__").isNull(),
+                    F.lit(fill_value).cast(vtypes[c]),
+                ).otherwise(e)
+            sel.append(e.alias(c))
+        return DataFrame(joined.select(*sel), index_cols=(ic,))
+
+    def _reindex_columns(self, columns: list, fill_value) -> "DataFrame":
+        icols = list(self.index_cols)
+        have = set(self._schema.display_names)
+        sel = [
+            F.col(self._schema.resolve_any(c)).alias(c) for c in icols
+        ]
+        for c in columns:
+            if c in icols:
+                continue
+            if c in have:
+                sel.append(F.col(self._schema.resolve(c)).alias(c))
+            else:
+                e = (
+                    F.lit(fill_value)
+                    if fill_value is not None
+                    else F.lit(None).cast("double")
+                )
+                sel.append(e.alias(c))
+        return DataFrame(self._sdf.select(*sel), index_cols=tuple(icols))
+
+    def align(
+        self,
+        other: "DataFrame",
+        join: str = "outer",
+        axis: "int | None" = None,
+        fill_value=None,
+    ) -> "tuple[DataFrame, DataFrame]":
+        """pandas ``DataFrame.align``: conform two frames to a shared
+        row-label set and/or column set; returns ``(left, right)``.
+
+        Rows (``axis`` None or 0): the shared key set is built
+        ENGINE-SIDE from the two index-column sets (union distinct /
+        intersect / one side, per ``join``) — never a driver collect —
+        then each side is one left join of the key frame onto its rows.
+        Columns (``axis`` None or 1): union (sorted, pandas
+        ``Index.union`` convention) or intersection of display names;
+        columns missing on a side materialize as nulls (or
+        ``fill_value``). Divergence: duplicate index labels fan out
+        SQL-style instead of raising."""
+        if join not in ("outer", "inner", "left", "right"):
+            raise ValueError(f"join must be outer/inner/left/right, got {join!r}")
+        if axis not in (None, 0, 1):
+            raise ValueError("axis must be None, 0, or 1")
+        icols = list(self.index_cols)
+        if not icols or tuple(icols) != tuple(other.index_cols):
+            raise ValueError("align needs both frames indexed identically")
+
+        lcols = [c for c in self._schema.display_names if c not in icols]
+        rcols = [c for c in other._schema.display_names if c not in icols]
+        if axis == 0 or (axis in (None, 1) and lcols == rcols):
+            # columns untouched per side (or already identical)
+            lcols_out, rcols_out = lcols, rcols
+        else:
+            if join == "outer":
+                cols = sorted(dict.fromkeys(lcols + rcols))
+            elif join == "inner":
+                cols = sorted(c for c in lcols if c in set(rcols))
+            elif join == "left":
+                cols = lcols
+            else:
+                cols = rcols
+            lcols_out = rcols_out = cols
+
+        def _proj(frame, value_cols):
+            sel = [
+                F.col(frame._schema.resolve_any(c)).alias(c) for c in icols
+            ]
+            have = set(frame._schema.display_names)
+            for c in value_cols:
+                if c in have:
+                    sel.append(F.col(frame._schema.resolve(c)).alias(c))
+                else:
+                    e = (
+                        F.lit(fill_value)
+                        if fill_value is not None
+                        else F.lit(None).cast("double")
+                    )
+                    sel.append(e.alias(c))
+            return frame._sdf.select(*sel)
+
+        lsdf, rsdf = _proj(self, lcols_out), _proj(other, rcols_out)
+
+        if axis in (None, 0):
+            lk = lsdf.select(*icols)
+            rk = rsdf.select(*icols)
+            if join == "outer":
+                keys = lk.unionByName(rk).distinct()
+            elif join == "inner":
+                keys = lk.intersect(rk)
+            elif join == "left":
+                keys = lk.distinct()
+            else:
+                keys = rk.distinct()
+
+            def _conform(sdf, value_cols):
+                hit = sdf.withColumn("__hit__", F.lit(1))
+                vtypes = {f.name: f.dataType for f in sdf.schema.fields}
+                j = keys.join(hit, icols, "left")
+                sel = [F.col(c) for c in icols]
+                for c in value_cols:
+                    e = F.col(c)
+                    if fill_value is not None:
+                        e = F.when(
+                            F.col("__hit__").isNull(),
+                            F.lit(fill_value).cast(vtypes[c]),
+                        ).otherwise(e)
+                    sel.append(e.alias(c))
+                return j.select(*sel)
+
+            lsdf = _conform(lsdf, lcols_out)
+            rsdf = _conform(rsdf, rcols_out)
+        return (
+            DataFrame(lsdf, index_cols=tuple(icols)),
+            DataFrame(rsdf, index_cols=tuple(icols)),
+        )
+
     # ------------------------------------------------------------------
     # frame-wide global-order ops (pandas surface; windowless plans)
     # ------------------------------------------------------------------

@@ -117,15 +117,30 @@ def merge_asof(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
+    # the fill carries the last right ROW as one struct (null on left
+    # rows, so ignorenulls skips interleaved left rows but NOT a right
+    # row whose value columns are null) — pandas matches rows, not
+    # per-column last-non-null values: a matched row's NaN must come
+    # through as NaN, never an older row's value
+    right_row = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            *[F.col(rmap[c]).alias(rmap[c]) for c in rvals],
+            F.col(_RTS).alias(_RTS),
+        ),
+    )
     if direction in ("backward", "forward"):
         w = _running_window(direction)
-        filled = u.select(
+        picked = u.withColumn(
+            "__asof_row", F.last(right_row, ignorenulls=True).over(w)
+        )
+        filled = picked.select(
             *[F.col(c) for c in lcols],
             *[
-                F.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c])
+                F.col("__asof_row")[rmap[c]].alias(rmap[c])
                 for c in rvals
             ],
-            F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+            F.col("__asof_row")[_RTS].alias(_RTS),
             F.col(_SIDE),
         )
     else:
@@ -134,49 +149,36 @@ def merge_asof(
         # per-row pick by absolute distance — ties go BACKWARD like
         # pandas; a missing side loses automatically.
         wb, wf = _running_window("backward"), _running_window("forward")
-        bcols = {c: f"__b_{i}" for i, c in enumerate(rvals)}
-        fcols = {c: f"__f_{i}" for i, c in enumerate(rvals)}
-        both = u.select(
-            *[F.col(c) for c in lcols],
-            *[
-                F.last(rmap[c], ignorenulls=True).over(wb).alias(bcols[c])
-                for c in rvals
-            ],
-            F.last(_RTS, ignorenulls=True).over(wb).alias("__b_rts"),
-            *[
-                F.last(rmap[c], ignorenulls=True).over(wf).alias(fcols[c])
-                for c in rvals
-            ],
-            F.last(_RTS, ignorenulls=True).over(wf).alias("__f_rts"),
-            F.col(_SIDE),
+        both = u.withColumn(
+            "__asof_b", F.last(right_row, ignorenulls=True).over(wb)
+        ).withColumn(
+            "__asof_f", F.last(right_row, ignorenulls=True).over(wf)
         )
+        b_rts = F.col("__asof_b")[_RTS]
+        f_rts = F.col("__asof_f")[_RTS]
         if _is_numeric(ltypes[on]):
-            db = F.col(on) - F.col("__b_rts")
-            df_ = F.col("__f_rts") - F.col(on)
+            db = F.col(on) - b_rts
+            df_ = f_rts - F.col(on)
         else:
             # full microsecond precision — whole-second truncation would
             # mis-pick when both sides are within the same second; the
             # timestamp cast lifts NTZ into the (UTC) session zone,
             # which cancels in the difference
             def _us(c):
-                return F.unix_micros(F.col(c).cast("timestamp"))
+                return F.unix_micros(c.cast("timestamp"))
 
-            db = _us(on) - _us("__b_rts")
-            df_ = _us("__f_rts") - _us(on)
-        pick_b = F.col("__f_rts").isNull() | (
-            F.col("__b_rts").isNotNull() & (db <= df_)
-        )
+            db = _us(F.col(on)) - _us(b_rts)
+            df_ = _us(f_rts) - _us(F.col(on))
+        pick_b = f_rts.isNull() | (b_rts.isNotNull() & (db <= df_))
         filled = both.select(
             *[F.col(c) for c in lcols],
             *[
-                F.when(pick_b, F.col(bcols[c]))
-                .otherwise(F.col(fcols[c]))
+                F.when(pick_b, F.col("__asof_b")[rmap[c]])
+                .otherwise(F.col("__asof_f")[rmap[c]])
                 .alias(rmap[c])
                 for c in rvals
             ],
-            F.when(pick_b, F.col("__b_rts"))
-            .otherwise(F.col("__f_rts"))
-            .alias(_RTS),
+            F.when(pick_b, b_rts).otherwise(f_rts).alias(_RTS),
             F.col(_SIDE),
         )
     out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE)

@@ -60,6 +60,7 @@ def pagerank(
     dangling: str = "redistribute",
     weight: Optional[str] = None,
     personalized: Optional[DataFrame] = None,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Fixed-K PageRank power iteration, optionally weighted and/or
     personalized.
@@ -86,6 +87,15 @@ def pagerank(
     round; per-round shuffle volume is O(nodes + contributions); rank
     lineage truncates every round so K can grow without plan-depth or
     recompute blowup.
+
+    ``tol`` enables early exit: after each round one extra scalar
+    aggregate (the same shape as the dangling term — a node-keyed join
+    of the round's checkpointed ranks with the previous round's, folded
+    to ``sum(|rank - prev|)``) is collected on the driver, and the
+    loop stops when that L1 delta drops below ``tol``. ``iterations``
+    then acts as the cap. With ``tol=None`` (default — the oracle
+    path) the plan stays fully lazy and runs exactly ``iterations``
+    rounds.
     """
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute|ignore, got {dangling!r}")
@@ -151,13 +161,17 @@ def pagerank(
                         F.col("__p__").alias("rank"))
 
     d = float(damping)
+    checkpointed = False
     for i in range(int(iterations)):
         # ranks branches twice per round (contribution join + dangling
         # scalar); without a barrier the previous round's subtree would
         # re-execute per branch — 2^K blowup. One lazy checkpoint per
         # round keeps it linear (the Pregel/GraphX iteration pattern)
         # and doubles as the lineage truncation for large K.
-        ranks = ranks.localCheckpoint(eager=False)
+        if not checkpointed:
+            ranks = ranks.localCheckpoint(eager=False)
+        checkpointed = False
+        prev = ranks
         contrib = (
             ranks.where(F.col("__outdeg__") > 0)
             .join(e, ranks["node"] == e["__src__"])
@@ -199,4 +213,19 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if tol is not None:
+            # the delta action materializes this checkpoint, and the
+            # next round (if any) reuses it — no recompute
+            ranks = ranks.localCheckpoint(eager=False)
+            checkpointed = True
+            delta = (
+                ranks.select("node", "rank")
+                .join(prev.select("node", F.col("rank").alias("__pr__")),
+                      "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__pr__")))
+                     .alias("__delta__"))
+                .first()["__delta__"]
+            )
+            if delta is not None and float(delta) < float(tol):
+                break
     return ranks.select("node", "rank")

@@ -136,3 +136,36 @@ def test_suffix_collision_raises(spark, sides):
 
     with pytest.raises(ValueError, match="collide"):
         merge_asof(left, purch.to_spark(), on="ts", by="user_id", suffixes=("", "_x"))
+
+
+def test_asof_matched_row_nulls_come_through(spark):
+    """pandas merge_asof matches ROWS: when the matched right row has
+    NaN in a value column, the result is NaN — never an older row's
+    non-null value (r5 fix: the fill carries the last right row as one
+    struct instead of per-column last-non-null)."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.asof import merge_asof
+
+    lp = pd.DataFrame({"t": [5.0, 10.0]})
+    rp = pd.DataFrame({"t": [1.0, 4.0], "v": [7.0, np.nan],
+                       "u": [np.nan, 8.0]})
+    for direction in ("backward", "nearest"):
+        got = (merge_asof(spark.createDataFrame(lp),
+                          spark.createDataFrame(rp),
+                          on="t", direction=direction)
+               .toPandas().sort_values("t").reset_index(drop=True))
+        want = pd.merge_asof(lp, rp, on="t", direction=direction)
+        pd.testing.assert_frame_equal(
+            got[["t", "v", "u"]], want, check_dtype=False
+        )
+    # forward: left 0.5 matches right t=1 (v=7, u=NaN)
+    lp2 = pd.DataFrame({"t": [0.5, 2.0]})
+    got = (merge_asof(spark.createDataFrame(lp2),
+                      spark.createDataFrame(rp),
+                      on="t", direction="forward")
+           .toPandas().sort_values("t").reset_index(drop=True))
+    want = pd.merge_asof(lp2, rp, on="t", direction="forward")
+    pd.testing.assert_frame_equal(got[["t", "v", "u"]], want,
+                                  check_dtype=False)

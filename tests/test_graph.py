@@ -193,3 +193,38 @@ def test_personalized_seed_outside_graph(spark, edge_df):
     want = _np_pagerank_ext(EDGES, 3, 0.85, seeds=["zzz"])
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_pagerank_tol_converges_to_fixed_point(spark, edge_df):
+    """VERDICT r4 #4: tol= early-exit. The converged ranks must match
+    the numpy fixed point (200 rounds) to well under tol, stop before
+    the iteration cap, and conserve mass."""
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=100, damping=0.85,
+                             tol=1e-10).collect()}
+    want = _np_pagerank(EDGES, 200, 0.85)  # effectively the fixed point
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_tol_stops_early(spark, edge_df):
+    """tol large enough to trip after round 1 must equal a 1-round
+    fixed-K run (early exit returns THAT round's ranks, not the cap's)."""
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=50, damping=0.85,
+                             tol=10.0).collect()}
+    want = {r["node"]: r["rank"]
+            for r in pagerank(edge_df, iterations=1, damping=0.85).collect()}
+    assert got == want
+
+
+def test_pagerank_tol_fixed_k_unchanged(spark, edge_df):
+    """tol=None (the oracle path) is byte-identical to before: matches
+    the fixed-K numpy replay exactly."""
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edge_df, iterations=3, damping=0.85,
+                             tol=None).collect()}
+    want = _np_pagerank(EDGES, 3, 0.85)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)

@@ -844,6 +844,12 @@ def test_round4_query_plan_pins(spark):
         # the visible plan is the final round's user-keyed join + agg
         # plus the summary agg — all O(1) state per user
         "funnel_skew_safe": (3, 0),
+        # label table broadcast onto the scan — zero shuffles
+        "reindex": (1, 1),
+        # windowless global-fill bucket plan + the row join-back
+        "reindex_ffill": (3, 0),
+        # engine-side key union + one left join per side
+        "align_outer": (3, 0),
         "cohort_retention": (3, 1),
         "wide_to_long": (2, 0),
         # single keyed window exchange each

@@ -848,6 +848,10 @@ def test_nlargest_nsmallest_membership_matches_pandas(spark, rows, n, col, large
 
 # --- string accessor differential ----------------------------------------
 
+# PERMANENT PIN (ADVICE r3 / VERDICT r4 #8): the alphabet MUST keep the
+# regex metacharacters (. * [ ( | \ $ ^ + ?) — str.split/rsplit on a
+# literal separator that is also a regex metachar was an r3 bug class;
+# if the fuzzer bounds ever change, keep these characters drawable.
 _STR_CHARS = st.text(
     alphabet=" aB3._*[(|\\$^+?'-", min_size=0, max_size=12
 )
@@ -1094,17 +1098,20 @@ def test_str_accessor_extended_matches_pandas(spark, rows, lit, w, i):
     eq(edf["s"].str.swapcase(), ps.str.swapcase(), "swapcase")
     eq(edf["s"].str.repeat(2), ps.str.repeat(2), "repeat")
     eq(edf["s"].str.get(i), ps.str.get(i), "get")
-    for n in (1, 2):
-        eq(
-            edf["s"].str.split("-", n=n),
-            ps.map(lambda v: None if v is None else v.split("-", n)),
-            f"split{n}",
-        )
-        eq(
-            edf["s"].str.rsplit("-", n=n),
-            ps.map(lambda v: None if v is None else v.rsplit("-", n)),
-            f"rsplit{n}",
-        )
+    # "." and "*" separators pin the regex-metachar split bug class
+    # (ADVICE r3) permanently, independent of what the fuzzer draws
+    for sep in ("-", ".", "*"):
+        for n in (1, 2):
+            eq(
+                edf["s"].str.split(sep, n=n),
+                ps.map(lambda v: None if v is None else v.split(sep, n)),
+                f"split{n}{sep!r}",
+            )
+            eq(
+                edf["s"].str.rsplit(sep, n=n),
+                ps.map(lambda v: None if v is None else v.rsplit(sep, n)),
+                f"rsplit{n}{sep!r}",
+            )
 
 
 # --- funnel / rolling z-score fuzzers (r4) ---------------------------------
