@@ -115,6 +115,8 @@ HEADLINE = [
     # (align shares reindex's key-join shape)
     "funnel_skew_safe",
     "reindex_ffill",
+    # the Arrow-batched rolling().apply escape hatch (pandas-in-bucket)
+    "rolling_apply",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -497,7 +497,6 @@ def minhash_signatures(
     default (faster) when cross-engine parity isn't needed."""
     from .parallelism import ensure_parallelism
 
-    params = minhash_params(num_hashes, seed)
     # pre-spread small inputs by the doc id: the groupBy below reuses
     # the exchange (alias-aware partitioning), so this adds parallelism
     # to the shingle+hash map without adding a shuffle
@@ -512,20 +511,38 @@ def minhash_signatures(
     hashed = rows.select(
         "__id__", F.pmod(raw, F.lit(MINHASH_PRIME)).alias("__h__")
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("__h__") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
-            f"__m{i}__"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
+    aggs, sig_array = _minhash_agg_exprs(num_hashes, seed)
     return (
         hashed.groupBy("__id__")
         .agg(*aggs)
-        .select(
-            "__id__",
-            F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("__sig__"),
-        )
+        .select("__id__", sig_array.alias("__sig__"))
     )
+
+
+# Column objects are immutable unresolved-expression wrappers keyed on
+# fixed internal names, so the num_hashes-wide agg list (hundreds of
+# py4j round trips to build) is reusable across frames and sessions —
+# rebuilding it per call was ~0.4s of pure constant overhead on every
+# minhash query construction
+_MINHASH_AGG_CACHE: dict = {}
+
+
+def _minhash_agg_exprs(num_hashes: int, seed: int):
+    key = (num_hashes, seed)
+    if key not in _MINHASH_AGG_CACHE:
+        params = minhash_params(num_hashes, seed)
+        aggs = [
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("__h__") + F.lit(b),
+                    F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"__m{i}__")
+            for i, (a, b) in enumerate(params)
+        ]
+        arr = F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)])
+        _MINHASH_AGG_CACHE[key] = (aggs, arr)
+    return _MINHASH_AGG_CACHE[key]
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:

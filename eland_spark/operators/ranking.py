@@ -34,6 +34,7 @@ __all__ = [
     "with_global_expanding",
     "with_global_rolling",
     "with_global_rolling_multi",
+    "with_global_rolling_apply",
 ]
 
 _POS_MASK = (1 << 33) - 1
@@ -711,6 +712,55 @@ def with_global_interpolate(
         )
         out = out.withColumn(c, filled)
     return out.drop("__g__")
+
+
+def with_global_rolling_apply(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    window: int,
+    fn,
+    min_periods: int | None = None,
+    raw: bool = False,
+    out_col: str = "rolling_apply",
+    partitions: int | None = None,
+) -> DataFrame:
+    """pandas ``rolling(window).apply(fn)`` over the GLOBAL order — the
+    arbitrary-Python escape hatch the built-in rolling aggs can't
+    express. Same bucketed padded-frame plan as
+    :func:`with_global_rolling` (positions, bucket >= window, last
+    window-1 rows replicated into the next bucket, ONE balanced hash
+    exchange), but the per-bucket computation is one Arrow-batched
+    ``applyInPandas`` running pandas' own ``rolling().apply`` locally —
+    so semantics (min_periods, ``raw``) are pandas' to the letter, and
+    the only Python cost is per-bucket, never per-row. Built-in aggs
+    should stay on the JVM path; this is for genuinely custom window
+    functions (trimmed means, custom scores).
+
+    ``fn`` must return a float per window; the result column is
+    DOUBLE."""
+    import pandas as pd  # noqa: F401 — applyInPandas ships the fn
+    from pyspark.sql import types as T
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    mp = window if min_periods is None else min_periods
+    un, _ = _bucketed_frame(sdf, order_by, window, partitions)
+    out_schema = T.StructType(
+        list(un.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _apply(pdf):
+        pdf = pdf.sort_values("__g__")
+        pdf[out_col] = (
+            pdf[value_col]
+            .rolling(int(window), min_periods=int(mp))
+            .apply(fn, raw=raw)
+        )
+        return pdf
+
+    out = un.groupBy("__b__").applyInPandas(_apply, schema=out_schema)
+    return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 
 def with_global_rolling_multi(

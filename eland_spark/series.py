@@ -2561,6 +2561,25 @@ class _Rolling:
     def var(self):
         return self._run("var")
 
+    def apply(self, fn, raw: bool = False):
+        """pandas ``rolling().apply(fn)`` — arbitrary Python per
+        window, one Arrow-batched applyInPandas over the bucketed
+        padded frame (operators/ranking.with_global_rolling_apply);
+        pandas' own rolling runs per bucket, so min_periods/raw
+        semantics are exact. Returns a lazy frame (index +
+        ``rolling_apply`` DOUBLE)."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rolling_apply
+
+        base, icols = self._series._ordered_frame()
+        out = with_global_rolling_apply(
+            base, icols, "__val__", self._window, fn,
+            self._min_periods, raw=raw,
+        )
+        return EDF(
+            out.select(*icols, "rolling_apply"), index_cols=tuple(icols)
+        )
+
 
 class _Expanding:
     """Lazy expanding proxy returned by :meth:`Series.expanding` — each

@@ -1291,3 +1291,32 @@ def test_dt_accessor_extensions_match_pandas(spark):
                 == ps.dt.round(theirs).tolist()), ("round", ours)
     with pytest.raises(ValueError):
         df["ts"].dt.ceil("W")
+
+
+def test_rolling_apply_matches_pandas(spark):
+    """Series.rolling().apply(fn): arbitrary Python per window via ONE
+    Arrow-batched applyInPandas over the bucketed padded frame —
+    results (incl. min_periods gating and null handling) must equal
+    pandas', bucket boundaries invisible."""
+    import numpy as np
+    import pandas as pd
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"k": range(120), "a": rng.randn(120).round(3)})
+    pdf.loc[[5, 6, 50], "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    ps = pdf.set_index("k")["a"]
+
+    fn = lambda a: float(np.nanmax(a) - np.nanmin(a))  # noqa: E731
+    got = (edf["a"].rolling(9, min_periods=4).apply(fn, raw=True)
+           .to_pandas(set_index=True).sort_index()["rolling_apply"])
+    want = ps.rolling(9, min_periods=4).apply(fn, raw=True)
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+    # raw=False path (fn sees a pandas Series)
+    got2 = (edf["a"].rolling(5).apply(lambda s: s.median())
+            .to_pandas(set_index=True).sort_index()["rolling_apply"])
+    want2 = ps.rolling(5).apply(lambda s: s.median())
+    pd.testing.assert_series_equal(got2, want2, check_names=False, rtol=1e-12)

@@ -850,6 +850,8 @@ def test_round4_query_plan_pins(spark):
         "reindex_ffill": (3, 0),
         # engine-side key union + one left join per side
         "align_outer": (3, 0),
+        # bucketed padded frame + one Arrow applyInPandas per bucket
+        "rolling_apply": (3, 0),
         "cohort_retention": (3, 1),
         "wide_to_long": (2, 0),
         # single keyed window exchange each
