@@ -3628,3 +3628,33 @@ class _FrameRolling:
 
     def var(self):
         return self.agg("var")
+
+    def apply(self, fn, raw: bool = False) -> "DataFrame":
+        """pandas ``DataFrame.rolling().apply(fn)``: every numeric
+        column rolls through ONE bucketed exchange and ONE
+        Arrow-batched applyInPandas (pandas' own rolling per bucket —
+        min_periods/raw exact), each column overwritten with its
+        DOUBLE result. Arbitrary-Python escape hatch; built-in aggs
+        stay on the JVM path."""
+        from .operators.ranking import with_global_rolling_apply
+
+        frame = self._frame
+        schema = frame._schema
+        icols = list(frame.index_cols)
+        vals = [
+            f.display_name for f in schema.fields
+            if f.is_numeric and f.display_name not in icols
+        ]
+        if not vals:
+            raise ValueError("rolling found no numeric columns")
+        base = frame._sdf.select(
+            *[F.col(schema.resolve(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
+        )
+        out = with_global_rolling_apply(
+            base, icols, vals, self._window, fn,
+            self._min_periods, raw=raw,
+        )
+        return DataFrame(
+            out.select(*icols, *vals), index_cols=tuple(icols)
+        )

@@ -738,25 +738,41 @@ def with_global_rolling_apply(
     functions (trimmed means, custom scores).
 
     ``fn`` must return a float per window; the result column is
-    DOUBLE."""
+    DOUBLE.
+
+    ``value_col`` may be a LIST of columns (frame-level
+    ``DataFrame.rolling().apply``): every column rolls through the
+    SAME single exchange and Arrow pass, each overwritten in place
+    with its DOUBLE result — never one plan per column."""
     import pandas as pd  # noqa: F401 — applyInPandas ships the fn
     from pyspark.sql import types as T
 
     if window < 1:
         raise ValueError("window must be >= 1")
     mp = window if min_periods is None else min_periods
+    multi = not isinstance(value_col, str)
+    vcols = list(value_col) if multi else [value_col]
     un, _ = _bucketed_frame(sdf, order_by, window, partitions)
-    out_schema = T.StructType(
-        list(un.schema.fields) + [T.StructField(out_col, T.DoubleType())]
-    )
+    if multi:
+        out_fields = [
+            T.StructField(f.name, T.DoubleType() if f.name in vcols
+                          else f.dataType)
+            for f in un.schema.fields
+        ]
+        out_schema = T.StructType(out_fields)
+    else:
+        out_schema = T.StructType(
+            list(un.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+        )
 
     def _apply(pdf):
         pdf = pdf.sort_values("__g__")
-        pdf[out_col] = (
-            pdf[value_col]
-            .rolling(int(window), min_periods=int(mp))
-            .apply(fn, raw=raw)
-        )
+        roll = pdf[vcols].rolling(int(window), min_periods=int(mp))
+        res = roll.apply(fn, raw=raw)
+        if multi:
+            pdf[vcols] = res
+        else:
+            pdf[out_col] = res[vcols[0]]
         return pdf
 
     out = un.groupBy("__b__").applyInPandas(_apply, schema=out_schema)

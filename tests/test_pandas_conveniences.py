@@ -1320,3 +1320,14 @@ def test_rolling_apply_matches_pandas(spark):
             .to_pandas(set_index=True).sort_index()["rolling_apply"])
     want2 = ps.rolling(5).apply(lambda s: s.median())
     pd.testing.assert_series_equal(got2, want2, check_names=False, rtol=1e-12)
+
+    # frame-level: every numeric column through ONE Arrow pass
+    pdf2 = pdf.assign(b=rng.randn(120).round(3))
+    edf2 = es.DataFrame(spark.createDataFrame(pdf2), index_cols=("k",))
+    gotf = (edf2.rolling(6, min_periods=2).apply(fn, raw=True)
+            .to_pandas().set_index("k").sort_index())
+    wantf = pdf2.set_index("k")[["a", "b"]].rolling(
+        6, min_periods=2).apply(fn, raw=True)
+    for c in ("a", "b"):
+        pd.testing.assert_series_equal(gotf[c], wantf[c].sort_index(),
+                                       check_names=False, rtol=1e-12)
