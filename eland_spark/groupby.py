@@ -1114,6 +1114,8 @@ class _GroupRolling:
         fn_map = {
             "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
             "count": F.count,
+            # sample semantics; Spark's merge is numerically stable
+            "std": F.stddev_samp, "var": F.var_samp,
         }
         if agg not in fn_map:
             raise ValueError(f"unsupported agg {agg!r}; one of {sorted(fn_map)}")
@@ -1160,6 +1162,75 @@ class _GroupRolling:
 
     def count(self):
         return self._run("count")
+
+    def std(self):
+        return self._run("std")
+
+    def var(self):
+        return self._run("var")
+
+    def apply(self, fn, raw: bool = False) -> DataFrame:
+        """pandas ``groupby().rolling().apply(fn)`` (and, with
+        ``window=None``, ``groupby().expanding().apply``): arbitrary
+        Python per window via ONE Arrow-batched applyInPandas over the
+        existing group shuffle — pandas' own rolling/expanding runs
+        per group, so min_periods/raw semantics are exact. Every
+        numeric column transforms in the same pass (DOUBLE results);
+        rows whose group key is null keep their row with a null
+        result, matching the proxy's agg convention. Per-group state
+        is the group's rows — the inherent cost of an arbitrary window
+        fn (the built-in aggs stay on the keyed-window JVM path)."""
+        from pyspark.sql import types as T
+
+        gb = self._gb
+        schema = gb._frame._schema
+        icols = list(gb._frame.index_cols)
+        if not icols:
+            raise ValueError("rolling apply needs an index for ordering")
+        index_cols = set(icols)
+        fields = [
+            f for f in gb._agg_fields(True, "apply")
+            if f.is_numeric and f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no numeric columns")
+        vals = [f.display_name for f in fields]
+        keycols = [f"__k{i}__" for i in range(len(gb._by))]
+        ok = None
+        if gb._dropna:
+            for b in gb._by:
+                c = F.col(schema.resolve(b)).isNotNull()
+                ok = c if ok is None else (ok & c)
+        base = gb._frame._sdf.select(
+            *[F.col(schema.resolve_any(ic)).alias(ic) for ic in icols],
+            *[
+                F.col(schema.resolve(b)).alias(k)
+                for b, k in zip(gb._by, keycols)
+            ],
+            *[F.col(f.column_name).cast("double").alias(f.display_name)
+              for f in fields],
+            (ok if ok is not None else F.lit(True)).alias("__ok__"),
+        )
+        out_schema = T.StructType(
+            [f for f in base.schema.fields
+             if f.name in index_cols or f.name in set(vals)]
+        )
+        window, mp = self._window, self._mp
+
+        def _apply(pdf):
+            pdf = pdf.sort_values(icols)
+            roll = (
+                pdf[vals].rolling(int(window), min_periods=int(mp))
+                if window is not None
+                else pdf[vals].expanding(min_periods=int(mp))
+            )
+            res = roll.apply(fn, raw=raw)
+            res[~pdf["__ok__"].to_numpy()] = float("nan")
+            pdf[vals] = res
+            return pdf[[*icols, *vals]]
+
+        out = base.groupBy(*keycols).applyInPandas(_apply, schema=out_schema)
+        return DataFrame(out, index_cols=tuple(icols))
 
 
 class _GroupEwm:

@@ -312,3 +312,70 @@ def test_edit_similarity_semantics(spark):
     for a, b, lev in cases:
         want = 1.0 if lev is None else 1.0 - lev / max(len(a), len(b))
         assert by_pair[(a, b)] == want, (a, b)
+
+
+def test_groupby_rolling_std_var_and_apply_match_pandas(spark):
+    """r5: per-group rolling/expanding std/var (keyed JVM window) and
+    the arbitrary-fn apply path (one Arrow pass per group shuffle) vs
+    pandas; null group keys get null results (repo convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.frame import DataFrame as EDF
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({
+        "_id": range(30),
+        "k": [["a", "b", "c"][i % 3] for i in range(30)],
+        "v": rng.randn(30).round(3),
+        "w": rng.randn(30).round(3),
+    })
+    pdf.loc[[4, 11], "v"] = None
+    edf = EDF(
+        spark.createDataFrame(
+            pdf, schema="_id long, k string, v double, w double"),
+        index_cols=("_id",),
+    )
+    gp = pdf.set_index("_id").groupby("k")
+
+    got = (edf.groupby("k").rolling(4, min_periods=2).std()
+           .to_pandas().set_index("_id").sort_index())
+    exp = (gp["v"].rolling(4, min_periods=2).std()
+           .reset_index(0, drop=True).sort_index())
+    assert np.allclose(got["v"].to_numpy(), exp.to_numpy(),
+                       equal_nan=True, rtol=1e-9)
+
+    got = (edf.groupby("k").expanding().var()
+           .to_pandas().set_index("_id").sort_index())
+    exp = (gp["v"].expanding(1).var()
+           .reset_index(0, drop=True).sort_index())
+    assert np.allclose(got["v"].to_numpy(), exp.to_numpy(),
+                       equal_nan=True, rtol=1e-9)
+
+    fn = lambda a: float(np.nanmax(a) - np.nanmin(a))  # noqa: E731
+    got = (edf.groupby("k").rolling(3, min_periods=2).apply(fn, raw=True)
+           .to_pandas().set_index("_id").sort_index())
+    for c in ("v", "w"):
+        exp = (gp[c].rolling(3, min_periods=2).apply(fn, raw=True)
+               .reset_index(0, drop=True).sort_index())
+        assert np.allclose(got[c].to_numpy(), exp.to_numpy(),
+                           equal_nan=True, rtol=1e-12), c
+
+    got = (edf.groupby("k").expanding(min_periods=2).apply(fn, raw=True)
+           .to_pandas().set_index("_id").sort_index())
+    exp = (gp["v"].expanding(2).apply(fn, raw=True)
+           .reset_index(0, drop=True).sort_index())
+    assert np.allclose(got["v"].to_numpy(), exp.to_numpy(),
+                       equal_nan=True, rtol=1e-12)
+
+    # null group key -> null result, row kept
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "k"] = None
+    edf2 = EDF(
+        spark.createDataFrame(
+            pdf2, schema="_id long, k string, v double, w double"),
+        index_cols=("_id",),
+    )
+    got = (edf2.groupby("k").rolling(3, min_periods=1).apply(fn, raw=True)
+           .to_pandas().set_index("_id").sort_index())
+    assert len(got) == 30 and np.isnan(got.loc[0, "v"])
