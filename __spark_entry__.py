@@ -5665,6 +5665,34 @@ def _rolling_apply_oracle_sql() -> str:
     """
 
 
+def q_groupby_rolling_apply(spark, sf_dir) -> DataFrame:
+    """groupby().rolling().apply(custom fn): one Arrow-batched
+    applyInPandas riding the group shuffle (groupby._GroupRolling.
+    apply). The fn (window range) is SQL-expressible so the oracle
+    replays it with a keyed window max-min."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby(
+        "o_orderstatus"
+    ).rolling(5, min_periods=2).apply(
+        lambda a: float(a.max() - a.min()), raw=True
+    )
+    return out.to_spark().select(
+        "o_orderkey", F.col("o_totalprice").alias("price_range")
+    )
+
+
+def _groupby_rolling_apply_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w >= 2
+                THEN max(o_totalprice) OVER w - min(o_totalprice) OVER w
+           END AS price_range
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+
+
 _REINDEX_LABELS = [1, 2, 3, 5, 6, 33, 4000, 999_999_983]
 
 
@@ -6393,6 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_ffill": q_reindex_ffill,
         "align_outer": q_align_outer,
         "rolling_apply": q_rolling_apply,
+        "groupby_rolling_apply": q_groupby_rolling_apply,
         "cohort_retention": q_cohort_retention,
         "get_dummies": q_get_dummies,
         "funnel_chains": q_funnel_chains,
@@ -8591,6 +8620,7 @@ def oracle_sql() -> dict[str, str]:
         "reindex_ffill": _reindex_ffill_oracle_sql(),
         "align_outer": _align_outer_oracle_sql(),
         "rolling_apply": _rolling_apply_oracle_sql(),
+        "groupby_rolling_apply": _groupby_rolling_apply_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
         "get_dummies": _get_dummies_oracle_sql(),
         "funnel_chains": _funnel_chains_oracle_sql(),
