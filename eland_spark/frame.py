@@ -1425,8 +1425,19 @@ class DataFrame:
             raise ValueError("cannot reindex from a duplicate axis")
         spark = self._sdf.sparkSession
         itype = proj.schema[ic].dataType
+
+        def _py(v):
+            # createDataFrame's NTZ/long verifiers reject pandas/numpy
+            # scalars — normalize to plain Python objects
+            if hasattr(v, "to_pydatetime"):
+                return v.to_pydatetime()
+            if hasattr(v, "item") and type(v).__module__ == "numpy":
+                return v.item()
+            return v
+
         tgt = spark.createDataFrame(
-            [(v,) for v in labels], T.StructType([T.StructField(ic, itype)])
+            [(_py(v),) for v in labels],
+            T.StructType([T.StructField(ic, itype)]),
         )
         if method is not None:
             # fill the matched source KEY through the windowless

@@ -1235,3 +1235,67 @@ def test_rolling_zscore_matches_pandas_fuzz(spark, rows, window, min_periods):
     pd.testing.assert_series_equal(
         got, want, check_names=False, rtol=1e-5, atol=1e-8
     )
+
+
+# --- reindex / align fuzzers (r5) ------------------------------------------
+
+_RX_VALS = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False, width=64),
+    st.none(),
+)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 30), _RX_VALS),
+                  min_size=0, max_size=15, unique_by=lambda t: t[0]),
+    labels=st.lists(st.integers(-5, 40), min_size=0, max_size=10),
+    method=st.sampled_from([None, "ffill", "bfill"]),
+)
+@settings(**COMMON)
+def test_reindex_matches_pandas_fuzz(spark, rows, labels, method):
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    edf = EDF(
+        spark.createDataFrame(pdf, schema="k bigint, v double"),
+        index_cols=("k",),
+    )
+    ppdf = pdf.set_index("k")
+    got = (edf.reindex(index=labels, method=method).to_pandas()
+           .set_index("k"))
+    # pandas needs a monotonic source for method=; our value-ordered
+    # as-of formulation is order-free — sort the pandas side to match
+    want = ppdf.sort_index().reindex(labels, method=method)
+    # duplicate labels repeat rows; compare as sorted multisets
+    g = sorted((k, None if pd.isna(v) else round(v, 9))
+               for k, v in zip(got.index, got["v"]))
+    w = sorted((k, None if pd.isna(v) else round(v, 9))
+               for k, v in zip(want.index, want["v"]))
+    assert g == w
+
+
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 12), _RX_VALS),
+                   min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    rrows=st.lists(st.tuples(st.integers(0, 12), _RX_VALS),
+                   min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    join=st.sampled_from(["outer", "inner", "left", "right"]),
+)
+@settings(**COMMON)
+def test_align_matches_pandas_fuzz(spark, lrows, rrows, join):
+    lp = pd.DataFrame(lrows, columns=["k", "v"])
+    rp = pd.DataFrame(rrows, columns=["k", "v"])
+    le = EDF(spark.createDataFrame(lp, schema="k bigint, v double"),
+             index_cols=("k",))
+    re_ = EDF(spark.createDataFrame(rp, schema="k bigint, v double"),
+              index_cols=("k",))
+    gl, gr = le.align(re_, join=join)
+    pl, pr = lp.set_index("k").align(rp.set_index("k"), join=join)
+
+    def snap(df):
+        return sorted(
+            (k, None if pd.isna(v) else round(v, 9))
+            for k, v in zip(df.index, df["v"])
+        )
+
+    assert snap(gl.to_pandas().set_index("k")) == snap(pl)
+    assert snap(gr.to_pandas().set_index("k")) == snap(pr)

@@ -153,3 +153,45 @@ def test_align_validation(align_pair):
         edf.align(edf2, join="cross")
     with pytest.raises(ValueError, match="axis"):
         edf.align(edf2, axis=2)
+
+
+def test_reindex_timestamp_index(spark):
+    """reindex over a timestamp_ntz index: exact labels, missing
+    labels, and ffill across irregular gaps all match pandas."""
+    rng = pd.date_range("2024-05-01", periods=12, freq="7h")
+    pdf = pd.DataFrame({"ts": rng, "v": np.arange(12.0)})
+    pdf = pdf.drop(index=[3, 7])  # irregular holes
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf, schema="ts timestamp_ntz, v double"),
+        index_cols=("ts",),
+    )
+    ppdf = pdf.set_index("ts")
+    labels = [
+        pd.Timestamp("2024-05-01 00:00:00"),   # exact
+        pd.Timestamp("2024-05-01 10:00:00"),   # between rows
+        pd.Timestamp("2024-05-10 00:00:00"),   # past the end
+        pd.Timestamp("2023-01-01 00:00:00"),   # before the start
+    ]
+    got = (edf.reindex(index=labels).to_pandas()
+           .set_index("ts").sort_index()["v"])
+    want = ppdf.reindex(labels)["v"].sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+    got = (edf.reindex(index=labels, method="ffill").to_pandas()
+           .set_index("ts").sort_index()["v"])
+    want = ppdf.reindex(labels, method="ffill")["v"].sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_align_fill_value(align_pair):
+    ppdf, edf, ppdf2, edf2 = align_pair
+    gl, gr = edf.align(edf2, join="outer", fill_value=-1.0)
+    pl, pr = ppdf.align(ppdf2, join="outer", fill_value=-1.0)
+    gl = gl.to_pandas().set_index("k").sort_index()
+    pl = pl.sort_index()
+    # introduced cells (rows absent from the left) take the fill;
+    # pre-existing nulls survive (cell-scope parity with reindex)
+    assert gl.loc[9, "a"] == pl.loc[9, "a"] == -1.0
+    gr = gr.to_pandas().set_index("k").sort_index()
+    pr = pr.sort_index()
+    assert gr.loc[1, "c"] == pr.loc[1, "c"] == -1.0
