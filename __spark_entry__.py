@@ -5693,6 +5693,46 @@ def _groupby_rolling_apply_oracle_sql() -> str:
     """
 
 
+def q_frame_expanding(spark, sf_dir) -> DataFrame:
+    """DataFrame.expanding(): running mean/std/count for EVERY numeric
+    column through one shared bucket-prefix exchange
+    (operators/ranking.with_global_expanding_multi); std uses the
+    mean-shifted double moments, so values match DuckDB's stable
+    stddev_samp window to rounding."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_totalprice"]].expanding(min_periods=2).agg(
+        ["mean", "std", "count"]
+    )
+    # round at 2 decimals, not 6: the engines associate the prefix sum
+    # differently (bucket partials vs sequential), so unrounded means
+    # differ by ~1e-10 absolute — at a 1e-6 grid that flips a couple of
+    # rows per 15k across a .5 boundary (the CLAUDE.md rounding trap);
+    # at 1e-2 the flip probability is ~1e-8 per row
+    return out.to_spark().select(
+        "o_orderkey",
+        F.round("o_totalprice_mean", 2).alias("exp_mean"),
+        F.round("o_totalprice_std", 2).alias("exp_std"),
+        F.col("o_totalprice_count").alias("exp_count"),
+    )
+
+
+def _frame_expanding_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w >= 2
+                THEN round(avg(o_totalprice) OVER w, 2) END AS exp_mean,
+           CASE WHEN count(o_totalprice) OVER w >= 2
+                THEN round(stddev_samp(o_totalprice) OVER w, 2)
+           END AS exp_std,
+           CASE WHEN row_number() OVER (ORDER BY o_orderkey) >= 2
+                THEN CAST(count(o_totalprice) OVER w AS DOUBLE)
+           END AS exp_count
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
 _REINDEX_LABELS = [1, 2, 3, 5, 6, 33, 4000, 999_999_983]
 
 
@@ -6422,6 +6462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_outer": q_align_outer,
         "rolling_apply": q_rolling_apply,
         "groupby_rolling_apply": q_groupby_rolling_apply,
+        "frame_expanding": q_frame_expanding,
         "cohort_retention": q_cohort_retention,
         "get_dummies": q_get_dummies,
         "funnel_chains": q_funnel_chains,
@@ -8621,6 +8662,7 @@ def oracle_sql() -> dict[str, str]:
         "align_outer": _align_outer_oracle_sql(),
         "rolling_apply": _rolling_apply_oracle_sql(),
         "groupby_rolling_apply": _groupby_rolling_apply_oracle_sql(),
+        "frame_expanding": _frame_expanding_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),
         "get_dummies": _get_dummies_oracle_sql(),
         "funnel_chains": _funnel_chains_oracle_sql(),

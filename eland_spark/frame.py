@@ -2440,6 +2440,16 @@ class DataFrame:
         exchange for the whole column set, never one per column."""
         return _FrameRolling(self, window, min_periods)
 
+    def expanding(self, min_periods: int = 1):
+        """pandas ``DataFrame.expanding()`` over the global index
+        order: lazy proxy with ``sum/mean/min/max/count/std/var/agg``
+        applying to every numeric column in ONE pass —
+        operators/ranking.with_global_expanding_multi shares one
+        bucket-prefix exchange (and one all-columns centers agg for
+        std/var's mean-shifted moments) across the whole column set,
+        never one plan per column."""
+        return _FrameExpanding(self, min_periods)
+
     def corrwith(self, other: "DataFrame", numeric_only: bool = True) -> pd.Series:
         """Pearson correlation of each shared numeric column between
         two index-aligned frames (pandas ``DataFrame.corrwith``,
@@ -3604,7 +3614,7 @@ class _FrameRolling:
         if not vals:
             raise ValueError("rolling found no numeric columns")
         base = frame._sdf.select(
-            *[F.col(schema.resolve(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve_any(c)).alias(c) for c in icols],
             *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
         )
         out = with_global_rolling_multi(
@@ -3659,7 +3669,7 @@ class _FrameRolling:
         if not vals:
             raise ValueError("rolling found no numeric columns")
         base = frame._sdf.select(
-            *[F.col(schema.resolve(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve_any(c)).alias(c) for c in icols],
             *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
         )
         out = with_global_rolling_apply(
@@ -3668,4 +3678,83 @@ class _FrameRolling:
         )
         return DataFrame(
             out.select(*icols, *vals), index_cols=tuple(icols)
+        )
+
+
+class _FrameExpanding:
+    """Lazy frame-level expanding proxy (see DataFrame.expanding)."""
+
+    _AGGS = ("sum", "mean", "min", "max", "count", "std", "var")
+
+    def __init__(self, frame: "DataFrame", min_periods: int):
+        if not frame.index_cols:
+            raise ValueError("expanding needs an index for a total order")
+        self._frame = frame
+        self._min_periods = int(min_periods)
+
+    def agg(self, func) -> "DataFrame":
+        from .operators.ranking import with_global_expanding_multi
+
+        aggs = [func] if isinstance(func, str) else list(func)
+        for a in aggs:
+            if a not in self._AGGS:
+                raise ValueError(
+                    f"unsupported expanding agg {a!r}; one of {self._AGGS}"
+                )
+        frame = self._frame
+        schema = frame._schema
+        icols = list(frame.index_cols)
+        vals = [
+            f.display_name for f in schema.fields
+            if f.is_numeric and f.display_name not in icols
+        ]
+        if not vals:
+            raise ValueError("expanding found no numeric columns")
+        base = frame._sdf.select(
+            *[F.col(schema.resolve_any(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
+        )
+        out = with_global_expanding_multi(
+            base, icols, vals, aggs, min_periods=self._min_periods,
+        )
+        single = len(aggs) == 1
+        keep = [F.col(c) for c in icols]
+        for c in vals:
+            for a in aggs:
+                name = c if single else f"{c}_{a}"
+                keep.append(F.col(f"{c}__expanding_{a}").alias(name))
+        return DataFrame(out.select(*keep), index_cols=tuple(icols))
+
+    def sum(self):
+        return self.agg("sum")
+
+    def mean(self):
+        return self.agg("mean")
+
+    def min(self):
+        return self.agg("min")
+
+    def max(self):
+        return self.agg("max")
+
+    def count(self):
+        return self.agg("count")
+
+    def std(self):
+        return self.agg("std")
+
+    def var(self):
+        return self.agg("var")
+
+    def apply(self, fn, raw: bool = False):
+        """Not distributable: an arbitrary fn over EVERY growing prefix
+        needs the full prefix per row (pandas pays O(n^2) locally; a
+        cluster would move O(n^2) data). Use the expanding aggs above,
+        ``rolling(n).apply`` for bounded windows, or
+        ``groupby().expanding().apply`` where the group bounds the
+        prefix."""
+        raise NotImplementedError(
+            "expanding().apply is not distributable (needs the full "
+            "prefix per row); use expanding aggs, rolling(n).apply, or "
+            "groupby().expanding().apply"
         )

@@ -35,6 +35,7 @@ __all__ = [
     "with_global_rolling",
     "with_global_rolling_multi",
     "with_global_rolling_apply",
+    "with_global_expanding_multi",
 ]
 
 _POS_MASK = (1 << 33) - 1
@@ -538,6 +539,124 @@ def with_global_cumagg_multi(
         else:
             run = within
         out = out.withColumn(name, F.when(F.col(c).isNotNull(), run))
+    return out.drop("__g__")
+
+
+def with_global_expanding_multi(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_cols: list[str],
+    aggs: list[str],
+    min_periods: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Frame-level pandas ``expanding()`` for MANY columns through ONE
+    bucket plan: every column's running (count + per-agg moments)
+    share the single balanced exchange and one driver prefix-combine
+    of per-bucket totals — never one plan per column. std/var use the
+    double-cast, per-column GLOBAL-MEAN-shifted moments (identical
+    numerics to :func:`with_global_expanding`: overflow-free squares,
+    no large-mean cancellation; one extra scalar agg computes all the
+    centers at once). Expanding null semantics: every row carries the
+    running value, masked null until ``min_periods`` non-null
+    observations (count's gate is the ROW position, the pandas quirk).
+    Adds one ``{col}__expanding_{agg}`` column per (col, agg)."""
+    for a in aggs:
+        if a not in ("sum", "mean", "min", "max", "count", "std", "var"):
+            raise ValueError(f"unsupported expanding agg {a!r}")
+    need_m2 = any(a in ("std", "var") for a in aggs)
+    centers: dict[str, float] = {}
+    if need_m2:
+        row = sdf.agg(
+            *[F.avg(F.col(c).cast("double")).alias(c) for c in value_cols]
+        ).first()
+        centers = {c: (float(row[c]) if row[c] is not None else 0.0)
+                   for c in value_cols}
+
+    # tasks: (slot, input expr, combine kind); count is always present
+    # per column (the min_periods gate)
+    tasks: list[tuple[str, Column, str]] = []
+    for c in value_cols:
+        raw = F.col(c)
+        tasks.append((f"{c}__cnt", raw, "count"))
+        wanted = set(aggs)
+        if "mean" in wanted:
+            wanted.add("sum")
+        if wanted & {"std", "var"}:
+            sh = raw.cast("double") - F.lit(centers.get(c, 0.0))
+            tasks.append((f"{c}__sumsh", sh, "sum"))
+            tasks.append((f"{c}__sumsq", sh * sh, "sum"))
+        for a in ("sum", "min", "max"):
+            if a in wanted:
+                tasks.append((f"{c}__{a}", raw, a))
+
+    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"))
+        .agg(*[fns[k](e).alias(s) for s, e, k in tasks])
+        .orderBy("__b__")
+        .collect()
+    )
+    out = ranked
+    runs: dict[str, Column] = {}
+    for s, e, kind in tasks:
+        within = fns[kind](e).over(w)
+        offsets: dict[int, object] = {}
+        acc: object = 0 if kind in ("sum", "count") else None
+        for r in totals:
+            if acc is not None:
+                offsets[r["__b__"]] = acc
+            t = r[s]
+            if t is None:
+                continue
+            if kind in ("sum", "count"):
+                acc = acc + t
+            elif acc is None:
+                acc = t
+            else:
+                acc = max(acc, t) if kind == "max" else min(acc, t)
+        if offsets:
+            off_map = F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )
+            if kind in ("sum", "count"):
+                run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
+                    within, F.lit(0)
+                )
+            elif kind == "max":
+                run = F.greatest(off_map[bucket], within)
+            else:
+                run = F.least(off_map[bucket], within)
+        else:
+            run = within
+        runs[s] = run
+    ok_count = F.col("__g__") >= F.lit(min_periods)
+    for c in value_cols:
+        seen = runs[f"{c}__cnt"]
+        ok = seen >= F.lit(min_periods)
+        for a in aggs:
+            if a == "count":
+                expr = F.when(ok_count, seen.cast("double"))
+            elif a == "mean":
+                expr = F.when(ok, runs[f"{c}__sum"] / seen)
+            elif a in ("std", "var"):
+                m2 = F.greatest(
+                    runs[f"{c}__sumsq"]
+                    - runs[f"{c}__sumsh"] * runs[f"{c}__sumsh"] / seen,
+                    F.lit(0.0),
+                )
+                v = m2 / (seen - 1)
+                v = F.sqrt(v) if a == "std" else v
+                expr = F.when(ok & (seen >= 2), v)
+            else:
+                expr = F.when(ok, runs[f"{c}__{a}"])
+            out = out.withColumn(f"{c}__expanding_{a}", expr)
     return out.drop("__g__")
 
 

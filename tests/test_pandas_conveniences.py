@@ -1331,3 +1331,53 @@ def test_rolling_apply_matches_pandas(spark):
     for c in ("a", "b"):
         pd.testing.assert_series_equal(gotf[c], wantf[c].sort_index(),
                                        check_names=False, rtol=1e-12)
+
+
+def test_frame_expanding_matches_pandas(spark):
+    """DataFrame.expanding(): every numeric column through ONE
+    bucket-prefix pass. Well-conditioned columns match pandas tightly;
+    the 1e12-magnitude column is compared against the EXACT prefix
+    std (Fraction arithmetic) because pandas' own Welford drifts ~2e-4
+    there while the mean-shifted moments are exact to machine
+    precision."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "k": range(60),
+        "a": rng.randn(60).round(3),
+        "b": (1e12 + rng.randn(60)).round(3),
+    })
+    pdf.loc[[4, 9], "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    pp = pdf.set_index("k")
+
+    got = (edf.expanding(min_periods=2).agg(["mean", "std", "count"])
+           .to_pandas().set_index("k").sort_index())
+    for agg in ("mean", "std", "count"):
+        w = getattr(pp["a"].expanding(2), agg)()
+        assert np.allclose(got[f"a_{agg}"].to_numpy(), w.to_numpy(),
+                           equal_nan=True, rtol=1e-9), agg
+    # ill-conditioned column: exact oracle
+    fr = [Fraction(v) for v in pdf["b"].tolist()]
+    exact = []
+    for n in range(2, 61):
+        m = sum(fr[:n]) / n
+        exact.append(float(sum((x - m) ** 2 for x in fr[:n]) / (n - 1)))
+    ex_std = np.sqrt(np.array(exact))
+    ours = got["b_std"].to_numpy()[1:]
+    assert np.allclose(ours, ex_std, rtol=1e-12)
+
+    # single-agg naming + sum/min/max paths
+    g1 = edf.expanding().sum().to_pandas().set_index("k").sort_index()
+    w1 = pp[["a", "b"]].expanding(1).sum()
+    for c in ("a", "b"):
+        assert np.allclose(g1[c].to_numpy(), w1[c].to_numpy(),
+                           equal_nan=True, rtol=1e-9), c
+
+    with pytest.raises(NotImplementedError, match="not distributable"):
+        edf.expanding().apply(lambda x: 1.0)
