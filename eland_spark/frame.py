@@ -2450,6 +2450,21 @@ class DataFrame:
         never one plan per column."""
         return _FrameExpanding(self, min_periods)
 
+    def ewm(
+        self,
+        alpha: "float | None" = None,
+        span: "float | None" = None,
+        halflife: "float | None" = None,
+        com: "float | None" = None,
+        min_periods: int = 0,
+    ):
+        """pandas ``DataFrame.ewm(...)`` over the global index order:
+        lazy proxy with ``.mean()`` applying to every numeric column in
+        ONE bucket-overlap pass — the truncated-kernel plan of
+        ``Series.ewm`` (operators/windowed.ewm_mean_global), the single
+        balanced exchange shared by the whole column set."""
+        return _FrameEwm(self, alpha, span, halflife, com, min_periods)
+
     def corrwith(self, other: "DataFrame", numeric_only: bool = True) -> pd.Series:
         """Pearson correlation of each shared numeric column between
         two index-aligned frames (pandas ``DataFrame.corrwith``,
@@ -3757,4 +3772,59 @@ class _FrameExpanding:
             "expanding().apply is not distributable (needs the full "
             "prefix per row); use expanding aggs, rolling(n).apply, or "
             "groupby().expanding().apply"
+        )
+
+
+class _FrameEwm:
+    """Lazy frame-level ewm proxy (see DataFrame.ewm)."""
+
+    def __init__(self, frame: "DataFrame", alpha, span, halflife, com,
+                 min_periods: int):
+        if not frame.index_cols:
+            raise ValueError("ewm needs an index for row order")
+        self._frame = frame
+        self._alpha, self._span = alpha, span
+        self._halflife, self._com = halflife, com
+        self._min_periods = int(min_periods)
+
+    def mean(self) -> "DataFrame":
+        from .operators.ranking import _bucketed_frame
+        from .operators.windowed import (
+            _ewm_mean_expr,
+            ewm_kernel_width,
+            resolve_ewm_alpha,
+        )
+
+        a = resolve_ewm_alpha(
+            self._alpha, self._span, self._halflife, self._com
+        )
+        d = 1.0 - a
+        W = ewm_kernel_width(a, 1e-16)
+        if W > 8192:
+            raise ValueError(
+                f"ewm kernel width {W} exceeds 8192; use a faster decay "
+                "(larger alpha) or a grouped ewm"
+            )
+        frame = self._frame
+        schema = frame._schema
+        icols = list(frame.index_cols)
+        vals = [
+            f.display_name for f in schema.fields
+            if f.is_numeric and f.display_name not in icols
+        ]
+        if not vals:
+            raise ValueError("ewm found no numeric columns")
+        base = frame._sdf.select(
+            *[F.col(schema.resolve_any(c)).alias(c) for c in icols],
+            *[F.col(schema.resolve(c)).cast("double").alias(c) for c in vals],
+        )
+        un, w = _bucketed_frame(base, icols, W + 1)
+        out = un
+        for c in vals:
+            out = out.withColumn(
+                c, _ewm_mean_expr(F.col(c), d, w, self._min_periods)
+            )
+        out = out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
+        return DataFrame(
+            out.select(*icols, *vals), index_cols=tuple(icols)
         )

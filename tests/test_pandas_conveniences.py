@@ -1381,3 +1381,36 @@ def test_frame_expanding_matches_pandas(spark):
 
     with pytest.raises(NotImplementedError, match="not distributable"):
         edf.expanding().apply(lambda x: 1.0)
+
+
+def test_frame_ewm_matches_pandas(spark):
+    """DataFrame.ewm().mean(): every numeric column through one
+    truncated-kernel bucket pass; null handling and min_periods match
+    pandas (adjust=True default)."""
+    import numpy as np
+
+    import eland_spark as es
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "k": range(80),
+        "a": rng.randn(80).round(3),
+        "b": rng.randn(80).round(3),
+    })
+    pdf.loc[[3, 40], "a"] = None
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    pp = pdf.set_index("k")
+    got = (edf.ewm(span=7, min_periods=2).mean()
+           .to_pandas().set_index("k").sort_index())
+    for c in ("a", "b"):
+        want = pp[c].ewm(span=7, min_periods=2).mean()
+        assert np.allclose(got[c].to_numpy(), want.to_numpy(),
+                           equal_nan=True, rtol=1e-9), c
+    # alpha spelling + validation
+    got2 = (edf.ewm(alpha=0.4).mean()
+            .to_pandas().set_index("k").sort_index())
+    want2 = pp["b"].ewm(alpha=0.4).mean()
+    assert np.allclose(got2["b"].to_numpy(), want2.to_numpy(),
+                       equal_nan=True, rtol=1e-9)
+    with pytest.raises(ValueError):
+        edf[["k"]].ewm(alpha=0.5).mean()
