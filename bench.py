@@ -144,6 +144,7 @@ ROW_HEAVY = {
     "segment_dedup",
     "gopher_quality",
     "c4_rules",
+    "rolling_apply",
 }
 
 
