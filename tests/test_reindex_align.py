@@ -195,3 +195,28 @@ def test_align_fill_value(align_pair):
     gr = gr.to_pandas().set_index("k").sort_index()
     pr = pr.sort_index()
     assert gr.loc[1, "c"] == pr.loc[1, "c"] == -1.0
+
+
+def test_new_ops_empty_frame_edges(spark):
+    """Empty sources/labels: reindex yields all-null rows (ffill
+    included — no preceding row exists), expanding/ewm/rolling-apply
+    yield empty frames, align against an empty side works."""
+    empty = es.DataFrame(
+        spark.createDataFrame([], schema="k bigint, a double"),
+        index_cols=("k",),
+    )
+    r = empty.reindex(index=[1, 2]).to_pandas()
+    assert len(r) == 2 and r["a"].isna().all()
+    rf = empty.reindex(index=[1], method="ffill").to_pandas()
+    assert len(rf) == 1 and rf["a"].isna().all()
+    assert len(empty.expanding().mean().to_pandas()) == 0
+    assert len(empty.ewm(alpha=0.5).mean().to_pandas()) == 0
+    assert len(empty.rolling(3).apply(lambda x: 1.0, raw=True)
+               .to_pandas()) == 0
+    other = es.DataFrame(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "a": [2.0]})),
+        index_cols=("k",),
+    )
+    left, right = empty.align(other, join="outer")
+    assert len(left.to_pandas()) == 1 and len(right.to_pandas()) == 1
+    assert len(other.reindex(index=[]).to_pandas()) == 0
