@@ -35,8 +35,10 @@ _T_CACHE: dict = {}
 def _t(spark: SparkSession, sf_dir: str, name: str, index=None):
     import eland_spark as es
 
+    # application id, not id(spark): Python ids are reused after GC,
+    # which could serve frames bound to a stopped session
     key = (
-        id(spark), sf_dir, name,
+        spark.sparkContext.applicationId, sf_dir, name,
         tuple(index) if isinstance(index, list) else index,
     )
     if key not in _T_CACHE:
