@@ -317,20 +317,37 @@ class Series:
         # (arithmetics.py:141). For double outputs the floor must STAY a
         # double: Spark's floor() returns LongType and silently clamps
         # anything beyond ±2^63 (e.g. 1.0 // 1e-308 -> 7e307, not
-        # Long.MaxValue). d - pmod(d, 1) is floor for every finite
-        # double (negative fractions round toward -inf via pmod) and
-        # passes NaN/±inf through untouched.
+        # Long.MaxValue).
         d = self._ieee_div(num, den)
         if isinstance(out_type, T.DoubleType):
-            # Inside ±2^63 use the exact long floor (cast back to
-            # double); outside it every double is already integral (no
-            # fraction bits above 2^53), and NaN/±inf fail the bound
-            # check, so the raw quotient passes through for all three.
+            # floor of the EXACT ratio, numpy's npy_divmod algorithm —
+            # NOT floor(a/b) on the rounded double quotient: when the
+            # true ratio sits just below an integer, a/b rounds UP to
+            # it and the naive floor is off by one (r5 fuzzer find:
+            # 1.5 // 1e-05 -> 150000.0, exact ratio 149999.9999...,
+            # pandas/numpy give 149999.0). The divisor-sign mod makes
+            # (a - pym) exactly divisible by b, so q carries the true
+            # integer part; the >0.5 correction repairs the one
+            # representation round-off (a - pym)/b can itself suffer.
+            a, b = num.cast("double"), den.cast("double")
+            m = F.try_mod(a, b)  # fmod, dividend sign
+            pym = F.when(
+                (m != 0) & ((m < 0) != (b < 0)), m + b
+            ).otherwise(m)
+            q = (a - pym) / b
+            fq = F.floor(q).cast("double")
+            fq = F.when(q - fq > 0.5, fq + 1).otherwise(fq)
+            # Inside ±2^63 the long floor is exact; outside it every
+            # double is already integral, and NaN/±inf fail the bound
+            # check, so the raw IEEE quotient passes through for all
+            # three (b == 0 included).
             bound = 9.2233720368547e18  # strictly below 2^63: no ANSI overflow
             return F.when(
-                (d >= F.lit(-bound)) & (d <= F.lit(bound)),
-                F.floor(d).cast("double"),
+                (d >= F.lit(-bound)) & (d <= F.lit(bound)), fq
             ).otherwise(d)
+        # integer path: floor of the double quotient — exact for
+        # |quotient| <= 2^53 (the fuzzed and practical range; beyond it
+        # the double can't carry the low bits)
         return F.floor(F.try_divide(num, den))
 
     def __floordiv__(self, other):
@@ -870,9 +887,14 @@ class Series:
                 return self._derived(F.lit(None).cast("long"), T.LongType())
             mn, mx = float(row["mn"]), float(row["mx"])
             span = (mx - mn) or 1.0
-            # endpoints pinned exactly: mn + span*bins/bins can land a
-            # hair below mx in floats, silently dropping the max row
-            edges = [mn] + [mn + span * i / bins for i in range(1, bins)] + [mx]
+            # pandas computes edges with np.linspace: mn + i*step with
+            # step precomputed as span/bins (and the endpoint pinned to
+            # mx). The association matters bit-for-bit — (span*i)/bins
+            # lands interior edges an ulp away from linspace's, and a
+            # value inside that ulp flips buckets vs pandas (r5 fuzzer
+            # find: a denormal vs the near-zero edge of a ±1e9 range).
+            step = span / bins
+            edges = [mn + step * i for i in range(bins)] + [mx]
             # pandas widens the outermost edge by 0.1% so extremes land
             # inside the first/last bucket
             if right:
