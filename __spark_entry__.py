@@ -45,7 +45,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str, index=None):
         _T_CACHE[key] = es.read_parquet(
             spark, f"{sf_dir}/{name}.parquet", index_col=index
         )
-    return _T_CACHE[key]
+    # defensive copy: __setitem__ mutates the INSTANCE (self._sdf), so
+    # handing out the cached object would let one query's derived
+    # columns accumulate onto every later query's source (found as a
+    # reproducible bench regression — arithmetic's withColumns piled
+    # onto the shared lineitem across runs)
+    return _T_CACHE[key].copy()
 
 
 def entry(spark: SparkSession) -> DataFrame:
