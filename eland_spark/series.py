@@ -330,21 +330,53 @@ class Series:
             # integer part; the >0.5 correction repairs the one
             # representation round-off (a - pym)/b can itself suffer.
             a, b = num.cast("double"), den.cast("double")
+            # LAZY exactness: floor(d) on the rounded quotient is
+            # provably floor(true ratio) whenever d's distance to the
+            # nearest integer exceeds its own rounding error (half an
+            # ulp; the guard uses an 8x margin, |d| * 2^-50). Only the
+            # rare rows inside that margin pay the full npy_divmod
+            # machinery — the hot loop stays at one division, one
+            # floor, and a couple of compares per row. (The machinery
+            # on every row was a measured 2x on the bench's arithmetic
+            # query whenever the JVM ran the generated stage without
+            # its C2 compile: Column trees expand on reuse, and the
+            # expanded mod/divide chain dominated the interpreted
+            # loop.)
             m = F.try_mod(a, b)  # fmod, dividend sign
-            pym = F.when(
-                (m != 0) & ((m < 0) != (b < 0)), m + b
-            ).otherwise(m)
-            q = (a - pym) / b
-            fq = F.floor(q).cast("double")
-            fq = F.when(q - fq > 0.5, fq + 1).otherwise(fq)
+            # numpy npy_floor_divide adjusts the QUOTIENT, not the
+            # modulus: div = (a - m)/b, then -1 when the signs of m and
+            # b differ (signum product < 0 ⟺ signs differ and m != 0,
+            # in one m reference). Subtracting 1 from the integral
+            # quotient is exact where the m+b dividend form breaks on
+            # infinite divisors (5.0 // -inf is -1.0, not NaN — the
+            # m+b form feeds inf/inf through the division).
+            q = (a - m) / b - (
+                F.signum(m) * F.signum(b) < 0
+            ).cast("double")
+            exact = F.floor(q).cast("double")
+            # branch-free >0.5 round-off correction (ties stay floored)
+            exact = exact + (q - exact > 0.5).cast("double")
+            naive = F.floor(d).cast("double")
+            frac = d - naive
+            theta = F.abs(d) * F.lit(2.0 ** -50)
+            fq = F.when(
+                (frac > theta) & (F.lit(1.0) - frac > theta), naive
+            ).otherwise(exact)
             # Inside ±2^63 the long floor is exact; outside it every
             # double is already integral, and NaN/±inf fail the bound
-            # check, so the raw IEEE quotient passes through for all
-            # three (b == 0 included).
+            # check. In that rare branch numpy's special cases apply:
+            # b == 0 returns the raw IEEE quotient (a/b), an INFINITE
+            # dividend with b != 0 is NaN (fmod(±inf, b) is NaN and
+            # poisons the quotient), and everything else (finite
+            # overflow like 1e300 // 1e-300, NaN inputs) is the raw
+            # quotient again.
             bound = 9.2233720368547e18  # strictly below 2^63: no ANSI overflow
-            return F.when(
-                (d >= F.lit(-bound)) & (d <= F.lit(bound)), fq
-            ).otherwise(d)
+            inf_dividend = (F.abs(a) == F.lit(float("inf"))) & (b != 0)
+            # abs-form gate: one d reference instead of two (NaN fails
+            # abs(d) <= bound exactly like the two-sided compare)
+            return F.when(F.abs(d) <= F.lit(bound), fq).otherwise(
+                F.when(inf_dividend, F.lit(float("nan"))).otherwise(d)
+            )
         # integer path: floor of the double quotient — exact for
         # |quotient| <= 2^53 (the fuzzed and practical range; beyond it
         # the double can't carry the low bits)
@@ -384,6 +416,17 @@ class Series:
 
     def __pow__(self, other):
         self._check_str_op(other, "**", "none")
+        # numpy's npy_pow special-cases small integer exponents as
+        # repeated multiplication (x**2 == x*x bit-for-bit in numpy and
+        # pandas), so lowering them to multiplies is BETTER parity than
+        # Math.pow's 1-ulp-tolerant transcendental — and it dodges a
+        # measured JVM cliff: whenever the generated stage runs without
+        # its C2 compile (profile-pollution deopts), Math.pow falls off
+        # the hardware intrinsic onto software StrictMath.pow (~90% of
+        # the bench arithmetic query's task time in a jstack census).
+        if isinstance(other, (int, float)) and float(other) == 2.0:
+            x = self._expr.cast("double")
+            return self._derived(x * x, T.DoubleType())
         return self._derived(F.pow(self._expr, self._other(other)), T.DoubleType())
 
     def __rpow__(self, other):

@@ -1299,3 +1299,45 @@ def test_align_matches_pandas_fuzz(spark, lrows, rrows, join):
 
     assert snap(gl.to_pandas().set_index("k")) == snap(pl)
     assert snap(gr.to_pandas().set_index("k")) == snap(pr)
+
+
+def test_floordiv_special_value_matrix(spark):
+    """Deterministic numpy npy_floor_divide parity matrix: rounding-edge
+    quotients (1.5 // 1e-05), infinite DIVISORS (the quotient-adjust
+    form: 5.0 // -inf is -1.0, never NaN), infinite DIVIDENDS (NaN for
+    b != 0, the raw IEEE quotient for b == 0), overflowing finite
+    quotients, subnormals, and exact-integer quotients through the lazy
+    exactness gate. pow exponent 2 rides along (numpy lowers x**2 to
+    x*x; so do we)."""
+    import math
+
+    cases = [
+        (1.5, 1e-05), (-1.5, 1e-05), (1.5, -1e-05), (-1.5, -1e-05),
+        (7.0, 7.0), (14.0, 7.0), (1e16, 3.0),
+        (5.0, float("inf")), (5.0, float("-inf")),
+        (-5.0, float("inf")), (-5.0, float("-inf")),
+        (float("inf"), 7.0), (float("-inf"), 7.0),
+        (float("inf"), float("inf")), (float("inf"), 0.0),
+        (float("-inf"), 0.0), (0.0, 7.0),
+        (1.0, 0.0), (-1.0, 0.0), (0.0, 0.0),
+        (float("nan"), 3.0), (3.0, float("nan")),
+        (float("nan"), 0.0), (float("inf"), float("nan")),
+        (1.0, 1e-308), (2.0 ** 52 + 1, 1.0), (1e300, 1e-300),
+        (0.1, 0.3), (-0.1, 0.3), (1e-320, 1e-310),
+        (6.0, 2.0), (-6.0, 2.5), (-7.0, 2.0),
+        (2.0 ** 53, 3.0), (-(2.0 ** 53), 7.0), (1e308, 0.5),
+        (5e-324, 2.0), (-5e-324, 2.0), (1e-310, -1e-300),
+    ]
+    pdf = pd.DataFrame(cases, columns=["a", "b"])
+    _, edf = _div_frame(spark, list(map(tuple, pdf.itertuples(index=False))))
+    out = (
+        edf.assign(fd=edf.a // edf.b, sq=edf.a ** 2)
+        .to_pandas().sort_values("_id").reset_index(drop=True)
+    )
+    exp_fd = (pdf.a // pdf.b).reset_index(drop=True)
+    exp_sq = (pdf.a ** 2).reset_index(drop=True)
+    for i in range(len(cases)):
+        g, w = out["fd"][i], exp_fd[i]
+        assert (math.isnan(g) and math.isnan(w)) or g == w, (cases[i], g, w)
+        g, w = out["sq"][i], exp_sq[i]
+        assert (math.isnan(g) and math.isnan(w)) or g == w, (cases[i], g, w)
