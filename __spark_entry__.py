@@ -3644,6 +3644,22 @@ def q_tfidf_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark, sf_dir) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.bm25_topk): the ranking
+    half of the reference's es_match (eland/dataframe.py es_match
+    filters; Elasticsearch scores those matches with Okapi BM25 —
+    Lucene BM25Similarity). One scalar stats pass (N, avgdl, per-term
+    df — mergeable partials, no explode), then a map-only score pass
+    ending in TakeOrderedAndProject: zero exchanges of row data at any
+    corpus size."""
+    from eland_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    return bm25_topk(
+        docs.to_spark(), "text", "doc_id", "spark window agg", k=10
+    )
+
+
 def q_multimodal_pipeline(spark, sf_dir) -> DataFrame:
     """Resize + audio-feature stages composed after attach (rows-only:
     stub kernels are deterministic but not SQL-expressible). Exercises
@@ -4897,6 +4913,119 @@ def _cross_near_dup_oracle_sql(
                m.n_near_matches IS NOT NULL AS contaminated
         FROM documents d LEFT JOIN matched m ON m.id_c = d.doc_id
         WHERE d.source <> 'src0'
+    """
+
+
+def q_incremental_near_dup(spark, sf_dir) -> DataFrame:
+    """Nightly-ingest NEAR-dup gate against a stored MinHash index
+    (operators/dedup.minhash_index_rows + minhash_probe; streaming
+    maintenance streaming/curation.stream_minhash_update): history
+    (doc_id < 400) is signed ONCE into (id, sig, keys) rows, the
+    increment (doc_id >= 400) broadcasts its banded keys into the
+    bucket join so the 100 TB index streams map-only. md5-portable
+    hash family so DuckDB replays the identical signatures."""
+    from eland_spark.operators.dedup import minhash_index_rows, minhash_probe
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    index = minhash_index_rows(
+        docs.filter(F.col("doc_id") < 400), F.col("text"), F.col("doc_id"),
+        portable=True,
+    )
+    inc = minhash_index_rows(
+        docs.filter(F.col("doc_id") >= 400), F.col("text"), F.col("doc_id"),
+        portable=True,
+    )
+    out = minhash_probe(inc, index, threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_near_matches",
+        F.round("max_est_jaccard", 6).alias("max_est_jaccard"),
+        "near_dup",
+    )
+
+
+def _incremental_near_dup_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for q_incremental_near_dup: the portable-md5
+    MinHash pipeline over the index (doc_id < 400) and increment
+    (doc_id >= 400) halves; band buckets compared by VALUE (band-hash
+    equality == slice equality), per-pair signature agreement
+    thresholded, aggregated to per-increment flags."""
+    from eland_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    p = MINHASH_PRIME
+    params = minhash_params(num_hashes, seed=42)
+    rpb = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * hv + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+
+    def side(sfx: str, where: str) -> str:
+        bandrows = "\n            UNION ALL ".join(
+            "SELECT doc_id, {b} AS b, {key} AS key FROM sig{sfx}".format(
+                b=b,
+                sfx=sfx,
+                key=" || ',' || ".join(
+                    f"m{i}" for i in range(b * rpb, (b + 1) * rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""toks{sfx} AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents WHERE {where}
+        ), sh{sfx} AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM toks{sfx}
+        ), e{sfx} AS (
+            SELECT doc_id, unnest(ss) AS s FROM sh{sfx}
+        ), h{sfx} AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p} AS hv
+            FROM e{sfx}
+        ), sig{sfx} AS (
+            SELECT doc_id,
+                   {mins}
+            FROM h{sfx} GROUP BY doc_id
+        ), bandrows{sfx} AS (
+            {bandrows}
+        )"""
+
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = bb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        WITH {side('_r', 'doc_id < 400')}, {side('_c', 'doc_id >= 400')},
+        cand AS (
+            SELECT DISTINCT c.doc_id AS id_c, r.doc_id AS id_r
+            FROM bandrows_c c JOIN bandrows_r r
+              ON c.b = r.b AND c.key = r.key
+        ), matched AS (
+            SELECT c.id_c,
+                   count(*) AS n_near_matches,
+                   max(({matches}) / {float(num_hashes)}) AS max_est
+            FROM cand c
+            JOIN sig_c a ON a.doc_id = c.id_c
+            JOIN sig_r bb ON bb.doc_id = c.id_r
+            WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+            GROUP BY c.id_c
+        )
+        SELECT d.doc_id,
+               COALESCE(m.n_near_matches, 0) AS n_near_matches,
+               round(COALESCE(m.max_est, 0.0), 6) AS max_est_jaccard,
+               m.n_near_matches IS NOT NULL AS near_dup
+        FROM documents d LEFT JOIN matched m ON m.id_c = d.doc_id
+        WHERE d.doc_id >= 400
     """
 
 
@@ -6405,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "multimodal_pipeline_md5": q_multimodal_pipeline_md5,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "explode_embeddings": q_explode_embeddings,
         "salted_join": q_salted_join,
         "two_phase_distinct": q_two_phase_distinct,
@@ -6437,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized": q_standardized,
         "winsorized": q_winsorized,
         "cross_near_dup": q_cross_near_dup,
+        "incremental_near_dup": q_incremental_near_dup,
         "freq_tokens": q_freq_tokens,
         "geo_query": q_geo_query,
         "interval_overlap": q_interval_overlap,
@@ -8126,6 +8257,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
+        "bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+            ), per AS (
+                SELECT doc_id, len(tk) AS dl,
+                       len(list_filter(tk, t -> t = 'spark'))  AS tf0,
+                       len(list_filter(tk, t -> t = 'window')) AS tf1,
+                       len(list_filter(tk, t -> t = 'agg'))    AS tf2
+                FROM toks
+            ), stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM per
+            ), scored AS (
+                -- same association order as the Spark expression:
+                -- ((idf * tf) * (k1+1)) / (tf + k1*((1-b) + (b/avgdl)*dl))
+                SELECT p.doc_id AS id,
+                       round(
+                         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * p.tf0 * 2.2
+                           / (p.tf0 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                       + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * p.tf1 * 2.2
+                           / (p.tf1 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                       + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * p.tf2 * 2.2
+                           / (p.tf2 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                       , 6) AS bm25
+                FROM per p, stats s
+            )
+            SELECT id, bm25 FROM scored WHERE bm25 > 0
+            ORDER BY bm25 DESC, id LIMIT 10
+        """,
         "tfidf_topk": """
             WITH toks AS (
                 SELECT doc_id,
@@ -8297,6 +8464,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, b
         """,
         "cross_near_dup": _cross_near_dup_oracle_sql(),
+        "incremental_near_dup": _incremental_near_dup_oracle_sql(),
         "freq_tokens": """
             WITH t AS (
                 SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -117,6 +117,10 @@ HEADLINE = [
     "reindex_ffill",
     # the Arrow-batched rolling().apply escape hatch (pandas-in-bucket)
     "rolling_apply",
+    # BM25 ranked retrieval: scalar stats pass + TakeOrdered score pass
+    "bm25_topk",
+    # stored-index near-dup probe: increment broadcast, index map-only
+    "incremental_near_dup",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

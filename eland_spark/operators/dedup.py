@@ -669,6 +669,107 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_index_rows(
+    sdf,
+    text: Column,
+    id_alias: Column,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    portable: bool = False,
+):
+    """The STORABLE banded MinHash index row: ``(id, sig, keys)``.
+
+    One row per document — the signature plus its precomputed band
+    keys — so a persisted index never re-shingles history. This is the
+    unit the streaming maintenance path appends per micro-batch
+    (streaming/curation.stream_minhash_update) and the nightly
+    increment probes (:func:`minhash_probe`): the incremental
+    complement of the exact-dup Bloom gate, for NEAR duplicates.
+    Re-ingested ids simply add a second row; probing is
+    union-idempotent (candidates collapse in the pair distinct)."""
+    rpb = num_hashes // bands
+    sig = minhash_signatures(sdf, text, id_alias, k, num_hashes, portable=portable)
+    return sig.select(
+        F.col("__id__").alias("id"),
+        F.col("__sig__").alias("sig"),
+        lsh_band_keys(F.col("__sig__"), bands, rpb).alias("keys"),
+    )
+
+
+def minhash_probe(
+    inc_rows,
+    index_rows,
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+):
+    """Probe an increment against a stored MinHash index: flag every
+    increment document whose estimated Jaccard against ANY indexed
+    document reaches ``threshold``. Both sides are
+    :func:`minhash_index_rows` tables — history is never re-signed.
+
+    Returns (id, n_near_matches long, max_est_jaccard double,
+    near_dup boolean) covering every increment id.
+
+    Scale shape (the nightly-ingest asymmetry, reversed from
+    cross_near_dup_flags): the INDEX is the 100 TB side, the increment
+    is small — so the increment's banded keys broadcast into the
+    bucket join and the index streams map-only through candidate
+    generation; pairs carry only ids, increment signatures re-attach
+    by broadcast, and only the (bounded) candidate set shuffles to the
+    final per-increment aggregation."""
+    inc = inc_rows.localCheckpoint(eager=False)
+    band_i = index_rows.select(
+        F.col("id").alias("id_r"),
+        F.col("sig").alias("__sig_r__"),
+        F.explode("keys").alias("__bucket__"),
+    )
+    band_c = inc.select(
+        F.col("id").alias("id_c"), F.explode("keys").alias("__bucket__")
+    )
+    # index side keeps its signature through the candidate join: no
+    # second pass over the store to re-attach it
+    cand = (
+        band_i.join(F.broadcast(band_c), "__bucket__")
+        .select("id_c", "id_r", "__sig_r__")
+        .distinct()
+    )
+    sc = inc.select(F.col("id").alias("id_c"), F.col("sig").alias("__sig_c__"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sig_c__"), F.col("__sig_r__"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    matched = (
+        cand.join(F.broadcast(sc), "id_c")
+        .select("id_c", est.alias("__est__"))
+        .filter(F.col("__est__") >= threshold)
+        .groupBy("id_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_near_matches"),
+            F.max("__est__").alias("max_est_jaccard"),
+        )
+    )
+    return (
+        inc.select(F.col("id"))
+        .join(matched, F.col("id") == F.col("id_c"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_near_matches"), F.lit(0)).cast("long").alias(
+                "n_near_matches"
+            ),
+            F.coalesce(F.col("max_est_jaccard"), F.lit(0.0)).alias(
+                "max_est_jaccard"
+            ),
+            F.col("n_near_matches").isNotNull().alias("near_dup"),
+        )
+    )
+
+
 def simhash_frame(
     sdf, text: Column, id_alias: Column, k: int = 2, portable: bool = False
 ):

@@ -923,3 +923,92 @@ def c4_clean_frame(
     :func:`add_c4_columns` (the batch/stream-shared builder)."""
     out = add_c4_columns(sdf, text, **options)
     return out.select(F.col(id_col).alias("id"), *C4_COLUMNS)
+
+
+def bm25_topk(
+    sdf,
+    text: "str | Column",
+    id_col: "str | Column",
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 ranked retrieval: top-k documents for a free-text query.
+
+    The reference engine's `es_match` compiles to a BOOLEAN filter
+    (eland/filter.py, eland/dataframe.py es_match) — Elasticsearch
+    itself ranks those matches with Okapi BM25 (the Lucene
+    `BM25Similarity` default since ES 5). This operator supplies that
+    ranking half: Lucene's exact formula,
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` and
+    ``tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))`` summed over
+    query terms (OR semantics, like a bool-should match).
+
+    Plan shape — built for the 100 TB corpus, not the 500-row test:
+
+    * **stats pass**: one full scan reduced to ``2 + |query|`` scalars
+      (N, total token count, per-term document frequencies). Document
+      length and per-term tf come from ``size``/``filter`` higher-order
+      functions on the token array — codegen'd JVM lambdas, NO explode,
+      NO (doc, term) shuffle, unlike the tf-idf operator above which
+      must materialize per-term rows because its vocabulary is open.
+      A BM25 query's vocabulary is the handful of query terms, so the
+      whole pass is a mergeable partial aggregation.
+    * **score pass**: idf/avgdl fold back in as LITERALS (no join), the
+      score is one codegen'd expression, and top-k plans as
+      TakeOrderedAndProject — per-partition heaps, driver merges
+      ``k × partitions`` rows, never a global sort.
+
+    Zero-match documents are dropped (score > 0), ties break on id
+    ascending. Returns (id, bm25 double rounded 6dp)."""
+    import math
+
+    t = F.col(text) if isinstance(text, str) else text
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    from .dedup import normalized_tokens
+
+    terms = list(dict.fromkeys(
+        w for w in __import__("re").split(r"[^a-z0-9]+", query.lower()) if w
+    ))
+    if not terms:
+        raise ValueError("bm25_topk: query has no indexable terms")
+    toks = normalized_tokens(t)
+    dl = F.size(toks).alias("__dl__")
+    def _is(w):
+        # arity-1 closure: a 2-arg lambda (even with a default) would be
+        # introspected by F.filter as the (element, index) form
+        return lambda x: x == F.lit(w)
+
+    tfs = [
+        F.size(F.filter(toks, _is(w))).alias(f"__tf{j}__")
+        for j, w in enumerate(terms)
+    ]
+    per = sdf.select(i.alias("__id__"), dl, *tfs)
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl__").alias("sdl"),
+        *[
+            F.sum((F.col(f"__tf{j}__") > 0).cast("long")).alias(f"df{j}")
+            for j in range(len(terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    if not n or not stats["sdl"]:
+        return per.select(
+            F.col("__id__").alias("id"), F.lit(0.0).alias("bm25")
+        ).limit(0)
+    avgdl = stats["sdl"] / n
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b / avgdl) * F.col("__dl__"))
+    score = None
+    for j in range(len(terms)):
+        idf = math.log(1.0 + (n - stats[f"df{j}"] + 0.5) / (stats[f"df{j}"] + 0.5))
+        tf = F.col(f"__tf{j}__").cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return (
+        per.select(F.col("__id__").alias("id"), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+    )

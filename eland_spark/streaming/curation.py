@@ -26,6 +26,8 @@ __all__ = [
     "read_bloom",
     "stream_cms_update",
     "read_cms",
+    "stream_minhash_update",
+    "read_minhash",
 ]
 
 
@@ -413,3 +415,59 @@ def read_drift_bins(spark, path: str) -> DataFrame:
         raise FileNotFoundError(f"no batch=* directories under {path}")
     df = spark.read.option("basePath", path).parquet(*dirs)
     return df.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def stream_minhash_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    portable: bool = False,
+    timeout_sec: int = 120,
+):
+    """Maintain a banded MinHash NEAR-dup index over a stream — the
+    fuzzy complement of the :func:`stream_bloom_update` exact gate.
+    Each micro-batch reduces to its documents'
+    ``operators/dedup.minhash_index_rows`` (id, sig, keys) under
+    ``<path>/batch=<id>/`` (idempotent in batch_id, the foreachBatch
+    retry contract). The store is append-only per-doc rows, so merge
+    at read time is a plain union (:func:`read_minhash`) — no
+    read-modify-write, no state store. History is signed exactly once;
+    tonight's increment probes it with
+    ``operators/dedup.minhash_probe`` (increment broadcast, the 100 TB
+    index streaming map-only through candidate generation)."""
+    from ..operators.dedup import minhash_index_rows
+
+    from .sinks import foreach_batch_sink
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        rows = minhash_index_rows(
+            batch_df, F.col(text_col), F.col(id_col),
+            k=k, num_hashes=num_hashes, bands=bands, portable=portable,
+        )
+        rows.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_minhash(spark, path: str) -> DataFrame:
+    """Union-read over a :func:`stream_minhash_update` directory —
+    identical to from-scratch :func:`minhash_index_rows` of everything
+    ingested (per-doc rows need no merge math). Compaction = rewrite
+    this output and drop old batch dirs."""
+    import glob as _glob
+    import os as _os
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    return spark.read.option("basePath", path).parquet(*dirs).select(
+        "id", "sig", "keys"
+    )

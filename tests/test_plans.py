@@ -880,3 +880,41 @@ def test_round4_query_plan_pins(spark):
             f"{broadcast_join_count(df)} < pinned {min_bcast}\n"
             f"{plan_summary(df)}"
         )
+
+
+def test_round5_query_plan_pins(spark):
+    """r5 batch pins. bm25_topk: the score pass is map-only into
+    TakeOrderedAndProject — zero exchanges at any corpus size (the
+    stats pass is a separate scalar agg that ran at build time).
+    incremental_near_dup: the increment side broadcasts into the
+    bucket join and the sig re-attach, so the stored (100 TB) index
+    never hash-shuffles by bucket — the three exchanges are the two
+    signature groupBys plus the bounded per-increment flag agg."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    queries = m.queries()
+
+    pins = {
+        "bm25_topk": (0, 0),
+        "incremental_near_dup": (3, 2),
+    }
+    for name, (max_shuffles, min_bcast) in pins.items():
+        df = queries[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert shuffle_count(df) <= max_shuffles, (
+            f"{name}: {shuffle_count(df)} shuffles > pinned {max_shuffles}"
+        )
+        assert broadcast_join_count(df) >= min_bcast, (
+            f"{name}: broadcast joins {broadcast_join_count(df)} < "
+            f"pinned {min_bcast}"
+        )
+    assert "TakeOrderedAndProject" in (
+        queries["bm25_topk"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
