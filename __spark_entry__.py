@@ -2037,6 +2037,58 @@ def q_fingerprint(spark, sf_dir) -> DataFrame:
     return sdf.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
 
 
+def _maxsim_query_vectors(n: int = 4, dim: int = 64) -> list:
+    """Deterministic 3-decimal literals — they parse bit-identically in
+    any engine, so the oracle inlines the same values."""
+    return [
+        [(((1 + i * dim + j) * 2654435761) % 2001 - 1000) / 1000.0
+         for j in range(dim)]
+        for i in range(n)
+    ]
+
+
+def q_maxsim(spark, sf_dir) -> DataFrame:
+    """Multi-vector late-interaction retrieval (MaxSim, ColBERT —
+    Khattab & Zaharia 2020): embeddings rows act as token vectors of
+    document vec_id % 50; 4 deterministic query token vectors ride as
+    broadcast literals; per-token dots are zero-shuffle zip_with
+    folds, the max-per-token reduction is ONE map-side-combinable doc
+    hash agg, and top-10 plans as TakeOrderedAndProject."""
+    from eland_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id").to_spark()
+    toks = emb.select(
+        (F.col("vec_id") % 50).alias("doc_id"), F.col("embedding")
+    )
+    return maxsim_topk(toks, _maxsim_query_vectors(), k=10)
+
+
+def _maxsim_oracle_sql() -> str:
+    """DuckDB oracle for q_maxsim: identical inlined query-vector
+    literals, list_dot_product per token, conditional max per query
+    vector, fixed-order sum — the proven ann_bruteforce replay
+    contract (sequential zip_with fold == list_dot_product at 6dp)."""
+    qs = _maxsim_query_vectors()
+
+    def lit(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    maxes = ",\n                   ".join(
+        f"max(list_dot_product(embedding::DOUBLE[], {lit(q)})) AS m{i}"
+        for i, q in enumerate(qs)
+    )
+    total = " + ".join(f"m{i}" for i in range(len(qs)))
+    return f"""
+        WITH mx AS (
+            SELECT vec_id % 50 AS id,
+                   {maxes}
+            FROM embeddings GROUP BY 1
+        )
+        SELECT id, round({total}, 6) AS maxsim
+        FROM mx ORDER BY maxsim DESC, id LIMIT 10
+    """
+
+
 def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
     """Exact cosine top-10 to the vec_id=0 embedding (ANN baseline)."""
     from eland_spark.operators.similarity import cosine_topk
@@ -6521,6 +6573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
+        "maxsim": q_maxsim,
         "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
         "minhash_near_dup": q_minhash_near_dup,
@@ -7325,6 +7378,7 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY s DESC, vec_id ASC) AS INT) AS rnk
             FROM scored QUALIFY rnk <= 5
         """,
+        "maxsim": _maxsim_oracle_sql(),
         "ann_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -121,6 +121,8 @@ HEADLINE = [
     "bm25_topk",
     # stored-index near-dup probe: increment broadcast, index map-only
     "incremental_near_dup",
+    # multi-vector late-interaction (MaxSim): one doc agg, literal queries
+    "maxsim",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

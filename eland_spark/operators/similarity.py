@@ -852,3 +852,48 @@ def ivf_pq_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+def maxsim_topk(
+    sdf,
+    queries: "Sequence[Sequence[float]]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    group_col: str = "doc_id",
+):
+    """ColBERT-style late-interaction retrieval: MaxSim scoring over
+    multi-vector documents (Khattab & Zaharia 2020, "ColBERT: Efficient
+    and Effective Passage Search via Contextualized Late Interaction").
+
+    Documents are bags of token vectors — one INPUT ROW per token
+    vector, grouped by ``group_col``. The score is
+    ``sum_i max_j (q_i · d_j)``: every query token finds its best
+    document token, independently.
+
+    Plan shape at 100 TB: the per-(row, query-token) dot products are
+    zero-shuffle zip_with folds against BROADCAST literal query
+    vectors; the max-per-token reduction is ONE hash aggregation on
+    the document key (max is map-side combinable, so the exchange
+    carries |docs| x |query tokens| doubles, never token vectors); the
+    final sum is a projection and top-k plans as
+    TakeOrderedAndProject. No explode, no join, one exchange.
+
+    Returns (id, maxsim double rounded 6dp), ties broken on id.
+    """
+    if not queries:
+        raise ValueError("maxsim_topk: need at least one query vector")
+    e, g = F.col(vec_col), F.col(group_col)
+    per = sdf.select(
+        g.alias("id"),
+        *[dot(e, _vec_lit(q)).alias(f"__s{i}__") for i, q in enumerate(queries)],
+    )
+    agg = per.groupBy("id").agg(
+        *[F.max(f"__s{i}__").alias(f"__m{i}__") for i in range(len(queries))]
+    )
+    total = F.col("__m0__")
+    for i in range(1, len(queries)):
+        total = total + F.col(f"__m{i}__")
+    return (
+        agg.select("id", F.round(total, 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("id"))
+        .limit(k)
+    )

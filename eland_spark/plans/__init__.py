@@ -10,6 +10,8 @@ turns those properties into testable assertions.
 
 from .inspect import (
     broadcast_join_count,
+    metric_total,
+    runtime_metrics,
     codegen_stage_count,
     explain_str,
     lint_plan,
@@ -28,4 +30,6 @@ __all__ = [
     "broadcast_join_count",
     "codegen_stage_count",
     "lint_plan",
+    "runtime_metrics",
+    "metric_total",
 ]

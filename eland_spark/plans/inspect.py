@@ -211,3 +211,58 @@ def lint_plan(df: DataFrame) -> list[dict]:
             }
         )
     return findings
+
+def runtime_metrics(df: DataFrame) -> list[dict]:
+    """POST-execution observability: walk the executed physical plan
+    and return each node's SQL metrics (output rows, spilled bytes,
+    peak memory, shuffle bytes ...) as
+    ``{"node", "depth", "metrics": {name: value}}`` rows in pre-order.
+
+    The static pins (shuffle_count, lint_plan) decide whether a plan
+    CAN scale; this reports what it actually DID — the two together
+    are the perf-debugging loop: run at a small SF, read spill/row
+    metrics, fix, re-pin. Call after an action (collect/count/write);
+    unexecuted AQE stages simply contribute no metric values."""
+    out: list[dict] = []
+
+    def walk(node, depth):
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        out.append(
+            {"node": node.nodeName(), "depth": depth, "metrics": vals}
+        )
+        # AQE / query-stage wrappers hide their executed subtree behind
+        # accessors rather than children()
+        for accessor in ("executedPlan", "plan"):
+            try:
+                child = getattr(node, accessor)()
+                walk(child, depth + 1)
+                break
+            except Exception:
+                continue
+        else:
+            it = node.children().iterator()
+            while it.hasNext():
+                walk(it.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return out
+
+
+def metric_total(df: DataFrame, metric: str, node: str | None = None) -> int:
+    """Sum a named runtime metric across the executed plan (optionally
+    only over nodes whose name contains ``node``) — e.g.
+    ``metric_total(df, "spilled")`` as a no-spill assertion, or
+    ``metric_total(df, "numOutputRows", "Scan")`` for rows actually
+    decoded by scans (column/row-group pruning's runtime twin)."""
+    total = 0
+    for row in runtime_metrics(df):
+        if node is not None and node not in row["node"]:
+            continue
+        for name, value in row["metrics"].items():
+            if metric.lower() in name.lower() and value > 0:
+                total += value
+    return total

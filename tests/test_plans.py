@@ -902,6 +902,8 @@ def test_round5_query_plan_pins(spark):
     pins = {
         "bm25_topk": (0, 0),
         "incremental_near_dup": (3, 2),
+        # per-token dots map-only; one map-side-combinable doc agg
+        "maxsim": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
