@@ -1034,6 +1034,139 @@ def q_decontaminate(spark, sf_dir) -> DataFrame:
     return contamination_flags(docs, bench, "text", "doc_id", k=5)
 
 
+def q_contamination_overlap(spark, sf_dir) -> DataFrame:
+    """Benchmark-overlap FRACTION per document (the GPT-3/PaLM n-gram
+    decontamination metric — drop docs above a threshold, not any-hit):
+    distinct word 5-shingles per doc, benchmark ('src2') shingle set
+    broadcast, ONE doc-keyed aggregation for both counts
+    (operators/dedup.contamination_overlap)."""
+    from eland_spark.operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    bench = docs.to_spark().filter(F.col("source") == "src2").select("text")
+    return contamination_overlap(docs, bench, "text", "doc_id", k=5)
+
+
+def _contamination_overlap_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for q_contamination_overlap: identical shingle
+    pipeline, per-doc DISTINCT shingles, broadcast-set hit flags,
+    double (never integer) division for the fraction."""
+    return f"""
+        WITH ce AS (
+            SELECT DISTINCT doc_id, unnest(ss) AS s
+            FROM {_shingle_cte("documents", k)}
+        ), be AS (
+            SELECT DISTINCT unnest(ss) AS s
+            FROM {_shingle_cte("(SELECT doc_id, text FROM documents WHERE source = 'src2')", k)}
+        ), per AS (
+            SELECT ce.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN be.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+            FROM ce LEFT JOIN be ON be.s = ce.s
+            GROUP BY ce.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               -- sum(CASE) is HUGEINT in DuckDB -> float64 in pandas;
+               -- cast keeps the driver's dtype-sensitive hash green
+               CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_contaminated,
+               round(COALESCE(CAST(p.n_hits AS DOUBLE) / p.n_shingles, 0.0), 6)
+                   AS overlap_frac
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
+
+
+def q_hybrid_search(spark, sf_dir) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack et al. 2009 — the ES 8.8+ ``rank: {rrf}`` section): BM25
+    top-20 on documents ('spark window agg') + exact-cosine top-20 on
+    embeddings (query = vec_id 0), doc_id and vec_id sharing the id
+    space; 1/(60+rank) summed, top-10. Both legs carry their own
+    plan contracts; fusion inputs are bounded top-k lists ranked with
+    the windowless range-sort operator (operators/fusion.rrf_fuse)."""
+    from eland_spark.operators.fusion import rrf_fuse
+    from eland_spark.operators.similarity import cosine_topk
+    from eland_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    bm = bm25_topk(docs, "text", "doc_id", "spark window agg", k=20)
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    qrow = emb.to_spark().filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0]["embedding"]]
+    ann = (
+        cosine_topk(emb, qvec, k=20)[["vec_id", "__cos__"]]
+        .to_spark()
+        .select(F.col("vec_id").alias("id"), F.round("__cos__", 6).alias("cos_sim"))
+    )
+    return rrf_fuse([bm, ann], k=10, rank_k=60)
+
+
+def _hybrid_search_oracle_sql() -> str:
+    """DuckDB oracle for q_hybrid_search: the bm25_topk CTE at k=20,
+    the ann_bruteforce CTE at k=20 (cut on the unrounded cosine,
+    ranked on the rounded — mirroring the Spark legs), row_number
+    ranks, 1/(60+rank) fusion."""
+    return r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ), per AS (
+            SELECT doc_id, len(tk) AS dl,
+                   len(list_filter(tk, t -> t = 'spark'))  AS tf0,
+                   len(list_filter(tk, t -> t = 'window')) AS tf1,
+                   len(list_filter(tk, t -> t = 'agg'))    AS tf2
+            FROM toks
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM per
+        ), bscored AS (
+            SELECT p.doc_id AS id,
+                   round(
+                     ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * p.tf0 * 2.2
+                       / (p.tf0 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                   + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * p.tf1 * 2.2
+                       / (p.tf1 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                   + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * p.tf2 * 2.2
+                       / (p.tf2 + 1.2 * (0.25 + (0.75 / s.avgdl) * p.dl))
+                   , 6) AS bm25
+            FROM per p, stats s
+        ), bm AS (
+            SELECT id, bm25 FROM bscored WHERE bm25 > 0
+            ORDER BY bm25 DESC, id LIMIT 20
+        ), qv AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), ann AS (
+            SELECT vec_id AS id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cos_sim
+            FROM embeddings, qv
+            ORDER BY list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) DESC,
+                     vec_id ASC
+            LIMIT 20
+        ), br AS (
+            SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r FROM bm
+        ), ar AS (
+            SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r FROM ann
+        ), u AS (
+            SELECT id, 1.0 / (60 + r) AS c FROM br
+            UNION ALL
+            SELECT id, 1.0 / (60 + r) AS c FROM ar
+        )
+        SELECT id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+        FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 10
+    """
+
+
 def q_series_shift(spark, sf_dir) -> DataFrame:
     """pandas Series.shift over the global index order — windowless:
     rank positions (range-sort + offsets) then a self-equi-join on
@@ -6473,6 +6606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
+        "contamination_overlap": q_contamination_overlap,
+        "hybrid_search": q_hybrid_search,
         "dup_spans": q_dup_spans,
         "wordpiece": q_wordpiece,
         "snapshot_diff": q_snapshot_diff,
@@ -7515,6 +7650,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": _embed_topk_oracle_sql(),
         "nlp_classify": _nlp_classify_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "contamination_overlap": _contamination_overlap_oracle_sql(),
+        "hybrid_search": _hybrid_search_oracle_sql(),
         "perplexity": _perplexity_oracle_sql(),
         "ppl_buckets": _ppl_buckets_oracle_sql(),
         "elementwise_frame": _ELEMENTWISE_FRAME_ORACLE,

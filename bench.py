@@ -123,6 +123,10 @@ HEADLINE = [
     "incremental_near_dup",
     # multi-vector late-interaction (MaxSim): one doc agg, literal queries
     "maxsim",
+    # hybrid lexical+vector retrieval fused by RRF (bounded top-k legs)
+    "hybrid_search",
+    # n-gram overlap fraction: broadcast benchmark set + one doc agg
+    "contamination_overlap",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

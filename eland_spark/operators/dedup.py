@@ -316,6 +316,84 @@ def contamination_flags(
     )
 
 
+def contamination_overlap(
+    df: "DataFrame",
+    benchmark,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+):
+    """Benchmark-overlap FRACTION per document — the graded twin of
+    :func:`contamination_flags`' boolean: of a document's distinct
+    word ``k``-shingles, what fraction also occurs in the benchmark
+    corpus (the GPT-3/PaLM-style n-gram decontamination metric, where
+    documents above a threshold like 70% overlap are dropped rather
+    than any-hit flagged). Returns (``id_col``, n_shingles long,
+    n_contaminated long, overlap_frac double rounded 6dp) covering
+    every corpus id; shingle-less docs report 0 / 0 / 0.0.
+
+    Plan: same asymmetry as the boolean gate — the benchmark's
+    distinct shingles BROADCAST, the corpus's per-doc distinct
+    shingles stream map-side into the hit flag, then ONE hash
+    aggregation on the doc id produces both counts. The corpus is
+    never shuffled by shingle."""
+    from .parallelism import ensure_parallelism
+
+    schema = df._schema
+    text = F.col(schema.resolve(text_col))
+    idc = F.col(schema.resolve(id_col))
+    bsdf = benchmark.to_spark() if hasattr(benchmark, "to_spark") else benchmark
+    btext = F.col(bench_text_col or text_col)
+
+    corpus_src = ensure_parallelism(
+        df._sdf.select(idc.alias("__cid__"), text.alias("__t__")), "__cid__"
+    )
+    # dedup=True: the metric is over DISTINCT shingles per doc
+    corpus_sh = shingle_rows(
+        corpus_src, F.col("__t__"), F.col("__cid__"), k, dedup=True
+    ).select("__id__", F.col("__sh__").alias("__s__"))
+    bench_sh = (
+        shingle_rows(
+            ensure_parallelism(bsdf.select(btext.alias("__t__"))),
+            F.col("__t__"),
+            F.lit(0),
+            k,
+            dedup=False,
+        )
+        .select(F.col("__sh__").alias("__s__"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "__s__", "left")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        df._sdf.select(idc.alias("__id__"))
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("n_hits") / F.col("n_shingles"), F.lit(0.0)
+                ),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def cross_near_dup_flags(
     df: "DataFrame",
     reference,

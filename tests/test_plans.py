@@ -904,6 +904,12 @@ def test_round5_query_plan_pins(spark):
         "incremental_near_dup": (3, 2),
         # per-token dots map-only; one map-side-combinable doc agg
         "maxsim": (1, 0),
+        # two bounded top-k legs ranked by the windowless range-sort
+        # (2 range exchanges + 2 rank plumbing) + the fuse agg — all on
+        # per-query-k-sized inputs, never corpus-sized
+        "hybrid_search": (5, 0),
+        # benchmark shingles broadcast; corpus never shuffled by shingle
+        "contamination_overlap": (3, 2),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
