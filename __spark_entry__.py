@@ -2222,6 +2222,103 @@ def _maxsim_oracle_sql() -> str:
     """
 
 
+def q_corpus_manifest(spark, sf_dir) -> DataFrame:
+    """Content-integrity manifest per source (etl.corpus_manifest):
+    row count + order-insensitive md5-sum checksum over the canonical
+    row serialization — the between-stage reproducibility checkpoint
+    and nightly drift tripwire (pairs with snapshot_diff). One hash
+    aggregation; checksum exact in DECIMAL(38,0), shipped as string."""
+    from eland_spark.etl import corpus_manifest
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    return corpus_manifest(
+        docs, cols=["doc_id", "text", "lang", "n_chars"], by=["source"]
+    )
+
+
+def _corpus_manifest_oracle_sql() -> str:
+    """DuckDB oracle for q_corpus_manifest: identical canonical
+    serialization (string casts, NUL sentinel for nulls, unit
+    separator), md5 15-hex -> BIGINT row hash, HUGEINT-exact sum cast
+    to digits."""
+    canon = (
+        "concat_ws(chr(31), "
+        "COALESCE(CAST(doc_id AS VARCHAR), chr(0)), "
+        "COALESCE(text, chr(0)), "
+        "COALESCE(lang, chr(0)), "
+        "COALESCE(CAST(n_chars AS VARCHAR), chr(0)))"
+    )
+    return f"""
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(sum(CAST(('0x' || substr(md5({canon}), 1, 15)) AS BIGINT))
+                    AS VARCHAR) AS checksum
+        FROM documents
+        GROUP BY source ORDER BY source
+    """
+
+
+def q_cluster_metrics(spark, sf_dir) -> DataFrame:
+    """Clustering quality in one pass (operators/similarity.
+    cluster_metrics): per-cluster size, inertia (k-means objective)
+    and centroid-based simplified silhouette over seed centroids (the
+    4 lowest-id embeddings — the ann_ivf_quantized_seeded portability
+    contract). One nested-array centroid literal, per-row distance
+    array materialized once, one hash agg on the cell."""
+    from eland_spark.operators.similarity import cluster_metrics
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id").to_spark()
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    ]
+    return cluster_metrics(emb, cents)
+
+
+def _cluster_metrics_oracle_sql(n_cells: int = 4) -> str:
+    """DuckDB oracle for q_cluster_metrics: the proven seeded-centroid
+    L2 replay (sequential list_sum fold, ties to the lowest cell id),
+    own/second distances via per-vector rank, identical silhouette
+    formula."""
+    l2 = (
+        "list_sum(list_transform(generate_series(1, len({a})), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    d = l2.format(a="e.embedding", b="c.ce")
+    return f"""
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding AS ce
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ), pairs AS (
+            SELECT e.vec_id, c.cid, {d} AS dsq,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {d} ASC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ), per AS (
+            SELECT vec_id,
+                   max(CASE WHEN rn = 1 THEN cid END) AS cell,
+                   max(CASE WHEN rn = 1 THEN dsq END) AS d1,
+                   min(CASE WHEN rn > 1 THEN dsq END) AS d2
+            FROM pairs GROUP BY vec_id
+        ), sil AS (
+            SELECT cell, d1,
+                   CASE WHEN greatest(sqrt(d1), sqrt(d2)) > 0
+                        THEN (sqrt(d2) - sqrt(d1))
+                             / greatest(sqrt(d1), sqrt(d2))
+                        ELSE 0.0 END AS s
+            FROM per
+        )
+        SELECT CAST(cell AS INTEGER) AS cell,
+               count(*) AS n,
+               round(sum(d1), 6) AS inertia,
+               round(avg(s), 6) AS silhouette
+        FROM sil GROUP BY cell ORDER BY cell
+    """
+
+
 def q_ann_bruteforce(spark, sf_dir) -> DataFrame:
     """Exact cosine top-10 to the vec_id=0 embedding (ANN baseline)."""
     from eland_spark.operators.similarity import cosine_topk
@@ -6709,6 +6806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
         "maxsim": q_maxsim,
+        "cluster_metrics": q_cluster_metrics,
+        "corpus_manifest": q_corpus_manifest,
         "knn_join": q_knn_join,
         "embedding_norms": q_embedding_norms,
         "minhash_near_dup": q_minhash_near_dup,
@@ -7514,6 +7613,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rnk <= 5
         """,
         "maxsim": _maxsim_oracle_sql(),
+        "cluster_metrics": _cluster_metrics_oracle_sql(),
+        "corpus_manifest": _corpus_manifest_oracle_sql(),
         "ann_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -127,6 +127,10 @@ HEADLINE = [
     "hybrid_search",
     # n-gram overlap fraction: broadcast benchmark set + one doc agg
     "contamination_overlap",
+    # clustering quality (inertia + centroid silhouette): one cell agg
+    "cluster_metrics",
+    # order-insensitive content checksums: one hash agg
+    "corpus_manifest",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

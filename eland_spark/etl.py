@@ -502,3 +502,97 @@ def overwrite_partitions(
         sdf.write.mode("overwrite").partitionBy(*cols).parquet(path)
     finally:
         spark.conf.set(key, old)
+
+
+def corpus_manifest(
+    sdf: DataFrame,
+    cols: "list[str] | None" = None,
+    by: "list[str] | tuple" = (),
+    portable: bool = True,
+) -> DataFrame:
+    """Content-integrity manifest: per ``by``-group row count plus an
+    ORDER-INSENSITIVE content checksum — the reproducibility primitive
+    a multi-stage 100 TB pipeline checkpoints between stages (did the
+    rewrite/compaction/migration preserve the data bit-for-bit?) and
+    the nightly drift tripwire (pair two manifests via
+    ``dedup.snapshot_diff`` keyed on the group).
+
+    The checksum is the SUM of per-row hashes over the canonical row
+    serialization (columns cast to string, null kept distinct from
+    empty via a sentinel, unit-separator joined): sums commute, so the
+    value is independent of partitioning and row order, and unlike XOR
+    duplicate row PAIRS don't cancel. The sum lives in DECIMAL(38,0)
+    (no 64-bit overflow, exact) and ships as a string.
+
+    ``portable=True`` hashes with md5 (15 hex chars -> bigint) so any
+    engine reproduces the exact checksum (the minhash/Bloom hash
+    contract); ``False`` uses xxhash64 (faster, Spark-only). Doubles
+    hash via their string cast — canonicalize float columns upstream.
+
+    One hash aggregation; scales to any corpus."""
+    by = list(by)
+    cols = cols or [c for c in sdf.columns if c not in by]
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols
+        ],
+    )
+    if portable:
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+    else:
+        h = F.xxhash64(canon).cast("decimal(38,0)")
+    agg = sdf.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+    return agg.orderBy(*by) if by else agg
+
+
+def verify_manifest(sdf: DataFrame, manifest: DataFrame, **kwargs) -> DataFrame:
+    """Recompute :func:`corpus_manifest` over ``sdf`` and full-outer
+    join it against a stored ``manifest``: returns one row per group
+    with ``status`` in {'ok', 'changed', 'added', 'removed'} —
+    'added'/'removed' mean the group exists on only one side. Feed the
+    'changed' groups to the incremental stages; everything else is
+    verified untouched."""
+    by = list(kwargs.get("by", ()))
+    fresh = corpus_manifest(sdf, **kwargs)
+    f = fresh.select(
+        *[F.col(c).alias(f"__f_{c}__") for c in by],
+        F.col("n_rows").alias("__f_n__"),
+        F.col("checksum").alias("__f_c__"),
+    )
+    o = manifest.select(
+        *[F.col(c).alias(f"__o_{c}__") for c in by],
+        F.col("n_rows").alias("__o_n__"),
+        F.col("checksum").alias("__o_c__"),
+    )
+    cond = None
+    for c in by:
+        eq = F.col(f"__f_{c}__").eqNullSafe(F.col(f"__o_{c}__"))
+        cond = eq if cond is None else cond & eq
+    joined = f.join(o, cond, "full_outer") if by else f.crossJoin(o)
+    status = (
+        F.when(F.col("__f_n__").isNull(), F.lit("removed"))
+        .when(F.col("__o_n__").isNull(), F.lit("added"))
+        .when(
+            (F.col("__f_n__") == F.col("__o_n__"))
+            & (F.col("__f_c__") == F.col("__o_c__")),
+            F.lit("ok"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"__f_{c}__"), F.col(f"__o_{c}__")).alias(c)
+            for c in by
+        ],
+        F.col("__f_n__").alias("n_rows"),
+        F.col("__o_n__").alias("n_rows_expected"),
+        status.alias("status"),
+    )
+    return out.orderBy(*by) if by else out

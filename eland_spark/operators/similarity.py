@@ -897,3 +897,64 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), F.asc("id"))
         .limit(k)
     )
+
+
+def cluster_metrics(
+    sdf,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+):
+    """Clustering quality in one pass: per-cluster size, inertia (the
+    k-means objective — sum of squared L2 to the OWN centroid) and the
+    centroid-based simplified silhouette (a = distance to own
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) — the bounded O(n·k) approximation of the
+    O(n²) pairwise silhouette; identical ranking behavior for
+    well-separated clusters).
+
+    Plan: centroids ride as ONE nested-array literal; the per-row
+    distance array is materialized ONCE (a projection boundary — tree
+    expansion discipline), own/other distances come from its sorted
+    copy, and everything reduces through a single map-side-combinable
+    hash aggregation on the cell id. O(n·k·d) flops, one exchange of
+    k rows, at any corpus size.
+
+    Returns (cell int, n long, inertia double, silhouette double,
+    both rounded 6dp), ordered by cell."""
+    if len(centroids) < 2:
+        raise ValueError("cluster_metrics: need >= 2 centroids for silhouette")
+    carr = F.lit([[float(x) for x in c] for c in centroids])
+    v = F.col(vec_col)
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(
+                v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    per = sdf.select(dists.alias("__d__"))
+    d = F.col("__d__")
+    cell = (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    srt = F.array_sort(d)
+    a = F.sqrt(F.element_at(srt, 1))
+    b = F.sqrt(F.element_at(srt, 2))
+    sil = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    rows = per.select(
+        cell.alias("cell"),
+        F.element_at(srt, 1).alias("__sq__"),
+        sil.alias("__sil__"),
+    )
+    return (
+        rows.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("__sq__"), 6).alias("inertia"),
+            F.round(F.avg("__sil__"), 6).alias("silhouette"),
+        )
+        .orderBy("cell")
+    )

@@ -80,3 +80,26 @@ def test_runtime_metrics_report_executed_plan(spark):
     assert n in agg_rows
     assert metric_total(df, "spillSize") == 0  # nothing spilled at sf0.001
     assert metric_total(df, "numOutputRows", "Scan") > 0
+
+
+def test_heavy_queries_do_not_spill(spark):
+    """Runtime twin of the static plan pins: the most expensive
+    headline queries must run spill-free at test scale — a partial
+    aggregate or sort that spills here would page to disk long before
+    100x. Uses the executed plan's own SQL metrics."""
+    import importlib.util
+
+    from eland_spark.plans import metric_total
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    queries = m.queries()
+    for name in ("pricing_summary", "dsir_select", "cross_near_dup",
+                 "frame_order_ops", "eval_auc"):
+        df = queries[name](spark, SF)
+        df.collect()
+        assert metric_total(df, "spillSize") == 0, name
+        assert metric_total(df, "numTasksFallBacked") == 0, name

@@ -910,6 +910,10 @@ def test_round5_query_plan_pins(spark):
         "hybrid_search": (5, 0),
         # benchmark shingles broadcast; corpus never shuffled by shingle
         "contamination_overlap": (3, 2),
+        # one cell agg + the k-row output sort
+        "cluster_metrics": (2, 0),
+        # one group agg + the group-count-sized output sort
+        "corpus_manifest": (2, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
