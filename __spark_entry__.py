@@ -6057,6 +6057,33 @@ def q_funnel(spark, sf_dir) -> DataFrame:
     return funnel(ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_WITHIN)
 
 
+def q_rolling_corr(spark, sf_dir) -> DataFrame:
+    """Series.rolling(30).corr(other) — Pearson per window on
+    pairwise-complete observations, both series on one frame, through
+    the windowless bucketed plan
+    (operators/ranking.with_global_rolling_binary; corr assembled as
+    cov/(sqrt(vx)*sqrt(vy)) in the projection so zero-variance windows
+    give pandas' NaN, never an ANSI divide error)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    o["k97"] = (o.o_orderkey % 97)
+    out = o["o_totalprice"].rolling(30).corr(o["k97"])
+    return out.to_spark().select(
+        "o_orderkey", F.round("rolling_corr", 6).alias("rolling_corr")
+    )
+
+
+def _rolling_corr_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           round(CASE WHEN count(*) OVER w >= 30
+                      THEN corr(o_totalprice, o_orderkey % 97) OVER w
+                 END, 6) AS rolling_corr
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """
+
+
 def q_rolling_apply(spark, sf_dir) -> DataFrame:
     """Series.rolling(7).apply(custom fn) — arbitrary Python per
     window through ONE Arrow-batched applyInPandas over the bucketed
@@ -6886,6 +6913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_ffill": q_reindex_ffill,
         "align_outer": q_align_outer,
         "rolling_apply": q_rolling_apply,
+        "rolling_corr": q_rolling_corr,
         "groupby_rolling_apply": q_groupby_rolling_apply,
         "frame_expanding": q_frame_expanding,
         "cohort_retention": q_cohort_retention,
@@ -9128,6 +9156,7 @@ def oracle_sql() -> dict[str, str]:
         "reindex_ffill": _reindex_ffill_oracle_sql(),
         "align_outer": _align_outer_oracle_sql(),
         "rolling_apply": _rolling_apply_oracle_sql(),
+        "rolling_corr": _rolling_corr_oracle_sql(),
         "groupby_rolling_apply": _groupby_rolling_apply_oracle_sql(),
         "frame_expanding": _frame_expanding_oracle_sql(),
         "cohort_retention": _cohort_retention_oracle_sql(),

@@ -131,6 +131,8 @@ HEADLINE = [
     "cluster_metrics",
     # order-insensitive content checksums: one hash agg
     "corpus_manifest",
+    # two-series rolling Pearson through the bucketed padded plan
+    "rolling_corr",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -159,6 +161,7 @@ ROW_HEAVY = {
     "gopher_quality",
     "c4_rules",
     "rolling_apply",
+    "rolling_corr",
 }
 
 

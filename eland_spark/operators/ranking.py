@@ -420,6 +420,55 @@ def with_global_rolling(
     return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 
+def with_global_rolling_binary(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    x_col: str,
+    y_col: str,
+    window: int,
+    metric: str = "corr",
+    min_periods: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """pandas ``rolling().corr(other)`` / ``rolling().cov(other)`` over
+    the global order — the two-series siblings of
+    :func:`with_global_rolling`, on the same bucketed padded plan.
+    Spark's windowed ``corr``/``covar_samp`` (numerically stable
+    merge) computes over the bounded frame; both use pairwise-complete
+    observations (rows where EITHER side is null are excluded), which
+    is pandas' semantics, and ``min_periods`` counts complete PAIRS.
+    Adds ``rolling_corr``/``rolling_cov`` (sample covariance, n-1)."""
+    if metric not in ("corr", "cov"):
+        raise ValueError(f"metric must be 'corr' or 'cov', got {metric!r}")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    mp = window if min_periods is None else min_periods
+    un, w = _bucketed_frame(sdf, order_by, window, partitions)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    pairs = F.count(F.when(both, F.lit(1))).over(w)
+    # corr assembled from covar_samp and the PAIR-masked variances in
+    # the projection, NOT F.corr: the corr aggregate's internal
+    # ck/sqrt(xMk*yMk) divides by zero under ANSI whenever a window's
+    # variance is 0 (constant values) — the projection-level CASE
+    # evaluates lazily, so the degenerate windows yield pandas' NaN
+    # instead of an error. pandas computes cov/(std*std) the same way.
+    cov = F.covar_samp(F.when(both, x), F.when(both, y)).over(w)
+    if metric == "cov":
+        val = cov
+    else:
+        vx = F.var_samp(F.when(both, x)).over(w)
+        vy = F.var_samp(F.when(both, y)).over(w)
+        val = F.when(
+            (vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))
+        ).otherwise(F.lit(float("nan")))
+    out = un.withColumn(
+        f"rolling_{metric}", F.when(pairs >= F.lit(mp), val)
+    )
+    return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
+
+
 def with_global_cumsum(
     sdf: DataFrame,
     order_by: list[str | Column],

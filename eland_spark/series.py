@@ -2626,6 +2626,46 @@ class _Rolling:
     def var(self):
         return self._run("var")
 
+    def _run_binary(self, other: "Series", metric: str):
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rolling_binary
+
+        if other._frame._sdf is not self._series._frame._sdf:
+            raise ValueError(
+                f"rolling().{metric}(other) needs both Series on the "
+                "same frame (pandas-style cross-frame index alignment "
+                "is not supported; join the frames first)"
+            )
+        base, icols = self._series._ordered_frame()
+        frame = self._series._frame
+        key_cols = [
+            F.col(frame._schema.resolve(c)).alias(c) for c in icols
+        ]
+        base2 = frame._sdf.select(
+            *key_cols,
+            self._series._expr.alias("__val__"),
+            other._expr.alias("__oth__"),
+        )
+        out = with_global_rolling_binary(
+            base2, icols, "__val__", "__oth__", self._window, metric,
+            self._min_periods,
+        )
+        return EDF(
+            out.select(*icols, f"rolling_{metric}"), index_cols=tuple(icols)
+        )
+
+    def corr(self, other: "Series"):
+        """pandas ``rolling().corr(other)`` — Pearson over each window
+        on pairwise-complete observations, both Series on the same
+        frame. Windowless bucketed plan
+        (operators/ranking.with_global_rolling_binary)."""
+        return self._run_binary(other, "corr")
+
+    def cov(self, other: "Series"):
+        """pandas ``rolling().cov(other)`` — sample covariance (n-1)
+        over each window on pairwise-complete observations."""
+        return self._run_binary(other, "cov")
+
     def apply(self, fn, raw: bool = False):
         """pandas ``rolling().apply(fn)`` — arbitrary Python per
         window, one Arrow-batched applyInPandas over the bucketed

@@ -914,6 +914,8 @@ def test_round5_query_plan_pins(spark):
         "cluster_metrics": (2, 0),
         # one group agg + the group-count-sized output sort
         "corpus_manifest": (2, 0),
+        # the shared bucketed-padded rolling plan (rank + pad + frame)
+        "rolling_corr": (3, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)

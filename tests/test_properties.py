@@ -1351,3 +1351,36 @@ def test_floordiv_special_value_matrix(spark):
         assert (math.isnan(g) and math.isnan(w)) or g == w, (cases[i], g, w)
         g, w = out["sq"][i], exp_sq[i]
         assert (math.isnan(g) and math.isnan(w)) or g == w, (cases[i], g, w)
+
+
+@given(
+    rows=ROWS,
+    window=st.integers(min_value=2, max_value=6),
+)
+@settings(**COMMON)
+def test_rolling_corr_cov_match_pandas(spark, rows, window):
+    """rolling().corr/cov(other) == pandas on pairwise-complete
+    observations, incl. null-holed windows and min_periods heads."""
+    pdf, edf = _frame(spark, rows)
+    sa, sb = edf["a"], edf["b"]
+    pa = pdf.set_index("_id")["a"].astype("float64")
+    pb = pdf.set_index("_id")["b"].astype("float64")
+    got_corr = (
+        sa.rolling(window).corr(sb).to_pandas()["rolling_corr"].sort_index()
+    )
+    got_cov = (
+        sa.rolling(window).cov(sb).to_pandas()["rolling_cov"].sort_index()
+    )
+    exp_corr = pa.rolling(window).corr(pb).sort_index()
+    exp_cov = pa.rolling(window).cov(pb).sort_index()
+    for got, exp in [(got_corr, exp_corr), (got_cov, exp_cov)]:
+        g = got.to_numpy(dtype="float64")
+        e = exp.to_numpy(dtype="float64")
+        # pandas emits ±inf when a window's variance underflows to a
+        # denormal; treat both non-finite kinds as "degenerate" alike
+        degenerate = ~np.isfinite(e)
+        assert np.allclose(
+            g[~degenerate], e[~degenerate], rtol=1e-7, atol=1e-9,
+            equal_nan=True,
+        ), (rows, window)
+        assert (~np.isfinite(g[degenerate])).all(), (rows, window)
