@@ -637,13 +637,23 @@ def test_rolling_matches_pandas(spark, rows, window):
     p = pdf.set_index("_id")["a"].astype("float64")
     got_sum = s.rolling(window).sum().to_pandas()["rolling_sum"].sort_index()
     got_min = s.rolling(window).min().to_pandas()["rolling_min"].sort_index()
-    exp_sum = p.rolling(window).sum().sort_index()
+    # sum reference is an EXACT per-window fsum, not pandas: pandas'
+    # incremental add/remove kernel drifts when large and tiny
+    # magnitudes mix (deep-fuzz find: window [-1/3, 0] after 5.4e8
+    # values returned -0.33333393 from pandas; the per-window
+    # recompute — pandas' own DEFINITION — gives -1/3, as we do)
+    vals = p.to_numpy(dtype="float64")
+    exp_sum = []
+    for i in range(len(vals)):
+        w = vals[max(0, i - window + 1): i + 1]
+        w = w[~np.isnan(w)]
+        exp_sum.append(math.fsum(w) if len(w) >= window else float("nan"))
     exp_min = p.rolling(window).min().sort_index()
-    for got, exp in [(got_sum, exp_sum), (got_min, exp_min)]:
-        assert np.allclose(
-            got.to_numpy(dtype="float64"), exp.to_numpy(dtype="float64"),
-            rtol=1e-9, atol=1e-9, equal_nan=True,
-        )
+    for got, exp in [
+        (got_sum.to_numpy(dtype="float64"), np.array(exp_sum)),
+        (got_min.to_numpy(dtype="float64"), exp_min.to_numpy(dtype="float64")),
+    ]:
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True)
 
 
 @given(rows=ROWS, mp=st.integers(min_value=1, max_value=4))
