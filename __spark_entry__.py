@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF1 = "/root/testdata/sf0.001"
@@ -6673,6 +6673,454 @@ def _eval_confusion_oracle_sql() -> str:
     """
 
 
+def q_rank_metrics(spark, sf_dir) -> DataFrame:
+    """Per-query retrieval scorecard (evaluation.ranking_metrics):
+    nDCG@10 / MRR@10 / precision@10 / recall@10 per lang over a
+    deterministic ranking (docs by n_chars desc within lang) with
+    graded source-derived relevance — one keyed window + one groupBy
+    reusing its exchange."""
+    from eland_spark.operators.evaluation import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.where(F.col("lang").isNotNull()).select(
+        "lang",
+        F.row_number().over(w).alias("rank"),
+        F.when(F.col("source").isin("src0", "src1"), 2.0)
+        .when(F.col("source").isin("src2", "src3", "src4"), 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+    return ranking_metrics(ranked, "lang", "rank", "rel", k=10)
+
+
+def _rank_metrics_oracle_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT lang,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rank,
+                   CASE WHEN source IN ('src0', 'src1') THEN 2.0
+                        WHEN source IN ('src2', 'src3', 'src4') THEN 1.0
+                        ELSE 0.0 END AS rel
+            FROM documents WHERE lang IS NOT NULL
+        ), i AS (
+            SELECT lang, rank, rel,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY rel DESC, rank
+                   ) AS irank
+            FROM r
+        ), a AS (
+            SELECT lang,
+                   sum(CASE WHEN rank <= 10
+                            THEN (pow(2, rel) - 1) / log2(rank + 1)
+                            ELSE 0.0 END) AS dcg,
+                   sum(CASE WHEN irank <= 10 AND rel > 0
+                            THEN (pow(2, rel) - 1) / log2(irank + 1)
+                            ELSE 0.0 END) AS idcg,
+                   min(CASE WHEN rank <= 10 AND rel > 0 THEN rank END) AS fr,
+                   sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+                       AS relk,
+                   sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS nrel
+            FROM i GROUP BY lang
+        )
+        SELECT lang,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+                   AS ndcg,
+               round(COALESCE(1.0 / fr, 0.0), 6) AS mrr,
+               round(relk / 10.0, 6) AS precision_k,
+               round(CASE WHEN nrel > 0 THEN relk * 1.0 / nrel
+                          ELSE 0.0 END, 6) AS recall_k,
+               CAST(nrel AS BIGINT) AS n_rel
+        FROM a
+    """
+
+
+def q_calibration(spark, sf_dir) -> DataFrame:
+    """Reliability table + ECE terms (evaluation.calibration_bins):
+    a synthetic [0,1] score (n_chars mod 100 / 100) against the
+    lang='en' label, 10 equal-width bins — ONE full-scan hash agg to
+    bin-cardinality rows, total via 1-row broadcast scalar join."""
+    from eland_spark.operators.evaluation import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    scored = docs.select(
+        ((F.col("n_chars") % 100) / 100.0).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", bins=10)
+
+
+def _calibration_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT (n_chars % 100) / 100.0 AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+            WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+              AND (n_chars % 100) / 100.0 BETWEEN 0.0 AND 1.0
+        ), per AS (
+            SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                   count(*) AS n, avg(s) AS conf, avg(y * 1.0) AS acc
+            FROM base GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS tn FROM per
+        )
+        SELECT bin, CAST(n AS BIGINT) AS n,
+               round(conf, 6) AS confidence,
+               round(acc, 6) AS accuracy,
+               round(abs(acc - conf), 6) AS gap,
+               round(n / tn, 6) AS weight,
+               round((n / tn) * abs(acc - conf), 6) AS ece_term
+        FROM per, tot
+    """
+
+
+def q_cohens_kappa(spark, sf_dir) -> DataFrame:
+    """Chance-corrected agreement (evaluation.cohens_kappa) between two
+    length-based labelers (char count vs space count) — ONE full scan
+    to checkpointed contingency cells; po, marginals, and pe are all
+    cell-sized re-aggs, assembled by a 1-row scalar join."""
+    from eland_spark.operators.evaluation import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    spaces = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    labeled = docs.where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.when(F.col("n_chars") >= 180, "long").otherwise("short").alias("a"),
+        F.when(spaces >= 25, "long").otherwise("short").alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")
+
+
+def _cohens_kappa_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CASE WHEN n_chars >= 180 THEN 'long' ELSE 'short' END AS a,
+                   CASE WHEN length(text) - length(replace(text, ' ', ''))
+                             >= 25
+                        THEN 'long' ELSE 'short' END AS b
+            FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        ), obs AS (
+            SELECT count(*) AS n,
+                   avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po
+            FROM base
+        ), pa AS (
+            SELECT a, count(*) AS ca FROM base GROUP BY a
+        ), pb AS (
+            SELECT b, count(*) AS cb FROM base GROUP BY b
+        ), pe AS (
+            SELECT COALESCE(sum(ca * 1.0 * cb), 0.0) AS pen
+            FROM pa JOIN pb ON pa.a = pb.b
+        )
+        SELECT round(CASE WHEN pen / (n * 1.0 * n) < 1.0
+                          THEN (po - pen / (n * 1.0 * n))
+                               / (1.0 - pen / (n * 1.0 * n)) END, 6) AS kappa,
+               round(po, 6) AS po,
+               round(pen / (n * 1.0 * n), 6) AS pe,
+               CAST(n AS BIGINT) AS n
+        FROM obs, pe
+    """
+
+
+def q_drift_ks(spark, sf_dir) -> DataFrame:
+    """Exact two-sample KS statistic (drift.ks_statistic) between the F
+    and O lineitem populations over l_extendedprice — the bin-free
+    complement to drift_psi: per-value counts in one hash agg each,
+    joined counts checkpointed (snapshots stream through once), both
+    running ECDFs on ONE windowless bucket prefix-sum pass, sup
+    distance as one scalar agg."""
+    from eland_spark.operators.drift import ks_statistic
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return ks_statistic(ref, cur, "l_extendedprice")
+
+
+def _drift_ks_oracle_sql() -> str:
+    return """
+        WITH rc AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS rn
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), cc AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS cn
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(rc.v, cc.v) AS v,
+                   COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+            FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+        ), c AS (
+            SELECT v, sum(rn) OVER (ORDER BY v) AS cr,
+                   sum(cn) OVER (ORDER BY v) AS cumc
+            FROM j
+        ), t AS (
+            SELECT CAST(sum(rn) AS DOUBLE) AS nr,
+                   CAST(sum(cn) AS DOUBLE) AS nc
+            FROM j
+        )
+        SELECT round(max(abs(cr / nr - cumc / nc)), 6) AS ks,
+               CAST(max(nr) AS BIGINT) AS n_ref,
+               CAST(max(nc) AS BIGINT) AS n_cur
+        FROM c, t
+    """
+
+
+def q_assoc_lang_source(spark, sf_dir) -> DataFrame:
+    """Categorical association scorecard (drift.chi2_association):
+    chi-squared, Cramér's V, and mutual information between lang and
+    source — the lang-x-domain confound check before training. One
+    hash agg to observed contingency cells; marginals broadcast back;
+    one scalar agg (zero-expected cells handled by the o^2/(ra*cb)
+    identity, no dense marginal cross)."""
+    from eland_spark.operators.drift import chi2_association
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    return chi2_association(docs, "lang", "source")
+
+
+def _assoc_lang_source_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+            FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        ), cont AS (
+            SELECT a, b, count(*) AS o FROM base GROUP BY a, b
+        ), ra AS (
+            SELECT a, CAST(sum(o) AS DOUBLE) AS ca FROM cont GROUP BY a
+        ), cbm AS (
+            SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM cont GROUP BY b
+        ), tot AS (
+            SELECT CAST(sum(o) AS DOUBLE) AS n,
+                   count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+            FROM cont
+        ), j AS (
+            SELECT o * 1.0 AS o, ca, cb, n, ka, kb
+            FROM cont JOIN ra USING (a) JOIN cbm USING (b), tot
+        ), s AS (
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   max(n) * sum(o * o / (ca * cb)) - max(n) AS chi2,
+                   CAST((max(ka) - 1) * (max(kb) - 1) AS BIGINT) AS dof,
+                   sum((o / n) * ln(o * n / (ca * cb))) AS mi,
+                   least(max(ka) - 1, max(kb) - 1) AS mindim
+            FROM j
+        )
+        SELECT n, round(chi2, 6) AS chi2, dof,
+               round(CASE WHEN mindim > 0 AND n > 0
+                          THEN sqrt(greatest(chi2, 0.0) / (n * mindim))
+                          END, 6) AS cramers_v,
+               round(mi, 6) AS mutual_info
+        FROM s
+    """
+
+
+def q_rolling_quantile(spark, sf_dir) -> DataFrame:
+    """Series.rolling(7).quantile(0.25) — the exact linear-interpolated
+    window percentile on the bucketed padded plan (ranking.
+    with_global_rolling_quantile); Spark's percentile and DuckDB's
+    quantile_cont share the lower + (higher-lower)*frac interpolation,
+    so the oracle replays bit-for-bit."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].rolling(7, min_periods=3).quantile(0.25)
+    return out.to_spark().select("o_orderkey", "rolling_quantile")
+
+
+def _rolling_quantile_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w >= 3
+                THEN quantile_cont(o_totalprice, 0.25) OVER w
+           END AS rolling_quantile
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_rank_uniform(spark, sf_dir) -> DataFrame:
+    """Rank-based uniform quantile transform (scaling.rank_transform):
+    o_totalprice -> tie-averaged midrank / n in (0, 1] — one distinct-
+    value agg, the bucket prefix-sum, a distinct-sized join back; never
+    ranks row data."""
+    from eland_spark.operators.scaling import rank_transform
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    out = rank_transform(
+        o.select("o_orderkey", "o_totalprice"), "o_totalprice"
+    )
+    return out.select("o_orderkey", "o_totalprice", "o_totalprice_q")
+
+
+def _rank_uniform_oracle_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ), m AS (
+            SELECT v,
+                   (sum(n) OVER (ORDER BY v) - n + (n + 1) / 2.0)
+                       / (SELECT CAST(sum(n) AS DOUBLE) FROM per) AS q
+            FROM per
+        )
+        SELECT o_orderkey, o_totalprice, m.q AS o_totalprice_q
+        FROM orders LEFT JOIN m ON CAST(o_totalprice AS DOUBLE) = m.v
+    """
+
+
+def q_welch_ttest(spark, sf_dir) -> DataFrame:
+    """Welch's unequal-variance t-test (drift.welch_ttest) between the
+    F and O lineitem mean extendedprice — ONE moment agg per snapshot
+    (count/mean/var_samp, mergeable partials), 1-row scalar join."""
+    from eland_spark.operators.drift import welch_ttest
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return welch_ttest(ref, cur, "l_extendedprice")
+
+
+def _welch_ttest_oracle_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT count(*) * 1.0 AS n1, avg(l_extendedprice) AS m1,
+                   var_samp(l_extendedprice) AS v1
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+        ), c AS (
+            SELECT count(*) * 1.0 AS n2, avg(l_extendedprice) AS m2,
+                   var_samp(l_extendedprice) AS v2
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+        )
+        SELECT round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1/n1 + v2/n2 > 0
+                          THEN (m1 - m2) / sqrt(v1/n1 + v2/n2) END, 6) AS t,
+               round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1/n1 + v2/n2 > 0
+                          THEN ((v1/n1 + v2/n2) * (v1/n1 + v2/n2))
+                               / ((v1/n1) * (v1/n1) / (n1 - 1)
+                                  + (v2/n2) * (v2/n2) / (n2 - 1)) END, 6)
+                   AS df,
+               round(m1, 6) AS mean_ref, round(m2, 6) AS mean_cur,
+               CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur
+        FROM r, c
+    """
+
+
+def q_rank_sum_test(spark, sf_dir) -> DataFrame:
+    """Mann-Whitney U rank-sum test (drift.mann_whitney_u) between the
+    F and O lineitem discount distributions — 11 distinct values, so
+    midranks and the tie-corrected variance do all the work; same
+    checkpointed distinct-value + bucket prefix-sum plan as drift_ks."""
+    from eland_spark.operators.drift import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return mann_whitney_u(ref, cur, "l_discount")
+
+
+def _rank_sum_test_oracle_sql() -> str:
+    return """
+        WITH rc AS (
+            SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS rn
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_discount IS NOT NULL
+            GROUP BY 1
+        ), cc AS (
+            SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS cn
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_discount IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(rc.v, cc.v) AS v,
+                   COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+            FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+        ), m AS (
+            SELECT rn, cn, rn + cn AS t,
+                   sum(rn + cn) OVER (ORDER BY v) AS cum
+            FROM j
+        ), a AS (
+            SELECT sum(rn * ((cum - t) + (t + 1) / 2.0)) AS r1,
+                   CAST(sum(rn) AS DOUBLE) AS n1,
+                   CAST(sum(cn) AS DOUBLE) AS n2,
+                   sum((t * 1.0) * t * t - t) AS ties
+            FROM m
+        )
+        SELECT CASE WHEN n1 > 0 AND n2 > 0
+                    THEN r1 - n1 * (n1 + 1) / 2.0 END AS u,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                          AND (n1 * n2 / 12.0)
+                              * ((n1 + n2 + 1)
+                                 - ties / ((n1 + n2) * (n1 + n2 - 1))) > 0
+                          THEN (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                               / sqrt((n1 * n2 / 12.0)
+                                      * ((n1 + n2 + 1)
+                                         - ties / ((n1 + n2)
+                                                   * (n1 + n2 - 1))))
+                          END, 6) AS z,
+               CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur
+        FROM a
+    """
+
+
+def q_spearman(spark, sf_dir) -> DataFrame:
+    """Exact Spearman rank correlation (ranking.spearman_corr) between
+    l_quantity (50 distinct values — heavy midrank ties) and
+    l_extendedprice — pair counts checkpointed, per-axis midranks via
+    the bucket prefix-sum, one weighted-moment scalar agg; every
+    intermediate is distinct-value-sized."""
+    from eland_spark.operators.ranking import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select(F.round("rho", 6).alias("rho"), "n")
+
+
+def _spearman_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), pc AS (
+            SELECT x, y, count(*) AS w FROM base GROUP BY x, y
+        ), px AS (
+            SELECT x, sum(w) AS nx FROM pc GROUP BY x
+        ), mx AS (
+            SELECT x, sum(nx) OVER (ORDER BY x) - nx + (nx + 1) / 2.0 AS rx
+            FROM px
+        ), py AS (
+            SELECT y, sum(w) AS ny FROM pc GROUP BY y
+        ), my AS (
+            SELECT y, sum(ny) OVER (ORDER BY y) - ny + (ny + 1) / 2.0 AS ry
+            FROM py
+        ), t AS (
+            SELECT CAST(sum(w) AS DOUBLE) AS nt FROM pc
+        ), a AS (
+            SELECT sum(w * (rx - (nt + 1) / 2.0) * (ry - (nt + 1) / 2.0))
+                       AS sxy,
+                   sum(w * (rx - (nt + 1) / 2.0) * (rx - (nt + 1) / 2.0))
+                       AS sxx,
+                   sum(w * (ry - (nt + 1) / 2.0) * (ry - (nt + 1) / 2.0))
+                       AS syy,
+                   max(nt) AS n
+            FROM pc JOIN mx USING (x) JOIN my USING (y), t
+        )
+        SELECT round(CASE WHEN sxx > 0 AND syy > 0
+                          THEN sxy / sqrt(sxx * syy) END, 6) AS rho,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n
+        FROM a
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6926,6 +7374,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "eval_auc": q_eval_auc,
         "eval_confusion": q_eval_confusion,
+        "rank_metrics": q_rank_metrics,
+        "calibration": q_calibration,
+        "cohens_kappa": q_cohens_kappa,
+        "drift_ks": q_drift_ks,
+        "assoc_lang_source": q_assoc_lang_source,
+        "welch_ttest": q_welch_ttest,
+        "rank_sum_test": q_rank_sum_test,
+        "spearman": q_spearman,
+        "rolling_quantile": q_rolling_quantile,
+        "rank_uniform": q_rank_uniform,
     }
 
 
@@ -9169,4 +9627,14 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": _drift_psi_oracle_sql(),
         "eval_auc": _eval_auc_oracle_sql(),
         "eval_confusion": _eval_confusion_oracle_sql(),
+        "rank_metrics": _rank_metrics_oracle_sql(),
+        "calibration": _calibration_oracle_sql(),
+        "cohens_kappa": _cohens_kappa_oracle_sql(),
+        "drift_ks": _drift_ks_oracle_sql(),
+        "assoc_lang_source": _assoc_lang_source_oracle_sql(),
+        "welch_ttest": _welch_ttest_oracle_sql(),
+        "rank_sum_test": _rank_sum_test_oracle_sql(),
+        "spearman": _spearman_oracle_sql(),
+        "rolling_quantile": _rolling_quantile_oracle_sql(),
+        "rank_uniform": _rank_uniform_oracle_sql(),
     }

@@ -133,6 +133,14 @@ HEADLINE = [
     "corpus_manifest",
     # two-series rolling Pearson through the bucketed padded plan
     "rolling_corr",
+    # exact two-sample KS: checkpointed counts + bucket prefix-sum ECDFs
+    "drift_ks",
+    # per-query retrieval scorecard: one query-keyed exchange
+    "rank_metrics",
+    # exact Spearman: checkpointed pair counts + two midrank joins
+    "spearman",
+    # rank->uniform transform: distinct counts + prefix-sum + join back
+    "rank_uniform",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

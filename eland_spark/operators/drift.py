@@ -24,7 +24,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["drift_bins", "psi"]
+__all__ = [
+    "drift_bins",
+    "psi",
+    "ks_statistic",
+    "chi2_association",
+    "welch_ttest",
+    "mann_whitney_u",
+]
 
 
 def _bin_expr(col, edges: Sequence[float]):
@@ -107,6 +114,247 @@ def drift_bins(
         .alias("cur_frac"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )
+
+
+def ks_statistic(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    snapshots' distributions of ``column``, as a 1-row frame
+    ``(ks, n_ref, n_cur)`` — ``max |ECDF_ref(x) - ECDF_cur(x)|`` over
+    every distinct value, never a sampled or binned approximation
+    (the bin-free complement to :func:`drift_bins`: PSI needs edges
+    chosen up front; KS sees any shift the data can express).
+
+    Scale shape: each snapshot reduces to per-distinct-value counts in
+    ONE hash aggregation, the two count frames full-outer-join on the
+    value and the joined count frame is lazily checkpointed (so the
+    raw snapshots stream through once even though both the prefix-sum
+    pass and the totals read it), BOTH running totals ride one
+    windowless bucket prefix-sum pass (operators/ranking — balanced
+    exchange, driver sees only per-bucket totals), and the
+    sup-distance is one scalar aggregate. Null values are dropped (an
+    ECDF is undefined at null).
+    """
+    from .ranking import with_global_cumagg_multi
+
+    def counts(df, name):
+        c = F.col(column).cast("double")
+        return (
+            df.select(c.alias("__v__"))
+            .where(F.col("__v__").isNotNull())
+            .groupBy("__v__")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    joined = (
+        rc.join(cc, "__v__", "full_outer")
+        .select(
+            "__v__",
+            F.coalesce("__rn__", F.lit(0)).alias("__rn__"),
+            F.coalesce("__cn__", F.lit(0)).alias("__cn__"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = with_global_cumagg_multi(
+        joined,
+        ["__v__"],
+        [("__rn__", "sum", "__cr__"), ("__cn__", "sum", "__cc__")],
+    )
+    tot = joined.agg(
+        F.sum("__rn__").alias("__nr__"), F.sum("__cn__").alias("__nc__")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    dist = F.abs(
+        F.col("__cr__") / F.col("__nr__").cast("double")
+        - F.col("__cc__") / F.col("__nc__").cast("double")
+    )
+    return j.agg(
+        F.round(F.max(dist), 6).alias("ks"),
+        F.max("__nr__").cast("bigint").alias("n_ref"),
+        F.max("__nc__").cast("bigint").alias("n_cur"),
+    )
+
+
+def welch_ttest(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the two snapshots'
+    means of ``column``, as a 1-row frame ``(t, df, mean_ref,
+    mean_cur, n_ref, n_cur)`` — the parametric mean-shift test
+    (Welch 1947) with the Welch–Satterthwaite degrees of freedom.
+    ``t``/``df`` are null when either side has <2 observations or
+    both variances are 0. Null values are dropped.
+
+    Scale shape: ONE full-scan aggregation per snapshot (count, mean,
+    sample variance — all map-side-combinable; Spark's moment aggs
+    merge numerically stably), assembled by a 1-row scalar join.
+    """
+
+    def side(df, tag):
+        c = F.col(column).cast("double")
+        return df.where(c.isNotNull()).agg(
+            F.count(c).alias(f"__n{tag}__"),
+            F.avg(c).alias(f"__m{tag}__"),
+            F.var_samp(c).alias(f"__v{tag}__"),
+        )
+
+    j = side(ref, "1").crossJoin(F.broadcast(side(cur, "2")))
+    n1, n2 = F.col("__n1__").cast("double"), F.col("__n2__").cast("double")
+    v1, v2 = F.col("__v1__"), F.col("__v2__")
+    se1, se2 = v1 / n1, v2 / n2
+    se = se1 + se2
+    ok = (
+        (F.col("__n1__") >= 2) & (F.col("__n2__") >= 2) & (se > 0)
+    )
+    t = F.when(ok, (F.col("__m1__") - F.col("__m2__")) / F.sqrt(se))
+    df_ws = F.when(
+        ok,
+        (se * se)
+        / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+    )
+    return j.select(
+        F.round(t, 6).alias("t"),
+        F.round(df_ws, 6).alias("df"),
+        F.round("__m1__", 6).alias("mean_ref"),
+        F.round("__m2__", 6).alias("mean_cur"),
+        F.col("__n1__").cast("bigint").alias("n_ref"),
+        F.col("__n2__").cast("bigint").alias("n_cur"),
+    )
+
+
+def mann_whitney_u(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test between the two snapshots,
+    as a 1-row frame ``(u, z, n_ref, n_cur)`` — the nonparametric
+    complement to :func:`welch_ttest` (sensitive to any stochastic
+    dominance, not just mean shifts). ``u`` is the U statistic of the
+    REF side from exact midranks; ``z`` is the normal approximation
+    with the standard tie-corrected variance
+    ``(n1*n2/12) * (N+1 - sum(t^3-t)/(N*(N-1)))`` and no continuity
+    correction (ties make a 0.5 correction ill-defined); null when a
+    side is empty or all values tie. Null values are dropped.
+
+    Scale shape: per-snapshot per-distinct-value counts in one hash
+    agg each, joined counts lazily checkpointed, midranks via the
+    windowless bucket prefix-sum pass, U / tie term / z in one scalar
+    aggregate — the same distinct-value plan as :func:`ks_statistic`
+    and ``evaluation.auc``.
+    """
+    from .ranking import with_global_cumsum
+
+    def counts(df, name):
+        c = F.col(column).cast("double")
+        return (
+            df.select(c.alias("__v__"))
+            .where(F.col("__v__").isNotNull())
+            .groupBy("__v__")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    joined = (
+        rc.join(cc, "__v__", "full_outer")
+        .select(
+            "__v__",
+            F.coalesce("__rn__", F.lit(0)).alias("__rn__"),
+            F.coalesce("__cn__", F.lit(0)).alias("__cn__"),
+        )
+        .withColumn("__t__", F.col("__rn__") + F.col("__cn__"))
+        .localCheckpoint(eager=False)
+    )
+    cum = with_global_cumsum(joined, ["__v__"], "__t__", out_col="__cum__")
+    mid = (F.col("__cum__") - F.col("__t__")) + (F.col("__t__") + 1) / 2.0
+    tt = F.col("__t__").cast("double")
+    agg = cum.agg(
+        F.sum(F.col("__rn__") * mid).alias("__r1__"),
+        F.sum("__rn__").cast("double").alias("__n1__"),
+        F.sum("__cn__").cast("double").alias("__n2__"),
+        F.sum(tt * tt * tt - tt).alias("__ties__"),
+    )
+    n1, n2 = F.col("__n1__"), F.col("__n2__")
+    nn = n1 + n2
+    u = F.col("__r1__") - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * (
+        (nn + 1) - F.col("__ties__") / (nn * (nn - 1))
+    )
+    ok = (n1 > 0) & (n2 > 0)
+    return agg.select(
+        F.when(ok, u).alias("u"),
+        F.round(
+            F.when(ok & (var > 0), (u - n1 * n2 / 2.0) / F.sqrt(var)), 6
+        ).alias("z"),
+        n1.cast("bigint").alias("n_ref"),
+        n2.cast("bigint").alias("n_cur"),
+    )
+
+
+def chi2_association(sdf: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Association between two CATEGORICAL columns as a 1-row frame
+    ``(n, chi2, dof, cramers_v, mutual_info)`` — Pearson's chi-squared
+    independence statistic, Cramér's V (the [0,1]-normalized effect
+    size), and mutual information in nats.
+
+    The drift use: ``col_a`` = snapshot tag, ``col_b`` = a categorical
+    feature — chi2/V measure whether the category mix moved between
+    snapshots. The curation use: lang x domain, label x source — a
+    high V flags a confound before training.
+
+    Zero-expected cells never arise: the identity
+    ``chi2 = n * (sum_observed o^2/(r_a * c_b)) - n`` (and MI's
+    ``0 * log 0 = 0`` convention) means only OBSERVED contingency
+    cells are needed — no dense cross of the marginals. Scale shape:
+    ONE hash agg to the observed contingency cells, lazily
+    checkpointed so the raw table streams through once (marginals,
+    totals, and the joined statistic all re-read the cell frame) —
+    marginals are class-sized re-aggs broadcast back, the statistic
+    is one scalar agg.
+    """
+    base = sdf.select(
+        F.col(col_a).cast("string").alias("__a__"),
+        F.col(col_b).cast("string").alias("__b__"),
+    ).where(F.col("__a__").isNotNull() & F.col("__b__").isNotNull())
+    cont = (
+        base.groupBy("__a__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__o__"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cont.groupBy("__a__").agg(F.sum("__o__").alias("__ca__"))
+    cb = cont.groupBy("__b__").agg(F.sum("__o__").alias("__cb__"))
+    tot = cont.agg(
+        F.sum("__o__").alias("__n__"),
+        F.countDistinct("__a__").alias("__ka__"),
+        F.countDistinct("__b__").alias("__kb__"),
+    )
+    j = (
+        cont.join(F.broadcast(ra), "__a__")
+        .join(F.broadcast(cb), "__b__")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("__o__").cast("double")
+    ca, cbv = F.col("__ca__").cast("double"), F.col("__cb__").cast("double")
+    n = F.col("__n__").cast("double")
+    stats = j.agg(
+        F.max("__n__").cast("bigint").alias("n"),
+        (F.max(n) * F.sum(o * o / (ca * cbv)) - F.max(n)).alias("__chi2__"),
+        ((F.max("__ka__") - 1) * (F.max("__kb__") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.sum((o / n) * F.log(o * n / (ca * cbv))).alias("__mi__"),
+        F.least(F.max("__ka__") - 1, F.max("__kb__") - 1).alias("__mindim__"),
+    )
+    return stats.select(
+        "n",
+        F.round("__chi2__", 6).alias("chi2"),
+        "dof",
+        F.round(
+            F.when(
+                (F.col("__mindim__") > 0) & (F.col("n") > 0),
+                F.sqrt(
+                    F.greatest(F.col("__chi2__"), F.lit(0.0))
+                    / (F.col("n") * F.col("__mindim__"))
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round("__mi__", 6).alias("mutual_info"),
     )
 
 

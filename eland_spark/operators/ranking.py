@@ -36,6 +36,8 @@ __all__ = [
     "with_global_rolling_multi",
     "with_global_rolling_apply",
     "with_global_expanding_multi",
+    "with_global_rolling_quantile",
+    "spearman_corr",
 ]
 
 _POS_MASK = (1 << 33) - 1
@@ -981,4 +983,103 @@ def with_global_rolling_multi(
             out = out.withColumn(
                 f"{c}__rolling_{a}", F.when(cnt >= F.lit(mp), expr)
             )
+    return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
+
+
+def spearman_corr(
+    sdf: DataFrame,
+    x_col: str,
+    y_col: str,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two columns as a 1-row
+    frame ``(rho, n)`` — Pearson correlation of tie-averaged midranks
+    over pairwise-complete observations (rows where either side is
+    null are dropped, pandas ``Series.corr(method='spearman')``
+    semantics). ``rho`` is null when either side is constant.
+
+    Never ranks row data: the pair frame reduces to DISTINCT
+    (x, y)-pair counts in one hash aggregation (lazily checkpointed —
+    the raw table streams through once), each axis's midranks come
+    from a distinct-value count + the windowless bucket prefix-sum
+    pass, the midranks join back onto the pair-count frame, and rho is
+    ONE weighted-moment scalar aggregate. Midranks are centered by
+    their exact mean ``(n+1)/2`` (the centered weighted sums are
+    exactly zero), so ``rho = sxy / sqrt(sxx * syy)`` with no
+    large-magnitude cancellation.
+    """
+    pairs = sdf.select(
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+    ).where(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    pc = (
+        pairs.groupBy("__x__", "__y__")
+        .agg(F.count(F.lit(1)).alias("__w__"))
+        .localCheckpoint(eager=False)
+    )
+
+    def midranks(val_col, out_col):
+        per = pc.groupBy(val_col).agg(F.sum("__w__").alias("__n__"))
+        cum = with_global_cumsum(
+            per, [val_col], "__n__", out_col="__cum__", partitions=partitions
+        )
+        mid = (F.col("__cum__") - F.col("__n__")) + (F.col("__n__") + 1) / 2.0
+        return cum.select(val_col, mid.alias(out_col))
+
+    j = (
+        pc.join(midranks("__x__", "__rx__"), "__x__")
+        .join(midranks("__y__", "__ry__"), "__y__")
+    )
+    tot = pc.agg(F.sum("__w__").cast("double").alias("__nt__"))
+    jt = j.crossJoin(F.broadcast(tot))
+    c = (F.col("__nt__") + 1) / 2.0
+    dx, dy = F.col("__rx__") - c, F.col("__ry__") - c
+    w = F.col("__w__").cast("double")
+    agg = jt.agg(
+        F.sum(w * dx * dy).alias("__sxy__"),
+        F.sum(w * dx * dx).alias("__sxx__"),
+        F.sum(w * dy * dy).alias("__syy__"),
+        F.max("__nt__").alias("__n__"),
+    )
+    ok = (F.col("__sxx__") > 0) & (F.col("__syy__") > 0)
+    return agg.select(
+        F.when(
+            ok,
+            F.col("__sxy__") / F.sqrt(F.col("__sxx__") * F.col("__syy__")),
+        ).alias("rho"),
+        F.coalesce(F.col("__n__"), F.lit(0.0)).cast("bigint").alias("n"),
+    )
+
+
+def with_global_rolling_quantile(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    window: int,
+    q: float,
+    min_periods: "int | None" = None,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """pandas ``rolling(window).quantile(q, interpolation='linear')``
+    over the GLOBAL order — the exact linear-interpolated percentile of
+    each bounded trailing frame, on the same windowless bucketed padded
+    plan as :func:`with_global_rolling` (positions bucketed, the last
+    ``window-1`` rows replicated into the next bucket, ONE balanced
+    hash exchange). Spark's exact ``percentile`` aggregate interpolates
+    linearly between order statistics, which is pandas' default
+    ``interpolation='linear'``; nulls are skipped and ``min_periods``
+    gates on non-null observations in the frame. Adds
+    ``rolling_quantile``."""
+    if not 0.0 <= float(q) <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    mp = window if min_periods is None else min_periods
+    un, w = _bucketed_frame(sdf, order_by, window, partitions)
+    v = F.col(value_col).cast("double")
+    cnt = F.count(v).over(w)
+    expr = F.percentile(v, F.lit(float(q))).over(w)
+    out = un.withColumn(
+        "rolling_quantile", F.when(cnt >= F.lit(mp), expr)
+    )
     return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")

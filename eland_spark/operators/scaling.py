@@ -126,3 +126,40 @@ def robust_scale(
             expr = (F.col(c) - F.lit(med)) / F.lit(iqr)
         out = out.withColumn(c + suffix, expr.cast("double"))
     return out
+
+
+def rank_transform(
+    sdf: SparkDataFrame, col: str, suffix: str = "_q"
+) -> SparkDataFrame:
+    """Rank-based uniform quantile transform: each non-null value maps
+    to its tie-averaged midrank scaled into (0, 1] — ``midrank / n`` —
+    the exact, heavy-tail-robust feature normalization (the
+    order-statistics core of sklearn's QuantileTransformer with
+    uniform output; monotone, so downstream thresholds/buckets are
+    distribution-free). Nulls stay null. Adds ``col + suffix``.
+
+    Unlike the literal-projection scalers above, the fitted "statistic"
+    here is the whole value distribution — but it still never ranks
+    row data: one hash agg to DISTINCT-value counts, the windowless
+    bucket prefix-sum turns them into midranks, and a distinct-sized
+    join maps them back (the spearman_corr plan, applied to one
+    column)."""
+    from .ranking import with_global_cumsum
+
+    v = F.col(col).cast("double")
+    per = (
+        sdf.select(v.alias("__v__"))
+        .where(F.col("__v__").isNotNull())
+        .groupBy("__v__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    cum = with_global_cumsum(per, ["__v__"], "__n__", out_col="__cum__")
+    tot = per.agg(F.sum("__n__").cast("double").alias("__nt__"))
+    mid = (F.col("__cum__") - F.col("__n__")) + (F.col("__n__") + 1) / 2.0
+    ranks = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("__v__"),
+        (mid / F.col("__nt__")).alias(col + suffix),
+    )
+    return sdf.join(
+        ranks, v.eqNullSafe(F.col("__v__")), "left"
+    ).drop("__v__")

@@ -680,10 +680,24 @@ class Series:
         )
 
     def corr(self, other: "Series", method: str = "pearson"):
-        """Pearson correlation with another column of the SAME frame —
-        one scalar aggregate (F.corr), null pairs skipped like pandas."""
+        """Correlation with another column of the SAME frame, null
+        pairs skipped like pandas. ``method='pearson'`` is one scalar
+        aggregate (F.corr); ``method='spearman'`` is the exact
+        tie-averaged midrank correlation via the distinct-pair plan
+        (operators/ranking.spearman_corr — never ranks row data)."""
+        if method == "spearman":
+            from .operators.ranking import spearman_corr
+
+            pair = self._frame._sdf.select(
+                self._numeric_expr().alias("__x__"),
+                self._other(other).cast("double").alias("__y__"),
+            )
+            v = spearman_corr(pair, "__x__", "__y__").collect()[0]["rho"]
+            return float("nan") if v is None else float(v)
         if method != "pearson":
-            raise NotImplementedError("only pearson correlation is supported")
+            raise NotImplementedError(
+                "method must be 'pearson' or 'spearman'"
+            )
         return self._agg_scalar(
             F.corr(self._numeric_expr(), self._other(other).cast("double"))
         )
@@ -2625,6 +2639,45 @@ class _Rolling:
 
     def var(self):
         return self._run("var")
+
+    def quantile(self, q: float = 0.5, interpolation: str = "linear"):
+        """pandas ``rolling().quantile(q)`` — the exact
+        linear-interpolated percentile of each trailing window, on the
+        windowless bucketed plan
+        (operators/ranking.with_global_rolling_quantile). Only
+        pandas' default ``interpolation='linear'`` is supported (it is
+        what Spark's exact percentile aggregate computes)."""
+        if interpolation != "linear":
+            raise NotImplementedError(
+                "rolling().quantile supports interpolation='linear' only"
+            )
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rolling_quantile
+
+        base, icols = self._series._ordered_frame()
+        out = with_global_rolling_quantile(
+            base, icols, "__val__", self._window, q, self._min_periods
+        )
+        return EDF(
+            out.select(*icols, "rolling_quantile"), index_cols=tuple(icols)
+        )
+
+    def median(self):
+        """pandas ``rolling().median()`` — exact, via
+        ``quantile(0.5)``; column lands as ``rolling_median``."""
+        from .frame import DataFrame as EDF
+        from .operators.ranking import with_global_rolling_quantile
+
+        base, icols = self._series._ordered_frame()
+        out = with_global_rolling_quantile(
+            base, icols, "__val__", self._window, 0.5, self._min_periods
+        )
+        return EDF(
+            out.select(
+                *icols, F.col("rolling_quantile").alias("rolling_median")
+            ),
+            index_cols=tuple(icols),
+        )
 
     def _run_binary(self, other: "Series", metric: str):
         from .frame import DataFrame as EDF

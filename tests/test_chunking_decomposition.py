@@ -241,3 +241,28 @@ def test_remove_repeated_segments(spark):
         remove_repeated_segments(F.col("text"), r"\s+", " ").alias("t")
     ).collect()
     assert out2[0].t == "a b c d e"
+
+
+# --- rank_transform ---------------------------------------------------------
+
+def test_rank_transform_matches_pandas_pct_rank(spark):
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.scaling import rank_transform
+
+    rng = np.random.RandomState(29)
+    vals = rng.randint(0, 40, 250).astype(float)  # heavy ties
+    vals[rng.rand(250) < 0.1] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(250), "v": vals})
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    got = (
+        rank_transform(sdf, "v").toPandas()
+        .sort_values("k")["v_q"].to_numpy()
+    )
+    want = pdf["v"].rank(method="average", pct=True).to_numpy()
+    assert np.allclose(got, want, atol=1e-12, equal_nan=True)
+    # monotone: sorting by q must sort by v (on non-null rows)
+    m = ~np.isnan(vals)
+    order = np.argsort(got[m])
+    assert (np.diff(vals[m][order]) >= 0).all()

@@ -56,3 +56,186 @@ def test_bad_edges_raise(spark):
         drift_bins(a, a, "v", edges=[1, 1, 2])
     with pytest.raises(ValueError):
         drift_bins(a, a, "v", edges=[2, 1])
+
+
+# --- ks_statistic ----------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from eland_spark.operators.drift import chi2_association, ks_statistic  # noqa: E402
+
+
+def _ref_ks(a, b):
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    grid = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, grid, side="right") / len(a)
+    cb = np.searchsorted(b, grid, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
+def test_ks_matches_reference(spark):
+    rng = np.random.RandomState(5)
+    a = list(rng.normal(0, 1, 300).round(2))   # rounding -> value ties
+    b = list(rng.normal(0.4, 1.3, 200).round(2))
+    row = ks_statistic(_mk(spark, a), _mk(spark, b), "v").collect()[0]
+    assert row["ks"] == pytest.approx(_ref_ks(a, b), abs=1e-6)
+    assert row["n_ref"] == 300 and row["n_cur"] == 200
+
+
+def test_ks_identical_zero_disjoint_one(spark):
+    a = _mk(spark, [1.0, 2.0, 3.0] * 10)
+    assert ks_statistic(a, a, "v").collect()[0]["ks"] == 0.0
+    lo = _mk(spark, [1.0, 2.0, 3.0])
+    hi = _mk(spark, [10.0, 11.0])
+    assert ks_statistic(lo, hi, "v").collect()[0]["ks"] == 1.0
+
+
+def test_ks_drops_nulls(spark):
+    a = _mk(spark, [1.0, None, 2.0])
+    b = _mk(spark, [1.0, 2.0, None, None])
+    row = ks_statistic(a, b, "v").collect()[0]
+    assert row["n_ref"] == 2 and row["n_cur"] == 2 and row["ks"] == 0.0
+
+
+# --- chi2_association ------------------------------------------------------
+
+def _ref_chi2(a, b):
+    """Dense-contingency chi2/V/MI reference (includes zero cells)."""
+    import math
+    cats_a, cats_b = sorted(set(a)), sorted(set(b))
+    n = len(a)
+    obs = {(x, y): 0 for x in cats_a for y in cats_b}
+    for x, y in zip(a, b):
+        obs[(x, y)] += 1
+    ra = {x: sum(obs[(x, y)] for y in cats_b) for x in cats_a}
+    cb = {y: sum(obs[(x, y)] for x in cats_a) for y in cats_b}
+    chi2 = sum(
+        (obs[(x, y)] - ra[x] * cb[y] / n) ** 2 / (ra[x] * cb[y] / n)
+        for x in cats_a for y in cats_b
+    )
+    mi = sum(
+        (o / n) * math.log(o * n / (ra[x] * cb[y]))
+        for (x, y), o in obs.items() if o > 0
+    )
+    mindim = min(len(cats_a) - 1, len(cats_b) - 1)
+    v = math.sqrt(chi2 / (n * mindim)) if mindim > 0 else None
+    return chi2, (len(cats_a) - 1) * (len(cats_b) - 1), v, mi
+
+
+def test_chi2_matches_dense_reference(spark):
+    rng = np.random.RandomState(9)
+    a = [f"a{x}" for x in rng.randint(0, 5, 400)]
+    # dependent: b often tracks a, creating real association + zero cells
+    b = [
+        f"b{x[1]}" if rng.rand() < 0.5 else f"b{rng.randint(0, 3)}"
+        for x in a
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b}), schema="a string, b string"
+    )
+    row = chi2_association(sdf, "a", "b").collect()[0]
+    chi2, dof, v, mi = _ref_chi2(a, b)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert row["dof"] == dof and row["n"] == 400
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-6)
+    assert row["mutual_info"] == pytest.approx(mi, abs=1e-6)
+
+
+def test_chi2_independent_uniformish(spark):
+    # perfectly balanced independent columns -> chi2 == 0, MI == 0
+    a = ["x", "x", "y", "y"] * 25
+    b = ["u", "v", "u", "v"] * 25
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b}), schema="a string, b string"
+    )
+    row = chi2_association(sdf, "a", "b").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["mutual_info"] == pytest.approx(0.0, abs=1e-9)
+    assert row["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_chi2_constant_column_null_v(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": ["x"] * 6, "b": ["u", "v"] * 3}),
+        schema="a string, b string",
+    )
+    row = chi2_association(sdf, "a", "b").collect()[0]
+    assert row["dof"] == 0 and row["cramers_v"] is None
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+# --- welch_ttest -----------------------------------------------------------
+
+from eland_spark.operators.drift import mann_whitney_u, welch_ttest  # noqa: E402
+
+
+def test_welch_matches_reference(spark):
+    rng = np.random.RandomState(13)
+    a = list(rng.normal(10, 2, 250))
+    b = list(rng.normal(10.5, 3, 180))
+    row = welch_ttest(_mk(spark, a), _mk(spark, b), "v").collect()[0]
+    v1, v2 = np.var(a, ddof=1), np.var(b, ddof=1)
+    n1, n2 = len(a), len(b)
+    se = v1 / n1 + v2 / n2
+    want_t = (np.mean(a) - np.mean(b)) / np.sqrt(se)
+    want_df = se ** 2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert row["t"] == pytest.approx(want_t, abs=1e-5)
+    assert row["df"] == pytest.approx(want_df, rel=1e-6)
+    assert row["mean_ref"] == pytest.approx(np.mean(a), abs=1e-5)
+    assert row["n_ref"] == n1 and row["n_cur"] == n2
+
+
+def test_welch_degenerate_null(spark):
+    # single observation on one side, and both-constant inputs
+    row = welch_ttest(_mk(spark, [1.0]), _mk(spark, [2.0, 3.0]),
+                      "v").collect()[0]
+    assert row["t"] is None and row["df"] is None
+    row = welch_ttest(_mk(spark, [5.0] * 4), _mk(spark, [5.0] * 4),
+                      "v").collect()[0]
+    assert row["t"] is None  # zero pooled standard error
+
+
+# --- mann_whitney_u --------------------------------------------------------
+
+def _ref_mwu(a, b):
+    """Midrank U + tie-corrected z, pure python."""
+    vals = sorted(a + b)
+    # midrank per distinct value
+    mid, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = len(a), len(b)
+    r1 = sum(mid[x] for x in a)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    from collections import Counter
+    ties = sum(t ** 3 - t for t in Counter(vals).values())
+    nn = n1 + n2
+    var = (n1 * n2 / 12.0) * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (u - n1 * n2 / 2.0) / var ** 0.5 if var > 0 else None
+    return u, z
+
+
+def test_mwu_matches_reference_with_ties(spark):
+    rng = np.random.RandomState(17)
+    a = list(rng.randint(0, 12, 220).astype(float))  # heavy ties
+    b = list((rng.randint(0, 12, 160) + rng.rand(160).round()).astype(float))
+    row = mann_whitney_u(_mk(spark, a), _mk(spark, b), "v").collect()[0]
+    want_u, want_z = _ref_mwu(a, b)
+    assert row["u"] == pytest.approx(want_u, abs=1e-9)
+    assert row["z"] == pytest.approx(want_z, abs=1e-6)
+    assert row["n_ref"] == 220 and row["n_cur"] == 160
+
+
+def test_mwu_edges(spark):
+    # all values tied -> u defined, z null (zero variance)
+    row = mann_whitney_u(_mk(spark, [3.0] * 5), _mk(spark, [3.0] * 7),
+                         "v").collect()[0]
+    assert row["u"] == pytest.approx(5 * 7 / 2.0) and row["z"] is None
+    # disjoint, ref all larger: u = n1*n2
+    row = mann_whitney_u(_mk(spark, [10.0, 11.0]), _mk(spark, [1.0, 2.0, 3.0]),
+                         "v").collect()[0]
+    assert row["u"] == 6.0 and row["z"] > 0

@@ -72,3 +72,264 @@ def test_confusion_zero_denominators_null(spark):
                        threshold=0.5).collect()[0]
     assert row["precision"] is None and row["recall"] is None
     assert row["f1"] is None
+
+
+# --- ranking_metrics -------------------------------------------------------
+
+from eland_spark.operators.evaluation import (  # noqa: E402
+    calibration_bins,
+    cohens_kappa,
+    ranking_metrics,
+)
+
+
+def _ref_rank_metrics(rows, k):
+    """Pure-python nDCG/MRR/P@k/R@k reference over (q, rank, rel)."""
+    import math as m
+    by_q = {}
+    for q, r, rel in rows:
+        by_q.setdefault(q, []).append((r, rel))
+    out = {}
+    for q, items in by_q.items():
+        dcg = sum(
+            (2 ** rel - 1) / m.log2(r + 1) for r, rel in items if r <= k
+        )
+        ideal = sorted(items, key=lambda t: (-t[1], t[0]))
+        idcg = sum(
+            (2 ** rel - 1) / m.log2(i + 2)
+            for i, (_, rel) in enumerate(ideal)
+            if i + 2 <= k + 1 and rel > 0
+        )
+        rel_ranks = [r for r, rel in items if rel > 0 and r <= k]
+        nrel = sum(1 for _, rel in items if rel > 0)
+        out[q] = (
+            dcg / idcg if idcg > 0 else 0.0,
+            1.0 / min(rel_ranks) if rel_ranks else 0.0,
+            len(rel_ranks) / k,
+            len(rel_ranks) / nrel if nrel else 0.0,
+            nrel,
+        )
+    return out
+
+
+def test_ranking_metrics_matches_reference(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for q in range(6):
+        n = rng.randint(3, 25)
+        ranks = rng.permutation(n) + 1
+        rels = rng.randint(0, 3, n)  # graded 0/1/2
+        rows += [(f"q{q}", int(r), float(g)) for r, g in zip(ranks, rels)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q", "rank", "rel"]),
+        schema="q string, rank bigint, rel double",
+    )
+    got = {
+        r["q"]: (r["ndcg"], r["mrr"], r["precision_k"], r["recall_k"], r["n_rel"])
+        for r in ranking_metrics(sdf, "q", "rank", "rel", k=10).collect()
+    }
+    want = _ref_rank_metrics(rows, 10)
+    assert set(got) == set(want)
+    for q in want:
+        for g, w in zip(got[q], want[q]):
+            assert g == pytest.approx(w, abs=1e-6), q
+
+
+def test_ranking_metrics_edges(spark):
+    # no relevant items -> ndcg/mrr/recall 0; binary rel degrades to DCG
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"q": ["a", "a", "b"], "rank": [1, 2, 1],
+                      "rel": [0.0, 0.0, 1.0]}),
+        schema="q string, rank bigint, rel double",
+    )
+    rows = {r["q"]: r for r in
+            ranking_metrics(sdf, "q", "rank", "rel", k=5).collect()}
+    assert rows["a"]["ndcg"] == 0.0 and rows["a"]["mrr"] == 0.0
+    assert rows["a"]["recall_k"] == 0.0 and rows["a"]["n_rel"] == 0
+    assert rows["b"]["ndcg"] == 1.0 and rows["b"]["mrr"] == 1.0
+    with pytest.raises(ValueError):
+        ranking_metrics(sdf, "q", "rank", "rel", k=0)
+
+
+def test_ranking_metrics_relevant_beyond_k(spark):
+    # relevant item at rank 11 counts in n_rel/recall denominator only
+    rows = [("a", r, 1.0 if r in (1, 11) else 0.0) for r in range(1, 12)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q", "rank", "rel"]),
+        schema="q string, rank bigint, rel double",
+    )
+    r = ranking_metrics(sdf, "q", "rank", "rel", k=10).collect()[0]
+    assert r["n_rel"] == 2 and r["recall_k"] == 0.5
+    assert r["precision_k"] == pytest.approx(0.1)
+    assert r["mrr"] == 1.0
+
+
+# --- calibration_bins ------------------------------------------------------
+
+def test_calibration_matches_reference(spark):
+    rng = np.random.RandomState(11)
+    s = rng.rand(400)
+    y = (rng.rand(400) < s).astype(int)  # roughly calibrated
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"s": s, "y": y}), schema="s double, y int"
+    )
+    rows = calibration_bins(sdf, "s", "y", bins=10).collect()
+    bins = np.minimum((s * 10).astype(int), 9)
+    for r in rows:
+        m = bins == r["bin"]
+        assert r["n"] == int(m.sum())
+        assert r["confidence"] == pytest.approx(s[m].mean(), abs=1e-6)
+        assert r["accuracy"] == pytest.approx(y[m].mean(), abs=1e-6)
+        assert r["weight"] == pytest.approx(m.sum() / 400, abs=1e-6)
+    ece = sum(r["ece_term"] for r in rows)
+    want_ece = sum(
+        (bins == b).sum() / 400 * abs(y[bins == b].mean() - s[bins == b].mean())
+        for b in np.unique(bins)
+    )
+    assert ece == pytest.approx(want_ece, abs=1e-5)
+
+
+def test_calibration_drops_out_of_range_and_folds_top(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"s": [1.0, 0.95, -0.1, 1.5, None],
+                      "y": [1, 1, 0, 0, 1]}),
+        schema="s double, y int",
+    )
+    rows = calibration_bins(sdf, "s", "y", bins=10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 9 and rows[0]["n"] == 2
+    with pytest.raises(ValueError):
+        calibration_bins(sdf, "s", "y", bins=0)
+
+
+# --- cohens_kappa ----------------------------------------------------------
+
+def _ref_kappa(a, b):
+    n = len(a)
+    po = sum(1 for x, y in zip(a, b) if x == y) / n
+    pe = sum(
+        (a.count(c) / n) * (b.count(c) / n) for c in set(a) | set(b)
+    )
+    return (po - pe) / (1 - pe), po, pe
+
+
+def test_kappa_matches_reference(spark):
+    rng = np.random.RandomState(3)
+    a = [str(x) for x in rng.randint(0, 4, 300)]
+    b = [
+        x if rng.rand() < 0.6 else str(rng.randint(0, 4))
+        for x in a
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b}), schema="a string, b string"
+    )
+    row = cohens_kappa(sdf, "a", "b").collect()[0]
+    want_k, want_po, want_pe = _ref_kappa(a, b)
+    assert row["kappa"] == pytest.approx(want_k, abs=1e-6)
+    assert row["po"] == pytest.approx(want_po, abs=1e-6)
+    assert row["pe"] == pytest.approx(want_pe, abs=1e-6)
+    assert row["n"] == 300
+
+
+def test_kappa_constant_raters_null(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": ["x"] * 5, "b": ["x"] * 5}),
+        schema="a string, b string",
+    )
+    row = cohens_kappa(sdf, "a", "b").collect()[0]
+    assert row["kappa"] is None and row["pe"] == 1.0
+
+
+def test_kappa_disjoint_label_sets(spark):
+    # raters never agree and share no labels: pe = 0, kappa = po = 0
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y"], "b": ["u", "v"]}),
+        schema="a string, b string",
+    )
+    row = cohens_kappa(sdf, "a", "b").collect()[0]
+    assert row["kappa"] == 0.0 and row["pe"] == 0.0 and row["po"] == 0.0
+
+
+# --- spearman_corr ---------------------------------------------------------
+
+from eland_spark.operators.ranking import spearman_corr  # noqa: E402
+
+
+def test_spearman_matches_pandas(spark):
+    rng = np.random.RandomState(19)
+    x = rng.randint(0, 20, 300).astype(float)          # heavy ties
+    y = x * 2 + rng.normal(0, 5, 300).round(1)         # monotone-ish + ties
+    pdf = pd.DataFrame({"x": x, "y": y})
+    sdf = spark.createDataFrame(pdf, schema="x double, y double")
+    row = spearman_corr(sdf, "x", "y").collect()[0]
+    # rank-then-Pearson == Spearman (pandas' method='spearman' needs
+    # scipy, absent here; midrank + Pearson is the same definition)
+    want = pdf["x"].rank(method="average").corr(
+        pdf["y"].rank(method="average")
+    )
+    assert row["rho"] == pytest.approx(want, abs=1e-6)
+    assert row["n"] == 300
+
+
+def test_spearman_pairwise_complete_and_edges(spark):
+    pdf = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, None, 5.0],
+        "y": [2.0, 4.0, 6.0, 8.0, None],
+    })
+    sdf = spark.createDataFrame(pdf, schema="x double, y double")
+    row = spearman_corr(sdf, "x", "y").collect()[0]
+    assert row["rho"] == 1.0 and row["n"] == 3  # null rows dropped pairwise
+    # constant side -> null rho (pandas NaN)
+    const = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0]}),
+        schema="x double, y double",
+    )
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_spearman_perfect_inverse(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [9.0, 7.0, 5.0, 1.0]}),
+        schema="x double, y double",
+    )
+    assert spearman_corr(sdf, "x", "y").collect()[0]["rho"] == -1.0
+
+
+# --- rolling quantile/median ------------------------------------------------
+
+import eland_spark as es  # noqa: E402
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    rng = np.random.RandomState(23)
+    vals = rng.normal(100, 30, 400).round(2)
+    vals[rng.rand(400) < 0.08] = np.nan  # nulls inside windows
+    pdf = pd.DataFrame({"k": np.arange(400), "v": vals})
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf.astype({"k": "int64"})),
+        index_cols=("k",),
+    )
+    pdf = pdf.set_index("k")
+    got = (
+        edf["v"].rolling(7, min_periods=3).quantile(0.25)
+        .to_pandas()["rolling_quantile"].sort_index().to_numpy()
+    )
+    want = (
+        pdf["v"].rolling(7, min_periods=3).quantile(0.25)
+        .sort_index().to_numpy()
+    )
+    assert np.allclose(got, want, atol=1e-9, equal_nan=True)
+    med = (
+        edf["v"].rolling(5).median()
+        .to_pandas()["rolling_median"].sort_index().to_numpy()
+    )
+    want_med = pdf["v"].rolling(5).median().sort_index().to_numpy()
+    assert np.allclose(med, want_med, atol=1e-9, equal_nan=True)
+
+
+def test_rolling_quantile_validation(spark):
+    pdf = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    edf = es.DataFrame(spark.createDataFrame(pdf), index_cols=("k",))
+    with pytest.raises(ValueError):
+        edf["v"].rolling(3).quantile(1.5)
+    with pytest.raises(NotImplementedError):
+        edf["v"].rolling(3).quantile(0.5, interpolation="nearest")

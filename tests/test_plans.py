@@ -916,6 +916,29 @@ def test_round5_query_plan_pins(spark):
         "corpus_manifest": (2, 0),
         # the shared bucketed-padded rolling plan (rank + pad + frame)
         "rolling_corr": (3, 0),
+        # ONE query-keyed exchange: the groupBy reuses the ideal-rank
+        # window's hash partitioning
+        "rank_metrics": (1, 0),
+        # one bin agg (checkpointed); total rides a 1-row broadcast
+        "calibration": (1, 1),
+        # contingency cells checkpointed: po/marginals/pe all re-aggs
+        "cohens_kappa": (4, 2),
+        # per-value count aggs -> checkpointed join -> bucket prefix-sum
+        # -> scalar agg; snapshots stream through once
+        "drift_ks": (6, 1),
+        # cell agg checkpointed; marginals broadcast back; scalar agg
+        "assoc_lang_source": (5, 3),
+        # one moment agg per snapshot + the 1-row scalar join
+        "welch_ttest": (2, 1),
+        # same checkpointed distinct-value prefix-sum plan as drift_ks
+        "rank_sum_test": (6, 0),
+        # pair counts checkpointed; two midrank joins; one scalar agg —
+        # every exchange distinct-(pair|value)-sized, never row data
+        "spearman": (12, 0),
+        # the shared bucketed-padded rolling plan (rank + pad + frame)
+        "rolling_quantile": (3, 0),
+        # distinct-value counts + prefix-sum + one join back
+        "rank_uniform": (7, 1),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
