@@ -6945,6 +6945,147 @@ def _rolling_quantile_oracle_sql() -> str:
     """
 
 
+def q_groupby_rolling_quantile(spark, sf_dir) -> DataFrame:
+    """groupby().rolling().quantile(0.75): the exact linear-interpolated
+    percentile over each bounded per-group frame — ONE keyed window
+    (hash shuffle on the group key), Spark percentile == DuckDB
+    quantile_cont bit-for-bit (same interpolation formula)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby(
+        "o_orderstatus"
+    ).rolling(5, min_periods=2).quantile(0.75)
+    return out.to_spark().select(
+        "o_orderkey", F.col("o_totalprice").alias("price_q75")
+    )
+
+
+def _groupby_rolling_quantile_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CASE WHEN count(o_totalprice) OVER w >= 2
+                THEN quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75)
+                     OVER w
+           END AS price_q75
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_rolling_skew_kurt(spark, sf_dir) -> DataFrame:
+    """Series.rolling().skew()/.kurt() — pandas sample-adjusted G1/G2
+    per trailing window, both moments sharing ONE bucketed padded pass
+    (ranking.with_global_rolling with aggs=[skew, kurt]). Spark's
+    population window moments convert algebraically; DuckDB's
+    skewness/kurtosis are natively sample-adjusted, so the oracle uses
+    them directly (round 6 absorbs the different evaluation orders)."""
+    from eland_spark.operators.ranking import with_global_rolling
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    base = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    out = with_global_rolling(
+        base, ["o_orderkey"], "v", 7, ["skew", "kurt"], min_periods=4
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("rolling_skew", 6).alias("rolling_skew"),
+        F.round("rolling_kurt", 6).alias("rolling_kurt"),
+    )
+
+
+def _rolling_skew_kurt_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           round(CASE WHEN count(v) OVER w >= 4 THEN
+                      CASE WHEN min(v) OVER w = max(v) OVER w THEN 0.0
+                           WHEN var_pop(v) OVER w <= 1e-14 THEN NULL
+                           ELSE skewness(v) OVER w END END, 6)
+               AS rolling_skew,
+           round(CASE WHEN count(v) OVER w >= 4 THEN
+                      CASE WHEN min(v) OVER w = max(v) OVER w THEN -3.0
+                           WHEN var_pop(v) OVER w <= 1e-14 THEN NULL
+                           ELSE kurtosis(v) OVER w END END, 6)
+               AS rolling_kurt
+    FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_acf(spark, sf_dir) -> DataFrame:
+    """Autocorrelation function (timeseries.acf): lags 1..8 of
+    o_totalprice over the key order, ALL lags in one plan — one
+    global-rank pass, one join against the lag-exploded copy, one
+    lag-keyed corr agg."""
+    from eland_spark.operators.timeseries import acf
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    return acf(o, ["o_orderkey"], "o_totalprice", nlags=8)
+
+
+def _acf_oracle_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT row_number() OVER (ORDER BY o_orderkey) AS g,
+                   CAST(o_totalprice AS DOUBLE) AS v
+            FROM orders
+        ), l AS (
+            SELECT CAST(unnest(range(1, 9)) AS INT) AS lag
+        )
+        SELECT l.lag AS lag,
+               round(corr(a.v, b.v), 6) AS acf,
+               CAST(count(CASE WHEN a.v IS NOT NULL
+                                AND b.v IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n
+        FROM l JOIN r a ON true JOIN r b ON b.g = a.g - l.lag
+        GROUP BY l.lag
+    """
+
+
+def q_expanding_skew_kurt(spark, sf_dir) -> DataFrame:
+    """Series.expanding().skew()/.kurt() — pandas sample G1/G2 over the
+    running prefix, both from ONE windowless cumulative bucket pass
+    (ranking.with_global_expanding: centered cumulative power sums +
+    binomial-shift central moments). Oracle uses DuckDB's natively
+    sample-adjusted skewness/kurtosis over an unbounded-preceding
+    frame; round 6 absorbs the different evaluation orders."""
+    from eland_spark.operators.ranking import with_global_expanding
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    base = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("v")
+    )
+    out = with_global_expanding(
+        base, ["o_orderkey"], "v", ["skew", "kurt"], min_periods=1
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("expanding_skew", 6).alias("expanding_skew"),
+        F.round("expanding_kurt", 6).alias("expanding_kurt"),
+    )
+
+
+def _expanding_skew_kurt_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           round(CASE WHEN count(v) OVER w >= 3 THEN
+                      CASE WHEN min(v) OVER w = max(v) OVER w THEN 0.0
+                           WHEN var_pop(v) OVER w <= 1e-14 THEN NULL
+                           ELSE skewness(v) OVER w END END, 6)
+               AS expanding_skew,
+           round(CASE WHEN count(v) OVER w >= 4 THEN
+                      CASE WHEN min(v) OVER w = max(v) OVER w THEN -3.0
+                           WHEN var_pop(v) OVER w <= 1e-14 THEN NULL
+                           ELSE kurtosis(v) OVER w END END, 6)
+               AS expanding_kurt
+    FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+    WINDOW w AS (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
 def q_rank_uniform(spark, sf_dir) -> DataFrame:
     """Rank-based uniform quantile transform (scaling.rank_transform):
     o_totalprice -> tie-averaged midrank / n in (0, 1] — one distinct-
@@ -7384,6 +7525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "rolling_quantile": q_rolling_quantile,
         "rank_uniform": q_rank_uniform,
+        "groupby_rolling_quantile": q_groupby_rolling_quantile,
+        "rolling_skew_kurt": q_rolling_skew_kurt,
+        "acf": q_acf,
+        "expanding_skew_kurt": q_expanding_skew_kurt,
     }
 
 
@@ -9637,4 +9782,8 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _spearman_oracle_sql(),
         "rolling_quantile": _rolling_quantile_oracle_sql(),
         "rank_uniform": _rank_uniform_oracle_sql(),
+        "groupby_rolling_quantile": _groupby_rolling_quantile_oracle_sql(),
+        "rolling_skew_kurt": _rolling_skew_kurt_oracle_sql(),
+        "acf": _acf_oracle_sql(),
+        "expanding_skew_kurt": _expanding_skew_kurt_oracle_sql(),
     }

@@ -141,6 +141,14 @@ HEADLINE = [
     "spearman",
     # rank->uniform transform: distinct counts + prefix-sum + join back
     "rank_uniform",
+    # windowed sample moments on the shared bucketed padded pass
+    "rolling_skew_kurt",
+    # exact keyed-window percentile
+    "groupby_rolling_quantile",
+    # running central moments: rank pass + one shared-Window exchange
+    "expanding_skew_kurt",
+    # one rank pass + one lag-exploded join + one k-keyed corr agg
+    "acf",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -1169,6 +1169,59 @@ class _GroupRolling:
     def var(self):
         return self._run("var")
 
+    def quantile(self, q: float = 0.5, interpolation: str = "linear"):
+        """pandas ``groupby().rolling().quantile(q)`` (and, with
+        ``window=None``, the expanding twin): the exact
+        linear-interpolated percentile of each bounded per-group frame
+        — Spark's ``percentile`` aggregate over the SAME keyed window
+        as the other aggs (one hash shuffle on the group keys), which
+        interpolates lower + (higher-lower)*frac exactly like pandas'
+        default ``interpolation='linear'``."""
+        if interpolation != "linear":
+            raise NotImplementedError(
+                "rolling().quantile supports interpolation='linear' only"
+            )
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        from pyspark.sql import Window
+
+        gb = self._gb
+        w, schema, icols = gb._ordered_window()
+        lo = (
+            Window.unboundedPreceding
+            if self._window is None
+            else -(self._window - 1)
+        )
+        wf = w.rowsBetween(lo, Window.currentRow)
+        index_cols = set(icols)
+        fields = [
+            f
+            for f in gb._agg_fields(True, "quantile")
+            if f.is_numeric and f.display_name not in index_cols
+        ]
+        if not fields:
+            raise ValueError("no agg-compatible columns")
+        keys_ok = gb._null_keys_guard(schema)
+        out_cols = [F.col(schema.resolve_any(ic)).alias(ic) for ic in icols]
+        for f in fields:
+            c = F.col(f.column_name).cast("double")
+            cnt = F.count(c).over(wf)
+            expr = F.when(
+                cnt >= F.lit(self._mp),
+                F.percentile(c, F.lit(float(q))).over(wf),
+            )
+            if keys_ok is not None:
+                expr = F.when(keys_ok, expr)
+            out_cols.append(expr.alias(f.display_name))
+        return DataFrame(
+            gb._frame._sdf.select(*out_cols), index_cols=tuple(icols)
+        )
+
+    def median(self):
+        """pandas ``groupby().rolling().median()`` — exact, via
+        ``quantile(0.5)``."""
+        return self.quantile(0.5)
+
     def apply(self, fn, raw: bool = False) -> DataFrame:
         """pandas ``groupby().rolling().apply(fn)`` (and, with
         ``window=None``, ``groupby().expanding().apply``): arbitrary

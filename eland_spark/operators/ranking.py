@@ -204,9 +204,9 @@ def _global_cumaggs(
         # preceding total are absent from the map (null lookup, skipped
         # by greatest/least)
         offsets: dict[int, object] = {}
+        sum_family = ("sum", "count", "sumsq", "sumsh")
         acc: object = (
-            0 if a in ("sum", "count", "sumsq", "sumsh") else
-            1.0 if a == "prod" else None
+            0 if a in sum_family else 1.0 if a == "prod" else None
         )
         for r in totals:
             if acc is not None:
@@ -214,7 +214,7 @@ def _global_cumaggs(
             t = r[f"__t_{a}__"]
             if t is None:
                 continue
-            if a in ("sum", "count", "sumsq", "sumsh"):
+            if a in sum_family:
                 acc = acc + t
             elif a == "prod":
                 acc = acc * t
@@ -226,7 +226,7 @@ def _global_cumaggs(
             off_map = F.create_map(
                 *[F.lit(v) for kv in offsets.items() for v in kv]
             )
-            if a in ("sum", "count", "sumsq", "sumsh"):
+            if a in sum_family:
                 # within is NULL when the bucket prefix holds no
                 # observations — the carry must still flow through
                 run = F.coalesce(off_map[bucket], F.lit(0)) + F.coalesce(
@@ -244,6 +244,186 @@ def _global_cumaggs(
             run = within
         out = out.withColumn(f"__cum_{a}__", run)
     return out  # __g__ retained — callers drop it
+
+
+def _combine_moments(na, ma, m2a, m3a, m4a, nb, mb, m2b, m3b, m4b):
+    """Exact pairwise central-moment combination (Pébay 2008) — the
+    driver-side prefix fold for :func:`_global_cummoments`."""
+    n = na + nb
+    if n == 0:
+        return 0.0, 0.0, 0.0, 0.0, 0.0
+    d = mb - ma
+    mean = ma + d * nb / n
+    m2 = m2a + m2b + d * d * na * nb / n
+    m3 = (
+        m3a + m3b
+        + d ** 3 * na * nb * (na - nb) / (n * n)
+        + 3.0 * d * (na * m2b - nb * m2a) / n
+    )
+    m4 = (
+        m4a + m4b
+        + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / (n ** 3)
+        + 6.0 * d * d * (na * na * m2b + nb * nb * m2a) / (n * n)
+        + 4.0 * d * (na * m3b - nb * m3a) / n
+    )
+    return n, mean, m2, m3, m4
+
+
+def _global_cummoments(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-row RUNNING central moments over the global order —
+    ``__cum_n__ / __cum_mean__ / __cum_m2__ / __cum_m3__ / __cum_m4__``
+    (expanding skew/kurt's engine). The within-bucket running moments
+    come from Spark's numerically stable builtin window aggregates
+    (avg/var_pop/skewness/kurtosis, inverted back to raw central
+    moments); the cross-bucket carry is the EXACT pairwise
+    moment-combination algebra (Pébay 2008, the same math Spark's own
+    aggregate merge uses), prefix-folded over per-bucket totals on the
+    driver and folded back as map literals. This keeps every prefix as
+    accurate as a direct two-pass computation — a single global
+    centering (the sumsq/sumsh trick that suffices for variance)
+    catastrophically cancels the THIRD moment of heavy-tailed data
+    whose prefix mean sits far from the global mean.
+
+    Null values carry the run forward (pandas skipna); ``|x| < 1e-30``
+    flushes to 0 so the builtin moment aggs' final division cannot
+    throw on subnormal underflow under ANSI (affected prefixes are
+    all-equal-after-flush and land in callers' m2<=0 branches)."""
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = with_global_rank(
+        sdf, order_by, rank_col="__g__", partitions=n_parts
+    )
+    total = ranked.count()
+    bucket_size = max(1, math.ceil(total / n_parts))
+    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v0 = F.col(value_col).cast("double")
+    v = F.when(F.abs(v0) < 1e-30, F.lit(0.0)).otherwise(v0)
+
+    def raw_moments(nb, m2, sk, kt):
+        """(M3, M4) from population skewness/kurtosis + M2 + n."""
+        m3 = F.when(m2 > 0, sk * m2 * F.sqrt(m2) / F.sqrt(nb)).otherwise(
+            F.lit(0.0)
+        )
+        m4 = F.when(m2 > 0, (kt + 3.0) * m2 * m2 / nb).otherwise(F.lit(0.0))
+        return m3, m4
+
+    nb = F.count(v).over(w).cast("double")
+    mb = F.coalesce(F.avg(v).over(w), F.lit(0.0))
+    m2b = F.coalesce(F.var_pop(v).over(w), F.lit(0.0)) * nb
+    m3b, m4b = raw_moments(
+        nb, m2b, F.skewness(v).over(w), F.kurtosis(v).over(w)
+    )
+    vminb, vmaxb = F.min(v0).over(w), F.max(v0).over(w)
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"))
+        .agg(
+            F.count(v).alias("n"),
+            F.avg(v).alias("m"),
+            F.var_pop(v).alias("vp"),
+            F.skewness(v).alias("sk"),
+            F.kurtosis(v).alias("kt"),
+            F.min(v0).alias("vmin"),
+            F.max(v0).alias("vmax"),
+        )
+        .orderBy("__b__")
+        .collect()
+    )
+    offsets: dict[int, tuple] = {}
+    minmax: dict[int, tuple] = {}
+    acc = (0.0, 0.0, 0.0, 0.0, 0.0)
+    accmin = accmax = None
+    for r in totals:
+        offsets[r["__b__"]] = acc
+        minmax[r["__b__"]] = (accmin, accmax)
+        bn = float(r["n"] or 0)
+        if r["vmin"] is not None:
+            accmin = r["vmin"] if accmin is None else min(accmin, r["vmin"])
+            accmax = r["vmax"] if accmax is None else max(accmax, r["vmax"])
+        if bn == 0:
+            continue
+        bm = float(r["m"])
+        bm2 = float(r["vp"] or 0.0) * bn
+        if bm2 > 0 and r["sk"] is not None and not math.isnan(r["sk"]):
+            bm3 = r["sk"] * bm2 ** 1.5 / bn ** 0.5
+        else:
+            bm3 = 0.0
+        if bm2 > 0 and r["kt"] is not None and not math.isnan(r["kt"]):
+            bm4 = (r["kt"] + 3.0) * bm2 * bm2 / bn
+        else:
+            bm4 = 0.0
+        acc = _combine_moments(*acc, bn, bm, bm2, bm3, bm4)
+    if offsets:
+        maps = [
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for b, vals in offsets.items()
+                    for x in (b, vals[i])
+                ]
+            )
+            for i in range(5)
+        ]
+        na = F.coalesce(maps[0][bucket], F.lit(0.0))
+        ma = F.coalesce(maps[1][bucket], F.lit(0.0))
+        m2a = F.coalesce(maps[2][bucket], F.lit(0.0))
+        m3a = F.coalesce(maps[3][bucket], F.lit(0.0))
+        m4a = F.coalesce(maps[4][bucket], F.lit(0.0))
+        minmap = F.create_map(
+            *[F.lit(x) for b, mm in minmax.items() for x in (b, mm[0])]
+        )
+        maxmap = F.create_map(
+            *[F.lit(x) for b, mm in minmax.items() for x in (b, mm[1])]
+        )
+        vmin = F.least(minmap[bucket], vminb)
+        vmax = F.greatest(maxmap[bucket], vmaxb)
+    else:
+        na = ma = m2a = m3a = m4a = F.lit(0.0)
+        vmin, vmax = vminb, vmaxb
+    # the same pairwise algebra as _combine_moments, as Column exprs;
+    # na == 0 and nb == 0 reduce to the other side exactly (every
+    # cross term carries a vanishing factor). ALL columns land in ONE
+    # select: separate withColumn layers would each plan their own
+    # Window node (Exchange+Sort per layer — measured 6x); a single
+    # projection extracts every window function into one Window
+    # operator that dedups the shared aggregates.
+    n = na + nb
+    d = mb - ma
+    mean = F.when(n > 0, ma + d * nb / n)
+    m2 = F.when(n > 0, m2a + m2b + d * d * na * nb / n)
+    m3 = F.when(
+        n > 0,
+        m3a + m3b
+        + d * d * d * na * nb * (na - nb) / (n * n)
+        + 3.0 * d * (na * m2b - nb * m2a) / n,
+    )
+    m4 = F.when(
+        n > 0,
+        m4a + m4b
+        + d * d * d * d * na * nb * (na * na - na * nb + nb * nb)
+        / (n * n * n)
+        + 6.0 * d * d * (na * na * m2b + nb * nb * m2a) / (n * n)
+        + 4.0 * d * (na * m3b - nb * m3a) / n,
+    )
+    return ranked.select(
+        "*",
+        n.alias("__cum_n__"),
+        mean.alias("__cum_mean__"),
+        m2.alias("__cum_m2__"),
+        m3.alias("__cum_m3__"),
+        m4.alias("__cum_m4__"),
+        vmin.alias("__cum_vmin__"),
+        vmax.alias("__cum_vmax__"),
+    )
 
 
 def with_global_cumagg(
@@ -278,8 +458,8 @@ def with_global_expanding(
     null semantics: every row (null values included) carries the
     running value, masked null until ``min_periods`` NON-NULL
     observations have been seen. ``aggs`` from
-    sum/mean/min/max/count/std/var; mean = running sum / running
-    count; std/var derive from the running (shifted-sum,
+    sum/mean/min/max/count/std/var/skew/kurt; mean = running sum /
+    running count; std/var derive from the running (shifted-sum,
     shifted-sum-of-squares, count) moments, where the shift is the
     column's GLOBAL mean (one extra scalar agg, computed only when
     std/var is requested): variance is shift invariant, and centering
@@ -287,8 +467,23 @@ def with_global_expanding(
     numerically stable for large-magnitude data and overflow-free for
     integer inputs (both moments are double-cast before squaring) —
     sample (n-1) semantics, negative rounding dust
-    clamped at zero, null until two observations like pandas. Adds one
-    ``expanding_<agg>`` column per agg."""
+    clamped at zero, null until two observations like pandas. skew/
+    kurt extend the same discipline to the centered cube/quartic sums
+    (pandas sample G1/G2; <3/<4 observations null, all-equal prefixes
+    0.0 / -3.0 — the pandas ROLLING cython path, which expanding()
+    shares; NOTE pandas' whole-Series kurt of a constant returns 0.0
+    instead — each pandas code path is mirrored where it's used). Adds
+    one ``expanding_<agg>`` column per agg."""
+    moment_aggs = [a for a in aggs if a in ("skew", "kurt")]
+    if moment_aggs:
+        if len(moment_aggs) != len(aggs):
+            raise ValueError(
+                "skew/kurt run on the running-moment plan and cannot "
+                "mix with other expanding aggs in one call"
+            )
+        return _expanding_moments(
+            sdf, order_by, value_col, aggs, min_periods, partitions
+        )
     base_aggs = {"count"}
     for a in aggs:
         if a not in ("sum", "mean", "min", "max", "count", "std", "var"):
@@ -330,6 +525,55 @@ def with_global_expanding(
             expr = F.when(ok & (seen >= 2), v)
         else:
             expr = F.when(ok, F.col(f"__cum_{a}__"))
+        out = out.withColumn(f"expanding_{a}", expr)
+    return out.drop(
+        "__g__", *[c for c in out.columns if c.startswith("__cum_")]
+    )
+
+
+def _expanding_moments(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    aggs: list[str],
+    min_periods: int,
+    partitions: int | None,
+) -> DataFrame:
+    """expanding ``skew``/``kurt`` over :func:`_global_cummoments`'s
+    running central moments — pandas sample G1/G2 with the pandas
+    ROLLING cython-path edge semantics (expanding() shares it): fewer
+    than 3/4 observations -> null regardless of min_periods; an
+    all-equal prefix (num_consecutive_same_value in pandas; exact
+    running min == max here) -> 0.0 / -3.0; otherwise a population
+    variance at or below pandas' absolute 1e-14 guard -> null (the
+    moment ratio is rounding noise there, GH 42064)."""
+    out = _global_cummoments(sdf, order_by, value_col, partitions)
+    n = F.col("__cum_n__")
+    m2 = F.col("__cum_m2__")
+    const = F.col("__cum_vmin__") == F.col("__cum_vmax__")
+    noise = (m2 / n) <= F.lit(1e-14)
+    ok = n >= F.lit(min_periods)
+    for a in aggs:
+        if a == "skew":
+            g1 = (
+                (n * F.sqrt(n - 1) / (n - 2))
+                * F.col("__cum_m3__") / (m2 * F.sqrt(m2))
+            )
+            expr = F.when(
+                ok & (n >= 3),
+                F.when(const, F.lit(0.0))
+                .when(noise, F.lit(None).cast("double"))
+                .otherwise(g1),
+            )
+        else:
+            g2 = n * F.col("__cum_m4__") / (m2 * m2) - 3.0
+            big = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+            expr = F.when(
+                ok & (n >= 4),
+                F.when(const, F.lit(-3.0))
+                .when(noise, F.lit(None).cast("double"))
+                .otherwise(big),
+            )
         out = out.withColumn(f"expanding_{a}", expr)
     return out.drop(
         "__g__", *[c for c in out.columns if c.startswith("__cum_")]
@@ -398,16 +642,27 @@ def with_global_rolling(
     observations are inside the frame.
 
     Returns the frame plus one ``rolling_<agg>`` column per agg in
-    ``aggs`` (sum/mean/min/max/count/std/var — std/var are sample
-    (n-1) semantics via Spark's stddev_samp/var_samp, whose internal
-    merge is already numerically stable)."""
+    ``aggs`` (sum/mean/min/max/count/std/var/skew/kurt — std/var are
+    sample (n-1) semantics via Spark's stddev_samp/var_samp, whose
+    internal merge is numerically stable; skew/kurt are pandas'
+    sample-adjusted G1/G2, converted algebraically from Spark's
+    population window moments and mirroring pandas roll_skew/roll_kurt
+    edge semantics: fewer than 3 (skew) / 4 (kurt) observations ->
+    null regardless of min_periods, an all-equal window -> 0.0 (skew)
+    / -3.0 (kurt) — NOTE this differs from pandas' own whole-Series
+    kurt, which returns 0.0 for constants; we mirror each pandas code
+    path where it's used)."""
     fn_map = {
         "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
         "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
     }
-    bad = [a for a in aggs if a not in fn_map]
+    moments = ("skew", "kurt")
+    bad = [a for a in aggs if a not in fn_map and a not in moments]
     if bad:
-        raise ValueError(f"unsupported rolling aggs {bad}; one of {sorted(fn_map)}")
+        raise ValueError(
+            f"unsupported rolling aggs {bad}; one of "
+            f"{sorted([*fn_map, *moments])}"
+        )
     if window < 1:
         raise ValueError("window must be >= 1")
     mp = window if min_periods is None else min_periods
@@ -415,10 +670,47 @@ def with_global_rolling(
     cnt = F.count(F.col(value_col)).over(w)
     out = un
     for a in aggs:
-        expr = fn_map[a](F.col(value_col)).over(w)
-        out = out.withColumn(
-            f"rolling_{a}", F.when(cnt >= F.lit(mp), expr)
-        )
+        if a in moments:
+            col = F.col(value_col).cast("double")
+            # |x| < 1e-30 flushes to 0: under ANSI the builtin moment
+            # aggs' final division throws when the central-moment power
+            # UNDERFLOWS (subnormal-magnitude data only); affected
+            # windows all land in the all-equal branch anyway
+            flushed = F.when(F.abs(col) < 1e-30, F.lit(0.0)).otherwise(col)
+            n = cnt.cast("double")
+            const = F.min(col).over(w) == F.max(col).over(w)
+            # pandas roll_skew/roll_kurt order of guards: exact
+            # all-equal window -> 0.0 / -3.0; else population variance
+            # at or below the absolute 1e-14 guard -> NaN (GH 42064)
+            noise = F.var_pop(flushed).over(w) <= F.lit(1e-14)
+            null_d = F.lit(None).cast("double")
+            if a == "skew":
+                conv = (
+                    F.sqrt(n * (n - 1)) / (n - 2)
+                    * F.skewness(flushed).over(w)
+                )
+                expr = F.when(
+                    cnt >= F.lit(max(mp, 3)),
+                    F.when(const, F.lit(0.0))
+                    .when(noise, null_d)
+                    .otherwise(conv),
+                )
+            else:
+                g2 = F.kurtosis(flushed).over(w)
+                conv = (
+                    ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+                )
+                expr = F.when(
+                    cnt >= F.lit(max(mp, 4)),
+                    F.when(const, F.lit(-3.0))
+                    .when(noise, null_d)
+                    .otherwise(conv),
+                )
+        else:
+            expr = F.when(
+                cnt >= F.lit(mp), fn_map[a](F.col(value_col)).over(w)
+            )
+        out = out.withColumn(f"rolling_{a}", expr)
     return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 

@@ -341,3 +341,51 @@ def counter_rate(
         F.round(inc_r / F.lit(float(bucket_seconds)), 6)
         .alias("rate_per_sec"),
     )
+
+
+def acf(
+    sdf: DataFrame,
+    order_by: "list[str | Column]",
+    value_col: str,
+    nlags: int = 10,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Autocorrelation function over the GLOBAL order: one row per lag
+    ``k = 1..nlags`` with ``(lag, acf, n)`` — ``acf`` is pandas
+    ``Series.autocorr(k)`` (Pearson of the series against its k-step
+    predecessor on pairwise-complete observations), ``n`` the complete
+    pair count. The seasonality/memory diagnostic before choosing a
+    rolling window or a resample grain.
+
+    ALL lags evaluate in ONE plan: one global-rank pass (windowless
+    range-sort, operators/ranking), the ranked frame joined ONCE
+    against a lag-exploded copy (each row emits its value at positions
+    g+1..g+nlags — K x n rows, bounded by the lag budget), and one
+    lag-keyed corr aggregate (k rows out). Never a single-partition
+    window, never nlags separate scans.
+    """
+    from .ranking import with_global_rank
+
+    if nlags < 1:
+        raise ValueError("nlags must be >= 1")
+    ranked = with_global_rank(
+        sdf.select(
+            *[c if not isinstance(c, str) else F.col(c) for c in order_by],
+            F.col(value_col).cast("double").alias("__v__"),
+        ),
+        order_by,
+        rank_col="__g__",
+        partitions=partitions,
+    ).select("__g__", "__v__")
+    lags = F.array(*[F.lit(k) for k in range(1, nlags + 1)])
+    src = ranked.select(
+        F.col("__v__").alias("__prev__"),
+        F.explode(lags).alias("lag"),
+        F.col("__g__").alias("__gs__"),
+    ).select((F.col("__gs__") + F.col("lag")).alias("__g__"), "lag", "__prev__")
+    j = ranked.join(src, "__g__")
+    both = F.col("__v__").isNotNull() & F.col("__prev__").isNotNull()
+    return j.groupBy("lag").agg(
+        F.round(F.corr("__v__", "__prev__"), 6).alias("acf"),
+        F.count(F.when(both, F.lit(1))).cast("bigint").alias("n"),
+    )

@@ -2640,6 +2640,18 @@ class _Rolling:
     def var(self):
         return self._run("var")
 
+    def skew(self):
+        """pandas ``rolling().skew()`` — sample-adjusted G1 per
+        window (needs >= 3 observations; all-equal windows give 0.0,
+        mirroring pandas roll_skew)."""
+        return self._run("skew")
+
+    def kurt(self):
+        """pandas ``rolling().kurt()`` — sample-adjusted excess G2 per
+        window (needs >= 4 observations; all-equal windows give -3.0,
+        mirroring pandas roll_kurt)."""
+        return self._run("kurt")
+
     def quantile(self, q: float = 0.5, interpolation: str = "linear"):
         """pandas ``rolling().quantile(q)`` — the exact
         linear-interpolated percentile of each trailing window, on the
@@ -2777,6 +2789,18 @@ class _Expanding:
 
     def var(self):
         return self._run("var")
+
+    def skew(self):
+        """pandas ``expanding().skew()`` — sample-adjusted G1 over the
+        running prefix (needs >= 3 observations; all-equal prefixes
+        give 0.0, the pandas rolling-path convention)."""
+        return self._run("skew")
+
+    def kurt(self):
+        """pandas ``expanding().kurt()`` — sample-adjusted excess G2
+        over the running prefix (needs >= 4 observations; all-equal
+        prefixes give -3.0, the pandas rolling-path convention)."""
+        return self._run("kurt")
 
     def count(self):
         return self._run("count")

@@ -361,6 +361,59 @@ def read_cms(spark, path: str, by=()) -> DataFrame:
     return cms_rollup(df, by=list(by))
 
 
+def stream_mg_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    by=(),
+    k: int = 64,
+    timeout_sec: int = 120,
+):
+    """Maintain per-group Misra-Gries heavy-hitter sketches over a
+    stream — continuous "what are the frequent items so far"
+    monitoring, completing the sketch-streaming matrix (Bloom/KMV/CMS/
+    bottom-k share the contract): each micro-batch writes its own
+    <=k-entry sketch under ``<path>/batch=<id>/`` (idempotent in
+    batch_id), and :func:`read_mg` merges at read time by counter
+    addition + re-compression — the classic mergeable-summaries MG
+    merge (Agarwal et al. 2012), which keeps the union guarantee
+    (every item with true frequency > n/(k+1) present, undercount
+    bounded) and is EXACT — identical to a from-scratch sketch — while
+    total distinct items stay <= k."""
+    from ..operators.sketches import mg_sketches
+
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = mg_sketches(batch_df, value_col, by, k)
+        sk.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_mg(spark, path: str, by=(), k: int = 64) -> DataFrame:
+    """Merge-on-read over a :func:`stream_mg_update` directory: explode
+    every batch sketch, sum per item, re-compress to <=k entries
+    (operators/sketches.mg_rollup) — ready for
+    ``operators/sketches.mg_items``."""
+    import glob as _glob
+    import os as _os
+
+    from ..operators.sketches import mg_rollup
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return mg_rollup(df, by=list(by), k=k)
+
+
 def stream_drift_update(
     stream_sdf: DataFrame,
     path: str,

@@ -333,3 +333,56 @@ def test_rolling_quantile_validation(spark):
         edf["v"].rolling(3).quantile(1.5)
     with pytest.raises(NotImplementedError):
         edf["v"].rolling(3).quantile(0.5, interpolation="nearest")
+
+
+def test_groupby_rolling_quantile_matches_pandas(spark):
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({
+        "k": np.arange(200),
+        "g": rng.choice(["a", "b", "c"], 200),
+        "v": rng.normal(50, 10, 200).round(2),
+    })
+    pdf.loc[rng.rand(200) < 0.07, "v"] = np.nan
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf.astype({"k": "int64"})), index_cols=("k",)
+    )
+    got = (
+        edf[["g", "v"]].groupby("g").rolling(4, min_periods=2).quantile(0.3)
+        .to_pandas().sort_index()["v"].to_numpy()
+    )
+    want = (
+        pdf.set_index("k").groupby("g")["v"]
+        .rolling(4, min_periods=2).quantile(0.3)
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    assert np.allclose(got, want, atol=1e-9, equal_nan=True)
+    # expanding twin (window=None)
+    got_m = (
+        edf[["g", "v"]].groupby("g").expanding(min_periods=2).median()
+        .to_pandas().sort_index()["v"].to_numpy()
+    )
+    want_m = (
+        pdf.set_index("k").groupby("g")["v"].expanding(min_periods=2)
+        .median().reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    assert np.allclose(got_m, want_m, atol=1e-9, equal_nan=True)
+
+
+def test_acf_matches_pandas_autocorr(spark):
+    from eland_spark.operators.timeseries import acf
+
+    rng = np.random.RandomState(37)
+    vals = np.cumsum(rng.normal(0, 1, 300))  # strong positive memory
+    vals[rng.rand(300) < 0.05] = np.nan
+    pdf = pd.DataFrame({"k": np.arange(300), "v": vals})
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    got = {r["lag"]: (r["acf"], r["n"])
+           for r in acf(sdf, ["k"], "v", nlags=5).collect()}
+    s = pdf.set_index("k")["v"]
+    for k in range(1, 6):
+        want = s.autocorr(k)
+        pairs = (s.notna() & s.shift(k).notna()).sum()
+        assert got[k][0] == pytest.approx(want, abs=1e-6), k
+        assert got[k][1] == pairs, k
+    with pytest.raises(ValueError):
+        acf(sdf, ["k"], "v", nlags=0)

@@ -939,6 +939,15 @@ def test_round5_query_plan_pins(spark):
         "rolling_quantile": (3, 0),
         # distinct-value counts + prefix-sum + one join back
         "rank_uniform": (7, 1),
+        # one keyed window exchange
+        "groupby_rolling_quantile": (1, 0),
+        # both moments share the one bucketed padded pass
+        "rolling_skew_kurt": (3, 0),
+        # one rank pass + one lag join + one k-keyed agg
+        "acf": (3, 0),
+        # one range-rank exchange + the single shared-Window bucket
+        # exchange; totals collect is bucket-count-sized
+        "expanding_skew_kurt": (3, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)

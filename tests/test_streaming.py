@@ -1027,3 +1027,61 @@ def test_stream_drift_update_matches_from_scratch(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert merged == want and sum(want.values()) > 0
+
+
+def test_stream_mg_update_matches_from_scratch(spark, tmp_path):
+    """Two micro-batches folded into per-batch Misra-Gries sketches
+    must merge (sum + re-compress) to exactly the from-scratch sketch
+    of the union in the exact regime (distinct <= k), and in the lossy
+    regime the merged read must keep the heavy-hitter contract: every
+    item with true frequency > n/(k+1) present with undercount
+    <= n/(k+1)."""
+    import pandas as pd
+
+    from eland_spark.operators.sketches import mg_items, mg_sketches
+    from eland_spark.streaming.curation import read_mg, stream_mg_update
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 3,
+                       "k": ["x", "x", "y", "z", "x", "u", "u", "v"]})
+    b2 = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 2,
+                       "k": ["x", "y", "y", "w", "u", "w"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "mg"
+    q = stream_mg_update(
+        stream, str(out), str(tmp_path / "ckpt_mg"), "k", by=["g"], k=8
+    )
+    q.awaitTermination(120)
+
+    # exact regime (distinct per group <= k=8): merged == from-scratch
+    merged = read_mg(spark, str(out), by=["g"], k=8)
+    all_rows = spark.createDataFrame(pd.concat([b1, b2]))
+    scratch = mg_sketches(all_rows, "k", ["g"], k=8)
+    got = {(r["g"], i, c) for r in merged.collect()
+           for i, c in r["mg"].items()}
+    want = {(r["g"], i, c) for r in scratch.collect()
+            for i, c in r["mg"].items()}
+    assert got == want
+
+    # lossy regime: re-read with tiny k, check the MG contract per group
+    lossy = mg_items(read_mg(spark, str(out), by=["g"], k=2), ["g"])
+    kept = {(r["g"], r["item"]): r["cnt"] for r in lossy.collect()}
+    truth = (
+        pd.concat([b1, b2]).groupby(["g", "k"]).size().to_dict()
+    )
+    n_per_g = pd.concat([b1, b2]).groupby("g").size().to_dict()
+    for (g, item), true_cnt in truth.items():
+        bound = n_per_g[g] / (2 + 1)
+        if true_cnt > 2 * bound:  # two merge levels (batch + rollup)
+            assert (g, item) in kept, (g, item)
+        if (g, item) in kept:
+            assert kept[(g, item)] <= true_cnt
+            assert true_cnt - kept[(g, item)] <= 2 * bound
