@@ -7086,6 +7086,101 @@ def _expanding_skew_kurt_oracle_sql() -> str:
     """
 
 
+def q_groupby_rolling_skew(spark, sf_dir) -> DataFrame:
+    """groupby().rolling().skew(): sample G1 per bounded per-group
+    frame — ONE keyed window, pandas rolling-path guards (all-equal
+    0.0, variance <= 1e-14 null)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby(
+        "o_orderstatus"
+    ).rolling(6, min_periods=3).skew()
+    return out.to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 6).alias("price_skew"),
+    )
+
+
+def _groupby_rolling_skew_oracle_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           round(CASE WHEN count(v) OVER w >= 3 THEN
+                      CASE WHEN min(v) OVER w = max(v) OVER w THEN 0.0
+                           WHEN var_pop(v) OVER w <= 1e-14 THEN NULL
+                           ELSE skewness(v) OVER w END END, 6)
+               AS price_skew
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_linear_fit(spark, sf_dir) -> DataFrame:
+    """Whole-table OLS trend (timeseries.linear_fit): extendedprice
+    regressed on quantity — ONE agg of the builtin regr_* family
+    (mergeable partials, SQL-standard pair-dropping semantics shared
+    with DuckDB)."""
+    from eland_spark.operators.timeseries import linear_fit
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    out = linear_fit(li, "l_quantity", "l_extendedprice")
+    return out.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
+
+
+def _linear_fit_oracle_sql() -> str:
+    return """
+        SELECT round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 6) AS slope,
+               round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                    CAST(l_quantity AS DOUBLE)), 6)
+                   AS intercept,
+               round(regr_r2(CAST(l_extendedprice AS DOUBLE),
+                             CAST(l_quantity AS DOUBLE)), 6) AS r2,
+               CAST(regr_count(CAST(l_extendedprice AS DOUBLE),
+                               CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
+        FROM lineitem
+    """
+
+
+def q_groupby_linear_fit(spark, sf_dir) -> DataFrame:
+    """Per-group OLS trend: one hash aggregation, group-cardinality
+    output."""
+    from eland_spark.operators.timeseries import linear_fit
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    out = linear_fit(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
+
+
+def _groupby_linear_fit_oracle_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                                CAST(l_quantity AS DOUBLE)), 6) AS slope,
+               round(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                    CAST(l_quantity AS DOUBLE)), 6)
+                   AS intercept,
+               round(regr_r2(CAST(l_extendedprice AS DOUBLE),
+                             CAST(l_quantity AS DOUBLE)), 6) AS r2,
+               CAST(regr_count(CAST(l_extendedprice AS DOUBLE),
+                               CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
 def q_rank_uniform(spark, sf_dir) -> DataFrame:
     """Rank-based uniform quantile transform (scaling.rank_transform):
     o_totalprice -> tie-averaged midrank / n in (0, 1] — one distinct-
@@ -7529,6 +7624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_skew_kurt": q_rolling_skew_kurt,
         "acf": q_acf,
         "expanding_skew_kurt": q_expanding_skew_kurt,
+        "linear_fit": q_linear_fit,
+        "groupby_linear_fit": q_groupby_linear_fit,
+        "groupby_rolling_skew": q_groupby_rolling_skew,
     }
 
 
@@ -9786,4 +9884,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_skew_kurt": _rolling_skew_kurt_oracle_sql(),
         "acf": _acf_oracle_sql(),
         "expanding_skew_kurt": _expanding_skew_kurt_oracle_sql(),
+        "linear_fit": _linear_fit_oracle_sql(),
+        "groupby_linear_fit": _groupby_linear_fit_oracle_sql(),
+        "groupby_rolling_skew": _groupby_rolling_skew_oracle_sql(),
     }

@@ -389,3 +389,36 @@ def acf(
         F.round(F.corr("__v__", "__prev__"), 6).alias("acf"),
         F.count(F.when(both, F.lit(1))).cast("bigint").alias("n"),
     )
+
+
+def linear_fit(
+    sdf: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: "list[str] | tuple" = (),
+) -> DataFrame:
+    """OLS line ``y = slope * x + intercept`` (optionally per group):
+    ``(by..., slope, intercept, r2, n)`` — the trend-estimation
+    primitive (TimescaleDB ``stats_agg``/PromQL ``deriv`` analog:
+    x = epoch time gives units/second drift of a metric; x = any
+    covariate gives the scorecard regression).
+
+    ONE hash aggregation of Spark's builtin ``regr_*`` aggregates —
+    mergeable partials, group-cardinality output, the raw table
+    streams through once at any scale. Pairs with a null on either
+    side are dropped (SQL-standard REGR_* semantics, which DuckDB
+    shares); ``slope``/``r2`` are null when x is constant, ``n`` is
+    the complete-pair count.
+    """
+    by = list(by)
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    aggs = [
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    ]
+    if by:
+        return sdf.groupBy(*by).agg(*aggs)
+    return sdf.agg(*aggs)

@@ -239,3 +239,45 @@ def test_mwu_edges(spark):
     row = mann_whitney_u(_mk(spark, [10.0, 11.0]), _mk(spark, [1.0, 2.0, 3.0]),
                          "v").collect()[0]
     assert row["u"] == 6.0 and row["z"] > 0
+
+
+# --- linear_fit --------------------------------------------------------------
+
+def test_linear_fit_matches_numpy(spark):
+    from eland_spark.operators.timeseries import linear_fit
+
+    rng = np.random.RandomState(41)
+    x = rng.uniform(0, 100, 300)
+    y = 3.5 * x - 12.0 + rng.normal(0, 5, 300)
+    pdf = pd.DataFrame({"x": x, "y": y})
+    row = linear_fit(spark.createDataFrame(pdf), "x", "y").collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    ss_res = np.sum((y - (slope * x + intercept)) ** 2)
+    r2 = 1 - ss_res / np.sum((y - y.mean()) ** 2)
+    assert row["slope"] == pytest.approx(slope, rel=1e-9)
+    assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert row["r2"] == pytest.approx(r2, rel=1e-9)
+    assert row["n"] == 300
+
+
+def test_linear_fit_groups_and_edges(spark):
+    from eland_spark.operators.timeseries import linear_fit
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0],  # b: constant x
+        "y": [2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 3.0],
+    })
+    rows = {r["g"]: r for r in
+            linear_fit(spark.createDataFrame(pdf), "x", "y",
+                       by=["g"]).collect()}
+    assert rows["a"]["slope"] == pytest.approx(2.0)
+    assert rows["a"]["intercept"] == pytest.approx(0.0, abs=1e-12)
+    assert rows["a"]["r2"] == pytest.approx(1.0)
+    assert rows["b"]["slope"] is None  # constant x: undefined
+    # null pairs dropped
+    pdf2 = pd.DataFrame({"x": [1.0, None, 3.0], "y": [1.0, 2.0, None]})
+    row = linear_fit(
+        spark.createDataFrame(pdf2, schema="x double, y double"), "x", "y"
+    ).collect()[0]
+    assert row["n"] == 1 and row["slope"] is None

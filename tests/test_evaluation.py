@@ -386,3 +386,36 @@ def test_acf_matches_pandas_autocorr(spark):
         assert got[k][1] == pairs, k
     with pytest.raises(ValueError):
         acf(sdf, ["k"], "v", nlags=0)
+
+
+def test_groupby_rolling_skew_kurt_match_pandas(spark):
+    rng = np.random.RandomState(43)
+    pdf = pd.DataFrame({
+        "k": np.arange(240),
+        "g": rng.choice(["a", "b", "c"], 240),
+        "v": rng.normal(20, 6, 240).round(2),
+    })
+    pdf.loc[rng.rand(240) < 0.06, "v"] = np.nan
+    pdf.loc[pdf.index[:12], "v"] = 7.0  # constant head windows
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf.astype({"k": "int64"})), index_cols=("k",)
+    )
+    got_sk = (
+        edf[["g", "v"]].groupby("g").rolling(5, min_periods=3).skew()
+        .to_pandas().sort_index()["v"].to_numpy()
+    )
+    want_sk = (
+        pdf.set_index("k").groupby("g")["v"]
+        .rolling(5, min_periods=3).skew()
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    assert np.allclose(got_sk, want_sk, rtol=1e-5, atol=1e-6, equal_nan=True)
+    got_ku = (
+        edf[["g", "v"]].groupby("g").expanding(min_periods=4).kurt()
+        .to_pandas().sort_index()["v"].to_numpy()
+    )
+    want_ku = (
+        pdf.set_index("k").groupby("g")["v"].expanding(min_periods=4)
+        .kurt().reset_index(level=0, drop=True).sort_index().to_numpy()
+    )
+    assert np.allclose(got_ku, want_ku, rtol=1e-5, atol=1e-6, equal_nan=True)

@@ -948,6 +948,11 @@ def test_round5_query_plan_pins(spark):
         # one range-rank exchange + the single shared-Window bucket
         # exchange; totals collect is bucket-count-sized
         "expanding_skew_kurt": (3, 0),
+        # one full-scan regr_* agg each (group-cardinality output)
+        "linear_fit": (1, 0),
+        "groupby_linear_fit": (1, 0),
+        # one keyed window exchange
+        "groupby_rolling_skew": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
