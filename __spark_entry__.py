@@ -4234,6 +4234,47 @@ def q_series_ewm(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ewm_std(spark, sf_dir) -> DataFrame:
+    """Global Series.ewm(span=20).std() — the anomaly-band twin of
+    series_ewm on the same truncated-kernel bucket-overlap plan;
+    moments folded about the current row (shift-invariant variance,
+    no large-mean cancellation), unbiased sw^2/(sw^2-sum w^2)
+    correction. Same bounded self-join oracle."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o["o_totalprice"].ewm(span=20).std()
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("ewm_std"), 4).alias("ewm_std_price")
+    )
+
+
+def _ewm_std_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        ), j AS (
+            SELECT a.o_orderkey,
+                   sum(power(1.0 - 2.0/21.0, a.rn - b.rn)) AS sw,
+                   sum(power(1.0 - 2.0/21.0, 2 * (a.rn - b.rn))) AS sw2,
+                   sum(b.v * power(1.0 - 2.0/21.0, a.rn - b.rn)) AS swx,
+                   sum(b.v * b.v
+                       * power(1.0 - 2.0/21.0, a.rn - b.rn)) AS swxx,
+                   count(*) AS cnt
+            FROM p a JOIN p b ON b.rn BETWEEN a.rn - 369 AND a.rn
+            GROUP BY a.o_orderkey
+        )
+        SELECT o_orderkey,
+               round(CASE WHEN cnt >= 2 AND sw * sw - sw2 > 0
+                          THEN sqrt(greatest(swxx / sw
+                                             - (swx / sw) * (swx / sw),
+                                             0.0)
+                                    * sw * sw / (sw * sw - sw2)) END, 4)
+                   AS ewm_std_price
+        FROM j
+    """
+
+
 def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style semantic dedup (cluster embeddings, drop
     within-cluster cosine>=t duplicates keeping the lowest id), on
@@ -7627,6 +7668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_fit": q_linear_fit,
         "groupby_linear_fit": q_groupby_linear_fit,
         "groupby_rolling_skew": q_groupby_rolling_skew,
+        "ewm_std": q_ewm_std,
     }
 
 
@@ -9887,4 +9929,5 @@ def oracle_sql() -> dict[str, str]:
         "linear_fit": _linear_fit_oracle_sql(),
         "groupby_linear_fit": _groupby_linear_fit_oracle_sql(),
         "groupby_rolling_skew": _groupby_rolling_skew_oracle_sql(),
+        "ewm_std": _ewm_std_oracle_sql(),
     }

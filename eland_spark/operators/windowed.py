@@ -258,6 +258,103 @@ def _ewm_mean_expr(col: Column, d: float, w, min_periods: int) -> Column:
     return F.when((den != 0) & (cnt >= F.lit(float(min_periods))), num / den)
 
 
+def _ewm_var_expr(
+    col: Column, d: float, w, min_periods: int, std: bool = False
+) -> Column:
+    """Weighted-variance expression (pandas ``ewm().var()``,
+    adjust=True, bias=False, ignore_na=False) over the bounded frame:
+    the same aligned value/mask arrays + truncated-kernel weights as
+    :func:`_ewm_mean_expr`, with the moments folded about the CURRENT
+    row's value (variance is shift invariant; the shift keeps the
+    ``swxx - swx^2/sw`` difference small-magnitude for large-mean
+    data). Unbiased via the standard reliability correction
+    ``sw^2 / (sw^2 - sum(w^2))``; fewer than 2 observations (or all
+    weight on one observation) -> null, matching pandas."""
+    cur = F.coalesce(col.cast("double"), F.lit(0.0))
+    vals = F.collect_list(F.coalesce(col.cast("double"), F.lit(0.0))).over(w)
+    mask = F.collect_list(
+        F.when(col.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    ).over(w)
+    n = F.size(vals)
+    wts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(d), (n - i).cast("double")),
+    )
+    wm = F.zip_with(mask, wts, lambda m, x: m * x)
+    sw = F.aggregate(wm, F.lit(0.0), lambda a, x: a + x)
+    sw2 = F.aggregate(wm, F.lit(0.0), lambda a, x: a + x * x)
+    swx = F.aggregate(
+        F.zip_with(vals, wm, lambda v, x: (v - cur) * x),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    swxx = F.aggregate(
+        F.zip_with(vals, wm, lambda v, x: (v - cur) * (v - cur) * x),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    cnt = F.aggregate(mask, F.lit(0.0), lambda a, x: a + x)
+    biased = F.greatest(
+        swxx / sw - (swx / sw) * (swx / sw), F.lit(0.0)
+    )
+    denom = sw * sw - sw2
+    var = F.when(
+        (cnt >= F.lit(float(max(min_periods, 2)))) & (denom > 0),
+        biased * sw * sw / denom,
+    )
+    return F.sqrt(var) if std else var
+
+
+def ewm_var_global(
+    df: "DataFrame",
+    col: str,
+    *,
+    alpha: float | None = None,
+    span: float | None = None,
+    halflife: float | None = None,
+    com: float | None = None,
+    min_periods: int = 0,
+    tol: float = 1e-16,
+    max_kernel: int = 8192,
+    out_col: str | None = None,
+    std: bool = False,
+) -> "DataFrame":
+    """Exponentially weighted variance (``std=True`` for the standard
+    deviation) over the GLOBAL index order — pandas
+    ``Series.ewm().var()/.std()`` on the same truncated-kernel
+    bucket-overlap plan as :func:`ewm_mean_global` (no
+    single-partition window); the anomaly-band twin of the ewm mean."""
+    from ..frame import DataFrame as EDF
+    from ..schema import Field
+    from .ranking import _bucketed_frame
+    from pyspark.sql import types as T
+
+    a = resolve_ewm_alpha(alpha, span, halflife, com)
+    d = 1.0 - a
+    W = ewm_kernel_width(a, tol)
+    if W > max_kernel:
+        raise ValueError(
+            f"ewm kernel width {W} exceeds max_kernel={max_kernel}; "
+            "use a faster decay (larger alpha) or a grouped ewm"
+        )
+    schema = df._schema
+    icols = list(df.index_cols)
+    if not icols:
+        raise ValueError("ewm needs an index for row order")
+    name = out_col or f"{col}_ewm_{'std' if std else 'var'}"
+    phys_idx = [schema.resolve_any(c) for c in icols]
+    un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
+    out = (
+        un.withColumn(
+            name,
+            _ewm_var_expr(
+                F.col(schema.resolve(col)), d, w, min_periods, std=std
+            ),
+        )
+        .filter(~F.col("__pad__"))
+        .drop("__b__", "__pad__", "__g__")
+    )
+    return EDF(out, schema.with_field(Field(name, name, T.DoubleType(), True)))
+
+
 def ewm_mean_grouped(
     df: "DataFrame",
     by: list[str] | str,

@@ -2824,3 +2824,25 @@ class _Ewm:
         edf = EDF(base, index_cols=tuple(icols))
         out = ewm_mean_global(edf, "__val__", out_col="ewm", **self._kw)
         return out[["ewm"]]
+
+    def var(self):
+        """pandas ``ewm().var()`` (adjust=True, bias=False) on the
+        truncated-kernel bucket-overlap plan — column ``ewm_var``."""
+        return self._var(std=False)
+
+    def std(self):
+        """pandas ``ewm().std()`` — sqrt of :meth:`var`; column
+        ``ewm_std``."""
+        return self._var(std=True)
+
+    def _var(self, std: bool):
+        from .frame import DataFrame as EDF
+        from .operators.windowed import ewm_var_global
+
+        base, icols = self._s._ordered_frame()
+        edf = EDF(base, index_cols=tuple(icols))
+        name = "ewm_std" if std else "ewm_var"
+        out = ewm_var_global(
+            edf, "__val__", out_col=name, std=std, **self._kw
+        )
+        return out[[name]]

@@ -419,3 +419,31 @@ def test_groupby_rolling_skew_kurt_match_pandas(spark):
         .kurt().reset_index(level=0, drop=True).sort_index().to_numpy()
     )
     assert np.allclose(got_ku, want_ku, rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_ewm_var_std_match_pandas(spark):
+    rng = np.random.RandomState(47)
+    vals = rng.normal(1000, 100, 250).round(2)
+    vals[rng.rand(250) < 0.08] = np.nan  # gaps: weights advance, value carried
+    pdf = pd.DataFrame({"k": np.arange(250), "v": vals})
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf.astype({"k": "int64"})), index_cols=("k",)
+    )
+    p = pdf.set_index("k")["v"]
+    got_v = (
+        edf["v"].ewm(span=10).var()
+        .to_pandas()["ewm_var"].sort_index().to_numpy()
+    )
+    want_v = p.ewm(span=10).var().sort_index().to_numpy()
+    assert np.allclose(got_v, want_v, rtol=1e-6, atol=1e-9, equal_nan=True)
+    got_s = (
+        edf["v"].ewm(alpha=0.3, min_periods=5).std()
+        .to_pandas()["ewm_std"].sort_index().to_numpy()
+    )
+    want_s = p.ewm(alpha=0.3, min_periods=5).std().sort_index().to_numpy()
+    assert np.allclose(got_s, want_s, rtol=1e-6, atol=1e-9, equal_nan=True)
+    # constant series: var exactly 0 from the second observation
+    c = pd.DataFrame({"k": [0, 1, 2], "v": [7.0, 7.0, 7.0]})
+    ec = es.DataFrame(spark.createDataFrame(c), index_cols=("k",))
+    cv = ec["v"].ewm(span=4).var().to_pandas()["ewm_var"].sort_index().tolist()
+    assert np.isnan(cv[0]) and cv[1] == 0.0 and cv[2] == 0.0

@@ -953,6 +953,8 @@ def test_round5_query_plan_pins(spark):
         "groupby_linear_fit": (1, 0),
         # one keyed window exchange
         "groupby_rolling_skew": (1, 0),
+        # truncated-kernel bucket-overlap plan (rank + pad + frame)
+        "ewm_std": (3, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
