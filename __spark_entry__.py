@@ -4275,6 +4275,55 @@ def _ewm_std_oracle_sql() -> str:
     """
 
 
+def q_groupby_ewm_std(spark, sf_dir) -> DataFrame:
+    """groupby().ewm(span=10).std() — per-group exponentially weighted
+    std (pandas C kernel per group via ONE Arrow applyInPandas on the
+    group shuffle; span=10's 184-wide kernel picks the arrow engine).
+    Oracle: per-group bounded self-join weighted-moment replay (lags
+    past 400 carry weight < 2e-35 — below double noise)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = o[["o_orderstatus", "o_totalprice"]].groupby(
+        "o_orderstatus"
+    ).ewm(span=10, min_periods=2).std()
+    return out.to_spark().select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice_ewm_std"), 4).alias("ewm_std_price"),
+    )
+
+
+def _groupby_ewm_std_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS v,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   ) AS rn
+            FROM orders
+        ), j AS (
+            SELECT a.o_orderkey,
+                   sum(power(1.0 - 2.0/11.0, a.rn - b.rn)) AS sw,
+                   sum(power(1.0 - 2.0/11.0, 2 * (a.rn - b.rn))) AS sw2,
+                   sum(b.v * power(1.0 - 2.0/11.0, a.rn - b.rn)) AS swx,
+                   sum(b.v * b.v
+                       * power(1.0 - 2.0/11.0, a.rn - b.rn)) AS swxx,
+                   count(*) AS cnt
+            FROM p a JOIN p b
+              ON a.o_orderstatus = b.o_orderstatus
+             AND b.rn BETWEEN a.rn - 400 AND a.rn
+            GROUP BY a.o_orderkey
+        )
+        SELECT o_orderkey,
+               round(CASE WHEN cnt >= 2 AND sw * sw - sw2 > 0
+                          THEN sqrt(greatest(swxx / sw
+                                             - (swx / sw) * (swx / sw),
+                                             0.0)
+                                    * sw * sw / (sw * sw - sw2)) END, 4)
+                   AS ewm_std_price
+        FROM j
+    """
+
+
 def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style semantic dedup (cluster embeddings, drop
     within-cluster cosine>=t duplicates keeping the lowest id), on
@@ -7669,6 +7718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_linear_fit": q_groupby_linear_fit,
         "groupby_rolling_skew": q_groupby_rolling_skew,
         "ewm_std": q_ewm_std,
+        "groupby_ewm_std": q_groupby_ewm_std,
     }
 
 
@@ -9930,4 +9980,5 @@ def oracle_sql() -> dict[str, str]:
         "groupby_linear_fit": _groupby_linear_fit_oracle_sql(),
         "groupby_rolling_skew": _groupby_rolling_skew_oracle_sql(),
         "ewm_std": _ewm_std_oracle_sql(),
+        "groupby_ewm_std": _groupby_ewm_std_oracle_sql(),
     }

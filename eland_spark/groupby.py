@@ -1362,6 +1362,20 @@ class _GroupEwm:
         )
 
     def mean(self, numeric_only=True) -> DataFrame:
+        return self._stat("mean", numeric_only)
+
+    def var(self, numeric_only=True) -> DataFrame:
+        """pandas ``groupby().ewm().var()`` (adjust=True, bias=False)
+        — same engines/plan as mean; columns land as
+        ``<col>_ewm_var``."""
+        return self._stat("var", numeric_only)
+
+    def std(self, numeric_only=True) -> DataFrame:
+        """pandas ``groupby().ewm().std()`` — sqrt of var; columns
+        land as ``<col>_ewm_std``."""
+        return self._stat("std", numeric_only)
+
+    def _stat(self, stat: str, numeric_only=True) -> DataFrame:
         from .operators.windowed import ewm_mean_grouped
 
         gb = self._gb
@@ -1369,4 +1383,6 @@ class _GroupEwm:
                 if f.is_numeric]
         if not cols:
             raise ValueError("no numeric columns for ewm")
-        return ewm_mean_grouped(gb._frame, gb._by, cols, **self._kw)
+        return ewm_mean_grouped(
+            gb._frame, gb._by, cols, stat=stat, **self._kw
+        )

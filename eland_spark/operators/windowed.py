@@ -369,9 +369,11 @@ def ewm_mean_grouped(
     max_kernel: int = 1024,
     out_col: str | None = None,
     engine: str = "auto",
+    stat: str = "mean",
 ) -> "DataFrame":
-    """Per-group exponentially weighted mean in index order (pandas
-    ``groupby().ewm().mean()``, adjust=True, ignore_na=False).
+    """Per-group exponentially weighted ``stat`` (``mean``/``var``/
+    ``std``) in index order (pandas ``groupby().ewm().<stat>()``,
+    adjust=True, bias=False for var/std, ignore_na=False).
 
     Both engines pay the SAME one hash shuffle on the group keys and
     both are sequential within a group (the recursion is), so the
@@ -394,6 +396,8 @@ def ewm_mean_grouped(
     """
     if engine not in ("auto", "window", "arrow"):
         raise ValueError(f"engine must be auto|window|arrow, got {engine!r}")
+    if stat not in ("mean", "var", "std"):
+        raise ValueError(f"stat must be mean|var|std, got {stat!r}")
     from ..frame import DataFrame as EDF
     from ..schema import Field
     from pyspark.sql import types as T
@@ -406,8 +410,10 @@ def ewm_mean_grouped(
     icols = list(df.index_cols)
     if not icols:
         raise ValueError("ewm needs an index for row order")
+    suffix = "_ewm" if stat == "mean" else f"_ewm_{stat}"
     names = (
-        [out_col] if (out_col and len(cols) == 1) else [f"{c}_ewm" for c in cols]
+        [out_col] if (out_col and len(cols) == 1)
+        else [f"{c}{suffix}" for c in cols]
     )
     W = ewm_kernel_width(a, tol)
     use_window = engine == "window" or (engine == "auto" and W <= 8)
@@ -420,9 +426,15 @@ def ewm_mean_grouped(
         out = df._sdf
         sch = schema
         for c, name in zip(cols, names):
-            out = out.withColumn(
-                name, _ewm_mean_expr(F.col(schema.resolve(c)), d, w, min_periods)
+            expr = (
+                _ewm_mean_expr(F.col(schema.resolve(c)), d, w, min_periods)
+                if stat == "mean"
+                else _ewm_var_expr(
+                    F.col(schema.resolve(c)), d, w, min_periods,
+                    std=(stat == "std"),
+                )
             )
+            out = out.withColumn(name, expr)
             sch = sch.with_field(Field(name, name, T.DoubleType(), True))
         return EDF(out, sch)
 
@@ -442,7 +454,8 @@ def ewm_mean_grouped(
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(phys_idx, kind="mergesort")
         for pc, n in zip(phys_cols, names):
-            pdf[n] = pdf[pc].ewm(alpha=a, min_periods=min_periods).mean()
+            proxy = pdf[pc].ewm(alpha=a, min_periods=min_periods)
+            pdf[n] = getattr(proxy, stat)()
         return pdf
 
     res = sub.groupBy(*phys_by).applyInPandas(_fn, out_schema)

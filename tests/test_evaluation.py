@@ -447,3 +447,33 @@ def test_ewm_var_std_match_pandas(spark):
     ec = es.DataFrame(spark.createDataFrame(c), index_cols=("k",))
     cv = ec["v"].ewm(span=4).var().to_pandas()["ewm_var"].sort_index().tolist()
     assert np.isnan(cv[0]) and cv[1] == 0.0 and cv[2] == 0.0
+
+
+def test_groupby_ewm_var_std_match_pandas(spark):
+    rng = np.random.RandomState(53)
+    pdf = pd.DataFrame({
+        "k": np.arange(180),
+        "g": rng.choice(["a", "b"], 180),
+        "v": rng.normal(50, 12, 180).round(2),
+    })
+    edf = es.DataFrame(
+        spark.createDataFrame(pdf.astype({"k": "int64"})), index_cols=("k",)
+    )
+    got = (
+        edf[["g", "v"]].groupby("g").ewm(span=8, min_periods=2).std()
+        .to_pandas().sort_values("k")["v_ewm_std"].to_numpy()
+    )
+    want = (
+        pdf.sort_values("k").groupby("g")["v"]
+        .transform(lambda s: s.ewm(span=8, min_periods=2).std()).to_numpy()
+    )
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12, equal_nan=True)
+    got_v = (
+        edf[["g", "v"]].groupby("g").ewm(alpha=0.99, min_periods=2).var()
+        .to_pandas().sort_values("k")["v_ewm_var"].to_numpy()
+    )  # alpha=0.99: kernel width <= 8 -> the JVM window engine
+    want_v = (
+        pdf.sort_values("k").groupby("g")["v"]
+        .transform(lambda s: s.ewm(alpha=0.99, min_periods=2).var()).to_numpy()
+    )
+    assert np.allclose(got_v, want_v, rtol=1e-6, atol=1e-9, equal_nan=True)

@@ -955,6 +955,8 @@ def test_round5_query_plan_pins(spark):
         "groupby_rolling_skew": (1, 0),
         # truncated-kernel bucket-overlap plan (rank + pad + frame)
         "ewm_std": (3, 0),
+        # one Arrow applyInPandas riding the group shuffle
+        "groupby_ewm_std": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
