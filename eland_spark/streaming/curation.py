@@ -414,6 +414,85 @@ def read_mg(spark, path: str, by=(), k: int = 64) -> DataFrame:
     return mg_rollup(df, by=list(by), k=k)
 
 
+def stream_regression_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    x_col: str,
+    y_col: str,
+    by=(),
+    timeout_sec: int = 120,
+):
+    """Maintain per-group OLS sufficient statistics over a stream —
+    continuous trend monitoring (``y`` vs ``x``, e.g. metric vs epoch
+    time: is quality drifting batch over batch?). Each micro-batch
+    writes ONE row per group of complete-pair power sums
+    ``(n, sx, sy, sxx, syy, sxy)`` under ``<path>/batch=<id>/``
+    (idempotent in batch_id); sums merge by plain ADDITION, so
+    :func:`read_linear_fit` recovers the regression of everything
+    ingested at read time with zero state store — the streaming twin
+    of ``operators/timeseries.linear_fit``. Raw power sums are
+    monitoring-grade numerics (the batch operator's builtin regr_*
+    is the stable path); pair with a shifted/centered x (e.g. epoch
+    minus a fixed origin) for large-magnitude covariates."""
+    from .sinks import foreach_batch_sink
+
+    by = list(by)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        x = F.col(x_col).cast("double")
+        y = F.col(y_col).cast("double")
+        stats = (
+            batch_df.where(x.isNotNull() & y.isNotNull())
+            .groupBy(*by)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy"),
+            )
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_linear_fit(spark, path: str, by=()) -> DataFrame:
+    """Merge-on-read over a :func:`stream_regression_update` directory:
+    sum the per-batch sufficient statistics per group and derive
+    ``(by..., slope, intercept, r2, n)`` — null slope/r2 for constant
+    x, matching the batch operator's REGR_* conventions."""
+    import glob as _glob
+    import os as _os
+
+    by = list(by)
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    sums = [F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    tot = df.groupBy(*by).agg(*sums) if by else df.agg(*sums)
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cxy / vx)
+    intercept = F.when(vx > 0, (F.col("sy") - slope * F.col("sx")) / n)
+    r2 = F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy))
+    return tot.select(
+        *by,
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
 def stream_drift_update(
     stream_sdf: DataFrame,
     path: str,

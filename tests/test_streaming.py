@@ -1085,3 +1085,52 @@ def test_stream_mg_update_matches_from_scratch(spark, tmp_path):
         if (g, item) in kept:
             assert kept[(g, item)] <= true_cnt
             assert true_cnt - kept[(g, item)] <= 2 * bound
+
+
+def test_stream_regression_matches_batch_fit(spark, tmp_path):
+    """Per-batch OLS sufficient statistics summed at read time must
+    reproduce the batch linear_fit of the union (monitoring-grade
+    numerics: well-conditioned data agrees to ~1e-9 relative)."""
+    import pandas as pd
+    import numpy as np
+    import pytest as _pt
+
+    from eland_spark.operators.timeseries import linear_fit
+    from eland_spark.streaming.curation import (
+        read_linear_fit, stream_regression_update,
+    )
+
+    rng = np.random.RandomState(59)
+    src = tmp_path / "src_reg"
+    src.mkdir()
+    frames = []
+    for _ in range(2):
+        b = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 40),
+            "x": rng.uniform(0, 10, 40),
+            "y": rng.uniform(0, 10, 40),
+        })
+        b["y"] = 2.0 * b["x"] + 1.0 + rng.normal(0, 0.5, 40)
+        frames.append(b)
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, x double, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "reg"
+    q = stream_regression_update(
+        stream, str(out), str(tmp_path / "ckpt_reg"), "x", "y", by=["g"]
+    )
+    q.awaitTermination(120)
+
+    got = {r["g"]: r for r in read_linear_fit(spark, str(out), by=["g"]).collect()}
+    all_rows = spark.createDataFrame(pd.concat(frames))
+    want = {r["g"]: r for r in
+            linear_fit(all_rows, "x", "y", by=["g"]).collect()}
+    for g in want:
+        assert got[g]["n"] == want[g]["n"]
+        assert got[g]["slope"] == _pt.approx(want[g]["slope"], rel=1e-9)
+        assert got[g]["intercept"] == _pt.approx(want[g]["intercept"], rel=1e-9)
+        assert got[g]["r2"] == _pt.approx(want[g]["r2"], rel=1e-9)
