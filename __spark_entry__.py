@@ -6938,11 +6938,13 @@ def _drift_ks_oracle_sql() -> str:
             SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS rn
             FROM lineitem
             WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
             GROUP BY 1
         ), cc AS (
             SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS cn
             FROM lineitem
             WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
             GROUP BY 1
         ), j AS (
             SELECT COALESCE(rc.v, cc.v) AS v,
@@ -7289,7 +7291,10 @@ def _rank_uniform_oracle_sql() -> str:
     return """
         WITH per AS (
             SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS n
-            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+            FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+            GROUP BY 1
         ), m AS (
             SELECT v,
                    (sum(n) OVER (ORDER BY v) - n + (n + 1) / 2.0)
@@ -7320,11 +7325,13 @@ def _welch_ttest_oracle_sql() -> str:
                    var_samp(l_extendedprice) AS v1
             FROM lineitem
             WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
         ), c AS (
             SELECT count(*) * 1.0 AS n2, avg(l_extendedprice) AS m2,
                    var_samp(l_extendedprice) AS v2
             FROM lineitem
             WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
         )
         SELECT round(CASE WHEN n1 >= 2 AND n2 >= 2 AND v1/n1 + v2/n2 > 0
                           THEN (m1 - m2) / sqrt(v1/n1 + v2/n2) END, 6) AS t,
@@ -7358,11 +7365,13 @@ def _rank_sum_test_oracle_sql() -> str:
             SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS rn
             FROM lineitem
             WHERE l_linestatus = 'F' AND l_discount IS NOT NULL
+              AND NOT isnan(CAST(l_discount AS DOUBLE))
             GROUP BY 1
         ), cc AS (
             SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS cn
             FROM lineitem
             WHERE l_linestatus = 'O' AND l_discount IS NOT NULL
+              AND NOT isnan(CAST(l_discount AS DOUBLE))
             GROUP BY 1
         ), j AS (
             SELECT COALESCE(rc.v, cc.v) AS v,
@@ -7416,6 +7425,8 @@ def _spearman_oracle_sql() -> str:
                    CAST(l_extendedprice AS DOUBLE) AS y
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND NOT isnan(CAST(l_quantity AS DOUBLE))
+              AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
         ), pc AS (
             SELECT x, y, count(*) AS w FROM base GROUP BY x, y
         ), px AS (

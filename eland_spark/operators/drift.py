@@ -132,8 +132,9 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     pass and the totals read it), BOTH running totals ride one
     windowless bucket prefix-sum pass (operators/ranking — balanced
     exchange, driver sees only per-bucket totals), and the
-    sup-distance is one scalar aggregate. Null values are dropped (an
-    ECDF is undefined at null).
+    sup-distance is one scalar aggregate. Null and NaN values are
+    dropped (pandas/scipy missing semantics; Spark would otherwise
+    group NaN as a value).
     """
     from .ranking import with_global_cumagg_multi
 
@@ -141,7 +142,7 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
         c = F.col(column).cast("double")
         return (
             df.select(c.alias("__v__"))
-            .where(F.col("__v__").isNotNull())
+            .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
             .groupBy("__v__")
             .agg(F.count(F.lit(1)).alias(name))
         )
@@ -182,7 +183,7 @@ def welch_ttest(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     mean_cur, n_ref, n_cur)`` — the parametric mean-shift test
     (Welch 1947) with the Welch–Satterthwaite degrees of freedom.
     ``t``/``df`` are null when either side has <2 observations or
-    both variances are 0. Null values are dropped.
+    both variances are 0. Null and NaN values are dropped.
 
     Scale shape: ONE full-scan aggregation per snapshot (count, mean,
     sample variance — all map-side-combinable; Spark's moment aggs
@@ -191,7 +192,7 @@ def welch_ttest(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
 
     def side(df, tag):
         c = F.col(column).cast("double")
-        return df.where(c.isNotNull()).agg(
+        return df.where(c.isNotNull() & ~F.isnan(c)).agg(
             F.count(c).alias(f"__n{tag}__"),
             F.avg(c).alias(f"__m{tag}__"),
             F.var_samp(c).alias(f"__v{tag}__"),
@@ -230,7 +231,7 @@ def mann_whitney_u(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     with the standard tie-corrected variance
     ``(n1*n2/12) * (N+1 - sum(t^3-t)/(N*(N-1)))`` and no continuity
     correction (ties make a 0.5 correction ill-defined); null when a
-    side is empty or all values tie. Null values are dropped.
+    side is empty or all values tie. Null and NaN values are dropped.
 
     Scale shape: per-snapshot per-distinct-value counts in one hash
     agg each, joined counts lazily checkpointed, midranks via the
@@ -244,7 +245,7 @@ def mann_whitney_u(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
         c = F.col(column).cast("double")
         return (
             df.select(c.alias("__v__"))
-            .where(F.col("__v__").isNotNull())
+            .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
             .groupBy("__v__")
             .agg(F.count(F.lit(1)).alias(name))
         )

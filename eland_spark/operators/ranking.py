@@ -1287,7 +1287,7 @@ def spearman_corr(
     """Exact Spearman rank correlation between two columns as a 1-row
     frame ``(rho, n)`` — Pearson correlation of tie-averaged midranks
     over pairwise-complete observations (rows where either side is
-    null are dropped, pandas ``Series.corr(method='spearman')``
+    null OR NaN are dropped, pandas ``Series.corr(method='spearman')``
     semantics). ``rho`` is null when either side is constant.
 
     Never ranks row data: the pair frame reduces to DISTINCT
@@ -1303,7 +1303,10 @@ def spearman_corr(
     pairs = sdf.select(
         F.col(x_col).cast("double").alias("__x__"),
         F.col(y_col).cast("double").alias("__y__"),
-    ).where(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+    ).where(
+        F.col("__x__").isNotNull() & ~F.isnan("__x__")
+        & F.col("__y__").isNotNull() & ~F.isnan("__y__")
+    )
     pc = (
         pairs.groupBy("__x__", "__y__")
         .agg(F.count(F.lit(1)).alias("__w__"))

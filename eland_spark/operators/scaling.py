@@ -136,7 +136,9 @@ def rank_transform(
     the exact, heavy-tail-robust feature normalization (the
     order-statistics core of sklearn's QuantileTransformer with
     uniform output; monotone, so downstream thresholds/buckets are
-    distribution-free). Nulls stay null. Adds ``col + suffix``.
+    distribution-free). Nulls AND NaNs stay null (pandas rank treats
+    NaN as missing; Spark would otherwise group/join NaN as a
+    value). Adds ``col + suffix``.
 
     Unlike the literal-projection scalers above, the fitted "statistic"
     here is the whole value distribution — but it still never ranks
@@ -149,7 +151,7 @@ def rank_transform(
     v = F.col(col).cast("double")
     per = (
         sdf.select(v.alias("__v__"))
-        .where(F.col("__v__").isNotNull())
+        .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
         .groupBy("__v__")
         .agg(F.count(F.lit(1)).alias("__n__"))
     )

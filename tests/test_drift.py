@@ -281,3 +281,37 @@ def test_linear_fit_groups_and_edges(spark):
         spark.createDataFrame(pdf2, schema="x double, y double"), "x", "y"
     ).collect()[0]
     assert row["n"] == 1 and row["slope"] is None
+
+
+def test_two_sample_tests_drop_nan_like_missing(spark):
+    """NaN is missing, not a value: Spark normalizes NaN == NaN in
+    grouping/joins, so without an explicit filter the two-sample tests
+    and rank transforms would rank NaN as the largest value — pandas/
+    scipy drop it. Pinned across ks/welch/mwu/spearman/rank_transform."""
+    from eland_spark.operators.drift import (
+        ks_statistic, mann_whitney_u, welch_ttest,
+    )
+    from eland_spark.operators.ranking import spearman_corr
+    from eland_spark.operators.scaling import rank_transform
+
+    nan = float("nan")
+    a = _mk(spark, [1.0, 2.0, 3.0, nan, nan])
+    b = _mk(spark, [1.0, 2.0, 3.0])
+    assert ks_statistic(a, b, "v").collect()[0].asDict() == {
+        "ks": 0.0, "n_ref": 3, "n_cur": 3,
+    }
+    row = welch_ttest(a, b, "v").collect()[0]
+    assert row["n_ref"] == 3 and row["mean_ref"] == pytest.approx(2.0)
+    row = mann_whitney_u(a, b, "v").collect()[0]
+    assert row["n_ref"] == 3 and row["u"] == pytest.approx(4.5)
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, nan, 4.0],
+                        "y": [2.0, 4.0, 6.0, 8.0]})
+    sdf = spark.createDataFrame(pdf, schema="x double, y double")
+    row = spearman_corr(sdf, "x", "y").collect()[0]
+    assert row["n"] == 3 and row["rho"] == 1.0
+
+    rt = rank_transform(sdf, "x").orderBy("y").collect()
+    qs = [r["x_q"] for r in rt]
+    assert qs[2] is None  # the NaN row stays missing
+    assert qs[0] == pytest.approx(1 / 3) and qs[3] == pytest.approx(1.0)
