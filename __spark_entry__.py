@@ -7207,6 +7207,55 @@ def _groupby_rolling_skew_oracle_sql() -> str:
     """
 
 
+def q_seasonal_decompose(spark, sf_dir) -> DataFrame:
+    """Classical additive seasonal decomposition (timeseries.
+    seasonal_decompose): period-7 trend/seasonal/resid of o_totalprice
+    over the key order — trailing MA on the bucketed padded plan
+    realigned by the dense-position shift join, phase means broadcast
+    back; the oracle replays it with a centered SQL window frame."""
+    from eland_spark.operators.timeseries import seasonal_decompose
+
+    o = _t(spark, sf_dir, "orders", "o_orderkey").to_spark()
+    out = seasonal_decompose(o, ["o_orderkey"], "o_totalprice", period=7)
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    )
+
+
+def _seasonal_decompose_oracle_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v,
+                   row_number() OVER (ORDER BY o_orderkey) AS g
+            FROM orders
+        ), t AS (
+            SELECT o_orderkey, v, g,
+                   CASE WHEN count(v) OVER w = 7
+                        THEN avg(v) OVER w END AS trend
+            FROM r
+            WINDOW w AS (ORDER BY g
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), s AS (
+            SELECT (g - 1) % 7 AS ph, avg(v - trend) AS sm
+            FROM t GROUP BY 1
+        ), o AS (
+            SELECT avg(sm) AS so FROM s
+        ), sc AS (
+            SELECT ph, sm - so AS seasonal FROM s, o
+        )
+        SELECT t.o_orderkey,
+               round(v, 6) AS value,
+               round(trend, 6) AS trend,
+               round(sc.seasonal, 6) AS seasonal,
+               round(v - trend - sc.seasonal, 6) AS resid
+        FROM t JOIN sc ON (t.g - 1) % 7 = sc.ph
+    """
+
+
 def q_linear_fit(spark, sf_dir) -> DataFrame:
     """Whole-table OLS trend (timeseries.linear_fit): extendedprice
     regressed on quantity — ONE agg of the builtin regr_* family
@@ -7730,6 +7779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_rolling_skew": q_groupby_rolling_skew,
         "ewm_std": q_ewm_std,
         "groupby_ewm_std": q_groupby_ewm_std,
+        "seasonal_decompose": q_seasonal_decompose,
     }
 
 
@@ -9992,4 +10042,5 @@ def oracle_sql() -> dict[str, str]:
         "groupby_rolling_skew": _groupby_rolling_skew_oracle_sql(),
         "ewm_std": _ewm_std_oracle_sql(),
         "groupby_ewm_std": _groupby_ewm_std_oracle_sql(),
+        "seasonal_decompose": _seasonal_decompose_oracle_sql(),
     }

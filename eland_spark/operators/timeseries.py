@@ -422,3 +422,93 @@ def linear_fit(
     if by:
         return sdf.groupBy(*by).agg(*aggs)
     return sdf.agg(*aggs)
+
+
+def seasonal_decompose(
+    sdf: DataFrame,
+    order_by: "list[str | Column]",
+    value_col: str,
+    period: int,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition over the global order
+    (statsmodels ``seasonal_decompose(model='additive')`` semantics):
+    ``value = trend + seasonal + resid``, returned as the order
+    columns + ``value/trend/seasonal/resid``.
+
+    - ``trend``: centered moving average — window ``period`` for odd
+      periods; the standard 2x-MA (half weights on the two ends,
+      window ``period + 1``) for even periods. Null at the edges
+      (full-window gate) and wherever the window has any null.
+    - ``seasonal``: per-phase mean of the detrended series
+      (``phase = (position - 1) % period``), centered by the
+      unweighted mean of the phase means — constant per phase.
+    - ``resid``: ``value - trend - seasonal``.
+
+    Scale shape: one windowless global-rank pass, the trailing MA on
+    the bucketed padded plan (one balanced exchange; the even case
+    stacks a width-2 pass), the centering realignment via the dense
+    position self-join, a period-sized phase aggregate broadcast back
+    — never a single-partition window, never row data on the driver.
+    """
+    from .ranking import (
+        with_global_rank,
+        with_global_rolling,
+        with_global_shift,
+    )
+
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if not all(isinstance(c, str) for c in order_by):
+        raise ValueError("order_by must be column names")
+    h = period // 2
+    base = sdf.select(
+        *[F.col(c) for c in order_by],
+        F.col(value_col).cast("double").alias("__v__"),
+    )
+    # positions in a caller-owned column: the rolling/shift operators
+    # create and DROP their own internal "__g__", so "__pos__" rides
+    # through them untouched
+    ranked = with_global_rank(
+        base, order_by, rank_col="__pos__", partitions=partitions
+    )
+    # trailing MA, full-window gate; min_periods=window also nulls any
+    # window containing a null (statsmodels propagates edge NaNs)
+    rolled = with_global_rolling(
+        ranked, ["__pos__"], "__v__", period, ["mean"], min_periods=period,
+        partitions=partitions,
+    ).withColumnRenamed("rolling_mean", "__ma__")
+    if period % 2 == 0:
+        rolled = with_global_rolling(
+            rolled, ["__pos__"], "__ma__", 2, ["mean"], min_periods=2,
+            partitions=partitions,
+        ).drop("__ma__").withColumnRenamed("rolling_mean", "__ma__")
+    rolled = rolled.withColumn(
+        "__phase__", ((F.col("__pos__") - 1) % period).cast("int")
+    )
+    # realign the trailing average onto the window center: the value h
+    # positions AHEAD (negative shift) is this row's centered trend
+    trended = with_global_shift(
+        rolled, ["__pos__"], "__ma__", periods=-h, out_col="__trend__"
+    ).drop("__ma__")
+    det = trended.withColumn(
+        "__det__", F.col("__v__") - F.col("__trend__")
+    )
+    smeans = det.groupBy("__phase__").agg(
+        F.avg("__det__").alias("__smean__")
+    )
+    overall = smeans.agg(F.avg("__smean__").alias("__soverall__"))
+    sm = F.broadcast(smeans.crossJoin(F.broadcast(overall)).select(
+        "__phase__",
+        (F.col("__smean__") - F.col("__soverall__")).alias("__seasonal__"),
+    ))
+    out = det.join(sm, "__phase__", "left")
+    return out.select(
+        *order_by,
+        F.col("__v__").alias(value_col),
+        F.col("__trend__").alias("trend"),
+        F.col("__seasonal__").alias("seasonal"),
+        (
+            F.col("__v__") - F.col("__trend__") - F.col("__seasonal__")
+        ).alias("resid"),
+    )

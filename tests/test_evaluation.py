@@ -477,3 +477,65 @@ def test_groupby_ewm_var_std_match_pandas(spark):
         .transform(lambda s: s.ewm(alpha=0.99, min_periods=2).var()).to_numpy()
     )
     assert np.allclose(got_v, want_v, rtol=1e-6, atol=1e-9, equal_nan=True)
+
+
+def _ref_decompose(vals, period):
+    """numpy reference for the classical additive decomposition with
+    the same MA definition (odd: centered window p; even: 2x-MA)."""
+    n = len(vals)
+    v = np.asarray(vals, dtype="float64")
+    h = period // 2
+    trend = np.full(n, np.nan)
+    for i in range(n):
+        if period % 2:
+            lo, hi = i - h, i + h
+            if lo >= 0 and hi < n:
+                trend[i] = v[lo:hi + 1].mean()
+        else:
+            lo, hi = i - h, i + h
+            if lo >= 0 and hi < n:
+                trend[i] = (
+                    0.5 * v[lo] + v[lo + 1:hi].sum() + 0.5 * v[hi]
+                ) / period
+    det = v - trend
+    smeans = np.array([
+        np.nanmean(det[p::period]) if np.any(~np.isnan(det[p::period]))
+        else np.nan
+        for p in range(period)
+    ])
+    smeans = smeans - np.nanmean(smeans)
+    seasonal = smeans[np.arange(n) % period]
+    return trend, seasonal, v - trend - seasonal
+
+
+@pytest.mark.parametrize("period", [7, 6])
+def test_seasonal_decompose_matches_reference(spark, period):
+    from eland_spark.operators.timeseries import seasonal_decompose
+
+    rng = np.random.RandomState(67)
+    n = 200
+    t = np.arange(n)
+    vals = (
+        0.3 * t                               # trend
+        + 10 * np.sin(2 * np.pi * t / period) # seasonality
+        + rng.normal(0, 1, n)                 # noise
+    ).round(3)
+    pdf = pd.DataFrame({"k": t, "v": vals})
+    sdf = spark.createDataFrame(pdf.astype({"k": "int64"}))
+    got = (
+        seasonal_decompose(sdf, ["k"], "v", period)
+        .toPandas().sort_values("k")
+    )
+    trend, seasonal, resid = _ref_decompose(vals, period)
+    assert np.allclose(got["trend"].to_numpy(), trend,
+                       atol=1e-9, equal_nan=True)
+    assert np.allclose(got["seasonal"].to_numpy(), seasonal,
+                       atol=1e-9, equal_nan=True)
+    assert np.allclose(got["resid"].to_numpy(), resid,
+                       atol=1e-9, equal_nan=True)
+    # components reassemble the series wherever trend is defined
+    m = ~np.isnan(trend)
+    re = (got["trend"] + got["seasonal"] + got["resid"]).to_numpy()
+    assert np.allclose(re[m], vals[m], atol=1e-9)
+    with pytest.raises(ValueError):
+        seasonal_decompose(sdf, ["k"], "v", 1)

@@ -957,6 +957,9 @@ def test_round5_query_plan_pins(spark):
         "ewm_std": (3, 0),
         # one Arrow applyInPandas riding the group shuffle
         "groupby_ewm_std": (1, 0),
+        # rank + bucketed MA + position shift join + phase broadcast —
+        # every exchange dense-position- or period-sized
+        "seasonal_decompose": (11, 1),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
