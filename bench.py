@@ -149,6 +149,12 @@ HEADLINE = [
     "expanding_skew_kurt",
     # one rank pass + one lag-exploded join + one k-keyed corr agg
     "acf",
+    # centered-MA decomposition: bucketed MA + shift join + phase bcast
+    "seasonal_decompose",
+    # one full-scan builtin regr_* agg
+    "linear_fit",
+    # truncated-kernel weighted variance on the bucketed padded plan
+    "ewm_std",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
