@@ -303,6 +303,38 @@ def _ewm_var_expr(
     return F.sqrt(var) if std else var
 
 
+def _ewm_global_arrow(
+    sdf, phys_idx: list, phys_col: str, a: float, W: int,
+    min_periods: int, name: str, stat: str,
+):
+    """Arrow engine for the GLOBAL-order ewm family: pandas' C ewm
+    kernel per padded bucket. The bucketed frame replicates the last
+    ``W`` rows of each bucket forward as burn-in, so each bucket's
+    slice carries at least the tol-truncated kernel of history — the
+    SAME approximation contract as the window engine, at O(1) per row
+    instead of O(W) interpreted higher-order folds (measured: span=20
+    / W=369 on 150k rows, 122s window vs ~1s arrow). Pad rows are
+    dropped after the kernel runs."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .ranking import _bucketed_frame
+
+    un, _w = _bucketed_frame(sdf, phys_idx, W + 1)
+    out_schema = T.StructType(
+        list(un.schema.fields) + [T.StructField(name, T.DoubleType(), True)]
+    )
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__g__", kind="mergesort")
+        proxy = pdf[phys_col].ewm(alpha=a, min_periods=min_periods)
+        pdf[name] = getattr(proxy, stat)()
+        return pdf
+
+    res = un.groupBy("__b__").applyInPandas(_fn, out_schema)
+    return res.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
+
+
 def ewm_var_global(
     df: "DataFrame",
     col: str,
@@ -341,17 +373,23 @@ def ewm_var_global(
         raise ValueError("ewm needs an index for row order")
     name = out_col or f"{col}_ewm_{'std' if std else 'var'}"
     phys_idx = [schema.resolve_any(c) for c in icols]
-    un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
-    out = (
-        un.withColumn(
-            name,
-            _ewm_var_expr(
-                F.col(schema.resolve(col)), d, w, min_periods, std=std
-            ),
+    if W <= 8:
+        un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
+        out = (
+            un.withColumn(
+                name,
+                _ewm_var_expr(
+                    F.col(schema.resolve(col)), d, w, min_periods, std=std
+                ),
+            )
+            .filter(~F.col("__pad__"))
+            .drop("__b__", "__pad__", "__g__")
         )
-        .filter(~F.col("__pad__"))
-        .drop("__b__", "__pad__", "__g__")
-    )
+    else:
+        out = _ewm_global_arrow(
+            df._sdf, phys_idx, schema.resolve(col), a, W, min_periods,
+            name, "std" if std else "var",
+        )
     return EDF(out, schema.with_field(Field(name, name, T.DoubleType(), True)))
 
 
@@ -506,10 +544,22 @@ def ewm_mean_global(
         raise ValueError("ewm needs an index for row order")
     name = out_col or f"{col}_ewm"
     phys_idx = [schema.resolve_any(c) for c in icols]
-    un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
-    out = (
-        un.withColumn(name, _ewm_mean_expr(F.col(schema.resolve(col)), d, w, min_periods))
-        .filter(~F.col("__pad__"))
-        .drop("__b__", "__pad__", "__g__")
-    )
+    if W <= 8:
+        un, w = _bucketed_frame(df._sdf, phys_idx, W + 1)
+        out = (
+            un.withColumn(
+                name,
+                _ewm_mean_expr(F.col(schema.resolve(col)), d, w, min_periods),
+            )
+            .filter(~F.col("__pad__"))
+            .drop("__b__", "__pad__", "__g__")
+        )
+    else:
+        # wide kernel: pandas C kernel per padded bucket (see
+        # _ewm_global_arrow) — the window engine's interpreted O(W)
+        # per-row folds are ~100x slower there
+        out = _ewm_global_arrow(
+            df._sdf, phys_idx, schema.resolve(col), a, W, min_periods,
+            name, "mean",
+        )
     return EDF(out, schema.with_field(Field(name, name, T.DoubleType(), True)))
