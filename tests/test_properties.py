@@ -1236,12 +1236,32 @@ def test_rolling_zscore_matches_pandas_fuzz(spark, rows, window, min_periods):
     )
 
     def ref(g):
-        prev = g["v"].shift(1)
-        mean = prev.rolling(window, min_periods=min_periods).mean()
-        std = prev.rolling(window, min_periods=min_periods).std()
-        cnt = prev.rolling(window, min_periods=1).count()
-        z = (g["v"] - mean) / std
-        return z.where((cnt >= min_periods) & (std > 0)).round(6)
+        # EXACT per-window mean/std (direct slices, fsum) — pandas'
+        # own incremental rolling sums drift when a large value passes
+        # through the accumulator before tiny ones (e.g. 1716 then
+        # 2^-8: pandas z off by 1.5e-5 relative where this engine is
+        # exact), so pandas cannot serve as the reference here; same
+        # upgrade as the rolling-sum fuzzer
+        import math as m
+
+        vals = g["v"].tolist()
+        out = []
+        for i, v in enumerate(vals):
+            prev = [
+                x for x in vals[max(0, i - window):i]
+                if x is not None and not (isinstance(x, float) and m.isnan(x))
+            ]
+            n = len(prev)
+            if n < min_periods or v is None or (
+                isinstance(v, float) and m.isnan(v)
+            ):
+                out.append(float("nan"))
+                continue
+            mu = m.fsum(prev) / n
+            var = m.fsum((x - mu) ** 2 for x in prev) / (n - 1) if n > 1 else 0.0
+            sd = m.sqrt(var)
+            out.append((v - mu) / sd if sd > 0 else float("nan"))
+        return pd.Series(out, index=g.index).round(6)
 
     if len(pdf) == 0:
         assert len(got) == 0
