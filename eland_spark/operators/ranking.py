@@ -309,21 +309,27 @@ def _global_cummoments(
     v0 = F.col(value_col).cast("double")
     v = F.when(F.abs(v0) < 1e-30, F.lit(0.0)).otherwise(v0)
 
-    def raw_moments(nb, m2, sk, kt):
-        """(M3, M4) from population skewness/kurtosis + M2 + n."""
-        m3 = F.when(m2 > 0, sk * m2 * F.sqrt(m2) / F.sqrt(nb)).otherwise(
-            F.lit(0.0)
-        )
-        m4 = F.when(m2 > 0, (kt + 3.0) * m2 * m2 / nb).otherwise(F.lit(0.0))
-        return m3, m4
-
-    nb = F.count(v).over(w).cast("double")
-    mb = F.coalesce(F.avg(v).over(w), F.lit(0.0))
-    m2b = F.coalesce(F.var_pop(v).over(w), F.lit(0.0)) * nb
-    m3b, m4b = raw_moments(
-        nb, m2b, F.skewness(v).over(w), F.kurtosis(v).over(w)
+    # Expression-size discipline (CLAUDE.md): Column trees EXPAND on
+    # every reference, and the Pébay combine below references each
+    # within-bucket moment up to 6 times — inlining the window
+    # aggregates there produced the widest expression trees in the repo
+    # (r5's most expensive headline query). Instead the raw window
+    # aggregates land ONCE in a single projection (one Window node;
+    # same-spec aggs dedup within it), and every later layer builds
+    # small trees over plain attribute references. Adjacent Projects
+    # stay separate (CollapseProject keeps multiply-referenced
+    # non-trivial aliases) and pipeline inside one codegen stage — no
+    # extra exchange, no extra Window.
+    win = ranked.select(
+        "*",
+        F.count(v).over(w).cast("double").alias("__nb__"),
+        F.coalesce(F.avg(v).over(w), F.lit(0.0)).alias("__mb__"),
+        F.coalesce(F.var_pop(v).over(w), F.lit(0.0)).alias("__vpb__"),
+        F.skewness(v).over(w).alias("__skb__"),
+        F.kurtosis(v).over(w).alias("__ktb__"),
+        F.min(v0).over(w).alias("__vminb__"),
+        F.max(v0).over(w).alias("__vmaxb__"),
     )
-    vminb, vmaxb = F.min(v0).over(w), F.max(v0).over(w)
     totals = (
         ranked.groupBy(bucket.alias("__b__"))
         .agg(
@@ -362,42 +368,66 @@ def _global_cummoments(
         else:
             bm4 = 0.0
         acc = _combine_moments(*acc, bn, bm, bm2, bm3, bm4)
+    # The per-bucket prefix carry folds back as ONE map literal of
+    # 7-element arrays (n, mean, m2, m3, m4, min, max) — a single
+    # GetMapValue scan per row instead of the seven per-moment map
+    # lookups this used to pay (each scans every bucket key per row).
     if offsets:
-        maps = [
-            F.create_map(
-                *[
-                    F.lit(x)
-                    for b, vals in offsets.items()
-                    for x in (b, vals[i])
-                ]
+        entries = []
+        for b, vals in offsets.items():
+            mm = minmax[b]
+            entries.append(F.lit(b))
+            entries.append(
+                F.array(
+                    *[
+                        F.lit(None).cast("double")
+                        if x is None
+                        else F.lit(float(x))
+                        for x in (*vals, mm[0], mm[1])
+                    ]
+                )
             )
-            for i in range(5)
-        ]
-        na = F.coalesce(maps[0][bucket], F.lit(0.0))
-        ma = F.coalesce(maps[1][bucket], F.lit(0.0))
-        m2a = F.coalesce(maps[2][bucket], F.lit(0.0))
-        m3a = F.coalesce(maps[3][bucket], F.lit(0.0))
-        m4a = F.coalesce(maps[4][bucket], F.lit(0.0))
-        minmap = F.create_map(
-            *[F.lit(x) for b, mm in minmax.items() for x in (b, mm[0])]
+        carry = F.create_map(*entries)[bucket]
+    else:  # empty frame / all-null column / single bucket
+        carry = F.array(
+            *([F.lit(0.0)] * 5),
+            F.lit(None).cast("double"),
+            F.lit(None).cast("double"),
         )
-        maxmap = F.create_map(
-            *[F.lit(x) for b, mm in minmax.items() for x in (b, mm[1])]
-        )
-        vmin = F.least(minmap[bucket], vminb)
-        vmax = F.greatest(maxmap[bucket], vmaxb)
-    else:
-        na = ma = m2a = m3a = m4a = F.lit(0.0)
-        vmin, vmax = vminb, vmaxb
-    # the same pairwise algebra as _combine_moments, as Column exprs;
-    # na == 0 and nb == 0 reduce to the other side exactly (every
-    # cross term carries a vanishing factor). ALL columns land in ONE
-    # select: separate withColumn layers would each plan their own
-    # Window node (Exchange+Sort per layer — measured 6x); a single
-    # projection extracts every window function into one Window
-    # operator that dedups the shared aggregates.
-    n = na + nb
-    d = mb - ma
+    der = win.select("*", carry.alias("__carry__"))
+    # derive the raw within-bucket moments + carry scalars as plain
+    # columns; the combine layer then references only attributes
+    nb = F.col("__nb__")
+    m2b_ = F.col("__vpb__") * nb
+    zero = F.lit(0.0)
+    der = der.select(
+        "*",
+        m2b_.alias("__m2b__"),
+        F.when(
+            m2b_ > 0, F.col("__skb__") * m2b_ * F.sqrt(m2b_) / F.sqrt(nb)
+        ).otherwise(zero).alias("__m3b__"),
+        F.when(
+            m2b_ > 0, (F.col("__ktb__") + 3.0) * m2b_ * m2b_ / nb
+        ).otherwise(zero).alias("__m4b__"),
+        F.coalesce(F.col("__carry__")[0], zero).alias("__na__"),
+        F.coalesce(F.col("__carry__")[1], zero).alias("__ma__"),
+        F.coalesce(F.col("__carry__")[2], zero).alias("__m2a__"),
+        F.coalesce(F.col("__carry__")[3], zero).alias("__m3a__"),
+        F.coalesce(F.col("__carry__")[4], zero).alias("__m4a__"),
+        F.col("__carry__")[5].alias("__vmina__"),
+        F.col("__carry__")[6].alias("__vmaxa__"),
+    ).select(
+        "*",
+        (F.col("__na__") + F.col("__nb__")).alias("__n__"),
+        (F.col("__mb__") - F.col("__ma__")).alias("__d__"),
+    )
+    # the same pairwise algebra as _combine_moments, as Column exprs
+    # over attribute references; na == 0 and nb == 0 reduce to the
+    # other side exactly (every cross term carries a vanishing factor)
+    n, d = F.col("__n__"), F.col("__d__")
+    na, ma = F.col("__na__"), F.col("__ma__")
+    m2a, m3a, m4a = F.col("__m2a__"), F.col("__m3a__"), F.col("__m4a__")
+    m2b, m3b, m4b = F.col("__m2b__"), F.col("__m3b__"), F.col("__m4b__")
     mean = F.when(n > 0, ma + d * nb / n)
     m2 = F.when(n > 0, m2a + m2b + d * d * na * nb / n)
     m3 = F.when(
@@ -414,16 +444,24 @@ def _global_cummoments(
         + 6.0 * d * d * (na * na * m2b + nb * nb * m2a) / (n * n)
         + 4.0 * d * (na * m3b - nb * m3a) / n,
     )
-    return ranked.select(
+    helper = [
+        "__nb__", "__mb__", "__vpb__", "__skb__", "__ktb__", "__vminb__",
+        "__vmaxb__", "__carry__", "__m2b__", "__m3b__", "__m4b__",
+        "__na__", "__ma__", "__m2a__", "__m3a__", "__m4a__",
+        "__vmina__", "__vmaxa__", "__n__", "__d__",
+    ]
+    return der.select(
         "*",
         n.alias("__cum_n__"),
         mean.alias("__cum_mean__"),
         m2.alias("__cum_m2__"),
         m3.alias("__cum_m3__"),
         m4.alias("__cum_m4__"),
-        vmin.alias("__cum_vmin__"),
-        vmax.alias("__cum_vmax__"),
-    )
+        F.least(F.col("__vmina__"), F.col("__vminb__")).alias("__cum_vmin__"),
+        F.greatest(F.col("__vmaxa__"), F.col("__vmaxb__")).alias(
+            "__cum_vmax__"
+        ),
+    ).drop(*helper)
 
 
 def with_global_cumagg(
@@ -668,7 +706,11 @@ def with_global_rolling(
     mp = window if min_periods is None else min_periods
     un, w = _bucketed_frame(sdf, order_by, window, partitions)
     cnt = F.count(F.col(value_col)).over(w)
-    out = un
+    # all aggs land in ONE projection: same-spec window expressions
+    # (cnt, and the const/noise guards shared by skew+kurt) dedup only
+    # within a single select — a withColumn per agg would plan one
+    # Window (Exchange+Sort) node per layer (CLAUDE.md rule)
+    rolled: list[Column] = []
     for a in aggs:
         if a in moments:
             col = F.col(value_col).cast("double")
@@ -710,7 +752,8 @@ def with_global_rolling(
             expr = F.when(
                 cnt >= F.lit(mp), fn_map[a](F.col(value_col)).over(w)
             )
-        out = out.withColumn(f"rolling_{a}", expr)
+        rolled.append(expr.alias(f"rolling_{a}"))
+    out = un.select("*", *rolled)
     return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 

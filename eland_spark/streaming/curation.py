@@ -466,7 +466,8 @@ def read_linear_fit(spark, path: str, by=()) -> DataFrame:
     """Merge-on-read over a :func:`stream_regression_update` directory:
     sum the per-batch sufficient statistics per group and derive
     ``(by..., slope, intercept, r2, n)`` — null slope/r2 for constant
-    x, matching the batch operator's REGR_* conventions."""
+    x and r2 = 1.0 for constant y with varying x, matching the batch
+    operator's REGR_* conventions (Spark regr_r2)."""
     import glob as _glob
     import os as _os
 
@@ -483,7 +484,14 @@ def read_linear_fit(spark, path: str, by=()) -> DataFrame:
     cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
     slope = F.when(vx > 0, cxy / vx)
     intercept = F.when(vx > 0, (F.col("sy") - slope * F.col("sx")) / n)
-    r2 = F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy))
+    # SQL-standard REGR_R2 (Spark's regr_r2, which the batch linear_fit
+    # uses): null for constant x; 1.0 for constant y with varying x (the
+    # regression line y = mean(y) fits exactly); else the squared
+    # correlation. The inner CASE keeps the vy=0 branch from dividing.
+    r2 = F.when(
+        vx > 0,
+        F.when(vy > 0, (cxy * cxy) / (vx * vy)).otherwise(F.lit(1.0)),
+    )
     return tot.select(
         *by,
         slope.alias("slope"),

@@ -1111,6 +1111,13 @@ def test_stream_regression_matches_batch_fit(spark, tmp_path):
             "y": rng.uniform(0, 10, 40),
         })
         b["y"] = 2.0 * b["x"] + 1.0 + rng.normal(0, 0.5, 40)
+        # degenerate groups: constant y with varying x (regr_r2 = 1.0 —
+        # the flat line fits exactly) and constant x (null slope/r2)
+        b = pd.concat([b, pd.DataFrame({
+            "g": ["cy"] * 5 + ["cx"] * 5,
+            "x": list(rng.uniform(0, 10, 5)) + [3.0] * 5,
+            "y": [7.0] * 5 + list(rng.uniform(0, 10, 5)),
+        })], ignore_index=True)
         frames.append(b)
         spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(str(src))
 
@@ -1131,6 +1138,10 @@ def test_stream_regression_matches_batch_fit(spark, tmp_path):
             linear_fit(all_rows, "x", "y", by=["g"]).collect()}
     for g in want:
         assert got[g]["n"] == want[g]["n"]
-        assert got[g]["slope"] == _pt.approx(want[g]["slope"], rel=1e-9)
-        assert got[g]["intercept"] == _pt.approx(want[g]["intercept"], rel=1e-9)
-        assert got[g]["r2"] == _pt.approx(want[g]["r2"], rel=1e-9)
+        for fld in ("slope", "intercept", "r2"):
+            if want[g][fld] is None:
+                assert got[g][fld] is None, (g, fld)
+            else:
+                assert got[g][fld] == _pt.approx(want[g][fld], rel=1e-9), (g, fld)
+    assert want["cy"]["r2"] == _pt.approx(1.0)  # pin the regr_r2 convention
+    assert want["cx"]["slope"] is None and want["cx"]["r2"] is None
