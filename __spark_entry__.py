@@ -4204,13 +4204,15 @@ def q_groupby_value_counts(spark, sf_dir) -> DataFrame:
 
 
 def q_groupby_ewm(spark, sf_dir) -> DataFrame:
-    """pandas groupby().ewm(alpha=.5).mean() via the library: the
-    infinite recursion truncated at the kernel width where weights drop
-    below double precision (54 lags for alpha=0.5 — exact), compiled to
-    ONE bounded-lookback keyed window, all JVM-side higher-order folds
-    (operators/windowed.ewm_mean_grouped). The DuckDB twin replays the
-    IDENTICAL truncated kernel as a bounded position self-join, so both
-    engines compute the same finite sum."""
+    """pandas groupby().ewm(alpha=.5).mean() via the library
+    (operators/windowed.ewm_mean_grouped): alpha=0.5's 54-wide kernel
+    routes to the arrow engine — pandas' C ewm kernel per group on ONE
+    applyInPandas riding the group shuffle (the keyed-window JVM-fold
+    engine is auto-picked only for kernels <= 8 lags, where the O(W)
+    per-row fold is cheaper than a Python boundary). The DuckDB twin
+    replays the kernel truncated where weights drop below double
+    precision as a bounded position self-join — identical to the full
+    recursion at the rounded precision."""
     o = _t(spark, sf_dir, "orders", "o_orderkey")
     out = (
         o[["o_orderstatus", "o_totalprice"]]
@@ -4320,6 +4322,53 @@ def _groupby_ewm_std_oracle_sql() -> str:
                                              0.0)
                                     * sw * sw / (sw * sw - sw2)) END, 4)
                    AS ewm_std_price
+        FROM j
+    """
+
+
+def q_groupby_ewm_wide(spark, sf_dir) -> DataFrame:
+    """groupby().ewm(span=50).mean() — the WIDE-kernel grouped ewm
+    (921 lags before weights drop below double precision; span=50's
+    alpha is 2/51). Exercises the slow-decay class that hid the r5
+    global-ewm cliff: the arrow engine runs pandas' C kernel per group
+    on one applyInPandas (O(1) per row), so this must bench within ~2x
+    of the short-span groupby_ewm — a JVM HOF fold here would be
+    O(921) interpreted steps per row. Oracle: bounded self-join replay
+    capped at 1000 lags (weight < 5e-18 past the kernel width —
+    invisible at the rounded precision)."""
+    o = _t(spark, sf_dir, "orders", "o_orderkey")
+    out = (
+        o[["o_orderstatus", "o_totalprice"]]
+        .groupby("o_orderstatus")
+        .ewm(span=50, min_periods=2)
+        .mean()
+    )
+    return out.to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice_ewm"), 4).alias("ewm_price")
+    )
+
+
+def _groupby_ewm_wide_oracle_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS v,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   ) AS rn
+            FROM orders
+        ), j AS (
+            SELECT a.o_orderkey,
+                   sum(b.v * power(1.0 - 2.0/51.0, a.rn - b.rn)) AS swx,
+                   sum(power(1.0 - 2.0/51.0, a.rn - b.rn)) AS sw,
+                   count(*) AS cnt
+            FROM p a JOIN p b
+              ON a.o_orderstatus = b.o_orderstatus
+             AND b.rn BETWEEN a.rn - 1000 AND a.rn
+            GROUP BY a.o_orderkey
+        )
+        SELECT o_orderkey,
+               round(CASE WHEN cnt >= 2 THEN swx / sw END, 4) AS ewm_price
         FROM j
     """
 
@@ -4866,8 +4915,11 @@ def q_embedding_covariance(spark, sf_dir) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings", "vec_id")
     out = covariance_matrix(emb.to_spark())
+    # + 0.0 flushes IEEE negative zero: DuckDB's round keeps -0.0 where
+    # Spark lands on +0.0, and the driver hash is repr-based, so the
+    # two zeros hash differently (r6 full-replay finding)
     return out.select(
-        "i", "j", F.round(F.col("cov"), 6).alias("cov")
+        "i", "j", (F.round(F.col("cov"), 6) + F.lit(0.0)).alias("cov")
     )
 
 
@@ -4931,13 +4983,14 @@ def q_standardized(spark, sf_dir) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
     out = standard_scale(li, ["l_quantity", "l_extendedprice"])
+    # + 0.0 flushes IEEE negative zero (see q_embedding_covariance)
     return out.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_suppkey",
-        F.round("l_quantity_z", 4).alias("qty_z"),
-        F.round("l_extendedprice_z", 4).alias("price_z"),
+        (F.round("l_quantity_z", 4) + F.lit(0.0)).alias("qty_z"),
+        (F.round("l_extendedprice_z", 4) + F.lit(0.0)).alias("price_z"),
     )
 
 
@@ -7779,6 +7832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_rolling_skew": q_groupby_rolling_skew,
         "ewm_std": q_ewm_std,
         "groupby_ewm_std": q_groupby_ewm_std,
+        "groupby_ewm_wide": q_groupby_ewm_wide,
         "seasonal_decompose": q_seasonal_decompose,
     }
 
@@ -9613,7 +9667,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             SELECT a.i AS i, b.i AS j,
-                   round(covar_samp(a.v, b.v), 6) AS cov
+                   round(covar_samp(a.v, b.v), 6) + 0 AS cov
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i
         """,
@@ -9621,9 +9675,10 @@ def oracle_sql() -> dict[str, str]:
         "standardized": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                    round((l_quantity - avg(l_quantity) OVER ())
-                         / stddev_samp(l_quantity) OVER (), 4) AS qty_z,
+                         / stddev_samp(l_quantity) OVER (), 4) + 0 AS qty_z,
                    round((l_extendedprice - avg(l_extendedprice) OVER ())
-                         / stddev_samp(l_extendedprice) OVER (), 4) AS price_z
+                         / stddev_samp(l_extendedprice) OVER (), 4) + 0
+                       AS price_z
             FROM lineitem
         """,
         "winsorized": """
@@ -10042,5 +10097,6 @@ def oracle_sql() -> dict[str, str]:
         "groupby_rolling_skew": _groupby_rolling_skew_oracle_sql(),
         "ewm_std": _ewm_std_oracle_sql(),
         "groupby_ewm_std": _groupby_ewm_std_oracle_sql(),
+        "groupby_ewm_wide": _groupby_ewm_wide_oracle_sql(),
         "seasonal_decompose": _seasonal_decompose_oracle_sql(),
     }

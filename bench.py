@@ -187,6 +187,9 @@ HEADLINE = [
     "groupby_linear_fit",
     "groupby_rolling_skew",
     "groupby_ewm_std",
+    # r6: wide-kernel (921-lag) grouped ewm — must stay within ~2x of
+    # the short-span groupby_ewm (both ride the arrow C-kernel engine)
+    "groupby_ewm_wide",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -219,6 +222,7 @@ ROW_HEAVY = {
     "rolling_quantile",
     "groupby_rolling_skew",
     "groupby_ewm_std",
+    "groupby_ewm_wide",
 }
 
 # Ledgered explanations for sweep entries allowed over the per-query

@@ -214,8 +214,16 @@ class TransformerModel:
         return pd.Series(out)
 
     def apply(
-        self, df: DataFrame, text_col: str = "text", out_col: str | None = None
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        out_col: str | None = None,
+        engine: str = "stand_in",
     ) -> DataFrame:
+        if engine not in ("stand_in", "hf"):
+            raise ValueError(f"engine must be stand_in|hf, got {engine!r}")
+        if engine == "hf":
+            return self._apply_hf(df, text_col, out_col)
         t = self.task_type
         if t == "text_embedding":
             return embed_text(df, text_col, out_col or "embedding", dim=self.dim)
@@ -310,6 +318,109 @@ class TransformerModel:
                 yield chunk
 
         return df.mapInPandas(run, out_schema)
+
+    def _apply_hf(
+        self, df: DataFrame, text_col: str, out_col: str | None
+    ) -> DataFrame:
+        """Real-model engine (``engine='hf'``): loads the HF model named
+        by ``model_id`` through torch + transformers INSIDE the
+        mapInPandas stage (once per partition, the documented swap
+        point) and emits the SAME output schema as the stand-in, so a
+        torch-present environment can pin contract parity (reference
+        behavior: eland/ml/pytorch/transformers.py:336+ traces live HF
+        models). Import-gated — raises ImportError where torch or
+        transformers is absent (this container). text_embedding
+        (mean-pooled last hidden state, L2-normalized like the ES
+        dense_vector convention) and text_classification
+        (transformers.pipeline) are wired; other task types raise
+        NotImplementedError until a torch-present environment exists
+        to validate their output mapping."""
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover — torch absent here
+            raise ImportError(
+                "engine='hf' needs torch and transformers installed; "
+                "use the default engine='stand_in' in torch-free "
+                "environments"
+            ) from e
+        t = self.task_type
+        model_id = self.model_id
+        if t == "text_embedding":  # pragma: no cover — needs torch
+            oc = out_col or "embedding"
+            out_schema = T.StructType(
+                df.schema.fields
+                + [T.StructField(oc, T.ArrayType(T.FloatType()), True)]
+            )
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import torch
+                from transformers import AutoModel, AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(model_id)
+                mdl = AutoModel.from_pretrained(model_id)
+                mdl.eval()
+                for pdf in batches:
+                    texts = [str(x or "") for x in pdf[text_col]]
+                    with torch.no_grad():
+                        enc = tok(
+                            texts, padding=True, truncation=True,
+                            return_tensors="pt",
+                        )
+                        hs = mdl(**enc).last_hidden_state
+                        mask = enc["attention_mask"].unsqueeze(-1).float()
+                        emb = (hs * mask).sum(1) / mask.sum(1).clamp(min=1.0)
+                        emb = torch.nn.functional.normalize(emb, dim=1)
+                    chunk = pdf.copy()
+                    chunk[oc] = [
+                        [float(v) for v in row] for row in emb.cpu().numpy()
+                    ]
+                    yield chunk
+
+            return df.mapInPandas(run, out_schema)
+        if t == "text_classification":  # pragma: no cover — needs torch
+            oc = out_col or "prediction"
+            out_schema = T.StructType(
+                df.schema.fields
+                + [
+                    T.StructField(
+                        oc,
+                        T.StructType(
+                            [
+                                T.StructField("predicted_value", T.StringType()),
+                                T.StructField(
+                                    "prediction_probability", T.DoubleType()
+                                ),
+                            ]
+                        ),
+                        True,
+                    )
+                ]
+            )
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from transformers import pipeline
+
+                pipe = pipeline("text-classification", model=model_id)
+                for pdf in batches:
+                    texts = [str(x or "") for x in pdf[text_col]]
+                    preds = pipe(texts, truncation=True)
+                    chunk = pdf.copy()
+                    chunk[oc] = [
+                        {
+                            "predicted_value": p["label"],
+                            "prediction_probability": float(p["score"]),
+                        }
+                        for p in preds
+                    ]
+                    yield chunk
+
+            return df.mapInPandas(run, out_schema)
+        raise NotImplementedError(
+            f"engine='hf' not yet wired for task {t!r}; wire its output "
+            "mapping in a torch-present environment and pin it against "
+            "the stand-in schema"
+        )
 
     def encoder(self) -> Callable:
         """The per-batch encode function (swap point for a real model)."""

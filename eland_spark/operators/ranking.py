@@ -1321,6 +1321,55 @@ def with_global_rolling_multi(
     return out.filter(~F.col("__pad__")).drop("__b__", "__pad__", "__g__")
 
 
+def keyed_midranks(
+    per: DataFrame,
+    key_col: str,
+    val_col: str,
+    weight_col: str,
+    out_col: str = "__mid__",
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Tie-averaged midranks of ``val_col`` WITHIN each ``key_col``
+    group, from per-(key, value) ``weight_col`` counts — the shared
+    ranked-values stage of the rank statistics (Spearman's two axes,
+    and any batch of rank tests run together: each test is one key).
+
+    ONE windowless bucket prefix-sum pass over the (key, value) order
+    serves every key: the global running weight restarts per key by
+    subtracting the key's driver-folded offset (keys-sized state, a
+    map literal — never a per-key shuffle). Returns
+    ``(key_col, val_col, out_col)``, distinct-(key, value)-sized.
+    """
+    cum = with_global_cumsum(
+        per, [key_col, val_col], weight_col, out_col="__cumg__",
+        partitions=partitions,
+    )
+    # per-key starting offsets: cumulative total of all PRECEDING keys
+    # in the global (key, value) order — n_keys rows on the driver
+    key_tot = (
+        per.groupBy(key_col)
+        .agg(F.sum(weight_col).alias("__kt__"))
+        .orderBy(key_col)
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in key_tot:
+        offsets[r[key_col]] = acc
+        acc += r["__kt__"] or 0
+    if offsets:
+        off = F.coalesce(
+            F.create_map(
+                *[F.lit(v) for kv in offsets.items() for v in kv]
+            )[F.col(key_col)],
+            F.lit(0),
+        )
+    else:
+        off = F.lit(0)
+    n = F.col(weight_col)
+    mid = (F.col("__cumg__") - off - n) + (n + 1) / 2.0
+    return cum.select(key_col, val_col, mid.alias(out_col))
+
+
 def spearman_corr(
     sdf: DataFrame,
     x_col: str,
@@ -1335,12 +1384,14 @@ def spearman_corr(
 
     Never ranks row data: the pair frame reduces to DISTINCT
     (x, y)-pair counts in one hash aggregation (lazily checkpointed —
-    the raw table streams through once), each axis's midranks come
-    from a distinct-value count + the windowless bucket prefix-sum
-    pass, the midranks join back onto the pair-count frame, and rho is
-    ONE weighted-moment scalar aggregate. Midranks are centered by
-    their exact mean ``(n+1)/2`` (the centered weighted sums are
-    exactly zero), so ``rho = sxy / sqrt(sxx * syy)`` with no
+    the raw table streams through once), BOTH axes' midranks come from
+    ONE shared :func:`keyed_midranks` pass (the axes union into one
+    (axis, value) frame, one distinct-value count + one windowless
+    bucket prefix-sum serve both — r5 built this scaffolding per axis
+    independently), the midranks join back onto the pair-count frame,
+    and rho is ONE weighted-moment scalar aggregate. Midranks are
+    centered by their exact mean ``(n+1)/2`` (the centered weighted
+    sums are exactly zero), so ``rho = sxy / sqrt(sxx * syy)`` with no
     large-magnitude cancellation.
     """
     pairs = sdf.select(
@@ -1355,19 +1406,26 @@ def spearman_corr(
         .agg(F.count(F.lit(1)).alias("__w__"))
         .localCheckpoint(eager=False)
     )
-
-    def midranks(val_col, out_col):
-        per = pc.groupBy(val_col).agg(F.sum("__w__").alias("__n__"))
-        cum = with_global_cumsum(
-            per, [val_col], "__n__", out_col="__cum__", partitions=partitions
+    un = pc.select(
+        F.lit(0).alias("__ax__"), F.col("__x__").alias("__v__"), F.col("__w__")
+    ).unionByName(
+        pc.select(
+            F.lit(1).alias("__ax__"), F.col("__y__").alias("__v__"),
+            F.col("__w__"),
         )
-        mid = (F.col("__cum__") - F.col("__n__")) + (F.col("__n__") + 1) / 2.0
-        return cum.select(val_col, mid.alias(out_col))
-
-    j = (
-        pc.join(midranks("__x__", "__rx__"), "__x__")
-        .join(midranks("__y__", "__ry__"), "__y__")
     )
+    per = un.groupBy("__ax__", "__v__").agg(F.sum("__w__").alias("__n__"))
+    mids = keyed_midranks(
+        per, "__ax__", "__v__", "__n__", out_col="__mid__",
+        partitions=partitions,
+    ).localCheckpoint(eager=False)  # distinct-value-sized; read twice
+    rx = mids.filter(F.col("__ax__") == 0).select(
+        F.col("__v__").alias("__x__"), F.col("__mid__").alias("__rx__")
+    )
+    ry = mids.filter(F.col("__ax__") == 1).select(
+        F.col("__v__").alias("__y__"), F.col("__mid__").alias("__ry__")
+    )
+    j = pc.join(rx, "__x__").join(ry, "__y__")
     tot = pc.agg(F.sum("__w__").cast("double").alias("__nt__"))
     jt = j.crossJoin(F.broadcast(tot))
     c = (F.col("__nt__") + 1) / 2.0

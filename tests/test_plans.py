@@ -932,9 +932,13 @@ def test_round5_query_plan_pins(spark):
         "welch_ttest": (2, 1),
         # same checkpointed distinct-value prefix-sum plan as drift_ks
         "rank_sum_test": (6, 0),
-        # pair counts checkpointed; two midrank joins; one scalar agg —
-        # every exchange distinct-(pair|value)-sized, never row data
-        "spearman": (12, 0),
+        # pair counts checkpointed; BOTH axes' midranks ride ONE shared
+        # keyed_midranks pass (r6 — r5 built the distinct-value +
+        # prefix-sum scaffolding per axis, pin was 12), itself
+        # checkpointed distinct-value-sized; two joins + one scalar agg
+        # remain visible — every exchange distinct-(pair|value)-sized,
+        # never row data
+        "spearman": (4, 0),
         # the shared bucketed-padded rolling plan (rank + pad + frame)
         "rolling_quantile": (3, 0),
         # distinct-value counts + prefix-sum + one join back
@@ -957,6 +961,9 @@ def test_round5_query_plan_pins(spark):
         "ewm_std": (3, 0),
         # one Arrow applyInPandas riding the group shuffle
         "groupby_ewm_std": (1, 0),
+        # wide-kernel (921-lag) grouped ewm: same single group shuffle —
+        # the arrow C kernel is O(1) per row at any span
+        "groupby_ewm_wide": (1, 0),
         # rank + bucketed MA + position shift join + phase broadcast —
         # every exchange dense-position- or period-sized
         "seasonal_decompose": (11, 1),
