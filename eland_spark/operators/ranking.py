@@ -108,7 +108,21 @@ def with_global_rank(
         )
     else:  # empty frame: no offsets to look up (no rows to rank)
         rank = F.col("__mid__").bitwiseAND(F.lit(_POS_MASK)) + 1
-    return ranked_src.withColumn(rank_col, rank.cast("long")).drop("__mid__")
+    out = ranked_src.withColumn(rank_col, rank.cast("long")).drop("__mid__")
+    # the offsets fold already summed the exact row count — stash it so
+    # internal callers (_global_cumaggs/_bucketed_frame/...) can skip
+    # their own count() job wave (private contract; see _ranked_total)
+    out._eland_rank_total = acc
+    return out
+
+
+def _ranked_total(ranked: DataFrame) -> int:
+    """Row count of a :func:`with_global_rank` result without a job:
+    the rank pass already folded per-partition counts on the driver.
+    Falls back to ``count()`` (metadata-cheap — the frame is cached)
+    for frames that lost the stash (e.g. after re-wrapping)."""
+    n = getattr(ranked, "_eland_rank_total", None)
+    return int(n) if n is not None else ranked.count()
 
 
 def with_global_shift(
@@ -171,7 +185,7 @@ def _global_cumaggs(
     ranked = with_global_rank(
         sdf, order_by, rank_col="__g__", partitions=n_parts
     )
-    n = ranked.count()  # cached by with_global_rank — a metadata-cheap job
+    n = _ranked_total(ranked)  # folded on the driver by the rank pass
     bucket_size = max(1, math.ceil(n / n_parts))
     bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
     w = (
@@ -298,7 +312,7 @@ def _global_cummoments(
     ranked = with_global_rank(
         sdf, order_by, rank_col="__g__", partitions=n_parts
     )
-    total = ranked.count()
+    total = _ranked_total(ranked)
     bucket_size = max(1, math.ceil(total / n_parts))
     bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
     w = (
@@ -637,7 +651,7 @@ def _bucketed_frame(
     ranked = with_global_rank(
         sdf, order_by, rank_col="__g__", partitions=n_parts
     )
-    n = ranked.count()
+    n = _ranked_total(ranked)
     bucket_size = max(window, math.ceil(n / n_parts) or 1)
     g0 = F.col("__g__") - 1
     home = ranked.withColumn(
@@ -849,7 +863,7 @@ def _bucket_prefix_plan(sdf, order_by, partitions):
     ranked = with_global_rank(
         sdf, order_by, rank_col="__g__", partitions=n_parts
     )
-    n = ranked.count()
+    n = _ranked_total(ranked)
     bucket_size = max(1, math.ceil(n / n_parts))
     bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
     return ranked, bucket
@@ -1335,39 +1349,63 @@ def keyed_midranks(
     and any batch of rank tests run together: each test is one key).
 
     ONE windowless bucket prefix-sum pass over the (key, value) order
-    serves every key: the global running weight restarts per key by
-    subtracting the key's driver-folded offset (keys-sized state, a
-    map literal — never a per-key shuffle). Returns
+    serves every key: the single per-(bucket, key) totals collect
+    yields BOTH the bucket prefix offsets and the per-key starting
+    offsets (buckets x keys driver state, folded back as map literals
+    — never a per-key shuffle, and no second job wave; a lazy
+    broadcast-join formulation was measured 1.6-2.6x SLOWER end-to-end
+    because the broadcast side rebuilt the count frame from source
+    instead of reading the cached rank pass). Keys must sort the same
+    in Python and Spark (ints/strings). Returns
     ``(key_col, val_col, out_col)``, distinct-(key, value)-sized.
     """
-    cum = with_global_cumsum(
-        per, [key_col, val_col], weight_col, out_col="__cumg__",
-        partitions=partitions,
+    ranked, bucket = _bucket_prefix_plan(
+        per, [key_col, val_col], partitions
     )
-    # per-key starting offsets: cumulative total of all PRECEDING keys
-    # in the global (key, value) order — n_keys rows on the driver
-    key_tot = (
-        per.groupBy(key_col)
-        .agg(F.sum(weight_col).alias("__kt__"))
-        .orderBy(key_col)
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        ranked.groupBy(bucket.alias("__b__"), F.col(key_col))
+        .agg(F.sum(weight_col).alias("__t__"))
         .collect()
     )
-    offsets, acc = {}, 0
-    for r in key_tot:
-        offsets[r[key_col]] = acc
-        acc += r["__kt__"] or 0
-    if offsets:
-        off = F.coalesce(
-            F.create_map(
-                *[F.lit(v) for kv in offsets.items() for v in kv]
-            )[F.col(key_col)],
+    bucket_tot: dict = {}
+    key_tot: dict = {}
+    for r in totals:
+        t = r["__t__"] or 0
+        bucket_tot[r["__b__"]] = bucket_tot.get(r["__b__"], 0) + t
+        key_tot[r[key_col]] = key_tot.get(r[key_col], 0) + t
+    boff, acc = {}, 0
+    for b in sorted(bucket_tot):
+        boff[b] = acc
+        acc += bucket_tot[b]
+    koff, acc = {}, 0
+    for k in sorted(key_tot):
+        koff[k] = acc
+        acc += key_tot[k]
+
+    def _map(d, col):
+        if not d:
+            return F.lit(0)
+        return F.coalesce(
+            F.create_map(*[F.lit(v) for kv in d.items() for v in kv])[col],
             F.lit(0),
         )
-    else:
-        off = F.lit(0)
+
+    run = _map(boff, bucket) + F.coalesce(
+        F.sum(F.col(weight_col)).over(w), F.lit(0)
+    )
     n = F.col(weight_col)
-    mid = (F.col("__cumg__") - off - n) + (n + 1) / 2.0
-    return cum.select(key_col, val_col, mid.alias(out_col))
+    mid = (run - _map(koff, F.col(key_col)) - n) + (n + 1) / 2.0
+    out = ranked.select(key_col, val_col, mid.alias(out_col))
+    # stash the already-folded totals: callers that need the grand or
+    # per-key weight totals (e.g. spearman's (n+1)/2 centering) can use
+    # them as literals instead of paying another aggregate job
+    out._eland_key_totals = key_tot
+    return out
 
 
 def spearman_corr(
@@ -1418,7 +1456,12 @@ def spearman_corr(
     mids = keyed_midranks(
         per, "__ax__", "__v__", "__n__", out_col="__mid__",
         partitions=partitions,
-    ).localCheckpoint(eager=False)  # distinct-value-sized; read twice
+    )
+    # nt (complete-pair count) was already folded on the driver by the
+    # midrank pass — each axis's weights sum to it; using the literal
+    # saves the broadcast scalar-agg job the crossJoin(tot) plan paid
+    nt = float(mids._eland_key_totals.get(0, 0))
+    mids = mids.localCheckpoint(eager=False)  # value-sized; read twice
     rx = mids.filter(F.col("__ax__") == 0).select(
         F.col("__v__").alias("__x__"), F.col("__mid__").alias("__rx__")
     )
@@ -1426,16 +1469,13 @@ def spearman_corr(
         F.col("__v__").alias("__y__"), F.col("__mid__").alias("__ry__")
     )
     j = pc.join(rx, "__x__").join(ry, "__y__")
-    tot = pc.agg(F.sum("__w__").cast("double").alias("__nt__"))
-    jt = j.crossJoin(F.broadcast(tot))
-    c = (F.col("__nt__") + 1) / 2.0
+    c = F.lit((nt + 1) / 2.0)
     dx, dy = F.col("__rx__") - c, F.col("__ry__") - c
     w = F.col("__w__").cast("double")
-    agg = jt.agg(
+    agg = j.agg(
         F.sum(w * dx * dy).alias("__sxy__"),
         F.sum(w * dx * dx).alias("__sxx__"),
         F.sum(w * dy * dy).alias("__syy__"),
-        F.max("__nt__").alias("__n__"),
     )
     ok = (F.col("__sxx__") > 0) & (F.col("__syy__") > 0)
     return agg.select(
@@ -1443,7 +1483,7 @@ def spearman_corr(
             ok,
             F.col("__sxy__") / F.sqrt(F.col("__sxx__") * F.col("__syy__")),
         ).alias("rho"),
-        F.coalesce(F.col("__n__"), F.lit(0.0)).cast("bigint").alias("n"),
+        F.lit(nt).cast("bigint").alias("n"),
     )
 
 
