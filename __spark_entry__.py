@@ -7507,6 +7507,76 @@ def _rank_sum_test_oracle_sql() -> str:
     """
 
 
+def q_drift_scorecard(spark, sf_dir) -> DataFrame:
+    """Both rank-based two-sample tests in ONE pass
+    (drift.rank_scorecard): the exact KS sup-distance and the exact
+    tie-corrected Mann-Whitney U/z between the F and O discount
+    distributions share their entire scaffolding — per-snapshot
+    distinct-value counts, the checkpointed full-outer count join, ONE
+    bucket prefix-sum pass whose running ECDF numerators double as
+    midrank inputs (cum(t) = cum(rn) + cum(cn)), one scalar agg for
+    sup-distance + rank sum + tie term together. The nightly drift
+    gate pays one plan instead of two."""
+    from eland_spark.operators.drift import rank_scorecard
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return rank_scorecard(ref, cur, "l_discount")
+
+
+def _drift_scorecard_oracle_sql() -> str:
+    return """
+        WITH rc AS (
+            SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS rn
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_discount IS NOT NULL
+              AND NOT isnan(CAST(l_discount AS DOUBLE))
+            GROUP BY 1
+        ), cc AS (
+            SELECT CAST(l_discount AS DOUBLE) AS v, count(*) AS cn
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_discount IS NOT NULL
+              AND NOT isnan(CAST(l_discount AS DOUBLE))
+            GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(rc.v, cc.v) AS v,
+                   COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+            FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+        ), m AS (
+            SELECT rn, cn, rn + cn AS t,
+                   sum(rn) OVER (ORDER BY v) AS cr,
+                   sum(cn) OVER (ORDER BY v) AS cum_c,
+                   sum(rn + cn) OVER (ORDER BY v) AS cum
+            FROM j
+        ), a AS (
+            SELECT round(max(abs(cr / (SELECT CAST(sum(rn) AS DOUBLE) FROM j)
+                           - cum_c / (SELECT CAST(sum(cn) AS DOUBLE) FROM j))),
+                         6) AS ks,
+                   sum(rn * ((cum - t) + (t + 1) / 2.0)) AS r1,
+                   CAST(sum(rn) AS DOUBLE) AS n1,
+                   CAST(sum(cn) AS DOUBLE) AS n2,
+                   sum((t * 1.0) * t * t - t) AS ties
+            FROM m
+        )
+        SELECT ks,
+               CASE WHEN n1 > 0 AND n2 > 0
+                    THEN r1 - n1 * (n1 + 1) / 2.0 END AS u,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                          AND (n1 * n2 / 12.0)
+                              * ((n1 + n2 + 1)
+                                 - ties / ((n1 + n2) * (n1 + n2 - 1))) > 0
+                          THEN (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                               / sqrt((n1 * n2 / 12.0)
+                                      * ((n1 + n2 + 1)
+                                         - ties / ((n1 + n2)
+                                                   * (n1 + n2 - 1))))
+                          END, 6) AS z,
+               CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur
+        FROM a
+    """
+
+
 def q_spearman(spark, sf_dir) -> DataFrame:
     """Exact Spearman rank correlation (ranking.spearman_corr) between
     l_quantity (50 distinct values — heavy midrank ties) and
@@ -7820,6 +7890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_lang_source": q_assoc_lang_source,
         "welch_ttest": q_welch_ttest,
         "rank_sum_test": q_rank_sum_test,
+        "drift_scorecard": q_drift_scorecard,
         "spearman": q_spearman,
         "rolling_quantile": q_rolling_quantile,
         "rank_uniform": q_rank_uniform,
@@ -10085,6 +10156,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_lang_source": _assoc_lang_source_oracle_sql(),
         "welch_ttest": _welch_ttest_oracle_sql(),
         "rank_sum_test": _rank_sum_test_oracle_sql(),
+        "drift_scorecard": _drift_scorecard_oracle_sql(),
         "spearman": _spearman_oracle_sql(),
         "rolling_quantile": _rolling_quantile_oracle_sql(),
         "rank_uniform": _rank_uniform_oracle_sql(),

@@ -190,6 +190,9 @@ HEADLINE = [
     # r6: wide-kernel (921-lag) grouped ewm — must stay within ~2x of
     # the short-span groupby_ewm (both ride the arrow C-kernel engine)
     "groupby_ewm_wide",
+    # r6: KS + Mann-Whitney fused onto one distinct-value prefix-sum
+    # pass — should bench well under drift_ks + rank_sum_test combined
+    "drift_scorecard",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -31,6 +31,7 @@ __all__ = [
     "chi2_association",
     "welch_ttest",
     "mann_whitney_u",
+    "rank_scorecard",
 ]
 
 
@@ -278,6 +279,87 @@ def mann_whitney_u(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     )
     ok = (n1 > 0) & (n2 > 0)
     return agg.select(
+        F.when(ok, u).alias("u"),
+        F.round(
+            F.when(ok & (var > 0), (u - n1 * n2 / 2.0) / F.sqrt(var)), 6
+        ).alias("z"),
+        n1.cast("bigint").alias("n_ref"),
+        n2.cast("bigint").alias("n_cur"),
+    )
+
+
+def rank_scorecard(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """Both rank-based two-sample tests in ONE pass, as a 1-row frame
+    ``(ks, u, z, n_ref, n_cur)`` — the exact KS sup-distance of
+    :func:`ks_statistic` and the exact tie-corrected Mann-Whitney U/z
+    of :func:`mann_whitney_u`, computed together. The two tests share
+    their entire scaffolding (per-snapshot distinct-value counts, the
+    full-outer count join, the windowless bucket prefix-sum pass:
+    running ECDF numerators double as midrank inputs since
+    ``cum(t) = cum(rn) + cum(cn)``), so the nightly drift gate pays
+    one plan instead of two — the batched-tests use of the shared
+    ranked-values stage. Identical null/NaN and degenerate-edge
+    semantics to the standalone operators (pinned by differential
+    test).
+
+    Scale shape: one hash agg per snapshot, the joined distinct-value
+    count frame lazily checkpointed, ONE prefix-sum pass serving both
+    running totals, one scalar aggregate for sup-distance, rank sum,
+    and tie term together."""
+    from .ranking import with_global_cumagg_multi
+
+    def counts(df, name):
+        c = F.col(column).cast("double")
+        return (
+            df.select(c.alias("__v__"))
+            .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
+            .groupBy("__v__")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    joined = (
+        rc.join(cc, "__v__", "full_outer")
+        .select(
+            "__v__",
+            F.coalesce("__rn__", F.lit(0)).alias("__rn__"),
+            F.coalesce("__cn__", F.lit(0)).alias("__cn__"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = with_global_cumagg_multi(
+        joined,
+        ["__v__"],
+        [("__rn__", "sum", "__cr__"), ("__cn__", "sum", "__cc__")],
+    )
+    tot = joined.agg(
+        F.sum("__rn__").alias("__nr__"), F.sum("__cn__").alias("__nc__")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    dist = F.abs(
+        F.col("__cr__") / F.col("__nr__").cast("double")
+        - F.col("__cc__") / F.col("__nc__").cast("double")
+    )
+    t = F.col("__rn__") + F.col("__cn__")
+    run = F.col("__cr__") + F.col("__cc__")  # == cumulative t, exactly
+    mid = (run - t) + (t + 1) / 2.0
+    tt = t.cast("double")
+    agg = j.agg(
+        F.round(F.max(dist), 6).alias("__ks__"),
+        F.sum(F.col("__rn__") * mid).alias("__r1__"),
+        F.sum(tt * tt * tt - tt).alias("__ties__"),
+        F.max("__nr__").cast("double").alias("__n1__"),
+        F.max("__nc__").cast("double").alias("__n2__"),
+    )
+    n1, n2 = F.col("__n1__"), F.col("__n2__")
+    nn = n1 + n2
+    u = F.col("__r1__") - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * (
+        (nn + 1) - F.col("__ties__") / (nn * (nn - 1))
+    )
+    ok = (n1 > 0) & (n2 > 0)
+    return agg.select(
+        F.col("__ks__").alias("ks"),
         F.when(ok, u).alias("u"),
         F.round(
             F.when(ok & (var > 0), (u - n1 * n2 / 2.0) / F.sqrt(var)), 6

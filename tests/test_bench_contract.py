@@ -1,0 +1,86 @@
+"""bench.py contract pins — no Spark session needed.
+
+The round driver records only the last ~2000 characters of bench
+stdout and parses the JSON from that window (r5's 100-query inline
+timing dict overflowed it and the driver recorded ``parsed: null``),
+so the stdout line's size is a hard contract, as is every name bench
+references existing in queries().
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import bench  # noqa: E402
+
+
+def _query_names():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(_REPO, "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return set(m.queries()), set(m.oracle_sql())
+
+
+def test_bench_names_exist_and_headline_has_no_dupes():
+    qnames, _ = _query_names()
+    missing = [n for n in bench.HEADLINE if n not in qnames]
+    assert not missing, f"HEADLINE names not in queries(): {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    # ROW_HEAVY may keep names for queries routed through noop anyway,
+    # but a name absent from queries() is always a typo
+    assert not {n for n in bench.ROW_HEAVY} - qnames - {"window_running_sum"}
+    assert not set(bench.SLOW_LEDGER) - qnames
+
+
+def test_every_query_is_timed_by_some_tier():
+    """The full-sweep tier exists precisely so no queries() entry is
+    unbenched (the r5 series_ewm 122s lesson): headline + sweep must
+    cover everything, by construction sweep = queries - headline."""
+    qnames, _ = _query_names()
+    assert set(bench.HEADLINE) <= qnames  # sweep picks up the rest
+
+
+def test_stdout_contract_line_fits_driver_tail_window():
+    """Reconstruct the stdout JSON line with worst-case field widths
+    and assert it stays under the driver's ~2000-char tail window."""
+    slowest = {f"a_very_long_query_name_{i:02d}": 123.456 for i in range(15)}
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "runs_per_query": 3,
+            "agg": "min",
+            "n_headline": len(bench.HEADLINE),
+            "sweep_total": 99999.999,
+            "n_queries": 999,
+            "over_budget": [],
+            "slowest": slowest,
+            "queries_file": "BENCH_FULL.json",
+        }
+    )
+    assert len(line) < 1500, len(line)
+
+
+def test_compare_recovers_from_truncated_driver_tail():
+    """BENCH_r05.json shipped with parsed: null — _prev_queries must
+    still recover per-query timings from the recorded tail."""
+    prev = {
+        "parsed": None,
+        "tail": '_topk": 0.396, "series_rank": 0.429, "sessionize": 0.202}'
+        ', "sf": 0.1, "runs_per_query": 3, "agg": "min"}\n',
+    }
+    got = bench._prev_queries(prev)
+    assert got["series_rank"] == 0.429 and got["sessionize"] == 0.202
+    assert "sf" not in got
+    # the normal shapes still work
+    assert bench._prev_queries({"queries": {"q": 1.0}}) == {"q": 1.0}
+    assert bench._prev_queries({"parsed": {"queries": {"q": 2.0}}}) == {"q": 2.0}

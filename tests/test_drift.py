@@ -315,3 +315,41 @@ def test_two_sample_tests_drop_nan_like_missing(spark):
     qs = [r["x_q"] for r in rt]
     assert qs[2] is None  # the NaN row stays missing
     assert qs[0] == pytest.approx(1 / 3) and qs[3] == pytest.approx(1.0)
+
+
+def test_rank_scorecard_matches_standalone_tests(spark):
+    """rank_scorecard's (ks, u, z) must equal ks_statistic +
+    mann_whitney_u run separately — same data, same semantics, one
+    pass. Random heavy-tie data plus the degenerate edges."""
+    import numpy as np
+
+    from eland_spark.operators.drift import (
+        ks_statistic, mann_whitney_u, rank_scorecard,
+    )
+
+    rng = np.random.RandomState(31)
+    nan = float("nan")
+    cases = [
+        # heavy ties (11 distinct values, unequal sizes)
+        (list(rng.randint(0, 11, 300) / 10.0),
+         list(rng.randint(2, 13, 211) / 10.0)),
+        # continuous, shifted
+        (list(rng.normal(0, 1, 97)), list(rng.normal(0.4, 1.3, 143))),
+        # nulls/NaN dropped
+        ([1.0, 2.0, nan, 3.0, None], [1.0, 2.0, 3.0]),
+        # all tied across both sides
+        ([5.0] * 8, [5.0] * 5),
+    ]
+    for vals_r, vals_c in cases:
+        a, b = _mk(spark, vals_r), _mk(spark, vals_c)
+        got = rank_scorecard(a, b, "v").collect()[0].asDict()
+        ks = ks_statistic(a, b, "v").collect()[0].asDict()
+        mw = mann_whitney_u(a, b, "v").collect()[0].asDict()
+        assert got["ks"] == ks["ks"]
+        assert got["n_ref"] == ks["n_ref"] == mw["n_ref"]
+        assert got["n_cur"] == ks["n_cur"] == mw["n_cur"]
+        for k in ("u", "z"):
+            if mw[k] is None:
+                assert got[k] is None, (k, got, mw)
+            else:
+                assert got[k] == pytest.approx(mw[k], rel=1e-12), (k, got, mw)

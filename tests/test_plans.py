@@ -932,6 +932,9 @@ def test_round5_query_plan_pins(spark):
         "welch_ttest": (2, 1),
         # same checkpointed distinct-value prefix-sum plan as drift_ks
         "rank_sum_test": (6, 0),
+        # KS + MWU fused: ONE prefix-sum pass serves both running
+        # totals; strictly no more exchanges than either test alone
+        "drift_scorecard": (6, 1),
         # pair counts checkpointed; BOTH axes' midranks ride ONE shared
         # keyed_midranks pass (r6 — r5 built the distinct-value +
         # prefix-sum scaffolding per axis, pin was 12), itself
