@@ -538,6 +538,73 @@ def q_near_dup_components(spark, sf_dir) -> DataFrame:
     return out.select(F.col("node").alias("doc_id"), F.col("component"))
 
 
+def q_leakage_safe_split(spark, sf_dir) -> DataFrame:
+    """Cluster-keyed train/val/test split (dedup.leakage_safe_split):
+    rows hash-split on their near-dup COMPONENT label instead of their
+    own id, so near-duplicate documents can never straddle splits — a
+    plain id split leaks ~2*f_train*f_val of each near-dup pair across
+    the eval boundary, contamination no fixed-benchmark decontaminate
+    gate sees. Oracle-checked on the fast xxhash64 path like
+    q_near_dup_components: the component label (min reachable id) is a
+    pure function of the thresholded pair set, which is
+    hash-independent (tests/test_hash_portability.py), and the md5
+    split hash is engine-exact; per-split count + id-sum checksum."""
+    from eland_spark.operators.dedup import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents", "doc_id")
+    out = leakage_safe_split(
+        docs, "text", "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, threshold=0.6,
+    )
+    return (
+        out.to_spark()
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def _leakage_safe_split_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, k: int = 3, threshold: float = 0.6
+) -> str:
+    ctes, matches = _minhash_cand_ctes(num_hashes, bands, k)
+    return f"""
+        WITH RECURSIVE {ctes}, p AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.id_a
+            JOIN sig bb ON bb.doc_id = c.id_b
+            WHERE ({matches}) / {float(num_hashes)} >= {threshold}
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION
+            SELECT id_b AS a, id_a AS b FROM p
+        ), reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ), comp AS (
+            SELECT node, min(r) AS component FROM reach GROUP BY node
+        ), lab AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS key
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ), s AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 AS h
+            FROM lab
+        )
+        SELECT CASE WHEN h < 8000 THEN 'train'
+                    WHEN h < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY 1
+    """
+
+
 def q_perplexity(spark, sf_dir) -> DataFrame:
     """Unigram-LM log-perplexity filter (operators/text.unigram_logppl):
     top-100 corpus unigram table broadcast as a map literal, scoring is
@@ -7685,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_buckets": q_cut_buckets,
         "duplicated_flags": q_duplicated_flags,
         "near_dup_components": q_near_dup_components,
+        "leakage_safe_split": q_leakage_safe_split,
         "near_dup_components_md5": q_near_dup_components_md5,
         "decontaminate": q_decontaminate,
         "contamination_overlap": q_contamination_overlap,
@@ -8754,6 +8822,7 @@ def oracle_sql() -> dict[str, str]:
         # same argument one stage later: components are a pure function
         # of the (hash-independent) pair set
         "near_dup_components": _near_dup_components_oracle_sql(),
+        "leakage_safe_split": _leakage_safe_split_oracle_sql(),
         "near_dup_components_md5": _near_dup_components_oracle_sql(),
         "embed_topk": _embed_topk_oracle_sql(),
         "nlp_classify": _nlp_classify_oracle_sql(),

@@ -193,6 +193,9 @@ HEADLINE = [
     # r6: KS + Mann-Whitney fused onto one distinct-value prefix-sum
     # pass — should bench well under drift_ks + rank_sum_test combined
     "drift_scorecard",
+    # r6: cluster-keyed split (near-dup components + md5 split) — the
+    # clustering dominates; rides the already-benched component plan
+    "leakage_safe_split",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

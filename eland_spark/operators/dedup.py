@@ -217,6 +217,66 @@ def near_dup_keep_best(
     return EDF(kept, schema)
 
 
+def leakage_safe_split(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    fractions: dict,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_iter: int = 10,
+    salt: str = "",
+    split_col: str = "split",
+    portable: bool = False,
+):
+    """Deterministic train/val/test split that CANNOT leak near-dups
+    across splits: rows are assigned by the md5 hash of their near-dup
+    COMPONENT label (lowest reachable id), not their own id, so every
+    member of a near-dup cluster lands in the same split. A plain
+    id-hash split puts ~(1 - sum f_i^2) of near-dup pairs in different
+    splits — textbook eval contamination that decontamination gates
+    against a FIXED benchmark can't catch, because the leak is between
+    the corpus's own splits.
+
+    Plan: the clustering is :func:`near_dup_components` (banded
+    MinHash pairs -> O(log n) min-label contraction; component labels
+    exist only for PAIRED nodes, small next to the corpus); labels
+    left-join back onto the corpus (singletons key on their own id)
+    and the split itself is the zero-shuffle md5 projection of
+    :func:`~eland_spark.operators.sampling.split_by_hash`.
+    ``portable=True`` makes the whole pipeline — pair set, components,
+    and split — replayable in plain SQL."""
+    from ..frame import DataFrame as EDF
+    from ..schema import Field
+    from .sampling import split_by_hash
+    from pyspark.sql import types as T
+
+    schema = df._schema
+    idc = F.col(schema.resolve(id_col))
+    comp = near_dup_components(
+        df, text_col, id_col, threshold, k, num_hashes, bands, max_iter,
+        portable=portable,
+    )
+    labeled = (
+        df._sdf.withColumn("__node__", idc)
+        .join(
+            comp.withColumnRenamed("node", "__node__"), "__node__", "left"
+        )
+        .withColumn(
+            "__comp__", F.coalesce(F.col("component"), F.col("__node__"))
+        )
+    )
+    out = split_by_hash(
+        labeled, "__comp__", fractions, salt=salt, split_col=split_col
+    ).drop("__node__", "component", "__comp__")
+    return EDF(
+        out,
+        schema.with_field(Field(split_col, split_col, T.StringType(), True)),
+    )
+
+
 def duplicated(df: "DataFrame", subset=None, keep: str = "first"):
     """pandas ``DataFrame.duplicated``: per-row boolean flag frame
     (index columns + ``duplicated``). keep='first' marks all but the

@@ -902,6 +902,10 @@ def test_round5_query_plan_pins(spark):
     pins = {
         "bm25_topk": (0, 0),
         "incremental_near_dup": (3, 2),
+        # cluster-keyed split: the component pipeline's exchanges plus
+        # the label left-join; the split itself is a zero-shuffle md5
+        # projection
+        "leakage_safe_split": (7, 2),
         # per-token dots map-only; one map-side-combinable doc agg
         "maxsim": (1, 0),
         # two bounded top-k legs ranked by the windowless range-sort

@@ -379,3 +379,43 @@ def test_groupby_rolling_std_var_and_apply_match_pandas(spark):
     got = (edf2.groupby("k").rolling(3, min_periods=1).apply(fn, raw=True)
            .to_pandas().set_index("_id").sort_index())
     assert len(got) == 30 and np.isnan(got.loc[0, "v"])
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The leakage guarantee itself: every near-dup component's members
+    land in ONE split; singletons split exactly like a plain id-keyed
+    split_by_hash (so the marginal fractions still hold); the split
+    column is deterministic across calls."""
+    from eland_spark.operators.dedup import (
+        leakage_safe_split, near_dup_components,
+    )
+    from eland_spark.operators.sampling import split_by_hash
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet", index_col="doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, "text", "doc_id", fr, threshold=0.6)
+    pdf = out.to_spark().select("doc_id", "split").toPandas()
+    comp = near_dup_components(docs, "text", "doc_id", threshold=0.6)
+    cpdf = comp.toPandas()
+    assert len(cpdf) > 0  # fixture must exercise the clustered path
+    merged = cpdf.merge(pdf, left_on="node", right_on="doc_id")
+    nunique = merged.groupby("component")["split"].nunique()
+    assert (nunique == 1).all(), nunique[nunique > 1]
+    # cluster members share the split of their component representative
+    rep = pdf.set_index("doc_id")["split"]
+    for _, r in cpdf.iterrows():
+        assert rep[r["node"]] == rep[r["component"]]
+    # singletons = plain id hash split
+    plain = split_by_hash(
+        docs.to_spark().select("doc_id"), "doc_id", fr
+    ).toPandas().set_index("doc_id")["split"]
+    clustered = set(cpdf["node"])
+    singles = pdf[~pdf["doc_id"].isin(clustered)]
+    assert len(singles) > 0
+    got = singles.set_index("doc_id")["split"]
+    assert (got == plain.loc[got.index]).all()
+    # deterministic
+    again = out.to_spark().select("doc_id", "split").toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
