@@ -32,6 +32,7 @@ __all__ = [
     "welch_ttest",
     "mann_whitney_u",
     "rank_scorecard",
+    "rank_scorecard_from_counts",
 ]
 
 
@@ -318,6 +319,19 @@ def rank_scorecard(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
         )
 
     rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    return rank_scorecard_from_counts(rc, cc)
+
+
+def rank_scorecard_from_counts(rc: DataFrame, cc: DataFrame) -> DataFrame:
+    """:func:`rank_scorecard` from PRE-AGGREGATED per-distinct-value
+    counts — ``rc = (__v__, __rn__)`` for the reference side, ``cc =
+    (__v__, __cn__)`` for the current side. Distinct-value counts
+    merge by plain addition, so this is the entry point for stored or
+    streamed count snapshots (``streaming/curation.read_rank_scorecard``
+    sums per-micro-batch counts and lands here); the batch operator is
+    this same core over two freshly aggregated count frames."""
+    from .ranking import with_global_cumagg_multi
+
     joined = (
         rc.join(cc, "__v__", "full_outer")
         .select(

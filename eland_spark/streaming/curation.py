@@ -557,6 +557,84 @@ def read_drift_bins(spark, path: str) -> DataFrame:
     return df.groupBy("bin").agg(F.sum("n").alias("n"))
 
 
+def stream_value_counts_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    timeout_sec: int = 120,
+):
+    """Maintain EXACT per-distinct-value counts over a stream — the
+    bin-free complement of :func:`stream_drift_update` and the
+    streaming feed for the rank-based two-sample tests (exact KS and
+    tie-corrected Mann-Whitney need true value counts, which no fixed
+    bin edges can reconstruct). Each micro-batch writes its own
+    (v, n) rows under ``<path>/batch=<id>/`` (idempotent in batch_id);
+    counts merge by plain ADDITION, so summing at read time is
+    lossless — :func:`read_rank_scorecard` over the store equals the
+    batch ``operators/drift.rank_scorecard`` of everything ingested.
+    Null and NaN values are dropped at write time (the tests' missing
+    semantics), so the store only ever holds scoreable values."""
+    from pyspark.sql import functions as F
+
+    from .sinks import foreach_batch_sink
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        c = F.col(value_col).cast("double")
+        counts = (
+            batch_df.where(c.isNotNull() & ~F.isnan(c))
+            .groupBy(c.alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_value_counts(spark, path: str) -> DataFrame:
+    """Merge-on-read over a :func:`stream_value_counts_update`
+    directory: sum per-value counts across batches — lossless."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return df.groupBy("v").agg(F.sum("n").alias("n"))
+
+
+def read_rank_scorecard(spark, path: str, ref: DataFrame, column: str) -> DataFrame:
+    """Exact KS + Mann-Whitney between a batch REFERENCE snapshot and
+    the streamed CURRENT distribution maintained by
+    :func:`stream_value_counts_update` — merge the per-batch value
+    counts (lossless addition) and run the shared
+    ``rank_scorecard_from_counts`` core, so the streamed reading
+    equals the batch ``rank_scorecard(ref, everything_ingested)``
+    exactly (batch-twin pinned in tests). Returns the same 1-row
+    ``(ks, u, z, n_ref, n_cur)`` frame."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import rank_scorecard_from_counts
+
+    c = F.col(column).cast("double")
+    rc = (
+        ref.select(c.alias("__v__"))
+        .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
+        .groupBy("__v__")
+        .agg(F.count(F.lit(1)).alias("__rn__"))
+    )
+    cc = read_value_counts(spark, path).select(
+        F.col("v").alias("__v__"), F.col("n").alias("__cn__")
+    )
+    return rank_scorecard_from_counts(rc, cc)
+
+
 def stream_minhash_update(
     stream_sdf: DataFrame,
     path: str,

@@ -1145,3 +1145,53 @@ def test_stream_regression_matches_batch_fit(spark, tmp_path):
                 assert got[g][fld] == _pt.approx(want[g][fld], rel=1e-9), (g, fld)
     assert want["cy"]["r2"] == _pt.approx(1.0)  # pin the regr_r2 convention
     assert want["cx"]["slope"] is None and want["cx"]["r2"] is None
+
+
+def test_stream_rank_scorecard_matches_batch(spark, tmp_path):
+    """Merged streamed value counts must reproduce the batch
+    rank_scorecard of everything ingested EXACTLY (counts add
+    losslessly; the scorecard is a pure function of the counts) —
+    nulls/NaN dropped at write time, heavy ties exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.drift import rank_scorecard
+    from eland_spark.streaming.curation import (
+        read_rank_scorecard, stream_value_counts_update,
+    )
+
+    rng = np.random.RandomState(77)
+    src = tmp_path / "src_vc"
+    src.mkdir()
+    frames = []
+    for i in range(2):
+        b = pd.DataFrame({
+            "x": list(rng.randint(0, 9, 120) / 4.0)
+            + [float("nan"), None][i:i + 1]
+        })
+        frames.append(b)
+        spark.createDataFrame(b, "x double").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_value_counts_update(
+        stream, str(tmp_path / "vc"), str(tmp_path / "ck_vc"), "x"
+    )
+    q.awaitTermination(120)
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"x": list(rng.randint(1, 11, 95) / 4.0)}), "x double"
+    )
+    got = read_rank_scorecard(
+        spark, str(tmp_path / "vc"), ref, "x"
+    ).collect()[0].asDict()
+    want = rank_scorecard(
+        ref, spark.createDataFrame(pd.concat(frames), "x double"), "x"
+    ).collect()[0].asDict()
+    assert got == want, (got, want)
+    assert got["n_cur"] == 240  # the null and the NaN were dropped
