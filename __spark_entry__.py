@@ -5079,6 +5079,69 @@ def q_scaled_robust(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark, sf_dir) -> DataFrame:
+    """Quantile normalization onto a reference distribution
+    (scaling.quantile_normalize): F-status prices re-expressed on the
+    O-status price distribution — uniform midrank u (exact, tie
+    averaged) composed with the reference's interpolated inverse ECDF,
+    the cross-snapshot score calibration step. Reference compresses to
+    101 exact percentile landmarks (one range-sort pass, array
+    literal); ranks ride the distinct-value prefix-sum plan; the map
+    is zero-shuffle arithmetic. DuckDB replays quantile_cont landmarks
+    + window midranks + the identical lerp."""
+    from eland_spark.operators.scaling import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem", LINEITEM_KEY).to_spark()
+    cur = li.where(F.col("l_linestatus") == "F")
+    ref = li.where(F.col("l_linestatus") == "O")
+    out = quantile_normalize(cur, "l_extendedprice", ref, n_quantiles=101)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice_qn"), 4).alias("avg_qn"),
+        F.round(F.min("l_extendedprice_qn"), 4).alias("min_qn"),
+        F.round(F.max("l_extendedprice_qn"), 4).alias("max_qn"),
+    )
+
+
+def _quantile_normalize_oracle_sql(n_quantiles: int = 101) -> str:
+    fracs = ", ".join(repr(i / (n_quantiles - 1)) for i in range(n_quantiles))
+    return f"""
+        WITH lm AS (
+            SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                 [{fracs}]) AS q
+            FROM lineitem
+            WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+        ), per AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS n
+            FROM lineitem
+            WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), m AS (
+            SELECT v,
+                   ((sum(n) OVER (ORDER BY v) - n) + (n + 1) / 2.0)
+                       / (SELECT CAST(sum(n) AS DOUBLE) FROM per) AS u
+            FROM per
+        ), mapped AS (
+            SELECT v,
+                   q[CAST(floor(u * {n_quantiles - 1}) AS INT) + 1]
+                   + (q[least(CAST(floor(u * {n_quantiles - 1}) AS INT) + 1,
+                              {n_quantiles - 1}) + 1]
+                      - q[CAST(floor(u * {n_quantiles - 1}) AS INT) + 1])
+                     * (u * {n_quantiles - 1}
+                        - floor(u * {n_quantiles - 1})) AS qn
+            FROM m, lm
+        )
+        SELECT l_returnflag, count(*) AS n,
+               round(avg(qn), 4) AS avg_qn,
+               round(min(qn), 4) AS min_qn,
+               round(max(qn), 4) AS max_qn
+        FROM lineitem
+        JOIN mapped ON CAST(l_extendedprice AS DOUBLE) = mapped.v
+        WHERE l_linestatus = 'F'
+        GROUP BY l_returnflag
+    """
+
+
 def q_chunk_paragraphs(spark, sf_dir) -> DataFrame:
     """Separator-split chunking (chunk_by_separator): parts keep their
     ORIGINAL ordinal (gaps where empty parts were dropped), zero
@@ -7904,6 +7967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "embedding_pca": q_embedding_pca,
         "standardized": q_standardized,
+        "quantile_normalize": q_quantile_normalize,
         "winsorized": q_winsorized,
         "cross_near_dup": q_cross_near_dup,
         "incremental_near_dup": q_incremental_near_dup,
@@ -9812,6 +9876,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.i, b.i
         """,
         "random_projection": _rp_oracle_sql(),
+        "quantile_normalize": _quantile_normalize_oracle_sql(),
         "standardized": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                    round((l_quantity - avg(l_quantity) OVER ())

@@ -196,6 +196,9 @@ HEADLINE = [
     # r6: cluster-keyed split (near-dup components + md5 split) — the
     # clustering dominates; rides the already-benched component plan
     "leakage_safe_split",
+    # r6: reference-distribution quantile mapping (rank pass + landmark
+    # array literal + zero-shuffle lerp)
+    "quantile_normalize",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -165,3 +165,48 @@ def rank_transform(
     return sdf.join(
         ranks, v.eqNullSafe(F.col("__v__")), "left"
     ).drop("__v__")
+
+
+def quantile_normalize(
+    sdf: SparkDataFrame,
+    col: str,
+    ref: SparkDataFrame,
+    ref_col: str | None = None,
+    n_quantiles: int = 1001,
+    suffix: str = "_qn",
+) -> SparkDataFrame:
+    """Map ``col`` through a REFERENCE distribution's quantile
+    function: each value takes its tie-averaged uniform rank
+    ``u in (0, 1]`` (:func:`rank_transform`) and lands on the
+    reference's interpolated inverse ECDF at ``u`` — the cross-snapshot
+    score calibration step (make yesterday's quality scores comparable
+    to today's crawl), sklearn QuantileTransformer semantics with the
+    output distribution given by ``ref`` instead of uniform/normal.
+    Monotone, heavy-tail-robust, exact on the rank side.
+
+    Scale shape: the reference compresses to ``n_quantiles`` exact
+    linear-interpolated percentile landmarks (sklearn itself fits on a
+    bounded n_quantiles grid) via the range-sort percentile operator —
+    one pass over ``ref``, landmark array folded back as ONE array
+    literal; the rank side is the distinct-value-count + bucket
+    prefix-sum plan of :func:`rank_transform`; the mapping itself is
+    pure zero-shuffle arithmetic (floor/element_at/lerp). Nulls and
+    NaNs stay null. Adds ``col + suffix``."""
+    from .percentiles import exact_percentiles
+
+    if n_quantiles < 2:
+        raise ValueError("n_quantiles must be >= 2")
+    ref_col = ref_col or col
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    landmarks = exact_percentiles(ref, ref_col, qs)
+    arr = F.array(*[F.lit(float(x)) for x in landmarks])
+    ranked = rank_transform(sdf, col, suffix="__u__")
+    u = F.col(f"{col}__u__")
+    pos = u * (n_quantiles - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.least(lo + 1, F.lit(n_quantiles - 1))
+    frac = pos - lo
+    qlo = F.element_at(arr, lo + 1)
+    qhi = F.element_at(arr, hi + 1)
+    out = F.when(u.isNotNull(), qlo + (qhi - qlo) * frac)
+    return ranked.withColumn(col + suffix, out).drop(f"{col}__u__")

@@ -266,3 +266,42 @@ def test_rank_transform_matches_pandas_pct_rank(spark):
     m = ~np.isnan(vals)
     order = np.argsort(got[m])
     assert (np.diff(vals[m][order]) >= 0).all()
+
+
+def test_quantile_normalize_matches_numpy(spark):
+    """quantile_normalize == numpy reference (pandas midrank u composed
+    with np.interp over np.percentile-linear landmarks of the ref);
+    ties, nulls, NaN, and the u=1 top edge all exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.scaling import quantile_normalize
+
+    rng = np.random.RandomState(11)
+    cur = pd.DataFrame({
+        "id": range(60),
+        "x": list(rng.randint(0, 12, 57) * 1.5) + [None, float("nan"), 18.0],
+    })
+    ref_vals = rng.lognormal(3, 1, 83)
+    ref = spark.createDataFrame(pd.DataFrame({"x": ref_vals}), "x double")
+    sdf = spark.createDataFrame(cur, "id long, x double")
+
+    nq = 21
+    got = (
+        quantile_normalize(sdf, "x", ref, n_quantiles=nq)
+        .toPandas().set_index("id")["x_qn"].sort_index()
+    )
+
+    u = cur.set_index("id")["x"].rank(method="average") / cur["x"].count()
+    landmarks = np.percentile(ref_vals, np.linspace(0, 100, nq),
+                              method="linear")
+    want = np.interp(u * (nq - 1), np.arange(nq), landmarks)
+    mask = u.notna()
+    np.testing.assert_allclose(
+        got[mask].to_numpy(dtype="float64"),
+        want[mask.to_numpy()], rtol=1e-12,
+    )
+    assert got[~mask].isna().all()
+    # monotone: higher raw value -> >= normalized value
+    s = cur.dropna(subset=["x"]).sort_values("x")
+    assert got[s["id"]].is_monotonic_increasing

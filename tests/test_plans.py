@@ -950,6 +950,9 @@ def test_round5_query_plan_pins(spark):
         "rolling_quantile": (3, 0),
         # distinct-value counts + prefix-sum + one join back
         "rank_uniform": (7, 1),
+        # rank_uniform's plan + the ref landmark pass; the lerp onto
+        # the 101-landmark array literal is zero-shuffle
+        "quantile_normalize": (9, 1),
         # one keyed window exchange
         "groupby_rolling_quantile": (1, 0),
         # both moments share the one bucketed padded pass
