@@ -1561,3 +1561,49 @@ def test_expanding_skew_kurt_match_exact_fuzz(spark, rows):
         # moments (stable, not exact-fsum); atol covers near-zero skew
         assert np.allclose(g[fin], e[fin], rtol=1e-6, atol=1e-7), rows
         assert np.isnan(g[~fin]).all(), rows
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),   # key (any sortable int)
+            st.integers(min_value=-5, max_value=5),   # value (heavy ties)
+            st.integers(min_value=1, max_value=4),    # weight
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**COMMON)
+def test_keyed_midranks_match_python_fuzz(spark, rows):
+    """keyed_midranks == a pure-python per-key tie-averaged midrank
+    over the expanded multiset (weights = repetition counts); keys
+    with any weights, any tie structure, including empty input."""
+    from eland_spark.operators.ranking import keyed_midranks
+
+    per = {}
+    for k, v, w in rows:
+        per[(k, float(v))] = per.get((k, float(v)), 0) + w
+    if per:
+        pdf = pd.DataFrame(
+            [(k, v, n) for (k, v), n in per.items()],
+            columns=["k", "v", "n"],
+        )
+    else:
+        pdf = pd.DataFrame({"k": [], "v": [], "n": []})
+    sdf = spark.createDataFrame(pdf, schema="k bigint, v double, n bigint")
+    got = {
+        (r["k"], r["v"]): r["m"]
+        for r in keyed_midranks(sdf, "k", "v", "n", out_col="m").collect()
+    }
+    assert len(got) == len(per)
+    # python reference: expand each key's multiset, average the ranks
+    bykey = {}
+    for (k, v), n in per.items():
+        bykey.setdefault(k, []).extend([v] * n)
+    for k, vals in bykey.items():
+        s = pd.Series(sorted(vals))
+        ranks = s.rank(method="average")
+        want = dict(zip(s, ranks))
+        for v in set(vals):
+            assert got[(k, v)] == pytest.approx(want[v]), (k, v, got[(k, v)], want[v])
