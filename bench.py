@@ -387,17 +387,8 @@ def main() -> None:
                     if dt <= budget:
                         break
             sweep[name] = round(dt, 3)
-            if dt > budget and name not in SLOW_LEDGER:
-                base = prior_times.get(name)
-                if base is not None and base <= budget and dt <= 2 * base + 1.0:
-                    print(
-                        f"  budget: {name} {dt:.2f}s > {budget:.1f}s but "
-                        f"within 2x of its committed {base:.2f}s — machine "
-                        f"noise, not a cliff",
-                        file=sys.stderr,
-                    )
-                else:
-                    over_budget.append(name)
+            if _busts_budget(name, dt, budget, prior_times):
+                over_budget.append(name)
     sweep_total = round(sum(sweep.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -470,6 +461,28 @@ def main() -> None:
         )
         rc = 3
     sys.exit(rc)
+
+
+def _busts_budget(
+    name: str, dt: float, budget: float, prior_times: dict
+) -> bool:
+    """True when a sweep timing is a genuine budget violation. Ledgered
+    entries never bust. An entry over the absolute budget is excused
+    when it was under budget in the committed artifact AND is within
+    2x(+1s) of its own prior — whole-machine degradation (this VM's
+    steal bursts slow entire passes 1.3-2x), not a new per-row cliff;
+    a real 10-100x cliff blows both bounds."""
+    if dt <= budget or name in SLOW_LEDGER:
+        return False
+    base = prior_times.get(name)
+    if base is not None and base <= budget and dt <= 2 * base + 1.0:
+        print(
+            f"  budget: {name} {dt:.2f}s > {budget:.1f}s but within 2x "
+            f"of its committed {base:.2f}s — machine noise, not a cliff",
+            file=sys.stderr,
+        )
+        return False
+    return True
 
 
 def _prev_queries(prev: dict) -> dict:

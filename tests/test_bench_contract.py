@@ -84,3 +84,22 @@ def test_compare_recovers_from_truncated_driver_tail():
     # the normal shapes still work
     assert bench._prev_queries({"queries": {"q": 1.0}}) == {"q": 1.0}
     assert bench._prev_queries({"parsed": {"queries": {"q": 2.0}}}) == {"q": 2.0}
+
+
+def test_budget_ratchet_verdicts():
+    """_busts_budget: under-budget and ledgered entries never bust; an
+    over-budget entry with a clean committed prior within the 2x(+1s)
+    noise envelope is excused; a genuine cliff busts with or without a
+    prior; a prior that was itself over budget cannot excuse."""
+    prior = {"steady": 3.0, "already_slow": 6.0}
+    B = 5.0
+    assert not bench._busts_budget("anything", 4.9, B, prior)
+    assert not bench._busts_budget("ngram_jaccard", 9.0, B, prior)  # ledgered
+    # 3.0s prior, now 6.5 <= 2*3+1 -> machine noise
+    assert not bench._busts_budget("steady", 6.5, B, prior)
+    # 3.0s prior, now 8.0 > 2*3+1 -> real
+    assert bench._busts_budget("steady", 8.0, B, prior)
+    # no prior -> absolute budget stands
+    assert bench._busts_budget("new_query", 5.5, B, prior)
+    # prior itself over budget cannot excuse
+    assert bench._busts_budget("already_slow", 7.0, B, prior)
