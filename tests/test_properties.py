@@ -1467,33 +1467,90 @@ def test_rank_transform_matches_pandas_pct_fuzz(spark, rows):
     assert np.allclose(got, want, atol=1e-12, equal_nan=True), rows
 
 
+def _ref_rolling_moment(vals, window, stat):
+    """Stable two-pass per-window reference for rolling skew/kurt with
+    the engine's pandas-cython-path guard semantics (<3/<4 non-null ->
+    nan, exact all-equal -> 0.0/-3.0, population variance <= 1e-14 ->
+    nan). Centered sums, so it stays accurate where pandas' own
+    roll_skew/roll_kurt power sums catastrophically cancel (hypothesis
+    find, r6: window [-999999999, -1e9, -1e9] -> pandas 4.17e8, true
+    G1 = sqrt(3)). Returns (expected, m2pop) arrays; m2pop lets the
+    caller skip guard-boundary rows and scale tolerance by
+    conditioning."""
+    n_rows = len(vals)
+    out = np.full(n_rows, np.nan)
+    m2pops = np.full(n_rows, np.nan)
+    need = 3 if stat == "skew" else 4
+    for i in range(n_rows):
+        if i + 1 < window:
+            continue
+        w = vals[i - window + 1:i + 1]
+        w = w[~np.isnan(w)]
+        n = len(w)
+        if n < max(window, need):
+            continue
+        if np.all(w == w[0]):
+            out[i] = 0.0 if stat == "skew" else -3.0
+            m2pops[i] = 0.0
+            continue
+        wf = np.where(np.abs(w) < 1e-30, 0.0, w)
+        mu = wf.mean()
+        d = wf - mu
+        m2 = float((d * d).sum())
+        m2pops[i] = m2 / n
+        if m2 / n <= 1e-14:
+            continue
+        if stat == "skew":
+            g1 = (float((d ** 3).sum()) / n) / (m2 / n) ** 1.5
+            out[i] = math.sqrt(n * (n - 1)) / (n - 2) * g1
+        else:
+            g2 = (float((d ** 4).sum()) / n) / (m2 / n) ** 2 - 3.0
+            out[i] = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    return out, m2pops
+
+
 @given(rows=ROWS, window=st.integers(min_value=2, max_value=8))
+@example(  # the r6 hypothesis find: pandas roll_skew returns 4.17e8 here
+    rows=[(0, 0.0, 0.0), (0, -999999999.0, 0.0), (0, -1000000000.0, 0.0),
+          (0, -1000000000.0, 0.0)],
+    window=3,
+)
 @settings(**COMMON)
 def test_rolling_skew_kurt_match_pandas_fuzz(spark, rows, window):
-    """rolling().skew()/.kurt() == pandas roll_skew/roll_kurt, incl.
-    null holes, short heads, and all-equal windows (0.0 / -3.0).
-    Magnitudes are bounded by ROWS (|x| <= 1e9) — both engines compute
-    central moments stably there."""
+    """rolling().skew()/.kurt() == a STABLE two-pass per-window
+    reference with pandas' guard semantics, incl. null holes, short
+    heads, and all-equal windows (0.0 / -3.0). The reference is not
+    pandas itself: its roll_skew/roll_kurt power sums cancel
+    catastrophically on near-constant windows at |x| ~ 1e9 (this
+    engine's Spark builtin moments stay correct there — same class of
+    win as the expanding-moments Pébay plan). Tolerance scales with
+    the conditioning kappa = (1+mu^2)/var_pop — no double-based engine
+    can beat eps*kappa; guard-boundary rows (var_pop within 2x of the
+    1e-14 cutoff) are skipped since the two sides may disagree on
+    which side of the guard they fall."""
     pdf, edf = _frame(spark, rows)
     p = pdf.set_index("_id")["a"].astype("float64")
-    got_sk = (
-        edf["a"].rolling(window).skew()
-        .to_pandas()["rolling_skew"].sort_index().to_numpy(dtype="float64")
-    )
-    got_ku = (
-        edf["a"].rolling(window).kurt()
-        .to_pandas()["rolling_kurt"].sort_index().to_numpy(dtype="float64")
-    )
-    exp_sk = p.rolling(window).skew().sort_index().to_numpy(dtype="float64")
-    exp_ku = p.rolling(window).kurt().sort_index().to_numpy(dtype="float64")
-    for g, e in [(got_sk, exp_sk), (got_ku, exp_ku)]:
-        # moment ratios on adversarial data: tolerance bounded by the
-        # conditioning of m2 (pandas itself drifts run-to-run here)
-        finite = np.isfinite(e)
-        assert np.isnan(g[~finite]).all() | np.isnan(e[~finite]).all(), rows
-        assert np.allclose(
-            g[finite], e[finite], rtol=1e-5, atol=1e-6
-        ), (rows, window)
+    vals = p.sort_index().to_numpy(dtype="float64")
+    for stat, col in (("skew", "rolling_skew"), ("kurt", "rolling_kurt")):
+        g = (
+            getattr(edf["a"].rolling(window), stat)()
+            .to_pandas()[col].sort_index().to_numpy(dtype="float64")
+        )
+        e, m2pop = _ref_rolling_moment(vals, window, stat)
+        for i in range(len(vals)):
+            if 0.5e-14 <= (m2pop[i] if np.isfinite(m2pop[i]) else 1.0) <= 2e-14:
+                continue  # guard boundary: either verdict is defensible
+            if not np.isfinite(e[i]):
+                assert not np.isfinite(g[i]), (rows, window, stat, i)
+                continue
+            w = vals[i - window + 1:i + 1]
+            w = w[~np.isnan(w)]
+            mu = w.mean() if len(w) else 0.0
+            kappa = (1.0 + mu * mu) / max(m2pop[i], 1e-300)
+            atol = max(1e-6, min(1.0, 1e-13 * kappa))
+            assert np.isclose(g[i], e[i], rtol=1e-5, atol=atol), (
+                rows, window, stat, i, g[i], e[i], kappa
+            )
 
 
 @given(rows=ROWS)
