@@ -121,7 +121,18 @@ def test_groupby_sum_count_match_pandas(spark, rows):
             if isinstance(e, float) and math.isnan(e):
                 assert isinstance(g, float) and math.isnan(g)
             else:
-                assert g == pytest.approx(e, rel=1e-9, abs=1e-9)
+                # float addition is not associative: two correct engines
+                # summing in different orders differ by up to
+                # ~n*eps*max|partial sum| <= n*eps*sum|v| (hypothesis
+                # find, r6: cancelling 1e9-scale terms put pandas and
+                # Spark 1.2e-7 apart — both within eps of exact)
+                sabs = (
+                    pdf[pdf["k"] == k][c].astype("float64").abs().sum()
+                )
+                atol = max(1e-9, 1e-14 * float(sabs))
+                assert g == pytest.approx(e, rel=1e-9, abs=atol), (
+                    rows, k, c, g, e, atol
+                )
 
 
 @given(rows=ROWS, n=st.integers(min_value=0, max_value=10))
@@ -1409,8 +1420,11 @@ def _ref_rolling_corr_cov(a, b, window, metric):
         cov = float((dx * dy).sum()) / (n - 1)
         vx = float((dx * dx).sum()) / (n - 1)
         vy = float((dy * dy).sum()) / (n - 1)
-        kx = (1.0 + mx * mx) / max(vx, 1e-300)
-        ky = (1.0 + my * my) / max(vy, 1e-300)
+        sx, sy = 1.0 + float(mx) * float(mx), 1.0 + float(my) * float(my)
+        # clamp the denominator so the ratio stays finite (a zero/tiny
+        # variance reads as kappa ~ 1e16, far past every skip cutoff)
+        kx = sx / max(vx, sx * 1e-16)
+        ky = sy / max(vy, sy * 1e-16)
         kappa[i] = max(kx, ky)
         if metric == "cov":
             out[i] = cov
@@ -1584,10 +1598,11 @@ def test_rolling_skew_kurt_match_pandas_fuzz(spark, rows, window):
                 continue
             w = vals[i - window + 1:i + 1]
             w = w[~np.isnan(w)]
-            mu = w.mean() if len(w) else 0.0
-            kappa = (1.0 + mu * mu) / max(m2pop[i], 1e-300)
-            if kappa > 1e12 and m2pop[i] > 0:
-                continue  # beyond double conditioning — no engine carries info
+            mu = float(w.mean()) if len(w) else 0.0
+            scale = 1.0 + mu * mu
+            if m2pop[i] > 0 and m2pop[i] < scale * 1e-12:
+                continue  # kappa > 1e12: beyond double conditioning
+            kappa = scale / m2pop[i] if m2pop[i] > 0 else 1.0
             atol = max(1e-6, min(1.0, 1e-13 * kappa))
             assert np.isclose(g[i], e[i], rtol=1e-5, atol=atol), (
                 rows, window, stat, i, g[i], e[i], kappa
