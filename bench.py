@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -367,12 +368,31 @@ def main() -> None:
     # entire passes 1.3-2x with disjoint victims), while a genuine
     # cliff (the 122s-class bug this tier exists for) blows far past
     # both the absolute budget and the ratchet.
+    # the ratchet baseline is the COMMITTED artifact (git HEAD), not the
+    # working tree: the working-tree file is unconditionally overwritten
+    # below even on a budget-bust exit, so reading it back would let a
+    # noisy run's timings excuse the next run without anyone having
+    # accepted them. Fall back to the working-tree file only when git
+    # is unavailable (e.g. a bare checkout without history).
     prior_times: dict[str, float] = {}
+    _prior_raw = None
     try:
-        with open(FULL_OUT) as f:
-            _prior = json.load(f)
+        _prior_raw = subprocess.run(
+            ["git", "show", f"HEAD:{os.path.basename(FULL_OUT)}"],
+            capture_output=True, text=True, timeout=30, cwd=REPO,
+        ).stdout or None
+    except (OSError, subprocess.SubprocessError):
+        _prior_raw = None
+    if _prior_raw is None:
+        try:
+            with open(FULL_OUT) as f:
+                _prior_raw = f.read()
+        except OSError:
+            _prior_raw = None
+    try:
+        _prior = json.loads(_prior_raw) if _prior_raw else {}
         prior_times = {**_prior.get("sweep", {}), **_prior.get("queries", {})}
-    except (OSError, ValueError):
+    except ValueError:
         pass
     sweep: dict[str, float] = {}
     over_budget: list[str] = []

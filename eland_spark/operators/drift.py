@@ -307,7 +307,6 @@ def rank_scorecard(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     count frame lazily checkpointed, ONE prefix-sum pass serving both
     running totals, one scalar aggregate for sup-distance, rank sum,
     and tie term together."""
-    from .ranking import with_global_cumagg_multi
 
     def counts(df, name):
         c = F.col(column).cast("double")

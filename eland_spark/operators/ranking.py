@@ -1356,8 +1356,14 @@ def keyed_midranks(
     broadcast-join formulation was measured 1.6-2.6x SLOWER end-to-end
     because the broadcast side rebuilt the count frame from source
     instead of reading the cached rank pass). Keys must sort the same
-    in Python and Spark (ints/strings). Returns
-    ``(key_col, val_col, out_col)``, distinct-(key, value)-sized.
+    in Python and Spark, so null keys raise and key values are
+    restricted to int/str (checked at runtime, not just documented —
+    a Python/Spark ordering divergence would silently corrupt every
+    midrank after the divergence point). Returns a pair: the
+    ``(key_col, val_col, out_col)`` frame (distinct-(key, value)-sized)
+    and the per-key weight-total dict already folded on the driver,
+    so callers needing grand/per-key totals (e.g. spearman's
+    ``(n+1)/2`` centering) pay no extra aggregate job.
     """
     ranked, bucket = _bucket_prefix_plan(
         per, [key_col, val_col], partitions
@@ -1378,6 +1384,27 @@ def keyed_midranks(
         t = r["__t__"] or 0
         bucket_tot[r["__b__"]] = bucket_tot.get(r["__b__"], 0) + t
         key_tot[r[key_col]] = key_tot.get(r[key_col], 0) + t
+    # the per-key offsets below come from Python sorted(); that is only
+    # valid when Python's total order over the keys matches Spark's
+    # sort of key_col. Enforce it instead of trusting the docstring.
+    if None in key_tot:
+        raise ValueError(
+            "keyed_midranks: null keys are not supported (Spark sorts "
+            "nulls first but Python cannot order None) — filter or fill "
+            "the key column first"
+        )
+    if not all(isinstance(k, (int, str)) for k in key_tot):
+        bad = sorted({type(k).__name__ for k in key_tot
+                      if not isinstance(k, (int, str))})
+        raise TypeError(
+            f"keyed_midranks: key dtype(s) {bad} not supported — keys "
+            "must be int or str so Python and Spark sort identically"
+        )
+    if len({isinstance(k, str) for k in key_tot}) > 1:
+        raise TypeError(
+            "keyed_midranks: mixed int/str keys cannot be ordered "
+            "consistently between Python and Spark"
+        )
     boff, acc = {}, 0
     for b in sorted(bucket_tot):
         boff[b] = acc
@@ -1401,11 +1428,7 @@ def keyed_midranks(
     n = F.col(weight_col)
     mid = (run - _map(koff, F.col(key_col)) - n) + (n + 1) / 2.0
     out = ranked.select(key_col, val_col, mid.alias(out_col))
-    # stash the already-folded totals: callers that need the grand or
-    # per-key weight totals (e.g. spearman's (n+1)/2 centering) can use
-    # them as literals instead of paying another aggregate job
-    out._eland_key_totals = key_tot
-    return out
+    return out, key_tot
 
 
 def spearman_corr(
@@ -1453,14 +1476,14 @@ def spearman_corr(
         )
     )
     per = un.groupBy("__ax__", "__v__").agg(F.sum("__w__").alias("__n__"))
-    mids = keyed_midranks(
+    mids, key_totals = keyed_midranks(
         per, "__ax__", "__v__", "__n__", out_col="__mid__",
         partitions=partitions,
     )
     # nt (complete-pair count) was already folded on the driver by the
     # midrank pass — each axis's weights sum to it; using the literal
     # saves the broadcast scalar-agg job the crossJoin(tot) plan paid
-    nt = float(mids._eland_key_totals.get(0, 0))
+    nt = float(key_totals.get(0, 0))
     mids = mids.localCheckpoint(eager=False)  # value-sized; read twice
     rx = mids.filter(F.col("__ax__") == 0).select(
         F.col("__v__").alias("__x__"), F.col("__mid__").alias("__rx__")

@@ -198,7 +198,14 @@ def quantile_normalize(
         raise ValueError("n_quantiles must be >= 2")
     ref_col = ref_col or col
     qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
-    landmarks = exact_percentiles(ref, ref_col, qs)
+    # exact_percentiles drops only nulls; Spark sorts NaN above every
+    # double, so a NaN in the reference would poison the top landmark(s)
+    # and map every high-rank value to NaN. Mirror the rank side's
+    # missing semantics (rank_transform drops NaN) before fitting.
+    ref_vals = ref.select(F.col(ref_col).cast("double").alias("__rv__")).where(
+        F.col("__rv__").isNotNull() & ~F.isnan("__rv__")
+    )
+    landmarks = exact_percentiles(ref_vals, "__rv__", qs)
     arr = F.array(*[F.lit(float(x)) for x in landmarks])
     ranked = rank_transform(sdf, col, suffix="__u__")
     u = F.col(f"{col}__u__")

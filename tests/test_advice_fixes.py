@@ -117,3 +117,45 @@ def test_get_dummies_collision_errors(spark, tmp_path):
     df2 = es.pandas_to_spark(pdf2, spark, str(tmp_path / "gd2.parquet"))
     with pytest.raises(ValueError, match="case-insensitively"):
         df2["tags"].str.get_dummies(sep=";")
+
+
+def test_quantile_normalize_nan_reference_does_not_poison_landmarks(spark):
+    # r6 ADVICE: a single NaN in the reference used to survive
+    # exact_percentiles' null-only filter, sort above every double, and
+    # poison the top landmark(s) — every high-rank input mapped to NaN.
+    from eland_spark.operators.scaling import quantile_normalize
+
+    ref_pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 5.0, float("nan")]})
+    cur_pdf = pd.DataFrame({"x": [0.5, 2.5, 4.5, 5.0]})
+    ref = spark.createDataFrame(ref_pdf)
+    cur = spark.createDataFrame(cur_pdf)
+    out = (
+        quantile_normalize(cur, "x", ref, n_quantiles=11)
+        .orderBy("x")
+        .toPandas()
+    )
+    # all mapped values are finite and land inside the clean reference
+    # range [1, 5]; the max-rank input maps to the clean max, not NaN
+    assert np.isfinite(out["x_qn"]).all()
+    assert (out["x_qn"] >= 1.0).all() and (out["x_qn"] <= 5.0).all()
+    assert out["x_qn"].iloc[-1] == pytest.approx(5.0)
+
+
+def test_keyed_midranks_rejects_unorderable_keys(spark):
+    # r6 ADVICE: the per-key offsets come from Python sorted(), which
+    # must match Spark's sort of the key column — null keys and
+    # non-int/str dtypes now raise instead of silently diverging.
+    from eland_spark.operators.ranking import keyed_midranks
+
+    null_key = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "v": [1.0, 2.0], "n": [1, 1]})
+    )
+    with pytest.raises(ValueError, match="null keys"):
+        keyed_midranks(null_key, "k", "v", "n")
+
+    float_key = spark.createDataFrame(
+        pd.DataFrame({"k": [1.5, 2.5], "v": [1.0, 2.0], "n": [1, 1]})
+    )
+    with pytest.raises(TypeError, match="key dtype"):
+        keyed_midranks(float_key, "k", "v", "n")

@@ -1705,11 +1705,13 @@ def test_keyed_midranks_match_python_fuzz(spark, rows):
     else:
         pdf = pd.DataFrame({"k": [], "v": [], "n": []})
     sdf = spark.createDataFrame(pdf, schema="k bigint, v double, n bigint")
-    got = {
-        (r["k"], r["v"]): r["m"]
-        for r in keyed_midranks(sdf, "k", "v", "n", out_col="m").collect()
-    }
+    mids, key_totals = keyed_midranks(sdf, "k", "v", "n", out_col="m")
+    got = {(r["k"], r["v"]): r["m"] for r in mids.collect()}
     assert len(got) == len(per)
+    want_totals = {}
+    for (k, _v), n in per.items():
+        want_totals[k] = want_totals.get(k, 0) + n
+    assert key_totals == want_totals
     # python reference: expand each key's multiset, average the ranks
     bykey = {}
     for (k, v), n in per.items():
