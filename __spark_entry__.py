@@ -7761,6 +7761,378 @@ def _spearman_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# r7 additions: JS drift, multi-rater agreement, generation eval (BLEU),
+# SCD2 change-capture intervals, MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+
+def q_drift_js(spark, sf_dir) -> DataFrame:
+    """Jensen-Shannon divergence (drift.js_divergence) between the F
+    and O lineitem populations over l_extendedprice on the shared PSI
+    bin edges — symmetric, epsilon-free, bounded in [0, ln 2]; bin
+    counts in one hash agg per snapshot, the divergence one bin-sized
+    scalar agg."""
+    from eland_spark.operators.drift import js_divergence
+
+    li = _t(spark, sf_dir, "lineitem").to_spark()
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") == "O")
+    return js_divergence(ref, cur, "l_extendedprice", edges=_PSI_EDGES)
+
+
+def _drift_js_oracle_sql() -> str:
+    e = _PSI_EDGES
+    case = "CASE WHEN l_extendedprice < {lo} THEN -1 {mids} ELSE {top} END".format(
+        lo=e[0],
+        mids=" ".join(
+            f"WHEN l_extendedprice < {e[i + 1]} THEN {i}"
+            for i in range(len(e) - 1)
+        ),
+        top=len(e) - 1,
+    )
+    return f"""
+        WITH rc AS (
+            SELECT {case} AS bin, count(*) AS rn FROM lineitem
+            WHERE l_linestatus = 'F' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), cc AS (
+            SELECT {case} AS bin, count(*) AS cn FROM lineitem
+            WHERE l_linestatus = 'O' AND l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(rc.rn, 0) AS rn, COALESCE(cc.cn, 0) AS cn
+            FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+        ), t AS (
+            SELECT CAST(COALESCE(sum(rn), 0) AS DOUBLE) AS rt,
+                   CAST(COALESCE(sum(cn), 0) AS DOUBLE) AS ct
+            FROM j
+        ), s AS (
+            SELECT sum((CASE WHEN rn > 0
+                             THEN (rn / t.rt)
+                                  * ln((rn / t.rt)
+                                       / ((rn / t.rt + cn / t.ct) / 2.0))
+                             ELSE 0.0 END
+                        + CASE WHEN cn > 0
+                               THEN (cn / t.ct)
+                                    * ln((cn / t.ct)
+                                         / ((rn / t.rt + cn / t.ct) / 2.0))
+                               ELSE 0.0 END) / 2.0) AS raw,
+                   max(t.rt) AS rt, max(t.ct) AS ct
+            FROM j, t
+        )
+        SELECT round(CASE WHEN rt > 0 AND ct > 0
+                          THEN greatest(raw, 0.0) END, 6) AS js,
+               round(CASE WHEN rt > 0 AND ct > 0
+                          THEN sqrt(greatest(raw, 0.0) / ln(2.0)) END, 6)
+                   AS js_distance,
+               CAST(rt AS BIGINT) AS n_ref,
+               CAST(ct AS BIGINT) AS n_cur
+        FROM s
+    """
+
+
+_FLEISS_PANEL = 3  # raters per item (first events per user by time)
+
+
+def q_fleiss_kappa(spark, sf_dir) -> DataFrame:
+    """Fleiss' kappa (evaluation.fleiss_kappa): users are items, each
+    user's first 3 events (by ts, event_id) are 3 interchangeable
+    'raters' assigning the event_type category — multi-rater
+    chance-corrected agreement over crowd labels. One keyed window
+    pass builds the fixed panel, then cell/item/category-sized aggs
+    only."""
+    from eland_spark.operators.evaluation import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wc = Window.partitionBy("user_id")
+    panel = (
+        ev.where(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("__rn__"),
+            F.count(F.lit(1)).over(wc).alias("__cnt__"),
+        )
+        .where(
+            (F.col("__rn__") <= _FLEISS_PANEL)
+            & (F.col("__cnt__") >= _FLEISS_PANEL)
+        )
+    )
+    return fleiss_kappa(panel, "user_id", "event_type")
+
+
+def _fleiss_kappa_oracle_sql() -> str:
+    n = _FLEISS_PANEL
+    return f"""
+        WITH base AS (
+            SELECT user_id AS item, event_type AS cat
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS cnt
+                FROM events WHERE event_type IS NOT NULL
+            )
+            WHERE rn <= {n} AND cnt >= {n}
+        ), cells AS (
+            SELECT item, cat, count(*) AS nij FROM base GROUP BY 1, 2
+        ), items AS (
+            SELECT item, sum(nij) AS nn, sum(nij * nij) AS sq
+            FROM cells GROUP BY 1
+        ), pb AS (
+            SELECT avg((sq - nn) * 1.0 / {n * (n - 1)}) AS pbar,
+                   count(*) AS n_items
+            FROM items
+        ), marg AS (
+            SELECT cat, sum(nij) AS cj FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(cj) AS DOUBLE) AS t FROM marg
+        ), pe AS (
+            SELECT sum((cj / t.t) * (cj / t.t)) AS pe FROM marg, tot t
+        )
+        SELECT round(CASE WHEN pe < 1.0
+                          THEN (pbar - pe) / (1.0 - pe) END, 6) AS kappa,
+               round(pbar, 6) AS p_bar,
+               round(pe, 6) AS p_e,
+               CAST(n_items AS BIGINT) AS n_items,
+               CAST({n} AS BIGINT) AS n_raters
+        FROM pb, pe
+    """
+
+
+def q_corpus_bleu(spark, sf_dir) -> DataFrame:
+    """Corpus BLEU (evaluation.corpus_bleu) of each document against
+    the NEXT doc_id in the same language (self-join on doc_id + 1 — a
+    deterministic candidate/reference pairing with no skewed window):
+    pooled clipped n-gram precisions, brevity penalty, unsmoothed
+    BLEU. One hash agg per side keyed on the n-gram tuple."""
+    from eland_spark.operators.evaluation import corpus_bleu
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("__l2__"),
+        F.col("text").alias("__ref__"),
+    )
+    pairs = docs.join(d2, "doc_id").where(
+        F.col("lang") == F.col("__l2__")
+    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    return corpus_bleu(pairs, "cand", "ref", max_n=4)
+
+
+def _corpus_bleu_oracle_sql(max_n: int = 4) -> str:
+    def side(tok, name):
+        branches = " UNION ALL ".join(
+            f"""
+            SELECT pid, {n} AS n,
+                   array_to_string({tok}[i:i + {n} - 1], ' ') AS g
+            FROM (SELECT pid, {tok},
+                         unnest(generate_series(1, len({tok}) - {n} + 1)) AS i
+                  FROM pairs)
+            """
+            for n in range(1, max_n + 1)
+        )
+        return f"{name} AS (SELECT pid, n, g, count(*) AS c FROM ({branches}) GROUP BY 1, 2, 3)"
+
+    ms = ", ".join(
+        f"sum(CASE WHEN n = {n} THEN least(c, r) ELSE 0 END) AS m{n}"
+        for n in range(1, max_n + 1)
+    )
+    ts = ", ".join(
+        f"sum(CASE WHEN n = {n} THEN c ELSE 0 END) AS t{n}"
+        for n in range(1, max_n + 1)
+    )
+    p_defs = ", ".join(
+        f"CASE WHEN t{n} > 0 THEN m{n} * 1.0 / t{n} END AS p{n}"
+        for n in range(1, max_n + 1)
+    )
+    all_pos = " AND ".join(f"p{n} > 0" for n in range(1, max_n + 1))
+    log_sum = " + ".join(f"ln(p{n})" for n in range(1, max_n + 1))
+    p_out = ", ".join(f"round(p{n}, 6) AS p{n}" for n in range(1, max_n + 1))
+    return f"""
+        WITH pairs AS (
+            SELECT d.doc_id AS pid,
+                   string_split_regex(trim(d.text), '\\s+') AS ct,
+                   string_split_regex(trim(d2.text), '\\s+') AS rt
+            FROM documents d
+            JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+            WHERE d.lang = d2.lang
+              AND d.text IS NOT NULL AND d2.text IS NOT NULL
+        ), {side('ct', 'cc')}, {side('rt', 'rc')},
+        j AS (
+            SELECT cc.n, cc.c, COALESCE(rc.c, 0) AS r
+            FROM cc LEFT JOIN rc USING (pid, n, g)
+        ), st AS (
+            SELECT {ms}, {ts} FROM j
+        ), lens AS (
+            SELECT CAST(COALESCE(sum(len(ct)), 0) AS DOUBLE) AS cl,
+                   CAST(COALESCE(sum(len(rt)), 0) AS DOUBLE) AS rl
+            FROM pairs
+        ), ps AS (
+            SELECT {p_defs}, cl, rl,
+                   CASE WHEN cl >= rl THEN 1.0
+                        ELSE exp(1.0 - rl / cl) END AS bp
+            FROM st, lens
+        )
+        SELECT round(CASE WHEN cl > 0 THEN
+                       CASE WHEN {all_pos}
+                            THEN bp * exp(({log_sum}) / {float(max_n)})
+                            ELSE 0.0 END END, 6) AS bleu,
+               round(CASE WHEN cl > 0 THEN bp END, 6) AS bp,
+               {p_out},
+               CAST(cl AS BIGINT) AS cand_len,
+               CAST(rl AS BIGINT) AS ref_len
+        FROM ps
+    """
+
+
+def q_scd2_history(spark, sf_dir) -> DataFrame:
+    """SCD type-2 interval table (scd.scd2_history) over the events
+    stream: per user, maximal runs of an unchanged event_type collapse
+    to (valid_from, valid_to) validity intervals (valid_to null =
+    current state) — the change-data-capture layout for point-in-time
+    feature joins. One shuffle on the key serves both window passes
+    and the run aggregation."""
+    from eland_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    return scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+def _scd2_history_oracle_sql() -> str:
+    return """
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM
+                             event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, event_type, ts,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+            FROM flagged
+        ), grp AS (
+            SELECT user_id, run, min(event_type) AS event_type,
+                   min(ts) AS valid_from
+            FROM runs GROUP BY user_id, run
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to
+        FROM grp
+    """
+
+
+_MMR_K, _MMR_N, _MMR_LAM = 8, 30, 0.7
+
+
+def q_mmr_rerank(spark, sf_dir) -> DataFrame:
+    """MMR diversity re-ranking (similarity.mmr_rerank) of exact
+    top-30 cosine candidates for 4 query vectors: greedy lam=0.7
+    relevance-vs-redundancy selection of 8 per query. Candidates are
+    bounded per query, so the greedy is applyInPandas per query group;
+    relevance is rounded to 6dp on BOTH sides so the SQL oracle
+    replays the identical selection."""
+    from eland_spark.operators.similarity import knn_join, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings", "vec_id")
+    queries_sdf = emb.to_spark().filter(F.col("vec_id") < 4)
+    cands = knn_join(emb, queries_sdf, k=_MMR_N)
+    vecs = emb.to_spark().select("vec_id", "embedding")
+    cand_v = vecs.join(
+        F.broadcast(
+            cands.select(
+                "query_id", "vec_id", F.round("score", 6).alias("rel")
+            )
+        ),
+        "vec_id",
+    )
+    out = mmr_rerank(
+        cand_v, "query_id", "vec_id", "rel", "embedding",
+        k=_MMR_K, lam=_MMR_LAM,
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.round("mmr_score", 6).alias("mmr_score"), "rnk",
+    )
+
+
+def _mmr_rerank_oracle_sql() -> str:
+    k, n, lam = _MMR_K, _MMR_N, _MMR_LAM
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    steps = []
+    for t in range(2, k + 1):
+        prev = f"acc{t - 1}"
+        pair_cos = cos.format(a="c2.v", b="sv.v")
+        score = f"{lam} * c.rel - {1.0 - lam} * pen.mx"
+        steps.append(f"""
+        sel{t} AS MATERIALIZED (
+            SELECT qid, id, ms, {t} AS rnk FROM (
+                SELECT c.qid, c.id, {score} AS ms,
+                       row_number() OVER (PARTITION BY c.qid
+                                          ORDER BY {score} DESC, c.id ASC)
+                           AS pr
+                FROM cand c
+                JOIN (
+                    SELECT c2.qid, c2.id,
+                           max(CASE WHEN list_dot_product(c2.v, c2.v) > 0
+                                     AND list_dot_product(sv.v, sv.v) > 0
+                                    THEN {pair_cos} ELSE 0.0 END) AS mx
+                    FROM cand c2
+                    JOIN {prev} a ON a.qid = c2.qid
+                    JOIN cand sv ON sv.qid = a.qid AND sv.id = a.id
+                    GROUP BY c2.qid, c2.id
+                ) pen ON pen.qid = c.qid AND pen.id = c.id
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                                  WHERE x.qid = c.qid AND x.id = c.id)
+            ) WHERE pr = 1
+        ), acc{t} AS MATERIALIZED (
+            SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t}
+        )""")
+    rel_cos = cos.format(a="e.embedding::DOUBLE[]", b="q.qv::DOUBLE[]")
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 4
+        ), scored AS (
+            SELECT q.qid, e.vec_id AS id,
+                   {rel_cos} AS s,
+                   e.embedding::DOUBLE[] AS v
+            FROM embeddings e, q
+        ), cand AS MATERIALIZED (
+            SELECT qid, id, round(s, 6) AS rel, v,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY s DESC, id ASC) AS rn
+            FROM scored QUALIFY rn <= {n}
+        ), sel1 AS (
+            SELECT qid, id, ms, 1 AS rnk FROM (
+                SELECT qid, id, {lam} * rel AS ms,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY {lam} * rel DESC, id ASC)
+                           AS pr
+                FROM cand
+            ) WHERE pr = 1
+        ), acc1 AS (
+            SELECT * FROM sel1
+        ),{','.join(steps)}
+        SELECT qid AS query_id, id AS vec_id,
+               round(ms, 6) AS mmr_score, CAST(rnk AS INT) AS rnk
+        FROM acc{k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8037,6 +8409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_ewm_std": q_groupby_ewm_std,
         "groupby_ewm_wide": q_groupby_ewm_wide,
         "seasonal_decompose": q_seasonal_decompose,
+        "drift_js": q_drift_js,
+        "fleiss_kappa": q_fleiss_kappa,
+        "corpus_bleu": q_corpus_bleu,
+        "scd2_history": q_scd2_history,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -10305,4 +10682,9 @@ def oracle_sql() -> dict[str, str]:
         "groupby_ewm_std": _groupby_ewm_std_oracle_sql(),
         "groupby_ewm_wide": _groupby_ewm_wide_oracle_sql(),
         "seasonal_decompose": _seasonal_decompose_oracle_sql(),
+        "drift_js": _drift_js_oracle_sql(),
+        "fleiss_kappa": _fleiss_kappa_oracle_sql(),
+        "corpus_bleu": _corpus_bleu_oracle_sql(),
+        "scd2_history": _scd2_history_oracle_sql(),
+        "mmr_rerank": _mmr_rerank_oracle_sql(),
     }

@@ -200,6 +200,15 @@ HEADLINE = [
     # r6: reference-distribution quantile mapping (rank pass + landmark
     # array literal + zero-shuffle lerp)
     "quantile_normalize",
+    # r7: JS drift (bin-count aggs), multi-rater agreement (keyed
+    # window panel + cell-sized aggs), corpus BLEU (n-gram-keyed hash
+    # aggs), SCD2 intervals (one keyed shuffle, two window passes),
+    # MMR diversity re-rank (bounded per-query greedy, applyInPandas)
+    "drift_js",
+    "fleiss_kappa",
+    "corpus_bleu",
+    "scd2_history",
+    "mmr_rerank",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "drift_bins",
     "psi",
+    "js_divergence",
     "ks_statistic",
     "chi2_association",
     "welch_ttest",
@@ -470,3 +471,81 @@ def psi(
     )
     v = row["psi"]
     return float("nan") if v is None else float(v)
+
+
+def js_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    edges: "Sequence[float] | None" = None,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the two snapshots'
+    distributions of ``column`` as a 1-row frame ``(js, js_distance,
+    n_ref, n_cur)`` — the SYMMETRIC, always-finite complement to the
+    PSI/KL terms of :func:`drift_bins`: with ``m = (p + q) / 2``,
+    ``js = (KL(p||m) + KL(q||m)) / 2``, bounded in ``[0, ln 2]`` with
+    NO epsilon clamping (a bin absent from one side contributes its
+    exact ``p * ln 2 / 2``, where PSI's clamp would saturate), and
+    ``js_distance = sqrt(js / ln 2)`` is the [0, 1] metric form.
+    Numeric binning with explicit ``edges`` (nulls dropped);
+    ``edges=None`` bins categorically (null is its own category),
+    exactly as :func:`drift_bins`.
+
+    Scale shape: identical to :func:`drift_bins` — each snapshot
+    reduces to bin counts in ONE hash aggregation, the bin frames
+    full-outer-join null-safely, totals broadcast back, and the
+    divergence is one bin-sized scalar aggregate.
+    """
+    c = F.col(column)
+    if edges is not None:
+        key = _bin_expr(c.cast("double"), edges)
+        rf = ref.where(c.isNotNull())
+        cf = cur.where(c.isNotNull())
+    else:
+        key = c.cast("string")
+        rf, cf = ref, cur
+
+    def counts(df, name):
+        return df.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias(name))
+
+    rc, cc = counts(rf, "__rn__"), counts(cf, "__cn__")
+    cc = cc.withColumnRenamed("bin", "__cbin__")
+    joined = rc.join(
+        cc, rc["bin"].eqNullSafe(cc["__cbin__"]), "full"
+    ).select(
+        F.coalesce(F.col("__rn__"), F.lit(0)).alias("__rn__"),
+        F.coalesce(F.col("__cn__"), F.lit(0)).alias("__cn__"),
+    )
+    tot = joined.agg(
+        F.coalesce(F.sum("__rn__"), F.lit(0)).alias("__rt__"),
+        F.coalesce(F.sum("__cn__"), F.lit(0)).alias("__ct__"),
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    # null-guarded denominators: an empty side must yield null (the
+    # final gate), not an ANSI divide-by-zero error
+    rt = F.when(F.col("__rt__") > 0, F.col("__rt__"))
+    ct = F.when(F.col("__ct__") > 0, F.col("__ct__"))
+    p = F.col("__rn__") / rt
+    q = F.col("__cn__") / ct
+    m = (p + q) / 2.0
+    # 0 * ln(0/m) == 0 by convention: gate each side's term on count>0
+    term = (
+        F.when(F.col("__rn__") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__cn__") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2.0
+    agg = j.agg(
+        F.sum(term).alias("__js__"),
+        F.max("__rt__").alias("__rt__"),
+        F.max("__ct__").alias("__ct__"),
+    )
+    js = F.when(
+        (F.col("__rt__") > 0) & (F.col("__ct__") > 0),
+        # clamp tiny negative float residue so sqrt never NaNs
+        F.greatest(F.col("__js__"), F.lit(0.0)),
+    )
+    return agg.select(
+        F.round(js, 6).alias("js"),
+        F.round(F.sqrt(js / float(math.log(2.0))), 6).alias("js_distance"),
+        F.col("__rt__").cast("bigint").alias("n_ref"),
+        F.col("__ct__").cast("bigint").alias("n_cur"),
+    )

@@ -26,6 +26,8 @@ __all__ = [
     "ranking_metrics",
     "calibration_bins",
     "cohens_kappa",
+    "fleiss_kappa",
+    "corpus_bleu",
 ]
 
 
@@ -289,4 +291,200 @@ def confusion_at(
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+def fleiss_kappa(sdf: DataFrame, item_col: str, category_col: str) -> DataFrame:
+    """Fleiss' kappa over a long-form ratings table (one row per
+    rating) as a 1-row frame ``(kappa, p_bar, p_e, n_items,
+    n_raters)`` — the multi-rater generalization of
+    :func:`cohens_kappa` for crowd-labeled corpora: N items each rated
+    by the same number ``n`` of (anonymous, interchangeable) raters
+    into categories.
+
+    ``P_i = (sum_j n_ij^2 - n) / (n (n-1))`` is item agreement,
+    ``p_bar`` its mean, ``p_e = sum_j p_j^2`` the chance agreement of
+    the pooled category marginals, ``kappa = (p_bar - p_e) /
+    (1 - p_e)`` (null when ``p_e == 1``: every rating in one
+    category). Rows with a null item or category are dropped; raises
+    if items carry unequal rating counts (Fleiss is undefined there —
+    pre-filter to a fixed panel size first) or if ``n < 2``.
+
+    Scale shape: ONE full-scan hash aggregation to (item, category)
+    cells, one item-sized re-agg for the per-item sums (+ the
+    equal-``n`` validation on its min/max), one category-sized re-agg
+    for the marginals, then 1-row broadcast assembly. Nothing
+    row-sized collects; driver state is two scalars.
+    """
+    base = sdf.select(
+        F.col(item_col).alias("__i__"),
+        F.col(category_col).cast("string").alias("__c__"),
+    ).where(F.col("__i__").isNotNull() & F.col("__c__").isNotNull())
+    cells = (
+        base.groupBy("__i__", "__c__")
+        .agg(F.count(F.lit(1)).alias("__nij__"))
+        .localCheckpoint(eager=False)
+    )
+    per_item = cells.groupBy("__i__").agg(
+        F.sum("__nij__").alias("__n__"),
+        F.sum(F.col("__nij__") * F.col("__nij__")).alias("__sq__"),
+    ).localCheckpoint(eager=False)
+    chk = per_item.agg(
+        F.min("__n__").alias("lo"), F.max("__n__").alias("hi"),
+        F.count(F.lit(1)).alias("items"),
+    ).collect()[0]
+    if chk["items"] == 0:
+        raise ValueError("fleiss_kappa: no complete ratings")
+    if chk["lo"] != chk["hi"]:
+        raise ValueError(
+            f"fleiss_kappa: unequal ratings per item (min {chk['lo']}, "
+            f"max {chk['hi']}) — Fleiss' kappa needs a fixed panel size"
+        )
+    n = int(chk["lo"])
+    if n < 2:
+        raise ValueError("fleiss_kappa: needs >= 2 ratings per item")
+    pbar = per_item.agg(
+        F.avg(
+            (F.col("__sq__") - F.col("__n__")).cast("double")
+            / float(n * (n - 1))
+        ).alias("__pbar__"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    marg = cells.groupBy("__c__").agg(F.sum("__nij__").alias("__cj__"))
+    pe = marg.crossJoin(
+        F.broadcast(marg.agg(F.sum("__cj__").alias("__t__")))
+    ).agg(
+        F.sum(
+            (F.col("__cj__") / F.col("__t__"))
+            * (F.col("__cj__") / F.col("__t__"))
+        ).alias("__pe__")
+    )
+    j = pbar.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("__pe__") < 1.0,
+        (F.col("__pbar__") - F.col("__pe__")) / (1.0 - F.col("__pe__")),
+    )
+    return j.select(
+        F.round(kappa, 6).alias("kappa"),
+        F.round("__pbar__", 6).alias("p_bar"),
+        F.round("__pe__", 6).alias("p_e"),
+        F.col("n_items"),
+        F.lit(n).cast("bigint").alias("n_raters"),
+    )
+
+
+def corpus_bleu(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU of a candidate-text column against a
+    (single) reference-text column as a 1-row frame ``(bleu, bp,
+    p1..pN, cand_len, ref_len)`` — Papineni et al.'s exact definition
+    on whitespace tokens: per-order modified precision ``p_n`` pools
+    clipped n-gram matches over the WHOLE corpus (never a per-sentence
+    mean), brevity penalty ``bp = min(1, exp(1 - r/c))`` from the
+    total token lengths, ``bleu = bp * exp(mean_n ln p_n)`` and 0 when
+    any ``p_n`` is 0 (unsmoothed). Rows with a null on either side are
+    dropped. Tokenization is ``\\s+`` split of the trimmed text —
+    deliberately engine-replayable (a SQL oracle reproduces it
+    exactly).
+
+    Scale shape: each side explodes to (pair, order, gram) counts in
+    ONE hash aggregation (shuffle keyed on the high-cardinality gram
+    tuple — no skew pole), clipped matches come from the candidate
+    side LEFT-joining the reference counts on that same key, and
+    everything after is ``max_n`` rows wide: one conditional-sum
+    scalar aggregate assembles every ``p_n`` plus both lengths. No
+    per-row Python, no driver collect of row data.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    toks = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
+    # localCheckpoint freezes the per-partition ids (mi_id is assigned
+    # map-side, but the two n-gram sides would otherwise recompute the
+    # scan independently) AND shares one tokenization pass between them
+    base = pairs.where(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("__pid__"),
+        toks(cand_col).alias("__ct__"),
+        toks(ref_col).alias("__rt__"),
+    ).localCheckpoint(eager=False)
+
+    def grams(tok_col, n):
+        ln = F.size(tok_col)
+        return F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def side_counts(tok_expr, cname):
+        per_n = [
+            base.select(
+                "__pid__",
+                F.lit(n).alias("__n__"),
+                F.explode(grams(tok_expr, n)).alias("__g__"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+        un = per_n[0]
+        for p in per_n[1:]:
+            un = un.unionByName(p)
+        return un.groupBy("__pid__", "__n__", "__g__").agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    cc = side_counts(F.col("__ct__"), "__cc__")
+    rc = side_counts(F.col("__rt__"), "__rc__")
+    j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
+    clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
+    per_order = [
+        F.sum(F.when(F.col("__n__") == n, clip).otherwise(F.lit(0)))
+        .alias(f"__m{n}__")
+        for n in range(1, max_n + 1)
+    ] + [
+        F.sum(F.when(F.col("__n__") == n, F.col("__cc__")).otherwise(F.lit(0)))
+        .alias(f"__t{n}__")
+        for n in range(1, max_n + 1)
+    ]
+    stats = j.agg(*per_order)
+    lens = base.agg(
+        F.coalesce(F.sum(F.size("__ct__")), F.lit(0)).alias("__cl__"),
+        F.coalesce(F.sum(F.size("__rt__")), F.lit(0)).alias("__rl__"),
+    )
+    row = stats.crossJoin(F.broadcast(lens))
+    ps = [
+        F.when(
+            F.col(f"__t{n}__") > 0,
+            F.col(f"__m{n}__").cast("double") / F.col(f"__t{n}__"),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    c_len = F.col("__cl__").cast("double")
+    r_len = F.col("__rl__").cast("double")
+    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+        F.exp(1.0 - r_len / c_len)
+    )
+    all_pos = ps[0].isNotNull() & (ps[0] > 0)
+    log_sum = F.log(ps[0])
+    for p in ps[1:]:
+        all_pos = all_pos & p.isNotNull() & (p > 0)
+        log_sum = log_sum + F.log(p)
+    bleu = F.when(c_len > 0, F.when(
+        all_pos, bp * F.exp(log_sum / float(max_n))
+    ).otherwise(F.lit(0.0)))
+    return row.select(
+        F.round(bleu, 6).alias("bleu"),
+        F.round(F.when(c_len > 0, bp), 6).alias("bp"),
+        *[
+            F.round(ps[n - 1], 6).alias(f"p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        F.col("__cl__").cast("bigint").alias("cand_len"),
+        F.col("__rl__").cast("bigint").alias("ref_len"),
     )

@@ -958,3 +958,109 @@ def cluster_metrics(
         )
         .orderBy("cell")
     )
+
+
+def mmr_rerank(
+    cands,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "score",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.5,
+):
+    """Maximal Marginal Relevance re-ranking of per-query candidate
+    lists (Carbonell & Goldstein 1998): greedily pick ``k`` results
+    maximizing ``lam * relevance - (1 - lam) * max cosine to the
+    already-selected set`` — the diversity pass between retrieval and
+    the context window (near-duplicate passages waste prompt tokens).
+    First pick is pure relevance (empty-set penalty is 0); ties break
+    to the lowest id on every step so the selection is deterministic
+    and engine-replayable. Rows with a null id/relevance/vector drop.
+
+    Scale shape: the candidate frame is already BOUNDED per query
+    (top-N out of ``knn_join``/``ivf_topk``), so one applyInPandas
+    grouped on the query id does each greedy in-memory over its own
+    <=N rows — per-query work is O(k * N * dim), groups parallelize
+    across executors, and nothing global shuffles or collects. The
+    pairwise dot products accumulate SEQUENTIALLY in float64 (matching
+    the engine's zip_with fold and DuckDB's list_dot_product) so a SQL
+    oracle replays the same greedy.
+
+    Returns ``(query_col, id_col, mmr_score, rnk)``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    sdf = cands.to_spark() if hasattr(cands, "to_spark") else cands
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = sdf.select(query_col, id_col, rel_col, vec_col).where(
+        F.col(query_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(rel_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    )
+    qf = base.schema[query_col]
+    idf = base.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, qf.dataType, True),
+            T.StructField(id_col, idf.dataType, True),
+            T.StructField("mmr_score", T.DoubleType(), True),
+            T.StructField("rnk", T.IntegerType(), True),
+        ]
+    )
+
+    def _sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = pdf[query_col].iloc[0]
+        ids = pdf[id_col].tolist()
+        rel = [float(r) for r in pdf[rel_col]]
+        vecs = pdf[vec_col].tolist()
+        n = len(ids)
+        norms = [_sdot(v, v) ** 0.5 for v in vecs]
+        taken = [False] * n
+        # true max cosine to the selected set (can be negative); None
+        # until the set is nonempty — the empty-set penalty is 0
+        pen: list = [None] * n
+        out_rows = []
+        for step in range(min(k, n)):
+            best = None
+            for i in range(n):
+                if taken[i]:
+                    continue
+                p = pen[i] if pen[i] is not None else 0.0
+                s = lam * rel[i] - (1.0 - lam) * p
+                if (
+                    best is None
+                    or s > best[0]
+                    or (s == best[0] and ids[i] < best[1])
+                ):
+                    best = (s, ids[i], i)
+            s, bid, bi = best
+            taken[bi] = True
+            out_rows.append((qid, bid, s, step + 1))
+            for i in range(n):
+                if taken[i]:
+                    continue
+                # zero-norm vectors contribute similarity 0 by contract
+                if norms[bi] > 0.0 and norms[i] > 0.0:
+                    c = _sdot(vecs[i], vecs[bi]) / (norms[i] * norms[bi])
+                else:
+                    c = 0.0
+                if pen[i] is None or c > pen[i]:
+                    pen[i] = c
+        return pd.DataFrame(
+            out_rows, columns=[query_col, id_col, "mmr_score", "rnk"]
+        )
+
+    return base.groupBy(query_col).applyInPandas(_greedy, out_schema)

@@ -353,3 +353,83 @@ def test_rank_scorecard_matches_standalone_tests(spark):
                 assert got[k] is None, (k, got, mw)
             else:
                 assert got[k] == pytest.approx(mw[k], rel=1e-12), (k, got, mw)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_js(p_counts, q_counts):
+    import math
+
+    rt, ct = sum(p_counts), sum(q_counts)
+    js = 0.0
+    for rn, cn in zip(p_counts, q_counts):
+        p, q = rn / rt, cn / ct
+        m = (p + q) / 2.0
+        if rn > 0:
+            js += p * math.log(p / m) / 2.0
+        if cn > 0:
+            js += q * math.log(q / m) / 2.0
+    return js
+
+
+def test_js_divergence_categorical_matches_hand(spark):
+    from eland_spark.operators.drift import js_divergence
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"x": ["a"] * 50 + ["b"] * 30 + ["c"] * 20})
+    )
+    cur = spark.createDataFrame(
+        pd.DataFrame({"x": ["a"] * 20 + ["b"] * 30 + ["d"] * 50})
+    )
+    row = js_divergence(ref, cur, "x").toPandas().iloc[0]
+    want = _hand_js([50, 30, 20, 0], [20, 30, 0, 50])
+    assert row["js"] == pytest.approx(want, abs=1e-6)
+    assert row["js_distance"] == pytest.approx(
+        (want / math.log(2)) ** 0.5, abs=1e-6
+    )
+    assert row["n_ref"] == 100 and row["n_cur"] == 100
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    import math
+
+    from eland_spark.operators.drift import js_divergence
+
+    same = spark.createDataFrame(pd.DataFrame({"x": ["a", "b", "b"]}))
+    row = js_divergence(same, same, "x").toPandas().iloc[0]
+    assert row["js"] == pytest.approx(0.0, abs=1e-9)
+    # disjoint supports -> exactly ln 2 (the maximum)
+    a = spark.createDataFrame(pd.DataFrame({"x": ["a"] * 10}))
+    b = spark.createDataFrame(pd.DataFrame({"x": ["b"] * 7}))
+    row2 = js_divergence(a, b, "x").toPandas().iloc[0]
+    assert row2["js"] == pytest.approx(math.log(2), abs=1e-6)
+    assert row2["js_distance"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_js_divergence_numeric_edges_drops_nulls(spark):
+    from eland_spark.operators.drift import js_divergence
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 2.0, 3.0, None, 11.0]})
+    )
+    cur = spark.createDataFrame(pd.DataFrame({"x": [2.5, 2.6, None, -5.0]}))
+    row = js_divergence(ref, cur, "x", edges=[0.0, 2.0, 10.0]).toPandas().iloc[0]
+    # ref bins: [1]->0, [2,3]->1, [11]->2 ; cur: [2.5,2.6]->1, [-5]->-1
+    want = _hand_js([0, 1, 2, 1], [1, 0, 2, 0])
+    assert row["js"] == pytest.approx(want, abs=1e-6)
+    assert row["n_ref"] == 4 and row["n_cur"] == 3
+
+
+def test_js_divergence_empty_side_is_null(spark):
+    from eland_spark.operators.drift import js_divergence
+
+    ref = spark.createDataFrame(pd.DataFrame({"x": ["a", "b"]}))
+    cur = spark.createDataFrame(
+        pd.DataFrame({"x": pd.array([], dtype="string")}),
+        schema="x string",
+    )
+    row = js_divergence(ref, cur, "x").toPandas().iloc[0]
+    assert pd.isna(row["js"]) and pd.isna(row["js_distance"])
+    assert row["n_ref"] == 2 and row["n_cur"] == 0

@@ -539,3 +539,153 @@ def test_seasonal_decompose_matches_reference(spark, period):
     assert np.allclose(re[m], vals[m], atol=1e-9)
     with pytest.raises(ValueError):
         seasonal_decompose(sdf, ["k"], "v", 1)
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (r7)
+# ---------------------------------------------------------------------------
+
+def _fleiss_mat_to_rows(mat):
+    return [
+        (i, str(j))
+        for i in range(mat.shape[0])
+        for j in range(mat.shape[1])
+        for _ in range(mat[i, j])
+    ]
+
+
+def test_fleiss_kappa_canonical_example(spark):
+    """The standard worked example (10 items, 14 raters, 5 categories)
+    -> kappa = 0.2099."""
+    from eland_spark.operators.evaluation import fleiss_kappa
+
+    mat = np.array([
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ])
+    sdf = spark.createDataFrame(
+        pd.DataFrame(_fleiss_mat_to_rows(mat), columns=["item", "cat"])
+    )
+    row = fleiss_kappa(sdf, "item", "cat").toPandas().iloc[0]
+    # hand reference
+    n = 14
+    pi = ((mat ** 2).sum(axis=1) - n) / (n * (n - 1))
+    pj = mat.sum(axis=0) / (mat.shape[0] * n)
+    pbar, pe = pi.mean(), (pj ** 2).sum()
+    assert row["kappa"] == pytest.approx((pbar - pe) / (1 - pe), abs=1e-6)
+    assert row["p_bar"] == pytest.approx(pbar, abs=1e-6)
+    assert row["p_e"] == pytest.approx(pe, abs=1e-6)
+    assert row["n_items"] == 10 and row["n_raters"] == 14
+
+
+def test_fleiss_kappa_perfect_and_degenerate(spark):
+    from eland_spark.operators.evaluation import fleiss_kappa
+
+    # perfect agreement over >1 category -> kappa 1
+    rows = [(i, "a" if i % 2 else "b") for i in range(6) for _ in range(3)]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["item", "cat"]))
+    row = fleiss_kappa(sdf, "item", "cat").toPandas().iloc[0]
+    assert row["kappa"] == pytest.approx(1.0)
+    # single category everywhere -> pe == 1 -> kappa null
+    rows1 = [(i, "a") for i in range(4) for _ in range(2)]
+    sdf1 = spark.createDataFrame(pd.DataFrame(rows1, columns=["item", "cat"]))
+    row1 = fleiss_kappa(sdf1, "item", "cat").toPandas().iloc[0]
+    assert pd.isna(row1["kappa"]) and row1["p_e"] == pytest.approx(1.0)
+
+
+def test_fleiss_kappa_validation_errors(spark):
+    from eland_spark.operators.evaluation import fleiss_kappa
+
+    uneq = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a"), (1, "b"), (2, "a")], columns=["item", "cat"]
+        )
+    )
+    with pytest.raises(ValueError, match="unequal ratings"):
+        fleiss_kappa(uneq, "item", "cat")
+    single = spark.createDataFrame(
+        pd.DataFrame([(1, "a"), (2, "b")], columns=["item", "cat"])
+    )
+    with pytest.raises(ValueError, match=">= 2 ratings"):
+        fleiss_kappa(single, "item", "cat")
+    empty = spark.createDataFrame(
+        pd.DataFrame({"item": pd.array([None], dtype="Int64"),
+                      "cat": ["a"]})
+    )
+    with pytest.raises(ValueError, match="no complete ratings"):
+        fleiss_kappa(empty, "item", "cat")
+
+
+# ---------------------------------------------------------------------------
+# corpus BLEU (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_bleu(pairs, max_n=4):
+    import math
+    from collections import Counter
+
+    m = [0] * max_n
+    t = [0] * max_n
+    cl = rl = 0
+    for c, r in pairs:
+        ct, rt = c.split(), r.split()
+        cl += len(ct)
+        rl += len(rt)
+        for n in range(1, max_n + 1):
+            cg = Counter(
+                tuple(ct[i:i + n]) for i in range(len(ct) - n + 1)
+            )
+            rg = Counter(
+                tuple(rt[i:i + n]) for i in range(len(rt) - n + 1)
+            )
+            m[n - 1] += sum(min(v, rg[g]) for g, v in cg.items())
+            t[n - 1] += sum(cg.values())
+    ps = [mi / ti if ti else None for mi, ti in zip(m, t)]
+    bp = 1.0 if cl >= rl else math.exp(1 - rl / cl)
+    bleu = (
+        0.0
+        if any((p or 0) == 0 for p in ps)
+        else bp * math.exp(sum(math.log(p) for p in ps) / max_n)
+    )
+    return bleu, bp, ps, cl, rl
+
+
+def test_corpus_bleu_matches_hand_reference(spark):
+    from eland_spark.operators.evaluation import corpus_bleu
+
+    pairs = [
+        ("the cat sat on the mat and the cat sat", "the cat is on the mat and the cat sat"),
+        ("a quick brown fox jumps over it", "the quick brown fox jumps over the dog"),
+        ("hello world how are you today", "hello there world how are you"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(pairs, columns=["c", "r"]))
+    row = corpus_bleu(sdf, "c", "r", max_n=4).toPandas().iloc[0]
+    bleu, bp, ps, cl, rl = _hand_bleu(pairs)
+    assert row["bleu"] == pytest.approx(bleu, abs=1e-6)
+    assert row["bp"] == pytest.approx(bp, abs=1e-6)
+    for n in range(1, 5):
+        assert row[f"p{n}"] == pytest.approx(ps[n - 1], abs=1e-6)
+    assert row["cand_len"] == cl and row["ref_len"] == rl
+
+
+def test_corpus_bleu_zero_precision_and_nulls(spark):
+    from eland_spark.operators.evaluation import corpus_bleu
+
+    # no 4-gram overlap anywhere -> unsmoothed BLEU is exactly 0
+    pairs = pd.DataFrame(
+        {"c": ["a b c d e", None], "r": ["v w x y z", "dropped row"]}
+    )
+    sdf = spark.createDataFrame(pairs)
+    row = corpus_bleu(sdf, "c", "r", max_n=4).toPandas().iloc[0]
+    assert row["bleu"] == 0.0
+    assert row["cand_len"] == 5 and row["ref_len"] == 5  # null row dropped
+    # identical corpus -> BLEU 1
+    same = spark.createDataFrame(
+        pd.DataFrame({"c": ["x y z w v"], "r": ["x y z w v"]})
+    )
+    r2 = corpus_bleu(same, "c", "r", max_n=4).toPandas().iloc[0]
+    assert r2["bleu"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="max_n"):
+        corpus_bleu(sdf, "c", "r", max_n=0)

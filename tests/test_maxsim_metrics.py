@@ -3,6 +3,7 @@ introspection tests."""
 
 import math
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -103,3 +104,111 @@ def test_heavy_queries_do_not_spill(spark):
         df.collect()
         assert metric_total(df, "spillSize") == 0, name
         assert metric_total(df, "numTasksFallBacked") == 0, name
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_mmr(grp, k, lam):
+    import math
+
+    rel = [float(x) for x in grp["rel"]]
+    ids = list(grp["id"])
+    vecs = [list(map(float, v)) for v in grp["vec"]]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    nrm = [math.sqrt(dot(v, v)) for v in vecs]
+    pen = [None] * len(ids)
+    taken = [False] * len(ids)
+    res = []
+    for step in range(min(k, len(ids))):
+        best = None
+        for i in range(len(ids)):
+            if taken[i]:
+                continue
+            p = pen[i] if pen[i] is not None else 0.0
+            s = lam * rel[i] - (1 - lam) * p
+            if best is None or s > best[0] or (s == best[0] and ids[i] < best[1]):
+                best = (s, ids[i], i)
+        s, bid, bi = best
+        taken[bi] = True
+        res.append((bid, s, step + 1))
+        for i in range(len(ids)):
+            if taken[i]:
+                continue
+            c = (
+                dot(vecs[i], vecs[bi]) / (nrm[i] * nrm[bi])
+                if nrm[i] > 0 and nrm[bi] > 0
+                else 0.0
+            )
+            if pen[i] is None or c > pen[i]:
+                pen[i] = c
+
+
+    return res
+
+
+def test_mmr_matches_hand_greedy(spark):
+    from eland_spark.operators.similarity import mmr_rerank
+
+    pdf = pd.DataFrame(
+        {
+            "q": [0] * 5 + [1] * 5,
+            "id": [1, 2, 3, 4, 5] * 2,
+            "rel": [0.9, 0.85, 0.5, 0.45, 0.4, 0.2, 0.8, 0.75, 0.7, 0.1],
+            "vec": [
+                [1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [0.5, 0.5], [-1.0, 0.2],
+            ] * 2,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["q"], r["rnk"]): (r["id"], round(r["mmr_score"], 9))
+        for r in mmr_rerank(sdf, "q", "id", "rel", "vec", k=4, lam=0.7).collect()
+    }
+    for q, grp in pdf.groupby("q"):
+        for bid, s, rnk in _hand_mmr(grp, 4, 0.7):
+            assert got[(q, rnk)] == (bid, round(s, 9))
+
+
+def test_mmr_lam1_is_pure_relevance_topk(spark):
+    from eland_spark.operators.similarity import mmr_rerank
+
+    pdf = pd.DataFrame(
+        {
+            "q": [0] * 4,
+            "id": [4, 3, 2, 1],
+            "rel": [0.1, 0.9, 0.9, 0.5],
+            "vec": [[1.0, 0.0]] * 4,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["rnk"], r["id"])
+        for r in mmr_rerank(sdf, "q", "id", "rel", "vec", k=3, lam=1.0)
+        .orderBy("rnk")
+        .collect()
+    ]
+    # pure relevance, ties -> lowest id
+    assert got == [(1, 2), (2, 3), (3, 1)]
+
+
+def test_mmr_k_exceeds_candidates_and_validation(spark):
+    from eland_spark.operators.similarity import mmr_rerank
+
+    pdf = pd.DataFrame(
+        {"q": [0, 0], "id": [1, 2], "rel": [0.5, 0.4],
+         "vec": [[1.0, 0.0], [0.0, 1.0]]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    assert mmr_rerank(sdf, "q", "id", "rel", "vec", k=10, lam=0.5).count() == 2
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(sdf, "q", "id", "rel", "vec", k=2, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(sdf, "q", "id", "rel", "vec", k=0, lam=0.5)

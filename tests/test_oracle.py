@@ -133,6 +133,17 @@ def test_local_gate_predicts_driver_hash(spark, duck):
         ("signed_zero_match",
          sq("SELECT CAST(-0.0 AS DOUBLE) AS v"),
          dq("SELECT -0.0::DOUBLE AS v")),
+        # null timestamps (r7 scd2 valid_to): NaT != NaT elementwise,
+        # but the repr-based hash renders both as null — the gate must
+        # agree (it grew a datetime isna mask)
+        ("null_timestamp_match",
+         sq("SELECT TIMESTAMP_NTZ '2024-03-01 12:00:00' AS ts "
+            "UNION ALL SELECT CAST(NULL AS TIMESTAMP_NTZ)"),
+         dq("SELECT TIMESTAMP '2024-03-01 12:00:00' AS ts "
+            "UNION ALL SELECT NULL::TIMESTAMP")),
+        ("null_timestamp_vs_value",
+         sq("SELECT CAST(NULL AS TIMESTAMP_NTZ) AS ts"),
+         dq("SELECT TIMESTAMP '2024-03-01 12:00:00' AS ts")),
     ]
     disagreements = []
     seen_green = seen_red = False

@@ -977,6 +977,20 @@ def test_round5_query_plan_pins(spark):
         # rank + bucketed MA + position shift join + phase broadcast —
         # every exchange dense-position- or period-sized
         "seasonal_decompose": (11, 1),
+        # two bin-count aggs + null-safe full join + totals broadcast +
+        # scalar agg — every exchange after the counts is bin-sized
+        "drift_js": (10, 1),
+        # one keyed window pass builds the panel; cells/items/marginals
+        # re-aggs are cell-sized; 1-row broadcast assembly
+        "fleiss_kappa": (5, 2),
+        # one gram-keyed agg per side + the clipped-match join; lengths
+        # ride a 1-row broadcast
+        "corpus_bleu": (4, 1),
+        # ONE keyed exchange serves both window passes and the run agg
+        "scd2_history": (1, 0),
+        # knn_join's single query-keyed exchange + the bounded per-query
+        # greedy's group exchange; queries and candidates broadcast
+        "mmr_rerank": (2, 2),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
