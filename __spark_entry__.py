@@ -8132,6 +8132,151 @@ def _mmr_rerank_oracle_sql() -> str:
     """
 
 
+def q_pr_curve(spark, sf_dir) -> DataFrame:
+    """Full precision-recall operating table (evaluation.pr_curve):
+    one row per distinct n_chars threshold for the lang=='en' label —
+    per-distinct-score counts in ONE hash agg, descending cumulative
+    tp/fp on the windowless bucket prefix-sum pass (the auc plan),
+    totals broadcast back."""
+    from eland_spark.operators.evaluation import pr_curve
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    labeled = docs.where(F.col("lang").isNotNull()).select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return pr_curve(labeled, "score", "y")
+
+
+def _pr_curve_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT CAST(n_chars AS DOUBLE) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        ), per AS (
+            SELECT s, count(*) AS n, sum(y) AS np FROM base GROUP BY s
+        ), cum AS (
+            SELECT s,
+                   sum(np) OVER (ORDER BY s DESC) AS tp,
+                   sum(n - np) OVER (ORDER BY s DESC) AS fp
+            FROM per
+        ), tot AS (
+            SELECT CAST(COALESCE(sum(np), 0) AS DOUBLE) AS p FROM per
+        )
+        SELECT s AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               round(CASE WHEN tp + fp > 0
+                          THEN tp / (tp + fp * 1.0) END, 6) AS precision,
+               round(CASE WHEN t.p > 0 THEN tp / t.p END, 6) AS recall,
+               round(CASE WHEN tp + fp > 0 AND t.p > 0
+                           AND tp / (tp + fp * 1.0) + tp / t.p > 0
+                          THEN 2 * (tp / (tp + fp * 1.0)) * (tp / t.p)
+                               / (tp / (tp + fp * 1.0) + tp / t.p)
+                     END, 6) AS f1
+        FROM cum, tot t
+    """
+
+
+_BATTERY_SPLIT = "2024-01-15 00:00:00"
+_BATTERY_ALPHA = 0.05
+
+
+def q_drift_battery(spark, sf_dir) -> DataFrame:
+    """Per-feature drift battery with FDR control: exact per-event_type
+    two-sample KS between the early and late halves of the events
+    stream (drift.ks_battery — keyed windows on ONE key shuffle),
+    asymptotic Kolmogorov p-values (pure exp arithmetic, engine-
+    replayable), Benjamini-Hochberg adjustment + reject flags
+    (drift.fdr_bh — distinct-p-sized prefix passes). The multiple-
+    testing layer every nightly many-feature drift gate needs."""
+    from eland_spark.operators.drift import fdr_bh, ks_battery
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    split = F.lit(_BATTERY_SPLIT).cast("timestamp_ntz")
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    kb = ks_battery(ref, cur, "event_type", "value")
+    out = fdr_bh(kb, "p", alpha=_BATTERY_ALPHA)
+    return out.select(
+        "event_type", "ks", "p",
+        F.round("p_adj", 6).alias("p_adj"),
+        "reject", "n_ref", "n_cur",
+    )
+
+
+def _drift_battery_oracle_sql(terms: int = 20) -> str:
+    series = " + ".join(
+        f"({'+' if k % 2 == 1 else '-'}1) * exp({-2.0 * k * k} * lam * lam)"
+        for k in range(1, terms + 1)
+    )
+    return f"""
+        WITH r AS (
+            SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE ts < TIMESTAMP '{_BATTERY_SPLIT}'
+              AND value IS NOT NULL AND NOT isnan(value)
+        ), c AS (
+            SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{_BATTERY_SPLIT}'
+              AND value IS NOT NULL AND NOT isnan(value)
+        ), rc AS (
+            SELECT k, v, count(*) AS rn FROM r GROUP BY 1, 2
+        ), cc AS (
+            SELECT k, v, count(*) AS cn FROM c GROUP BY 1, 2
+        ), j AS (
+            SELECT COALESCE(rc.k, cc.k) AS k, COALESCE(rc.v, cc.v) AS v,
+                   COALESCE(rn, 0) AS rn, COALESCE(cn, 0) AS cn
+            FROM rc FULL OUTER JOIN cc ON rc.k = cc.k AND rc.v = cc.v
+        ), st AS (
+            SELECT k,
+                   sum(rn) OVER (PARTITION BY k ORDER BY v) AS crn,
+                   sum(cn) OVER (PARTITION BY k ORDER BY v) AS ccn,
+                   sum(rn) OVER (PARTITION BY k) AS rt,
+                   sum(cn) OVER (PARTITION BY k) AS ct
+            FROM j
+        ), ag AS (
+            SELECT k,
+                   max(CASE WHEN rt > 0 AND ct > 0
+                            THEN abs(crn / (rt * 1.0) - ccn / (ct * 1.0))
+                       END) AS ks,
+                   max(rt) AS rt, max(ct) AS ct
+            FROM st GROUP BY k
+        ), pv AS MATERIALIZED (
+            SELECT k, round(ks, 6) AS ks_r,
+                   CASE WHEN ks IS NOT NULL THEN
+                       round(least(greatest(2.0 * ({series}), 0.0), 1.0), 6)
+                   END AS p,
+                   rt, ct
+            FROM (
+                SELECT *,
+                       (sqrt(en) + 0.12 + 0.11 / sqrt(en)) * ks AS lam
+                FROM (SELECT *, rt * 1.0 * ct / (rt + ct) AS en FROM ag)
+            )
+        ), m AS (
+            SELECT count(*) AS mm FROM pv WHERE p IS NOT NULL
+        ), dis AS (
+            SELECT p, count(*) AS n FROM pv WHERE p IS NOT NULL GROUP BY p
+        ), cj AS (
+            SELECT p, sum(n) OVER (ORDER BY p) AS jj FROM dis
+        ), adj AS MATERIALIZED (
+            SELECT p,
+                   min(least(p * (SELECT mm FROM m) / jj, 1.0))
+                       OVER (ORDER BY p DESC) AS a
+            FROM cj
+        )
+        SELECT pv.k AS event_type, pv.ks_r AS ks, pv.p,
+               round(adj.a, 6) AS p_adj,
+               adj.a <= {_BATTERY_ALPHA} AS reject,
+               CAST(pv.rt AS BIGINT) AS n_ref,
+               CAST(pv.ct AS BIGINT) AS n_cur
+        FROM pv LEFT JOIN adj ON pv.p = adj.p
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8414,6 +8559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bleu": q_corpus_bleu,
         "scd2_history": q_scd2_history,
         "mmr_rerank": q_mmr_rerank,
+        "pr_curve": q_pr_curve,
+        "drift_battery": q_drift_battery,
     }
 
 
@@ -10687,4 +10834,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bleu": _corpus_bleu_oracle_sql(),
         "scd2_history": _scd2_history_oracle_sql(),
         "mmr_rerank": _mmr_rerank_oracle_sql(),
+        "pr_curve": _pr_curve_oracle_sql(),
+        "drift_battery": _drift_battery_oracle_sql(),
     }

@@ -209,6 +209,10 @@ HEADLINE = [
     "corpus_bleu",
     "scd2_history",
     "mmr_rerank",
+    # r7: PR operating table (auc's prefix-sum plan, descending) and
+    # the per-feature KS battery + Kolmogorov p + BH FDR layer
+    "pr_curve",
+    "drift_battery",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

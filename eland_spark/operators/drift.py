@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -29,6 +29,9 @@ __all__ = [
     "psi",
     "js_divergence",
     "ks_statistic",
+    "ks_battery",
+    "kolmogorov_pvalue",
+    "fdr_bh",
     "chi2_association",
     "welch_ttest",
     "mann_whitney_u",
@@ -548,4 +551,161 @@ def js_divergence(
         F.round(F.sqrt(js / float(math.log(2.0))), 6).alias("js_distance"),
         F.col("__rt__").cast("bigint").alias("n_ref"),
         F.col("__ct__").cast("bigint").alias("n_cur"),
+    )
+
+
+def kolmogorov_pvalue(lam, terms: int = 20):
+    """Asymptotic two-sided Kolmogorov p-value as a Column expression:
+    ``Q(lam) = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lam^2)`` truncated
+    at ``terms`` (terms decay like exp(-2k^2), so 20 terms is exact to
+    double precision for lam >= ~0.15; smaller lam clamps to 1).
+    Pure arithmetic + exp — any engine replays it bit-for-bit, no
+    special functions needed.
+    """
+    lam = F.col(lam) if isinstance(lam, str) else lam
+    s = F.lit(0.0)
+    for k in range(1, terms + 1):
+        term = F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        s = s + (term if k % 2 == 1 else -term)
+    return F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0))
+
+
+def ks_battery(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_col: str,
+    column: str,
+    terms: int = 20,
+) -> DataFrame:
+    """Exact two-sample KS statistic PER KEY — the whole drift battery
+    (one test per feature/segment) in one plan, as ``(key_col, ks, p,
+    n_ref, n_cur)``. ``ks`` is the exact sup-ECDF-distance within each
+    key (null when a side is empty for that key); ``p`` is the
+    asymptotic Kolmogorov p-value at the Numerical-Recipes effective-n
+    correction ``lam = (sqrt(en) + 0.12 + 0.11/sqrt(en)) * ks`` with
+    ``en = n_ref*n_cur/(n_ref+n_cur)`` (:func:`kolmogorov_pvalue` —
+    engine-replayable arithmetic). Null and NaN values drop. Feed the
+    ``p`` column to :func:`fdr_bh` for multiple-testing control.
+
+    Scale shape: each snapshot reduces to per-(key, distinct value)
+    counts in ONE hash aggregation, the count frames full-outer-join
+    on (key, value), and BOTH running ECDFs plus both per-key totals
+    ride keyed windows on the SAME key partitioning (one shuffle,
+    reused); the sup-distance is one per-key aggregate on that same
+    partitioning. Every intermediate is distinct-(key, value)-sized;
+    skew follows the largest key's distinct-value count, never its row
+    count.
+    """
+
+    def counts(df, name):
+        c = F.col(column).cast("double")
+        return (
+            df.select(F.col(key_col).alias("__k__"), c.alias("__v__"))
+            .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
+            .groupBy("__k__", "__v__")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    joined = rc.join(cc, ["__k__", "__v__"], "full").select(
+        "__k__", "__v__",
+        F.coalesce(F.col("__rn__"), F.lit(0)).alias("__rn__"),
+        F.coalesce(F.col("__cn__"), F.lit(0)).alias("__cn__"),
+    )
+    wk = Window.partitionBy("__k__")
+    wrun = wk.orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = joined.select(
+        "__k__",
+        F.sum("__rn__").over(wrun).alias("__crn__"),
+        F.sum("__cn__").over(wrun).alias("__ccn__"),
+        F.sum("__rn__").over(wk).alias("__rt__"),
+        F.sum("__cn__").over(wk).alias("__ct__"),
+    )
+    rt = F.when(F.col("__rt__") > 0, F.col("__rt__").cast("double"))
+    ct = F.when(F.col("__ct__") > 0, F.col("__ct__").cast("double"))
+    d = F.abs(F.col("__crn__") / rt - F.col("__ccn__") / ct)
+    agg = stepped.groupBy("__k__").agg(
+        F.max(d).alias("__ks__"),
+        F.max("__rt__").alias("__rt__"),
+        F.max("__ct__").alias("__ct__"),
+    )
+    en = (
+        F.col("__rt__").cast("double") * F.col("__ct__")
+        / (F.col("__rt__") + F.col("__ct__"))
+    )
+    lam = (F.sqrt(en) + 0.12 + 0.11 / F.sqrt(en)) * F.col("__ks__")
+    return agg.select(
+        F.col("__k__").alias(key_col),
+        F.round("__ks__", 6).alias("ks"),
+        F.round(
+            F.when(F.col("__ks__").isNotNull(),
+                   kolmogorov_pvalue(lam, terms)),
+            6,
+        ).alias("p"),
+        F.col("__rt__").cast("bigint").alias("n_ref"),
+        F.col("__ct__").cast("bigint").alias("n_cur"),
+    )
+
+
+def fdr_bh(
+    sdf: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    partitions: "int | None" = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a battery of p-values —
+    adds ``{p_col}_adj`` (the BH-adjusted p, statsmodels
+    ``multipletests(method='fdr_bh')`` semantics: ``adj_i = min_{j>=i}
+    p_(j) * m / j`` capped at 1, ties sharing one value) and
+    ``reject`` (``adj <= alpha``) to the input frame. Running one
+    drift test per feature multiplies false alarms; BH caps the
+    expected fraction of false rejections at ``alpha``. Null/NaN
+    p-values pass through with null adj/reject (not counted in ``m``).
+
+    Scale shape: NEVER ranks rows — p-values reduce to distinct-value
+    counts in one hash aggregation, the max-rank-per-distinct-p comes
+    from the windowless bucket prefix-sum pass, the suffix-min rides a
+    second prefix pass over the DESCENDING order (order by ``-p``),
+    and the distinct-p-sized adjustment map joins back broadcast-style.
+    ``m`` folds from the same per-distinct counts on the driver.
+    """
+    from .ranking import with_global_cumagg_multi, with_global_cumsum
+
+    p = F.col(p_col).cast("double")
+    base = sdf.withColumn("__p__", F.when(~F.isnan(p), p))
+    per = (
+        base.where(F.col("__p__").isNotNull())
+        .groupBy("__p__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .localCheckpoint(eager=False)
+    )
+    m = per.agg(F.coalesce(F.sum("__n__"), F.lit(0))).collect()[0][0]
+    if m == 0:
+        return (
+            sdf.withColumn(f"{p_col}_adj", F.lit(None).cast("double"))
+            .withColumn("reject", F.lit(None).cast("boolean"))
+        )
+    # max rank j of each distinct p's tied block -> the block's shared
+    # candidate p*m/j is its SMALLEST, which is what the suffix-min
+    # assigns every tied member anyway
+    cum = with_global_cumsum(
+        per, ["__p__"], "__n__", out_col="__j__", partitions=partitions
+    )
+    cand = F.least(
+        F.col("__p__") * float(m) / F.col("__j__"), F.lit(1.0)
+    )
+    adj = with_global_cumagg_multi(
+        cum.select("__p__", cand.alias("__cand__"))
+        .withColumn("__negp__", -F.col("__p__")),
+        ["__negp__"],
+        [("__cand__", "min", "__adj__")],
+        partitions=partitions,
+    ).select("__p__", "__adj__")
+    out = base.join(adj, ["__p__"], "left")
+    return out.select(
+        *[c for c in sdf.columns],
+        F.col("__adj__").alias(f"{p_col}_adj"),
+        (F.col("__adj__") <= F.lit(float(alpha))).alias("reject"),
     )

@@ -28,6 +28,7 @@ __all__ = [
     "cohens_kappa",
     "fleiss_kappa",
     "corpus_bleu",
+    "pr_curve",
 ]
 
 
@@ -487,4 +488,57 @@ def corpus_bleu(
         ],
         F.col("__cl__").cast("bigint").alias("cand_len"),
         F.col("__rl__").cast("bigint").alias("ref_len"),
+    )
+
+
+def pr_curve(sdf: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Full precision-recall table at EVERY distinct score threshold
+    (predict positive when ``score >= threshold``) — the operating-
+    point picker that one-number AUC and the single-threshold
+    confusion matrix can't give: ``(threshold, tp, fp, precision,
+    recall, f1)``, one row per distinct score, thresholds descending
+    in recall order. ``label_col`` must be 0/1 (or boolean); null
+    scores/labels are dropped; zero denominators yield null metrics.
+
+    Scale shape: scores reduce to per-distinct-score (count,
+    positives) in ONE hash aggregation, the descending cumulative
+    tp/fp ride the windowless bucket prefix-sum pass (same plan as
+    :func:`auc`), and totals fold back from the final bucket — output
+    and every intermediate are distinct-score-sized, never row-sized.
+    """
+    from .ranking import with_global_cumagg_multi
+
+    base = sdf.select(
+        F.col(score_col).cast("double").alias("__s__"),
+        F.col(label_col).cast("int").alias("__y__"),
+    ).where(F.col("__s__").isNotNull() & F.col("__y__").isNotNull())
+    per = base.groupBy("__s__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__y__").alias("__np__"),
+    ).withColumn("__nn__", F.col("__n__") - F.col("__np__"))
+    # descending-score running totals: order by -score ascending
+    cum = with_global_cumagg_multi(
+        per.withColumn("__negs__", -F.col("__s__")),
+        ["__negs__"],
+        [("__np__", "sum", "__tp__"), ("__nn__", "sum", "__fp__")],
+    )
+    tot = cum.agg(
+        F.coalesce(F.sum("__np__"), F.lit(0)).alias("__p__"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    tp, fp = F.col("__tp__").cast("double"), F.col("__fp__").cast("double")
+    p = F.col("__p__").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(p > 0, tp / p)
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return j.select(
+        F.col("__s__").alias("threshold"),
+        F.col("__tp__").cast("bigint").alias("tp"),
+        F.col("__fp__").cast("bigint").alias("fp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )

@@ -433,3 +433,133 @@ def test_js_divergence_empty_side_is_null(spark):
     row = js_divergence(ref, cur, "x").toPandas().iloc[0]
     assert pd.isna(row["js"]) and pd.isna(row["js_distance"])
     assert row["n_ref"] == 2 and row["n_cur"] == 0
+
+
+# ---------------------------------------------------------------------------
+# keyed KS battery + Kolmogorov p-value + BH FDR (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_ks2(a, b):
+    import numpy as np
+
+    vals = np.unique(np.r_[a, b])
+    ra = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+    rb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+    return float(np.abs(ra - rb).max())
+
+
+def _hand_kolmogorov_q(lam, terms=20):
+    s = sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, terms + 1)
+    )
+    return min(max(2 * s, 0.0), 1.0)
+
+
+def test_kolmogorov_pvalue_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.drift import kolmogorov_pvalue
+
+    df = spark.createDataFrame(pd.DataFrame({"lam": [0.5, 1.0, 2.0]}))
+    got = {
+        r["lam"]: r["q"]
+        for r in df.select(
+            "lam", kolmogorov_pvalue("lam").alias("q")
+        ).collect()
+    }
+    # scipy.special.kolmogorov reference values
+    assert got[0.5] == pytest.approx(0.9639452436648751, abs=1e-12)
+    assert got[1.0] == pytest.approx(0.26999967167735456, abs=1e-12)
+    assert got[2.0] == pytest.approx(0.0006709252557797245, abs=1e-12)
+
+
+def test_ks_battery_matches_per_key_hand_ks(spark):
+    import numpy as np
+
+    from eland_spark.operators.drift import ks_battery
+
+    rng = np.random.RandomState(7)
+    ref = pd.DataFrame(
+        {"k": ["a"] * 50 + ["b"] * 40,
+         "v": np.r_[rng.normal(0, 1, 50), rng.normal(0, 1, 40)]}
+    )
+    cur = pd.DataFrame(
+        {"k": ["a"] * 60 + ["b"] * 30 + ["c"] * 5,
+         "v": np.r_[rng.normal(0.8, 1, 60), rng.normal(0, 1, 30),
+                    rng.normal(0, 1, 5)]}
+    )
+    out = {
+        r["k"]: r
+        for r in ks_battery(
+            spark.createDataFrame(ref), spark.createDataFrame(cur), "k", "v"
+        ).collect()
+    }
+    for k in ("a", "b"):
+        a = ref[ref.k == k].v.values
+        b = cur[cur.k == k].v.values
+        ks = _hand_ks2(a, b)
+        en = len(a) * len(b) / (len(a) + len(b))
+        lam = (math.sqrt(en) + 0.12 + 0.11 / math.sqrt(en)) * ks
+        assert out[k]["ks"] == pytest.approx(ks, abs=1e-6)
+        assert out[k]["p"] == pytest.approx(_hand_kolmogorov_q(lam), abs=1e-6)
+        assert out[k]["n_ref"] == len(a) and out[k]["n_cur"] == len(b)
+    # key with an empty ref side: ks/p null, counts real
+    assert out["c"]["ks"] is None and out["c"]["p"] is None
+    assert out["c"]["n_ref"] == 0 and out["c"]["n_cur"] == 5
+
+
+def _hand_bh(ps):
+    import numpy as np
+
+    m = len(ps)
+    order = np.argsort(ps, kind="mergesort")
+    adj = np.empty(m)
+    prev = 1.0
+    for rft, idx in enumerate(order[::-1]):
+        j = m - rft
+        prev = min(prev, ps[idx] * m / j)
+        adj[idx] = prev
+    return adj
+
+
+def test_fdr_bh_matches_statsmodels_semantics(spark):
+    import numpy as np
+
+    from eland_spark.operators.drift import fdr_bh
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.384, 0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975, 0.986]
+    sdf = spark.createDataFrame(pd.DataFrame({"f": range(len(ps)), "p": ps}))
+    got = fdr_bh(sdf, "p", alpha=0.05).orderBy("f").toPandas()
+    exp = _hand_bh(np.array(ps))
+    assert np.allclose(got["p_adj"].values, exp, atol=1e-12)
+    assert got[got.reject].f.tolist() == [
+        i for i, a in enumerate(exp) if a <= 0.05
+    ]
+
+
+def test_fdr_bh_ties_nulls_and_empty(spark):
+    import numpy as np
+
+    from eland_spark.operators.drift import fdr_bh
+
+    # duplicate p-values share one adjusted value
+    ps = [0.01, 0.01, 0.02, 0.02, 0.02, 0.5, None]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"f": range(len(ps)), "p": pd.array(ps, dtype="Float64")})
+    )
+    got = fdr_bh(sdf, "p").orderBy("f").toPandas()
+    exp = _hand_bh(np.array([p for p in ps if p is not None]))
+    assert np.allclose(got["p_adj"].values[:6], exp, atol=1e-12)
+    assert got["p_adj"].iloc[0] == got["p_adj"].iloc[1]          # tied block
+    assert got["p_adj"].iloc[2] == got["p_adj"].iloc[4]
+    assert pd.isna(got["p_adj"].iloc[6]) and pd.isna(got["reject"].iloc[6])
+    # all-null battery: adj/reject all null, no division by zero
+    empty = spark.createDataFrame(
+        pd.DataFrame({"f": [1, 2], "p": pd.array([None, None],
+                                                 dtype="Float64")})
+    )
+    out = fdr_bh(empty, "p").toPandas()
+    assert out["p_adj"].isna().all() and out["reject"].isna().all()

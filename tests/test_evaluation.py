@@ -689,3 +689,43 @@ def test_corpus_bleu_zero_precision_and_nulls(spark):
     assert r2["bleu"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="max_n"):
         corpus_bleu(sdf, "c", "r", max_n=0)
+
+
+# ---------------------------------------------------------------------------
+# PR curve (r7)
+# ---------------------------------------------------------------------------
+
+def test_pr_curve_matches_hand_thresholds(spark):
+    from eland_spark.operators.evaluation import pr_curve
+
+    scores = [0.9, 0.8, 0.8, 0.7, 0.6, 0.5, 0.5, 0.4]
+    labels = [1, 1, 0, 1, 0, 1, 0, 0]
+    sdf = _mk(spark, scores, labels)
+    got = {
+        r["threshold"]: r
+        for r in pr_curve(sdf, "s", "y").collect()
+    }
+    P = sum(labels)
+    assert len(got) == len(set(scores))
+    for t in set(scores):
+        tp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 1)
+        fp = sum(1 for s, y in zip(scores, labels) if s >= t and y == 0)
+        r = got[t]
+        assert (r["tp"], r["fp"]) == (tp, fp)
+        assert r["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+        assert r["recall"] == pytest.approx(tp / P, abs=1e-6)
+        prec, rec = tp / (tp + fp), tp / P
+        if prec + rec > 0:
+            assert r["f1"] == pytest.approx(
+                2 * prec * rec / (prec + rec), abs=1e-6
+            )
+
+
+def test_pr_curve_degenerate_no_positives(spark):
+    from eland_spark.operators.evaluation import pr_curve
+
+    sdf = _mk(spark, [0.2, 0.8], [0, 0])
+    out = pr_curve(sdf, "s", "y").orderBy("threshold").toPandas()
+    assert (out["tp"] == 0).all()
+    assert out["recall"].isna().all()          # P == 0 -> null recall
+    assert (out["precision"] == 0.0).all()     # tp+fp > 0 at every row

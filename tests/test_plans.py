@@ -991,6 +991,12 @@ def test_round5_query_plan_pins(spark):
         # knn_join's single query-keyed exchange + the bounded per-query
         # greedy's group exchange; queries and candidates broadcast
         "mmr_rerank": (2, 2),
+        # one distinct-score agg + the descending bucket prefix-sum;
+        # the positives total rides a 1-row broadcast
+        "pr_curve": (7, 1),
+        # per-(key,value) count aggs + join + ONE keyed window pass +
+        # key agg, then the distinct-p-sized BH prefix passes
+        "drift_battery": (12, 1),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
