@@ -8277,6 +8277,180 @@ def _drift_battery_oracle_sql(terms: int = 20) -> str:
     """
 
 
+def q_rouge_n(spark, sf_dir) -> DataFrame:
+    """Corpus mean ROUGE-1/2 (evaluation.rouge_n) over the same
+    deterministic doc_id -> doc_id+1 same-lang pairing as corpus_bleu
+    — per-pair clipped overlaps from gram-keyed hash aggs, per-pair
+    denominators from token lengths (no second gram pass), unweighted
+    pair means in one scalar agg."""
+    from eland_spark.operators.evaluation import rouge_n
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("__l2__"),
+        F.col("text").alias("__ref__"),
+    )
+    pairs = docs.join(d2, "doc_id").where(
+        F.col("lang") == F.col("__l2__")
+    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    return rouge_n(pairs, "cand", "ref", orders=(1, 2))
+
+
+def _rouge_n_oracle_sql(orders: "tuple[int, ...]" = (1, 2)) -> str:
+    def side(tok, name):
+        branches = " UNION ALL ".join(
+            f"""
+            SELECT pid, {n} AS n,
+                   array_to_string({tok}[i:i + {n} - 1], ' ') AS g
+            FROM (SELECT pid, {tok},
+                         unnest(generate_series(1, len({tok}) - {n} + 1)) AS i
+                  FROM pairs)
+            """
+            for n in orders
+        )
+        return (
+            f"{name} AS (SELECT pid, n, g, count(*) AS c "
+            f"FROM ({branches}) GROUP BY 1, 2, 3)"
+        )
+
+    joins = " ".join(
+        f"LEFT JOIN (SELECT pid, m AS m{n} FROM ov WHERE n = {n}) o{n} "
+        f"USING (pid)"
+        for n in orders
+    )
+    metrics = []
+    outs = []
+    for n in orders:
+        metrics.append(f"""
+            avg(CASE WHEN greatest(len(rt) - {n} + 1, 0) > 0
+                     THEN COALESCE(m{n}, 0) * 1.0
+                          / greatest(len(rt) - {n} + 1, 0)
+                     ELSE 0.0 END) AS r{n},
+            avg(CASE WHEN greatest(len(ct) - {n} + 1, 0) > 0
+                     THEN COALESCE(m{n}, 0) * 1.0
+                          / greatest(len(ct) - {n} + 1, 0)
+                     ELSE 0.0 END) AS p{n},
+            avg(CASE WHEN (CASE WHEN greatest(len(ct) - {n} + 1, 0) > 0
+                                THEN COALESCE(m{n}, 0) * 1.0
+                                     / greatest(len(ct) - {n} + 1, 0)
+                                ELSE 0.0 END
+                           + CASE WHEN greatest(len(rt) - {n} + 1, 0) > 0
+                                  THEN COALESCE(m{n}, 0) * 1.0
+                                       / greatest(len(rt) - {n} + 1, 0)
+                                  ELSE 0.0 END) > 0
+                     THEN 2 * (CASE WHEN greatest(len(ct) - {n} + 1, 0) > 0
+                                    THEN COALESCE(m{n}, 0) * 1.0
+                                         / greatest(len(ct) - {n} + 1, 0)
+                                    ELSE 0.0 END)
+                            * (CASE WHEN greatest(len(rt) - {n} + 1, 0) > 0
+                                    THEN COALESCE(m{n}, 0) * 1.0
+                                         / greatest(len(rt) - {n} + 1, 0)
+                                    ELSE 0.0 END)
+                            / ((CASE WHEN greatest(len(ct) - {n} + 1, 0) > 0
+                                     THEN COALESCE(m{n}, 0) * 1.0
+                                          / greatest(len(ct) - {n} + 1, 0)
+                                     ELSE 0.0 END)
+                               + (CASE WHEN greatest(len(rt) - {n} + 1, 0) > 0
+                                       THEN COALESCE(m{n}, 0) * 1.0
+                                            / greatest(len(rt) - {n} + 1, 0)
+                                       ELSE 0.0 END))
+                     ELSE 0.0 END) AS f{n}
+        """)
+        outs.append(
+            f"round(r{n}, 6) AS rouge{n}_recall, "
+            f"round(p{n}, 6) AS rouge{n}_precision, "
+            f"round(f{n}, 6) AS rouge{n}_f1"
+        )
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT d.doc_id AS pid,
+                   string_split_regex(trim(d.text), '\\s+') AS ct,
+                   string_split_regex(trim(d2.text), '\\s+') AS rt
+            FROM documents d
+            JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+            WHERE d.lang = d2.lang
+              AND d.text IS NOT NULL AND d2.text IS NOT NULL
+        ), {side('ct', 'cc')}, {side('rt', 'rc')},
+        ov AS (
+            SELECT pid, n, sum(least(cc.c, rc.c)) AS m
+            FROM cc JOIN rc USING (pid, n, g)
+            GROUP BY pid, n
+        ), st AS (
+            SELECT {', '.join(metrics)},
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs {joins}
+        )
+        SELECT {', '.join(outs)}, n_pairs FROM st
+    """
+
+
+def q_pit_join(spark, sf_dir) -> DataFrame:
+    """Point-in-time feature lookup (scd.pit_join): second-half events
+    joined to the state each user was in at event time, per the SCD2
+    intervals built from the FIRST half — the leakage-free "state at
+    time t" join (merge_asof backward on the key + zero-shuffle expiry
+    mask), aggregated to (state, event_type) counts + value sums."""
+    from eland_spark.operators.scd import pit_join, scd2_history
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    split = F.lit(_BATTERY_SPLIT).cast("timestamp_ntz")
+    hist = scd2_history(
+        ev.where(F.col("ts") < split),
+        "user_id", "event_type", "ts", tiebreak_cols=["event_id"],
+    ).withColumnRenamed("event_type", "state")
+    pts = ev.where(F.col("ts") >= split).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    pj = pit_join(pts, hist, "user_id", "ts")
+    return pj.groupBy("state", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _pit_join_oracle_sql() -> str:
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM
+                             event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WHERE ts < TIMESTAMP '{_BATTERY_SPLIT}'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, event_type, ts,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+            FROM flagged
+        ), grp AS (
+            SELECT user_id, run, min(event_type) AS state,
+                   min(ts) AS valid_from
+            FROM runs GROUP BY user_id, run
+        ), iv AS (
+            SELECT user_id, state, valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to
+            FROM grp
+        ), pts AS (
+            SELECT user_id, ts, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{_BATTERY_SPLIT}'
+        ), pj AS (
+            SELECT p.event_type, p.value,
+                   CASE WHEN iv.valid_to IS NULL OR p.ts < iv.valid_to
+                        THEN iv.state END AS state
+            FROM pts p
+            ASOF LEFT JOIN iv
+              ON p.user_id = iv.user_id AND p.ts >= iv.valid_from
+        )
+        SELECT state, event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM pj GROUP BY state, event_type
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8561,6 +8735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "pr_curve": q_pr_curve,
         "drift_battery": q_drift_battery,
+        "rouge_n": q_rouge_n,
+        "pit_join": q_pit_join,
     }
 
 
@@ -10836,4 +11012,6 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _mmr_rerank_oracle_sql(),
         "pr_curve": _pr_curve_oracle_sql(),
         "drift_battery": _drift_battery_oracle_sql(),
+        "rouge_n": _rouge_n_oracle_sql(),
+        "pit_join": _pit_join_oracle_sql(),
     }

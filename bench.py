@@ -213,6 +213,10 @@ HEADLINE = [
     # the per-feature KS battery + Kolmogorov p + BH FDR layer
     "pr_curve",
     "drift_battery",
+    # r7: ROUGE-1/2 pair means (gram-keyed aggs) and the SCD2
+    # point-in-time feature join (asof backward + expiry mask)
+    "rouge_n",
+    "pit_join",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -29,6 +29,7 @@ __all__ = [
     "fleiss_kappa",
     "corpus_bleu",
     "pr_curve",
+    "rouge_n",
 ]
 
 
@@ -542,3 +543,112 @@ def pr_curve(sdf: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    orders: "tuple[int, ...]" = (1, 2),
+) -> DataFrame:
+    """Corpus mean ROUGE-N of a candidate-text column against a single
+    reference column, as a 1-row frame with ``rouge{n}_recall /
+    _precision / _f1`` per order plus ``n_pairs`` — the
+    recall-oriented complement of :func:`corpus_bleu` (Lin 2004
+    semantics: per-PAIR clipped n-gram overlap scored, then the
+    UNWEIGHTED mean over pairs, unlike BLEU's corpus pooling). A pair
+    whose side has no order-n grams scores 0 for that order (the
+    rouge_score convention); f1 is 0 when p + r == 0. Null rows drop;
+    tokenization is the same engine-replayable ``\\s+`` split.
+
+    Scale shape: per-(pair, order, gram) counts for each side in ONE
+    hash aggregation (gram-keyed, no skew pole), clipped overlaps via
+    an inner join on that key re-aggregated to (pair, order), the
+    per-pair denominators computed from token LENGTHS (no second gram
+    pass), and the corpus means one scalar aggregate.
+    """
+    orders = tuple(sorted(set(int(n) for n in orders)))
+    if not orders or orders[0] < 1:
+        raise ValueError("orders must be positive ints")
+    max_n = orders[-1]
+    toks = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
+    base = pairs.where(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("__pid__"),
+        toks(cand_col).alias("__ct__"),
+        toks(ref_col).alias("__rt__"),
+    ).localCheckpoint(eager=False)
+
+    def grams(tok_col, n):
+        ln = F.size(tok_col)
+        return F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def side_counts(tok_expr, cname):
+        per_n = [
+            base.select(
+                "__pid__",
+                F.lit(n).alias("__n__"),
+                F.explode(grams(tok_expr, n)).alias("__g__"),
+            )
+            for n in orders
+        ]
+        un = per_n[0]
+        for p in per_n[1:]:
+            un = un.unionByName(p)
+        return un.groupBy("__pid__", "__n__", "__g__").agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    cc = side_counts(F.col("__ct__"), "__cc__")
+    rc = side_counts(F.col("__rt__"), "__rc__")
+    ov = (
+        cc.join(rc, ["__pid__", "__n__", "__g__"])
+        .groupBy("__pid__", "__n__")
+        .agg(F.sum(F.least(F.col("__cc__"), F.col("__rc__"))).alias("__m__"))
+    )
+    # per-pair gram totals from token lengths — no second gram pass
+    lens = base.select(
+        "__pid__",
+        *[
+            F.greatest(F.size("__ct__") - n + 1, F.lit(0)).alias(f"__tc{n}__")
+            for n in orders
+        ],
+        *[
+            F.greatest(F.size("__rt__") - n + 1, F.lit(0)).alias(f"__tr{n}__")
+            for n in orders
+        ],
+    )
+    per_pair = lens
+    for n in orders:
+        o = ov.where(F.col("__n__") == n).select(
+            "__pid__", F.col("__m__").alias(f"__m{n}__")
+        )
+        per_pair = per_pair.join(o, "__pid__", "left")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_pairs")]
+    sel = []
+    for n in orders:
+        m = F.coalesce(F.col(f"__m{n}__"), F.lit(0)).cast("double")
+        tc = F.col(f"__tc{n}__")
+        tr = F.col(f"__tr{n}__")
+        r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+        p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+        f = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+        aggs += [
+            F.avg(r).alias(f"__r{n}__"),
+            F.avg(p).alias(f"__p{n}__"),
+            F.avg(f).alias(f"__f{n}__"),
+        ]
+        sel += [
+            F.round(F.col(f"__r{n}__"), 6).alias(f"rouge{n}_recall"),
+            F.round(F.col(f"__p{n}__"), 6).alias(f"rouge{n}_precision"),
+            F.round(F.col(f"__f{n}__"), 6).alias(f"rouge{n}_f1"),
+        ]
+    out = per_pair.agg(*aggs)
+    return out.select(*sel, "n_pairs")

@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_history"]
+__all__ = ["scd2_history", "pit_join"]
 
 
 def scd2_history(
@@ -86,3 +86,67 @@ def scd2_history(
         "valid_from",
         F.lead("valid_from").over(wk).alias("valid_to"),
     )
+
+
+def pit_join(
+    points,
+    intervals,
+    key_cols: "Sequence[str] | str",
+    point_on: str,
+    start_on: str = "valid_from",
+    end_on: str = "valid_to",
+    suffixes: "tuple[str, str]" = ("", "_state"),
+):
+    """Point-in-time join: attach to every point row the interval row
+    (from an SCD2 table like :func:`scd2_history`'s output) that was
+    VALID at the point's timestamp — ``valid_from <= t`` and
+    (``valid_to`` null or ``t < valid_to``) within the key — the
+    leakage-free feature lookup ("what was this entity's state when
+    the event happened", never the future state a naive latest-join
+    would leak). Left-join semantics: points with no valid interval
+    (before the first, or inside a gap of a filtered interval table)
+    keep null state columns.
+
+    Scale shape: exactly :func:`operators.asof.merge_asof` backward on
+    (key, start) — one keyed exchange, running-fill windows, no range
+    explosion — plus a zero-shuffle expiry mask (a matched-but-expired
+    interval nulls its state columns instead of dropping the row).
+    """
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    from .asof import merge_asof
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    isdf = (
+        intervals
+        if isinstance(intervals, SparkDataFrame)
+        else intervals.to_spark()
+    )
+    if point_on in isdf.columns:
+        raise ValueError(
+            f"interval side already has a column {point_on!r}; rename it"
+        )
+    state_cols = [
+        c for c in isdf.columns if c not in (*keys, start_on, end_on)
+    ]
+    r = isdf.withColumnRenamed(start_on, point_on)
+    out = merge_asof(
+        points, r, on=point_on, by=keys, direction="backward",
+        suffixes=suffixes,
+    )
+    # resolve suffixed names the asof layer may have applied
+    psdf = points if isinstance(points, SparkDataFrame) else points.to_spark()
+    left_cols = set(psdf.columns)
+
+    def _res(c):
+        return c + suffixes[1] if c in left_cols else c
+
+    end_res = _res(end_on)
+    keep = F.col(end_res).isNull() | (F.col(point_on) < F.col(end_res))
+    exprs = []
+    for c in out.columns:
+        if c == end_res or c in {_res(s) for s in state_cols}:
+            exprs.append(F.when(keep, F.col(c)).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return out.select(*exprs)

@@ -729,3 +729,55 @@ def test_pr_curve_degenerate_no_positives(spark):
     assert (out["tp"] == 0).all()
     assert out["recall"].isna().all()          # P == 0 -> null recall
     assert (out["precision"] == 0.0).all()     # tp+fp > 0 at every row
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_rouge(pairs, n):
+    from collections import Counter
+
+    rs, ps, fs = [], [], []
+    for c, r in pairs:
+        ct, rt = c.split(), r.split()
+        cg = Counter(tuple(ct[i:i + n]) for i in range(len(ct) - n + 1))
+        rg = Counter(tuple(rt[i:i + n]) for i in range(len(rt) - n + 1))
+        m = sum(min(v, rg[g]) for g, v in cg.items())
+        tc, tr = max(len(ct) - n + 1, 0), max(len(rt) - n + 1, 0)
+        rr = m / tr if tr else 0.0
+        pp = m / tc if tc else 0.0
+        ff = 2 * pp * rr / (pp + rr) if pp + rr else 0.0
+        rs.append(rr)
+        ps.append(pp)
+        fs.append(ff)
+    k = len(pairs)
+    return sum(rs) / k, sum(ps) / k, sum(fs) / k
+
+
+def test_rouge_n_matches_hand_reference(spark):
+    from eland_spark.operators.evaluation import rouge_n
+
+    pairs = [
+        ("the cat sat on the mat", "the cat is on the mat"),
+        ("a b", "a b c d"),
+        ("x", "y z"),     # cand has no bigrams -> scores 0 for n=2
+        ("q w e", "q w e"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(pairs, columns=["c", "r"]))
+    row = rouge_n(sdf, "c", "r", orders=(1, 2)).toPandas().iloc[0]
+    for n in (1, 2):
+        rr, pp, ff = _hand_rouge(pairs, n)
+        assert row[f"rouge{n}_recall"] == pytest.approx(rr, abs=1e-6)
+        assert row[f"rouge{n}_precision"] == pytest.approx(pp, abs=1e-6)
+        assert row[f"rouge{n}_f1"] == pytest.approx(ff, abs=1e-6)
+    assert row["n_pairs"] == 4
+    # identical corpus -> all 1.0
+    same = spark.createDataFrame(
+        pd.DataFrame({"c": ["x y z"], "r": ["x y z"]})
+    )
+    r2 = rouge_n(same, "c", "r", orders=(1, 2)).toPandas().iloc[0]
+    assert r2["rouge1_f1"] == pytest.approx(1.0)
+    assert r2["rouge2_f1"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="orders"):
+        rouge_n(same, "c", "r", orders=(0,))

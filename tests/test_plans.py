@@ -997,6 +997,12 @@ def test_round5_query_plan_pins(spark):
         # per-(key,value) count aggs + join + ONE keyed window pass +
         # key agg, then the distinct-p-sized BH prefix passes
         "drift_battery": (12, 1),
+        # pair self-join + one gram-keyed agg per side + the clipped
+        # inner join re-agg + per-order maps back to pair lengths
+        "rouge_n": (10, 0),
+        # SCD2's one keyed exchange + the asof running-fill pass + the
+        # final small group agg
+        "pit_join": (3, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)

@@ -121,3 +121,97 @@ def test_scd2_matches_python_fuzz(spark, rows):
     want = _sorted((k, norm(a), f, t) for k, a, f, t in want)
     got = _sorted((k, norm(a), f, t) for k, a, f, t in got)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join (r7)
+# ---------------------------------------------------------------------------
+
+def test_pit_join_state_at_time(spark):
+    from eland_spark.operators.scd import pit_join
+
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": [1, 1, 2],
+                "state": ["a", "b", "x"],
+                "valid_from": [1, 5, 3],
+                "valid_to": [5, None, None],
+            }
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"uid": [1, 1, 1, 1, 2, 2, 3],
+             "ts": [0, 1, 4, 7, 2, 9, 5],
+             "ev": list("pqrstuv")}
+        )
+    )
+    got = {
+        (r["uid"], r["ts"]): r["state"]
+        for r in pit_join(pts, iv, "uid", "ts").collect()
+    }
+    assert got == {
+        (1, 0): None,   # before the first interval
+        (1, 1): "a",    # exact valid_from match
+        (1, 4): "a",
+        (1, 7): "b",    # open interval
+        (2, 2): None,   # before uid2's first interval
+        (2, 9): "x",
+        (3, 5): None,   # unknown key keeps left-join semantics
+    }
+    # row count preserved (left join, never drops points)
+    assert pit_join(pts, iv, "uid", "ts").count() == 7
+
+
+def test_pit_join_expired_interval_nulls_state(spark):
+    from eland_spark.operators.scd import pit_join
+
+    # a FILTERED interval table with a gap: matched-but-expired rows
+    # must null the state, not keep the stale value or drop the row
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {"uid": [1], "state": ["a"], "valid_from": [1],
+             "valid_to": [3]}
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"uid": [1, 1], "ts": [2, 10]})
+    )
+    got = {
+        r["ts"]: (r["state"], r["valid_to"])
+        for r in pit_join(pts, iv, "uid", "ts").collect()
+    }
+    assert got[2] == ("a", 3)
+    assert got[10] == (None, None)
+
+
+def test_pit_join_rejects_colliding_point_column(spark):
+    from eland_spark.operators.scd import pit_join
+
+    iv = spark.createDataFrame(
+        pd.DataFrame({"uid": [1], "ts": [0], "state": ["a"],
+                      "valid_from": [1], "valid_to": [3]})
+    )
+    pts = spark.createDataFrame(pd.DataFrame({"uid": [1], "ts": [2]}))
+    with pytest.raises(ValueError, match="rename"):
+        pit_join(pts, iv, "uid", "ts")
+
+
+def test_pit_join_composes_with_scd2(spark):
+    from eland_spark.operators.scd import pit_join, scd2_history
+
+    ev = pd.DataFrame(
+        {"uid": [1, 1, 1], "ts": [1, 3, 6], "eid": [1, 2, 3],
+         "st": ["a", "b", "b"]}
+    )
+    hist = scd2_history(
+        spark.createDataFrame(ev), "uid", "st", "ts", ["eid"]
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"uid": [1, 1, 1], "t": [2, 3, 99]})
+    )
+    got = {
+        r["t"]: r["st"] for r in pit_join(pts, hist, "uid", "t").collect()
+    }
+    assert got == {2: "a", 3: "b", 99: "b"}
