@@ -8451,6 +8451,214 @@ def _pit_join_oracle_sql() -> str:
     """
 
 
+_UNI_L, _UNI_M, _UNI_SEED, _UNI_VOCAB, _UNI_ITERS = 4, 12, 150, 60, 2
+
+
+def _unigram_seed_ctes(max_piece_len: int, max_word_len: int,
+                       seed_size: int) -> str:
+    """words / seed-piece CTEs shared by both unigram oracles."""
+    return f"""
+        words AS MATERIALIZED (
+            SELECT w AS word, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(string_split_regex(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                          'g'), '\\s+'), t -> t <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        ), words_tr AS MATERIALIZED (
+            SELECT * FROM words WHERE len(word) <= {max_word_len}
+        ), subs AS (
+            SELECT substr(word, i, l) AS piece, cnt
+            FROM (
+                SELECT word, cnt, i,
+                       unnest(generate_series(
+                           1, least({max_piece_len}, len(word) - i + 1)
+                       )) AS l
+                FROM (
+                    SELECT word, cnt,
+                           unnest(generate_series(1, len(word))) AS i
+                    FROM words_tr
+                )
+            )
+        ), pc AS (
+            SELECT piece, sum(cnt) AS n FROM subs GROUP BY piece
+        ), seed_chars AS MATERIALIZED (
+            SELECT piece, n FROM pc WHERE len(piece) = 1
+        ), seed_multi AS (
+            SELECT piece, n FROM pc WHERE len(piece) > 1
+            ORDER BY n DESC, piece LIMIT {seed_size}
+        ), v0 AS MATERIALIZED (
+            SELECT * FROM seed_chars UNION ALL SELECT * FROM seed_multi
+        )"""
+
+
+def _unigram_em_ctes(t: int, vocab_cte: str, words_cte: str,
+                     max_piece_len: int, max_word_len: int) -> str:
+    """One hard-EM block: cost table from ``vocab_cte``, unrolled
+    Viterbi DP over ``words_cte`` (integer nano-log costs, ties prefer
+    the longer piece), recursive back-pointer walk, emitted-piece
+    counts as ``e{t}``."""
+    L = max_piece_len
+    parts = [f"""
+        c{t} AS MATERIALIZED (
+            SELECT piece,
+                   CAST(round(-ln(n / tt.tot) * 1e9) AS BIGINT) AS cost
+            FROM {vocab_cte},
+                 (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM {vocab_cte}) tt
+        ), d{t}_0 AS (
+            SELECT word, cnt, CAST(0 AS BIGINT) AS cost, 0 AS l
+            FROM {words_cte}
+        )"""]
+    for j in range(1, max_word_len + 1):
+        branches = " UNION ALL ".join(
+            f"""
+            SELECT p.word, p.cnt, p.cost + c.cost AS cost, {l} AS l
+            FROM d{t}_{j - l} p
+            JOIN c{t} c ON c.piece = substr(p.word, {j - l + 1}, {l})
+            WHERE len(p.word) >= {j}
+            """
+            for l in range(1, min(L, j) + 1)
+        )
+        parts.append(f"""
+        d{t}_{j} AS MATERIALIZED (
+            SELECT word, cnt, cost, l FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY word ORDER BY cost ASC, l DESC) AS rn
+                FROM ({branches})
+            ) WHERE rn = 1
+        )""")
+    bk_union = " UNION ALL ".join(
+        f"SELECT word, {j} AS pos, l FROM d{t}_{j}"
+        for j in range(1, max_word_len + 1)
+    )
+    parts.append(f"""
+        bk{t} AS MATERIALIZED ({bk_union}),
+        wk{t} AS (
+            SELECT word, cnt, CAST(len(word) AS INT) AS pos
+            FROM {words_cte}
+            UNION ALL
+            SELECT w.word, w.cnt, CAST(w.pos - b.l AS INT)
+            FROM wk{t} w JOIN bk{t} b
+              ON b.word = w.word AND b.pos = w.pos
+            WHERE w.pos > 0
+        ),
+        em{t} AS (
+            SELECT w.word, w.cnt,
+                   substr(w.word, w.pos - b.l + 1, b.l) AS piece
+            FROM wk{t} w JOIN bk{t} b
+              ON b.word = w.word AND b.pos = w.pos
+            WHERE w.pos > 0
+        ),
+        e{t} AS MATERIALIZED (
+            SELECT piece, sum(cnt) AS n FROM em{t} GROUP BY piece
+        )""")
+    return ",".join(parts)
+
+
+def _unigram_train_ctes(iters: int) -> "tuple[str, str]":
+    """(full CTE text, final vocab cte name) for ``iters`` EM rounds."""
+    L, M, S = _UNI_L, _UNI_M, _UNI_SEED
+    ctes = [_unigram_seed_ctes(L, M, S)]
+    for t in range(iters):
+        ctes.append(_unigram_em_ctes(t, f"v{t}", "words_tr", L, M))
+        ctes.append(f"""
+        v{t + 1} AS MATERIALIZED (
+            SELECT piece, n FROM e{t} WHERE len(piece) > 1
+            UNION ALL
+            SELECT sc.piece, greatest(COALESCE(e.n, 0), 1) AS n
+            FROM seed_chars sc
+            LEFT JOIN e{t} e ON e.piece = sc.piece
+        )""")
+    return ",".join(ctes), f"v{iters}"
+
+
+def q_unigram_train(spark, sf_dir) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py): 2 rounds
+    of hard (Viterbi) EM over the distinct-word table — integer
+    nano-log costs make the DP exact and engine-replayable; the oracle
+    replays seeding, BOTH EM rounds (unrolled DP + recursive
+    back-pointer walk), the required-chars floor, and the final
+    vocab_size cut as chained CTEs, like train_classifier's replayed
+    gradient steps."""
+    from eland_spark.operators.unigram import unigram_train
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    model = unigram_train(
+        docs, F.col("text"),
+        vocab_size=_UNI_VOCAB, max_piece_len=_UNI_L, seed_size=_UNI_SEED,
+        iters=_UNI_ITERS, max_word_len=_UNI_M,
+    )
+    return spark.createDataFrame(model, "piece string, count long")
+
+
+def _unigram_train_oracle_sql() -> str:
+    ctes, vfinal = _unigram_train_ctes(_UNI_ITERS)
+    return f"""
+        WITH RECURSIVE {ctes},
+        chars_f AS MATERIALIZED (
+            SELECT piece, n FROM {vfinal} WHERE len(piece) = 1
+        ), multi_f AS (
+            SELECT piece, n FROM {vfinal} WHERE len(piece) > 1
+            ORDER BY n DESC, piece
+            LIMIT greatest({_UNI_VOCAB} - (SELECT count(*) FROM chars_f), 0)
+        )
+        SELECT piece, CAST(n AS BIGINT) AS count FROM chars_f
+        UNION ALL
+        SELECT piece, CAST(n AS BIGINT) AS count FROM multi_f
+    """
+
+
+def q_unigram_segment(spark, sf_dir) -> DataFrame:
+    """Unigram Viterbi segmentation of the whole corpus under the SEED
+    model (iters=0 — pure substring statistics): per-piece occurrence
+    histogram, top 30 by (count desc, piece asc). The segmentation
+    itself is one Arrow mapInPandas stage with the model broadcast;
+    the oracle replays the same DP + walk over the distinct-word table
+    and weights by word frequency."""
+    from eland_spark.operators.unigram import (
+        unigram_segment_frame, unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    model = unigram_train(
+        docs, F.col("text"),
+        vocab_size=_UNI_VOCAB, max_piece_len=_UNI_L, seed_size=_UNI_SEED,
+        iters=0, max_word_len=_UNI_M,
+    )
+    seg = unigram_segment_frame(
+        docs, F.col("text"), model, max_piece_len=_UNI_L
+    )
+    return (
+        seg.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("piece"))
+        .limit(30)
+    )
+
+
+def _unigram_segment_oracle_sql() -> str:
+    L, M, S, V = _UNI_L, _UNI_M, _UNI_SEED, _UNI_VOCAB
+    seed = _unigram_seed_ctes(L, M, S)
+    # the engine's final cut applies to the seed model before segmenting
+    model = f"""
+        chars_f AS MATERIALIZED (
+            SELECT piece, n FROM v0 WHERE len(piece) = 1
+        ), multi_f AS (
+            SELECT piece, n FROM v0 WHERE len(piece) > 1
+            ORDER BY n DESC, piece
+            LIMIT greatest({V} - (SELECT count(*) FROM chars_f), 0)
+        ), vm AS MATERIALIZED (
+            SELECT * FROM chars_f UNION ALL SELECT * FROM multi_f
+        )"""
+    em = _unigram_em_ctes(9, "vm", "words", L, M)
+    return f"""
+        WITH RECURSIVE {seed},{model},{em}
+        SELECT piece, CAST(n AS BIGINT) AS n
+        FROM e9 ORDER BY n DESC, piece LIMIT 30
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8737,6 +8945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_battery": q_drift_battery,
         "rouge_n": q_rouge_n,
         "pit_join": q_pit_join,
+        "unigram_train": q_unigram_train,
+        "unigram_segment": q_unigram_segment,
     }
 
 
@@ -11014,4 +11224,6 @@ def oracle_sql() -> dict[str, str]:
         "drift_battery": _drift_battery_oracle_sql(),
         "rouge_n": _rouge_n_oracle_sql(),
         "pit_join": _pit_join_oracle_sql(),
+        "unigram_train": _unigram_train_oracle_sql(),
+        "unigram_segment": _unigram_segment_oracle_sql(),
     }

@@ -217,6 +217,10 @@ HEADLINE = [
     # point-in-time feature join (asof backward + expiry mask)
     "rouge_n",
     "pit_join",
+    # r7: unigram-LM tokenizer — hard-EM training (distinct-word Arrow
+    # E-steps) and corpus Viterbi segmentation
+    "unigram_train",
+    "unigram_segment",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -1003,6 +1003,12 @@ def test_round5_query_plan_pins(spark):
         # SCD2's one keyed exchange + the asof running-fill pass + the
         # final small group agg
         "pit_join": (3, 0),
+        # training jobs run eagerly (vocab/EM collects are model-sized,
+        # like median_quantile's boundary rows); the returned model
+        # frame is a driver literal
+        "unigram_train": (0, 0),
+        # one piece-count agg after the zero-shuffle Arrow segment pass
+        "unigram_segment": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
