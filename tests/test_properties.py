@@ -1722,3 +1722,336 @@ def test_keyed_midranks_match_python_fuzz(spark, rows):
         want = dict(zip(s, ranks))
         for v in set(vals):
             assert got[(k, v)] == pytest.approx(want[v]), (k, v, got[(k, v)], want[v])
+
+
+# ---------------------------------------------------------------------------
+# r7 operator fuzzers: BLEU/ROUGE, Fleiss, JS, KS battery, BH, MMR,
+# unigram Viterbi — each vs a sequential pure-python reference
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.sampled_from(["a", "b", "ab", "cat", "x", "yz"]),
+    min_size=0, max_size=8,
+)
+_TEXT = _WORDS.map(" ".join)
+
+
+@given(pairs=st.lists(st.tuples(_TEXT, _TEXT), min_size=1, max_size=8))
+@settings(**COMMON)
+def test_corpus_bleu_matches_reference_fuzz(spark, pairs):
+    from collections import Counter
+
+    from eland_spark.operators.evaluation import corpus_bleu
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["c", "r"]),
+        schema="c string, r string",
+    )
+    row = corpus_bleu(sdf, "c", "r", max_n=2).toPandas().iloc[0]
+    m = [0, 0]
+    t = [0, 0]
+    cl = rl = 0
+    for c, r in pairs:
+        # split('') in Spark yields [''] — mirror the \s+ trim-split
+        ct = c.split() if c.strip() else [""]
+        rt = r.split() if r.strip() else [""]
+        cl += len(ct)
+        rl += len(rt)
+        for n in (1, 2):
+            cg = Counter(
+                tuple(ct[i:i + n]) for i in range(len(ct) - n + 1)
+            )
+            rg = Counter(
+                tuple(rt[i:i + n]) for i in range(len(rt) - n + 1)
+            )
+            m[n - 1] += sum(min(v, rg[g]) for g, v in cg.items())
+            t[n - 1] += sum(cg.values())
+    ps = [mi / ti if ti else None for mi, ti in zip(m, t)]
+    bp = 1.0 if cl >= rl else math.exp(1 - rl / cl)
+    if cl == 0:
+        assert row["bleu"] is None or pd.isna(row["bleu"])
+        return
+    want = (
+        0.0
+        if any((p or 0) == 0 for p in ps)
+        else bp * math.exp(sum(math.log(p) for p in ps) / 2)
+    )
+    assert row["bleu"] == pytest.approx(want, abs=2e-6)
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abc")),
+        min_size=1, max_size=60,
+    ),
+    n_raters=st.integers(2, 4),
+)
+@settings(**COMMON)
+def test_fleiss_kappa_matches_formula_fuzz(spark, ratings, n_raters):
+    from eland_spark.operators.evaluation import fleiss_kappa
+
+    # build an equal-panel table: first n_raters ratings per item
+    by_item = {}
+    for i, c in ratings:
+        by_item.setdefault(i, []).append(c)
+    rows = [
+        (i, c)
+        for i, cs in by_item.items()
+        if len(cs) >= n_raters
+        for c in cs[:n_raters]
+    ]
+    if not rows:
+        return
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "c"]))
+    row = fleiss_kappa(sdf, "i", "c").toPandas().iloc[0]
+    items = sorted({i for i, _ in rows})
+    cats = sorted({c for _, c in rows})
+    n = n_raters
+    mat = {(i, c): 0 for i in items for c in cats}
+    for i, c in rows:
+        mat[(i, c)] += 1
+    pi = [
+        (sum(mat[(i, c)] ** 2 for c in cats) - n) / (n * (n - 1))
+        for i in items
+    ]
+    pj = [
+        sum(mat[(i, c)] for i in items) / (len(items) * n) for c in cats
+    ]
+    pbar = sum(pi) / len(items)
+    pe = sum(p * p for p in pj)
+    assert row["p_bar"] == pytest.approx(pbar, abs=1e-6)
+    assert row["p_e"] == pytest.approx(pe, abs=1e-6)
+    if pe < 1.0:
+        assert row["kappa"] == pytest.approx(
+            (pbar - pe) / (1 - pe), abs=1e-5
+        )
+    else:
+        assert pd.isna(row["kappa"])
+
+
+@given(
+    ref=st.lists(st.sampled_from("abcd"), min_size=1, max_size=40),
+    cur=st.lists(st.sampled_from("abce"), min_size=1, max_size=40),
+)
+@settings(**COMMON)
+def test_js_divergence_matches_reference_fuzz(spark, ref, cur):
+    from eland_spark.operators.drift import js_divergence
+
+    a = spark.createDataFrame(pd.DataFrame({"x": ref}))
+    b = spark.createDataFrame(pd.DataFrame({"x": cur}))
+    row = js_divergence(a, b, "x").toPandas().iloc[0]
+    cats = sorted(set(ref) | set(cur))
+    js = 0.0
+    for c in cats:
+        p, q = ref.count(c) / len(ref), cur.count(c) / len(cur)
+        mm = (p + q) / 2
+        if p > 0:
+            js += p * math.log(p / mm) / 2
+        if q > 0:
+            js += q * math.log(q / mm) / 2
+    assert row["js"] == pytest.approx(js, abs=1e-6)
+    assert 0 <= row["js"] <= math.log(2) + 1e-9
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.booleans(),                          # side
+            st.integers(-5, 5).map(float),          # value (ties likely)
+        ),
+        min_size=2, max_size=80,
+    )
+)
+@settings(**COMMON)
+def test_ks_battery_matches_reference_fuzz(spark, data):
+    from eland_spark.operators.drift import ks_battery
+
+    ref = [(k, v) for k, s, v in data if not s]
+    cur = [(k, v) for k, s, v in data if s]
+    if not ref or not cur:
+        return
+    a = spark.createDataFrame(pd.DataFrame(ref, columns=["k", "v"]))
+    b = spark.createDataFrame(pd.DataFrame(cur, columns=["k", "v"]))
+    out = {r["k"]: r for r in ks_battery(a, b, "k", "v").collect()}
+    keys = sorted({k for k, _ in ref} | {k for k, _ in cur})
+    for k in keys:
+        av = sorted(v for kk, v in ref if kk == k)
+        bv = sorted(v for kk, v in cur if kk == k)
+        r = out[k]
+        if not av or not bv:
+            assert r["ks"] is None
+            continue
+        grid = sorted(set(av) | set(bv))
+        ks = max(
+            abs(
+                sum(1 for x in av if x <= g) / len(av)
+                - sum(1 for x in bv if x <= g) / len(bv)
+            )
+            for g in grid
+        )
+        assert r["ks"] == pytest.approx(ks, abs=1e-6)
+        assert r["n_ref"] == len(av) and r["n_cur"] == len(bv)
+
+
+@given(
+    ps=st.lists(
+        st.one_of(
+            st.floats(0.0001, 1.0, allow_nan=False),
+            st.none(),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(**COMMON)
+def test_fdr_bh_matches_reference_fuzz(spark, ps):
+    from eland_spark.operators.drift import fdr_bh
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"f": range(len(ps)), "p": pd.array(ps, dtype="Float64")}
+        )
+    )
+    got = fdr_bh(sdf, "p", alpha=0.1).orderBy("f").toPandas()
+    clean = [(i, p) for i, p in enumerate(ps) if p is not None]
+    if not clean:
+        assert got["p_adj"].isna().all()
+        return
+    m = len(clean)
+    order = sorted(range(m), key=lambda x: clean[x][1])
+    adj = {}
+    prev = 1.0
+    for pos in range(m - 1, -1, -1):
+        i, p = clean[order[pos]]
+        prev = min(prev, p * m / (pos + 1))
+        adj[i] = prev
+    # ties: every member of a tied block shares the block's smallest
+    # candidate — recompute with the distinct-value rule
+    byp = {}
+    for i, p in clean:
+        byp.setdefault(p, []).append(i)
+    for p, idxs in byp.items():
+        v = min(adj[i] for i in idxs)
+        for i in idxs:
+            adj[i] = v
+    for i, p in clean:
+        assert got["p_adj"].iloc[i] == pytest.approx(adj[i], abs=1e-9)
+        assert bool(got["reject"].iloc[i]) == (adj[i] <= 0.1)
+
+
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.integers(1, 40),                      # id
+            st.floats(-1, 1, allow_nan=False),       # rel
+            st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                     min_size=3, max_size=3),        # vec
+        ),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+    lam=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+@settings(**COMMON)
+def test_mmr_matches_reference_fuzz(spark, cands, lam):
+    from eland_spark.operators.similarity import mmr_rerank
+
+    pdf = pd.DataFrame(
+        {
+            "q": [0] * len(cands),
+            "id": [c[0] for c in cands],
+            "rel": [c[1] for c in cands],
+            "vec": [c[2] for c in cands],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["rnk"], r["id"], r["mmr_score"])
+        for r in mmr_rerank(sdf, "q", "id", "rel", "vec", k=5, lam=lam)
+        .orderBy("rnk").collect()
+    ]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    ids = [c[0] for c in cands]
+    rel = [c[1] for c in cands]
+    # float32 storage: the engine sees float32-rounded vector values
+    vecs = [[float(np.float32(v)) for v in c[2]] for c in cands]
+    nrm = [math.sqrt(dot(v, v)) for v in vecs]
+    pen = [None] * len(ids)
+    taken = [False] * len(ids)
+    want = []
+    for step in range(min(5, len(ids))):
+        best = None
+        for i in range(len(ids)):
+            if taken[i]:
+                continue
+            p = pen[i] if pen[i] is not None else 0.0
+            s = lam * rel[i] - (1 - lam) * p
+            if best is None or s > best[0] or (
+                s == best[0] and ids[i] < best[1]
+            ):
+                best = (s, ids[i], i)
+        s, bid, bi = best
+        taken[bi] = True
+        want.append((step + 1, bid, s))
+        for i in range(len(ids)):
+            if taken[i]:
+                continue
+            c = (
+                dot(vecs[i], vecs[bi]) / (nrm[i] * nrm[bi])
+                if nrm[i] > 0 and nrm[bi] > 0
+                else 0.0
+            )
+            if pen[i] is None or c > pen[i]:
+                pen[i] = c
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=10),
+    vocab_counts=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        st.integers(1, 50),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(**COMMON)
+def test_unigram_viterbi_optimal_fuzz(spark, word, vocab_counts):
+    """viterbi_segment returns a MINIMUM-cost segmentation: compare
+    against exhaustive enumeration of all segmentations."""
+    import itertools
+
+    from eland_spark.operators.unigram import viterbi_segment
+
+    T = sum(vocab_counts.values())
+    costs = {
+        p: int(round(-math.log(c / T) * 1e9))
+        for p, c in vocab_counts.items()
+    }
+    got = viterbi_segment(word, costs, 3)
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for l in range(1, min(3, len(w)) + 1):
+            if w[:l] in costs:
+                for rest in all_segs(w[l:]):
+                    yield [w[:l]] + rest
+
+    best = None
+    for seg in all_segs(word):
+        c = sum(costs[p] for p in seg)
+        if best is None or c < best[0]:
+            best = (c, seg)
+    if best is None:
+        assert got is None
+    else:
+        assert got is not None
+        assert sum(costs[p] for p in got) == best[0]
