@@ -1271,8 +1271,17 @@ def test_rolling_zscore_matches_pandas_fuzz(spark, rows, window, min_periods):
             mu = m.fsum(prev) / n
             var = m.fsum((x - mu) ** 2 for x in prev) / (n - 1) if n > 1 else 0.0
             sd = m.sqrt(var)
+            # conditioning guard (CLAUDE.md, r6 lesson): when
+            # kappa=(1+mu^2)/var blows past 1e12 the window variance is
+            # pure cancellation residue — even this exact fsum reference
+            # and the engine legitimately disagree by large factors
+            # (found r7: [10000.0, 9999.999999999998] -> kappa ~ 6e31,
+            # z differs 1.4x). Skip those positions on BOTH sides.
+            if var > 0 and (1.0 + mu * mu) / var > 1e12:
+                out.append(None)  # sentinel: excluded from comparison
+                continue
             out.append((v - mu) / sd if sd > 0 else float("nan"))
-        return pd.Series(out, index=g.index).round(6)
+        return pd.Series(out, index=g.index, dtype=object)
 
     if len(pdf) == 0:
         assert len(got) == 0
@@ -1282,7 +1291,10 @@ def test_rolling_zscore_matches_pandas_fuzz(spark, rows, window, min_periods):
         ref(g.sort_values("i"))
         for _, g in pdf.groupby("g", sort=False)
     ]
-    want = pd.concat(parts).sort_index().reset_index(drop=True)
+    want_obj = pd.concat(parts).sort_index().reset_index(drop=True)
+    keep = [w is not None for w in want_obj]
+    want = want_obj[keep].astype("float64").round(6).reset_index(drop=True)
+    got = got[keep].reset_index(drop=True)
     pd.testing.assert_series_equal(
         got, want, check_names=False, rtol=1e-5, atol=1e-8
     )
