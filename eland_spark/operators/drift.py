@@ -665,11 +665,15 @@ def fdr_bh(
     p-values pass through with null adj/reject (not counted in ``m``).
 
     Scale shape: NEVER ranks rows — p-values reduce to distinct-value
-    counts in one hash aggregation, the max-rank-per-distinct-p comes
-    from the windowless bucket prefix-sum pass, the suffix-min rides a
-    second prefix pass over the DESCENDING order (order by ``-p``),
-    and the distinct-p-sized adjustment map joins back broadcast-style.
-    ``m`` folds from the same per-distinct counts on the driver.
+    counts in one hash aggregation. A battery is usually
+    feature-count-sized, so when there are <= 1000 distinct p-values
+    the rank/suffix-min fold runs driver-local on that collected list
+    and the adjustment returns as ONE map literal (the learn_bpe
+    dual-path split: one job instead of the rank passes' six waves).
+    Larger batteries take the fully distributed path: max-rank-per-
+    distinct-p from the windowless bucket prefix-sum pass, the
+    suffix-min from a second prefix pass over the DESCENDING order
+    (order by ``-p``), the distinct-p-sized map joined back.
     """
     from .ranking import with_global_cumagg_multi, with_global_cumsum
 
@@ -681,31 +685,52 @@ def fdr_bh(
         .agg(F.count(F.lit(1)).alias("__n__"))
         .localCheckpoint(eager=False)
     )
-    m = per.agg(F.coalesce(F.sum("__n__"), F.lit(0))).collect()[0][0]
-    if m == 0:
+    head = per.limit(1001).collect()
+    if not head:
         return (
             sdf.withColumn(f"{p_col}_adj", F.lit(None).cast("double"))
             .withColumn("reject", F.lit(None).cast("boolean"))
         )
-    # max rank j of each distinct p's tied block -> the block's shared
-    # candidate p*m/j is its SMALLEST, which is what the suffix-min
-    # assigns every tied member anyway
-    cum = with_global_cumsum(
-        per, ["__p__"], "__n__", out_col="__j__", partitions=partitions
-    )
-    cand = F.least(
-        F.col("__p__") * float(m) / F.col("__j__"), F.lit(1.0)
-    )
-    adj = with_global_cumagg_multi(
-        cum.select("__p__", cand.alias("__cand__"))
-        .withColumn("__negp__", -F.col("__p__")),
-        ["__negp__"],
-        [("__cand__", "min", "__adj__")],
-        partitions=partitions,
-    ).select("__p__", "__adj__")
-    out = base.join(adj, ["__p__"], "left")
-    return out.select(
+    if len(head) <= 1000:
+        # driver-local fold over the distinct (p, count) list
+        pairs = sorted((r["__p__"], r["__n__"]) for r in head)
+        m = sum(n for _, n in pairs)
+        adj_map: dict = {}
+        run = 0
+        cands = []
+        for pv, n in pairs:
+            run += n
+            cands.append((pv, min(pv * m / run, 1.0)))
+        suffix = 1.0
+        for pv, cand in reversed(cands):
+            suffix = min(suffix, cand)
+            adj_map[pv] = suffix
+        lookup = F.create_map(
+            *[F.lit(v) for kv in adj_map.items() for v in kv]
+        )
+        adj_col = lookup[F.col("__p__")]
+    else:
+        m = per.agg(F.coalesce(F.sum("__n__"), F.lit(0))).collect()[0][0]
+        # max rank j of each distinct p's tied block -> the block's
+        # shared candidate p*m/j is its SMALLEST, which is what the
+        # suffix-min assigns every tied member anyway
+        cum = with_global_cumsum(
+            per, ["__p__"], "__n__", out_col="__j__", partitions=partitions
+        )
+        cand = F.least(
+            F.col("__p__") * float(m) / F.col("__j__"), F.lit(1.0)
+        )
+        adj = with_global_cumagg_multi(
+            cum.select("__p__", cand.alias("__cand__"))
+            .withColumn("__negp__", -F.col("__p__")),
+            ["__negp__"],
+            [("__cand__", "min", "__adj__")],
+            partitions=partitions,
+        ).select("__p__", "__adj__")
+        base = base.join(adj, ["__p__"], "left")
+        adj_col = F.col("__adj__")
+    return base.select(
         *[c for c in sdf.columns],
-        F.col("__adj__").alias(f"{p_col}_adj"),
-        (F.col("__adj__") <= F.lit(float(alpha))).alias("reject"),
+        adj_col.alias(f"{p_col}_adj"),
+        (adj_col <= F.lit(float(alpha))).alias("reject"),
     )

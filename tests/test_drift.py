@@ -563,3 +563,21 @@ def test_fdr_bh_ties_nulls_and_empty(spark):
     )
     out = fdr_bh(empty, "p").toPandas()
     assert out["p_adj"].isna().all() and out["reject"].isna().all()
+
+
+def test_fdr_bh_distributed_path_matches_local(spark):
+    import numpy as np
+
+    from eland_spark.operators.drift import fdr_bh
+
+    # >1000 distinct p-values forces the distributed prefix-pass path;
+    # it must agree with the driver-local fold (same hand reference)
+    rng = np.random.RandomState(3)
+    ps = np.unique(rng.uniform(0.0001, 1.0, 1500)).tolist()
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"f": range(len(ps)), "p": ps})
+    )
+    got = fdr_bh(sdf, "p", alpha=0.05).orderBy("f").toPandas()
+    exp = _hand_bh(np.array(ps))
+    assert np.allclose(got["p_adj"].values, exp, atol=1e-12)
+    assert (got["reject"] == (exp <= 0.05)).all()
