@@ -30,6 +30,7 @@ __all__ = [
     "js_divergence",
     "ks_statistic",
     "ks_battery",
+    "ks_battery_from_counts",
     "kolmogorov_pvalue",
     "fdr_bh",
     "chi2_association",
@@ -584,7 +585,8 @@ def ks_battery(
     asymptotic Kolmogorov p-value at the Numerical-Recipes effective-n
     correction ``lam = (sqrt(en) + 0.12 + 0.11/sqrt(en)) * ks`` with
     ``en = n_ref*n_cur/(n_ref+n_cur)`` (:func:`kolmogorov_pvalue` —
-    engine-replayable arithmetic). Null and NaN values drop. Feed the
+    engine-replayable arithmetic). Null keys and null/NaN values drop
+    (matching the streaming store's write-time filter). Feed the
     ``p`` column to :func:`fdr_bh` for multiple-testing control.
 
     Scale shape: each snapshot reduces to per-(key, distinct value)
@@ -601,12 +603,29 @@ def ks_battery(
         c = F.col(column).cast("double")
         return (
             df.select(F.col(key_col).alias("__k__"), c.alias("__v__"))
-            .where(F.col("__v__").isNotNull() & ~F.isnan("__v__"))
+            .where(
+                F.col("__k__").isNotNull()
+                & F.col("__v__").isNotNull() & ~F.isnan("__v__")
+            )
             .groupBy("__k__", "__v__")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
     rc, cc = counts(ref, "__rn__"), counts(cur, "__cn__")
+    return ks_battery_from_counts(rc, cc, terms=terms).withColumnRenamed(
+        "key", key_col
+    )
+
+
+def ks_battery_from_counts(
+    rc: DataFrame, cc: DataFrame, terms: int = 20
+) -> DataFrame:
+    """:func:`ks_battery` core on pre-aggregated per-(key, distinct
+    value) count frames — ``rc``: ``(__k__, __v__, __rn__)``, ``cc``:
+    ``(__k__, __v__, __cn__)``. The shared read path for the streaming
+    twin (``streaming/curation.read_ks_battery``), so streamed reading
+    equals the batch battery of everything ingested, exactly. Returns
+    ``(key, ks, p, n_ref, n_cur)``."""
     joined = rc.join(cc, ["__k__", "__v__"], "full").select(
         "__k__", "__v__",
         F.coalesce(F.col("__rn__"), F.lit(0)).alias("__rn__"),
@@ -637,7 +656,7 @@ def ks_battery(
     )
     lam = (F.sqrt(en) + 0.12 + 0.11 / F.sqrt(en)) * F.col("__ks__")
     return agg.select(
-        F.col("__k__").alias(key_col),
+        F.col("__k__").alias("key"),
         F.round("__ks__", 6).alias("ks"),
         F.round(
             F.when(F.col("__ks__").isNotNull(),

@@ -635,6 +635,95 @@ def read_rank_scorecard(spark, path: str, ref: DataFrame, column: str) -> DataFr
     return rank_scorecard_from_counts(rc, cc)
 
 
+def stream_keyed_value_counts_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    value_col: str,
+    timeout_sec: int = 120,
+):
+    """Maintain EXACT per-(key, distinct value) counts over a stream —
+    the keyed extension of :func:`stream_value_counts_update` that
+    feeds the per-feature drift battery: each micro-batch writes its
+    own (k, v, n) rows under ``<path>/batch=<id>/`` (idempotent in
+    batch_id), counts merge by plain ADDITION, so
+    :func:`read_ks_battery` over the store equals the batch
+    ``operators/drift.ks_battery`` of everything ingested, exactly.
+    Null keys and null/NaN values are dropped at write time."""
+    from pyspark.sql import functions as F
+
+    from .sinks import foreach_batch_sink
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        c = F.col(value_col).cast("double")
+        counts = (
+            batch_df.where(
+                F.col(key_col).isNotNull()
+                & c.isNotNull() & ~F.isnan(c)
+            )
+            .groupBy(F.col(key_col).alias("k"), c.alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_keyed_value_counts(spark, path: str) -> DataFrame:
+    """Merge-on-read over a :func:`stream_keyed_value_counts_update`
+    directory: sum per-(key, value) counts across batches — lossless."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    return df.groupBy("k", "v").agg(F.sum("n").alias("n"))
+
+
+def read_ks_battery(
+    spark, path: str, ref: DataFrame, key_col: str, column: str,
+    terms: int = 20,
+) -> DataFrame:
+    """Per-key exact KS battery between a batch REFERENCE snapshot and
+    the streamed CURRENT distributions maintained by
+    :func:`stream_keyed_value_counts_update` — merge the per-batch
+    keyed counts (lossless addition) and run the shared
+    ``ks_battery_from_counts`` core, so the streamed reading equals
+    the batch ``ks_battery(ref, everything_ingested)`` exactly
+    (batch-twin pinned in tests). Returns ``(key_col, ks, p, n_ref,
+    n_cur)``; feed ``p`` to ``operators/drift.fdr_bh`` for the
+    FDR-controlled nightly gate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import ks_battery_from_counts
+
+    c = F.col(column).cast("double")
+    rc = (
+        ref.select(F.col(key_col).alias("__k__"), c.alias("__v__"))
+        .where(
+            F.col("__k__").isNotNull()
+            & F.col("__v__").isNotNull() & ~F.isnan("__v__")
+        )
+        .groupBy("__k__", "__v__")
+        .agg(F.count(F.lit(1)).alias("__rn__"))
+    )
+    cc = read_keyed_value_counts(spark, path).select(
+        F.col("k").alias("__k__"), F.col("v").alias("__v__"),
+        F.col("n").alias("__cn__"),
+    )
+    return ks_battery_from_counts(rc, cc, terms=terms).withColumnRenamed(
+        "key", key_col
+    )
+
+
 def stream_minhash_update(
     stream_sdf: DataFrame,
     path: str,

@@ -1195,3 +1195,72 @@ def test_stream_rank_scorecard_matches_batch(spark, tmp_path):
     ).collect()[0].asDict()
     assert got == want, (got, want)
     assert got["n_cur"] == 240  # the null and the NaN were dropped
+
+
+def test_stream_ks_battery_matches_batch(spark, tmp_path):
+    """Merged streamed PER-KEY value counts must reproduce the batch
+    ks_battery of everything ingested EXACTLY — the keyed extension of
+    the value-counts store: counts add losslessly, null keys and
+    null/NaN values dropped at write time, keys present on only one
+    side yield null ks/p."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.drift import ks_battery
+    from eland_spark.streaming.curation import (
+        read_ks_battery, stream_keyed_value_counts_update,
+    )
+
+    rng = np.random.RandomState(41)
+    src = tmp_path / "src_kvc"
+    src.mkdir()
+    frames = []
+    for i in range(2):
+        b = pd.DataFrame({
+            "k": list(rng.choice(["a", "b", "c"], 100)) + [None, "a"],
+            "x": list(rng.randint(0, 9, 100) / 4.0)
+            + [1.0, [float("nan"), None][i]],
+        })
+        frames.append(b)
+        spark.createDataFrame(b, "k string, x double").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("k string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_keyed_value_counts_update(
+        stream, str(tmp_path / "kvc"), str(tmp_path / "ck_kvc"), "k", "x"
+    )
+    q.awaitTermination(120)
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({
+            # key "d" exists only in ref -> ks/p null on the read side
+            "k": list(rng.choice(["a", "b", "d"], 90)),
+            "x": list(rng.randint(1, 11, 90) / 4.0),
+        }),
+        "k string, x double",
+    )
+    got = {
+        r["k"]: r.asDict()
+        for r in read_ks_battery(
+            spark, str(tmp_path / "kvc"), ref, "k", "x"
+        ).collect()
+    }
+    want = {
+        r["k"]: r.asDict()
+        for r in ks_battery(
+            ref,
+            spark.createDataFrame(pd.concat(frames), "k string, x double"),
+            "k", "x",
+        ).collect()
+    }
+    assert got == want, (got, want)
+    assert got["d"]["ks"] is None          # ref-only key
+    assert got["c"]["ks"] is None          # stream-only key
+    # the null-key and null/NaN-value rows were dropped at write time
+    # (2 extra rows per batch: (null, 1.0) and ('a', NaN/null))
+    assert sum(r["n_cur"] or 0 for r in got.values()) == 200
