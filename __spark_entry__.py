@@ -8659,6 +8659,102 @@ def _unigram_segment_oracle_sql() -> str:
     """
 
 
+def q_chrf(spark, sf_dir) -> DataFrame:
+    """Corpus chrF (evaluation.chrf, beta=2) over the doc_id -> doc_id+1
+    same-lang pairing — character 1..4-gram clipped matches pooled per
+    order, whitespace stripped; the char-level complement of
+    corpus_bleu/rouge_n. Same gram-keyed hash-agg shape."""
+    from eland_spark.operators.evaluation import chrf
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("__l2__"),
+        F.col("text").alias("__ref__"),
+    )
+    pairs = docs.join(d2, "doc_id").where(
+        F.col("lang") == F.col("__l2__")
+    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    return chrf(pairs, "cand", "ref", max_n=4, beta=2.0)
+
+
+def _chrf_oracle_sql(max_n: int = 4, beta: float = 2.0) -> str:
+    def side(col, name):
+        branches = " UNION ALL ".join(
+            f"""
+            SELECT pid, {n} AS n, substr({col}, i, {n}) AS g
+            FROM (SELECT pid, {col},
+                         unnest(generate_series(1, len({col}) - {n} + 1)) AS i
+                  FROM pairs)
+            """
+            for n in range(1, max_n + 1)
+        )
+        return (
+            f"{name} AS (SELECT pid, n, g, count(*) AS c "
+            f"FROM ({branches}) GROUP BY 1, 2, 3)"
+        )
+
+    ms = ", ".join(
+        f"sum(CASE WHEN n = {n} THEN least(c, r) ELSE 0 END) AS m{n}"
+        for n in range(1, max_n + 1)
+    )
+    lens = ", ".join(
+        f"CAST(COALESCE(sum(greatest(len(cs) - {n} + 1, 0)), 0) AS DOUBLE)"
+        f" AS tc{n}, "
+        f"CAST(COALESCE(sum(greatest(len(rs) - {n} + 1, 0)), 0) AS DOUBLE)"
+        f" AS tr{n}"
+        for n in range(1, max_n + 1)
+    )
+    p_terms = " + ".join(
+        f"(CASE WHEN tc{n} > 0 THEN m{n} / tc{n} ELSE 0.0 END)"
+        for n in range(1, max_n + 1)
+    )
+    r_terms = " + ".join(
+        f"(CASE WHEN tr{n} > 0 THEN m{n} / tr{n} ELSE 0.0 END)"
+        for n in range(1, max_n + 1)
+    )
+    b2 = beta * beta
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT d.doc_id AS pid,
+                   regexp_replace(d.text, '\\s+', '', 'g') AS cs,
+                   regexp_replace(d2.text, '\\s+', '', 'g') AS rs
+            FROM documents d
+            JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+            WHERE d.lang = d2.lang
+              AND d.text IS NOT NULL AND d2.text IS NOT NULL
+        ), cpairs AS (
+            SELECT pid, cs AS s FROM pairs
+        ), rpairs AS (
+            SELECT pid, rs AS s FROM pairs
+        ), {side('s', 'cc').replace('FROM pairs', 'FROM cpairs')},
+        {side('s', 'rc').replace('FROM pairs', 'FROM rpairs')},
+        j AS (
+            SELECT cc.n, cc.c, COALESCE(rc.c, 0) AS r
+            FROM cc LEFT JOIN rc USING (pid, n, g)
+        ), st AS (
+            SELECT {ms} FROM j
+        ), ln AS (
+            SELECT {lens},
+                   CAST(COALESCE(sum(len(cs)), 0) AS BIGINT) AS cl,
+                   CAST(COALESCE(sum(len(rs)), 0) AS BIGINT) AS rl
+            FROM pairs
+        ), pr AS (
+            SELECT ({p_terms}) / {float(max_n)} AS P,
+                   ({r_terms}) / {float(max_n)} AS R,
+                   cl, rl
+            FROM st, ln
+        )
+        SELECT round(CASE WHEN P + R > 0
+                          THEN (1.0 + {b2}) * P * R / ({b2} * P + R)
+                          ELSE 0.0 END, 6) AS chrf,
+               round(P, 6) AS prec,
+               round(R, 6) AS rec,
+               cl AS cand_len, rl AS ref_len
+        FROM pr
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8947,6 +9043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
+        "chrf": q_chrf,
     }
 
 
@@ -11226,4 +11323,5 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _pit_join_oracle_sql(),
         "unigram_train": _unigram_train_oracle_sql(),
         "unigram_segment": _unigram_segment_oracle_sql(),
+        "chrf": _chrf_oracle_sql(),
     }

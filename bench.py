@@ -221,6 +221,8 @@ HEADLINE = [
     # E-steps) and corpus Viterbi segmentation
     "unigram_train",
     "unigram_segment",
+    # r7: corpus chrF (char n-gram F-beta, whitespace-stripped)
+    "chrf",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

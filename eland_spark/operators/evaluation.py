@@ -30,6 +30,7 @@ __all__ = [
     "corpus_bleu",
     "pr_curve",
     "rouge_n",
+    "chrf",
 ]
 
 
@@ -652,3 +653,131 @@ def rouge_n(
         ]
     out = per_pair.agg(*aggs)
     return out.select(*sel, "n_pairs")
+
+
+def chrf(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF (Popović 2015) of a candidate-text column against a
+    single reference column as a 1-row frame ``(chrf, prec, rec,
+    cand_len, ref_len)`` — the character-level complement of
+    :func:`corpus_bleu`/:func:`rouge_n` that rewards partial word
+    matches (morphology, typos) token metrics score 0: whitespace is
+    stripped, clipped character n-gram matches pool over the WHOLE
+    corpus per order 1..``max_n``, ``prec``/``rec`` are the
+    unweighted means of the per-order precisions/recalls (an order
+    with no grams on the denominator side contributes 0), and
+    ``chrf = (1 + beta^2) * P * R / (beta^2 * P + R)`` (0 when
+    ``P + R == 0``), ``beta = 2`` weighting recall double. Null rows
+    drop.
+
+    Scale shape: identical to :func:`corpus_bleu` — each side explodes
+    to (pair, order, gram) counts in ONE hash aggregation keyed on the
+    gram tuple, clipped matches from a LEFT join on that key, one
+    conditional-sum scalar aggregate; char totals come from string
+    LENGTHS, engine-replayable arithmetic throughout.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    if beta <= 0:
+        raise ValueError("beta must be > 0")
+    strip = lambda c: F.regexp_replace(F.col(c), r"\s+", "")  # noqa: E731
+    base = pairs.where(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("__pid__"),
+        strip(cand_col).alias("__cs__"),
+        strip(ref_col).alias("__rs__"),
+    ).localCheckpoint(eager=False)
+
+    def grams(s, n):
+        ln = F.length(s)
+        return F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.substring(s, i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def side_counts(s, cname):
+        per_n = [
+            base.select(
+                "__pid__",
+                F.lit(n).alias("__n__"),
+                F.explode(grams(s, n)).alias("__g__"),
+            )
+            for n in range(1, max_n + 1)
+        ]
+        un = per_n[0]
+        for p in per_n[1:]:
+            un = un.unionByName(p)
+        return un.groupBy("__pid__", "__n__", "__g__").agg(
+            F.count(F.lit(1)).alias(cname)
+        )
+
+    cc = side_counts(F.col("__cs__"), "__cc__")
+    rc = side_counts(F.col("__rs__"), "__rc__")
+    j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
+    clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
+    stats = j.agg(
+        *[
+            F.sum(F.when(F.col("__n__") == n, clip).otherwise(F.lit(0)))
+            .alias(f"__m{n}__")
+            for n in range(1, max_n + 1)
+        ]
+    )
+    lens = base.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.length("__cs__") - n + 1, F.lit(0))
+                ),
+                F.lit(0),
+            ).alias(f"__tc{n}__")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.length("__rs__") - n + 1, F.lit(0))
+                ),
+                F.lit(0),
+            ).alias(f"__tr{n}__")
+            for n in range(1, max_n + 1)
+        ],
+        F.coalesce(F.sum(F.length("__cs__")), F.lit(0)).alias("__cl__"),
+        F.coalesce(F.sum(F.length("__rs__")), F.lit(0)).alias("__rl__"),
+    )
+    row = stats.crossJoin(F.broadcast(lens))
+    pn = [
+        F.when(
+            F.col(f"__tc{n}__") > 0,
+            F.col(f"__m{n}__").cast("double") / F.col(f"__tc{n}__"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    rn = [
+        F.when(
+            F.col(f"__tr{n}__") > 0,
+            F.col(f"__m{n}__").cast("double") / F.col(f"__tr{n}__"),
+        ).otherwise(F.lit(0.0))
+        for n in range(1, max_n + 1)
+    ]
+    P = sum(pn[1:], pn[0]) / float(max_n)
+    R = sum(rn[1:], rn[0]) / float(max_n)
+    b2 = float(beta) * float(beta)
+    score = F.when(
+        P + R > 0, (1.0 + b2) * P * R / (b2 * P + R)
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        F.round(score, 6).alias("chrf"),
+        F.round(P, 6).alias("prec"),
+        F.round(R, 6).alias("rec"),
+        F.col("__cl__").cast("bigint").alias("cand_len"),
+        F.col("__rl__").cast("bigint").alias("ref_len"),
+    )

@@ -781,3 +781,56 @@ def test_rouge_n_matches_hand_reference(spark):
     assert r2["rouge2_f1"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="orders"):
         rouge_n(same, "c", "r", orders=(0,))
+
+
+# ---------------------------------------------------------------------------
+# chrF (r7)
+# ---------------------------------------------------------------------------
+
+def _hand_chrf(pairs, max_n=4, beta=2.0):
+    import re
+    from collections import Counter
+
+    m = [0] * max_n
+    tc = [0] * max_n
+    tr = [0] * max_n
+    cl = rl = 0
+    for c, r in pairs:
+        cs, rs = re.sub(r"\s+", "", c), re.sub(r"\s+", "", r)
+        cl += len(cs)
+        rl += len(rs)
+        for n in range(1, max_n + 1):
+            cg = Counter(cs[i:i + n] for i in range(len(cs) - n + 1))
+            rg = Counter(rs[i:i + n] for i in range(len(rs) - n + 1))
+            m[n - 1] += sum(min(v, rg[g]) for g, v in cg.items())
+            tc[n - 1] += max(len(cs) - n + 1, 0)
+            tr[n - 1] += max(len(rs) - n + 1, 0)
+    P = sum((mi / t if t else 0.0) for mi, t in zip(m, tc)) / max_n
+    R = sum((mi / t if t else 0.0) for mi, t in zip(m, tr)) / max_n
+    b2 = beta * beta
+    f = (1 + b2) * P * R / (b2 * P + R) if P + R > 0 else 0.0
+    return f, P, R, cl, rl
+
+
+def test_chrf_matches_hand_reference(spark):
+    from eland_spark.operators.evaluation import chrf
+
+    pairs = [
+        ("the cat sat", "the cats sat"),   # partial word overlap
+        ("abc def", "abcdef"),             # whitespace stripped
+        ("xy", "zq"),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(pairs, columns=["c", "r"]))
+    row = chrf(sdf, "c", "r", max_n=4, beta=2.0).toPandas().iloc[0]
+    f, P, R, cl, rl = _hand_chrf(pairs)
+    assert row["chrf"] == pytest.approx(f, abs=1e-6)
+    assert row["prec"] == pytest.approx(P, abs=1e-6)
+    assert row["rec"] == pytest.approx(R, abs=1e-6)
+    assert row["cand_len"] == cl and row["ref_len"] == rl
+    # identical corpus -> chrF 1; disjoint charset -> 0
+    same = spark.createDataFrame(pd.DataFrame({"c": ["abcd"], "r": ["abcd"]}))
+    assert chrf(same, "c", "r").toPandas().iloc[0]["chrf"] == pytest.approx(1.0)
+    disj = spark.createDataFrame(pd.DataFrame({"c": ["aaaa"], "r": ["bbbb"]}))
+    assert chrf(disj, "c", "r").toPandas().iloc[0]["chrf"] == 0.0
+    with pytest.raises(ValueError, match="beta"):
+        chrf(same, "c", "r", beta=0)

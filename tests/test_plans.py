@@ -1011,6 +1011,9 @@ def test_round5_query_plan_pins(spark):
         "unigram_train": (0, 0),
         # one piece-count agg after the zero-shuffle Arrow segment pass
         "unigram_segment": (1, 0),
+        # one gram-keyed agg per side + clipped join; lengths/totals
+        # ride 1-row broadcasts
+        "chrf": (4, 1),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
