@@ -8026,7 +8026,7 @@ def _scd2_history_oracle_sql() -> str:
         )
         SELECT user_id, event_type, valid_from,
                LEAD(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from) AS valid_to
+                                      ORDER BY valid_from, run) AS valid_to
         FROM grp
     """
 
@@ -8248,7 +8248,9 @@ def _drift_battery_oracle_sql(terms: int = 20) -> str:
         ), pv AS MATERIALIZED (
             SELECT k, round(ks, 6) AS ks_r,
                    CASE WHEN ks IS NOT NULL THEN
-                       round(least(greatest(2.0 * ({series}), 0.0), 1.0), 6)
+                       round(CASE WHEN lam < 0.16 THEN 1.0
+                             ELSE least(greatest(2.0 * ({series}), 0.0),
+                                        1.0) END, 6)
                    END AS p,
                    rt, ct
             FROM (
@@ -8432,7 +8434,7 @@ def _pit_join_oracle_sql() -> str:
         ), iv AS (
             SELECT user_id, state, valid_from,
                    LEAD(valid_from) OVER (PARTITION BY user_id
-                                          ORDER BY valid_from) AS valid_to
+                                          ORDER BY valid_from, run) AS valid_to
             FROM grp
         ), pts AS (
             SELECT user_id, ts, event_type, value FROM events

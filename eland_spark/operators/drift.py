@@ -558,17 +558,24 @@ def js_divergence(
 def kolmogorov_pvalue(lam, terms: int = 20):
     """Asymptotic two-sided Kolmogorov p-value as a Column expression:
     ``Q(lam) = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lam^2)`` truncated
-    at ``terms`` (terms decay like exp(-2k^2), so 20 terms is exact to
-    double precision for lam >= ~0.15; smaller lam clamps to 1).
-    Pure arithmetic + exp — any engine replays it bit-for-bit, no
-    special functions needed.
+    at ``terms``, with ``lam < 0.16`` returning exactly 1 — below that
+    the 20-term truncation degrades (at lam = 0 the alternating
+    partial sums oscillate and 20 terms give 0, the OPPOSITE tail: a
+    no-drift key would read as the strongest rejection, r7 review
+    finding); at the 0.16 cutover the truncation error is < 1e-9 and
+    the true Q is within 1e-20 of 1, so the rule is continuous to
+    double precision (the Numerical Recipes probks convention: return
+    1 where the series hasn't converged). Pure
+    arithmetic + exp — any engine replays it bit-for-bit, no special
+    functions needed.
     """
     lam = F.col(lam) if isinstance(lam, str) else lam
     s = F.lit(0.0)
     for k in range(1, terms + 1):
         term = F.exp(F.lit(-2.0 * k * k) * lam * lam)
         s = s + (term if k % 2 == 1 else -term)
-    return F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0))
+    series = F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0))
+    return F.when(lam < 0.16, F.lit(1.0)).otherwise(series)
 
 
 def ks_battery(

@@ -79,7 +79,13 @@ def scd2_history(
         *[F.min(a).alias(a) for a in attrs],
         F.min(ts_col).alias("valid_from"),
     )
-    wk = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    # __run__ breaks valid_from ties: two runs of one key CAN start at
+    # the same timestamp (equal-ts events with different attrs under a
+    # tiebreak column) and lead() over valid_from alone would close
+    # them nondeterministically (r7 review finding)
+    wk = Window.partitionBy(*keys).orderBy(
+        F.col("valid_from").asc(), F.col("__run__").asc()
+    )
     return grouped.select(
         *keys,
         *attrs,

@@ -976,7 +976,8 @@ def mmr_rerank(
     the context window (near-duplicate passages waste prompt tokens).
     First pick is pure relevance (empty-set penalty is 0); ties break
     to the lowest id on every step so the selection is deterministic
-    and engine-replayable. Rows with a null id/relevance/vector drop.
+    and engine-replayable. Rows with a null OR NaN relevance/vector
+    (or a null query/id) drop.
 
     Scale shape: the candidate frame is already BOUNDED per query
     (top-N out of ``knn_join``/``ivf_topk``), so one applyInPandas
@@ -998,11 +999,21 @@ def mmr_rerank(
         raise ValueError("lam must be in [0, 1]")
     if k < 1:
         raise ValueError("k must be >= 1")
+    # NaN must drop with the nulls: a NaN relevance (or NaN vector
+    # component feeding the cosine) poisons the greedy's comparisons —
+    # every '>' against a NaN best is False, so whichever row happens
+    # to sit first in the Arrow batch would win, breaking the
+    # determinism contract (r7 review finding)
     base = sdf.select(query_col, id_col, rel_col, vec_col).where(
         F.col(query_col).isNotNull()
         & F.col(id_col).isNotNull()
         & F.col(rel_col).isNotNull()
+        & ~F.isnan(F.col(rel_col).cast("double"))
         & F.col(vec_col).isNotNull()
+        & ~F.exists(
+            F.col(vec_col),
+            lambda v: v.isNull() | F.isnan(v.cast("double")),
+        )
     )
     qf = base.schema[query_col]
     idf = base.schema[id_col]

@@ -581,3 +581,35 @@ def test_fdr_bh_distributed_path_matches_local(spark):
     exp = _hand_bh(np.array(ps))
     assert np.allclose(got["p_adj"].values, exp, atol=1e-12)
     assert (got["reject"] == (exp <= 0.05)).all()
+
+
+def test_kolmogorov_pvalue_small_lam_is_one(spark):
+    """lam -> 0 must give p = 1 (no evidence), NOT the truncated
+    series' oscillation artifact 0 (r7 review finding: a no-drift key
+    would have fired the FDR gate hardest)."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.drift import kolmogorov_pvalue
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lam": [0.0, 0.02, 0.1, 0.1599, 0.16, 0.2]})
+    )
+    got = {
+        r["lam"]: r["q"]
+        for r in df.select("lam", kolmogorov_pvalue("lam").alias("q"))
+        .collect()
+    }
+    assert got[0.0] == 1.0 and got[0.02] == 1.0
+    assert got[0.1] == 1.0 and got[0.1599] == 1.0
+    # continuity at the cutover: series error < 1e-9, true Q ~ 1-1e-20
+    assert got[0.16] == pytest.approx(1.0, abs=1e-9)
+    assert got[0.2] == pytest.approx(1.0, abs=1e-7)
+
+
+def test_ks_battery_identical_key_p_is_one(spark):
+    from eland_spark.operators.drift import ks_battery
+
+    same = pd.DataFrame({"k": ["a"] * 40, "v": [1.0, 2.0] * 20})
+    a = spark.createDataFrame(same)
+    row = ks_battery(a, a, "k", "v").collect()[0]
+    assert row["ks"] == 0.0 and row["p"] == 1.0

@@ -212,3 +212,25 @@ def test_mmr_k_exceeds_candidates_and_validation(spark):
         mmr_rerank(sdf, "q", "id", "rel", "vec", k=2, lam=1.5)
     with pytest.raises(ValueError, match="k must"):
         mmr_rerank(sdf, "q", "id", "rel", "vec", k=0, lam=0.5)
+
+
+def test_mmr_drops_nan_relevance_and_vectors(spark):
+    from eland_spark.operators.similarity import mmr_rerank
+
+    pdf = pd.DataFrame(
+        {
+            "q": [0, 0, 0, 0],
+            "id": [1, 2, 3, 4],
+            "rel": [float("nan"), 0.9, 0.5, 0.8],
+            "vec": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0],
+                    [float("nan"), 1.0]],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        (r["rnk"], r["id"])
+        for r in mmr_rerank(sdf, "q", "id", "rel", "vec", k=4, lam=1.0)
+        .orderBy("rnk").collect()
+    ]
+    # ids 1 (NaN rel) and 4 (NaN vector) dropped; pure relevance order
+    assert got == [(1, 2), (2, 3)]

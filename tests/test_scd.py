@@ -215,3 +215,22 @@ def test_pit_join_composes_with_scd2(spark):
         r["t"]: r["st"] for r in pit_join(pts, hist, "uid", "t").collect()
     }
     assert got == {2: "a", 3: "b", 99: "b"}
+
+
+def test_scd2_equal_timestamp_run_starts_deterministic(spark):
+    """Two runs of one key starting at the SAME timestamp (equal-ts
+    events with different attrs under a tiebreak) must close
+    deterministically: the earlier run (by event order) gets
+    valid_to = the shared timestamp, the later one stays open."""
+    ev = pd.DataFrame(
+        {"uid": [1, 1], "ts": [5, 5], "eid": [1, 2],
+         "state": ["a", "b"]}
+    )
+    for _ in range(3):  # stable across repeated plans
+        got = _sorted(
+            (r["uid"], r["state"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(
+                spark.createDataFrame(ev), "uid", "state", "ts", ["eid"]
+            ).collect()
+        )
+        assert got == _sorted([(1, "a", 5, 5), (1, "b", 5, None)])
