@@ -946,6 +946,58 @@ def simhash_frame(
     return grouped.select("__id__", out.alias("__simhash__"))
 
 
+def _band_complement(col: Column, b: int, width: int) -> Column:
+    """The 64-bit value ``col`` with band ``b``'s ``width`` bits removed
+    and the remaining bits compacted into the low ``64 - width`` bits.
+    Guards the ``(b + 1) * width == 64`` case explicitly: a Java long
+    shift uses only the low 6 bits of its count, so ``x >>> 64 == x``,
+    not 0."""
+    low_bits = b * width
+    low = (
+        col.bitwiseAND(_mask_lit(low_bits))
+        if low_bits
+        else F.lit(0).cast("long")
+    )
+    hi_shift = (b + 1) * width
+    if hi_shift >= 64:
+        high = F.lit(0).cast("long")
+    else:
+        high = F.shiftleft(F.shiftrightunsigned(col, hi_shift), low_bits)
+    return low.bitwiseOR(high)
+
+
+def _mask_lit(width: int) -> Column:
+    """Literal long with the low ``width`` bits set. ``width == 64`` is
+    all-ones, which as a SIGNED long literal is -1 (``(1 << 64) - 1``
+    overflows the JVM long)."""
+    return F.lit(-1) if width >= 64 else F.lit((1 << width) - 1)
+
+
+def simhash_block_keys(col: Column, max_hamming: int) -> Column:
+    """Array of (bs, bits, sub) blocking structs for a 64-bit SimHash
+    fingerprint — the two-level pigeonhole keys ``simhash_near_dup_pairs``
+    equi-joins on. Exposed so tests can pin the candidate-count bound."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    rem_width = 64 - width
+    sub_w = rem_width // n_bands
+    entries = []
+    for b in range(n_bands):
+        bits = F.shiftrightunsigned(col, b * width).bitwiseAND(_mask_lit(width))
+        rem = _band_complement(col, b, width)
+        for s in range(n_bands):
+            w_s = sub_w if s < n_bands - 1 else rem_width - sub_w * (n_bands - 1)
+            sub = F.shiftrightunsigned(rem, s * sub_w).bitwiseAND(_mask_lit(w_s))
+            entries.append(
+                F.struct(
+                    F.lit(b * n_bands + s).alias("bs"),
+                    bits.alias("bits"),
+                    sub.alias("sub"),
+                )
+            )
+    return F.array(*entries)
+
+
 def simhash_near_dup_pairs(
     sdf,
     text: Column,
@@ -956,33 +1008,44 @@ def simhash_near_dup_pairs(
 ):
     """SimHash near-dup candidate pairs within a hamming radius.
 
-    Pigeonhole banding: split the 64-bit fingerprint into
-    ``max_hamming + 1`` bands — any pair within the radius MUST agree
-    exactly on at least one band, so candidates come from equality
-    joins on (band_idx, band_bits), never an all-pairs comparison.
-    Verification is one codegen'd bit_count(xor) per candidate.
-    Returns (id_a, id_b, hamming)."""
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
+    Two-level pigeonhole banding. Level 1: split the 64-bit fingerprint
+    into ``max_hamming + 1`` bands — any pair within the radius MUST
+    agree exactly on at least one band. Level 2: a pair that agrees on
+    band ``b`` still has at most ``max_hamming`` mismatches in the
+    remaining ``64 - width`` bits, so it must ALSO agree exactly on at
+    least one of ``max_hamming + 1`` sub-bands of that complement.
+    Blocking on (band, band_bits, sub_band, sub_bits) keeps the
+    exhaustiveness guarantee while widening the random-collision key
+    space from 2^16 to 2^28 per block (defaults): candidate pairs from
+    unrelated documents grow O(n²/2²⁸) per block instead of O(n²/2¹⁶)
+    per band — the difference between fine and catastrophic at 100×
+    corpus scale. Verification is one codegen'd bit_count(xor) per
+    candidate. Returns (id_a, id_b, hamming)."""
     fp = simhash_frame(sdf, text, id_alias, k, portable=portable)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftrightunsigned(F.col("__simhash__"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bits"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = fp.select("__id__", "__simhash__", F.explode(bands).alias("band")).select(
-        "__id__", "__simhash__", F.col("band.b").alias("__b__"), F.col("band.bits").alias("__bits__")
+    banded = fp.select(
+        "__id__",
+        "__simhash__",
+        F.explode(simhash_block_keys(F.col("__simhash__"), max_hamming)).alias(
+            "blk"
+        ),
+    ).select(
+        "__id__",
+        "__simhash__",
+        F.col("blk.bs").alias("__bs__"),
+        F.col("blk.bits").alias("__bits__"),
+        F.col("blk.sub").alias("__sub__"),
     )
     l, r = banded.alias("l"), banded.alias("r")
     ham = F.bit_count(F.col("l.__simhash__").bitwiseXOR(F.col("r.__simhash__")))
     return (
-        l.join(r, on=[F.col("l.__b__") == F.col("r.__b__"), F.col("l.__bits__") == F.col("r.__bits__")])
+        l.join(
+            r,
+            on=[
+                F.col("l.__bs__") == F.col("r.__bs__"),
+                F.col("l.__bits__") == F.col("r.__bits__"),
+                F.col("l.__sub__") == F.col("r.__sub__"),
+            ],
+        )
         .filter(F.col("l.__id__") < F.col("r.__id__"))
         .select(
             F.col("l.__id__").alias("id_a"),

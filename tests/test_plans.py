@@ -588,6 +588,32 @@ def test_dup_spans_and_bloom_plan_shapes(spark):
     assert "CartesianProduct" not in plan and "Window" not in plan, plan
 
 
+def test_simhash_two_level_banding_plan(spark):
+    """The simhash candidate join must be an EQUI-join on the two-level
+    pigeonhole block keys (band bits AND sub-band bits — the 2^28 key
+    space that keeps random collisions sub-quadratic at 100x), never a
+    cartesian/nested-loop, and never a join on band bits alone."""
+    from pyspark.sql import functions as F
+
+    from eland_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = es.read_parquet(spark, f"{SF}/documents.parquet").to_spark()
+    pairs = simhash_near_dup_pairs(
+        docs, F.col("text"), F.col("doc_id"), k=2, max_hamming=3
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "__bits__" in ln
+    ]
+    assert join_lines, plan
+    # every candidate join keys on band index + band bits + sub bits
+    for ln in join_lines:
+        assert "__bs__" in ln and "__sub__" in ln, ln
+
+
 def test_lint_plan_flags_hazards_and_clears_clean_plans(spark):
     """The static scale-hazard linter: cartesian products,
     single-partition exchanges and row-at-a-time Python UDFs are

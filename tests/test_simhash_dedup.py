@@ -40,6 +40,72 @@ def test_banded_pairs_equal_exhaustive(spark):
     assert len(banded) >= 1  # fixture contains at least one near-dup pair
 
 
+def test_block_keys_candidate_count_subquadratic(spark):
+    """The 100x-scale contract of the two-level pigeonhole blocking:
+    on RANDOM (unrelated) fingerprints the candidate-pair count must
+    stay near-zero, not O(n^2 / 2^16) as single-level 16-bit bands
+    give. n=20k random fingerprints -> single-level banding expects
+    ~12k random candidate pairs (4 * C(n,2) / 2^16); two-level blocks
+    on 28-bit keys expect ~12 (16 * C(n,2) / 2^28). Deterministic:
+    fingerprints are xxhash64 of a fixed id range."""
+    from eland_spark.operators.dedup import simhash_block_keys
+
+    n = 20_000
+    fp = spark.range(n).select(
+        F.col("id"), F.xxhash64(F.col("id")).alias("h")
+    )
+    blocked = fp.select(
+        "id", F.explode(simhash_block_keys(F.col("h"), 3)).alias("blk")
+    ).select("id", "blk.bs", "blk.bits", "blk.sub")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    candidates = (
+        l.join(r, on=["bs", "bits", "sub"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id"), F.col("r.id"))
+        .distinct()
+        .count()
+    )
+    # generous 10x headroom over the ~12 expected; single-level banding
+    # would land ~3 orders of magnitude above this bound
+    assert candidates < 150, candidates
+
+
+def test_block_keys_pigeonhole_guarantee(spark):
+    """Any two fingerprints within the hamming radius share >= 1 block
+    key — across radii including ones where 64 doesn't divide evenly
+    (widths 64/(h+1) with remainders). Planted pairs: base fingerprint
+    XOR a mask of exactly h deterministic bit positions."""
+    from eland_spark.operators.dedup import simhash_block_keys
+
+    rows = []
+    for h in (0, 1, 2, 3, 4, 5):
+        for seed in range(40):
+            base = (seed * 0x9E3779B97F4A7C15 + 0x243F6A8885A308D3) % (1 << 64)
+            # h deterministic, distinct bit positions spread over all 64
+            positions = {(seed * 13 + i * 23 + h * 7) % 64 for i in range(h)}
+            while len(positions) < h:
+                positions.add((max(positions, default=0) + 11) % 64)
+            mask = 0
+            for p in positions:
+                mask |= 1 << p
+            a = base - (1 << 64) if base >= (1 << 63) else base
+            bm = base ^ mask
+            b = bm - (1 << 64) if bm >= (1 << 63) else bm
+            rows.append((h, a, b))
+    sdf = spark.createDataFrame(rows, "h int, a long, b long")
+    for h in (0, 1, 2, 3, 4, 5):
+        sub = sdf.filter(F.col("h") == h)
+        shared = sub.select(
+            F.size(
+                F.array_intersect(
+                    simhash_block_keys(F.col("a"), h),
+                    simhash_block_keys(F.col("b"), h),
+                )
+            ).alias("n_shared")
+        )
+        assert shared.filter(F.col("n_shared") < 1).count() == 0, h
+
+
 def test_connected_components_synthetic(spark):
     from eland_spark.operators.dedup import connected_components
 
