@@ -8088,7 +8088,8 @@ def _mmr_rerank_oracle_sql() -> str:
                     SELECT c2.qid, c2.id,
                            max(CASE WHEN list_dot_product(c2.v, c2.v) > 0
                                      AND list_dot_product(sv.v, sv.v) > 0
-                                    THEN {pair_cos} ELSE 0.0 END) AS mx
+                                    THEN round({pair_cos}, 9)
+                                    ELSE 0.0 END) AS mx
                     FROM cand c2
                     JOIN {prev} a ON a.qid = c2.qid
                     JOIN cand sv ON sv.qid = a.qid AND sv.id = a.id
@@ -8431,11 +8432,19 @@ def _pit_join_oracle_sql() -> str:
             SELECT user_id, run, min(event_type) AS state,
                    min(ts) AS valid_from
             FROM runs GROUP BY user_id, run
-        ), iv AS (
+        ), iv0 AS (
             SELECT user_id, state, valid_from,
                    LEAD(valid_from) OVER (PARTITION BY user_id
                                           ORDER BY valid_from, run) AS valid_to
             FROM grp
+        ), iv AS (
+            -- mirror pit_join's duplicate-(key, valid_from) collapse:
+            -- keep the open/latest-ending interval (the later run);
+            -- the rest are zero-length [t, t) rows no point is inside
+            SELECT user_id, state, valid_from, valid_to FROM iv0
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, valid_from
+                ORDER BY (valid_to IS NULL) DESC, valid_to DESC) = 1
         ), pts AS (
             SELECT user_id, ts, event_type, value FROM events
             WHERE ts >= TIMESTAMP '{_BATTERY_SPLIT}'
@@ -8628,7 +8637,8 @@ def q_unigram_segment(spark, sf_dir) -> DataFrame:
         iters=0, max_word_len=_UNI_M,
     )
     seg = unigram_segment_frame(
-        docs, F.col("text"), model, max_piece_len=_UNI_L
+        docs, F.col("text"), model, max_piece_len=_UNI_L,
+        max_word_len=_UNI_M,
     )
     return (
         seg.select(F.explode("pieces").alias("piece"))
@@ -8653,11 +8663,23 @@ def _unigram_segment_oracle_sql() -> str:
         ), vm AS MATERIALIZED (
             SELECT * FROM chars_f UNION ALL SELECT * FROM multi_f
         )"""
-    em = _unigram_em_ctes(9, "vm", "words", L, M)
+    # the DP runs over words_tr (len <= max_word_len) — the engine emits
+    # one '<unk>' per OCCURRENCE of an overlong word (explicit semantic,
+    # see unigram_segment_frame), which the oracle adds as a single
+    # frequency-weighted row; '<' is outside the normalized charset so
+    # '<unk>' can never collide with a real piece, but group anyway
+    em = _unigram_em_ctes(9, "vm", "words_tr", L, M)
     return f"""
-        WITH RECURSIVE {seed},{model},{em}
-        SELECT piece, CAST(n AS BIGINT) AS n
-        FROM e9 ORDER BY n DESC, piece LIMIT 30
+        WITH RECURSIVE {seed},{model},{em},
+        e9u AS (
+            SELECT piece, n FROM e9
+            UNION ALL
+            SELECT '<unk>' AS piece, sum(cnt) AS n
+            FROM words WHERE len(word) > {M}
+            HAVING sum(cnt) > 0
+        )
+        SELECT piece, CAST(sum(n) AS BIGINT) AS n
+        FROM e9u GROUP BY piece ORDER BY n DESC, piece LIMIT 30
     """
 
 

@@ -117,6 +117,16 @@ def pit_join(
     (key, start) — one keyed exchange, running-fill windows, no range
     explosion — plus a zero-shuffle expiry mask (a matched-but-expired
     interval nulls its state columns instead of dropping the row).
+
+    Duplicate ``(key, start_on)`` intervals — which
+    :func:`scd2_history` legitimately produces when several runs of one
+    key start at the same timestamp under a tiebreak column — are
+    collapsed BEFORE the asof, keeping the interval that is still open
+    (null ``end_on``) or ends latest: that is the later run, the one a
+    point at exactly that timestamp is inside. The earlier runs are
+    zero-length ``[t, t)`` intervals no point can ever be inside, so
+    dropping them changes no answer — it only removes the
+    engine-dependent choice a duplicate-key asof would otherwise make.
     """
     from pyspark.sql import DataFrame as SparkDataFrame
 
@@ -135,6 +145,14 @@ def pit_join(
     state_cols = [
         c for c in isdf.columns if c not in (*keys, start_on, end_on)
     ]
+    wd = Window.partitionBy(*keys, start_on).orderBy(
+        F.col(end_on).isNull().desc(), F.col(end_on).desc()
+    )
+    isdf = (
+        isdf.withColumn("__pit_rn__", F.row_number().over(wd))
+        .where(F.col("__pit_rn__") == 1)
+        .drop("__pit_rn__")
+    )
     r = isdf.withColumnRenamed(start_on, point_on)
     out = merge_asof(
         points, r, on=point_on, by=keys, direction="backward",

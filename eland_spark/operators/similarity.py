@@ -985,8 +985,10 @@ def mmr_rerank(
     <=N rows — per-query work is O(k * N * dim), groups parallelize
     across executors, and nothing global shuffles or collects. The
     pairwise dot products accumulate SEQUENTIALLY in float64 (matching
-    the engine's zip_with fold and DuckDB's list_dot_product) so a SQL
-    oracle replays the same greedy.
+    the engine's zip_with fold and DuckDB's list_dot_product) and the
+    penalty cosine is rounded to 9dp before it feeds the score, so a
+    SQL oracle replays the same greedy even if either engine's
+    dot-product vectorization drifts by an ulp.
 
     Returns ``(query_col, id_col, mmr_score, rnk)``.
     """
@@ -1065,7 +1067,14 @@ def mmr_rerank(
                     continue
                 # zero-norm vectors contribute similarity 0 by contract
                 if norms[bi] > 0.0 and norms[i] > 0.0:
-                    c = _sdot(vecs[i], vecs[bi]) / (norms[i] * norms[bi])
+                    # rounded to 9dp so greedy selection ties can never
+                    # hinge on 1-ulp dot-product drift between engines
+                    # (the relevance side is rounded by the caller; the
+                    # penalty side must be too, or a vectorization/FMA
+                    # change in either engine could flip a tie)
+                    c = round(
+                        _sdot(vecs[i], vecs[bi]) / (norms[i] * norms[bi]), 9
+                    )
                 else:
                     c = 0.0
                 if pen[i] is None or c > pen[i]:

@@ -213,13 +213,19 @@ def unigram_segment_frame(
     out_col: str = "pieces",
     unk: str = "<unk>",
     normalized: bool = True,
+    max_word_len: "int | None" = 12,
 ) -> DataFrame:
     """Segment every row's text under a trained unigram model: adds
     ``out_col`` (array<string> of pieces, words concatenated in order;
-    an unsegmentable word emits one ``unk``). Tokenization happens in
-    Spark (the same normalized_tokens split training used); the
-    per-word Viterbi is one Arrow mapInPandas stage with the
-    model broadcast — zero shuffles."""
+    an unsegmentable word emits one ``unk``). Words longer than
+    ``max_word_len`` also emit one ``unk`` — the segmentation twin of
+    training's exclusion (the WordPiece max_input_chars_per_word
+    convention), and an EXPLICIT semantic so the SQL oracle's bounded
+    DP unroll and the engine agree on any corpus, not just ones whose
+    max word length happens to fit the unroll; ``None`` disables the
+    cap. Tokenization happens in Spark (the same normalized_tokens
+    split training used); the per-word Viterbi is one Arrow
+    mapInPandas stage with the model broadcast — zero shuffles."""
     from .dedup import normalized_tokens
     from .text import tokens as raw_tokens
 
@@ -249,7 +255,10 @@ def unigram_segment_frame(
                 for word in ts:
                     seg = memo.get(word)
                     if seg is None:
-                        seg = viterbi_segment(word, table, mpl) or [unk]
+                        if max_word_len is not None and len(word) > max_word_len:
+                            seg = [unk]
+                        else:
+                            seg = viterbi_segment(word, table, mpl) or [unk]
                         memo[word] = seg
                     pieces.extend(seg)
                 out.append(pieces)

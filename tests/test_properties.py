@@ -2013,8 +2013,10 @@ def test_mmr_matches_reference_fuzz(spark, cands, lam):
         for i in range(len(ids)):
             if taken[i]:
                 continue
+            # engine contract: penalty cosine rounded to 9dp before it
+            # feeds the score (cross-engine ulp-drift guard)
             c = (
-                dot(vecs[i], vecs[bi]) / (nrm[i] * nrm[bi])
+                round(dot(vecs[i], vecs[bi]) / (nrm[i] * nrm[bi]), 9)
                 if nrm[i] > 0 and nrm[bi] > 0
                 else 0.0
             )

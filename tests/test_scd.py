@@ -217,6 +217,45 @@ def test_pit_join_composes_with_scd2(spark):
     assert got == {2: "a", 3: "b", 99: "b"}
 
 
+def test_pit_join_duplicate_valid_from_picks_open_interval(spark):
+    """Duplicate (key, valid_from) intervals — scd2's equal-ts run
+    starts — must resolve deterministically to the LATER run (the open
+    / latest-ending interval): a point at the shared timestamp lands
+    in the later run's state, never the zero-length [t, t) one, and
+    repeated plans agree."""
+    from eland_spark.operators.scd import pit_join, scd2_history
+
+    ev = pd.DataFrame(
+        {"uid": [1, 1, 1], "ts": [5, 5, 9], "eid": [1, 2, 3],
+         "st": ["a", "b", "c"]}
+    )
+    hist = scd2_history(
+        spark.createDataFrame(ev), "uid", "st", "ts", ["eid"]
+    )
+    # intervals: (a, 5, 5) zero-length, (b, 5, 9), (c, 9, None)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"uid": [1, 1, 1, 1], "t": [4, 5, 8, 9]})
+    )
+    for _ in range(3):
+        got = {
+            r["t"]: r["st"]
+            for r in pit_join(pts, hist, "uid", "t").collect()
+        }
+        assert got == {4: None, 5: "b", 8: "b", 9: "c"}
+    # three same-ts runs: both earlier ones are zero-length, the last
+    # (by tiebreak order) wins
+    ev3 = pd.DataFrame(
+        {"uid": [2, 2, 2], "ts": [5, 5, 5], "eid": [1, 2, 3],
+         "st": ["a", "b", "c"]}
+    )
+    hist3 = scd2_history(
+        spark.createDataFrame(ev3), "uid", "st", "ts", ["eid"]
+    )
+    pts3 = spark.createDataFrame(pd.DataFrame({"uid": [2], "t": [7]}))
+    got3 = pit_join(pts3, hist3, "uid", "t").collect()[0]["st"]
+    assert got3 == "c"
+
+
 def test_scd2_equal_timestamp_run_starts_deterministic(spark):
     """Two runs of one key starting at the SAME timestamp (equal-ts
     events with different attrs under a tiebreak) must close

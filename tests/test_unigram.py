@@ -165,3 +165,30 @@ def test_unigram_segment_frame_roundtrip_and_unk(spark):
         other, F.col("text"), model, max_piece_len=3
     ).collect()[0]["pieces"]
     assert got[0] == "<unk>" and "".join(got[1:]) == "the"
+
+
+def test_unigram_segment_overlong_word_is_unk(spark):
+    """Words past max_word_len emit ONE <unk> (the explicit semantic
+    that keeps the bounded-unroll SQL oracle sound on any corpus);
+    max_word_len=None disables the cap and segments normally."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    )
+    model = unigram_train(
+        docs, F.col("text"), vocab_size=25, max_piece_len=3,
+        seed_size=40, iters=0, max_word_len=10,
+    )
+    long_word = "thecatthecatthecat"  # 18 chars, all in-charset
+    other = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [f"the {long_word} cat"]})
+    )
+    capped = unigram_segment_frame(
+        other, F.col("text"), model, max_piece_len=3, max_word_len=10
+    ).collect()[0]["pieces"]
+    assert capped.count("<unk>") == 1
+    assert "".join(p for p in capped if p != "<unk>") == "thecat"
+    uncapped = unigram_segment_frame(
+        other, F.col("text"), model, max_piece_len=3, max_word_len=None
+    ).collect()[0]["pieces"]
+    assert "<unk>" not in uncapped
+    assert "".join(uncapped) == f"the{long_word}cat"
