@@ -8779,6 +8779,335 @@ def _chrf_oracle_sql(max_n: int = 4, beta: float = 2.0) -> str:
     """
 
 
+def q_kaplan_meier(spark, sf_dir) -> DataFrame:
+    """Kaplan-Meier survival curves (operators/survival.py) per user
+    cohort: duration = whole hours from a user's first event to their
+    first purchase (event observed) or to their last event (right-
+    censored, no purchase) — the retention curve with censoring done
+    right. Cohort = user_id % 3. Plan: one per-user agg, one
+    per-(cohort, duration) agg, then at-risk/survival on ONE keyed
+    window exchange; survival = exp(cumsum(ln)) rounded 6dp (identical
+    float sequence in the oracle)."""
+    from eland_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchase_ts"),
+    )
+    subjects = per_user.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")).alias(
+            "cohort"
+        ),
+        F.floor(
+            (
+                F.unix_micros(
+                    F.coalesce("purchase_ts", "last_ts").cast("timestamp")
+                )
+                - F.unix_micros(F.col("first_ts").cast("timestamp"))
+            )
+            / F.lit(3_600_000_000)
+        ).cast("bigint").alias("duration_h"),
+        F.col("purchase_ts").isNotNull().cast("int").alias("observed"),
+    )
+    return kaplan_meier(subjects, "duration_h", "observed", ["cohort"])
+
+
+def _kaplan_meier_oracle_sql() -> str:
+    return """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS purchase_ts
+            FROM events GROUP BY user_id
+        ), subjects AS (
+            SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+                   CAST(floor(epoch_us(COALESCE(purchase_ts, last_ts)
+                              - first_ts) / 3600000000) AS BIGINT)
+                       AS duration_h,
+                   CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+                       AS observed
+            FROM per_user
+        ), counts AS (
+            SELECT cohort, duration_h,
+                   sum(observed) AS n_event,
+                   sum(1 - observed) AS n_censored
+            FROM subjects GROUP BY cohort, duration_h
+        ), staged AS (
+            SELECT cohort, duration_h, n_event, n_censored,
+                   sum(n_event + n_censored) OVER (PARTITION BY cohort)
+                   - sum(n_event + n_censored) OVER (
+                         PARTITION BY cohort ORDER BY duration_h
+                         ROWS UNBOUNDED PRECEDING)
+                   + (n_event + n_censored) AS n_risk
+            FROM counts
+        )
+        SELECT cohort, duration_h,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(n_event AS BIGINT) AS n_event,
+               CAST(n_censored AS BIGINT) AS n_censored,
+               CASE WHEN sum(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY cohort ORDER BY duration_h
+                               ROWS UNBOUNDED PRECEDING) > 0
+                    THEN 0.0
+                    ELSE round(exp(sum(
+                         CASE WHEN n_event = 0 THEN 0.0
+                              WHEN n_event = n_risk THEN 0.0
+                              ELSE ln(1.0 - n_event / n_risk) END)
+                         OVER (PARTITION BY cohort ORDER BY duration_h
+                               ROWS UNBOUNDED PRECEDING)), 6)
+               END AS survival
+        FROM staged
+    """
+
+
+_BLM_LAM, _BLM_FLOOR = 0.7, 0.5
+
+
+def q_bigram_logppl(spark, sf_dir) -> DataFrame:
+    """Interpolated bigram-LM perplexity filter (operators/ngram_lm.py)
+    — the CCNet-style quality score one step up from unigram_logppl:
+    train counts on even doc_ids, score odd doc_ids by mean integer
+    nano-log cost (exact cross-engine sums), round 6dp."""
+    from eland_spark.operators.ngram_lm import (
+        bigram_lm_counts, bigram_logppl,
+    )
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    uni, bi = bigram_lm_counts(train, F.col("text"))
+    out = bigram_logppl(
+        score, F.col("text"), F.col("doc_id"), uni, bi,
+        lam=_BLM_LAM, floor_count=_BLM_FLOOR,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "logppl")
+
+
+def _bigram_logppl_oracle_sql() -> str:
+    lam, olam, floor = _BLM_LAM, 1.0 - _BLM_LAM, _BLM_FLOOR
+    tok = """
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+    """
+    return f"""
+        WITH tok AS MATERIALIZED ({tok}),
+        pairs AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN i = 1 THEN '<s>' ELSE l[i - 1] END AS v,
+                   l[i] AS w
+            FROM (SELECT doc_id, l,
+                         unnest(generate_series(1, len(l))) AS i
+                  FROM tok)
+        ), bi AS MATERIALIZED (
+            SELECT v, w, count(*) AS n FROM pairs
+            WHERE doc_id % 2 = 0 GROUP BY v, w
+        ), uni AS MATERIALIZED (
+            SELECT w AS token, count(*) AS n FROM pairs
+            WHERE doc_id % 2 = 0 GROUP BY w
+        ), ctx AS (
+            SELECT v, sum(n) AS cv FROM bi GROUP BY v
+        ), tot AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni
+        ), scored AS (
+            SELECT p.doc_id,
+                   CAST(round(-ln(
+                       {lam!r} * (CASE WHEN c.cv IS NOT NULL
+                                       THEN CAST(COALESCE(b.n, 0) AS DOUBLE)
+                                            / c.cv
+                                       ELSE 0.0 END)
+                       + {olam!r} * (COALESCE(CAST(u.n AS DOUBLE), {floor!r})
+                                     / tot.t)
+                   ) * 1e9) AS BIGINT) AS cost
+            FROM pairs p
+            LEFT JOIN bi b ON b.v = p.v AND b.w = p.w
+            LEFT JOIN ctx c ON c.v = p.v
+            LEFT JOIN uni u ON u.token = p.w
+            CROSS JOIN tot
+            WHERE p.doc_id % 2 = 1
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(cost) AS total
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               round(CAST(p.total AS DOUBLE) / p.n_tokens / 1e9, 6)
+                   AS logppl
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+    """
+
+
+def q_containment_near_dup(spark, sf_dir) -> DataFrame:
+    """Shingle-containment near-dup pairs (dedup.py
+    containment_near_dup_pairs): the asymmetric |A∩B|/|A| overlap that
+    catches short-doc-inside-long-doc copies Jaccard banding misses.
+    Rare-shingle blocking (df in [2, 20]) keeps candidates linear;
+    verification is fully relational (pair x shingle hash join)."""
+    from eland_spark.operators.dedup import containment_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    return containment_near_dup_pairs(
+        docs, F.col("text"), F.col("doc_id"),
+        threshold=0.5, k=3, max_df=20,
+    )
+
+
+def _containment_oracle_sql(k: int = 3, max_df: int = 20,
+                            threshold: float = 0.5) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+'), t -> t <> '') AS l
+            FROM documents
+        ), sha AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) >= {k} THEN
+                            [array_to_string(l[i:i+{k - 1}], ' ')
+                             for i in generate_series(1, len(l) - {k - 1})]
+                        WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                        ELSE [] END AS ss
+            FROM toks
+        ), rows_ AS MATERIALIZED (
+            SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, unnest(ss) AS s FROM sha)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM rows_ GROUP BY doc_id
+        ), rare AS (
+            SELECT r.doc_id, r.s FROM rows_ r
+            JOIN (SELECT s FROM rows_ GROUP BY s
+                  HAVING count(*) BETWEEN 2 AND {max_df}) d ON d.s = r.s
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM rare l JOIN rare r
+              ON l.s = r.s AND l.doc_id < r.doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_common
+            FROM cand c
+            JOIN rows_ sa ON sa.doc_id = c.id_a
+            JOIN rows_ sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+               round(CAST(n_common AS DOUBLE) / za.sz, 6) AS containment_a,
+               round(CAST(n_common AS DOUBLE) / zb.sz, 6) AS containment_b
+        FROM inter
+        JOIN sizes za ON za.doc_id = id_a
+        JOIN sizes zb ON zb.doc_id = id_b
+        WHERE greatest(round(CAST(n_common AS DOUBLE) / za.sz, 6),
+                       round(CAST(n_common AS DOUBLE) / zb.sz, 6))
+              >= {threshold!r}
+    """
+
+
+def q_k_anonymity(spark, sf_dir) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operators/privacy.py)
+    of the events table: equivalence classes over (event_type, day),
+    user_id as the sensitive attribute — one hash agg to the class
+    table, class-cardinality-sized."""
+    from eland_spark.operators.privacy import k_anonymity_audit
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    classes = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    return k_anonymity_audit(
+        classes, ["event_type", "day"], sensitive_col="user_id", k=10, l=5
+    )
+
+
+def _k_anonymity_oracle_sql(k: int = 10, l: int = 5) -> str:
+    return f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS class_size,
+               count(*) >= {k} AS is_k_anonymous,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS l_diversity,
+               count(DISTINCT user_id) >= {l} AS is_l_diverse
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    """
+
+
+_NEG_K, _NEG_SEED, _NEG_OVER = 5, 7, 3
+
+
+def q_negative_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic contrastive negative sampling (sampling.py
+    negative_sample): anchors = doc_ids 0..19, positives = the next
+    two docs (mod N), k=5 md5-hash negatives each, anti-joined against
+    the positives — bounded fan-out, no global window."""
+    from eland_spark.operators.sampling import negative_sample
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    n = docs.count()
+    anchors = docs.where(F.col("doc_id") < 20).select("doc_id")
+    positives = anchors.select(
+        F.col("doc_id").alias("anchor"),
+        ((F.col("doc_id") + 1) % n).alias("pos"),
+    ).unionByName(
+        anchors.select(
+            F.col("doc_id").alias("anchor"),
+            ((F.col("doc_id") + 2) % n).alias("pos"),
+        )
+    )
+    return negative_sample(
+        positives, docs, "anchor", "pos", "doc_id",
+        k=_NEG_K, seed=_NEG_SEED, oversample=_NEG_OVER,
+    )
+
+
+def _negative_sample_oracle_sql() -> str:
+    k, seed, over = _NEG_K, _NEG_SEED, _NEG_OVER
+    return f"""
+        WITH span AS (
+            SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents
+        ), anchors AS (
+            SELECT doc_id AS anchor FROM documents WHERE doc_id < 20
+        ), positives AS (
+            SELECT anchor, (anchor + 1) % (SELECT n FROM span) AS pos
+            FROM anchors
+            UNION
+            SELECT anchor, (anchor + 2) % (SELECT n FROM span) AS pos
+            FROM anchors
+            UNION
+            SELECT anchor, anchor AS pos FROM anchors
+        ), draws AS (
+            SELECT a.anchor, j,
+                   CAST(('0x' || substr(md5(
+                       CAST(a.anchor AS VARCHAR) || '|' ||
+                       CAST(j AS VARCHAR) || '{seed}'), 1, 15)) AS BIGINT)
+                   % s.n AS cand
+            FROM anchors a
+            CROSS JOIN span s
+            CROSS JOIN (SELECT unnest(generate_series(0, {k * over - 1}))
+                        AS j) js
+        ), kept AS (
+            SELECT d.anchor, d.cand, min(d.j) AS j
+            FROM draws d
+            JOIN documents c ON c.doc_id = d.cand
+            WHERE NOT EXISTS (SELECT 1 FROM positives p
+                              WHERE p.anchor = d.anchor
+                                AND p.pos = d.cand)
+            GROUP BY d.anchor, d.cand
+        )
+        SELECT anchor, CAST(cand AS BIGINT) AS neg_id,
+               CAST(rk AS INT) AS slot
+        FROM (SELECT anchor, cand, j,
+                     row_number() OVER (PARTITION BY anchor
+                                        ORDER BY j) AS rk
+              FROM kept)
+        WHERE rk <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9068,6 +9397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_train": q_unigram_train,
         "unigram_segment": q_unigram_segment,
         "chrf": q_chrf,
+        "kaplan_meier": q_kaplan_meier,
+        "bigram_logppl": q_bigram_logppl,
+        "containment_near_dup": q_containment_near_dup,
+        "k_anonymity": q_k_anonymity,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -11348,4 +11682,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train": _unigram_train_oracle_sql(),
         "unigram_segment": _unigram_segment_oracle_sql(),
         "chrf": _chrf_oracle_sql(),
+        "kaplan_meier": _kaplan_meier_oracle_sql(),
+        "bigram_logppl": _bigram_logppl_oracle_sql(),
+        "containment_near_dup": _containment_oracle_sql(),
+        "k_anonymity": _k_anonymity_oracle_sql(),
+        "negative_sample": _negative_sample_oracle_sql(),
     }

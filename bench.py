@@ -223,6 +223,15 @@ HEADLINE = [
     "unigram_segment",
     # r7: corpus chrF (char n-gram F-beta, whitespace-stripped)
     "chrf",
+    # r8: KM survival (keyed-window prefix products), bigram-LM ppl
+    # scoring (3 distributed count joins), shingle-containment dedup
+    # (rare-shingle blocking + exact count pruning), k-anonymity audit
+    # (one class agg), md5 negative sampling (bounded fan-out)
+    "kaplan_meier",
+    "bigram_logppl",
+    "containment_near_dup",
+    "k_anonymity",
+    "negative_sample",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -256,6 +265,7 @@ ROW_HEAVY = {
     "groupby_rolling_skew",
     "groupby_ewm_std",
     "groupby_ewm_wide",
+    "bigram_logppl",
 }
 
 # Ledgered explanations for sweep entries allowed over the per-query

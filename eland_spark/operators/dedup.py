@@ -1356,3 +1356,136 @@ def segment_dedup(
         F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle-containment near-dup (asymmetric: "A is inside B")
+# ---------------------------------------------------------------------------
+
+def containment_near_dup_pairs(
+    sdf,
+    text: Column,
+    id_alias: Column,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int = 20,
+):
+    """Near-dup pairs by shingle CONTAINMENT ``|A ∩ B| / |A|`` — the
+    asymmetric overlap that catches a short document embedded inside a
+    longer one (quotes, boilerplate-wrapped copies), which Jaccard
+    resemblance (and therefore MinHash banding) structurally misses:
+    a 100-shingle doc fully contained in a 10,000-shingle doc has
+    containment 1.0 but Jaccard 0.01.
+
+    Candidate generation is RARE-SHINGLE BLOCKING: two docs are
+    candidates iff they share at least one shingle whose corpus
+    document frequency is in [2, ``max_df``]. Rationale: a pair with
+    high containment shares many shingles; unless EVERY shared shingle
+    is corpus-common (boilerplate the curation pipeline strips
+    upstream), at least one lands under the cap. The cap bounds every
+    blocking bucket to <= max_df docs — co-rare-shingle pair rows grow
+    as sum_rare_shingles df^2 <= max_df * total_shingle_rows, linear
+    in corpus size, never O(n^2) — and an EXACT count-based pruning
+    stage (see inline comment) keeps the verify join off the
+    share-little pairs that diverse corpora produce in bulk. This is
+    the documented RECALL CONTRACT: a contained pair whose shared
+    shingles are all common is missed by design (same spirit as
+    MinHash's probabilistic recall).
+
+    Verification is fully relational — per-candidate intersection
+    counts come from one (pair x shingle) hash join, never by carrying
+    shingle arrays through the pair join — so the whole operator is
+    three hash aggs + three hash joins, exactly replayable in SQL.
+
+    Returns (id_a, id_b, n_common, containment_a, containment_b)
+    with ``max(containment_a, containment_b) >= threshold``;
+    containment_x = fraction of x's distinct shingles present in the
+    other side. id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    rows = shingle_rows(sdf, text, id_alias, k).localCheckpoint(eager=False)
+    sizes = rows.groupBy("__id__").agg(F.count(F.lit(1)).alias("sz"))
+    df_counts = rows.groupBy("__sh__").agg(F.count(F.lit(1)).alias("df"))
+    rare = rows.join(
+        df_counts.where(
+            (F.col("df") >= 2) & (F.col("df") <= max_df)
+        ).select("__sh__"),
+        "__sh__",
+    )
+    l, r = rare.alias("l"), rare.alias("r")
+    # candidate pruning, EXACT (result-invariant): a pair that passes
+    # the final max-containment >= threshold filter has
+    #   n_common >= ceil(threshold * min(sz_a, sz_b)) - 1
+    # (the -1 absorbs the 6dp rounding of the reported containment),
+    # and of those shared shingles at most min(sz_a - rsz_a,
+    # sz_b - rsz_b) can be non-rare — so its SHARED-RARE count, which
+    # this same join computes for free as a hash agg, must reach
+    #   max(1, that bound minus the non-rare allowance).
+    # Pairs below the bound cannot pass the final filter, so dropping
+    # them changes nothing; pairs sharing ZERO rare shingles remain
+    # the documented recall contract. This is what keeps diverse
+    # corpora (where almost every shingle is "rare" and >=1-shared
+    # blocking alone would go near-quadratic) linear: the verify join
+    # only ever sees pairs already sharing a threshold-sized count.
+    rare_sizes = rare.groupBy("__id__").agg(F.count(F.lit(1)).alias("rsz"))
+    pairc = (
+        l.join(r, "__sh__")
+        .where(F.col("l.__id__") < F.col("r.__id__"))
+        .groupBy(
+            F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__shared_rare__"))
+    )
+    za0, zb0 = sizes.alias("za0"), sizes.alias("zb0")
+    ra0, rb0 = rare_sizes.alias("ra0"), rare_sizes.alias("rb0")
+    required = F.greatest(
+        F.lit(1),
+        F.ceil(
+            F.lit(threshold)
+            * F.least(F.col("za0.sz"), F.col("zb0.sz"))
+        ).cast("long")
+        - F.least(
+            F.col("za0.sz") - F.col("ra0.rsz"),
+            F.col("zb0.sz") - F.col("rb0.rsz"),
+        )
+        - 1,
+    )
+    cand = (
+        pairc.join(za0, F.col("za0.__id__") == F.col("id_a"))
+        .join(zb0, F.col("zb0.__id__") == F.col("id_b"))
+        .join(ra0, F.col("ra0.__id__") == F.col("id_a"))
+        .join(rb0, F.col("rb0.__id__") == F.col("id_b"))
+        .where(F.col("__shared_rare__") >= required)
+        .select("id_a", "id_b")
+    )
+    sa, sb = rows.alias("sa"), rows.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.__id__") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col("sb.__id__") == F.col("id_b"))
+            & (F.col("sb.__sh__") == F.col("sa.__sh__")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    out = (
+        inter.join(za, F.col("za.__id__") == F.col("id_a"))
+        .join(zb, F.col("zb.__id__") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("za.sz"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("zb.sz"), 6
+            ).alias("containment_b"),
+        )
+    )
+    return out.where(
+        F.greatest("containment_a", "containment_b") >= threshold
+    )

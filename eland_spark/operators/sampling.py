@@ -9,7 +9,7 @@ no shuffle, no driver data, deterministic under a seed."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -435,3 +435,107 @@ def allocate_budget(
         )
     )
     return out.unionByName(zero_w)
+
+
+def negative_sample(
+    positives: DataFrame,
+    corpus: DataFrame,
+    anchor_col: str,
+    positive_col: str,
+    corpus_id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    oversample: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every distinct anchor in ``positives``, draw ``k`` corpus ids that
+    are NOT among the anchor's positives — the (anchor, negative)
+    pairs a contrastive/embedding trainer consumes next to its
+    (anchor, positive) pairs.
+
+    Draws are md5-hash pseudo-randoms mod the corpus id span
+    (``max(id) + 1``), so the sample is reproducible on any engine
+    with md5 and independent of row order. Draw j for an anchor is
+    ``md5(anchor || '|' || j || '|' || seed)`` — anchors don't share
+    draws, reruns don't reshuffle. Ids are drawn UNIFORMLY over
+    [0, max+1): ids absent from the corpus (sparse id spaces) and
+    collisions with the anchor's positives simply drop, and
+    ``oversample`` extra draws per slot cover the loss; the contract
+    is "k negatives when the corpus is dense and positives are few"
+    (ValueError would be wrong — a sparse tail anchor with fewer
+    survivors keeps what it has). Dense contiguous ids (the layout
+    ``zorder``/sharding writes) lose nothing.
+
+    Scale shape: distinct anchors -> explode ``k * oversample`` draw
+    slots (bounded fan-out) -> one hash join against corpus ids (drops
+    gaps) -> one anti-join against the positives -> per-anchor top-k
+    by slot order via a window over anchor partitions, each bounded to
+    k * oversample rows. No global window, no driver state.
+
+    Returns (anchor, neg_id, slot) with slot = the draw's rank among
+    the anchor's surviving draws (1..k).
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    n_draws = k * oversample
+    span = corpus.agg(
+        (F.max(F.col(corpus_id_col)) + 1).cast("bigint").alias("__span__")
+    )
+    anchors = positives.select(
+        F.col(anchor_col).alias("__anchor__")
+    ).where(F.col("__anchor__").isNotNull()).distinct()
+    draws = (
+        anchors.crossJoin(F.broadcast(span))
+        .select(
+            "__anchor__",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_draws - 1))
+            ).alias("__j__"),
+            "__span__",
+        )
+        .select(
+            "__anchor__",
+            "__j__",
+            (
+                _md5_rank_key(
+                    F.concat_ws(
+                        "|", F.col("__anchor__").cast("string"),
+                        F.col("__j__").cast("string"),
+                    ),
+                    seed,
+                )
+                % F.col("__span__")
+            ).alias("__cand__"),
+        )
+    )
+    # keep only ids that exist in the corpus (gaps drop)
+    existing = corpus.select(
+        F.col(corpus_id_col).alias("__cand__")
+    ).distinct()
+    draws = draws.join(existing, "__cand__")
+    # exclude the anchor's own positives (and the anchor itself when
+    # the two id spaces coincide)
+    pos = positives.select(
+        F.col(anchor_col).alias("__anchor__"),
+        F.col(positive_col).alias("__cand__"),
+    ).unionByName(
+        positives.select(
+            F.col(anchor_col).alias("__anchor__"),
+            F.col(anchor_col).alias("__cand__"),
+        )
+    ).distinct()
+    draws = draws.join(pos, ["__anchor__", "__cand__"], "left_anti")
+    # duplicate draws of one id collapse to the earliest slot
+    firsts = draws.groupBy("__anchor__", "__cand__").agg(
+        F.min("__j__").alias("__j__")
+    )
+    w = Window.partitionBy("__anchor__").orderBy(F.col("__j__").asc())
+    return (
+        firsts.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= k)
+        .select(
+            F.col("__anchor__").alias("anchor"),
+            F.col("__cand__").cast("long").alias("neg_id"),
+            F.col("__rk__").cast("int").alias("slot"),
+        )
+    )

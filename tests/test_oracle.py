@@ -144,6 +144,36 @@ def test_local_gate_predicts_driver_hash(spark, duck):
         ("null_timestamp_vs_value",
          sq("SELECT CAST(NULL AS TIMESTAMP_NTZ) AS ts"),
          dq("SELECT TIMESTAMP '2024-03-01 12:00:00' AS ts")),
+        # r7/r8 operator-family traps (VERDICT r7 #4 — the driver
+        # sampled none of the r7-new queries, so pin their mismatch
+        # classes here):
+        # chrF/rouge/bleu class — float mean accumulation order drifts
+        # by an ulp between engines; unrounded is a RED, the queries'
+        # 6dp rounding makes it GREEN
+        ("mean_assoc_drift",
+         sq("SELECT (CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)) "
+            "+ CAST(0.3 AS DOUBLE) AS m"),
+         dq("SELECT 0.1::DOUBLE + (0.2::DOUBLE + 0.3::DOUBLE) AS m")),
+        ("mean_assoc_rounded",
+         sq("SELECT round((CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)) "
+            "+ CAST(0.3 AS DOUBLE), 6) AS m"),
+         dq("SELECT round(0.1::DOUBLE + (0.2::DOUBLE + 0.3::DOUBLE), 6)"
+            " AS m")),
+        # unigram tie-cost class — the INTEGER nano-log cost recipe
+        # round(-ln(c/T)*1e9) must land on identical integers across
+        # both engines' libm for a spread of probabilities (a 1-ulp
+        # ln() divergence at a .5 rounding boundary would flip a DP
+        # tie); a deliberate off-by-one integer cost must read RED
+        ("nano_log_int_costs",
+         sq("SELECT c, CAST(round(-ln(CAST(c AS DOUBLE) / 97.0) * 1e9) "
+            "AS BIGINT) AS cost FROM VALUES (1),(2),(3),(5),(7),(11),"
+            "(13),(17),(19),(23),(29),(31),(37),(41),(96) AS t(c)"),
+         dq("SELECT c, CAST(round(-ln(c / 97.0) * 1e9) AS BIGINT) "
+            "AS cost FROM (VALUES (1),(2),(3),(5),(7),(11),(13),(17),"
+            "(19),(23),(29),(31),(37),(41),(96)) t(c)")),
+        ("nano_log_cost_off_by_one",
+         sq("SELECT CAST(round(-ln(0.25) * 1e9) AS BIGINT) AS cost"),
+         dq("SELECT CAST(round(-ln(0.25) * 1e9) AS BIGINT) + 1 AS cost")),
     ]
     disagreements = []
     seen_green = seen_red = False

@@ -1040,6 +1040,24 @@ def test_round5_query_plan_pins(spark):
         # one gram-keyed agg per side + clipped join; lengths/totals
         # ride 1-row broadcasts
         "chrf": (4, 1),
+        # per-user agg + per-(cohort,time) agg; at-risk/survival ride
+        # ONE keyed window exchange (distinct-time-sized)
+        "kaplan_meier": (3, 0),
+        # token-pair explode + 2 count aggs + ctx re-agg + per-doc agg;
+        # the 3 count joins + scalar total + empties anti all broadcast
+        # at this SF (they stay hash joins when the vocab outgrows the
+        # broadcast threshold — nothing is forced)
+        "bigram_logppl": (7, 5),
+        # shingle rows + df agg + rare join + pair-count agg + 4
+        # dict-sized size joins + the verify join + final sizes — every
+        # exchange shingle- or candidate-sized, verify only sees
+        # count-pruned pairs
+        "containment_near_dup": (11, 13),
+        # ONE class aggregation (count + countDistinct expand)
+        "k_anonymity": (2, 0),
+        # anchors agg + draw fan-out + corpus semi + positives anti +
+        # bounded per-anchor window
+        "negative_sample": (4, 3),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
