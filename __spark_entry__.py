@@ -9108,6 +9108,141 @@ def _negative_sample_oracle_sql() -> str:
     """
 
 
+_FMJ_T, _FMJ_MAXDF = 0.85, 50
+
+
+def q_fuzzy_title_match(spark, sf_dir) -> DataFrame:
+    """Record linkage (operators/linkage.py fuzzy_match_join):
+    Jaro-Winkler >= 0.85 matches between even-doc and odd-doc 'titles'
+    (first 4 normalized tokens) — rare-bigram blocking + exact
+    length-ratio prefilter + Arrow-batched JW verify on candidates
+    only. The JW variant is pinned bit-compatible with DuckDB's
+    jaro_winkler_similarity; both sides threshold the 6dp-rounded
+    value."""
+    from eland_spark.operators.dedup import normalized_tokens
+    from eland_spark.operators.linkage import fuzzy_match_join
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    titled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(normalized_tokens(F.col("text")), 1, 4)
+        ).alias("title"),
+    )
+    left = titled.where(F.col("doc_id") % 2 == 0)
+    right = titled.where(F.col("doc_id") % 2 == 1)
+    out = fuzzy_match_join(
+        left, right, "title", "title", "doc_id", "doc_id",
+        threshold=_FMJ_T, max_df=_FMJ_MAXDF,
+    )
+    return out.select(
+        F.col("lid").cast("long").alias("left_id"),
+        F.col("rid").cast("long").alias("right_id"),
+        "jw",
+    )
+
+
+def _fuzzy_title_match_oracle_sql() -> str:
+    t, max_df = _FMJ_T, _FMJ_MAXDF
+    jaro_min = (t - 0.4) / 0.6
+    ratio_min = 3.0 * jaro_min - 2.0
+    ratio_filter = (
+        f"AND CAST(least(len(l.s), len(r.s)) AS DOUBLE)"
+        f" / greatest(len(l.s), len(r.s)) >= {ratio_min!r}"
+        if ratio_min > 0.0
+        else ""
+    )
+    return f"""
+        WITH titled AS MATERIALIZED (
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                      'g'), '\\s+'), x -> x <> '')[1:4],
+                       ' ') AS s
+            FROM documents
+        ), grams AS MATERIALIZED (
+            SELECT doc_id, s, g FROM (
+                SELECT doc_id, s,
+                       unnest(CASE WHEN len(s) >= 2 THEN
+                                  list_distinct([s[i:i+1]
+                                   for i in generate_series(1, len(s) - 1)])
+                              ELSE [s] END) AS g
+                FROM titled WHERE len(s) > 0
+            )
+        ), rare AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) BETWEEN 2 AND {max_df}
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS lid, l.s AS ls,
+                            r.doc_id AS rid, r.s AS rs
+            FROM (SELECT * FROM grams WHERE doc_id % 2 = 0) l
+            JOIN rare u ON u.g = l.g
+            JOIN (SELECT * FROM grams WHERE doc_id % 2 = 1) r
+              ON r.g = l.g
+            {ratio_filter}
+        )
+        SELECT lid AS left_id, rid AS right_id,
+               round(jaro_winkler_similarity(ls, rs), 6) AS jw
+        FROM cand
+        WHERE round(jaro_winkler_similarity(ls, rs), 6) >= {t!r}
+    """
+
+
+_WQ_QS = [0.25, 0.5, 0.9]
+
+
+def q_weighted_quantiles(spark, sf_dir) -> DataFrame:
+    """Per-language token-weighted quantiles of document length
+    (operators/percentiles.py weighted_quantiles): lower-value
+    definition, integer token-count weights so cumulative sums are
+    exact; one distinct-value agg + ONE keyed window + conditional-min
+    assembly."""
+    from eland_spark.operators.dedup import normalized_tokens
+    from eland_spark.operators.percentiles import weighted_quantiles
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    wdf = docs.select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        F.size(normalized_tokens(F.col("text"))).cast("long").alias("wt"),
+    )
+    return weighted_quantiles(wdf, "v", "wt", _WQ_QS, ["lang"])
+
+
+def _weighted_quantiles_oracle_sql() -> str:
+    branches = ", ".join(
+        f"min(CASE WHEN cw >= {q!r} * tw THEN v END) AS q{i}"
+        for i, q in enumerate(_WQ_QS)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT lang, {q!r} AS q, q{i} AS wq FROM wide"
+        for i, q in enumerate(_WQ_QS)
+    )
+    return f"""
+        WITH base AS (
+            SELECT lang, n_chars AS v,
+                   CAST(len(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                      'g'), '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS wt
+            FROM documents
+        ), per_val AS (
+            SELECT lang, v, sum(wt) AS w FROM base
+            WHERE v IS NOT NULL AND wt > 0
+            GROUP BY lang, v
+        ), staged AS (
+            SELECT lang, v,
+                   sum(w) OVER (PARTITION BY lang ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY lang) AS tw
+            FROM per_val
+        ), wide AS (
+            SELECT lang, {branches} FROM staged GROUP BY lang
+        )
+        {rows}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9402,6 +9537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_near_dup": q_containment_near_dup,
         "k_anonymity": q_k_anonymity,
         "negative_sample": q_negative_sample,
+        "fuzzy_title_match": q_fuzzy_title_match,
+        "weighted_quantiles": q_weighted_quantiles,
     }
 
 
@@ -11687,4 +11824,6 @@ def oracle_sql() -> dict[str, str]:
         "containment_near_dup": _containment_oracle_sql(),
         "k_anonymity": _k_anonymity_oracle_sql(),
         "negative_sample": _negative_sample_oracle_sql(),
+        "fuzzy_title_match": _fuzzy_title_match_oracle_sql(),
+        "weighted_quantiles": _weighted_quantiles_oracle_sql(),
     }

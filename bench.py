@@ -232,6 +232,10 @@ HEADLINE = [
     "containment_near_dup",
     "k_anonymity",
     "negative_sample",
+    # r8: blocked Jaro-Winkler linkage (rare-bigram blocking + Arrow
+    # verify) and the token-weighted quantile pass (one keyed window)
+    "fuzzy_title_match",
+    "weighted_quantiles",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_percentiles"]
+__all__ = ["exact_percentiles", "weighted_quantiles"]
 
 
 def exact_percentiles(
@@ -89,3 +89,87 @@ def exact_percentiles(
         return out
     finally:
         vals.unpersist()
+
+
+def weighted_quantiles(
+    sdf,
+    value_col: str,
+    weight_col: str,
+    qs: "list[float]",
+    group_cols: "list[str] | None" = None,
+):
+    """Per-group WEIGHTED quantiles, lower-value definition: the
+    smallest value whose cumulative weight (values ascending) reaches
+    ``q * total_weight`` — the estimator for "the token-weighted
+    median document length" class of corpus statistics, where each
+    row's influence is its size, not its count. No interpolation: the
+    result is always an observed value, deterministic, and exactly
+    replayable in SQL. Null values/weights and non-positive weights
+    drop; a group with no surviving rows yields no output rows.
+
+    Scale shape: one hash agg to per-(group, distinct value) weight
+    sums, cumulative + total weights on ONE keyed window exchange
+    (distinct-value-sized), then one conditional-min agg per quantile
+    back to group grain. The cumulative sum runs in value order —
+    a DETERMINISTIC float sequence, so fractional weights are safe
+    cross-engine up to the documented ulp rule (integer weights are
+    exact).
+
+    Returns (group..., q, wq) with one row per group per quantile.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+    groups = list(group_cols or [])
+    base = sdf.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    per_val = base.groupBy(*groups, value_col).agg(
+        F.sum(weight_col).alias("__w__")
+    )
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col(value_col).asc()
+    )
+    staged = per_val.select(
+        *groups,
+        value_col,
+        F.sum("__w__")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cw__"),
+        F.sum("__w__")
+        .over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__tw__"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw__") >= F.lit(q) * F.col("__tw__"),
+                F.col(value_col),
+            )
+        ).alias(f"__q{i}__")
+        for i, q in enumerate(qs)
+    ]
+    wide = staged.groupBy(*groups).agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"), F.col(f"__q{i}__").alias("wq")
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+    )
+    return wide.select(*groups, stack.alias("__e__")).select(
+        *groups, F.col("__e__.q").alias("q"), F.col("__e__.wq").alias("wq")
+    )

@@ -76,3 +76,56 @@ def test_global_rank_ascending_and_small_partitions(spark):
     ordered = sorted(rows, key=lambda x: (x["v"], x["id"]))
     assert [x["r"] for x in ordered] == list(range(1, 101))
     ranked.unpersist()
+
+
+def test_weighted_quantiles_matches_reference(spark):
+    """Lower-value weighted quantile vs a python reference; integer
+    weights exact; weight-1 degenerates to the ordinary lower
+    quantile; nulls/non-positive weights drop."""
+    import random
+
+    import pandas as pd
+    import pytest
+
+    from eland_spark.operators.percentiles import weighted_quantiles
+
+    rng = random.Random(3)
+    rows = []
+    for g in ["a", "b"]:
+        for _ in range(200):
+            rows.append((g, rng.randint(0, 50), rng.randint(1, 9)))
+    rows.append(("a", None, 5))
+    rows.append(("b", 10, 0))
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    sdf = spark.createDataFrame(pdf, schema="g string, v long, w long")
+    qs = [0.25, 0.5, 0.9, 1.0]
+    out = weighted_quantiles(sdf, "v", "w", qs, ["g"]).toPandas()
+    got = {(r["g"], r["q"]): r["wq"] for _, r in out.iterrows()}
+
+    def ref(g, q):
+        sub = pdf[(pdf.g == g) & pdf.v.notna() & (pdf.w > 0)]
+        per = sub.groupby("v")["w"].sum().sort_index()
+        tot = per.sum()
+        cum = per.cumsum()
+        for v, c in cum.items():
+            if c >= q * tot:
+                return v
+        raise AssertionError
+
+    for g in ["a", "b"]:
+        for q in qs:
+            assert got[(g, q)] == ref(g, q), (g, q)
+
+    # weight 1 == ordinary lower quantile
+    one = sdf.withColumn("w", sdf.w * 0 + 1)
+    out1 = weighted_quantiles(one, "v", "w", [0.5], ["g"]).toPandas()
+    for _, r in out1.iterrows():
+        sub = sorted(pdf[(pdf.g == r["g"]) & pdf.v.notna()]["v"])
+        import math
+        k = math.ceil(0.5 * len(sub))
+        assert r["wq"] == sub[k - 1]
+
+    with pytest.raises(ValueError, match="quantile"):
+        weighted_quantiles(sdf, "v", "w", [0.0], ["g"])
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_quantiles(sdf, "v", "w", [], ["g"])

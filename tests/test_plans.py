@@ -1058,6 +1058,13 @@ def test_round5_query_plan_pins(spark):
         # anchors agg + draw fan-out + corpus semi + positives anti +
         # bounded per-anchor window
         "negative_sample": (4, 3),
+        # bigram df agg + blocked candidate join + pair distinct; the
+        # rare set + sides broadcast at this SF; JW verify is one
+        # Arrow stage over candidates only
+        "fuzzy_title_match": (3, 3),
+        # one distinct-value agg + ONE keyed window exchange; the
+        # quantile assembly re-uses the group partitioning
+        "weighted_quantiles": (2, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
