@@ -9243,6 +9243,198 @@ def _weighted_quantiles_oracle_sql() -> str:
     """
 
 
+_LPA_ITERS = 3
+
+
+def q_label_propagation(spark, sf_dir) -> DataFrame:
+    """Synchronous label-propagation communities (graph.py
+    label_propagation, Raghavan et al. 2007) on the part<->supplier
+    graph: 3 deterministic rounds (ties to the smallest label), then
+    community sizes — the density-sensitive complement of
+    connected-components clustering. Oracle replays the same unrolled
+    rounds."""
+    from eland_spark.operators.graph import label_propagation
+
+    labels = label_propagation(
+        _part_supplier_edges(spark, sf_dir), iterations=_LPA_ITERS
+    )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    ).select(
+        _graph_node_label(F.col("label")).alias("community"), "size"
+    )
+
+
+def _label_propagation_oracle_sql() -> str:
+    k = _LPA_ITERS
+    parts = ["""
+        WITH e0 AS (
+            SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM lineitem
+        ), sym AS MATERIALIZED (
+            SELECT u, v FROM e0
+            UNION
+            SELECT v AS u, u AS v FROM e0
+        ), n AS MATERIALIZED (
+            SELECT DISTINCT u AS node FROM sym
+        ), l0 AS MATERIALIZED (
+            SELECT node, node AS label FROM n
+        )"""]
+    for t in range(1, k + 1):
+        parts.append(f"""
+        c{t} AS (
+            SELECT s.u AS node, l.label AS cand, count(*) AS cnt
+            FROM sym s JOIN l{t - 1} l ON l.node = s.v
+            GROUP BY s.u, l.label
+        ), l{t} AS MATERIALIZED (
+            SELECT node, cand AS label FROM (
+                SELECT node, cand, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, cand ASC) AS rn
+                FROM c{t}
+            ) WHERE rn = 1
+        )""")
+    return ",".join(parts) + f"""
+        SELECT CASE WHEN label % 2 = 0 THEN 'p' || CAST(label // 2 AS VARCHAR)
+                    ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END
+                   AS community,
+               CAST(count(*) AS BIGINT) AS size
+        FROM l{k} GROUP BY label
+    """
+
+
+_RW_LEN, _RW_SEED = 3, 11
+
+
+def q_random_walks(spark, sf_dir) -> DataFrame:
+    """Deterministic pseudo-random walks (graph.py random_walks):
+    md5-argmin neighbor choice — a uniform pick under ideal hashing,
+    reproducible on any engine — 3 steps from the 10 lowest part
+    nodes over the part<->supplier graph; the positive-pair generator
+    that pairs with negative_sample for contrastive data."""
+    from eland_spark.operators.graph import random_walks
+
+    edges = _part_supplier_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("s"))
+        .where((F.col("s") % 2 == 0) & (F.col("s") < 20))
+        .distinct()
+    )
+    out = random_walks(
+        edges, starts, length=_RW_LEN, seed=_RW_SEED
+    )
+    return out.select(
+        _graph_node_label(F.col("walk")).alias("walk"),
+        F.col("step"),
+        _graph_node_label(F.col("node")).alias("node"),
+    )
+
+
+def _random_walks_oracle_sql() -> str:
+    seed, k = _RW_SEED, _RW_LEN
+    parts = ["""
+        WITH fwd AS (
+            SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM lineitem
+        ), e AS MATERIALIZED (
+            SELECT u, v FROM fwd UNION SELECT v, u FROM fwd
+        ), w0 AS (
+            SELECT u AS walk, u AS node FROM (
+                SELECT DISTINCT u FROM e WHERE u % 2 = 0 AND u < 20
+            )
+        )"""]
+    sel = ["SELECT walk, 0 AS step, node FROM w0"]
+    for t in range(1, k + 1):
+        key = (
+            f"CAST(('0x' || substr(md5(CAST(f.node AS VARCHAR) || '|{t}|'"
+            f" || CAST(e.v AS VARCHAR) || '{seed}'), 1, 15)) AS BIGINT)"
+        )
+        parts.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT f.walk, min_by(e.v, {key}) AS node
+            FROM w{t - 1} f JOIN e ON e.u = f.node
+            GROUP BY f.walk
+        )""")
+        sel.append(f"SELECT walk, {t} AS step, node FROM w{t}")
+    lbl = (
+        "CASE WHEN {c} % 2 = 0 THEN 'p' || CAST({c} // 2 AS VARCHAR) "
+        "ELSE 's' || CAST(({c} - 1) // 2 AS VARCHAR) END"
+    )
+    return (
+        ",".join(parts)
+        + f""", allsteps AS ({' UNION ALL '.join(sel)})
+        SELECT {lbl.format(c='walk')} AS walk, CAST(step AS INT) AS step,
+               {lbl.format(c='node')} AS node
+        FROM allsteps
+    """
+    )
+
+
+def q_forecast_metrics(spark, sf_dir) -> DataFrame:
+    """Forecast scorecard (evaluation.py forecast_metrics): sMAPE /
+    MAE / MASE per event_type for a 2-point-moving-average forecast of
+    the value series (ordered by event_id) — per-row terms quantized
+    to integer nanos so cross-engine sums are exact."""
+    from pyspark.sql import Window
+
+    from eland_spark.operators.evaluation import forecast_metrics
+
+    ev = _t(spark, sf_dir, "events", "event_id").to_spark()
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    staged = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            (F.lag("value", 1).over(w) + F.lag("value", 2).over(w))
+            / F.lit(2.0)
+        ).alias("pred"),
+    )
+    return forecast_metrics(
+        staged, "value", "pred", "event_id", ["event_type"]
+    )
+
+
+def _forecast_metrics_oracle_sql() -> str:
+    return """
+        WITH staged AS (
+            SELECT event_type, event_id, value AS a,
+                   (lag(value, 1) OVER w + lag(value, 2) OVER w) / 2.0
+                       AS p,
+                   lag(value, 1) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id ASC)
+        ), terms AS (
+            SELECT event_type,
+                   a IS NOT NULL AND p IS NOT NULL AS bp,
+                   CASE WHEN a IS NOT NULL AND p IS NOT NULL THEN
+                        CAST(round((CASE WHEN abs(a) + abs(p) > 0
+                                  THEN 2.0 * abs(a - p) / (abs(a) + abs(p))
+                                  ELSE 0.0 END) * 1000000000.0) AS BIGINT)
+                   END AS sterm,
+                   CASE WHEN a IS NOT NULL AND p IS NOT NULL THEN
+                        CAST(round(abs(a - p) * 1000000000.0) AS BIGINT)
+                   END AS aterm,
+                   CASE WHEN a IS NOT NULL AND prev IS NOT NULL THEN
+                        CAST(round(abs(a - prev) * 1000000000.0) AS BIGINT)
+                   END AS nterm
+            FROM staged
+        ), agg AS (
+            SELECT event_type,
+                   CAST(count(CASE WHEN bp THEN 1 END) AS BIGINT) AS n,
+                   sum(sterm) AS ss, sum(aterm) AS sa,
+                   sum(nterm) AS sn, count(nterm) AS nn
+            FROM terms GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(ss AS DOUBLE) / n / 1000000000.0, 6) AS smape,
+               round(CAST(sa AS DOUBLE) / n / 1000000000.0, 6) AS mae,
+               CASE WHEN nn > 0 AND sn > 0
+                    THEN round(CAST(sa AS DOUBLE) / CAST(sn AS DOUBLE), 6)
+               END AS mase
+        FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9539,6 +9731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "fuzzy_title_match": q_fuzzy_title_match,
         "weighted_quantiles": q_weighted_quantiles,
+        "label_propagation": q_label_propagation,
+        "random_walks": q_random_walks,
+        "forecast_metrics": q_forecast_metrics,
     }
 
 
@@ -11826,4 +12021,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sample": _negative_sample_oracle_sql(),
         "fuzzy_title_match": _fuzzy_title_match_oracle_sql(),
         "weighted_quantiles": _weighted_quantiles_oracle_sql(),
+        "label_propagation": _label_propagation_oracle_sql(),
+        "random_walks": _random_walks_oracle_sql(),
+        "forecast_metrics": _forecast_metrics_oracle_sql(),
     }

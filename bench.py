@@ -236,6 +236,12 @@ HEADLINE = [
     # verify) and the token-weighted quantile pass (one keyed window)
     "fuzzy_title_match",
     "weighted_quantiles",
+    # r8: synchronous LPA (3 unrolled rounds on the reused edge
+    # partitioning), md5-argmin walks (3 frontier joins), and the
+    # nano-quantized forecast scorecard (one keyed window + agg)
+    "label_propagation",
+    "random_walks",
+    "forecast_metrics",
 ]
 
 # queries whose result set is large -> noop sink instead of collect

@@ -31,6 +31,7 @@ __all__ = [
     "pr_curve",
     "rouge_n",
     "chrf",
+    "forecast_metrics",
 ]
 
 
@@ -780,4 +781,87 @@ def chrf(
         F.round(R, 6).alias("rec"),
         F.col("__cl__").cast("bigint").alias("cand_len"),
         F.col("__rl__").cast("bigint").alias("ref_len"),
+    )
+
+
+def forecast_metrics(
+    sdf: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    order_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Per-series forecast scorecard: sMAPE, MAE, and MASE (Hyndman &
+    Koehler 2006) — the scale-free trio a forecast-quality gate needs
+    (plain MAPE explodes at zero actuals; MASE compares against the
+    in-sample naive lag-1 forecast instead).
+
+    - ``smape`` = mean of ``2|a-p| / (|a|+|p|)`` (term = 0 when both
+      are 0 — the standard convention), in [0, 2];
+    - ``mae`` = mean ``|a-p|``;
+    - ``mase`` = sum ``|a-p|`` / sum ``|a_t - a_{t-1}|`` over the lag
+      pairs in ``order_col`` order (null when the series has < 2
+      points or a constant history).
+
+    Cross-engine exactness: every per-row term is quantized to an
+    INTEGER nano (``round(term * 1e9)``) before aggregation, so sums
+    are order-free exact integers (the unigram/ngram_lm contract) and
+    only the final ratios are floats, rounded to 6dp. Rows with null
+    actual/pred drop from smape/mae; the naive denominator uses every
+    non-null actual.
+
+    Scale shape: ONE keyed window (the lag) sharing the group
+    partitioning with the final hash aggregation — no global
+    exchange, skew bounded by the hottest series.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    a, p = F.col(actual_col).cast("double"), F.col(pred_col).cast("double")
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col(order_col).asc()
+    )
+    prev = F.lag(a).over(w)
+    staged = sdf.select(
+        *groups,
+        a.alias("__a__"),
+        p.alias("__p__"),
+        prev.alias("__prev__"),
+    )
+    both = F.col("__a__").isNotNull() & F.col("__p__").isNotNull()
+    ad = F.abs(F.col("__a__") - F.col("__p__"))
+    denom = F.abs(F.col("__a__")) + F.abs(F.col("__p__"))
+    smape_term = F.when(
+        both,
+        F.when(denom > 0, F.lit(2.0) * ad / denom).otherwise(F.lit(0.0)),
+    )
+    nano = F.lit(1000000000.0)
+    q = lambda c: F.round(c * nano).cast("bigint")  # noqa: E731
+    naive = F.when(
+        F.col("__a__").isNotNull() & F.col("__prev__").isNotNull(),
+        F.abs(F.col("__a__") - F.col("__prev__")),
+    )
+    agg = staged.groupBy(*groups).agg(
+        F.count(F.when(both, 1)).cast("long").alias("n"),
+        F.sum(q(smape_term)).alias("__ss__"),
+        F.sum(q(F.when(both, ad))).alias("__sa__"),
+        F.sum(q(naive)).alias("__sn__"),
+        F.count(naive).cast("long").alias("__nn__"),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        F.round(F.col("__ss__").cast("double") / F.col("n") / nano, 6).alias(
+            "smape"
+        ),
+        F.round(F.col("__sa__").cast("double") / F.col("n") / nano, 6).alias(
+            "mae"
+        ),
+        F.when(
+            (F.col("__nn__") > 0) & (F.col("__sn__") > 0),
+            F.round(
+                F.col("__sa__").cast("double") / F.col("__sn__").cast("double"),
+                6,
+            ),
+        ).alias("mase"),
     )

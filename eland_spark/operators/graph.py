@@ -31,7 +31,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "pagerank"]
+__all__ = ["degrees", "pagerank", "label_propagation", "random_walks"]
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -229,3 +229,179 @@ def pagerank(
             if delta is not None and float(delta) < float(tol):
                 break
     return ranks.select("node", "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    seeds: "Optional[DataFrame]" = None,
+    fixed_seeds: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie rule, in two modes:
+
+    - community detection (``seeds=None``): every node starts with its
+      own id as label; after K synchronous rounds dense regions agree
+      on their minimum member id — the modularity-free community
+      primitive that complements ``dedup.connected_components`` (which
+      merges ANY connectivity; LPA only merges densely linked nodes).
+    - semi-supervised spreading (``seeds`` = (node, label) frame):
+      seed labels diffuse outward; with ``fixed_seeds`` the seed
+      nodes never change (the standard label-spreading clamp), and
+      unlabeled nodes with no labeled neighbor stay null.
+
+    Update rule per round, per node: the label with the highest
+    neighbor count, ties to the SMALLEST label — labels must therefore
+    be numeric (community ids / class ids), which makes the argmax one
+    ``max_by(label, struct(count, -label))`` hash aggregation and the
+    whole update exactly replayable in SQL. Synchronous = all nodes
+    update from the PREVIOUS round's labels, so round count (not data
+    order) fully determines the result. A node with no neighbors
+    keeps its label.
+
+    Scale shape: the symmetrized edge table is hash-partitioned once
+    and reused every round; each round is one (labels join edges) +
+    two hash aggs, all node- or edge-sized; labels localCheckpoint per
+    round so lineage stays O(1) in K.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    sym = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    if seeds is None:
+        labels = nodes.select("node", F.col("node").cast("long").alias("label"))
+        seed_tbl = None
+    else:
+        ncol, lcol = seeds.columns[0], seeds.columns[1]
+        seed_tbl = (
+            seeds.select(
+                F.col(ncol).alias("node"), F.col(lcol).cast("long").alias("label")
+            )
+            .where(F.col("node").isNotNull() & F.col("label").isNotNull())
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        nodes = nodes.unionByName(seed_tbl.select("node")).distinct()
+        labels = nodes.join(seed_tbl, "node", "left")
+    labels = labels.localCheckpoint(eager=False)
+
+    for _ in range(iterations):
+        contrib = (
+            sym.join(
+                labels.withColumnRenamed("node", "v").withColumnRenamed(
+                    "label", "__nl__"
+                ),
+                "v",
+            )
+            .where(F.col("__nl__").isNotNull())
+            .groupBy(F.col("u").alias("node"), F.col("__nl__").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = contrib.groupBy("node").agg(
+            F.max_by(
+                F.col("cand"), F.struct(F.col("n"), (-F.col("cand")).alias("t"))
+            ).alias("__new__")
+        )
+        if seed_tbl is None:
+            # community mode: the graph is symmetrized, so every node
+            # has >= 1 (always-labeled) neighbor — contributions cover
+            # all nodes and the keep-old-label join would be dead code
+            upd = best.select("node", F.col("__new__").alias("label"))
+        else:
+            upd = labels.join(best, "node", "left").select(
+                "node", F.coalesce("__new__", "label").alias("label")
+            )
+        if seed_tbl is not None and fixed_seeds:
+            upd = (
+                upd.join(
+                    seed_tbl.withColumnRenamed("label", "__seed__"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node", F.coalesce("__seed__", "label").alias("label")
+                )
+            )
+        labels = upd.localCheckpoint(eager=False)
+    return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 3,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic pseudo-random walks: from every start node, take
+    ``length`` steps, at each step choosing the neighbor that
+    MINIMIZES ``md5(current || '|' || step || '|' || neighbor || seed)``
+    — under ideal hashing the argmin over the neighbor set is a
+    uniform random choice, yet the walk is fully reproducible on any
+    engine with md5, independent of row/partition order. The
+    positive-pair generator for contrastive/graph-embedding training
+    that composes with ``sampling.negative_sample`` for the negatives.
+    A walk stops early at a node with no out-neighbors.
+
+    Returns (walk, step, node): step 0 is the start node itself.
+
+    Scale shape: ``length`` rounds of (frontier join edges on the
+    current node) -> one ``min_by`` hash agg per walk — frontier is
+    walk-sized, the edge table is hash-partitioned once on ``src`` and
+    reused every round; no windows, no driver state.
+    """
+    from .sampling import _md5_rank_key
+
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=False)
+    )
+    scol = starts.columns[0]
+    frontier = (
+        starts.select(F.col(scol).alias("walk"))
+        .where(F.col("walk").isNotNull())
+        .distinct()
+        .select("walk", F.col("walk").alias("node"))
+    )
+    out = frontier.select(
+        "walk", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for step in range(1, length + 1):
+        key = _md5_rank_key(
+            F.concat_ws(
+                "|",
+                F.col("node").cast("string"),
+                F.lit(str(step)),
+                F.col("v").cast("string"),
+            ),
+            seed,
+        )
+        frontier = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .groupBy("walk")
+            .agg(F.min_by(F.col("v"), key).alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk", F.lit(step).cast("int").alias("step"), "node"
+            )
+        )
+    return out

@@ -834,3 +834,68 @@ def test_chrf_matches_hand_reference(spark):
     assert chrf(disj, "c", "r").toPandas().iloc[0]["chrf"] == 0.0
     with pytest.raises(ValueError, match="beta"):
         chrf(same, "c", "r", beta=0)
+
+
+def test_forecast_metrics_matches_reference(spark):
+    """sMAPE/MAE/MASE vs a python reference with the same integer-nano
+    quantization; zero-denominator, constant-history, and short-series
+    edges."""
+    import pandas as pd
+    import pytest
+
+    from eland_spark.operators.evaluation import forecast_metrics
+
+    rows = [
+        # series a: normal
+        ("a", 1, 10.0, 12.0), ("a", 2, 11.0, 10.5), ("a", 3, 9.0, 11.0),
+        ("a", 4, 14.0, 10.0), ("a", 5, None, 13.0), ("a", 6, 13.0, None),
+        # series b: both-zero smape term + exact forecast
+        ("b", 1, 0.0, 0.0), ("b", 2, 5.0, 5.0), ("b", 3, 4.0, 6.0),
+        # series c: constant history -> mase null
+        ("c", 1, 7.0, 6.0), ("c", 2, 7.0, 8.0),
+        # series d: single point -> mase null
+        ("d", 1, 3.0, 4.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["g", "t", "a", "p"])
+    sdf = spark.createDataFrame(
+        pdf, schema="g string, t long, a double, p double"
+    )
+    out = forecast_metrics(sdf, "a", "p", "t", ["g"]).toPandas()
+    got = {r["g"]: r for _, r in out.iterrows()}
+
+    # the operator's lag() is over the RAW actual column: a null actual
+    # yields a null prev for the NEXT row and contributes nothing itself
+    def ref2(g):
+        sub = pdf[pdf.g == g].sort_values("t")
+        actuals = list(sub["a"])
+        preds = list(sub["p"])
+        ss = sa = sn = n = nn = 0
+        for i, (a, p) in enumerate(zip(actuals, preds)):
+            if pd.notna(a) and pd.notna(p):
+                n += 1
+                d = abs(a) + abs(p)
+                term = 2.0 * abs(a - p) / d if d > 0 else 0.0
+                ss += int(round(term * 1e9))
+                sa += int(round(abs(a - p) * 1e9))
+            prev = actuals[i - 1] if i > 0 else None
+            if pd.notna(a) and prev is not None and pd.notna(prev):
+                nn += 1
+                sn += int(round(abs(a - prev) * 1e9))
+        smape = round(ss / n / 1e9, 6) if n else None
+        mae = round(sa / n / 1e9, 6) if n else None
+        mase = round(sa / sn, 6) if nn > 0 and sn > 0 else None
+        return n, smape, mae, mase
+
+    for g in ["a", "b", "c", "d"]:
+        n, smape, mae, mase = ref2(g)
+        r = got[g]
+        assert r["n"] == n, g
+        assert r["smape"] == pytest.approx(smape, abs=1e-9), g
+        assert r["mae"] == pytest.approx(mae, abs=1e-9), g
+        if mase is None:
+            assert pd.isna(r["mase"]), g
+        else:
+            assert r["mase"] == pytest.approx(mase, abs=1e-9), g
+    # hand-checks: series b smape = mean(0, 0, 2*2/10) = 0.133333
+    assert got["b"]["smape"] == pytest.approx(0.133333, abs=1e-6)
+    assert pd.isna(got["c"]["mase"]) and pd.isna(got["d"]["mase"])

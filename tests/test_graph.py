@@ -228,3 +228,147 @@ def test_pagerank_tol_fixed_k_unchanged(spark, edge_df):
     want = _np_pagerank(EDGES, 3, 0.85)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+# ---------------------------------------------------------------- r8: LPA
+
+def _ref_lpa(edges, iterations, seeds=None, fixed=True):
+    """Pure-python synchronous LPA: max neighbor-label count, ties to
+    the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = set(adj)
+    if seeds:
+        nodes |= set(seeds)
+    lab = {
+        n: (seeds.get(n) if seeds else n) if (seeds is None or n in seeds)
+        else None
+        for n in nodes
+    }
+    if seeds is None:
+        lab = {n: n for n in nodes}
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            cnt = Counter(
+                lab[m] for m in adj[n] if lab.get(m) is not None
+            )
+            if cnt:
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            else:
+                new[n] = lab[n]
+            if seeds and fixed and n in seeds:
+                new[n] = seeds[n]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    import random
+
+    from eland_spark.operators.graph import label_propagation
+
+    rng = random.Random(4)
+    # two dense blobs + a sparse bridge
+    edges = []
+    for base in (0, 100):
+        members = list(range(base, base + 12))
+        for _ in range(40):
+            u, v = rng.sample(members, 2)
+            edges.append((u, v))
+    edges.append((5, 105))
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(sdf, iterations=iters).collect()
+        }
+        assert got == _ref_lpa(edges, iters), iters
+    # 3 rounds: the two blobs agree internally on different labels
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(sdf, iterations=3).collect()
+    }
+    blob_a = {got[n] for n in range(0, 12)}
+    blob_b = {got[n] for n in range(100, 112)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_label_propagation_seeded_spread(spark):
+    import pandas as pd
+
+    from eland_spark.operators.graph import label_propagation
+
+    # path 1-2-3-4-5; seeds: node 1 -> 10, node 5 -> 20
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"node": [1, 5], "label": [10, 20]})
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            sdf, iterations=2, seeds=seeds
+        ).collect()
+    }
+    want = _ref_lpa(edges, 2, seeds={1: 10, 5: 20})
+    assert got == want
+    # seeds stay clamped
+    assert got[1] == 10 and got[5] == 20
+    # after 2 rounds labels reached distance-2 nodes
+    assert got[2] == 10 and got[4] == 20
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    import hashlib
+
+    from eland_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 6)]  # 6 is a sink
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    starts = spark.createDataFrame([(1,), (5,), (6,)], "n long")
+    out = random_walks(sdf, starts, length=3, seed=9).toPandas()
+
+    def key(node, step, v, seed=9):
+        s = f"{node}|{step}|{v}{seed}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+
+    def ref_walk(start, length):
+        path = [(0, start)]
+        cur = start
+        for step in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda v: key(cur, step, v))
+            path.append((step, cur))
+        return path
+
+    got = {
+        w: sorted(
+            (int(r["step"]), int(r["node"]))
+            for _, r in grp.iterrows()
+        )
+        for w, grp in out.groupby("walk")
+    }
+    assert got[1] == ref_walk(1, 3)
+    assert got[5] == ref_walk(5, 3)
+    # sink start: only step 0
+    assert got[6] == [(0, 6)]
+    # deterministic across plans
+    again = random_walks(sdf, starts, length=3, seed=9).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )

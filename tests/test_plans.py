@@ -1065,6 +1065,14 @@ def test_round5_query_plan_pins(spark):
         # one distinct-value agg + ONE keyed window exchange; the
         # quantile assembly re-uses the group partitioning
         "weighted_quantiles": (2, 0),
+        # per-round lineage truncates at the checkpointed label frame;
+        # the visible tail is the community-size agg
+        "label_propagation": (1, 0),
+        # ditto: the visible tail is the last frontier join + argmin
+        "random_walks": (1, 0),
+        # ONE keyed window (lag) sharing the group partitioning with
+        # the final hash agg
+        "forecast_metrics": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
