@@ -9435,6 +9435,147 @@ def _forecast_metrics_oracle_sql() -> str:
     """
 
 
+_SC_RATE, _SC_SPAN, _SC_SEED = 0.15, 3, 5
+
+
+def q_span_corrupt(spark, sf_dir) -> DataFrame:
+    """T5-style span corruption (operators/augment.py span_corrupt):
+    deterministic md5-driven span masking over the documents corpus —
+    (input, target) pretraining-pair materialization, byte-reproducible
+    on any engine. One posexplode + doc-keyed windows on ONE exchange
+    + per-doc assembly."""
+    from eland_spark.operators.augment import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    out = span_corrupt(
+        docs, F.col("text"), F.col("doc_id"),
+        mask_rate=_SC_RATE, mean_span=_SC_SPAN, seed=_SC_SEED,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "input_text", "target_text",
+        "n_tokens", "n_masked", "n_spans",
+    )
+
+
+def _span_corrupt_oracle_sql() -> str:
+    seed, mean_span = _SC_SEED, _SC_SPAN
+    p_start = int(round(_SC_RATE / _SC_SPAN * 1_000_000))
+    span_mod = 2 * mean_span - 1
+    h = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+        "CAST(pos AS VARCHAR) || '{suf}'), 1, 15)) AS BIGINT)"
+    )
+    h_start = h.format(suf=str(seed))
+    h_len = h.format(suf=f"|L{seed}")
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, i - 1 AS pos, l[i] AS tok
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+'), t -> t <> '') AS l
+                FROM documents
+            ), LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+        ), marks AS (
+            SELECT doc_id, pos, tok,
+                   ({h_start} % 1000000) < {p_start} AS st,
+                   1 + ({h_len} % {span_mod}) AS sl
+            FROM tok
+        ), cov AS (
+            SELECT doc_id, pos, tok,
+                   COALESCE(max(CASE WHEN st THEN pos + sl END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {span_mod - 1} PRECEDING
+                                AND CURRENT ROW) > pos, FALSE) AS m
+            FROM marks
+        ), runs AS (
+            SELECT doc_id, pos, tok, m,
+                   m AND NOT COALESCE(
+                       lag(m) OVER (PARTITION BY doc_id ORDER BY pos),
+                       FALSE) AS rs
+            FROM cov
+        ), numbered AS (
+            SELECT doc_id, pos, tok, m, rs,
+                   sum(CASE WHEN rs THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) - 1 AS k
+            FROM runs
+        ), pieces AS (
+            SELECT doc_id, pos, m, rs,
+                   CASE WHEN NOT m THEN tok
+                        WHEN rs THEN '<extra_id_' || CAST(k AS VARCHAR)
+                                     || '>' END AS ip,
+                   CASE WHEN m AND rs THEN '<extra_id_'
+                            || CAST(k AS VARCHAR) || '> ' || tok
+                        WHEN m THEN tok END AS tp
+            FROM numbered
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_masked,
+                   CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_spans,
+                   COALESCE(string_agg(ip, ' ' ORDER BY pos), '')
+                       AS input_text,
+                   string_agg(tp, ' ' ORDER BY pos) AS tgt
+            FROM pieces GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.input_text, '') AS input_text,
+               CASE WHEN COALESCE(p.n_spans, 0) > 0
+                    THEN p.tgt || ' <extra_id_'
+                         || CAST(p.n_spans AS VARCHAR) || '>'
+                    ELSE '<extra_id_0>' END AS target_text,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_masked, 0) AS n_masked,
+               COALESCE(p.n_spans, 0) AS n_spans
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
+def q_trimmed_stats(spark, sf_dir) -> DataFrame:
+    """Outlier-robust per-language location/scale (operators/scaling.py
+    trimmed_stats): 10%-trimmed mean/std of document length — rank +
+    ordered prefix sums on ONE keyed window exchange."""
+    from eland_spark.operators.scaling import trimmed_stats
+
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    return trimmed_stats(
+        docs.select("lang", "n_chars"), "n_chars", ["lang"], trim=0.1
+    )
+
+
+def _trimmed_stats_oracle_sql(trim: float = 0.1) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars ASC) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+        ), kept AS (
+            SELECT lang, v, n FROM ranked
+            WHERE rk > CAST(floor({trim!r} * n) AS BIGINT)
+              AND rk <= n - CAST(floor({trim!r} * n) AS BIGINT)
+        ), agg AS (
+            SELECT lang, CAST(max(n) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_trimmed,
+                   sum(v) AS s, sum(v * v) AS ss
+            FROM kept GROUP BY lang
+        )
+        SELECT lang, n, n_trimmed,
+               CASE WHEN n_trimmed >= 1
+                    THEN round(s / n_trimmed, 6) END AS trimmed_mean,
+               CASE WHEN n_trimmed >= 2
+                    THEN round(sqrt(greatest(
+                         (ss - s * s / n_trimmed) / (n_trimmed - 1),
+                         0.0)), 6) END AS trimmed_std
+        FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9734,6 +9875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "random_walks": q_random_walks,
         "forecast_metrics": q_forecast_metrics,
+        "span_corrupt": q_span_corrupt,
+        "trimmed_stats": q_trimmed_stats,
     }
 
 
@@ -12024,4 +12167,6 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _label_propagation_oracle_sql(),
         "random_walks": _random_walks_oracle_sql(),
         "forecast_metrics": _forecast_metrics_oracle_sql(),
+        "span_corrupt": _span_corrupt_oracle_sql(),
+        "trimmed_stats": _trimmed_stats_oracle_sql(),
     }

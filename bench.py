@@ -242,6 +242,10 @@ HEADLINE = [
     "label_propagation",
     "random_walks",
     "forecast_metrics",
+    # r8: T5 span corruption (posexplode + doc-keyed windows on one
+    # exchange + per-doc assembly) and the trimmed location/scale pass
+    "span_corrupt",
+    "trimmed_stats",
 ]
 
 # queries whose result set is large -> noop sink instead of collect
@@ -276,6 +280,7 @@ ROW_HEAVY = {
     "groupby_ewm_std",
     "groupby_ewm_wide",
     "bigram_logppl",
+    "span_corrupt",
 }
 
 # Ledgered explanations for sweep entries allowed over the per-query

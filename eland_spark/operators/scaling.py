@@ -217,3 +217,85 @@ def quantile_normalize(
     qhi = F.element_at(arr, hi + 1)
     out = F.when(u.isNotNull(), qlo + (qhi - qlo) * frac)
     return ranked.withColumn(col + suffix, out).drop(f"{col}__u__")
+
+
+def trimmed_stats(
+    sdf,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    trim: float = 0.1,
+):
+    """Per-group TRIMMED mean/std: drop the lowest and highest
+    ``floor(trim * n)`` values (by rank, ties broken by rank order —
+    the scipy.stats.trim_mean convention of trimming a COUNT, not a
+    threshold), then mean and sample std of the remainder — the
+    outlier-robust location/scale summary a metrics pipeline wants
+    when winsorization's clamping would still leak magnitude.
+
+    Cross-engine determinism: the sum and sum-of-squares accumulate
+    as CUMULATIVE window sums in rank order — a fixed left-to-right
+    float sequence both engines execute identically (the kaplan_meier
+    contract; integer-nano quantization would overflow int64 on
+    squared large values) — and only the final mean/std are rounded
+    to 6dp. Nulls drop. A group whose trimmed count is < 1 yields
+    null mean; < 2 yields null std.
+
+    Scale shape: ONE keyed window exchange (rank, count, and the
+    ordered prefix sums all share the group partitioning) + one hash
+    agg; no global exchange.
+
+    Returns (group..., n, n_trimmed, trimmed_mean, trimmed_std).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = sdf.where(v.isNotNull()).select(*groups, v.alias("__v__"))
+    w = Window.partitionBy(*[F.col(g) for g in groups])
+    ranked = base.select(
+        *groups,
+        "__v__",
+        F.row_number()
+        .over(w.orderBy(F.col("__v__").asc()))
+        .alias("__rk__"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n__"),
+    )
+    k = F.floor(F.lit(float(trim)) * F.col("__n__")).cast("long")
+    kept = ranked.where(
+        (F.col("__rk__") > k) & (F.col("__rk__") <= F.col("__n__") - k)
+    )
+    w2 = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
+        F.col("__rk__").asc()
+    )
+    w2c = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = kept.select(
+        *groups,
+        "__n__",
+        "__rk__",
+        F.sum("__v__").over(w2c).alias("__cs__"),
+        F.sum(F.col("__v__") * F.col("__v__")).over(w2c).alias("__css__"),
+    )
+    agg = pre.groupBy(*groups).agg(
+        F.max("__n__").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_trimmed"),
+        F.max_by(F.col("__cs__"), F.col("__rk__")).alias("__s__"),
+        F.max_by(F.col("__css__"), F.col("__rk__")).alias("__ss__"),
+    )
+    m = F.col("__s__") / F.col("n_trimmed")
+    var = (
+        F.col("__ss__") - F.col("__s__") * F.col("__s__") / F.col("n_trimmed")
+    ) / (F.col("n_trimmed") - 1)
+    return agg.select(
+        *groups,
+        "n",
+        "n_trimmed",
+        F.when(F.col("n_trimmed") >= 1, F.round(m, 6)).alias("trimmed_mean"),
+        F.when(
+            F.col("n_trimmed") >= 2,
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6),
+        ).alias("trimmed_std"),
+    )

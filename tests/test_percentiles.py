@@ -129,3 +129,43 @@ def test_weighted_quantiles_matches_reference(spark):
         weighted_quantiles(sdf, "v", "w", [0.0], ["g"])
     with pytest.raises(ValueError, match="non-empty"):
         weighted_quantiles(sdf, "v", "w", [], ["g"])
+
+
+def test_trimmed_stats_matches_reference(spark):
+    """10%-trim count semantics (scipy trim_mean convention) vs a
+    python reference; null drop; degenerate small groups."""
+    import random
+    import statistics
+
+    import pandas as pd
+    import pytest
+
+    from eland_spark.operators.scaling import trimmed_stats
+
+    rng = random.Random(8)
+    rows = []
+    for g, size in [("a", 57), ("b", 9), ("c", 1), ("d", 2)]:
+        for _ in range(size):
+            rows.append((g, rng.randint(-50, 5000)))
+    rows.append(("a", None))
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    sdf = spark.createDataFrame(pdf, schema="g string, v double")
+    out = trimmed_stats(sdf, "v", ["g"], trim=0.1).toPandas()
+    got = {r["g"]: r for _, r in out.iterrows()}
+    for g in ["a", "b", "c", "d"]:
+        vals = sorted(v for gg, v in rows if gg == g and v is not None)
+        k = int(0.1 * len(vals))
+        kept = vals[k:len(vals) - k]
+        r = got[g]
+        assert r["n"] == len(vals) and r["n_trimmed"] == len(kept)
+        assert r["trimmed_mean"] == pytest.approx(
+            round(sum(kept) / len(kept), 6), abs=1e-6
+        )
+        if len(kept) >= 2:
+            assert r["trimmed_std"] == pytest.approx(
+                round(statistics.stdev(kept), 6), abs=1e-6
+            )
+        else:
+            assert pd.isna(r["trimmed_std"])
+    with pytest.raises(ValueError, match="trim"):
+        trimmed_stats(sdf, "v", ["g"], trim=0.5)

@@ -1073,6 +1073,12 @@ def test_round5_query_plan_pins(spark):
         # ONE keyed window (lag) sharing the group partitioning with
         # the final hash agg
         "forecast_metrics": (1, 0),
+        # posexplode + doc-keyed windows + per-doc assembly on ONE
+        # exchange; the empties anti-join broadcasts
+        "span_corrupt": (1, 1),
+        # rank/count + ordered prefix sums + final agg on ONE keyed
+        # window exchange
+        "trimmed_stats": (1, 0),
     }
     for name, (max_shuffles, min_bcast) in pins.items():
         df = queries[name](spark, SF)
