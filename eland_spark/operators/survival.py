@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kaplan_meier"]
+__all__ = ["kaplan_meier", "kaplan_meier_from_counts"]
 
 
 def kaplan_meier(
@@ -59,6 +59,22 @@ def kaplan_meier(
         F.sum(ev).alias("n_event"),
         F.sum(1 - ev).alias("n_censored"),
     )
+    return kaplan_meier_from_counts(counts, duration_col, groups)
+
+
+def kaplan_meier_from_counts(
+    counts: DataFrame,
+    duration_col: str,
+    groups: "Sequence[str]" = (),
+) -> DataFrame:
+    """The estimator core over pre-aggregated per-(group, duration)
+    ``n_event`` / ``n_censored`` counts — shared by the batch operator
+    above and the streaming merge-on-read twin
+    (``streaming/curation.read_kaplan_meier``), so streamed reading
+    equals the batch estimate of everything ingested EXACTLY (counts
+    merge by plain addition). Expects at most one row per (group,
+    duration)."""
+    groups = list(groups)
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(
         F.col(duration_col).asc()
     )

@@ -28,6 +28,8 @@ __all__ = [
     "read_cms",
     "stream_minhash_update",
     "read_minhash",
+    "stream_survival_counts_update",
+    "read_kaplan_meier",
 ]
 
 
@@ -778,3 +780,73 @@ def read_minhash(spark, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(*dirs).select(
         "id", "sig", "keys"
     )
+
+
+def stream_survival_counts_update(
+    stream_sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    duration_col: str,
+    event_col: str,
+    group_col: "str | None" = None,
+    timeout_sec: int = 120,
+):
+    """Maintain the Kaplan-Meier sufficient statistics over a stream
+    of completed subjects: per micro-batch, per-(group, duration)
+    ``n_event`` / ``n_censored`` counts land under
+    ``<path>/batch=<id>/`` (idempotent in batch_id). Counts merge by
+    plain ADDITION, so :func:`read_kaplan_meier` over the store
+    equals the batch ``operators/survival.kaplan_meier`` of
+    everything ingested EXACTLY — the streaming retention-curve
+    maintenance twin, same contract as the keyed drift-battery store.
+    Null durations/events drop at write time."""
+    from pyspark.sql import functions as F
+
+    from .sinks import foreach_batch_sink
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        ev = F.col(event_col).cast("int")
+        keys = [F.col(group_col).alias("g")] if group_col else []
+        counts = (
+            batch_df.where(
+                F.col(duration_col).isNotNull()
+                & F.col(event_col).isNotNull()
+            )
+            .groupBy(*keys, F.col(duration_col).alias("t"))
+            .agg(
+                F.sum(ev).alias("n_event"),
+                F.sum(1 - ev).alias("n_censored"),
+            )
+        )
+        counts.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return foreach_batch_sink(
+        stream_sdf, _write, checkpoint, output_mode="append",
+        timeout_sec=timeout_sec,
+    )
+
+
+def read_kaplan_meier(spark, path: str, grouped: bool = True) -> DataFrame:
+    """Merge-on-read over a :func:`stream_survival_counts_update`
+    store: sum the per-batch death/censor counts (lossless addition),
+    then run the shared ``kaplan_meier_from_counts`` core — streamed
+    reading == the batch estimator over everything ingested, exactly
+    (batch-twin pinned in tests). Returns the batch operator's
+    (group?, t, n_risk, n_event, n_censored, survival) layout."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.survival import kaplan_meier_from_counts
+
+    dirs = sorted(_glob.glob(_os.path.join(path, "batch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no batch=* directories under {path}")
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    keys = ["g"] if grouped else []
+    merged = df.groupBy(*keys, "t").agg(
+        F.sum("n_event").alias("n_event"),
+        F.sum("n_censored").alias("n_censored"),
+    )
+    return kaplan_meier_from_counts(merged, "t", keys)

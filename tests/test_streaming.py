@@ -1264,3 +1264,59 @@ def test_stream_ks_battery_matches_batch(spark, tmp_path):
     # the null-key and null/NaN-value rows were dropped at write time
     # (2 extra rows per batch: (null, 1.0) and ('a', NaN/null))
     assert sum(r["n_cur"] or 0 for r in got.values()) == 200
+
+
+def test_stream_kaplan_meier_matches_batch(spark, tmp_path):
+    """Merged streamed survival counts must reproduce the batch
+    kaplan_meier of every ingested subject EXACTLY (counts add
+    losslessly; null durations/events dropped at write time; the read
+    path lands in the shared kaplan_meier_from_counts core)."""
+    import numpy as np
+    import pandas as pd
+
+    from eland_spark.operators.survival import kaplan_meier
+    from eland_spark.streaming.curation import (
+        read_kaplan_meier, stream_survival_counts_update,
+    )
+
+    rng = np.random.RandomState(17)
+    src = tmp_path / "src_surv"
+    src.mkdir()
+    frames = []
+    for i in range(2):
+        b = pd.DataFrame({
+            "g": list(rng.choice(["x", "y"], 80)) + ["x"],
+            "t": list(rng.randint(1, 10, 80).astype("float64")) + [None],
+            "e": list(rng.randint(0, 2, 80)) + [1],
+        })
+        frames.append(b)
+        spark.createDataFrame(
+            b, "g string, t double, e int"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("g string, t double, e int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_survival_counts_update(
+        stream, str(tmp_path / "surv"), str(tmp_path / "ck_surv"),
+        "t", "e", group_col="g",
+    )
+    q.awaitTermination(120)
+
+    got = (
+        read_kaplan_meier(spark, str(tmp_path / "surv"))
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    all_rows = spark.createDataFrame(
+        pd.concat(frames), "g string, t double, e int"
+    )
+    want = (
+        kaplan_meier(all_rows, "t", "e", ["g"])
+        .toPandas()
+        .rename(columns={"t": "t"})
+        .sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    want = want[got.columns]
+    assert got.equals(want), (got, want)
