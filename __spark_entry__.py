@@ -7903,6 +7903,22 @@ def _fleiss_kappa_oracle_sql() -> str:
     """
 
 
+def _next_doc_pairs(spark, sf_dir) -> DataFrame:
+    """(cand, ref) pairs: each document against the NEXT doc_id in the
+    same language — the deterministic skew-free pairing shared by the
+    corpus_bleu / rouge_n / chrf generation-eval queries (factored r8;
+    the r7 review flagged the triplication)."""
+    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("__l2__"),
+        F.col("text").alias("__ref__"),
+    )
+    return docs.join(d2, "doc_id").where(
+        F.col("lang") == F.col("__l2__")
+    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+
+
 def q_corpus_bleu(spark, sf_dir) -> DataFrame:
     """Corpus BLEU (evaluation.corpus_bleu) of each document against
     the NEXT doc_id in the same language (self-join on doc_id + 1 — a
@@ -7911,15 +7927,7 @@ def q_corpus_bleu(spark, sf_dir) -> DataFrame:
     BLEU. One hash agg per side keyed on the n-gram tuple."""
     from eland_spark.operators.evaluation import corpus_bleu
 
-    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
-    d2 = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"),
-        F.col("lang").alias("__l2__"),
-        F.col("text").alias("__ref__"),
-    )
-    pairs = docs.join(d2, "doc_id").where(
-        F.col("lang") == F.col("__l2__")
-    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    pairs = _next_doc_pairs(spark, sf_dir)
     return corpus_bleu(pairs, "cand", "ref", max_n=4)
 
 
@@ -8288,15 +8296,7 @@ def q_rouge_n(spark, sf_dir) -> DataFrame:
     pair means in one scalar agg."""
     from eland_spark.operators.evaluation import rouge_n
 
-    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
-    d2 = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"),
-        F.col("lang").alias("__l2__"),
-        F.col("text").alias("__ref__"),
-    )
-    pairs = docs.join(d2, "doc_id").where(
-        F.col("lang") == F.col("__l2__")
-    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    pairs = _next_doc_pairs(spark, sf_dir)
     return rouge_n(pairs, "cand", "ref", orders=(1, 2))
 
 
@@ -8690,15 +8690,7 @@ def q_chrf(spark, sf_dir) -> DataFrame:
     corpus_bleu/rouge_n. Same gram-keyed hash-agg shape."""
     from eland_spark.operators.evaluation import chrf
 
-    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
-    d2 = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"),
-        F.col("lang").alias("__l2__"),
-        F.col("text").alias("__ref__"),
-    )
-    pairs = docs.join(d2, "doc_id").where(
-        F.col("lang") == F.col("__l2__")
-    ).select(F.col("text").alias("cand"), F.col("__ref__").alias("ref"))
+    pairs = _next_doc_pairs(spark, sf_dir)
     return chrf(pairs, "cand", "ref", max_n=4, beta=2.0)
 
 

@@ -377,6 +377,44 @@ def fleiss_kappa(sdf: DataFrame, item_col: str, category_col: str) -> DataFrame:
     )
 
 
+def _ngram_array(col, n: int, char_level: bool = False):
+    """Array of order-``n`` grams of a token array (word grams joined
+    by spaces) or of a string (character grams); empty when the input
+    is shorter than ``n``. Shared by corpus_bleu / rouge_n / chrf."""
+    if char_level:
+        ln = F.length(col)
+        unit = lambda i: F.substring(col, i, n)  # noqa: E731
+    else:
+        ln = F.size(col)
+        unit = lambda i: F.concat_ws(" ", F.slice(col, i, n))  # noqa: E731
+    return F.when(
+        ln >= n,
+        F.transform(F.sequence(F.lit(1), ln - n + 1), unit),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_counts(base, col_expr, orders, cname: str,
+                 char_level: bool = False):
+    """(pid, order, gram) -> count in ONE hash aggregation over the
+    union of per-order explodes — the shared side-counts scaffold of
+    the three generation-eval metrics (gram-keyed shuffle, no skew
+    pole)."""
+    per_n = [
+        base.select(
+            "__pid__",
+            F.lit(n).alias("__n__"),
+            F.explode(_ngram_array(col_expr, n, char_level)).alias("__g__"),
+        )
+        for n in orders
+    ]
+    un = per_n[0]
+    for p in per_n[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("__pid__", "__n__", "__g__").agg(
+        F.count(F.lit(1)).alias(cname)
+    )
+
+
 def corpus_bleu(
     pairs: DataFrame,
     cand_col: str,
@@ -417,34 +455,9 @@ def corpus_bleu(
         toks(ref_col).alias("__rt__"),
     ).localCheckpoint(eager=False)
 
-    def grams(tok_col, n):
-        ln = F.size(tok_col)
-        return F.when(
-            ln >= n,
-            F.transform(
-                F.sequence(F.lit(1), ln - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def side_counts(tok_expr, cname):
-        per_n = [
-            base.select(
-                "__pid__",
-                F.lit(n).alias("__n__"),
-                F.explode(grams(tok_expr, n)).alias("__g__"),
-            )
-            for n in range(1, max_n + 1)
-        ]
-        un = per_n[0]
-        for p in per_n[1:]:
-            un = un.unionByName(p)
-        return un.groupBy("__pid__", "__n__", "__g__").agg(
-            F.count(F.lit(1)).alias(cname)
-        )
-
-    cc = side_counts(F.col("__ct__"), "__cc__")
-    rc = side_counts(F.col("__rt__"), "__rc__")
+    rng = range(1, max_n + 1)
+    cc = _gram_counts(base, F.col("__ct__"), rng, "__cc__")
+    rc = _gram_counts(base, F.col("__rt__"), rng, "__rc__")
     j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
     clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
     per_order = [
@@ -582,34 +595,8 @@ def rouge_n(
         toks(ref_col).alias("__rt__"),
     ).localCheckpoint(eager=False)
 
-    def grams(tok_col, n):
-        ln = F.size(tok_col)
-        return F.when(
-            ln >= n,
-            F.transform(
-                F.sequence(F.lit(1), ln - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def side_counts(tok_expr, cname):
-        per_n = [
-            base.select(
-                "__pid__",
-                F.lit(n).alias("__n__"),
-                F.explode(grams(tok_expr, n)).alias("__g__"),
-            )
-            for n in orders
-        ]
-        un = per_n[0]
-        for p in per_n[1:]:
-            un = un.unionByName(p)
-        return un.groupBy("__pid__", "__n__", "__g__").agg(
-            F.count(F.lit(1)).alias(cname)
-        )
-
-    cc = side_counts(F.col("__ct__"), "__cc__")
-    rc = side_counts(F.col("__rt__"), "__rc__")
+    cc = _gram_counts(base, F.col("__ct__"), orders, "__cc__")
+    rc = _gram_counts(base, F.col("__rt__"), orders, "__rc__")
     ov = (
         cc.join(rc, ["__pid__", "__n__", "__g__"])
         .groupBy("__pid__", "__n__")
@@ -695,34 +682,9 @@ def chrf(
         strip(ref_col).alias("__rs__"),
     ).localCheckpoint(eager=False)
 
-    def grams(s, n):
-        ln = F.length(s)
-        return F.when(
-            ln >= n,
-            F.transform(
-                F.sequence(F.lit(1), ln - n + 1),
-                lambda i: F.substring(s, i, n),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def side_counts(s, cname):
-        per_n = [
-            base.select(
-                "__pid__",
-                F.lit(n).alias("__n__"),
-                F.explode(grams(s, n)).alias("__g__"),
-            )
-            for n in range(1, max_n + 1)
-        ]
-        un = per_n[0]
-        for p in per_n[1:]:
-            un = un.unionByName(p)
-        return un.groupBy("__pid__", "__n__", "__g__").agg(
-            F.count(F.lit(1)).alias(cname)
-        )
-
-    cc = side_counts(F.col("__cs__"), "__cc__")
-    rc = side_counts(F.col("__rs__"), "__rc__")
+    rng = range(1, max_n + 1)
+    cc = _gram_counts(base, F.col("__cs__"), rng, "__cc__", char_level=True)
+    rc = _gram_counts(base, F.col("__rs__"), rng, "__rc__", char_level=True)
     j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
     clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
     stats = j.agg(
