@@ -8913,8 +8913,8 @@ def _bigram_logppl_oracle_sql() -> str:
                                        THEN CAST(COALESCE(b.n, 0) AS DOUBLE)
                                             / c.cv
                                        ELSE 0.0 END)
-                       + {olam!r} * (COALESCE(CAST(u.n AS DOUBLE), {floor!r})
-                                     / tot.t)
+                       + {olam!r} * (greatest(COALESCE(CAST(u.n AS DOUBLE), 0.0),
+                                                {floor!r}) / tot.t)
                    ) * 1e9) AS BIGINT) AS cost
             FROM pairs p
             LEFT JOIN bi b ON b.v = p.v AND b.w = p.w
@@ -9039,15 +9039,19 @@ def q_negative_sample(spark, sf_dir) -> DataFrame:
     from eland_spark.operators.sampling import negative_sample
 
     docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
-    n = docs.count()
+    # plain +1/+2 positives (no modulo): anchors stop at 20, every
+    # corpus SF has far more docs, and a wraparound modulus would have
+    # to agree bit-for-bit with the oracle's span definition — a
+    # divergence trap the r8 review flagged (count() != max+1 on any
+    # gapped id space), plus an eager count job at plan-build time
     anchors = docs.where(F.col("doc_id") < 20).select("doc_id")
     positives = anchors.select(
         F.col("doc_id").alias("anchor"),
-        ((F.col("doc_id") + 1) % n).alias("pos"),
+        (F.col("doc_id") + 1).alias("pos"),
     ).unionByName(
         anchors.select(
             F.col("doc_id").alias("anchor"),
-            ((F.col("doc_id") + 2) % n).alias("pos"),
+            (F.col("doc_id") + 2).alias("pos"),
         )
     )
     return negative_sample(
@@ -9064,11 +9068,9 @@ def _negative_sample_oracle_sql() -> str:
         ), anchors AS (
             SELECT doc_id AS anchor FROM documents WHERE doc_id < 20
         ), positives AS (
-            SELECT anchor, (anchor + 1) % (SELECT n FROM span) AS pos
-            FROM anchors
+            SELECT anchor, anchor + 1 AS pos FROM anchors
             UNION
-            SELECT anchor, (anchor + 2) % (SELECT n FROM span) AS pos
-            FROM anchors
+            SELECT anchor, anchor + 2 AS pos FROM anchors
             UNION
             SELECT anchor, anchor AS pos FROM anchors
         ), draws AS (
@@ -9421,7 +9423,8 @@ def _forecast_metrics_oracle_sql() -> str:
                round(CAST(ss AS DOUBLE) / n / 1000000000.0, 6) AS smape,
                round(CAST(sa AS DOUBLE) / n / 1000000000.0, 6) AS mae,
                CASE WHEN nn > 0 AND sn > 0
-                    THEN round(CAST(sa AS DOUBLE) / CAST(sn AS DOUBLE), 6)
+                    THEN round((CAST(sa AS DOUBLE) / n)
+                               / (CAST(sn AS DOUBLE) / nn), 6)
                END AS mase
         FROM agg
     """
@@ -9548,14 +9551,24 @@ def _trimmed_stats_oracle_sql(trim: float = 0.1) -> str:
                    count(*) OVER (PARTITION BY lang) AS n
             FROM documents WHERE n_chars IS NOT NULL
         ), kept AS (
-            SELECT lang, v, n FROM ranked
+            SELECT lang, v, n, rk FROM ranked
             WHERE rk > CAST(floor({trim!r} * n) AS BIGINT)
               AND rk <= n - CAST(floor({trim!r} * n) AS BIGINT)
+        ), pre AS (
+            -- mirror the engine's rank-ordered cumulative sums (the
+            -- fixed-float-sequence contract) instead of unordered
+            -- aggregate sums, so fractional values cannot drift
+            SELECT lang, n, rk,
+                   sum(v) OVER w AS cs,
+                   sum(v * v) OVER w AS css
+            FROM kept
+            WINDOW w AS (PARTITION BY lang ORDER BY rk
+                         ROWS UNBOUNDED PRECEDING)
         ), agg AS (
             SELECT lang, CAST(max(n) AS BIGINT) AS n,
                    CAST(count(*) AS BIGINT) AS n_trimmed,
-                   sum(v) AS s, sum(v * v) AS ss
-            FROM kept GROUP BY lang
+                   max_by(cs, rk) AS s, max_by(css, rk) AS ss
+            FROM pre GROUP BY lang
         )
         SELECT lang, n, n_trimmed,
                CASE WHEN n_trimmed >= 1

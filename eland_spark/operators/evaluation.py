@@ -761,16 +761,22 @@ def forecast_metrics(
     - ``smape`` = mean of ``2|a-p| / (|a|+|p|)`` (term = 0 when both
       are 0 — the standard convention), in [0, 2];
     - ``mae`` = mean ``|a-p|``;
-    - ``mase`` = sum ``|a-p|`` / sum ``|a_t - a_{t-1}|`` over the lag
-      pairs in ``order_col`` order (null when the series has < 2
-      points or a constant history).
+    - ``mase`` = mean ``|a-p|`` / mean ``|a_t - a_{t-1}|`` over the
+      naive lag pairs in ``order_col`` order — the standard Hyndman &
+      Koehler normalization, so MASE < 1 means "beats the in-sample
+      naive forecast" (null when the series has < 2 points or a
+      constant history).
 
     Cross-engine exactness: every per-row term is quantized to an
     INTEGER nano (``round(term * 1e9)``) before aggregation, so sums
     are order-free exact integers (the unigram/ngram_lm contract) and
-    only the final ratios are floats, rounded to 6dp. Rows with null
-    actual/pred drop from smape/mae; the naive denominator uses every
-    non-null actual.
+    only the final ratios are floats, rounded to 6dp. The int64 nano
+    bound is the magnitude CONTRACT: per-row terms (|a - p| and the
+    naive |a_t - a_{t-1}|) must stay below ~9.2e9 or the quantized
+    cast overflows under ANSI — rescale unit-heavy series (epoch
+    nanos, micro-currency) before scoring. Rows with null actual/pred
+    drop from smape/mae; the naive denominator uses every non-null
+    actual.
 
     Scale shape: ONE keyed window (the lag) sharing the group
     partitioning with the final hash aggregation — no global
@@ -822,7 +828,8 @@ def forecast_metrics(
         F.when(
             (F.col("__nn__") > 0) & (F.col("__sn__") > 0),
             F.round(
-                F.col("__sa__").cast("double") / F.col("__sn__").cast("double"),
+                (F.col("__sa__").cast("double") / F.col("n"))
+                / (F.col("__sn__").cast("double") / F.col("__nn__")),
                 6,
             ),
         ).alias("mase"),

@@ -99,8 +99,11 @@ def bigram_logppl(
     Exactness: the per-token cost is an integer nano-log (see module
     docstring), so the document total is an exact integer sum — safe
     for cross-engine hash comparison."""
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError("lam must be in [0, 1]")
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(
+            "lam must be in [0, 1) — at lam == 1.0 an unseen context "
+            "yields p == 0 and the log-cost is undefined"
+        )
     if floor_count <= 0.0:
         raise ValueError("floor_count must be > 0")
     from .dedup import normalized_tokens
@@ -158,7 +161,10 @@ def bigram_logppl(
         F.coalesce(F.col("cvw"), F.lit(0)).cast("double") / F.col("cv"),
     ).otherwise(F.lit(0.0))
     p_uni = (
-        F.coalesce(F.col("cw").cast("double"), F.lit(float(floor_count)))
+        F.greatest(
+            F.coalesce(F.col("cw").cast("double"), F.lit(0.0)),
+            F.lit(float(floor_count)),
+        )
         / F.col("__t__")
     )
     p = F.lit(lam) * p_bi + F.lit(one_minus_lam) * p_uni

@@ -456,8 +456,11 @@ def negative_sample(
     Draws are md5-hash pseudo-randoms mod the corpus id span
     (``max(id) + 1``), so the sample is reproducible on any engine
     with md5 and independent of row order. Draw j for an anchor is
-    ``md5(anchor || '|' || j || '|' || seed)`` — anchors don't share
-    draws, reruns don't reshuffle. Ids are drawn UNIFORMLY over
+    ``md5(anchor || '|' || j || seed)`` — NOTE: no separator before
+    the seed, the ``_md5_rank_key`` convention every portable sampler
+    in this module shares; an oracle reimplementing the recipe must
+    concatenate exactly this way. Anchors don't share draws, reruns
+    don't reshuffle. Ids are drawn UNIFORMLY over
     [0, max+1): ids absent from the corpus (sparse id spaces) and
     collisions with the anchor's positives simply drop, and
     ``oversample`` extra draws per slot cover the loss; the contract

@@ -826,12 +826,15 @@ def stream_survival_counts_update(
     )
 
 
-def read_kaplan_meier(spark, path: str, grouped: bool = True) -> DataFrame:
+def read_kaplan_meier(spark, path: str) -> DataFrame:
     """Merge-on-read over a :func:`stream_survival_counts_update`
     store: sum the per-batch death/censor counts (lossless addition),
     then run the shared ``kaplan_meier_from_counts`` core — streamed
     reading == the batch estimator over everything ingested, exactly
-    (batch-twin pinned in tests). Returns the batch operator's
+    (batch-twin pinned in tests). Whether the store is grouped is
+    detected from its schema (the writer emits a ``g`` column only
+    when ``group_col`` was set), so the two halves of the twin cannot
+    disagree on defaults. Returns the batch operator's
     (group?, t, n_risk, n_event, n_censored, survival) layout."""
     import glob as _glob
     import os as _os
@@ -844,7 +847,7 @@ def read_kaplan_meier(spark, path: str, grouped: bool = True) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no batch=* directories under {path}")
     df = spark.read.option("basePath", path).parquet(*dirs)
-    keys = ["g"] if grouped else []
+    keys = ["g"] if "g" in df.columns else []
     merged = df.groupBy(*keys, "t").agg(
         F.sum("n_event").alias("n_event"),
         F.sum("n_censored").alias("n_censored"),

@@ -883,7 +883,9 @@ def test_forecast_metrics_matches_reference(spark):
                 sn += int(round(abs(a - prev) * 1e9))
         smape = round(ss / n / 1e9, 6) if n else None
         mae = round(sa / n / 1e9, 6) if n else None
-        mase = round(sa / sn, 6) if nn > 0 and sn > 0 else None
+        mase = (
+            round((sa / n) / (sn / nn), 6) if nn > 0 and sn > 0 else None
+        )
         return n, smape, mae, mase
 
     for g in ["a", "b", "c", "d"]:
