@@ -89,10 +89,13 @@ def train_linear_classifier(
     :func:`score_hashed_classifier`. Deterministic given the data
     (aggregation sums are order-insensitive to double precision).
     """
+    # labels is a narrow projection of the source (column pruning +
+    # pushdown make its re-scan per consumer cheap) — a checkpoint here
+    # was one pure-overhead build-time job wave, measured no faster
     labels = sdf.select(
         F.col(id_col).alias("id"),
         F.col(label_col).cast("double").alias("y"),
-    ).localCheckpoint(eager=False)
+    )
     # intercept = synthetic bucket -1 with x=1 on EVERY row: its weight
     # is the bias and its gradient is sum(residual) — one aggregation
     # job per iteration covers weights and intercept together
@@ -103,7 +106,11 @@ def train_linear_classifier(
         )
         .localCheckpoint(eager=False)
     )
-    n = labels.count()
+    # n (the labeled-row count) is NOT a separate count() job: every
+    # labeled row contributes exactly one intercept row (bucket -1,
+    # x=1), so the first gradient collect's count for bucket -1 IS n —
+    # one job wave saved per training call
+    n: "int | None" = None
     w: dict[int, float] = {}
     spark = sdf.sparkSession
     for _ in range(iters):
@@ -122,22 +129,33 @@ def train_linear_classifier(
                     ).alias("s")
                 )
             )
+            resid = labels.join(scores, "id", "left").select(
+                "id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.coalesce(F.col("s"), F.lit(0.0))))
+                    - F.col("y")
+                ).alias("r"),
+            )
         else:
-            scores = labels.select("id").withColumn("s", F.lit(0.0))
-        resid = labels.join(scores, "id", "left").select(
-            "id",
-            (
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-F.coalesce(F.col("s"), F.lit(0.0))))
-                - F.col("y")
-            ).alias("r"),
-        )
+            # first iteration: every score is exactly 0, so
+            # sigmoid(0) - y == 0.5 - y — same floats, no self-join
+            resid = labels.select(
+                "id", (F.lit(0.5) - F.col("y")).alias("r")
+            )
         grad_rows = (
             feats.join(resid, "id")
             .groupBy("bucket")
-            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .agg(
+                F.sum(F.col("r") * F.col("x")).alias("g"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
+        if n is None:
+            n = next(
+                (int(row["c"]) for row in grad_rows if row["bucket"] == -1), 0
+            ) or 1
         for row in grad_rows:
             w[row["bucket"]] = w.get(row["bucket"], 0.0) - lr * row["g"] / n
     dense = [0.0] * n_buckets

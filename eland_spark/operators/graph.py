@@ -34,6 +34,30 @@ from pyspark.sql import functions as F
 __all__ = ["degrees", "pagerank", "label_propagation", "random_walks"]
 
 
+def _lazy_unroll(iterations: int, branches: int) -> bool:
+    """True when a fixed-K iterative plan should stay FULLY LAZY instead
+    of taking a per-round ``localCheckpoint(eager=False)`` barrier.
+
+    Under AQE, ``localCheckpoint(eager=False)`` is not free at plan-build
+    time: resolving the final physical plan executes every upstream
+    shuffle stage, so K rounds of barriers cost K synchronous job waves
+    before the query's one real action even starts (measured 0.7-2.8 s
+    of build-time waves per barrier at bench scale, dwarfing the 0.2-0.4
+    s of actual compute). Leaving the unrolled plan lazy runs ALL rounds
+    in one AQE job: the ``branches``-way references a round makes to its
+    predecessor produce canonically-equal exchange subtrees that AQE's
+    stage cache / ReuseExchange executes ONCE, so there is no 2^K
+    recompute — only a 2^K *analysis-tree* copy count, which is why this
+    is gated: lazy only while ``branches ** iterations`` stays small
+    (<= 64 subtree copies; beyond that the barrier's lineage truncation
+    wins). Checkpointed and lazy plans compute identical results.
+    """
+    try:
+        return branches**iterations <= 64
+    except OverflowError:
+        return False
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node in/out degree in one pass: explode each edge into two
     (node, role) rows, then a single hash aggregation."""
@@ -117,7 +141,12 @@ def pagerank(
     # reuse one src-hashed partitioning across all K rounds; the
     # localCheckpoint barrier makes the dedup+repartition subtree
     # compute ONCE instead of being re-inlined into every round's join
-    # (at a real deployment this is a persisted/bucketed edge table)
+    # (at a real deployment this is a persisted/bucketed edge table).
+    # NOTE: the lazy-unroll treatment that pays off for
+    # label_propagation/random_walks was MEASURED SLOWER here (7.2 s vs
+    # 4.6 s at sf0.1): the two per-round rank branches differ by a
+    # where(outdeg > 0) filter, so their subtrees are not canonically
+    # equal and AQE cannot reuse them — the barrier stays.
     e = e.repartition("__src__").localCheckpoint(eager=False)
 
     nodes = (
@@ -271,13 +300,20 @@ def label_propagation(
     e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # community mode references the label frame ONCE per round (the
+    # keep-old-label join is dead code there), seeds mode 2-3 times;
+    # small-K plans stay lazy (one AQE job, exchange reuse dedups the
+    # repeated sym/label subtrees) instead of paying one build-time
+    # job wave per localCheckpoint barrier — see _lazy_unroll
+    lazy = _lazy_unroll(int(iterations), branches=1 if seeds is None else 2)
     sym = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .repartition("u")
-        .localCheckpoint(eager=False)
     )
+    if not lazy:
+        sym = sym.localCheckpoint(eager=False)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     if seeds is None:
         labels = nodes.select("node", F.col("node").cast("long").alias("label"))
@@ -294,7 +330,8 @@ def label_propagation(
         )
         nodes = nodes.unionByName(seed_tbl.select("node")).distinct()
         labels = nodes.join(seed_tbl, "node", "left")
-    labels = labels.localCheckpoint(eager=False)
+    if not lazy:
+        labels = labels.localCheckpoint(eager=False)
 
     for _ in range(iterations):
         contrib = (
@@ -333,7 +370,7 @@ def label_propagation(
                     "node", F.coalesce("__seed__", "label").alias("label")
                 )
             )
-        labels = upd.localCheckpoint(eager=False)
+        labels = upd if lazy else upd.localCheckpoint(eager=False)
     return labels
 
 
@@ -366,13 +403,19 @@ def random_walks(
 
     if length < 1:
         raise ValueError("length must be >= 1")
+    # the frontier branches twice per step (next join + output union);
+    # small fixed walk lengths stay lazy — AQE exchange reuse computes
+    # the repeated edge/frontier subtrees once in ONE job instead of
+    # paying a build-time job wave per step (see _lazy_unroll)
+    lazy = _lazy_unroll(int(length), branches=2)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .repartition("u")
-        .localCheckpoint(eager=False)
     )
+    if not lazy:
+        e = e.localCheckpoint(eager=False)
     scol = starts.columns[0]
     frontier = (
         starts.select(F.col(scol).alias("walk"))
@@ -397,8 +440,9 @@ def random_walks(
             frontier.join(e, frontier["node"] == e["u"])
             .groupBy("walk")
             .agg(F.min_by(F.col("v"), key).alias("node"))
-            .localCheckpoint(eager=False)
         )
+        if not lazy:
+            frontier = frontier.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select(
                 "walk", F.lit(step).cast("int").alias("step"), "node"
