@@ -931,19 +931,37 @@ def simhash_frame(
     else:
         h = F.xxhash64("__sh__")
     hashed = rows.select("__id__", h.alias("__h__"))
-    aggs = []
-    for i in range(64):
-        bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
-        vote = F.when(F.col("__h__").bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
-        aggs.append(F.sum(vote).alias(f"__b{i}__"))
+    aggs, out = _simhash_exprs()
     grouped = hashed.groupBy("__id__").agg(*aggs)
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
-        out = out.bitwiseOR(
-            F.when(F.col(f"__b{i}__") >= 0, F.lit(bit)).otherwise(F.lit(0))
-        )
     return grouped.select("__id__", out.alias("__simhash__"))
+
+
+# Column objects are immutable unresolved-expression wrappers over fixed
+# internal names ("__h__"/"__b{i}__"), so the 64 vote aggregates and the
+# 64-way fingerprint assembly — hundreds of py4j round trips to build —
+# are reusable across frames and sessions (same rationale as
+# _MINHASH_AGG_CACHE; rebuilding them per call was ~1s of pure constant
+# plan-construction overhead on every simhash query)
+_SIMHASH_EXPR_CACHE: list = []
+
+
+def _simhash_exprs():
+    if not _SIMHASH_EXPR_CACHE:
+        aggs = []
+        for i in range(64):
+            bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
+            vote = F.when(
+                F.col("__h__").bitwiseAND(F.lit(bit)) != 0, 1
+            ).otherwise(-1)
+            aggs.append(F.sum(vote).alias(f"__b{i}__"))
+        out = F.lit(0).cast("long")
+        for i in range(64):
+            bit = (1 << i) - (1 << 64) if i == 63 else (1 << i)
+            out = out.bitwiseOR(
+                F.when(F.col(f"__b{i}__") >= 0, F.lit(bit)).otherwise(F.lit(0))
+            )
+        _SIMHASH_EXPR_CACHE.append((aggs, out))
+    return _SIMHASH_EXPR_CACHE[0]
 
 
 def _band_complement(col: Column, b: int, width: int) -> Column:
@@ -971,6 +989,9 @@ def _mask_lit(width: int) -> Column:
     all-ones, which as a SIGNED long literal is -1 (``(1 << 64) - 1``
     overflows the JVM long)."""
     return F.lit(-1) if width >= 64 else F.lit((1 << width) - 1)
+
+
+_SIMHASH_BLOCK_KEY_CACHE: dict = {}
 
 
 def simhash_block_keys(col: Column, max_hamming: int) -> Column:
@@ -1022,12 +1043,17 @@ def simhash_near_dup_pairs(
     corpus scale. Verification is one codegen'd bit_count(xor) per
     candidate. Returns (id_a, id_b, hamming)."""
     fp = simhash_frame(sdf, text, id_alias, k, portable=portable)
+    # the 16-struct block-key array is input-independent (fixed internal
+    # column name) — build it once per radius, not per query (~0.3s of
+    # py4j round trips otherwise)
+    if max_hamming not in _SIMHASH_BLOCK_KEY_CACHE:
+        _SIMHASH_BLOCK_KEY_CACHE[max_hamming] = F.explode(
+            simhash_block_keys(F.col("__simhash__"), max_hamming)
+        )
     banded = fp.select(
         "__id__",
         "__simhash__",
-        F.explode(simhash_block_keys(F.col("__simhash__"), max_hamming)).alias(
-            "blk"
-        ),
+        _SIMHASH_BLOCK_KEY_CACHE[max_hamming].alias("blk"),
     ).select(
         "__id__",
         "__simhash__",
