@@ -46,7 +46,11 @@ def drop_duplicates(df: "DataFrame", subset=None, keep: str = "first"):
 
 
 def connected_components(
-    pairs, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    pairs,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    driver_fold_max_edges: int = 200_000,
 ):
     """Group near-duplicate pairs into clusters via alternating
     large-star / small-star contraction (Kiveris et al., "Connected
@@ -67,6 +71,19 @@ def connected_components(
     two groupBy-min + two joins, all hash-shuffled on the node id;
     ``localCheckpoint`` truncates the growing lineage and a count+hash
     fingerprint (one tiny job per round) detects the fixed point.
+
+    ``driver_fold_max_edges``: the per-round fingerprint already
+    reports the CONTRACTED edge count to the driver; once it falls to
+    this bound the remaining contraction is finished with a driver
+    union-find over the current (already-checkpointed) edges — a
+    bounded, model-sized fold (<= a few MB collected) that replaces
+    the remaining 1-2 rounds of ~6-shuffle job waves with one collect
+    + one broadcast join. Star contraction preserves components and
+    their min labels, so the result is IDENTICAL to running the loop
+    to its fixed point (pinned by test). ``0`` disables the fold —
+    the unbounded distributed path, which large graphs take
+    automatically because their contracted edge count stays over the
+    bound through the geometric shrink.
     """
     e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull()
@@ -123,6 +140,50 @@ def connected_components(
         if fp == prev:
             break
         prev = fp
+        if driver_fold_max_edges and fp[0] <= driver_fold_max_edges:
+            # bounded driver finish: union-find over the contracted
+            # edges (collected from the checkpoint the fingerprint just
+            # materialized — no recompute), labels = component min.
+            # Identical to the loop's fixed point; skips the remaining
+            # rounds' job waves.
+            rows = edges.collect()
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                ru, rv = _find(r["u"]), _find(r["v"])
+                if ru != rv:
+                    # union by MIN so every root is its component's min
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            labels = [(x, _find(x)) for x in parent]
+            if labels:
+                spark = edges.sparkSession
+                star = spark.createDataFrame(
+                    labels, schema=edges.select("u", "v").schema
+                ).select(
+                    F.col("u"), F.col("v").alias("component")
+                ).where(F.col("u") != F.col("component"))
+                star = F.broadcast(star)
+            else:
+                star = edges.groupBy("u").agg(
+                    F.min("v").alias("component")
+                )
+            return nodes.join(
+                star.withColumnRenamed("u", "node"), on="node", how="left"
+            ).select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias(
+                    "component"
+                ),
+            )
     # fixed point = forest of stars (node -> component min); roots and
     # isolated nodes label themselves
     star = edges.groupBy("u").agg(F.min("v").alias("component"))

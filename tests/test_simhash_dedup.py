@@ -121,14 +121,41 @@ def test_connected_components_synthetic(spark):
 def test_connected_components_deep_chain(spark):
     """Large-star/small-star contraction: a 10k-node path (diameter
     9999) must fully collapse within the default max_iter=20 — round
-    count ≪ diameter, which min-label propagation could never do."""
+    count ≪ diameter, which min-label propagation could never do.
+    driver_fold_max_edges=0 pins the fully DISTRIBUTED path (the
+    unbounded-scale contract) regardless of the small-graph fold."""
     from eland_spark.operators.dedup import connected_components
 
     n = 10_000
     pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
-    pdf = connected_components(pairs).toPandas()
+    pdf = connected_components(pairs, driver_fold_max_edges=0).toPandas()
     assert len(pdf) == n
     assert (pdf["component"] == 0).all()
+
+
+def test_connected_components_driver_fold_matches_distributed(spark):
+    """The bounded driver union-find finish (triggered once the
+    per-round fingerprint count drops under driver_fold_max_edges)
+    must label every node identically to the distributed fixed point —
+    on a chain (contracts over multiple rounds, so the fold kicks in
+    mid-contraction) and on a seeded random graph with singletons,
+    cliques and open chains."""
+    import random
+
+    from eland_spark.operators.dedup import connected_components
+
+    chain = spark.range(2_000 - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+    rand = spark.createDataFrame(edges, "id_a long, id_b long")
+    for pairs in (chain, rand):
+        fold = connected_components(pairs).toPandas()
+        dist = connected_components(
+            pairs, driver_fold_max_edges=0
+        ).toPandas()
+        f = dict(zip(fold.node, fold.component))
+        d = dict(zip(dist.node, dist.component))
+        assert f == d
 
 
 def test_near_dup_components_end_to_end(spark, sf_dir):
