@@ -2514,7 +2514,9 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     (pinned in tests/test_plans.py), so it survives a 100x scale-up
     where an all-pairs self-join would not. md5-portable hashing makes
     the candidate set reproducible in the DuckDB oracle."""
-    from eland_spark.operators.dedup import minhash_candidate_pairs, ngram_jaccard
+    from eland_spark.operators.dedup import (
+        minhash_candidate_pairs, with_ngram_jaccard,
+    )
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
     cands = minhash_candidate_pairs(
@@ -2523,17 +2525,22 @@ def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
     txt = docs.to_spark().select("doc_id", "text")
     ta = txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta__"))
     tb = txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb__"))
-    pairs = (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            ngram_jaccard(F.col("__ta__"), F.col("__tb__"), 3).alias("jac"),
-        )
-        .filter(F.col("jac") >= 0.05)
+    # with_ngram_jaccard stages each side's shingle array once instead
+    # of inlining the tokenize chain 4x per pair; the pair-keyed
+    # aggregate below is a PUSHDOWN BARRIER — without it the jac
+    # threshold predicate is pushed into the join condition, re-inlining
+    # the whole chain per reference (r8 opt: 7.2 -> ~1 s exec at sf0.1;
+    # pairs are unique, so first(jac) per (id_a, id_b) is the identical
+    # value and the extra exchange is candidate-pair-sized)
+    pairs = with_ngram_jaccard(
+        cands.join(ta, "id_a").join(tb, "id_b"),
+        F.col("__ta__"), F.col("__tb__"), out_col="jac", k=3,
     )
-    return pairs.select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.first("jac").alias("jac"))
+    return (
+        pairs.filter(F.col("jac") >= 0.05)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
 
 
 def q_editdist_near_dup(spark, sf_dir) -> DataFrame:

@@ -1145,11 +1145,38 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard(a: Column, b: Column, k: int = 3) -> Column:
-    """Exact Jaccard similarity of word k-shingle sets of two strings."""
+    """Exact Jaccard similarity of word k-shingle sets of two strings.
+
+    NOTE: this single-Column form inlines the ``shingles`` chain
+    (tokenize + transform + distinct) FOUR times — once per side per
+    set operation — and the interpreted higher-order functions make
+    that ~4x the necessary per-row cost (measured 13 ms/pair on ~1 KB
+    texts). Row-volume callers should use :func:`with_ngram_jaccard`,
+    which stages the two shingle arrays in their own projection so
+    each is evaluated once."""
     sa, sb = shingles(a, k), shingles(b, k)
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def with_ngram_jaccard(
+    sdf, a: Column, b: Column, out_col: str = "jac", k: int = 3
+):
+    """``sdf`` plus exact k-shingle Jaccard of two string columns,
+    with the shingle arrays materialized ONCE each in a staging
+    projection (CollapseProject keeps a non-cheap alias that is
+    referenced more than once, so the tokenize+transform chain runs
+    once per side instead of once per reference — measured 4x on the
+    LSH-verify path). Bit-identical to :func:`ngram_jaccard`."""
+    staged = sdf.select(
+        "*", shingles(a, k).alias("__sa__"), shingles(b, k).alias("__sb__")
+    )
+    inter = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__")))
+    union = F.size(F.array_union(F.col("__sa__"), F.col("__sb__")))
+    return staged.withColumn(
+        out_col, F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    ).drop("__sa__", "__sb__")
 
 
 def edit_similarity(a: Column, b: Column) -> Column:
