@@ -522,14 +522,26 @@ def embedding_dedup(
     dim_row = df._sdf.select(F.size(vec).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"] if dim_row else 0
     planes = random_hyperplanes(dim, n_planes, seed)
+    # norms are computed ONCE PER ROW here; the per-pair verify below
+    # then pays one fold instead of three per candidate (the candidate
+    # count is quadratic in bucket size, the row count is not — same
+    # doubles: norm(v) is the identical expression on the same row,
+    # and dot/(na*nb) multiplies the same values in the same order)
     sigged = df._sdf.select(
-        idc.alias("__id__"), vec.alias("__v__"), lsh_signature(vec, planes).alias("__sig__")
+        idc.alias("__id__"),
+        vec.alias("__v__"),
+        lsh_signature(vec, planes).alias("__sig__"),
+        norm(vec).alias("__nrm__"),
     )
     l, r = sigged.alias("l"), sigged.alias("r")
     pairs = (
         l.join(r, on="__sig__")
         .filter(F.col("l.__id__") < F.col("r.__id__"))
-        .withColumn("__cos__", cosine(F.col("l.__v__"), F.col("r.__v__")))
+        .withColumn(
+            "__cos__",
+            dot(F.col("l.__v__"), F.col("r.__v__"))
+            / (F.col("l.__nrm__") * F.col("r.__nrm__")),
+        )
         .filter(F.col("__cos__") >= threshold)
         .select(F.col("r.__id__").alias("__drop__"))
         .distinct()
