@@ -176,17 +176,37 @@ def sample_sketches(
     id_col: str,
     by: Sequence[str],
     k: int = 512,
+    salt_parts: int | None = None,
 ) -> DataFrame:
     """One bottom-k row sample per group: ``sample`` = array of
     (h, v) structs, the K smallest md5 row-keys with their values.
-    Null values are skipped (pandas quantile semantics)."""
+    Null values are skipped (pandas quantile semantics).
+
+    TWO-LEVEL aggregation (guide §2.5): a single collect_list per
+    group buffers and sorts the ENTIRE group in one task — with few
+    groups that is a handful of reducers doing all the work (and an
+    unbounded buffer at scale). Level 1 takes the bottom-k per
+    (group, salt) — ``salt_parts``-way deterministic split of the row
+    ids, defaulting to the shuffle parallelism — level 2 merges the
+    salted min-K samples exactly like :func:`sample_rollup` (min-K of
+    min-Ks of a partition IS the min-K of the union, so the result is
+    identical); buffers shrink ~salt_parts-fold and every core sorts."""
     by = list(by)
+    n_salt = int(
+        salt_parts
+        or sdf.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     v = F.col(value_col).cast("double")
     pair = F.when(
         v.isNotNull(), F.struct(_kmv_hash(F.col(id_col)).alias("h"), v.alias("v"))
     )
     arr = F.slice(F.array_sort(F.collect_list(pair)), 1, k)
-    return sdf.groupBy(*by).agg(arr.alias("sample"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("__salt__")
+    partial = sdf.groupBy(*by, salt).agg(arr.alias("sample"))
+    merged = F.slice(
+        F.array_sort(F.flatten(F.collect_list(F.col("sample")))), 1, k
+    )
+    return partial.groupBy(*by).agg(merged.alias("sample"))
 
 
 def sample_rollup(
