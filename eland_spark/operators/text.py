@@ -94,18 +94,27 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax over language marker scores; ties break by language code
-    order (deterministic). Unknown when no marker hits."""
+    order (deterministic). Unknown when no marker hits.
+
+    One ``array_max`` over (score, -code_index) structs: struct
+    ordering picks the highest score and, on ties, the larger ``-i`` —
+    i.e. the EARLIEST code — exactly the old chained strict-'>' scan.
+    (The chained form doubled the expression tree per language —
+    ``best_score`` fed both the next condition and its fallback — a
+    2^N blowup in plan size and codegen; this form is linear.)"""
     scores = lang_scores(text)
     pairs = sorted(scores.items())
-    best_lang = F.lit("unknown")
-    best_score = F.lit(0)
-    # ascending code order + strict '>' means the first (earliest) code
-    # reaching the max keeps it — earlier codes win ties
-    for lang, score in pairs:
-        cond = score > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, score).otherwise(best_score)
-    return best_lang
+    entries = F.array(
+        *[
+            F.struct(score.alias("s"), F.lit(-i).alias("j"))
+            for i, (_lang, score) in enumerate(pairs)
+        ]
+    )
+    m = F.array_max(entries)
+    langs = F.array(*[F.lit(lang) for lang, _ in pairs])
+    return F.when(
+        m["s"] > 0, F.element_at(langs, -m["j"] + 1)
+    ).otherwise(F.lit("unknown"))
 
 
 def fingerprint(text: Column) -> Column:
