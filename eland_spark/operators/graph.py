@@ -190,7 +190,12 @@ def pagerank(
                         F.col("__p__").alias("rank"))
 
     d = float(damping)
-    checkpointed = False
+    # the initial rank frame is base + a literal column — its two
+    # round-1 branches share base's exchanges (canonically equal, AQE
+    # reuses them), so barrier-ing it would only add a build-time job
+    # wave; barriers start AFTER round 1, where the branched subtrees
+    # stop being exchange-aligned
+    checkpointed = True
     for i in range(int(iterations)):
         # ranks branches twice per round (contribution join + dangling
         # scalar); without a barrier the previous round's subtree would
