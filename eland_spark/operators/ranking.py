@@ -132,6 +132,7 @@ def with_global_shift(
     periods: int = 1,
     out_col: str = "shifted",
     partitions: int | None = None,
+    dense_pos: bool = False,
 ) -> DataFrame:
     """Value of the row ``periods`` positions earlier (later for
     negative) in the GLOBAL order — pandas ``shift`` without the
@@ -139,10 +140,23 @@ def with_global_shift(
     from :func:`with_global_rank`, and the shifted value is a
     self-equi-join on ``position - periods`` (one hash shuffle on the
     dense position key — perfectly balanced, no cliff). Rows with no
-    source position get null, matching pandas."""
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=partitions
-    )
+    source position get null, matching pandas.
+
+    ``dense_pos=True``: the single ``order_by`` column already IS a
+    dense 1-based global position (a prior rank pass in the same
+    pipeline) — the join keys on it directly, skipping the second rank
+    pass (range shuffle + sampling job + count collect) entirely; the
+    result is identical because only position arithmetic is used."""
+    if dense_pos:
+        if len(order_by) != 1 or not isinstance(order_by[0], str):
+            raise ValueError(
+                "dense_pos requires a single named dense-position column"
+            )
+        ranked = sdf.withColumn("__g__", F.col(order_by[0]).cast("long"))
+    else:
+        ranked = with_global_rank(
+            sdf, order_by, rank_col="__g__", partitions=partitions
+        )
     src = ranked.select(
         (F.col("__g__") + F.lit(periods)).alias("__g__"),
         F.col(value_col).alias(out_col),
@@ -637,6 +651,7 @@ def _bucketed_frame(
     order_by: list[str | Column],
     window: int,
     partitions: int | None = None,
+    dense_total: int | None = None,
 ):
     """Shared scaffolding for bounded-lookback global window ops
     (rolling, ewm): global positions from :func:`with_global_rank` are
@@ -645,13 +660,28 @@ def _bucketed_frame(
     into the next bucket as padding, and ONE balanced hash exchange on
     the bucket id computes the bounded frame locally. Returns the
     padded union (filter ``~__pad__`` and drop ``__b__/__pad__/__g__``
-    when done) and the bounded per-bucket window spec."""
+    when done) and the bounded per-bucket window spec.
+
+    ``dense_total``: fast path for callers whose frame ALREADY carries
+    a dense 1-based global position as its single ``order_by`` column
+    (a prior :func:`with_global_rank` pass in the same pipeline) and
+    who know the row count — skips the whole second rank pass (range
+    shuffle + sampling job + count collect); the bucketed window is
+    identical because it depends only on the position values."""
     spark = sdf.sparkSession
     n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=n_parts
-    )
-    n = _ranked_total(ranked)
+    if dense_total is not None:
+        if len(order_by) != 1 or not isinstance(order_by[0], str):
+            raise ValueError(
+                "dense_total requires a single named dense-position column"
+            )
+        ranked = sdf.withColumn("__g__", F.col(order_by[0]).cast("long"))
+        n = int(dense_total)
+    else:
+        ranked = with_global_rank(
+            sdf, order_by, rank_col="__g__", partitions=n_parts
+        )
+        n = _ranked_total(ranked)
     bucket_size = max(window, math.ceil(n / n_parts) or 1)
     g0 = F.col("__g__") - 1
     home = ranked.withColumn(
@@ -682,6 +712,7 @@ def with_global_rolling(
     aggs: list[str],
     min_periods: int | None = None,
     partitions: int | None = None,
+    dense_total: int | None = None,
 ) -> DataFrame:
     """Row-based rolling aggregates over the GLOBAL order (pandas
     ``rolling(window)``), windowless at scale: positions from
@@ -718,7 +749,7 @@ def with_global_rolling(
     if window < 1:
         raise ValueError("window must be >= 1")
     mp = window if min_periods is None else min_periods
-    un, w = _bucketed_frame(sdf, order_by, window, partitions)
+    un, w = _bucketed_frame(sdf, order_by, window, partitions, dense_total)
     cnt = F.count(F.col(value_col)).over(w)
     # all aggs land in ONE projection: same-spec window expressions
     # (cnt, and the const/noise guards shared by skew+kurt) dedup only

@@ -452,6 +452,7 @@ def seasonal_decompose(
     — never a single-partition window, never row data on the driver.
     """
     from .ranking import (
+        _ranked_total,
         with_global_rank,
         with_global_rolling,
         with_global_shift,
@@ -472,16 +473,22 @@ def seasonal_decompose(
     ranked = with_global_rank(
         base, order_by, rank_col="__pos__", partitions=partitions
     )
+    # "__pos__" is already a dense 1-based global position, and the
+    # rank pass stashed the row count — the rolling/shift passes below
+    # take the dense fast path instead of each re-running a full rank
+    # pass (range shuffle + sampling job + count collect, 2 job waves
+    # apiece) over positions they could read off the column
+    n_rows = _ranked_total(ranked)
     # trailing MA, full-window gate; min_periods=window also nulls any
     # window containing a null (statsmodels propagates edge NaNs)
     rolled = with_global_rolling(
         ranked, ["__pos__"], "__v__", period, ["mean"], min_periods=period,
-        partitions=partitions,
+        partitions=partitions, dense_total=n_rows,
     ).withColumnRenamed("rolling_mean", "__ma__")
     if period % 2 == 0:
         rolled = with_global_rolling(
             rolled, ["__pos__"], "__ma__", 2, ["mean"], min_periods=2,
-            partitions=partitions,
+            partitions=partitions, dense_total=n_rows,
         ).drop("__ma__").withColumnRenamed("rolling_mean", "__ma__")
     rolled = rolled.withColumn(
         "__phase__", ((F.col("__pos__") - 1) % period).cast("int")
@@ -489,7 +496,8 @@ def seasonal_decompose(
     # realign the trailing average onto the window center: the value h
     # positions AHEAD (negative shift) is this row's centered trend
     trended = with_global_shift(
-        rolled, ["__pos__"], "__ma__", periods=-h, out_col="__trend__"
+        rolled, ["__pos__"], "__ma__", periods=-h, out_col="__trend__",
+        dense_pos=True,
     ).drop("__ma__")
     det = trended.withColumn(
         "__det__", F.col("__v__") - F.col("__trend__")
