@@ -49,13 +49,15 @@ def _lazy_unroll(iterations: int, branches: int) -> bool:
     stage cache / ReuseExchange executes ONCE, so there is no 2^K
     recompute — only a 2^K *analysis-tree* copy count, which is why this
     is gated: lazy only while ``branches ** iterations`` stays small
-    (<= 64 subtree copies; beyond that the barrier's lineage truncation
-    wins). Checkpointed and lazy plans compute identical results.
+    (<= 64 subtree copies) AND the unrolled depth itself is small
+    (<= 8 rounds — single-branch chains grow no copies but still grow
+    analysis depth per round); beyond either bound the barrier's
+    lineage truncation wins. Checkpointed and lazy plans compute
+    identical results.
     """
-    try:
-        return branches**iterations <= 64
-    except OverflowError:
+    if iterations > 8:
         return False
+    return branches**iterations <= 64
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

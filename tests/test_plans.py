@@ -1065,11 +1065,15 @@ def test_round5_query_plan_pins(spark):
         # one distinct-value agg + ONE keyed window exchange; the
         # quantile assembly re-uses the group partitioning
         "weighted_quantiles": (2, 0),
-        # per-round lineage truncates at the checkpointed label frame;
-        # the visible tail is the community-size agg
-        "label_propagation": (1, 0),
-        # ditto: the visible tail is the last frontier join + argmin
-        "random_walks": (1, 0),
+        # r8 lazy unroll: the WHOLE 3-round plan is one job now (no
+        # per-round checkpoint barriers), so every exchange is visible
+        # to the pin — sym dedup/repartition + 3 rounds x (label join
+        # + 2 aggs) + the community-size agg; AQE's stage cache
+        # executes the repeated sym/label subtrees once at runtime
+        "label_propagation": (13, 0),
+        # ditto: edge dedup/repartition + 3 steps x (frontier join +
+        # argmin agg) + the step union tail
+        "random_walks": (16, 0),
         # ONE keyed window (lag) sharing the group partitioning with
         # the final hash agg
         "forecast_metrics": (1, 0),
