@@ -29,6 +29,11 @@ from .series import Series
 
 __all__ = ["DataFrame"]
 
+# reindex(method=) label lists at or under this size take the one-job
+# driver-fold as-of path (see _reindex_rows_fold); larger lists keep the
+# windowless global-fill bucket plan (unbounded-safe).
+_REINDEX_FOLD_MAX = 1024
+
 
 class DataFrame:
     def __init__(
@@ -1417,12 +1422,6 @@ class DataFrame:
             F.col(self._schema.resolve_any(ic)).alias(ic),
             *[F.col(self._schema.resolve(c)).alias(c) for c in vals],
         )
-        # pandas: "cannot reindex from a duplicate axis"
-        dup = (
-            proj.groupBy(ic).count().where(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
-            raise ValueError("cannot reindex from a duplicate axis")
         spark = self._sdf.sparkSession
         itype = proj.schema[ic].dataType
 
@@ -1435,8 +1434,28 @@ class DataFrame:
                 return v.item()
             return v
 
+        pyl = [_py(v) for v in labels]
+        if method is not None and len(pyl) <= _REINDEX_FOLD_MAX and all(
+            v is not None and v == v for v in pyl
+        ):
+            # Driver-fold fast path: the label list is driver-provided
+            # (model-sized by construction, same rule as fdr_bh). Each
+            # label's as-of match is a conditional max/min — ONE agg
+            # pass over the source computes every match AND the
+            # duplicate-axis existence check (count vs distinct),
+            # replacing the whole rank/bucket fill plan (range-sample
+            # job + cache fill + two collects) with a single job. The
+            # join-back then prefilters the scan with isin(matched
+            # keys) — parquet prunes to the handful of matched rows.
+            return self._reindex_rows_fold(proj, ic, vals, pyl, method)
+        # pandas: "cannot reindex from a duplicate axis"
+        dup = (
+            proj.groupBy(ic).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError("cannot reindex from a duplicate axis")
         tgt = spark.createDataFrame(
-            [(_py(v),) for v in labels],
+            [(v,) for v in pyl],
             T.StructType([T.StructField(ic, itype)]),
         )
         if method is not None:
@@ -1502,6 +1521,87 @@ class DataFrame:
                 ).otherwise(e)
             sel.append(e.alias(c))
         return DataFrame(joined.select(*sel), index_cols=(ic,))
+
+    def _reindex_rows_fold(
+        self, proj, ic: str, vals: list, pyl: list, method
+    ) -> "DataFrame":
+        """reindex(method=) for a bounded label list: ONE agg job folds
+        every label's as-of matched source key (conditional max for
+        ffill / min for bfill — exact matches take their own key via
+        <= / >=) plus the duplicate-axis check onto the driver; the
+        matched rows come back VERBATIM through an isin-pruned scan +
+        broadcast join (a matched row's own nulls survive — row
+        semantics, identical to the global-fill path)."""
+        spark = self._sdf.sparkSession
+        itype = proj.schema[ic].dataType
+        key = F.col(ic)
+        fwd = method in ("ffill", "pad")
+        if fwd:
+            maggs = [
+                F.max(F.when(key <= F.lit(v).cast(itype), key)).alias(
+                    f"__m_{i}__"
+                )
+                for i, v in enumerate(pyl)
+            ]
+        else:
+            maggs = [
+                F.min(F.when(key >= F.lit(v).cast(itype), key)).alias(
+                    f"__m_{i}__"
+                )
+                for i, v in enumerate(pyl)
+            ]
+        row = proj.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.countDistinct(key).alias("__nd__"),
+            F.count(F.when(key.isNull(), F.lit(1))).alias("__nn__"),
+            *maggs,
+        ).first()
+        # duplicate iff total rows exceed distinct non-null keys plus
+        # at-most-one null key (nulls compare equal as pandas labels)
+        if row["__n__"] != row["__nd__"] + min(int(row["__nn__"]), 1):
+            raise ValueError("cannot reindex from a duplicate axis")
+        matched = [(v, row[f"__m_{i}__"]) for i, v in enumerate(pyl)]
+        hit = [(lbl, m) for lbl, m in matched if m is not None]
+        miss = [lbl for lbl, m in matched if m is None]
+        vtypes = {f.name: f.dataType for f in proj.schema.fields}
+        branches = []
+        if hit:
+            mdf = spark.createDataFrame(
+                hit,
+                T.StructType(
+                    [
+                        T.StructField("__lbl__", itype),
+                        T.StructField("__m__", itype),
+                    ]
+                ),
+            )
+            keys = [
+                F.lit(m).cast(itype) for m in {m for _, m in hit}
+            ]
+            branches.append(
+                proj.where(key.isin(*keys))
+                .join(F.broadcast(mdf), F.col("__m__") == key, "inner")
+                .select(
+                    F.col("__lbl__").alias(ic), *[F.col(c) for c in vals]
+                )
+            )
+        if miss:
+            mfd = spark.createDataFrame(
+                [(v,) for v in miss],
+                T.StructType([T.StructField(ic, itype)]),
+            )
+            branches.append(
+                mfd.select(
+                    F.col(ic),
+                    *[F.lit(None).cast(vtypes[c]).alias(c) for c in vals],
+                )
+            )
+        if not branches:  # empty label list: schema-correct empty frame
+            branches = [proj.where(F.lit(False)).select(ic, *vals)]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return DataFrame(out, index_cols=(ic,))
 
     def _reindex_columns(self, columns: list, fill_value) -> "DataFrame":
         icols = list(self.index_cols)

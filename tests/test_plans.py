@@ -872,8 +872,9 @@ def test_round4_query_plan_pins(spark):
         "funnel_skew_safe": (3, 0),
         # label table broadcast onto the scan — zero shuffles
         "reindex": (1, 1),
-        # windowless global-fill bucket plan + the row join-back
-        "reindex_ffill": (3, 0),
+        # driver-fold as-of matches: isin-pruned scan + broadcast
+        # join-back + literal miss rows — zero shuffles (r8 opt)
+        "reindex_ffill": (0, 1),
         # engine-side key union + one left join per side
         "align_outer": (3, 0),
         # bucketed padded frame + one Arrow applyInPandas per bucket

@@ -86,6 +86,43 @@ def test_reindex_duplicate_axis_raises(spark):
         dup.reindex(index=[1])
 
 
+def test_reindex_method_duplicate_axis_raises(spark):
+    """The driver-fold fast path fuses the duplicate-axis check into
+    its one agg job — same ValueError, including the all-null-key
+    duplicate case the fallback's groupBy count catches."""
+    dup = es.DataFrame(
+        spark.createDataFrame(pd.DataFrame({"k": [3, 3], "a": [1.0, 2.0]})),
+        index_cols=("k",),
+    )
+    with pytest.raises(ValueError, match="duplicate axis"):
+        dup.reindex(index=[1], method="ffill")
+    nulldup = es.DataFrame(
+        spark.createDataFrame(
+            pd.DataFrame({"k": pd.array([None, None], dtype="Int64"),
+                          "a": [1.0, 2.0]})),
+        index_cols=("k",),
+    )
+    with pytest.raises(ValueError, match="duplicate axis"):
+        nulldup.reindex(index=[1], method="bfill")
+
+
+@pytest.mark.parametrize("method", ["ffill", "bfill"])
+def test_reindex_fold_matches_global_fill_path(frames, method, monkeypatch):
+    """Dual-path contract: the bounded driver-fold plan and the
+    unbounded global-fill plan return identical rows (the fallback
+    stays live for label lists over _REINDEX_FOLD_MAX)."""
+    import eland_spark.frame as fmod
+
+    _, edf = frames
+    labels = [0, 2, 3, 5, 7, 100]
+    fold = (edf.reindex(index=labels, method=method)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    monkeypatch.setattr(fmod, "_REINDEX_FOLD_MAX", -1)
+    fallback = (edf.reindex(index=labels, method=method)
+                .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fold, fallback)
+
+
 def test_reindex_bad_method_raises(frames):
     _, edf = frames
     with pytest.raises(ValueError, match="method"):
