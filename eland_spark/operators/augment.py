@@ -61,8 +61,15 @@ def span_corrupt(
         raise ValueError("mean_span must be >= 1")
     toks = normalized_tokens(text) if normalized else raw_tokens(text)
     ids = sdf.select(id_alias.alias("__id__"), toks.alias("__toks__"))
+    # posexplode_OUTER: an empty/null token array emits ONE
+    # (null, null) sentinel row, so token-less docs flow through the
+    # same windows+aggregation as everything else — no second
+    # tokenize pass and no anti-join union branch for the empties
+    # (the sentinel can never be masked: its reach/pos comparisons
+    # are null -> coalesce(false), and the null token drops out of
+    # both assemblies while count(__tok__) reads 0)
     rows = ids.select(
-        "__id__", F.posexplode("__toks__").alias("__pos__", "__tok__")
+        "__id__", F.posexplode_outer("__toks__").alias("__pos__", "__tok__")
     )
     p_start = int(round(mask_rate / mean_span * 1_000_000))
     span_mod = 2 * mean_span - 1
@@ -129,7 +136,7 @@ def span_corrupt(
         ).otherwise(F.col("__tok__")),
     )
     per_doc = staged2.groupBy("__id__").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count("__tok__").cast("long").alias("n_tokens"),
         F.sum(F.when(F.col("__m__"), 1).otherwise(0))
         .cast("long")
         .alias("n_masked"),
@@ -184,18 +191,7 @@ def span_corrupt(
         "n_masked",
         "n_spans",
     )
-    # docs with no tokens: empty input, bare closing sentinel target
-    empties = ids.join(
-        rows.select("__id__"), "__id__", "left_anti"
-    ).select(
-        "__id__",
-        F.lit("").alias("input_text"),
-        F.lit("<extra_id_0>").alias("target_text"),
-        F.lit(0).cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("n_masked"),
-        F.lit(0).cast("long").alias("n_spans"),
-    )
-    return scored.unionByName(empties).select(
+    return scored.select(
         F.col("__id__").alias("id"),
         "input_text",
         "target_text",

@@ -1078,9 +1078,11 @@ def test_round5_query_plan_pins(spark):
         # ONE keyed window (lag) sharing the group partitioning with
         # the final hash agg
         "forecast_metrics": (1, 0),
-        # posexplode + doc-keyed windows + per-doc assembly on ONE
-        # exchange; the empties anti-join broadcasts
-        "span_corrupt": (1, 1),
+        # posexplode_outer + doc-keyed windows + per-doc assembly on
+        # ONE exchange and ONE scan — empty docs ride a (null, null)
+        # sentinel row through the same plan (r8 opt: the anti-join
+        # union branch re-tokenized the corpus on a second scan)
+        "span_corrupt": (1, 0),
         # rank/count + ordered prefix sums + final agg on ONE keyed
         # window exchange
         "trimmed_stats": (1, 0),
