@@ -16,10 +16,12 @@ nano-log cost ``round(-ln(p) * 1e9)``, so per-document totals are
 exact integer sums (no float accumulation order), and only the final
 ``total / n / 1e9`` is rounded to 6dp.
 
-Scale shape: training is two hash aggregations over exploded tokens /
-token pairs (map-side combinable, gram-keyed — no skew pole beyond the
-natural Zipf head, which combiners absorb); the context counts re-agg
-the bigram table. Scoring explodes candidate bigrams once and takes
+Scale shape: training is ONE hash aggregation over exploded token
+pairs (map-side combinable, gram-keyed — no skew pole beyond the
+natural Zipf head, which combiners absorb); the unigram and context
+count tables are both vocab-sized re-aggregations of the bigram table
+(c(w) = sum_v c(v,w) exactly — bos only ever appears as context), so
+the training corpus is tokenized once. Scoring explodes candidate bigrams once and takes
 THREE left hash joins against the count tables (kept distributed —
 bigram vocabularies are corpus-sized, never broadcast by assumption)
 plus one per-document aggregation. No windows, no driver state.
@@ -72,8 +74,12 @@ def bigram_lm_counts(
     bigrams = rows.groupBy(
         F.col("__v__").alias("v"), F.col("__w__").alias("w")
     ).agg(F.count(F.lit(1)).alias("n"))
-    unigrams = rows.groupBy(F.col("__w__").alias("token")).agg(
-        F.count(F.lit(1)).alias("n")
+    # c(w) = sum_v c(v, w) EXACTLY — every token occurrence is one
+    # pair's w (bos only ever appears as v), so the unigram table is a
+    # vocab-sized re-aggregation of the bigram table: the training
+    # corpus is tokenized+exploded ONCE, not once per count table
+    unigrams = bigrams.groupBy(F.col("w").alias("token")).agg(
+        F.sum("n").alias("n")
     )
     return unigrams, bigrams
 
@@ -120,15 +126,19 @@ def bigram_logppl(
         F.array(F.lit(bos)),
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
     )
+    # explode_OUTER: an empty/null token array emits one null-struct
+    # sentinel row (__v__/__w__ null), so token-less docs ride the
+    # same joins+aggregation — no second tokenize pass and no
+    # anti-join union branch (sentinels match nothing in the left
+    # joins, their cost is null-guarded, and count(__w__) reads 0)
     pairs = F.arrays_zip(prev.alias("v"), toks.alias("w"))
     rows = (
-        ids.select("__id__", F.explode(pairs).alias("p"))
+        ids.select("__id__", F.explode_outer(pairs).alias("p"))
         .select(
             "__id__",
             F.col("p.v").alias("__v__"),
             F.col("p.w").alias("__w__"),
         )
-        .where(F.col("__w__").isNotNull())
     )
     ctx = bigrams.groupBy("v").agg(F.sum("n").alias("cv"))
     total = unigrams.agg(F.sum("n").alias("t")).select(
@@ -168,24 +178,15 @@ def bigram_logppl(
         / F.col("__t__")
     )
     p = F.lit(lam) * p_bi + F.lit(one_minus_lam) * p_uni
-    cost = F.round(-F.log(p) * F.lit(NANO)).cast("bigint")
+    cost = F.when(
+        F.col("__w__").isNotNull(),
+        F.round(-F.log(p) * F.lit(NANO)).cast("bigint"),
+    )
     per_doc = scored.groupBy("__id__").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count("__w__").cast("long").alias("n_tokens"),
         F.sum(cost).alias("__total__"),
     )
-    # token-less docs: anti-join against the exploded rows (NOT against
-    # per_doc — that branch would re-evaluate the scalar-total cross
-    # join just to prune all its columns, leaving a functionless global
-    # aggregate the plan linter rightly dislikes)
-    empties = (
-        ids.join(rows.select("__id__"), "__id__", "left_anti")
-        .select(
-            F.col("__id__"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(None).cast("bigint").alias("__total__"),
-        )
-    )
-    return per_doc.unionByName(empties).select(
+    return per_doc.select(
         F.col("__id__").alias("id"),
         "n_tokens",
         F.round(

@@ -1044,11 +1044,16 @@ def test_round5_query_plan_pins(spark):
         # per-user agg + per-(cohort,time) agg; at-risk/survival ride
         # ONE keyed window exchange (distinct-time-sized)
         "kaplan_meier": (3, 0),
-        # token-pair explode + 2 count aggs + ctx re-agg + per-doc agg;
-        # the 3 count joins + scalar total + empties anti all broadcast
-        # at this SF (they stay hash joins when the vocab outgrows the
-        # broadcast threshold — nothing is forced)
-        "bigram_logppl": (7, 5),
+        # ONE token-pair explode trains every count table (unigrams and
+        # ctx are vocab-sized re-aggs of the bigram table: c(w) =
+        # sum_v c(v,w) exactly), score side rides explode_outer
+        # sentinels (no empties anti/union branch). The (v,w) agg
+        # subtree compiles once per reference (9 textual exchanges) but
+        # AQE's stage cache executes it once at runtime — the
+        # label_propagation precedent; the 3 count joins + scalar total
+        # broadcast at this SF (hash joins when the vocab outgrows the
+        # threshold — nothing is forced)
+        "bigram_logppl": (9, 4),
         # shingle rows + df agg + rare join + pair-count agg + 4
         # dict-sized size joins + the verify join + final sizes — every
         # exchange shingle- or candidate-sized, verify only sees
