@@ -169,6 +169,14 @@ def fuzzy_match_join(
             [jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
         )
 
+    # nondeterministic marking (the function IS pure) stops the
+    # optimizer pushing the threshold filter — and the UDF with it —
+    # below the candidate distinct: unmarked, the plan evaluates JW
+    # TWICE (once per pre-distinct duplicated candidate row for the
+    # filter, once post-distinct for the output column) — the guide
+    # §4.4 duplicate-BatchEvalPython pattern, verified in the r8 plan
+    _jw = _jw.asNondeterministic()
+
     return (
         cand.select(
             "lid",

@@ -1107,3 +1107,12 @@ def test_round5_query_plan_pins(spark):
         queries["bm25_topk"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    # the JW verify UDF must evaluate ONCE, post-distinct: unmarked,
+    # the optimizer pushes the threshold filter (and the UDF with it)
+    # below the candidate distinct and plans a second ArrowEvalPython
+    # (guide §4.4); linkage.py pins it asNondeterministic
+    assert (
+        queries["fuzzy_title_match"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+        .count("ArrowEvalPython")
+    ) == 1
