@@ -125,6 +125,77 @@ def _ranked_total(ranked: DataFrame) -> int:
     return int(n) if n is not None else ranked.count()
 
 
+def _ranked_bucket_stats(
+    sdf: DataFrame,
+    order_by: list[str | Column],
+    agg_cols: list[Column],
+    partitions: int | None = None,
+    extra_keys: list[Column] | None = None,
+):
+    """Global rank pass AND per-bucket aggregate totals in ONE driver
+    collect — the bucket IS the range partition (``__b__`` =
+    ``__mid__ >> 33``), which is a contiguous global-rank range, so
+    prefix folds over the stats rows in ``__b__`` order mean exactly
+    what the rank-derived bucket plan's folds meant, while the
+    per-bucket totals no longer cost a second synchronous job wave
+    (r8 opt: each totals collect measured ~0.25 s steady-state at
+    sf0.1 on top of the rank pass it duplicated).
+
+    Returns ``(ranked, bucket_col, stats)``: ``ranked`` carries the
+    input columns plus ``__g__`` (1-based global rank) and ``__b__``
+    (bucket id — callers drop both before returning), ``bucket_col``
+    is ``F.col("__b__")``, and ``stats`` is the collected list of
+    per-bucket Rows ordered by ``__b__`` (then ``extra_keys``) with
+    ``__cnt__`` (bucket row count) plus every aggregate in
+    ``agg_cols`` (pre-aliased). ``extra_keys`` sub-keys the stats
+    (:func:`keyed_midranks`' per-(bucket, key) totals); rank offsets
+    fold over the ``__cnt__`` sums per bucket either way. Bucket
+    sizes come from range-partition sampling rather than exact rank
+    arithmetic — same balance the rank pass itself runs on. The
+    returned frame holds a cache pin (the :func:`with_global_rank`
+    contract) and stashes ``_eland_rank_total``."""
+    spark = sdf.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ordering = [c.asc() for c in cols]
+    src = (
+        sdf.repartitionByRange(int(n_parts), *ordering)
+        .sortWithinPartitions(*ordering)
+        .withColumn("__mid__", F.monotonically_increasing_id())
+        .cache()
+    )
+    pid = F.shiftright(F.col("__mid__"), 33)
+    keys = [pid.alias("__b__"), *(extra_keys or [])]
+    stats = (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cnt__"), *agg_cols)
+        .orderBy("__b__")
+        .collect()
+    )
+    bucket_counts: dict[int, int] = {}
+    for r in stats:
+        bucket_counts[r["__b__"]] = (
+            bucket_counts.get(r["__b__"], 0) + r["__cnt__"]
+        )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(bucket_counts):
+        offsets[b] = acc
+        acc += bucket_counts[b]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        rank = off_map[pid] + F.col("__mid__").bitwiseAND(F.lit(_POS_MASK)) + 1
+    else:  # empty frame
+        rank = F.col("__mid__").bitwiseAND(F.lit(_POS_MASK)) + 1
+    out = src.select(
+        "*", pid.alias("__b__"), rank.cast("long").alias("__g__")
+    ).drop("__mid__")
+    out._eland_rank_total = acc
+    return out, F.col("__b__"), stats, offsets
+
+
 def with_global_shift(
     sdf: DataFrame,
     order_by: list[str | Column],
@@ -194,19 +265,6 @@ def _global_cumaggs(
     bad = [a for a in aggs if a not in allowed]
     if bad:
         raise ValueError(f"agg must be one of {allowed}; got {bad}")
-    spark = sdf.sparkSession
-    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=n_parts
-    )
-    n = _ranked_total(ranked)  # folded on the driver by the rank pass
-    bucket_size = max(1, math.ceil(n / n_parts))
-    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
-    w = (
-        Window.partitionBy(bucket)
-        .orderBy("__g__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
            "prod": F.product,
            # running second/first moments for expanding std/var; both
@@ -218,11 +276,16 @@ def _global_cumaggs(
     raw = F.col(value_col)
     shifted = raw.cast("double") - F.lit(float(center))
     ins = {a: (shifted if a in ("sumsq", "sumsh") else raw) for a in aggs}
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"))
-        .agg(*[fns[a](ins[a]).alias(f"__t_{a}__") for a in aggs])
-        .orderBy("__b__")
-        .collect()
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        sdf,
+        order_by,
+        [fns[a](ins[a]).alias(f"__t_{a}__") for a in aggs],
+        partitions,
+    )
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy("__g__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = ranked
     for a in aggs:
@@ -271,7 +334,7 @@ def _global_cumaggs(
         else:  # empty frame / all-null column / single bucket
             run = within
         out = out.withColumn(f"__cum_{a}__", run)
-    return out  # __g__ retained — callers drop it
+    return out.drop("__b__")  # __g__ retained — callers drop it
 
 
 def _combine_moments(na, ma, m2a, m3a, m4a, nb, mb, m2b, m3b, m4b):
@@ -321,21 +384,27 @@ def _global_cummoments(
     flushes to 0 so the builtin moment aggs' final division cannot
     throw on subnormal underflow under ANSI (affected prefixes are
     all-equal-after-flush and land in callers' m2<=0 branches)."""
-    spark = sdf.sparkSession
-    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=n_parts
+    v0 = F.col(value_col).cast("double")
+    v = F.when(F.abs(v0) < 1e-30, F.lit(0.0)).otherwise(v0)
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        sdf,
+        order_by,
+        [
+            F.count(v).alias("n"),
+            F.avg(v).alias("m"),
+            F.var_pop(v).alias("vp"),
+            F.skewness(v).alias("sk"),
+            F.kurtosis(v).alias("kt"),
+            F.min(v0).alias("vmin"),
+            F.max(v0).alias("vmax"),
+        ],
+        partitions,
     )
-    total = _ranked_total(ranked)
-    bucket_size = max(1, math.ceil(total / n_parts))
-    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
     w = (
         Window.partitionBy(bucket)
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    v0 = F.col(value_col).cast("double")
-    v = F.when(F.abs(v0) < 1e-30, F.lit(0.0)).otherwise(v0)
 
     # Expression-size discipline (CLAUDE.md): Column trees EXPAND on
     # every reference, and the Pébay combine below references each
@@ -357,20 +426,6 @@ def _global_cummoments(
         F.kurtosis(v).over(w).alias("__ktb__"),
         F.min(v0).over(w).alias("__vminb__"),
         F.max(v0).over(w).alias("__vmaxb__"),
-    )
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"))
-        .agg(
-            F.count(v).alias("n"),
-            F.avg(v).alias("m"),
-            F.var_pop(v).alias("vp"),
-            F.skewness(v).alias("sk"),
-            F.kurtosis(v).alias("kt"),
-            F.min(v0).alias("vmin"),
-            F.max(v0).alias("vmax"),
-        )
-        .orderBy("__b__")
-        .collect()
     )
     offsets: dict[int, tuple] = {}
     minmax: dict[int, tuple] = {}
@@ -476,7 +531,7 @@ def _global_cummoments(
         "__nb__", "__mb__", "__vpb__", "__skb__", "__ktb__", "__vminb__",
         "__vmaxb__", "__carry__", "__m2b__", "__m3b__", "__m4b__",
         "__na__", "__ma__", "__m2a__", "__m3a__", "__m4a__",
-        "__vmina__", "__vmaxa__", "__n__", "__d__",
+        "__vmina__", "__vmaxa__", "__n__", "__d__", "__b__",
     ]
     return der.select(
         "*",
@@ -886,20 +941,6 @@ def with_global_shift_multi(
     return ranked.join(src, "__g__", "left").drop("__g__")
 
 
-def _bucket_prefix_plan(sdf, order_by, partitions):
-    """(ranked frame, bucket expr, within-bucket running window) shared
-    by the multi-column cumulative ops."""
-    spark = sdf.sparkSession
-    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranked = with_global_rank(
-        sdf, order_by, rank_col="__g__", partitions=n_parts
-    )
-    n = _ranked_total(ranked)
-    bucket_size = max(1, math.ceil(n / n_parts))
-    bucket = ((F.col("__g__") - 1) / F.lit(bucket_size)).cast("long")
-    return ranked, bucket
-
-
 def with_global_cumagg_multi(
     sdf: DataFrame,
     order_by: list[str | Column],
@@ -915,22 +956,19 @@ def with_global_cumagg_multi(
     for _, a, _o in pairs:
         if a not in fns:
             raise ValueError("agg must be sum/max/min/prod")
-    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        sdf,
+        order_by,
+        [
+            fns[a](F.col(c)).alias(f"__t_{i}__")
+            for i, (c, a, _o) in enumerate(pairs)
+        ],
+        partitions,
+    )
     w = (
         Window.partitionBy(bucket)
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"))
-        .agg(
-            *[
-                fns[a](F.col(c)).alias(f"__t_{i}__")
-                for i, (c, a, _o) in enumerate(pairs)
-            ]
-        )
-        .orderBy("__b__")
-        .collect()
     )
     out = ranked
     for i, (c, a, name) in enumerate(pairs):
@@ -970,7 +1008,7 @@ def with_global_cumagg_multi(
         else:
             run = within
         out = out.withColumn(name, F.when(F.col(c).isNotNull(), run))
-    return out.drop("__g__")
+    return out.drop("__g__", "__b__")
 
 
 def with_global_expanding_multi(
@@ -1021,18 +1059,17 @@ def with_global_expanding_multi(
             if a in wanted:
                 tasks.append((f"{c}__{a}", raw, a))
 
-    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        sdf,
+        order_by,
+        [fns[k](e).alias(s) for s, e, k in tasks],
+        partitions,
+    )
     w = (
         Window.partitionBy(bucket)
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"))
-        .agg(*[fns[k](e).alias(s) for s, e, k in tasks])
-        .orderBy("__b__")
-        .collect()
     )
     out = ranked
     runs: dict[str, Column] = {}
@@ -1088,7 +1125,7 @@ def with_global_expanding_multi(
             else:
                 expr = F.when(ok, runs[f"{c}__{a}"])
             out = out.withColumn(f"{c}__expanding_{a}", expr)
-    return out.drop("__g__")
+    return out.drop("__g__", "__b__")
 
 
 def with_global_fill(
@@ -1104,26 +1141,30 @@ def with_global_fill(
     frame, per-bucket last-non-null totals prefix-carried on the
     driver, combined with coalesce. Fills every column in
     ``value_cols`` in ONE exchange; overwrites them in place."""
-    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    # the per-bucket last/first non-null must NOT key on __g__ (the
+    # merged collect computes it alongside the ranks): __mid__ order
+    # within a bucket IS the rank order, so max_by/min_by on the
+    # position bits pick the same row
+    pos = F.col("__mid__").bitwiseAND(F.lit(_POS_MASK))
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        sdf,
+        order_by,
+        [
+            (F.max_by(F.col(c), F.when(F.col(c).isNotNull(), pos))
+             if forward
+             else F.min_by(F.col(c), F.when(F.col(c).isNotNull(), pos)))
+            .alias(f"__t_{i}__")
+            for i, c in enumerate(value_cols)
+        ],
+        partitions,
+    )
+    if not forward:
+        totals = list(reversed(totals))
     order = F.col("__g__").asc() if forward else F.col("__g__").desc()
     w = (
         Window.partitionBy(bucket)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"))
-        .agg(
-            *[
-                (F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__g__")))
-                 if forward
-                 else F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__g__"))))
-                .alias(f"__t_{i}__")
-                for i, c in enumerate(value_cols)
-            ]
-        )
-        .orderBy("__b__", ascending=forward)
-        .collect()
     )
     out = ranked
     for i, c in enumerate(value_cols):
@@ -1144,7 +1185,7 @@ def with_global_fill(
         else:
             run = within
         out = out.withColumn(c, run)
-    return out.drop("__g__")
+    return out.drop("__g__", "__b__")
 
 
 def with_global_interpolate(
@@ -1179,7 +1220,26 @@ def with_global_interpolate(
     null_d = F.lit(None).cast("double")
     for c in value_cols:
         sdf = sdf.withColumn(c, F.nanvl(F.col(c).cast("double"), null_d))
-    ranked, bucket = _bucket_prefix_plan(sdf, order_by, partitions)
+    # per-bucket boundary structs pack the LOCAL position (__mid__'s
+    # low bits — the merged collect runs before ranks exist); the
+    # driver adds the bucket's rank offset back when folding the
+    # carry maps, so the lerp still sees global positions
+    pos = F.col("__mid__").bitwiseAND(F.lit(_POS_MASK))
+
+    def _pack_local(c: str) -> Column:
+        return F.when(
+            F.col(c).isNotNull(),
+            F.struct(pos.alias("p"), F.col(c).cast("double").alias("v")),
+        )
+
+    nn_aggs = []
+    for i, c in enumerate(value_cols):
+        nn = F.when(F.col(c).isNotNull(), pos)
+        nn_aggs.append(F.max_by(_pack_local(c), nn).alias(f"__f_{i}__"))
+        nn_aggs.append(F.min_by(_pack_local(c), nn).alias(f"__b_{i}__"))
+    ranked, bucket, totals, boff = _ranked_bucket_stats(
+        sdf, order_by, nn_aggs, partitions
+    )
     # the backward scan is a DESC ordering with the same RUNNING
     # (unbounded-preceding -> current) frame, NOT an asc window with an
     # unbounded-FOLLOWING frame: Spark evaluates following-unbounded
@@ -1206,18 +1266,12 @@ def with_global_interpolate(
             ),
         )
 
-    aggs = []
-    for i, c in enumerate(value_cols):
-        nn = F.when(F.col(c).isNotNull(), F.col("__g__"))
-        aggs.append(F.max_by(_pack(c), nn).alias(f"__f_{i}__"))
-        aggs.append(F.min_by(_pack(c), nn).alias(f"__b_{i}__"))
-    totals = (
-        ranked.groupBy(bucket.alias("__b__")).agg(*aggs).orderBy("__b__").collect()
-    )
-
-    def _lit_struct(t) -> Column:
+    def _lit_struct(t, b: int) -> Column:
+        # global position = bucket rank offset + local position + 1
         return F.struct(
-            F.lit(int(t["p"])).cast("long").alias("p"),
+            F.lit(int(boff.get(b, 0)) + int(t["p"]) + 1)
+            .cast("long")
+            .alias("p"),
             F.lit(float(t["v"])).alias("v"),
         )
 
@@ -1228,11 +1282,11 @@ def with_global_interpolate(
                 carries[r["__b__"]] = acc
             t = r[field]
             if t is not None:
-                acc = t
+                acc = _lit_struct(t, r["__b__"])
         if not carries:
             return None
         return F.create_map(
-            *[x for b, t in carries.items() for x in (F.lit(b), _lit_struct(t))]
+            *[x for b, t in carries.items() for x in (F.lit(b), t)]
         )
 
     out = ranked
@@ -1261,7 +1315,7 @@ def with_global_interpolate(
             .otherwise(line)
         )
         out = out.withColumn(c, filled)
-    return out.drop("__g__")
+    return out.drop("__g__", "__b__")
 
 
 def with_global_rolling_apply(
@@ -1396,18 +1450,17 @@ def keyed_midranks(
     so callers needing grand/per-key totals (e.g. spearman's
     ``(n+1)/2`` centering) pay no extra aggregate job.
     """
-    ranked, bucket = _bucket_prefix_plan(
-        per, [key_col, val_col], partitions
+    ranked, bucket, totals, _boff = _ranked_bucket_stats(
+        per,
+        [key_col, val_col],
+        [F.sum(weight_col).alias("__t__")],
+        partitions,
+        extra_keys=[F.col(key_col)],
     )
     w = (
         Window.partitionBy(bucket)
         .orderBy("__g__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = (
-        ranked.groupBy(bucket.alias("__b__"), F.col(key_col))
-        .agg(F.sum(weight_col).alias("__t__"))
-        .collect()
     )
     bucket_tot: dict = {}
     key_tot: dict = {}
