@@ -141,13 +141,15 @@ def _ranked_bucket_stats(
     (r8 opt: each totals collect measured ~0.25 s steady-state at
     sf0.1 on top of the rank pass it duplicated).
 
-    Returns ``(ranked, bucket_col, stats)``: ``ranked`` carries the
-    input columns plus ``__g__`` (1-based global rank) and ``__b__``
-    (bucket id — callers drop both before returning), ``bucket_col``
-    is ``F.col("__b__")``, and ``stats`` is the collected list of
-    per-bucket Rows ordered by ``__b__`` (then ``extra_keys``) with
-    ``__cnt__`` (bucket row count) plus every aggregate in
-    ``agg_cols`` (pre-aliased). ``extra_keys`` sub-keys the stats
+    Returns ``(ranked, bucket_col, stats, offsets)``: ``ranked``
+    carries the input columns plus ``__g__`` (1-based global rank) and
+    ``__b__`` (bucket id — callers drop both before returning),
+    ``bucket_col`` is ``F.col("__b__")``, ``stats`` is the collected
+    list of per-bucket Rows ordered by ``__b__`` with ``__cnt__``
+    (bucket row count) plus every aggregate in ``agg_cols``
+    (pre-aliased), and ``offsets`` maps bucket id -> its exclusive
+    rank offset (interpolate re-bases its per-bucket boundary-struct
+    positions with it). ``extra_keys`` sub-keys the stats
     (:func:`keyed_midranks`' per-(bucket, key) totals); rank offsets
     fold over the ``__cnt__`` sums per bucket either way. Bucket
     sizes come from range-partition sampling rather than exact rank
