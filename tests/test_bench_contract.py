@@ -103,3 +103,30 @@ def test_budget_ratchet_verdicts():
     assert bench._busts_budget("new_query", 5.5, B, prior)
     # prior itself over budget cannot excuse
     assert bench._busts_budget("already_slow", 7.0, B, prior)
+
+
+def test_steal_excuse_is_narrow():
+    """_steal_excused: only an entry whose EVERY timing window was
+    stolen (steal_flagged) AND whose committed prior was under budget
+    escapes the budget gate — a new query, a query with a slow prior,
+    or one that saw any clean window still busts (r7 rc=3 lesson:
+    burst-inflated numbers must not fail the round, but the excuse
+    must not hide a real cliff behind one noisy window)."""
+    prior = {"steady": 3.0, "already_slow": 6.0}
+    B = 5.0
+    flagged = {"steady": 18.4, "already_slow": 9.9, "new_query": 25.0}
+    assert bench._steal_excused("steady", B, prior, flagged)
+    # prior itself over budget -> no excuse
+    assert not bench._steal_excused("already_slow", B, prior, flagged)
+    # no committed prior -> no excuse
+    assert not bench._steal_excused("new_query", B, prior, flagged)
+    # had a clean window (not flagged) -> the timing stands on its own
+    assert not bench._steal_excused("steady", B, prior, {})
+
+
+def test_steal_pct_handles_missing_procfs():
+    """_steal_pct must degrade to 0.0 (never raise) when /proc/stat is
+    unavailable or time did not advance."""
+    assert bench._steal_pct((0, 0)) >= 0.0
+    assert bench._steal_pct(bench._cpu_stat()) >= 0.0
+    assert bench._steal_pct((10**18, 10**18)) == 0.0

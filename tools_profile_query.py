@@ -22,6 +22,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("PROFILE_RUNS", "2"))
 
 
+def _cpu_stat() -> "tuple[int, int]":
+    """(steal_ticks, total_ticks) from /proc/stat — this VM has bursty
+    hypervisor steal (CLAUDE.md r4/r5 evidence) and a timing taken
+    during a burst is garbage; every measurement below carries the
+    steal%% observed across it so bursts are VISIBLE instead of
+    silently poisoning A/B comparisons."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: "tuple[int, int]") -> float:
+    s0, t0 = before
+    s1, t1 = _cpu_stat()
+    return round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+
+
 def main() -> None:
     names = sys.argv[1:]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -45,6 +63,7 @@ def main() -> None:
     results = {}
     for name in names:
         fn = queries[name]
+        cpu0 = _cpu_stat()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         t_build = time.perf_counter() - t0
@@ -57,18 +76,23 @@ def main() -> None:
         n_jobs = len(jobs_after - jobs_before)
 
         best = None
+        best_steal = None
         for _ in range(RUNS):
+            c0 = _cpu_stat()
             t0 = time.perf_counter()
             d2 = fn(spark, SF_DIR)
             d2.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best, best_steal = dt, _steal_pct(c0)
 
         results[name] = {
             "build_s": round(t_build, 3),
             "first_exec_s": round(t_first, 3),
             "steady_total_s": round(best, 3),
             "jobs_per_exec": n_jobs,
+            "steal_pct": _steal_pct(cpu0),
+            "steady_steal_pct": best_steal,
         }
         print(f"{name}: {json.dumps(results[name])}", flush=True)
 
