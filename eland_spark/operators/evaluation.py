@@ -393,25 +393,39 @@ def _ngram_array(col, n: int, char_level: bool = False):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _gram_counts(base, col_expr, orders, cname: str,
-                 char_level: bool = False):
-    """(pid, order, gram) -> count in ONE hash aggregation over the
-    union of per-order explodes — the shared side-counts scaffold of
-    the three generation-eval metrics (gram-keyed shuffle, no skew
-    pole)."""
-    per_n = [
+def _gram_side_counts(base, cand_expr, ref_expr, orders,
+                      char_level: bool = False):
+    """(pid, order, gram) -> (cand_count, ref_count): the union of
+    per-(order, side) explodes carries a side-flag literal, and ONE
+    gram-keyed hash aggregation computes BOTH side counts as
+    conditional sums — the shared side-counts scaffold of the three
+    generation-eval metrics (r8 opt: replaces the former two separate
+    aggs plus a (pid, order, gram)-keyed shuffle-join of the gram
+    table). Clipped overlap semantics are unchanged: a gram absent on
+    one side aggregates a 0 count there, and ``least(cc, 0) = 0``
+    contributes exactly what the former left-join + coalesce did.
+    The explode stays per-(order, side) — an A/B of a single explode
+    over one concatenated struct array measured chrf 1.7x SLOWER
+    (per-element struct wrap + array copy of every char gram), so
+    ``base`` must arrive checkpointed when its construction is
+    non-trivial (all three callers checkpoint the tokenize/strip
+    projection shared by the 2 * |orders| branches)."""
+    per = [
         base.select(
             "__pid__",
             F.lit(n).alias("__n__"),
-            F.explode(_ngram_array(col_expr, n, char_level)).alias("__g__"),
+            F.lit(flag).alias("__c__"),
+            F.explode(_ngram_array(expr, n, char_level)).alias("__g__"),
         )
+        for flag, expr in ((1, cand_expr), (0, ref_expr))
         for n in orders
     ]
-    un = per_n[0]
-    for p in per_n[1:]:
+    un = per[0]
+    for p in per[1:]:
         un = un.unionByName(p)
     return un.groupBy("__pid__", "__n__", "__g__").agg(
-        F.count(F.lit(1)).alias(cname)
+        F.sum("__c__").alias("__cc__"),
+        F.sum(F.lit(1) - F.col("__c__")).alias("__rc__"),
     )
 
 
@@ -433,20 +447,21 @@ def corpus_bleu(
     deliberately engine-replayable (a SQL oracle reproduces it
     exactly).
 
-    Scale shape: each side explodes to (pair, order, gram) counts in
-    ONE hash aggregation (shuffle keyed on the high-cardinality gram
-    tuple — no skew pole), clipped matches come from the candidate
-    side LEFT-joining the reference counts on that same key, and
-    everything after is ``max_n`` rows wide: one conditional-sum
-    scalar aggregate assembles every ``p_n`` plus both lengths. No
+    Scale shape: BOTH sides explode to (pair, order, gram) side counts
+    in ONE map pass + ONE hash aggregation (shuffle keyed on the
+    high-cardinality gram tuple — no skew pole; clipped matches are
+    ``least`` of the two side counts, no join), and everything after
+    is ``max_n`` rows wide: one conditional-sum scalar aggregate
+    assembles every ``p_n`` plus both lengths (the total token counts
+    ARE the order-1 gram counts, so no separate length pass). No
     per-row Python, no driver collect of row data.
     """
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
     toks = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
-    # localCheckpoint freezes the per-partition ids (mi_id is assigned
-    # map-side, but the two n-gram sides would otherwise recompute the
-    # scan independently) AND shares one tokenization pass between them
+    # localCheckpoint shares one tokenization pass across the
+    # per-(order, side) gram branches (and freezes the map-side
+    # mi_ids they key on)
     base = pairs.where(
         F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
     ).select(
@@ -456,10 +471,8 @@ def corpus_bleu(
     ).localCheckpoint(eager=False)
 
     rng = range(1, max_n + 1)
-    cc = _gram_counts(base, F.col("__ct__"), rng, "__cc__")
-    rc = _gram_counts(base, F.col("__rt__"), rng, "__rc__")
-    j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
-    clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
+    sc = _gram_side_counts(base, F.col("__ct__"), F.col("__rt__"), rng)
+    clip = F.least(F.col("__cc__"), F.col("__rc__"))
     per_order = [
         F.sum(F.when(F.col("__n__") == n, clip).otherwise(F.lit(0)))
         .alias(f"__m{n}__")
@@ -468,13 +481,17 @@ def corpus_bleu(
         F.sum(F.when(F.col("__n__") == n, F.col("__cc__")).otherwise(F.lit(0)))
         .alias(f"__t{n}__")
         for n in range(1, max_n + 1)
+    ] + [
+        # total tokens per side = that side's order-1 gram count (an
+        # empty token array yields no grams AND size 0 — identical sum)
+        F.coalesce(
+            F.sum(F.when(F.col("__n__") == 1, F.col("__cc__"))), F.lit(0)
+        ).alias("__cl__"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n__") == 1, F.col("__rc__"))), F.lit(0)
+        ).alias("__rl__"),
     ]
-    stats = j.agg(*per_order)
-    lens = base.agg(
-        F.coalesce(F.sum(F.size("__ct__")), F.lit(0)).alias("__cl__"),
-        F.coalesce(F.sum(F.size("__rt__")), F.lit(0)).alias("__rl__"),
-    )
-    row = stats.crossJoin(F.broadcast(lens))
+    row = sc.agg(*per_order)
     ps = [
         F.when(
             F.col(f"__t{n}__") > 0,
@@ -576,17 +593,21 @@ def rouge_n(
     rouge_score convention); f1 is 0 when p + r == 0. Null rows drop;
     tokenization is the same engine-replayable ``\\s+`` split.
 
-    Scale shape: per-(pair, order, gram) counts for each side in ONE
-    hash aggregation (gram-keyed, no skew pole), clipped overlaps via
-    an inner join on that key re-aggregated to (pair, order), the
-    per-pair denominators computed from token LENGTHS (no second gram
-    pass), and the corpus means one scalar aggregate.
+    Scale shape: per-(pair, order, gram) side counts for BOTH sides in
+    ONE map pass + ONE hash aggregation (gram-keyed, no skew pole;
+    clipped overlaps are ``least`` of the side counts, no join)
+    re-aggregated to (pair, order), the per-pair denominators computed
+    from token LENGTHS (no second gram pass), and the corpus means one
+    scalar aggregate.
     """
     orders = tuple(sorted(set(int(n) for n in orders)))
     if not orders or orders[0] < 1:
         raise ValueError("orders must be positive ints")
     max_n = orders[-1]
     toks = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
+    # localCheckpoint shares one tokenization pass between the gram
+    # side and the per-pair length side (and freezes the map-side
+    # mi_ids the two consumers key on)
     base = pairs.where(
         F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
     ).select(
@@ -595,11 +616,9 @@ def rouge_n(
         toks(ref_col).alias("__rt__"),
     ).localCheckpoint(eager=False)
 
-    cc = _gram_counts(base, F.col("__ct__"), orders, "__cc__")
-    rc = _gram_counts(base, F.col("__rt__"), orders, "__rc__")
+    sc = _gram_side_counts(base, F.col("__ct__"), F.col("__rt__"), orders)
     ov = (
-        cc.join(rc, ["__pid__", "__n__", "__g__"])
-        .groupBy("__pid__", "__n__")
+        sc.groupBy("__pid__", "__n__")
         .agg(F.sum(F.least(F.col("__cc__"), F.col("__rc__"))).alias("__m__"))
     )
     # per-pair gram totals from token lengths — no second gram pass
@@ -663,17 +682,21 @@ def chrf(
     ``P + R == 0``), ``beta = 2`` weighting recall double. Null rows
     drop.
 
-    Scale shape: identical to :func:`corpus_bleu` — each side explodes
-    to (pair, order, gram) counts in ONE hash aggregation keyed on the
-    gram tuple, clipped matches from a LEFT join on that key, one
-    conditional-sum scalar aggregate; char totals come from string
-    LENGTHS, engine-replayable arithmetic throughout.
+    Scale shape: identical to :func:`corpus_bleu` — BOTH sides explode
+    to (pair, order, gram) side counts in ONE map pass + ONE hash
+    aggregation keyed on the gram tuple (clipped matches are ``least``
+    of the side counts, no join), one conditional-sum scalar
+    aggregate; per-order char-gram totals and both char lengths ARE
+    the per-order/order-1 gram-count sums, engine-replayable
+    arithmetic throughout.
     """
     if max_n < 1:
         raise ValueError("max_n must be >= 1")
     if beta <= 0:
         raise ValueError("beta must be > 0")
     strip = lambda c: F.regexp_replace(F.col(c), r"\s+", "")  # noqa: E731
+    # localCheckpoint shares one strip pass across the per-(order,
+    # side) gram branches (and freezes the map-side mi_ids)
     base = pairs.where(
         F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
     ).select(
@@ -683,40 +706,36 @@ def chrf(
     ).localCheckpoint(eager=False)
 
     rng = range(1, max_n + 1)
-    cc = _gram_counts(base, F.col("__cs__"), rng, "__cc__", char_level=True)
-    rc = _gram_counts(base, F.col("__rs__"), rng, "__rc__", char_level=True)
-    j = cc.join(rc, ["__pid__", "__n__", "__g__"], "left")
-    clip = F.least(F.col("__cc__"), F.coalesce(F.col("__rc__"), F.lit(0)))
-    stats = j.agg(
+    sc = _gram_side_counts(
+        base, F.col("__cs__"), F.col("__rs__"), rng, char_level=True
+    )
+    clip = F.least(F.col("__cc__"), F.col("__rc__"))
+    row = sc.agg(
         *[
             F.sum(F.when(F.col("__n__") == n, clip).otherwise(F.lit(0)))
             .alias(f"__m{n}__")
             for n in range(1, max_n + 1)
-        ]
-    )
-    lens = base.agg(
+        ],
+        # per-order gram totals per side = the side-count sums (a
+        # string shorter than n yields no grams AND a 0 length term —
+        # identical sums); char lengths are the order-1 totals
         *[
             F.coalesce(
-                F.sum(
-                    F.greatest(F.length("__cs__") - n + 1, F.lit(0))
-                ),
+                F.sum(F.when(F.col("__n__") == n, F.col("__cc__"))),
                 F.lit(0),
             ).alias(f"__tc{n}__")
             for n in range(1, max_n + 1)
         ],
         *[
             F.coalesce(
-                F.sum(
-                    F.greatest(F.length("__rs__") - n + 1, F.lit(0))
-                ),
+                F.sum(F.when(F.col("__n__") == n, F.col("__rc__"))),
                 F.lit(0),
             ).alias(f"__tr{n}__")
             for n in range(1, max_n + 1)
         ],
-        F.coalesce(F.sum(F.length("__cs__")), F.lit(0)).alias("__cl__"),
-        F.coalesce(F.sum(F.length("__rs__")), F.lit(0)).alias("__rl__"),
+    ).withColumn("__cl__", F.col("__tc1__")).withColumn(
+        "__rl__", F.col("__tr1__")
     )
-    row = stats.crossJoin(F.broadcast(lens))
     pn = [
         F.when(
             F.col(f"__tc{n}__") > 0,

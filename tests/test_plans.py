@@ -1010,9 +1010,9 @@ def test_round5_query_plan_pins(spark):
         # one keyed window pass builds the panel; cells/items/marginals
         # re-aggs are cell-sized; 1-row broadcast assembly
         "fleiss_kappa": (5, 2),
-        # one gram-keyed agg per side + the clipped-match join; lengths
-        # ride a 1-row broadcast
-        "corpus_bleu": (4, 1),
+        # ONE flagged gram-keyed side-counts agg (no clipped-match join;
+        # r8 opt) + the scalar agg; lengths are the order-1 gram sums
+        "corpus_bleu": (2, 0),
         # ONE keyed exchange serves both window passes and the run agg
         "scd2_history": (1, 0),
         # knn_join's single query-keyed exchange + the bounded per-query
@@ -1026,9 +1026,10 @@ def test_round5_query_plan_pins(spark):
         # map literal — the distributed prefix passes only above 1000
         # distinct p-values (r7: 12 -> 5 shuffles, 4.2 -> 2.3s)
         "drift_battery": (5, 0),
-        # pair self-join + one gram-keyed agg per side + the clipped
-        # inner join re-agg + per-order maps back to pair lengths
-        "rouge_n": (10, 0),
+        # pair self-join + ONE flagged gram-keyed side-counts agg (no
+        # clipped join; r8 opt) + per-(pair, order) re-agg + per-order
+        # maps back to pair lengths
+        "rouge_n": (8, 0),
         # SCD2's one keyed exchange + the asof running-fill pass + the
         # final small group agg
         "pit_join": (3, 0),
@@ -1038,9 +1039,10 @@ def test_round5_query_plan_pins(spark):
         "unigram_train": (0, 0),
         # one piece-count agg after the zero-shuffle Arrow segment pass
         "unigram_segment": (1, 0),
-        # one gram-keyed agg per side + clipped join; lengths/totals
-        # ride 1-row broadcasts
-        "chrf": (4, 1),
+        # ONE flagged gram-keyed side-counts agg (no clipped join; r8
+        # opt) + the scalar agg; per-order totals/lengths are the
+        # side-count sums
+        "chrf": (2, 0),
         # per-user agg + per-(cohort,time) agg; at-risk/survival ride
         # ONE keyed window exchange (distinct-time-sized)
         "kaplan_meier": (3, 0),
