@@ -144,11 +144,6 @@ def pagerank(
     # localCheckpoint barrier makes the dedup+repartition subtree
     # compute ONCE instead of being re-inlined into every round's join
     # (at a real deployment this is a persisted/bucketed edge table).
-    # NOTE: the lazy-unroll treatment that pays off for
-    # label_propagation/random_walks was MEASURED SLOWER here (7.2 s vs
-    # 4.6 s at sf0.1): the two per-round rank branches differ by a
-    # where(outdeg > 0) filter, so their subtrees are not canonically
-    # equal and AQE cannot reuse them — the barrier stays.
     e = e.repartition("__src__").localCheckpoint(eager=False)
 
     nodes = (
@@ -192,6 +187,20 @@ def pagerank(
                         F.col("__p__").alias("rank"))
 
     d = float(damping)
+    # ranks branches 2-3x per round (contribution join + left side +
+    # the dangling scalar under "redistribute"). For small fixed K with
+    # no tol action the unrolled plan stays FULLY LAZY: the branches
+    # are canonically equal so AQE's stage cache executes each round
+    # once, and the per-round localCheckpoint barriers' build-time job
+    # waves disappear (see _lazy_unroll; r8 measured the barriers
+    # SLOWER only while a where(outdeg > 0) pre-filter on the contrib
+    # branch was pushed below the previous round's projection,
+    # de-canonicalizing the branch subtrees — that filter is gone, see
+    # the contrib note below). With tol set, the per-round delta
+    # action needs the materialization anyway — barriers stay.
+    lazy = tol is None and _lazy_unroll(
+        int(iterations), branches=3 if dangling == "redistribute" else 2
+    )
     # the initial rank frame is base + a literal column — its two
     # round-1 branches share base's exchanges (canonically equal, AQE
     # reuses them), so barrier-ing it would only add a build-time job
@@ -199,18 +208,23 @@ def pagerank(
     # stop being exchange-aligned
     checkpointed = True
     for i in range(int(iterations)):
-        # ranks branches twice per round (contribution join + dangling
-        # scalar); without a barrier the previous round's subtree would
-        # re-execute per branch — 2^K blowup. One lazy checkpoint per
-        # round keeps it linear (the Pregel/GraphX iteration pattern)
-        # and doubles as the lineage truncation for large K.
-        if not checkpointed:
+        # without lazy reuse, one checkpoint per round keeps the
+        # branched recompute linear (the Pregel/GraphX iteration
+        # pattern) and doubles as lineage truncation for large K
+        if not checkpointed and not lazy:
             ranks = ranks.localCheckpoint(eager=False)
         checkpointed = False
         prev = ranks
+        # no where(__outdeg__ > 0) pre-filter: dangling nodes never
+        # appear as __src__ in e (weights are > 0 by construction), so
+        # the inner join already excludes them — and the division below
+        # only evaluates on matched rows, where __outdeg__ >= __w__ > 0.
+        # The explicit filter was REDUNDANT and actively harmful: its
+        # pushdown below the previous round's projection made the
+        # contrib branch's exchange subtree non-canonical, defeating
+        # the AQE stage reuse the lazy unroll depends on.
         contrib = (
-            ranks.where(F.col("__outdeg__") > 0)
-            .join(e, ranks["node"] == e["__src__"])
+            ranks.join(e, ranks["node"] == e["__src__"])
             .select(
                 F.col("__dst__").alias("node"),
                 (F.col("rank") * F.col("__w__") / F.col("__outdeg__"))

@@ -858,8 +858,15 @@ def test_round4_query_plan_pins(spark):
         # name: (max shuffles, min broadcast joins)
         "quality_suite": (5, 1),
         "profile_table": (3, 1),
-        "pagerank": (3, 0),
-        "pagerank_personalized": (3, 1),
+        # r8 lazy unroll (the label_propagation treatment, unlocked by
+        # dropping the redundant where(outdeg>0) contrib pre-filter
+        # whose pushdown de-canonicalized the branch subtrees): the
+        # WHOLE 3-round plan is one job, so every textual exchange is
+        # visible to the pin — edge dedup/repartition + nodes/outdeg/
+        # base + 3 rounds x (contrib join + agg [+ dangling scalar]);
+        # AQE's stage cache executes repeated round subtrees once
+        "pagerank": (18, 10),
+        "pagerank_personalized": (26, 14),
         "graph_degrees": (2, 0),
         "editdist_near_dup": (2, 3),
         "rolling_zscore": (1, 0),
