@@ -3196,7 +3196,13 @@ class DataFrame:
                 out[name] = res
                 yield out
 
-        out = self._projected().mapInPandas(_batches, out_schema)
+        # fn runs interpreted-Python per row: make sure the stage is as
+        # wide as the cluster before paying that cost (no-op when the
+        # scan already parallelizes — operators/spread.py)
+        from .operators.spread import spread_for_compute
+
+        src = spread_for_compute(self._projected(), *idx)
+        out = src.mapInPandas(_batches, out_schema)
         frame = DataFrame(out, index_cols=tuple(idx))
         return frame[name]
 

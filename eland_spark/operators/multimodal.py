@@ -215,7 +215,9 @@ def decode_image_features(
                 chunk[out_col] = feats
                 yield chunk
 
-    return df.mapInPandas(run, out_schema)
+    from .spread import spread_for_compute
+
+    return spread_for_compute(df).mapInPandas(run, out_schema)
 
 
 def sample_video_frames(
@@ -281,7 +283,9 @@ def resize_images(
                 chunk[media_col] = out
                 yield chunk
 
-    return df.mapInPandas(run, df.schema)
+    from .spread import spread_for_compute
+
+    return spread_for_compute(df).mapInPandas(run, df.schema)
 
 
 def _pcm_stub(data: bytes, n: int = 4096) -> np.ndarray:
@@ -359,4 +363,6 @@ def extract_audio_features(
                 chunk[out_col] = feats
                 yield chunk
 
-    return df.mapInPandas(run, out_schema)
+    from .spread import spread_for_compute
+
+    return spread_for_compute(df).mapInPandas(run, out_schema)
