@@ -2216,11 +2216,17 @@ def q_text_repetition(spark, sf_dir) -> DataFrame:
 
 
 def q_lang_id(spark, sf_dir) -> DataFrame:
-    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    """Language-ID heuristic vs the labeled lang column: confusion
+    counts. The per-row scoring expression dominates the map side, so
+    the single-task bench scan is hash-spread first (gated no-op when
+    the scan parallelizes by itself)."""
+    from eland_spark.operators.spread import spread_for_compute
     from eland_spark.operators.text import lang_id
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
-    sdf = docs.to_spark()
+    sdf = spread_for_compute(
+        docs.to_spark().select("doc_id", "lang", "text"), "doc_id"
+    )
     return (
         sdf.select(F.col("lang"), lang_id(F.col("text")).alias("pred"))
         .groupBy("lang", "pred")
@@ -2845,11 +2851,17 @@ def q_bpe_train(spark, sf_dir) -> DataFrame:
 def q_bpe_segment(spark, sf_dir) -> DataFrame:
     """BPE ENCODE with a fixed merge table (operators/bpe.bpe_segment):
     replay merges in rank order per word — one codegen'd column
-    expression, zero shuffle. Fixed literal merges keep the oracle a
-    pure chained-replace replay."""
+    expression. The merge replay is heavy per row, so the single-task
+    bench scan is hash-spread across the cluster first (gated no-op
+    when the scan parallelizes by itself — operators/spread.py)."""
     from eland_spark.operators.bpe import bpe_segment
+    from eland_spark.operators.spread import spread_for_compute
 
-    docs = _t(spark, sf_dir, "documents", "doc_id").to_spark()
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents", "doc_id").to_spark()
+        .select("doc_id", "text"),
+        "doc_id",
+    )
     sub = bpe_segment(F.col("text"), _BPE_SEG_MERGES)
     return docs.select(
         "doc_id",

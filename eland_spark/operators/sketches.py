@@ -113,10 +113,18 @@ def kmv_sketches(
     state is the per-group distinct hash set; for very high-cardinality
     groups build per-partition sketches first and merge with
     :func:`kmv_rollup_estimate`)."""
+    from .spread import spread_for_compute
+
     by = list(by)
     h = _kmv_hash(F.col(value_col))
     arr = F.slice(F.array_sort(F.collect_set(h)), 1, k)
-    return sdf.groupBy(*by).agg(arr.alias("kmv"))
+    # hash-spread on the value: parallelizes the md5 map work when the
+    # scan is single-task AND pre-groups duplicates for the partial
+    # collect_set (no-op when the scan already parallelizes); project
+    # first so the exchange carries only the sketch's columns
+    cols = list(dict.fromkeys([*by, value_col]))
+    src = spread_for_compute(sdf.select(*cols), value_col)
+    return src.groupBy(*by).agg(arr.alias("kmv"))
 
 
 def kmv_estimate(kmv_col, k: int | None = None) -> "F.Column":
@@ -202,7 +210,15 @@ def sample_sketches(
     )
     arr = F.slice(F.array_sort(F.collect_list(pair)), 1, k)
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("__salt__")
-    partial = sdf.groupBy(*by, salt).agg(arr.alias("sample"))
+    # the md5 row keys + per-salt partial buffers are map-side work:
+    # spread a single-task scan across the cluster first (no-op when
+    # the scan already parallelizes — operators/spread.py)
+    from .spread import spread_for_compute
+
+    cols = list(dict.fromkeys([*by, value_col, id_col]))
+    partial = spread_for_compute(sdf.select(*cols), id_col).groupBy(
+        *by, salt
+    ).agg(arr.alias("sample"))
     merged = F.slice(
         F.array_sort(F.flatten(F.collect_list(F.col("sample")))), 1, k
     )
