@@ -2220,7 +2220,7 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
     counts. The per-row scoring expression dominates the map side, so
     the single-task bench scan is hash-spread first (gated no-op when
     the scan parallelizes by itself)."""
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
     from eland_spark.operators.text import lang_id
 
     docs = _t(spark, sf_dir, "documents", "doc_id")
@@ -2853,9 +2853,9 @@ def q_bpe_segment(spark, sf_dir) -> DataFrame:
     replay merges in rank order per word — one codegen'd column
     expression. The merge replay is heavy per row, so the single-task
     bench scan is hash-spread across the cluster first (gated no-op
-    when the scan parallelizes by itself — operators/spread.py)."""
+    when the scan parallelizes by itself — operators/parallelism.py)."""
     from eland_spark.operators.bpe import bpe_segment
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
 
     docs = spread_for_compute(
         _t(spark, sf_dir, "documents", "doc_id").to_spark()

@@ -3198,8 +3198,8 @@ class DataFrame:
 
         # fn runs interpreted-Python per row: make sure the stage is as
         # wide as the cluster before paying that cost (no-op when the
-        # scan already parallelizes — operators/spread.py)
-        from .operators.spread import spread_for_compute
+        # scan already parallelizes — operators/parallelism.py)
+        from .operators.parallelism import spread_for_compute
 
         src = spread_for_compute(self._projected(), *idx)
         out = src.mapInPandas(_batches, out_schema)

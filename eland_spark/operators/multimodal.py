@@ -215,7 +215,7 @@ def decode_image_features(
                 chunk[out_col] = feats
                 yield chunk
 
-    from .spread import spread_for_compute
+    from .parallelism import spread_for_compute
 
     return spread_for_compute(df).mapInPandas(run, out_schema)
 
@@ -283,7 +283,7 @@ def resize_images(
                 chunk[media_col] = out
                 yield chunk
 
-    from .spread import spread_for_compute
+    from .parallelism import spread_for_compute
 
     return spread_for_compute(df).mapInPandas(run, df.schema)
 
@@ -363,6 +363,6 @@ def extract_audio_features(
                 chunk[out_col] = feats
                 yield chunk
 
-    from .spread import spread_for_compute
+    from .parallelism import spread_for_compute
 
     return spread_for_compute(df).mapInPandas(run, out_schema)

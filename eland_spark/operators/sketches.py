@@ -113,7 +113,7 @@ def kmv_sketches(
     state is the per-group distinct hash set; for very high-cardinality
     groups build per-partition sketches first and merge with
     :func:`kmv_rollup_estimate`)."""
-    from .spread import spread_for_compute
+    from .parallelism import spread_for_compute
 
     by = list(by)
     h = _kmv_hash(F.col(value_col))
@@ -212,8 +212,8 @@ def sample_sketches(
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("__salt__")
     # the md5 row keys + per-salt partial buffers are map-side work:
     # spread a single-task scan across the cluster first (no-op when
-    # the scan already parallelizes — operators/spread.py)
-    from .spread import spread_for_compute
+    # the scan already parallelizes — operators/parallelism.py)
+    from .parallelism import spread_for_compute
 
     cols = list(dict.fromkeys([*by, value_col, id_col]))
     partial = spread_for_compute(sdf.select(*cols), id_col).groupBy(

@@ -1,4 +1,4 @@
-"""spread_for_compute gate semantics (operators/spread.py).
+"""spread_for_compute gate semantics (operators/parallelism.py).
 
 The helper must (a) widen a single-row-group scan to the cluster's
 parallelism in front of expensive compute, (b) stay a no-op for plans
@@ -27,7 +27,7 @@ def _partitions(sdf) -> int:
 
 
 def test_spread_widens_single_row_group_scan(spark, docs):
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
 
     target = spark.sparkContext.defaultParallelism
     assert _partitions(docs) < target  # the bench layout being fixed
@@ -36,7 +36,7 @@ def test_spread_widens_single_row_group_scan(spark, docs):
 
 
 def test_spread_keeps_rows_identical(spark, docs):
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
 
     out = spread_for_compute(docs, "doc_id")
     a = sorted(tuple(r) for r in docs.collect())
@@ -49,7 +49,7 @@ def test_spread_keeps_rows_identical(spark, docs):
     ["filter", "aggregate", "join", "repartition", "checkpoint"],
 )
 def test_spread_skips_unknown_or_shaped_plans(spark, docs, shape):
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
 
     if shape == "filter":
         sdf = docs.where(F.col("doc_id") < 10)
@@ -66,7 +66,7 @@ def test_spread_skips_unknown_or_shaped_plans(spark, docs, shape):
 
 
 def test_spread_hash_keys_used(spark, docs):
-    from eland_spark.operators.spread import spread_for_compute
+    from eland_spark.operators.parallelism import spread_for_compute
 
     out = spread_for_compute(docs, "doc_id")
     plan = out._jdf.queryExecution().analyzed().toString()
