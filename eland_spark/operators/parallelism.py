@@ -36,7 +36,11 @@ import os
 
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["ensure_parallelism", "spread_for_compute"]
+__all__ = [
+    "ensure_parallelism",
+    "spread_for_compute",
+    "bounded_single_task_rows",
+]
 
 # analyzed-plan node names whose presence means the plan already has a
 # shuffle (or an explicit distribution choice) above the scan — the map
@@ -119,6 +123,48 @@ def _bytes(v: str) -> int:
             mult = m
             break
     return int(float(v) * mult)
+
+
+def bounded_single_task_rows(sdf: DataFrame, max_rows: int) -> "int | None":
+    """Row count of ``sdf`` IFF metadata alone proves the frame is a
+    bare local scan/projection that executes as ONE task holding at
+    most ``max_rows`` rows — the precondition under which a driver-side
+    replica of a one-partition/one-Arrow-batch compute produces
+    bit-identical floats (single partial, no cross-task combine).
+    Returns None whenever any of that is unprovable (filters, shuffles,
+    remote files, multiple splits/row groups, too many rows) — callers
+    then keep their distributed path. Never runs a job."""
+    plan = _analyzed_plan(sdf)
+    if plan is None or any(m in plan for m in _SHUFFLE_SHAPED + ("Filter",)):
+        return None
+    try:
+        files = sdf.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    local = []
+    for f in files:
+        if f.startswith("file:"):
+            local.append(f[len("file:"):])
+        elif f.startswith("/"):
+            local.append(f)
+        else:
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        rows = 0
+        row_groups = 0
+        for p in local:
+            meta = pq.ParquetFile(p)
+            rows += meta.metadata.num_rows
+            row_groups += meta.num_row_groups
+    except Exception:
+        return None
+    if row_groups != 1 or rows > max_rows:
+        return None
+    return rows
 
 
 def ensure_parallelism(

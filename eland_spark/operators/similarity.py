@@ -244,6 +244,49 @@ def ivf_index(
         .collect()
     )
     centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    if max_iter > 0:
+        # driver-fold gate: when metadata PROVES the scan is one local
+        # task holding at most one Arrow batch, the distributed Lloyd
+        # step below degenerates to "one partial per (cell, dim), summed
+        # by an identity agg" — replicating the identical numpy
+        # accumulation on the driver gives bit-for-bit the same
+        # centroids while removing one synchronous job wave PER
+        # ITERATION (the fdr_bh/reindex driver-fold precedent; the
+        # distributed path below stays the unbounded-case contract and
+        # is equality-pinned in tests/test_similarity.py).
+        from .parallelism import bounded_single_task_rows
+
+        np = __import__("numpy")
+        batch_rows = int(
+            df._sdf.sparkSession.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            )
+        )
+        n_rows = bounded_single_task_rows(
+            df._sdf, min(8192, max(1, batch_rows))
+        )
+        if n_rows is not None:
+            X = np.asarray(
+                [r["v"] for r in df._sdf.select(vec.alias("v")).collect()],
+                dtype=np.float64,
+            )
+            for _ in range(max_iter):
+                C = np.asarray(centroids, dtype="float64")
+                k, dim = C.shape
+                sums = np.zeros((k, dim))
+                counts = np.zeros(k, dtype=np.int64)
+                for s in range(0, len(X), 1024):
+                    blk = X[s : s + 1024]
+                    d = ((blk[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                    cells = d.argmin(axis=1)
+                    np.add.at(sums, cells, blk)
+                    counts += np.bincount(cells, minlength=k)
+                new = [list(c) for c in centroids]
+                for c in np.flatnonzero(counts):
+                    for i in range(dim):
+                        new[c][i] = sums[c][i] / counts[c]
+                centroids = [list(c) for c in new]
+            return centroids
     for _ in range(max_iter):
         # Arrow-vectorized Lloyd step: each batch assigns via one numpy
         # subtract-square kernel (same arithmetic/tie rule as

@@ -185,3 +185,28 @@ def test_ivf_pq_topk_recall(spark, sf_dir):
     }
     assert 3 in got
     assert len(got & exact) >= 5  # pruning + PQ, still recalls half+
+
+
+def test_ivf_index_driver_fold_equals_distributed(spark, sf_dir):
+    """r8 opt: when metadata proves a one-local-task/one-batch scan,
+    ivf_index folds the Lloyd iterations on the driver. The fold must
+    be BIT-IDENTICAL to the distributed path (forced here through a
+    localCheckpoint source, which defeats the metadata gate while
+    keeping the same single-partition layout, so both paths see the
+    identical single Arrow batch)."""
+    import eland_spark as es
+    from eland_spark.frame import DataFrame as EDF
+    from eland_spark.operators.parallelism import bounded_single_task_rows
+    from eland_spark.operators.similarity import ivf_index
+
+    emb = es.read_parquet(spark, f"{sf_dir}/embeddings.parquet", index_col="vec_id")
+    # gate must fire on the plain scan (this is the layout being folded)
+    assert bounded_single_task_rows(emb.to_spark(), 10000) is not None
+    folded = ivf_index(emb, n_cells=4, max_iter=3, seed_strategy="first")
+
+    ck = emb.to_spark().localCheckpoint()  # LogicalRDD: gate declines
+    assert bounded_single_task_rows(ck, 10000) is None
+    assert ck.rdd.getNumPartitions() == 1
+    dist = ivf_index(EDF(ck, index_cols=("vec_id",)), n_cells=4, max_iter=3,
+                     seed_strategy="first")
+    assert folded == dist  # exact float equality, not allclose
