@@ -563,6 +563,11 @@ def main() -> None:
                 "over_budget": over_budget,
                 "steal_flagged_n": len(steal_flagged),
                 "slowest": slowest,
+                # bounded per-query digest vs the COMMITTED
+                # BENCH_FULL.json so the round driver's tail-window
+                # parse carries a real round-over-round comparison
+                # (r8's PERF record had per_query: {} / n_common: 0)
+                "vs_committed": _vs_committed(timings, prior_times),
                 "queries_file": "BENCH_FULL.json",
             }
         )
@@ -590,6 +595,40 @@ def main() -> None:
         )
         rc = 3
     sys.exit(rc)
+
+
+def _vs_committed(timings: dict, prior_times: dict) -> dict:
+    """Compact headline-vs-committed digest for the stdout line (the
+    driver tail window is ~2000 chars, so this stays bounded: counts,
+    a geomean, and the worst three regressions only). A regression
+    here uses the --compare gate's bar (>1.3x AND >0.2s); full
+    per-query detail stays in BENCH_FULL.json."""
+    import math
+
+    common = [
+        (name, prior_times[name], now)
+        for name, now in timings.items()
+        if prior_times.get(name)
+    ]
+    if not common:
+        return {"n_common": 0}
+    logs = [math.log(then / now) for _, then, now in common if now > 0]
+    regs = sorted(
+        (
+            (now / then, name, then, now)
+            for name, then, now in common
+            if now / then > 1.3 and (now - then) > 0.2
+        ),
+        reverse=True,
+    )
+    return {
+        "n_common": len(common),
+        "geomean_speedup": round(math.exp(sum(logs) / len(logs)), 3)
+        if logs
+        else None,
+        "n_regressed": len(regs),
+        "worst": {name: [then, now] for _, name, then, now in regs[:3]},
+    }
 
 
 def _busts_budget(

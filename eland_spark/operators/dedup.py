@@ -72,22 +72,71 @@ def connected_components(
     ``localCheckpoint`` truncates the growing lineage and a count+hash
     fingerprint (one tiny job per round) detects the fixed point.
 
-    ``driver_fold_max_edges``: the per-round fingerprint already
-    reports the CONTRACTED edge count to the driver; once it falls to
-    this bound the remaining contraction is finished with a driver
-    union-find over the current (already-checkpointed) edges — a
-    bounded, model-sized fold (<= a few MB collected) that replaces
-    the remaining 1-2 rounds of ~6-shuffle job waves with one collect
-    + one broadcast join. Star contraction preserves components and
-    their min labels, so the result is IDENTICAL to running the loop
-    to its fixed point (pinned by test). ``0`` disables the fold —
-    the unbounded distributed path, which large graphs take
-    automatically because their contracted edge count stays over the
-    bound through the geometric shrink.
+    ``driver_fold_max_edges``: when the INPUT pair frame itself is
+    within the bound (checked with one ``limit(bound+1).collect()``
+    over the checkpointed edges — near-dup pair sets are small next to
+    the corpus by construction), the whole labeling is one driver
+    union-find returning a local (node, component) frame: zero
+    contraction rounds, zero distributed joins, and the final plan
+    reads nothing (r9 opt — the old mid-loop-only fold still paid
+    round 1's ~6-shuffle wave AND re-executed the full pair pipeline
+    for ``nodes`` at action time, ~1.1 s at sf0.1). Larger graphs run
+    the contraction loop; the per-round fingerprint reports the
+    contracted edge count, and once it falls under the bound the
+    remaining contraction is finished with the same driver union-find
+    over the current (already-checkpointed) edges + one broadcast
+    join. Star contraction preserves components and their min labels,
+    so every path computes the IDENTICAL labeling (pinned by test).
+    ``0`` disables both folds — the unbounded distributed path, which
+    large graphs take automatically because their edge count stays
+    over the bound through the geometric shrink.
     """
     e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    # one materialization of the (expensive) pair pipeline serves the
+    # bound probe, the node set, and round 1's two edge references —
+    # without it, `nodes` re-executed the whole pipeline at action time
+    e0 = e0.localCheckpoint(eager=False)
+    if driver_fold_max_edges:
+        head = e0.limit(int(driver_fold_max_edges) + 1).collect()
+        if len(head) <= driver_fold_max_edges:
+            parent: dict = {}
+
+            def _find0(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            seen = set()
+            for r in head:
+                u, v = r[0], r[1]
+                seen.add(u)
+                seen.add(v)
+                if u == v:
+                    continue
+                ru, rv = _find0(u), _find0(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            labels = sorted((n, _find0(n)) for n in seen)
+            # broadcast hint: the local frame has no stats (LogicalRDD
+            # defaults to a huge size estimate), so a downstream
+            # corpus join would pick sort-merge and shuffle the corpus;
+            # the frame is bounded by driver_fold_max_edges (<= a few
+            # MB), always broadcast-safe
+            return F.broadcast(
+                e0.sparkSession.createDataFrame(
+                    labels,
+                    schema=e0.select(
+                        F.col("u").alias("node"),
+                        F.col("v").alias("component"),
+                    ).schema,
+                )
+            )
     nodes = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))

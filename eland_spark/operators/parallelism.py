@@ -82,8 +82,7 @@ def _effective_scan_parallelism(sdf: DataFrame, target: int) -> "int | None":
         return None
     if not files:
         return None
-    if len(files) >= target:
-        return len(files)
+    many = len(files) >= target
     local = []
     for f in files:
         if f.startswith("file:"):
@@ -91,7 +90,8 @@ def _effective_scan_parallelism(sdf: DataFrame, target: int) -> "int | None":
         elif f.startswith("/"):
             local.append(f)
         else:
-            return None
+            # remote many-files: clusters' normal case, assume parallel
+            return len(files) if many else None
     try:
         import pyarrow.parquet as pq
 
@@ -102,7 +102,8 @@ def _effective_scan_parallelism(sdf: DataFrame, target: int) -> "int | None":
         row_groups = 0
         for p in local:
             total += os.path.getsize(p)
-            row_groups += pq.ParquetFile(p).num_row_groups
+            if not many:  # footer reads only for small file counts
+                row_groups += pq.ParquetFile(p).num_row_groups
     except Exception:
         return None
     # FilePartition packing: maxSplitBytes = min(maxPartitionBytes,
@@ -111,18 +112,40 @@ def _effective_scan_parallelism(sdf: DataFrame, target: int) -> "int | None":
     dp = max(1, sdf.sparkSession.sparkContext.defaultParallelism)
     max_split = min(max_pb, max(open_cost, (total + len(local) * open_cost) // dp))
     splits = max(1, -(-total // max(1, max_split)))
+    if many:
+        # ADVICE r8: with a tiny openCostInBytes many small files pack
+        # into few splits — bound by the packing estimate instead of
+        # declaring len(files) parallel. When splits >= files, every
+        # file's first row group gives a task, so files is the floor.
+        return min(splits, len(files)) if splits < len(files) else len(files)
     return min(splits, row_groups)
 
 
 def _bytes(v: str) -> int:
+    # Spark accepts both one- and two-letter suffixes ("128m" / "128mb");
+    # strip the optional trailing 'b' first so "mb" parses as 'm', then
+    # the k/m/g multiplier; a bare trailing 'b' means bytes.
     v = str(v).strip().lower()
     mult = 1
-    for sfx, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    if v.endswith("b"):
+        v = v[:-1]
+    for sfx, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
         if v.endswith(sfx):
             v = v[:-1]
             mult = m
             break
     return int(float(v) * mult)
+
+
+# analyzed-plan node names bounded_single_task_rows ACCEPTS: each is
+# row-preserving over exactly one child (or a leaf file source), so the
+# parquet footer row count equals the frame's row count and a single
+# split executes it as one task. Everything else — Filter (rows
+# unknown), Generate/explode (row-multiplying), Union (multi-source:
+# inputFiles() dedups, so one file scanned twice still looks like one
+# row group), Expand, Sample, joins, aggregates — fails the proof and
+# returns None (ADVICE r8: the old blocklist let Generate/Union pass).
+_ROW_PRESERVING = ("Project", "SubqueryAlias", "Relation", "View", "Alias")
 
 
 def bounded_single_task_rows(sdf: DataFrame, max_rows: int) -> "int | None":
@@ -132,11 +155,17 @@ def bounded_single_task_rows(sdf: DataFrame, max_rows: int) -> "int | None":
     replica of a one-partition/one-Arrow-batch compute produces
     bit-identical floats (single partial, no cross-task combine).
     Returns None whenever any of that is unprovable (filters, shuffles,
-    remote files, multiple splits/row groups, too many rows) — callers
-    then keep their distributed path. Never runs a job."""
+    row-multiplying or multi-source nodes, remote files, multiple
+    splits/row groups, too many rows) — callers then keep their
+    distributed path. Never runs a job. Allowlist-based: every plan
+    node must be a known row-preserving single-child shape."""
     plan = _analyzed_plan(sdf)
-    if plan is None or any(m in plan for m in _SHUFFLE_SHAPED + ("Filter",)):
+    if plan is None:
         return None
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:|").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _ROW_PRESERVING:
+            return None
     try:
         files = sdf.inputFiles()
     except Exception:

@@ -253,7 +253,10 @@ def ivf_index(
         # centroids while removing one synchronous job wave PER
         # ITERATION (the fdr_bh/reindex driver-fold precedent; the
         # distributed path below stays the unbounded-case contract and
-        # is equality-pinned in tests/test_similarity.py).
+        # is equality-pinned in tests/test_redact_quantize.py::
+        # test_ivf_index_driver_fold_equals_distributed; any change to
+        # the 1024-row block size here or the distributed kernel must
+        # re-run that pin — the equality is empirical, not structural).
         from .parallelism import bounded_single_task_rows
 
         np = __import__("numpy")

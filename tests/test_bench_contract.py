@@ -64,10 +64,41 @@ def test_stdout_contract_line_fits_driver_tail_window():
             "n_queries": 999,
             "over_budget": [],
             "slowest": slowest,
+            "vs_committed": {
+                "n_common": 999,
+                "geomean_speedup": 1.234,
+                "n_regressed": 99,
+                "worst": {
+                    f"another_very_long_query_name_{i}": [123.456, 999.999]
+                    for i in range(3)
+                },
+            },
             "queries_file": "BENCH_FULL.json",
         }
     )
-    assert len(line) < 1500, len(line)
+    assert len(line) < 1900, len(line)
+
+
+def test_vs_committed_digest():
+    """_vs_committed: bounded digest, worst-3 only, regression bar is
+    the --compare gate's (>1.3x AND >0.2s)."""
+    prior = {f"q{i}": 1.0 for i in range(10)}
+    now = {f"q{i}": 1.0 for i in range(10)}
+    now["q1"] = 2.0   # 2x, +1s -> regression
+    now["q2"] = 1.4   # 1.4x, +0.4s -> regression
+    now["q3"] = 1.45  # 1.45x but +0.45s -> regression
+    now["q4"] = 0.5   # improvement
+    now["q9"] = 1.15  # 1.15x -> under ratio bar
+    d = bench._vs_committed(now, prior)
+    assert d["n_common"] == 10
+    assert d["n_regressed"] == 3
+    assert list(d["worst"]) == ["q1", "q3", "q2"]  # ratio-ordered
+    assert d["worst"]["q1"] == [1.0, 2.0]
+    assert 0 < d["geomean_speedup"] < 2
+    # tiny-delta swings on sub-0.2s queries never count
+    d2 = bench._vs_committed({"q": 0.15}, {"q": 0.05})
+    assert d2["n_regressed"] == 0
+    assert bench._vs_committed({"q": 1.0}, {}) == {"n_common": 0}
 
 
 def test_compare_recovers_from_truncated_driver_tail():

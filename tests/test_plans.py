@@ -936,10 +936,13 @@ def test_round5_query_plan_pins(spark):
     pins = {
         "bm25_topk": (0, 0),
         "incremental_near_dup": (3, 2),
-        # cluster-keyed split: the component pipeline's exchanges plus
-        # the label left-join; the split itself is a zero-shuffle md5
-        # projection
-        "leakage_safe_split": (7, 2),
+        # cluster-keyed split: the r9 round-0 driver union-find returns
+        # component labels as a broadcast-hinted local frame, so the
+        # whole plan is one corpus scan + one broadcast label join; the
+        # split itself is a zero-shuffle md5 projection (at unbounded
+        # scale the distributed contraction path has its own exchanges
+        # — this pin covers the bounded sf0.001 layout)
+        "leakage_safe_split": (1, 1),
         # per-token dots map-only; one map-side-combinable doc agg
         "maxsim": (1, 0),
         # two bounded top-k legs ranked by the windowless range-sort

@@ -149,13 +149,21 @@ def test_connected_components_driver_fold_matches_distributed(spark):
     edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
     rand = spark.createDataFrame(edges, "id_a long, id_b long")
     for pairs in (chain, rand):
+        # default bound: the whole input fits -> round-0 driver fold
         fold = connected_components(pairs).toPandas()
+        # bound between contracted and initial edge counts -> the
+        # distributed loop runs first, the fold finishes MID-contraction
+        mid = connected_components(
+            pairs, driver_fold_max_edges=500
+        ).toPandas()
         dist = connected_components(
             pairs, driver_fold_max_edges=0
         ).toPandas()
         f = dict(zip(fold.node, fold.component))
+        m = dict(zip(mid.node, mid.component))
         d = dict(zip(dist.node, dist.component))
         assert f == d
+        assert m == d
 
 
 def test_near_dup_components_end_to_end(spark, sf_dir):

@@ -1,6 +1,6 @@
 """Dump `.explain("formatted")` for named queries() entries into
-plans/r08/<query>_<tag>.txt — the before/after evidence files the
-optimization round commits alongside OPTIMIZATION_r08.md.
+plans/r09/<query>_<tag>.txt — the before/after evidence files the
+optimization round commits alongside OPTIMIZATION_r09.md.
 
     python tools_explain.py before pricing_summary dup_spans ...
     python tools_explain.py after  pricing_summary
@@ -22,7 +22,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     here = os.path.dirname(os.path.abspath(__file__))
-    out_dir = os.path.join(here, "plans", "r08")
+    out_dir = os.path.join(here, "plans", "r09")
     os.makedirs(out_dir, exist_ok=True)
     spec = importlib.util.spec_from_file_location(
         "entry", os.path.join(here, "__spark_entry__.py")
