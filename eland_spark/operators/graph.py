@@ -128,23 +128,35 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
+    # ONE src-hashed shuffle builds the deduped/weight-summed edge frame
+    # reused across all K rounds: repartition FIRST, then aggregate —
+    # HashPartitioning(__src__) satisfies the (__src__, __dst__) agg's
+    # clustered distribution, so the dedup/weight-sum adds no second
+    # exchange (r9 opt: the agg-then-repartition order shuffled the
+    # edge frame twice at checkpoint-build time). The localCheckpoint
+    # barrier makes this subtree compute ONCE instead of being
+    # re-inlined into every round's join (at a real deployment this is
+    # a persisted/bucketed edge table).
     if weight is None:
         e = (
             edges.select(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
+            .repartition("__src__")
             .distinct()
             .withColumn("__w__", F.lit(1.0))
         )
     else:
         e = (
             edges.where(F.col(weight).isNotNull() & (F.col(weight) > 0))
-            .groupBy(F.col(src).alias("__src__"), F.col(dst).alias("__dst__"))
-            .agg(F.sum(F.col(weight).cast("double")).alias("__w__"))
+            .select(
+                F.col(src).alias("__src__"),
+                F.col(dst).alias("__dst__"),
+                F.col(weight).cast("double").alias("__w__"),
+            )
+            .repartition("__src__")
+            .groupBy("__src__", "__dst__")
+            .agg(F.sum("__w__").alias("__w__"))
         )
-    # reuse one src-hashed partitioning across all K rounds; the
-    # localCheckpoint barrier makes the dedup+repartition subtree
-    # compute ONCE instead of being re-inlined into every round's join
-    # (at a real deployment this is a persisted/bucketed edge table).
-    e = e.repartition("__src__").localCheckpoint(eager=False)
+    e = e.localCheckpoint(eager=False)
 
     nodes = (
         e.select(F.col("__src__").alias("node"))
@@ -201,11 +213,22 @@ def pagerank(
     lazy = tol is None and _lazy_unroll(
         int(iterations), branches=3 if dangling == "redistribute" else 2
     )
+    # the initial rank frame is base + a literal column. In LAZY mode
+    # one up-front barrier pays a single build-time job wave but makes
+    # every unrolled round reference a flat node-sized leaf instead of
+    # re-inlining the nodes/outdeg/teleport join pyramid branches**K
+    # times — Catalyst ANALYSIS of the unrolled tree was the dominant
+    # cost (r9: pagerank_personalized spent ~2.5 s of its 3.0 s steady
+    # in plan build). In barrier mode the per-round checkpoints already
+    # truncate lineage, so the extra wave would be pure cost.
     # the initial rank frame is base + a literal column — its two
     # round-1 branches share base's exchanges (canonically equal, AQE
     # reuses them), so barrier-ing it would only add a build-time job
     # wave; barriers start AFTER round 1, where the branched subtrees
-    # stop being exchange-aligned
+    # stop being exchange-aligned (r9 re-measured: an up-front lazy
+    # barrier that flattens the unrolled tree to a LogicalRDD leaf is
+    # NEUTRAL-to-slightly-slower — 2.73/2.98 vs 2.67/2.95 s — the
+    # analysis of the unrolled tree is not the cost, the wave is real)
     checkpointed = True
     for i in range(int(iterations)):
         # without lazy reuse, one checkpoint per round keeps the
@@ -327,11 +350,14 @@ def label_propagation(
     # repeated sym/label subtrees) instead of paying one build-time
     # job wave per localCheckpoint barrier — see _lazy_unroll
     lazy = _lazy_unroll(int(iterations), branches=1 if seeds is None else 2)
+    # repartition FIRST: HashPartitioning(u) satisfies the (u, v)
+    # dedup's clustered distribution, so the distinct adds no second
+    # exchange of the symmetrized edge frame (r9, the pagerank fix)
     sym = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .repartition("u")
+        .distinct()
     )
     if not lazy:
         sym = sym.localCheckpoint(eager=False)
@@ -429,11 +455,13 @@ def random_walks(
     # the repeated edge/frontier subtrees once in ONE job instead of
     # paying a build-time job wave per step (see _lazy_unroll)
     lazy = _lazy_unroll(int(length), branches=2)
+    # repartition first — the (u, v) dedup reuses the u-hash exchange
+    # (r9, the pagerank fix)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
         .repartition("u")
+        .distinct()
     )
     if not lazy:
         e = e.localCheckpoint(eager=False)
